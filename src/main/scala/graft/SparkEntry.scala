@@ -1,13 +1,715 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Event
+import graft.core.parse.GameLogParser
+import graft.core.stats.PlayerStatsEngine
+import graft.core.enrich.Enrich
+import graft.analytics.Scoreboard
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract: the operator catalog (SURVEY.md §2) as named queries over
+  * the driver's parquet testdata, each paired with ANSI SQL the driver runs in
+  * DuckDB as a correctness oracle.
+  *
+  * Determinism rules used throughout (so Spark and DuckDB hash-match):
+  *  - money/metric sums go through DECIMAL(12,2) (exact in both engines) and
+  *    are cast to DOUBLE only at the end;
+  *  - floating folds over arrays are strict left-to-right double adds in both
+  *    engines (verified bit-exact);
+  *  - every result has a total ORDER BY on a unique key;
+  *  - shared 48-bit hash = first 12 hex digits of md5 (conv ↔ '0x'-cast).
+  */
 object SparkEntry {
+
+  // ---------------------------------------------------------------- helpers
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries nanosecond timestamps, which the Spark parquet
+    // reader rejects by default; read them as raw long nanos.
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Game-event derivation shared by the parse/stream queries: maps the
+    * `events` table onto the reference's kill/damage event model with pure
+    * integer/string arithmetic (no floats ⇒ bit-exact oracle). */
+  private def gameEvents(ev: DataFrame): DataFrame =
+    ev.select(
+      when(col("event_type") === "purchase",
+        concat(lit("P"), col("user_id").cast("string"))).otherwise(lit("")).as("player"),
+      concat(lit("S"), col("user_id").cast("string")).as("steamId"),
+      when(col("event_type") === "purchase", "kill")
+        .when(col("event_type") === "error", "death")
+        .when(col("event_type") === "signup", "assist")
+        .otherwise("damage").as("eventType"),
+      col("event_id").as("second"),
+      (col("event_id") % 97).as("amount"),
+      (lit(1) + col("user_id") % 19).cast("long").as("round"))
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------- the catalog
+
+  /** (name, spark impl, duckdb oracle SQL — None ⇒ rows-only check). */
+  private lazy val catalog: Seq[(String, Q, Option[String])] = Seq(
+
+    // ================================================================
+    // §2.4 A1-A8 aggregation / §2.2 scan-project layer
+    // ================================================================
+
+    ("q01_pricing_agg", (s, dir) => {
+      T(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    ("q02_filter_project", (s, dir) => {
+      T(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    ("q03_union", (s, dir) => {
+      val ev = T(s, dir, "events")
+      val kills = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), lit("kill").as("etype"), col("value"))
+      val damages = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), lit("damage").as("etype"), col("value"))
+      kills.unionByName(damages).orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, user_id, 'kill' AS etype, value FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT event_id, user_id, 'damage' AS etype, value FROM events WHERE event_type = 'error'
+      ORDER BY event_id""")),
+
+    // ================================================================
+    // §2.5 joins J1-J5 + §2.6 windows / sort / limit
+    // ================================================================
+
+    ("q04_latest_per_group", (s, dir) => {
+      val latest = Scoreboard.latestPerGroup(
+        T(s, dir, "orders"), Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      latest
+        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      WITH latest AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders)
+      SELECT c_custkey, c_name, o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+      FROM latest JOIN customer ON c_custkey = o_custkey
+      WHERE rn = 1
+      ORDER BY c_custkey""")),
+
+    ("q05_join_const_filter", (s, dir) => {
+      T(s, dir, "events")
+        .join(broadcast(T(s, dir, "customer").where(col("c_custkey") === 7)),
+          col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_name"), col("value"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, user_id, c_name, value
+      FROM events e JOIN customer c ON c.c_custkey = 7
+      WHERE e.user_id = c.c_custkey
+      ORDER BY event_id""")),
+
+    ("q06_cross_join_grid", (s, dir) => {
+      val months = T(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("mo")).distinct()
+      val segs = T(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg")).distinct()
+      months.crossJoin(segs).orderBy(col("mo"), col("seg"))
+    }, Some("""
+      SELECT mm.mo, ss.seg
+      FROM (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS mo FROM orders) mm
+      CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) ss
+      ORDER BY mm.mo, ss.seg""")),
+
+    ("q07_left_join_grid", (s, dir) => {
+      val orders = T(s, dir, "orders")
+      val customer = T(s, dir, "customer")
+      val monthly = orders
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(
+          date_format(col("o_orderdate"), "yyyy-MM").as("mo"),
+          col("c_mktsegment").as("seg"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      val months = orders.select(date_format(col("o_orderdate"), "yyyy-MM").as("mo")).distinct()
+      val segs = customer.select(col("c_mktsegment").as("seg")).distinct()
+      months.crossJoin(segs)
+        .join(monthly, Seq("mo", "seg"), "left")
+        .select(
+          col("mo"), col("seg"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        .orderBy(col("mo"), col("seg"))
+    }, Some("""
+      WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS mo, c_mktsegment AS seg,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2)
+      SELECT mm.mo, ss.seg, COALESCE(m.n_orders, 0) AS n_orders, COALESCE(m.revenue, 0.0) AS revenue
+      FROM (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS mo FROM orders) mm
+           CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) ss
+           LEFT JOIN monthly m ON m.mo = mm.mo AND m.seg = ss.seg
+      ORDER BY mm.mo, ss.seg""")),
+
+    ("q08_locf_asof", (s, dir) => {
+      val orders = T(s, dir, "orders")
+      val custs = T(s, dir, "customer").where(col("c_custkey") < 100).select(col("c_custkey"))
+      val monthly = orders
+        .groupBy(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM").as("mo2"))
+        .agg(max(col("o_totalprice")).as("v"))
+      val months = orders.select(date_format(col("o_orderdate"), "yyyy-MM").as("mo")).distinct()
+      val grid = custs.crossJoin(months)
+        .join(monthly,
+          col("c_custkey") === col("o_custkey") && col("mo") === col("mo2"), "left")
+        .select(col("c_custkey"), col("mo"), col("v"))
+      Scoreboard.locf(grid, Seq("c_custkey"), "mo", "v", lit(0.0))
+        .select(col("c_custkey"), col("mo"), col("v").as("locf_value"))
+        .orderBy(col("c_custkey"), col("mo"))
+    }, Some("""
+      WITH monthly AS (
+        SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS mo, MAX(o_totalprice) AS v
+        FROM orders GROUP BY 1, 2),
+      grid AS (
+        SELECT c_custkey, mo
+        FROM (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+             CROSS JOIN (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS mo FROM orders)),
+      joined AS (
+        SELECT g.c_custkey, g.mo, m.v
+        FROM grid g LEFT JOIN monthly m ON m.o_custkey = g.c_custkey AND m.mo = g.mo)
+      SELECT c_custkey, mo,
+        COALESCE(last_value(v IGNORE NULLS) OVER (
+          PARTITION BY c_custkey ORDER BY mo
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS locf_value
+      FROM joined
+      ORDER BY c_custkey, mo""")),
+
+    ("q09_pivot", (s, dir) => {
+      Scoreboard.pivotMatrix(
+        T(s, dir, "events"), "user_id", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"), count(lit(1)))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id,
+        COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    ("q10_distinct", (s, dir) => {
+      T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }, Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    ("q11_topk", (s, dir) => {
+      T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(10)
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 10""")),
+
+    ("q12_semi_join", (s, dir) => {
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")),
+
+    ("q13_anti_join", (s, dir) => {
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")),
+
+    ("q14_running_total", (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .select(
+          col("user_id"), col("event_id"),
+          sum(dec(col("value"))).over(w).cast("double").as("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }, Some("""
+      SELECT user_id, event_id,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+          PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      FROM events ORDER BY user_id, event_id""")),
+
+    ("q15_json_agg", (s, dir) => {
+      T(s, dir, "events")
+        .withColumn("k",
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ================================================================
+    // §2.2 P2-P7 the CSV wire-format parsers (ground-truth oracle)
+    // ================================================================
+
+    ("q16_parse_kills", (s, dir) => {
+      val ev = T(s, dir, "events")
+      val lines = ev.select(concat_ws(",",
+        lit("x"),
+        (col("event_id") * 128).cast("string"),
+        (col("user_id") % 19).cast("string"),
+        when(col("event_type") === "purchase",
+          concat(lit("P"), col("user_id").cast("string"))).otherwise(lit("")),
+        concat(lit("S"), col("user_id").cast("string")),
+        lit("x"), lit("x"),
+        when(col("value") > 100, concat(lit("V"), col("user_id").cast("string"))).otherwise(lit("")),
+        concat(lit("T"), col("user_id").cast("string")),
+        lit("x"), lit("x"),
+        when(col("event_type") === "view", concat(lit("A"), col("user_id").cast("string")))
+          .when(col("event_type") === "click", lit("0")).otherwise(lit("")),
+        concat(lit("U"), col("user_id").cast("string"))
+      ).as("value"))
+      GameLogParser.parseKillLines(lines)
+        .orderBy(col("second"), col("eventType"))
+    }, Some("""
+      SELECT concat('P', CAST(user_id AS VARCHAR)) AS player,
+             concat('S', CAST(user_id AS VARCHAR)) AS "steamId",
+             'kill' AS "eventType", event_id AS "second",
+             CAST(0 AS BIGINT) AS amount, user_id % 19 AS round
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT concat('V', CAST(user_id AS VARCHAR)), concat('T', CAST(user_id AS VARCHAR)),
+             'death', event_id, CAST(0 AS BIGINT), user_id % 19
+      FROM events WHERE value > 100
+      UNION ALL
+      SELECT concat('A', CAST(user_id AS VARCHAR)), concat('U', CAST(user_id AS VARCHAR)),
+             'assist', event_id, CAST(0 AS BIGINT), user_id % 19
+      FROM events WHERE event_type = 'view'
+      ORDER BY "second", "eventType"""")),
+
+    ("q17_parse_damages", (s, dir) => {
+      val ev = T(s, dir, "events")
+      val lines = ev.select(concat_ws(",",
+        lit("x"),
+        (col("event_id") * 128).cast("string"),
+        (col("user_id") % 19).cast("string"),
+        lit("x"), lit("x"),
+        (lit(100) + col("event_id") % 37).cast("string"),
+        (col("event_id") % 29).cast("string"),
+        lit("x"), lit("x"),
+        when(col("event_type") === "error", lit(""))
+          .otherwise(concat(lit("S"), col("user_id").cast("string"))),
+        lit("x")
+      ).as("value"))
+      GameLogParser.parseDamageLines(lines)
+        .orderBy(col("second"))
+    }, Some("""
+      SELECT '' AS player, concat('S', CAST(user_id AS VARCHAR)) AS "steamId",
+             'damage' AS "eventType", event_id AS "second",
+             (100 + event_id % 37) - (event_id % 29) AS amount,
+             user_id % 19 AS round
+      FROM events WHERE event_type <> 'error'
+      ORDER BY "second"""")),
+
+    ("q18_enrich_backfill", (s, dir) => {
+      val stats = T(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .withColumn("playerName",
+          when(col("user_id") % 3 === 0, lit(""))
+            .otherwise(concat(lit("U"), col("user_id").cast("string"))))
+        .withColumn("steamId", col("user_id").cast("string"))
+      val dim = T(s, dir, "customer")
+        .select(col("c_custkey").cast("string").as("steamId"), col("c_name").as("name"))
+      Enrich.backfillName(stats, dim)
+        .select(col("user_id"), col("n"), col("playerName"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH stats AS (
+        SELECT user_id, COUNT(*) AS n,
+          CASE WHEN user_id % 3 = 0 THEN '' ELSE concat('U', CAST(user_id AS VARCHAR)) END AS pn
+        FROM events GROUP BY user_id)
+      SELECT s.user_id, s.n,
+        CASE WHEN s.pn = '' THEN COALESCE(c.c_name, '') ELSE s.pn END AS "playerName"
+      FROM stats s LEFT JOIN customer c ON CAST(c.c_custkey AS VARCHAR) = CAST(s.user_id AS VARCHAR)
+      ORDER BY s.user_id""")),
+
+    // ================================================================
+    // §2.4 A2-A5: the stateful engine, replayed through REAL Structured
+    // Streaming (file source → mapGroupsWithState → memory sink)
+    // ================================================================
+
+    ("q19_stream_stats", (s, dir) => {
+      import s.implicits._
+      val game = gameEvents(T(s, dir, "events"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+      game.coalesce(1).write.mode("overwrite").parquet(tmp) // 1 file ⇒ 1 micro-batch
+      val stream = s.readStream.schema(game.schema).parquet(tmp).as[Event]
+      val qname = "graft_stream_stats_" + math.abs(tmp.hashCode)
+      val q = PlayerStatsEngine.statefulPlayerStats(stream)
+        .writeStream.outputMode("update").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(qname)
+      // keep each key's last emitted (cumulative-complete) row — robust even
+      // if the source were split into several micro-batches
+      val w = Window.partitionBy(col("steamId"))
+        .orderBy(col("second").desc,
+          (col("kills") + col("deaths") + col("assists") + col("damage")).desc)
+      out.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+        .orderBy(col("steamId"))
+    }, Some("""
+      WITH ev AS (
+        SELECT concat('S', CAST(user_id AS VARCHAR)) AS sid,
+               CASE WHEN event_type = 'purchase' THEN concat('P', CAST(user_id AS VARCHAR)) ELSE '' END AS pname,
+               CASE event_type WHEN 'purchase' THEN 'kill' WHEN 'error' THEN 'death'
+                    WHEN 'signup' THEN 'assist' ELSE 'damage' END AS et,
+               event_id AS sec, event_id % 97 AS amt, 1 + user_id % 19 AS rnd
+        FROM events),
+      agg AS (
+        SELECT sid,
+          COALESCE(MAX(CASE WHEN pname <> '' THEN pname END), '') AS pn,
+          MAX(sec) AS sec,
+          COUNT(*) FILTER (WHERE et = 'kill') AS kills,
+          COUNT(*) FILTER (WHERE et = 'death') AS deaths,
+          COUNT(*) FILTER (WHERE et = 'assist') AS assists,
+          CAST(COALESCE(SUM(amt) FILTER (WHERE et = 'damage'), 0) AS BIGINT) AS damage,
+          MAX(rnd) AS rnd
+        FROM ev GROUP BY sid)
+      SELECT pn AS "playerName", sid AS "steamId", sec AS "second",
+             kills, deaths, assists, damage,
+             CASE WHEN deaths = 0 THEN CAST(kills AS DOUBLE)
+                  ELSE CAST(kills AS DOUBLE) / deaths END AS "kdRatio",
+             CAST(damage AS DOUBLE) / rnd AS "damagePerRound"
+      FROM agg ORDER BY "steamId"""")),
+
+    ("q20_batch_stats_twin", (s, dir) => {
+      PlayerStatsEngine.batchPlayerStats(gameEvents(T(s, dir, "events")))
+        .orderBy(col("steamId"))
+    }, Some("""
+      WITH ev AS (
+        SELECT concat('S', CAST(user_id AS VARCHAR)) AS sid,
+               CASE WHEN event_type = 'purchase' THEN concat('P', CAST(user_id AS VARCHAR)) ELSE '' END AS pname,
+               CASE event_type WHEN 'purchase' THEN 'kill' WHEN 'error' THEN 'death'
+                    WHEN 'signup' THEN 'assist' ELSE 'damage' END AS et,
+               event_id AS sec, event_id % 97 AS amt, 1 + user_id % 19 AS rnd
+        FROM events),
+      agg AS (
+        SELECT sid,
+          COALESCE(MAX(CASE WHEN pname <> '' THEN pname END), '') AS pn,
+          MAX(sec) AS sec,
+          COUNT(*) FILTER (WHERE et = 'kill') AS kills,
+          COUNT(*) FILTER (WHERE et = 'death') AS deaths,
+          COUNT(*) FILTER (WHERE et = 'assist') AS assists,
+          CAST(COALESCE(SUM(amt) FILTER (WHERE et = 'damage'), 0) AS BIGINT) AS damage,
+          MAX(rnd) AS rnd
+        FROM ev GROUP BY sid)
+      SELECT pn AS "playerName", sid AS "steamId", sec AS "second",
+             kills, deaths, assists, damage,
+             CASE WHEN deaths = 0 THEN CAST(kills AS DOUBLE)
+                  ELSE CAST(kills AS DOUBLE) / deaths END AS "kdRatio",
+             CAST(damage AS DOUBLE) / rnd AS "damagePerRound"
+      FROM agg ORDER BY "steamId"""")),
+
+    // ================================================================
+    // Extension surface: dedup
+    // ================================================================
+
+    ("q21_dedup_exact", (s, dir) => {
+      Dedup.exactDupGroups(
+        T(s, dir, "documents"), "doc_id", md5(col("text").cast("binary")))
+        .orderBy(col("dup_key"))
+    }, Some("""
+      SELECT md5(text) AS dup_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      FROM documents GROUP BY md5(text) ORDER BY dup_key""")),
+
+    ("q22_dedup_fingerprint", (s, dir) => {
+      Dedup.exactDupGroups(
+        T(s, dir, "documents"), "doc_id", TextAnalysis.fingerprintBag(col("text")))
+        .orderBy(col("dup_key"))
+    }, Some("""
+      SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS dup_key,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      FROM documents GROUP BY 1 ORDER BY dup_key""")),
+
+    ("q23_minhash_lsh", (s, dir) => {
+      Dedup.minhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc_id", "id_a")
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs),
+      mh AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mh GROUP BY doc_id, p // 4)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b""")),
+
+    ("q24_simhash", (s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash("text").as("simhash"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(0, 48), b ->
+          CASE WHEN list_sum(list_transform(string_split(text, ' '), w ->
+                 2 * ((('0x' || substr(md5(w), 1, 12))::BIGINT >> b) & 1) - 1)) > 0
+               THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+      FROM documents ORDER BY doc_id""")),
+
+    ("q25_ngram_jaccard", (s, dir) => {
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+          Seq("lang"), 0.12)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, lang,
+          list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END) AS sh
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_intersect(a.sh, b.sh)) AS inter,
+          len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+        FROM docs a JOIN docs b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
+      FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.12
+      ORDER BY id_a, id_b""")),
+
+    ("q26_cosine_dup_pairs", (s, dir) => {
+      Similarity.cosineDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          CAST(list_sum(list_transform(range(0, 8), i ->
+            CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+          list_sum(list_transform(range(1, 65), i -> a.v[i] * c.v[i])) /
+            (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+             sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS sim
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+      SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.2
+      ORDER BY id_a, id_b""")),
+
+    // ================================================================
+    // Extension surface: similarity search
+    // ================================================================
+
+    ("q27_cosine_topk", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding", 3)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+      scored AS (
+        SELECT q_id, n_id,
+          list_sum(list_transform(range(1, 65), i -> qv[i] * nv[i])) /
+            (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+             sqrt(list_sum(list_transform(range(1, 65), i -> nv[i] * nv[i])))) AS sim
+        FROM q CROSS JOIN c WHERE n_id <> q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
+    ("q28_ann_bucketed", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bucketedTopK(
+        emb.where(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding", 3)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          CAST(list_sum(list_transform(range(0, 8), i ->
+            CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS n_id,
+          list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) /
+            (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i]))) *
+             sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS sim
+        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        FROM scored)
+      SELECT q_id, bucket, rank, n_id, sim FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
+    // ================================================================
+    // Extension surface: text analysis + multimodal metadata
+    // ================================================================
+
+    ("q29_langid", (s, dir) => {
+      T(s, dir, "documents")
+        .select(
+          (col("doc_id") +: col("lang").as("actual_lang") +:
+            TextAnalysis.langScores("text")) :+
+            TextAnalysis.predictedLang("text").as("pred_lang"): _*)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH scored AS (
+        SELECT doc_id, lang AS actual_lang,
+          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['der','die','das','und'], w))) AS BIGINT) AS score_de,
+          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and'], w))) AS BIGINT) AS score_en,
+          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['el','la','los','que'], w))) AS BIGINT) AS score_es,
+          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['le','la','les','et'], w))) AS BIGINT) AS score_fr,
+          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['de5','shi4','le5','zai4'], w))) AS BIGINT) AS score_zh
+        FROM documents)
+      SELECT doc_id, actual_lang, score_de, score_en, score_es, score_fr, score_zh,
+        CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+             WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+             WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+             WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+             WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+             ELSE 'zh' END AS pred_lang
+      FROM scored ORDER BY doc_id""")),
+
+    ("q30_text_quality", (s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id") +: TextAnalysis.qualityColumns("text", "n_chars"): _*)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and','to','in'], w))) AS BIGINT) AS n_stopwords,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS distinct_ratio,
+        CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and','to','in'], w))) AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+        CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len
+      FROM documents ORDER BY doc_id""")),
+
+    ("q31_token_count", (s, dir) => {
+      T(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"),
+          sum(TextAnalysis.regexTokenCount("text").cast("long")).as("re_tokens"))
+        .orderBy(col("source"))
+    }, Some("""
+      SELECT source,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens
+      FROM documents GROUP BY source ORDER BY source""")),
+
+    ("q32_multimodal_meta", (s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id") +: Multimodal.metadataColumns("text"): _*)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        hex(substr(text, 1, 4)::BLOB) AS head_hex,
+        CAST(ascii(text) AS BIGINT) AS first_byte
+      FROM documents ORDER BY doc_id"""))
+  )
+
+  // ------------------------------------------------------- driver contract
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map { case (n, q, _) => n -> q }.toMap
+
+  def oracleSql: Map[String, String] =
+    catalog.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 }

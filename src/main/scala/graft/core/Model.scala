@@ -1,0 +1,72 @@
+package graft.core
+
+/** Core data model of the engine.
+  *
+  * Mirrors the reference's data plane (see SURVEY.md §1.1):
+  *  - `Event`      — reference/src/main/java/edu/ch/unibas/dis/model/Event.java:10-24
+  *  - `PlayerState`— reference .../model/PlayerState.java:6-11 (plus `lastName`,
+  *                   a deterministic improvement over the reference's per-batch
+  *                   first-non-blank name pick, SURVEY.md §7.4.3)
+  *  - `PlayerStatsRow` — the 9-field output row,
+  *                   reference .../spark/SparkStreamingService.java:216-226
+  *  - `Player`     — reference .../entity/Player.java:7-22
+  *
+  * Only `string`/`long`/`double` appear, exactly like the reference (§1.2).
+  */
+final case class Event(
+    player: String,
+    steamId: String,
+    eventType: String, // kill | death | assist | damage
+    second: Long,
+    amount: Long,
+    round: Long
+)
+
+final case class PlayerState(
+    kills: Long,
+    deaths: Long,
+    assists: Long,
+    damage: Long,
+    lastName: String
+) {
+  def fold(e: Event): PlayerState = {
+    val named = if (lastName.nonEmpty || e.player.isEmpty) this
+                else copy(lastName = e.player)
+    e.eventType match {
+      case "kill"   => named.copy(kills = kills + 1)
+      case "death"  => named.copy(deaths = deaths + 1)
+      case "assist" => named.copy(assists = assists + 1)
+      case "damage" => named.copy(damage = damage + e.amount)
+      case _        => named
+    }
+  }
+}
+
+object PlayerState {
+  val empty: PlayerState = PlayerState(0L, 0L, 0L, 0L, "")
+}
+
+final case class PlayerStatsRow(
+    playerName: String,
+    steamId: String,
+    second: Long,
+    kills: Long,
+    deaths: Long,
+    assists: Long,
+    damage: Long,
+    kdRatio: Double,
+    damagePerRound: Double
+)
+
+object PlayerStatsRow {
+  /** K/D rule of the reference (PlayerStatsUpdater.java:34-36):
+    * deaths == 0 ⇒ kd = kills (NOT null, NOT infinity). */
+  def kd(kills: Long, deaths: Long): Double =
+    if (deaths == 0L) kills.toDouble else kills.toDouble / deaths
+
+  /** Damage-per-round rule (PlayerStatsUpdater.java:37): plain Java double
+    * division, round==0 ⇒ ±Infinity/NaN — reproduced faithfully. */
+  def dpr(damage: Long, round: Long): Double = damage.toDouble / round
+}
+
+final case class Player(name: String, steamId: String, team: String)

@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths:
+  *  - brute-force top-k: exact, O(queries × corpus). Queries are broadcast,
+  *    so the corpus is scanned once with no shuffle of the big side; the
+  *    per-query top-k is a bounded window. Right when |queries| is small.
+  *  - LSH-bucketed ANN: a deterministic sign-bit bucket per vector; the join
+  *    is an equi-join on the bucket id — near-linear, the 100 TB path. Probing
+  *    multiple buckets (hamming-adjacent) trades recall for cost.
+  *
+  * All arithmetic is double-precision, strictly left-to-right folds, mirrored
+  * exactly by the DuckDB oracle (`list_transform` + ordered `list_sum`).
+  */
+object Similarity {
+
+  /** cosine(a, b) as a native expression fold (no UDF): Σaᵢbᵢ/(√Σaᵢ²·√Σbᵢ²).
+    * Elements are cast to double BEFORE multiplying so both engines do the
+    * identical IEEE ops. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(ad, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(bd, x => x * x), lit(0.0), (acc, x) => acc + x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Exact top-k neighbors per query vector (brute force).
+    * @param queries  (qIdCol, vecCol) — SMALL (broadcast)
+    * @param corpus   (idCol, vecCol)  — arbitrarily large
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.crossJoin(q)
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+
+  /** Deterministic LSH bucket: the sign bits of the first `bits` dimensions
+    * packed into an integer. (A data-independent hyperplane family — at scale,
+    * replace with learned/random hyperplanes shipped as a broadcast matrix.)
+    * Takes the vector column's SQL expression text (it is spliced into a
+    * higher-order-function lambda). */
+  def signBucket(vecExpr: String, bits: Int = 8): Column =
+    expr(s"aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, i) -> " +
+      s"acc + CASE WHEN element_at($vecExpr, i + 1) > 0 " +
+      s"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)")
+
+  /** ANN top-k restricted to the query's bucket — the equi-join scale path. */
+  def bucketedTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val q = broadcast(
+      queries.select(
+        col(qIdCol).as("q_id"), col(vecCol).as("q_vec"),
+        signBucket(vecCol, bits).as("bucket")))
+    val c = corpus.select(
+      col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      signBucket(vecCol, bits).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("bucket"), col("rank"), col("n_id"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within buckets (dedup use-case):
+    * distinct (id_a < id_b) pairs with cosine ≥ threshold, joined bucket-wise
+    * so the pair space stays near-linear. */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 8): DataFrame = {
+    val withBucket = df.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      signBucket(vecCol, bits).as("bucket"))
+    val a = withBucket.as("a")
+    val b = withBucket.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim", cosine(col("a.vec"), col("b.vec")))
+      .where(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+}

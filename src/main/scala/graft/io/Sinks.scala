@@ -1,0 +1,47 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Sinks (reference S3/S4, SURVEY.md §2.1).
+  *
+  * The reference's DB sink collects every micro-batch to the driver and writes
+  * row-at-a-time through JPA (SparkStreamingService.java:262-277) — the known
+  * bottleneck (BASELINE.md). The Spark-native sink keeps the write distributed:
+  * `foreachBatch` + a partition-parallel writer, with the same `update` output
+  * mode + 1 s processing-time trigger + append (historized) semantics.
+  */
+object Sinks {
+
+  /** Historized stats sink: every micro-batch APPENDS the batch's cumulative
+    * snapshot rows (keyed by game `second`) — reference semantics
+    * (update mode + append-style sink, SURVEY.md §7.4.6). `write` receives the
+    * batch DataFrame and performs the distributed append (JDBC/parquet/Delta —
+    * injected so tests can capture batches). */
+  def historizedSink[T](
+      stats: Dataset[T],
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      checkpoint: Option[String] = None)(
+      write: (DataFrame, Long) => Unit): DataStreamWriter[T] = {
+    val w = stats.writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (df: Dataset[T], batchId: Long) =>
+        write(df.toDF(), batchId)
+      }
+    checkpoint.fold(w)(p => w.option("checkpointLocation", p))
+  }
+
+  /** Distributed JDBC append for a batch — what the reference's collect+JPA
+    * loop should have been. Executors write partition-parallel. */
+  def jdbcAppend(df: DataFrame, url: String, table: String, props: java.util.Properties): Unit =
+    df.write.mode("append").jdbc(url, table, props)
+
+  /** Console sink (reference S3, SparkStreamingService.java:239-250). */
+  def consoleSink[T](stats: Dataset[T]): DataStreamWriter[T] =
+    stats.writeStream.outputMode("update").format("console")
+
+  /** Parquet append sink for a batch — the test/local stand-in for Postgres. */
+  def parquetAppend(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+}

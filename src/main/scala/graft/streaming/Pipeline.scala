@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.{Event, PlayerStatsRow}
+import graft.core.parse.GameLogParser
+import graft.core.stats.PlayerStatsEngine
+
+/** End-to-end streaming pipeline + control plane (reference §2.10, §3).
+  *
+  * Dataflow (reference SparkStreamingService.java:101-106):
+  *   kill lines → parse (P2) ─┐
+  *                            union (U1) → stateful stats (A1-A5) → sink (S4)
+  *   damage lines → parse (P3)┘
+  *
+  * The reference wires this inside a Spring service with REST start/stop
+  * (MainController.java:29-61); here the control plane is a plain library —
+  * capabilities, not Spring, are the requirement (SURVEY.md §7.1.7).
+  */
+object Pipeline {
+
+  /** Build the full logical plan from two raw line streams (streaming or
+    * batch — the plan is identical, which is what makes the batch twin an
+    * oracle for the streaming path). */
+  def playerStats(killLines: DataFrame, damageLines: DataFrame): Dataset[PlayerStatsRow] = {
+    val spark = killLines.sparkSession
+    import spark.implicits._
+    val kills = GameLogParser.parseKillLines(killLines)
+    val damages = GameLogParser.parseDamageLines(damageLines)
+    // unionByName: schema-safe bag union (reference uses positional union)
+    val events = kills.unionByName(damages).as[Event]
+    PlayerStatsEngine.statefulPlayerStats(events)
+  }
+}
+
+/** Start/stop/status control plane mirroring MainController.java:29-61:
+  * idempotent start, stop, "Running"/"Stopped" status. */
+final class StreamController(build: () => StreamingQuery) {
+  private val running = new AtomicReference[Option[StreamingQuery]](None)
+
+  /** Idempotent-if-running, like the reference's guard (MainController.java:31). */
+  def start(): String = synchronized {
+    running.get() match {
+      case Some(q) if q.isActive => "Already running"
+      case _ =>
+        running.set(Some(build()))
+        "Started"
+    }
+  }
+
+  def stop(): String = synchronized {
+    running.get() match {
+      case Some(q) if q.isActive =>
+        q.stop()
+        running.set(None)
+        "Stopped"
+      case _ => "Not running"
+    }
+  }
+
+  def status: String =
+    if (running.get().exists(_.isActive)) "Running" else "Stopped"
+}
