@@ -1,52 +1,57 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 
-/** Temporary probe main (removed before final round): checks environment
-  * behaviors the query catalog depends on. */
+import graft.core.Event
+import graft.core.stats.PlayerStatsEngine
+
+/** Temporary probe main (removed before final round): drive the
+  * timeout-enabled stateful path through the public API with a real
+  * MemoryStream; print per-second progress to diagnose batch latency. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
-    // 1. nanos timestamp parquet
-    try {
-      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      ev.printSchema()
-      println("events count = " + ev.count())
-      println("events no-ts select: " + ev.select("event_id", "user_id").count())
-    } catch { case e: Throwable => println("EVENTS READ FAIL: " + e) }
+    val mem = MemoryStream[Event]
+    val stats = PlayerStatsEngine.statefulPlayerStats(
+      mem.toDS(), GroupStateTimeout.ProcessingTimeTimeout, timeoutMs = 2000L)
+    val q = stats.writeStream.outputMode("update").format("memory")
+      .queryName("probe_timeout")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
 
-    // 2. conv/md5 parity vs duckdb (expect 158335321521362 for 'abc')
-    spark.sql("SELECT CAST(conv(substr(md5(CAST('abc' AS BINARY)),1,12),16,10) AS BIGINT) AS h").show()
-
-    // 3. nested HOF lambda (simhash inner aggregate referencing outer var b)
-    spark.sql(
-      """SELECT aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, b) ->
-        |  acc + CASE WHEN aggregate(array(1L, 2L, 3L), CAST(0 AS BIGINT),
-        |    (s, h) -> s + (2 * (shiftright(h, b) & 1) - 1)) > 0
-        |  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""".stripMargin).show()
-
-    // 4. double fold over float array
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    emb.limit(2).select(
-      col("vec_id"),
-      expr("aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("dot")
-    ).show(false)
-
-    // 5. hex of binary substr
-    spark.sql("SELECT hex(CAST(substr('hello', 1, 4) AS BINARY)), ascii('hello'), octet_length(CAST('hello' AS BINARY))").show()
-
-    // 6. lineitem shipdate type
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select("l_shipdate").printSchema()
-
+    mem.addData(
+      Event("Alice", "S1", "kill", 10L, 0L, 1L),
+      Event("", "S1", "damage", 11L, 40L, 1L),
+      Event("Bob", "S2", "death", 12L, 0L, 1L))
+    var sentBatch2 = false
+    (1 to 30).foreach { i =>
+      Thread.sleep(1000)
+      val p = q.lastProgress
+      val bid = if (p == null) -1L else p.batchId
+      println(s"[probe] t=${i}s batchId=$bid active=${q.isActive} " +
+        s"rows=${spark.table("probe_timeout").count()}")
+      if (bid >= 0 && !sentBatch2) {
+        // batch 1 done: S2 goes idle; S1 gets one more kill after the
+        // 2s timeout has lapsed, so the same batch that folds S1 also
+        // fires S2's timer (state removed, no bogus row emitted).
+        Thread.sleep(2500)
+        mem.addData(Event("Alice", "S1", "kill", 20L, 0L, 2L))
+        sentBatch2 = true
+      }
+    }
+    println("[probe] final table (expect: S1 rows with kills=1 then kills=2; S2 only the batch-1 row):")
+    spark.table("probe_timeout").orderBy("steamId", "second").show(false)
+    q.stop()
     spark.stop()
   }
 }

@@ -33,7 +33,11 @@ object SparkEntry {
     // events.parquet carries nanosecond timestamps, which the Spark parquet
     // reader rejects by default; read them as raw long nanos.
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
+    catch {
+      // only possible failure: the conf is non-modifiable in this deployment,
+      // in which case the session builder must have set it already
+      case _: org.apache.spark.sql.AnalysisException => ()
+    }
     s.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -413,21 +417,42 @@ object SparkEntry {
     ("q19_stream_stats", (s, dir) => {
       import s.implicits._
       val game = gameEvents(T(s, dir, "events"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
-      game.coalesce(1).write.mode("overwrite").parquet(tmp) // 1 file ⇒ 1 micro-batch
-      val stream = s.readStream.schema(game.schema).parquet(tmp).as[Event]
-      val qname = "graft_stream_stats_" + math.abs(tmp.hashCode)
-      val q = PlayerStatsEngine.statefulPlayerStats(stream)
-        .writeStream.outputMode("update").format("memory").queryName(qname)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val out = s.table(qname)
-      // keep each key's last emitted (cumulative-complete) row — robust even
-      // if the source were split into several micro-batches
-      val w = Window.partitionBy(col("steamId"))
-        .orderBy(col("second").desc,
-          (col("kills") + col("deaths") + col("assists") + col("damage")).desc)
-      out.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      // The file-stream source needs a DIRECTORY: stage the derived events as
+      // one parquet file (1 file ⇒ 1 AvailableNow micro-batch), then tear
+      // everything down — temp dir and memory-sink view — once the result is
+      // materialized.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+      val qname = "graft_stream_stats"
+      // State-store count == shuffle partitions at query start; 8 stores is
+      // plenty for this key space and far less per-store setup than 32.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val (schema, rows) =
+        try {
+          game.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val stream = s.readStream.schema(game.schema).parquet(tmp.toString).as[Event]
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val q = PlayerStatsEngine.statefulPlayerStats(stream)
+            .writeStream.outputMode("update").format("memory").queryName(qname)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val out = s.table(qname)
+          // keep each key's last emitted (cumulative-complete) row — robust
+          // even if the source were split into several micro-batches
+          val w = Window.partitionBy(col("steamId"))
+            .orderBy(col("second").desc,
+              (col("kills") + col("deaths") + col("assists") + col("damage")).desc)
+          val res = out.withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1).drop("rn")
+          (res.schema, res.collect())
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          s.catalog.dropTempView(qname) // the memory sink's backing view
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy(col("steamId"))
     }, Some("""
       WITH ev AS (
@@ -532,8 +557,7 @@ object SparkEntry {
       ORDER BY id_a, id_b""")),
 
     ("q24_simhash", (s, dir) => {
-      T(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash("text").as("simhash"))
+      Dedup.simhashTable(T(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }, Some("""
       SELECT doc_id,

@@ -29,9 +29,20 @@ final case class PlayerState(
     damage: Long,
     lastName: String
 ) {
+  /** Fold one event into the state. The kept name is the MAXIMUM non-blank
+    * name seen so far — order-insensitive, so the streaming fold and the
+    * batch twin's `max(when(trim(player) <> '', player))` agree exactly
+    * regardless of batch boundaries or partition order. Blank means
+    * whitespace-only, matching the reference's `StringUtils.isBlank`
+    * (PlayerStatsUpdater.java:31,41); blank names are never stored, so the
+    * emitted name for a never-named key stays `""` like the reference's.
+    * (Comparison is Java lexicographic — identical to Spark's binary string
+    * ordering for the ASCII names this pipeline carries.) */
   def fold(e: Event): PlayerState = {
-    val named = if (lastName.nonEmpty || e.player.isEmpty) this
-                else copy(lastName = e.player)
+    val named =
+      if (e.player.trim.isEmpty) this
+      else if (lastName.trim.isEmpty || e.player > lastName) copy(lastName = e.player)
+      else this
     e.eventType match {
       case "kill"   => named.copy(kills = kills + 1)
       case "death"  => named.copy(deaths = deaths + 1)

@@ -1,8 +1,8 @@
 package graft.core.stats
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.core.{Event, PlayerState, PlayerStatsRow}
 
@@ -18,20 +18,29 @@ import graft.core.{Event, PlayerState, PlayerStatsRow}
   *  - kd: deaths==0 ⇒ kills (PlayerStatsUpdater.java:34-36);
   *  - damagePerRound: unguarded double division (:37);
   *  - `GroupStateTimeout.NoTimeout` ⇒ state never expires (the reference's
-  *    3-arg Java overload). For the 100 TB story pass a real timeout via
-  *    `timeout` — per-key state is 4 longs + a name, so even 10^9 keys is
-  *    ~50 GB spread over the cluster's state stores, but unbounded key spaces
-  *    should expire idle keys.
+  *    3-arg Java overload).
   *
-  * One deliberate improvement over the reference (SURVEY.md §7.4.3): the
-  * player name kept in state is the LAST KNOWN non-blank name, so output is
-  * deterministic; the reference picks the first non-blank name in iterator
-  * order per batch (nondeterministic across partitions) and patches blanks at
-  * the sink via driver-side point lookups.
+  * Two deliberate improvements over the reference:
+  *
+  *  1. The name kept in state is the MAXIMUM non-blank name seen, so output
+  *     is deterministic and exactly equals the batch twin's
+  *     `max(when(trim(player) <> '', player))` — the reference picks the
+  *     first non-blank name in iterator order per batch (nondeterministic
+  *     across partitions) and patches blanks at the sink via driver-side
+  *     point lookups (SURVEY.md §7.4.3).
+  *  2. Optional REAL state expiry for unbounded key spaces (the 100 TB
+  *     story): pass `ProcessingTimeTimeout`/`EventTimeTimeout` plus
+  *     `timeoutMs` and idle keys are dropped from the state store — the
+  *     timed-out branch removes state and emits nothing (this path uses
+  *     `flatMapGroupsWithState`, since a timed-out key has no events to
+  *     build a meaningful row from). Per-key state is 4 longs + a name, so
+  *     even 10^9 live keys is ~50 GB spread over the cluster's state
+  *     stores, but an unbounded key space still needs expiry to stay
+  *     bounded over time.
   */
 object PlayerStatsEngine {
 
-  def update(
+  private def foldBatch(
       steamId: String,
       events: Iterator[Event],
       state: GroupState[PlayerState]): PlayerStatsRow = {
@@ -56,31 +65,79 @@ object PlayerStatsEngine {
       damagePerRound = PlayerStatsRow.dpr(s.damage, batchRound))
   }
 
+  /** NoTimeout form — the reference's exact shape (one row per key per
+    * batch; `mapGroupsWithState` is only invoked for keys with data). */
+  def update(
+      steamId: String,
+      events: Iterator[Event],
+      state: GroupState[PlayerState]): PlayerStatsRow =
+    foldBatch(steamId, events, state)
+
+  /** Timeout-aware form: a fired timeout removes the key's state and emits
+    * nothing; otherwise fold as usual and re-arm the timer. */
+  private[stats] def updateExpiring(timeout: GroupStateTimeout, timeoutMs: Long)(
+      steamId: String,
+      events: Iterator[Event],
+      state: GroupState[PlayerState]): Iterator[PlayerStatsRow] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val row = foldBatch(steamId, events, state)
+      if (timeout == GroupStateTimeout.EventTimeTimeout)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeoutMs)
+      else
+        state.setTimeoutDuration(timeoutMs)
+      Iterator.single(row)
+    }
+
   /** Streaming (or batch) stateful running stats — use with `update` output
     * mode. Shuffles once on steamId; state lives in the per-partition state
-    * store. */
+    * store.
+    *
+    * @param timeout    NoTimeout reproduces the reference exactly (state
+    *                   never expires). ProcessingTimeTimeout expires keys
+    *                   idle for `timeoutMs` of wall-clock; EventTimeTimeout
+    *                   expires keys `timeoutMs` past the watermark (the
+    *                   input stream must carry `withWatermark` upstream).
+    * @param timeoutMs  idle duration before a key's state is dropped;
+    *                   ignored under NoTimeout.
+    *
+    * Caveat (observed in this environment): once a timeout is armed, every
+    * trigger runs a batch even with no new data (timers must be checked), so
+    * use an explicit processing-time trigger — under the default
+    * as-fast-as-possible trigger the query busy-loops empty batches and
+    * `processAllAvailable()` may never see a quiet moment to return.
+    */
   def statefulPlayerStats(
       events: Dataset[Event],
-      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[PlayerStatsRow] = {
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      timeoutMs: Long = 30 * 60 * 1000L): Dataset[PlayerStatsRow] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .groupByKey(_.steamId)
-      .mapGroupsWithState[PlayerState, PlayerStatsRow](timeout)(update)
+    if (timeout == GroupStateTimeout.NoTimeout)
+      events
+        .groupByKey(_.steamId)
+        .mapGroupsWithState[PlayerState, PlayerStatsRow](timeout)(update)
+    else
+      events
+        .groupByKey(_.steamId)
+        .flatMapGroupsWithState[PlayerState, PlayerStatsRow](
+          OutputMode.Update(), timeout)(updateExpiring(timeout, timeoutMs))
   }
 
   /** Pure-relational batch twin of the stateful fold: processing ALL events as
-    * one batch yields exactly the stateful operator's final state (counters are
-    * order-insensitive; `second`/`round` maxima coincide with the global max
-    * when there is a single batch). Fully Catalyst-visible: partial (map-side)
-    * aggregation + single shuffle, no per-row JVM objects — this is the shape
-    * that scales to 100 TB.
+    * one batch yields exactly the stateful operator's final state (counters
+    * and the max-name pick are order-insensitive; `second`/`round` maxima
+    * coincide with the global max when there is a single batch). Fully
+    * Catalyst-visible: partial (map-side) aggregation + single shuffle, no
+    * per-row JVM objects — this is the shape that scales to 100 TB.
     */
   def batchPlayerStats(events: DataFrame): DataFrame = {
     val agged = events
       .groupBy(col("steamId"))
       .agg(
-        max(when(col("player") =!= "", col("player"))).as("playerName0"),
+        max(when(trim(col("player")) =!= "", col("player"))).as("playerName0"),
         max(col("second")).as("second"),
         count(when(col("eventType") === "kill", 1)).as("kills"),
         count(when(col("eventType") === "death", 1)).as("deaths"),

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import TextAnalysis.{hash48Sql, stopwords}
+import TextAnalysis.hash48
 
 /** Deduplication operators for training-data pipelines, each designed for the
   * 100 TB path:
@@ -13,12 +13,24 @@ import TextAnalysis.{hash48Sql, stopwords}
   *  - MinHash+LSH: shingle → k permuted min-hashes → band buckets → bucket
   *             equi-join. The join key (band, signature) replaces the O(n²)
   *             pair space with near-linear bucket joins; per-doc state is a
-  *             fixed 16-long signature regardless of document size.
+  *             fixed numPerm-long signature regardless of document size.
   *  - SimHash: 48-bit signature per doc, near-dups = small hamming distance;
   *             banding the bits gives the same bucket-join scale path.
-  *  - n-gram Jaccard: exact verification of candidate pairs (run AFTER
-  *             LSH blocking at scale; the all-pairs form here is for small
-  *             blocked groups).
+  *  - n-gram Jaccard: EXACT pair similarity via an inverted index — explode
+  *             distinct shingles, equi-join on (block, shingle), count shared
+  *             shingles per pair. Work is Σ_shingle c(s)² (c = docs containing
+  *             the shingle), near-linear on real corpora, instead of the
+  *             all-pairs O(n²·|shingles|) a naive self-join pays. Hot-shingle
+  *             skew is AQE-skew-join territory (or pre-drop shingles with
+  *             document frequency above a cap — stopword shingles carry no
+  *             dedup signal anyway).
+  *
+  * Cost discipline: signature math is explode + codegen'd groupBy aggregates,
+  * NOT nested higher-order-function lambdas. HOF expressions are interpreted
+  * (CodegenFallback) and re-evaluate their subtrees per (element × probe) —
+  * the round-1 shape paid 16×/48× repeated md5 passes plus per-element
+  * interpretation. The explode form hashes each shingle/word exactly once in
+  * codegen, partial-aggregates map-side, and shuffles only (id, k longs).
   *
   * All signature math is deterministic, expression-only, and mirrored 1:1 in
   * the DuckDB oracle SQL (SparkEntry.oracleSql).
@@ -31,35 +43,38 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** 3-word shingles (1-based element_at to mirror DuckDB list indexing);
-    * documents shorter than 3 words fall back to the whole text as a single
-    * shingle (Spark's `sequence(1,0)` would DESCEND, DuckDB's would be empty —
-    * both sides guard explicitly). */
-  def shingleSql(textExpr: String): String =
-    s"""CASE WHEN size(split($textExpr, ' ')) >= 3
-       |  THEN transform(sequence(1, size(split($textExpr, ' ')) - 2),
-       |       i -> concat_ws(' ', element_at(split($textExpr, ' '), i),
-       |                           element_at(split($textExpr, ' '), i + 1),
-       |                           element_at(split($textExpr, ' '), i + 2)))
-       |  ELSE array($textExpr) END""".stripMargin
+  /** 3-word shingles from a pre-split word array (1-based element_at to
+    * mirror DuckDB list indexing); documents shorter than 3 words fall back
+    * to the whole text as a single shingle (Spark's `sequence(1,0)` would
+    * DESCEND, DuckDB's would be empty — both sides guard explicitly). */
+  def shingles(text: Column, words: Column): Column =
+    when(size(words) >= 3,
+      transform(sequence(lit(1), size(words) - 2), i =>
+        concat_ws(" ",
+          element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
+      .otherwise(array(text))
 
   val MinhashPrime = 2147483647L // 2^31 - 1; (a*h48 + b) stays < 2^63
 
-  /** MinHash signature columns mh_0..mh_{numPerm-1} for a text column.
-    * Permutation p: h ↦ (a_p·h + b_p) mod P with a_p = 2p+1, b_p = 10007p+1. */
-  def minhashCols(textExpr: String, numPerm: Int): Seq[Column] = {
-    val hashes = s"transform(__shingles, s -> ${hash48Sql("s")})"
-    (0 until numPerm).map { p =>
-      val a = 2L * p + 1
-      val b = 10007L * p + 1
-      expr(s"array_min(transform($hashes, h -> ($a * h + $b) % $MinhashPrime))").as(s"mh_$p")
-    }
-  }
+  /** Permutation p of a 48-bit hash: h ↦ (a_p·h + b_p) mod P with
+    * a_p = 2p+1, b_p = 10007p+1. */
+  private def permute(h: Column, p: Int): Column =
+    (lit(2L * p + 1) * h + lit(10007L * p + 1)) % lit(MinhashPrime)
 
-  /** Doc → MinHash signature (numPerm minhashes). */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, numPerm: Int = 16): DataFrame =
-    df.withColumn("__shingles", expr(shingleSql(textCol)))
-      .select(col(idCol) +: minhashCols(textCol, numPerm): _*)
+  /** Doc → MinHash signature (numPerm minhashes), as explode + groupBy-min:
+    * one md5 per (doc, shingle), then numPerm codegen'd `min` aggregates over
+    * the permuted hashes. Catalyst's interpreted higher-order-function
+    * lambdas never touch the hot path, the partial mins combine map-side, and
+    * the single shuffle carries only (id, numPerm longs) — the shape that
+    * holds at 100 TB. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, numPerm: Int = 16): DataFrame = {
+    val exploded = df
+      .withColumn("__words", split(col(textCol), " "))
+      .select(col(idCol), explode(shingles(col(textCol), col("__words"))).as("__s"))
+      .select(col(idCol), hash48(col("__s")).as("__h"))
+    val aggs = (0 until numPerm).map(p => min(permute(col("__h"), p)).as(s"mh_$p"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH candidate pairs: split the signature into `bands` bands of
     * numPerm/bands rows, bucket-join docs sharing any band signature.
@@ -67,6 +82,8 @@ object Dedup {
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 16, bands: Int = 4): DataFrame = {
+    require(numPerm % bands == 0,
+      s"numPerm ($numPerm) must be divisible by bands ($bands) — anything else silently truncates the signature")
     val rows = numPerm / bands
     val sigs = minhashSignatures(df, idCol, textCol, numPerm)
     val bandCols = (0 until bands).map { b =>
@@ -84,39 +101,61 @@ object Dedup {
       .distinct()
   }
 
-  /** 48-bit SimHash over the word bag: bit b is set iff
-    * Σ_words (±1 by word-hash bit b) > 0. Pure nested higher-order
-    * expressions — no UDF, no shuffle. */
-  def simhash(textExpr: String, bits: Int = 48): Column = {
-    val wordHashes = s"transform(split($textExpr, ' '), w -> ${hash48Sql("w")})"
-    expr(
-      s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, b) ->
-         |  acc + CASE WHEN aggregate($wordHashes, CAST(0 AS BIGINT),
-         |                  (s, h) -> s + (2 * (shiftright(h, b) & 1) - 1)) > 0
-         |             THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)
-         |""".stripMargin)
+  /** Doc → (id, 48-bit SimHash): bit b is set iff Σ_words (±1 by word-hash
+    * bit b) > 0. Explode + groupBy-sum: one md5 per (doc, word), then `bits`
+    * codegen'd sums of (2·bit−1) — partial sums combine map-side, the shuffle
+    * carries (id, bits longs), and no interpreted lambda runs per element. */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String, bits: Int = 48): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .select(col(idCol), hash48(col("__w")).as("__h"))
+    val aggs = (0 until bits).map { b =>
+      sum(shiftright(col("__h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"__b$b")
+    }
+    val counts = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sim = (0 until bits)
+      .map(b => when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    counts.select(col(idCol), sim.cast("long").as("simhash"))
   }
 
-  /** Exact pairwise n-gram Jaccard similarity within blocking groups.
-    * `blockCols` bound the pair space (at scale: feed LSH candidates instead). */
+  /** Exact pairwise n-gram Jaccard similarity within blocking groups, via an
+    * inverted index: explode each doc's DISTINCT shingles, equi-join postings
+    * on (blockCols, shingle), and count shared shingles per (id_a, id_b).
+    * Pairs sharing no shingle never materialize (their Jaccard is 0 — below
+    * any positive threshold by construction). Doc sizes ride along with the
+    * postings, so no extra join is needed to assemble |A ∪ B|. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], minJaccard: Double): DataFrame = {
-    val withShingles = df.select(
-      (col(idCol) +: blockCols.map(col)) :+
-        array_distinct(expr(shingleSql(textCol))).as("sh"): _*)
-    val a = withShingles.as("a")
-    val b = withShingles.as("b")
-    val joinCond = blockCols
-      .map(c => col(s"a.$c") === col(s"b.$c"))
-      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
-    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
-    val uni = (size(col("a.sh")) + size(col("b.sh"))).cast("long") - inter
-    a.join(b, joinCond)
+    require(minJaccard > 0.0, "minJaccard must be positive: zero-overlap pairs are never generated")
+    // Per-doc DISTINCT shingles via explode + relational distinct — a
+    // codegen'd hash aggregate. (array_distinct on a string array is an
+    // interpreted O(|sh|²) per-row loop — measurably the dominant cost of the
+    // naive shape.) The per-doc shingle count |A| rides along via a window
+    // count over the already-distinct postings.
+    val exploded = df
+      .withColumn("__words", split(col(textCol), " "))
       .select(
-        col(s"a.$idCol").as("id_a"),
-        col(s"b.$idCol").as("id_b"),
-        (inter.cast("double") / uni).as("jaccard"))
+        (col(idCol).as("__id") +: blockCols.map(col)) :+
+          explode(shingles(col(textCol), col("__words"))).as("__s"): _*)
+      .distinct()
+    val postings = exploded.withColumn(
+      "__n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))))
+    val a = postings.as("a")
+    val b = postings.as("b")
+    val joinCond = (blockCols.map(c => col(s"a.$c") === col(s"b.$c")) ++
+      Seq(col("a.__s") === col("b.__s"), col("a.__id") < col("b.__id"))).reduce(_ && _)
+    val inter = a.join(b, joinCond)
+      .groupBy(
+        col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__n").as("na"), col("b.__n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .select(
+        col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 }
