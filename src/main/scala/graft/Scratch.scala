@@ -1,57 +1,45 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+import org.apache.spark.sql.functions._
 
-import graft.core.Event
-import graft.core.stats.PlayerStatsEngine
-
-/** Temporary probe main (removed before final round): drive the
-  * timeout-enabled stateful path through the public API with a real
-  * MemoryStream; print per-second progress to diagnose batch latency. */
+/** Temporary probe main (removed before final round): native cosine
+  * expression vs composable HOF reference — bit-identical check + timing. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
 
-    val mem = MemoryStream[Event]
-    val stats = PlayerStatsEngine.statefulPlayerStats(
-      mem.toDS(), GroupStateTimeout.ProcessingTimeTimeout, timeoutMs = 2000L)
-    val q = stats.writeStream.outputMode("update").format("memory")
-      .queryName("probe_timeout")
-      .trigger(Trigger.ProcessingTime("500 milliseconds"))
-      .start()
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(emb.where(col("vec_id") < 20).select(col("vec_id").as("ib"), col("embedding").as("vb")))
 
-    mem.addData(
-      Event("Alice", "S1", "kill", 10L, 0L, 1L),
-      Event("", "S1", "damage", 11L, 40L, 1L),
-      Event("Bob", "S2", "death", 12L, 0L, 1L))
-    var sentBatch2 = false
-    (1 to 30).foreach { i =>
-      Thread.sleep(1000)
-      val p = q.lastProgress
-      val bid = if (p == null) -1L else p.batchId
-      println(s"[probe] t=${i}s batchId=$bid active=${q.isActive} " +
-        s"rows=${spark.table("probe_timeout").count()}")
-      if (bid >= 0 && !sentBatch2) {
-        // batch 1 done: S2 goes idle; S1 gets one more kill after the
-        // 2s timeout has lapsed, so the same batch that folds S1 also
-        // fires S2's timer (state removed, no bogus row emitted).
-        Thread.sleep(2500)
-        mem.addData(Event("Alice", "S1", "kill", 20L, 0L, 2L))
-        sentBatch2 = true
-      }
+    val native = graft.ext.Similarity.cosine(col("va"), col("vb"))
+    val hof = graft.ext.Similarity.cosineComposable(col("va"), col("vb"))
+    val diff = pairs.select(native.as("n"), hof.as("h"))
+      .where(col("n") =!= col("h") ||
+        (isnan(col("n")) && !isnan(col("h"))) || (!isnan(col("n")) && isnan(col("h"))))
+      .count()
+    println(s"[probe] bit-mismatch count (expect 0): $diff")
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[probe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    println("[probe] final table (expect: S1 rows with kills=1 then kills=2; S2 only the batch-1 row):")
-    spark.table("probe_timeout").orderBy("steamId", "second").show(false)
-    q.stop()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    time("native cosine warm")(noop(pairs.select(native.as("c"))))
+    time("native cosine")(noop(pairs.select(native.as("c"))))
+    time("hof cosine warm")(noop(pairs.select(hof.as("c"))))
+    time("hof cosine")(noop(pairs.select(hof.as("c"))))
+
+    pairs.select(native.as("c")).explain("formatted")
     spark.stop()
   }
 }

@@ -19,10 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine(a, b) as a native expression fold (no UDF): Σaᵢbᵢ/(√Σaᵢ²·√Σbᵢ²).
-    * Elements are cast to double BEFORE multiplying so both engines do the
-    * identical IEEE ops. */
-  def cosine(a: Column, b: Column): Column = {
+  /** cosine(a, b) = Σaᵢbᵢ/(√Σaᵢ²·√Σbᵢ²): the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression — a tight primitive
+    * loop inside whole-stage codegen. Elements are cast to double BEFORE
+    * multiplying and accumulated strictly left-to-right, so results are
+    * bit-identical to the DuckDB oracle's ordered list folds (and to
+    * [[cosineComposable]]). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
+
+  /** The same cosine as a composition of built-in higher-order functions —
+    * kept as the pure-builtin reference implementation (tests assert the
+    * native expression matches it bit-for-bit). HOF lambdas run interpreted,
+    * so prefer [[cosine]] on any hot path. */
+  def cosineComposable(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
     val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)

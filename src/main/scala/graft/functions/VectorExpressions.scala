@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for embedding-vector math.
+  *
+  * The composable form (`zip_with` + `aggregate` folds) is semantically
+  * identical but runs as interpreted higher-order-function lambdas —
+  * per-element expression-tree evaluation, measured 10-50× slower at scale.
+  * These are proper codegen'd expressions: a tight primitive loop over
+  * `ArrayData`, participating in whole-stage codegen, with an interpreted
+  * `nullSafeEval` fallback that performs the exact same IEEE operation
+  * sequence (strict left-to-right accumulation), so results are bit-identical
+  * between modes and with the DuckDB oracle's ordered `list_sum` folds.
+  */
+
+/** cosine(a, b) = Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²) over two `array<double>` columns.
+  * The dot product runs over the common prefix; each norm runs over its full
+  * array (mirroring the independent per-array folds of the composable form).
+  * Array elements must be non-null (embedding vectors); a null ARRAY yields
+  * null via the standard null-intolerant contract. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)) ||
+        Seq(left, right).forall(_.dataType == ArrayType(DoubleType, containsNull = false)))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val n = math.min(nx, ny)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    i = n
+    while (i < nx) { val xi = x.getDouble(i); na += xi * xi; i += 1 }
+    i = n
+    while (i < ny) { val yi = y.getDouble(i); nb += yi * yi; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |final int $nx = $a.numElements();
+         |final int $ny = $b.numElements();
+         |final int $n = java.lang.Math.min($nx, $ny);
+         |double $dot = 0.0;
+         |double $na = 0.0;
+         |double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xi = $a.getDouble($i);
+         |  final double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi;
+         |  $na += $xi * $xi;
+         |  $nb += $yi * $yi;
+         |}
+         |for (int $i = $n; $i < $nx; $i++) {
+         |  final double $xi = $a.getDouble($i);
+         |  $na += $xi * $xi;
+         |}
+         |for (int $i = $n; $i < $ny; $i++) {
+         |  final double $yi = $b.getDouble($i);
+         |  $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot(a, b) = Σaᵢbᵢ over the common prefix of two `array<double>` columns. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)) ||
+        Seq(left, right).forall(_.dataType == ArrayType(DoubleType, containsNull = false)))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level entry points for the native vector expressions. */
+object VectorFunctions {
+  import org.apache.spark.sql.GraftColumnBridge
+
+  private def toDoubleArray(c: Column): Expression =
+    GraftColumnBridge.expression(c.cast("array<double>"))
+
+  /** Codegen'd cosine similarity; accepts array<float> or array<double>. */
+  def cosineSim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSimilarity(toDoubleArray(a), toDoubleArray(b)))
+
+  /** Codegen'd dot product; accepts array<float> or array<double>. */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(toDoubleArray(a), toDoubleArray(b)))
+}
