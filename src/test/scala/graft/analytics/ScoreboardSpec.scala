@@ -1,0 +1,51 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.enrich.Enrich
+
+class ScoreboardSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("latestPerGroup keeps exactly the first row per key by the given order") {
+    val df = Seq(
+      ("a", 1L, "x"), ("a", 3L, "y"), ("a", 2L, "z"),
+      ("b", 7L, "p")).toDF("k", "t", "v")
+    val out = Scoreboard.latestPerGroup(df, Seq("k"), Seq(col("t").desc))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    out.toSeq shouldBe Seq(("a", 3L, "y"), ("b", 7L, "p"))
+  }
+
+  test("locf carries the last non-null value forward, default before first") {
+    val grid = Seq(
+      ("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, Some(30.0)), ("a", 4, None),
+      ("b", 1, None), ("b", 2, Some(5.0))
+    ).toDF("k", "t", "v")
+    val out = Scoreboard.locf(grid, Seq("k"), "t", "v", lit(0.0))
+      .orderBy("k", "t").collect().map(_.getDouble(2)).toSeq
+    out shouldBe Seq(10.0, 10.0, 30.0, 30.0, 0.0, 5.0)
+  }
+
+  test("pivotMatrix produces one column per pivot value, zero-filled") {
+    val df = Seq((1, "x"), (1, "x"), (1, "y"), (2, "y")).toDF("k", "p")
+    val out = Scoreboard.pivotMatrix(df, "k", "p", Seq("x", "y", "z"), count(lit(1)))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq((1, 2L, 1L, 0L), (2, 0L, 1L, 0L))
+  }
+
+  test("denseGrid is distinct(axis) × dim") {
+    val facts = Seq((1, "i"), (1, "j"), (2, "k")).toDF("t", "junk")
+    val dim = Seq("p1", "p2").toDF("player")
+    Scoreboard.denseGrid(facts, "t", dim).count() shouldBe 4L
+  }
+
+  test("backfillName fills blank and whitespace names from the dimension, keeps others") {
+    val facts = Seq(("S1", ""), ("S2", "  "), ("S3", "Keep"), ("S4", "")).toDF("steamId", "playerName")
+    val dim = Seq(("S1", "Ada"), ("S2", "Bo")).toDF("steamId", "name")
+    val out = Enrich.backfillName(facts, dim)
+      .orderBy("steamId").collect().map(_.getAs[String]("playerName")).toSeq
+    // S4 has no dimension row: name stays blank (reference leaves it empty too)
+    out shouldBe Seq("Ada", "Bo", "Keep", "")
+  }
+}

@@ -1,0 +1,134 @@
+package graft.core.stats
+
+import scala.util.Random
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+import graft.SparkTestBase
+import graft.core.{Event, PlayerState, PlayerStatsRow}
+
+class PlayerStatsEngineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(
+      player: String, steamId: String, typ: String,
+      second: Long = 0L, amount: Long = 0L, round: Long = 1L): Event =
+    Event(player, steamId, typ, second, amount, round)
+
+  // ------------------------------------------------------------ pure fold
+
+  test("fold counts each event type and accumulates damage") {
+    val s = Seq(
+      ev("A", "S1", "kill"), ev("A", "S1", "kill"), ev("A", "S1", "death"),
+      ev("A", "S1", "assist"), ev("", "S1", "damage", amount = 40),
+      ev("", "S1", "damage", amount = 2)
+    ).foldLeft(PlayerState.empty)(_.fold(_))
+    (s.kills, s.deaths, s.assists, s.damage) shouldBe ((2L, 1L, 1L, 42L))
+  }
+
+  test("fold keeps the MAX non-blank name — order-insensitive") {
+    val events = Seq(
+      ev("Bob", "S1", "kill"), ev("", "S1", "damage", amount = 1),
+      ev("Zed", "S1", "kill"), ev("Amy", "S1", "kill"), ev("  ", "S1", "kill"))
+    val perms = Seq(events, events.reverse, Random.shuffle(events))
+    val names = perms.map(_.foldLeft(PlayerState.empty)(_.fold(_)).lastName)
+    names.distinct shouldBe Seq("Zed")
+  }
+
+  test("whitespace-only names are blank (isBlank semantics) and never stored") {
+    val s = Seq(ev("  ", "S1", "kill"), ev("", "S1", "death"))
+      .foldLeft(PlayerState.empty)(_.fold(_))
+    s.lastName shouldBe ""
+  }
+
+  test("kd rule: deaths==0 yields kills, not infinity") {
+    PlayerStatsRow.kd(3, 0) shouldBe 3.0
+    PlayerStatsRow.kd(3, 2) shouldBe 1.5
+    PlayerStatsRow.kd(0, 0) shouldBe 0.0
+  }
+
+  test("dpr rule: unguarded Java division (round 0 => Inf/NaN, faithfully)") {
+    PlayerStatsRow.dpr(10, 4) shouldBe 2.5
+    PlayerStatsRow.dpr(10, 0).isPosInfinity shouldBe true
+    PlayerStatsRow.dpr(0, 0).isNaN shouldBe true
+  }
+
+  // -------------------------------------------- update fn via TestGroupState
+
+  test("update emits cumulative counters with batch-scoped second/round") {
+    val st = TestGroupState.create[PlayerState](
+      Optional.of(PlayerState(5, 2, 1, 100, "Ada")),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty[Long], hasTimedOut = false)
+    val row = PlayerStatsEngine.update(
+      "S1",
+      Iterator(ev("Ada", "S1", "kill", second = 30, round = 4),
+        ev("", "S1", "damage", second = 31, amount = 50, round = 5)),
+      st)
+    row.kills shouldBe 6L
+    row.damage shouldBe 150L
+    row.second shouldBe 31L          // max of THIS batch only
+    row.damagePerRound shouldBe 30.0 // 150 / 5 (batch-scoped round)
+    row.kdRatio shouldBe 3.0
+    st.get.kills shouldBe 6L
+  }
+
+  test("timed-out key removes state and emits nothing") {
+    val st = TestGroupState.create[PlayerState](
+      Optional.of(PlayerState(5, 2, 1, 100, "Ada")),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L, Optional.empty[Long], hasTimedOut = true)
+    val out = PlayerStatsEngine.updateExpiring(
+      GroupStateTimeout.ProcessingTimeTimeout, 60000L)("S1", Iterator.empty, st)
+    out shouldBe empty
+    st.isRemoved shouldBe true
+  }
+
+  test("non-timed-out call re-arms the processing-time timer") {
+    val st = TestGroupState.create[PlayerState](
+      Optional.empty[PlayerState], GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[Long], hasTimedOut = false)
+    val out = PlayerStatsEngine.updateExpiring(
+      GroupStateTimeout.ProcessingTimeTimeout, 60000L)(
+      "S1", Iterator(ev("Ada", "S1", "kill")), st)
+    out.toSeq should have size 1
+    st.getTimeoutTimestampMs.isPresent() shouldBe true
+  }
+
+  // ------------------------------------ streaming vs batch twin equivalence
+
+  test("streaming final state equals batch twin regardless of batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      ev("Ada", "S1", "kill", second = 1, round = 1),
+      ev("", "S2", "damage", second = 2, amount = 30, round = 1))
+    val batch2 = Seq(
+      ev("Ada", "S1", "death", second = 60, round = 2),
+      ev("Bo", "S2", "kill", second = 61, round = 2),
+      ev("", "S1", "damage", second = 62, amount = 7, round = 2))
+
+    val mem = MemoryStream[Event]
+    val q = PlayerStatsEngine.statefulPlayerStats(mem.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("stats_spec").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+
+      // last emitted row per key == batch twin over the concatenated events
+      val streamed = spark.table("stats_spec")
+        .as[PlayerStatsRow].collect()
+        .groupBy(_.steamId).map { case (_, rows) => rows.maxBy(_.second) }
+        .toSeq.sortBy(_.steamId)
+      val twin = PlayerStatsEngine
+        .batchPlayerStats((batch1 ++ batch2).toDF())
+        .as[PlayerStatsRow].collect().toSeq.sortBy(_.steamId)
+      streamed shouldBe twin
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("stats_spec")
+    }
+  }
+}

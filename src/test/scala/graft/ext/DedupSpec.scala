@@ -1,0 +1,107 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** JVM-side replica of the engine's 48-bit hash (first 12 hex digits of
+    * md5, as a long) — lets the specs compute expected signatures exactly. */
+  private def h48(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private def shingles(text: String): Seq[String] = {
+    val w = text.split(" ", -1)
+    if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq else Seq(text)
+  }
+
+  test("exactDupGroups: one keeper (min id) per distinct key, with cardinality") {
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactDupGroups(docs, "doc_id", md5(col("text").cast("binary")))
+      .orderBy("keep_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    out shouldBe Seq((1L, 2L), (3L, 1L))
+  }
+
+  test("minhashSignatures match a JVM-side replica of the permuted-min math") {
+    val text = "the quick brown fox jumps"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val row = Dedup.minhashSignatures(docs, "doc_id", "text", numPerm = 4).collect().head
+    val hs = shingles(text).map(h48)
+    (0 until 4).foreach { p =>
+      val expected = hs.map(h => ((2L * p + 1) * h + (10007L * p + 1)) % Dedup.MinhashPrime).min
+      row.getLong(row.fieldIndex(s"mh_$p")) shouldBe expected
+    }
+  }
+
+  test("short documents (<3 words) fall back to whole-text shingle") {
+    val docs = Seq((1L, "two words")).toDF("doc_id", "text")
+    val row = Dedup.minhashSignatures(docs, "doc_id", "text", numPerm = 1).collect().head
+    row.getLong(1) shouldBe (h48("two words") + 1L) % Dedup.MinhashPrime
+  }
+
+  test("minhashCandidatePairs surfaces near-duplicates, skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val nearDup = base + " lambda" // shares most shingles
+    val unrelated = "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((2L, 3L))
+  }
+
+  test("minhashCandidatePairs rejects numPerm not divisible by bands") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text", numPerm = 10, bands = 4)
+  }
+
+  test("simhashTable matches a JVM-side bit-vote replica") {
+    val text = "the quick brown fox"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Dedup.simhashTable(docs, "doc_id", "text").collect().head.getLong(1)
+    val hs = text.split(" ", -1).map(h48)
+    val expected = (0 until 48).map { b =>
+      val vote = hs.map(h => 2 * ((h >> b) & 1) - 1).sum
+      if (vote > 0) 1L << b else 0L
+    }.sum
+    got shouldBe expected
+  }
+
+  test("identical texts share a simhash; a changed word flips few bits") {
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val b = "the quick brown fox leaps over the lazy dog today"
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val m = Dedup.simhashTable(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m(1L) shouldBe m(2L)
+    java.lang.Long.bitCount(m(1L) ^ m(3L)) should be <= 24
+  }
+
+  test("ngramJaccardPairs computes exact jaccard over distinct shingles") {
+    // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} -> inter 1, union 3
+    val docs = Seq(
+      (1L, "a b c d", "en"), (2L, "a b c e", "en"), (3L, "x y z w", "en"),
+      (4L, "a b c d", "de") // same text, different block: never paired with 1
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.01)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    out shouldBe Seq((1L, 2L, 1.0 / 3.0))
+  }
+
+  test("ngramJaccardPairs applies the threshold") {
+    val docs = Seq((1L, "a b c d", "en"), (2L, "a b c e", "en")).toDF("doc_id", "text", "lang")
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.5).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.0)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val eps = 1e-12
+
+  test("native cosine matches hand-computed values") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),        // orthogonal
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f), 1.0),        // parallel
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0),      // opposite
+      (Array(3.0f, 4.0f), Array(4.0f, 3.0f), 24.0 / 25.0) // 24/(5*5)
+    ).toDF("a", "b", "expected")
+    val rows = df.select(
+      Similarity.cosine(col("a"), col("b")).as("got"), col("expected")).collect()
+    rows.foreach(r => r.getDouble(0) shouldBe (r.getDouble(1) +- eps))
+  }
+
+  test("native cosine is bit-identical to the composable HOF form") {
+    val vecs = (1 to 50).map(i => (i.toLong, Array.tabulate(16)(j => ((i * 31 + j * 7) % 13 - 6).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val pairs = df.select(col("id").as("ia"), col("v").as("va"))
+      .crossJoin(df.select(col("id").as("ib"), col("v").as("vb")))
+    val diff = pairs.select(
+      Similarity.cosine(col("va"), col("vb")).as("n"),
+      Similarity.cosineComposable(col("va"), col("vb")).as("h"))
+      .where(col("n") =!= col("h") &&
+        !(isnan(col("n")) && isnan(col("h")))).count()
+    diff shouldBe 0L
+  }
+
+  test("bruteForceTopK returns k best neighbors, excluding self, ranked") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("id", "v")
+    val out = Similarity.bruteForceTopK(df.where(col("id") === 1), df, "id", "id", "v", 2)
+      .orderBy("rank").collect().map(r => (r.getInt(r.fieldIndex("rank")), r.getLong(r.fieldIndex("n_id"))))
+    out.toSeq shouldBe Seq((1, 2L), (2, 3L))
+  }
+
+  test("bucketedTopK only scores same-bucket candidates") {
+    val df = Seq(
+      (1L, Array(1.0f, 1.0f)),   // bucket 3 (both positive)
+      (2L, Array(0.5f, 2.0f)),   // bucket 3
+      (3L, Array(-1.0f, 1.0f))   // bucket 2
+    ).toDF("id", "v")
+    val out = Similarity.bucketedTopK(df.where(col("id") === 1), df, "id", "id", "v", 5, bits = 2)
+      .collect().map(r => r.getLong(r.fieldIndex("n_id"))) // candidates actually scored
+    out.toSeq shouldBe Seq(2L)
+  }
+
+  test("cosineDupPairs finds within-bucket pairs above threshold, id_a < id_b") {
+    val df = Seq(
+      (1L, Array(1.0f, 1.0f)),
+      (2L, Array(1.0f, 0.9f)),  // near-dup of 1, same bucket
+      (3L, Array(-1.0f, -1.0f)) // different bucket entirely
+    ).toDF("id", "v")
+    val out = Similarity.cosineDupPairs(df, "id", "v", threshold = 0.9, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    out shouldBe Seq((1L, 2L))
+  }
+
+  test("native cosine handles length mismatch via common-prefix dot, full norms") {
+    val df = Seq((Array(1.0, 0.0, 3.0), Array(1.0, 0.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect().head.getDouble(0)
+    got shouldBe (1.0 / (math.sqrt(10.0) * 1.0) +- eps)
+  }
+
+  test("zero vector yields NaN (0/0), not an error") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    df.select(Similarity.cosine(col("a"), col("b"))).collect().head.getDouble(0).isNaN shouldBe true
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.PlayerStatsRow
+import graft.core.stats.PlayerStatsEngine
+import graft.ext.Multimodal
+
+/** End-to-end: raw CSV lines → parse → union → stateful stats → memory sink,
+  * plus the control plane and the multimodal plumbing. */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("full pipeline from raw kill+damage lines equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val killLines = MemoryStream[String]
+    val damageLines = MemoryStream[String]
+
+    val stats = Pipeline.playerStats(
+      killLines.toDS().toDF("value"), damageLines.toDS().toDF("value"))
+    val q = stats.writeStream.outputMode("update").format("memory")
+      .queryName("pipeline_spec").start()
+    try {
+      //          0  1tick 2rnd 3killer 4kid 5 6 7victim 8vid 9 10 11assist 12aid
+      killLines.addData(
+        "x,1280,1,Ada,S1,x,x,Bo,S2,x,x,,",
+        "x,1408,1,Bo,S2,x,x,Ada,S1,x,x,0,S3")
+      //            0  1tick 2rnd 3 4 5old 6new 7 8 9damager 10
+      damageLines.addData(
+        "x,1280,1,x,x,100,60,x,x,S1,x",
+        "x,1408,1,x,x,60,0,x,x,S2,x")
+      q.processAllAvailable()
+
+      val streamed = spark.table("pipeline_spec")
+        .as[PlayerStatsRow].collect()
+        .groupBy(_.steamId).map(_._2.maxBy(_.second)).toSeq.sortBy(_.steamId)
+
+      // Ada: 1 kill, 1 death, 40 dmg; Bo: 1 kill, 1 death, 60 dmg
+      streamed.map(r => (r.steamId, r.playerName, r.kills, r.deaths, r.damage)) shouldBe
+        Seq(("S1", "Ada", 1L, 1L, 40L), ("S2", "Bo", 1L, 1L, 60L))
+      streamed.foreach(_.kdRatio shouldBe 1.0)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("pipeline_spec")
+    }
+  }
+
+  test("StreamController start is idempotent, stop reports state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val builds = new AtomicInteger(0)
+    val controller = new StreamController(() => {
+      builds.incrementAndGet()
+      mem.toDS().writeStream.format("noop").start()
+    })
+    controller.status shouldBe "Stopped"
+    controller.start() shouldBe "Started"
+    controller.status shouldBe "Running"
+    controller.start() shouldBe "Already running"
+    builds.get() shouldBe 1
+    controller.stop() shouldBe "Stopped"
+    controller.status shouldBe "Stopped"
+    controller.stop() shouldBe "Not running"
+  }
+
+  test("multimodal: binary payload plumbing and deterministic stub features") {
+    val df = Seq((7L, "abcd")).toDF("id", "payload")
+    val media = Multimodal.asMediaTable(df, "id", "payload", "image/fake")
+    media.schema("payload").dataType.typeName shouldBe "binary"
+    val feats = Multimodal.extractFeatures(media).collect()
+    feats should have size 1
+    val f = feats.head
+    f.id shouldBe 7L
+    f.nBytes shouldBe 4L
+    f.width shouldBe 5   // 1 + 4 % 64
+    f.height shouldBe 5  // 1 + 4 % 48
+    f.brightness shouldBe ((97 + 98 + 99 + 100) / 4.0)
+  }
+
+  test("multimodal metadata columns are pure expressions over the payload") {
+    val df = Seq(("7", "abcd")).toDF("doc_id", "text")
+    val r = df.select(Multimodal.metadataColumns("text"): _*).collect().head
+    r.getLong(r.fieldIndex("n_bytes")) shouldBe 4L
+    r.getString(r.fieldIndex("head_hex")) shouldBe "61626364"
+    r.getLong(r.fieldIndex("first_byte")) shouldBe 97L
+  }
+}
