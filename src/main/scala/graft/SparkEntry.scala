@@ -10,7 +10,7 @@ import graft.core.Event
 import graft.core.parse.GameLogParser
 import graft.core.stats.PlayerStatsEngine
 import graft.core.enrich.Enrich
-import graft.analytics.Scoreboard
+import graft.analytics.{Scoreboard, Sessionize}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract: the operator catalog (SURVEY.md §2) as named queries over
@@ -722,7 +722,140 @@ object SparkEntry {
         CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
         hex(substr(text, 1, 4)::BLOB) AS head_hex,
         CAST(ascii(text) AS BIGINT) AS first_byte
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // ================================================================
+    // §2.9 / queries.sql:30-69 — the reference's FULL pivoted view as one
+    // composite plan: sparse history → dense grid (DISTINCT + CROSS JOIN)
+    // → LEFT JOIN → LOCF window → 10-column pivot → ORDER BY
+    // ================================================================
+
+    ("q33_scoreboard_matrix", (s, dir) => {
+      val ev = T(s, dir, "events")
+      val hist = ev.where(col("event_type") === "purchase")
+        .groupBy(
+          (col("event_id") % 40).as("sec"),
+          (col("user_id") % 10 + 1).as("pid"))
+        .agg(max(dec(col("value"))).cast("double").as("v"))
+      val secs = ev.select((col("event_id") % 40).as("sec")).distinct()
+      val players = s.range(1, 11).select(
+        col("id").as("pid"), concat(lit("p"), col("id")).as("plabel"))
+      val grid = secs.crossJoin(broadcast(players))
+      val joined = grid.join(hist, Seq("sec", "pid"), "left")
+      val filled = Scoreboard.locf(joined, Seq("pid"), "sec", "v", lit(0.0))
+      Scoreboard.pivotMatrix(
+        filled, "sec", "plabel", (1 to 10).map("p" + _), first(col("v")))
+        .orderBy(col("sec"))
+    }, Some("""
+      WITH hist AS (
+        SELECT event_id % 40 AS sec, user_id % 10 + 1 AS pid,
+               CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      secs AS (SELECT DISTINCT event_id % 40 AS sec FROM events),
+      players AS (SELECT unnest(generate_series(1, 10)) AS pid),
+      grid AS (SELECT s.sec, p.pid FROM secs s CROSS JOIN players p),
+      joined AS (
+        SELECT g.sec, g.pid, h.v
+        FROM grid g LEFT JOIN hist h ON h.sec = g.sec AND h.pid = g.pid),
+      filled AS (
+        SELECT sec, pid,
+          COALESCE(last_value(v IGNORE NULLS) OVER (
+            PARTITION BY pid ORDER BY sec
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v
+        FROM joined)
+      SELECT sec,
+        MAX(v) FILTER (WHERE pid = 1) AS p1, MAX(v) FILTER (WHERE pid = 2) AS p2,
+        MAX(v) FILTER (WHERE pid = 3) AS p3, MAX(v) FILTER (WHERE pid = 4) AS p4,
+        MAX(v) FILTER (WHERE pid = 5) AS p5, MAX(v) FILTER (WHERE pid = 6) AS p6,
+        MAX(v) FILTER (WHERE pid = 7) AS p7, MAX(v) FILTER (WHERE pid = 8) AS p8,
+        MAX(v) FILTER (WHERE pid = 9) AS p9, MAX(v) FILTER (WHERE pid = 10) AS p10
+      FROM filled GROUP BY sec ORDER BY sec""")),
+
+    // ================================================================
+    // Streaming-native extension ops, batch-verified: event-time tumbling
+    // window and gap sessionization
+    // ================================================================
+
+    ("q34_event_time_window", (s, dir) => {
+      // ts is nanosecond epoch (read as long); integer-divide to micros so
+      // the hour truncation is exact, then the standard tumbling window.
+      T(s, dir, "events")
+        .select(
+          timestamp_micros(expr("ts div 1000")).as("t"),
+          col("event_type"), dec(col("value")).as("v"))
+        .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }, Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("q35_ivf_ann", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      Similarity.ivfTopK(
+        emb.where(col("vec_id") < 5), emb, centroids,
+        "vec_id", "vec_id", "cid", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cent AS (SELECT vec_id AS cid, vec AS c_vec FROM v WHERE vec_id % 100 = 0),
+      cosd AS (
+        SELECT a.vec_id AS n_id, a.vec AS n_vec, c.cid,
+          list_sum(list_transform(range(1, 65), i -> a.vec[i] * c.c_vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, 65), i -> a.vec[i] * a.vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, 65), i -> c.c_vec[i] * c.c_vec[i])))) AS c_sim
+        FROM v a CROSS JOIN cent c),
+      lists AS (
+        SELECT n_id, n_vec, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_sim DESC, cid) AS rn
+          FROM cosd) WHERE rn = 1),
+      probes AS (
+        SELECT n_id AS q_id, n_vec AS q_vec, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_sim DESC, cid) AS rn
+          FROM cosd WHERE n_id < 5) WHERE rn <= 2),
+      scored AS (
+        SELECT p.q_id, l.n_id,
+          list_sum(list_transform(range(1, 65), i -> p.q_vec[i] * l.n_vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, 65), i -> p.q_vec[i] * p.q_vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, 65), i -> l.n_vec[i] * l.n_vec[i])))) AS sim
+        FROM probes p JOIN lists l ON l.cid = p.cid AND l.n_id <> p.q_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
+    ("q36_sessionize", (s, dir) => {
+      // 30-minute gap sessions. Event time is truncated to MICROseconds on
+      // both sides (DuckDB's timestamp arithmetic is µs-resolution even for
+      // TIMESTAMP_NS parquet), so the oracle compares exactly.
+      Sessionize.sessionize(
+        T(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus")),
+        Seq("user_id"), "tus", gap = 1800L * 1000 * 1000)
+        .orderBy(col("user_id"), col("session_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      m AS (
+        SELECT user_id, tus,
+          CASE WHEN LAG(tus) OVER w IS NULL
+                 OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      sid AS (
+        SELECT user_id, tus,
+          CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM m)
+      SELECT user_id, session_id, MIN(tus) AS start_time, MAX(tus) AS end_time,
+             COUNT(*) AS n_events
+      FROM sid GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   // ------------------------------------------------------- driver contract

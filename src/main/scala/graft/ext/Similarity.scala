@@ -91,6 +91,52 @@ object Similarity {
       .select(col("q_id"), col("bucket"), col("rank"), col("n_id"), col("sim"))
   }
 
+  /** IVF-style ANN: a coarse quantizer (centroid set) partitions the corpus
+    * into inverted lists; queries probe only the `nprobe` nearest lists.
+    *
+    * Scale path: centroids are SMALL (√n-ish) and broadcast; the corpus is
+    * scanned once to assign lists (narrow, no shuffle of the vectors beyond
+    * the assignment groupBy), and each query touches nprobe lists instead of
+    * the whole corpus — the classic recall/cost dial. Here the centroid set
+    * is an injected DataFrame (deterministic subset in tests; a k-means fit
+    * at deployment — the plan is identical either way).
+    *
+    * @param centroids (cidCol, vecCol) — small, broadcast twice
+    * @param nprobe    lists probed per query
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      qIdCol: String, idCol: String, cidCol: String, vecCol: String,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val cent = broadcast(centroids.select(col(cidCol).as("cid"), col(vecCol).as("c_vec")))
+    // nearest centroid per corpus vector (ties -> lowest cid)
+    val assignW = Window.partitionBy(col("n_id"))
+      .orderBy(col("c_sim").desc, col("cid"))
+    val lists = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(cent)
+      .withColumn("c_sim", cosine(col("n_vec"), col("c_vec")))
+      .withColumn("__rn", row_number().over(assignW))
+      .where(col("__rn") === 1)
+      .select(col("n_id"), col("n_vec"), col("cid"))
+    // nprobe nearest centroids per query
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("cid"))
+    val probes = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(cent)
+      .withColumn("c_sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("__rn", row_number().over(probeW))
+      .where(col("__rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cid"))
+    // search only the probed lists
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    broadcast(probes).join(lists, Seq("cid"))
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within buckets (dedup use-case):
     * distinct (id_a < id_b) pairs with cosine ≥ threshold, joined bucket-wise
     * so the pair space stays near-linear. */

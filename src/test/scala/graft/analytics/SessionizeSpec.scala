@@ -1,0 +1,34 @@
+package graft.analytics
+
+import graft.SparkTestBase
+
+class SessionizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sessionize splits on gaps greater than the threshold") {
+    // user A: events at 0, 10, 200, 210 with gap 50 -> sessions {0,10}, {200,210}
+    // user B: single event -> one session
+    val df = Seq(
+      ("A", 0L), ("A", 10L), ("A", 200L), ("A", 210L),
+      ("B", 999L)).toDF("user", "t")
+    val out = Sessionize.sessionize(df, Seq("user"), "t", gap = 50L)
+      .orderBy("user", "session_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.toSeq shouldBe Seq(
+      ("A", 1L, 0L, 10L, 2L),
+      ("A", 2L, 200L, 210L, 2L),
+      ("B", 1L, 999L, 999L, 1L))
+  }
+
+  test("a gap exactly equal to the threshold stays in the same session") {
+    val df = Seq(("A", 0L), ("A", 50L)).toDF("user", "t")
+    Sessionize.sessionize(df, Seq("user"), "t", gap = 50L).count() shouldBe 1L
+  }
+
+  test("out-of-order input sessionizes by event time, not arrival order") {
+    val df = Seq(("A", 210L), ("A", 0L), ("A", 200L), ("A", 10L)).toDF("user", "t")
+    val out = Sessionize.sessionize(df, Seq("user"), "t", gap = 50L)
+      .orderBy("session_id").collect().map(r => (r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq((0L, 10L), (200L, 210L))
+  }
+}
