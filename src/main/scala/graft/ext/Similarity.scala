@@ -42,6 +42,14 @@ object Similarity {
   }
 
   /** Exact top-k neighbors per query vector (brute force).
+    *
+    * The corpus is scanned ONCE against broadcast queries, and the per-query
+    * reduction is the bounded [[graft.functions.TopKBySim]] Aggregator: the
+    * k-element buffers combine map-side, so the exchange carries only
+    * |queries|·k rows — a `row_number` window here would instead shuffle and
+    * sort every scored (query, candidate) pair, which is exactly what cannot
+    * survive a 100 TB corpus.
+    *
     * @param queries  (qIdCol, vecCol) — SMALL (broadcast)
     * @param corpus   (idCol, vecCol)  — arbitrarily large
     */
@@ -52,12 +60,15 @@ object Similarity {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val scored = c.crossJoin(q)
       .where(col("n_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
+    val topk = udaf(new graft.functions.TopKBySim(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.SimCand])
+    scored.groupBy(col("q_id"))
+      .agg(topk(col("n_id"), col("sim")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.n_id").as("n_id"), col("t.sim").as("sim"))
   }
 
   /** Deterministic LSH bucket: the sign bits of the first `bits` dimensions

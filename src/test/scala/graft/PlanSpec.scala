@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties that make these plans survive a
+  * 100× scale-up — filter/column pushdown into the scan, broadcast joins for
+  * small dims, map-side partial aggregation, bounded top-k reduction. These
+  * specs pin the PLAN, not just the answer, so a regression that silently
+  * de-optimizes (e.g. a cast blocking pushdown) fails loudly. */
+class PlanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q02 filter+project pushes filters and prunes columns at the parquet scan") {
+    val p = plan(SparkEntry.queries("q02_filter_project")(spark, dir))
+    p should include("PushedFilters: [")
+    p should include("IsNotNull(l_shipdate)") // at least the null guards reach the scan
+    // pruned read schema: none of the 16 lineitem columns beyond the 6 used
+    p should not include "l_comment"
+    p should not include "l_partkey"
+  }
+
+  test("q05 dim join is a broadcast hash join (no shuffle of the fact side)") {
+    val p = plan(SparkEntry.queries("q05_join_const_filter")(spark, dir))
+    p should include("BroadcastHashJoin")
+  }
+
+  test("q01 aggregation is partial (map-side combine) before the exchange") {
+    val p = plan(SparkEntry.queries("q01_pricing_agg")(spark, dir))
+    p should include("HashAggregate(keys=[l_returnflag")
+    p should include("partial_sum")
+  }
+
+  test("minhash signatures partial-aggregate the permuted mins map-side") {
+    val p = plan(graft.ext.Dedup.minhashSignatures(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+    p should include("partial_min")
+  }
+
+  test("brute-force top-k reduces through the bounded aggregator, not a window sort") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.ext.Similarity.bruteForceTopK(
+      emb.where(col("vec_id") < 3), emb, "vec_id", "vec_id", "embedding", 3))
+    p should include("TopKBySim")
+    (p should not).include("Window")
+  }
+
+  test("enrich backfill broadcasts the dimension side") {
+    val facts = Seq(("S1", "")).toDF("steamId", "playerName")
+    val dim = Seq(("S1", "Ada")).toDF("steamId", "name")
+    plan(graft.core.enrich.Enrich.backfillName(facts, dim)) should include("BroadcastHashJoin")
+  }
+
+  test("native cosine expression runs inside whole-stage codegen") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    // the projection containing cosine_similarity must sit under a WSCG node
+    // (formatted explain marks codegen'd operators with a leading "*")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    formatted should include("cosine_similarity")
+    formatted should include("* Project")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.core.Event
+import graft.core.stats.PlayerStatsEngine
+
+class SourcesSinksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("batchLines and playersFromLines parse the dimension payload") {
+    val players = Sources.playersFromLines(
+      spark, Seq("Ada,S1,x,TeamA", "Bo,S2,x,TeamB"))
+    players.orderBy("steamId").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq shouldBe
+      Seq(("Ada", "S1", "TeamA"), ("Bo", "S2", "TeamB"))
+  }
+
+  test("fileLines streams raw text lines with the kafka-shaped value column") {
+    val dir = Files.createTempDirectory("graft_lines_")
+    try {
+      Files.writeString(dir.resolve("a.txt"), "line1\nline2\n")
+      val stream = Sources.fileLines(spark, dir.toString)
+      stream.isStreaming shouldBe true
+      stream.schema.fieldNames.toSeq shouldBe Seq("value")
+      val q = stream.writeStream.format("memory").queryName("lines_spec")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table("lines_spec").as[String].collect().sorted.toSeq shouldBe Seq("line1", "line2")
+    } finally {
+      spark.catalog.dropTempView("lines_spec")
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("historizedSink appends each micro-batch's cumulative snapshot (update mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sink_").toString
+    val mem = MemoryStream[Event]
+    val stats = PlayerStatsEngine.statefulPlayerStats(mem.toDS())
+    val q = Sinks.historizedSink(stats, trigger = Trigger.ProcessingTime(0)) {
+      (df, _) => Sinks.parquetAppend(df, dir)
+    }.start()
+    try {
+      mem.addData(Event("Ada", "S1", "kill", 1, 0, 1))
+      q.processAllAvailable()
+      mem.addData(Event("Ada", "S1", "kill", 2, 0, 1))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(dir)
+        .orderBy("second").collect().map(r => r.getAs[Long]("kills")).toSeq
+      rows shouldBe Seq(1L, 2L) // history: one appended snapshot per batch
+    } finally {
+      q.stop()
+      Files.walk(java.nio.file.Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("consoleSink builds an update-mode console writer without starting") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    noException should be thrownBy
+      Sinks.consoleSink(PlayerStatsEngine.statefulPlayerStats(mem.toDS()))
+  }
+
+  test("temp-view + CTE SQL surface over engine results (reference queries.sql shape)") {
+    val events = Seq(
+      Event("Ada", "S1", "kill", 10, 0, 1),
+      Event("Bo", "S2", "death", 20, 0, 1)).toDF()
+    PlayerStatsEngine.batchPlayerStats(events).createOrReplaceTempView("player_stats")
+    try {
+      val out = spark.sql("""
+        WITH latest AS (
+          SELECT steamId, MAX(second) AS latest_second FROM player_stats GROUP BY steamId)
+        SELECT ps.playerName, ps.second
+        FROM player_stats ps JOIN latest l
+          ON ps.steamId = l.steamId AND ps.second = l.latest_second
+        ORDER BY ps.steamId""").collect().map(r => (r.getString(0), r.getLong(1)))
+      out.toSeq shouldBe Seq(("Ada", 10L), ("Bo", 20L))
+    } finally spark.catalog.dropTempView("player_stats")
+  }
+}
