@@ -855,7 +855,41 @@ object SparkEntry {
         FROM m)
       SELECT user_id, session_id, MIN(tus) AS start_time, MAX(tus) AS end_time,
              COUNT(*) AS n_events
-      FROM sid GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM sid GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("q37_tfidf", (s, dir) => {
+      TextAnalysis.tfIdf(T(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }, Some("""
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+          CAST(t.tf AS DOUBLE) * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / d.df) AS score
+        FROM tf t JOIN dfreq d USING (term)),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+        FROM scored)
+      SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 3
+      ORDER BY doc_id, rank""")),
+
+    ("q38_rolling_fingerprint", (s, dir) => {
+      Dedup.exactDupGroups(
+        TextAnalysis.rollingHashTable(T(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", col("rolling_hash"))
+        .orderBy(col("dup_key"))
+    }, Some(s"""
+      WITH rh AS (
+        SELECT doc_id,
+          list_reduce(
+            list_transform(string_split(text, ' '),
+              w -> ('0x' || substr(md5(w), 1, 12))::BIGINT % 2147483647),
+            (acc, h) -> (acc * 1000003 + h) % 2147483647) AS dup_key
+        FROM documents)
+      SELECT dup_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      FROM rh GROUP BY 1 ORDER BY dup_key"""))
   )
 
   // ------------------------------------------------------- driver contract

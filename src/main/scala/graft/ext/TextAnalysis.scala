@@ -90,6 +90,55 @@ object TextAnalysis {
     when(folded.getField("s") > 0, folded.getField("l")).otherwise(lit("und"))
   }
 
+  /** Polynomial rolling hash over the word sequence (Rabin–Karp style):
+    * fold h ↦ (acc·B + h) mod P over the per-word 48-bit hashes, seeded with
+    * the FIRST word's hash (mirroring DuckDB's no-initializer `list_reduce`,
+    * so the oracle is the identical fold). Order-SENSITIVE — reorderings that
+    * the bag fingerprint maps together get distinct rolling hashes. Elements
+    * are pre-reduced mod P so every intermediate stays < 2^52 (no overflow
+    * divergence between engines). One pass per row, no shuffle. */
+  val RollB = 1000003L
+  val RollP = 2147483647L
+  def rollingHash(textCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  slice(__rh, 2, size(__rh) - 1),
+         |  element_at(__rh, 1),
+         |  (acc, h) -> (acc * $RollB + h) % $RollP)""".stripMargin)
+
+  /** (id, rolling_hash) table form: hoists the mod-P word-hash array so md5
+    * runs once per word. */
+  def rollingHashTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__rh",
+        transform(split(col(textCol), " "), w => hash48(w) % lit(RollP)))
+      .select(col(idCol), rollingHash(textCol).as("rolling_hash"))
+
+  /** Top-k terms per document by tf·(N/df) — the linear-idf variant: the
+    * classic ln(N/df) would hang bit-exactness on two engines' libm `log`
+    * agreeing to the last ulp, while N/df is pure rational double arithmetic
+    * and compares exactly (swap `lit(n) / col("df")` for `log(lit(n) /
+    * col("df"))` at deployment if the standard weighting is wanted — the
+    * plan is identical).
+    *
+    * Plan shape: explode → (doc, term) tf counts → term df counts (both
+    * map-side partial) → broadcast scalar N → per-doc top-k window over the
+    * already-aggregated (doc, term) rows — the window input is |distinct
+    * terms per doc|, not the raw token stream, so it scales with vocabulary
+    * not corpus size. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val terms = df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * (col("n_docs").cast("double") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Content fingerprint: md5 of the lowercased text — exact-dup key. */
   def fingerprintExact(c: Column): Column = md5(lower(c).cast("binary"))
 

@@ -54,6 +54,50 @@ class TextAnalysisSpec extends SparkTestBase {
     exact(0) should not be exact(1)
   }
 
+  test("rollingHash is order-sensitive where the bag fingerprint is not") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val rh = TextAnalysis.rollingHashTable(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rh(1L) shouldBe rh(3L)       // identical sequence -> identical hash
+    rh(1L) should not be rh(2L)  // reordering -> different rolling hash
+    val bags = df.select(TextAnalysis.fingerprintBag(col("text"))).as[String].collect()
+    bags(0) shouldBe bags(1)     // ...but the bag fingerprint collapses them
+  }
+
+  test("rollingHash matches a JVM-side replica of the fold") {
+    val words = "x y z".split(" ")
+    val h = words.map { w =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) % TextAnalysis.RollP
+    }
+    val expected = h.tail.foldLeft(h.head)((acc, x) =>
+      (acc * TextAnalysis.RollB + x) % TextAnalysis.RollP)
+    val got = TextAnalysis.rollingHashTable(Seq((1L, "x y z")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head.getLong(1)
+    got shouldBe expected
+  }
+
+  test("single-word document rolling hash is the word hash mod P") {
+    val got = TextAnalysis.rollingHashTable(Seq((1L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head.getLong(1)
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("solo".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    got shouldBe java.lang.Long.parseLong(hex, 16) % TextAnalysis.RollP
+  }
+
+  test("tfIdf ranks rare terms above common ones") {
+    val df = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(df, "doc_id", "text", 2)
+      .where(col("doc_id") === 1).orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // rare1: tf=1 df=1 score=3; common: tf=2 df=3 score=2
+    out.toSeq shouldBe Seq((1, "rare1", 1L, 1L), (2, "common", 2L, 3L))
+  }
+
   test("hash48 equals first 12 hex digits of md5 as a long") {
     val got = Seq("abc").toDF("s")
       .select(TextAnalysis.hash48(col("s"))).collect().head.getLong(0)
