@@ -38,13 +38,21 @@ object Bench {
           lit(0), (a, x) => a + x))
         .write.format("noop").mode("overwrite").save()
     }
-    // Steady-state timing: each query runs once untimed (JIT-compiles its
-    // interpreted-expression paths, Janino-compiles its codegen classes),
-    // then the timed run measures the warmed engine — the number that
-    // reflects throughput on a long-running cluster rather than single-JVM
-    // cold-start.
+    // Steady-state timing: each query first runs untimed at the SMALLEST
+    // scale factor available (same plan shapes → same Janino codegen classes
+    // and the same interpreted-expression paths get JIT-compiled, at ~1% of
+    // the data cost), then the timed run at the target SF measures the
+    // warmed engine — the number that reflects throughput on a long-running
+    // cluster rather than single-JVM cold-start. Keeping the warmup cheap
+    // also keeps total CPU burn low, which matters on burst-throttled VMs.
+    val warmDir = {
+      val base = new java.io.File(sfDir).getParentFile
+      val candidates = Seq("sf0.001", "sf0.01").map(n => new java.io.File(base, n))
+      candidates.find(f => f.isDirectory && f.getPath != sfDir)
+        .map(_.getPath).getOrElse(sfDir)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -1,45 +1,30 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Temporary probe main (removed before final round): native cosine
-  * expression vs composable HOF reference — bit-identical check + timing. */
+/** Temporary probe main (removed before final round): time named catalog
+  * queries in a bench-identical session; each name is timed as given, so pass
+  * a name twice for warm/steady pairs. */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
-    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
-      .crossJoin(emb.where(col("vec_id") < 20).select(col("vec_id").as("ib"), col("embedding").as("vb")))
-
-    val native = graft.ext.Similarity.cosine(col("va"), col("vb"))
-    val hof = graft.ext.Similarity.cosineComposable(col("va"), col("vb"))
-    val diff = pairs.select(native.as("n"), hof.as("h"))
-      .where(col("n") =!= col("h") ||
-        (isnan(col("n")) && !isnan(col("h"))) || (!isnan(col("n")) && isnan(col("h"))))
-      .count()
-    println(s"[probe] bit-mismatch count (expect 0): $diff")
-
-    def time(name: String)(f: => Unit): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.isEmpty) Seq("q24_simhash", "q24_simhash") else args.toSeq
+    names.foreach { name =>
       val t0 = System.nanoTime()
-      f
-      println(f"[probe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[scratch] $name failed: $e") }
+      println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    time("native cosine warm")(noop(pairs.select(native.as("c"))))
-    time("native cosine")(noop(pairs.select(native.as("c"))))
-    time("hof cosine warm")(noop(pairs.select(hof.as("c"))))
-    time("hof cosine")(noop(pairs.select(hof.as("c"))))
-
-    pairs.select(native.as("c")).explain("formatted")
     spark.stop()
   }
 }

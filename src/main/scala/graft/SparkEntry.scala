@@ -889,7 +889,21 @@ object SparkEntry {
             (acc, h) -> (acc * 1000003 + h) % 2147483647) AS dup_key
         FROM documents)
       SELECT dup_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-      FROM rh GROUP BY 1 ORDER BY dup_key"""))
+      FROM rh GROUP BY 1 ORDER BY dup_key""")),
+
+    // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
+    // design, so no cross-engine oracle — the driver records a rows-only
+    // check, and the spec bounds the estimates against exact values.
+    ("q39_sketches", (s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }, None)
   )
 
   // ------------------------------------------------------- driver contract
