@@ -17,7 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object GameLogParser {
 
-  private def f(cols: Column, idx0: Int): Column = element_at(cols, idx0 + 1)
+  /** Positional field access, 1-based under the hood. Strict mode indexes
+    * like the reference's `cols[i]` (short lines FAIL the task, matching the
+    * reference's ArrayIndexOutOfBounds crash under Spark's ANSI default);
+    * lenient mode yields null for missing fields. */
+  private def f(cols: Column, idx0: Int, strict: Boolean = true): Column =
+    if (strict) element_at(cols, idx0 + 1)
+    else try_element_at(cols, lit(idx0 + 1))
+
+  /** Numeric field decode. Strict mode is the reference's semantics under
+    * Spark's ANSI default: malformed numerics FAIL the task exactly like the
+    * reference's `Long.parseLong` (SparkStreamingService.java:136). Lenient
+    * mode uses TRY-cast (null on junk, row dropped or null-filled) for
+    * pipelines that must be total over dirty wire data. */
+  private def asLong(c: Column, strict: Boolean): Column =
+    if (strict) c.cast("long")
+    else org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.GraftColumnBridge.expression(c),
+        org.apache.spark.sql.types.LongType,
+        None,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
 
   private val eventSchemaCols =
     Seq("player", "steamId", "eventType", "second", "amount", "round")
@@ -34,24 +54,24 @@ object GameLogParser {
     * @param lines DataFrame with a string column `value` (one CSV line per row)
     * @return DataFrame with Event schema (player, steamId, eventType, second, amount, round)
     */
-  def parseKillLines(lines: DataFrame): DataFrame = {
+  def parseKillLines(lines: DataFrame, strict: Boolean = true): DataFrame = {
     val c = split(col("value"), ",", -1)
-    val second = (f(c, 1).cast("long") / 128).cast("long") // ticks are non-negative
-    val round = f(c, 2).cast("long")
+    val second = (asLong(f(c, 1, strict), strict) / 128).cast("long") // ticks are non-negative
+    val round = asLong(f(c, 2, strict), strict)
 
     def mk(name: Column, id: Column, typ: String): Column =
       struct(
         name.as("player"), id.as("steamId"), lit(typ).as("eventType"),
         second.as("second"), lit(0L).as("amount"), round.as("round"))
 
-    val killerName = f(c, 3)
-    val victimName = f(c, 7)
-    val assistName = f(c, 11)
+    val killerName = f(c, 3, strict)
+    val victimName = f(c, 7, strict)
+    val assistName = f(c, 11, strict)
 
     val events = array(
-      when(killerName =!= "", mk(killerName, f(c, 4), "kill")),
-      when(victimName =!= "", mk(victimName, f(c, 8), "death")),
-      when(assistName =!= "" && assistName =!= "0", mk(assistName, f(c, 12), "assist"))
+      when(killerName =!= "", mk(killerName, f(c, 4, strict), "kill")),
+      when(victimName =!= "", mk(victimName, f(c, 8, strict), "death")),
+      when(assistName =!= "" && assistName =!= "0", mk(assistName, f(c, 12, strict), "assist"))
     )
 
     lines
@@ -67,27 +87,27 @@ object GameLogParser {
     * `amount = old_hp(cols[5]) − new_hp(cols[6])` (:197-198,207); the player
     * name is always "" (:203) — backfilled later from the dimension (P7/J0).
     */
-  def parseDamageLines(lines: DataFrame): DataFrame = {
+  def parseDamageLines(lines: DataFrame, strict: Boolean = true): DataFrame = {
     val c = split(col("value"), ",", -1)
     lines
       .select(c.as("c"))
-      .where(element_at(col("c"), 10) =!= "")
+      .where(coalesce(f(col("c"), 9, strict), lit("")) =!= "")
       .select(
         lit("").as("player"),
-        element_at(col("c"), 10).as("steamId"),
+        f(col("c"), 9, strict).as("steamId"),
         lit("damage").as("eventType"),
-        (element_at(col("c"), 2).cast("long") / 128).cast("long").as("second"),
-        (element_at(col("c"), 6).cast("long") - element_at(col("c"), 7).cast("long")).as("amount"),
-        element_at(col("c"), 3).cast("long").as("round"))
+        (asLong(f(col("c"), 1, strict), strict) / 128).cast("long").as("second"),
+        (asLong(f(col("c"), 5, strict), strict) - asLong(f(col("c"), 6, strict), strict)).as("amount"),
+        asLong(f(col("c"), 2, strict), strict).as("round"))
   }
 
   /** Parse the player-dimension CSV payload (reference PlayerRestClient.java:59-68):
     * `name = f[0], steamId = f[1], team = f[3]` (index 2 skipped). */
-  def parsePlayers(lines: DataFrame): DataFrame = {
+  def parsePlayers(lines: DataFrame, strict: Boolean = true): DataFrame = {
     val c = split(col("value"), ",", -1)
     lines.select(
-      f(c, 0).as("name"),
-      f(c, 1).as("steamId"),
-      f(c, 3).as("team"))
+      f(c, 0, strict).as("name"),
+      f(c, 1, strict).as("steamId"),
+      f(c, 3, strict).as("team"))
   }
 }

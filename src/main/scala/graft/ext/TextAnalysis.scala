@@ -21,10 +21,6 @@ object TextAnalysis {
   private def expr_hash48(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
 
-  /** SQL-text form of [[hash48]] for use inside higher-order-function lambdas. */
-  def hash48Sql(e: String): String =
-    s"CAST(conv(substr(md5(CAST($e AS BINARY)),1,12),16,10) AS BIGINT)"
-
   /** Whitespace tokens. */
   def words(c: Column): Column = split(c, " ")
 

@@ -68,6 +68,34 @@ class GameLogParserSpec extends SparkTestBase {
     parseDamages("x,128,1,x,x,50,80,x,x,S1,x").head.amount shouldBe -30L
   }
 
+  test("strict parse fails the task on junk (faithful to the reference's parseLong crash)") {
+    val junk = Seq("x,NOTANUMBER,1,K,K1,x,x,,,x,x,,").toDF("value")
+    an[Exception] should be thrownBy
+      GameLogParser.parseKillLines(junk, strict = true).collect()
+  }
+
+  test("lenient parse is total: junk lines yield nulls/nothing, never throw") {
+    val rnd = new scala.util.Random(42)
+    val junk = Seq("", ",", ",,,,,,,,,,,,,", "a,b,c", "x," * 20) ++
+      (1 to 100).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString
+        .flatMap(c => if (rnd.nextInt(5) == 0) s"$c," else s"$c"))
+    noException should be thrownBy
+      GameLogParser.parseKillLines(junk.toDF("value"), strict = false).collect()
+    noException should be thrownBy
+      GameLogParser.parseDamageLines(junk.toDF("value"), strict = false).collect()
+    noException should be thrownBy
+      GameLogParser.parsePlayers(junk.toDF("value"), strict = false).collect()
+  }
+
+  test("lenient parse equals strict parse on well-formed lines") {
+    val lines = Seq(fullLine, "x,256,2,K,K1,x,x,,,x,x,,").toDF("value")
+    val strictRows = GameLogParser.parseKillLines(lines, strict = true)
+      .as[Event].collect().sortBy(e => (e.eventType, e.player)).toSeq
+    val lenientRows = GameLogParser.parseKillLines(lines, strict = false)
+      .as[Event].collect().sortBy(e => (e.eventType, e.player)).toSeq
+    lenientRows shouldBe strictRows
+  }
+
   test("player dimension parse: name, steamId, team (index 2 skipped)") {
     val df = GameLogParser.parsePlayers(Seq("Ada,S1,ignored,TeamA").toDF("value"))
     df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq shouldBe
