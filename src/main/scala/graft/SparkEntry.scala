@@ -891,6 +891,22 @@ object SparkEntry {
       SELECT dup_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
       FROM rh GROUP BY 1 ORDER BY dup_key""")),
 
+    ("q40_vector_norms", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      emb.select(
+        col("vec_id"),
+        Similarity.l2Norm(col("embedding")).as("l2_norm"),
+        element_at(Similarity.l2Normalize(col("embedding")), 1).as("unit_first"))
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      n AS (
+        SELECT vec_id, vec,
+          sqrt(list_sum(list_transform(range(1, 65), i -> vec[i] * vec[i]))) AS l2_norm
+        FROM v)
+      SELECT vec_id, l2_norm, vec[1] / l2_norm AS unit_first
+      FROM n ORDER BY vec_id""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

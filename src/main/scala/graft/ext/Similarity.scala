@@ -28,6 +28,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosineSim(a, b)
 
+  /** L2 norm via the native [[graft.functions.DotProduct]] expression. */
+  def l2Norm(v: Column): Column =
+    sqrt(graft.functions.VectorFunctions.dotProduct(v, v))
+
+  /** Unit-normalize a vector (null-safe only for non-zero vectors: a zero
+    * vector divides to NaNs, mirroring `cosine`'s 0/0 behavior). */
+  def l2Normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    transform(v.cast("array<double>"), x => x / n)
+  }
+
   /** The same cosine as a composition of built-in higher-order functions —
     * kept as the pure-builtin reference implementation (tests assert the
     * native expression matches it bit-for-bit). HOF lambdas run interpreted,

@@ -64,3 +64,40 @@ final class StreamController(build: () => StreamingQuery) {
   def status: String =
     if (running.get().exists(_.isActive)) "Running" else "Stopped"
 }
+
+/** The reference's full start/stop ORDERING (MainController.java:29-56,
+  * SURVEY.md §3.1/§3.3), abstracted over transport:
+  *
+  *   start: load dimension → start Spark query → start the upstream
+  *          producer (so no events flow before the query is listening);
+  *   stop:  stop the producer FIRST, then the query (drain direction).
+  *
+  * The reference reaches its dimension service and producer over HTTP; here
+  * they are injected functions — same lifecycle, any transport. Start is
+  * idempotent-if-running like the reference's guard (:31). */
+final class PipelineOrchestrator(
+    loadDimension: () => Unit,
+    controller: StreamController,
+    producerStart: () => Unit = () => (),
+    producerStop: () => Unit = () => ()) {
+
+  def start(): String = synchronized {
+    if (controller.status == "Running") "Already running"
+    else {
+      loadDimension()
+      val r = controller.start()
+      producerStart()
+      r
+    }
+  }
+
+  def stop(): String = synchronized {
+    if (controller.status != "Running") "Not running"
+    else {
+      producerStop()
+      controller.stop()
+    }
+  }
+
+  def status: String = controller.status
+}

@@ -67,6 +67,27 @@ class PipelineSpec extends SparkTestBase {
     controller.stop() shouldBe "Not running"
   }
 
+  test("orchestrator sequences dim-load -> query -> producer, and reverses on stop") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val log = scala.collection.mutable.ArrayBuffer[String]()
+    val controller = new StreamController(() => {
+      log += "query-start"
+      mem.toDS().writeStream.format("noop").start()
+    })
+    val orch = new PipelineOrchestrator(
+      loadDimension = () => log += "dim-load",
+      controller = controller,
+      producerStart = () => log += "producer-start",
+      producerStop = () => log += "producer-stop")
+    orch.status shouldBe "Stopped"
+    orch.start() shouldBe "Started"
+    orch.start() shouldBe "Already running" // no double dim-load / producer hit
+    orch.stop() shouldBe "Stopped"
+    orch.stop() shouldBe "Not running"
+    log.toSeq shouldBe Seq("dim-load", "query-start", "producer-start", "producer-stop")
+  }
+
   test("multimodal: binary payload plumbing and deterministic stub features") {
     val df = Seq((7L, "abcd")).toDF("id", "payload")
     val media = Multimodal.asMediaTable(df, "id", "payload", "image/fake")
