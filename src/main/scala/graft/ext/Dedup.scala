@@ -143,11 +143,20 @@ object Dedup {
     val postings = exploded.withColumn(
       "__n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))))
-    val a = postings.as("a")
-    val b = postings.as("b")
-    val joinCond = (blockCols.map(c => col(s"a.$c") === col(s"b.$c")) ++
-      Seq(col("a.__s") === col("b.__s"), col("a.__id") < col("b.__id"))).reduce(_ && _)
-    val inter = a.join(b, joinCond)
+    // Group the postings of each (block, shingle) and pair them with a double
+    // explode — the postings pipeline runs ONCE (a self-join would execute it
+    // twice; Spark does not share non-cached subplans across join sides).
+    // Each group's pair fan-out is df(s)²/2: bounded on real corpora because
+    // near-duplicate shingles are rare across unrelated docs; a pathological
+    // stop-shingle (huge df) is the thing to cap upstream at open-web scale.
+    val byShingle = postings
+      .groupBy((blockCols.map(col) :+ col("__s")): _*)
+      .agg(collect_list(struct(col("__id"), col("__n"))).as("__docs"))
+      .where(size(col("__docs")) > 1)
+    val inter = byShingle
+      .select(explode(col("__docs")).as("a"), col("__docs"))
+      .select(col("a"), explode(col("__docs")).as("b"))
+      .where(col("a.__id") < col("b.__id"))
       .groupBy(
         col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         col("a.__n").as("na"), col("b.__n").as("nb"))
