@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.core.{Event, PlayerState, PlayerStatsRow}
+import graft.core.stats.PlayerStatsEngine
+import graft.core.enrich.Enrich
+
+/** Streaming durability and composition: checkpoint recovery across process
+  * "restarts", warm start from a state snapshot, stream-static enrichment
+  * inside the streaming query, and cross-batch streaming dedup. */
+class RecoverySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rmrf(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+
+  test("checkpointed stateful query + historized sink resume state after restart") {
+    val src = Files.createTempDirectory("graft_src_")
+    val ckpt = Files.createTempDirectory("graft_ckpt_")
+    val out = Files.createTempDirectory("graft_out_")
+    val schema = Seq.empty[Event].toDF().schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src.toString).as[Event]
+      val q = graft.io.Sinks.historizedSink(
+        PlayerStatsEngine.statefulPlayerStats(stream),
+        trigger = Trigger.AvailableNow(),
+        checkpoint = Some(ckpt.toString)) {
+        (df, _) => graft.io.Sinks.parquetAppend(df, out.toString)
+      }.start()
+      q.awaitTermination()
+    }
+    try {
+      // run 1: two kills for S1 in one batch -> one appended row, kills=2
+      Seq(
+        Event("Ada", "S1", "kill", 1, 0, 1),
+        Event("Ada", "S1", "kill", 2, 0, 1)).toDS()
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      runOnce()
+      spark.read.parquet(out.toString).as[PlayerStatsRow]
+        .collect().map(_.kills).toSeq shouldBe Seq(2L)
+
+      // "restart": a NEW query instance on the same checkpoint; new file only
+      Seq(Event("Ada", "S1", "kill", 3, 0, 2)).toDS()
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      runOnce()
+      val hist = spark.read.parquet(out.toString).as[PlayerStatsRow]
+        .collect().map(_.kills).sorted.toSeq
+      // history: run-1 snapshot plus ONE new row whose counter carried on
+      hist shouldBe Seq(2L, 3L)
+    } finally {
+      rmrf(src); rmrf(ckpt); rmrf(out)
+    }
+  }
+
+  test("warm start from a state snapshot resumes counters without a checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val snapshot = Seq(
+      "S1" -> PlayerState(kills = 10, deaths = 5, assists = 2, damage = 900, lastName = "Ada")).toDS()
+    val mem = MemoryStream[Event]
+    val q = PlayerStatsEngine.statefulPlayerStatsFrom(mem.toDS(), snapshot)
+      .writeStream.outputMode("update").format("memory").queryName("warmstart_spec")
+      .start()
+    try {
+      mem.addData(Event("Ada", "S1", "kill", 100, 0, 3))
+      q.processAllAvailable()
+      val r = spark.table("warmstart_spec").as[PlayerStatsRow].collect().head
+      r.kills shouldBe 11L
+      r.damage shouldBe 900L
+      r.kdRatio shouldBe 2.2
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("warmstart_spec")
+    }
+  }
+
+  test("stream-static broadcast enrichment backfills names inside the streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("S9", "Niner")).toDF("steamId", "name")
+    val mem = MemoryStream[Event]
+    val enriched = Enrich.backfillName(
+      PlayerStatsEngine.statefulPlayerStats(mem.toDS()).toDF(), dim)
+    val q = enriched.writeStream.outputMode("update").format("memory")
+      .queryName("enrich_stream_spec").start()
+    try {
+      mem.addData(Event("", "S9", "damage", 5, 40, 1)) // damage rows carry no name
+      q.processAllAvailable()
+      spark.table("enrich_stream_spec")
+        .select("playerName").as[String].collect().head shouldBe "Niner"
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("enrich_stream_spec")
+    }
+  }
+
+  test("streaming dropDuplicates with watermark dedups across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = mem.toDF().toDF("t", "id")
+      .withWatermark("t", "1 hour")
+      .dropDuplicates("id")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream_spec").start()
+    try {
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData((ts, 1L), (ts, 2L), (ts, 1L))
+      q.processAllAvailable()
+      mem.addData((ts, 2L), (ts, 3L)) // id=2 is a cross-batch duplicate
+      q.processAllAvailable()
+      spark.table("dedup_stream_spec").select("id").as[Long]
+        .collect().sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("dedup_stream_spec")
+    }
+  }
+}
