@@ -58,6 +58,53 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows => rows.map(stubDecode) }
   }
 
+  final case class ResizedMedia(
+      id: Long, mimeType: String, width: Int, height: Int, payload: Array[Byte])
+  final case class FrameSample(id: Long, frameIndex: Int, payload: Array[Byte])
+
+  /** ==== STUB ==== resize: a real implementation decodes, scales, and
+    * re-encodes; the stub derives a deterministic payload of the target
+    * geometry from the source bytes so downstream schema/partitioning/size
+    * behavior is exercised honestly (output rows shrink to ~w·h bytes — the
+    * property that matters for shuffle planning). */
+  def stubResize(row: MediaRow, w: Int, h: Int): ResizedMedia = {
+    val out = new Array[Byte](math.max(1, w * h / 8))
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (row.payload.isEmpty) 0 else row.payload(i % row.payload.length)
+      i += 1
+    }
+    ResizedMedia(row.id, row.mimeType, w, h, out)
+  }
+
+  /** ==== STUB ==== frame sampling: a real implementation seeks n key frames;
+    * the stub slices the payload into n deterministic chunks. 1→n row
+    * generation through the typed API (`flatMap`), the real shape of a
+    * video-frame extractor. */
+  def stubFrameSample(row: MediaRow, n: Int): Iterator[FrameSample] = {
+    val len = row.payload.length
+    (0 until n).iterator.map { k =>
+      val from = if (n == 0) 0 else (len.toLong * k / n).toInt
+      val until = (len.toLong * (k + 1) / n).toInt
+      FrameSample(row.id, k, java.util.Arrays.copyOfRange(row.payload, from, until))
+    }
+  }
+
+  /** Partition-batched resize over the media table — payload-in, payload-out,
+    * codec init amortized per partition. */
+  def resize(media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(stubResize(_, w, h)))
+  }
+
+  /** Partition-batched frame sampling (1→n rows per media payload). */
+  def sampleFrames(media: DataFrame, n: Int): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap(stubFrameSample(_, n)))
+  }
+
   /** Pure-expression metadata projection (no decode): byte length, head bytes
     * as hex, first byte — oracle-comparable, used by SparkEntry. */
   def metadataColumns(payloadExpr: String): Seq[org.apache.spark.sql.Column] = Seq(

@@ -102,6 +102,24 @@ class PipelineSpec extends SparkTestBase {
     f.brightness shouldBe ((97 + 98 + 99 + 100) / 4.0)
   }
 
+  test("multimodal resize emits target geometry with bounded payload size") {
+    val df = Seq((1L, "abcdefgh" * 100)).toDF("id", "payload")
+    val media = Multimodal.asMediaTable(df, "id", "payload", "image/fake")
+    val out = Multimodal.resize(media, 16, 16).collect().head
+    (out.width, out.height) shouldBe ((16, 16))
+    out.payload.length shouldBe 32 // 16*16/8 — rows shrink for downstream shuffles
+    // deterministic: same input -> same bytes
+    Multimodal.resize(media, 16, 16).collect().head.payload.toSeq shouldBe out.payload.toSeq
+  }
+
+  test("multimodal frame sampling is 1->n with payload fully partitioned") {
+    val df = Seq((1L, "0123456789")).toDF("id", "payload")
+    val media = Multimodal.asMediaTable(df, "id", "payload", "video/fake")
+    val frames = Multimodal.sampleFrames(media, 3).collect().sortBy(_.frameIndex)
+    frames.map(_.frameIndex).toSeq shouldBe Seq(0, 1, 2)
+    frames.flatMap(_.payload).map(_.toChar).mkString shouldBe "0123456789"
+  }
+
   test("multimodal metadata columns are pure expressions over the payload") {
     val df = Seq(("7", "abcd")).toDF("doc_id", "text")
     val r = df.select(Multimodal.metadataColumns("text"): _*).collect().head
