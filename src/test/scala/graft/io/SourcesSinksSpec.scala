@@ -3,6 +3,7 @@ package graft.io
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkTestBase
@@ -57,6 +58,35 @@ class SourcesSinksSpec extends SparkTestBase {
     } finally {
       q.stop()
       Files.walk(java.nio.file.Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("jdbcAppend round-trips through a real database (embedded Derby), appending history") {
+    val dbDir = Files.createTempDirectory("graft_derby_")
+    System.setProperty("derby.system.home", dbDir.toString)
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val stats = graft.core.stats.PlayerStatsEngine.batchPlayerStats(
+      Seq(
+        Event("Ada", "S1", "kill", 10, 0, 2),
+        Event("Bo", "S2", "death", 11, 0, 2)).toDF())
+    try {
+      Sinks.jdbcAppend(stats, url, "player_stats", props)
+      val once = spark.read.jdbc(url, "player_stats", props)
+      once.count() shouldBe 2L
+      // filter driver-side: Derby stores Spark strings as CLOB, which its SQL
+      // cannot compare — a pushed-down predicate would fail in the database
+      val s1 = once.collect().find(_.getAs[String]("steamId") == "S1").get
+      s1.getAs[Long]("kills") shouldBe 1L
+      // the sink is an APPEND (historized) sink: a second batch adds rows
+      Sinks.jdbcAppend(stats, url, "player_stats", props)
+      spark.read.jdbc(url, "player_stats", props).count() shouldBe 4L
+    } finally {
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/graftdb;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // derby signals shutdown via exception
+      Files.walk(dbDir).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
     }
   }
