@@ -72,14 +72,23 @@ object Similarity {
     val scored = c.crossJoin(q)
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
+    rankTopK(scored, Seq("q_id"), k)
+  }
+
+  /** Shared bounded top-k reduction: (..keys.., n_id, sim) →
+    * (..keys.., rank, n_id, sim), ranked (sim desc, n_id asc) through the
+    * map-side-combining [[graft.functions.TopKBySim]] Aggregator — identical
+    * results to a row_number window, O(|keys|·k) exchange instead of
+    * shuffling every scored candidate. */
+  private def rankTopK(scored: DataFrame, keys: Seq[String], k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKBySim(k),
       org.apache.spark.sql.Encoders.product[graft.functions.SimCand])
-    scored.groupBy(col("q_id"))
+    scored.groupBy(keys.map(col): _*)
       .agg(topk(col("n_id"), col("sim")).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(
-        col("q_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("t.n_id").as("n_id"), col("t.sim").as("sim"))
+      .select(keys.map(col) :+ posexplode(col("top")).as(Seq("pos", "t")): _*)
+      .select(keys.map(col) ++ Seq(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("t.n_id").as("n_id"), col("t.sim").as("sim")): _*)
   }
 
   /** Deterministic LSH bucket: the sign bits of the first `bits` dimensions
@@ -105,12 +114,9 @@ object Similarity {
       signBucket(vecCol, bits).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .where(col("n_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("bucket"), col("rank"), col("n_id"), col("sim"))
+      .select(col("q_id"), col("bucket"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("sim"))
+    rankTopK(scored, Seq("q_id", "bucket"), k)
   }
 
   /** IVF-style ANN: a coarse quantizer (centroid set) partitions the corpus
@@ -131,15 +137,17 @@ object Similarity {
       qIdCol: String, idCol: String, cidCol: String, vecCol: String,
       k: Int, nprobe: Int = 2): DataFrame = {
     val cent = broadcast(centroids.select(col(cidCol).as("cid"), col(vecCol).as("c_vec")))
-    // nearest centroid per corpus vector (ties -> lowest cid)
-    val assignW = Window.partitionBy(col("n_id"))
-      .orderBy(col("c_sim").desc, col("cid"))
+    // nearest centroid per corpus vector (ties -> lowest cid): max_by hash
+    // aggregation with map-side partials — a window here would shuffle AND
+    // sort every (vector, centroid) score
     val lists = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .crossJoin(cent)
-      .withColumn("c_sim", cosine(col("n_vec"), col("c_vec")))
-      .withColumn("__rn", row_number().over(assignW))
-      .where(col("__rn") === 1)
-      .select(col("n_id"), col("n_vec"), col("cid"))
+      .select(col("n_id"), col("n_vec"), col("cid"),
+        cosine(col("n_vec"), col("c_vec")).as("c_sim"))
+      .groupBy(col("n_id"))
+      .agg(
+        max_by(col("cid"), struct(col("c_sim"), -col("cid"))).as("cid"),
+        first(col("n_vec")).as("n_vec")) // n_vec is constant per n_id
     // nprobe nearest centroids per query
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_sim").desc, col("cid"))
@@ -149,14 +157,11 @@ object Similarity {
       .withColumn("__rn", row_number().over(probeW))
       .where(col("__rn") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("cid"))
-    // search only the probed lists
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    broadcast(probes).join(lists, Seq("cid"))
+    // search only the probed lists; bounded top-k reduction per query
+    val scored = broadcast(probes).join(lists, Seq("cid"))
       .where(col("n_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
+    rankTopK(scored, Seq("q_id"), k)
   }
 
   /** Embedding-cosine near-duplicate pairs within buckets (dedup use-case):
