@@ -132,9 +132,11 @@ object SparkEntry {
     // ================================================================
 
     ("q04_latest_per_group", (s, dir) => {
-      val latest = Scoreboard.latestPerGroup(
+      // max_by hash-agg form: one shuffle, map-side partials, no sort
+      // (ordering (o_orderdate, o_orderkey) is tie-free — orderkey unique)
+      val latest = Scoreboard.latestPerGroupAgg(
         T(s, dir, "orders"), Seq("o_custkey"),
-        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        Seq("o_orderdate", "o_orderkey"))
       latest
         .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .select(

@@ -25,6 +25,21 @@ object Scoreboard {
       .drop("__rn")
   }
 
+  /** Greatest-per-group as a `max_by` HASH AGGREGATION — for the common case
+    * where "latest" is the lexicographic maximum of some columns (all
+    * descending). Unlike the window form, partials combine map-side and
+    * nothing is sorted: the exchange carries one candidate row per (key,
+    * map partition) instead of every row. Requires `maxCols` to be
+    * tie-free per key (include a unique id) — on a tie `max_by` keeps an
+    * arbitrary row where the window form would pick deterministically. */
+  def latestPerGroupAgg(df: DataFrame, keys: Seq[String], maxCols: Seq[String]): DataFrame = {
+    val all = struct(df.columns.map(col): _*)
+    val ord = struct(maxCols.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(all, ord).as("__best"))
+      .select(col("__best.*"))
+  }
+
   /** Dense grid scaffold (reference queries.sql:31-33,50-51 — DISTINCT seconds
     * CROSS JOIN players): distinct values of `axisCol` × the whole `dim`.
     * The axis side is tiny after DISTINCT (time buckets), so Catalyst

@@ -17,6 +17,18 @@ class ScoreboardSpec extends SparkTestBase {
     out.toSeq shouldBe Seq(("a", 3L, "y"), ("b", 7L, "p"))
   }
 
+  test("latestPerGroupAgg (max_by form) agrees with the window form on tie-free data") {
+    val df = Seq(
+      ("a", 1L, 10L, "x"), ("a", 3L, 11L, "y"), ("a", 3L, 9L, "z"),
+      ("b", 7L, 1L, "p")).toDF("k", "t", "uid", "v")
+    val win = Scoreboard.latestPerGroup(df, Seq("k"), Seq(col("t").desc, col("uid").desc))
+      .orderBy("k").collect().toSeq
+    val agg = Scoreboard.latestPerGroupAgg(df, Seq("k"), Seq("t", "uid"))
+      .orderBy("k").collect().toSeq
+    agg shouldBe win
+    agg.map(_.getString(3)) shouldBe Seq("y", "p")
+  }
+
   test("locf carries the last non-null value forward, default before first") {
     val grid = Seq(
       ("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, Some(30.0)), ("a", 4, None),
