@@ -93,11 +93,19 @@ object Dedup {
     val buckets = sigs
       .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    // Pair generation via collect_list per (band, sig) bucket + double
+    // explode: the signature pipeline (md5 + numPerm mins) runs ONCE — a
+    // self-join would execute it per side. LSH buckets are tiny by
+    // construction (documents land together only when a whole band of
+    // minhashes agrees), so the per-bucket fan-out is bounded.
+    val grouped = buckets
+      .groupBy(col("band"), col("sig"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .where(size(col("__ids")) > 1)
+    grouped
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
       .distinct()
   }
 
