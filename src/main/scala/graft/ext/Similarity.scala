@@ -94,12 +94,12 @@ object Similarity {
   /** Deterministic LSH bucket: the sign bits of the first `bits` dimensions
     * packed into an integer. (A data-independent hyperplane family — at scale,
     * replace with learned/random hyperplanes shipped as a broadcast matrix.)
-    * Takes the vector column's SQL expression text (it is spliced into a
-    * higher-order-function lambda). */
-  def signBucket(vecExpr: String, bits: Int = 8): Column =
-    expr(s"aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, i) -> " +
-      s"acc + CASE WHEN element_at($vecExpr, i + 1) > 0 " +
-      s"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)")
+    * Unrolled when-sum over literal bit positions — plain codegen'd
+    * expressions, no interpreted lambda. */
+  def signBucket(vec: Column, bits: Int = 8): Column =
+    (0 until bits)
+      .map(i => when(element_at(vec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
 
   /** ANN top-k restricted to the query's bucket — the equi-join scale path. */
   def bucketedTopK(
@@ -108,10 +108,10 @@ object Similarity {
     val q = broadcast(
       queries.select(
         col(qIdCol).as("q_id"), col(vecCol).as("q_vec"),
-        signBucket(vecCol, bits).as("bucket")))
+        signBucket(col(vecCol), bits).as("bucket")))
     val c = corpus.select(
       col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      signBucket(vecCol, bits).as("bucket"))
+      signBucket(col(vecCol), bits).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("bucket"), col("n_id"),
@@ -171,7 +171,7 @@ object Similarity {
       threshold: Double, bits: Int = 8): DataFrame = {
     val withBucket = df.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
-      signBucket(vecCol, bits).as("bucket"))
+      signBucket(col(vecCol), bits).as("bucket"))
     val a = withBucket.as("a")
     val b = withBucket.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
