@@ -46,10 +46,14 @@ object Bench {
     // cluster rather than single-JVM cold-start. Keeping the warmup cheap
     // also keeps total CPU burn low, which matters on burst-throttled VMs.
     val warmDir = {
-      val base = new java.io.File(sfDir).getParentFile
-      val candidates = Seq("sf0.001", "sf0.01").map(n => new java.io.File(base, n))
-      candidates.find(f => f.isDirectory && f.getPath != sfDir)
-        .map(_.getPath).getOrElse(sfDir)
+      val target = new java.io.File(sfDir).getCanonicalFile
+      // smallest available SF that is STRICTLY smaller than the target —
+      // warming on a larger SF would cost more than the timed run itself
+      val candidates = Seq("sf0.001", "sf0.01")
+        .map(n => new java.io.File(target.getParentFile, n).getCanonicalFile)
+      candidates.find(f => f.isDirectory && f != target &&
+          f.getName.drop(2).toDouble < target.getName.drop(2).toDouble)
+        .map(_.getPath).getOrElse(target.getPath)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

@@ -439,10 +439,13 @@ object SparkEntry {
           q.awaitTermination()
           val out = s.table(qname)
           // keep each key's last emitted (cumulative-complete) row — robust
-          // even if the source were split into several micro-batches
+          // even if the source were split into several micro-batches: the
+          // CUMULATIVE counter total is the monotone selector (`second` is
+          // batch-scoped and can shrink in a later batch)
           val w = Window.partitionBy(col("steamId"))
-            .orderBy(col("second").desc,
-              (col("kills") + col("deaths") + col("assists") + col("damage")).desc)
+            .orderBy(
+              (col("kills") + col("deaths") + col("assists") + col("damage")).desc,
+              col("second").desc)
           val res = out.withColumn("rn", row_number().over(w))
             .where(col("rn") === 1).drop("rn")
           (res.schema, res.collect())
@@ -895,10 +898,13 @@ object SparkEntry {
 
     ("q40_vector_norms", (s, dir) => {
       val emb = T(s, dir, "embeddings")
+      // norm once per output column (unit_first divides by the norm
+      // directly — l2Normalize would re-fold the norm per array element)
       emb.select(
         col("vec_id"),
         Similarity.l2Norm(col("embedding")).as("l2_norm"),
-        element_at(Similarity.l2Normalize(col("embedding")), 1).as("unit_first"))
+        (element_at(col("embedding").cast("array<double>"), 1) /
+          Similarity.l2Norm(col("embedding"))).as("unit_first"))
         .orderBy(col("vec_id"))
     }, Some("""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -36,12 +36,15 @@ final case class PlayerState(
     * whitespace-only, matching the reference's `StringUtils.isBlank`
     * (PlayerStatsUpdater.java:31,41); blank names are never stored, so the
     * emitted name for a never-named key stays `""` like the reference's.
-    * (Comparison is Java lexicographic — identical to Spark's binary string
-    * ordering for the ASCII names this pipeline carries.) */
+    * Comparison is over UTF-8 BYTES — Spark's binary string collation — so
+    * the two paths agree even for supplementary-plane names where Java's
+    * UTF-16 code-unit order diverges (surrogates sort below U+E000..U+FFFF
+    * in UTF-16 but above them in UTF-8). */
   def fold(e: Event): PlayerState = {
     val named =
       if (e.player.trim.isEmpty) this
-      else if (lastName.trim.isEmpty || e.player > lastName) copy(lastName = e.player)
+      else if (lastName.trim.isEmpty || PlayerState.utf8Gt(e.player, lastName))
+        copy(lastName = e.player)
       else this
     e.eventType match {
       case "kill"   => named.copy(kills = kills + 1)
@@ -55,6 +58,20 @@ final case class PlayerState(
 
 object PlayerState {
   val empty: PlayerState = PlayerState(0L, 0L, 0L, 0L, "")
+
+  /** a > b under unsigned UTF-8 byte order (Spark's binary collation). */
+  private[core] def utf8Gt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c > 0
+      i += 1
+    }
+    x.length > y.length
+  }
 }
 
 final case class PlayerStatsRow(

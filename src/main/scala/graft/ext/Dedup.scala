@@ -97,8 +97,15 @@ object Dedup {
     // explode: the signature pipeline (md5 + numPerm mins) runs ONCE — a
     // self-join would execute it per side. LSH buckets are tiny by
     // construction (documents land together only when a whole band of
-    // minhashes agrees), so the per-bucket fan-out is bounded.
+    // minhashes agrees) — EXCEPT exact duplicates, which share every band:
+    // run exactDupGroups first and feed one representative per exact-dup
+    // class, or a mega-bucket of N copies degenerates to one N-element list
+    // and N²/2 pairs in a single task (a distributed self-join has the same
+    // N² output, just spread out — the real fix is upstream either way).
+    // Null-signature rows are excluded to keep join semantics (SQL equality
+    // never matches NULL; groupBy would).
     val grouped = buckets
+      .where(col("sig").isNotNull)
       .groupBy(col("band"), col("sig"))
       .agg(collect_list(col(idCol)).as("__ids"))
       .where(size(col("__ids")) > 1)
@@ -157,7 +164,12 @@ object Dedup {
     // Each group's pair fan-out is df(s)²/2: bounded on real corpora because
     // near-duplicate shingles are rare across unrelated docs; a pathological
     // stop-shingle (huge df) is the thing to cap upstream at open-web scale.
+    // Null block keys / shingles never pair (SQL join-equality semantics —
+    // the groupBy would otherwise bucket NULLs together and invent pairs the
+    // oracle's `a.lang = b.lang` join excludes).
+    val nonNull = (blockCols.map(col(_).isNotNull) :+ col("__s").isNotNull).reduce(_ && _)
     val byShingle = postings
+      .where(nonNull)
       .groupBy((blockCols.map(col) :+ col("__s")): _*)
       .agg(collect_list(struct(col("__id"), col("__n"))).as("__docs"))
       .where(size(col("__docs")) > 1)

@@ -32,8 +32,11 @@ object Similarity {
   def l2Norm(v: Column): Column =
     sqrt(graft.functions.VectorFunctions.dotProduct(v, v))
 
-  /** Unit-normalize a vector (null-safe only for non-zero vectors: a zero
-    * vector divides to NaNs, mirroring `cosine`'s 0/0 behavior). */
+  /** Unit-normalize a vector (a zero vector divides to NaNs, mirroring
+    * `cosine`'s 0/0 behavior). COST NOTE: the lambda re-evaluates the O(d)
+    * norm per element (O(d²) per row, interpreted) — on hot paths project
+    * the norm as its own column once and divide by that instead; this form
+    * exists for one-shot convenience. */
   def l2Normalize(v: Column): Column = {
     val n = l2Norm(v)
     transform(v.cast("array<double>"), x => x / n)
@@ -79,16 +82,31 @@ object Similarity {
     * (..keys.., rank, n_id, sim), ranked (sim desc, n_id asc) through the
     * map-side-combining [[graft.functions.TopKBySim]] Aggregator — identical
     * results to a row_number window, O(|keys|·k) exchange instead of
-    * shuffling every scored candidate. */
+    * shuffling every scored candidate. The aggregator's typed input carries
+    * long ids; non-integral id types take the (type-agnostic, but
+    * full-shuffle-and-sort) window fallback. */
   private def rankTopK(scored: DataFrame, keys: Seq[String], k: Int): DataFrame = {
-    val topk = udaf(new graft.functions.TopKBySim(k),
-      org.apache.spark.sql.Encoders.product[graft.functions.SimCand])
-    scored.groupBy(keys.map(col): _*)
-      .agg(topk(col("n_id"), col("sim")).as("top"))
-      .select(keys.map(col) :+ posexplode(col("top")).as(Seq("pos", "t")): _*)
-      .select(keys.map(col) ++ Seq(
-        (col("pos") + 1).cast("int").as("rank"),
-        col("t.n_id").as("n_id"), col("t.sim").as("sim")): _*)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralId = scored.schema("n_id").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (integralId) {
+      val topk = udaf(new graft.functions.TopKBySim(k),
+        org.apache.spark.sql.Encoders.product[graft.functions.SimCand])
+      scored.groupBy(keys.map(col): _*)
+        .agg(topk(col("n_id").cast("long"), col("sim")).as("top"))
+        .select(keys.map(col) :+ posexplode(col("top")).as(Seq("pos", "t")): _*)
+        .select(keys.map(col) ++ Seq(
+          (col("pos") + 1).cast("int").as("rank"),
+          col("t.n_id").as("n_id"), col("t.sim").as("sim")): _*)
+    } else {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(keys.map(col) ++ Seq(col("rank"), col("n_id"), col("sim")): _*)
+    }
   }
 
   /** Deterministic LSH bucket: the sign bits of the first `bits` dimensions

@@ -95,7 +95,10 @@ object TextAnalysis {
     * divergence between engines). One pass per row, no shuffle. */
   val RollB = 1000003L
   val RollP = 2147483647L
-  def rollingHash(textCol: String): Column =
+  /** Internal: folds the `__rh` mod-P word-hash array that
+    * [[rollingHashTable]] stages — meaningless on any other DataFrame,
+    * hence not public API. */
+  private def rollingHash(textCol: String): Column =
     expr(
       s"""aggregate(
          |  slice(__rh, 2, size(__rh) - 1),

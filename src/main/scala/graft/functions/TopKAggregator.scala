@@ -24,9 +24,15 @@ final case class SimCand(n_id: Long, sim: Double)
 final class TopKBySim(k: Int) extends Aggregator[SimCand, List[SimCand], List[SimCand]] {
   require(k > 0, s"k must be positive, got $k")
 
-  /** better(a, b): does a rank strictly before b? (sim desc, n_id asc) */
-  private def better(a: SimCand, b: SimCand): Boolean =
-    a.sim > b.sim || (a.sim == b.sim && a.n_id < b.n_id)
+  /** better(a, b): does a rank strictly before b? (sim desc, n_id asc).
+    * Compares through java.lang.Double.compare so the order is TOTAL — NaN
+    * ranks above every finite value, exactly like Spark's descending sort in
+    * the equivalent row_number window (primitive > would make NaN incomparable
+    * and the kept row would depend on partition/merge order). */
+  private def better(a: SimCand, b: SimCand): Boolean = {
+    val c = java.lang.Double.compare(a.sim, b.sim)
+    c > 0 || (c == 0 && a.n_id < b.n_id)
+  }
 
   override def zero: List[SimCand] = Nil
 

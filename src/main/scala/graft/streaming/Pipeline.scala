@@ -86,7 +86,11 @@ final class PipelineOrchestrator(
     else {
       loadDimension()
       val r = controller.start()
-      producerStart()
+      // a dead producer must not leave a half-started pipeline behind: the
+      // query would look "Running" forever with no events and retries would
+      // bounce off the idempotency guard without ever starting the producer
+      try producerStart()
+      catch { case e: Throwable => controller.stop(); throw e }
       r
     }
   }
@@ -94,8 +98,15 @@ final class PipelineOrchestrator(
   def stop(): String = synchronized {
     if (controller.status != "Running") "Not running"
     else {
-      producerStop()
-      controller.stop()
+      // always stop the query, even if the producer callback fails — the
+      // caller asked for the pipeline to be DOWN; surface the producer
+      // failure afterwards
+      val producerFailure =
+        try { producerStop(); None }
+        catch { case e: Throwable => Some(e) }
+      val r = controller.stop()
+      producerFailure.foreach(throw _)
+      r
     }
   }
 

@@ -37,6 +37,17 @@ class PlayerStatsEngineSpec extends SparkTestBase {
     names.distinct shouldBe Seq("Zed")
   }
 
+  test("fold name order equals Spark's binary (UTF-8) max for supplementary-plane names") {
+    // UTF-16 code-unit order would keep U+E000; UTF-8 byte order (Spark's
+    // binary collation, used by the batch twin's max()) keeps the emoji
+    val names = Seq("\uE000", new String(Character.toChars(0x1F600)))
+    val folded = names.map(n => ev(n, "S1", "kill"))
+      .foldLeft(PlayerState.empty)(_.fold(_)).lastName
+    val sparkMax = names.toDF("n")
+      .agg(org.apache.spark.sql.functions.max("n")).collect().head.getString(0)
+    folded shouldBe sparkMax
+  }
+
   test("whitespace-only names are blank (isBlank semantics) and never stored") {
     val s = Seq(ev("  ", "S1", "kill"), ev("", "S1", "death"))
       .foldLeft(PlayerState.empty)(_.fold(_))
@@ -118,9 +129,14 @@ class PlayerStatsEngineSpec extends SparkTestBase {
       q.processAllAvailable()
 
       // last emitted row per key == batch twin over the concatenated events
+      // (cumulative counters are the monotone selector; `second` is
+      // batch-scoped and can shrink across batches)
       val streamed = spark.table("stats_spec")
         .as[PlayerStatsRow].collect()
-        .groupBy(_.steamId).map { case (_, rows) => rows.maxBy(_.second) }
+        .groupBy(_.steamId)
+        .map { case (_, rows) =>
+          rows.maxBy(r => r.kills + r.deaths + r.assists + r.damage)
+        }
         .toSeq.sortBy(_.steamId)
       val twin = PlayerStatsEngine
         .batchPlayerStats((batch1 ++ batch2).toDF())

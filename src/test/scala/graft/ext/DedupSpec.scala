@@ -98,6 +98,16 @@ class DedupSpec extends SparkTestBase {
     out shouldBe Seq((1L, 2L, 1.0 / 3.0))
   }
 
+  test("NULL block keys never pair (SQL join-equality semantics)") {
+    val docs = Seq(
+      (1L, "a b c d", null.asInstanceOf[String]),
+      (2L, "a b c d", null.asInstanceOf[String]),
+      (3L, "a b c d", "en"), (4L, "a b c d", "en")).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    pairs shouldBe Seq((3L, 4L)) // the NULL-lang docs stay unpaired
+  }
+
   test("ngramJaccardPairs applies the threshold") {
     val docs = Seq((1L, "a b c d", "en"), (2L, "a b c e", "en")).toDF("doc_id", "text", "lang")
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.5).count() shouldBe 0L

@@ -73,6 +73,29 @@ class SimilaritySpec extends SparkTestBase {
     got shouldBe (1.0 / (math.sqrt(10.0) * 1.0) +- eps)
   }
 
+  test("NaN similarities rank deterministically first, like a descending sort") {
+    // corpus contains a zero vector (cosine = 0/0 = NaN); NaN sorts ABOVE
+    // all finite values in a desc sort, and the bounded aggregator must
+    // agree no matter the partition/merge order
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f))).toDF("id", "v")
+    val out = Similarity.bruteForceTopK(df.where(col("id") === 1), df, "id", "id", "v", 2)
+      .orderBy("rank").collect().map(r => r.getLong(r.fieldIndex("n_id")))
+    out.toSeq shouldBe Seq(3L, 2L) // NaN candidate first, then best finite
+  }
+
+  test("non-integral id types fall back to the window ranking path") {
+    val df = Seq(
+      ("a", Array(1.0f, 0.0f)),
+      ("b", Array(0.9f, 0.1f)),
+      ("c", Array(0.0f, 1.0f))).toDF("id", "v")
+    val out = Similarity.bruteForceTopK(df.where(col("id") === "a"), df, "id", "id", "v", 2)
+      .orderBy("rank").collect().map(r => r.getString(r.fieldIndex("n_id")))
+    out.toSeq shouldBe Seq("b", "c")
+  }
+
   test("zero vector yields NaN (0/0), not an error") {
     val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
     df.select(Similarity.cosine(col("a"), col("b"))).collect().head.getDouble(0).isNaN shouldBe true

@@ -35,9 +35,14 @@ class PipelineSpec extends SparkTestBase {
         "x,1408,1,x,x,60,0,x,x,S2,x")
       q.processAllAvailable()
 
+      // latest snapshot per key = max CUMULATIVE counters (monotone across
+      // batches), NOT max second — `second` is batch-scoped, so a later
+      // batch carrying only earlier-game events emits a smaller second
       val streamed = spark.table("pipeline_spec")
         .as[PlayerStatsRow].collect()
-        .groupBy(_.steamId).map(_._2.maxBy(_.second)).toSeq.sortBy(_.steamId)
+        .groupBy(_.steamId)
+        .map(_._2.maxBy(r => r.kills + r.deaths + r.assists + r.damage))
+        .toSeq.sortBy(_.steamId)
 
       // Ada: 1 kill, 1 death, 40 dmg; Bo: 1 kill, 1 death, 60 dmg
       streamed.map(r => (r.steamId, r.playerName, r.kills, r.deaths, r.damage)) shouldBe
@@ -100,6 +105,24 @@ class PipelineSpec extends SparkTestBase {
     f.width shouldBe 5   // 1 + 4 % 64
     f.height shouldBe 5  // 1 + 4 % 48
     f.brightness shouldBe ((97 + 98 + 99 + 100) / 4.0)
+  }
+
+  test("orchestrator failure paths: producer errors never strand the query") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val controller = new StreamController(() =>
+      mem.toDS().writeStream.format("noop").start())
+    // start: producer fails -> query is rolled back, status Stopped
+    val failingStart = new PipelineOrchestrator(
+      () => (), controller, producerStart = () => sys.error("producer down"))
+    an[Exception] should be thrownBy failingStart.start()
+    controller.status shouldBe "Stopped"
+    // stop: producer fails -> query still stops, failure surfaces after
+    val failingStop = new PipelineOrchestrator(
+      () => (), controller, producerStop = () => sys.error("producer down"))
+    failingStop.start() shouldBe "Started"
+    an[Exception] should be thrownBy failingStop.stop()
+    controller.status shouldBe "Stopped"
   }
 
   test("multimodal resize emits target geometry with bounded payload size") {

@@ -37,13 +37,17 @@ def main(out_dir, sf_dir):
         s = sdf[scols].sort_values(by=scols).reset_index(drop=True)
         o = odf[ocols].sort_values(by=ocols).reset_index(drop=True)
         mismatch = None
-        for c in scols:
-            sv, ov = s[c], o[c].astype(s[c].dtype) if s[c].dtype != o[c].dtype else o[c]
-            neq = ~((sv == ov) | (sv.isna() & ov.isna()))
-            if neq.any():
-                i = neq.idxmax()
-                mismatch = f"col {c} row {i}: spark={sv[i]!r} oracle={ov[i]!r}"
-                break
+        try:
+            for c in scols:
+                sv = s[c]
+                ov = o[c].astype(s[c].dtype) if s[c].dtype != o[c].dtype else o[c]
+                neq = ~((sv == ov) | (sv.isna() & ov.isna()))
+                if neq.any():
+                    i = neq.idxmax()
+                    mismatch = f"col {c} row {i}: spark={sv[i]!r} oracle={ov[i]!r}"
+                    break
+        except Exception as e:  # dtype coercion etc. — fail THIS query, keep going
+            mismatch = f"COMPARE ERROR {e}"
         if mismatch:
             print(f"{name}: VALUE MISMATCH {mismatch}"); failures += 1
         else:
