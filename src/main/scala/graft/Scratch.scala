@@ -17,13 +17,18 @@ object Scratch {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // each arg is `name` (timed on sfDir) or `sf0.01:name` (timed on that SF)
     val names = if (args.isEmpty) Seq("q24_simhash", "q24_simhash") else args.toSeq
-    names.foreach { name =>
+    names.foreach { spec =>
+      val (dir, name) = spec.split(":") match {
+        case Array(sf, n) => (s"/root/testdata/$sf", n)
+        case Array(n)     => (sfDir, n)
+      }
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[scratch] $name failed: $e") }
-      println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      catch { case e: Throwable => System.err.println(s"[scratch] $spec failed: $e") }
+      println(f"[scratch] $spec%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     spark.stop()
   }

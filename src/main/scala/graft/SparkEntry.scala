@@ -11,7 +11,7 @@ import graft.core.parse.GameLogParser
 import graft.core.stats.PlayerStatsEngine
 import graft.core.enrich.Enrich
 import graft.analytics.{Scoreboard, Sessionize}
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract: the operator catalog (SURVEY.md §2) as named queries over
   * the driver's parquet testdata, each paired with ANSI SQL the driver runs in
@@ -914,6 +914,90 @@ object SparkEntry {
         FROM v)
       SELECT vec_id, l2_norm, vec[1] / l2_norm AS unit_first
       FROM n ORDER BY vec_id""")),
+
+    // Transitive dedup clusters: minhash-LSH candidate pairs → connected
+    // components (iterative min-label propagation) → one keeper per
+    // component. Oracle replicates the label fixpoint with a recursive
+    // reachability CTE (component min = min over reachable ids).
+    ("q41_dedup_clusters", (s, dir) => {
+      val pairs = Dedup.minhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc_id", "id_a")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(
+          col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs),
+      mh AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mh GROUP BY doc_id, p // 4),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+      SELECT id AS doc_id, min(label) AS cluster_id,
+             (id = min(label)) AS is_keeper
+      FROM reach GROUP BY id ORDER BY doc_id""")),
+
+    // Deterministic keyed hash-sample: reproducible (engine/partitioning/
+    // seed-independent) 5% sample of ORDERS — every lineitem of a sampled
+    // order survives together; nested (5% ⊂ 10%); pure codegen filter at
+    // the scan, no shuffle added.
+    ("q42_hash_sample", (s, dir) => {
+      Sampling.hashSample(T(s, dir, "lineitem"), col("l_orderkey"), 5)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag,
+             count(*) AS n_rows,
+             count(DISTINCT l_orderkey) AS n_orders,
+             sum(l_quantity::DECIMAL(12,2))::DOUBLE AS sum_qty
+      FROM lineitem
+      WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 12))::BIGINT % 100 < 5
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Class-balanced downsample: ≤20 docs per language in deterministic
+    // pseudorandom (id-hash) order — the unbiased-but-reproducible per-class
+    // cap a balanced training mix needs.
+    ("q43_balanced_sample", (s, dir) => {
+      Sampling.balancedSample(T(s, dir, "documents"), Seq("lang"), col("doc_id"), 20)
+        .select(col("lang"), col("doc_id"), col("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }, Some("""
+      WITH ranked AS (
+        SELECT lang, doc_id,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT, doc_id)
+            AS INT) AS sample_rank
+        FROM documents)
+      SELECT lang, doc_id, sample_rank FROM ranked
+      WHERE sample_rank <= 20 ORDER BY lang, sample_rank""")),
 
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only

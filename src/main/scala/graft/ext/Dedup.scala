@@ -187,4 +187,56 @@ object Dedup {
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
+
+  /** Connected components over an undirected dup-pair edge list — the dedup
+    * endgame: candidate pairs only say "a ~ b"; keeping one doc per
+    * TRANSITIVE duplicate class needs the component structure (a~b, b~c ⇒
+    * one keeper among {a,b,c}).
+    *
+    * Iterative min-label propagation, all DataFrame ops: each round every
+    * node adopts the smallest label among itself and its neighbors; fixpoint
+    * = every node carries its component's minimum id. Each round is one
+    * shuffle join + one hash aggregate — the plan that scales out — and
+    * `localCheckpoint` truncates lineage so the plan does not grow with the
+    * iteration count (at 100 TB swap it for a reliable `checkpoint`).
+    * Rounds needed = graph diameter; near-dup clusters are shallow
+    * star-like blobs in practice (diameter ~2-4). For adversarial long-chain
+    * graphs the large-star/small-star contraction (Kiveris et al., "CC in
+    * MapReduce and Spark") drops this to O(log d) — noted, not needed here.
+    *
+    * Returns (id, cluster_id) for every node that appears in any edge;
+    * deterministic (exact min per component) regardless of execution order.
+    */
+  def connectedComponents(
+      edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val adj = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint() // reused every round: compute the pair pipeline once
+    var labels = adj.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = adj
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          (col("nbr") < col("label")).as("chg"))
+        .localCheckpoint()
+      changed = next.where(col("chg")).count()
+      labels = next.select(col("id"), col("label"))
+      i += 1
+    }
+    require(changed == 0L,
+      s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds maxIter")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
 }

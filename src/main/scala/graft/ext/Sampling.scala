@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextAnalysis.hash48
+
+/** Deterministic sampling for reproducible training-data pipelines.
+  *
+  * Random `df.sample()` is the wrong tool at 100 TB: it is seed- and
+  * partitioning-dependent (a repartition changes the sample), unrepeatable
+  * across engines, and samples ROWS — tearing apart row-groups that belong
+  * together (the lineitems of one order, the chunks of one document). Both
+  * operators here key the decision on a content hash instead:
+  *
+  *  - stable under reruns, cluster size, partitioning, and engine (the
+  *    48-bit md5 prefix is replicated exactly by the DuckDB oracle);
+  *  - sample-by-KEY: every row of a selected key survives together;
+  *  - monotone: the 5% sample is a subset of the 10% sample (hash < p
+  *    nests), so growing a training subset never resamples old data;
+  *  - pure filter / window — no extra shuffle for [[hashSample]] (it
+  *    evaluates inside the scan's codegen stage and pushes no skew
+  *    anywhere), one keyed exchange for [[balancedSample]].
+  */
+object Sampling {
+
+  /** Keep every row whose `key` hashes into the lowest `pct` percent of the
+    * 48-bit hash space (mod-100 buckets). Keyed: all rows sharing a key are
+    * kept or dropped together. */
+  def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    df.where(hash48(key.cast("string")) % 100 < pct)
+  }
+
+  /** Class-balanced downsample: at most `n` rows per class, chosen in
+    * deterministic pseudorandom order (by id-hash, id tie-break) so the
+    * per-class pick is unbiased w.r.t. storage order but exactly
+    * reproducible. Adds `sample_rank` (1-based within class).
+    *
+    * Scale note: the row_number window sorts each class partition; for
+    * billion-row classes pre-thin with [[hashSample]] first (keep ~10·n/|c|
+    * percent) so the sort input is O(n), then rank the survivors. */
+  def balancedSample(df: DataFrame, classCols: Seq[String], id: Column, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(classCols.map(col): _*)
+      .orderBy(hash48(id.cast("string")), id)
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= n)
+  }
+}

@@ -114,4 +114,26 @@ class DedupSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.0)
   }
+
+  test("connectedComponents: transitive closure labels every node with the component min") {
+    // chain 1-2-3 (transitive: 1 and 3 never share an edge), pair 10-11,
+    // isolated-by-absence 99 (no edges -> not in output)
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(edges, "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    out shouldBe Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2 rounds)") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(chain, "a", "b").collect()
+    out.map(_.getLong(1)).distinct.toSeq shouldBe Seq(1L)
+    out.length shouldBe 12
+  }
+
+  test("connectedComponents refuses silent non-convergence") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.connectedComponents(chain, "a", "b", maxIter = 2)
+  }
 }

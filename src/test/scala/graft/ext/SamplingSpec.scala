@@ -1,0 +1,63 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def h48(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private val rows = (1L to 400L).map(k => (k, s"payload-$k"))
+
+  test("hashSample keeps exactly the keys whose hash bucket is below pct") {
+    val df = rows.toDF("k", "v")
+    val got = Sampling.hashSample(df, col("k"), 10).collect().map(_.getLong(0)).toSet
+    val expected = rows.map(_._1).filter(k => h48(k.toString) % 100 < 10).toSet
+    got shouldBe expected
+    got.nonEmpty shouldBe true // 400 keys at 10% — statistically certain
+  }
+
+  test("hashSample is keyed: duplicate keys survive or die together") {
+    val dup = (rows ++ rows).toDF("k", "v")
+    val counts = Sampling.hashSample(dup, col("k"), 10)
+      .groupBy("k").count().collect().map(_.getLong(1)).distinct.toSeq
+    counts shouldBe Seq(2L)
+  }
+
+  test("hashSample nests: the 5% sample is a subset of the 20% sample") {
+    val df = rows.toDF("k", "v")
+    val p5 = Sampling.hashSample(df, col("k"), 5).collect().map(_.getLong(0)).toSet
+    val p20 = Sampling.hashSample(df, col("k"), 20).collect().map(_.getLong(0)).toSet
+    p5.subsetOf(p20) shouldBe true
+    Sampling.hashSample(df, col("k"), 0).count() shouldBe 0L
+    Sampling.hashSample(df, col("k"), 100).count() shouldBe 400L
+    an[IllegalArgumentException] should be thrownBy Sampling.hashSample(df, col("k"), 101)
+  }
+
+  test("balancedSample caps every class at n with deterministic hash-ordered picks") {
+    val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "cls")
+    val out = Sampling.balancedSample(df, Seq("cls"), col("id"), 7)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    out.groupBy(_._1).foreach { case (_, g) =>
+      g.length shouldBe 7
+      g.map(_._3).sorted.toSeq shouldBe (1 to 7)
+    }
+    // picks are the hash-order prefix of each class, not storage order
+    val expectedA = (1L to 100L).filter(_ % 3 == 0)
+      .sortBy(i => (h48(i.toString), i)).take(7).toSet
+    out.filter(_._1 == "a").map(_._2).toSet shouldBe expectedA
+  }
+
+  test("balancedSample leaves classes smaller than n whole") {
+    val df = Seq((1L, "tiny"), (2L, "tiny")).toDF("id", "cls")
+    Sampling.balancedSample(df, Seq("cls"), col("id"), 10).count() shouldBe 2L
+  }
+}
