@@ -54,6 +54,16 @@ class PlanSpec extends SparkTestBase {
     plan(graft.core.enrich.Enrich.backfillName(facts, dim)) should include("BroadcastHashJoin")
   }
 
+  test("hashSample is a zero-shuffle codegen filter at the scan") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = plan(graft.ext.Sampling.hashSample(li, col("l_orderkey"), 5)
+      .select(col("l_orderkey"), col("l_quantity")))
+    (p should not).include("Exchange") // pure filter: no shuffle introduced
+    p should include("Filter")
+    // projection pruning still reaches the scan under the sample filter
+    p should not include "l_comment"
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
