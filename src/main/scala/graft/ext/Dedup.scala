@@ -139,10 +139,20 @@ object Dedup {
     * on (blockCols, shingle), and count shared shingles per (id_a, id_b).
     * Pairs sharing no shingle never materialize (their Jaccard is 0 — below
     * any positive threshold by construction). Doc sizes ride along with the
-    * postings, so no extra join is needed to assemble |A ∪ B|. */
+    * postings, so no extra join is needed to assemble |A ∪ B|.
+    *
+    * `maxDf` is the open-web-scale guard: a shingle appearing in more than
+    * maxDf docs within a block (a boilerplate/stopword shingle) is dropped
+    * from PAIR GENERATION, capping any single group's fan-out at maxDf²/2
+    * pairs. Denominators keep counting dropped shingles, so reported scores
+    * are a LOWER bound on true Jaccard when the cap bites — the safe
+    * direction for a dedup threshold (never invents a duplicate), at the
+    * cost of possibly missing pairs whose overlap is pure boilerplate. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], minJaccard: Double): DataFrame = {
+      blockCols: Seq[String], minJaccard: Double,
+      maxDf: Option[Int] = None): DataFrame = {
+    maxDf.foreach(m => require(m > 1, s"maxDf must be > 1 to allow any pair, got $m"))
     require(minJaccard > 0.0, "minJaccard must be positive: zero-overlap pairs are never generated")
     // Per-doc DISTINCT shingles via explode + relational distinct — a
     // codegen'd hash aggregate. (array_distinct on a string array is an
@@ -173,6 +183,7 @@ object Dedup {
       .groupBy((blockCols.map(col) :+ col("__s")): _*)
       .agg(collect_list(struct(col("__id"), col("__n"))).as("__docs"))
       .where(size(col("__docs")) > 1)
+      .where(maxDf.fold(lit(true))(m => size(col("__docs")) <= m))
     val inter = byShingle
       .select(explode(col("__docs")).as("a"), col("__docs"))
       .select(col("a"), explode(col("__docs")).as("b"))

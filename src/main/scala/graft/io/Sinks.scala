@@ -44,4 +44,14 @@ object Sinks {
   /** Parquet append sink for a batch — the test/local stand-in for Postgres. */
   def parquetAppend(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
+
+  /** Hive-style partitioned parquet append: the 100 TB table LAYOUT. Readers
+    * filtering on the partition columns scan only matching directories
+    * (partition pruning — `PartitionFilters` at the scan, no data read
+    * elsewhere), and each partition can be compacted/retired independently.
+    * Partition on low-cardinality, always-filtered columns (event date,
+    * source, language) — never on high-cardinality keys, which would
+    * explode the file count. */
+  def partitionedParquetAppend(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
 }

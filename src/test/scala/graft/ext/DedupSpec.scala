@@ -115,6 +115,27 @@ class DedupSpec extends SparkTestBase {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.0)
   }
 
+  test("ngramJaccardPairs maxDf drops stop-shingles from pairing, lower-bounding scores") {
+    // docs 1/2 truly near-identical; docs 3/4 share ONLY the boilerplate
+    // shingle "x y z" that appears in every doc (df=4)
+    val docs = Seq(
+      (1L, "a b c d x y z", "en"),
+      (2L, "a b c d x y z", "en"),
+      (3L, "p q r x y z", "en"),
+      (4L, "s t u x y z", "en")).toDF("doc_id", "text", "lang")
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped should contain((3L, 4L)) // boilerplate-only overlap pairs them
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.01, maxDf = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    capped.map(p => (p._1, p._2)) shouldBe Seq((1L, 2L)) // stop-shingle pairs gone
+    // 1/2 share all 5 shingles but "x y z" (df=4) is dropped from the
+    // numerator while denominators still count it: 4 / (5 + 5 - 4)
+    capped.head._3 shouldBe (4.0 / 6.0 +- 1e-12)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.01, maxDf = Some(1))
+  }
+
   test("connectedComponents: transitive closure labels every node with the component min") {
     // chain 1-2-3 (transitive: 1 and 3 never share an edge), pair 10-11,
     // isolated-by-absence 99 (no edges -> not in output)

@@ -114,4 +114,25 @@ class SourcesSinksSpec extends SparkTestBase {
       out.toSeq shouldBe Seq(("Ada", 10L), ("Bo", 20L))
     } finally spark.catalog.dropTempView("player_stats")
   }
+
+  test("partitioned parquet sink lays out hive dirs and reads prune partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    try {
+      val df = Seq(
+        ("en", 1L, "hello"), ("en", 2L, "world"), ("de", 3L, "hallo")
+      ).toDF("lang", "doc_id", "text")
+      Sinks.partitionedParquetAppend(df, dir, Seq("lang"))
+      new java.io.File(dir).list().filter(_.startsWith("lang=")).sorted.toSeq shouldBe
+        Seq("lang=de", "lang=en")
+
+      val read = spark.read.parquet(dir).where(col("lang") === "en")
+      read.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq shouldBe Seq(1L, 2L)
+      // the filter must prune at the partition level, not post-filter rows
+      val scan = read.queryExecution.executedPlan.toString
+      scan should include("PartitionFilters")
+      scan should include("lang#")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
