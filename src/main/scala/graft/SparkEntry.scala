@@ -999,6 +999,26 @@ object SparkEntry {
       SELECT lang, doc_id, sample_rank FROM ranked
       WHERE sample_rank <= 20 ORDER BY lang, sample_rank""")),
 
+    // Sliding token-window chunking (32-token chunks, 8-token overlap):
+    // 1→n row generation in one codegen projection, no shuffle.
+    ("q44_chunk_docs", (s, dir) => {
+      TextAnalysis.chunkByTokens(T(s, dir, "documents"), "doc_id", "text", 32, 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents),
+      s AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(0, greatest(n - 1 - 8, 0), 24)) AS start
+        FROM t)
+      SELECT doc_id,
+             CAST(start // 24 AS INT) AS chunk_idx,
+             array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text,
+             CAST(least(32, n - start) AS INT) AS chunk_tokens
+      FROM s ORDER BY doc_id, chunk_idx""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

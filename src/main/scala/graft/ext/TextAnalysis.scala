@@ -145,4 +145,33 @@ object TextAnalysis {
     * catches reorderings/duplicated-word edits (near-dup key). */
   def fingerprintBag(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(lower(c), " ")))).cast("binary"))
+
+  /** Sliding token-window chunking — long documents into (chunkTokens)-token
+    * chunks overlapping by overlapTokens, the shape a context-bounded
+    * training pipeline feeds downstream. 1→n via posexplode of the chunk
+    * starts (stride = chunk − overlap), slice per start: one codegen'd
+    * projection, no shuffle, no per-row interpretation of the text body.
+    * A chunk exists iff it contains at least one token beyond the previous
+    * chunk's overlap (so short tails that are pure overlap never emit).
+    * Output: (idCol, chunk_idx 0-based, chunk_text, chunk_tokens). */
+  def chunkByTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlapTokens")
+    val step = chunkTokens - overlapTokens
+    df.withColumn("__toks", words(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+      .select(
+        col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(
+          lit(0), greatest(col("__n") - 1 - overlapTokens, lit(0)), lit(step)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(
+        col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("__start")).as("chunk_tokens"))
+  }
 }

@@ -105,4 +105,40 @@ class TextAnalysisSpec extends SparkTestBase {
       .digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     got shouldBe java.lang.Long.parseLong(hex, 16)
   }
+
+  test("chunkByTokens slides with overlap and keeps only chunks with new tokens") {
+    val toks = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, toks)).toDF("doc_id", "text")
+    // chunk=4, overlap=2, step=2: starts 0,2,4,6 then start 8 is cut by the
+    // n-1-overlap bound (its window would add tokens 9,10 -> kept? n-1-2=7,
+    // so starts 0,2,4,6 only; tokens 9,10 appear via start 6's window 7-10)
+    val out = TextAnalysis.chunkByTokens(df, "doc_id", "text", 4, 2)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3))).toSeq
+    out shouldBe Seq(
+      (0, "w1 w2 w3 w4", 4),
+      (1, "w3 w4 w5 w6", 4),
+      (2, "w5 w6 w7 w8", 4),
+      (3, "w7 w8 w9 w10", 4))
+  }
+
+  test("chunkByTokens emits a partial tail chunk when it carries new tokens") {
+    val toks = (1 to 9).map(i => s"w$i").mkString(" ") // 9 tokens
+    val out = TextAnalysis.chunkByTokens(
+      Seq((1L, toks)).toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getString(2), r.getInt(3))).toSeq
+    // step=3: starts 0,3,6 -> last chunk is the 3-token tail w7 w8 w9
+    out shouldBe Seq(("w1 w2 w3 w4", 4), ("w4 w5 w6 w7", 4), ("w7 w8 w9", 3))
+  }
+
+  test("chunkByTokens: short and empty docs yield exactly one chunk") {
+    val df = Seq((1L, "only three words"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(df, "doc_id", "text", 32, 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSeq
+    out shouldBe Seq((1L, 0, "only three words", 3), (2L, 0, "", 1))
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.chunkByTokens(df, "doc_id", "text", 4, 4)
+  }
 }
