@@ -79,7 +79,10 @@ object Dedup {
   /** LSH candidate pairs: split the signature into `bands` bands of
     * numPerm/bands rows, bucket-join docs sharing any band signature.
     * Returns distinct (id_a, id_b) with id_a < id_b. */
-  def minhashCandidatePairs(
+  /** Doc → LSH band buckets `(idCol, band, sig)`: the PERSISTABLE dedup
+    * index. Write this table once per corpus snapshot (partitioned by band)
+    * and new increments join against it — see [[minhashIncrementPairs]]. */
+  def minhashBuckets(
       df: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 16, bands: Int = 4): DataFrame = {
     require(numPerm % bands == 0,
@@ -90,9 +93,32 @@ object Dedup {
       val sig = concat_ws("-", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
       struct(lit(b).as("band"), sig.as("sig"))
     }
-    val buckets = sigs
+    sigs
       .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** Incremental dedup: candidate (new_id, corpus_id) pairs between a new
+    * batch's buckets and a precomputed corpus bucket table — the nightly-
+    * increment shape. The corpus is NEVER re-paired with itself (that work
+    * was paid when its snapshot was built), so a day's increment costs
+    * O(|new|) signature work + one equi-join against the bucket index. */
+  def minhashIncrementPairs(
+      newBuckets: DataFrame, corpusBuckets: DataFrame, idCol: String): DataFrame =
+    newBuckets
+      .where(col("sig").isNotNull)
+      .select(col("band"), col("sig"), col(idCol).as("new_id"))
+      .join(
+        corpusBuckets.where(col("sig").isNotNull)
+          .select(col("band"), col("sig"), col(idCol).as("corpus_id")),
+        Seq("band", "sig"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+
+  def minhashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numPerm: Int = 16, bands: Int = 4): DataFrame = {
+    val buckets = minhashBuckets(df, idCol, textCol, numPerm, bands)
     // Pair generation via collect_list per (band, sig) bucket + double
     // explode: the signature pipeline (md5 + numPerm mins) runs ONCE — a
     // self-join would execute it per side. LSH buckets are tiny by

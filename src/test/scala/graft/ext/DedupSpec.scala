@@ -98,6 +98,21 @@ class DedupSpec extends SparkTestBase {
     out shouldBe Seq((1L, 2L, 1.0 / 3.0))
   }
 
+  test("incremental pairs: new batch joins the persisted corpus index, corpus never self-pairs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // corpus-internal dup: must NOT emit
+      (3L, "totally different text here now")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // dup of corpus 1 and 2
+      (11L, "brand new unseen document words")).toDF("doc_id", "text")
+    val corpusIdx = Dedup.minhashBuckets(corpus, "doc_id", "text")
+    val newIdx = Dedup.minhashBuckets(fresh, "doc_id", "text")
+    val pairs = Dedup.minhashIncrementPairs(newIdx, corpusIdx, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((10L, 1L), (10L, 2L))
+  }
+
   test("NULL block keys never pair (SQL join-equality semantics)") {
     val docs = Seq(
       (1L, "a b c d", null.asInstanceOf[String]),
