@@ -146,6 +146,20 @@ object TextAnalysis {
   def fingerprintBag(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(lower(c), " ")))).cast("binary"))
 
+  /** PII scrub: mask emails, long digit runs (phone/account numbers), and
+    * IPv4 literals. Pure per-row `regexp_replace` chain — codegen'd, no
+    * shuffle, linear in the scan like every other text op here. The digit
+    * rule runs LAST so address digits inside already-masked spans are gone,
+    * and it is bounded (9+ digits, allowing separators) to keep ordinary
+    * numbers/years intact. Heuristic by design: a recall-tuned scrubber for
+    * training corpora, not a compliance guarantee. */
+  def redactPii(c: Column, mask: String = "[PII]"): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val digits = "\\b\\d(?:[ .-]?\\d){8,}\\b"
+    regexp_replace(regexp_replace(regexp_replace(c, email, mask), ipv4, mask), digits, mask)
+  }
+
   /** Sliding token-window chunking — long documents into (chunkTokens)-token
     * chunks overlapping by overlapTokens, the shape a context-bounded
     * training pipeline feeds downstream. 1→n via posexplode of the chunk

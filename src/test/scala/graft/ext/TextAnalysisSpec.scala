@@ -106,6 +106,19 @@ class TextAnalysisSpec extends SparkTestBase {
     got shouldBe java.lang.Long.parseLong(hex, 16)
   }
 
+  test("redactPii masks emails, ip literals and long digit runs, keeps prose") {
+    val df = Seq(
+      "contact me at jane.doe+x@example.co.uk or 555-123-4567-89",
+      "server 10.0.42.7 logged 2024 events in room 42",
+      "plain text stays untouched").toDF("t")
+    val out = df.select(TextAnalysis.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    out shouldBe Seq(
+      "contact me at [PII] or [PII]",
+      "server [PII] logged 2024 events in room 42",
+      "plain text stays untouched")
+  }
+
   test("chunkByTokens slides with overlap and keeps only chunks with new tokens") {
     val toks = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
     val df = Seq((1L, toks)).toDF("doc_id", "text")
