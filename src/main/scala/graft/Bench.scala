@@ -48,12 +48,18 @@ object Bench {
     val warmDir = {
       val target = new java.io.File(sfDir).getCanonicalFile
       // smallest available SF that is STRICTLY smaller than the target —
-      // warming on a larger SF would cost more than the timed run itself
+      // warming on a larger SF would cost more than the timed run itself.
+      // A non-sf-named target (custom dir) has no parsable size: warm on it
+      // directly rather than crash before the first query.
+      def sf(f: java.io.File): Option[Double] =
+        scala.util.Try(f.getName.stripPrefix("sf").toDouble).toOption
       val candidates = Seq("sf0.001", "sf0.01")
         .map(n => new java.io.File(target.getParentFile, n).getCanonicalFile)
-      candidates.find(f => f.isDirectory && f != target &&
-          f.getName.drop(2).toDouble < target.getName.drop(2).toDouble)
-        .map(_.getPath).getOrElse(target.getPath)
+      (for {
+        targetSf <- sf(target)
+        warm <- candidates.find(f =>
+          f.isDirectory && f != target && sf(f).exists(_ < targetSf))
+      } yield warm.getPath).getOrElse(target.getPath)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

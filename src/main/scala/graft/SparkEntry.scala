@@ -535,7 +535,6 @@ object SparkEntry {
 
     ("q23_minhash_lsh", (s, dir) => {
       Dedup.minhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text")
-        .withColumnRenamed("doc_id", "id_a")
         .orderBy(col("id_a"), col("id_b"))
     }, Some("""
       WITH docs AS (
@@ -667,11 +666,16 @@ object SparkEntry {
     // ================================================================
 
     ("q29_langid", (s, dir) => {
+      // two projections: the marker-filter scores evaluate ONCE, and the
+      // argmax reads the projected score_* columns (Catalyst keeps the
+      // projects separate because the scores are non-cheap and multiply
+      // referenced)
       T(s, dir, "documents")
         .select(
           (col("doc_id") +: col("lang").as("actual_lang") +:
-            TextAnalysis.langScores("text")) :+
-            TextAnalysis.predictedLang("text").as("pred_lang"): _*)
+            TextAnalysis.langScores("text")): _*)
+        .select(col("*"),
+          TextAnalysis.predictedLang("text", l => col(s"score_$l")).as("pred_lang"))
         .orderBy(col("doc_id"))
     }, Some("""
       WITH scored AS (
@@ -921,7 +925,6 @@ object SparkEntry {
     // reachability CTE (component min = min over reachable ids).
     ("q41_dedup_clusters", (s, dir) => {
       val pairs = Dedup.minhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text")
-        .withColumnRenamed("doc_id", "id_a")
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(
           col("id").as("doc_id"), col("cluster_id"),

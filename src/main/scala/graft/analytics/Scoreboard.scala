@@ -87,5 +87,7 @@ object Scoreboard {
     df.groupBy(col(rowKey))
       .pivot(pivotCol, pivotValues)
       .agg(value)
-      .na.fill(0)
+      // fill only the pivot cells: a blanket fill would also rewrite a NULL
+      // row key to 0, conflating that group with a real key 0
+      .na.fill(0, pivotValues)
 }

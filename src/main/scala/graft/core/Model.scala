@@ -31,10 +31,12 @@ final case class PlayerState(
 ) {
   /** Fold one event into the state. The kept name is the MAXIMUM non-blank
     * name seen so far — order-insensitive, so the streaming fold and the
-    * batch twin's `max(when(trim(player) <> '', player))` agree exactly
-    * regardless of batch boundaries or partition order. Blank means
-    * whitespace-only, matching the reference's `StringUtils.isBlank`
-    * (PlayerStatsUpdater.java:31,41); blank names are never stored, so the
+    * batch twin's `max(when(trim(player, BlankChars) <> '', player))` agrees
+    * exactly regardless of batch boundaries or partition order. Blank means
+    * every char ≤ U+0020 (Java `trim` semantics, [[PlayerState.BlankChars]]
+    * on the relational side), matching the reference's `StringUtils.isBlank`
+    * (PlayerStatsUpdater.java:31,41) on this pipeline's ASCII domain; blank
+    * names are never stored, so the
     * emitted name for a never-named key stays `""` like the reference's.
     * Comparison is over UTF-8 BYTES — Spark's binary string collation — so
     * the two paths agree even for supplementary-plane names where Java's
@@ -58,6 +60,16 @@ final case class PlayerState(
 
 object PlayerState {
   val empty: PlayerState = PlayerState(0L, 0L, 0L, 0L, "")
+
+  /** The blank-name character set — exactly Java `String.trim`'s set (every
+    * code point ≤ U+0020), which is what [[PlayerState.fold]]'s
+    * `player.trim.isEmpty` tests. The relational twins (batch stats, enrich
+    * backfill) pass this to Spark's `trim(col, chars)` so BOTH paths call
+    * the same name blank — including tab/newline names, where Spark's
+    * default space-only trim would diverge. (The reference's
+    * `StringUtils.isBlank` differs only on exotic non-ASCII whitespace,
+    * outside this pipeline's CSV domain.) */
+  val BlankChars: String = (0 to 32).map(_.toChar).mkString
 
   /** a > b under unsigned UTF-8 byte order (Spark's binary collation). */
   private[core] def utf8Gt(a: String, b: String): Boolean = {

@@ -27,7 +27,12 @@ object Enrich {
       .join(broadcast(d), Seq(keyCol), "left")
       .withColumn(
         nameCol,
-        coalesce(nullif(trim(col(nameCol)), lit("")), col("__dim_name"), col(nameCol)))
+        // blank test uses the fold's exact charset (PlayerState.BlankChars,
+        // Java-trim semantics) so a tab-only name backfills like the
+        // reference's isBlank would, not just space-only names
+        coalesce(
+          nullif(trim(col(nameCol), graft.core.PlayerState.BlankChars), lit("")),
+          col("__dim_name"), col(nameCol)))
       .drop("__dim_name")
   }
 }

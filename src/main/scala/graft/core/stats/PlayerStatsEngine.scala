@@ -156,7 +156,8 @@ object PlayerStatsEngine {
     val agged = events
       .groupBy(col("steamId"))
       .agg(
-        max(when(trim(col("player")) =!= "", col("player"))).as("playerName0"),
+        max(when(trim(col("player"), graft.core.PlayerState.BlankChars) =!= "",
+          col("player"))).as("playerName0"),
         max(col("second")).as("second"),
         count(when(col("eventType") === "kill", 1)).as("kills"),
         count(when(col("eventType") === "death", 1)).as("deaths"),

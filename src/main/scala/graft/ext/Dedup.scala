@@ -76,9 +76,6 @@ object Dedup {
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: split the signature into `bands` bands of
-    * numPerm/bands rows, bucket-join docs sharing any band signature.
-    * Returns distinct (id_a, id_b) with id_a < id_b. */
   /** Doc → LSH band buckets `(idCol, band, sig)`: the PERSISTABLE dedup
     * index. Write this table once per corpus snapshot (partitioned by band)
     * and new increments join against it — see [[minhashIncrementPairs]]. */
@@ -94,6 +91,12 @@ object Dedup {
       struct(lit(b).as("band"), sig.as("sig"))
     }
     sigs
+      // a null/absent text folds to ALL-null minhashes: exclude the doc here.
+      // (concat_ws skips null args, so the band signature of a null-text doc
+      // would be "" — never NULL — and every null-text doc would share one
+      // bucket per band, inventing pairs the oracle's NULL-excluding join
+      // semantics reject.)
+      .where(col("mh_0").isNotNull)
       .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
   }
@@ -102,15 +105,15 @@ object Dedup {
     * batch's buckets and a precomputed corpus bucket table — the nightly-
     * increment shape. The corpus is NEVER re-paired with itself (that work
     * was paid when its snapshot was built), so a day's increment costs
-    * O(|new|) signature work + one equi-join against the bucket index. */
+    * O(|new|) signature work + one equi-join against the bucket index.
+    * Null-text docs were already excluded when the buckets were built
+    * ([[minhashBuckets]]), so no guard is needed here. */
   def minhashIncrementPairs(
       newBuckets: DataFrame, corpusBuckets: DataFrame, idCol: String): DataFrame =
     newBuckets
-      .where(col("sig").isNotNull)
       .select(col("band"), col("sig"), col(idCol).as("new_id"))
       .join(
-        corpusBuckets.where(col("sig").isNotNull)
-          .select(col("band"), col("sig"), col(idCol).as("corpus_id")),
+        corpusBuckets.select(col("band"), col("sig"), col(idCol).as("corpus_id")),
         Seq("band", "sig"))
       .select(col("new_id"), col("corpus_id"))
       .distinct()
@@ -128,10 +131,7 @@ object Dedup {
     // class, or a mega-bucket of N copies degenerates to one N-element list
     // and N²/2 pairs in a single task (a distributed self-join has the same
     // N² output, just spread out — the real fix is upstream either way).
-    // Null-signature rows are excluded to keep join semantics (SQL equality
-    // never matches NULL; groupBy would).
     val grouped = buckets
-      .where(col("sig").isNotNull)
       .groupBy(col("band"), col("sig"))
       .agg(collect_list(col(idCol)).as("__ids"))
       .where(size(col("__ids")) > 1)
@@ -148,7 +148,10 @@ object Dedup {
     * carries (id, bits longs), and no interpreted lambda runs per element. */
   def simhashTable(df: DataFrame, idCol: String, textCol: String, bits: Int = 48): DataFrame = {
     val exploded = df
-      .select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      // explode_OUTER: a null-text doc keeps one (id, null-hash) row, so it
+      // still reaches the groupBy and emits simhash=0 — matching the
+      // oracle's ELSE-0 branch instead of silently vanishing from the output
+      .select(col(idCol), explode_outer(split(col(textCol), " ")).as("__w"))
       .select(col(idCol), hash48(col("__w")).as("__h"))
     val aggs = (0 until bits).map { b =>
       sum(shiftright(col("__h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"__b$b")

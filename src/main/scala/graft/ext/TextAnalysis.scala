@@ -70,16 +70,24 @@ object TextAnalysis {
   }
 
   /** Predicted language = argmax score, ties → lexicographically first code,
-    * all-zero → "und" (undetermined). */
-  def predictedLang(textCol: String): Column = {
-    val scored = langMarkers.toSeq.sortBy(_._1)
-    val best = scored.map { case (lang, markers) =>
-      val arr = array(markers.map(lit): _*)
-      struct(size(filter(words(col(textCol)), x => array_contains(arr, x))).as("s"), lit(lang).as("l"))
-    }
-    // greatest(struct) picks max score; for equal scores the LATER language
-    // code wins under struct comparison, so compare on (score, reversed code)
-    // is avoided by folding left with strict > (first wins ties).
+    * all-zero → "und" (undetermined). `scoreOf` maps a language code to its
+    * score column — pass `col` references to ALREADY-PROJECTED
+    * [[langScores]] columns so the marker filters run once per row; the
+    * default recomputes them from `textCol` (convenience only — each filter
+    * is an interpreted HOF, so recomputation doubles the per-row text work). */
+  def predictedLang(
+      textCol: String,
+      scoreOf: String => Column = null): Column = {
+    val score: String => Column =
+      if (scoreOf != null) scoreOf
+      else lang => {
+        val arr = array(langMarkers(lang).map(lit): _*)
+        size(filter(words(col(textCol)), x => array_contains(arr, x)))
+      }
+    val best = langMarkers.keys.toSeq.sorted
+      .map(lang => struct(score(lang).cast("long").as("s"), lit(lang).as("l")))
+    // fold left with strict > so the FIRST (lexicographically smallest)
+    // language wins ties — greatest(struct) would let the later code win
     val folded = best.reduceLeft { (acc, c) =>
       when(c.getField("s") > acc.getField("s"), c).otherwise(acc)
     }
@@ -98,7 +106,7 @@ object TextAnalysis {
   /** Internal: folds the `__rh` mod-P word-hash array that
     * [[rollingHashTable]] stages — meaningless on any other DataFrame,
     * hence not public API. */
-  private def rollingHash(textCol: String): Column =
+  private def rollingHash: Column =
     expr(
       s"""aggregate(
          |  slice(__rh, 2, size(__rh) - 1),
@@ -110,7 +118,7 @@ object TextAnalysis {
   def rollingHashTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("__rh",
         transform(split(col(textCol), " "), w => hash48(w) % lit(RollP)))
-      .select(col(idCol), rollingHash(textCol).as("rolling_hash"))
+      .select(col(idCol), rollingHash.as("rolling_hash"))
 
   /** Top-k terms per document by tf·(N/df) — the linear-idf variant: the
     * classic ln(N/df) would hang bit-exactness on two engines' libm `log`

@@ -28,8 +28,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)) ||
-        Seq(left, right).forall(_.dataType == ArrayType(DoubleType, containsNull = false)))
+    // nullability may differ per side (a literal array is containsNull=false,
+    // a parquet column usually true) — only the element type matters here
+    if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }))
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(
@@ -110,8 +114,12 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)) ||
-        Seq(left, right).forall(_.dataType == ArrayType(DoubleType, containsNull = false)))
+    // nullability may differ per side (a literal array is containsNull=false,
+    // a parquet column usually true) — only the element type matters here
+    if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }))
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(

@@ -46,6 +46,15 @@ class ScoreboardSpec extends SparkTestBase {
     out.toSeq shouldBe Seq((1, 2L, 1L, 0L), (2, 0L, 1L, 0L))
   }
 
+  test("pivotMatrix zero-fills only pivot cells — a NULL row key is not rewritten to 0") {
+    val df = Seq((Some(1), "x"), (None, "y"), (Some(0), "x")).toDF("k", "p")
+    val out = Scoreboard.pivotMatrix(df, "k", "p", Seq("x", "y"), count(lit(1)))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        r.getLong(1), r.getLong(2))).toSet
+    // the NULL-key group survives as NULL, distinct from the real key 0
+    out shouldBe Set((Some(1), 1L, 0L), (None, 0L, 1L), (Some(0), 1L, 0L))
+  }
+
   test("denseGrid is distinct(axis) × dim") {
     val facts = Seq((1, "i"), (1, "j"), (2, "k")).toDF("t", "junk")
     val dim = Seq("p1", "p2").toDF("player")

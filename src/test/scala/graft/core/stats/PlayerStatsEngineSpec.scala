@@ -48,6 +48,23 @@ class PlayerStatsEngineSpec extends SparkTestBase {
     folded shouldBe sparkMax
   }
 
+  test("tab-only names are blank in BOTH the fold and the batch twin (Java-trim charset)") {
+    // Spark's default trim strips only spaces; the batch twin must use the
+    // fold's exact blank set (all chars <= U+0020) or a "\t" name would be
+    // kept by one path and dropped by the other
+    val folded = Seq(ev("\t", "S1", "kill"), ev("Ada", "S1", "kill"))
+      .foldLeft(PlayerState.empty)(_.fold(_))
+    folded.lastName shouldBe "Ada"
+    val batch = PlayerStatsEngine.batchPlayerStats(
+      Seq(ev("\t", "S1", "kill"), ev("Ada", "S1", "kill")).toDF())
+      .select("playerName").collect().map(_.getString(0)).toSeq
+    batch shouldBe Seq("Ada")
+    // a key that ONLY ever saw blank-ish names emits "" in both paths
+    Seq(ev("\t", "S2", "kill")).foldLeft(PlayerState.empty)(_.fold(_)).lastName shouldBe ""
+    PlayerStatsEngine.batchPlayerStats(Seq(ev("\t", "S2", "kill")).toDF())
+      .select("playerName").collect().map(_.getString(0)).toSeq shouldBe Seq("")
+  }
+
   test("whitespace-only names are blank (isBlank semantics) and never stored") {
     val s = Seq(ev("  ", "S1", "kill"), ev("", "S1", "death"))
       .foldLeft(PlayerState.empty)(_.fold(_))

@@ -98,6 +98,20 @@ class DedupSpec extends SparkTestBase {
     out shouldBe Seq((1L, 2L, 1.0 / 3.0))
   }
 
+  test("null-text docs never bucket together (minhash) and keep a simhash-0 row") {
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "real text here body"), (4L, "real text here body")).toDF("doc_id", "text")
+    // concat_ws would fold all-null signatures to "" and pair docs 1/2;
+    // they must be excluded at the bucket stage instead
+    Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((3L, 4L))
+    // simhash keeps the doc with signature 0 (oracle's ELSE-0 branch)
+    Dedup.simhashTable(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq should
+      contain inOrder ((1L, 0L), (2L, 0L))
+  }
+
   test("incremental pairs: new batch joins the persisted corpus index, corpus never self-pairs") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),

@@ -96,6 +96,15 @@ class SimilaritySpec extends SparkTestBase {
     out.toSeq shouldBe Seq("b", "c")
   }
 
+  test("native cosine accepts mixed nullability (literal array vs column)") {
+    // a literal array is containsNull=false, a read column usually true —
+    // the type check must only care about the element type
+    val df = Seq(Tuple1(Array(Some(3.0), Some(4.0)))).toDF("v") // containsNull=true
+    val got = df.select(
+      Similarity.cosine(col("v"), array(lit(3.0), lit(4.0)))).collect().head.getDouble(0)
+    got shouldBe (1.0 +- 1e-12)
+  }
+
   test("zero vector yields NaN (0/0), not an error") {
     val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
     df.select(Similarity.cosine(col("a"), col("b"))).collect().head.getDouble(0).isNaN shouldBe true
