@@ -1022,6 +1022,41 @@ object SparkEntry {
              CAST(least(32, n - start) AS INT) AS chunk_tokens
       FROM s ORDER BY doc_id, chunk_idx""")),
 
+    // Dataset profiling: row/null/distinct counts + min/max for several
+    // columns in ONE aggregation over ONE scan (tall output, one row per
+    // column).
+    ("q45_profile", (s, dir) => {
+      graft.ext.Profiling.profile(
+        T(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy(col("column"))
+    }, Some("""
+      WITH one AS (
+        SELECT
+          count(*) AS n,
+          count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS null_ok,
+          count(DISTINCT o_orderkey) AS dist_ok,
+          CAST(min(o_orderkey) AS VARCHAR) AS min_ok, CAST(max(o_orderkey) AS VARCHAR) AS max_ok,
+          count(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_ck,
+          count(DISTINCT o_custkey) AS dist_ck,
+          CAST(min(o_custkey) AS VARCHAR) AS min_ck, CAST(max(o_custkey) AS VARCHAR) AS max_ck,
+          count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS null_os,
+          count(DISTINCT o_orderstatus) AS dist_os,
+          CAST(min(o_orderstatus) AS VARCHAR) AS min_os, CAST(max(o_orderstatus) AS VARCHAR) AS max_os,
+          count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS null_tp,
+          count(DISTINCT o_totalprice) AS dist_tp,
+          CAST(min(o_totalprice) AS VARCHAR) AS min_tp, CAST(max(o_totalprice) AS VARCHAR) AS max_tp
+        FROM orders)
+      SELECT 'o_orderkey' AS "column", n AS n_rows, null_ok AS n_null,
+             dist_ok AS n_distinct, min_ok AS min_value, max_ok AS max_value FROM one
+      UNION ALL
+      SELECT 'o_custkey', n, null_ck, dist_ck, min_ck, max_ck FROM one
+      UNION ALL
+      SELECT 'o_orderstatus', n, null_os, dist_os, min_os, max_os FROM one
+      UNION ALL
+      SELECT 'o_totalprice', n, null_tp, dist_tp, min_tp, max_tp FROM one
+      ORDER BY "column" """)),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
