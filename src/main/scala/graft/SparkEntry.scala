@@ -1022,6 +1022,55 @@ object SparkEntry {
              CAST(least(32, n - start) AS INT) AS chunk_tokens
       FROM s ORDER BY doc_id, chunk_idx""")),
 
+    // End-to-end corpus dedup: LSH pairs → components → keep the LONGEST
+    // doc per duplicate class (ties → lowest id); non-colliding docs
+    // survive as singletons.
+    ("q46_dedup_corpus", (s, dir) => {
+      Dedup.dedupCorpus(T(s, dir, "documents"), "doc_id", "text", col("n_chars"))
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs),
+      mh AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mh GROUP BY doc_id, p // 4),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      clusters AS (
+        SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+      joined AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+        FROM documents d LEFT JOIN clusters c USING (doc_id)),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+        FROM joined)
+      SELECT doc_id, cluster_id, n_chars FROM ranked
+      WHERE rn = 1 ORDER BY doc_id""")),
+
     // Dataset profiling: row/null/distinct counts + min/max for several
     // columns in ONE aggregation over ONE scan (tall output, one row per
     // column).

@@ -279,4 +279,31 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
+
+  /** End-to-end corpus dedup: minhash-LSH pairs → connected components →
+    * ONE surviving row per duplicate class, chosen by `keepBy` descending
+    * (ties → lowest id); docs in no duplicate class survive untouched as
+    * their own singleton cluster. Returns the surviving rows with all of
+    * `docs`' columns plus `cluster_id`.
+    *
+    * Scale shape: the pair/cluster stages touch only docs that collide in
+    * some LSH bucket (tiny vs corpus); the final keeper choice is one
+    * shuffle of the corpus by cluster_id (overwhelmingly singletons) and a
+    * per-cluster row_number — the same one-exchange cost as any keyed
+    * aggregation of the corpus. */
+  def dedupCorpus(
+      docs: DataFrame, idCol: String, textCol: String, keepBy: Column,
+      numPerm: Int = 16, bands: Int = 4): DataFrame = {
+    val clusters = connectedComponents(
+      minhashCandidatePairs(docs, idCol, textCol, numPerm, bands), "id_a", "id_b")
+    val withCluster = docs
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol).cast("long")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(keepBy.desc, col(idCol))
+    withCluster
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

@@ -181,6 +181,31 @@ class DedupSpec extends SparkTestBase {
     out.length shouldBe 12
   }
 
+  test("dedupCorpus keeps the best doc per duplicate class and all singletons") {
+    // keepBy is a quality column independent of the text, so the expected
+    // clustering is hash-independent (identical texts ALWAYS share all bands)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 43L),
+      (2L, "the quick brown fox jumps over the lazy dog", 43L), // dup of 1
+      (3L, "completely unrelated text body standing alone here", 50L),
+      (4L, "the quick brown fox jumps over the lazy dog", 99L) // dup, best quality
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text", col("n_chars"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("cluster_id"))))
+      .toSeq
+    // docs 1/2/4 cluster together (label 1): keeper = best quality = 4;
+    // doc 3 survives as its own singleton cluster
+    out shouldBe Seq((3L, 3L), (4L, 1L))
+  }
+
+  test("dedupCorpus with no duplicate pairs returns the corpus unchanged") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta words", 28L),
+      (2L, "epsilon zeta eta theta words", 28L)).toDF("doc_id", "text", "n_chars")
+    Dedup.dedupCorpus(docs, "doc_id", "text", col("n_chars")).count() shouldBe 2L
+  }
+
   test("connectedComponents refuses silent non-convergence") {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
     an[IllegalArgumentException] should be thrownBy
