@@ -145,6 +145,28 @@ class TextAnalysisSpec extends SparkTestBase {
     out shouldBe Seq(("w1 w2 w3 w4", 4), ("w4 w5 w6 w7", 4), ("w7 w8 w9", 3))
   }
 
+  test("chunkByTokens reconstruction: first chunk + overlap-trimmed rest = original") {
+    // seeded random corpus: lossless-coverage must hold for ANY doc length
+    // (last start >= n - chunk guarantees the tail is always covered)
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 40L).map { i =>
+      val n = 1 + rnd.nextInt(90)
+      (i, (1 to n).map(j => s"t$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((chunk, overlap) <- Seq((16, 4), (10, 0), (7, 6))) {
+      val byDoc = TextAnalysis.chunkByTokens(df, "doc_id", "text", chunk, overlap)
+        .orderBy("doc_id", "chunk_idx").collect()
+        .map(r => (r.getLong(0), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      docs.foreach { case (id, text) =>
+        val chunks = byDoc(id).map(_.split(" ", -1).toSeq)
+        val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(overlap))
+        rebuilt shouldBe text.split(" ", -1).toSeq
+      }
+    }
+  }
+
   test("chunkByTokens: short and empty docs yield exactly one chunk") {
     val df = Seq((1L, "only three words"), (2L, "")).toDF("doc_id", "text")
     val out = TextAnalysis.chunkByTokens(df, "doc_id", "text", 32, 8)
