@@ -27,12 +27,13 @@ object Enrich {
       .join(broadcast(d), Seq(keyCol), "left")
       .withColumn(
         nameCol,
-        // blank test uses the fold's exact charset (PlayerState.BlankChars,
-        // Java-trim semantics) so a tab-only name backfills like the
-        // reference's isBlank would, not just space-only names
-        coalesce(
-          nullif(trim(col(nameCol), graft.core.PlayerState.BlankChars), lit("")),
-          col("__dim_name"), col(nameCol)))
+        // trim is the BLANK TEST ONLY (fold's exact charset,
+        // PlayerState.BlankChars = Java-trim semantics, so tab-only names
+        // backfill like the reference's isBlank); non-blank names pass
+        // through RAW — the stats twins and the oracle both keep the
+        // original string, never a trimmed copy
+        when(trim(col(nameCol), graft.core.PlayerState.BlankChars) =!= "", col(nameCol))
+          .otherwise(coalesce(col("__dim_name"), col(nameCol))))
       .drop("__dim_name")
   }
 }

@@ -115,6 +115,9 @@ object Dedup {
       .join(
         corpusBuckets.select(col("band"), col("sig"), col(idCol).as("corpus_id")),
         Seq("band", "sig"))
+      // a re-ingested id (same doc in batch and snapshot) must not report
+      // itself as its own duplicate
+      .where(col("new_id") =!= col("corpus_id"))
       .select(col("new_id"), col("corpus_id"))
       .distinct()
 
@@ -294,6 +297,16 @@ object Dedup {
   def dedupCorpus(
       docs: DataFrame, idCol: String, textCol: String, keepBy: Column,
       numPerm: Int = 16, bands: Int = 4): DataFrame = {
+    // the cluster labels are longs (connectedComponents casts its edge
+    // ids); a non-integral id would null out under the cast and every doc
+    // would collapse into the NULL cluster — refuse loudly instead
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    docs.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case t => throw new IllegalArgumentException(
+        s"dedupCorpus requires an integral id column, got $idCol: ${t.simpleString} " +
+          "(map string/UUID ids to a surrogate long first)")
+    }
     val clusters = connectedComponents(
       minhashCandidatePairs(docs, idCol, textCol, numPerm, bands), "id_a", "id_b")
     val withCluster = docs

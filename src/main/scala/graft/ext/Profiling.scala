@@ -26,9 +26,8 @@ object Profiling {
     * heterogeneous column types share one schema. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       Seq(
-        count(lit(1)).as(s"__n_$c"),
         count(when(col(c).isNull, 1)).as(s"__null_$c"),
         count_distinct(col(c)).as(s"__dist_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
@@ -38,7 +37,7 @@ object Profiling {
     val rows = cols.map { c =>
       struct(
         lit(c).as("column"),
-        col(s"__n_$c").as("n_rows"),
+        col("__n").as("n_rows"),
         col(s"__null_$c").as("n_null"),
         col(s"__dist_$c").as("n_distinct"),
         col(s"__min_$c").as("min_value"),

@@ -78,6 +78,66 @@ object Similarity {
     rankTopK(scored, Seq("q_id"), k)
   }
 
+  /** Deterministic Lloyd's k-means for the IVF coarse quantizer — so
+    * [[ivfTopK]]'s centroid table can be FIT, not just injected.
+    *
+    * Init is the k corpus vectors with smallest `(hash48(id), id)` —
+    * pseudorandom w.r.t. storage order yet exactly reproducible. Each round:
+    * assign every vector to its nearest centroid (cosine, broadcast
+    * centroids, max_by partial agg — no shuffle of scores), then recompute
+    * centers as element-wise means via posexplode + codegen avg (rows×dim
+    * exploded rows shuffle as (cid, pos) partials — the standard distributed
+    * mean). Empty clusters keep their previous center. Per-round lineage is
+    * truncated, so `iters` rounds cost `iters` jobs, not a growing plan.
+    * Double means are partition-order-dependent in the last ulps (like every
+    * distributed float mean); assignments are argmax over well-separated
+    * scores and stable in practice.
+    *
+    * Returns (cidCol long 0..k-1, vecCol array<double>), the shape
+    * [[ivfTopK]] takes. */
+  def fitCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5,
+      cidCol: String = "cid", outVecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    // the corpus is re-scanned every round — materialize it once (the same
+    // cache every iterative k-means implementation keeps)
+    val vecs = corpus
+      .select(col(idCol).as("__vid"), col(vecCol).cast("array<double>").as("__v"))
+      .localCheckpoint()
+    // seed selection: orderBy+limit plans as a DISTRIBUTED partial top-k
+    // (TakeOrderedAndProject) — never a global single-partition sort; the
+    // k winners are tiny, so numbering them with a window is free
+    val seedKey = graft.ext.TextAnalysis.hash48(col("__vid").cast("string"))
+    val seedW = Window.orderBy(seedKey, col("__vid"))
+    var cents = vecs
+      .orderBy(seedKey, col("__vid")).limit(k)
+      .withColumn("__rn", row_number().over(seedW))
+      .select((col("__rn") - 1).cast("long").as("cid"), col("__v").as("c_vec"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .select(col("__vid"), col("__v"), col("cid"),
+          cosine(col("__v"), col("c_vec")).as("s"))
+        .groupBy(col("__vid"))
+        .agg(
+          max_by(col("cid"), struct(col("s"), -col("cid"))).as("cid"),
+          first(col("__v")).as("__v"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+        .select(col("cid"),
+          transform(array_sort(col("pm")), s => s.getField("m")).as("new_vec"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("new_vec"), col("c_vec")).as("c_vec"))
+        .localCheckpoint()
+    }
+    cents.select(col("cid").as(cidCol), col("c_vec").as(outVecCol))
+  }
+
   /** Shared bounded top-k reduction: (..keys.., n_id, sim) →
     * (..keys.., rank, n_id, sim), ranked (sim desc, n_id asc) through the
     * map-side-combining [[graft.functions.TopKBySim]] Aggregator — identical
@@ -150,60 +210,6 @@ object Similarity {
     * @param centroids (cidCol, vecCol) — small, broadcast twice
     * @param nprobe    lists probed per query
     */
-  /** Deterministic Lloyd's k-means for the IVF coarse quantizer — so
-    * [[ivfTopK]]'s centroid table can be FIT, not just injected.
-    *
-    * Init is the k corpus vectors with smallest `(hash48(id), id)` —
-    * pseudorandom w.r.t. storage order yet exactly reproducible. Each round:
-    * assign every vector to its nearest centroid (cosine, broadcast
-    * centroids, max_by partial agg — no shuffle of scores), then recompute
-    * centers as element-wise means via posexplode + codegen avg (rows×dim
-    * exploded rows shuffle as (cid, pos) partials — the standard distributed
-    * mean). Empty clusters keep their previous center. Per-round lineage is
-    * truncated, so `iters` rounds cost `iters` jobs, not a growing plan.
-    * Double means are partition-order-dependent in the last ulps (like every
-    * distributed float mean); assignments are argmax over well-separated
-    * scores and stable in practice.
-    *
-    * Returns (cidCol long 0..k-1, vecCol array<double>), the shape
-    * [[ivfTopK]] takes. */
-  def fitCentroids(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 5,
-      cidCol: String = "cid", outVecCol: String = "embedding"): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    require(iters >= 0, s"iters must be non-negative, got $iters")
-    val vecs = corpus
-      .select(col(idCol).as("__vid"), col(vecCol).cast("array<double>").as("__v"))
-    val seedW = Window.orderBy(
-      graft.ext.TextAnalysis.hash48(col("__vid").cast("string")), col("__vid"))
-    var cents = vecs
-      .withColumn("__rn", row_number().over(seedW))
-      .where(col("__rn") <= k)
-      .select((col("__rn") - 1).cast("long").as("cid"), col("__v").as("c_vec"))
-      .localCheckpoint()
-    for (_ <- 0 until iters) {
-      val assigned = vecs.crossJoin(broadcast(cents))
-        .select(col("__vid"), col("__v"), col("cid"),
-          cosine(col("__v"), col("c_vec")).as("s"))
-        .groupBy(col("__vid"))
-        .agg(
-          max_by(col("cid"), struct(col("s"), -col("cid"))).as("cid"),
-          first(col("__v")).as("__v"))
-      val means = assigned
-        .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
-        .select(col("cid"),
-          transform(array_sort(col("pm")), s => s.getField("m")).as("new_vec"))
-      cents = cents.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("new_vec"), col("c_vec")).as("c_vec"))
-        .localCheckpoint()
-    }
-    cents.select(col("cid").as(cidCol), col("c_vec").as(outVecCol))
-  }
-
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       qIdCol: String, idCol: String, cidCol: String, vecCol: String,

@@ -165,7 +165,10 @@ object TextAnalysis {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
     val digits = "\\b\\d(?:[ .-]?\\d){8,}\\b"
-    regexp_replace(regexp_replace(regexp_replace(c, email, mask), ipv4, mask), digits, mask)
+    // the replacement position treats $ and \ as group references — quote
+    // the mask so any literal (e.g. "<$REDACTED>") survives
+    val m = java.util.regex.Matcher.quoteReplacement(mask)
+    regexp_replace(regexp_replace(regexp_replace(c, email, m), ipv4, m), digits, m)
   }
 
   /** Sliding token-window chunking — long documents into (chunkTokens)-token

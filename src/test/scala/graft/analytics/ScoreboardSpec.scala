@@ -69,4 +69,13 @@ class ScoreboardSpec extends SparkTestBase {
     // S4 has no dimension row: name stays blank (reference leaves it empty too)
     out shouldBe Seq("Ada", "Bo", "Keep", "")
   }
+
+  test("backfillName keeps non-blank names RAW (trim is only the blank test)") {
+    val facts = Seq(("S1", "\tAda "), ("S2", "\t")).toDF("steamId", "playerName")
+    val dim = Seq(("S1", "DimAda"), ("S2", "DimBo")).toDF("steamId", "name")
+    val out = Enrich.backfillName(facts, dim)
+      .orderBy("steamId").collect().map(_.getAs[String]("playerName")).toSeq
+    // padded-but-real name passes through unmodified; tab-only name backfills
+    out shouldBe Seq("\tAda ", "DimBo")
+  }
 }

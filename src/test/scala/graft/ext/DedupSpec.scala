@@ -127,6 +127,18 @@ class DedupSpec extends SparkTestBase {
     pairs shouldBe Set((10L, 1L), (10L, 2L))
   }
 
+  test("incremental pairs: a re-ingested id is never its own duplicate") {
+    val doc = Seq((42L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val idx = Dedup.minhashBuckets(doc, "doc_id", "text")
+    Dedup.minhashIncrementPairs(idx, idx, "doc_id").count() shouldBe 0L
+  }
+
+  test("dedupCorpus refuses non-integral id columns loudly") {
+    val docs = Seq(("a", "some text here now", 10L)).toDF("doc_id", "text", "n_chars")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.dedupCorpus(docs, "doc_id", "text", col("n_chars"))
+  }
+
   test("NULL block keys never pair (SQL join-equality semantics)") {
     val docs = Seq(
       (1L, "a b c d", null.asInstanceOf[String]),

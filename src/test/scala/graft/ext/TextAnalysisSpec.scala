@@ -119,6 +119,13 @@ class TextAnalysisSpec extends SparkTestBase {
       "plain text stays untouched")
   }
 
+  test("redactPii masks containing regex-replacement metachars are literal") {
+    val got = Seq("mail bob@x.io now").toDF("t")
+      .select(TextAnalysis.redactPii(col("t"), "<$REDACTED\\1>"))
+      .collect().head.getString(0)
+    got shouldBe "mail <$REDACTED\\1> now"
+  }
+
   test("chunkByTokens slides with overlap and keeps only chunks with new tokens") {
     val toks = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
     val df = Seq((1L, toks)).toDF("doc_id", "text")
