@@ -106,16 +106,7 @@ object Similarity {
     val vecs = corpus
       .select(col(idCol).as("__vid"), col(vecCol).cast("array<double>").as("__v"))
       .localCheckpoint()
-    // seed selection: orderBy+limit plans as a DISTRIBUTED partial top-k
-    // (TakeOrderedAndProject) — never a global single-partition sort; the
-    // k winners are tiny, so numbering them with a window is free
-    val seedKey = graft.ext.TextAnalysis.hash48(col("__vid").cast("string"))
-    val seedW = Window.orderBy(seedKey, col("__vid"))
-    var cents = vecs
-      .orderBy(seedKey, col("__vid")).limit(k)
-      .withColumn("__rn", row_number().over(seedW))
-      .select((col("__rn") - 1).cast("long").as("cid"), col("__v").as("c_vec"))
-      .localCheckpoint()
+    var cents = seedCentroids(vecs, k).localCheckpoint()
     for (_ <- 0 until iters) {
       val assigned = vecs.crossJoin(broadcast(cents))
         .select(col("__vid"), col("__v"), col("cid"),
@@ -136,6 +127,20 @@ object Similarity {
         .localCheckpoint()
     }
     cents.select(col("cid").as(cidCol), col("c_vec").as(outVecCol))
+  }
+
+  /** Seed stage of [[fitCentroids]]: the k vectors with smallest
+    * `(hash48(id), id)`, numbered 0..k-1. orderBy+limit plans as a
+    * DISTRIBUTED partial top-k (TakeOrderedAndProject) — never a global
+    * single-partition sort; the k winners are tiny, so numbering them with
+    * a window is free. Package-private so the plan spec can pin the shape. */
+  private[graft] def seedCentroids(vecs: DataFrame, k: Int): DataFrame = {
+    val seedKey = graft.ext.TextAnalysis.hash48(col("__vid").cast("string"))
+    val seedW = Window.orderBy(seedKey, col("__vid"))
+    vecs
+      .orderBy(seedKey, col("__vid")).limit(k)
+      .withColumn("__rn", row_number().over(seedW))
+      .select((col("__rn") - 1).cast("long").as("cid"), col("__v").as("c_vec"))
   }
 
   /** Shared bounded top-k reduction: (..keys.., n_id, sim) →

@@ -64,6 +64,21 @@ class PlanSpec extends SparkTestBase {
     p should not include "l_comment"
   }
 
+  test("chunking is a single-stage generate: no shuffle, no join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ext.TextAnalysis.chunkByTokens(docs, "doc_id", "text", 32, 8))
+    (p should not).include("Exchange")
+    (p should not).include("Join")
+    p should include("Generate") // posexplode of the chunk starts
+  }
+
+  test("fitCentroids seed selection is a distributed partial top-k, not a global sort") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("__vid"), col("embedding").cast("array<double>").as("__v"))
+    val p = plan(graft.ext.Similarity.seedCentroids(vecs, 4))
+    p should include("TakeOrderedAndProject")
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
