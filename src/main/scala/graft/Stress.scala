@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: run the heaviest extension operators on a corpus ~20× the
+  * bench SF, including the documented WORST case for LSH (exact-duplicate
+  * mega-classes: every replica shares every band, so pair fan-out per
+  * bucket is C(copies, 2)). Prints per-stage wall times and result
+  * cardinalities; any super-linear blowup shows up here long before a
+  * cluster run would catch it.
+  *
+  * Usage: `sbt "runMain graft.Stress [copies]"` (default 20 ⇒ ~100k docs
+  * from sf0.1's 5k).
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(20)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    // replicate with disjoint id ranges: every original doc becomes an
+    // exact-duplicate class of `copies` members
+    val big = spark.range(copies).crossJoin(docs)
+      .select((col("doc_id") + col("id") * lit(10_000_000L)).as("doc_id"),
+        col("text"), col("n_chars"))
+      .localCheckpoint() // materialize so generation cost stays out of timings
+    println(s"[stress] corpus: ${n * copies} docs ($copies copies of $n)")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val pairs = timed("minhash pairs") {
+      val p = graft.ext.Dedup.minhashCandidatePairs(big, "doc_id", "text")
+        .localCheckpoint()
+      println(s"[stress]   pairs = ${p.count()}")
+      p
+    }
+    timed("connected components") {
+      val c = graft.ext.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      println(s"[stress]   clustered docs = ${c.count()}")
+    }
+    timed("dedupCorpus end-to-end") {
+      val kept = graft.ext.Dedup.dedupCorpus(big, "doc_id", "text", col("n_chars"))
+      println(s"[stress]   survivors = ${kept.count()}")
+    }
+    timed("simhash") {
+      graft.ext.Dedup.simhashTable(big, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("chunking") {
+      graft.ext.TextAnalysis.chunkByTokens(big, "doc_id", "text", 32, 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("profile") {
+      graft.ext.Profiling.profile(big, Seq("doc_id", "text", "n_chars"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

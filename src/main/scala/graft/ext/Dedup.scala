@@ -252,12 +252,21 @@ object Dedup {
     */
   def connectedComponents(
       edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    // materialize the DIRECTED edges before symmetrizing: the union below
+    // references them twice, and Spark does not share non-cached subplans
+    // across union branches — without this the upstream pair pipeline
+    // (signatures + bucket join) would execute twice
     val sym = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint()
+    // reused every round: leave the edge list HASH-PARTITIONED BY src so
+    // each round's edge⋈label join reuses this layout — only the (tiny)
+    // label table shuffles per round, never the edge list
     val adj = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint() // reused every round: compute the pair pipeline once
+      .repartition(col("src"))
+      .localCheckpoint()
     var labels = adj.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     var changed = 1L
