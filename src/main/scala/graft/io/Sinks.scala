@@ -37,6 +37,33 @@ object Sinks {
   def jdbcAppend(df: DataFrame, url: String, table: String, props: java.util.Properties): Unit =
     df.write.mode("append").jdbc(url, table, props)
 
+  /** Replay-idempotent JDBC append — effectively-once delivery on top of
+    * foreachBatch's at-least-once replay: rows are tagged with the micro-
+    * batch id, and a replayed batch first deletes its own previous
+    * (possibly partial) attempt before appending. Restart-safe without
+    * distributed transactions; pair with a checkpointed query so batch ids
+    * are stable across restarts. The delete is a no-op (absent table /
+    * nothing matching) on the first attempt. */
+  def idempotentJdbcAppend(
+      df: DataFrame, batchId: Long,
+      url: String, table: String, props: java.util.Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      // existence check via metadata instead of a swallow-all catch around
+      // the DELETE — a real SQL failure must surface, not masquerade as
+      // "first batch". The column is quoted because Spark's JDBC writer
+      // creates quoted (case-exact) identifiers.
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      var exists = false
+      while (rs.next()) exists |= rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      if (exists)
+        conn.createStatement().executeUpdate(
+          s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+    } finally conn.close()
+    df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("append").jdbc(url, table, props)
+  }
+
   /** Console sink (reference S3, SparkStreamingService.java:239-250). */
   def consoleSink[T](stats: Dataset[T]): DataStreamWriter[T] =
     stats.writeStream.outputMode("update").format("console")

@@ -91,6 +91,28 @@ class SourcesSinksSpec extends SparkTestBase {
     }
   }
 
+  test("idempotentJdbcAppend: a replayed micro-batch never duplicates rows") {
+    val dbDir = Files.createTempDirectory("graft_derby2_")
+    System.setProperty("derby.system.home", dbDir.toString)
+    val url = s"jdbc:derby:$dbDir/graftdb2;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val batch = Seq(("S1", 1L), ("S2", 2L)).toDF("steamId", "kills")
+    try {
+      Sinks.idempotentJdbcAppend(batch, 0L, url, "stats_once", props)
+      Sinks.idempotentJdbcAppend(batch, 0L, url, "stats_once", props) // replay of batch 0
+      Sinks.idempotentJdbcAppend(batch, 1L, url, "stats_once", props) // a NEW batch appends
+      val rows = spark.read.jdbc(url, "stats_once", props).collect()
+      rows.length shouldBe 4
+      rows.map(_.getAs[Long]("batch_id")).sorted.toSeq shouldBe Seq(0L, 0L, 1L, 1L)
+    } finally {
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/graftdb2;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+      Files.walk(dbDir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("consoleSink builds an update-mode console writer without starting") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
