@@ -61,6 +61,7 @@ object Bench {
           f.isDirectory && f != target && sf(f).exists(_ < targetSf))
       } yield warm.getPath).getOrElse(target.getPath)
     }
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
@@ -69,7 +70,10 @@ object Bench {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -77,7 +81,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // a throwing query "benches" at time-to-exception — flag it in the
+    // machine-readable line so a broken engine can never look FAST
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
     println(json)
     // provenance copy for anyone reading the repo rather than the run log
     try java.nio.file.Files.writeString(

@@ -320,11 +320,17 @@ object SparkEntry {
           countDistinct(col("k")).as("n_distinct_k"))
         .orderBy(col("event_type"))
     }, Some("""
+      WITH j AS (
+        SELECT event_type,
+          CASE WHEN json_valid(props)
+                 AND json_type(json_extract(props, '$.k')) IN ('BIGINT', 'UBIGINT')
+            THEN json_extract(props, '$.k')::BIGINT END AS k
+        FROM events)
       SELECT event_type, COUNT(*) AS n,
-        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-        COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
-      FROM events GROUP BY event_type ORDER BY event_type""")),
+        CAST(SUM(k) AS BIGINT) AS sum_k,
+        MAX(k) AS max_k,
+        COUNT(DISTINCT k) AS n_distinct_k
+      FROM j GROUP BY event_type ORDER BY event_type""")),
 
     // ================================================================
     // §2.2 P2-P7 the CSV wire-format parsers (ground-truth oracle)
@@ -350,17 +356,17 @@ object SparkEntry {
       GameLogParser.parseKillLines(lines)
         .orderBy(col("second"), col("eventType"))
     }, Some("""
-      SELECT concat('P', CAST(user_id AS VARCHAR)) AS player,
-             concat('S', CAST(user_id AS VARCHAR)) AS "steamId",
+      SELECT ('P' || CAST(user_id AS VARCHAR)) AS player,
+             ('S' || CAST(user_id AS VARCHAR)) AS "steamId",
              'kill' AS "eventType", event_id AS "second",
              CAST(0 AS BIGINT) AS amount, user_id % 19 AS round
       FROM events WHERE event_type = 'purchase'
       UNION ALL
-      SELECT concat('V', CAST(user_id AS VARCHAR)), concat('T', CAST(user_id AS VARCHAR)),
+      SELECT ('V' || CAST(user_id AS VARCHAR)), ('T' || CAST(user_id AS VARCHAR)),
              'death', event_id, CAST(0 AS BIGINT), user_id % 19
       FROM events WHERE value > 100
       UNION ALL
-      SELECT concat('A', CAST(user_id AS VARCHAR)), concat('U', CAST(user_id AS VARCHAR)),
+      SELECT ('A' || CAST(user_id AS VARCHAR)), ('U' || CAST(user_id AS VARCHAR)),
              'assist', event_id, CAST(0 AS BIGINT), user_id % 19
       FROM events WHERE event_type = 'view'
       ORDER BY "second", "eventType"""")),
@@ -382,11 +388,11 @@ object SparkEntry {
       GameLogParser.parseDamageLines(lines)
         .orderBy(col("second"))
     }, Some("""
-      SELECT '' AS player, concat('S', CAST(user_id AS VARCHAR)) AS "steamId",
+      SELECT '' AS player, ('S' || CAST(user_id AS VARCHAR)) AS "steamId",
              'damage' AS "eventType", event_id AS "second",
              (100 + event_id % 37) - (event_id % 29) AS amount,
              user_id % 19 AS round
-      FROM events WHERE event_type <> 'error'
+      FROM events WHERE event_type IS DISTINCT FROM 'error'
       ORDER BY "second"""")),
 
     ("q18_enrich_backfill", (s, dir) => {
@@ -404,7 +410,7 @@ object SparkEntry {
     }, Some("""
       WITH stats AS (
         SELECT user_id, COUNT(*) AS n,
-          CASE WHEN user_id % 3 = 0 THEN '' ELSE concat('U', CAST(user_id AS VARCHAR)) END AS pn
+          CASE WHEN user_id % 3 = 0 THEN '' ELSE ('U' || CAST(user_id AS VARCHAR)) END AS pn
         FROM events GROUP BY user_id)
       SELECT s.user_id, s.n,
         CASE WHEN s.pn = '' THEN COALESCE(c.c_name, '') ELSE s.pn END AS "playerName"
@@ -446,7 +452,15 @@ object SparkEntry {
             .orderBy(
               (col("kills") + col("deaths") + col("assists") + col("damage")).desc,
               col("second").desc)
-          val res = out.withColumn("rn", row_number().over(w))
+          val res = out
+            .withColumn("rn", row_number().over(w))
+            // `second` itself is batch-scoped: the cumulative-complete row of
+            // a later batch can carry a SMALLER second than an earlier
+            // batch's. The oracle's second is the global max per key — take
+            // it across every emitted row so a multi-batch split still
+            // matches.
+            .withColumn("second",
+              max(col("second")).over(Window.partitionBy(col("steamId"))))
             .where(col("rn") === 1).drop("rn")
           (res.schema, res.collect())
         } finally {
@@ -461,8 +475,8 @@ object SparkEntry {
         .orderBy(col("steamId"))
     }, Some("""
       WITH ev AS (
-        SELECT concat('S', CAST(user_id AS VARCHAR)) AS sid,
-               CASE WHEN event_type = 'purchase' THEN concat('P', CAST(user_id AS VARCHAR)) ELSE '' END AS pname,
+        SELECT ('S' || CAST(user_id AS VARCHAR)) AS sid,
+               CASE WHEN event_type = 'purchase' THEN ('P' || CAST(user_id AS VARCHAR)) ELSE '' END AS pname,
                CASE event_type WHEN 'purchase' THEN 'kill' WHEN 'error' THEN 'death'
                     WHEN 'signup' THEN 'assist' ELSE 'damage' END AS et,
                event_id AS sec, event_id % 97 AS amt, 1 + user_id % 19 AS rnd
@@ -489,8 +503,8 @@ object SparkEntry {
         .orderBy(col("steamId"))
     }, Some("""
       WITH ev AS (
-        SELECT concat('S', CAST(user_id AS VARCHAR)) AS sid,
-               CASE WHEN event_type = 'purchase' THEN concat('P', CAST(user_id AS VARCHAR)) ELSE '' END AS pname,
+        SELECT ('S' || CAST(user_id AS VARCHAR)) AS sid,
+               CASE WHEN event_type = 'purchase' THEN ('P' || CAST(user_id AS VARCHAR)) ELSE '' END AS pname,
                CASE event_type WHEN 'purchase' THEN 'kill' WHEN 'error' THEN 'death'
                     WHEN 'signup' THEN 'assist' ELSE 'damage' END AS et,
                event_id AS sec, event_id % 97 AS amt, 1 + user_id % 19 AS rnd
@@ -728,8 +742,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }, Some("""
       SELECT doc_id,
-        CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
-        hex(substr(text, 1, 4)::BLOB) AS head_hex,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        hex(encode(substr(text, 1, 4))) AS head_hex,
         CAST(ascii(text) AS BIGINT) AS first_byte
       FROM documents ORDER BY doc_id""")),
 

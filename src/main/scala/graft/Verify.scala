@@ -23,6 +23,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // poison any stale output from a previous run into this outDir —
+        // otherwise the gate would compare old data and report a false OK
+        val dir = Paths.get(outDir, name)
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
