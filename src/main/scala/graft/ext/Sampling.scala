@@ -33,6 +33,18 @@ object Sampling {
     df.where(hash48(key.cast("string")) % 100 < pct)
   }
 
+  /** Deterministic training-mix: union several sources, each thinned to its
+    * percentage via [[hashSample]] on its own key. Inherits hashSample's
+    * guarantees — rerun-stable, nested when weights grow, key groups stay
+    * whole — so a 30/70 web/code mix is exactly reproducible and can be
+    * dialed up without resampling what a smaller mix already selected.
+    * Sources must be union-compatible by name. */
+  def weightedMix(sources: Seq[(DataFrame, Column, Int)]): DataFrame = {
+    require(sources.nonEmpty, "weightedMix needs at least one source")
+    sources.map { case (df, key, pct) => hashSample(df, key, pct) }
+      .reduce(_ unionByName _)
+  }
+
   /** Class-balanced downsample: at most `n` rows per class, chosen in
     * deterministic pseudorandom order (by id-hash, id tie-break) so the
     * per-class pick is unbiased w.r.t. storage order but exactly

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, LongType}
 
 /** Exposes graft's native expressions to the SQL surface, so `spark.sql`
   * users call them like built-ins:
@@ -43,7 +43,20 @@ object GraftFunctions {
       twoArg("cosine_similarity")(CosineSimilarity(_, _))),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      twoArg("dot_product")(DotProduct(_, _))))
+      twoArg("dot_product")(DotProduct(_, _))),
+    // the engine's shared 48-bit content hash (first 12 md5 hex digits as a
+    // BIGINT) — SQL users get the exact same hash the dedup/sampling
+    // operators key on, composed from built-in codegen expressions
+    (FunctionIdentifier("graft_hash48"),
+      new ExpressionInfo(classOf[Md5].getName, "graft_hash48"),
+      { args =>
+        require(args.length == 1, s"graft_hash48 expects exactly 1 argument, got ${args.length}")
+        Cast(
+          Conv(
+            Substring(Md5(Cast(args.head, BinaryType)), Literal(1), Literal(12)),
+            Literal(16), Literal(10)),
+          LongType)
+      }))
 
   /** Register into an already-running session's function registry. */
   def register(spark: SparkSession): Unit =

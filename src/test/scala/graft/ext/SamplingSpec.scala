@@ -42,6 +42,22 @@ class SamplingSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy Sampling.hashSample(df, col("k"), 101)
   }
 
+  test("weightedMix composes per-source hash samples, union by name") {
+    val web = rows.toDF("k", "v").withColumn("src", lit("web"))
+    val code = rows.map { case (k, v) => (k + 1000L, v) }.toDF("k", "v")
+      .withColumn("src", lit("code"))
+    val mix = Sampling.weightedMix(Seq((web, col("k"), 10), (code, col("k"), 50)))
+      .collect().map(r => (r.getString(2), r.getLong(0))).toSeq
+    val bySrc = mix.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    bySrc("web") shouldBe rows.map(_._1).filter(k => h48(k.toString) % 100 < 10).toSet
+    bySrc("code") shouldBe rows.map(_._1 + 1000L)
+      .filter(k => h48(k.toString) % 100 < 50).toSet
+    // growing a weight only ADDS rows (nesting), never resamples
+    val grown = Sampling.weightedMix(Seq((web, col("k"), 25), (code, col("k"), 50)))
+      .collect().map(r => (r.getString(2), r.getLong(0))).toSet
+    mix.toSet.subsetOf(grown) shouldBe true
+  }
+
   test("balancedSample caps every class at n with deterministic hash-ordered picks") {
     val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "cls")
     val out = Sampling.balancedSample(df, Seq("cls"), col("id"), 7)

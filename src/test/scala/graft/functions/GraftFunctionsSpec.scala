@@ -42,4 +42,18 @@ class GraftFunctionsSpec extends SparkTestBase {
   test("config-time extension injects the same descriptors without error") {
     noException should be thrownBy new GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  test("graft_hash48 from SQL equals the engine's hash (first 12 md5 hex digits)") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT graft_hash48('abc')").collect().head.getLong(0)
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    got shouldBe java.lang.Long.parseLong(hex, 16)
+    // and it is the same hash the Column API uses
+    import spark.implicits._
+    val viaCol = Seq("abc").toDF("s")
+      .select(graft.ext.TextAnalysis.hash48(org.apache.spark.sql.functions.col("s")))
+      .collect().head.getLong(0)
+    got shouldBe viaCol
+  }
 }
