@@ -1085,6 +1085,61 @@ object SparkEntry {
       SELECT doc_id, cluster_id, n_chars FROM ranked
       WHERE rn = 1 ORDER BY doc_id""")),
 
+    // Incremental dedup: docs with doc_id > 350 play the nightly batch,
+    // the rest the persisted corpus index — candidate (new, corpus) pairs
+    // via one equi-join on the (band, sig) bucket key.
+    ("q47_incremental_dedup", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val corpus = Dedup.minhashBuckets(docs.where(col("doc_id") <= 350), "doc_id", "text")
+      val fresh = Dedup.minhashBuckets(docs.where(col("doc_id") > 350), "doc_id", "text")
+      Dedup.minhashIncrementPairs(fresh, corpus, "doc_id")
+        .orderBy(col("new_id"), col("corpus_id"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs),
+      mh AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mh GROUP BY doc_id, p // 4)
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM sigs n JOIN sigs c ON n.band = c.band AND n.sig = c.sig
+      WHERE n.doc_id > 350 AND c.doc_id <= 350
+      ORDER BY new_id, corpus_id""")),
+
+    // Deterministic weighted training mix: 30% of one source, 60% of
+    // another, keyed hash selection — reproducible and nested.
+    ("q48_weighted_mix", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val webish = Seq("src0", "src1", "src2")
+      val a = docs.where(col("source").isin(webish: _*))
+        .select(col("doc_id"), col("lang"), lit("web").as("mix_src"))
+      val b = docs.where(!col("source").isin(webish: _*))
+        .select(col("doc_id"), col("lang"), lit("rest").as("mix_src"))
+      Sampling.weightedMix(Seq((a, col("doc_id"), 30), (b, col("doc_id"), 60)))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, lang, 'web' AS mix_src FROM documents
+      WHERE source IN ('src0', 'src1', 'src2')
+        AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 < 30
+      UNION ALL
+      SELECT doc_id, lang, 'rest' AS mix_src FROM documents
+      WHERE source NOT IN ('src0', 'src1', 'src2')
+        AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 < 60
+      ORDER BY doc_id""")),
+
     // Dataset profiling: row/null/distinct counts + min/max for several
     // columns in ONE aggregation over ONE scan (tall output, one row per
     // column).
