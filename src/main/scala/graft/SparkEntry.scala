@@ -324,7 +324,7 @@ object SparkEntry {
         SELECT event_type,
           CASE WHEN json_valid(props)
                  AND json_type(json_extract(props, '$.k')) IN ('BIGINT', 'UBIGINT')
-            THEN json_extract(props, '$.k')::BIGINT END AS k
+            THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
         FROM events)
       SELECT event_type, COUNT(*) AS n,
         CAST(SUM(k) AS BIGINT) AS sum_k,
@@ -466,10 +466,7 @@ object SparkEntry {
         } finally {
           s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
           s.catalog.dropTempView(qname) // the memory sink's backing view
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          graft.util.Fs.deleteRecursively(tmp)
         }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy(col("steamId"))

@@ -25,13 +25,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // poison any stale output from a previous run into this outDir —
         // otherwise the gate would compare old data and report a false OK
-        val dir = Paths.get(outDir, name)
-        if (Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
-        }
+        graft.util.Fs.deleteRecursively(Paths.get(outDir, name))
       }
     }
+    // the full catalog, so the gate can detect a query whose output is
+    // MISSING (failed + poisoned) rather than only checking what exists
+    Files.writeString(
+      Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -51,11 +51,21 @@ object Sinks {
     try {
       // existence check via metadata instead of a swallow-all catch around
       // the DELETE — a real SQL failure must surface, not masquerade as
-      // "first batch". The column is quoted because Spark's JDBC writer
-      // creates quoted (case-exact) identifiers.
+      // "first batch". Handles an optional schema qualifier; an unqualified
+      // name is resolved against the connection's CURRENT schema so a
+      // same-named table elsewhere can neither false-positive (crashing the
+      // first batch) nor false-negative (skipping the replay delete). The
+      // column is quoted because Spark's JDBC writer creates quoted
+      // (case-exact) identifiers.
+      val (schemaPart, namePart) = table.split("\\.") match {
+        case Array(sch, n) => (Some(sch), n)
+        case _             => (Option(conn.getSchema), table) // may be null: name-only match
+      }
       val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
       var exists = false
-      while (rs.next()) exists |= rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      while (!exists && rs.next())
+        exists = rs.getString("TABLE_NAME").equalsIgnoreCase(namePart) &&
+          schemaPart.forall(_.equalsIgnoreCase(rs.getString("TABLE_SCHEM")))
       if (exists)
         conn.createStatement().executeUpdate(
           s"""DELETE FROM $table WHERE "batch_id" = $batchId""")

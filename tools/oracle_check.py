@@ -48,9 +48,14 @@ def main(out_dir, sf_dir):
                 if sk != ok_ and {sk, ok_} <= {"i", "u", "f"} and "f" in {sk, ok_}:
                     mismatch = f"col {c} DTYPE KIND spark={s[c].dtype} oracle={o[c].dtype}"
                     break
-                common = np.result_type(s[c].dtype, o[c].dtype) \
-                    if s[c].dtype != o[c].dtype else s[c].dtype
-                sv, ov = s[c].astype(common), o[c].astype(common)
+                if sk != ok_ and {sk, ok_} == {"i", "u"}:
+                    # signed-vs-unsigned: result_type would be float64, which
+                    # collapses distinct values >= 2^53 — compare exact ints
+                    sv, ov = s[c].astype(object), o[c].astype(object)
+                else:
+                    common = np.result_type(s[c].dtype, o[c].dtype) \
+                        if s[c].dtype != o[c].dtype else s[c].dtype
+                    sv, ov = s[c].astype(common), o[c].astype(common)
                 neq = ~((sv == ov) | (sv.isna() & ov.isna()))
                 if neq.any():
                     i = neq.idxmax()
@@ -63,18 +68,25 @@ def main(out_dir, sf_dir):
         else:
             print(f"{name}: OK ({len(sdf)} rows)")
     # queries with no oracle SQL (approximate by design) still get the
-    # contract's rows-only check: output exists and is non-empty
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
-        name = d.rstrip("/").rsplit("/", 1)[-1]
-        if name in oracle:
-            continue
-        files = glob.glob(f"{d}*.parquet")
+    # contract's rows-only check. Driven by the CATALOG (queries.json from
+    # Verify) so a failed-and-poisoned query shows up as MISSING instead of
+    # silently not being checked; falls back to a directory scan for output
+    # dirs produced by an older Verify.
+    try:
+        rows_only = [q for q in json.load(open(f"{out_dir}/queries.json"))
+                     if q not in oracle]
+    except FileNotFoundError:
+        rows_only = [d.rstrip("/").rsplit("/", 1)[-1]
+                     for d in sorted(glob.glob(f"{out_dir}/*/"))
+                     if d.rstrip("/").rsplit("/", 1)[-1] not in oracle]
+    for name in sorted(rows_only):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
         n = con.execute(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] \
             if files else 0
         if n > 0:
             print(f"{name}: OK rows-only ({n} rows)")
         else:
-            print(f"{name}: ROWS-ONLY FAILURE (no output rows)"); failures += 1
+            print(f"{name}: ROWS-ONLY FAILURE (missing or empty output)"); failures += 1
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
