@@ -1082,6 +1082,51 @@ object SparkEntry {
       SELECT doc_id, cluster_id, n_chars FROM ranked
       WHERE rn = 1 ORDER BY doc_id""")),
 
+    // Int8 scalar quantization of the embedding column: per-vector scale,
+    // code sum (integer-exact), max reconstruction error, and the cosine
+    // between original and dequantized vector — the compression-fidelity
+    // audit a 100 TB embedding store runs before switching storage.
+    ("q49_quantize_int8", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val withScale = emb.withColumn("scale", ext.Quantize.int8Scale(col("embedding")))
+      val withCodes = withScale.withColumn(
+        "codes", ext.Quantize.int8Codes(col("embedding"), col("scale")))
+      withCodes.select(
+        col("vec_id"),
+        col("scale"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x.cast("long")).as("code_sum"),
+        ext.Quantize.maxAbsError(col("embedding"), col("codes"), col("scale"))
+          .as("max_err"),
+        Similarity.cosine(
+          col("embedding"),
+          ext.Quantize.dequantize(col("codes"), col("scale"))).as("recon_cos"))
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      s AS (
+        SELECT vec_id, vec,
+          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
+        FROM v),
+      q AS (
+        SELECT vec_id, vec, scale,
+          CASE WHEN scale = 0
+            THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+            ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
+        FROM s),
+      d AS (
+        SELECT vec_id, vec, scale, codes,
+          list_transform(codes, c -> c * scale) AS deq
+        FROM q)
+      SELECT vec_id, scale,
+        CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        coalesce(list_max(list_transform(range(1, 65), i -> abs(vec[i] - deq[i]))), 0)
+          AS max_err,
+        list_sum(list_transform(range(1, 65), i -> vec[i] * deq[i])) /
+          (sqrt(list_sum(list_transform(range(1, 65), i -> vec[i] * vec[i]))) *
+           sqrt(list_sum(list_transform(range(1, 65), i -> deq[i] * deq[i])))) AS recon_cos
+      FROM d ORDER BY vec_id""")),
+
     // Incremental dedup: docs with doc_id > 350 play the nightly batch,
     // the rest the persisted corpus index — candidate (new, corpus) pairs
     // via one equi-join on the (band, sig) bucket key.
