@@ -1082,6 +1082,21 @@ object SparkEntry {
       SELECT doc_id, cluster_id, n_chars FROM ranked
       WHERE rn = 1 ORDER BY doc_id""")),
 
+    // Fixed-width histogram per group: price distribution of lineitem by
+    // return flag, one hash aggregation.
+    ("q50_histogram", (s, dir) => {
+      ext.Profiling.histogram(
+        T(s, dir, "lineitem"), col("l_extendedprice"), 10000.0, Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"), col("bin"))
+    }, Some("""
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin,
+             count(*) AS n,
+             CAST(min(l_extendedprice) AS DOUBLE) AS bin_min,
+             CAST(max(l_extendedprice) AS DOUBLE) AS bin_max
+      FROM lineitem
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Int8 scalar quantization of the embedding column: per-vector scale,
     // code sum (integer-exact), max reconstruction error, and the cosine
     // between original and dequantized vector — the compression-fidelity

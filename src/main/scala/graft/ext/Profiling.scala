@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling — the health check a pipeline runs before and after
@@ -34,6 +34,27 @@ object Profiling {
         max(col(c)).cast("string").as(s"__max_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    profileRows(one, cols)
+  }
+
+  /** Fixed-width histogram of `value` (optionally per group): bin index
+    * `floor(value / width)`, one hash aggregation — the distribution view
+    * `profile`'s min/max only hints at. Fixed (literal) width keeps the
+    * result deterministic and engine-exact; derive the width from a
+    * `profile` pass when it must adapt to the data. */
+  def histogram(
+      df: DataFrame, value: Column, width: Double,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val bin = floor(value / lit(width)).cast("long").as("bin")
+    df.groupBy(groupCols.map(col) :+ (bin: Column): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(value).cast("double").as("bin_min"),
+        max(value).cast("double").as("bin_max"))
+  }
+
+  private def profileRows(one: DataFrame, cols: Seq[String]): DataFrame = {
     val rows = cols.map { c =>
       struct(
         lit(c).as("column"),

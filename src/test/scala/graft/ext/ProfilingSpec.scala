@@ -22,6 +22,20 @@ class ProfilingSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy Profiling.profile(df, Nil)
   }
 
+  test("histogram bins by floor(value/width) with per-bin ranges") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("a", 5.0), ("a", 14.9), ("a", 15.1), ("b", 25.0)).toDF("g", "v")
+    val out = Profiling.histogram(df, col("v"), 10.0, Seq("g"))
+      .orderBy("g", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    out.toSeq shouldBe Seq(
+      ("a", 0L, 1L, 5.0, 5.0),
+      ("a", 1L, 2L, 14.9, 15.1),
+      ("b", 2L, 1L, 25.0, 25.0))
+    an[IllegalArgumentException] should be thrownBy
+      Profiling.histogram(df, col("v"), 0.0)
+  }
+
   test("profile is a single aggregation: one scan, no join, no repeated exchange") {
     val df = Seq((1L, "x")).toDF("id", "s")
     val plan = Profiling.profile(df, Seq("id", "s")).queryExecution.executedPlan.toString
