@@ -1106,15 +1106,16 @@ object SparkEntry {
       val withScale = emb.withColumn("scale", ext.Quantize.int8Scale(col("embedding")))
       val withCodes = withScale.withColumn(
         "codes", ext.Quantize.int8Codes(col("embedding"), col("scale")))
-      withCodes.select(
-        col("vec_id"),
-        col("scale"),
-        aggregate(col("codes"), lit(0L), (a, x) => a + x.cast("long")).as("code_sum"),
-        ext.Quantize.maxAbsError(col("embedding"), col("codes"), col("scale"))
-          .as("max_err"),
-        Similarity.cosine(
-          col("embedding"),
-          ext.Quantize.dequantize(col("codes"), col("scale"))).as("recon_cos"))
+      // dequantize ONCE and share it: error and cosine both consume it, and
+      // Catalyst does not dedupe repeated lambda subtrees
+      withCodes
+        .withColumn("deq", ext.Quantize.dequantize(col("codes"), col("scale")))
+        .select(
+          col("vec_id"),
+          col("scale"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x.cast("long")).as("code_sum"),
+          ext.Quantize.reconError(col("embedding"), col("deq")).as("max_err"),
+          Similarity.cosine(col("embedding"), col("deq")).as("recon_cos"))
         .orderBy(col("vec_id"))
     }, Some("""
       WITH v AS (
@@ -1135,11 +1136,11 @@ object SparkEntry {
         FROM q)
       SELECT vec_id, scale,
         CAST(list_sum(codes) AS BIGINT) AS code_sum,
-        coalesce(list_max(list_transform(range(1, 65), i -> abs(vec[i] - deq[i]))), 0)
+        coalesce(list_max(list_transform(range(1, len(vec) + 1), i -> abs(vec[i] - deq[i]))), 0)
           AS max_err,
-        list_sum(list_transform(range(1, 65), i -> vec[i] * deq[i])) /
-          (sqrt(list_sum(list_transform(range(1, 65), i -> vec[i] * vec[i]))) *
-           sqrt(list_sum(list_transform(range(1, 65), i -> deq[i] * deq[i])))) AS recon_cos
+        list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * deq[i])) /
+          (sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * vec[i]))) *
+           sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> deq[i] * deq[i])))) AS recon_cos
       FROM d ORDER BY vec_id""")),
 
     // Incremental dedup: docs with doc_id > 350 play the nightly batch,

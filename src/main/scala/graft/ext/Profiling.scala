@@ -46,7 +46,7 @@ object Profiling {
       df: DataFrame, value: Column, width: Double,
       groupCols: Seq[String] = Nil): DataFrame = {
     require(width > 0, s"width must be positive, got $width")
-    val bin = floor(value / lit(width)).cast("long").as("bin")
+    val bin = floor(value / lit(width)).as("bin") // floor already yields long
     df.groupBy(groupCols.map(col) :+ (bin: Column): _*)
       .agg(
         count(lit(1)).as("n"),

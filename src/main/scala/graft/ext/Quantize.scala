@@ -34,12 +34,18 @@ object Quantize {
   def dequantize(codes: Column, scale: Column): Column =
     transform(codes, q => q.cast("double") * scale)
 
+  /** Max absolute reconstruction error against an ALREADY-dequantized
+    * column — project [[dequantize]] once and share it between this and the
+    * fidelity cosine; rebuilding it per consumer doubles the O(d) work. */
+  def reconError(v: Column, deq: Column): Column =
+    coalesce(
+      array_max(zip_with(v.cast("array<double>"), deq, (x, d) => abs(x - d))),
+      lit(0.0))
+
   /** Max absolute reconstruction error over the vector — bounded by
     * scale/2 by construction; surfacing it per row makes the quality/size
-    * trade-off measurable instead of assumed. */
+    * trade-off measurable instead of assumed. One-shot convenience: on hot
+    * paths use [[reconError]] with a shared dequantized column. */
   def maxAbsError(v: Column, codes: Column, scale: Column): Column =
-    coalesce(
-      array_max(zip_with(v.cast("array<double>"), dequantize(codes, scale),
-        (x, d) => abs(x - d))),
-      lit(0.0))
+    reconError(v, dequantize(codes, scale))
 }

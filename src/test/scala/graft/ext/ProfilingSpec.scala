@@ -34,6 +34,11 @@ class ProfilingSpec extends SparkTestBase {
       ("b", 2L, 1L, 25.0, 25.0))
     an[IllegalArgumentException] should be thrownBy
       Profiling.histogram(df, col("v"), 0.0)
+    // the documented shape: ONE hash aggregation, no join
+    val plan = Profiling.histogram(df, col("v"), 10.0, Seq("g"))
+      .queryExecution.executedPlan.toString
+    plan.contains("Join") shouldBe false
+    plan.sliding("Exchange".length).count(_ == "Exchange") should be <= 2
   }
 
   test("profile is a single aggregation: one scan, no join, no repeated exchange") {
