@@ -617,9 +617,9 @@ object SparkEntry {
         FROM embeddings),
       pairs AS (
         SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-          list_sum(list_transform(range(1, 65), i -> a.v[i] * c.v[i])) /
-            (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
-             sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS sim
+          list_sum(list_transform(range(1, least(len(a.v), len(c.v)) + 1), i -> a.v[i] * c.v[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS sim
         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
       SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.2
       ORDER BY id_a, id_b""")),
@@ -638,9 +638,9 @@ object SparkEntry {
       c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
       scored AS (
         SELECT q_id, n_id,
-          list_sum(list_transform(range(1, 65), i -> qv[i] * nv[i])) /
-            (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
-             sqrt(list_sum(list_transform(range(1, 65), i -> nv[i] * nv[i])))) AS sim
+          list_sum(list_transform(range(1, least(len(qv), len(nv)) + 1), i -> qv[i] * nv[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
         FROM q CROSS JOIN c WHERE n_id <> q_id),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
@@ -661,9 +661,9 @@ object SparkEntry {
         FROM embeddings),
       scored AS (
         SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS n_id,
-          list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) /
-            (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i]))) *
-             sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS sim
+          list_sum(list_transform(range(1, least(len(q.v), len(c.v)) + 1), i -> q.v[i] * c.v[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS sim
         FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
         WHERE q.vec_id < 10),
       ranked AS (
@@ -828,9 +828,9 @@ object SparkEntry {
       cent AS (SELECT vec_id AS cid, vec AS c_vec FROM v WHERE vec_id % 100 = 0),
       cosd AS (
         SELECT a.vec_id AS n_id, a.vec AS n_vec, c.cid,
-          list_sum(list_transform(range(1, 65), i -> a.vec[i] * c.c_vec[i])) /
-            (sqrt(list_sum(list_transform(range(1, 65), i -> a.vec[i] * a.vec[i]))) *
-             sqrt(list_sum(list_transform(range(1, 65), i -> c.c_vec[i] * c.c_vec[i])))) AS c_sim
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.c_vec)) + 1), i -> a.vec[i] * c.c_vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(c.c_vec) + 1), i -> c.c_vec[i] * c.c_vec[i])))) AS c_sim
         FROM v a CROSS JOIN cent c),
       lists AS (
         SELECT n_id, n_vec, cid FROM (
@@ -842,9 +842,9 @@ object SparkEntry {
           FROM cosd WHERE n_id < 5) WHERE rn <= 2),
       scored AS (
         SELECT p.q_id, l.n_id,
-          list_sum(list_transform(range(1, 65), i -> p.q_vec[i] * l.n_vec[i])) /
-            (sqrt(list_sum(list_transform(range(1, 65), i -> p.q_vec[i] * p.q_vec[i]))) *
-             sqrt(list_sum(list_transform(range(1, 65), i -> l.n_vec[i] * l.n_vec[i])))) AS sim
+          list_sum(list_transform(range(1, least(len(p.q_vec), len(l.n_vec)) + 1), i -> p.q_vec[i] * l.n_vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(p.q_vec) + 1), i -> p.q_vec[i] * p.q_vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(l.n_vec) + 1), i -> l.n_vec[i] * l.n_vec[i])))) AS sim
         FROM probes p JOIN lists l ON l.cid = p.cid AND l.n_id <> p.q_id),
       ranked AS (
         SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
@@ -925,7 +925,7 @@ object SparkEntry {
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
       n AS (
         SELECT vec_id, vec,
-          sqrt(list_sum(list_transform(range(1, 65), i -> vec[i] * vec[i]))) AS l2_norm
+          sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * vec[i]))) AS l2_norm
         FROM v)
       SELECT vec_id, l2_norm, vec[1] / l2_norm AS unit_first
       FROM n ORDER BY vec_id""")),
