@@ -481,12 +481,12 @@ object SparkEntry {
       agg AS (
         SELECT sid,
           COALESCE(MAX(CASE WHEN pname <> '' THEN pname END), '') AS pn,
-          MAX(sec) AS sec,
+          GREATEST(MAX(sec), 0) AS sec,
           COUNT(*) FILTER (WHERE et = 'kill') AS kills,
           COUNT(*) FILTER (WHERE et = 'death') AS deaths,
           COUNT(*) FILTER (WHERE et = 'assist') AS assists,
           CAST(COALESCE(SUM(amt) FILTER (WHERE et = 'damage'), 0) AS BIGINT) AS damage,
-          MAX(rnd) AS rnd
+          GREATEST(MAX(rnd), 0) AS rnd
         FROM ev GROUP BY sid)
       SELECT pn AS "playerName", sid AS "steamId", sec AS "second",
              kills, deaths, assists, damage,
@@ -509,12 +509,12 @@ object SparkEntry {
       agg AS (
         SELECT sid,
           COALESCE(MAX(CASE WHEN pname <> '' THEN pname END), '') AS pn,
-          MAX(sec) AS sec,
+          GREATEST(MAX(sec), 0) AS sec,
           COUNT(*) FILTER (WHERE et = 'kill') AS kills,
           COUNT(*) FILTER (WHERE et = 'death') AS deaths,
           COUNT(*) FILTER (WHERE et = 'assist') AS assists,
           CAST(COALESCE(SUM(amt) FILTER (WHERE et = 'damage'), 0) AS BIGINT) AS damage,
-          MAX(rnd) AS rnd
+          GREATEST(MAX(rnd), 0) AS rnd
         FROM ev GROUP BY sid)
       SELECT pn AS "playerName", sid AS "steamId", sec AS "second",
              kills, deaths, assists, damage,
@@ -764,7 +764,8 @@ object SparkEntry {
       val joined = grid.join(hist, Seq("sec", "pid"), "left")
       val filled = Scoreboard.locf(joined, Seq("pid"), "sec", "v", lit(0.0))
       Scoreboard.pivotMatrix(
-        filled, "sec", "plabel", (1 to 10).map("p" + _), first(col("v")))
+        filled, "sec", "plabel", (1 to 10).map("p" + _), first(col("v")),
+        floor = Some(lit(0.0))) // queries.sql's ELSE-0 clamp
         .orderBy(col("sec"))
     }, Some("""
       WITH hist AS (
@@ -784,11 +785,11 @@ object SparkEntry {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v
         FROM joined)
       SELECT sec,
-        MAX(v) FILTER (WHERE pid = 1) AS p1, MAX(v) FILTER (WHERE pid = 2) AS p2,
-        MAX(v) FILTER (WHERE pid = 3) AS p3, MAX(v) FILTER (WHERE pid = 4) AS p4,
-        MAX(v) FILTER (WHERE pid = 5) AS p5, MAX(v) FILTER (WHERE pid = 6) AS p6,
-        MAX(v) FILTER (WHERE pid = 7) AS p7, MAX(v) FILTER (WHERE pid = 8) AS p8,
-        MAX(v) FILTER (WHERE pid = 9) AS p9, MAX(v) FILTER (WHERE pid = 10) AS p10
+        GREATEST(MAX(v) FILTER (WHERE pid = 1), 0) AS p1, GREATEST(MAX(v) FILTER (WHERE pid = 2), 0) AS p2,
+        GREATEST(MAX(v) FILTER (WHERE pid = 3), 0) AS p3, GREATEST(MAX(v) FILTER (WHERE pid = 4), 0) AS p4,
+        GREATEST(MAX(v) FILTER (WHERE pid = 5), 0) AS p5, GREATEST(MAX(v) FILTER (WHERE pid = 6), 0) AS p6,
+        GREATEST(MAX(v) FILTER (WHERE pid = 7), 0) AS p7, GREATEST(MAX(v) FILTER (WHERE pid = 8), 0) AS p8,
+        GREATEST(MAX(v) FILTER (WHERE pid = 9), 0) AS p9, GREATEST(MAX(v) FILTER (WHERE pid = 10), 0) AS p10
       FROM filled GROUP BY sec ORDER BY sec""")),
 
     // ================================================================

@@ -19,6 +19,9 @@ object Scoreboard {
     * shuffles + a join) and AQE handles key skew.
     */
   def latestPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    // NOTE on ties: a non-total `order` keeps ONE arbitrary tied row (the
+    // reference's self-join-with-MAX returns every tied row); append a
+    // unique tiebreaker to `order` for run-to-run determinism
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
@@ -83,11 +86,18 @@ object Scoreboard {
       rowKey: String,
       pivotCol: String,
       pivotValues: Seq[String],
-      value: Column): DataFrame =
-    df.groupBy(col(rowKey))
+      value: Column,
+      floor: Option[Column] = None): DataFrame = {
+    val base = df.groupBy(col(rowKey))
       .pivot(pivotCol, pivotValues)
       .agg(value)
       // fill only the pivot cells: a blanket fill would also rewrite a NULL
       // row key to 0, conflating that group with a real key 0
       .na.fill(0, pivotValues)
+    // the reference's conditional-aggregation pivot MAXes each cell against
+    // its ELSE 0 arm (queries.sql:55-64), clamping negatives to 0 — opt in
+    // to that with floor = Some(lit(0.0))
+    floor.fold(base)(fl =>
+      base.select(col(rowKey) +: pivotValues.map(v => greatest(col(v), fl).as(v)): _*))
+  }
 }

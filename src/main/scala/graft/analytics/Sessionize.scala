@@ -30,9 +30,14 @@ object Sessionize {
     * @param gap     max intra-session gap, in `timeCol` units
     */
   def sessionize(df: DataFrame, keyCols: Seq[String], timeCol: String, gap: Long): DataFrame = {
-    val byTime = Window.partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
+    // NULLS LAST explicitly: Spark's default window order is NULLS FIRST
+    // while the DuckDB oracle sorts NULLS LAST — null event times would
+    // otherwise open a phantom leading session in one engine and append to
+    // the final session in the other
+    val timeAsc = col(timeCol).asc_nulls_last
+    val byTime = Window.partitionBy(keyCols.map(col): _*).orderBy(timeAsc)
     val runningSession = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol))
+      .orderBy(timeAsc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col(timeCol), 1).over(byTime)
     val isNew = when(prev.isNull || col(timeCol) - prev > gap, 1L).otherwise(0L)

@@ -26,10 +26,16 @@ object GameLogParser {
     else try_element_at(cols, lit(idx0 + 1))
 
   /** Numeric field decode. Strict mode is the reference's semantics under
-    * Spark's ANSI default: malformed numerics FAIL the task exactly like the
-    * reference's `Long.parseLong` (SparkStreamingService.java:136). Lenient
-    * mode uses TRY-cast (null on junk, row dropped or null-filled) for
-    * pipelines that must be total over dirty wire data. */
+    * Spark's ANSI default: a malformed numeric FAILS the task like the
+    * reference's `Long.parseLong` (SparkStreamingService.java:136) — with
+    * one honest caveat: Spark is declarative, so the cast only runs when
+    * some surviving output field needs it. A junk tick on a line whose
+    * every event is filtered out (all names blank, no damager id) is never
+    * evaluated and the line drops silently, where the reference's
+    * imperative parse-then-filter order would crash first. Exact crash-
+    * ORDER parity would require forcing materialization of every cast and
+    * is deliberately not attempted. Lenient mode uses TRY-cast (null on
+    * junk) for pipelines that must be total over dirty wire data. */
   private def asLong(c: Column, strict: Boolean): Column =
     if (strict) c.cast("long")
     else org.apache.spark.sql.GraftColumnBridge.column(
@@ -38,6 +44,16 @@ object GameLogParser {
         org.apache.spark.sql.types.LongType,
         None,
         org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
+
+  /** `tick / 128` with 64-BIT integer semantics (the reference's Java long
+    * division, SparkStreamingService.java:136-137). Spark's `/` on two
+    * longs computes in DOUBLE, which silently rounds ticks ≥ 2^53 — an
+    * IntegralDivide keeps every bit. */
+  private def div128(tick: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(tick),
+        org.apache.spark.sql.catalyst.expressions.Literal(128L)))
 
   private val eventSchemaCols =
     Seq("player", "steamId", "eventType", "second", "amount", "round")
@@ -56,7 +72,7 @@ object GameLogParser {
     */
   def parseKillLines(lines: DataFrame, strict: Boolean = true): DataFrame = {
     val c = split(col("value"), ",", -1)
-    val second = (asLong(f(c, 1, strict), strict) / 128).cast("long") // ticks are non-negative
+    val second = div128(asLong(f(c, 1, strict), strict))
     val round = asLong(f(c, 2, strict), strict)
 
     def mk(name: Column, id: Column, typ: String): Column =
@@ -96,7 +112,7 @@ object GameLogParser {
         lit("").as("player"),
         f(col("c"), 9, strict).as("steamId"),
         lit("damage").as("eventType"),
-        (asLong(f(col("c"), 1, strict), strict) / 128).cast("long").as("second"),
+        div128(asLong(f(col("c"), 1, strict), strict)).as("second"),
         (asLong(f(col("c"), 5, strict), strict) - asLong(f(col("c"), 6, strict), strict)).as("amount"),
         asLong(f(col("c"), 2, strict), strict).as("round"))
   }
@@ -104,7 +120,13 @@ object GameLogParser {
   /** Parse the player-dimension CSV payload (reference PlayerRestClient.java:59-68):
     * `name = f[0], steamId = f[1], team = f[3]` (index 2 skipped). */
   def parsePlayers(lines: DataFrame, strict: Boolean = true): DataFrame = {
-    val c = split(col("value"), ",", -1)
+    // the reference splits WITHOUT a limit (PlayerRestClient.java:60), so
+    // Java drops trailing empty fields and a line like "Ada,S1,x," crashes
+    // on fields[3]. Strict mode reproduces that by stripping trailing
+    // commas before the split (element_at then errors under ANSI); lenient
+    // keeps every field and yields null/"" instead.
+    val raw = if (strict) regexp_replace(col("value"), ",+$", "") else col("value")
+    val c = split(raw, ",", -1)
     lines.select(
       f(c, 0, strict).as("name"),
       f(c, 1, strict).as("steamId"),

@@ -158,12 +158,14 @@ object PlayerStatsEngine {
       .agg(
         max(when(trim(col("player"), graft.core.PlayerState.BlankChars) =!= "",
           col("player"))).as("playerName0"),
-        max(col("second")).as("second"),
+        // clamped at 0 like the fold's accumulators (reference inits
+        // second/currentRound to 0, so all-negative inputs emit 0)
+        greatest(max(col("second")), lit(0L)).as("second"),
         count(when(col("eventType") === "kill", 1)).as("kills"),
         count(when(col("eventType") === "death", 1)).as("deaths"),
         count(when(col("eventType") === "assist", 1)).as("assists"),
         coalesce(sum(when(col("eventType") === "damage", col("amount"))), lit(0L)).as("damage"),
-        max(col("round")).as("round"))
+        greatest(max(col("round")), lit(0L)).as("round"))
     agged.select(
       coalesce(col("playerName0"), lit("")).as("playerName"),
       col("steamId"),
@@ -172,6 +174,14 @@ object PlayerStatsEngine {
       when(col("deaths") === 0, col("kills").cast("double"))
         .otherwise(col("kills").cast("double") / col("deaths"))
         .as("kdRatio"),
-      (col("damage").cast("double") / col("round")).as("damagePerRound"))
+      // Java double-division semantics for round=0 (reference's unguarded
+      // `damage / currentRound`): ±Infinity / NaN — Spark's ANSI `/`
+      // would instead throw DIVIDE_BY_ZERO, so the zero arm is explicit
+      when(col("round") =!= 0, col("damage").cast("double") / col("round"))
+        .otherwise(
+          when(col("damage") > 0, lit(Double.PositiveInfinity))
+            .when(col("damage") < 0, lit(Double.NegativeInfinity))
+            .otherwise(lit(Double.NaN)))
+        .as("damagePerRound"))
   }
 }

@@ -28,8 +28,12 @@ object Multimodal {
   def asMediaTable(df: DataFrame, idCol: String, payloadCol: String, mime: String): DataFrame =
     df.select(
       col(idCol).cast("long").as("id"),
-      col(payloadCol).cast("binary").as("payload"),
+      // a null/missing blob becomes an EMPTY payload: the typed MediaRow
+      // encoder rejects nulls, and the codec stubs (like any real codec
+      // batch) must not NPE mid-partition on one bad row
+      coalesce(col(payloadCol).cast("binary"), lit(Array.empty[Byte])).as("payload"),
       lit(mime).as("mimeType"))
+      .where(col("id").isNotNull) // an unidentifiable blob has no join key
 
   /** ==== STUB ==== deterministic fake decoder standing in for a real codec.
     * Derives "width/height/brightness" purely from byte statistics so tests

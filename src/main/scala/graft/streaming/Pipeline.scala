@@ -3,7 +3,7 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicReference
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.core.{Event, PlayerStatsRow}
 import graft.core.parse.GameLogParser
@@ -54,8 +54,13 @@ final class StreamController(build: () => StreamingQuery) {
   def stop(): String = synchronized {
     running.get() match {
       case Some(q) if q.isActive =>
-        q.stop()
-        running.set(None)
+        // release the handle even when stop() throws (e.g. a stop timeout):
+        // a query we can no longer control must not keep reporting
+        // "Running" forever and block every restart — the reference makes
+        // the same call, swallowing stop errors and clearing its flag
+        // (SparkStreamingService.java:110-121)
+        try q.stop()
+        finally running.set(None)
         "Stopped"
       case _ => "Not running"
     }
@@ -100,11 +105,17 @@ final class PipelineOrchestrator(
     else {
       // always stop the query, even if the producer callback fails — the
       // caller asked for the pipeline to be DOWN; surface the producer
-      // failure afterwards
+      // failure afterwards. If the query stop ALSO fails, rethrow that with
+      // the producer failure attached as suppressed rather than losing it.
       val producerFailure =
         try { producerStop(); None }
         catch { case e: Throwable => Some(e) }
-      val r = controller.stop()
+      val r =
+        try controller.stop()
+        catch { case qe: Throwable =>
+          producerFailure.foreach(qe.addSuppressed)
+          throw qe
+        }
       producerFailure.foreach(throw _)
       r
     }

@@ -55,6 +55,18 @@ class ScoreboardSpec extends SparkTestBase {
     out shouldBe Set((Some(1), 1L, 0L), (None, 0L, 1L), (Some(0), 1L, 0L))
   }
 
+  test("pivotMatrix floor clamps negative cells like queries.sql's ELSE-0 arm") {
+    val df = Seq((1, "x", -5.0), (1, "y", 3.0)).toDF("k", "p", "v")
+    val out = Scoreboard.pivotMatrix(df, "k", "p", Seq("x", "y"),
+      org.apache.spark.sql.functions.first(col("v")),
+      floor = Some(lit(0.0))).collect().head
+    (out.getDouble(1), out.getDouble(2)) shouldBe ((0.0, 3.0))
+    // without the floor, the raw negative passes through
+    Scoreboard.pivotMatrix(df, "k", "p", Seq("x", "y"),
+      org.apache.spark.sql.functions.first(col("v")))
+      .collect().head.getDouble(1) shouldBe -5.0
+  }
+
   test("denseGrid is distinct(axis) × dim") {
     val facts = Seq((1, "i"), (1, "j"), (2, "k")).toDF("t", "junk")
     val dim = Seq("p1", "p2").toDF("player")

@@ -31,4 +31,15 @@ class SessionizeSpec extends SparkTestBase {
       .orderBy("session_id").collect().map(r => (r.getLong(2), r.getLong(3)))
     out.toSeq shouldBe Seq((0L, 10L), (200L, 210L))
   }
+
+  test("null event times sort last (DuckDB parity), not into a phantom first session") {
+    val df = Seq(("A", Some(0L)), ("A", Some(10L)), ("A", None)).toDF("user", "t")
+    val out = Sessionize.sessionize(df, Seq("user"), "t", gap = 50L)
+      .orderBy("session_id").collect()
+    // nulls join the LAST session (null gap -> isNew=0), exactly like the
+    // oracle's NULLS LAST ordering — no leading null-keyed session
+    out.length shouldBe 1
+    out.head.getAs[Long]("n_events") shouldBe 3L
+    out.head.getAs[Long]("start_time") shouldBe 0L
+  }
 }

@@ -52,6 +52,20 @@ class GameLogParserSpec extends SparkTestBase {
     parseKills("x,127,1,K,K1,x,x,,,x,x,,").head.second shouldBe 0L
   }
 
+  test("tick division is 64-bit exact (no double rounding above 2^53)") {
+    val tick = (1L << 60) + 129L // double rounds this to 2^60 + 256
+    parseKills(s"x,$tick,1,K,K1,x,x,,,x,x,,").head.second shouldBe tick / 128
+  }
+
+  test("strict player parse drops trailing empty fields like Java split (AIOOBE parity)") {
+    // reference's split(\",\") sees 3 fields for 'Ada,S1,x,' -> fields[3] crashes
+    an[Exception] should be thrownBy
+      GameLogParser.parsePlayers(Seq("Ada,S1,x,").toDF("value")).collect()
+    // lenient keeps the trailing empty and yields team=""
+    GameLogParser.parsePlayers(Seq("Ada,S1,x,").toDF("value"), strict = false)
+      .collect().head.getString(2) shouldBe ""
+  }
+
   //                       0  1tick 2rnd 3 4 5old 6new 7 8 9damager 10
   test("damage line: amount = old_hp - new_hp, player blank") {
     val es = parseDamages("x,1280,5,x,x,100,73,x,x,S9,x")

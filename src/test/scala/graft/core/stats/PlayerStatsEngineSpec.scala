@@ -65,6 +65,15 @@ class PlayerStatsEngineSpec extends SparkTestBase {
       .select("playerName").collect().map(_.getString(0)).toSeq shouldBe Seq("")
   }
 
+  test("batch twin clamps second/round at 0 like the fold's accumulators") {
+    // reference inits second/currentRound to 0 — all-negative inputs emit 0
+    val events = Seq(ev("Ada", "S1", "kill").copy(second = -5L, round = -3L)).toDF()
+    val row = PlayerStatsEngine.batchPlayerStats(events).collect().head
+    row.getAs[Long]("second") shouldBe 0L
+    // dpr divides by the clamped round: 0 damage / 0 round = NaN, not -0.0
+    row.getAs[Double]("damagePerRound").isNaN shouldBe true
+  }
+
   test("whitespace-only names are blank (isBlank semantics) and never stored") {
     val s = Seq(ev("  ", "S1", "kill"), ev("", "S1", "death"))
       .foldLeft(PlayerState.empty)(_.fold(_))

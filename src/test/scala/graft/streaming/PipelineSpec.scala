@@ -125,6 +125,18 @@ class PipelineSpec extends SparkTestBase {
     controller.status shouldBe "Stopped"
   }
 
+  test("multimodal: null payloads become empty blobs, null ids are dropped") {
+    val df = Seq(
+      (Some(1L), Some("abc")),
+      (Some(2L), None), // null blob: must not NPE in the codec stubs
+      (None, Some("xyz")) // no id: no join key, dropped
+    ).toDF("id", "payload")
+    val media = Multimodal.asMediaTable(df, "id", "payload", "image/fake")
+    val feats = Multimodal.extractFeatures(media).orderBy("id").collect()
+    feats.map(_.id).toSeq shouldBe Seq(1L, 2L)
+    feats.find(_.id == 2L).get.nBytes shouldBe 0L
+  }
+
   test("multimodal resize emits target geometry with bounded payload size") {
     val df = Seq((1L, "abcdefgh" * 100)).toDF("id", "payload")
     val media = Multimodal.asMediaTable(df, "id", "payload", "image/fake")
