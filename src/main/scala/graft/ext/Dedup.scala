@@ -123,7 +123,9 @@ object Dedup {
 
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      numPerm: Int = 16, bands: Int = 4): DataFrame = {
+      numPerm: Int = 16, bands: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
+    maxBucket.foreach(m => require(m > 1, s"maxBucket must be > 1 to allow any pair, got $m"))
     val buckets = minhashBuckets(df, idCol, textCol, numPerm, bands)
     // Pair generation via collect_list per (band, sig) bucket + double
     // explode: the signature pipeline (md5 + numPerm mins) runs ONCE — a
@@ -134,7 +136,27 @@ object Dedup {
     // class, or a mega-bucket of N copies degenerates to one N-element list
     // and N²/2 pairs in a single task (a distributed self-join has the same
     // N² output, just spread out — the real fix is upstream either way).
-    val grouped = buckets
+    // `maxBucket` enforces that contract at open-web scale: a bucket larger
+    // than maxBucket (an un-collapsed exact-dup mega-class, or a pathological
+    // band collision) is DROPPED from pair generation, capping any single
+    // aggregation buffer at maxBucket ids and any bucket's fan-out at
+    // maxBucket²/2 pairs. The size check runs BEFORE collect_list (a count
+    // aggregate + semi-join back), so the oversized list is never buffered —
+    // a post-hoc size() filter would still OOM the collecting task. Recall
+    // loss only affects pairs whose sole shared band is the oversized one —
+    // the safe direction for a dedup candidate generator (never invents a
+    // pair). Default None = exact parity.
+    val eligible = maxBucket.fold(buckets) { m =>
+      // materialize once: Spark shares no subplans across join branches, so
+      // without this the md5+min signature pipeline would run on BOTH sides
+      val mat = buckets.localCheckpoint(true)
+      val sizes = mat.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n").between(2, m))
+        .drop("__n")
+      mat.join(sizes, Seq("band", "sig"), "left_semi")
+    }
+    val grouped = eligible
       .groupBy(col("band"), col("sig"))
       .agg(collect_list(col(idCol)).as("__ids"))
       .where(size(col("__ids")) > 1)

@@ -75,15 +75,19 @@ object TextAnalysis {
     * [[langScores]] columns so the marker filters run once per row; the
     * default recomputes them from `textCol` (convenience only — each filter
     * is an interpreted HOF, so recomputation doubles the per-row text work). */
+  def predictedLang(textCol: String): Column = predictedLang(textCol, None)
+
   def predictedLang(
       textCol: String,
-      scoreOf: String => Column = null): Column = {
-    val score: String => Column =
-      if (scoreOf != null) scoreOf
-      else lang => {
-        val arr = array(langMarkers(lang).map(lit): _*)
-        size(filter(words(col(textCol)), x => array_contains(arr, x)))
-      }
+      scoreOf: String => Column): Column = predictedLang(textCol, Some(scoreOf))
+
+  def predictedLang(
+      textCol: String,
+      scoreOf: Option[String => Column]): Column = {
+    val score: String => Column = scoreOf.getOrElse { lang =>
+      val arr = array(langMarkers(lang).map(lit): _*)
+      size(filter(words(col(textCol)), x => array_contains(arr, x)))
+    }
     val best = langMarkers.keys.toSeq.sorted
       .map(lang => struct(score(lang).cast("long").as("s"), lit(lang).as("l")))
     // fold left with strict > so the FIRST (lexicographically smallest)

@@ -61,14 +61,26 @@ object Sinks {
         case Array(sch, n) => (Some(sch), n)
         case _             => (Option(conn.getSchema), table) // may be null: name-only match
       }
-      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
-      var exists = false
-      while (!exists && rs.next())
-        exists = rs.getString("TABLE_NAME").equalsIgnoreCase(namePart) &&
-          schemaPart.forall(_.equalsIgnoreCase(rs.getString("TABLE_SCHEM")))
-      if (exists)
-        conn.createStatement().executeUpdate(
-          s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+      // Pass the name patterns into the metadata call so the scan is scoped to
+      // the one table (a catalog-wide getTables is slow on large catalogs).
+      // Spark's JDBC writer creates case-exact identifiers, so match both the
+      // exact name and the driver's identifier-case normalization of it.
+      val meta = conn.getMetaData
+      def found(pattern: String): Boolean = {
+        val rs = meta.getTables(null, schemaPart.orNull, pattern, Array("TABLE"))
+        try {
+          var exists = false
+          while (!exists && rs.next())
+            exists = rs.getString("TABLE_NAME").equalsIgnoreCase(namePart) &&
+              schemaPart.forall(_.equalsIgnoreCase(rs.getString("TABLE_SCHEM")))
+          exists
+        } finally rs.close()
+      }
+      val exists = found(namePart) || found(namePart.toUpperCase) || found(namePart.toLowerCase)
+      if (exists) {
+        val ps = conn.prepareStatement(s"""DELETE FROM $table WHERE "batch_id" = ?""")
+        try { ps.setLong(1, batchId); ps.executeUpdate() } finally ps.close()
+      }
     } finally conn.close()
     df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
       .write.mode("append").jdbc(url, table, props)

@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Temporary probe main (removed before final round): time named catalog
+/** Test-scope probe main (never ships in the library jar): time named catalog
   * queries in a bench-identical session; each name is timed as given, so pass
-  * a name twice for warm/steady pairs. */
+  * a name twice for warm/steady pairs. Run via
+  * `sbt "Test/runMain graft.Scratch sf0.1:q25_ngram_jaccard"`. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

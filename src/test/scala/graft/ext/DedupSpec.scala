@@ -64,6 +64,22 @@ class DedupSpec extends SparkTestBase {
       Dedup.minhashCandidatePairs(docs, "doc_id", "text", numPerm = 10, bands = 4)
   }
 
+  test("minhashCandidatePairs maxBucket drops mega-buckets, keeps small ones") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // 5 exact copies (every band collides → buckets of 5) plus a 2-doc near-dup pair
+    val copies = (1L to 5L).map(i => (i, base))
+    val other = Seq((10L, "one two three four five six seven"), (11L, "one two three four five six seven eight"))
+    val docs = (copies ++ other).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidatePairs(docs, "doc_id", "text", maxBucket = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the 5-copy mega-class never pairs (its buckets exceed the cap)…
+    capped.filter(_._1 <= 5L) shouldBe empty
+    // …while the small near-dup bucket still does
+    capped should contain((10L, 11L))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text", maxBucket = Some(1))
+  }
+
   test("simhashTable matches a JVM-side bit-vote replica") {
     val text = "the quick brown fox"
     val docs = Seq((1L, text)).toDF("doc_id", "text")
