@@ -41,11 +41,21 @@ class ProfilingSpec extends SparkTestBase {
     plan.sliding("Exchange".length).count(_ == "Exchange") should be <= 2
   }
 
-  test("profile is a single aggregation: one scan, no join, no repeated exchange") {
+  test("profile plan: independent per-column aggregates, no join, no Expand") {
     val df = Seq((1L, "x")).toDF("id", "s")
     val plan = Profiling.profile(df, Seq("id", "s")).queryExecution.executedPlan.toString
     (plan should not).include("Join")
-    // one final single-partition aggregate: at most one exchange pair
-    plan.sliding("Exchange".length).count(_ == "Exchange") should be <= 2
+    // the whole point of the per-column shape: Catalyst's mixed
+    // distinct/non-distinct aggregation would Expand every input row (k+1)×
+    (plan should not).include("Expand")
+    // two exchanges per column branch (groupBy shuffle + single-row fold)
+    plan.sliding("Exchange".length).count(_ == "Exchange") should be <= 4
+  }
+
+  test("profile of an empty input reports 0 rows per column, not nulls") {
+    val df = Seq((1L, "x")).toDF("id", "s").where(org.apache.spark.sql.functions.lit(false))
+    val out = Profiling.profile(df, Seq("id", "s")).orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    out shouldBe Seq(("id", 0L, 0L, 0L), ("s", 0L, 0L, 0L))
   }
 }
