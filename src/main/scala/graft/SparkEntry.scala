@@ -1234,6 +1234,97 @@ object SparkEntry {
       SELECT 'o_totalprice', n, null_tp, dist_tp, min_tp, max_tp FROM one
       ORDER BY "column" """)),
 
+    // Test-set decontamination: per corpus doc, how many of its distinct
+    // 3-grams appear anywhere in the (broadcast) eval split — the leak
+    // check run before training. Eval = doc_id % 17 == 0, corpus = rest.
+    ("q51_decontaminate", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.contaminationReport(
+        docs.where(col("doc_id") % 17 =!= 0),
+        docs.where(col("doc_id") % 17 === 0),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH cg AS (
+        SELECT DISTINCT doc_id, gram FROM (
+          SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END) AS gram
+          FROM documents WHERE doc_id % 17 <> 0)),
+      eg AS (
+        SELECT DISTINCT gram FROM (
+          SELECT unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END) AS gram
+          FROM documents WHERE doc_id % 17 = 0)),
+      hits AS (
+        SELECT doc_id, count(*) AS n_shared FROM cg JOIN eg USING (gram) GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(h.n_shared, 0) AS n_shared,
+             coalesce(h.n_shared, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id % 17 <> 0
+      ORDER BY d.doc_id""")),
+
+    // Intra-doc repetition (duplicated-3-gram fraction): the boilerplate/
+    // spam signal of published web-corpus quality heuristics.
+    ("q52_repetition", (s, dir) => {
+      TextAnalysis.repetitionStats(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+          THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                                   string_split(text, ' ')[i + 1],
+                                   string_split(text, ' ')[i + 2]))
+          ELSE [text] END) AS gram
+        FROM documents WHERE text IS NOT NULL),
+      per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+      SELECT doc_id,
+             sum(c)::BIGINT AS n_grams,
+             count(*) AS n_distinct_grams,
+             (sum(c) - count(*))::DOUBLE / sum(c)::DOUBLE AS dup_frac
+      FROM per GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Deterministic train/val/test split (80/10/10 by content hash), summed
+    // per (split, lang) — reproducible across engines/reruns/partitioning.
+    ("q53_split_assign", (s, dir) => {
+      Sampling.assignSplit(T(s, dir, "documents"), col("doc_id"),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"), col("lang"))
+    }, Some("""
+      WITH s AS (
+        SELECT lang, n_chars,
+          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT lang, n_chars,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS b
+              FROM documents))
+      SELECT split, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Vocabulary build: global top-25 tokens by frequency (distributed
+    // top-k — no global sort, no full-vocab window).
+    ("q54_vocab_topk", (s, dir) => {
+      TextAnalysis.vocabTopK(T(s, dir, "documents"), "text", 25)
+        .orderBy(col("rank"))
+    }, Some("""
+      SELECT rank, token, cnt FROM (
+        SELECT token, count(*) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE text IS NOT NULL)
+        WHERE token <> '' GROUP BY token)
+      WHERE rank <= 25 ORDER BY rank""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

@@ -253,6 +253,42 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Test-set decontamination: for every corpus doc, how many of its DISTINCT
+    * word 3-grams also occur anywhere in `evalDocs` — the overlap check a
+    * training pipeline runs so benchmark material never leaks into training
+    * data (the n-gram–collision methodology of published LLM training
+    * reports, with n shrunk to 3 to fit the synthetic corpus).
+    *
+    * Shape: both sides explode to distinct n-gram postings; the eval side
+    * collapses to a DISTINCT n-gram SET — its size is the eval SUITE's
+    * vocabulary, tiny and independent of corpus scale — which is BROADCAST
+    * to the corpus postings join. The corpus side is therefore one
+    * map-side-only pass (explode → broadcast-hash probe → partial count),
+    * and the only exchange is the per-doc count aggregation. A doc with
+    * null/empty text has no n-grams and reports 0 shared.
+    *
+    * Returns every corpus row's id with `n_shared` (count of its distinct
+    * n-grams that hit the eval set) and `contaminated` (n_shared > 0) —
+    * filter or invert downstream to drop/keep. */
+  def contaminationReport(
+      corpus: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def grams(df: DataFrame, cols: Seq[Column]): DataFrame = df
+      .withColumn("__words", split(col(textCol), " "))
+      .select(cols :+ explode(shingles(col(textCol), col("__words"))).as("__g"): _*)
+      .distinct()
+    val evalGrams = grams(evalDocs, Nil)
+    val hits = grams(corpus, Seq(col(idCol)))
+      .join(broadcast(evalGrams), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Connected components over an undirected dup-pair edge list — the dedup
     * endgame: candidate pairs only say "a ~ b"; keeping one doc per
     * TRANSITIVE duplicate class needs the component structure (a~b, b~c ⇒

@@ -45,6 +45,31 @@ object Sampling {
       .reduce(_ unionByName _)
   }
 
+  /** Deterministic train/val/test split: assigns each row a `split` label by
+    * which mod-100 bucket its key's 48-bit content hash lands in, with the
+    * splits owning consecutive bucket ranges in the order given (80/10/10 ⇒
+    * buckets [0,80), [80,90), [90,100)). Same guarantees as [[hashSample]]
+    * (whose bucket math this shares): rerun/engine/partitioning-independent,
+    * key groups land in ONE split (no leakage of a document's chunks across
+    * train and test), and pure per-row codegen — no shuffle, no state.
+    * Growing a split only re-labels rows at range boundaries, and because
+    * `hashSample(pct)` selects buckets [0,pct), a hash-sampled subset is
+    * always a subset of the FIRST split when its percentage ≥ pct.
+    * Percentages must sum to 100 so every row is labeled. */
+  def assignSplit(df: DataFrame, key: Column, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty, "assignSplit needs at least one split")
+    require(splits.forall(_._2 > 0), s"split percentages must be positive, got $splits")
+    require(splits.map(_._2).sum == 100,
+      s"split percentages must sum to 100, got ${splits.map(_._2).sum}")
+    val bucket = hash48(key.cast("string")) % 100
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val chain = splits.zip(cum).dropRight(1)
+      .foldLeft(Option.empty[Column]) { case (acc, ((nm, _), cut)) =>
+        Some(acc.fold(when(bucket < cut, lit(nm)))(_.when(bucket < cut, lit(nm))))
+      }
+    df.withColumn("split", chain.fold(lit(splits.last._1))(_.otherwise(lit(splits.last._1))))
+  }
+
   /** Class-balanced downsample: at most `n` rows per class, chosen in
     * deterministic pseudorandom order (by id-hash, id tie-break) so the
     * per-class pick is unbiased w.r.t. storage order but exactly

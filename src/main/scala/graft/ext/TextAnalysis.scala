@@ -150,6 +150,54 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Intra-document repetition stats — the "duplicated n-gram fraction"
+    * quality signal (published web-corpus filtering heuristics): a document
+    * whose 3-grams repeat heavily is boilerplate/spam-shaped regardless of
+    * its other quality scores. Per doc: total 3-gram count, distinct 3-gram
+    * count, and `dup_frac` = (total − distinct) / total.
+    *
+    * Shape: explode 3-grams → count per (doc, gram) → fold per doc. Two
+    * hash aggregations keyed by (doc, gram) then doc; map-side partials
+    * collapse each doc's repeats before either shuffle, and no per-row
+    * array materializes (an `array_distinct` over a per-doc gram array
+    * would be the interpreted O(n²) trap). Docs with < 3 words have one
+    * whole-text gram ⇒ dup_frac 0; null-text docs are excluded (no grams).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .withColumn("__words", words(col(textCol)))
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), col("__words"))).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        ((sum(col("__c")) - count(lit(1))).cast("double") / sum(col("__c")))
+          .as("dup_frac"))
+
+  /** Global top-`k` token vocabulary with frequencies — the first pass of
+    * any tokenizer/vocab build. One explode → hash aggregate keyed by token
+    * (map-side partials collapse in-partition repeats, so the exchange
+    * carries per-partition distinct tokens, not the corpus), then a
+    * distributed top-k (TakeOrderedAndProject — each partition offers its
+    * local top k, only k·partitions rows reach the driver side of the sort;
+    * no global sort, no single-partition window over the full vocabulary).
+    * Rank is assigned AFTER the limit, over k rows. Deterministic: ties
+    * break by token. Empty tokens (split artifacts of doubled separators)
+    * are dropped. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val top = df
+      .select(explode(words(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("token"))))
+      .select(col("rank"), col("token"), col("cnt"))
+  }
+
   /** Content fingerprint: md5 of the lowercased text — exact-dup key. */
   def fingerprintExact(c: Column): Column = md5(lower(c).cast("binary"))
 

@@ -64,6 +64,32 @@ class DedupSpec extends SparkTestBase {
       Dedup.minhashCandidatePairs(docs, "doc_id", "text", numPerm = 10, bands = 4)
   }
 
+  test("contaminationReport counts distinct shared 3-grams per corpus doc") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // grams: "alpha beta gamma","beta gamma delta" — 1st shared
+      (2L, "nothing in common here at all"),
+      (3L, "alpha beta gamma alpha beta gamma"), // repeated shared gram counts ONCE
+      (4L, null.asInstanceOf[String])) // null text: 0 shared, not contaminated
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(corpus, eval_, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    out shouldBe Seq(
+      (1L, 1L, true),
+      (2L, 0L, false),
+      (3L, 1L, true), // its repeats collapse: only "alpha beta gamma" is shared
+      (4L, 0L, false))
+  }
+
+  test("contaminationReport broadcasts the eval n-gram set") {
+    val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val eval_ = Seq((2L, "a b c")).toDF("doc_id", "text")
+    val plan = Dedup.contaminationReport(corpus, eval_, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
   test("minhashCandidatePairs maxBucket drops mega-buckets, keeps small ones") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     // 5 exact copies (every band collides → buckets of 5) plus a 2-doc near-dup pair

@@ -76,4 +76,39 @@ class SamplingSpec extends SparkTestBase {
     val df = Seq((1L, "tiny"), (2L, "tiny")).toDF("id", "cls")
     Sampling.balancedSample(df, Seq("cls"), col("id"), 10).count() shouldBe 2L
   }
+
+  test("assignSplit labels every row by hash bucket range, in split order") {
+    val df = rows.toDF("k", "v")
+    val got = Sampling.assignSplit(df, col("k"),
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    got.size shouldBe 400
+    rows.foreach { case (k, _) =>
+      val b = h48(k.toString) % 100
+      val expected = if (b < 80) "train" else if (b < 90) "val" else "test"
+      got(k) shouldBe expected
+    }
+  }
+
+  test("assignSplit agrees with hashSample on the first range (no leakage drift)") {
+    val df = rows.toDF("k", "v")
+    val train = Sampling.assignSplit(df, col("k"), Seq(("train", 80), ("rest", 20)))
+      .where(col("split") === "train").select("k").as[Long].collect().toSet
+    val sampled = Sampling.hashSample(df, col("k"), 80).select("k").as[Long].collect().toSet
+    train shouldBe sampled
+  }
+
+  test("assignSplit duplicate keys land in one split; bad percentages refuse") {
+    val dup = (rows ++ rows).toDF("k", "v")
+    val perKey = Sampling.assignSplit(dup, col("k"), Seq(("a", 50), ("b", 50)))
+      .groupBy("k").agg(countDistinct("split").as("n"))
+      .agg(max("n")).collect().head.getLong(0)
+    perKey shouldBe 1L
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.assignSplit(dup, col("k"), Seq(("a", 50), ("b", 40)))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.assignSplit(dup, col("k"), Seq(("a", 110), ("b", -10)))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.assignSplit(dup, col("k"), Nil)
+  }
 }

@@ -183,4 +183,29 @@ class TextAnalysisSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       TextAnalysis.chunkByTokens(df, "doc_id", "text", 4, 4)
   }
+
+  test("repetitionStats: dup_frac counts repeated 3-grams, short docs score 0") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // grams: 7 total, distinct {abc,bca,cab} = 3
+      (2L, "all words unique here now"), // 3 grams, all distinct
+      (3L, "tiny doc"), // <3 words: whole text is the one gram
+      (4L, null.asInstanceOf[String])) // null text: excluded
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    out shouldBe Seq(
+      (1L, 7L, 3L, 4.0 / 7.0),
+      (2L, 3L, 3L, 0.0),
+      (3L, 1L, 1L, 0.0))
+  }
+
+  test("vocabTopK ranks by count desc then token, drops empty tokens") {
+    val df = Seq((1L, "b b a a a  c"), (2L, "b c d")).toDF("doc_id", "text")
+    // counts: a=3, b=3, c=2, d=1; the doubled space yields an empty token
+    val out = TextAnalysis.vocabTopK(df, "text", 3).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    out shouldBe Seq((1, "a", 3L), (2, "b", 3L), (3, "c", 2L))
+    an[IllegalArgumentException] should be thrownBy TextAnalysis.vocabTopK(df, "text", 0)
+  }
 }
