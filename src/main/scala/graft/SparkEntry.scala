@@ -10,7 +10,7 @@ import graft.core.Event
 import graft.core.parse.GameLogParser
 import graft.core.stats.PlayerStatsEngine
 import graft.core.enrich.Enrich
-import graft.analytics.{Scoreboard, Sessionize}
+import graft.analytics.{RangeJoin, Scoreboard, Sessionize}
 import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract: the operator catalog (SURVEY.md §2) as named queries over
@@ -1324,6 +1324,37 @@ object SparkEntry {
               FROM documents WHERE text IS NOT NULL)
         WHERE token <> '' GROUP BY token)
       WHERE rank <= 25 ORDER BY rank""")),
+
+    // Point-in-interval range join: non-error events landing within 10
+    // minutes after a same-user error event. No native Spark operator for
+    // this — a bare BETWEEN join plans a nested-loop sweep; bucketedIntervalJoin
+    // restores an equi-key by quantizing time (see RangeJoin). Ticks are µs
+    // on both sides (ts div 1000 / epoch_us) so the oracle compares exactly.
+    ("q55_range_join", (s, dir) => {
+      val ev = T(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+      val win = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("tus").as("w_start"),
+          (col("tus") + lit(600000000L)).as("w_end"))
+      val pts = ev.where(col("event_type") =!= "error")
+      RangeJoin.bucketedIntervalJoin(
+          pts, col("tus"), win, col("w_start"), col("w_end"),
+          bucketWidth = 600000000L, keys = Seq("user_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("event_id")).as("n_events"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      w AS (SELECT user_id, tus AS ws, tus + 600000000 AS we
+            FROM e WHERE event_type = 'error'),
+      p AS (SELECT * FROM e WHERE event_type <> 'error')
+      SELECT p.event_type, count(*) AS n_pairs,
+             count(DISTINCT p.event_id) AS n_events
+      FROM p JOIN w ON p.user_id = w.user_id AND p.tus >= w.ws AND p.tus < w.we
+      GROUP BY 1 ORDER BY 1""")),
 
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
