@@ -10,7 +10,7 @@ import graft.core.Event
 import graft.core.parse.GameLogParser
 import graft.core.stats.PlayerStatsEngine
 import graft.core.enrich.Enrich
-import graft.analytics.{RangeJoin, Scoreboard, Sessionize}
+import graft.analytics.{AsofJoin, RangeJoin, Scoreboard, Sessionize}
 import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract: the operator catalog (SURVEY.md §2) as named queries over
@@ -1355,6 +1355,174 @@ object SparkEntry {
              count(DISTINCT p.event_id) AS n_events
       FROM p JOIN w ON p.user_id = w.user_id AND p.tus >= w.ws AND p.tus < w.we
       GROUP BY 1 ORDER BY 1""")),
+
+    // Multi-level OLAP aggregate (CUBE): all four grouping combinations in
+    // one pass — Catalyst expands the grouping sets once and keeps the whole
+    // thing a single hash aggregation (one Expand + one shuffle), vs the 4
+    // scans a UNION ALL of separate GROUP BYs would cost. grouping() flags
+    // disambiguate a real value from a rolled-up NULL.
+    ("q56_cube_agg", (s, dir) => {
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"), col("g_flag"), col("g_status"))
+        .orderBy(col("g_flag"), col("g_status"), col("flag"), col("status"))
+    }, Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             count(*) AS n,
+             CAST(grouping(l_returnflag) AS INT) AS g_flag,
+             CAST(grouping(l_linestatus) AS INT) AS g_status
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY g_flag, g_status, flag, status""")),
+
+    // Generic as-of join (AsofJoin): every click annotated with the user's
+    // most recent prior-or-same-instant purchase. Single shuffle + window
+    // pass — no correlated subquery, no nested loop (see AsofJoin). The
+    // right side is pre-aggregated to unique (user, tus) so both engines'
+    // as-of semantics are deterministic.
+    ("q57_asof_join", (s, dir) => {
+      val ev = T(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tus").as("p_tus"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          max_by(col("value"), col("event_id")).as("p_value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "tus")
+      AsofJoin.asofJoin(
+          clicks, col("tus"), purchases, col("p_tus"),
+          keys = Seq("user_id"), rightCols = Seq("p_tus", "p_event_id", "p_value"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus, value
+                 FROM events),
+      p AS (SELECT user_id, tus AS p_tus, max(event_id) AS p_event_id,
+                   arg_max(value, event_id) AS p_value
+            FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+      c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click')
+      SELECT c.event_id, c.user_id, c.tus, p.p_tus, p.p_event_id, p.p_value
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tus >= p.p_tus
+      ORDER BY c.event_id""")),
+
+    // Ranking-window suite: rank/dense_rank over a tie-rich coarse key plus
+    // row_number/ntile/lag/lead over the total order, per priority class.
+    // rank and dense_rank depend only on sort-key VALUES, so they stay
+    // deterministic under ties; anything that reads a NEIGHBORING row
+    // (lag/lead) runs over the total (orderkey-tiebroken) order instead.
+    ("q58_window_suite", (s, dir) => {
+      val bucket = floor(col("o_totalprice") / 1000).cast("long")
+      val wTies = Window.partitionBy(col("o_orderpriority")).orderBy(bucket.desc)
+      val wTotal = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(bucket.desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_orderpriority"), bucket.as("price_kb"),
+          rank().over(wTies).as("rnk"),
+          dense_rank().over(wTies).as("drnk"),
+          row_number().over(wTotal).as("rn"),
+          ntile(4).over(wTotal).as("quartile"),
+          lag(col("o_orderkey"), 1).over(wTotal).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(wTotal).as("next_key"))
+        .where(col("rn") <= 200)
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kb,
+               rank() OVER wt AS rnk,
+               dense_rank() OVER wt AS drnk,
+               row_number() OVER wf AS rn,
+               ntile(4) OVER wf AS quartile,
+               lag(o_orderkey, 1) OVER wf AS prev_key,
+               lead(o_orderkey, 1) OVER wf AS next_key
+        FROM orders
+        WINDOW
+          wt AS (PARTITION BY o_orderpriority
+                 ORDER BY floor(o_totalprice / 1000) DESC),
+          wf AS (PARTITION BY o_orderpriority
+                 ORDER BY floor(o_totalprice / 1000) DESC, o_orderkey)
+      ) WHERE rn <= 200 ORDER BY o_orderpriority, rn""")),
+
+    // Per-class sampling rates (stratified): rebalance a corpus by keeping a
+    // different hash-bucket percentage per language — all of hashSample's
+    // guarantees per class, still a pure scan-stage filter (q42's hash).
+    ("q59_stratified_sample", (s, dir) => {
+      Sampling.stratifiedSample(
+          T(s, dir, "documents"), col("lang"), col("doc_id"),
+          pct = Map("en" -> 50, "de" -> 20), defaultPct = 5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }, Some("""
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100
+            < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 5 END
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Time-grid resample + LOCF gap fill: one row per (user, hour) between
+    // each user's first and last event, carrying the last observation
+    // forward — sequence+explode builds the grid in codegen (no driver
+    // loop), AsofJoin fills it in one window pass. Hours are integral µs
+    // buckets so grid arithmetic is exact in both engines.
+    ("q60_resample_locf", (s, dir) => {
+      val hourly = T(s, dir, "events")
+        .select(col("user_id"), expr("(ts div 1000) div 3600000000").as("rh"),
+          col("value"), col("event_id"))
+        .groupBy(col("user_id"), col("rh"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("rh")).as("h0"), max(col("rh")).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      AsofJoin.asofJoin(
+          grid, col("h"), hourly.select(col("user_id"), col("rh"), col("v")),
+          col("rh"), keys = Seq("user_id"), rightCols = Seq("rh", "v"))
+        .select(col("user_id"), col("h"), col("rh").as("src_hour"),
+          col("v").as("locf_value"))
+        .orderBy(col("user_id"), col("h"))
+    }, Some("""
+      WITH hr AS (SELECT user_id, epoch_us(ts) // 3600000000 AS rh,
+                         arg_max(value, event_id) AS v
+                  FROM events GROUP BY 1, 2),
+      b AS (SELECT user_id, min(rh) AS h0, max(rh) AS h1 FROM hr GROUP BY 1),
+      g AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM b)
+      SELECT g.user_id, g.h, hr.rh AS src_hour, hr.v AS locf_value
+      FROM g ASOF LEFT JOIN hr ON g.user_id = hr.user_id AND g.h >= hr.rh
+      ORDER BY 1, 2""")),
+
+    // Exact interpolated percentiles per group. Quantities are integral
+    // doubles and the interpolation fractions are dyadic (0.25/0.5/0.75),
+    // so lo + (hi-lo)*frac is bit-exact in both engines. At 100 TB swap in
+    // the t-digest sketch (q39) — exact percentile's full sort per group is
+    // the scale bound, which is why both forms are in the catalog.
+    ("q61_percentiles", (s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          min(col("l_quantity")).as("q_min"),
+          max(col("l_quantity")).as("q_max"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS p25,
+             quantile_cont(l_quantity, 0.5) AS p50,
+             quantile_cont(l_quantity, 0.75) AS p75,
+             min(l_quantity) AS q_min,
+             max(l_quantity) AS q_max
+      FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only

@@ -45,6 +45,24 @@ object Sampling {
       .reduce(_ unionByName _)
   }
 
+  /** Per-class sampling rates: keep `pct(class)` percent of each class's
+    * keys (classes absent from the map keep `defaultPct`). The workhorse for
+    * rebalancing a crawl corpus — e.g. keep 100% of low-resource languages
+    * but 5% of English — with every [[hashSample]] guarantee intact per
+    * class: rerun/engine/partitioning-stable, key groups whole, nested when
+    * any class's rate grows, and still a pure scan-stage filter (the class
+    * column just selects which threshold the row's hash bucket is compared
+    * to — no shuffle, no per-class pass). */
+  def stratifiedSample(df: DataFrame, classCol: Column, key: Column,
+      pct: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    require((defaultPct +: pct.values.toSeq).forall(p => p >= 0 && p <= 100),
+      s"percentages must be in [0,100], got $pct default=$defaultPct")
+    val threshold = pct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (cls, p)) => when(classCol === cls, lit(p)).otherwise(acc)
+    }
+    df.where(hash48(key.cast("string")) % 100 < threshold)
+  }
+
   /** Deterministic train/val/test split: assigns each row a `split` label by
     * which mod-100 bucket its key's 48-bit content hash lands in, with the
     * splits owning consecutive bucket ranges in the order given (80/10/10 ⇒

@@ -111,4 +111,41 @@ class SamplingSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Sampling.assignSplit(dup, col("k"), Nil)
   }
+
+  test("stratifiedSample applies each class's own rate, default elsewhere") {
+    val df = rows.map { case (k, v) => (k, v, if (k % 2 == 0) "en" else "de") }
+      .toDF("k", "v", "lang")
+    val got = Sampling.stratifiedSample(df, col("lang"), col("k"),
+        Map("en" -> 50), defaultPct = 10)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val expected = rows.map(_._1).map(k => (k, if (k % 2 == 0) "en" else "de"))
+      .filter { case (k, l) =>
+        h48(k.toString) % 100 < (if (l == "en") 50 else 10) }.toSet
+    got shouldBe expected
+  }
+
+  test("stratifiedSample per class is exactly hashSample at that class's rate") {
+    val df = rows.map { case (k, v) => (k, v, "en") }.toDF("k", "v", "lang")
+    val strat = Sampling.stratifiedSample(df, col("lang"), col("k"), Map("en" -> 30))
+      .select("k").as[Long].collect().toSet
+    val plain = Sampling.hashSample(df, col("k"), 30).select("k").as[Long].collect().toSet
+    strat shouldBe plain
+  }
+
+  test("stratifiedSample nests per class and validates percentages") {
+    val df = rows.map { case (k, v) => (k, v, if (k % 2 == 0) "en" else "de") }
+      .toDF("k", "v", "lang")
+    val small = Sampling.stratifiedSample(df, col("lang"), col("k"),
+      Map("en" -> 10, "de" -> 5)).select("k").as[Long].collect().toSet
+    val grown = Sampling.stratifiedSample(df, col("lang"), col("k"),
+      Map("en" -> 40, "de" -> 5)).select("k").as[Long].collect().toSet
+    small.subsetOf(grown) shouldBe true
+    // default 0: unlisted classes are dropped entirely
+    Sampling.stratifiedSample(df, col("lang"), col("k"), Map("en" -> 10))
+      .where(col("lang") === "de").count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.stratifiedSample(df, col("lang"), col("k"), Map("en" -> 101))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.stratifiedSample(df, col("lang"), col("k"), Map.empty, defaultPct = -1)
+  }
 }
