@@ -11,7 +11,7 @@ import graft.core.parse.GameLogParser
 import graft.core.stats.PlayerStatsEngine
 import graft.core.enrich.Enrich
 import graft.analytics.{AsofJoin, RangeJoin, Scoreboard, Sessionize}
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
 
 /** Driver contract: the operator catalog (SURVEY.md §2) as named queries over
   * the driver's parquet testdata, each paired with ANSI SQL the driver runs in
@@ -1523,6 +1523,52 @@ object SparkEntry {
              min(l_quantity) AS q_min,
              max(l_quantity) AS q_max
       FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // Salted join: lineitem ⋈ part on a deterministically salted key — the
+    // hot-key-safe join for when the dim side is too big to broadcast and
+    // AQE's runtime skew split is unavailable. The oracle is the PLAIN join:
+    // salting must be result-invisible.
+    ("q62_salted_join", (s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_orderkey"), dec(col("l_quantity")).as("qty"))
+      val part = T(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Skew.saltedJoin(li, part, keys = Seq("l_partkey"),
+          saltSource = col("l_orderkey"), salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty")).cast("double").as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }, Some("""
+      SELECT p_brand, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Hopping (sliding) event-time window: 30-minute windows every 10
+    // minutes, epoch-aligned — each event lands in exactly 3 windows (one
+    // Expand of 3, not a self-join). The oracle replays the same alignment
+    // with integral 10-minute µs buckets, so window membership is exact.
+    ("q63_hopping_window", (s, dir) => {
+      T(s, dir, "events")
+        .select(
+          timestamp_micros(expr("ts div 1000")).as("t"),
+          col("event_type"), dec(col("value")).as("v"))
+        .groupBy(window(col("t"), "30 minutes", "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }, Some("""
+      WITH e AS (SELECT epoch_us(ts) // 600000000 AS b10, event_type, value
+                 FROM events),
+      h AS (SELECT b10 - k AS wb, event_type, value
+            FROM e CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k))
+      SELECT strftime(make_timestamp(wb * 600000000), '%Y-%m-%d %H:%M:%S') AS w_start,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM h GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only

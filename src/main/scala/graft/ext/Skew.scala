@@ -29,6 +29,36 @@ object Skew {
       TwoPhase(out, in, max(_), c => max(c))
   }
 
+  /** Salted equi-join for hot join keys: the fact side gets a deterministic
+    * content-derived salt in [0, salts); the dimension side is replicated
+    * once per salt value (explode, not a driver loop). The join key becomes
+    * (keys…, salt), spreading each hot key's fact rows over `salts` tasks
+    * while every fact row still meets every matching dim row exactly once —
+    * result-identical to the plain join, shuffle-skew-free by construction.
+    *
+    * Use when the dim side is too big to broadcast AND AQE's runtime skew
+    * split is unavailable (deterministic plan requirements, stateful
+    * streaming). Cost: the dim side shuffles `salts`× its size — keep
+    * `salts` near the executor-count you need the hot key spread over.
+    * Only left-rooted join types are valid: replicating the dim side would
+    * duplicate its unmatched rows under right/full outer semantics. */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltSource: Column, salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(keys.nonEmpty, "saltedJoin needs at least one join key")
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports left-rooted join types only, got $joinType")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "__salt column name is reserved by saltedJoin")
+    val f = fact.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
+    val d = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    f.join(d, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Two-phase (salted) aggregation: phase 1 aggregates on (keys, salt),
     * spreading each hot key over `salts` tasks; phase 2 combines partials
     * per key. The salt derives from stable row content (`saltSource`), not

@@ -24,6 +24,43 @@ class SkewSpec extends SparkTestBase {
     salted shouldBe direct
   }
 
+  test("saltedJoin inner equals the plain join, salt column dropped") {
+    val fact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L)).toDF("k", "fv")
+    val dim = Seq((1L, "a"), (2L, "b"), (2L, "b2"), (4L, "d")).toDF("k", "dv")
+    val plain = fact.join(dim, Seq("k")).collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), col("fv"), salts = 4)
+    salted.columns.toSeq shouldBe Seq("k", "fv", "dv")
+    salted.collect().map(_.toSeq).toSeq should contain theSameElementsAs plain
+  }
+
+  test("saltedJoin left keeps unmatched fact rows with null dim columns") {
+    val fact = Seq((1L, 10L), (9L, 90L)).toDF("k", "fv")
+    val dim = Seq((1L, "a")).toDF("k", "dv")
+    val out = Skew.saltedJoin(fact, dim, Seq("k"), col("fv"), salts = 3, "left")
+      .orderBy("k").collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSeq
+    out shouldBe Seq((1L, Some("a")), (9L, None))
+  }
+
+  test("saltedJoin semi/anti partition the fact side exactly") {
+    val fact = Seq((1L, 10L), (2L, 20L), (9L, 90L)).toDF("k", "fv")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "dv")
+    val semi = Skew.saltedJoin(fact, dim, Seq("k"), col("fv"), 4, "left_semi")
+      .select("k").as[Long].collect().sorted
+    val anti = Skew.saltedJoin(fact, dim, Seq("k"), col("fv"), 4, "left_anti")
+      .select("k").as[Long].collect().sorted
+    semi shouldBe Array(1L, 2L)
+    anti shouldBe Array(9L)
+  }
+
+  test("saltedJoin refuses right-rooted join types and reserved columns") {
+    val df = Seq((1L, 1L)).toDF("k", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(df, df.withColumnRenamed("v", "w"), Seq("k"), col("v"), 4, "full_outer")
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(df.withColumn("__salt", lit(1)),
+        df.withColumnRenamed("v", "w"), Seq("k"), col("v"), 4)
+  }
+
   test("phase 1 spreads a hot key over the salt space") {
     val hot = Seq.fill(1000)(("HOT", 1L)) ++ Seq(("cold", 2L))
     val df = hot.toDF("k", "v").withColumn("row", monotonically_increasing_id())
