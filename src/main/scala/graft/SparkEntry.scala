@@ -1429,6 +1429,10 @@ object SparkEntry {
           col("o_orderkey"), col("o_orderpriority"), bucket.as("price_kb"),
           rank().over(wTies).as("rnk"),
           dense_rank().over(wTies).as("drnk"),
+          // pure functions of (rank, peer count, partition size) — identical
+          // integer inputs in both engines ⇒ identical doubles
+          percent_rank().over(wTies).as("prnk"),
+          cume_dist().over(wTies).as("cdist"),
           row_number().over(wTotal).as("rn"),
           ntile(4).over(wTotal).as("quartile"),
           lag(col("o_orderkey"), 1).over(wTotal).as("prev_key"),
@@ -1441,6 +1445,8 @@ object SparkEntry {
                CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kb,
                rank() OVER wt AS rnk,
                dense_rank() OVER wt AS drnk,
+               percent_rank() OVER wt AS prnk,
+               cume_dist() OVER wt AS cdist,
                row_number() OVER wf AS rn,
                ntile(4) OVER wf AS quartile,
                lag(o_orderkey, 1) OVER wf AS prev_key,
@@ -1569,6 +1575,68 @@ object SparkEntry {
              event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       FROM h GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Ordered distinct string aggregation: collect_set is unordered (and
+    // collect_list is partitioning-dependent), so the deterministic form is
+    // array_sort before joining — the cross-engine-stable way to emit a
+    // per-key label list.
+    ("q64_sorted_listagg", (s, dir) => {
+      T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id,
+             string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+             count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Set operations (§2.3): INTERSECT ∘ EXCEPT with SQL's distinct-set
+    // semantics — customers ordering in both years, minus any who ever
+    // placed an urgent order. Catalyst rewrites both to semi/anti joins
+    // under a distinct, so they shuffle like any equi-join (AQE-splittable).
+    ("q65_intersect_except", (s, dir) => {
+      val o = T(s, dir, "orders")
+      def custs(y: Int) =
+        o.where(year(col("o_orderdate")) === y).select(col("o_custkey"))
+      val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      custs(1995).intersect(custs(1996)).except(urgent)
+        .orderBy(col("o_custkey"))
+    }, Some("""
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      ORDER BY o_custkey""")),
+
+    // UNPIVOT (wide → tall): the inverse of q09's pivot, as the native
+    // Expand-based unpivot operator — 1→n in the same stage, no union of
+    // per-measure scans.
+    ("q66_unpivot", (s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+          sum(dec(col("l_discount"))).cast("double").as("sum_disc"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "val")
+        .orderBy(col("l_returnflag"), col("measure"))
+    }, Some("""
+      WITH w AS (SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc
+             FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, measure, val
+      FROM (UNPIVOT w ON sum_qty, sum_price, sum_disc INTO NAME measure VALUE val)
+      ORDER BY 1, 2""")),
 
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
