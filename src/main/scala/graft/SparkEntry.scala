@@ -1482,11 +1482,17 @@ object SparkEntry {
     // loop), AsofJoin fills it in one window pass. Hours are integral µs
     // buckets so grid arithmetic is exact in both engines.
     ("q60_resample_locf", (s, dir) => {
+      // localCheckpoint: `hourly` feeds BOTH the grid bounds and the asof
+      // right side, and Spark shares no uncached subplan across branches —
+      // without it the events scan + hash agg runs twice (verified in the
+      // plan). The checkpointed aggregate is one row per (user, hour), tiny
+      // next to its input; on a real cluster use reliable checkpoint/persist.
       val hourly = T(s, dir, "events")
         .select(col("user_id"), expr("(ts div 1000) div 3600000000").as("rh"),
           col("value"), col("event_id"))
         .groupBy(col("user_id"), col("rh"))
         .agg(max_by(col("value"), col("event_id")).as("v"))
+        .localCheckpoint()
       val grid = hourly.groupBy(col("user_id"))
         .agg(min(col("rh")).as("h0"), max(col("rh")).as("h1"))
         .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
@@ -1584,8 +1590,14 @@ object SparkEntry {
       T(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(
-          concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
+          array_sort(collect_set(col("event_type"))).as("arr"),
           countDistinct(col("event_type")).as("n_types"))
+        // all-NULL group: collect_set yields [] and concat_ws would emit ''
+        // where SQL string_agg emits NULL — guard on set size so both
+        // engines agree (a genuine '' value still round-trips as '')
+        .select(col("user_id"),
+          when(size(col("arr")) > 0, concat_ws(",", col("arr"))).as("types"),
+          col("n_types"))
         .orderBy(col("user_id"))
     }, Some("""
       SELECT user_id,

@@ -68,6 +68,43 @@ object Stress {
       graft.ext.Profiling.profile(big, Seq("doc_id", "text", "n_chars"))
         .write.format("noop").mode("overwrite").save()
     }
+
+    // Temporal-join scale probe: 20M points as-of/range-joined against 2M
+    // intervals over 100k keys — synthetic (spark.range, fully codegen'd
+    // generation) so the probe sizes independently of the doc corpus. Both
+    // operators must scale with Σ per-bucket work, NOT |points|·|intervals|;
+    // a nested-loop regression here would run for hours, not seconds.
+    locally {
+      import graft.analytics.{AsofJoin, RangeJoin}
+      val nPts = 20_000_000L
+      val nIv = 2_000_000L
+      val keys = 100_000L
+      val pts = spark.range(nPts).select(
+        (col("id") % keys).as("k"),
+        (hash(col("id")).cast("long") % 1_000_000L).as("ts"),
+        col("id").as("pid"))
+        .localCheckpoint()
+      val iv = spark.range(nIv).select(
+        (col("id") % keys).as("k"),
+        (hash(col("id") + 7).cast("long") % 1_000_000L).as("s"),
+        col("id").as("iid"))
+        .withColumn("e", col("s") + 5000L)
+        .localCheckpoint()
+      println(s"[stress] temporal: $nPts points × $nIv intervals, $keys keys")
+      timed("bucketed range join") {
+        val j = RangeJoin.bucketedIntervalJoin(
+          pts, col("ts"), iv, col("s"), col("e"),
+          bucketWidth = 5000L, keys = Seq("k"))
+        println(s"[stress]   pairs = ${j.count()}")
+      }
+      timed("asof join") {
+        val j = AsofJoin.asofJoin(
+          pts, col("ts"),
+          iv.groupBy("k", "s").agg(max(col("iid")).as("iid")), col("s"),
+          keys = Seq("k"), rightCols = Seq("iid"))
+        println(s"[stress]   matched = ${j.where(col("iid").isNotNull).count()}")
+      }
+    }
     spark.stop()
   }
 }

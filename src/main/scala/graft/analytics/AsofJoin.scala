@@ -56,10 +56,16 @@ object AsofJoin {
       keys.map(col) ++ Seq(
         leftTs.as("__ts"), lit(lTag).as("__tag"),
         struct(leftCols.map(col): _*).as("__l")): _*)
-    val r2 = right.select(
-      keys.map(col) ++ Seq(
-        rightTs.as("__ts"), lit(rTag).as("__tag"),
-        struct(rightCols.map(col): _*).as("__r")): _*)
+    // SQL equi-semantics: NULL keys never match. Window.partitionBy would
+    // group null keys into one partition (null-safe equality), so a
+    // null-key right row must never enter the union — left null-key rows
+    // then sit in a partition with no right rows and correctly keep nulls.
+    val r2 = right
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          rightTs.as("__ts"), lit(rTag).as("__tag"),
+          struct(rightCols.map(col): _*).as("__r")): _*)
     val u = l2.withColumn("__r", lit(null).cast(r2.schema("__r").dataType))
       .unionByName(r2.withColumn("__l", lit(null).cast(l2.schema("__l").dataType)))
 

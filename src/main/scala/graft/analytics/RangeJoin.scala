@@ -43,6 +43,8 @@ object RangeJoin {
       intervals: DataFrame, start: Column, end: Column,
       bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
+      "__bucket column name is reserved by bucketedIntervalJoin")
     // integral `div`, NOT `/`: double division rounds above 2^53, which
     // nanosecond epoch ticks exceed — a point on a bucket boundary would
     // land in the wrong bucket and silently miss its intervals. `div`

@@ -50,13 +50,16 @@ object Skew {
     require(keys.nonEmpty, "saltedJoin needs at least one join key")
     val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
       "leftsemi", "left_anti", "leftanti")
-    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+    // normalize once and pass the NORMALIZED form to join — Spark itself
+    // rejects space-separated forms like "left outer"
+    val jt = joinType.toLowerCase.replace(" ", "_")
+    require(allowed.contains(jt),
       s"saltedJoin supports left-rooted join types only, got $joinType")
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "__salt column name is reserved by saltedJoin")
     val f = fact.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
     val d = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
-    f.join(d, keys :+ "__salt", joinType).drop("__salt")
+    f.join(d, keys :+ "__salt", jt).drop("__salt")
   }
 
   /** Two-phase (salted) aggregation: phase 1 aggregates on (keys, salt),

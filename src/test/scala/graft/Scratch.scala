@@ -18,18 +18,28 @@ object Scratch {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // each arg is `name` (timed on sfDir) or `sf0.01:name` (timed on that SF)
+    // each arg is `name` (timed on sfDir), `sf0.01:name` (timed on that SF),
+    // or `explain:name` / `explain:sf0.01:name` (prints the formatted plan)
     val names = if (args.isEmpty) Seq("q24_simhash", "q24_simhash") else args.toSeq
     names.foreach { spec =>
-      val (dir, name) = spec.split(":") match {
+      val (explain, rest) =
+        if (spec.startsWith("explain:")) (true, spec.stripPrefix("explain:"))
+        else (false, spec)
+      val (dir, name) = rest.split(":") match {
         case Array(sf, n) => (s"/root/testdata/$sf", n)
         case Array(n)     => (sfDir, n)
       }
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[scratch] $spec failed: $e") }
-      println(f"[scratch] $spec%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      if (explain) {
+        println(s"===== $name =====")
+        try SparkEntry.queries(name)(spark, dir).explain("formatted")
+        catch { case e: Throwable => System.err.println(s"[scratch] $spec failed: $e") }
+      } else {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[scratch] $spec failed: $e") }
+        println(f"[scratch] $spec%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
     }
     spark.stop()
   }

@@ -86,6 +86,16 @@ class AsofJoinSpec extends SparkTestBase {
     plan should include("Window")
   }
 
+  test("NULL equi-keys never match (SQL join semantics, not null-safe grouping)") {
+    val t = Seq((Option(1L), 10L), (Option.empty[Long], 10L)).toDF("k", "tts")
+    val q = Seq((Option(1L), 5L, 1.0), (Option.empty[Long], 5L, 9.0)).toDF("k", "qts", "px")
+    val out = AsofJoin.asofJoin(t, col("tts"), q, col("qts"),
+        keys = Seq("k"), rightCols = Seq("px"))
+      .select("k", "px").as[(Option[Long], Option[Double])].collect().toSet
+    // the null-key left row must NOT inherit the null-key right row's payload
+    out shouldBe Set((Some(1L), Some(1.0)), (None, None))
+  }
+
   test("rejects colliding right column names and empty keys") {
     val t = trades((1L, 1L))
     val q = quotes((1L, 1L, 1.0))
