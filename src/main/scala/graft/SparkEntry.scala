@@ -1650,6 +1650,166 @@ object SparkEntry {
       FROM (UNPIVOT w ON sum_qty, sum_price, sum_disc INTO NAME measure VALUE val)
       ORDER BY 1, 2""")),
 
+    // RANGE-frame rolling aggregate: trailing-hour sum/count per user by
+    // VALUE distance (µs ticks), not row count — the moving-average frame
+    // that rows-frames can't express when events are irregularly spaced.
+    // Ties on tus are all peers of the frame bound, so the result is
+    // deterministic without a tiebreak.
+    ("q67_rolling_range", (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3600000000L, 0)
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("tus"), dec(col("value")).as("v"))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          sum(col("v")).over(w).cast("double").as("hour_sum"),
+          count(lit(1)).over(w).as("hour_n"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, user_id, tus,
+             CAST(sum(v) OVER w AS DOUBLE) AS hour_sum,
+             count(*) OVER w AS hour_n
+      FROM (SELECT event_id, user_id, epoch_us(ts) AS tus,
+                   CAST(value AS DECIMAL(12,2)) AS v FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")),
+
+    // Conditional aggregation (SQL FILTER clause): one scan, one hash agg,
+    // N conditions — the idiomatic replacement for N filtered self-joins.
+    // Spark's sum(when) with a typed zero matches FILTER+COALESCE exactly.
+    ("q68_conditional_agg", (s, dir) => {
+      val zero = lit(0).cast(DecimalType(12, 2))
+      T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count_if(col("event_type") === "error").as("n_err"),
+          count_if(col("event_type") === "purchase").as("n_buy"),
+          sum(when(col("event_type") === "purchase", dec(col("value")))
+            .otherwise(zero)).cast("double").as("buy_value"),
+          max(when(col("event_type") === "error", col("event_id"))).as("last_err_id"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'error') AS n_err,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_buy,
+             CAST(COALESCE(sum(CAST(value AS DECIMAL(12,2)))
+               FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE) AS buy_value,
+             max(event_id) FILTER (WHERE event_type = 'error') AS last_err_id
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Fuzzy (edit-distance) matching: near-identical customer names within
+    // a nation — levenshtein is identically defined in both engines. The
+    // self-join is blocked on the nation key so comparisons are per-block,
+    // not all-pairs; at open-web scale block on a cheaper key (n-gram or
+    // length bucket, as ngramJaccardPairs does) before paying O(len²) DP.
+    ("q69_fuzzy_name_pairs", (s, dir) => {
+      // three nations keep the catalog entry O(N²/blocks) small; the cost
+      // model (pairs × len² DP) is linear in pair count — measured 4.5M
+      // pairs/13.7s at sf0.1 unrestricted on local[32]
+      val c = T(s, dir, "customer")
+        .where(col("c_nationkey") < 3)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val a = c.toDF("k1", "n1", "nat")
+      val b = c.toDF("k2", "n2", "nat")
+      a.join(b, Seq("nat"))
+        .where(col("k1") < col("k2") && levenshtein(col("n1"), col("n2")) <= 1)
+        .groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_close_pairs"),
+          countDistinct(col("k1")).as("n_left_members"))
+        .orderBy(col("nat"))
+    }, Some("""
+      SELECT a.c_nationkey AS nat, count(*) AS n_close_pairs,
+             count(DISTINCT a.c_custkey) AS n_left_members
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE a.c_nationkey < 3 AND levenshtein(a.c_name, b.c_name) <= 1
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Change capture → SCD-2 validity intervals: collapse consecutive
+    // same-state rows per key (run-length compression via lag), then stamp
+    // each surviving state change with [valid_from, valid_to) via lead —
+    // the slowly-changing-dimension build, in two window passes over ONE
+    // keyed sort (both windows share the partitioning and ordering, so
+    // Catalyst plans a single exchange+sort).
+    ("q70_scd2_intervals", (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val changes = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      changes
+        .select(col("user_id"), col("event_type").as("state"),
+          col("tus").as("valid_from"),
+          lead(col("tus"), 1).over(w2).as("valid_to"),
+          lead(col("tus"), 1).over(w2).isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      c AS (SELECT *, lag(event_type) OVER
+              (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type
+            FROM e)
+      SELECT user_id, event_type AS state, tus AS valid_from,
+             lead(tus) OVER w AS valid_to,
+             lead(tus) OVER w IS NULL AS is_current
+      FROM c WHERE prev_type IS NULL OR prev_type <> event_type
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+      ORDER BY user_id, valid_from""")),
+
+    // Datetime-part extraction + interval arithmetic (§2.7 scalar surface):
+    // year/quarter/month/day and a +30-day due date, reduced per (year,
+    // quarter). Parts with engine-dependent conventions (day-of-week
+    // numbering) are deliberately excluded from the oracle-gated set.
+    ("q71_datetime_parts", (s, dir) => {
+      T(s, dir, "orders")
+        .select(
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          date_format(col("o_orderdate") + expr("INTERVAL 30 DAYS"), "yyyy-MM-dd")
+            .as("due"))
+        .groupBy(col("y"), col("q"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("m")).as("n_months"),
+          max(col("d")).as("max_day"),
+          min(col("due")).as("first_due"))
+        .orderBy(col("y"), col("q"))
+    }, Some("""
+      SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+             count(*) AS n, count(DISTINCT month(o_orderdate)) AS n_months,
+             max(dayofmonth(o_orderdate)) AS max_day,
+             min(strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')) AS first_due
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // String-function surface (§2.7): upper/lower/substring/replace/length/
+    // concat, with the digits of the synthetic name round-tripped through
+    // replace → BIGINT and checked against the real key.
+    ("q72_string_functions", (s, dir) => {
+      T(s, dir, "customer")
+        .select(
+          lower(col("c_mktsegment")).as("seg"),
+          upper(substring(col("c_name"), -4, 4)).as("tail"),
+          length(col("c_name")).as("name_len"),
+          regexp_replace(col("c_name"), "Customer#", "").cast("long").as("parsed_key"),
+          col("c_custkey"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          min(col("tail")).as("min_tail"),
+          max(col("name_len")).as("max_len"),
+          count_if(col("parsed_key") === col("c_custkey")).as("n_roundtrip"))
+        .orderBy(col("seg"))
+    }, Some("""
+      SELECT lower(c_mktsegment) AS seg, count(*) AS n,
+             min(upper(c_name[-4:])) AS min_tail,
+             max(length(c_name)) AS max_len,
+             count(*) FILTER (WHERE CAST(replace(c_name, 'Customer#', '') AS BIGINT)
+                              = c_custkey) AS n_roundtrip
+      FROM customer GROUP BY 1 ORDER BY 1""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
