@@ -1739,13 +1739,12 @@ object SparkEntry {
           expr("ts div 1000").as("tus"))
         .withColumn("prev_type", lag(col("event_type"), 1).over(w))
         .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-      val w2 = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       changes
         .select(col("user_id"), col("event_type").as("state"),
           col("tus").as("valid_from"),
-          lead(col("tus"), 1).over(w2).as("valid_to"),
-          lead(col("tus"), 1).over(w2).isNull.as("is_current"))
-        .orderBy(col("user_id"), col("valid_from"))
+          lead(col("tus"), 1).over(w).as("valid_to"),
+          lead(col("tus"), 1).over(w).isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("state"))
     }, Some("""
       WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
                  FROM events),
@@ -1757,7 +1756,7 @@ object SparkEntry {
              lead(tus) OVER w IS NULL AS is_current
       FROM c WHERE prev_type IS NULL OR prev_type <> event_type
       WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
-      ORDER BY user_id, valid_from""")),
+      ORDER BY user_id, valid_from, state""")),
 
     // Datetime-part extraction + interval arithmetic (§2.7 scalar surface):
     // year/quarter/month/day and a +30-day due date, reduced per (year,
@@ -1794,7 +1793,7 @@ object SparkEntry {
           lower(col("c_mktsegment")).as("seg"),
           upper(substring(col("c_name"), -4, 4)).as("tail"),
           length(col("c_name")).as("name_len"),
-          regexp_replace(col("c_name"), "Customer#", "").cast("long").as("parsed_key"),
+          replace(col("c_name"), lit("Customer#"), lit("")).cast("long").as("parsed_key"),
           col("c_custkey"))
         .groupBy(col("seg"))
         .agg(count(lit(1)).as("n"),
@@ -1809,6 +1808,29 @@ object SparkEntry {
              count(*) FILTER (WHERE CAST(replace(c_name, 'Customer#', '') AS BIGINT)
                               = c_custkey) AS n_roundtrip
       FROM customer GROUP BY 1 ORDER BY 1""")),
+
+    // SQL entry point (§2.9 downstream-SQL surface): correlated EXISTS
+    // (⇒ shuffled semi join) and a scalar subquery (⇒ broadcast of one
+    // aggregated row) through spark.sql over temp views — the same text a
+    // BI tool would submit. The scalar threshold uses max (exact), not avg,
+    // so the float comparison cannot flip on cross-engine summation order.
+    ("q73_sql_subqueries", (s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("g_orders")
+      T(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM g_orders
+        WHERE EXISTS (SELECT 1 FROM g_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+          AND o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM g_orders)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        AND o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
