@@ -79,6 +79,31 @@ class PlanSpec extends SparkTestBase {
     p should include("TakeOrderedAndProject")
   }
 
+  test("q62 salted join stays an equi-join — no nested loop, no cartesian") {
+    val p = plan(SparkEntry.queries("q62_salted_join")(spark, dir))
+    p should not include "NestedLoop"
+    p should not include "CartesianProduct"
+  }
+
+  test("q70 SCD-2's two windows share ONE keyed exchange+sort") {
+    val p = plan(SparkEntry.queries("q70_scd2_intervals")(spark, dir))
+    // exactly one hash exchange feeds both Window operators; the only other
+    // exchange is the final output ORDER BY (range partitioning)
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    "\\bWindow\\b".r.findAllIn(p).size should be >= 2
+  }
+
+  test("q56 cube and q66 unpivot are single-pass Expand plans") {
+    plan(SparkEntry.queries("q56_cube_agg")(spark, dir)) should include("Expand")
+    plan(SparkEntry.queries("q66_unpivot")(spark, dir)) should include("Expand")
+  }
+
+  test("q73 correlated EXISTS plans as a semi join, not a nested loop over orders") {
+    val p = plan(SparkEntry.queries("q73_sql_subqueries")(spark, dir))
+    p.toLowerCase should include("semi")
+    p should not include "CartesianProduct"
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
