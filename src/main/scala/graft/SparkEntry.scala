@@ -10,8 +10,8 @@ import graft.core.Event
 import graft.core.parse.GameLogParser
 import graft.core.stats.PlayerStatsEngine
 import graft.core.enrich.Enrich
-import graft.analytics.{AsofJoin, RangeJoin, Scoreboard, Sessionize}
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
+import graft.analytics.{AsofJoin, Intervals, RangeJoin, Scoreboard, Sessionize}
+import graft.ext.{Dedup, Diff, Multimodal, Prefilter, Sampling, Similarity, Skew, TextAnalysis}
 
 /** Driver contract: the operator catalog (SURVEY.md §2) as named queries over
   * the driver's parquet testdata, each paired with ANSI SQL the driver runs in
@@ -1831,6 +1831,229 @@ object SparkEntry {
                     WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         AND o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Interval coalescing (gap-and-islands): each event opens a 15-minute
+    // activity interval; overlapping-or-touching intervals per user merge
+    // into maximal spans (Intervals.mergeIntervals — one keyed sort shared
+    // by both window passes, no self-join). Integral µs arithmetic ⇒
+    // bit-exact oracle.
+    ("q74_interval_merge", (s, dir) => {
+      val iv = T(s, dir, "events").select(
+        col("user_id"),
+        expr("ts div 1000").as("s_us"),
+        (expr("ts div 1000") + lit(900000000L)).as("e_us"))
+      Intervals.mergeIntervals(iv, Seq("user_id"), "s_us", "e_us")
+        .orderBy(col("user_id"), col("s_us"))
+    }, Some("""
+      WITH iv AS (SELECT user_id, epoch_us(ts) AS s_us,
+                         epoch_us(ts) + 900000000 AS e_us FROM events),
+      m AS (SELECT *, max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv),
+      f AS (SELECT *, CASE WHEN pme IS NULL OR s_us > pme THEN 1 ELSE 0 END AS brk FROM m),
+      g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f)
+      SELECT user_id, min(s_us) AS s_us, max(e_us) AS e_us,
+             count(*) AS n_merged
+      FROM g GROUP BY user_id, island ORDER BY user_id, s_us""")),
+
+    // Snapshot diff (Diff.snapshotDiff): the change feed between two table
+    // versions via ONE full-outer key join — inserted/deleted/updated rows
+    // only. The "new" snapshot is derived deterministically from customer
+    // in BOTH engines (drop %97 keys, bump %11 balances, insert shifted
+    // %131 keys), so the diff itself is the thing under test.
+    ("q75_snapshot_diff", (s, dir) => {
+      val cust = T(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val survived = cust.where(col("c_custkey") % 97 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 11 === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      val inserted = cust.where(col("c_custkey") % 131 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_name"), col("c_acctbal"))
+      Diff.snapshotDiff(cust, survived.unionByName(inserted), Seq("c_custkey"))
+        .where(col("change_type") =!= "unchanged")
+        .select(col("c_custkey"), col("change_type"),
+          col("old_c_acctbal"), col("new_c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      WITH olds AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+      news AS (
+        SELECT c_custkey, c_name,
+          CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_acctbal
+        FROM customer WHERE c_custkey % 131 = 0),
+      d AS (
+        SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+          CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+               WHEN n.c_custkey IS NULL THEN 'deleted'
+               WHEN NOT (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                         AND o.c_name IS NOT DISTINCT FROM n.c_name) THEN 'updated'
+               ELSE 'unchanged' END AS change_type,
+          o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal
+        FROM olds o FULL OUTER JOIN news n ON o.c_custkey = n.c_custkey)
+      SELECT c_custkey, change_type, old_c_acctbal, new_c_acctbal
+      FROM d WHERE change_type <> 'unchanged' ORDER BY c_custkey""")),
+
+    // Bloom-prefiltered selective join (Prefilter.bloomFilteredJoin): only
+    // ~10% of suppliers survive the dim filter, so ~90% of lineitem rows
+    // are doomed — the Bloom probe discards them at the scan, BEFORE the
+    // shuffle. False positives only ⇒ the oracle is the PLAIN join.
+    ("q76_bloom_join", (s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_suppkey"), dec(col("l_quantity")).as("qty"))
+      val sup = T(s, dir, "supplier").where(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Prefilter.bloomFilteredJoin(li, sup, "l_suppkey", "s_suppkey",
+          expectedItems = 100000L)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).cast("double").as("sum_qty"))
+        .orderBy(col("s_nationkey"))
+    }, Some("""
+      SELECT s_nationkey, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_suppkey % 10 = 0
+      GROUP BY 1 ORDER BY 1""")),
+
+    // IQR outlier fences: exact dyadic percentiles (as q61) → Tukey fences
+    // → one broadcast join back → conditional counts. The two-pass shape is
+    // the 100 TB form: pass 1 reduces to one tiny fence row per group,
+    // pass 2 is a map-side broadcast probe — no sort of the fact table.
+    ("q77_iqr_outliers", (s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+      val fences = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75"))
+        .select(col("l_returnflag"),
+          (col("p25") - lit(1.5) * (col("p75") - col("p25"))).as("lo"),
+          (col("p75") + lit(1.5) * (col("p75") - col("p25"))).as("hi"))
+      li.join(broadcast(fences), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          count_if(col("l_extendedprice") < col("lo")).as("n_low"),
+          count_if(col("l_extendedprice") > col("hi")).as("n_high"),
+          min(col("lo")).as("fence_lo"), max(col("hi")).as("fence_hi"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      WITH f AS (SELECT l_returnflag,
+              quantile_cont(l_extendedprice, 0.25) AS p25,
+              quantile_cont(l_extendedprice, 0.75) AS p75
+            FROM lineitem GROUP BY 1),
+      b AS (SELECT l_returnflag, p25 - 1.5 * (p75 - p25) AS lo,
+                   p75 + 1.5 * (p75 - p25) AS hi FROM f)
+      SELECT l.l_returnflag, count(*) AS n,
+             count(*) FILTER (WHERE l_extendedprice < lo) AS n_low,
+             count(*) FILTER (WHERE l_extendedprice > hi) AS n_high,
+             min(lo) AS fence_lo, max(hi) AS fence_hi
+      FROM lineitem l JOIN b USING (l_returnflag)
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ROLLUP hierarchy totals (year → priority → grand total): the partial-
+    // hierarchy sibling of q56's CUBE — one Expand + one hash agg, with
+    // grouping() flags disambiguating real NULLs from subtotal rows.
+    ("q78_rollup_hierarchy", (s, dir) => {
+      T(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("y"), col("o_orderpriority").as("prio"),
+          col("o_custkey"), col("o_totalprice"))
+        .rollup(col("y"), col("prio"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          grouping(col("y")).cast("int").as("g_y"),
+          grouping(col("prio")).cast("int").as("g_prio"))
+        .select(coalesce(col("y"), lit(-1)).as("y"),
+          coalesce(col("prio"), lit("ALL")).as("prio"),
+          col("n"), col("n_cust"), col("min_price"), col("max_price"),
+          col("g_y"), col("g_prio"))
+        .orderBy(col("g_y"), col("g_prio"), col("y"), col("prio"))
+    }, Some("""
+      SELECT coalesce(year(o_orderdate), -1) AS y,
+             coalesce(o_orderpriority, 'ALL') AS prio,
+             count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+             CAST(grouping(year(o_orderdate)) AS INT) AS g_y,
+             CAST(grouping(o_orderpriority) AS INT) AS g_prio
+      FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+      ORDER BY g_y, g_prio, y, prio""")),
+
+    // Array-function surface (§2.7 extended to collections): per-order
+    // sorted part list, then size/index/slice/join/distinct — every op a
+    // codegen'd collection expression over one hash-agg pass. Arrays are
+    // per-order (≤7 elements), so the interpreted-lambda trap that rules
+    // array ops out for corpus-scale shingle sets does not bite here.
+    ("q79_array_functions", (s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
+        .select(col("l_orderkey"),
+          size(col("parts")).cast("long").as("n_parts"),
+          element_at(col("parts"), 1).as("first_part"),
+          element_at(col("parts"), -1).as("last_part"),
+          array_join(slice(col("parts"), 1, 3).cast("array<string>"), ",").as("top3"),
+          size(array_distinct(col("parts"))).cast("long").as("n_unique"))
+        .orderBy(col("l_orderkey"))
+    }, Some("""
+      WITH a AS (SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
+                 FROM lineitem GROUP BY 1)
+      SELECT l_orderkey, CAST(len(parts) AS BIGINT) AS n_parts,
+             parts[1] AS first_part, parts[-1] AS last_part,
+             array_to_string(parts[1:3], ',') AS top3,
+             CAST(len(list_distinct(parts)) AS BIGINT) AS n_unique
+      FROM a ORDER BY l_orderkey""")),
+
+    // Regexp-function surface (§2.7): extract / count / replace-all / full-
+    // match over document text. Patterns stay in the RE2 ∩ Java-regex
+    // common subset (char classes, alternation, anchors) so both engines
+    // compile identical automata.
+    ("q80_regexp_functions", (s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "w[a-z]+", 0).as("first_w"),
+          regexp_count(col("text"), lit("spark|stream")).cast("long").as("n_sparkish"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("consonant_len"),
+          col("text").rlike("^[a-z ]+$").as("is_clean"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             regexp_extract(text, 'w[a-z]+') AS first_w,
+             CAST(len(regexp_extract_all(text, 'spark|stream')) AS BIGINT) AS n_sparkish,
+             CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS consonant_len,
+             regexp_matches(text, '^[a-z ]+$') AS is_clean
+      FROM documents ORDER BY doc_id""")),
+
+    // Value-window suite (first/last/nth over an explicit full frame): the
+    // per-partition-constant trio reduced to one row per user via DISTINCT.
+    // The frame is UNBOUNDED..UNBOUNDED in both engines — last_value under
+    // the default frame is the running-current row, a classic cross-engine
+    // divergence this query pins shut.
+    ("q81_value_windows", (s, dir) => {
+      val ev = T(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 1000").as("tus"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev.select(col("user_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"),
+          nth_value(col("event_type"), 2).over(w).as("second_type"),
+          count(lit(1)).over(w).as("n_events"))
+        .distinct()
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+                 FROM events)
+      SELECT DISTINCT user_id,
+        first_value(event_type) OVER w AS first_type,
+        last_value(event_type) OVER w AS last_type,
+        nth_value(event_type, 2) OVER w AS second_type,
+        count(*) OVER w AS n_events
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY user_id""")),
 
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only

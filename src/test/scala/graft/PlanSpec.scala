@@ -104,6 +104,28 @@ class PlanSpec extends SparkTestBase {
     p should not include "CartesianProduct"
   }
 
+  test("q74 interval merge: both window passes share ONE keyed exchange") {
+    val p = plan(SparkEntry.queries("q74_interval_merge")(spark, dir))
+    // one hash exchange feeds the running-max and island-sum windows; the
+    // only other exchange is the final ORDER BY range partitioning
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should not include "CartesianProduct"
+  }
+
+  test("q76 bloom prefilter runs below the join, on the fact scan side") {
+    val p = plan(SparkEntry.queries("q76_bloom_join")(spark, dir))
+    // the UDF probe must appear as a Filter under the join, not above it
+    val joinAt = p.indexOf("Join")
+    val filterAt = p.indexOf("Filter")
+    joinAt should be >= 0
+    filterAt should be > joinAt // child operators print BELOW their parent
+  }
+
+  test("q77 fence join broadcasts the per-group fences, no fact-side sort") {
+    val p = plan(SparkEntry.queries("q77_iqr_outliers")(spark, dir))
+    p should include("BroadcastHashJoin")
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
