@@ -2005,16 +2005,18 @@ object SparkEntry {
       FROM a ORDER BY l_orderkey""")),
 
     // Regexp-function surface (§2.7): extract / count / replace-all / full-
-    // match over document text. Patterns stay in the RE2 ∩ Java-regex
-    // common subset (char classes, alternation, anchors) so both engines
-    // compile identical automata.
+    // match over document text. Patterns stay where RE2 and Java regex
+    // agree (char classes, alternation); the one divergence is `$`, which
+    // Java matches BEFORE a final trailing newline while RE2 matches only
+    // end-of-text — so the Spark side anchors with Java's `\z` (true
+    // end-of-text) to mean what DuckDB's `$` means.
     ("q80_regexp_functions", (s, dir) => {
       T(s, dir, "documents")
         .select(col("doc_id"),
           regexp_extract(col("text"), "w[a-z]+", 0).as("first_w"),
           regexp_count(col("text"), lit("spark|stream")).cast("long").as("n_sparkish"),
           length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("consonant_len"),
-          col("text").rlike("^[a-z ]+$").as("is_clean"))
+          col("text").rlike("^[a-z ]+\\z").as("is_clean"))
         .orderBy(col("doc_id"))
     }, Some("""
       SELECT doc_id,

@@ -28,8 +28,14 @@ object Intervals {
     * a partial-combining hash agg. No nested loop, no self-join, no
     * per-key memory proportional to interval count. Rows where any key is
     * NULL form their own partition (SQL window semantics, identical in the
-    * DuckDB oracle); a NULL start/end sorts first and merges by the same
-    * running-max rule in both engines.
+    * DuckDB oracle).
+    *
+    * NULL start/end caveat: the sort is pinned ASC NULLS FIRST (Spark's
+    * default, made explicit below), so a NULL-start interval leads its key
+    * and its end seeds the running max. Engines whose ASC default is NULLS
+    * LAST (DuckDB, Postgres) island NULL-start rows DIFFERENTLY — feed only
+    * non-null bounds when a cross-engine oracle must agree (the q74 catalog
+    * query derives its bounds from a non-null timestamp).
     *
     * Output: key columns + `<startCol>` (island min-start), `<endCol>`
     * (island max-end), `n_merged` (intervals coalesced into the island). */
@@ -40,7 +46,8 @@ object Intervals {
     Seq("__brk", "__island").foreach { r =>
       require(!df.columns.contains(r), s"$r column name is reserved by mergeIntervals")
     }
-    val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(startCol), col(endCol))
+    val byKey = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(startCol).asc_nulls_first, col(endCol).asc_nulls_first)
     val prevMaxEnd = max(col(endCol))
       .over(byKey.rowsBetween(Window.unboundedPreceding, -1))
     val flagged = df.withColumn(

@@ -12,6 +12,13 @@ object Diff {
 
   /** Full-outer key-join diff of two snapshots sharing a schema.
     *
+    * PRECONDITION: `keys` uniquely identify a row within each snapshot —
+    * that is what makes the output a well-formed change feed. Duplicate
+    * keys are not detected here (that would cost an extra aggregation
+    * pass) and fan out as a per-key cross product, n·m rows for a key with
+    * n old and m new versions; run `exactDupGroups`-style checks upstream
+    * if the key's uniqueness is not already guaranteed by the writer.
+    *
     * Every key present in either snapshot yields one row:
     *  - `inserted`  — key only in `newDf`
     *  - `deleted`   — key only in `oldDf`

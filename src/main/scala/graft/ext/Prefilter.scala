@@ -31,12 +31,17 @@ object Prefilter {
       factKey: String, dimKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    // The sketch broadcast follows the same lifecycle as a broadcast-join
+    // relation: ContextCleaner reclaims the blocks once the returned plan
+    // (whose UDF closure is the only reference) becomes unreachable.
     val bcast = fact.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf { k: java.lang.Long =>
       k != null && bcast.value.mightContainLong(k)
     }
-    fact
-      .where(mightContain(col(factKey).cast("long")))
-      .join(dim, col(factKey) === col(dimKey))
+    // dataframe-qualified join keys: factKey/dimKey may share a NAME (the
+    // common `id`-joins-`id` case), which unqualified col() would reject as
+    // an ambiguous reference
+    val filtered = fact.where(mightContain(col(factKey).cast("long")))
+    filtered.join(dim, filtered(factKey) === dim(dimKey))
   }
 }

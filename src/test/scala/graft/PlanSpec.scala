@@ -114,11 +114,13 @@ class PlanSpec extends SparkTestBase {
 
   test("q76 bloom prefilter runs below the join, on the fact scan side") {
     val p = plan(SparkEntry.queries("q76_bloom_join")(spark, dir))
-    // the UDF probe must appear as a Filter under the join, not above it
+    // the UDF probe itself must survive optimization AND sit under the
+    // join (child operators print below their parent) — matching on a bare
+    // "Filter" would pass via the dim-side filter even with the probe gone
     val joinAt = p.indexOf("Join")
-    val filterAt = p.indexOf("Filter")
+    val udfAt = p.indexOf("UDF")
     joinAt should be >= 0
-    filterAt should be > joinAt // child operators print BELOW their parent
+    udfAt should be > joinAt
   }
 
   test("q77 fence join broadcasts the per-group fences, no fact-side sort") {

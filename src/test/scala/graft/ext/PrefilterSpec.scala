@@ -30,6 +30,14 @@ class PrefilterSpec extends SparkTestBase {
     out shouldBe (0L until 1000L by 10).toArray
   }
 
+  test("fact and dim keys may share a column name (qualified join, no ambiguity)") {
+    val fact = Seq((1L, "f1"), (2L, "f2"), (9L, "f9")).toDF("id", "fv")
+    val dim = Seq((1L, "d1"), (2L, "d2")).toDF("id", "dv")
+    val out = Prefilter.bloomFilteredJoin(fact, dim, "id", "id", expectedItems = 8L)
+      .select("fv", "dv").as[(String, String)].collect().toSeq.sorted
+    out shouldBe Seq(("f1", "d1"), ("f2", "d2"))
+  }
+
   test("null fact keys are dropped (inner-join semantics, no NPE)") {
     val fact = Seq(Some(1L), None, Some(3L)).toDF("fk")
     val dim = Seq(1L, 2L).toDF("dk")
