@@ -86,6 +86,102 @@ object Sinks {
       .write.mode("append").jdbc(url, table, props)
   }
 
+  /** Distributed keyed JDBC upsert (merge): each partition deletes its keys'
+    * previous rows and inserts the new versions — one connection per
+    * partition, batched statements, a single transaction per partition. The
+    * "latest state" sink shape (vs `historizedSink`'s append-history): a
+    * replayed micro-batch simply re-upserts the same keys, so the sink is
+    * replay-idempotent WITHOUT batch-id bookkeeping as long as the batch
+    * content is deterministic.
+    *
+    * PRECONDITION: `keys` are unique within `df` (dedup upstream with e.g.
+    * `Scoreboard.latestPerGroupAgg` — duplicate keys make the surviving row
+    * partition-order-dependent). Key columns must be equality-comparable in
+    * the target database (numeric/short-string keys; note Spark's JDBC
+    * writer maps StringType to CLOB on Derby, which Derby cannot compare —
+    * CLOB keys need an explicit VARCHAR DDL). The table is created from the
+    * frame's schema on first use (driver-side, so executors never race on
+    * DDL). */
+  def jdbcUpsert(
+      df: DataFrame, url: String, table: String, keys: Seq[String],
+      props: java.util.Properties, batchSize: Int = 1000): Unit = {
+    require(keys.nonEmpty, "jdbcUpsert needs at least one key column")
+    val cols = df.columns.toSeq
+    require(keys.forall(cols.contains),
+      s"keys ${keys.mkString(",")} must all be columns of the frame (${cols.mkString(",")})")
+    require(batchSize > 0, "batchSize must be positive")
+    // create-if-absent with Spark's own DDL mapping (quoted identifiers),
+    // before any executor opens a connection
+    df.limit(0).write.mode("append").jdbc(url, table, props)
+    def q(s: String) = "\"" + s + "\""
+    val deleteSql = s"DELETE FROM $table WHERE " +
+      keys.map(k => s"${q(k)} = ?").mkString(" AND ")
+    val insertSql = s"INSERT INTO $table (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val keyIdx = keys.map(cols.indexOf).toArray
+    val sqlTypes = df.schema.fields.map(f => jdbcTypeOf(f.dataType))
+    val driver = Option(props.getProperty("driver"))
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        driver.foreach(Class.forName) // executor JVMs may not have touched JDBC yet
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(deleteSql)
+          val ins = conn.prepareStatement(insertSql)
+          try {
+            var pending = 0
+            rows.foreach { row =>
+              keyIdx.zipWithIndex.foreach { case (ci, pi) =>
+                setParam(del, pi + 1, row.get(ci), sqlTypes(ci))
+              }
+              del.addBatch()
+              cols.indices.foreach { ci =>
+                setParam(ins, ci + 1, row.get(ci), sqlTypes(ci))
+              }
+              ins.addBatch()
+              pending += 1
+              if (pending >= batchSize) {
+                del.executeBatch(); ins.executeBatch(); pending = 0
+              }
+            }
+            if (pending > 0) { del.executeBatch(); ins.executeBatch() }
+            conn.commit()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally { del.close(); ins.close() }
+        } finally conn.close()
+      }
+    }
+  }
+
+  private def setParam(
+      ps: java.sql.PreparedStatement, i: Int, v: Any, sqlType: Int): Unit =
+    if (v == null) ps.setNull(i, sqlType) else ps.setObject(i, v)
+
+  /** Spark type → java.sql.Types code, for `setNull`. Collection/struct
+    * payloads have no portable JDBC shape — serialize them (to_json) before
+    * the sink, as the reference's downstream tables do. */
+  private def jdbcTypeOf(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType       => java.sql.Types.BIGINT
+      case IntegerType    => java.sql.Types.INTEGER
+      case ShortType      => java.sql.Types.SMALLINT
+      case ByteType       => java.sql.Types.TINYINT
+      case DoubleType     => java.sql.Types.DOUBLE
+      case FloatType      => java.sql.Types.FLOAT
+      case StringType     => java.sql.Types.VARCHAR
+      case BooleanType    => java.sql.Types.BOOLEAN
+      case TimestampType  => java.sql.Types.TIMESTAMP
+      case DateType       => java.sql.Types.DATE
+      case BinaryType     => java.sql.Types.BINARY
+      case _: DecimalType => java.sql.Types.DECIMAL
+      case other => throw new IllegalArgumentException(
+        s"jdbcUpsert has no JDBC mapping for $other — serialize it first")
+    }
+  }
+
   /** Console sink (reference S3, SparkStreamingService.java:239-250). */
   def consoleSink[T](stats: Dataset[T]): DataStreamWriter[T] =
     stats.writeStream.outputMode("update").format("console")

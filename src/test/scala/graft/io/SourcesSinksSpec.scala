@@ -113,6 +113,51 @@ class SourcesSinksSpec extends SparkTestBase {
     }
   }
 
+  test("jdbcUpsert merges by key: updates replace, new keys insert, replays are idempotent") {
+    val dbDir = Files.createTempDirectory("graft_derby3_")
+    System.setProperty("derby.system.home", dbDir.toString)
+    val url = s"jdbc:derby:$dbDir/graftdb3;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val v1 = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "score", "tag")
+    val v2 = Seq((2L, 99L, "b2"), (3L, 30L, "c")).toDF("id", "score", "tag")
+    try {
+      Sinks.jdbcUpsert(v1, url, "latest_stats", Seq("id"), props)
+      Sinks.jdbcUpsert(v1, url, "latest_stats", Seq("id"), props) // replayed batch
+      Sinks.jdbcUpsert(v2, url, "latest_stats", Seq("id"), props) // update 2, insert 3
+      val rows = spark.read.jdbc(url, "latest_stats", props).collect()
+        .map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("score"), r.getAs[String]("tag"))).toMap
+      rows shouldBe Map(
+        1L -> (10L, "a"), 2L -> (99L, "b2"), 3L -> (30L, "c"))
+    } finally {
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/graftdb3;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+      Files.walk(dbDir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("jdbcUpsert handles NULL payload values via typed setNull") {
+    val dbDir = Files.createTempDirectory("graft_derby4_")
+    System.setProperty("derby.system.home", dbDir.toString)
+    val url = s"jdbc:derby:$dbDir/graftdb4;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = Seq((1L, Option(5.5)), (2L, Option.empty[Double])).toDF("id", "v")
+    try {
+      Sinks.jdbcUpsert(df, url, "nullable_stats", Seq("id"), props)
+      val rows = spark.read.jdbc(url, "nullable_stats", props).collect()
+        .map(r => r.getAs[Long]("id") -> Option(r.get(r.fieldIndex("v")))).toMap
+      rows shouldBe Map(1L -> Some(5.5), 2L -> None)
+    } finally {
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/graftdb4;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+      Files.walk(dbDir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("consoleSink builds an update-mode console writer without starting") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

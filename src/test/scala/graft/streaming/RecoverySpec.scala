@@ -121,4 +121,34 @@ class RecoverySpec extends SparkTestBase {
       spark.catalog.dropTempView("dedup_stream_spec")
     }
   }
+
+  test("dropDuplicatesWithinWatermark bounds dedup state: expired keys re-emit") {
+    // The 100 TB form of streaming dedup: plain dropDuplicates keeps every
+    // key forever (state grows without bound); WithinWatermark evicts a
+    // key's state once the watermark passes its event time, so state size
+    // tracks the watermark window, not stream history. The trade: a
+    // duplicate arriving AFTER eviction is re-emitted — prove both sides.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = mem.toDF().toDF("t", "id")
+      .withWatermark("t", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_wm_stream_spec").start()
+    try {
+      val t10 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val t14 = java.sql.Timestamp.valueOf("2024-01-01 14:00:00")
+      mem.addData((t10, 1L), (t10, 1L)) // in-window duplicate: suppressed
+      q.processAllAvailable()
+      mem.addData((t14, 2L)) // advances watermark to 13:00 → id=1 state evicted
+      q.processAllAvailable()
+      mem.addData((t14, 1L)) // same key AFTER eviction: re-emitted by design
+      q.processAllAvailable()
+      spark.table("dedup_wm_stream_spec").select("id").as[Long]
+        .collect().sorted.toSeq shouldBe Seq(1L, 1L, 2L)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("dedup_wm_stream_spec")
+    }
+  }
 }
