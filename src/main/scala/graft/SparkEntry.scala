@@ -2057,6 +2057,78 @@ object SparkEntry {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY user_id""")),
 
+    // Map-function surface (§2.7 extended to collections): the props JSON
+    // parsed as a MAP (not a fixed struct — the schema-dynamic form),
+    // then keys/values/size/lookup, plus a constructed literal-key map.
+    // The DuckDB oracle walks the same JSON with json_keys/json_extract.
+    ("q82_map_functions", (s, dir) => {
+      val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), m.as("pm"))
+        .select(col("event_id"),
+          element_at(map_keys(col("pm")), 1).as("first_key"),
+          element_at(col("pm"), "k").as("k_val"),
+          size(col("pm")).cast("long").as("n_keys"),
+          element_at(
+            map(lit("uid"), col("user_id"), lit("eid"), col("event_id")),
+            "uid").as("uid_val"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id,
+             json_keys(props)[1] AS first_key,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+             CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+             user_id AS uid_val
+      FROM events ORDER BY event_id""")),
+
+    // Statistical aggregates from exact moments: Pearson correlation and
+    // the OLS slope/intercept, assembled from DECIMAL sums (exact in both
+    // engines) with the SAME double expression tree at the end — built-in
+    // corr()/regr_slope() use engine-specific streaming update formulas
+    // whose rounding differs, so the moment form is both the cross-engine-
+    // exact one AND the one whose partials combine map-side (each task
+    // ships 6 numbers, not a covariance state).
+    ("q83_corr_regression", (s, dir) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val moments = T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"))
+      val nd = col("n").cast("double")
+      val cov = nd * col("sxy") - col("sx") * col("sy")
+      val vx = nd * col("sxx") - col("sx") * col("sx")
+      val vy = nd * col("syy") - col("sy") * col("sy")
+      moments.select(
+          col("l_returnflag"), col("n"),
+          (cov / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"),
+          (cov / vx).as("slope"),
+          ((col("sy") - (cov / vx) * col("sx")) / nd).as("intercept"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, n,
+        (CAST(n AS DOUBLE) * sxy - sx * sy)
+          / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+             * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price,
+        (CAST(n AS DOUBLE) * sxy - sx * sy)
+          / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+        (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+          / CAST(n AS DOUBLE) AS intercept
+      FROM m ORDER BY l_returnflag""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
