@@ -105,6 +105,45 @@ object Stress {
         println(s"[stress]   matched = ${j.where(col("iid").isNotNull).count()}")
       }
     }
+
+    // Round-3 operator probes, sized like the temporal probe (synthetic,
+    // codegen'd generation, localCheckpointed out of the timings).
+    locally {
+      import graft.analytics.Intervals
+      import graft.ext.{Diff, Prefilter}
+      val nIv = 20_000_000L
+      val keys = 100_000L
+      val iv = spark.range(nIv).select(
+        (col("id") % keys).as("k"),
+        (hash(col("id")).cast("long") % 10_000_000L).as("s"))
+        .withColumn("e", col("s") + 200L) // ~200 overlapping spans per key
+        .localCheckpoint()
+      timed("interval merge 20M") {
+        val m = Intervals.mergeIntervals(iv, Seq("k"), "s", "e")
+        println(s"[stress]   islands = ${m.count()}")
+      }
+      val snapA = spark.range(nIv).select(col("id").as("k"),
+        (col("id") % 1000).as("v1"), hash(col("id")).cast("long").as("v2"))
+        .localCheckpoint()
+      val snapB = snapA.where(col("k") % 97 =!= 0)
+        .select(col("k"),
+          when(col("k") % 11 === 0, col("v1") + 1).otherwise(col("v1")).as("v1"),
+          col("v2"))
+        .localCheckpoint()
+      timed("snapshot diff 20M") {
+        val d = Diff.snapshotDiff(snapA, snapB, Seq("k"))
+          .where(col("change_type") =!= "unchanged")
+        println(s"[stress]   changes = ${d.count()}")
+      }
+      val dim = spark.range(0, keys, 10).select(col("id").as("dk"))
+        .localCheckpoint()
+      timed("bloom-prefiltered join 20M") {
+        val j = Prefilter.bloomFilteredJoin(
+          iv.select((col("k")).as("fk"), col("s")), dim, "fk", "dk",
+          expectedItems = keys / 10)
+        println(s"[stress]   joined = ${j.count()}")
+      }
+    }
     spark.stop()
   }
 }
