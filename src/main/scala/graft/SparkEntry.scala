@@ -2067,8 +2067,11 @@ object SparkEntry {
       T(s, dir, "events")
         .select(col("event_id"), col("user_id"), m.as("pm"))
         .select(col("event_id"),
-          element_at(map_keys(col("pm")), 1).as("first_key"),
-          element_at(col("pm"), "k").as("k_val"),
+          // try_element_at, not element_at: under ANSI mode a missing map
+          // key / empty keys array must yield NULL, not a runtime error —
+          // same totality stance as q15/q16's TRY-cast parsing
+          try_element_at(map_keys(col("pm")), lit(1)).as("first_key"),
+          try_element_at(col("pm"), lit("k")).as("k_val"),
           size(col("pm")).cast("long").as("n_keys"),
           element_at(
             map(lit("uid"), col("user_id"), lit("eid"), col("event_id")),
@@ -2076,9 +2079,11 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }, Some("""
       SELECT event_id,
-             json_keys(props)[1] AS first_key,
-             CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
-             CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+             CASE WHEN json_valid(props) THEN json_keys(props)[1] END AS first_key,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k_val,
+             CASE WHEN json_valid(props)
+                  THEN CAST(len(json_keys(props)) AS BIGINT) END AS n_keys,
              user_id AS uid_val
       FROM events ORDER BY event_id""")),
 

@@ -94,14 +94,22 @@ object Sinks {
     * replay-idempotent WITHOUT batch-id bookkeeping as long as the batch
     * content is deterministic.
     *
-    * PRECONDITION: `keys` are unique within `df` (dedup upstream with e.g.
+    * PRECONDITIONS: `keys` are unique within `df` (dedup upstream with e.g.
     * `Scoreboard.latestPerGroupAgg` — duplicate keys make the surviving row
-    * partition-order-dependent). Key columns must be equality-comparable in
-    * the target database (numeric/short-string keys; note Spark's JDBC
-    * writer maps StringType to CLOB on Derby, which Derby cannot compare —
-    * CLOB keys need an explicit VARCHAR DDL). The table is created from the
-    * frame's schema on first use (driver-side, so executors never race on
-    * DDL). */
+    * partition-order-dependent) and NON-NULL (SQL `"k" = ?` never matches a
+    * NULL, so a NULL-key row could never be replaced, breaking replay
+    * idempotence — enforced per row, fail-fast). Key columns must be
+    * equality-comparable in the target database (numeric/short-string keys;
+    * note Spark's JDBC writer maps StringType to CLOB on Derby, which Derby
+    * cannot compare — CLOB keys need an explicit VARCHAR DDL). The table is
+    * created from the frame's schema on first use (driver-side, so
+    * executors never race on DDL), and a unique key index is attempted
+    * best-effort: it makes the per-row DELETEs index seeks instead of table
+    * scans AND turns the duplicate-row race of concurrent task attempts
+    * (speculative execution, zombie retries) into a constraint violation
+    * instead of silent corruption. As with any non-transactional
+    * foreachPartition sink, disable speculation for strict exactly-once
+    * row counts on databases where the index DDL is refused. */
   def jdbcUpsert(
       df: DataFrame, url: String, table: String, keys: Seq[String],
       props: java.util.Properties, batchSize: Int = 1000): Unit = {
@@ -114,6 +122,19 @@ object Sinks {
     // before any executor opens a connection
     df.limit(0).write.mode("append").jdbc(url, table, props)
     def q(s: String) = "\"" + s + "\""
+    // best-effort unique key index (see scaladoc); idempotent via the
+    // swallow — a second run fails with "already exists", which is fine
+    locally {
+      val idxName = table.replaceAll("[^A-Za-z0-9_]", "_") + "_graft_upsert_idx"
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"CREATE UNIQUE INDEX $idxName ON $table (${keys.map(q).mkString(", ")})")
+        catch { case _: java.sql.SQLException => () } // exists / unsupported
+        finally st.close()
+      } finally conn.close()
+    }
     val deleteSql = s"DELETE FROM $table WHERE " +
       keys.map(k => s"${q(k)} = ?").mkString(" AND ")
     val insertSql = s"INSERT INTO $table (${cols.map(q).mkString(", ")}) " +
@@ -133,6 +154,9 @@ object Sinks {
             var pending = 0
             rows.foreach { row =>
               keyIdx.zipWithIndex.foreach { case (ci, pi) =>
+                require(!row.isNullAt(ci),
+                  s"jdbcUpsert key column ${cols(ci)} is NULL — NULL keys can never " +
+                    "be replaced (SQL equality) and would break replay idempotence")
                 setParam(del, pi + 1, row.get(ci), sqlTypes(ci))
               }
               del.addBatch()
@@ -148,8 +172,15 @@ object Sinks {
             if (pending > 0) { del.executeBatch(); ins.executeBatch() }
             conn.commit()
           } catch {
-            case e: Throwable => conn.rollback(); throw e
-          } finally { del.close(); ins.close() }
+            case e: Throwable =>
+              // a failed batch often kills the connection too — keep the
+              // ROOT cause, attach the rollback failure as suppressed
+              try conn.rollback()
+              catch { case re: Throwable => e.addSuppressed(re) }
+              throw e
+          } finally {
+            try del.close() finally ins.close()
+          }
         } finally conn.close()
       }
     }
@@ -170,7 +201,7 @@ object Sinks {
       case ShortType      => java.sql.Types.SMALLINT
       case ByteType       => java.sql.Types.TINYINT
       case DoubleType     => java.sql.Types.DOUBLE
-      case FloatType      => java.sql.Types.FLOAT
+      case FloatType      => java.sql.Types.REAL // JDBC FLOAT means double precision
       case StringType     => java.sql.Types.VARCHAR
       case BooleanType    => java.sql.Types.BOOLEAN
       case TimestampType  => java.sql.Types.TIMESTAMP
