@@ -2134,6 +2134,87 @@ object SparkEntry {
           / CAST(n AS DOUBLE) AS intercept
       FROM m ORDER BY l_returnflag""")),
 
+    // SimHash near-dup candidate pairs (completing the q24 pipeline): band
+    // the 48-bit hash into 4×12-bit slices, bucket-join on any shared
+    // band (pigeonhole: Hamming ≤ 3 < 4 bands ⇒ ≥ 1 band equal), then the
+    // exact bit_count(xor) filter. Same one-groupBy double-explode shape
+    // as MinHash — no self-join, no N² comparison.
+    ("q84_simhash_pairs", (s, dir) => {
+      Dedup.simhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH sim AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 48), b ->
+            CASE WHEN list_sum(list_transform(string_split(text, ' '), w ->
+                   2 * ((('0x' || substr(md5(w), 1, 12))::BIGINT >> b) & 1) - 1)) > 0
+                 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+        FROM documents),
+      posted AS (
+        SELECT t.band, (simhash >> (t.band * 12)) & 4095 AS sig, doc_id, simhash
+        FROM sim CROSS JOIN generate_series(0, 3) t(band)),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM posted a JOIN posted b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+      SELECT DISTINCT id_a, id_b, hamming FROM p
+      WHERE hamming <= 3 ORDER BY id_a, id_b""")),
+
+    // Deterministic mode (most frequent value) per group: count → rank with
+    // an explicit tiebreak (higher count, then smaller value) → keep rank 1.
+    // Built-in mode()/any_value tiebreaks are engine- and partitioning-
+    // dependent; the windowed form is reproducible everywhere.
+    ("q85_mode_per_group", (s, dir) => {
+      val counts = T(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("modal_type"), col("cnt"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH c AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+        FROM c)
+      SELECT user_id, event_type AS modal_type, cnt
+      FROM r WHERE rn = 1 ORDER BY user_id""")),
+
+    // GROUPING SETS (completing the q56 CUBE / q78 ROLLUP trio): exactly
+    // the two requested groupings — per-year and per-priority — in ONE
+    // Expand + one hash agg, not a UNION of two scans.
+    ("q86_grouping_sets", (s, dir) => {
+      T(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("y"), col("o_orderpriority").as("prio"),
+          col("o_totalprice"))
+        .groupingSets(Seq(Seq(col("y")), Seq(col("prio"))), col("y"), col("prio"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          grouping(col("y")).cast("int").as("g_y"),
+          grouping(col("prio")).cast("int").as("g_prio"))
+        .select(coalesce(col("y"), lit(-1)).as("y"),
+          coalesce(col("prio"), lit("ALL")).as("prio"),
+          col("n"), col("min_price"), col("max_price"),
+          col("g_y"), col("g_prio"))
+        .orderBy(col("g_y"), col("y"), col("prio"))
+    }, Some("""
+      SELECT coalesce(year(o_orderdate), -1) AS y,
+             coalesce(o_orderpriority, 'ALL') AS prio,
+             count(*) AS n,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+             CAST(grouping(year(o_orderdate)) AS INT) AS g_y,
+             CAST(grouping(o_orderpriority) AS INT) AS g_prio
+      FROM orders
+      GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority))
+      ORDER BY g_y, y, prio""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

@@ -188,6 +188,47 @@ object Dedup {
     counts.select(col(idCol), sim.cast("long").as("simhash"))
   }
 
+  /** SimHash near-duplicate candidate pairs: band the `bits`-bit SimHash
+    * into `bands` contiguous slices; docs sharing ANY band value become
+    * candidates (two hashes within Hamming distance d differ in ≤ d bands,
+    * so with d < bands at least one band matches — the standard pigeonhole
+    * guarantee), then the exact `bit_count(xor)` filter keeps pairs within
+    * `maxHamming`. Same shape as the MinHash path: explode to (band, value)
+    * postings, ONE groupBy + double-explode for pair generation (no
+    * self-join — Spark shares no uncached subplans across join sides), all
+    * codegen. `maxBucket` bounds a degenerate bucket's C(n,2) fan-out like
+    * minhashCandidatePairs' guard. */
+  def simhashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48, bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < bands ($bands)")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val table = simhashTable(df, idCol, textCol, bits)
+    val posted = table
+      .select(explode(array((0 until bands).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("sig"),
+        col(idCol).as("__id"), col("simhash").as("__sh"))): _*)).as("p"))
+      .select(col("p.band"), col("p.sig"), col("p.__id"), col("p.__sh"))
+    val grouped = posted
+      .groupBy(col("band"), col("sig"))
+      .agg(collect_list(struct(col("__id"), col("__sh"))).as("__docs"))
+      .where(size(col("__docs")) > 1)
+      .where(maxBucket.fold(lit(true))(m => size(col("__docs")) <= m))
+    grouped
+      .select(explode(col("__docs")).as("a"), col("__docs"))
+      .select(col("a"), explode(col("__docs")).as("b"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.__sh").bitwiseXOR(col("b.__sh"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact pairwise n-gram Jaccard similarity within blocking groups, via an
     * inverted index: explode each doc's DISTINCT shingles, equi-join postings
     * on (blockCols, shingle), and count shared shingles per (id_a, id_b).

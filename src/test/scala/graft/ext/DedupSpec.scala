@@ -128,6 +128,35 @@ class DedupSpec extends SparkTestBase {
     java.lang.Long.bitCount(m(1L) ^ m(3L)) should be <= 24
   }
 
+  test("simhashCandidatePairs equals brute-force Hamming pairs (pigeonhole recall)") {
+    // with maxHamming < bands, banding guarantees RECALL; the bit_count
+    // filter guarantees precision — so the candidate set must EQUAL the
+    // all-pairs answer, not merely contain it
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val table = Dedup.simhashTable(docs, "doc_id", "text").localCheckpoint()
+    val a = table.toDF("id_a", "ha")
+    val b = table.toDF("id_b", "hb")
+    val brute = a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.simhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    banded shouldBe brute
+    brute should not be empty // the fixture has exact-dup classes
+  }
+
+  test("simhashCandidatePairs rejects a non-dividing band count and too-loose maxHamming") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashCandidatePairs(docs, "doc_id", "text", bits = 48, bands = 5)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashCandidatePairs(docs, "doc_id", "text", bands = 4, maxHamming = 4)
+  }
+
   test("ngramJaccardPairs computes exact jaccard over distinct shingles") {
     // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} -> inter 1, union 3
     val docs = Seq(
