@@ -158,6 +158,53 @@ class SourcesSinksSpec extends SparkTestBase {
     }
   }
 
+  test("streaming stats → jdbcUpsert: the latest-state table holds one row per player") {
+    // the end-to-end composition the reference's DB sink should have been
+    // when Grafana only needs CURRENT stats: update-mode stateful stats,
+    // each micro-batch upserted by key — table size tracks |players|, not
+    // stream history
+    implicit val sqlCtx = spark.sqlContext
+    val dbDir = Files.createTempDirectory("graft_derby5_")
+    System.setProperty("derby.system.home", dbDir.toString)
+    val url = s"jdbc:derby:$dbDir/graftdb5;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // pre-create with a VARCHAR key: Derby maps Spark strings to CLOB,
+    // which its SQL cannot compare — exactly the case the jdbcUpsert
+    // scaladoc says to solve with explicit DDL (the upsert then appends
+    // into the existing table)
+    locally {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          """CREATE TABLE latest_player ("steamId" VARCHAR(32), "kills" BIGINT, "deaths" BIGINT)""")
+        finally st.close()
+      } finally conn.close()
+    }
+    val mem = MemoryStream[Event]
+    val stats = PlayerStatsEngine.statefulPlayerStats(mem.toDS())
+    val q = Sinks.historizedSink(stats, Trigger.ProcessingTime("50 milliseconds")) {
+      (df, _) => Sinks.jdbcUpsert(
+        df.select("steamId", "kills", "deaths"), url, "latest_player", Seq("steamId"), props)
+    }.start()
+    try {
+      mem.addData(Event("Ada", "S1", "kill", 10, 0, 1))
+      q.processAllAvailable()
+      mem.addData(Event("Ada", "S1", "kill", 11, 0, 1), Event("Bo", "S2", "death", 11, 0, 1))
+      q.processAllAvailable()
+      val rows = spark.read.jdbc(url, "latest_player", props).collect()
+        .map(r => r.getAs[String]("steamId") -> r.getAs[Long]("kills")).toMap
+      rows shouldBe Map("S1" -> 2L, "S2" -> 0L) // upserted, not appended
+    } finally {
+      q.stop()
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/graftdb5;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+      Files.walk(dbDir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("consoleSink builds an update-mode console writer without starting") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -47,6 +47,45 @@ class StreamJoinSpec extends SparkTestBase {
     }
   }
 
+  test("left-outer stream-stream join null-pads unmatched rows once the watermark closes them") {
+    // The outer variant is WHY the watermark is mandatory: an unmatched left
+    // row can only be emitted (with null right columns) once the watermark
+    // proves no matching right row can still arrive. Before that point the
+    // row sits in join state; a batch join would emit it immediately.
+    implicit val sqlCtx = spark.sqlContext
+    val kills = MemoryStream[(String, Timestamp)]
+    val dmgs = MemoryStream[(String, Timestamp, Long)]
+    val joined = kills.toDF().toDF("k_steam", "k_t").withWatermark("k_t", "10 minutes")
+      .join(
+        dmgs.toDF().toDF("d_steam", "d_t", "amount").withWatermark("d_t", "10 minutes"),
+        expr("k_steam = d_steam AND d_t >= k_t AND d_t <= k_t + interval 5 minutes"),
+        "left_outer")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin_outer_spec").start()
+    try {
+      kills.addData(("S1", ts(0)), ("S2", ts(0)))
+      dmgs.addData(("S1", ts(3), 40L)) // S1 matches; S2 never will
+      q.processAllAvailable()
+      // inner match emits as soon as both sides are present…
+      spark.table("ssjoin_outer_spec")
+        .where(col("amount").isNotNull)
+        .select("k_steam").as[String].collect().toSeq shouldBe Seq("S1")
+      // …but S2's null-padded row needs the GLOBAL watermark (min over both
+      // inputs) past k_t + 5min + 10min — so BOTH streams must advance
+      kills.addData(("S9k", ts(40)))
+      dmgs.addData(("S9", ts(40), 1L))
+      q.processAllAvailable()
+      q.processAllAvailable() // one more cycle: eviction emits on the NEXT batch
+      val unmatched = spark.table("ssjoin_outer_spec")
+        .where(col("amount").isNull)
+        .select("k_steam").as[String].collect().toSeq
+      unmatched shouldBe Seq("S2")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("ssjoin_outer_spec")
+    }
+  }
+
   test("streaming session window groups activity by gap and closes on watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
