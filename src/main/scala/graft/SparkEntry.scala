@@ -2215,6 +2215,28 @@ object SparkEntry {
       GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority))
       ORDER BY g_y, y, prio""")),
 
+    // EWMA smoothing (TimeSeries.ewma): the per-key running metric of a
+    // stream analyzer, batch form — ordered fold with dyadic α=0.5 so every
+    // step is exact IEEE arithmetic; DuckDB's seedless list_reduce seeds
+    // with element 1, mirrored by the Spark fold's element-1 seed. The
+    // streaming twin (one double of state per key) is TimeSeries.ewmaStream.
+    ("q87_ewma", (s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_id"), col("value"))
+        .where(col("value").isNotNull)
+      graft.analytics.TimeSeries.ewma(
+          ev, Seq("user_id"), Seq("tus", "event_id"), "value", 0.5)
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value
+                 FROM events WHERE value IS NOT NULL),
+      a AS (SELECT user_id, list(value ORDER BY tus, event_id) AS vals
+            FROM e GROUP BY 1)
+      SELECT user_id, CAST(len(vals) AS BIGINT) AS n_points,
+             list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+      FROM a ORDER BY user_id""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
