@@ -2237,6 +2237,64 @@ object SparkEntry {
              list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
       FROM a ORDER BY user_id""")),
 
+    // Time-series similarity search: each user's 24-dim hourly-activity
+    // vector, all-pairs squared Euclidean distance decomposed as
+    // |a|² + |b|² − 2⟨a,b⟩ — norms are a per-user aggregate, dots come from
+    // an inverted index on the hour (the same Σ-per-bucket paradigm as
+    // every similarity op here: pairs sharing no active hour never
+    // materialize). Integer counts ⇒ exact distances; top-3 nearest per
+    // user with a deterministic tiebreak. The hour index is the candidate
+    // generator; at open-web scale block it further (coarser time buckets).
+    ("q88_series_similarity", (s, dir) => {
+      val counts = T(s, dir, "events")
+        .select(col("user_id"),
+          (expr("(ts div 1000) div 3600000000") % 24).as("h"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(count(lit(1)).as("c"))
+        // norms and dots both consume the counts — materialize once (Spark
+        // shares no uncached subplans across join branches)
+        .localCheckpoint()
+      val norms = counts.groupBy(col("user_id"))
+        .agg(sum(col("c") * col("c")).as("norm2"))
+      val a = counts.toDF("qid", "h", "ca")
+      val b = counts.toDF("nid", "h", "cb")
+      val dots = a.join(b, Seq("h"))
+        .where(col("qid") =!= col("nid"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(col("ca") * col("cb")).as("dot"))
+      val dist = dots
+        .join(norms.toDF("qid", "qn"), Seq("qid"))
+        .join(norms.toDF("nid", "nn"), Seq("nid"))
+        .select(col("qid"), col("nid"),
+          (col("qn") + col("nn") - lit(2) * col("dot")).as("dist2"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dist2").asc, col("nid").asc)
+      dist.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("nid"), col("dist2"))
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH counts AS (
+        SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS h, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      norms AS (SELECT user_id, CAST(sum(c * c) AS BIGINT) AS norm2
+                FROM counts GROUP BY 1),
+      dots AS (
+        SELECT a.user_id AS qid, b.user_id AS nid, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        FROM counts a JOIN counts b ON a.h = b.h AND a.user_id <> b.user_id
+        GROUP BY 1, 2),
+      dist AS (
+        SELECT qid, nid, qn.norm2 + nn.norm2 - 2 * dot AS dist2
+        FROM dots JOIN norms qn ON qn.user_id = qid
+                  JOIN norms nn ON nn.user_id = nid),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY dist2 ASC, nid ASC) AS rank
+        FROM dist)
+      SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist2
+      FROM ranked WHERE rank <= 3 ORDER BY qid, rank""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
