@@ -2258,10 +2258,18 @@ object SparkEntry {
         .agg(sum(col("c") * col("c")).as("norm2"))
       val a = counts.toDF("qid", "h", "ca")
       val b = counts.toDF("nid", "h", "cb")
-      val dots = a.join(b, Seq("h"))
-        .where(col("qid") =!= col("nid"))
+      // dot(a,b) = dot(b,a): join and aggregate the HALF matrix, then
+      // mirror the cheap (qid, nid, dot) result — halves the dominant
+      // joined-row count and aggregation state
+      val half = a.join(b, Seq("h"))
+        .where(col("qid") < col("nid"))
         .groupBy(col("qid"), col("nid"))
         .agg(sum(col("ca") * col("cb")).as("dot"))
+        // consumed twice by the mirror union — materialize or the join+agg
+        // pipeline runs twice (Spark shares no uncached subplans)
+        .localCheckpoint()
+      val dots = half.unionByName(
+        half.select(col("nid").as("qid"), col("qid").as("nid"), col("dot")))
       val dist = dots
         .join(norms.toDF("qid", "qn"), Seq("qid"))
         .join(norms.toDF("nid", "nn"), Seq("nid"))
@@ -2280,10 +2288,12 @@ object SparkEntry {
         FROM events GROUP BY 1, 2),
       norms AS (SELECT user_id, CAST(sum(c * c) AS BIGINT) AS norm2
                 FROM counts GROUP BY 1),
-      dots AS (
+      half AS (
         SELECT a.user_id AS qid, b.user_id AS nid, CAST(sum(a.c * b.c) AS BIGINT) AS dot
-        FROM counts a JOIN counts b ON a.h = b.h AND a.user_id <> b.user_id
+        FROM counts a JOIN counts b ON a.h = b.h AND a.user_id < b.user_id
         GROUP BY 1, 2),
+      dots AS (SELECT qid, nid, dot FROM half
+               UNION ALL SELECT nid, qid, dot FROM half),
       dist AS (
         SELECT qid, nid, qn.norm2 + nn.norm2 - 2 * dot AS dist2
         FROM dots JOIN norms qn ON qn.user_id = qid

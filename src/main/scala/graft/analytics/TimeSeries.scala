@@ -36,6 +36,9 @@ object TimeSeries {
     require(keys.nonEmpty, "ewma needs at least one key column")
     require(orderCols.nonEmpty, "ewma needs an ordering — EWMA is order-sensitive")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    Seq("__pts", "__vals", "__v").foreach { r =>
+      require(!df.columns.contains(r), s"$r column name is reserved by ewma")
+    }
     // struct sorts lexicographically by field position: order columns first,
     // value last, so array_sort yields the time order
     val pt = struct((orderCols.map(col) :+ col(valueCol).as("__v")): _*)
