@@ -128,6 +128,19 @@ class PlanSpec extends SparkTestBase {
     p should include("BroadcastHashJoin")
   }
 
+  test("q83 moment aggregates reduce in ONE scan with map-side partials") {
+    val p = plan(SparkEntry.queries("q83_corr_regression")(spark, dir))
+    p should include("partial_sum")
+    // one scan of lineitem feeds all six moments — no second pass
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("q88 series similarity joins only on the hour index — no cartesian") {
+    val p = plan(SparkEntry.queries("q88_series_similarity")(spark, dir))
+    p should not include "CartesianProduct"
+    p should not include "NestedLoop"
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
