@@ -2305,6 +2305,67 @@ object SparkEntry {
       SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist2
       FROM ranked WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    // Ordered funnel (view → click → purchase, strictly increasing time):
+    // the product-analytics staple. One keyed sort feeds everything — a
+    // running min-view-time window decides which clicks are sequence-valid,
+    // then full-frame mins pick the earliest valid click/purchase. No
+    // per-step re-scan of the fact table (the naive form scans once per
+    // funnel step), no self-join; funnel depth is a CASE at the end.
+    ("q89_funnel", (s, dir) => {
+      val ev = T(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+      val ordered = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val full = Window.partitionBy(col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val staged = ev
+        .withColumn("mv",
+          min(when(col("event_type") === "view", col("tus"))).over(ordered))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("tus"))).over(full))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("tus") > col("mv"),
+            col("tus"))).over(full))
+      val done = staged
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("tus") > col("t_click"),
+            col("tus"))).over(full))
+      done.select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L)
+            .otherwise(0L).as("funnel_step"))
+        .distinct()
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+                 FROM events),
+      s1 AS (
+        SELECT *,
+          min(CASE WHEN event_type = 'view' THEN tus END) OVER
+            (PARTITION BY user_id ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mv,
+          min(CASE WHEN event_type = 'view' THEN tus END) OVER
+            (PARTITION BY user_id) AS t_view
+        FROM e),
+      s2 AS (
+        SELECT *,
+          min(CASE WHEN event_type = 'click' AND tus > mv THEN tus END) OVER
+            (PARTITION BY user_id) AS t_click
+        FROM s1),
+      s3 AS (
+        SELECT *,
+          min(CASE WHEN event_type = 'purchase' AND tus > t_click THEN tus END) OVER
+            (PARTITION BY user_id) AS t_purchase
+        FROM s2)
+      SELECT DISTINCT user_id, t_view, t_click, t_purchase,
+        CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                  WHEN t_click IS NOT NULL THEN 2
+                  WHEN t_view IS NOT NULL THEN 1
+                  ELSE 0 END AS BIGINT) AS funnel_step
+      FROM s3 ORDER BY user_id""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

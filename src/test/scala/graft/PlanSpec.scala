@@ -141,6 +141,12 @@ class PlanSpec extends SparkTestBase {
     p should not include "NestedLoop"
   }
 
+  test("q89 funnel: all window stages share ONE keyed exchange, no re-scan per step") {
+    val p = plan(SparkEntry.queries("q89_funnel")(spark, dir))
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
