@@ -2366,6 +2366,35 @@ object SparkEntry {
                   ELSE 0 END AS BIGINT) AS funnel_step
       FROM s3 ORDER BY user_id""")),
 
+    // Cohort retention triangle (q89's sibling): users cohorted by first
+    // active week, retention = distinct active users per (cohort, week
+    // offset). Distinct (user, week) activity reduces the fact table ONCE
+    // to ~|users|·|weeks| rows (localCheckpointed — both the cohort
+    // aggregate and the offset join consume it); everything after is
+    // small-table work. Integral µs week buckets ⇒ exact in both engines.
+    ("q90_cohort_retention", (s, dir) => {
+      val activity = T(s, dir, "events")
+        .select(col("user_id"),
+          expr("(ts div 1000) div 604800000000").as("wk"))
+        .distinct()
+        .localCheckpoint()
+      val cohorts = activity.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      activity.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_wk"), col("offset_wk"))
+    }, Some("""
+      WITH activity AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        FROM events),
+      cohorts AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY 1)
+      SELECT c.cohort_wk, a.wk - c.cohort_wk AS offset_wk,
+             count(DISTINCT a.user_id) AS n_active
+      FROM activity a JOIN cohorts c USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
