@@ -2238,43 +2238,38 @@ object SparkEntry {
       FROM a ORDER BY user_id""")),
 
     // Time-series similarity search: each user's 24-dim hourly-activity
-    // vector, all-pairs squared Euclidean distance decomposed as
-    // |a|² + |b|² − 2⟨a,b⟩ — norms are a per-user aggregate, dots come from
-    // an inverted index on the hour (the same Σ-per-bucket paradigm as
-    // every similarity op here: pairs sharing no active hour never
-    // materialize). Integer counts ⇒ exact distances; top-3 nearest per
-    // user with a deterministic tiebreak. The hour index is the candidate
-    // generator; at open-web scale block it further (coarser time buckets).
+    // vector, all-pairs squared Euclidean distance as |a|² + |b|² − 2⟨a,b⟩
+    // over DENSE arrays with the native codegen DotProduct — the dense-
+    // small-dim regime where an inverted index is the WRONG shape (every
+    // user is active in most hours, so a posting join degenerates into the
+    // all-pairs matrix × 24 redundant rows + a giant hash agg; measured 4×
+    // slower than this form at sf0.1). Sparse/high-dim is where the
+    // bucketed forms (q26/q28/q35) take over. Counts are small integers ⇒
+    // every double op is exact; top-3 per user, deterministic tiebreak.
     ("q88_series_similarity", (s, dir) => {
+      import graft.functions.VectorFunctions.dotProduct
       val counts = T(s, dir, "events")
         .select(col("user_id"),
           (expr("(ts div 1000) div 3600000000") % 24).as("h"))
         .groupBy(col("user_id"), col("h"))
         .agg(count(lit(1)).as("c"))
-        // norms and dots both consume the counts — materialize once (Spark
-        // shares no uncached subplans across join branches)
+      val vecs = counts.groupBy(col("user_id"))
+        .agg(map_from_arrays(collect_list(col("h")), collect_list(col("c"))).as("m"))
+        .select(col("user_id"), expr(
+          // 1500 rows × 24 elements: the interpreted transform is noise;
+          // the hot path below is the codegen'd dot product
+          "transform(sequence(0, 23), h -> CAST(coalesce(try_element_at(m, CAST(h AS BIGINT)), 0) AS DOUBLE))")
+          .as("vec"))
+        .withColumn("norm2", dotProduct(col("vec"), col("vec")))
+        // both join sides consume the vectors — materialize once or the
+        // counts aggregation over the fact table runs twice
         .localCheckpoint()
-      val norms = counts.groupBy(col("user_id"))
-        .agg(sum(col("c") * col("c")).as("norm2"))
-      val a = counts.toDF("qid", "h", "ca")
-      val b = counts.toDF("nid", "h", "cb")
-      // dot(a,b) = dot(b,a): join and aggregate the HALF matrix, then
-      // mirror the cheap (qid, nid, dot) result — halves the dominant
-      // joined-row count and aggregation state
-      val half = a.join(b, Seq("h"))
-        .where(col("qid") < col("nid"))
-        .groupBy(col("qid"), col("nid"))
-        .agg(sum(col("ca") * col("cb")).as("dot"))
-        // consumed twice by the mirror union — materialize or the join+agg
-        // pipeline runs twice (Spark shares no uncached subplans)
-        .localCheckpoint()
-      val dots = half.unionByName(
-        half.select(col("nid").as("qid"), col("qid").as("nid"), col("dot")))
-      val dist = dots
-        .join(norms.toDF("qid", "qn"), Seq("qid"))
-        .join(norms.toDF("nid", "nn"), Seq("nid"))
+      val a = vecs.select(col("user_id").as("qid"), col("vec").as("qv"), col("norm2").as("qn"))
+      val b = vecs.select(col("user_id").as("nid"), col("vec").as("nv"), col("norm2").as("nn"))
+      val dist = a.crossJoin(broadcast(b))
+        .where(col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"),
-          (col("qn") + col("nn") - lit(2) * col("dot")).as("dist2"))
+          (col("qn") + col("nn") - lit(2) * dotProduct(col("qv"), col("nv"))).as("dist2"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("dist2").asc, col("nid").asc)
       dist.withColumn("rank", row_number().over(w))
@@ -2286,18 +2281,23 @@ object SparkEntry {
       WITH counts AS (
         SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS h, count(*) AS c
         FROM events GROUP BY 1, 2),
-      norms AS (SELECT user_id, CAST(sum(c * c) AS BIGINT) AS norm2
-                FROM counts GROUP BY 1),
-      half AS (
-        SELECT a.user_id AS qid, b.user_id AS nid, CAST(sum(a.c * b.c) AS BIGINT) AS dot
-        FROM counts a JOIN counts b ON a.h = b.h AND a.user_id < b.user_id
-        GROUP BY 1, 2),
-      dots AS (SELECT qid, nid, dot FROM half
-               UNION ALL SELECT nid, qid, dot FROM half),
+      grid AS (
+        SELECT u.user_id, g.h
+        FROM (SELECT DISTINCT user_id FROM counts) u
+        CROSS JOIN (SELECT unnest(range(0, 24)) AS h) g),
+      dense AS (
+        SELECT grid.user_id, grid.h, coalesce(c.c, 0) AS c
+        FROM grid LEFT JOIN counts c
+          ON c.user_id = grid.user_id AND c.h = grid.h),
+      vecs AS (
+        SELECT user_id, list(CAST(c AS DOUBLE) ORDER BY h) AS v
+        FROM dense GROUP BY 1),
       dist AS (
-        SELECT qid, nid, qn.norm2 + nn.norm2 - 2 * dot AS dist2
-        FROM dots JOIN norms qn ON qn.user_id = qid
-                  JOIN norms nn ON nn.user_id = nid),
+        SELECT a.user_id AS qid, b.user_id AS nid,
+          list_sum(list_transform(range(1, 25), i -> a.v[i] * a.v[i]))
+          + list_sum(list_transform(range(1, 25), i -> b.v[i] * b.v[i]))
+          - 2 * list_sum(list_transform(range(1, 25), i -> a.v[i] * b.v[i])) AS dist2
+        FROM vecs a CROSS JOIN vecs b WHERE a.user_id <> b.user_id),
       ranked AS (
         SELECT *, row_number() OVER
           (PARTITION BY qid ORDER BY dist2 ASC, nid ASC) AS rank
