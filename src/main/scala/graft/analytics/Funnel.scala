@@ -1,8 +1,9 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Ordered funnel analysis: for each key, the earliest time each step of an
   * ordered step sequence was reached, where step i counts only STRICTLY
@@ -55,5 +56,59 @@ object Funnel {
       .select((keys.map(col) ++ names.map(n => col(s"t_$n")) :+
         depth.as("funnel_step")): _*)
       .distinct()
+  }
+
+  /** One input event of the streaming form: `steps(i)` = whether this event
+    * satisfies step i's predicate (precompute with a `select` of the same
+    * `Column` predicates the batch form takes). */
+  final case class FunnelEvent(key: Long, t: Long, steps: Seq[Boolean])
+  /** Streaming state/output: earliest valid time per step (None = step not
+    * reached yet) and the funnel depth so far. */
+  final case class FunnelState(key: Long, times: Seq[Option[Long]], funnelStep: Long)
+
+  /** Streaming twin of [[funnelSteps]]: `mapGroupsWithState` carrying ONE
+    * `Option[Long]` per funnel step per key — state is O(keys · steps)
+    * regardless of stream length, the 100 TB form. Each micro-batch's
+    * events are folded in event-time order; a slot is set at the first
+    * (= earliest, given ordered input) event that matches the step's
+    * predicate strictly after the previous step's time, and never moves
+    * again. Equal timestamps don't advance the funnel, exactly like the
+    * batch form.
+    *
+    * Exact batch-twin equality needs `t` monotone per key ACROSS
+    * micro-batches (the usual source-ordering contract — within a batch
+    * the group is sorted here): a step event that arrives before the
+    * earlier-step event that would have validated it is dropped, because
+    * replaying it would need unbounded per-key history. Update mode; emits
+    * the running state for every key touched by the batch. */
+  def funnelStream(
+      events: Dataset[FunnelEvent], numSteps: Int): Dataset[FunnelState] = {
+    require(numSteps > 0, s"numSteps must be positive, got $numSteps")
+    events
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .mapGroupsWithState[FunnelState, FunnelState](GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val times = state.getOption.map(_.times.toArray)
+            .getOrElse(Array.fill[Option[Long]](numSteps)(None))
+          // tie order within a sort key is irrelevant: strict > only
+          // compares values, and a same-time later step can never fire
+          batch.toSeq.sortBy(_.t).foreach { e =>
+            require(e.steps.length == numSteps,
+              s"event has ${e.steps.length} step flags, expected $numSteps")
+            var i = 0
+            while (i < numSteps) {
+              // uses the ALREADY-UPDATED earlier slots, so one event can
+              // fill at most one step — same as the batch recursion
+              if (times(i).isEmpty && e.steps(i) &&
+                  (i == 0 || times(i - 1).exists(_ < e.t)))
+                times(i) = Some(e.t)
+              i += 1
+            }
+          }
+          val out = FunnelState(
+            key, times.toSeq, times.takeWhile(_.isDefined).length.toLong)
+          state.update(out)
+          out
+      }(Encoders.product[FunnelState], Encoders.product[FunnelState])
   }
 }

@@ -47,6 +47,63 @@ class FunnelSpec extends SparkTestBase {
       (2L, None, None, None, 0L))
   }
 
+  test("streaming funnel across micro-batches equals the batch form (twin law)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import Funnel.{FunnelEvent, FunnelState}
+    implicit val sqlCtx = spark.sqlContext
+    def ev(k: Long, t: Long, e: String) =
+      FunnelEvent(k, t, Seq(e == "a", e == "b", e == "c"))
+    val mem = MemoryStream[FunnelEvent]
+    val q = Funnel.funnelStream(mem.toDS(), 3)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_stream_spec").start()
+    try {
+      // b@5 precedes the first a → invalid forever (batch agrees)
+      mem.addData(ev(1L, 5L, "b"), ev(1L, 10L, "a"))
+      q.processAllAvailable()
+      // c@30 while b unreached → invalid; b@40 is the earliest valid b
+      mem.addData(ev(1L, 20L, "a"), ev(1L, 30L, "c"), ev(1L, 40L, "b"))
+      q.processAllAvailable()
+      mem.addData(ev(1L, 50L, "c")) // completes; state carried across batches
+      q.processAllAvailable()
+      val last = spark.table("funnel_stream_spec").as[FunnelState]
+        .collect().maxBy(_.funnelStep)
+      last shouldBe FunnelState(1L, Seq(Some(10L), Some(40L), Some(50L)), 3L)
+      // twin: the batch form over the union of all batches agrees
+      val batch = Seq((1L, 5L, "b"), (1L, 10L, "a"), (1L, 20L, "a"),
+          (1L, 30L, "c"), (1L, 40L, "b"), (1L, 50L, "c")).toDF("k", "t", "e")
+      val out = Funnel.funnelSteps(batch, Seq("k"), "t", steps3)
+        .as[(Long, Option[Long], Option[Long], Option[Long], Long)].collect().toSeq
+      out shouldBe Seq((1L, Some(10L), Some(40L), Some(50L), 3L))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("funnel_stream_spec")
+    }
+  }
+
+  test("same-timestamp events cannot fill two consecutive steps in one batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import Funnel.{FunnelEvent, FunnelState}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = Funnel.funnelStream(mem.toDS(), 2)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_stream_ties").start()
+    try {
+      // one event satisfying BOTH steps, plus a same-time step-2 event:
+      // step 1 fills at t=10, step 2 needs t > 10 so neither can fire
+      mem.addData(
+        FunnelEvent(1L, 10L, Seq(true, true)),
+        FunnelEvent(1L, 10L, Seq(false, true)))
+      q.processAllAvailable()
+      val last = spark.table("funnel_stream_ties").as[FunnelState].collect().head
+      last shouldBe FunnelState(1L, Seq(Some(10L), None), 1L)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("funnel_stream_ties")
+    }
+  }
+
   test("duplicate step names and reserved columns are rejected") {
     val df = Seq((1L, 10L, "a")).toDF("k", "t", "e")
     an[IllegalArgumentException] should be thrownBy
