@@ -2376,6 +2376,354 @@ object SparkEntry {
       FROM activity a JOIN cohorts c USING (user_id)
       GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Markov transition matrix over per-user event sequences: lag() pairs
+    // each event with its predecessor (ONE keyed exchange over the fact
+    // table — the only big-data stage), then the bigram counts and the
+    // row-normalized transition probabilities are |event_types|² work.
+    // p = n/total is a single IEEE division of two exact BIGINTs ⇒
+    // bit-identical cross-engine.
+    ("q91_markov_transitions", (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val bigrams = T(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      bigrams
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+                 FROM events),
+      seq AS (
+        SELECT event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+            AS prev_type
+        FROM e),
+      big AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, n,
+        CAST(n AS DOUBLE)
+          / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      FROM big ORDER BY prev_type, next_type""")),
+
+    // Equal-frequency (quantile) binning — the feature-engineering
+    // discretizer: ntile(4) per order-priority class over a TOTAL order
+    // (price, key ⇒ deterministic bin assignment), then per-bin count /
+    // bounds / exact-DECIMAL mean. Per-class partitioning keeps the sort
+    // keyed (parallel across classes) instead of a global single-partition
+    // sort; at 100 TB the same surface runs on approx-quantile cut points
+    // (q39's sketch path) — ntile is the exact, oracle-comparable form.
+    ("q92_quantile_bins", (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("bin", ntile(4).over(w).cast("long"))
+        .groupBy(col("o_orderpriority"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          (sum(dec(col("o_totalprice"))).cast("double") /
+            count(lit(1)).cast("double")).as("avg_price"))
+        .orderBy(col("o_orderpriority"), col("bin"))
+    }, Some("""
+      WITH b AS (
+        SELECT o_orderpriority, o_totalprice,
+          CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bin
+        FROM orders)
+      SELECT o_orderpriority, bin, count(*) AS n,
+        min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS avg_price
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Z-score anomaly detection — q77's parametric sibling: per-group
+    // mean/std from exact DECIMAL moments (ONE map-side-combining scan, 3
+    // numbers per group per task), broadcast back onto the fact rows, flag
+    // |z| > 1.5 (the fence that has a tail on this bounded-uniform price
+    // distribution — max |z| < 1.8, so a 3σ fence would be vacuous). The
+    // identical (sum, sumsq, n) → double expression tree on both engines
+    // makes z bit-exact, so even the flag boundary agrees.
+    ("q93_zscore_outliers", (s, dir) => {
+      val x = dec(col("l_extendedprice"))
+      val m = T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("s1"),
+          sum(x * x).cast("double").as("s2"))
+        .select(col("g"),
+          (col("s1") / col("n").cast("double")).as("mean"),
+          sqrt(col("s2") / col("n").cast("double") -
+            (col("s1") / col("n").cast("double")) *
+            (col("s1") / col("n").cast("double"))).as("std"))
+      T(s, dir, "lineitem")
+        .join(broadcast(m), col("l_returnflag") === col("g"))
+        .withColumn("z",
+          (col("l_extendedprice") - col("mean")) / col("std"))
+        .filter(abs(col("z")) > 1.5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"), col("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some("""
+      WITH m AS (
+        SELECT l_returnflag AS g, count(*) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s2
+        FROM lineitem GROUP BY 1),
+      f AS (
+        SELECT g, s1 / CAST(n AS DOUBLE) AS mean,
+          sqrt(s2 / CAST(n AS DOUBLE)
+               - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) AS std
+        FROM m)
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        (l_extendedprice - mean) / std AS z
+      FROM lineitem JOIN f ON l_returnflag = g
+      WHERE abs((l_extendedprice - mean) / std) > 1.5
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    // Market-basket co-occurrence (association mining's candidate pairs):
+    // orders' line items reduce ONCE to distinct (order, brand) rows —
+    // localCheckpointed, Spark shares no subplans across self-join branches
+    // — then the within-order self-join generates Σ C(brands_per_order, 2)
+    // pairs (bounded by basket width, never N²). Support threshold 2% as
+    // the integer cross-multiplication n*50 >= total ⇒ no float compare.
+    ("q94_basket_pairs", (s, dir) => {
+      val ob = T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand"))
+        .distinct()
+        .localCheckpoint()
+      val tot = ob.agg(countDistinct(col("ok")).as("n_orders"))
+      val a = ob.select(col("ok"), col("p_brand").as("brand_a"))
+      val b = ob.select(col("ok").as("ok2"), col("p_brand").as("brand_b"))
+      a.join(b, col("ok") === col("ok2") && col("brand_a") < col("brand_b"))
+        .groupBy(col("brand_a"), col("brand_b"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n") * 50 >= col("n_orders"))
+        .select(col("brand_a"), col("brand_b"), col("n"),
+          (col("n").cast("double") / col("n_orders").cast("double")).as("support"))
+        .orderBy(col("brand_a"), col("brand_b"))
+    }, Some("""
+      WITH ob AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      tot AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+      pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n
+        FROM ob a JOIN ob b ON a.ok = b.ok AND a.p_brand < b.p_brand
+        GROUP BY 1, 2)
+      SELECT brand_a, brand_b, n,
+        CAST(n AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support
+      FROM pairs, tot WHERE n * 50 >= n_orders
+      ORDER BY brand_a, brand_b""")),
+
+    // PageRank over the nation-level trade graph (customer nation →
+    // supplier nation, weighted by lineitem count): the iterative graph
+    // algorithm, made cross-engine BIT-EXACT by fixed-point integer
+    // arithmetic — ranks are BIGINTs scaled by 1e9, every step is integer
+    // multiply + truncating div (Spark `div` ≡ DuckDB `//` for positive
+    // values), so no float-summation-order nondeterminism can creep in.
+    // The heavy stage (4-way join → edge aggregation) runs ONCE and is
+    // localCheckpointed; 8 power iterations are then |edges|-sized joins
+    // against a broadcast rank vector. Dangling-node mass is not
+    // redistributed (the standard simplification); overflow bound:
+    // scale · max_edge_weight < 2^63 / 85.
+    ("q95_pagerank", (s, dir) => {
+      val edges = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nodes = T(s, dir, "nation")
+        .select(col("n_nationkey").as("node"), col("n_name"))
+      graft.analytics.Graph
+        .pageRankFixedPoint(nodes.select("node"), "node",
+          edges, "src", "dst", "w", iterations = 8)
+        .join(nodes, Seq("node"))
+        .select(col("node").as("n_nationkey"), col("n_name"), col("rank_fp"),
+          (col("rank_fp").cast("double") / lit(1.0e9)).as("rank"))
+        .orderBy(col("rank_fp").desc, col("n_nationkey"))
+    }, Some {
+      val iter = (1 to 8).map { k =>
+        s"""r$k AS (
+        SELECT v.node, (15 * CAST(1000000000 AS BIGINT)) // (100 * (SELECT nn FROM n))
+          + (85 * CAST(COALESCE(c.s, 0) AS BIGINT)) // 100 AS rank
+        FROM (SELECT n_nationkey AS node FROM nation) v
+        LEFT JOIN (
+          SELECT e.dst, sum((r.rank * e.w) // e.outw) AS s
+          FROM ew e JOIN r${k - 1} r ON e.src = r.node GROUP BY 1) c
+        ON v.node = c.dst)"""
+      }.mkString(",\n")
+      s"""
+      WITH edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      ew AS (SELECT src, dst, w,
+               CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS outw
+             FROM edges),
+      n AS (SELECT count(*) AS nn FROM nation),
+      r0 AS (SELECT n_nationkey AS node,
+               CAST(1000000000 AS BIGINT) // (SELECT nn FROM n) AS rank
+             FROM nation),
+      $iter
+      SELECT r8.node AS n_nationkey, nt.n_name,
+        CAST(r8.rank AS BIGINT) AS rank_fp,
+        CAST(r8.rank AS DOUBLE) / 1.0E9 AS rank
+      FROM r8 JOIN nation nt ON r8.node = nt.n_nationkey
+      ORDER BY rank_fp DESC, n_nationkey"""
+    }),
+
+    // Categorical feature encoders (label + smoothed target encoding): one
+    // hash-aggregated pass builds per-category (n, Σtarget) in exact
+    // DECIMAL; the 25-row category table is then checkpointed and consumed
+    // by both the global prior and the final projection. label_id =
+    // frequency rank (deterministic count-then-value tiebreak); target_enc
+    // = (Σ + m·prior)/(n + m) with m=100 — the standard leakage-smoothed
+    // encoder, bit-exact cross-engine via the shared expression tree.
+    ("q96_target_encoding", (s, dir) => {
+      val per = T(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"))
+        .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("sd"))
+        .localCheckpoint() // tiny; consumed by the prior AND the projection
+      val glob = per.agg(sum(col("n")).as("ng"), sum(col("sd")).as("sgd"))
+      val nd = col("n").cast("double")
+      per.crossJoin(broadcast(glob))
+        .select(col("p_brand"), col("n"),
+          row_number().over(Window.orderBy(col("n").desc, col("p_brand")))
+            .cast("long").as("label_id"),
+          (col("sd").cast("double") / nd).as("target_mean"),
+          ((col("sd").cast("double") +
+            lit(100.0) * (col("sgd").cast("double") / col("ng").cast("double"))) /
+            (nd + lit(100.0))).as("target_enc"))
+        .orderBy(col("p_brand"))
+    }, Some("""
+      WITH j AS (
+        SELECT p_brand, CAST(l_extendedprice AS DECIMAL(12,2)) AS x
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      per AS (SELECT p_brand, count(*) AS n, sum(x) AS sd FROM j GROUP BY 1),
+      g AS (SELECT CAST(sum(n) AS BIGINT) AS ng, sum(sd) AS sgd FROM per)
+      SELECT p_brand, n,
+        CAST(row_number() OVER (ORDER BY n DESC, p_brand) AS BIGINT) AS label_id,
+        CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS target_mean,
+        (CAST(sd AS DOUBLE)
+           + CAST(100 AS DOUBLE) * (CAST(sgd AS DOUBLE) / CAST(ng AS DOUBLE)))
+          / (CAST(n AS DOUBLE) + CAST(100 AS DOUBLE)) AS target_enc
+      FROM per, g ORDER BY p_brand""")),
+
+    // Event-path analysis (the "top user journeys" query): each user's
+    // first 5 events in strict (time, id) order become a '>'-joined path
+    // string, then paths are counted. The fact table pays ONE keyed
+    // window exchange (row_number prunes to ≤5 rows per user IN-stage);
+    // the path aggregation and ranking run on |users| and |paths| rows.
+    // The per-user array is ≤5 elements, so the interpreted transform()
+    // is off the hot path by construction.
+    ("q97_event_paths", (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val first5 = T(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+      first5.groupBy(col("user_id"))
+        .agg(expr("""array_join(
+            transform(array_sort(collect_list(struct(rn, event_type))),
+                      p -> p.event_type), '>')""").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+                 FROM events),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY user_id ORDER BY tus, event_id) AS rn FROM e),
+      p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 5 GROUP BY 1)
+      SELECT path, count(*) AS n_users FROM p
+      GROUP BY 1 ORDER BY n_users DESC, path""")),
+
+    // Bag-semantics set operators (INTERSECT ALL / EXCEPT ALL — the
+    // multiplicity-preserving forms q65's distinct set ops don't cover):
+    // urgent-priority order customers vs finished-order customers, tagged
+    // and re-counted. Catalyst plans both as aggregate+join with map-side
+    // partials (multiplicity = min / difference of per-key counts), so
+    // nothing materializes the raw bag.
+    ("q98_setops_all", (s, dir) => {
+      val o = T(s, dir, "orders")
+      val a = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      a.intersectAll(b).withColumn("tag", lit("both"))
+        .unionByName(a.exceptAll(b).withColumn("tag", lit("only_urgent")))
+        .groupBy(col("tag"), col("o_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("tag"), col("o_custkey"))
+    }, Some("""
+      WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      u AS (
+        SELECT o_custkey, 'both' AS tag
+        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        UNION ALL
+        SELECT o_custkey, 'only_urgent' AS tag
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+      SELECT tag, o_custkey, count(*) AS n FROM u
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // RFM segmentation (recency / frequency / monetary quartiles → segment
+    // code): the classic customer-analytics composite. One hash aggregation
+    // reduces orders to |customers| rows; the three quartile windows then
+    // rank that REDUCED table with (value, key) total orders ⇒ deterministic
+    // ntile. Global ntile is a single-partition sort of |customers| — at
+    // 100 TB swap in sketch quantile cut points (q39) exactly like q92.
+    ("q99_rfm_segments", (s, dir) => {
+      val rfm = T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg( // NTZ → µs: the cast is timezone-free under the UTC session
+          max(unix_micros(col("o_orderdate").cast("timestamp"))).as("recency_us"),
+          count(lit(1)).as("frequency"),
+          sum(dec(col("o_totalprice"))).cast("double").as("monetary"))
+      val rq = ntile(4).over(
+        Window.orderBy(col("recency_us"), col("o_custkey"))).cast("long")
+      val fq = ntile(4).over(
+        Window.orderBy(col("frequency"), col("o_custkey"))).cast("long")
+      val mq = ntile(4).over(
+        Window.orderBy(col("monetary"), col("o_custkey"))).cast("long")
+      rfm.select(col("o_custkey"), col("recency_us"), col("frequency"),
+          col("monetary"), rq.as("r_q"), fq.as("f_q"), mq.as("m_q"),
+          (rq * 100 + fq * 10 + mq).as("segment"))
+        .orderBy(col("o_custkey"))
+    }, Some("""
+      WITH rfm AS (
+        SELECT o_custkey, max(epoch_us(o_orderdate)) AS recency_us,
+          count(*) AS frequency,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY 1),
+      q AS (
+        SELECT *,
+          CAST(ntile(4) OVER (ORDER BY recency_us, o_custkey) AS BIGINT) AS r_q,
+          CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_q,
+          CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_q
+        FROM rfm)
+      SELECT o_custkey, recency_us, frequency, monetary, r_q, f_q, m_q,
+        r_q * 100 + f_q * 10 + m_q AS segment
+      FROM q ORDER BY o_custkey""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

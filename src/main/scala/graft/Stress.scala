@@ -144,6 +144,47 @@ object Stress {
         println(s"[stress]   joined = ${j.count()}")
       }
     }
+    // Round-4 probes: funnel / bigram transitions (one keyed window exchange
+    // over the fact table each) and fixed-point PageRank (checkpointed edge
+    // table + 8 bounded-lineage join/agg rounds).
+    locally {
+      import graft.analytics.{Funnel, Graph}
+      import org.apache.spark.sql.expressions.Window
+      val nEv = 20_000_000L
+      val users = 1_000_000L
+      val ev = spark.range(nEv).select(
+        (col("id") % users).as("k"),
+        (hash(col("id")).cast("long") % 1_000_000L).as("t"),
+        pmod(hash(col("id") + 3), lit(4)).as("et"))
+        .localCheckpoint()
+      println(s"[stress] events: $nEv over $users users")
+      timed("funnel 20M") {
+        val f = Funnel.funnelSteps(ev, Seq("k"), "t", Seq(
+          "s0" -> (col("et") === 0), "s1" -> (col("et") === 1),
+          "s2" -> (col("et") === 2)))
+        println(s"[stress]   completed = ${f.where(col("funnel_step") === 3).count()}")
+      }
+      timed("markov bigrams 20M") {
+        val w = Window.partitionBy(col("k")).orderBy(col("t"), col("et"))
+        val b = ev.withColumn("prev", lag(col("et"), 1).over(w))
+          .where(col("prev").isNotNull)
+          .groupBy(col("prev"), col("et")).agg(count(lit(1)).as("n"))
+        println(s"[stress]   bigram cells = ${b.count()}")
+      }
+      val nNodes = 2_000_000L
+      val nodes = spark.range(nNodes).select(col("id").as("v")).localCheckpoint()
+      val edges = spark.range(20_000_000L).select(
+          (col("id") % nNodes).as("s"),
+          pmod(hash(col("id")).cast("long"), lit(nNodes)).as("d"))
+        .groupBy("s", "d").agg(count(lit(1)).as("w"))
+      timed("pagerank 2M nodes / 20M edges x 8 iter") {
+        // larger fixed-point scale: per-node rank ~ scale/|nodes| must stay
+        // well above 1 for the integer truncation to be meaningful
+        val pr = Graph.pageRankFixedPoint(nodes, "v", edges, "s", "d", "w",
+          scale = 1_000_000_000_000L)
+        println(s"[stress]   nodes ranked = ${pr.count()}")
+      }
+    }
     spark.stop()
   }
 }

@@ -151,6 +151,37 @@ class PlanSpec extends SparkTestBase {
     "Scan parquet".r.findAllIn(p).size shouldBe 1
   }
 
+  test("q91 markov transitions: one scan, lag window over one keyed exchange") {
+    val p = plan(SparkEntry.queries("q91_markov_transitions")(spark, dir))
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+    // the fact-table-sized stage is the lag window's user_id exchange; the
+    // bigram aggregate and row-normalization exchanges are |types|²-sized
+    p should include("lag(event_type")
+  }
+
+  test("q93 z-score fences broadcast back onto the fact rows, no fact sort") {
+    val p = plan(SparkEntry.queries("q93_zscore_outliers")(spark, dir))
+    p should include("BroadcastHashJoin")
+    p should include("partial_sum") // moments combine map-side
+  }
+
+  test("q94 basket pairs: the (order, brand) reduction is scanned once, not per join side") {
+    val p = plan(SparkEntry.queries("q94_basket_pairs")(spark, dir))
+    // lineitem + part were scanned ONCE into the localCheckpoint; the
+    // self-join's two sides and the support total all read the checkpoint,
+    // so no parquet scan survives in the pair-generation plan at all
+    "Scan parquet".r.findAllIn(p).size shouldBe 0
+    p should not include "CartesianProduct"
+  }
+
+  test("q95 pagerank iterations join a BROADCAST rank vector against checkpointed edges") {
+    val p = plan(SparkEntry.queries("q95_pagerank")(spark, dir))
+    // the 4-way trade join ran once into the checkpoint: no lineitem scan
+    // survives in the iteration plan
+    p should not include "lineitem"
+    p should include("BroadcastHashJoin")
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
