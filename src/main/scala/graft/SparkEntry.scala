@@ -2724,6 +2724,456 @@ object SparkEntry {
         r_q * 100 + f_q * 10 + m_q AS segment
       FROM q ORDER BY o_custkey""")),
 
+    // Market concentration (Herfindahl–Hirschman index) per nation: the
+    // fact table reduces ONCE (hash agg with map-side partials) to
+    // |suppliers| exact-DECIMAL revenue rows. For the squared-share sum,
+    // revenues are first TRUNCATED to whole-$1k integer units (exact
+    // integral div of the cent value — HHI is scale-invariant, and the
+    // Σr² of full-precision cents carries ~18 significant digits, past
+    // double precision, where the two engines' decimal→double roundings
+    // diverge); every term then fits int64/double exactly and hhi/
+    // top_share are single IEEE divisions ⇒ bit-exact cross-engine.
+    ("q100_hhi_concentration", (s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .join(T(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(14, 2)).as("r"))
+        .withColumn("rk",
+          expr("CAST(r * 100 AS BIGINT) div 100000")) // cents → whole $1k
+      val h = rev.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("r")).cast(DecimalType(18, 2)).as("tot"),
+          sum(col("rk") * col("rk")).as("sqk"),
+          sum(col("rk")).as("totk"),
+          max(col("r")).as("maxr"))
+      h.join(broadcast(T(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_nationkey"), col("n_name"), col("n_suppliers"),
+          col("tot").cast("double").as("total_rev"),
+          (col("sqk").cast("double") /
+            (col("totk") * col("totk")).cast("double")).as("hhi"),
+          (col("maxr").cast("double") / col("tot").cast("double")).as("top_share"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      WITH rev AS (
+        SELECT s_nationkey, s_suppkey,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS r
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      rk AS (
+        SELECT *, CAST(r * 100 AS BIGINT) // 100000 AS rk FROM rev),
+      h AS (
+        SELECT s_nationkey, count(*) AS n_suppliers,
+          CAST(sum(r) AS DECIMAL(18,2)) AS tot,
+          CAST(sum(rk * rk) AS BIGINT) AS sqk,
+          CAST(sum(rk) AS BIGINT) AS totk,
+          max(r) AS maxr
+        FROM rk GROUP BY 1)
+      SELECT n_nationkey, n_name, n_suppliers,
+        CAST(tot AS DOUBLE) AS total_rev,
+        CAST(sqk AS DOUBLE) / CAST(totk * totk AS DOUBLE) AS hhi,
+        CAST(maxr AS DOUBLE) / CAST(tot AS DOUBLE) AS top_share
+      FROM h JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY n_nationkey""")),
+
+    // Triangle counting on the brand co-occurrence graph — the graph-
+    // structure sibling of q94: the fact table reduces ONCE to distinct
+    // (order, brand), edges are the within-order co-occurrence pairs, and
+    // Graph.triangles runs the DEGREE-ORIENTED O(m^1.5) algorithm (orient
+    // edges low→high degree ⇒ out-degree ≤ O(√m) ⇒ the wedge self-join
+    // never explodes on hubs — the naive triple join is quadratic in the
+    // hottest node). The oracle counts the same triangles by their unique
+    // a<b<c form. Output: per-brand triangle participation.
+    ("q101_triangle_count", (s, dir) => {
+      val ob = T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand"))
+        .distinct()
+        .localCheckpoint() // feeds both self-join arms once
+      val edges = ob.select(col("ok"), col("p_brand").as("u"))
+        .join(ob.select(col("ok").as("ok2"), col("p_brand").as("v")),
+          col("ok") === col("ok2") && col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      graft.analytics.Graph.triangles(edges, "u", "v")
+        .select(explode(array(col("a"), col("b"), col("c"))).as("brand"))
+        .groupBy(col("brand")).agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("brand"))
+    }, Some("""
+      WITH ob AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      e AS (
+        SELECT DISTINCT a.p_brand AS u, b.p_brand AS v
+        FROM ob a JOIN ob b ON a.ok = b.ok AND a.p_brand < b.p_brand),
+      t AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      x AS (SELECT a AS brand FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t)
+      SELECT brand, count(*) AS n_triangles
+      FROM x GROUP BY 1 ORDER BY 1""")),
+
+    // Bounded-depth BFS (k-hop reachability) over the top-3-partner trade
+    // graph: each nation keeps its 3 heaviest distinct-destination trade
+    // edges (deterministic (w DESC, dst) rank), then Graph.kHopReachable
+    // runs 3 rounds of frontier-join + anti-join-visited with checkpointed
+    // lineage. The heavy 4-way join builds the edge weights ONCE; the
+    // iteration works on |nations|-sized frames. Oracle: the same BFS
+    // unrolled as 3 CTE rounds.
+    ("q102_khop_reach", (s, dir) => {
+      val ew = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val top3 = ew
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst"))))
+        .where(col("rn") <= 3).select(col("src"), col("dst"))
+      val seeds = T(s, dir, "nation")
+        .where(col("n_nationkey") === 0).select(col("n_nationkey"))
+      graft.analytics.Graph
+        .kHopReachable(top3, "src", "dst", seeds, "n_nationkey", maxHops = 3)
+        .orderBy(col("hop"), col("n_nationkey"))
+    }, Some("""
+      WITH ew AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2),
+      e AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+          FROM ew)
+        WHERE rn <= 3),
+      r0 AS (SELECT CAST(0 AS INTEGER) AS node, CAST(0 AS INTEGER) AS hop),
+      f1 AS (SELECT DISTINCT dst AS node FROM e JOIN r0 ON src = r0.node
+             WHERE dst NOT IN (SELECT node FROM r0)),
+      r1 AS (SELECT * FROM r0
+             UNION ALL SELECT node, CAST(1 AS INTEGER) FROM f1),
+      f2 AS (SELECT DISTINCT dst AS node FROM e JOIN r1 ON src = r1.node
+             WHERE dst NOT IN (SELECT node FROM r1)),
+      r2 AS (SELECT * FROM r1
+             UNION ALL SELECT node, CAST(2 AS INTEGER) FROM f2),
+      f3 AS (SELECT DISTINCT dst AS node FROM e JOIN r2 ON src = r2.node
+             WHERE dst NOT IN (SELECT node FROM r2)),
+      r3 AS (SELECT * FROM r2
+             UNION ALL SELECT node, CAST(3 AS INTEGER) FROM f3)
+      SELECT node AS n_nationkey, hop FROM r3 ORDER BY hop, node""")),
+
+    // Ordered-subsequence pattern match over full event journeys (the
+    // MATCH_RECOGNIZE-shaped query): each user's complete event-type path
+    // in strict (time, id) order, flagged when a 'signup' is EVER followed
+    // by a 'purchase'. One keyed exchange builds the per-user sequence;
+    // the multi-wildcard LIKE compiles to a codegen'd scan of the path
+    // string. Per-user sequences are bounded (|events|/|users|), so the
+    // interpreted transform stays off the fact-table hot path.
+    ("q103_sequence_match", (s, dir) => {
+      T(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_id"), col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("""array_join(
+              transform(array_sort(collect_list(struct(tus, event_id, event_type))),
+                        p -> p.event_type), '>')""").as("path"))
+        .select(col("user_id"), col("n_events"),
+          col("path").like("%signup%purchase%").as("matched"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+                 FROM events),
+      p AS (SELECT user_id, count(*) AS n_events,
+              string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+            FROM e GROUP BY 1)
+      SELECT user_id, n_events, path LIKE '%signup%purchase%' AS matched
+      FROM p ORDER BY user_id""")),
+
+    // Median-absolute-deviation outlier fences — q77 IQR's robust sibling:
+    // med and MAD are exact interpolated medians (dyadic 0.5 ⇒ the (a+b)/2
+    // midpoint is one IEEE add + halving, bit-exact cross-engine, q61's
+    // argument), each deviation |x − med| is a single exact subtraction,
+    // and the 3·MAD fence is one multiply — so even rows ON the fence
+    // agree. Two aggregation passes + one probe pass, each with map-side
+    // partials; the per-group scalars travel by broadcast, the fact table
+    // is never sorted globally.
+    ("q104_mad_outliers", (s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      val med = li.groupBy(col("g"))
+        .agg(expr("percentile(x, 0.5)").as("med"))
+      val dev = li.join(broadcast(med), "g")
+        .select(col("g"), col("x"), col("med"),
+          abs(col("x") - col("med")).as("d"))
+      val madt = dev.groupBy(col("g"))
+        .agg(max(col("med")).as("med"), // constant within g
+          expr("percentile(d, 0.5)").as("mad"),
+          count(lit(1)).as("n"))
+      dev.join(broadcast(madt.select(col("g"), col("mad"))), "g")
+        .groupBy(col("g"))
+        .agg(count(when(col("d") > lit(3.0) * col("mad"), 1)).as("n_outliers"))
+        .join(madt, "g")
+        .select(col("g").as("l_returnflag"), col("n"), col("med"), col("mad"),
+          col("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      WITH m AS (
+        SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY 1),
+      d AS (
+        SELECT g, med, abs(l_extendedprice - med) AS d
+        FROM lineitem JOIN m ON l_returnflag = g),
+      t AS (
+        SELECT g, max(med) AS med, quantile_cont(d, 0.5) AS mad,
+          count(*) AS n
+        FROM d GROUP BY 1)
+      SELECT d.g AS l_returnflag, t.n, t.med, t.mad,
+        count(*) FILTER (WHERE d.d > 3.0 * t.mad) AS n_outliers
+      FROM d JOIN t ON d.g = t.g
+      GROUP BY 1, 2, 3, 4 ORDER BY 1""")),
+
+    // Pareto frontier (skyline) per brand: parts not dominated on
+    // (price ↓, size ↑) by any same-brand part. The dominance test is a
+    // brand-blocked LEFT ANTI self-join — Σ per-block C(n,2) comparisons,
+    // never |part|² (the same blocking argument as q69's fuzzy match); at
+    // open-web scale the block key is the partition key and a grid-based
+    // pre-prune drops interior points before the quadratic step. Pure
+    // comparisons ⇒ trivially bit-exact.
+    ("q105_skyline", (s, dir) => {
+      val p = T(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+          col("p_size"))
+      val q = p.select(col("p_brand").as("qb"), col("p_retailprice").as("qp"),
+        col("p_size").as("qs"))
+      p.join(q,
+          col("p_brand") === col("qb") &&
+            col("qp") <= col("p_retailprice") && col("qs") >= col("p_size") &&
+            (col("qp") < col("p_retailprice") || col("qs") > col("p_size")),
+          "left_anti")
+        .orderBy(col("p_brand"), col("p_partkey"))
+    }, Some("""
+      SELECT p_partkey, p_brand, p_retailprice, p_size FROM part p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_brand = p.p_brand
+          AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      ORDER BY p_brand, p_partkey""")),
+
+    // A/B experiment readout: users split into two arms by the shared
+    // 48-bit content hash (assignment is engine-, seed- and partitioning-
+    // independent — the q42 sampling key), conversion = any purchase
+    // event. The fact table reduces ONCE to per-user rows; the readout is
+    // a single conditional aggregation. Rates, absolute lift and the
+    // two-proportion z statistic are built from exact BIGINT counts
+    // through an IDENTICAL double expression tree in both engines
+    // (divisions + one sqrt, both correctly rounded) ⇒ hash-exact.
+    ("q106_ab_lift", (s, dir) => {
+      import graft.ext.TextAnalysis.hash48
+      val per = T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+        .select(col("user_id"), col("conv"),
+          (hash48(col("user_id").cast("string")) % 2).as("arm"))
+      val r = per.agg(
+        count(when(col("arm") === 0, 1)).as("n_a"),
+        count(when(col("arm") === 1, 1)).as("n_b"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0)).as("conv_a"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0)).as("conv_b"))
+      val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+      val ra = col("conv_a").cast("double") / naD
+      val rb = col("conv_b").cast("double") / nbD
+      val pp = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      // z is undefined when the pooled rate is degenerate (pp ∈ {0,1} ⇒
+      // zero variance): emit NULL, matching DuckDB's NULL-on-/0 semantics
+      // (Spark's ANSI double division instead raises DIVIDE_BY_ZERO).
+      val zDen = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / naD + lit(1.0) / nbD))
+      r.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        ra.as("rate_a"), rb.as("rate_b"), (rb - ra).as("abs_lift"),
+        when(zDen =!= 0.0, (rb - ra) / zDen).otherwise(lit(null)).as("z"))
+    }, Some("""
+      WITH per AS (
+        SELECT user_id,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+          ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT % 2 AS arm
+        FROM events GROUP BY user_id),
+      r AS (
+        SELECT
+          count(*) FILTER (WHERE arm = 0) AS n_a,
+          count(*) FILTER (WHERE arm = 1) AS n_b,
+          CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+          CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        FROM per),
+      rr AS (
+        SELECT n_a, n_b, conv_a, conv_b,
+          CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+          CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+          CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+        FROM r)
+      SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+        rate_b - rate_a AS abs_lift,
+        CASE WHEN sqrt(pp * (CAST(1 AS DOUBLE) - pp)
+               * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) <> 0
+          THEN (rate_b - rate_a)
+            / sqrt(pp * (CAST(1 AS DOUBLE) - pp)
+                 * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+          ELSE NULL END AS z
+      FROM rr""")),
+
+    // Lorenz deciles + exact Gini coefficient of customer spend: orders
+    // reduce ONCE to |customers| exact-DECIMAL totals; the decile ranking
+    // is one (value, key)-ordered ntile on that REDUCED table (q99's
+    // argument — sketch cut points at 100 TB); Gini comes from the exact
+    // rank-weighted sum  G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)  where every
+    // product/sum stays in DECIMAL (rank × spend fits DECIMAL(25,2)) —
+    // only the final division is a double op ⇒ bit-exact.
+    ("q107_lorenz_gini", (s, dir) => {
+      val spend = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(14, 2)).as("x"))
+      val w = Window.orderBy(col("x"), col("o_custkey"))
+      val ranked = spend
+        .select(col("o_custkey"), col("x"),
+          row_number().over(w).cast(DecimalType(10, 0)).as("i"),
+          ntile(10).over(w).cast("long").as("decile"))
+        .localCheckpoint() // consumed by the gini scalar AND the deciles
+      val g = ranked.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).cast(DecimalType(18, 2)).as("tot"),
+          sum(col("i") * col("x")).as("six"))
+        .select(((lit(2) * col("six") -
+            (col("n") + lit(1)).cast(DecimalType(10, 0)) * col("tot"))
+            .cast("double") /
+          (col("n").cast(DecimalType(10, 0)) * col("tot")).cast("double"))
+          .as("gini"),
+          col("tot"))
+      val dw = Window.orderBy(col("decile"))
+      ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("x")).cast(DecimalType(18, 2)).as("dsum"))
+        .select(col("decile"), col("n_customers"),
+          col("dsum").as("dsum"),
+          sum(col("dsum")).over(dw).cast(DecimalType(18, 2)).as("csum"))
+        .crossJoin(broadcast(g))
+        .select(col("decile"), col("n_customers"),
+          col("dsum").cast("double").as("decile_spend"),
+          (col("csum").cast("double") / col("tot").cast("double")).as("cum_share"),
+          col("gini"))
+        .orderBy(col("decile"))
+    }, Some("""
+      WITH spend AS (
+        SELECT o_custkey,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS x
+        FROM orders GROUP BY 1),
+      ranked AS (
+        SELECT o_custkey, x,
+          CAST(row_number() OVER (ORDER BY x, o_custkey) AS DECIMAL(10,0)) AS i,
+          CAST(ntile(10) OVER (ORDER BY x, o_custkey) AS BIGINT) AS decile
+        FROM spend),
+      g AS (
+        SELECT count(*) AS n, CAST(sum(x) AS DECIMAL(18,2)) AS tot,
+          sum(i * x) AS six
+        FROM ranked),
+      gg AS (
+        SELECT
+          CAST(2 * six - CAST(n + 1 AS DECIMAL(10,0)) * tot AS DOUBLE)
+            / CAST(CAST(n AS DECIMAL(10,0)) * tot AS DOUBLE) AS gini,
+          tot
+        FROM g),
+      d AS (
+        SELECT decile, count(*) AS n_customers,
+          CAST(sum(x) AS DECIMAL(18,2)) AS dsum
+        FROM ranked GROUP BY 1),
+      c AS (
+        SELECT decile, n_customers, dsum,
+          CAST(sum(dsum) OVER (ORDER BY decile) AS DECIMAL(18,2)) AS csum
+        FROM d)
+      SELECT decile, n_customers, CAST(dsum AS DOUBLE) AS decile_spend,
+        CAST(csum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share, gini
+      FROM c, gg ORDER BY decile""")),
+
+    // Rolling 7-day distinct active users — the sliding-DISTINCT window no
+    // frame can express (count(DISTINCT) over RANGE isn't supported
+    // anywhere): the fact table reduces ONCE to distinct (day, user) rows;
+    // each then EXPLODES into the ≤7 window-end days it covers and one
+    // hash aggregation counts distincts per day — a keyed equi-shuffle
+    // (Σ rows · 7), not a day×activity range join. Day ids are integral
+    // day-epochs from the int64 nano timestamps ⇒ exact.
+    ("q108_rolling_distinct", (s, dir) => {
+      val au = T(s, dir, "events")
+        .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+        .distinct()
+        .localCheckpoint() // small; feeds the explode AND the day grid
+      val days = au.select(col("day")).distinct()
+      au.select(explode(sequence(col("day"), col("day") + lit(6))).as("tday"),
+          col("user_id"))
+        .groupBy(col("tday"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .join(days, col("tday") === col("day"))
+        .select(col("day"), col("wau"))
+        .orderBy(col("day"))
+    }, Some("""
+      WITH au AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        FROM events),
+      days AS (SELECT DISTINCT day FROM au)
+      SELECT d.day, count(DISTINCT a.user_id) AS wau
+      FROM days d JOIN au a ON a.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Behavioral diversity per user (Gini–Simpson index and its inverse,
+    // the "effective number of behaviors"): D = 1 − Σcᵢ²/n², computed
+    // entirely from exact BIGINT counts — two keyed hash aggs with
+    // map-side partials and two final IEEE divisions ⇒ bit-exact.
+    // (Shannon entropy is the transcendental sibling; ln is NOT identically
+    // rounded between JVM StrictMath and libm — measured 54/2M integer
+    // inputs differ — so the hash-gated catalog uses the exact index and
+    // leaves entropy to sketch-style bounds like q39.)
+    ("q109_behavior_diversity", (s, dir) => {
+      val c = T(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      c.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("ssq"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          (lit(1.0) - col("ssq").cast("double") /
+            (col("n_events") * col("n_events")).cast("double")).as("simpson"),
+          ((col("n_events") * col("n_events")).cast("double") /
+            col("ssq").cast("double")).as("effective_types"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH c AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      l AS (
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+          count(*) AS n_types,
+          CAST(sum(c * c) AS BIGINT) AS ssq
+        FROM c GROUP BY 1)
+      SELECT user_id, n_events, n_types,
+        CAST(1 AS DOUBLE) - CAST(ssq AS DOUBLE)
+          / CAST(n_events * n_events AS DOUBLE) AS simpson,
+        CAST(n_events * n_events AS DOUBLE) / CAST(ssq AS DOUBLE)
+          AS effective_types
+      FROM l ORDER BY user_id""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

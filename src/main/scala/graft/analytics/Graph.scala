@@ -67,4 +67,102 @@ object Graph {
     }
     r.select(col("__node").as(nodeCol), col("__rank").as("rank_fp"))
   }
+
+  /** Triangle enumeration via degree orientation — the O(m^1.5) distributed
+    * algorithm, not the naive triple join.
+    *
+    * Edges are first canonicalized to distinct undirected pairs, then each
+    * edge is ORIENTED from its lower-(degree, id) endpoint to the higher one.
+    * The orientation is acyclic and bounds every node's out-degree by
+    * O(√m), so the wedge-generation self-join (the quadratic step of any
+    * triangle algorithm) produces Σ outdeg(v)² = O(m^1.5) candidate wedges
+    * even on power-law graphs — a hub of degree 10^6 contributes its
+    * *in*-edges, which generate nothing. Each wedge (a→b, a→c) is then
+    * closed by one hash semi-join against the oriented edge set. Three
+    * shuffles total (degree agg, wedge join, closing join), all on node
+    * keys; no step materializes more than the wedge set.
+    *
+    * Returns one row per triangle {a, b, c} with `a < b < c` — each
+    * triangle exactly once (the oriented wedge (x→y, x→z) with y–z closed
+    * identifies a triangle by its unique minimum-(degree, id) corner).
+    *
+    * @param edges undirected edge list; self-loops are dropped, duplicates
+    *              and reversed duplicates collapse
+    */
+  def triangles(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("__u"),
+        greatest(col(srcCol), col(dstCol)).as("__v"))
+      .where(col("__u") =!= col("__v") &&
+        col("__u").isNotNull && col("__v").isNotNull)
+      .distinct()
+      .localCheckpoint() // consumed 3× (degrees, wedges, closing join)
+    val deg = und.select(col("__u").as("__n"))
+      .unionAll(und.select(col("__v").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    // orient each edge from the endpoint with the smaller (degree, id)
+    val oriented = und
+      .join(deg.withColumnRenamed("__n", "__u").withColumnRenamed("__d", "__du"), "__u")
+      .join(deg.withColumnRenamed("__n", "__v").withColumnRenamed("__d", "__dv"), "__v")
+      .select(
+        when(col("__du") < col("__dv") ||
+          (col("__du") === col("__dv") && col("__u") < col("__v")),
+          col("__u")).otherwise(col("__v")).as("__s"),
+        when(col("__du") < col("__dv") ||
+          (col("__du") === col("__dv") && col("__u") < col("__v")),
+          col("__v")).otherwise(col("__u")).as("__t"))
+      .localCheckpoint() // consumed 2× (both wedge arms + closing join)
+    val wedges = oriented.select(col("__s"), col("__t").as("__b"))
+      .join(oriented.select(col("__s"), col("__t").as("__c")), "__s")
+      .where(col("__b") < col("__c")) // each unordered out-pair once
+    wedges
+      .join(oriented.select(
+          least(col("__s"), col("__t")).as("__wu"),
+          greatest(col("__s"), col("__t")).as("__wv")),
+        least(col("__b"), col("__c")) === col("__wu") &&
+          greatest(col("__b"), col("__c")) === col("__wv"),
+        "left_semi")
+      .select(
+        least(col("__s"), col("__b"), col("__c")).as("a"),
+        array_sort(array(col("__s"), col("__b"), col("__c"))).getItem(1).as("b"),
+        greatest(col("__s"), col("__b"), col("__c")).as("c"))
+  }
+
+  /** Bounded-depth BFS: minimum hop count (≤ `maxHops`) from any seed to
+    * every reachable node, over DIRECTED edges. Returns (`nodeCol`, hop)
+    * with hop 0 for the seeds themselves.
+    *
+    * Scale shape: each round is one equi-join (current frontier × edges) +
+    * one distinct + one anti-join against the visited set — all keyed on
+    * node ids, no broadcast of unbounded sets. The frontier and visited
+    * tables are `localCheckpoint`ed every round, so lineage stays one round
+    * deep instead of compounding (the classic iterative-plan blowup). The
+    * visited set is O(reachable nodes); at 100 TB-scale graphs both sides
+    * of every join shuffle on the same key so AQE can pick sizes.
+    */
+  def kHopReachable(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be non-negative, got $maxHops")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__t"))
+      .where(col("__s").isNotNull && col("__t").isNotNull)
+      .distinct()
+      .localCheckpoint() // consumed once per round
+    var reached = seeds.select(col(seedCol).as("__node")).distinct()
+      .select(col("__node"), lit(0).cast("int").as("hop"))
+      .localCheckpoint()
+    var frontier = reached
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      frontier = frontier.join(e, col("__node") === col("__s"))
+        .select(col("__t").as("__node")).distinct()
+        .join(reached.select("__node"), Seq("__node"), "left_anti")
+        .select(col("__node"), lit(h).cast("int").as("hop"))
+        .localCheckpoint()
+      reached = reached.unionAll(frontier).localCheckpoint()
+    }
+    reached.select(col("__node").as(seedCol), col("hop"))
+  }
 }

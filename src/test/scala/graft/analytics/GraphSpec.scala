@@ -56,4 +56,58 @@ class GraphSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Graph.pageRankFixedPoint(n, "v", e, "s", "d", "w", scale = 0L)
   }
+
+  /** Brute-force triangle oracle: all id-ordered triples with all three
+    * canonical edges present. */
+  private def triRef(edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val ns = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    (for {
+      a <- ns; b <- ns if a < b && und((a, b))
+      c <- ns if b < c && und((b, c)) && und((a, c))
+    } yield (a, b, c)).toSet
+  }
+
+  test("triangles matches the brute-force oracle, once per triangle") {
+    // K4 on 1-4 (4 triangles) + a pendant + a separate triangle with a hub
+    // of high degree, plus duplicate / reversed / self-loop noise
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L),
+      (6L, 7L), (7L, 8L), (8L, 6L),
+      (2L, 1L), (3L, 3L), (1L, 2L)) // noise: reversed dup, self-loop, dup
+    val out = Graph.triangles(edges.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Long)].collect()
+    out.length shouldBe out.toSet.size // no triangle emitted twice
+    out.toSet shouldBe triRef(edges)
+    out.foreach { case (a, b, c) => a should be < b; b should be < c }
+  }
+
+  test("triangles on a triangle-free graph is empty") {
+    // a star plus a path: no triangles
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L))
+    Graph.triangles(edges.toDF("x", "y"), "x", "y").count() shouldBe 0L
+  }
+
+  test("kHopReachable gives minimum hop counts, bounded by maxHops") {
+    // 1 → 2 → 3 → 4 → 5 chain, plus shortcut 1 → 3 and a cycle back 4 → 1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L), (4L, 1L))
+      .toDF("s", "d")
+    val out = Graph.kHopReachable(e, "s", "d", Seq(1L).toDF("n"), "n", 3)
+      .as[(Long, Int)].collect().toMap
+    out shouldBe Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3)
+    // tighter bound cuts the frontier, and hop 0 is just the seeds
+    Graph.kHopReachable(e, "s", "d", Seq(1L).toDF("n"), "n", 1)
+      .as[(Long, Int)].collect().toMap shouldBe Map(1L -> 0, 2L -> 1, 3L -> 1)
+    Graph.kHopReachable(e, "s", "d", Seq(1L).toDF("n"), "n", 0)
+      .as[(Long, Int)].collect().toMap shouldBe Map(1L -> 0)
+  }
+
+  test("kHopReachable with multiple seeds takes the closest one") {
+    val e = Seq((1L, 2L), (2L, 3L), (9L, 3L)).toDF("s", "d")
+    val out = Graph.kHopReachable(e, "s", "d", Seq(1L, 9L).toDF("n"), "n", 5)
+      .as[(Long, Int)].collect().toMap
+    out shouldBe Map(1L -> 0, 9L -> 0, 2L -> 1, 3L -> 1)
+  }
 }
