@@ -173,4 +173,82 @@ class PlayerStatsEngineSpec extends SparkTestBase {
       spark.catalog.dropTempView("stats_spec")
     }
   }
+
+  // ------------------------------- transformWithState (Spark 4 TWS) twin
+
+  /** Run `body` with the RocksDB state store provider the TWS operator
+    * requires, restoring the previous provider afterwards. */
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("transformWithState twin equals batch twin regardless of batch split") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val batch1 = Seq(
+        ev("Ada", "S1", "kill", second = 1, round = 1),
+        ev("", "S2", "damage", second = 2, amount = 30, round = 1))
+      val batch2 = Seq(
+        ev("Ada", "S1", "death", second = 60, round = 2),
+        ev("Bo", "S2", "kill", second = 61, round = 2),
+        ev("", "S1", "damage", second = 62, amount = 7, round = 2))
+      val mem = MemoryStream[Event]
+      val q = PlayerStatsEngine.statefulPlayerStatsTws(mem.toDS())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("stats_tws_spec").start()
+      try {
+        mem.addData(batch1: _*)
+        q.processAllAvailable()
+        mem.addData(batch2: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("stats_tws_spec")
+          .as[PlayerStatsRow].collect()
+          .groupBy(_.steamId)
+          .map { case (_, rows) =>
+            rows.maxBy(r => r.kills + r.deaths + r.assists + r.damage)
+          }
+          .toSeq.sortBy(_.steamId)
+        val twin = PlayerStatsEngine
+          .batchPlayerStats((batch1 ++ batch2).toDF())
+          .as[PlayerStatsRow].collect().toSeq.sortBy(_.steamId)
+        streamed shouldBe twin
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("stats_tws_spec")
+      }
+    }
+  }
+
+  test("transformWithState warm start resumes counters from the snapshot") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val snapshot = Seq("S1" -> PlayerState(5, 2, 1, 100, "Ada")).toDS()
+      val mem = MemoryStream[Event]
+      val q = PlayerStatsEngine
+        .statefulPlayerStatsTws(mem.toDS(), initial = Some(snapshot))
+        .writeStream.outputMode("update").format("memory")
+        .queryName("stats_tws_warm").start()
+      try {
+        mem.addData(
+          ev("Ada", "S1", "kill", second = 30, round = 4),
+          ev("Bo", "S9", "kill", second = 30, round = 4))
+        q.processAllAvailable()
+        val rows = spark.table("stats_tws_warm")
+          .as[PlayerStatsRow].collect().sortBy(_.steamId)
+        rows.map(_.steamId).toSeq shouldBe Seq("S1", "S9")
+        rows(0).kills shouldBe 6L   // 5 from the snapshot + 1 new
+        rows(0).damage shouldBe 100L
+        rows(0).kdRatio shouldBe 3.0
+        rows(1).kills shouldBe 1L   // fresh key: snapshot untouched
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("stats_tws_warm")
+      }
+    }
+  }
 }
