@@ -3174,6 +3174,334 @@ object SparkEntry {
           AS effective_types
       FROM l ORDER BY user_id""")),
 
+    // Per-user activity bitmap: each user's active days packed into ONE
+    // 64-bit word (slot = day mod 64) with bit_or, per-behavior bitmaps via
+    // conditional masks, and set algebra (intersection cardinality) as
+    // bit_count(a & b) — O(1) state per user where collect_set(day) is
+    // O(days), and the roaring-bitmap pattern for 100 TB audience overlap
+    // queries. Pure integer ops ⇒ bit-exact.
+    ("q110_bitmap_activity", (s, dir) => {
+      val b = T(s, dir, "events")
+        .select(col("user_id"),
+          (expr("ts div 86400000000000") % 64).cast("int").as("slot"),
+          col("event_type"))
+        .select(col("user_id"),
+          expr("shiftleft(CAST(1 AS BIGINT), slot)").as("m"),
+          col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(
+          expr("bit_or(m)").as("all_days"),
+          expr("bit_or(CASE WHEN event_type = 'purchase' THEN m ELSE 0 END)")
+            .as("buy_days"),
+          expr("bit_or(CASE WHEN event_type = 'error' THEN m ELSE 0 END)")
+            .as("err_days"))
+      b.select(col("user_id"), col("all_days"),
+          bit_count(col("all_days")).cast("int").as("n_active"),
+          bit_count(col("buy_days")).cast("int").as("n_buy_days"),
+          bit_count(col("buy_days").bitwiseAND(col("err_days"))).cast("int")
+            .as("n_overlap"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH slots AS (
+        SELECT user_id,
+          CAST(CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 64 AS INTEGER) AS slot,
+          event_type
+        FROM events),
+      b AS (
+        SELECT user_id,
+          bit_or(1::BIGINT << slot) AS all_days,
+          bit_or(CASE WHEN event_type = 'purchase' THEN 1::BIGINT << slot ELSE 0 END) AS buy_days,
+          bit_or(CASE WHEN event_type = 'error' THEN 1::BIGINT << slot ELSE 0 END) AS err_days
+        FROM slots GROUP BY 1)
+      SELECT user_id, all_days,
+        CAST(bit_count(all_days) AS INTEGER) AS n_active,
+        CAST(bit_count(buy_days) AS INTEGER) AS n_buy_days,
+        CAST(bit_count(buy_days & err_days) AS INTEGER) AS n_overlap
+      FROM b ORDER BY user_id""")),
+
+    // Chi-square test of independence (event_type × user cohort), cell
+    // level: the fact table reduces ONCE to |types|·|cohorts| observed
+    // BIGINT counts; row/column/grand totals come from windows over that
+    // tiny frame (no second scan); expected counts and (O−E)²/E are an
+    // IDENTICAL double expression tree from exact BIGINT products ⇒
+    // hash-exact. Cell-level output keeps the result deterministic — a
+    // single chi² total would sum doubles in engine-dependent order.
+    ("q111_chisq_cells", (s, dir) => {
+      val c = T(s, dir, "events")
+        .groupBy(col("event_type"), (col("user_id") % 4).as("cohort"))
+        .agg(count(lit(1)).as("o"))
+      val t = c.select(col("event_type"), col("cohort"), col("o"),
+        sum(col("o")).over(Window.partitionBy(col("event_type"))).as("rt"),
+        sum(col("o")).over(Window.partitionBy(col("cohort"))).as("ct"),
+        sum(col("o")).over(Window.partitionBy()).as("n"))
+      val e = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+      t.select(col("event_type"), col("cohort"), col("o"),
+          e.as("expected"),
+          ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+            .as("contrib"))
+        .orderBy(col("event_type"), col("cohort"))
+    }, Some("""
+      WITH c AS (
+        SELECT event_type, user_id % 4 AS cohort, count(*) AS o
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT event_type, cohort, o,
+          sum(o) OVER (PARTITION BY event_type) AS rt,
+          sum(o) OVER (PARTITION BY cohort) AS ct,
+          sum(o) OVER () AS n
+        FROM c)
+      SELECT event_type, cohort, o,
+        CAST(rt*ct AS DOUBLE)/CAST(n AS DOUBLE) AS expected,
+        (CAST(o AS DOUBLE) - CAST(rt*ct AS DOUBLE)/CAST(n AS DOUBLE))
+          * (CAST(o AS DOUBLE) - CAST(rt*ct AS DOUBLE)/CAST(n AS DOUBLE))
+          / (CAST(rt*ct AS DOUBLE)/CAST(n AS DOUBLE)) AS contrib
+      FROM t ORDER BY event_type, cohort""")),
+
+    // Autocorrelation of the daily event-count series at lags 1 and 7:
+    // the fact table reduces ONCE to |days| BIGINT counts; each lag is an
+    // equi-join of that tiny series against itself shifted (join on
+    // d = d + lag — no window spill, works for ANY lag set); Pearson r
+    // comes from exact DECIMAL moments (q83's argument) so the result is
+    // bit-exact despite being a float statistic.
+    ("q112_autocorr", (s, dir) => {
+      import s.implicits._
+      val daily = T(s, dir, "events")
+        .groupBy(expr("ts div 86400000000000").as("d"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // tiny; feeds both sides of both lag joins
+      val lags = Seq(1L, 7L).toDF("lag")
+      val pairs = lags.crossJoin(daily.select(col("d"), col("c").as("x")))
+        .join(daily.select(col("d").as("d2"), col("c").as("y")),
+          col("d2") === col("d") + col("lag"))
+      val m = pairs.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast(DecimalType(20, 0)).as("sx"),
+          sum(col("y")).cast(DecimalType(20, 0)).as("sy"),
+          sum(col("x") * col("y")).cast(DecimalType(30, 0)).as("sxy"),
+          sum(col("x") * col("x")).cast(DecimalType(30, 0)).as("sxx"),
+          sum(col("y") * col("y")).cast(DecimalType(30, 0)).as("syy"))
+      m.select(col("lag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("r"))
+        .orderBy(col("lag"))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d, count(*) AS c
+        FROM events GROUP BY 1),
+      pairs AS (
+        SELECT l.lag, a.c AS x, b.c AS y
+        FROM (VALUES (CAST(1 AS BIGINT)), (CAST(7 AS BIGINT))) l(lag)
+        JOIN daily a ON true
+        JOIN daily b ON b.d = a.d + l.lag),
+      m AS (
+        SELECT lag, count(*) AS n,
+          CAST(sum(x) AS DECIMAL(20,0)) AS sx, CAST(sum(y) AS DECIMAL(20,0)) AS sy,
+          CAST(sum(x*y) AS DECIMAL(30,0)) AS sxy,
+          CAST(sum(x*x) AS DECIMAL(30,0)) AS sxx,
+          CAST(sum(y*y) AS DECIMAL(30,0)) AS syy
+        FROM pairs GROUP BY 1)
+      SELECT lag, n,
+        CAST(n*sxy - sx*sy AS DOUBLE)
+          / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS r
+      FROM m ORDER BY lag""")),
+
+    // Period-over-period revenue: monthly totals (exact DECIMAL), MoM via
+    // lag over the |months| frame, YoY via a self-join on (y−1, m) — join,
+    // not lag(12), so gaps in the month sequence can never silently pair
+    // the wrong periods. The fact table pays ONE keyed exchange; everything
+    // downstream is |months|-sized.
+    ("q113_period_growth", (s, dir) => {
+      val m = T(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"),
+          count(lit(1)).as("n_orders"))
+        .localCheckpoint() // tiny; feeds the MoM window AND the YoY join
+      val g = m.select((col("y") * 100 + col("mo")).as("ym"), col("y"),
+        col("mo"), col("rev"), col("n_orders"),
+        lag(col("rev"), 1).over(Window.orderBy(col("y"), col("mo")))
+          .as("prev_rev"))
+      g.join(m.select(col("y").as("py"), col("mo").as("pmo"),
+            col("rev").as("yoy_rev")),
+          col("py") === col("y") - 1 && col("pmo") === col("mo"), "left")
+        .select(col("ym"), col("rev").cast("double").as("revenue"),
+          col("n_orders"),
+          col("prev_rev").cast("double").as("prev_revenue"),
+          ((col("rev") - col("prev_rev")).cast("double") /
+            col("prev_rev").cast("double")).as("mom_pct"),
+          col("yoy_rev").cast("double").as("yoy_revenue"),
+          ((col("rev") - col("yoy_rev")).cast("double") /
+            col("yoy_rev").cast("double")).as("yoy_pct"))
+        .orderBy(col("ym"))
+    }, Some("""
+      WITH m AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+          CAST(month(o_orderdate) AS BIGINT) AS mo,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev,
+          count(*) AS n_orders
+        FROM orders GROUP BY 1, 2),
+      g AS (
+        SELECT y*100+mo AS ym, y, mo, rev, n_orders,
+          lag(rev) OVER (ORDER BY y, mo) AS prev_rev
+        FROM m)
+      SELECT g.ym, CAST(g.rev AS DOUBLE) AS revenue, g.n_orders,
+        CAST(g.prev_rev AS DOUBLE) AS prev_revenue,
+        CAST(g.rev - g.prev_rev AS DOUBLE) / CAST(g.prev_rev AS DOUBLE) AS mom_pct,
+        CAST(p.rev AS DOUBLE) AS yoy_revenue,
+        CAST(g.rev - p.rev AS DOUBLE) / CAST(p.rev AS DOUBLE) AS yoy_pct
+      FROM g LEFT JOIN m p ON p.y = g.y - 1 AND p.mo = g.mo
+      ORDER BY g.ym""")),
+
+    // Data-quality audit (the Deequ-shaped constraint pass a training-data
+    // pipeline runs before every ingest): referential integrity both ways
+    // (anti joins), key uniqueness, null and domain checks — each check is
+    // one scan or one join, results union into a tall (check, count)
+    // report. Exact BIGINT counts.
+    ("q114_dq_audit", (s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val ord = T(s, dir, "orders")
+      def one(name: String, d: DataFrame): DataFrame =
+        d.agg(count(lit(1)).as("n")).select(lit(name).as("check_name"), col("n"))
+      one("lineitem_orphan_fk",
+          li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti"))
+        .unionByName(one("orders_childless",
+          ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")))
+        .unionByName(
+          li.groupBy(col("l_orderkey"), col("l_linenumber"))
+            .agg(count(lit(1)).as("c")).where(col("c") > 1)
+            .agg(count(lit(1)).as("n"))
+            .select(lit("lineitem_dup_pk").as("check_name"), col("n")))
+        .unionByName(one("orders_null_custkey",
+          ord.where(col("o_custkey").isNull)))
+        .unionByName(one("lineitem_nonpositive_qty",
+          li.where(col("l_quantity") <= 0)))
+        .unionByName(one("lineitem_discount_range",
+          li.where(col("l_discount") < 0 || col("l_discount") > 1)))
+        .orderBy(col("check_name"))
+    }, Some("""
+      SELECT 'lineitem_orphan_fk' AS check_name, count(*) AS n
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'orders_childless', count(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      UNION ALL
+      SELECT 'lineitem_dup_pk', count(*) FROM (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        GROUP BY 1, 2 HAVING count(*) > 1)
+      UNION ALL
+      SELECT 'orders_null_custkey', count(*) FROM orders WHERE o_custkey IS NULL
+      UNION ALL
+      SELECT 'lineitem_nonpositive_qty', count(*) FROM lineitem WHERE l_quantity <= 0
+      UNION ALL
+      SELECT 'lineitem_discount_range', count(*) FROM lineitem
+      WHERE l_discount < 0 OR l_discount > 1
+      ORDER BY check_name""")),
+
+    // Incremental aggregate maintenance: the stream splits into a BASE and
+    // a DELTA batch (even/odd days); each batch aggregates independently
+    // into mergeable partials (count/sum/min/max — the algebraic aggregates
+    // a materialized view keeps), and the view refresh is a SECOND-level
+    // aggregation over the partial rows — never a re-scan of base. Distinct
+    // users merge through the (type,user) key set, the one aggregate whose
+    // partial IS a set. Oracle: the same stats computed directly over the
+    // full table — the merge law count(A∪B)=count(A)+count(B) etc. is what
+    // the hash match proves.
+    ("q115_incremental_agg", (s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("event_type"), col("user_id"), dec(col("value")).as("v"),
+          (expr("ts div 86400000000000") % 2 === 0).as("is_base"))
+      val partials = ev.groupBy(col("event_type"), col("is_base"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("v")).cast(DecimalType(16, 2)).as("s"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val merged = partials.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(col("s")).cast("double").as("sum_value"),
+          min(col("mn")).cast("double").as("min_value"),
+          max(col("mx")).cast("double").as("max_value"))
+      val users = ev.select(col("event_type"), col("user_id"), col("is_base"))
+        .distinct() // per-batch key sets ...
+        .select(col("event_type"), col("user_id")).distinct() // ... merged
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+      merged.join(users, "event_type").orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        CAST(min(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS min_value,
+        CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value,
+        count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Per-label centroids over int8-QUANTIZED embeddings: codes sum as
+    // exact BIGINTs per (label, position) — the float-summation-order trap
+    // that makes naive mean-vector aggregation engine-dependent never
+    // appears, and at 100 TB the 4×-smaller codes are what you'd scan
+    // anyway (q49). posexplode is a 1→64 in-stage Generate; one keyed hash
+    // agg with map-side partials does the rest.
+    ("q116_label_centroids", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val codes = emb.select(col("label"),
+        ext.Quantize.int8Codes(col("embedding"),
+          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
+      codes.select(col("label"), posexplode(col("codes")).as(Seq("p", "c")))
+        .groupBy(col("label"), (col("p") + 1).cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("long")).as("code_sum"))
+        .select(col("label").cast("long").as("label"), col("pos"), col("n"),
+          col("code_sum"),
+          (col("code_sum").cast("double") / col("n").cast("double"))
+            .as("centroid"))
+        .orderBy(col("label"), col("pos"))
+    }, Some("""
+      WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
+      s AS (
+        SELECT label, vec,
+          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
+        FROM v),
+      q AS (
+        SELECT label, CASE WHEN scale = 0
+          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
+        FROM s),
+      e AS (
+        SELECT label, i, codes[i] AS c
+        FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r)
+      SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS pos,
+        count(*) AS n, CAST(sum(c) AS BIGINT) AS code_sum,
+        CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid
+      FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Weighted median (size-weighted retail price per brand): one keyed
+    // window builds the running weight, the median is the FIRST value whose
+    // cumulative weight reaches half the total — deterministic via the
+    // (value, key) window order, exact comparisons only (2·cw ≥ tw is
+    // integer arithmetic). One exchange+sort per brand block; the two
+    // windows (running + total) share it.
+    ("q117_weighted_median", (s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+      val t = Window.partitionBy(col("p_brand"))
+      T(s, dir, "part")
+        .select(col("p_brand"), col("p_retailprice"), col("p_partkey"),
+          sum(col("p_size").cast("long")).over(w).as("cw"),
+          sum(col("p_size").cast("long")).over(t).as("tw"))
+        .where(col("cw") * 2 >= col("tw"))
+        .groupBy(col("p_brand"))
+        .agg(min(col("p_retailprice")).as("weighted_median"))
+        .orderBy(col("p_brand"))
+    }, Some("""
+      WITH w AS (
+        SELECT p_brand, p_retailprice,
+          sum(CAST(p_size AS BIGINT)) OVER (
+            PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS cw,
+          sum(CAST(p_size AS BIGINT)) OVER (PARTITION BY p_brand) AS tw
+        FROM part)
+      SELECT p_brand, min(p_retailprice) AS weighted_median
+      FROM w WHERE 2*cw >= tw GROUP BY 1 ORDER BY 1""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
