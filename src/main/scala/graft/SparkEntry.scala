@@ -3502,6 +3502,174 @@ object SparkEntry {
       SELECT p_brand, min(p_retailprice) AS weighted_median
       FROM w WHERE 2*cw >= tw GROUP BY 1 ORDER BY 1""")),
 
+    // New-vs-returning user split per day: the fact table reduces ONCE to
+    // distinct (day, user) activity rows (q108's reduction); first-seen day
+    // is one more hash agg over that small frame; the daily split is a
+    // conditional count. Exact BIGINT counts; the growth-accounting query
+    // every activity pipeline runs.
+    ("q118_new_returning", (s, dir) => {
+      val au = T(s, dir, "events")
+        .select(expr("ts div 86400000000000").as("d"), col("user_id"))
+        .distinct()
+        .localCheckpoint() // feeds first-seen AND the day split
+      val f = au.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+      au.join(f, "user_id")
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("dau"),
+          count(when(col("d") === col("first_d"), 1)).as("new_users"),
+          count(when(col("d") > col("first_d"), 1)).as("returning_users"))
+        .orderBy(col("d"))
+    }, Some("""
+      WITH au AS (
+        SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d, user_id
+        FROM events),
+      f AS (SELECT user_id, min(d) AS first_d FROM au GROUP BY 1)
+      SELECT d, count(*) AS dau,
+        count(*) FILTER (WHERE d = first_d) AS new_users,
+        count(*) FILTER (WHERE d > first_d) AS returning_users
+      FROM au JOIN f USING (user_id) GROUP BY 1 ORDER BY 1""")),
+
+    // Last-touch conversion attribution: each purchase credits the latest
+    // STRICTLY-earlier non-purchase event of the same user — the correlated
+    // LIMIT-1 subquery shape (J5's generalization) rewritten as ONE keyed
+    // window: last(non-purchase type, ignoreNulls) over rows
+    // (unboundedPreceding, -1) in deterministic (time, id) order. The fact
+    // table pays one exchange+sort; no self-join, no subquery per row.
+    ("q119_attribution", (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("t"),
+          col("event_id"), col("event_type"))
+        .withColumn("channel",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("conversions"))
+        .orderBy(col("channel"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
+      att AS (
+        SELECT user_id, t, event_id, event_type,
+          last(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY t, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        FROM e)
+      SELECT coalesce(channel, 'none') AS channel, count(*) AS conversions
+      FROM att WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Winsorization (percentile clipping — the outlier-mitigation pass a
+    // training pipeline applies before normalization): exact interpolated
+    // p25/p75 per group (dyadic fractions ⇒ bit-exact, q61), broadcast back
+    // onto the fact rows, clamp with greatest/least (exact comparisons),
+    // and compare raw vs clipped DECIMAL sums plus clip counts. Two passes,
+    // no fact-table sort.
+    ("q120_winsorize", (s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      val b = li.groupBy(col("g"))
+        .agg(expr("percentile(x, 0.25)").as("lo"),
+          expr("percentile(x, 0.75)").as("hi"))
+      li.join(broadcast(b), "g")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("x"))).cast("double").as("sum_raw"),
+          sum(dec(greatest(least(col("x"), col("hi")), col("lo"))))
+            .cast("double").as("sum_winsor"),
+          count(when(col("x") < col("lo"), 1)).as("n_clipped_lo"),
+          count(when(col("x") > col("hi"), 1)).as("n_clipped_hi"))
+        .orderBy(col("g"))
+    }, Some("""
+      WITH b AS (
+        SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.25) AS lo,
+               quantile_cont(l_extendedprice, 0.75) AS hi
+        FROM lineitem GROUP BY 1)
+      SELECT g, count(*) AS n,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_raw,
+        CAST(sum(CAST(greatest(least(l_extendedprice, hi), lo) AS DECIMAL(12,2)))
+          AS DOUBLE) AS sum_winsor,
+        count(*) FILTER (WHERE l_extendedprice < lo) AS n_clipped_lo,
+        count(*) FILTER (WHERE l_extendedprice > hi) AS n_clipped_hi
+      FROM lineitem JOIN b ON l_returnflag = g
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Distribution-drift report between a base and a delta batch (even/odd
+    // days — the train-vs-serve drift check): per-category conditional
+    // counts in ONE scan, shares and absolute drift from exact BIGINTs via
+    // an identical double tree. (PSI's ln() is not cross-engine bit-stable
+    // — the exact |Δshare| report is the hash-gated form.)
+    ("q121_drift_report", (s, dir) => {
+      val c = T(s, dir, "events")
+        .select(col("event_type"),
+          (expr("ts div 86400000000000") % 2 === 0).as("is_base"))
+        .groupBy(col("event_type"))
+        .agg(count(when(col("is_base"), 1)).as("cb"),
+          count(when(!col("is_base"), 1)).as("cd"))
+      val t = c.select(col("event_type"), col("cb"), col("cd"),
+        sum(col("cb")).over(Window.partitionBy()).as("tb"),
+        sum(col("cd")).over(Window.partitionBy()).as("td"))
+      val sb = col("cb").cast("double") / col("tb").cast("double")
+      val sd = col("cd").cast("double") / col("td").cast("double")
+      t.select(col("event_type"), col("cb"), col("cd"),
+          sb.as("share_base"), sd.as("share_delta"),
+          abs(sb - sd).as("abs_drift"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH c AS (
+        SELECT event_type,
+          count(*) FILTER (WHERE CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 2 = 0) AS cb,
+          count(*) FILTER (WHERE CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 2 <> 0) AS cd
+        FROM events GROUP BY 1),
+      t AS (SELECT sum(cb) AS tb, sum(cd) AS td FROM c)
+      SELECT event_type, cb, cd,
+        CAST(cb AS DOUBLE)/CAST(tb AS DOUBLE) AS share_base,
+        CAST(cd AS DOUBLE)/CAST(td AS DOUBLE) AS share_delta,
+        abs(CAST(cb AS DOUBLE)/CAST(tb AS DOUBLE)
+          - CAST(cd AS DOUBLE)/CAST(td AS DOUBLE)) AS abs_drift
+      FROM c, t ORDER BY event_type""")),
+
+    // Recency-decayed engagement score with half-life = 1 day: weight
+    // 2^(−age) is a DYADIC fraction, so the whole weighted sum stays EXACT —
+    // each value scales by the integer 2^(31−age) (BIGINT shift, age capped
+    // at 31 ⇒ older events round to weight 0, exactly like the double would
+    // underflow the scale), sums in DECIMAL, and divides by 2^31 once at the
+    // end. The float-decay idiom exp(−λ·age) is summation-order-dependent;
+    // this form is hash-exact and one hash agg.
+    ("q122_decay_score", (s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), dec(col("value")).as("v"),
+          expr("ts div 86400000000000").as("d"))
+      val maxd = ev.agg(max(col("d")).as("maxd"))
+      ev.crossJoin(broadcast(maxd))
+        .select(col("user_id"),
+          (col("v") * expr(
+            """CAST(shiftleft(CAST(1 AS BIGINT),
+                              CAST(31 - least(maxd - d, 31) AS INT))
+                    AS DECIMAL(12,0))""")).as("wv"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("wv")).as("num"))
+        .select(col("user_id"),
+          (col("num").cast("double") / lit(2147483648.0)).as("decay_score"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH mx AS (
+        SELECT max(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS maxd FROM events),
+      e AS (
+        SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v,
+          CAST(maxd - epoch_us(ts) // 86400000000 AS BIGINT) AS age
+        FROM events, mx),
+      s AS (
+        SELECT user_id,
+          sum(v * CAST(1::BIGINT << CAST(31 - least(age, 31) AS INTEGER)
+                AS DECIMAL(12,0))) AS num
+        FROM e GROUP BY 1)
+      SELECT user_id, CAST(num AS DOUBLE) / 2147483648.0 AS decay_score
+      FROM s ORDER BY user_id""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
