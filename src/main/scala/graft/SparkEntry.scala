@@ -2495,16 +2495,24 @@ object SparkEntry {
     // pairs (bounded by basket width, never N²). Support threshold 2% as
     // the integer cross-multiplication n*50 >= total ⇒ no float compare.
     ("q94_basket_pairs", (s, dir) => {
-      val ob = T(s, dir, "lineitem")
+      // One shuffle on ok builds each order's SORTED distinct-brand basket
+      // (map-side partial sets); C(basket,2) pairs generate IN-STAGE from
+      // the array — the within-order self-join this replaces paid a second
+      // full shuffle of the (ok, brand) table and re-materialized Σ pairs
+      // through an exchange. Baskets are bounded (brands per order), so the
+      // nested transform never sees a hot row.
+      val baskets = T(s, dir, "lineitem")
         .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("ok"), col("p_brand"))
-        .distinct()
-        .localCheckpoint()
-      val tot = ob.agg(countDistinct(col("ok")).as("n_orders"))
-      val a = ob.select(col("ok"), col("p_brand").as("brand_a"))
-      val b = ob.select(col("ok").as("ok2"), col("p_brand").as("brand_b"))
-      a.join(b, col("ok") === col("ok2") && col("brand_a") < col("brand_b"))
-        .groupBy(col("brand_a"), col("brand_b"))
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+        .localCheckpoint() // feeds the order count AND the pair explode
+      val tot = baskets.agg(count(lit(1)).as("n_orders"))
+      baskets
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+               transform(slice(bs, i + 2, size(bs)),
+                         y -> struct(x AS brand_a, y AS brand_b))))""")).as("p"))
+        .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
         .agg(count(lit(1)).as("n"))
         .crossJoin(broadcast(tot))
         .filter(col("n") * 50 >= col("n_orders"))
@@ -2785,15 +2793,19 @@ object SparkEntry {
     // hottest node). The oracle counts the same triangles by their unique
     // a<b<c form. Output: per-brand triangle participation.
     ("q101_triangle_count", (s, dir) => {
-      val ob = T(s, dir, "lineitem")
+      // q94's basket rewrite: one shuffle on ok builds sorted distinct-brand
+      // baskets, co-occurrence pairs generate in-stage from the array, and
+      // only the (tiny) pair set pays the distinct exchange — the
+      // (ok, brand) self-join this replaces re-shuffled the full reduction.
+      val edges = T(s, dir, "lineitem")
         .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("ok"), col("p_brand"))
-        .distinct()
-        .localCheckpoint() // feeds both self-join arms once
-      val edges = ob.select(col("ok"), col("p_brand").as("u"))
-        .join(ob.select(col("ok").as("ok2"), col("p_brand").as("v")),
-          col("ok") === col("ok2") && col("u") < col("v"))
-        .select(col("u"), col("v")).distinct()
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+               transform(slice(bs, i + 2, size(bs)),
+                         y -> struct(x AS u, y AS v))))""")).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v")).distinct()
       graft.analytics.Graph.triangles(edges, "u", "v")
         .select(explode(array(col("a"), col("b"), col("c"))).as("brand"))
         .groupBy(col("brand")).agg(count(lit(1)).as("n_triangles"))
@@ -2912,8 +2924,13 @@ object SparkEntry {
     ("q104_mad_outliers", (s, dir) => {
       val li = T(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      // med and madt are |groups|-sized but EXPENSIVE (exact percentile over
+      // the fact table); each has two consumers, and without a checkpoint
+      // Spark re-derives the whole percentile pass per consumer — measured
+      // 2× on this query.
       val med = li.groupBy(col("g"))
         .agg(expr("percentile(x, 0.5)").as("med"))
+        .localCheckpoint()
       val dev = li.join(broadcast(med), "g")
         .select(col("g"), col("x"), col("med"),
           abs(col("x") - col("med")).as("d"))
@@ -2921,6 +2938,7 @@ object SparkEntry {
         .agg(max(col("med")).as("med"), // constant within g
           expr("percentile(d, 0.5)").as("mad"),
           count(lit(1)).as("n"))
+        .localCheckpoint()
       dev.join(broadcast(madt.select(col("g"), col("mad"))), "g")
         .groupBy(col("g"))
         .agg(count(when(col("d") > lit(3.0) * col("mad"), 1)).as("n_outliers"))

@@ -167,9 +167,9 @@ class PlanSpec extends SparkTestBase {
 
   test("q94 basket pairs: the (order, brand) reduction is scanned once, not per join side") {
     val p = plan(SparkEntry.queries("q94_basket_pairs")(spark, dir))
-    // lineitem + part were scanned ONCE into the localCheckpoint; the
-    // self-join's two sides and the support total all read the checkpoint,
-    // so no parquet scan survives in the pair-generation plan at all
+    // lineitem + part were scanned ONCE into the basket localCheckpoint;
+    // the in-stage pair explode and the support total both read the
+    // checkpoint, so no parquet scan survives in the pair plan at all
     "Scan parquet".r.findAllIn(p).size shouldBe 0
     p should not include "CartesianProduct"
   }
