@@ -3688,6 +3688,190 @@ object SparkEntry {
       SELECT user_id, CAST(num AS DOUBLE) / 2147483648.0 AS decay_score
       FROM s ORDER BY user_id""")),
 
+    // SQL surface: WITH RECURSIVE (Spark 4's UnionLoop) — bounded-depth BFS
+    // from nation 0 over the customer→supplier trade graph, min-distance per
+    // reached nation. The recursion is the SQL-parity twin of q102's
+    // kHopReachable: the DataFrame form (checkpointed frontier, visited-set
+    // anti-join) is the 100 TB path, because a recursive CTE re-evaluates
+    // the edge-derivation join every iteration and keeps no visited set —
+    // fine here only because depth is capped at 2 and nations number 25.
+    ("q123_recursive_bfs", (s, dir) => {
+      T(s, dir, "customer").createOrReplaceTempView("g_customer")
+      T(s, dir, "orders").createOrReplaceTempView("g_orders")
+      T(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      T(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+      s.sql("""
+        WITH RECURSIVE hop(dst, d) AS (
+          SELECT CAST(0 AS BIGINT) AS dst, 0 AS d
+          UNION ALL
+          SELECT e.dst, h.d + 1
+          FROM hop h
+          JOIN (SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+                FROM g_customer JOIN g_orders ON o_custkey = c_custkey
+                JOIN g_lineitem ON l_orderkey = o_orderkey
+                JOIN g_supplier ON s_suppkey = l_suppkey) e
+            ON e.src = h.dst
+          WHERE h.d < 2)
+        SELECT dst, min(d) AS dist FROM hop GROUP BY dst ORDER BY dst""")
+    }, Some("""
+      WITH RECURSIVE hop(dst, d) AS (
+        SELECT CAST(0 AS BIGINT) AS dst, 0 AS d
+        UNION ALL
+        SELECT e.dst, h.d + 1
+        FROM hop h
+        JOIN (SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+              FROM customer JOIN orders ON o_custkey = c_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON s_suppkey = l_suppkey) e
+          ON e.src = h.dst
+        WHERE h.d < 2)
+      SELECT dst, min(d) AS dist FROM hop GROUP BY dst ORDER BY dst""")),
+
+    // SQL surface: correlated LATERAL subquery with ORDER BY + LIMIT — the
+    // top-N-per-group shape written the way an analyst writes it. Catalyst
+    // decorrelates the LIMIT-1..N lateral into a window/join plan (no
+    // per-row re-execution); tiebreak on c_name keeps the double ordering
+    // deterministic cross-engine.
+    ("q124_lateral_topn", (s, dir) => {
+      T(s, dir, "nation").createOrReplaceTempView("g_nation")
+      T(s, dir, "customer").createOrReplaceTempView("g_customer")
+      s.sql("""
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM g_nation n
+        JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM g_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""")
+    }, Some("""
+      SELECT n.n_name, c.c_name, c.c_acctbal
+      FROM nation n
+      JOIN LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) c ON TRUE
+      ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""")),
+
+    // Higher-order-function surface (filter/exists/forall/zip_with/
+    // aggregate) over per-order line arrays: one hash agg builds the
+    // arrays, every downstream op is per-row in-stage (no further
+    // shuffle). The dot product runs in exact BIGINTs (quantity × price
+    // CENTS), so the fold is hash-exact regardless of element order.
+    ("q125_hof_surface", (s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(
+          col("l_quantity").cast("long").as("q"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))).as("xs"))
+        .select(col("l_orderkey"),
+          expr("transform(xs, x -> x.q)").as("qs"),
+          expr("transform(xs, x -> x.cents)").as("cs"))
+        .select(col("l_orderkey"),
+          expr("size(filter(qs, x -> x > 25))").cast("long").as("n_big"),
+          expr("exists(qs, x -> x > 25)").as("any_big"),
+          expr("forall(qs, x -> x > 25)").as("all_big"),
+          expr("aggregate(zip_with(qs, cs, (q, c) -> q * c), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+            .as("dot_cents"))
+        .orderBy(col("l_orderkey"))
+    }, Some("""
+      WITH a AS (
+        SELECT l_orderkey,
+          list(CAST(l_quantity AS BIGINT)) AS qs,
+          list(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cs
+        FROM lineitem GROUP BY 1)
+      SELECT l_orderkey,
+        len(list_filter(qs, x -> x > 25)) AS n_big,
+        len(list_filter(qs, x -> x > 25)) > 0 AS any_big,
+        len(list_filter(qs, x -> x > 25)) = len(qs) AS all_big,
+        CAST(list_sum(list_transform(list_zip(qs, cs), t -> t[1] * t[2])) AS BIGINT) AS dot_cents
+      FROM a ORDER BY l_orderkey""")),
+
+    // Content-addressed storage keys: md5 of the full text (the dedup /
+    // cache / blob-store key every corpus pipeline assigns) + sha256 of a
+    // prefix, with the per-key group size via one window. Pure per-row
+    // codegen'd hashing — the only shuffle is the window's hash partition
+    // on the 16-byte key, which at 100 TB is also exactly how the
+    // content-addressed blob store shards.
+    ("q126_content_hash", (s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(col("text")).as("content_key"),
+          sha2(substring(col("text"), 1, 32), 256).as("prefix_key"))
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("content_key"))))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, md5(text) AS content_key,
+        sha256(substr(text, 1, 32)) AS prefix_key,
+        count(*) OVER (PARTITION BY md5(text)) AS n_same
+      FROM documents ORDER BY doc_id""")),
+
+    // Key-space gap analysis (gaps-and-islands over a sparse key set): the
+    // urgent-order keys reduce ONCE to ~20% of |orders| distinct values,
+    // then the classic k − row_number() island label groups consecutive
+    // runs. The global window sorts only the reduced key table; for a
+    // 100 TB key audit, range-bucket the keys first and run the same
+    // window per bucket (islands can't straddle a range boundary gap).
+    ("q127_key_gaps", (s, dir) => {
+      val k = T(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k")).distinct()
+      k.withColumn("grp", col("k") - row_number().over(Window.orderBy(col("k"))))
+        .groupBy(col("grp"))
+        .agg(min(col("k")).as("island_start"), max(col("k")).as("island_end"),
+          count(lit(1)).as("island_len"))
+        .select(col("island_start"), col("island_end"), col("island_len"))
+        .orderBy(col("island_start"))
+    }, Some("""
+      WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                 WHERE o_orderpriority = '1-URGENT'),
+      r AS (SELECT k, k - row_number() OVER (ORDER BY k) AS grp FROM k)
+      SELECT min(k) AS island_start, max(k) AS island_end,
+             count(*) AS island_len
+      FROM r GROUP BY grp ORDER BY island_start""")),
+
+    // Per-label Gram matrix (XᵀX upper triangle) over int8-QUANTIZED codes:
+    // the covariance/PCA scaffold computed the way a 100 TB vector store
+    // would — 4×-smaller codes, products as exact BIGINTs (no float
+    // summation-order drift), all 2080 (i ≤ j) pairs generated per row by
+    // ONE in-stage nested transform (no self-join, no per-row shuffle),
+    // and map-side partial aggregation collapses each task's pairs to
+    // |labels|·2080 rows before the only exchange.
+    ("q128_gram_matrix", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      emb.select(col("label"),
+          ext.Quantize.int8Codes(col("embedding"),
+            ext.Quantize.int8Scale(col("embedding"))).as("codes"))
+        .select(col("label"), explode(expr("""
+          flatten(transform(codes, (ci, i) ->
+            transform(slice(codes, i + 1, size(codes) - i), (cj, k) ->
+              struct(i + 1 AS i, i + 1 + k AS j,
+                     CAST(ci AS BIGINT) * CAST(cj AS BIGINT) AS p))))""")).as("e"))
+        .groupBy(col("label").cast("long").as("label"),
+          col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"))
+        .agg(sum(col("e.p")).as("g"), count(lit(1)).as("n"))
+        .orderBy(col("label"), col("i"), col("j"))
+    }, Some("""
+      WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
+      s AS (
+        SELECT label, vec,
+          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
+        FROM v),
+      q AS (
+        SELECT label, CASE WHEN scale = 0
+          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
+        FROM s),
+      e AS (
+        SELECT label, i.i AS i, j.j AS j, codes[i.i] * codes[j.j] AS p
+        FROM q
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+        WHERE i.i <= j.j)
+      SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+        CAST(j AS BIGINT) AS j, CAST(sum(p) AS BIGINT) AS g, count(*) AS n
+      FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

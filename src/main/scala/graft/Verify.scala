@@ -5,7 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional third arg: comma-separated name prefixes — run (and list in
+    // the manifests) only the matching subset, for fast local iteration.
+    // The driver passes exactly two args, so its runs are always complete.
+    val selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      args.drop(2).headOption match {
+        case Some(prefixes) =>
+          val ps = prefixes.split(",").map(_.trim).filter(_.nonEmpty)
+          SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+        case None => SparkEntry.queries
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +28,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -32,7 +42,7 @@ object Verify {
     // MISSING (failed + poisoned) rather than only checking what exists
     Files.writeString(
       Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted
+      selected.keys.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -47,6 +57,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
