@@ -3872,6 +3872,115 @@ object SparkEntry {
         CAST(j AS BIGINT) AS j, CAST(sum(p) AS BIGINT) AS g, count(*) AS n
       FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // Volume-spike anomaly detection: per-type daily counts (the fact table
+    // reduces ONCE to |types|·|days| rows), then a RANGE-frame trailing
+    // window (7 PRECEDING..1 PRECEDING by day VALUE, so calendar gaps can't
+    // slide the baseline) and an exact cross-multiplied threshold —
+    // cnt·days > 2·sum is pure BIGINT arithmetic, no float rate to drift.
+    // The ≥3-day guard keeps series warm-up from flagging everything.
+    ("q129_spike_detect", (s, dir) => {
+      val d = T(s, dir, "events")
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rangeBetween(-7, -1)
+      d.select(col("event_type"), col("d"), col("cnt"),
+          coalesce(sum(col("cnt")).over(w), lit(0L)).as("trail_sum"),
+          count(col("cnt")).over(w).as("trail_days"))
+        .withColumn("is_spike",
+          col("trail_days") >= 3 &&
+            col("cnt") * col("trail_days") > lit(2) * col("trail_sum"))
+        .orderBy(col("event_type"), col("d"))
+    }, Some("""
+      WITH d AS (
+        SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, d, cnt,
+        CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS trail_sum,
+        count(cnt) OVER (PARTITION BY event_type ORDER BY d
+          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_days,
+        (count(cnt) OVER (PARTITION BY event_type ORDER BY d
+           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) >= 3
+         AND cnt * count(cnt) OVER (PARTITION BY event_type ORDER BY d
+           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+           > 2 * coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)) AS is_spike
+      FROM d ORDER BY event_type, d""")),
+
+    // Multi-measure pivot (q09's single-measure sibling): one hash agg
+    // produces value×measure columns in a single Expand — no per-measure
+    // scan union, no extra distinct job (pivot values are explicit).
+    // Exact DECIMAL sums; absent cells are zero-filled on both sides.
+    ("q130_pivot_multi", (s, dir) => {
+      T(s, dir, "lineitem")
+        .select(
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym"),
+          col("l_linestatus"), dec(col("l_quantity")).as("q"))
+        .groupBy(col("ym"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("q")).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+        .select(col("ym"),
+          coalesce(col("F_sum_qty"), lit(0.0)).as("f_sum_qty"),
+          coalesce(col("F_n"), lit(0L)).as("f_n"),
+          coalesce(col("O_sum_qty"), lit(0.0)).as("o_sum_qty"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"))
+        .orderBy(col("ym"))
+    }, Some("""
+      SELECT year(l_shipdate)*100 + month(l_shipdate) AS ym,
+        CAST(coalesce(sum(CASE WHEN l_linestatus='F'
+          THEN CAST(l_quantity AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS f_sum_qty,
+        count(*) FILTER (WHERE l_linestatus='F') AS f_n,
+        CAST(coalesce(sum(CASE WHEN l_linestatus='O'
+          THEN CAST(l_quantity AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS o_sum_qty,
+        count(*) FILTER (WHERE l_linestatus='O') AS o_n
+      FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // Multimodal frame sampling through the typed media pipeline: documents
+    // wrap as binary payloads (Multimodal.asMediaTable), the partition-
+    // batched 1→3 frame sampler slices each payload deterministically
+    // (stub codec — real extractor swaps in with the same signature), and
+    // the output projects only derived columns (length, head bytes) so the
+    // payload never shuffles. Oracle: the same byte-range arithmetic over
+    // the (all-ASCII) text in DuckDB.
+    ("q131_frame_sample", (s, dir) => {
+      val media = Multimodal.asMediaTable(
+        T(s, dir, "documents"), "doc_id", "text", "text/plain")
+      Multimodal.sampleFrames(media, 3)
+        .select(col("id").as("doc_id"), col("frameIndex").as("frame_index"),
+          expr("CAST(octet_length(payload) AS BIGINT)").as("frame_bytes"),
+          hex(expr("substr(payload, 1, 4)")).as("frame_head_hex"))
+        .orderBy(col("doc_id"), col("frame_index"))
+    }, Some("""
+      WITH m AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      f AS (SELECT doc_id, text, CAST(k AS INT) AS k,
+              (len*k)//3 AS s, (len*(k+1))//3 AS e
+            FROM m CROSS JOIN (SELECT unnest(range(0, 3)) AS k) r)
+      SELECT doc_id, k AS frame_index, CAST(e - s AS BIGINT) AS frame_bytes,
+        hex(encode(substring(text, CAST(s+1 AS INT),
+          CAST(least(4, e-s) AS INT)))) AS frame_head_hex
+      FROM f ORDER BY doc_id, frame_index""")),
+
+    // Heavy-key skew diagnosis — the report you run BEFORE choosing q62's
+    // salted join: per-key counts (one map-side-combining agg), global
+    // total by broadcast, top 20 via TakeOrdered (no global sort of the
+    // key table). Share = one exact division of BIGINTs.
+    ("q132_heavy_keys", (s, dir) => {
+      val c = T(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("cnt"))
+      c.crossJoin(broadcast(c.agg(sum(col("cnt")).as("tot"))))
+        .orderBy(col("cnt").desc, col("k")).limit(20)
+        .select(col("k"), col("cnt"),
+          (col("cnt").cast("double") / col("tot").cast("double")).as("share"))
+        .orderBy(col("cnt").desc, col("k"))
+    }, Some("""
+      WITH c AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+      t AS (SELECT sum(cnt) AS tot FROM c),
+      r AS (SELECT k, cnt, row_number() OVER (ORDER BY cnt DESC, k) AS rk FROM c)
+      SELECT r.k, r.cnt, CAST(r.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+      FROM r, t WHERE r.rk <= 20 ORDER BY r.cnt DESC, r.k""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
