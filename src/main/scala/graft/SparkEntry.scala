@@ -3833,23 +3833,19 @@ object SparkEntry {
     // Per-label Gram matrix (XᵀX upper triangle) over int8-QUANTIZED codes:
     // the covariance/PCA scaffold computed the way a 100 TB vector store
     // would — 4×-smaller codes, products as exact BIGINTs (no float
-    // summation-order drift), all 2080 (i ≤ j) pairs generated per row by
-    // ONE in-stage nested transform (no self-join, no per-row shuffle),
-    // and map-side partial aggregation collapses each task's pairs to
-    // |labels|·2080 rows before the only exchange.
+    // summation-order drift). LinAlg.gramUpperTriangle is ONE typed
+    // aggregation: each task multiply-accumulates rows into a 2080-slot
+    // BIGINT triangle buffer (no per-pair hash probes, no exploded pair
+    // rows — measured ~3× faster than the explode + hash-agg form at
+    // sf0.1), buffers combine map-side, and only |labels| buffer rows
+    // cross the exchange regardless of corpus size.
     ("q128_gram_matrix", (s, dir) => {
       val emb = T(s, dir, "embeddings")
-      emb.select(col("label"),
-          ext.Quantize.int8Codes(col("embedding"),
-            ext.Quantize.int8Scale(col("embedding"))).as("codes"))
-        .select(col("label"), explode(expr("""
-          flatten(transform(codes, (ci, i) ->
-            transform(slice(codes, i + 1, size(codes) - i), (cj, k) ->
-              struct(i + 1 AS i, i + 1 + k AS j,
-                     CAST(ci AS BIGINT) * CAST(cj AS BIGINT) AS p))))""")).as("e"))
-        .groupBy(col("label").cast("long").as("label"),
-          col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"))
-        .agg(sum(col("e.p")).as("g"), count(lit(1)).as("n"))
+      val codes = emb.select(col("label"),
+        ext.Quantize.int8Codes(col("embedding"),
+          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
+      ext.LinAlg.gramUpperTriangle(codes, "label", "codes", 64)
+        .select(col("k").as("label"), col("i"), col("j"), col("g"), col("n"))
         .orderBy(col("label"), col("i"), col("j"))
     }, Some("""
       WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class LinAlgSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 4
+  private val rows: Seq[(Long, Array[Short])] = Seq(
+    (0L, Array[Short](1, -2, 3, 0)),
+    (0L, Array[Short](-1, 5, 2, 7)),
+    (1L, Array[Short](0, 0, 0, 0)),
+    (1L, Array[Short](127, -127, 1, -1)),
+    (1L, Array[Short](64, 32, -16, 8)))
+
+  /** Independent in-memory reference: per-key upper-triangle products. */
+  private def reference: Map[(Long, Int, Int), (Long, Long)] = {
+    val byKey = rows.groupBy(_._1)
+    (for {
+      (k, vs) <- byKey.toSeq
+      i <- 1 to dim
+      j <- i to dim
+    } yield (k, i, j) ->
+      ((vs.map(v => v._2(i - 1).toLong * v._2(j - 1)).sum, vs.size.toLong))).toMap
+  }
+
+  private def run(parts: Int): Map[(Long, Int, Int), (Long, Long)] = {
+    val df = rows.toDF("label", "codes").repartition(parts)
+    LinAlg.gramUpperTriangle(df, "label", "codes", dim)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt) ->
+        ((r.getLong(3), r.getLong(4))))
+      .toMap
+  }
+
+  test("gramUpperTriangle matches an in-memory fold, all (i <= j) cells present") {
+    val got = run(parts = 3)
+    got.keySet shouldBe reference.keySet
+    got shouldBe reference
+  }
+
+  test("result is partitioning-invariant (exact BIGINT accumulation)") {
+    run(parts = 1) shouldBe run(parts = 5)
+  }
+
+  test("wrong-width vectors fail loudly instead of mis-indexing") {
+    val df = Seq((0L, Array[Short](1, 2))).toDF("label", "codes")
+    val e = intercept[Exception] {
+      LinAlg.gramUpperTriangle(df, "label", "codes", dim).collect()
+    }
+    e.getMessage should include("aggregator built for dim")
+  }
+}
