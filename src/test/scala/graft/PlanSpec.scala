@@ -182,6 +182,41 @@ class PlanSpec extends SparkTestBase {
     p should include("BroadcastHashJoin")
   }
 
+  test("q128 gram matrix reduces through the typed aggregator: one exchange, no pair explode before it") {
+    val p = plan(SparkEntry.queries("q128_gram_matrix")(spark, dir))
+    p should include("GramUpperTriangle")
+    // partial (map-side) typed aggregation before the single keyed exchange
+    p should include("partial_gramuppertriangle")
+    // the (i,j) unpack Generate executes AFTER the aggregation — in the
+    // top-down plan text it must sit ABOVE (before) the partial agg line,
+    // proving no pair rows are generated on the fact side of the exchange
+    p.indexOf("Generate") should be < p.indexOf("partial_gramuppertriangle")
+  }
+
+  test("q132 heavy-key report: bounded top-k via TakeOrdered, dims broadcast") {
+    val p = plan(SparkEntry.queries("q132_heavy_keys")(spark, dir))
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastNestedLoopJoin") // 1-row total: broadcast, not shuffle
+  }
+
+  test("q126 content hash: one key exchange for the window, hashes computed below it") {
+    val p = plan(SparkEntry.queries("q126_content_hash")(spark, dir))
+    p should include("Window")
+    // exactly ONE hash exchange (on the content key); the only other
+    // exchange is the final global-order range partitioning
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    // the md5 projection sits BELOW the key exchange (computed scan-side,
+    // so the blob-store sharding key never recomputes post-shuffle)
+    p.indexOf("md5") should be > p.indexOf("Exchange hashpartitioning")
+  }
+
+  test("q124 lateral top-N decorrelates: no per-row subquery re-execution") {
+    val p = plan(SparkEntry.queries("q124_lateral_topn")(spark, dir))
+    // Catalyst rewrites the LIMIT-2 lateral into a windowed join plan
+    (p should not).include("LateralJoin")
+    p should include("Window")
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
