@@ -3868,6 +3868,55 @@ object SparkEntry {
         CAST(j AS BIGINT) AS j, CAST(sum(p) AS BIGINT) AS g, count(*) AS n
       FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // Per-label EXACT covariance matrix — the PCA/whitening input, from
+    // the SAME one-pass typed aggregation as q128 (the triangle buffer
+    // also carries Σxᵢ): cov·n² = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ stays in BIGINTs, so
+    // the matrix is bit-exact in any partitioning; the single final
+    // division is the only float op. The float-moments alternative
+    // (built-in covar_pop) is summation-order-dependent and could never
+    // hash-match.
+    ("q133_covariance", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val codes = emb.select(col("label"),
+        ext.Quantize.int8Codes(col("embedding"),
+          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
+      ext.LinAlg.covarianceUpperTriangle(codes, "label", "codes", 64)
+        .select(col("k").as("label"), col("i"), col("j"), col("g"),
+          col("si"), col("sj"), col("n"), col("cov_num"), col("cov"))
+        .orderBy(col("label"), col("i"), col("j"))
+    }, Some("""
+      WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
+      s AS (
+        SELECT label, vec,
+          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
+        FROM v),
+      q AS (
+        SELECT label, CASE WHEN scale = 0
+          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
+        FROM s),
+      e AS (
+        SELECT label, i.i AS i, j.j AS j, codes[i.i] * codes[j.j] AS p
+        FROM q
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+        WHERE i.i <= j.j),
+      g AS (
+        SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+          CAST(j AS BIGINT) AS j, CAST(sum(p) AS BIGINT) AS g, count(*) AS n
+        FROM e GROUP BY 1, 2, 3),
+      su AS (
+        SELECT CAST(label AS BIGINT) AS label, CAST(d.d AS BIGINT) AS d,
+          CAST(sum(codes[d.d]) AS BIGINT) AS s
+        FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
+        GROUP BY 1, 2)
+      SELECT g.label, g.i, g.j, g.g, si.s AS si, sj.s AS sj, g.n,
+        g.n*g.g - si.s*sj.s AS cov_num,
+        CAST(g.n*g.g - si.s*sj.s AS DOUBLE)/CAST(g.n*g.n AS DOUBLE) AS cov
+      FROM g JOIN su si ON si.label = g.label AND si.d = g.i
+             JOIN su sj ON sj.label = g.label AND sj.d = g.j
+      ORDER BY g.label, g.i, g.j""")),
+
     // Volume-spike anomaly detection: per-type daily counts (the fact table
     // reduces ONCE to |types|·|days| rows), then a RANGE-frame trailing
     // window (7 PRECEDING..1 PRECEDING by day VALUE, so calendar gaps can't

@@ -5,8 +5,10 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Gram-matrix buffer: the upper triangle of XᵀX as a flat row-major
-  * BIGINT array (dim·(dim+1)/2 slots) plus the row count. */
-final case class GramBuf(g: Array[Long], n: Long)
+  * BIGINT array (dim·(dim+1)/2 slots), the per-dimension sums Σxᵢ (dim
+  * slots — the extra vector that turns the Gram matrix into an exact
+  * covariance matrix), and the row count. */
+final case class GramBuf(g: Array[Long], s: Array[Long], n: Long)
 
 /** Exact per-group Gram matrix (XᵀX upper triangle) over int8 code vectors
   * as a typed `Aggregator`.
@@ -27,21 +29,23 @@ final class GramUpperTriangle(dim: Int) extends Aggregator[Array[Short], GramBuf
   require(dim > 0, s"dim must be positive, got $dim")
   private val tri = dim * (dim + 1) / 2
 
-  override def zero: GramBuf = GramBuf(new Array[Long](tri), 0L)
+  override def zero: GramBuf = GramBuf(new Array[Long](tri), new Array[Long](dim), 0L)
 
   override def reduce(b: GramBuf, v: Array[Short]): GramBuf = {
     require(v.length == dim,
       s"code vector has ${v.length} elements, aggregator built for dim $dim")
     val arr = b.g
+    val sums = b.s
     var idx = 0
     var i = 0
     while (i < dim) {
       val ci = v(i).toLong
+      sums(i) += ci
       var j = i
       while (j < dim) { arr(idx) += ci * v(j); idx += 1; j += 1 }
       i += 1
     }
-    GramBuf(arr, b.n + 1)
+    GramBuf(arr, sums, b.n + 1)
   }
 
   override def merge(a: GramBuf, b: GramBuf): GramBuf = {
@@ -49,7 +53,11 @@ final class GramUpperTriangle(dim: Int) extends Aggregator[Array[Short], GramBuf
     val y = b.g
     var i = 0
     while (i < tri) { x(i) += y(i); i += 1 }
-    GramBuf(x, a.n + b.n)
+    val xs = a.s
+    val ys = b.s
+    var k = 0
+    while (k < dim) { xs(k) += ys(k); k += 1 }
+    GramBuf(x, xs, a.n + b.n)
   }
 
   override def finish(r: GramBuf): GramBuf = r

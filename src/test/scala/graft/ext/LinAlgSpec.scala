@@ -45,6 +45,29 @@ class LinAlgSpec extends SparkTestBase {
     run(parts = 1) shouldBe run(parts = 5)
   }
 
+  test("covarianceUpperTriangle matches the exact-moment identity cov·n² = n·g − si·sj") {
+    val df = rows.toDF("label", "codes").repartition(3)
+    val got = LinAlg.covarianceUpperTriangle(df, "label", "codes", dim)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt) ->
+        ((r.getAs[Long]("g"), r.getAs[Long]("si"), r.getAs[Long]("sj"),
+          r.getAs[Long]("n"), r.getAs[Long]("cov_num"), r.getAs[Double]("cov"))))
+      .toMap
+    val byKey = rows.groupBy(_._1)
+    for {
+      (k, vs) <- byKey
+      i <- 1 to dim
+      j <- i to dim
+    } {
+      val g = vs.map(v => v._2(i - 1).toLong * v._2(j - 1)).sum
+      val si = vs.map(_._2(i - 1).toLong).sum
+      val sj = vs.map(_._2(j - 1).toLong).sum
+      val n = vs.size.toLong
+      val num = n * g - si * sj
+      got((k, i, j)) shouldBe ((g, si, sj, n, num, num.toDouble / (n * n).toDouble))
+    }
+  }
+
   test("wrong-width vectors fail loudly instead of mis-indexing") {
     val df = Seq((0L, Array[Short](1, 2))).toDF("label", "codes")
     val e = intercept[Exception] {
