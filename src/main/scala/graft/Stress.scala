@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
 object Stress {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(20)
+    // optional second arg: comma-separated section names (dedup, temporal,
+    // relational, graph, linalg) — run only those probes
+    val sections = args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
+    def want(s: String): Boolean = sections.forall(_.contains(s))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -42,6 +46,7 @@ object Stress {
       r
     }
 
+    if (want("dedup")) {
     val pairs = timed("minhash pairs") {
       val p = graft.ext.Dedup.minhashCandidatePairs(big, "doc_id", "text")
         .localCheckpoint()
@@ -68,13 +73,14 @@ object Stress {
       graft.ext.Profiling.profile(big, Seq("doc_id", "text", "n_chars"))
         .write.format("noop").mode("overwrite").save()
     }
+    }
 
     // Temporal-join scale probe: 20M points as-of/range-joined against 2M
     // intervals over 100k keys — synthetic (spark.range, fully codegen'd
     // generation) so the probe sizes independently of the doc corpus. Both
     // operators must scale with Σ per-bucket work, NOT |points|·|intervals|;
     // a nested-loop regression here would run for hours, not seconds.
-    locally {
+    if (want("temporal")) locally {
       import graft.analytics.{AsofJoin, RangeJoin}
       val nPts = 20_000_000L
       val nIv = 2_000_000L
@@ -108,7 +114,7 @@ object Stress {
 
     // Round-3 operator probes, sized like the temporal probe (synthetic,
     // codegen'd generation, localCheckpointed out of the timings).
-    locally {
+    if (want("relational")) locally {
       import graft.analytics.Intervals
       import graft.ext.{Diff, Prefilter}
       val nIv = 20_000_000L
@@ -147,7 +153,7 @@ object Stress {
     // Round-4 probes: funnel / bigram transitions (one keyed window exchange
     // over the fact table each) and fixed-point PageRank (checkpointed edge
     // table + 8 bounded-lineage join/agg rounds).
-    locally {
+    if (want("graph")) locally {
       import graft.analytics.{Funnel, Graph}
       import org.apache.spark.sql.expressions.Window
       val nEv = 20_000_000L
@@ -183,6 +189,28 @@ object Stress {
         val pr = Graph.pageRankFixedPoint(nodes, "v", edges, "s", "d", "w",
           scale = 1_000_000_000_000L)
         println(s"[stress]   nodes ranked = ${pr.count()}")
+      }
+    }
+    // Round-5 probe: exact Gram/covariance matrices over 1M int8 code
+    // vectors (64-dim, 100 labels) — 2.08G multiply-accumulates through the
+    // typed aggregator; shuffle is 100 buffer rows no matter the corpus.
+    if (want("linalg")) locally {
+      import graft.ext.LinAlg
+      val nVec = 1_000_000L
+      val vecs = spark.range(nVec).select(
+        (col("id") % 100).as("label"),
+        expr("""transform(sequence(1, 64),
+                 i -> CAST(pmod(hash(id * 64 + i), 255) - 127 AS SMALLINT))""")
+          .as("codes"))
+        .localCheckpoint()
+      println(s"[stress] vectors: $nVec x 64-dim int8, 100 labels")
+      timed("gram matrix 1M x 64") {
+        val g = LinAlg.gramUpperTriangle(vecs, "label", "codes", 64)
+        println(s"[stress]   cells = ${g.count()}")
+      }
+      timed("covariance matrix 1M x 64") {
+        val c = LinAlg.covarianceUpperTriangle(vecs, "label", "codes", 64)
+        println(s"[stress]   cells = ${c.count()}")
       }
     }
     spark.stop()
