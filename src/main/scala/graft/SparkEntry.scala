@@ -4026,6 +4026,163 @@ object SparkEntry {
       SELECT r.k, r.cnt, CAST(r.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
       FROM r, t WHERE r.rk <= 20 ORDER BY r.cnt DESC, r.k""")),
 
+    // Array set-algebra surface (array_intersect / array_except over
+    // per-key sets): engagement-day vs transaction-day overlap per user.
+    // The fact table reduces ONCE per user into two sorted distinct day
+    // arrays (conditional collect in one hash agg), then every set op is
+    // per-row in-stage. Counts (not arrays) are the output, so the hash
+    // compare stays scalar.
+    ("q134_array_setops", (s, dir) => {
+      val au = T(s, dir, "events").select(col("user_id"),
+        expr("ts div 86400000000000").as("d"),
+        col("event_type").isin("click", "view").as("eng"))
+      au.groupBy(col("user_id"))
+        .agg(
+          sort_array(array_distinct(collect_list(when(col("eng"), col("d")))))
+            .as("a"),
+          sort_array(array_distinct(collect_list(when(!col("eng"), col("d")))))
+            .as("b"))
+        .select(col("user_id"),
+          size(col("a")).cast("long").as("n_a"),
+          size(col("b")).cast("long").as("n_b"),
+          size(array_intersect(col("a"), col("b"))).cast("long").as("n_common"),
+          size(array_except(col("a"), col("b"))).cast("long").as("n_only_a"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH au AS (
+        SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               event_type IN ('click','view') AS eng
+        FROM events),
+      s AS (
+        SELECT user_id,
+          coalesce(list_sort(list_distinct(list(d) FILTER (WHERE eng))),
+                   CAST([] AS BIGINT[])) AS a,
+          coalesce(list_sort(list_distinct(list(d) FILTER (WHERE NOT eng))),
+                   CAST([] AS BIGINT[])) AS b
+        FROM au GROUP BY 1)
+      SELECT user_id, len(a) AS n_a, len(b) AS n_b,
+        len(list_filter(a, x -> list_contains(b, x))) AS n_common,
+        len(list_filter(a, x -> NOT list_contains(b, x))) AS n_only_a
+      FROM s ORDER BY user_id""")),
+
+    // Discrete (nearest-rank) percentiles — q61's interpolation-free
+    // sibling: the value AT rank ceil(p·n), always a real data point (what
+    // a latency SLO reports). One keyed window pass assigns deterministic
+    // ranks; the picks are conditional mins. Both engines compute ceil on
+    // the identical IEEE product, so even p=0.99's non-dyadic multiply
+    // agrees bit-for-bit.
+    ("q135_pctl_disc", (s, dir) => {
+      val w = Window.partitionBy(col("g"))
+        .orderBy(col("x"), col("ok"), col("ln"))
+      val cw = Window.partitionBy(col("g"))
+      T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .select(col("g"), col("x"),
+          row_number().over(w).cast("long").as("rn"),
+          count(lit(1)).over(cw).as("n"))
+        .groupBy(col("g"))
+        .agg(
+          min(when(col("rn") === ceil(lit(0.25) * col("n")), col("x"))).as("p25_disc"),
+          min(when(col("rn") === ceil(lit(0.50) * col("n")), col("x"))).as("p50_disc"),
+          min(when(col("rn") === ceil(lit(0.99) * col("n")), col("x"))).as("p99_disc"))
+        .orderBy(col("g"))
+    }, Some("""
+      WITH r AS (
+        SELECT l_returnflag AS g, l_extendedprice AS x,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+          count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+      SELECT g,
+        min(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN x END) AS p25_disc,
+        min(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN x END) AS p50_disc,
+        min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN x END) AS p99_disc
+      FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // TPC-H Q5-shaped 6-table star join (region→nation→customer→orders→
+    // lineitem→supplier, local-supplier correlation s_nationkey =
+    // c_nationkey): the canonical join-order workout. The dimension chain
+    // (region filter → nation → customer) broadcasts — the fact tables
+    // never shuffle for it; supplier broadcasts into the lineitem scan;
+    // the only big exchange is lineitem ⋈ orders. Exact DECIMAL revenue.
+    ("q136_star_join", (s, dir) => {
+      val r = T(s, dir, "region").where(col("r_name") === "EUROPE")
+      val nat = T(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val cust = T(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = T(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(T(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey")
+          && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice"))
+            * (lit(1) - dec(col("l_discount")))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }, Some("""
+      SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1 ORDER BY revenue DESC, n_name""")),
+
+    // TPC-H Q22-shaped lapsed-customer report: positive-balance customers
+    // ABOVE the global average balance (exact cross-multiplied bal·n > Σ —
+    // the float-avg comparison would be summation-order-dependent) with NO
+    // order since 2000 (anti join), grouped by the 2-digit name tail. The
+    // one-row global aggregate broadcasts; the anti join is the only
+    // fact-side exchange.
+    ("q137_lapsed_cust", (s, dir) => {
+      val pos = T(s, dir, "customer").where(col("c_acctbal") > 0)
+        .select(col("c_custkey"), dec(col("c_acctbal")).as("bal"),
+          expr("substr(c_name, -2)").as("cc"))
+      val t = pos.agg(sum(col("bal")).cast(DecimalType(18, 2)).as("s"),
+        count(lit(1)).as("n"))
+      pos
+        .join(T(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(t))
+        .where(col("bal") * col("n") > col("s"))
+        .groupBy(col("cc"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("bal")).cast("double").as("total_bal"))
+        .orderBy(col("cc"))
+    }, Some("""
+      WITH pos AS (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+                          substr(c_name, -2) AS cc
+                   FROM customer WHERE c_acctbal > 0),
+      t AS (SELECT CAST(sum(bal) AS DECIMAL(18,2)) AS s, count(*) AS n FROM pos)
+      SELECT cc, count(*) AS n_cust, CAST(sum(bal) AS DOUBLE) AS total_bal
+      FROM pos, t
+      WHERE bal * n > s
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY cc ORDER BY cc""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
