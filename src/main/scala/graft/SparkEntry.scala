@@ -4183,6 +4183,84 @@ object SparkEntry {
                           AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       GROUP BY cc ORDER BY cc""")),
 
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM) on a genuinely
+    // NULLABLE derived key: NULL matches NULL exactly once — the semantics
+    // a plain `=` join silently drops. Spark plans <=> as a real hash join
+    // (null-safe keys hash like values), so the scale story is unchanged.
+    ("q138_nullsafe_join", (s, dir) => {
+      val a = T(s, dir, "orders").where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("k"))
+      val b = T(s, dir, "orders").where(col("o_orderkey") % 100 === 50)
+        .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("bk"))
+        .groupBy(col("bk")).agg(count(lit(1)).as("n"))
+      a.join(b, col("k") <=> col("bk")).select(col("o_orderkey"), col("k"), col("n"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      WITH a AS (
+        SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS k
+        FROM orders WHERE o_orderkey % 100 = 0),
+      b AS (
+        SELECT nullif(o_orderpriority, '3-MEDIUM') AS k, count(*) AS n
+        FROM orders WHERE o_orderkey % 100 = 50 GROUP BY 1)
+      SELECT a.o_orderkey, a.k, b.n
+      FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      ORDER BY a.o_orderkey""")),
+
+    // The NOT IN null trap, side by side with the NOT EXISTS fix: one NULL
+    // in the subquery's value list makes `x NOT IN (...)` UNKNOWN for every
+    // row (0 rows), while NOT EXISTS counts the truly-absent keys. Spark
+    // plans the former as a null-aware anti join, the latter as a plain
+    // anti join — both reported from the SAME derived subset so the
+    // contrast is the only variable.
+    ("q139_not_in_trap", (s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("g_orders")
+      T(s, dir, "customer").createOrReplaceTempView("g_customer")
+      s.sql("""
+        SELECT
+          (SELECT count(*) FROM g_customer
+           WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                                          ELSE o_custkey END FROM g_orders
+                                   WHERE o_orderkey % 50 = 0)) AS n_not_in,
+          (SELECT count(*) FROM g_customer c
+           WHERE NOT EXISTS (SELECT 1 FROM g_orders o
+                             WHERE o_orderkey % 50 = 0
+                               AND (CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                                    ELSE o_custkey END) = c.c_custkey)) AS n_not_exists""")
+    }, Some("""
+      SELECT
+        (SELECT count(*) FROM customer
+         WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                                        ELSE o_custkey END FROM orders
+                                 WHERE o_orderkey % 50 = 0)) AS n_not_in,
+        (SELECT count(*) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o_orderkey % 50 = 0
+                             AND (CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                                  ELSE o_custkey END) = c.c_custkey)) AS n_not_exists""")),
+
+    // Error-tolerant scalar surface (try_cast + guarded division): junk
+    // input degrades to NULL instead of failing the task — the lenient
+    // twin of the reference's crash-on-junk parse (§7.4.5). count() over
+    // the try-results measures parse yield per segment in one scan.
+    ("q140_try_funcs", (s, dir) => {
+      T(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(
+          count(expr("try_cast(replace(c_name, 'Customer#', '') AS BIGINT)"))
+            .as("n_numeric"),
+          count(expr("try_cast(c_name AS BIGINT)")).as("n_junk_numeric"),
+          count(when(col("c_custkey") % 10 =!= 0,
+            col("c_acctbal") / (col("c_custkey") % 10))).as("n_divisible"))
+        .orderBy(col("seg"))
+    }, Some("""
+      SELECT c_mktsegment AS seg,
+        count(try_cast(replace(c_name, 'Customer#', '') AS BIGINT)) AS n_numeric,
+        count(try_cast(c_name AS BIGINT)) AS n_junk_numeric,
+        count(CASE WHEN (c_custkey % 10) <> 0
+                   THEN c_acctbal / (c_custkey % 10) END) AS n_divisible
+      FROM customer GROUP BY 1 ORDER BY 1""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

@@ -217,6 +217,15 @@ class PlanSpec extends SparkTestBase {
     p should include("Window")
   }
 
+  test("q136 star join: the dimension chain broadcasts, at most one shuffle join") {
+    val p = plan(SparkEntry.queries("q136_star_join")(spark, dir))
+    // region→nation→customer chain + supplier all reach the fact scans as
+    // broadcasts; the only shuffle-worthy join is lineitem ⋈ orders
+    "BroadcastHashJoin".r.findAllIn(p).size should be >= 4
+    "SortMergeJoin".r.findAllIn(p).size should be <= 1
+    (p should not).include("CartesianProduct")
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
