@@ -4261,6 +4261,42 @@ object SparkEntry {
                    THEN c_acctbal / (c_custkey % 10) END) AS n_divisible
       FROM customer GROUP BY 1 ORDER BY 1""")),
 
+    // Interval-OVERLAP join (two interval sets, not point-in-interval):
+    // per-user purchase windows × error windows that overlap in time, with
+    // exact overlap length. RangeJoin.intervalOverlapJoin buckets BOTH
+    // sides and emits each pair in its first shared bucket — exactly once,
+    // no dedup — so a bare non-equi join's O(|A|·|B|) nested loop never
+    // appears; cost is Σ per-bucket products. Integral µs arithmetic ⇒
+    // bit-exact oracle.
+    ("q141_interval_overlap", (s, dir) => {
+      val ev = T(s, dir, "events")
+      val a = ev.where(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("a_id"),
+        expr("ts div 1000").as("a_s"),
+        (expr("ts div 1000") + lit(900000000L)).as("a_e"))
+      val b = ev.where(col("event_type") === "error").select(
+        col("user_id"), col("event_id").as("b_id"),
+        expr("ts div 1000").as("b_s"),
+        (expr("ts div 1000") + lit(1800000000L)).as("b_e"))
+      RangeJoin.intervalOverlapJoin(
+          a, col("a_s"), col("a_e"), b, col("b_s"), col("b_e"),
+          bucketWidth = 900000000L, keys = Seq("user_id"))
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          (least(col("a_e"), col("b_e"))
+            - greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+        .orderBy(col("user_id"), col("a_id"), col("b_id"))
+    }, Some("""
+      WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_s,
+                        epoch_us(ts) + 900000000 AS a_e
+                 FROM events WHERE event_type = 'purchase'),
+      b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_s,
+                   epoch_us(ts) + 1800000000 AS b_e
+            FROM events WHERE event_type = 'error')
+      SELECT a.user_id, a_id, b_id,
+        least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+      FROM a JOIN b ON a.user_id = b.user_id AND a_s < b_e AND b_s < a_e
+      ORDER BY 1, 2, 3""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

@@ -63,4 +63,34 @@ object RangeJoin {
       .where(ts >= start && ts < end)
       .drop("__bucket")
   }
+
+  /** Interval-overlap join: every `left` interval `[ls, le)` paired with
+    * every `right` interval `[rs, re)` it overlaps (`ls < re && rs < le` —
+    * strictly-touching spans do NOT match), optionally equi-matched on
+    * shared `keys`. The same bucket-quantization trick as
+    * [[bucketedIntervalJoin]], with BOTH sides exploded; a pair co-occupies
+    * every bucket their overlap covers, so to emit it exactly once the join
+    * keeps only the FIRST shared bucket — the one containing the overlap's
+    * start `max(ls, rs)` (both sides are proven to cover that tick, so the
+    * pair is never lost). No dedup pass, no distinct.
+    *
+    * Same unit/width guidance as [[bucketedIntervalJoin]]; cost is
+    * Σ_bucket |left_b|·|right_b|, never |left|·|right|. */
+  def intervalOverlapJoin(
+      left: DataFrame, ls: Column, le: Column,
+      right: DataFrame, rs: Column, re: Column,
+      bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
+      "__bucket column name is reserved by intervalOverlapJoin")
+    def bucketOf(c: Column): Column = call_function("div", c, lit(bucketWidth))
+    val lb = left.withColumn("__bucket",
+      explode(sequence(bucketOf(ls), bucketOf(greatest(le - 1, ls)))))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(bucketOf(rs), bucketOf(greatest(re - 1, rs)))))
+    lb.join(rb, keys :+ "__bucket")
+      .where(ls < re && rs < le)
+      .where(col("__bucket") === bucketOf(greatest(ls, rs)))
+      .drop("__bucket")
+  }
 }

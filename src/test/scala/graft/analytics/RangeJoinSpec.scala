@@ -84,4 +84,51 @@ class RangeJoinSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       RangeJoin.bucketedIntervalJoin(p, col("ts"), p, col("ts"), col("ts"), 0L)
   }
+
+  // ---------------------------------------------------- intervalOverlapJoin
+
+  private def overlapPairs(
+      left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)],
+      width: Long): Array[(Long, Long, Long, Long)] = {
+    val l = left.toDF("lid", "ls", "le")
+    val r = right.toDF("rid", "rs", "re")
+    RangeJoin.intervalOverlapJoin(
+      l, col("ls"), col("le"), r, col("rs"), col("re"), bucketWidth = width)
+      .select("lid", "rid", "ls", "rs").as[(Long, Long, Long, Long)]
+      .collect().sorted
+  }
+
+  /** Brute-force reference: strict-inequality overlap on all pairs. */
+  private def bruteOverlap(
+      left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)]): Array[(Long, Long, Long, Long)] =
+    (for {
+      (lid, ls, le) <- left
+      (rid, rs, re) <- right
+      if ls < re && rs < le
+    } yield (lid, rid, ls, rs)).toArray.sorted
+
+  test("overlap join matches brute force, each pair exactly once across many shared buckets") {
+    // long intervals spanning many buckets (width 4) force multi-bucket
+    // co-occupancy — the exactly-once first-bucket rule is what's on trial
+    val left = Seq((1L, 0L, 40L), (2L, 10L, 14L), (3L, 35L, 36L))
+    val right = Seq((10L, 5L, 50L), (11L, 13L, 20L), (12L, 40L, 44L))
+    overlapPairs(left, right, width = 4L) shouldBe bruteOverlap(left, right)
+  }
+
+  test("touching intervals ([0,10) and [10,20)) do not overlap") {
+    overlapPairs(Seq((1L, 0L, 10L)), Seq((2L, 10L, 20L)), width = 4L) shouldBe Array.empty
+  }
+
+  test("overlap join respects keys and plans as an equi-join") {
+    val l = Seq((1L, 1L, 0L, 10L), (2L, 2L, 0L, 10L)).toDF("k", "lid", "ls", "le")
+    val r = Seq((1L, 9L, 5L, 6L), (2L, 8L, 50L, 60L)).toDF("k", "rid", "rs", "re")
+    val out = RangeJoin.intervalOverlapJoin(
+      l, col("ls"), col("le"), r, col("rs"), col("re"),
+      bucketWidth = 4L, keys = Seq("k"))
+    out.select("k", "lid", "rid").as[(Long, Long, Long)].collect() shouldBe
+      Array((1L, 1L, 9L)) // key 2's spans don't overlap
+    val plan = out.queryExecution.executedPlan.toString
+    (plan should not).include("NestedLoop")
+    (plan should not).include("Cartesian")
+  }
 }
