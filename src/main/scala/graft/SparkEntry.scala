@@ -3927,14 +3927,8 @@ object SparkEntry {
       val d = T(s, dir, "events")
         .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
-        .rangeBetween(-7, -1)
-      d.select(col("event_type"), col("d"), col("cnt"),
-          coalesce(sum(col("cnt")).over(w), lit(0L)).as("trail_sum"),
-          count(col("cnt")).over(w).as("trail_days"))
-        .withColumn("is_spike",
-          col("trail_days") >= 3 &&
-            col("cnt") * col("trail_days") > lit(2) * col("trail_sum"))
+      graft.analytics.TimeSeries
+        .spikeDetect(d, Seq("event_type"), "d", "cnt")
         .orderBy(col("event_type"), col("d"))
     }, Some("""
       WITH d AS (

@@ -83,4 +83,70 @@ object TimeSeries {
           folded
       }(Encoders.product[EwmaState], Encoders.product[EwmaState])
   }
+
+  // ------------------------------------------------------- spike detection
+
+  /** Batch volume-spike detection per key: each `(key, day)` count compared
+    * to its trailing `[day − window, day − 1]` baseline — a RANGE frame by
+    * day VALUE, so calendar gaps can't slide the window. The threshold is
+    * the exact cross-multiplied `cnt·trailDays > factor·trailSum` (no float
+    * rate), gated on ≥ `minDays` of history so series warm-up doesn't flag.
+    * Appends `trail_sum`, `trail_days`, `is_spike`. One keyed exchange. */
+  def spikeDetect(
+      df: DataFrame, keys: Seq[String], dayCol: String, cntCol: String,
+      window: Int = 7, factor: Long = 2, minDays: Long = 3): DataFrame = {
+    require(keys.nonEmpty, "spikeDetect needs at least one key column")
+    require(window > 0, s"window must be positive, got $window")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+      .rangeBetween(-window.toLong, -1L)
+    df.select(col("*"),
+        coalesce(sum(col(cntCol)).over(w), lit(0L)).as("trail_sum"),
+        count(col(cntCol)).over(w).as("trail_days"))
+      .withColumn("is_spike",
+        col("trail_days") >= minDays &&
+          col(cntCol) * col("trail_days") > lit(factor) * col("trail_sum"))
+  }
+
+  /** One per-day count arriving on the stream (days must be nondecreasing
+    * per key ACROSS batches, each (key, day) exactly once — the same
+    * source-ordering contract as [[ewmaStream]]). */
+  final case class DayPoint(key: String, day: Long, cnt: Long)
+  /** Streaming verdict row — field-for-field the batch form's output. */
+  final case class SpikeRow(
+      key: String, day: Long, cnt: Long,
+      trailSum: Long, trailDays: Long, isSpike: Boolean)
+
+  /** Streaming twin of [[spikeDetect]]: `flatMapGroupsWithState` carrying at
+    * most `window` (day → count) entries per key — state is O(keys·window)
+    * no matter how long the stream runs (days older than the trailing
+    * baseline are evicted as each new day arrives). The 100 TB form: each
+    * micro-batch touches only its own keys' bounded maps. */
+  def spikeStream(
+      points: Dataset[DayPoint],
+      window: Int = 7, factor: Long = 2, minDays: Long = 3): Dataset[SpikeRow] = {
+    require(window > 0, s"window must be positive, got $window")
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    points
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[Map[Long, Long], SpikeRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[DayPoint], state: GroupState[Map[Long, Long]]) =>
+          var days = state.getOption.getOrElse(Map.empty[Long, Long])
+          val out = batch.toSeq.sortBy(_.day).map { p =>
+            val trail = days.filter { case (d, _) =>
+              d >= p.day - window && d <= p.day - 1 }
+            val ts = trail.values.sum
+            val td = trail.size.toLong
+            // evict everything no future day's baseline can reach
+            days = (days + (p.day -> p.cnt))
+              .filter { case (d, _) => d >= p.day - window + 1 }
+            SpikeRow(key, p.day, p.cnt, ts, td,
+              td >= minDays && p.cnt * td > factor * ts)
+          }
+          state.update(days)
+          out.iterator
+      }(ExpressionEncoder[Map[Long, Long]](), Encoders.product[SpikeRow])
+  }
 }

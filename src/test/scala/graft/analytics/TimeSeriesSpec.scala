@@ -60,4 +60,51 @@ class TimeSeriesSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       TimeSeries.ewma(df, Seq("k"), Seq.empty, "v", 0.5)
   }
+
+  // --------------------------------------------------------- spike twins
+
+  private val spikeDays: Seq[(String, Long, Long)] = Seq(
+    // key a: quiet baseline then a 10× day 13 (with a day-gap before it),
+    // then quiet again — the gap must not slide the RANGE baseline
+    ("a", 1L, 10L), ("a", 2L, 12L), ("a", 3L, 9L), ("a", 4L, 11L),
+    ("a", 5L, 10L), ("a", 6L, 10L), ("a", 7L, 11L), ("a", 8L, 10L),
+    ("a", 9L, 9L), ("a", 10L, 10L), ("a", 11L, 11L), ("a", 13L, 100L),
+    ("a", 14L, 10L),
+    // key b: too little history — warm-up guard keeps everything quiet
+    ("b", 1L, 5L), ("b", 2L, 500L))
+
+  test("batch spikeDetect flags the 10x day and respects warm-up + gaps") {
+    val out = TimeSeries.spikeDetect(
+        spikeDays.toDF("key", "day", "cnt"), Seq("key"), "day", "cnt")
+      .where(col("is_spike"))
+      .select("key", "day").as[(String, Long)].collect().toSeq
+    out shouldBe Seq(("a", 13L))
+  }
+
+  test("streaming spikeStream across micro-batches equals batch spikeDetect (twin law)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.analytics.TimeSeries.DayPoint
+    val mem = MemoryStream[DayPoint]
+    val q = TimeSeries.spikeStream(mem.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("spike_stream_spec").start()
+    try {
+      val (first, second) = spikeDays.partition(_._2 <= 7)
+      mem.addData(first.map(p => DayPoint(p._1, p._2, p._3)): _*)
+      q.processAllAvailable()
+      mem.addData(second.map(p => DayPoint(p._1, p._2, p._3)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("spike_stream_spec")
+        .select("key", "day", "cnt", "trailSum", "trailDays", "isSpike")
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq.sorted
+      val batch = TimeSeries.spikeDetect(
+          spikeDays.toDF("key", "day", "cnt"), Seq("key"), "day", "cnt")
+        .select("key", "day", "cnt", "trail_sum", "trail_days", "is_spike")
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq.sorted
+      streamed shouldBe batch
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("spike_stream_spec")
+    }
+  }
 }
