@@ -4291,6 +4291,117 @@ object SparkEntry {
       FROM a JOIN b ON a.user_id = b.user_id AND a_s < b_e AND b_s < a_e
       ORDER BY 1, 2, 3""")),
 
+    // Per-label feature CORRELATION matrix (feature-selection input),
+    // derived from q133's exact covariance cells: corr = cov_num /
+    // √(varᵢ·varⱼ). The BIGINT numerators are bit-exact; the variance
+    // product is formed in doubles (the BIGINT product could overflow) and
+    // the single sqrt+division tree is identical in both engines. The
+    // covariance aggregation runs ONCE (checkpointed) for the cells and
+    // both diagonal probes; diagonals broadcast.
+    ("q142_correlation", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val codes = emb.select(col("label"),
+        ext.Quantize.int8Codes(col("embedding"),
+          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
+      val cells = ext.LinAlg.covarianceUpperTriangle(codes, "label", "codes", 64)
+        .select(col("k"), col("i"), col("j"), col("cov_num"))
+        .localCheckpoint() // one agg pass for cells + two diagonal probes
+      val diag = cells.where(col("i") === col("j"))
+        .select(col("k").as("dk"), col("i").as("d"), col("cov_num").as("var_num"))
+      cells
+        .join(broadcast(diag.select(col("dk"), col("d"),
+          col("var_num").as("vi"))),
+          col("k") === col("dk") && col("i") === col("d"))
+        .drop("dk", "d")
+        .join(broadcast(diag.select(col("dk"), col("d"),
+          col("var_num").as("vj"))),
+          col("k") === col("dk") && col("j") === col("d"))
+        .drop("dk", "d")
+        .select(col("k").as("label"), col("i"), col("j"), col("cov_num"),
+          when(col("vi") === 0 || col("vj") === 0, lit(null).cast("double"))
+            .otherwise(col("cov_num").cast("double") /
+              sqrt(col("vi").cast("double") * col("vj").cast("double")))
+            .as("corr"))
+        .orderBy(col("label"), col("i"), col("j"))
+    }, Some("""
+      WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
+      s AS (SELECT label, vec,
+              coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale FROM v),
+      q AS (SELECT label, CASE WHEN scale = 0
+              THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes FROM s),
+      e AS (SELECT label, i.i AS i, j.j AS j, codes[i.i] * codes[j.j] AS p
+            FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j WHERE i.i <= j.j),
+      g AS (SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+              CAST(j AS BIGINT) AS j, CAST(sum(p) AS BIGINT) AS g, count(*) AS n
+            FROM e GROUP BY 1, 2, 3),
+      su AS (SELECT CAST(label AS BIGINT) AS label, CAST(d.d AS BIGINT) AS d,
+              CAST(sum(codes[d.d]) AS BIGINT) AS s
+             FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d GROUP BY 1, 2),
+      cells AS (
+        SELECT g.label, g.i, g.j, g.n*g.g - si.s*sj.s AS cov_num
+        FROM g JOIN su si ON si.label = g.label AND si.d = g.i
+               JOIN su sj ON sj.label = g.label AND sj.d = g.j),
+      diag AS (SELECT label, i AS d, cov_num AS var_num FROM cells WHERE i = j)
+      SELECT c.label, c.i, c.j, c.cov_num,
+        CASE WHEN di.var_num = 0 OR dj.var_num = 0 THEN NULL
+             ELSE CAST(c.cov_num AS DOUBLE)
+                  / sqrt(CAST(di.var_num AS DOUBLE) * CAST(dj.var_num AS DOUBLE)) END AS corr
+      FROM cells c JOIN diag di ON di.label = c.label AND di.d = c.i
+                   JOIN diag dj ON dj.label = c.label AND dj.d = c.j
+      ORDER BY c.label, c.i, c.j""")),
+
+    // Language-ID confusion matrix — the model-evaluation readout over
+    // q29's classifier: cells from one hash agg on the |docs|-reduced
+    // predictions, margins via two windows over the |langs|²-sized cell
+    // table (the fact table is NOT re-scanned per margin). Recall and
+    // precision shares are single divisions of exact BIGINTs.
+    ("q143_lang_confusion", (s, dir) => {
+      val cells = T(s, dir, "documents")
+        .select(
+          (col("doc_id") +: col("lang").as("actual_lang") +:
+            TextAnalysis.langScores("text")): _*)
+        .select(col("actual_lang"),
+          TextAnalysis.predictedLang("text", l => col(s"score_$l")).as("pred_lang"))
+        .groupBy(col("actual_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val wa = Window.partitionBy(col("actual_lang"))
+      val wp = Window.partitionBy(col("pred_lang"))
+      cells.select(col("actual_lang"), col("pred_lang"), col("n"),
+          sum(col("n")).over(wa).as("n_actual"),
+          sum(col("n")).over(wp).as("n_pred"))
+        .withColumn("recall_share",
+          col("n").cast("double") / col("n_actual").cast("double"))
+        .withColumn("precision_share",
+          col("n").cast("double") / col("n_pred").cast("double"))
+        .orderBy(col("actual_lang"), col("pred_lang"))
+    }, Some("""
+      WITH scored AS (
+        SELECT doc_id, lang AS actual_lang,
+          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['der','die','das','und'], w))) AS BIGINT) AS score_de,
+          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and'], w))) AS BIGINT) AS score_en,
+          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['el','la','los','que'], w))) AS BIGINT) AS score_es,
+          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['le','la','les','et'], w))) AS BIGINT) AS score_fr,
+          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['de5','shi4','le5','zai4'], w))) AS BIGINT) AS score_zh
+        FROM documents),
+      pred AS (
+        SELECT actual_lang,
+          CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+               WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+               WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+               WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+               WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+               ELSE 'zh' END AS pred_lang
+        FROM scored),
+      cells AS (SELECT actual_lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2)
+      SELECT actual_lang, pred_lang, n,
+        CAST(sum(n) OVER (PARTITION BY actual_lang) AS BIGINT) AS n_actual,
+        CAST(sum(n) OVER (PARTITION BY pred_lang) AS BIGINT) AS n_pred,
+        CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY actual_lang) AS BIGINT) AS recall_share,
+        CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY pred_lang) AS BIGINT) AS precision_share
+      FROM cells ORDER BY actual_lang, pred_lang""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
