@@ -28,6 +28,52 @@ import org.apache.spark.sql.functions._
   * promising exactness in the schema. */
 object Profiling {
 
+  /** Exact interpolated per-key percentiles via ONE keyed sort — the fast
+    * form of `percentile(x, p)` when a query needs several cut points over
+    * the same ordering: the built-in aggregate buffers every value in a
+    * per-group hash map (measured ~3× slower at sf0.1), while this ranks
+    * once and picks the two bracketing rows per percentile with
+    * conditional mins in a single downstream aggregation.
+    *
+    * Bit-compatible with Spark's `percentile` AND DuckDB's
+    * `quantile_cont`: 0-based position `p·(n−1)` and the
+    * `lo·(1−f) + hi·f` blend — the same IEEE tree, verified equal to the
+    * last ulp (the naive `lo + f·(hi−lo)` is NOT). `valueCol` must be
+    * non-null (the built-in skips nulls; a null here would rank first and
+    * shift every pick). Returns one row per key: keys, `n` (group size),
+    * then one DOUBLE column per `(name, p)` in `ps`. */
+  def exactPercentiles(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "exactPercentiles needs at least one percentile")
+    ps.foreach { case (n, p) =>
+      require(p >= 0 && p <= 1, s"percentile $n must be in [0, 1], got $p") }
+    Seq("__rn", "__n").foreach { r =>
+      require(!df.columns.contains(r), s"$r column name is reserved") }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val ranked = df
+      .select((keys.map(col) :+ col(valueCol)): _*)
+      .select(col("*"),
+        (row_number().over(w) - 1).cast("double").as("__rn"), // 0-based
+        count(lit(1)).over(cw).as("__n"))
+    val aggs = ps.flatMap { case (name, p) =>
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      Seq(
+        min(when(col("__rn") === floor(pos), col(valueCol))).as(s"__lo_$name"),
+        min(when(col("__rn") === ceil(pos), col(valueCol))).as(s"__hi_$name"),
+        max(pos - floor(pos)).as(s"__f_$name"))
+    } :+ max(col("__n")).as("n")
+    ranked.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((keys.map(col) :+ col("n")) ++ ps.map { case (name, _) =>
+        (col(s"__lo_$name") * (lit(1.0) - col(s"__f_$name"))
+          + col(s"__hi_$name") * col(s"__f_$name")).as(name)
+      }: _*)
+  }
+
   /** Profile `cols` of `df`: (column, n_rows, n_null, n_distinct,
     * min_value, max_value) with the range endpoints rendered as strings so
     * heterogeneous column types share one schema. */

@@ -58,4 +58,36 @@ class ProfilingSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     out shouldBe Seq(("id", 0L, 0L, 0L), ("s", 0L, 0L, 0L))
   }
+  test("exactPercentiles agrees with the percentile builtin to the last ulp") {
+    import org.apache.spark.sql.functions._
+    // odd and even group sizes, duplicate values, a fractional-position
+    // percentile (0.3 is not dyadic) — the cases where blend-tree order shows
+    val df = Seq(
+      ("a", 3.0), ("a", 1.5), ("a", 2.25), ("a", 9.75), ("a", 4.5),
+      ("b", 1.0), ("b", 1.0), ("b", 2.0), ("b", 7.0))
+      .toDF("g", "x")
+    val fast = Profiling.exactPercentiles(
+        df, Seq("g"), "x", Seq("p30" -> 0.3, "p50" -> 0.5, "p75" -> 0.75))
+      .orderBy("g")
+      .select("g", "n", "p30", "p50", "p75")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    val builtin = df.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(x, 0.3)").as("p30"),
+        expr("percentile(x, 0.5)").as("p50"),
+        expr("percentile(x, 0.75)").as("p75"))
+      .orderBy("g")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    fast shouldBe builtin
+  }
+
+  test("exactPercentiles rejects out-of-range p and reserved columns") {
+    import org.apache.spark.sql.functions.lit
+    val df = Seq(("a", 1.0)).toDF("g", "x")
+    an[IllegalArgumentException] should be thrownBy
+      Profiling.exactPercentiles(df, Seq("g"), "x", Seq("p" -> 1.5))
+    an[IllegalArgumentException] should be thrownBy
+      Profiling.exactPercentiles(
+        df.withColumn("__rn", lit(1)), Seq("g"), "x", Seq("p" -> 0.5))
+  }
 }
