@@ -4408,6 +4408,91 @@ object SparkEntry {
         CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY pred_lang) AS BIGINT) AS precision_share
       FROM cells ORDER BY actual_lang, pred_lang""")),
 
+    // Whole-warehouse reconciliation checksums — the migration-validation
+    // pass run after any copy/engine-swap: per table, row count + an
+    // order-independent XOR fold of the shared 48-bit content hash over the
+    // key and over key|payload. XOR (not SUM) so the fold can never
+    // overflow and any partitioning merges identically; one column-pruned
+    // scan per table, all in one job. A single changed/missing/duplicated
+    // row flips the checksum.
+    ("q144_table_checksums", (s, dir) => {
+      import graft.ext.TextAnalysis.hash48
+      def row(tbl: String, keyExpr: Column, valCol: Column): DataFrame =
+        T(s, dir, tbl).agg(
+            count(lit(1)).as("n_rows"),
+            call_function("bit_xor", hash48(keyExpr)).as("key_xor"),
+            call_function("bit_xor",
+              hash48(concat(keyExpr, lit("|"), valCol.cast("string"))))
+              .as("val_xor"))
+          .select(lit(tbl).as("tbl"), col("n_rows"), col("key_xor"), col("val_xor"))
+      Seq(
+        row("region", col("r_regionkey").cast("string"), col("r_name")),
+        row("nation", col("n_nationkey").cast("string"), col("n_name")),
+        row("customer", col("c_custkey").cast("string"), col("c_name")),
+        row("supplier", col("s_suppkey").cast("string"), col("s_name")),
+        row("part", col("p_partkey").cast("string"), col("p_brand")),
+        row("orders", col("o_orderkey").cast("string"), col("o_orderpriority")),
+        row("lineitem",
+          concat(col("l_orderkey").cast("string"), lit("_"),
+            col("l_linenumber").cast("string")), col("l_returnflag")),
+        row("events", col("event_id").cast("string"), col("event_type")),
+        row("documents", col("doc_id").cast("string"), col("lang")),
+        row("embeddings", col("vec_id").cast("string"), col("label")))
+        .reduce(_ unionByName _)
+        .orderBy(col("tbl"))
+    }, Some("""
+      WITH h AS (
+        SELECT 'region' AS tbl, count(*) AS n_rows,
+          bit_xor(('0x' || substr(md5(r_regionkey::VARCHAR), 1, 12))::BIGINT) AS key_xor,
+          bit_xor(('0x' || substr(md5(r_regionkey::VARCHAR || '|' || r_name), 1, 12))::BIGINT) AS val_xor
+        FROM region
+        UNION ALL
+        SELECT 'nation', count(*),
+          bit_xor(('0x' || substr(md5(n_nationkey::VARCHAR), 1, 12))::BIGINT),
+          bit_xor(('0x' || substr(md5(n_nationkey::VARCHAR || '|' || n_name), 1, 12))::BIGINT)
+        FROM nation
+        UNION ALL
+        SELECT 'customer', count(*),
+          bit_xor(('0x' || substr(md5(c_custkey::VARCHAR), 1, 12))::BIGINT),
+          bit_xor(('0x' || substr(md5(c_custkey::VARCHAR || '|' || c_name), 1, 12))::BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'supplier', count(*),
+          bit_xor(('0x' || substr(md5(s_suppkey::VARCHAR), 1, 12))::BIGINT),
+          bit_xor(('0x' || substr(md5(s_suppkey::VARCHAR || '|' || s_name), 1, 12))::BIGINT)
+        FROM supplier
+        UNION ALL
+        SELECT 'part', count(*),
+          bit_xor(('0x' || substr(md5(p_partkey::VARCHAR), 1, 12))::BIGINT),
+          bit_xor(('0x' || substr(md5(p_partkey::VARCHAR || '|' || p_brand), 1, 12))::BIGINT)
+        FROM part
+        UNION ALL
+        SELECT 'orders', count(*),
+          bit_xor(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT),
+          bit_xor(('0x' || substr(md5(o_orderkey::VARCHAR || '|' || o_orderpriority), 1, 12))::BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', count(*),
+          bit_xor(('0x' || substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR), 1, 12))::BIGINT),
+          bit_xor(('0x' || substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR || '|' || l_returnflag), 1, 12))::BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events', count(*),
+          bit_xor(('0x' || substr(md5(event_id::VARCHAR), 1, 12))::BIGINT),
+          bit_xor(('0x' || substr(md5(event_id::VARCHAR || '|' || event_type), 1, 12))::BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'documents', count(*),
+          bit_xor(('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT),
+          bit_xor(('0x' || substr(md5(doc_id::VARCHAR || '|' || lang), 1, 12))::BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'embeddings', count(*),
+          bit_xor(('0x' || substr(md5(vec_id::VARCHAR), 1, 12))::BIGINT),
+          bit_xor(('0x' || substr(md5(vec_id::VARCHAR || '|' || label::VARCHAR), 1, 12))::BIGINT)
+        FROM embeddings)
+      SELECT * FROM h ORDER BY tbl""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
