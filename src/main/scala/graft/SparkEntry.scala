@@ -4493,6 +4493,39 @@ object SparkEntry {
         FROM embeddings)
       SELECT * FROM h ORDER BY tbl""")),
 
+    // Sequence packing (concatenate-then-chunk, the GPT training-data
+    // layout): docs in deterministic id order, running token offset via
+    // ONE ordered window, each doc's span in fixed 2048-token bins by pure
+    // integral arithmetic. The global window sorts only the |docs|-sized
+    // (id, n_tokens) reduction; at 100 TB assign per-shard offsets first
+    // and add a broadcast per-shard base — same math, two passes.
+    ("q145_sequence_pack", (s, dir) => {
+      val t = T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+          expr("cum_before div 2048").as("start_bin"),
+          expr("(cum_before + n_tokens - 1) div 2048").as("end_bin"),
+          (col("cum_before") % 2048).as("start_offset"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM t)
+      SELECT doc_id, n_tokens, cum_before,
+        cum_before // 2048 AS start_bin,
+        (cum_before + n_tokens - 1) // 2048 AS end_bin,
+        cum_before % 2048 AS start_offset
+      FROM c ORDER BY doc_id""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
