@@ -230,4 +230,30 @@ object Sinks {
     * explode the file count. */
   def partitionedParquetAppend(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Compact a parquet directory's small files into ~`targetBytes` outputs —
+    * the maintenance pass every streaming/append table needs: micro-batch
+    * sinks accrete KB-sized files whose per-file open/footer cost eventually
+    * dominates scans (the "small files problem"). Reads `srcPath`, sizes the
+    * output file count from the ACTUAL input bytes, and writes to
+    * `destPath` — never in place, so a crashed compaction can't destroy the
+    * source; callers swap directories (or repoint the reader) after
+    * success. Returns the output file count. */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, destPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(new org.apache.hadoop.fs.Path(srcPath).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(destPath).toUri.getPath,
+      "compactParquet never writes in place: destPath must differ from srcPath")
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(src).getLength
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(srcPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(destPath)
+    nOut
+  }
 }

@@ -249,4 +249,62 @@ class SourcesSinksSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("compactParquet collapses small files into the byte-sized target, never in place") {
+    val src = java.nio.file.Files.createTempDirectory("graft_compact_src_").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_compact_dst_").toString
+    try {
+      // 20 tiny appends ⇒ ≥20 small files
+      (1 to 20).foreach { i =>
+        Seq((i.toLong, s"row$i")).toDF("id", "v")
+          .write.mode("append").parquet(src)
+      }
+      val before = new java.io.File(src).list().count(_.endsWith(".parquet"))
+      before should be >= 20
+      val nOut = Sinks.compactParquet(spark, src, dest, targetBytes = 1L << 30)
+      nOut shouldBe 1
+      new java.io.File(dest).list().count(_.endsWith(".parquet")) shouldBe 1
+      // content survives byte-for-byte
+      spark.read.parquet(dest).orderBy("id").collect() shouldBe
+        spark.read.parquet(src).orderBy("id").collect()
+      an[IllegalArgumentException] should be thrownBy
+        Sinks.compactParquet(spark, src, src)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dest))
+    }
+  }
+
+  test("streaming file sink: readers trust the manifest, so orphan task files are invisible") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val out = java.nio.file.Files.createTempDirectory("graft_fsink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsink_ckpt_").toString
+    try {
+      val mem = MemoryStream[Long]
+      val q = mem.toDS().toDF("v").writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        mem.addData(1L, 2L, 3L)
+        q.processAllAvailable()
+      } finally q.stop()
+      // simulate a torn/duplicate task attempt: a parquet file in the
+      // directory that no manifest entry commits
+      Seq(99L).toDF("v").coalesce(1)
+        .write.mode("overwrite").parquet(out + "_orphan")
+      val orphan = new java.io.File(out + "_orphan").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(orphan.toPath,
+        java.nio.file.Paths.get(out, "part-orphan.snappy.parquet"))
+      // a manifest-aware read (any spark.read over a _spark_metadata dir)
+      // sees EXACTLY the committed batches — the file sink's exactly-once
+      spark.read.parquet(out).as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out + "_orphan"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
 }
