@@ -4526,6 +4526,44 @@ object SparkEntry {
         cum_before % 2048 AS start_offset
       FROM c ORDER BY doc_id""")),
 
+    // SCD-2 as-of enrichment — THE warehouse composition: build the
+    // slowly-changing user-state dimension from the change stream (q70's
+    // run-length collapse, deduped per (user, time) with a deterministic
+    // max_by), then attach to each purchase the state valid AT its
+    // timestamp via AsofJoin (one union + window pass — no correlated
+    // subquery, no nested loop). The oracle computes the same thing with
+    // the OPPOSITE algorithm (correlated LIMIT-1 lateral), so the hash
+    // match proves the as-of rewrite, not just the arithmetic.
+    ("q146_scd2_enrich", (s, dir) => {
+      val ev = T(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 1000").as("tus"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val changes = ev.where(col("event_type") =!= "purchase")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      val states = changes.groupBy(col("user_id"), col("tus").as("stus"))
+        .agg(expr("max_by(event_type, event_id)").as("state"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      graft.analytics.AsofJoin.asofJoin(
+          purchases, col("tus"), states, col("stus"),
+          keys = Seq("user_id"), rightCols = Seq("state"))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          coalesce(col("state"), lit("none")).as("state_at_purchase"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+      c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type
+            FROM e WHERE event_type <> 'purchase'),
+      ch AS (SELECT user_id, tus, event_type, event_id FROM c
+             WHERE prev_type IS NULL OR prev_type <> event_type),
+      st AS (SELECT user_id, tus, max_by(event_type, event_id) AS state FROM ch GROUP BY 1, 2),
+      p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, p.tus,
+        coalesce((SELECT s.state FROM st s WHERE s.user_id = p.user_id AND s.tus <= p.tus
+                  ORDER BY s.tus DESC LIMIT 1), 'none') AS state_at_purchase
+      FROM p ORDER BY p.event_id""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
