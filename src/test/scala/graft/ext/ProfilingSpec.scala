@@ -81,6 +81,43 @@ class ProfilingSpec extends SparkTestBase {
     fast shouldBe builtin
   }
 
+  test("exactPercentiles agreement sweep: 200 random groups, edge sizes, p ∈ {0, .1, .3, .5, 1}") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).flatMap { g =>
+      // force the small-group edges into the first ids, random sizes after
+      val size = if (g < 3) g + 1 else 1 + rnd.nextInt(40)
+      (0 until size).map { _ =>
+        // mix magnitudes and duplicates so interpolation brackets repeat values
+        val v = rnd.nextInt(8) match {
+          case 0 => 0.0
+          case 1 => rnd.nextInt(5).toDouble // heavy duplicates
+          case _ => (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(6))
+        }
+        (s"g$g", v)
+      }
+    }
+    val df = rows.toDF("g", "x").repartition(7)
+    val ps = Seq("p0" -> 0.0, "p10" -> 0.1, "p30" -> 0.3, "p50" -> 0.5, "p100" -> 1.0)
+    val fast = Profiling.exactPercentiles(df, Seq("g"), "x", ps)
+      .orderBy("g").collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val builtin = df.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(x, 0.0)").as("p0"),
+        expr("percentile(x, 0.1)").as("p10"),
+        expr("percentile(x, 0.3)").as("p30"),
+        expr("percentile(x, 0.5)").as("p50"),
+        expr("percentile(x, 1.0)").as("p100"))
+      .orderBy("g").collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    fast.keySet shouldBe builtin.keySet
+    // exact (last-ulp) equality, group by group for a readable failure
+    fast.foreach { case (g, v) => withClue(g)(v shouldBe builtin(g)) }
+  }
+
   test("exactPercentiles rejects out-of-range p and reserved columns") {
     import org.apache.spark.sql.functions.lit
     val df = Seq(("a", 1.0)).toDF("g", "x")
