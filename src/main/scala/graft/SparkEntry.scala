@@ -4564,6 +4564,84 @@ object SparkEntry {
                   ORDER BY s.tus DESC LIMIT 1), 'none') AS state_at_purchase
       FROM p ORDER BY p.event_id""")),
 
+    // Percent-of-parent hierarchy shares (nation ÷ region ÷ grand total):
+    // the drill-down ratio every OLAP report carries. The fact table
+    // reduces ONCE to |nations| revenue rows (broadcast dim chain); both
+    // parent totals come from windows over that tiny frame — no second
+    // fact scan, no self-join. Exact DECIMAL sums; shares are single
+    // divisions.
+    ("q147_pct_of_parent", (s, dir) => {
+      val rev = T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("nrev"))
+      rev.select(col("r_name"), col("n_name"), col("nrev"),
+          sum(col("nrev")).over(Window.partitionBy(col("r_name")))
+            .cast(DecimalType(18, 2)).as("rrev"),
+          sum(col("nrev")).over(Window.partitionBy())
+            .cast(DecimalType(18, 2)).as("grev"))
+        .select(col("r_name"), col("n_name"),
+          col("nrev").cast("double").as("nation_rev"),
+          (col("nrev").cast("double") / col("rrev").cast("double"))
+            .as("share_of_region"),
+          (col("rrev").cast("double") / col("grev").cast("double"))
+            .as("region_share_of_total"))
+        .orderBy(col("r_name"), col("n_name"))
+    }, Some("""
+      WITH rev AS (
+        SELECT r_name, n_name,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS nrev
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT *, CAST(sum(nrev) OVER (PARTITION BY r_name) AS DECIMAL(18,2)) AS rrev,
+                  CAST(sum(nrev) OVER () AS DECIMAL(18,2)) AS grev
+        FROM rev)
+      SELECT r_name, n_name, CAST(nrev AS DOUBLE) AS nation_rev,
+        CAST(nrev AS DOUBLE) / CAST(rrev AS DOUBLE) AS share_of_region,
+        CAST(rrev AS DOUBLE) / CAST(grev AS DOUBLE) AS region_share_of_total
+      FROM tot ORDER BY r_name, n_name""")),
+
+    // Accumulating-snapshot fact (order lifecycle): each order reduces
+    // ONCE to its milestone row (first/last ship, line count) in a single
+    // hash agg over the join, then the per-priority report is small-table
+    // work. Day arithmetic on midnight-aligned dates is identical in both
+    // engines.
+    ("q148_order_lifecycle", (s, dir) => {
+      val o = T(s, dir, "orders")
+        .join(T(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+        .agg(min(col("l_shipdate")).as("first_ship"),
+          max(col("l_shipdate")).as("last_ship"),
+          count(lit(1)).as("n_lines"))
+      o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(datediff(to_date(col("first_ship")), to_date(col("o_orderdate"))))
+            .cast("long").as("min_days_to_first"),
+          max(datediff(to_date(col("last_ship")), to_date(col("o_orderdate"))))
+            .cast("long").as("max_days_to_last"),
+          sum(datediff(to_date(col("last_ship")), to_date(col("first_ship"))))
+            .cast("long").as("total_span_days"),
+          sum(col("n_lines")).as("total_lines"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_orderpriority, o_orderdate,
+          min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+          count(*) AS n_lines
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2, 3)
+      SELECT o_orderpriority, count(*) AS n_orders,
+        CAST(min(date_diff('day', o_orderdate, first_ship)) AS BIGINT) AS min_days_to_first,
+        CAST(max(date_diff('day', o_orderdate, last_ship)) AS BIGINT) AS max_days_to_last,
+        CAST(sum(date_diff('day', first_ship, last_ship)) AS BIGINT) AS total_span_days,
+        CAST(sum(n_lines) AS BIGINT) AS total_lines
+      FROM o GROUP BY 1 ORDER BY 1""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
