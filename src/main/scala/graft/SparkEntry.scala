@@ -4642,6 +4642,68 @@ object SparkEntry {
         CAST(sum(n_lines) AS BIGINT) AS total_lines
       FROM o GROUP BY 1 ORDER BY 1""")),
 
+    // COUNT(DISTINCT) under CUBE — a physical plan q56's plain-agg cube
+    // never exercises: Catalyst stacks the grouping-set Expand with the
+    // distinct-aggregate Expand (dedup per grouping set, then count). The
+    // exact distinct counts hash-gate that double-Expand pipeline.
+    ("q149_cube_distinct", (s, dir) => {
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g1"),
+          grouping(col("l_linestatus")).cast("long").as("g2"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g1"), col("g2"), col("n_orders"), col("n_rows"))
+        .orderBy(col("g1"), col("g2"), col("rf"), col("ls"))
+    }, Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        grouping(l_returnflag) AS g1, grouping(l_linestatus) AS g2,
+        count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY g1, g2, rf, ls""")),
+
+    // Running maximum drawdown per customer (the risk metric over a signed
+    // cumulative balance): running balance and running peak are two window
+    // passes over ONE keyed exchange+sort; the drawdown report is a final
+    // hash agg. Exact DECIMAL arithmetic end-to-end — the doubles appear
+    // only in the output projection.
+    ("q150_max_drawdown", (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = T(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        sum(when(col("o_orderpriority") === "1-URGENT", dec(col("o_totalprice")))
+          .otherwise(-dec(col("o_totalprice")))).over(w)
+          .cast(DecimalType(18, 2)).as("bal"))
+      r.select(col("o_custkey"), col("bal"),
+          max(col("bal")).over(w).cast(DecimalType(18, 2)).as("peak"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("peak") - col("bal")).cast("double").as("max_drawdown"),
+          max(col("peak")).cast("double").as("max_peak"))
+        .orderBy(col("o_custkey"))
+    }, Some("""
+      WITH r AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN CAST(o_totalprice AS DECIMAL(12,2))
+                    ELSE -CAST(o_totalprice AS DECIMAL(12,2)) END)
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS bal
+        FROM orders),
+      d AS (
+        SELECT o_custkey, bal,
+          CAST(max(bal) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS peak
+        FROM r)
+      SELECT o_custkey, count(*) AS n_orders,
+        CAST(max(peak - bal) AS DOUBLE) AS max_drawdown,
+        CAST(max(peak) AS DOUBLE) AS max_peak
+      FROM d GROUP BY 1 ORDER BY 1""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
