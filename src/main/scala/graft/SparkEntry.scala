@@ -4704,6 +4704,79 @@ object SparkEntry {
         CAST(max(peak) AS DOUBLE) AS max_peak
       FROM d GROUP BY 1 ORDER BY 1""")),
 
+    // Session bounce-rate report over q36's gap sessions: the per-session
+    // frame (one keyed window pass inside Sessionize) reduces to per-user
+    // product metrics — bounce = single-event session; rate is one exact
+    // division of BIGINTs; duration stays in integral µs.
+    ("q151_bounce_rate", (s, dir) => {
+      val sess = Sessionize.sessionize(
+        T(s, dir, "events").select(col("user_id"), expr("ts div 1000").as("tus")),
+        Seq("user_id"), "tus", gap = 1800L * 1000 * 1000)
+      sess.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          count(when(col("n_events") === 1, 1)).as("n_bounces"),
+          max(col("end_time") - col("start_time")).cast("long")
+            .as("max_duration_us"))
+        .withColumn("bounce_rate",
+          col("n_bounces").cast("double") / col("n_sessions").cast("double"))
+        .select(col("user_id"), col("n_sessions"), col("n_bounces"),
+          col("bounce_rate"), col("max_duration_us"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      m AS (SELECT user_id, tus,
+              CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      sess AS (SELECT user_id, tus,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               FROM m),
+      per AS (SELECT user_id, session_id, count(*) AS n_events,
+                CAST(max(tus) - min(tus) AS BIGINT) AS duration_us
+              FROM sess GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_sessions,
+        count(*) FILTER (WHERE n_events = 1) AS n_bounces,
+        CAST(count(*) FILTER (WHERE n_events = 1) AS DOUBLE) / count(*) AS bounce_rate,
+        CAST(max(duration_us) AS BIGINT) AS max_duration_us
+      FROM per GROUP BY 1 ORDER BY 1""")),
+
+    // Top-N-with-OTHER rollup (the standard report shape: top 2 brands per
+    // nation, everything else in one bucket): the fact table reduces ONCE
+    // to |nations|·|brands| exact-DECIMAL revenue rows; ranking and the
+    // OTHER regroup are small-table work after that single reduction.
+    ("q152_topn_other", (s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(T(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nat"), col("p_brand"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+      rev
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("nat")).orderBy(col("rev").desc, col("p_brand"))))
+        .groupBy(col("nat"),
+          when(col("rk") <= 2, col("p_brand")).otherwise(lit("OTHER"))
+            .as("brand_bucket"))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_brands"))
+        .orderBy(col("nat"), col("revenue").desc, col("brand_bucket"))
+    }, Some("""
+      WITH rev AS (
+        SELECT s_nationkey AS nat, p_brand,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      rk AS (SELECT *, row_number() OVER
+               (PARTITION BY nat ORDER BY rev DESC, p_brand) AS rk FROM rev)
+      SELECT nat, CASE WHEN rk <= 2 THEN p_brand ELSE 'OTHER' END AS brand_bucket,
+        CAST(sum(rev) AS DOUBLE) AS revenue, count(*) AS n_brands
+      FROM rk GROUP BY 1, 2 ORDER BY 1, revenue DESC, brand_bucket""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
