@@ -9,6 +9,24 @@ import graft.functions.GramUpperTriangle
   * the covariance/PCA scaffold of a 100 TB vector pipeline. */
 object LinAlg {
 
+  /** Largest per-key row count for which the covariance numerator
+    * `n·Σxᵢxⱼ − Σxᵢ·Σxⱼ` is provably exact in BIGINT with worst-case
+    * (saturated ±127) int8 codes: floor(√(Long.MaxValue / 127²)). */
+  val MaxExactCovarianceRows: Long =
+    math.sqrt(Long.MaxValue.toDouble / (127L * 127L)).toLong // 23_913_373
+
+  /** Project (key, codes) for the Gram aggregation, failing LOUDLY on a
+    * null code vector. Spark's typed-aggregate path SKIPS null inputs
+    * (SQL aggregate null semantics), which would silently shrink `n` and
+    * change every covariance — worse than a crash for a module whose
+    * contract is bit-exactness. Filter or impute nulls upstream. */
+  private def keyedCodes(
+      df: DataFrame, keyCol: String, codesCol: String): DataFrame =
+    df.select(col(keyCol).cast("long").as("k"),
+      coalesce(col(codesCol).cast("array<smallint>"),
+        raise_error(lit(s"LinAlg: column '$codesCol' contains a null code " +
+          "vector; filter or impute nulls before aggregating"))).as("v"))
+
   /** Per-key Gram matrix (XᵀX upper triangle, 1-based `(i, j)` with
     * `i ≤ j`) over `array<tinyint>` code vectors (see
     * [[Quantize.int8Codes]]).
@@ -24,9 +42,7 @@ object LinAlg {
       df: DataFrame, keyCol: String, codesCol: String, dim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val reduced = df
-      .select(col(keyCol).cast("long").as("k"),
-        col(codesCol).cast("array<smallint>").as("v"))
+    val reduced = keyedCodes(df, keyCol, codesCol)
       .as[(Long, Array[Short])]
       .groupByKey(_._1)
       .mapValues(_._2)
@@ -49,17 +65,20 @@ object LinAlg {
   /** Per-key EXACT covariance matrix (population, upper triangle) over
     * int8 code vectors — the PCA/whitening input, from the SAME one-pass
     * aggregation as [[gramUpperTriangle]] (the buffer also carries Σxᵢ):
-    * `cov·n² = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ` stays in BIGINTs (bounded by n²·127²,
-    * overflow-safe to n ≈ 2³⁴ rows per key), so the matrix is bit-exact in
-    * any partitioning; the single final division to `cov` is the only
-    * float op. */
+    * `cov·n² = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ` stays in BIGINTs. Worst case
+    * (saturated ±127 codes) each term is bounded by n²·127², so the
+    * BIGINT numerator is exact only to n ≈ 2^24.5 (≈2.4×10⁷ rows per
+    * key); a runtime guard raises an error past that bound rather than
+    * silently wrapping — shard oversized keys upstream (e.g. add a salt
+    * column to the key and average the per-shard covariances weighted by
+    * n) if a single key legitimately exceeds it. Within the bound the
+    * matrix is bit-exact in any partitioning; the single final division
+    * to `cov` is the only float op. */
   def covarianceUpperTriangle(
       df: DataFrame, keyCol: String, codesCol: String, dim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val reduced = df
-      .select(col(keyCol).cast("long").as("k"),
-        col(codesCol).cast("array<smallint>").as("v"))
+    val reduced = keyedCodes(df, keyCol, codesCol)
       .as[(Long, Array[Short])]
       .groupByKey(_._1)
       .mapValues(_._2)
@@ -78,7 +97,15 @@ object LinAlg {
         element_at(col("s"), col("z.ij.i")).as("si"),
         element_at(col("s"), col("z.ij.j")).as("sj"),
         col("n"))
-      .withColumn("cov_num", col("n") * col("g") - col("si") * col("sj"))
+      // n·g and si·sj are each ≤ n²·127² in magnitude; both stay below
+      // Long.MaxValue only while n ≤ floor(√(2⁶³ / 127²)) = 23_913_373.
+      .withColumn("cov_num",
+        when(col("n") <= lit(LinAlg.MaxExactCovarianceRows),
+          col("n") * col("g") - col("si") * col("sj"))
+          .otherwise(raise_error(concat(
+            lit("covarianceUpperTriangle: group size "), col("n"),
+            lit(s" exceeds the exact-BIGINT bound ${LinAlg.MaxExactCovarianceRows}" +
+              " (n²·127² would overflow Long); shard the key upstream")))))
       .withColumn("cov",
         col("cov_num").cast("double") / (col("n") * col("n")).cast("double"))
   }

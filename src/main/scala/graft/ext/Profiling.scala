@@ -48,8 +48,22 @@ object Profiling {
     require(ps.nonEmpty, "exactPercentiles needs at least one percentile")
     ps.foreach { case (n, p) =>
       require(p >= 0 && p <= 1, s"percentile $n must be in [0, 1], got $p") }
-    Seq("__rn", "__n").foreach { r =>
+    val dupNames = ps.map(_._1).groupBy(identity).collect {
+      case (n, occ) if occ.size > 1 => n }
+    require(dupNames.isEmpty,
+      s"duplicate percentile names: ${dupNames.mkString(", ")}")
+    val clash = ps.map(_._1).filter(n => keys.contains(n) || n == valueCol)
+    require(clash.isEmpty,
+      s"percentile names collide with input columns: ${clash.mkString(", ")}")
+    // "n" is the emitted group-size column; __rn/__n and the per-percentile
+    // __lo_/__hi_/__f_ columns are internal scratch — an input column with
+    // any of these names would silently shadow/duplicate them.
+    val reserved = Seq("__rn", "__n", "n") ++
+      ps.flatMap { case (n, _) => Seq(s"__lo_$n", s"__hi_$n", s"__f_$n") }
+    reserved.foreach { r =>
       require(!df.columns.contains(r), s"$r column name is reserved") }
+    require(!ps.exists(_._1 == "n"),
+      "percentile name 'n' is reserved for the group-size column")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col(valueCol))
     val cw = org.apache.spark.sql.expressions.Window

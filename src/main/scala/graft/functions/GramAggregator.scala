@@ -32,6 +32,9 @@ final class GramUpperTriangle(dim: Int) extends Aggregator[Array[Short], GramBuf
   override def zero: GramBuf = GramBuf(new Array[Long](tri), new Array[Long](dim), 0L)
 
   override def reduce(b: GramBuf, v: Array[Short]): GramBuf = {
+    require(v != null,
+      "null codes array reached GramUpperTriangle — filter null code " +
+        "vectors (e.g. from a null embedding upstream of Quantize) first")
     require(v.length == dim,
       s"code vector has ${v.length} elements, aggregator built for dim $dim")
     val arr = b.g
@@ -40,6 +43,12 @@ final class GramUpperTriangle(dim: Int) extends Aggregator[Array[Short], GramBuf
     var i = 0
     while (i < dim) {
       val ci = v(i).toLong
+      // the exactness contract (terms ≤ 127²) assumes int8-range codes;
+      // the array<smallint> cast upstream would silently admit wider values
+      if (ci > 127L || ci < -128L)
+        throw new IllegalArgumentException(
+          s"code value $ci at index $i is outside int8 range [-128, 127]; " +
+            "GramUpperTriangle's exactness bound assumes int8 codes")
       sums(i) += ci
       var j = i
       while (j < dim) { arr(idx) += ci * v(j); idx += 1; j += 1 }

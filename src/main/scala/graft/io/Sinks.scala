@@ -244,11 +244,18 @@ object Sinks {
       srcPath: String, destPath: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    require(new org.apache.hadoop.fs.Path(srcPath).toUri.getPath !=
-      new org.apache.hadoop.fs.Path(destPath).toUri.getPath,
-      "compactParquet never writes in place: destPath must differ from srcPath")
     val src = new org.apache.hadoop.fs.Path(srcPath)
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new org.apache.hadoop.fs.Path(destPath)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = src.getFileSystem(hadoopConf)
+    // Qualify through each path's own FileSystem so aliased spellings of one
+    // location (relative vs absolute, scheme-qualified vs bare) can't slip
+    // past the never-in-place guard and overwrite the data being read.
+    val srcQ = fs.makeQualified(src)
+    val destQ = dest.getFileSystem(hadoopConf).makeQualified(dest)
+    require(srcQ != destQ,
+      s"compactParquet never writes in place: destPath resolves to the same " +
+        s"location as srcPath ($srcQ)")
     val totalBytes = fs.getContentSummary(src).getLength
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(srcPath)

@@ -75,4 +75,32 @@ class LinAlgSpec extends SparkTestBase {
     }
     e.getMessage should include("aggregator built for dim")
   }
+
+  test("null code vectors fail loudly (typed aggregates would silently SKIP them, shrinking n)") {
+    val df = Seq((0L, Array[Short](1, 2, 3, 4)), (0L, null: Array[Short]))
+      .toDF("label", "codes")
+    val e = intercept[Exception] {
+      LinAlg.gramUpperTriangle(df, "label", "codes", dim).collect()
+    }
+    e.getMessage should include("null code")
+    val e2 = intercept[Exception] {
+      LinAlg.covarianceUpperTriangle(df, "label", "codes", dim).collect()
+    }
+    e2.getMessage should include("null code")
+  }
+
+  test("codes outside int8 range are rejected (exactness bound assumes 127²)") {
+    val df = Seq((0L, Array[Short](1, 300, 3, 4))).toDF("label", "codes")
+    val e = intercept[Exception] {
+      LinAlg.gramUpperTriangle(df, "label", "codes", dim).collect()
+    }
+    e.getMessage should include("outside int8 range")
+  }
+
+  test("MaxExactCovarianceRows is the documented worst-case bound") {
+    val n = LinAlg.MaxExactCovarianceRows
+    // n²·127² must not overflow; (n+1)²·127² must
+    assert(BigInt(n) * BigInt(n) * 127 * 127 <= BigInt(Long.MaxValue))
+    assert(BigInt(n + 1) * BigInt(n + 1) * 127 * 127 > BigInt(Long.MaxValue))
+  }
 }

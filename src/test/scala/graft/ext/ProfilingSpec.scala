@@ -127,4 +127,27 @@ class ProfilingSpec extends SparkTestBase {
       Profiling.exactPercentiles(
         df.withColumn("__rn", lit(1)), Seq("g"), "x", Seq("p" -> 0.5))
   }
+
+  test("exactPercentiles rejects name collisions that would duplicate output columns") {
+    import org.apache.spark.sql.functions.lit
+    val df = Seq(("a", 1.0)).toDF("g", "x")
+    // input column named "n" collides with the emitted group-size column
+    an[IllegalArgumentException] should be thrownBy
+      Profiling.exactPercentiles(
+        df.withColumn("n", lit(1)), Seq("g", "n"), "x", Seq("p50" -> 0.5))
+    // percentile named "n" collides with the group-size column
+    an[IllegalArgumentException] should be thrownBy
+      Profiling.exactPercentiles(df, Seq("g"), "x", Seq("n" -> 0.5))
+    // duplicate percentile names
+    an[IllegalArgumentException] should be thrownBy
+      Profiling.exactPercentiles(
+        df, Seq("g"), "x", Seq("p50" -> 0.5, "p50" -> 0.9))
+    // percentile name shadowing a key column
+    an[IllegalArgumentException] should be thrownBy
+      Profiling.exactPercentiles(df, Seq("g"), "x", Seq("g" -> 0.5))
+    // input column colliding with generated scratch (__lo_<name>)
+    an[IllegalArgumentException] should be thrownBy
+      Profiling.exactPercentiles(
+        df.withColumn("__lo_p50", lit(1)), Seq("g"), "x", Seq("p50" -> 0.5))
+  }
 }

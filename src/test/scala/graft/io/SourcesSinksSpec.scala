@@ -269,6 +269,11 @@ class SourcesSinksSpec extends SparkTestBase {
         spark.read.parquet(src).orderBy("id").collect()
       an[IllegalArgumentException] should be thrownBy
         Sinks.compactParquet(spark, src, src)
+      // aliased spellings of the same location must not bypass the guard
+      an[IllegalArgumentException] should be thrownBy
+        Sinks.compactParquet(spark, src, "file://" + src)
+      an[IllegalArgumentException] should be thrownBy
+        Sinks.compactParquet(spark, src, src + "/")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dest))
