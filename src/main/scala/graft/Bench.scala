@@ -65,9 +65,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
-      // min of two timed runs: steady-state throughput, robust to the
-      // transient cgroup/VM CPU-throttle spikes a single sample can absorb
-      val times = (1 to 2).map { _ =>
+      // median of three timed runs: steady-state throughput, robust to the
+      // ±2-5× transient cgroup/VM CPU-throttle spikes a single sample can
+      // absorb (single-shot numbers kept generating false regression alarms)
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -75,19 +76,23 @@ object Bench {
           System.err.println(s"[bench] $name failed: $e")
         }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.sorted
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, t) => "\"" + k + "\":" + t(1) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // per-query [min, max] so a reader can tell real regressions from noise
+    val spread = results.map { case (k, t) =>
+      "\"" + k + "\":[" + t.head + "," + t.last + "]" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2(1)).sum
     // a throwing query "benches" at time-to-exception — flag it in the
     // machine-readable line so a broken engine can never look FAST
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread$failedJson,"sf":"$sfDir"}"""
     println(json)
     // provenance copy for anyone reading the repo rather than the run log
     try java.nio.file.Files.writeString(

@@ -4410,88 +4410,81 @@ object SparkEntry {
 
     // Whole-warehouse reconciliation checksums — the migration-validation
     // pass run after any copy/engine-swap: per table, row count + an
-    // order-independent XOR fold of the shared 48-bit content hash over the
-    // key and over key|payload. XOR (not SUM) so the fold can never
-    // overflow and any partitioning merges identically; one column-pruned
-    // scan per table, all in one job. A single changed/missing/duplicated
-    // row flips the checksum.
+    // order-independent XOR fold over the key and over key|payload. XOR
+    // (not SUM) so the fold can never overflow and any partitioning merges
+    // identically; one column-pruned scan per table, all in one job. A
+    // single changed/missing/duplicated row flips the checksum. The
+    // key-only fold uses the ALU-only intMix48 (keys are integral — no
+    // string format, no md5); only the key|payload fold pays one md5 per
+    // row, which halved this query's dominant cost vs hashing twice.
     ("q144_table_checksums", (s, dir) => {
-      import graft.ext.TextAnalysis.hash48
-      def row(tbl: String, keyExpr: Column, valCol: Column): DataFrame =
+      import graft.ext.TextAnalysis.{hash48, intMix48}
+      def row(tbl: String, keyInt: Column, keyStr: Column, valCol: Column): DataFrame =
         T(s, dir, tbl).agg(
             count(lit(1)).as("n_rows"),
-            call_function("bit_xor", hash48(keyExpr)).as("key_xor"),
+            call_function("bit_xor", intMix48(keyInt)).as("key_xor"),
             call_function("bit_xor",
-              hash48(concat(keyExpr, lit("|"), valCol.cast("string"))))
+              hash48(concat(keyStr, lit("|"), valCol.cast("string"))))
               .as("val_xor"))
           .select(lit(tbl).as("tbl"), col("n_rows"), col("key_xor"), col("val_xor"))
       Seq(
-        row("region", col("r_regionkey").cast("string"), col("r_name")),
-        row("nation", col("n_nationkey").cast("string"), col("n_name")),
-        row("customer", col("c_custkey").cast("string"), col("c_name")),
-        row("supplier", col("s_suppkey").cast("string"), col("s_name")),
-        row("part", col("p_partkey").cast("string"), col("p_brand")),
-        row("orders", col("o_orderkey").cast("string"), col("o_orderpriority")),
+        row("region", col("r_regionkey"), col("r_regionkey").cast("string"), col("r_name")),
+        row("nation", col("n_nationkey"), col("n_nationkey").cast("string"), col("n_name")),
+        row("customer", col("c_custkey"), col("c_custkey").cast("string"), col("c_name")),
+        row("supplier", col("s_suppkey"), col("s_suppkey").cast("string"), col("s_name")),
+        row("part", col("p_partkey"), col("p_partkey").cast("string"), col("p_brand")),
+        row("orders", col("o_orderkey"), col("o_orderkey").cast("string"), col("o_orderpriority")),
         row("lineitem",
+          // l_linenumber ∈ 1..7, so key*8+ln is injective and stays integral
+          col("l_orderkey").cast("long") * 8 + col("l_linenumber"),
           concat(col("l_orderkey").cast("string"), lit("_"),
             col("l_linenumber").cast("string")), col("l_returnflag")),
-        row("events", col("event_id").cast("string"), col("event_type")),
-        row("documents", col("doc_id").cast("string"), col("lang")),
-        row("embeddings", col("vec_id").cast("string"), col("label")))
+        row("events", col("event_id"), col("event_id").cast("string"), col("event_type")),
+        row("documents", col("doc_id"), col("doc_id").cast("string"), col("lang")),
+        row("embeddings", col("vec_id"), col("vec_id").cast("string"), col("label")))
         .reduce(_ unionByName _)
         .orderBy(col("tbl"))
     }, Some("""
-      WITH h AS (
-        SELECT 'region' AS tbl, count(*) AS n_rows,
-          bit_xor(('0x' || substr(md5(r_regionkey::VARCHAR), 1, 12))::BIGINT) AS key_xor,
-          bit_xor(('0x' || substr(md5(r_regionkey::VARCHAR || '|' || r_name), 1, 12))::BIGINT) AS val_xor
-        FROM region
+      WITH ks AS (
+        SELECT 'region' AS tbl, r_regionkey::BIGINT AS k,
+               r_regionkey::VARCHAR || '|' || r_name AS s FROM region
         UNION ALL
-        SELECT 'nation', count(*),
-          bit_xor(('0x' || substr(md5(n_nationkey::VARCHAR), 1, 12))::BIGINT),
-          bit_xor(('0x' || substr(md5(n_nationkey::VARCHAR || '|' || n_name), 1, 12))::BIGINT)
-        FROM nation
+        SELECT 'nation', n_nationkey::BIGINT,
+               n_nationkey::VARCHAR || '|' || n_name FROM nation
         UNION ALL
-        SELECT 'customer', count(*),
-          bit_xor(('0x' || substr(md5(c_custkey::VARCHAR), 1, 12))::BIGINT),
-          bit_xor(('0x' || substr(md5(c_custkey::VARCHAR || '|' || c_name), 1, 12))::BIGINT)
-        FROM customer
+        SELECT 'customer', c_custkey::BIGINT,
+               c_custkey::VARCHAR || '|' || c_name FROM customer
         UNION ALL
-        SELECT 'supplier', count(*),
-          bit_xor(('0x' || substr(md5(s_suppkey::VARCHAR), 1, 12))::BIGINT),
-          bit_xor(('0x' || substr(md5(s_suppkey::VARCHAR || '|' || s_name), 1, 12))::BIGINT)
-        FROM supplier
+        SELECT 'supplier', s_suppkey::BIGINT,
+               s_suppkey::VARCHAR || '|' || s_name FROM supplier
         UNION ALL
-        SELECT 'part', count(*),
-          bit_xor(('0x' || substr(md5(p_partkey::VARCHAR), 1, 12))::BIGINT),
-          bit_xor(('0x' || substr(md5(p_partkey::VARCHAR || '|' || p_brand), 1, 12))::BIGINT)
-        FROM part
+        SELECT 'part', p_partkey::BIGINT,
+               p_partkey::VARCHAR || '|' || p_brand FROM part
         UNION ALL
-        SELECT 'orders', count(*),
-          bit_xor(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT),
-          bit_xor(('0x' || substr(md5(o_orderkey::VARCHAR || '|' || o_orderpriority), 1, 12))::BIGINT)
-        FROM orders
+        SELECT 'orders', o_orderkey::BIGINT,
+               o_orderkey::VARCHAR || '|' || o_orderpriority FROM orders
         UNION ALL
-        SELECT 'lineitem', count(*),
-          bit_xor(('0x' || substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR), 1, 12))::BIGINT),
-          bit_xor(('0x' || substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR || '|' || l_returnflag), 1, 12))::BIGINT)
-        FROM lineitem
+        SELECT 'lineitem', l_orderkey::BIGINT * 8 + l_linenumber,
+               l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR || '|' || l_returnflag FROM lineitem
         UNION ALL
-        SELECT 'events', count(*),
-          bit_xor(('0x' || substr(md5(event_id::VARCHAR), 1, 12))::BIGINT),
-          bit_xor(('0x' || substr(md5(event_id::VARCHAR || '|' || event_type), 1, 12))::BIGINT)
-        FROM events
+        SELECT 'events', event_id::BIGINT,
+               event_id::VARCHAR || '|' || event_type FROM events
         UNION ALL
-        SELECT 'documents', count(*),
-          bit_xor(('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT),
-          bit_xor(('0x' || substr(md5(doc_id::VARCHAR || '|' || lang), 1, 12))::BIGINT)
-        FROM documents
+        SELECT 'documents', doc_id::BIGINT,
+               doc_id::VARCHAR || '|' || lang FROM documents
         UNION ALL
-        SELECT 'embeddings', count(*),
-          bit_xor(('0x' || substr(md5(vec_id::VARCHAR), 1, 12))::BIGINT),
-          bit_xor(('0x' || substr(md5(vec_id::VARCHAR || '|' || label::VARCHAR), 1, 12))::BIGINT)
-        FROM embeddings)
-      SELECT * FROM h ORDER BY tbl""")),
+        SELECT 'embeddings', vec_id::BIGINT,
+               vec_id::VARCHAR || '|' || label::VARCHAR FROM embeddings),
+      -- intMix48: xorshift-multiply rounds, every intermediate < 2^63
+      h  AS (SELECT tbl, k % 281474976710656 AS h0,
+                    ('0x' || substr(md5(s), 1, 12))::BIGINT AS vh FROM ks),
+      m1 AS (SELECT tbl, xor(h0, h0 >> 21) AS h1, vh FROM h),
+      m2 AS (SELECT tbl, (h1 * 26071) % 281474976710656 AS h2, vh FROM m1),
+      m3 AS (SELECT tbl, xor(h2, h2 >> 17) AS h3, vh FROM m2),
+      m4 AS (SELECT tbl, (h3 * 20267) % 281474976710656 AS h4, vh FROM m3)
+      SELECT tbl, count(*) AS n_rows, bit_xor(xor(h4, h4 >> 13)) AS key_xor,
+             bit_xor(vh) AS val_xor
+      FROM m4 GROUP BY tbl ORDER BY tbl""")),
 
     // Sequence packing (concatenate-then-chunk, the GPT training-data
     // layout): docs in deterministic id order, running token offset via

@@ -21,6 +21,22 @@ object TextAnalysis {
   private def expr_hash48(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
 
+  /** Deterministic 48-bit integer mix (xorshift-multiply rounds) for
+    * NON-NEGATIVE integral keys — a checksum-grade diffuser that costs a
+    * few ALU ops instead of [[hash48]]'s string-format + md5. Every
+    * intermediate stays below 2⁶³ (products are < 2⁴⁸·2¹⁵), so the same
+    * arithmetic is bit-exact in any engine with wrap-free BIGINT ops —
+    * the property that lets a DuckDB/Trino oracle reproduce it literally. */
+  def intMix48(k: Column): Column = {
+    val m = lit(1L << 48)
+    val h0 = k.cast("long") % m
+    val h1 = h0.bitwiseXOR(shiftright(h0, 21))
+    val h2 = (h1 * lit(26071L)) % m // 0x65D7, odd
+    val h3 = h2.bitwiseXOR(shiftright(h2, 17))
+    val h4 = (h3 * lit(20267L)) % m // 0x4F2B, odd
+    h4.bitwiseXOR(shiftright(h4, 13))
+  }
+
   /** Whitespace tokens. */
   def words(c: Column): Column = split(c, " ")
 

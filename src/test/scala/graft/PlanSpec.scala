@@ -40,6 +40,17 @@ class PlanSpec extends SparkTestBase {
     p should include("partial_min")
   }
 
+  test("q23 minhash pairs scan documents ONCE: bucket-grouped generation, no self-join") {
+    // the r3 bench flagged q23 as a 2.4× "regression"; same-JVM A/B showed
+    // steady-state ~1.4 s (= r2) with a code-identical plan — VM noise, not
+    // drift. This pin keeps the single-scan shape so a future edit that
+    // reintroduces a signature self-join (2× md5+min pipelines) fails loudly.
+    val p = plan(SparkEntry.queries("q23_minhash_lsh")(spark, dir))
+    "FileScan parquet".r.findAllIn(p).size shouldBe 1
+    p should include("partial_min") // signature mins combine map-side
+    (p should not).include("SortMergeJoin")
+  }
+
   test("brute-force top-k reduces through the bounded aggregator, not a window sort") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = plan(graft.ext.Similarity.bruteForceTopK(
