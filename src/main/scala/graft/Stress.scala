@@ -57,6 +57,17 @@ object Stress {
       val c = graft.ext.Dedup.connectedComponents(pairs, "id_a", "id_b")
       println(s"[stress]   clustered docs = ${c.count()}")
     }
+    // Adversarial diameter: a 1000-node path. Label propagation would need
+    // 999 rounds; the large/small-star contraction must close it in <= 12
+    // alternations (the maxIter arg IS the assertion — non-convergence throws)
+    timed("star CC on 1000-node chain") {
+      val chain = spark.range(999L)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val c = graft.ext.Dedup.connectedComponents(
+        chain, "a", "b", 12, starContraction = true)
+      val comps = c.select(countDistinct(col("cluster_id"))).collect()(0).getLong(0)
+      println(s"[stress]   labeled = ${c.count()} nodes, components = $comps (expect 1)")
+    }
     timed("dedupCorpus end-to-end") {
       val kept = graft.ext.Dedup.dedupCorpus(big, "doc_id", "text", col("n_chars"))
       println(s"[stress]   survivors = ${kept.count()}")

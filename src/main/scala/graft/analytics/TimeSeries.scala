@@ -28,14 +28,23 @@ object TimeSeries {
   /** Batch EWMA per key: points ordered by `orderCols` (must be a total
     * order per key for determinism), smoothed with weight `alpha` on the
     * new value. Returns one row per key: `n_points`, `ewma`. NULL values
-    * poison a fold — filter them upstream. */
+    * poison a fold — filter them upstream.
+    *
+    * `maxPoints` bounds the per-key series this form will fold (default
+    * 2²⁰): a key past the bound raises a diagnosable error naming the key
+    * count instead of quietly building a multi-GB aggregation buffer. The
+    * check runs where the series first materializes, so it turns an opaque
+    * executor OOM into an actionable message, not a pre-emptive count pass
+    * (which would cost a second exchange); keys that legitimately exceed it
+    * belong on [[ewmaStream]] (O(1) state per key) or a resampled grid. */
   def ewma(
       df: DataFrame, keys: Seq[String],
       orderCols: Seq[String], valueCol: String,
-      alpha: Double): DataFrame = {
+      alpha: Double, maxPoints: Int = 1 << 20): DataFrame = {
     require(keys.nonEmpty, "ewma needs at least one key column")
     require(orderCols.nonEmpty, "ewma needs an ordering — EWMA is order-sensitive")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(maxPoints > 0, s"maxPoints must be positive, got $maxPoints")
     Seq("__pts", "__vals", "__v").foreach { r =>
       require(!df.columns.contains(r), s"$r column name is reserved by ewma")
     }
@@ -45,6 +54,12 @@ object TimeSeries {
     val sorted = df
       .groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(pt)).as("__pts"))
+      .withColumn("__pts",
+        when(size(col("__pts")) <= lit(maxPoints), col("__pts"))
+          .otherwise(raise_error(concat(
+            lit("TimeSeries.ewma: a key's series has "), size(col("__pts")),
+            lit(s" points, above maxPoints=$maxPoints — use ewmaStream " +
+              "(O(1) state/key) or resample to a bounded grid")))))
       .withColumn("__vals", expr("transform(__pts, p -> p.__v)"))
     sorted.select(
       (keys.map(col) :+

@@ -121,6 +121,63 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"))
       .distinct()
 
+  /** Streaming near-dup dedup twin — the bounded-state LSH path for a live
+    * ingest feed, completing the batch/stream twin convention (exact dedup
+    * already has `dropDuplicates`; this covers NEAR-dup).
+    *
+    * Semantics (first-wins bucket ownership): each arriving doc lands in
+    * `bands` LSH buckets; a bucket's first claimant owns it forever (within
+    * the watermark), and a doc is KEPT iff it owns every bucket it lands
+    * in — i.e. it near-collides with NO earlier-arrived doc. Dropped docs
+    * still claim their novel buckets, so near-dup chains collapse
+    * transitively like [[dedupCorpus]]'s connected components.
+    *
+    * Stream-legal shape: signatures are computed PER ROW with array HOFs
+    * (`array_min(transform(...))` — bit-identical values to
+    * [[minhashSignatures]]' groupBy-min, no aggregation on the stream),
+    * buckets explode 1→bands with no shuffle, ownership is
+    * `dropDuplicatesWithinWatermark(band, sig)` (state = one row per LIVE
+    * bucket, evicted by watermark), and the doc-level verdict is a windowed
+    * count == bands in append mode. State is O(live buckets) no matter how
+    * long the stream runs — the 100 TB form. Docs sharing a timestamp
+    * window and a bucket race on micro-batch arrival order (the inherent
+    * streaming tiebreak); the batch twin with min-id ownership matches
+    * whenever arrival order follows id order.
+    *
+    * Returns the kept docs' ids (append mode — rows finalize once the
+    * watermark passes their window). */
+  def minhashStream(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      delayThreshold: String, windowDuration: String = "10 seconds",
+      numPerm: Int = 16, bands: Int = 4): DataFrame = {
+    require(numPerm % bands == 0,
+      s"numPerm ($numPerm) must be divisible by bands ($bands) — anything else silently truncates the signature")
+    val rows = numPerm / bands
+    val wm = docs
+      .where(col(textCol).isNotNull)
+      .withWatermark(tsCol, delayThreshold)
+      .withColumn("__words", split(col(textCol), " "))
+    val sh = shingles(col(textCol), col("__words"))
+    val sigCols = (0 until numPerm).map { p =>
+      array_min(transform(sh, s => permute(hash48(s), p))).as(s"mh_$p")
+    }
+    val sigs = wm.select(col(idCol) +: col(tsCol) +: sigCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*).as("sig"))
+    }
+    val buckets = sigs
+      .where(col("mh_0").isNotNull) // mirror minhashBuckets' null-text guard
+      .select(col(idCol), col(tsCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col(tsCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    buckets
+      .dropDuplicatesWithinWatermark("band", "sig")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(count(lit(1)).as("__owned"))
+      .where(col("__owned") === lit(bands.toLong))
+      .select(col(idCol))
+  }
+
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 16, bands: Int = 4,
@@ -350,7 +407,91 @@ object Dedup {
     * deterministic (exact min per component) regardless of execution order.
     */
   def connectedComponents(
-      edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+      edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame =
+    connectedComponents(edges, aCol, bCol, maxIter, starContraction = false)
+
+  /** As [[connectedComponents]], with an algorithm switch:
+    * `starContraction = true` runs the alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014) instead of min-label propagation. Label propagation
+    * needs diameter-many rounds — right for the shallow star-like blobs
+    * near-dup clusters form (d ≈ 2-4), wrong for adversarial long chains
+    * (a 1000-node path = 1000 rounds). Star contraction converges in
+    * O(log d) alternations: each large-star hangs every node's larger
+    * neighbors off its local minimum (halving tree heights), each
+    * small-star re-centers the smaller neighbors, and the fixpoint is a
+    * union of stars whose centers are the component minima. Both phases
+    * are one groupBy-min + one equi-join on the CURRENT edge set — edges
+    * shrink toward |nodes−1|, so later rounds get cheaper, and no step
+    * ever materializes more than the symmetrized edge list. */
+  def connectedComponents(
+      edges: DataFrame, aCol: String, bCol: String, maxIter: Int,
+      starContraction: Boolean): DataFrame =
+    if (starContraction) connectedComponentsStar(edges, aCol, bCol, maxIter)
+    else connectedComponentsLabel(edges, aCol, bCol, maxIter)
+
+  /** Large-star phase: for every node u (both edge directions), hang each
+    * STRICTLY LARGER neighbor v > u onto m = min(Γ(u) ∪ {u}). Output edges
+    * are canonical (hi, lo): v > u ≥ m. */
+  private def largeStar(canon: DataFrame): DataFrame = {
+    val sym = canon.union(canon.select(col("lo").as("hi"), col("hi").as("lo")))
+      .toDF("u", "v")
+    val mins = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("__mn"))
+      .select(col("u"), least(col("__mn"), col("u")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("hi"), col("m").as("lo"))
+      .where(col("hi") =!= col("lo"))
+      .distinct()
+  }
+
+  /** Small-star phase: every node u with its SMALLER neighbors N (canonical
+    * edges already point hi→lo, so N = {v : (u, v)}), m = min(N); re-hang
+    * N \ {m} and u itself onto m. Output stays canonical (both v and u
+    * exceed m). */
+  private def smallStar(canon: DataFrame): DataFrame = {
+    val mins = canon.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+    canon.join(mins, "hi")
+      .where(col("lo") =!= col("m"))
+      .select(col("lo").as("hi"), col("m").as("lo"))
+      .union(mins.select(col("hi"), col("m").as("lo")))
+      .distinct()
+  }
+
+  private def connectedComponentsStar(
+      edges: DataFrame, aCol: String, bCol: String, maxIter: Int): DataFrame = {
+    val raw = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .localCheckpoint()
+    val nodes = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct().localCheckpoint()
+    var canon = raw
+      .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+      .where(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint()
+    var converged = canon.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(canon)).localCheckpoint()
+      // exact set fixpoint (both sides distinct): no edge left or gained.
+      // At the fixpoint every component is a star centered at its minimum.
+      converged = next.count() == canon.count() &&
+        next.except(canon).isEmpty
+      canon = next
+      i += 1
+    }
+    require(converged,
+      s"connectedComponents(star) did not converge in $maxIter alternations")
+    nodes
+      .join(canon.select(col("hi").as("id"), col("lo").as("ctr")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("ctr"), col("id")).as("cluster_id"))
+  }
+
+  private def connectedComponentsLabel(
+      edges: DataFrame, aCol: String, bCol: String, maxIter: Int): DataFrame = {
     // materialize the DIRECTED edges before symmetrizing: the union below
     // references them twice, and Spark does not share non-cached subplans
     // across union branches — without this the upstream pair pipeline

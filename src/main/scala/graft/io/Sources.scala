@@ -24,15 +24,31 @@ object Sources {
       topic: String,
       startingOffsets: String = "latest",
       maxOffsetsPerTrigger: Option[Long] = Some(1000000L)): DataFrame = {
-    val r = spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .option("failOnDataLoss", "false")
-    maxOffsetsPerTrigger.foreach(n => r.option("maxOffsetsPerTrigger", n.toString))
+    val r = spark.readStream.format(KafkaFormat)
+    kafkaOptions(brokers, topic, startingOffsets, maxOffsetsPerTrigger)
+      .foreach { case (k, v) => r.option(k, v) }
     r.load().select(col("value").cast("string").as("value"))
   }
+
+  /** The source format [[kafkaLines]] resolves. */
+  val KafkaFormat = "kafka"
+
+  /** The EXACT reader options [[kafkaLines]] sets, factored out so a test
+    * can pin the option surface even where the connector jar is absent
+    * (this sandbox): reference SparkStreamingService.java:124-132 sets
+    * subscribe + startingOffsets=latest + failOnDataLoss=false;
+    * `maxOffsetsPerTrigger` is the scale addition. */
+  def kafkaOptions(
+      brokers: String,
+      topic: String,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = Some(1000000L)): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> "false") ++
+      maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
 
   /** File-based stream of raw lines with the same shape as `kafkaLines` —
     * lets every test and local run drive the identical downstream plan. */

@@ -25,6 +25,21 @@ class TimeSeriesSpec extends SparkTestBase {
     out shouldBe Seq((1L, 1L, 4.0), (2L, 2L, 4.0))
   }
 
+  test("batch ewma maxPoints guard: oversized keys fail loudly, bounded keys pass") {
+    val df = (1 to 10).map(i => (1L, i.toLong, i.toDouble)).toDF("k", "t", "v")
+    // at the bound: fine
+    TimeSeries.ewma(df, Seq("k"), Seq("t"), "v", 0.5, maxPoints = 10)
+      .collect() should have size 1
+    // past the bound: a diagnosable error pointing at the streaming twin,
+    // not a silent multi-GB buffer
+    val e = intercept[Exception] {
+      TimeSeries.ewma(df, Seq("k"), Seq("t"), "v", 0.5, maxPoints = 9).collect()
+    }
+    e.getMessage should include("ewmaStream")
+    an[IllegalArgumentException] should be thrownBy
+      TimeSeries.ewma(df, Seq("k"), Seq("t"), "v", 0.5, maxPoints = 0)
+  }
+
   test("streaming ewma across micro-batches equals the batch fold (twin law)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Point]

@@ -294,4 +294,100 @@ class DedupSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Dedup.connectedComponents(chain, "a", "b", maxIter = 2)
   }
+
+  test("minhashStream twin law: streaming first-wins survivors equal the batch rule") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDS().toDF("doc_id", "ts", "text")
+    val kept = Dedup.minhashStream(
+      docs, "doc_id", "text", "ts", "10 seconds", "1 second")
+    val q = kept.writeStream.outputMode("append").format("memory")
+      .queryName("mh_stream_spec").start()
+    try {
+      val t0 = 1_700_000_000_000L
+      def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
+      val texts = Map(
+        1L -> "the quick brown fox jumps over the lazy dog",
+        2L -> "the quick brown fox jumps over the lazy dog", // exact dup of 1
+        3L -> "completely unrelated text body standing alone here")
+      // separate micro-batches: ownership must persist ACROSS batches
+      mem.addData((1L, ts(0), texts(1L))); q.processAllAvailable()
+      mem.addData((2L, ts(1), texts(2L))); q.processAllAvailable()
+      mem.addData((3L, ts(2), texts(3L))); q.processAllAvailable()
+      // flush: far-future doc advances the watermark past the test windows;
+      // its own window never closes, so it is never emitted
+      mem.addData((99L, ts(100000), "zz yy xx ww vv uu flush sentinel"))
+      q.processAllAvailable()
+      val streamed = spark.table("mh_stream_spec")
+        .as[Long].collect().toSet
+      // batch twin of the same rule: bucket owner = min id, a doc survives
+      // iff it owns every bucket it lands in (arrival order == id order here)
+      val b = Dedup.minhashBuckets(
+        texts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text"),
+        "doc_id", "text")
+      val owner = b.groupBy("band", "sig").agg(min("doc_id").as("owner"))
+      val batchKept = b.join(owner, Seq("band", "sig"))
+        .groupBy("doc_id")
+        .agg(max(when(col("owner") =!= col("doc_id"), 1).otherwise(0)).as("lost"))
+        .where(col("lost") === 0)
+        .select("doc_id").as[Long].collect().toSet
+      batchKept shouldBe Set(1L, 3L) // sanity: the dup was dropped
+      streamed shouldBe batchKept
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("mh_stream_spec")
+    }
+  }
+
+  test("minhashStream rejects a non-dividing band count") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.minhashStream(mem.toDS().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", "10 seconds", numPerm = 16, bands = 5)
+  }
+
+  test("star contraction labels chains, pairs, and transitive closures like label-prop") {
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(edges, "a", "b", 10, starContraction = true)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    out shouldBe Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+  }
+
+  test("star contraction converges in O(log d) on an adversarial 120-node chain") {
+    // label propagation needs diameter-many rounds (119 here — it would trip
+    // its maxIter); the alternating large/small-star contraction needs
+    // O(log d): 8 alternations must suffice for d = 119
+    val chain = (1L until 120L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(chain, "a", "b", 8, starContraction = true)
+      .collect()
+    out.length shouldBe 120
+    out.map(_.getLong(1)).distinct.toSeq shouldBe Seq(1L)
+  }
+
+  test("star contraction agrees with label propagation on a random multi-component graph") {
+    val rnd = new scala.util.Random(7)
+    // 60 nodes, sparse random edges → several nontrivial components
+    val edges = (1 to 50)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("a", "b")
+    val star = Dedup.connectedComponents(edges, "a", "b", 12, starContraction = true)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val label = Dedup.connectedComponents(edges, "a", "b", 25)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    star shouldBe label
+  }
+
+  test("star contraction: empty edge set yields no labels, self-loops are singletons") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    Dedup.connectedComponents(empty, "a", "b", 3, starContraction = true)
+      .count() shouldBe 0L
+    val selfy = Seq((5L, 5L), (6L, 7L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(selfy, "a", "b", 5, starContraction = true)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    out shouldBe Seq((5L, 5L), (6L, 6L), (7L, 6L))
+  }
 }

@@ -39,6 +39,40 @@ class SourcesSinksSpec extends SparkTestBase {
     }
   }
 
+  test("kafka option surface is golden: the reference's exact options plus the scale cap") {
+    // Plan-golden pin for the one seam this sandbox cannot execute (no
+    // connector jar, no broker): the EXACT reader options kafkaLines sets.
+    // Reference SparkStreamingService.java:124-132 subscribes with
+    // startingOffsets=latest and failOnDataLoss=false; maxOffsetsPerTrigger
+    // is the deliberate scale addition. Anyone changing the surface — a
+    // renamed option, a dropped default — breaks this literal map.
+    Sources.kafkaOptions("broker1:9092,broker2:9092", "kills") shouldBe Map(
+      "kafka.bootstrap.servers" -> "broker1:9092,broker2:9092",
+      "subscribe" -> "kills",
+      "startingOffsets" -> "latest",
+      "failOnDataLoss" -> "false",
+      "maxOffsetsPerTrigger" -> "1000000")
+    // unbounded opt-out drops ONLY the cap, touching nothing the reference sets
+    Sources.kafkaOptions("b:9092", "damages", maxOffsetsPerTrigger = None) shouldBe Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "subscribe" -> "damages",
+      "startingOffsets" -> "latest",
+      "failOnDataLoss" -> "false")
+    // explicit replay start passes through verbatim
+    Sources.kafkaOptions("b:9092", "kills", startingOffsets = "earliest")
+      .apply("startingOffsets") shouldBe "earliest"
+  }
+
+  test("kafkaLines routes to the kafka source (resolution fails only for the missing jar)") {
+    val e = intercept[Throwable] {
+      Sources.kafkaLines(spark, "localhost:9092", "kills")
+    }
+    // the failure must be the ENVIRONMENT (no sql-kafka connector on the
+    // classpath), not a mis-specified format string or a builder bug
+    e.getMessage.toLowerCase should include("kafka")
+    Sources.KafkaFormat shouldBe "kafka"
+  }
+
   test("historizedSink appends each micro-batch's cumulative snapshot (update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_sink_").toString

@@ -93,6 +93,75 @@ class PipelineSpec extends SparkTestBase {
     log.toSeq shouldBe Seq("dim-load", "query-start", "producer-start", "producer-stop")
   }
 
+  test("HTTP control plane drives the orchestrator end-to-end over real sockets") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val log = scala.collection.mutable.ArrayBuffer[String]()
+    val controller = new StreamController(() => {
+      log += "query-start"
+      mem.toDS().writeStream.format("noop").start()
+    })
+    val orch = new PipelineOrchestrator(
+      loadDimension = () => log += "dim-load",
+      controller = controller,
+      producerStart = () => log += "producer-start",
+      producerStop = () => log += "producer-stop")
+    val http = new HttpControlPlane(orch, port = 0) // ephemeral port
+    http.start()
+    try {
+      val base = s"http://127.0.0.1:${http.boundPort}"
+      def call(method: String, path: String): (Int, String) = {
+        val conn = new java.net.URL(base + path).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        val code = conn.getResponseCode
+        val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        conn.disconnect()
+        (code, body)
+      }
+      call("GET", "/api/status") shouldBe ((200, "Stopped"))
+      call("POST", "/api/stream/start") shouldBe ((200, "Started"))
+      call("GET", "/api/status") shouldBe ((200, "Running"))
+      // idempotent start straight from the reference's guard
+      call("POST", "/api/stream/start") shouldBe ((200, "Already running"))
+      call("POST", "/api/stream/stop") shouldBe ((200, "Stopped"))
+      call("GET", "/api/status") shouldBe ((200, "Stopped"))
+      call("POST", "/api/stream/stop") shouldBe ((200, "Not running"))
+      // verb discipline: status is GET-only, lifecycle is POST-only
+      call("POST", "/api/status")._1 shouldBe 405
+      call("GET", "/api/stream/start")._1 shouldBe 405
+      // the full reference ordering ran exactly once
+      log.toSeq shouldBe
+        Seq("dim-load", "query-start", "producer-start", "producer-stop")
+    } finally http.shutdown()
+  }
+
+  test("HTTP control plane surfaces orchestrator failures as 500, not hangs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val controller = new StreamController(() =>
+      mem.toDS().writeStream.format("noop").start())
+    val orch = new PipelineOrchestrator(
+      () => (), controller, producerStart = () => sys.error("producer down"))
+    val http = new HttpControlPlane(orch, port = 0)
+    http.start()
+    try {
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${http.boundPort}/api/stream/start").openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.getResponseCode shouldBe 500
+      val body = new String(conn.getErrorStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      body should include("producer down")
+      conn.disconnect()
+      // rollback held: the failed start left nothing running
+      controller.status shouldBe "Stopped"
+    } finally http.shutdown()
+  }
+
   test("multimodal: binary payload plumbing and deterministic stub features") {
     val df = Seq((7L, "abcd")).toDF("id", "payload")
     val media = Multimodal.asMediaTable(df, "id", "payload", "image/fake")
