@@ -4770,6 +4770,132 @@ object SparkEntry {
         CAST(sum(rev) AS DOUBLE) AS revenue, count(*) AS n_brands
       FROM rk GROUP BY 1, 2 ORDER BY 1, revenue DESC, brand_bucket""")),
 
+    // Same transitive-cluster semantics as q41, computed by the ALTERNATING
+    // large/small-star contraction instead of label propagation — the
+    // O(log d) algorithm for adversarial diameters. Sharing q41's
+    // recursive-CTE oracle proves the two algorithms agree bit-for-bit on
+    // real pair graphs, not just in unit tests.
+    ("q153_star_components", (s, dir) => {
+      val pairs = Dedup.minhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text")
+      Dedup.connectedComponents(pairs, "id_a", "id_b", 12, starContraction = true)
+        .select(
+          col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs),
+      mh AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mh GROUP BY doc_id, p // 4),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+      SELECT id AS doc_id, min(label) AS cluster_id,
+             (id = min(label)) AS is_keeper
+      FROM reach GROUP BY id ORDER BY doc_id""")),
+
+    // Temperature-based corpus mixing weights (the multilingual-sampling
+    // recipe of published LLM training reports: w_l ∝ n_l^α with α = 0.5):
+    // per language, doc/token counts plus the RELATIVE sampling weight and
+    // the upsample factor vs proportional sampling. Every double is a
+    // single sqrt/division over exact integer counts (max via window —
+    // deterministic), so no float-sum ordering can break cross-engine
+    // bit-equality. One scan, one tiny aggregation.
+    ("q154_mixing_weights", (s, dir) => {
+      val c = T(s, dir, "documents")
+        .where(col("lang").isNotNull)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      c.withColumn("max_docs", max(col("n_docs")).over(Window.partitionBy()))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          sqrt(col("n_docs").cast("double") / col("max_docs").cast("double"))
+            .as("rel_weight"),
+          sqrt(col("max_docs").cast("double") / col("n_docs").cast("double"))
+            .as("upsample_factor"))
+        .orderBy(col("lang"))
+    }, Some("""
+      WITH c AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+      m AS (SELECT *, max(n_docs) OVER () AS max_docs FROM c)
+      SELECT lang, n_docs, n_tokens,
+        sqrt(CAST(n_docs AS DOUBLE) / CAST(max_docs AS DOUBLE)) AS rel_weight,
+        sqrt(CAST(max_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS upsample_factor
+      FROM m ORDER BY lang""")),
+
+    // Quality-gate funnel — the observability report every filtering
+    // pipeline publishes: how many docs survive each CUMULATIVE gate
+    // (length → token count → stopword evidence → distinct-token ratio).
+    // ONE scan computes every gate as a conditional sum (the gates nest, so
+    // later sums reuse the same row predicates); the 5-row result unpivots
+    // driver-free via stack. Integer cross-multiplication for the ratio
+    // gate — no float compare.
+    ("q155_filter_funnel", (s, dir) => {
+      val w = split(col("text"), " ")
+      val sw = array(graft.ext.TextAnalysis.stopwords.map(lit): _*)
+      val g1 = col("text").isNotNull && col("n_chars") >= 50
+      val g2 = g1 && size(w) >= 10
+      val g3 = g2 && arrays_overlap(w, sw)
+      val g4 = g3 && size(array_distinct(w)) * 2 >= size(w)
+      def cnt(c: Column): Column = sum(when(c, lit(1L)).otherwise(lit(0L)))
+      T(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("n_total"), cnt(g1).as("n1"), cnt(g2).as("n2"),
+          cnt(g3).as("n3"), cnt(g4).as("n4"))
+        .select(expr("""stack(5,
+            'g0_total',     n_total, cast(n_total as double) / cast(n_total as double),
+            'g1_length',    n1,      cast(n1 as double) / cast(n_total as double),
+            'g2_tokens',    n2,      cast(n2 as double) / cast(n_total as double),
+            'g3_stopwords', n3,      cast(n3 as double) / cast(n_total as double),
+            'g4_distinct',  n4,      cast(n4 as double) / cast(n_total as double))
+            AS (stage, n_pass, share)"""))
+        .orderBy(col("stage"))
+    }, Some("""
+      WITH w AS (
+        SELECT text, n_chars, string_split(text, ' ') AS ws FROM documents),
+      g AS (
+        SELECT count(*) AS n_total,
+          CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 50 AND len(ws) >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 50 AND len(ws) >= 10
+                        AND len(list_intersect(ws, ['the','a','of','and','to','in'])) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+          CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 50 AND len(ws) >= 10
+                        AND len(list_intersect(ws, ['the','a','of','and','to','in'])) > 0
+                        AND len(list_distinct(ws)) * 2 >= len(ws) THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        FROM w)
+      SELECT 'g0_total' AS stage, n_total AS n_pass,
+             CAST(n_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS share FROM g
+      UNION ALL SELECT 'g1_length', n1, CAST(n1 AS DOUBLE) / CAST(n_total AS DOUBLE) FROM g
+      UNION ALL SELECT 'g2_tokens', n2, CAST(n2 AS DOUBLE) / CAST(n_total AS DOUBLE) FROM g
+      UNION ALL SELECT 'g3_stopwords', n3, CAST(n3 AS DOUBLE) / CAST(n_total AS DOUBLE) FROM g
+      UNION ALL SELECT 'g4_distinct', n4, CAST(n4 AS DOUBLE) / CAST(n_total AS DOUBLE) FROM g
+      ORDER BY stage""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
