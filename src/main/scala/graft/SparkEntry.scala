@@ -4896,6 +4896,134 @@ object SparkEntry {
       UNION ALL SELECT 'g4_distinct', n4, CAST(n4 AS DOUBLE) / CAST(n_total AS DOUBLE) FROM g
       ORDER BY stage""")),
 
+    // Sequence-length histogram with cumulative token mass — the report
+    // that sizes a packing configuration (q145): token counts bucketed at
+    // width 64, each bucket's doc/token counts plus cumulative token share.
+    // Integer sums feed every double division, and the windowed cumsum runs
+    // over the |buckets|-sized reduction (single-partition is fine — and
+    // exactly why the shares stay deterministic cross-engine).
+    ("q156_seqlen_histogram", (s, dir) => {
+      val b = T(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select((size(split(col("text"), " ")).cast("long")).as("nt"))
+        .groupBy((floor(col("nt") / 64) * 64).as("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      val cum = Window.partitionBy().orderBy(col("bucket_lo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      b.select(col("bucket_lo"), col("n_docs"), col("n_tokens"),
+          sum(col("n_tokens")).over(cum).as("cum_tokens"),
+          sum(col("n_tokens")).over(tot).as("__tot"))
+        .select(col("bucket_lo"), col("n_docs"), col("n_tokens"), col("cum_tokens"),
+          (col("n_tokens").cast("double") / col("__tot").cast("double"))
+            .as("token_share"),
+          (col("cum_tokens").cast("double") / col("__tot").cast("double"))
+            .as("cum_token_share"))
+        .orderBy(col("bucket_lo"))
+    }, Some("""
+      WITH t AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        FROM documents WHERE text IS NOT NULL),
+      b AS (
+        SELECT (nt // 64) * 64 AS bucket_lo, count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens
+        FROM t GROUP BY 1),
+      c AS (
+        SELECT *,
+          CAST(sum(n_tokens) OVER (ORDER BY bucket_lo
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+          CAST(sum(n_tokens) OVER () AS BIGINT) AS tot
+        FROM b)
+      SELECT bucket_lo, n_docs, n_tokens, cum_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS token_share,
+             CAST(cum_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_token_share
+      FROM c ORDER BY bucket_lo""")),
+
+    // Prefix-fingerprint dedup — the boilerplate/mirror-page heuristic:
+    // documents sharing their first 8 words collapse to one keeper. Reuses
+    // exactDupGroups with a hash48-of-prefix key: same one-shuffle shape as
+    // q21/q22, a different (cheaper, position-sensitive) notion of "same".
+    ("q157_prefix_dedup", (s, dir) => {
+      Dedup.exactDupGroups(
+        T(s, dir, "documents").where(col("text").isNotNull), "doc_id",
+        TextAnalysis.hash48(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+        .orderBy(col("dup_key"))
+    }, Some("""
+      SELECT ('0x' || substr(md5(array_to_string(string_split(text, ' ')[1:8], ' ')), 1, 12))::BIGINT AS dup_key,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY 1 ORDER BY dup_key""")),
+
+    // Dedup-method agreement audit: the MinHash-LSH (q23) and SimHash (q84)
+    // candidate-pair sets over the same corpus, full-outer-joined — the
+    // report a pipeline owner reads before trusting one method's recall.
+    // Both pair pipelines are the already-proven bucket-join shapes; the
+    // join keys are (id_a, id_b) canonical pairs, so the audit costs one
+    // extra shuffle of the (tiny) pair sets, never of the corpus.
+    ("q158_dedup_agreement", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val mh = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+        .withColumn("m", lit(1))
+      val sh = Dedup.simhashCandidatePairs(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b")).withColumn("s", lit(1))
+      mh.join(sh, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          count(col("m")).as("n_minhash"),
+          count(col("s")).as("n_simhash"),
+          sum(when(col("m").isNotNull && col("s").isNotNull, 1L).otherwise(0L))
+            .as("n_both"),
+          sum(when(col("s").isNull, 1L).otherwise(0L)).as("n_minhash_only"),
+          sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_simhash_only"))
+    }, Some("""
+      WITH docs3 AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs3),
+      mhx AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mhx GROUP BY doc_id, p // 4),
+      mpairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      sim AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 48), b ->
+            CASE WHEN list_sum(list_transform(string_split(text, ' '), w ->
+                   2 * ((('0x' || substr(md5(w), 1, 12))::BIGINT >> b) & 1) - 1)) > 0
+                 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+        FROM documents),
+      posted AS (
+        SELECT t.band, (simhash >> (t.band * 12)) & 4095 AS sig, doc_id, simhash
+        FROM sim CROSS JOIN generate_series(0, 3) t(band)),
+      spairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM posted a JOIN posted b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      mm AS (SELECT id_a, id_b, 1 AS m FROM mpairs),
+      ss AS (SELECT id_a, id_b, 1 AS s FROM spairs),
+      j AS (
+        SELECT mm.m, ss.s FROM mm
+        FULL JOIN ss ON mm.id_a = ss.id_a AND mm.id_b = ss.id_b)
+      SELECT CAST(count(m) AS BIGINT) AS n_minhash,
+             CAST(count(s) AS BIGINT) AS n_simhash,
+             CAST(sum(CASE WHEN m = 1 AND s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_only,
+             CAST(sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_only
+      FROM j""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
