@@ -5024,6 +5024,126 @@ object SparkEntry {
              CAST(sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_only
       FROM j""")),
 
+    // Per-document n-gram novelty (corpus-unique gram share) — the
+    // uniqueness/memorization-risk signal, computed on the same inverted
+    // index as the Jaccard/decontamination operators: all work linear in
+    // posting count, no pair space anywhere.
+    ("q159_ngram_novelty", (s, dir) => {
+      TextAnalysis.noveltyScores(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END) AS sh
+        FROM documents WHERE text IS NOT NULL),
+      posts AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+      dfreq AS (SELECT g, count(*) AS df FROM posts GROUP BY g)
+      SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS novelty
+      FROM posts JOIN dfreq USING (g)
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // LSH calibration audit: for every MinHash candidate pair, the
+    // signature-agreement ESTIMATE of Jaccard (agreeing permutations / 16 —
+    // the unbiased MinHash estimator) next to the EXACT n-gram Jaccard,
+    // computed only for the candidate set (postings semi-restricted by the
+    // pair ids — never all-pairs). The report that answers "is 16
+    // permutations enough?" before trusting the dedup at scale.
+    ("q160_lsh_calibration", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val sa = sigs.select(col("doc_id").as("id_a") +:
+        (0 until 16).map(p => col(s"mh_$p").as(s"a_$p")): _*)
+      val sb = sigs.select(col("doc_id").as("id_b") +:
+        (0 until 16).map(p => col(s"mh_$p").as(s"b_$p")): _*)
+      val agree = (0 until 16)
+        .map(p => when(col(s"a_$p") === col(s"b_$p"), lit(1L)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val withAgree = cands.join(sa, "id_a").join(sb, "id_b")
+        .select(col("id_a"), col("id_b"), agree.as("n_agree"))
+      val posts = docs
+        .where(col("text").isNotNull)
+        .withColumn("__words", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), col("__words"))).as("__g"))
+        .distinct()
+        .localCheckpoint(true)
+      val sizes = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cands
+        .join(posts.select(col("doc_id").as("id_a"), col("__g")), "id_a")
+        .join(posts.select(col("doc_id").as("id_b"), col("__g")), Seq("id_b", "__g"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      withAgree
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"), col("n_agree"),
+          (col("n_agree").cast("double") / lit(16.0)).as("est_jaccard"),
+          col("n_shared"),
+          (col("n_shared").cast("double") /
+            (col("na") + col("nb") - col("n_shared")).cast("double")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH docs3 AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs3),
+      mhx AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mhx GROUP BY doc_id, p // 4),
+      mpairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      agree AS (
+        SELECT j.id_a, j.id_b,
+               CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        FROM mpairs j
+        JOIN mhx a ON a.doc_id = j.id_a
+        JOIN mhx b ON b.doc_id = j.id_b AND b.p = a.p
+        GROUP BY j.id_a, j.id_b),
+      posts AS (
+        SELECT doc_id, unnest(list_distinct(sh)) AS g
+        FROM docs3 WHERE sh IS NOT NULL),
+      sizes AS (SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id),
+      inter AS (
+        SELECT j.id_a, j.id_b, count(*) AS n_shared
+        FROM mpairs j
+        JOIN posts pa ON pa.doc_id = j.id_a
+        JOIN posts pb ON pb.doc_id = j.id_b AND pb.g = pa.g
+        GROUP BY j.id_a, j.id_b)
+      SELECT g.id_a, g.id_b, g.n_agree,
+             CAST(g.n_agree AS DOUBLE) / 16.0 AS est_jaccard,
+             COALESCE(i.n_shared, 0) AS n_shared,
+             CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+               / CAST(na.n + nb.n - COALESCE(i.n_shared, 0) AS DOUBLE) AS jaccard
+      FROM agree g
+      LEFT JOIN inter i ON i.id_a = g.id_a AND i.id_b = g.id_b
+      JOIN sizes na ON na.doc_id = g.id_a
+      JOIN sizes nb ON nb.doc_id = g.id_b
+      ORDER BY g.id_a, g.id_b""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

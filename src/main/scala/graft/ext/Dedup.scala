@@ -475,11 +475,18 @@ object Dedup {
     var converged = canon.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(canon)).localCheckpoint()
-      // exact set fixpoint (both sides distinct): no edge left or gained.
+      // LAZY checkpoint: the convergence check below is the round's ONLY
+      // job — it materializes `next` into the block store as it scans, so
+      // each alternation costs one job, not a checkpoint job plus a check
+      // job. Iterative rounds live or die on per-round job count.
+      val next = smallStar(largeStar(canon)).localCheckpoint(false)
+      // exact set fixpoint (both sides distinct): symmetric difference
+      // empty ⟺ equal sets (rows in exactly one side have union-count 1).
       // At the fixpoint every component is a star centered at its minimum.
-      converged = next.count() == canon.count() &&
-        next.except(canon).isEmpty
+      converged = next.union(canon)
+        .groupBy(col("hi"), col("lo")).agg(count(lit(1)).as("__c"))
+        .where(col("__c") === 1)
+        .isEmpty
       canon = next
       i += 1
     }

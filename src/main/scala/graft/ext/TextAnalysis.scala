@@ -166,6 +166,34 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Per-document n-gram NOVELTY — the uniqueness/memorization-risk signal:
+    * how many of a doc's distinct word 3-grams occur NOWHERE else in the
+    * corpus (`n_unique`, corpus document frequency exactly 1), as a share
+    * of its distinct grams (`novelty`). High-novelty docs carry content the
+    * corpus cannot re-derive; low-novelty docs are recombinations.
+    *
+    * Shape: the SAME inverted index as the Jaccard/decontamination
+    * operators — distinct (doc, gram) postings, one hash agg for corpus
+    * document frequency, one join back, one per-doc fold. All work is
+    * linear in posting count (no pair space), hot grams only ever carry a
+    * count, and both shuffles key on gram/doc — the shape that holds at
+    * 100 TB. Null-text docs have no grams and are excluded. */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val posts = df
+      .where(col(textCol).isNotNull)
+      .withColumn("__words", words(col(textCol)))
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), col("__words"))).as("__g"))
+      .distinct()
+    val dfreq = posts.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    posts.join(dfreq, "__g")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"),
+        (sum(when(col("__df") === 1, lit(1L)).otherwise(lit(0L))).cast("double") /
+          count(lit(1)).cast("double")).as("novelty"))
+  }
+
   /** Intra-document repetition stats — the "duplicated n-gram fraction"
     * quality signal (published web-corpus filtering heuristics): a document
     * whose 3-grams repeat heavily is boilerplate/spam-shaped regardless of

@@ -200,6 +200,24 @@ class TextAnalysisSpec extends SparkTestBase {
       (3L, 1L, 1L, 0.0))
   }
 
+  test("noveltyScores: corpus-unique gram share, duplicate docs score zero") {
+    val df = Seq(
+      (1L, "w x y z q r"),         // grams wxy,xyz,yzq,zqr — all corpus-unique
+      (2L, "a b c d e"),           // abc,bcd,cde — all shared with doc 3
+      (3L, "a b c d e"),           // exact dup of 2: novelty 0
+      (4L, "a b c k l m"),         // abc shared; bck,ckl,klm unique
+      (5L, null.asInstanceOf[String])) // excluded
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScores(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    out shouldBe Seq(
+      (1L, 4L, 4L, 1.0),
+      (2L, 3L, 0L, 0.0),
+      (3L, 3L, 0L, 0.0),
+      (4L, 4L, 3L, 0.75))
+  }
+
   test("vocabTopK ranks by count desc then token, drops empty tokens") {
     val df = Seq((1L, "b b a a a  c"), (2L, "b c d")).toDF("doc_id", "text")
     // counts: a=3, b=3, c=2, d=1; the doubled space yields an empty token
