@@ -5144,6 +5144,36 @@ object SparkEntry {
       JOIN sizes nb ON nb.doc_id = g.id_b
       ORDER BY g.id_a, g.id_b""")),
 
+    // Prefix-filtered set-similarity join (SSJoin/PPJoin principle) —
+    // RESULT-IDENTICAL to q25's inverted-index Jaccard at the same
+    // threshold (it shares q25's oracle verbatim), but candidates come
+    // only from each doc's rarest n−⌈t·n⌉+1 shingles: the prefix theorem
+    // guarantees lossless pruning, so the stop-shingle df² quadratic never
+    // reaches the candidate stage.
+    ("q161_prefix_jaccard", (s, dir) => {
+      Dedup.prefixFilteredJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+          Seq("lang"), 0.12)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, lang,
+          list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END) AS sh
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_intersect(a.sh, b.sh)) AS inter,
+          len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+        FROM docs a JOIN docs b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
+      FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.12
+      ORDER BY id_a, id_b""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

@@ -248,6 +248,32 @@ class DedupSpec extends SparkTestBase {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.01, maxDf = Some(1))
   }
 
+  test("prefix-filtered jaccard equals the inverted-index form (lossless pruning law)") {
+    // mixed corpus: exact dups, a near-dup pair, unrelated docs, a shared
+    // stop-shingle that must NOT create a surviving pair
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "the quick brown fox jumps over the lazy dog"),
+      (3L, "en", "the quick brown fox leaps over the lazy dog"),
+      (4L, "en", "completely different content the quick brown here"),
+      (5L, "de", "the quick brown fox jumps over the lazy dog"), // other block
+      (6L, "en", "tiny doc"),
+      (7L, "en", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "text")
+    for (t <- Seq(0.05, 0.3, 0.9)) {
+      val fast = Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text", Seq("lang"), t)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), t)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      withClue(s"threshold $t")(fast shouldBe full)
+    }
+    // sanity: the exact-dup pair is found at every threshold
+    Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) should contain((1L, 2L))
+  }
+
   test("connectedComponents: transitive closure labels every node with the component min") {
     // chain 1-2-3 (transitive: 1 and 3 never share an edge), pair 10-11,
     // isolated-by-absence 99 (no edges -> not in output)
