@@ -5174,6 +5174,113 @@ object SparkEntry {
       FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.12
       ORDER BY id_a, id_b""")),
 
+    // Per-source near-dup governance report: which sources generate the
+    // candidate pairs (mirror sites, syndicated feeds). The corpus pays
+    // only the already-proven pair pipeline; sources attach by two joins
+    // on the (tiny) pair set and the rate is a single division by the
+    // windowed total.
+    ("q162_dedup_by_source", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      val tot = Window.partitionBy()
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("src_lo"),
+          greatest(col("sa"), col("sb")).as("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("pair_share",
+          col("n_pairs").cast("double") /
+            sum(col("n_pairs")).over(tot).cast("double"))
+        .orderBy(col("src_lo"), col("src_hi"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs),
+      mh AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mh GROUP BY doc_id, p // 4),
+      mpairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      lab AS (
+        SELECT least(da.source, db.source) AS src_lo,
+               greatest(da.source, db.source) AS src_hi, count(*) AS n_pairs
+        FROM mpairs j
+        JOIN documents da ON da.doc_id = j.id_a
+        JOIN documents db ON db.doc_id = j.id_b
+        GROUP BY 1, 2)
+      SELECT src_lo, src_hi, n_pairs,
+        CAST(n_pairs AS DOUBLE) / CAST(sum(n_pairs) OVER () AS DOUBLE) AS pair_share
+      FROM lab ORDER BY src_lo, src_hi""")),
+
+    // Label-centroid separation matrix over int8-QUANTIZED embeddings
+    // (q116's exact-BIGINT centroid sums, taken pairwise): Euclidean
+    // distance between every label pair's centroid, the "are my classes
+    // separable?" audit. The corpus reduces ONCE to |labels|·64 exact
+    // integer sums; the |labels|² pairing and the per-pair 64-term fold
+    // run on that tiny frame, with a SEQUENTIAL left-to-right fold
+    // (zip_with + aggregate ≡ DuckDB's list fold) so the double sum has
+    // ONE evaluation order in both engines.
+    ("q163_centroid_distances", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val codes = emb.select(col("label"),
+        ext.Quantize.int8Codes(col("embedding"),
+          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
+      val cent = codes
+        .select(col("label"), posexplode(col("codes")).as(Seq("p", "c")))
+        .groupBy(col("label").cast("long").as("label"), col("p"))
+        .agg((sum(col("c").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("centroid"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(p, centroid))), x -> x.centroid)")
+          .as("cvec"))
+      val a = cent.select(col("label").as("label_a"), col("cvec").as("ca"))
+      val b = cent.select(col("label").as("label_b"), col("cvec").as("cb"))
+      a.crossJoin(b).where(col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          sqrt(expr("aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v)"))
+            .as("dist"))
+        .orderBy(col("label_a"), col("label_b"))
+    }, Some("""
+      WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
+      s AS (
+        SELECT label, vec,
+          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
+        FROM v),
+      q AS (
+        SELECT label, CASE WHEN scale = 0
+          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
+        FROM s),
+      e AS (
+        SELECT label, i, codes[i] AS c
+        FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r),
+      cent AS (
+        SELECT CAST(label AS BIGINT) AS label, i,
+          CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid
+        FROM e GROUP BY 1, 2),
+      cv AS (SELECT label, list(centroid ORDER BY i) AS cvec FROM cent GROUP BY label)
+      SELECT a.label AS label_a, b.label AS label_b,
+        sqrt(list_sum(list_transform(range(1, 65),
+          i -> (a.cvec[i] - b.cvec[i]) * (a.cvec[i] - b.cvec[i])))) AS dist
+      FROM cv a JOIN cv b ON a.label < b.label
+      ORDER BY label_a, label_b""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
