@@ -62,23 +62,31 @@ object Bench {
       } yield warm.getPath).getOrElse(target.getPath)
     }
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+    // one warmup pass over the whole catalog at the small SF
+    catalog.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
-      // median of three timed runs: steady-state throughput, robust to the
-      // ±2-5× transient cgroup/VM CPU-throttle spikes a single sample can
-      // absorb (single-shot numbers kept generating false regression alarms)
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name failed: $e")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times
     }
+    // median of three timed runs, taken as three INTERLEAVED passes over
+    // the catalog rather than back-to-back per query: VM/cgroup CPU
+    // throttling arrives in multi-minute windows that would hit all three
+    // consecutive runs of one query at once — spreading a query's samples
+    // across the whole bench decorrelates them, so the median survives any
+    // single throttle window (back-to-back medians kept generating false
+    // regression alarms like r3's q23 and r4's q104)
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to 3; (name, fn) <- catalog) {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name failed: $e")
+      }
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+    }
+    val results = catalog.map { case (name, _) => name -> samples(name).sorted }
     val qs = results.map { case (k, t) => "\"" + k + "\":" + t(1) }
       .mkString("{", ",", "}")
     // per-query [min, max] so a reader can tell real regressions from noise

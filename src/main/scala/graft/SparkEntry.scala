@@ -425,6 +425,13 @@ object SparkEntry {
     ("q19_stream_stats", (s, dir) => {
       import s.implicits._
       val game = gameEvents(T(s, dir, "events"))
+      // VERIFICATION-HARNESS BOUNDARY: this entry materializes the streaming
+      // result on the driver (memory sink + collect + createDataFrame) —
+      // the only way to hand a STREAMING result to the batch oracle compare.
+      // It would not survive 100×; the PRODUCTION path is
+      // `statefulPlayerStats → Sinks.historizedSink`, which is fully
+      // distributed (foreachBatch append, no driver materialization) and is
+      // what `SourcesSinksSpec`/`RecoverySpec` exercise.
       // The file-stream source needs a DIRECTORY: stage the derived events as
       // one parquet file (1 file ⇒ 1 AvailableNow micro-batch), then tear
       // everything down — temp dir and memory-sink view — once the result is

@@ -29,7 +29,14 @@ object TextAnalysis {
     * the property that lets a DuckDB/Trino oracle reproduce it literally. */
   def intMix48(k: Column): Column = {
     val m = lit(1L << 48)
-    val h0 = k.cast("long") % m
+    // negative keys would make the multiply wrap here but RAISE in engines
+    // with checked BIGINT arithmetic (DuckDB) — diverging checksums are
+    // worse than an error, so refuse loudly
+    val nonNeg = when(k.cast("long") >= 0, k.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("intMix48: negative key "), k.cast("string"),
+        lit(" — the mix is defined for non-negative integral keys"))))
+    val h0 = nonNeg % m
     val h1 = h0.bitwiseXOR(shiftright(h0, 21))
     val h2 = (h1 * lit(26071L)) % m // 0x65D7, odd
     val h3 = h2.bitwiseXOR(shiftright(h2, 17))

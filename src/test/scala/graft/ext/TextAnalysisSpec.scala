@@ -106,6 +106,27 @@ class TextAnalysisSpec extends SparkTestBase {
     got shouldBe java.lang.Long.parseLong(hex, 16)
   }
 
+  test("intMix48 matches a JVM replica, stays in [0, 2^48), rejects negatives") {
+    def mix(k: Long): Long = {
+      val m = 1L << 48
+      val h0 = k % m
+      val h1 = h0 ^ (h0 >>> 21)
+      val h2 = (h1 * 26071L) % m
+      val h3 = h2 ^ (h2 >>> 17)
+      val h4 = (h3 * 20267L) % m
+      h4 ^ (h4 >>> 13)
+    }
+    val keys = Seq(0L, 1L, 7L, 123456789L, (1L << 48) - 1, 48000007L)
+    val got = keys.toDF("k").select(TextAnalysis.intMix48(col("k")).as("m"))
+      .collect().map(_.getLong(0)).toSeq
+    got shouldBe keys.map(mix)
+    all(got) should (be >= 0L and be < (1L << 48))
+    val e = intercept[Exception] {
+      Seq(-1L).toDF("k").select(TextAnalysis.intMix48(col("k"))).collect()
+    }
+    e.getMessage should include("negative key")
+  }
+
   test("redactPii masks emails, ip literals and long digit runs, keeps prose") {
     val df = Seq(
       "contact me at jane.doe+x@example.co.uk or 555-123-4567-89",
