@@ -5288,6 +5288,175 @@ object SparkEntry {
       FROM cv a JOIN cv b ON a.label < b.label
       ORDER BY label_a, label_b""")),
 
+    // ANN recall audit (q160's sibling for the vector side): every
+    // approximate index trades recall for probe cost, and this report is the
+    // number that decides whether the trade is acceptable — per-query
+    // recall@k of BOTH approximate methods (sign-bucket LSH and IVF/nprobe)
+    // against the exact brute-force top-k. The exact side is computed once
+    // on the (tiny) query set; the joins that score the methods touch only
+    // |queries|·k rows, never the corpus. At 100 TB the brute-force side is
+    // the expensive one — it runs over a fixed evaluation slice (here
+    // vec_id < 10), which is exactly how production recall audits bound it.
+    ("q164_ann_recall", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(qs, emb, "vec_id", "vec_id", "embedding", 3)
+        .select(col("q_id").as("bq"), col("n_id").as("bn"))
+      val cents = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val meth =
+        Similarity.bucketedTopK(qs, emb, "vec_id", "vec_id", "embedding", 3)
+          .select(lit("bucketed").as("method"), col("q_id").as("mq"), col("n_id").as("mn"))
+        .unionByName(
+          Similarity.ivfTopK(qs, emb, cents, "vec_id", "vec_id", "cid", "embedding",
+              k = 3, nprobe = 2)
+            .select(lit("ivf").as("method"), col("q_id").as("mq"), col("n_id").as("mn")))
+      val mm = meth.select(col("method").as("mthd")).distinct()
+      bf.crossJoin(mm)
+        .join(meth,
+          col("mthd") === col("method") && col("bq") === col("mq") &&
+            col("bn") === col("mn"),
+          "left")
+        .groupBy(col("mthd"), col("bq"))
+        .agg(count(col("mn")).as("n_hit"))
+        .select(col("mthd").as("method"), col("bq").as("q_id"), col("n_hit"),
+          lit(3).as("k"),
+          (col("n_hit").cast("double") / lit(3)).as("recall"))
+        .orderBy(col("method"), col("q_id"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          list_sum(list_transform(range(1, least(len(q.vec), len(c.vec)) + 1), i -> q.vec[i] * c.vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * c.vec[i])))) AS sim
+        FROM v q CROSS JOIN v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      bf AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM scored) t
+        WHERE rank <= 3),
+      b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          CAST(list_sum(list_transform(range(0, 8), i ->
+            CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        FROM embeddings),
+      ascored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          list_sum(list_transform(range(1, least(len(q.v), len(c.v)) + 1), i -> q.v[i] * c.v[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS sim
+        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10),
+      ann AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM ascored) t
+        WHERE rank <= 3),
+      cent AS (SELECT vec_id AS cid, vec AS c_vec FROM v WHERE vec_id % 100 = 0),
+      cosd AS (
+        SELECT a.vec_id AS n_id, a.vec AS n_vec, c.cid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.c_vec)) + 1), i -> a.vec[i] * c.c_vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(c.c_vec) + 1), i -> c.c_vec[i] * c.c_vec[i])))) AS c_sim
+        FROM v a CROSS JOIN cent c),
+      lists AS (
+        SELECT n_id, n_vec, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_sim DESC, cid) AS rn
+          FROM cosd) WHERE rn = 1),
+      probes AS (
+        SELECT n_id AS q_id, n_vec AS q_vec, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_sim DESC, cid) AS rn
+          FROM cosd WHERE n_id < 10) WHERE rn <= 2),
+      iscored AS (
+        SELECT p.q_id, l.n_id,
+          list_sum(list_transform(range(1, least(len(p.q_vec), len(l.n_vec)) + 1), i -> p.q_vec[i] * l.n_vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(p.q_vec) + 1), i -> p.q_vec[i] * p.q_vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(l.n_vec) + 1), i -> l.n_vec[i] * l.n_vec[i])))) AS sim
+        FROM probes p JOIN lists l ON l.cid = p.cid AND l.n_id <> p.q_id),
+      ivf AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM iscored) t
+        WHERE rank <= 3),
+      meth AS (
+        SELECT 'bucketed' AS method, q_id, n_id FROM ann
+        UNION ALL SELECT 'ivf', q_id, n_id FROM ivf)
+      SELECT mm.method AS method, bf.q_id AS q_id, count(m.n_id) AS n_hit, 3 AS k,
+        CAST(count(m.n_id) AS DOUBLE) / 3 AS recall
+      FROM bf CROSS JOIN (SELECT DISTINCT method FROM meth) mm
+      LEFT JOIN meth m ON m.method = mm.method AND m.q_id = bf.q_id AND m.n_id = bf.n_id
+      GROUP BY 1, 2 ORDER BY method, q_id""")),
+
+    // Canonical-document selection — the artifact a dedup pipeline actually
+    // ships: per near-dup cluster (q41's connected components over the
+    // minhash pair graph), keep the longest member (ties → lowest doc_id)
+    // and account for what was dropped. The corpus-scale work is the
+    // already-proven pair pipeline; clustering, ranking, and the
+    // kept/dropped ledger all run on the (tiny) cluster-member set, joined
+    // back to `documents` by key — a co-partitioned hash join at 100 TB,
+    // never a second corpus scan. All outputs are exact BIGINTs.
+    ("q165_cluster_canonical", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      val clus = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val memb = clus.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      memb.withColumn("rn", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(
+          max(when(col("rn") === 1, col("doc_id"))).as("canonical_id"),
+          max(when(col("rn") === 1, col("n_chars"))).as("canonical_chars"),
+          count(lit(1)).as("n_members"),
+          (count(lit(1)) - lit(1)).as("n_dropped"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(when(col("rn") > 1, col("n_chars")).otherwise(lit(0L))).as("chars_dropped"))
+        .orderBy(col("cluster_id"))
+    }, Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs),
+      mh AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mh GROUP BY doc_id, p // 4),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      clus AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+      memb AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars
+        FROM clus c JOIN documents d ON c.doc_id = d.doc_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+        FROM memb)
+      SELECT cluster_id,
+        max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+        max(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars,
+        count(*) AS n_members,
+        count(*) - 1 AS n_dropped,
+        CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+      FROM ranked GROUP BY cluster_id ORDER BY cluster_id""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
