@@ -5457,6 +5457,160 @@ object SparkEntry {
         CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
       FROM ranked GROUP BY cluster_id ORDER BY cluster_id""")),
 
+    // BPE merge-candidate scan — the inner loop of byte-pair-encoding
+    // tokenizer training at corpus scale: word frequencies (ONE corpus
+    // reduce; the word domain is Zipf-small), then adjacent character
+    // pairs weighted by word frequency (a second reduce over the tiny
+    // charset² pair domain — map-side combine collapses it before the
+    // exchange). No per-document state, no driver loop: at 100 TB the
+    // corpus is touched once and everything downstream is dictionary-sized.
+    ("q166_bpe_merges", (s, dir) => {
+      val w = T(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      w.where(length(col("word")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"),
+          col("n"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("pair"))).cast("int"))
+        .where(col("rank") <= 50)
+        .select(col("rank"), col("pair"), col("cnt"))
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH w AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        WHERE word <> '' GROUP BY word),
+      p AS (
+        SELECT unnest(list_transform(range(1, len(word)), i -> substr(word, i, 2))) AS pair, n
+        FROM w WHERE len(word) >= 2),
+      agg AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM p GROUP BY pair),
+      ranked AS (
+        SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
+        FROM agg)
+      SELECT rank, pair, cnt FROM ranked WHERE rank <= 50 ORDER BY rank""")),
+
+    // Join fan-out pre-flight audit — predict an N:M join's output size
+    // WITHOUT running the join: per-key multiplicities of each side (two
+    // keyed reduces, map-side combined), joined on the key domain (already
+    // co-partitioned by the groupBy), out_rows = nl·nr per key. At 100 TB
+    // this is the report that catches the key that would explode a join
+    // into 10¹² rows — for the cost of two aggregations instead of the
+    // catastrophic shuffle itself.
+    ("q167_join_explosion", (s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val l = li.where(col("l_returnflag") === "R")
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("nl"))
+      val r = li.where(col("l_linestatus") === "F")
+        .groupBy(col("l_partkey").as("kr")).agg(count(lit(1)).as("nr"))
+      l.join(r, col("k") === col("kr"))
+        .select(col("k"), col("nl"), col("nr"), (col("nl") * col("nr")).as("out_rows"))
+        .withColumn("total_out", sum(col("out_rows")).over(Window.partitionBy()))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("out_rows").desc, col("k"))).cast("int"))
+        .where(col("rank") <= 20)
+        .select(col("rank"), col("k").as("join_key"), col("nl"), col("nr"),
+          col("out_rows"), col("total_out"),
+          (col("out_rows").cast("double") / col("total_out").cast("double")).as("out_share"))
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH l AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS nl
+                 FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+      r AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS nr
+            FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1),
+      j AS (SELECT l.k AS k, nl, nr, nl * nr AS out_rows FROM l JOIN r ON l.k = r.k),
+      t AS (SELECT *, CAST(sum(out_rows) OVER () AS BIGINT) AS total_out,
+              CAST(row_number() OVER (ORDER BY out_rows DESC, k) AS INT) AS rank
+            FROM j)
+      SELECT rank, k AS join_key, nl, nr, out_rows, total_out,
+        CAST(out_rows AS DOUBLE) / total_out AS out_share
+      FROM t WHERE rank <= 20 ORDER BY rank""")),
+
+    // Per-source boilerplate detection (C4-style cleaning signal): an
+    // n-gram repeated across documents OF THE SAME SOURCE is
+    // template/boilerplate text, not content. The corpus explodes once to
+    // distinct per-doc shingles (the same inverted-index spine as
+    // q25/q51/q159); within-source document frequency is one keyed reduce;
+    // the per-doc share joins postings to flags BY (source, gram) — linear
+    // in postings, no pair space anywhere. The df ≥ 2 floor is the
+    // data-scaled knob (production corpora use a source-size fraction).
+    ("q168_boilerplate_grams", (s, dir) => {
+      val sh = T(s, dir, "documents")
+        .withColumn("__words", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(Dedup.shingles(col("text"), col("__words")))).as("g"))
+      val flag = sh.groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("df"))
+        .select(col("source").as("fs"), col("g").as("fg"), (col("df") >= 2).as("boiler"))
+      sh.join(flag, col("source") === col("fs") && col("g") === col("fg"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("boiler"), lit(1L)).otherwise(lit(0L))).as("n_boiler"))
+        .select(col("doc_id"), col("source"), col("n_grams"), col("n_boiler"),
+          (col("n_boiler").cast("double") / col("n_grams").cast("double")).as("boiler_share"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id, source,
+          unnest(list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END)) AS g
+        FROM documents),
+      gdf AS (SELECT source, g, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1, 2),
+      flag AS (SELECT source, g, (df >= 2) AS boiler FROM gdf),
+      per_doc AS (
+        SELECT d.doc_id, d.source, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(CASE WHEN f.boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        FROM sh d JOIN flag f ON d.source = f.source AND d.g = f.g
+        GROUP BY 1, 2)
+      SELECT doc_id, source, n_grams, n_boiler,
+        CAST(n_boiler AS DOUBLE) / n_grams AS boiler_share
+      FROM per_doc ORDER BY doc_id""")),
+
+    // Per-language adaptive quality gate — the real shape of a corpus
+    // quality filter: instead of one global threshold (which would gut
+    // low-resource languages), rank documents WITHIN each language by a
+    // quality score and drop the bottom fifth. The gate itself is exact
+    // integer arithmetic (5·(rn−1) ≥ n−1 ⇔ percent_rank ≥ 0.2 under a
+    // total order), so no float comparison decides membership; the score
+    // (q30's distinct_ratio) is a single IEEE division — bit-exact in both
+    // engines. One shuffle (partition by lang) + per-partition sort; at
+    // 100 TB the same report swaps the full sort for a percentile_approx
+    // threshold with bounded rank error — the exact form here is the oracle
+    // for that approximation.
+    ("q169_quality_gate", (s, dir) => {
+      val sc = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        (size(array_distinct(split(col("text"), " "))).cast("double") /
+          size(split(col("text"), " ")).cast("double")).as("score"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("score").asc, col("doc_id").asc)
+      sc.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .where((col("rn") - 1) * 5 >= col("nd") - 1)
+        .groupBy(col("lang"))
+        .agg(max(col("nd")).as("n_docs"), count(lit(1)).as("n_kept"),
+          min(col("score")).as("cut_score"))
+        .orderBy(col("lang"))
+    }, Some("""
+      WITH sc AS (
+        SELECT doc_id, lang,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+            len(string_split(text, ' ')) AS score
+        FROM documents),
+      rk AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS BIGINT) AS rn,
+          CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS nd
+        FROM sc),
+      kept AS (SELECT * FROM rk WHERE (rn - 1) * 5 >= nd - 1)
+      SELECT lang, CAST(max(nd) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_kept,
+        min(score) AS cut_score
+      FROM kept GROUP BY lang ORDER BY lang""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
