@@ -125,24 +125,34 @@ object Dedup {
     * ingest feed, completing the batch/stream twin convention (exact dedup
     * already has `dropDuplicates`; this covers NEAR-dup).
     *
-    * Semantics (first-wins bucket ownership): each arriving doc lands in
-    * `bands` LSH buckets; a bucket's first claimant owns it forever (within
-    * the watermark), and a doc is KEPT iff it owns every bucket it lands
-    * in — i.e. it near-collides with NO earlier-arrived doc. Dropped docs
+    * Semantics (min-id bucket ownership per event-time window): each
+    * arriving doc lands in `bands` LSH buckets; within a tumbling
+    * `windowDuration` window a bucket is owned by the LOWEST doc id that
+    * claimed it, and a doc is KEPT iff it owns every bucket it lands in —
+    * i.e. it near-collides with NO lower-id doc in its window. Dropped docs
     * still claim their novel buckets, so near-dup chains collapse
-    * transitively like [[dedupCorpus]]'s connected components.
+    * transitively like [[dedupCorpus]]'s connected components. Ownership is
+    * decided by id, NOT by micro-batch arrival order: the verdict is
+    * deterministic however the rows are batched or partitioned, and the
+    * batch twin (min-id owners over the same window) matches bit-for-bit.
+    * (A first-arrival `dropDuplicatesWithinWatermark` ownership looks
+    * simpler but is unsound: two same-window dups arriving in ONE
+    * micro-batch can split the band wins between them — per-key winners are
+    * partition-order-dependent — leaving NO member owning all its buckets,
+    * and the content vanishes entirely. Min-id ownership always keeps
+    * exactly the lowest-id representative.) Cross-window dups are out of
+    * scope by design — dedup across snapshots is the batch/incremental
+    * path's job ([[minhashIncrementPairs]]).
     *
     * Stream-legal shape: signatures are computed PER ROW with array HOFs
-    * (`array_min(transform(...))` — bit-identical values to
-    * [[minhashSignatures]]' groupBy-min, no aggregation on the stream),
-    * buckets explode 1→bands with no shuffle, ownership is
-    * `dropDuplicatesWithinWatermark(band, sig)` (state = one row per LIVE
-    * bucket, evicted by watermark), and the doc-level verdict is a windowed
-    * count == bands in append mode. State is O(live buckets) no matter how
-    * long the stream runs — the 100 TB form. Docs sharing a timestamp
-    * window and a bucket race on micro-batch arrival order (the inherent
-    * streaming tiebreak); the batch twin with min-id ownership matches
-    * whenever arrival order follows id order.
+    * (one md5 pass per shingle into `__hs`, then numPerm
+    * `array_min(transform(__hs, permute))` over the precomputed longs —
+    * bit-identical values to [[minhashSignatures]]' groupBy-min, no
+    * aggregation on the stream), buckets explode 1→bands, bucket owners are
+    * a windowed `min(id)` per (window, band, sig), and the doc-level
+    * verdict is a chained windowed count == bands — both aggregations in
+    * append mode with state evicted by the watermark (O(live buckets), the
+    * 100 TB form).
     *
     * Returns the kept docs' ids (append mode — rows finalize once the
     * watermark passes their window). */
@@ -157,9 +167,12 @@ object Dedup {
       .where(col(textCol).isNotNull)
       .withWatermark(tsCol, delayThreshold)
       .withColumn("__words", split(col(textCol), " "))
-    val sh = shingles(col(textCol), col("__words"))
+      // hash each shingle ONCE; the numPerm signature mins below permute the
+      // precomputed longs (1 md5 pass per shingle, not numPerm)
+      .withColumn("__hs",
+        transform(shingles(col(textCol), col("__words")), s => hash48(s)))
     val sigCols = (0 until numPerm).map { p =>
-      array_min(transform(sh, s => permute(hash48(s), p))).as(s"mh_$p")
+      array_min(transform(col("__hs"), h => permute(h, p))).as(s"mh_$p")
     }
     val sigs = wm.select(col(idCol) +: col(tsCol) +: sigCols: _*)
     val bandCols = (0 until bands).map { b =>
@@ -171,11 +184,16 @@ object Dedup {
       .select(col(idCol), col(tsCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col(tsCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
     buckets
-      .dropDuplicatesWithinWatermark("band", "sig")
-      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      // bucket owner = min id per (window, band, sig): deterministic in
+      // batching/partition order, unlike first-arrival dropDuplicates
+      .groupBy(window(col(tsCol), windowDuration), col("band"), col("sig"))
+      .agg(min(col(idCol)).as("__owner"))
+      // chained windowed agg (Spark 4.x multi-stateful append): a doc is
+      // kept iff it owns all `bands` of its buckets in its window
+      .groupBy(window(col("window"), windowDuration), col("__owner"))
       .agg(count(lit(1)).as("__owned"))
       .where(col("__owned") === lit(bands.toLong))
-      .select(col(idCol))
+      .select(col("__owner").as(idCol))
   }
 
   def minhashCandidatePairs(
@@ -395,7 +413,12 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(byDoc))
       .join(dfreq, blockCols :+ "__s")
       .withColumn("__pos", row_number().over(globalOrder))
-      .where(col("__pos") <= col("__n") - ceil(lit(minJaccard) * col("__n")) + 1)
+      // the 1e-9 nudge guards the FP product rounding UP past the true
+      // rational ceiling (e.g. 0.07·100 = 7.000000000000001 ⇒ ceil 8, one
+      // prefix element short — a dropped qualifying pair). Erring low keeps
+      // the prefix one element longer: more candidates, still lossless.
+      .where(col("__pos") <=
+        col("__n") - ceil(lit(minJaccard) * col("__n") - lit(1e-9)) + 1)
     val pa = prefix.select((blockCols.map(col) :+ col("__s") :+
       col("__id").as("id_a") :+ col("__n").as("na")): _*)
     val pb = prefix.select((blockCols.map(col) :+ col("__s") :+

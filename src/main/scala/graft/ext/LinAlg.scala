@@ -13,7 +13,7 @@ object LinAlg {
     * `n·Σxᵢxⱼ − Σxᵢ·Σxⱼ` is provably exact in BIGINT with worst-case
     * (saturated ±127) int8 codes: floor(√(Long.MaxValue / 127²)). */
   val MaxExactCovarianceRows: Long =
-    math.sqrt(Long.MaxValue.toDouble / (127L * 127L)).toLong // 23_913_373
+    math.sqrt(Long.MaxValue.toDouble / (127L * 127L)).toLong // 23_913_389
 
   /** Project (key, codes) for the Gram aggregation, failing LOUDLY on a
     * null code vector. Spark's typed-aggregate path SKIPS null inputs
@@ -98,7 +98,7 @@ object LinAlg {
         element_at(col("s"), col("z.ij.j")).as("sj"),
         col("n"))
       // n·g and si·sj are each ≤ n²·127² in magnitude; both stay below
-      // Long.MaxValue only while n ≤ floor(√(2⁶³ / 127²)) = 23_913_373.
+      // Long.MaxValue only while n ≤ floor(√(2⁶³ / 127²)) = 23_913_389.
       .withColumn("cov_num",
         when(col("n") <= lit(LinAlg.MaxExactCovarianceRows),
           col("n") * col("g") - col("si") * col("sj"))

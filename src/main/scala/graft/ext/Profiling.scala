@@ -56,12 +56,15 @@ object Profiling {
     require(clash.isEmpty,
       s"percentile names collide with input columns: ${clash.mkString(", ")}")
     // "n" is the emitted group-size column; __rn/__n and the per-percentile
-    // __lo_/__hi_/__f_ columns are internal scratch — an input column with
-    // any of these names would silently shadow/duplicate them.
+    // __lo_/__hi_/__f_ columns are internal scratch. Only the columns that
+    // SURVIVE the projection below (keys + valueCol) can actually collide —
+    // an unrelated input column named "n" is dropped before any scratch or
+    // output column exists and must not be rejected.
+    val surviving = keys :+ valueCol
     val reserved = Seq("__rn", "__n", "n") ++
       ps.flatMap { case (n, _) => Seq(s"__lo_$n", s"__hi_$n", s"__f_$n") }
     reserved.foreach { r =>
-      require(!df.columns.contains(r), s"$r column name is reserved") }
+      require(!surviving.contains(r), s"$r column name is reserved") }
     require(!ps.exists(_._1 == "n"),
       "percentile name 'n' is reserved for the group-size column")
     val w = org.apache.spark.sql.expressions.Window

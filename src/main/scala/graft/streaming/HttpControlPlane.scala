@@ -34,8 +34,13 @@ final class HttpControlPlane(orchestrator: PipelineOrchestrator, port: Int = 808
     finally ex.close()
   }
 
-  private def handle(ex: HttpExchange, method: String)(action: => String): Unit =
-    if (ex.getRequestMethod != method) respond(ex, 405, "Method Not Allowed")
+  private def handle(ex: HttpExchange, path: String, method: String)(
+      action: => String): Unit =
+    // JDK HttpServer routes by longest PREFIX match, so without the exact
+    // path check /api/stream/startle would reach — and run — the start
+    // handler; unmatched suffixes must 404, not execute lifecycle actions
+    if (ex.getRequestURI.getPath != path) respond(ex, 404, "Not Found")
+    else if (ex.getRequestMethod != method) respond(ex, 405, "Method Not Allowed")
     else
       try respond(ex, 200, action)
       catch {
@@ -46,11 +51,11 @@ final class HttpControlPlane(orchestrator: PipelineOrchestrator, port: Int = 808
       }
 
   server.createContext("/api/stream/start",
-    (ex: HttpExchange) => handle(ex, "POST")(orchestrator.start()))
+    (ex: HttpExchange) => handle(ex, "/api/stream/start", "POST")(orchestrator.start()))
   server.createContext("/api/stream/stop",
-    (ex: HttpExchange) => handle(ex, "POST")(orchestrator.stop()))
+    (ex: HttpExchange) => handle(ex, "/api/stream/stop", "POST")(orchestrator.stop()))
   server.createContext("/api/status",
-    (ex: HttpExchange) => handle(ex, "GET")(orchestrator.status))
+    (ex: HttpExchange) => handle(ex, "/api/status", "GET")(orchestrator.status))
   server.setExecutor(null)
 
   def start(): Unit = server.start()

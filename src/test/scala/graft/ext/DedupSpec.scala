@@ -274,6 +274,24 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))) should contain((1L, 2L))
   }
 
+  test("prefix filter survives FP ceil overshoot at the exact threshold boundary") {
+    // 0.07·100 = 7.000000000000001 in IEEE doubles: a bare float ceil gives
+    // 8 and silently shortens the prefix by one element, dropping this
+    // exactly-at-threshold pair (J = 7/100 = 0.07) and breaking the
+    // lossless contract. Regression for the 1e-9 ceiling guard: doc 1 has
+    // 100 distinct shingles of which the 7 shared ones sort LAST (df 2 vs
+    // df 1), so they sit at positions 94-100 — inside the correct 94-long
+    // prefix, outside the buggy 93-long one.
+    val aWords = (1 to 102).map(i => f"a$i%03d")
+    val docs = Seq(
+      (1L, "en", aWords.mkString(" ")),
+      (2L, "en", aWords.slice(93, 102).mkString(" ")) // shingles 94..100 of doc 1
+    ).toDF("doc_id", "lang", "text")
+    val fast = Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.07)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    fast should contain((1L, 2L))
+  }
+
   test("connectedComponents: transitive closure labels every node with the component min") {
     // chain 1-2-3 (transitive: 1 and 3 never share an edge), pair 10-11,
     // isolated-by-absence 99 (no edges -> not in output)
@@ -321,13 +339,15 @@ class DedupSpec extends SparkTestBase {
       Dedup.connectedComponents(chain, "a", "b", maxIter = 2)
   }
 
-  test("minhashStream twin law: streaming first-wins survivors equal the batch rule") {
+  test("minhashStream twin law: streaming min-id survivors equal the batch rule") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
     val docs = mem.toDS().toDF("doc_id", "ts", "text")
+    // 30 s window: all three docs share one dedup horizon (cross-window
+    // dups are out of minhashStream's scope by contract)
     val kept = Dedup.minhashStream(
-      docs, "doc_id", "text", "ts", "10 seconds", "1 second")
+      docs, "doc_id", "text", "ts", "10 seconds", "30 seconds")
     val q = kept.writeStream.outputMode("append").format("memory")
       .queryName("mh_stream_spec").start()
     try {
@@ -348,7 +368,8 @@ class DedupSpec extends SparkTestBase {
       val streamed = spark.table("mh_stream_spec")
         .as[Long].collect().toSet
       // batch twin of the same rule: bucket owner = min id, a doc survives
-      // iff it owns every bucket it lands in (arrival order == id order here)
+      // iff it owns every bucket it lands in (ownership is id-decided, so
+      // the law holds in ANY arrival order — see the same-batch test below)
       val b = Dedup.minhashBuckets(
         texts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text"),
         "doc_id", "text")
@@ -363,6 +384,39 @@ class DedupSpec extends SparkTestBase {
     } finally {
       q.stop()
       spark.catalog.dropTempView("mh_stream_spec")
+    }
+  }
+
+  test("minhashStream keeps the min-id member when a dup group arrives in ONE micro-batch") {
+    // Regression: first-arrival (dropDuplicatesWithinWatermark) ownership
+    // could split a same-batch dup group's band wins between members —
+    // per-key winners are partition-order-dependent — so that NO member
+    // owned all its buckets and the content vanished entirely. Min-id
+    // ownership must keep exactly the lowest id, deterministically.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDS().toDF("doc_id", "ts", "text")
+    val kept = Dedup.minhashStream(
+      docs, "doc_id", "text", "ts", "10 seconds", "1 second")
+    val q = kept.writeStream.outputMode("append").format("memory")
+      .queryName("mh_stream_batch_race").start()
+    try {
+      val t0 = 1_700_000_000_000L
+      def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
+      val dup = "the quick brown fox jumps over the lazy dog"
+      // the whole dup group + an unrelated doc in a SINGLE micro-batch
+      mem.addData(
+        (7L, ts(0), dup), (5L, ts(0), dup), (9L, ts(0), dup),
+        (3L, ts(0), "completely unrelated text body standing alone here"))
+      q.processAllAvailable()
+      mem.addData((99L, ts(100000), "zz yy xx ww vv uu flush sentinel"))
+      q.processAllAvailable()
+      spark.table("mh_stream_batch_race").as[Long].collect().toSet shouldBe
+        Set(3L, 5L) // min id of the dup group survives; nothing is lost
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("mh_stream_batch_race")
     }
   }
 

@@ -123,9 +123,15 @@ class ProfilingSpec extends SparkTestBase {
     val df = Seq(("a", 1.0)).toDF("g", "x")
     an[IllegalArgumentException] should be thrownBy
       Profiling.exactPercentiles(df, Seq("g"), "x", Seq("p" -> 1.5))
+    // a reserved name used as a KEY (it survives the projection) is rejected
     an[IllegalArgumentException] should be thrownBy
       Profiling.exactPercentiles(
-        df.withColumn("__rn", lit(1)), Seq("g"), "x", Seq("p" -> 0.5))
+        df.withColumn("__rn", lit(1)), Seq("g", "__rn"), "x", Seq("p" -> 0.5))
+    // but an UNUSED input column named __rn is projected away before any
+    // scratch column exists — it must NOT be rejected
+    Profiling.exactPercentiles(
+      df.withColumn("__rn", lit(1)), Seq("g"), "x", Seq("p" -> 0.5))
+      .columns should contain("p")
   }
 
   test("exactPercentiles rejects name collisions that would duplicate output columns") {
@@ -145,9 +151,13 @@ class ProfilingSpec extends SparkTestBase {
     // percentile name shadowing a key column
     an[IllegalArgumentException] should be thrownBy
       Profiling.exactPercentiles(df, Seq("g"), "x", Seq("g" -> 0.5))
-    // input column colliding with generated scratch (__lo_<name>)
+    // a SURVIVING column colliding with generated scratch (__lo_<name>)
     an[IllegalArgumentException] should be thrownBy
       Profiling.exactPercentiles(
-        df.withColumn("__lo_p50", lit(1)), Seq("g"), "x", Seq("p50" -> 0.5))
+        df.withColumn("__lo_p50", lit(1)), Seq("g", "__lo_p50"), "x", Seq("p50" -> 0.5))
+    // the same column is harmless when it does not survive the projection
+    Profiling.exactPercentiles(
+      df.withColumn("__lo_p50", lit(1)), Seq("g"), "x", Seq("p50" -> 0.5))
+      .columns should contain("p50")
   }
 }

@@ -132,6 +132,12 @@ class PipelineSpec extends SparkTestBase {
       // verb discipline: status is GET-only, lifecycle is POST-only
       call("POST", "/api/status")._1 shouldBe 405
       call("GET", "/api/stream/start")._1 shouldBe 405
+      // path discipline: the JDK server prefix-matches contexts, so an
+      // unmatched suffix must 404 — NOT start the pipeline (regression:
+      // /api/stream/startle used to run the start handler)
+      call("POST", "/api/stream/startle")._1 shouldBe 404
+      call("GET", "/api/status/anything")._1 shouldBe 404
+      call("GET", "/api/status") shouldBe ((200, "Stopped")) // still stopped
       // the full reference ordering ran exactly once
       log.toSeq shouldBe
         Seq("dim-load", "query-start", "producer-start", "producer-stop")
