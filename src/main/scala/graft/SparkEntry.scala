@@ -5611,6 +5611,83 @@ object SparkEntry {
         min(score) AS cut_score
       FROM kept GROUP BY lang ORDER BY lang""")),
 
+    // Streaming near-dup dedup, oracle-gated end-to-end: the documents
+    // table replays through `Dedup.minhashStream` (REAL Structured
+    // Streaming — file source, watermark, two chained windowed
+    // aggregations in append mode) and the surviving ids must equal the
+    // batch min-id-ownership rule the oracle computes in SQL. This gate is
+    // only possible because ownership is id-decided, not arrival-decided —
+    // the verdict is bit-stable no matter how the stream is micro-batched.
+    // Docs are assigned to two event-time windows (doc_id parity); a
+    // far-future sentinel advances the watermark so both windows close
+    // (its own window never closes, so it is never emitted).
+    // VERIFICATION-HARNESS BOUNDARY (same as q19): memory sink + collect
+    // is the only way to hand a streaming result to the batch oracle; the
+    // production path writes through the distributed sinks.
+    ("q170_stream_dedup", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val base = lit(1700000000L)
+      val staged = docs
+        .select(col("doc_id"),
+          timestamp_seconds(base + (col("doc_id") % 2) * 10).as("ts"),
+          col("text"))
+        .unionByName(docs.sparkSession.range(1).select(
+          lit(-1L).as("doc_id"),
+          timestamp_seconds(base + 1000000L).as("ts"),
+          lit("zz yy xx ww vv uu flush sentinel").as("text")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_")
+      val qname = "graft_stream_dedup"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val (schema, rows) =
+        try {
+          staged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val stream = s.readStream.schema(staged.schema).parquet(tmp.toString)
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val q = Dedup.minhashStream(stream, "doc_id", "text", "ts",
+              delayThreshold = "1 second", windowDuration = "10 seconds")
+            .writeStream.outputMode("append").format("memory").queryName(qname)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val res = s.table(qname)
+          (res.schema, res.collect())
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          s.catalog.dropTempView(qname)
+          graft.util.Fs.deleteRecursively(tmp)
+        }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs),
+      mh AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mh GROUP BY doc_id, p // 4),
+      buck AS (
+        SELECT doc_id, doc_id % 2 AS wb, band, sig FROM sigs),
+      own AS (
+        SELECT wb, band, sig, min(doc_id) AS owner FROM buck GROUP BY 1, 2, 3),
+      kept AS (
+        SELECT b.doc_id
+        FROM buck b JOIN own o ON b.wb = o.wb AND b.band = o.band AND b.sig = o.sig
+        GROUP BY b.doc_id
+        HAVING sum(CASE WHEN o.owner = b.doc_id THEN 1 ELSE 0 END) = 4)
+      SELECT doc_id FROM kept ORDER BY doc_id""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
