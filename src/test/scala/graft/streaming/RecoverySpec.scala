@@ -10,6 +10,7 @@ import graft.SparkTestBase
 import graft.core.{Event, PlayerState, PlayerStatsRow}
 import graft.core.stats.PlayerStatsEngine
 import graft.core.enrich.Enrich
+import graft.ext.Dedup
 
 /** Streaming durability and composition: checkpoint recovery across process
   * "restarts", warm start from a state snapshot, stream-static enrichment
@@ -149,6 +150,49 @@ class RecoverySpec extends SparkTestBase {
     } finally {
       q.stop()
       spark.catalog.dropTempView("dedup_wm_stream_spec")
+    }
+  }
+
+  test("minhashStream bucket ownership survives a checkpointed restart") {
+    // Run 1 ingests the LOW-id member of a dup pair and stops with its
+    // window still open (no output). Run 2 — a new query on the same
+    // checkpoint — ingests the HIGH-id dup plus a sentinel that closes the
+    // window. Kept must be {3, 5}: doc 10 loses to run 1's doc 5, which is
+    // only possible if the windowed min-ownership state survived the
+    // restart (a state wipe would crown 10 and emit {3, 10}).
+    val src = Files.createTempDirectory("graft_mh_src_")
+    val ckpt = Files.createTempDirectory("graft_mh_ckpt_")
+    val out = Files.createTempDirectory("graft_mh_out_")
+    val t0 = 1_700_000_000_000L
+    def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val schema = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("doc_id", "ts", "text").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src.toString)
+      val q = Dedup.minhashStream(
+          stream, "doc_id", "text", "ts", "1 second", "10 seconds")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      Seq((5L, ts(0), dup)).toDF("doc_id", "ts", "text")
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      runOnce()
+      Seq(
+        (10L, ts(0), dup),
+        (3L, ts(1), "completely unrelated text body standing alone here"),
+        (99L, ts(100000), "zz yy xx ww vv uu flush sentinel"))
+        .toDF("doc_id", "ts", "text")
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      runOnce()
+      spark.read.parquet(out.toString).as[Long]
+        .collect().sorted.toSeq shouldBe Seq(3L, 5L)
+    } finally {
+      rmrf(src); rmrf(ckpt); rmrf(out)
     }
   }
 }
