@@ -237,6 +237,23 @@ class PlanSpec extends SparkTestBase {
     (p should not).include("CartesianProduct")
   }
 
+  test("q167 join fan-out audit joins AGGREGATED sides only — the raw fact is never joined") {
+    val p = plan(SparkEntry.queries("q167_join_explosion")(spark, dir))
+    // per-key multiplicities reduce map-side before any join; the join keys
+    // are the renamed aggregate outputs (k/kr), never bare l_partkey sides
+    p should include("partial_count")
+    "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p) should not be empty
+    (p should not).include("Join [l_partkey")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q166 BPE merge scan is two pure reductions — no join anywhere") {
+    val p = plan(SparkEntry.queries("q166_bpe_merges")(spark, dir))
+    p should include("partial_count") // word-frequency reduce combines map-side
+    p should include("partial_sum")   // pair-count reduce combines map-side
+    (p should not).include("Join")
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
