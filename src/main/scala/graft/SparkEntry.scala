@@ -5688,6 +5688,95 @@ object SparkEntry {
         HAVING sum(CASE WHEN o.owner = b.doc_id THEN 1 ELSE 0 END) = 4)
       SELECT doc_id FROM kept ORDER BY doc_id""")),
 
+    // Skip-gram pair extraction (window ±2) — the word2vec/embedding
+    // pre-training data prep op: context pairs are emitted PER ROW with
+    // array HOFs (the q25-family precedent: CPU-only, no corpus shuffle —
+    // the alternative posexplode + two shifted self-joins pays two
+    // corpus-wide exchanges) and reduce onto the Zipf-small pair domain
+    // with map-side combine. Both `sequence` calls are guarded: Spark's
+    // sequence(1, 0) DESCENDS instead of being empty.
+    ("q171_skipgram_pairs", (s, dir) => {
+      val w = T(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val p1 = when(size(col("ws")) >= 2, expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), '|', element_at(ws, i + 1)))"))
+        .otherwise(expr("cast(array() as array<string>)"))
+      val p2 = when(size(col("ws")) >= 3, expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat(element_at(ws, i), '|', element_at(ws, i + 2)))"))
+        .otherwise(expr("cast(array() as array<string>)"))
+      w.select(explode(concat(p1, p2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("pair"))).cast("int"))
+        .where(col("rank") <= 40)
+        .select(col("rank"), col("pair"), col("cnt"))
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      pairs AS (
+        SELECT unnest(flatten([
+          CASE WHEN len(ws) >= 2
+            THEN list_transform(range(1, len(ws)), i -> concat(ws[i], '|', ws[i + 1]))
+            ELSE [] END,
+          CASE WHEN len(ws) >= 3
+            THEN list_transform(range(1, len(ws) - 1), i -> concat(ws[i], '|', ws[i + 2]))
+            ELSE [] END])) AS pair
+        FROM w),
+      agg AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY pair),
+      ranked AS (
+        SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
+        FROM agg)
+      SELECT rank, pair, cnt FROM ranked WHERE rank <= 40 ORDER BY rank""")),
+
+    // Per-language discriminative vocabulary by smoothed odds ratio — the
+    // keyword-extraction sibling of TF-IDF (q37) that needs NO logarithm
+    // (ln/exp are not cross-engine bit-stable): odds = c·(N−N_l) /
+    // ((c_g−c+1)·N_l), every factor an exact BIGINT < 2^53 so the single
+    // double division is IEEE-exact in both engines. One corpus reduce to
+    // (lang, word) counts; the global word table and the 1-row total join
+    // back onto that Zipf-small frame, never the corpus.
+    ("q172_lang_keywords", (s, dir) => {
+      val wc = T(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      val tot = wc.groupBy(col("lang").as("tl")).agg(sum(col("c")).as("nl"))
+      val gw = wc.groupBy(col("word").as("gword")).agg(sum(col("c")).as("cg"))
+      val gn = wc.agg(sum(col("c")).as("n"))
+      wc.join(tot, col("lang") === col("tl"))
+        .join(gw, col("word") === col("gword"))
+        .crossJoin(gn)
+        .select(col("lang"), col("word"), col("c"),
+          ((col("c").cast("double") * (col("n") - col("nl"))) /
+            ((col("cg") - col("c") + 1).cast("double") * col("nl"))).as("odds_ratio"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("odds_ratio").desc, col("word"))).cast("int"))
+        .where(col("rank") <= 10)
+        .orderBy(col("lang"), col("rank"))
+    }, Some("""
+      WITH wc AS (
+        SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) t
+        WHERE word <> '' GROUP BY lang, word),
+      tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nl FROM wc GROUP BY lang),
+      gw AS (SELECT word, CAST(sum(c) AS BIGINT) AS cg FROM wc GROUP BY word),
+      gn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM wc),
+      odds AS (
+        SELECT w.lang, w.word, w.c,
+          (CAST(w.c AS DOUBLE) * (n.n - t.nl)) /
+            (CAST(g.cg - w.c + 1 AS DOUBLE) * t.nl) AS odds_ratio
+        FROM wc w
+        JOIN tot t ON w.lang = t.lang
+        JOIN gw g ON w.word = g.word
+        CROSS JOIN gn n),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY odds_ratio DESC, word) AS INT) AS rank
+        FROM odds)
+      SELECT lang, rank, word, c, odds_ratio FROM ranked WHERE rank <= 10
+      ORDER BY lang, rank""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
