@@ -5777,6 +5777,139 @@ object SparkEntry {
       SELECT lang, rank, word, c, odds_ratio FROM ranked WHERE rank <= 10
       ORDER BY lang, rank""")),
 
+    // Split-leakage audit — near-dup pairs that CROSS train/val/test
+    // boundaries are evaluation contamination (the val doc is a near-copy
+    // of a training doc), and hash-based splitting does nothing to prevent it.
+    // Composition of two proven pipelines: the minhash candidate pairs and
+    // q53's deterministic hash split; the split table attaches by two joins
+    // on the (tiny) pair set — the corpus pays only the signature pass.
+    ("q173_split_leakage", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      val sp = Sampling.assignSplit(docs, col("doc_id"),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+          (col("split_lo") =!= col("split_hi")).as("is_leak"))
+        .orderBy(col("split_lo"), col("split_hi"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs),
+      mh AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mh GROUP BY doc_id, p // 4),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      sp AS (
+        SELECT doc_id,
+          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS b
+              FROM documents)),
+      lab AS (
+        SELECT least(sa.split, sb.split) AS split_lo, greatest(sa.split, sb.split) AS split_hi,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id JOIN sp sb ON p.id_b = sb.doc_id
+        GROUP BY 1, 2)
+      SELECT split_lo, split_hi, n_pairs, (split_lo <> split_hi) AS is_leak
+      FROM lab ORDER BY split_lo, split_hi""")),
+
+    // Dedup token-savings ledger — the pipeline-planning number dedup is
+    // run FOR: training tokens removed per language if every non-keeper
+    // cluster member (q41's min-id rule) is dropped. The cluster table is
+    // tiny; it joins documents by key for lang + token counts, and the
+    // per-language totals are one map-side-combined reduce over the corpus.
+    ("q174_dedup_savings", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      val clus = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val tok = docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val dropped = clus.where(col("doc_id") =!= col("cluster_id"))
+        .join(tok, Seq("doc_id"))
+        .groupBy(col("lang").as("dl"))
+        .agg(count(lit(1)).as("n_dropped"), sum(col("n_tokens")).as("tokens_dropped"))
+      tok.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_total"))
+        .join(dropped, col("lang") === col("dl"), "left")
+        .select(col("lang"), col("n_docs"), col("tokens_total"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          coalesce(col("tokens_dropped"), lit(0L)).as("tokens_dropped"),
+          (coalesce(col("tokens_dropped"), lit(0L)).cast("double") /
+            col("tokens_total").cast("double")).as("savings_share"))
+        .orderBy(col("lang"))
+    }, Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs),
+      mh AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mh GROUP BY doc_id, p // 4),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      clus AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+      tok AS (
+        SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      dropped AS (
+        SELECT t.lang, CAST(count(*) AS BIGINT) AS n_dropped,
+          CAST(sum(t.n_tokens) AS BIGINT) AS tokens_dropped
+        FROM clus c JOIN tok t ON c.doc_id = t.doc_id
+        WHERE c.doc_id <> c.cluster_id
+        GROUP BY t.lang),
+      tot AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+        FROM tok GROUP BY lang)
+      SELECT t.lang, t.n_docs, t.tokens_total,
+        coalesce(d.n_dropped, 0) AS n_dropped,
+        coalesce(d.tokens_dropped, 0) AS tokens_dropped,
+        CAST(coalesce(d.tokens_dropped, 0) AS DOUBLE) / t.tokens_total AS savings_share
+      FROM tot t LEFT JOIN dropped d ON t.lang = d.lang
+      ORDER BY t.lang""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.
