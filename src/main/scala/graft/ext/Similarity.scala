@@ -180,11 +180,24 @@ object Similarity {
     * Unrolled when-sum over literal bit positions — plain codegen'd
     * expressions, no interpreted lambda. */
   def signBucket(vec: Column, bits: Int = 8): Column =
+    signBucketAt(vec, 0, bits)
+
+  /** [[signBucket]] over the dimension window [offset+1, offset+bits]
+    * (1-indexed) — the per-table bucket of [[multiProbeTopK]]. */
+  def signBucketAt(vec: Column, offset: Int, bits: Int): Column =
     (0 until bits)
-      .map(i => when(element_at(vec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .map(i => when(element_at(vec, offset + i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** ANN top-k restricted to the query's bucket — the equi-join scale path. */
+  /** ANN top-k restricted to the query's single sign bucket.
+    *
+    * RECALL-AUDIT DEMONSTRATION, not the recommended index: one 8-bit sign
+    * table recalls only what lands in the exact same bucket, and the q164
+    * audit measures recall@3 ≈ 0.03 on the synthetic embeddings (true
+    * neighbors there sit at cosine ≈ 0.3-0.4, so each sign bit agrees with
+    * probability ≈ 0.6 and all-8-agree is rare). Reach for [[ivfTopK]]
+    * (data-dependent lists, recall ≈ 0.7 at nprobe=2) or [[multiProbeTopK]]
+    * (no training, recall dialed by tables×flips) instead. */
   def bucketedTopK(
       queries: DataFrame, corpus: DataFrame,
       qIdCol: String, idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
@@ -200,6 +213,89 @@ object Similarity {
       .select(col("q_id"), col("bucket"), col("n_id"),
         cosine(col("q_vec"), col("n_vec")).as("sim"))
     rankTopK(scored, Seq("q_id", "bucket"), k)
+  }
+
+  /** Multi-table, multi-probe sign-LSH ANN top-k — the fix for the one-table
+    * recall collapse the q164 audit measures on [[bucketedTopK]].
+    *
+    * Two standard LSH amplifications compose here (both public-textbook:
+    * Indyk-Motwani OR-amplification; Lv et al. VLDB'07 multi-probe):
+    *  - `tables` independent sign tables — table t hashes the disjoint
+    *    dimension window [t·bits+1, (t+1)·bits], so a true neighbor is found
+    *    if it agrees in ANY table (OR over tables);
+    *  - per table, the query probes its own bucket PLUS every subset-flip of
+    *    the `flips` lowest-|margin| bits — the dimensions closest to the
+    *    hyperplane are exactly the ones most likely to differ on a true
+    *    neighbor, so flipping them buys recall at 2^flips probes/table.
+    *
+    * Scale shape: the corpus side is a narrow explode to `tables` rows per
+    * vector joined by (table, bucket) equi-key against the BROADCAST probe
+    * set — never all-pairs; candidate dedup and the bounded top-k reduction
+    * touch only matched candidates. Probe cost is `tables · 2^flips` buckets
+    * per query; recall is the dial (tables × bits × flips), measured
+    * per-dataset by the q164 recall audit (defaults hit ≈ 0.87 on the
+    * synthetic embeddings where one-table sign-LSH gets 0.03, at ~40% of the
+    * corpus scored — that fraction is a property of this data's weak
+    * neighbor structure; real embedding corpora with close neighbors
+    * concentrate far more sharply).
+    *
+    * Requires vectors with at least `tables · bits` dimensions (missing
+    * dimensions hash as sign 0 in both this and the oracle's semantics).
+    *
+    * @param queries (qIdCol, vecCol) — SMALL (broadcast)
+    * @param corpus  (idCol, vecCol)  — arbitrarily large
+    */
+  def multiProbeTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, idCol: String, vecCol: String, k: Int,
+      tables: Int = 8, bits: Int = 7, flips: Int = 3): DataFrame = {
+    require(tables > 0, s"tables must be positive, got $tables")
+    require(bits > 0 && bits < 63, s"bits must be in [1, 62], got $bits")
+    require(flips >= 0 && flips <= bits, s"flips must be in [0, $bits], got $flips")
+    // corpus membership: one (table, bucket) row per table — a narrow
+    // explode feeding a broadcast-hash join, no shuffle of the corpus
+    val c = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            signBucketAt(col(vecCol), t * bits, bits).as("bucket"))): _*)).as("tb"))
+      .select(col("n_id"), col("n_vec"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // query probes: per table, the base bucket XOR every subset of the
+    // `flips` lowest-|margin| bit masks. The masks ride the sort struct
+    // (m, b, mask) — b is unique so the mask never influences the order —
+    // which keeps the whole probe computation in builtin, literal-indexed
+    // expressions (no runtime shift-by-column, no lambda).
+    val vecD = col(vecCol).cast("array<double>")
+    val probeStructs = (0 until tables).map { t =>
+      val base = signBucketAt(col(vecCol), t * bits, bits)
+      val margins = array_sort(array((0 until bits).map(b =>
+        struct(abs(element_at(vecD, t * bits + b + 1)).as("m"),
+          lit(b).as("b"), lit(1L << b).as("mask"))): _*))
+      val probes = (0 until (1 << flips)).map { s =>
+        (0 until flips).foldLeft(base) { (acc, j) =>
+          if ((s & (1 << j)) != 0)
+            acc.bitwiseXOR(element_at(margins, j + 1).getField("mask"))
+          else acc
+        }
+      }
+      struct(lit(t).as("tbl"), array(probes: _*).as("probes"))
+    }
+    val q = broadcast(
+      queries
+        .select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"),
+          explode(array(probeStructs: _*)).as("tp"))
+        .select(col("q_id"), col("q_vec"), col("tp.tbl").as("tbl"),
+          explode(col("tp.probes")).as("bucket")))
+    // a pair can match in several tables/probes: score once per match (the
+    // cosine is cheap), then collapse duplicates before the top-k so no
+    // candidate is ranked twice — the groupBy shuffles only matched
+    // (q_id, n_id, sim) triples, never vectors
+    val scored = c.join(q, Seq("tbl", "bucket"))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
+      .groupBy(col("q_id"), col("n_id")).agg(first(col("sim")).as("sim"))
+    rankTopK(scored, Seq("q_id"), k)
   }
 
   /** IVF-style ANN: a coarse quantizer (centroid set) partitions the corpus

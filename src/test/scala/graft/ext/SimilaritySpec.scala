@@ -56,6 +56,49 @@ class SimilaritySpec extends SparkTestBase {
     out.toSeq shouldBe Seq(2L)
   }
 
+  test("multiProbeTopK recalls a neighbor whose lowest-margin sign bit differs") {
+    // id=2 is nearly parallel to the query but its tiny second component has
+    // the opposite sign → different single-table bucket (bucketedTopK misses
+    // it); the margin |0.01| is the lowest of the table, so the 1-flip probe
+    // recovers it
+    val df = Seq(
+      (1L, Array(1.0f, 0.01f)),
+      (2L, Array(1.0f, -0.01f)),
+      (3L, Array(-1.0f, 1.0f))).toDF("id", "v")
+    val q = df.where(col("id") === 1)
+    val missed = Similarity.bucketedTopK(q, df, "id", "id", "v", 5, bits = 2)
+      .collect().map(_.getLong(2))
+    missed should not contain 2L
+    val got = Similarity.multiProbeTopK(q, df, "id", "id", "v", 5,
+      tables = 1, bits = 2, flips = 1)
+      .collect().map(r => r.getLong(r.fieldIndex("n_id")))
+    got should contain(2L)
+  }
+
+  test("multiProbeTopK never ranks a candidate twice across tables/probes") {
+    // every vector lands in the same bucket of BOTH tables, and the flip
+    // probes re-hit existing buckets — each neighbor must still appear once
+    val df = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(0.9f, 1.1f, 1.0f, 1.0f)),
+      (3L, Array(1.1f, 0.9f, 1.0f, 1.0f))).toDF("id", "v")
+    val out = Similarity.multiProbeTopK(df.where(col("id") === 1), df, "id", "id", "v", 10,
+      tables = 2, bits = 2, flips = 2)
+      .collect().map(r => r.getLong(r.fieldIndex("n_id")))
+    out.toSeq.sorted shouldBe Seq(2L, 3L)
+  }
+
+  test("multiProbeTopK with tables=1, flips=0 degenerates to the single-bucket candidate set") {
+    val df = Seq(
+      (1L, Array(1.0f, 1.0f)),
+      (2L, Array(0.5f, 2.0f)),
+      (3L, Array(-1.0f, 1.0f))).toDF("id", "v")
+    val out = Similarity.multiProbeTopK(df.where(col("id") === 1), df, "id", "id", "v", 5,
+      tables = 1, bits = 2, flips = 0)
+      .collect().map(r => r.getLong(r.fieldIndex("n_id")))
+    out.toSeq shouldBe Seq(2L)
+  }
+
   test("cosineDupPairs finds within-bucket pairs above threshold, id_a < id_b") {
     val df = Seq(
       (1L, Array(1.0f, 1.0f)),
