@@ -4782,12 +4782,44 @@ object SparkEntry {
     // O(log d) algorithm for adversarial diameters. Sharing q41's
     // recursive-CTE oracle proves the two algorithms agree bit-for-bit on
     // real pair graphs, not just in unit tests.
+    //
+    // Exact-dup classes are PRE-COLLAPSED before pair generation (the
+    // mega-class discipline minhashCandidatePairs' own docs prescribe):
+    // identical text ⇒ identical signatures ⇒ identical buckets, so one
+    // representative (min id) per class sees exactly the bucket
+    // co-memberships every member would, while an un-collapsed class of N
+    // copies would inject C(N,2) clique pairs into every band. Re-expansion
+    // afterwards is exact: each member adopts its representative's cluster;
+    // a class of ≥ 2 with no external near-dup edge is its own component
+    // (the full graph gives it a clique, the collapsed graph an isolated
+    // rep), keyed by the rep id — which IS the class min, so cluster ids
+    // match the full-graph oracle bit-for-bit.
     ("q153_star_components", (s, dir) => {
-      val pairs = Dedup.minhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text")
-      Dedup.connectedComponents(pairs, "id_a", "id_b", 12, starContraction = true)
-        .select(
-          col("id").as("doc_id"), col("cluster_id"),
-          (col("id") === col("cluster_id")).as("is_keeper"))
+      val docs = T(s, dir, "documents")
+      def classes = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      val reps = classes.select(col("keep_id").as("doc_id"), col("text"))
+      val pairs = Dedup.minhashCandidatePairs(reps, "doc_id", "text")
+      val repCC = Dedup.connectedComponents(pairs, "id_a", "id_b", 12, starContraction = true)
+        .localCheckpoint() // tiny; consumed by both output branches below
+      // classes WITH copies are the only ones needing re-expansion — a tiny
+      // table (corpus agg → broadcast), so members resolve via a map-side
+      // join; the corpus never shuffles for the re-expansion
+      val dupClasses = broadcast(classes.where(col("n_dups") >= 2)
+        .select(col("text"), col("keep_id")))
+      val memberOut = docs.select(col("doc_id"), col("text"))
+        .join(dupClasses, Seq("text"))
+        .join(repCC.select(col("id"), col("cluster_id")),
+          col("keep_id") === col("id"), "left")
+        // rep has an external near-dup edge → adopt its cluster; otherwise
+        // the exact class is its own component keyed by its min id
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("keep_id")).as("cluster_id"))
+      val repOut = repCC
+        .join(dupClasses.select(col("keep_id").as("id")), Seq("id"), "left_anti")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      memberOut.unionByName(repOut)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("is_keeper"))
         .orderBy(col("doc_id"))
     }, Some("""
       WITH RECURSIVE docs AS (

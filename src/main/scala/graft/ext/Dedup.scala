@@ -516,9 +516,22 @@ object Dedup {
     * ever materializes more than the symmetrized edge list. */
   def connectedComponents(
       edges: DataFrame, aCol: String, bCol: String, maxIter: Int,
-      starContraction: Boolean): DataFrame =
+      starContraction: Boolean): DataFrame = {
+    // both algorithms label with longs; a non-integral id column would
+    // null out under cast("long") and be silently DROPPED by the isNotNull
+    // filters — refuse loudly instead (same contract as dedupCorpus)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq(aCol, bCol).foreach { c =>
+      edges.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => ()
+        case t => throw new IllegalArgumentException(
+          s"connectedComponents requires integral edge id columns, got $c: ${t.simpleString} " +
+            "(map string/UUID ids to a surrogate long first)")
+      }
+    }
     if (starContraction) connectedComponentsStar(edges, aCol, bCol, maxIter)
     else connectedComponentsLabel(edges, aCol, bCol, maxIter)
+  }
 
   /** Large-star phase: for every node u (both edge directions), hang each
     * STRICTLY LARGER neighbor v > u onto m = min(Γ(u) ∪ {u}). Output edges
@@ -562,22 +575,41 @@ object Dedup {
       .where(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint()
-    var converged = canon.isEmpty
+    // per-round fixpoint screen: (count, XOR of xxhash64(hi, lo)) — a
+    // single map-side-combinable aggregation over ONE edge set, vs the
+    // exact symmetric-difference check which shuffles BOTH rounds' edge
+    // sets. XOR is order-independent and overflow-free (a sum would trip
+    // ANSI long overflow), and both sides are DISTINCT sets so no multiset
+    // cancellation applies; it is a sound equality witness up to a
+    // 2^-64-ish collision — and a stats match is only a CANDIDATE
+    // fixpoint: the exact set check below confirms it before the loop may
+    // exit, so convergence stays exact, with the expensive check running
+    // once instead of every round.
+    def edgeStats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(hi, lo))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var canonStats = edgeStats(canon)
+    var converged = canonStats._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
-      // LAZY checkpoint: the convergence check below is the round's ONLY
-      // job — it materializes `next` into the block store as it scans, so
-      // each alternation costs one job, not a checkpoint job plus a check
-      // job. Iterative rounds live or die on per-round job count.
+      // LAZY checkpoint: the stats screen below is the round's ONLY job —
+      // it materializes `next` into the block store as it scans, so each
+      // alternation costs one job, not a checkpoint job plus a check job.
+      // Iterative rounds live or die on per-round job count.
       val next = smallStar(largeStar(canon)).localCheckpoint(false)
-      // exact set fixpoint (both sides distinct): symmetric difference
-      // empty ⟺ equal sets (rows in exactly one side have union-count 1).
-      // At the fixpoint every component is a star centered at its minimum.
-      converged = next.union(canon)
-        .groupBy(col("hi"), col("lo")).agg(count(lit(1)).as("__c"))
-        .where(col("__c") === 1)
-        .isEmpty
+      val nextStats = edgeStats(next)
+      if (nextStats == canonStats) {
+        // exact set fixpoint (both sides distinct): symmetric difference
+        // empty ⟺ equal sets (rows in exactly one side have union-count 1).
+        // At the fixpoint every component is a star centered at its minimum.
+        converged = next.union(canon)
+          .groupBy(col("hi"), col("lo")).agg(count(lit(1)).as("__c"))
+          .where(col("__c") === 1)
+          .isEmpty
+      }
       canon = next
+      canonStats = nextStats
       i += 1
     }
     require(converged,

@@ -339,6 +339,16 @@ class DedupSpec extends SparkTestBase {
       Dedup.connectedComponents(chain, "a", "b", maxIter = 2)
   }
 
+  test("connectedComponents refuses non-integral edge id columns loudly (both algorithms)") {
+    // a string id would null out under cast("long") and be silently dropped
+    // by the isNotNull filter — the guard must fire before any job runs
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("x", "y")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.connectedComponents(edges, "x", "y")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.connectedComponents(edges, "x", "y", 12, starContraction = true)
+  }
+
   test("minhashStream twin law: streaming min-id survivors equal the batch rule") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
