@@ -93,6 +93,13 @@ object Bench {
     val spread = results.map { case (k, t) =>
       "\"" + k + "\":[" + t.head + "," + t.last + "]" }
       .mkString("{", ",", "}")
+    // raw per-pass samples in CHRONOLOGICAL order (pass 1, 2, 3): a VM
+    // throttle window stalls one wall-clock span, so with raw passes a
+    // reader can attribute correlated outliers to a single pass instead of
+    // reading ten queries' spreads as ten independent regressions
+    val passes = catalog.map { case (name, _) =>
+      "\"" + name + "\":[" + samples(name).mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2(1)).sum
     // a throwing query "benches" at time-to-exception — flag it in the
     // machine-readable line so a broken engine can never look FAST
@@ -100,7 +107,7 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes$failedJson,"sf":"$sfDir"}"""
     println(json)
     // provenance copy for anyone reading the repo rather than the run log
     try java.nio.file.Files.writeString(
