@@ -5659,7 +5659,12 @@ object SparkEntry {
     // threshold with bounded rank error — the exact form here is the oracle
     // for that approximation.
     ("q169_quality_gate", (s, dir) => {
-      val sc = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+      // null texts are excluded explicitly: their score would be NULL, and
+      // Spark's ASC ordering puts NULLs first while DuckDB defaults to
+      // NULLS LAST — the filter pins one cross-engine kept-set
+      val sc = T(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
         (size(array_distinct(split(col("text"), " "))).cast("double") /
           size(split(col("text"), " ")).cast("double")).as("score"))
       val w = Window.partitionBy(col("lang")).orderBy(col("score").asc, col("doc_id").asc)
@@ -5675,7 +5680,7 @@ object SparkEntry {
         SELECT doc_id, lang,
           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
             len(string_split(text, ' ')) AS score
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       rk AS (
         SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS BIGINT) AS rn,
           CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS nd

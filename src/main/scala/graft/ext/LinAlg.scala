@@ -11,9 +11,14 @@ object LinAlg {
 
   /** Largest per-key row count for which the covariance numerator
     * `n·Σxᵢxⱼ − Σxᵢ·Σxⱼ` is provably exact in BIGINT with worst-case
-    * (saturated ±127) int8 codes: floor(√(Long.MaxValue / 127²)). */
+    * saturated int8 codes: floor(√(Long.MaxValue / 128²)). The bound uses
+    * 128², not 127², because [[GramUpperTriangle]] admits the full int8
+    * range including −128 — a key of saturated −128 codes reaches products
+    * of 128², and a 127²-derived bound would pass the guard while n·g
+    * silently wrapped Long for n in the ~186k-row gap between the two
+    * bounds. */
   val MaxExactCovarianceRows: Long =
-    math.sqrt(Long.MaxValue.toDouble / (127L * 127L)).toLong // 23_913_389
+    math.sqrt(Long.MaxValue.toDouble / (128L * 128L)).toLong // 23_726_566
 
   /** Project (key, codes) for the Gram aggregation, failing LOUDLY on a
     * null code vector. Spark's typed-aggregate path SKIPS null inputs
@@ -66,7 +71,8 @@ object LinAlg {
     * int8 code vectors — the PCA/whitening input, from the SAME one-pass
     * aggregation as [[gramUpperTriangle]] (the buffer also carries Σxᵢ):
     * `cov·n² = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ` stays in BIGINTs. Worst case
-    * (saturated ±127 codes) each term is bounded by n²·127², so the
+    * (saturated int8 codes, −128 included) each term is bounded by
+    * n²·128², so the
     * BIGINT numerator is exact only to n ≈ 2^24.5 (≈2.4×10⁷ rows per
     * key); a runtime guard raises an error past that bound rather than
     * silently wrapping — shard oversized keys upstream (e.g. add a salt
@@ -97,15 +103,16 @@ object LinAlg {
         element_at(col("s"), col("z.ij.i")).as("si"),
         element_at(col("s"), col("z.ij.j")).as("sj"),
         col("n"))
-      // n·g and si·sj are each ≤ n²·127² in magnitude; both stay below
-      // Long.MaxValue only while n ≤ floor(√(2⁶³ / 127²)) = 23_913_389.
+      // n·g and si·sj are each ≤ n²·128² in magnitude (codes admit −128);
+      // both stay below Long.MaxValue only while
+      // n ≤ floor(√(2⁶³ / 128²)) = 23_726_566.
       .withColumn("cov_num",
         when(col("n") <= lit(LinAlg.MaxExactCovarianceRows),
           col("n") * col("g") - col("si") * col("sj"))
           .otherwise(raise_error(concat(
             lit("covarianceUpperTriangle: group size "), col("n"),
             lit(s" exceeds the exact-BIGINT bound ${LinAlg.MaxExactCovarianceRows}" +
-              " (n²·127² would overflow Long); shard the key upstream")))))
+              " (n²·128² would overflow Long); shard the key upstream")))))
       .withColumn("cov",
         col("cov_num").cast("double") / (col("n") * col("n")).cast("double"))
   }

@@ -46,8 +46,15 @@ final class HttpControlPlane(orchestrator: PipelineOrchestrator, port: Int = 808
       catch {
         // an orchestrator failure (producer down, query stop timeout) is a
         // server-side error; the body carries the message, mirroring the
-        // plain-text contract of the 200 path
-        case e: Throwable => respond(ex, 500, s"Error: ${e.getMessage}")
+        // plain-text contract of the 200 path. getMessage is null for bare
+        // NPE-style exceptions — fall back to the class name — and the 500
+        // respond itself can fail if the 200 path died AFTER headers went
+        // out (client disconnect mid-write): swallow that rather than
+        // throwing IllegalStateException on the dispatch thread
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          try respond(ex, 500, s"Error: $msg")
+          catch { case _: Exception => () }
       }
 
   server.createContext("/api/stream/start",

@@ -99,8 +99,9 @@ class LinAlgSpec extends SparkTestBase {
 
   test("MaxExactCovarianceRows is the documented worst-case bound") {
     val n = LinAlg.MaxExactCovarianceRows
-    // n²·127² must not overflow; (n+1)²·127² must
-    assert(BigInt(n) * BigInt(n) * 127 * 127 <= BigInt(Long.MaxValue))
-    assert(BigInt(n + 1) * BigInt(n + 1) * 127 * 127 > BigInt(Long.MaxValue))
+    // worst case is a saturated −128 code (GramUpperTriangle admits the
+    // full int8 range): n²·128² must not overflow; (n+1)²·128² must
+    assert(BigInt(n) * BigInt(n) * 128 * 128 <= BigInt(Long.MaxValue))
+    assert(BigInt(n + 1) * BigInt(n + 1) * 128 * 128 > BigInt(Long.MaxValue))
   }
 }
