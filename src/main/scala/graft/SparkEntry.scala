@@ -6044,6 +6044,97 @@ object SparkEntry {
       WHERE rank <= 3
       ORDER BY q_id, rank""")),
 
+    // Persisted-signature dedup composition — the REUSE path production
+    // pipelines actually run: the banded minhash signature table is
+    // computed ONCE and STORED (parquet), pairs + clusters derive from the
+    // stored table (Dedup.bucketPairs — never re-touching corpus text),
+    // the cluster map is stored too, and the final per-cluster ledger
+    // (q165's canonical pick + q174's token savings) reads only the STORED
+    // cluster table joined back to `documents` by key. The oracle computes
+    // everything from scratch, so a green hash-match proves the
+    // store→reload→derive round-trip is exact — the law the independent
+    // gate queries (each self-contained by harness necessity) cannot show.
+    // VERIFICATION-HARNESS BOUNDARY: the (tiny, cluster-count-sized)
+    // ledger is collected before the temp store is deleted; production
+    // persists the store and streams the ledger through a sink.
+    ("q176_stored_sig_ledger", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore_")
+      try {
+        Dedup.minhashBuckets(docs, "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$tmp/signatures")
+        val sigs = s.read.parquet(s"$tmp/signatures")
+        Dedup.connectedComponents(
+            Dedup.bucketPairs(sigs, "doc_id"), "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .write.mode("overwrite").parquet(s"$tmp/clusters")
+        val clus = s.read.parquet(s"$tmp/clusters")
+        val memb = clus.join(
+          docs.select(col("doc_id"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          Seq("doc_id"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val ledger = memb.withColumn("rn", row_number().over(w))
+          .groupBy(col("cluster_id"))
+          .agg(
+            max(when(col("rn") === 1, col("doc_id"))).as("canonical_id"),
+            count(lit(1)).as("n_members"),
+            sum(col("n_chars")).as("chars_total"),
+            sum(when(col("rn") > 1, col("n_chars")).otherwise(lit(0L))).as("chars_dropped"),
+            sum(col("n_tokens")).as("tokens_total"),
+            sum(when(col("rn") > 1, col("n_tokens")).otherwise(lit(0L))).as("tokens_dropped"))
+        val rows = ledger.orderBy(col("cluster_id")).collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), ledger.schema)
+          .orderBy(col("cluster_id"))
+      } finally graft.util.Fs.deleteRecursively(tmp)
+    }, Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs),
+      mh AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mh GROUP BY doc_id, p // 4),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      clus AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+      memb AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM clus c JOIN documents d ON c.doc_id = d.doc_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+        FROM memb)
+      SELECT cluster_id,
+        max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+        count(*) AS n_members,
+        CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped,
+        CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        CAST(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped
+      FROM ranked GROUP BY cluster_id ORDER BY cluster_id""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

@@ -199,9 +199,20 @@ object Dedup {
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 16, bands: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame =
+    bucketPairs(minhashBuckets(df, idCol, textCol, numPerm, bands), idCol, maxBucket)
+
+  /** Candidate pairs from an ALREADY-COMPUTED (id, band, sig) bucket table
+    * — the reuse seam of a production pipeline, where signatures are
+    * computed once, persisted (parquet), and every downstream product
+    * (pairs, clusters, canonical picks, ledgers) derives from the STORED
+    * table without re-touching the corpus text (q176 proves the round-trip
+    * is exact). [[minhashCandidatePairs]] is this over a freshly-computed
+    * bucket table. */
+  def bucketPairs(
+      buckets: DataFrame, idCol: String,
       maxBucket: Option[Int] = None): DataFrame = {
     maxBucket.foreach(m => require(m > 1, s"maxBucket must be > 1 to allow any pair, got $m"))
-    val buckets = minhashBuckets(df, idCol, textCol, numPerm, bands)
     // Pair generation via collect_list per (band, sig) bucket + double
     // explode: the signature pipeline (md5 + numPerm mins) runs ONCE — a
     // self-join would execute it per side. LSH buckets are tiny by

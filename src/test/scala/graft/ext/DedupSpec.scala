@@ -339,6 +339,26 @@ class DedupSpec extends SparkTestBase {
       Dedup.connectedComponents(chain, "a", "b", maxIter = 2)
   }
 
+  test("stored-signature law: bucketPairs over a parquet round-trip equals from-scratch pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different document body lives here"),
+      (4L, "the quick brown fox jumps over the lazy cat")
+    ).toDF("doc_id", "text")
+    val fresh = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_siglaw_")
+    try {
+      Dedup.minhashBuckets(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(tmp.toString)
+      val stored = Dedup.bucketPairs(spark.read.parquet(tmp.toString), "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      stored shouldBe fresh
+      fresh should not be empty // the law is vacuous on a pair-free corpus
+    } finally graft.util.Fs.deleteRecursively(tmp)
+  }
+
   test("connectedComponents refuses non-integral edge id columns loudly (both algorithms)") {
     // a string id would null out under cast("long") and be silently dropped
     // by the isNotNull filter — the guard must fire before any job runs
