@@ -6135,6 +6135,50 @@ object SparkEntry {
         CAST(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped
       FROM ranked GROUP BY cluster_id ORDER BY cluster_id""")),
 
+    // Exact-substring (repeated-span) dedup — the one training-data dedup
+    // family the catalog lacked: find every 8-token sliding window whose
+    // exact text occurs ≥ 2 times corpus-wide and merge each doc's hits
+    // into maximal repeated spans (the fixed-width distributed equivalent
+    // of the literature's suffix-array ≥50-token rule; 8 fits this
+    // corpus's ~40-token docs). One window-table pass, two bounded
+    // shuffles, no join — see Dedup.repeatedSpans.
+    ("q177_repeated_spans", (s, dir) => {
+      Dedup.repeatedSpans(T(s, dir, "documents"), "doc_id", "text",
+          spanTokens = 8, minDf = 2)
+        .orderBy(col("doc_id"), col("start_pos"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE text IS NOT NULL),
+      wins AS (
+        SELECT doc_id, i AS pos,
+          ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 12))::BIGINT AS wh
+        FROM t, unnest(generate_series(1, len(w) - 7)) AS u(i)
+        WHERE len(w) >= 8),
+      rep AS (
+        SELECT doc_id, pos FROM (
+          SELECT doc_id, pos, count(*) OVER (PARTITION BY wh) AS df FROM wins)
+        WHERE df >= 2),
+      isl AS (
+        SELECT doc_id, pos,
+          CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+               THEN 1 ELSE 0 END AS new_island
+        FROM rep),
+      num AS (
+        SELECT doc_id, pos,
+          CAST(sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+        FROM isl)
+      SELECT doc_id, island,
+        CAST(min(pos) AS BIGINT) AS start_pos,
+        CAST(max(pos) + 7 AS BIGINT) AS end_pos,
+        CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens,
+        count(*) AS n_windows
+      FROM num GROUP BY doc_id, island
+      ORDER BY doc_id, start_pos""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

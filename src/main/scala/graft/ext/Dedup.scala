@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextAnalysis.hash48
@@ -469,6 +470,67 @@ object Dedup {
     * Returns every corpus row's id with `n_shared` (count of its distinct
     * n-grams that hit the eval set) and `contaminated` (n_shared > 0) —
     * filter or invert downstream to drop/keep. */
+  /** Cross-doc repeated-span detection — the exact-substring dedup family
+    * of the public training-data literature (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": remove every ≥50-token
+    * span that occurs twice anywhere in the corpus, found there with
+    * suffix arrays). A suffix array is the wrong shape for a distributed
+    * engine; the equivalent fixed-width formulation is: hash every
+    * `spanTokens`-token sliding window, keep windows whose corpus-wide
+    * occurrence count reaches `minDf` (within-doc repeats count — any
+    * repeat is a repeat), and merge each doc's surviving window positions
+    * into maximal repeated spans (gaps-and-islands over the 1-based token
+    * positions: overlapping or adjacent windows fuse).
+    *
+    * Scale shape: the window table (corpus × avg-len rows, but only
+    * (id, pos, hash48) wide — the text itself never replicates) is
+    * computed ONCE and shuffles twice: by window hash for the occurrence
+    * count (an unordered COUNT window frame — no sort), then only the
+    * SURVIVING rows shuffle by doc for the island merge. No join, no
+    * second corpus scan, no driver materialization. 48-bit hashing can
+    * merge distinct windows (same accepted false-positive direction as
+    * every hash-keyed stage here).
+    *
+    * Returns (idCol, island, start_pos, end_pos, span_tokens, n_windows),
+    * positions 1-based inclusive, island numbered 1.. per doc in position
+    * order. */
+  def repeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 50, minDf: Long = 2L): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
+    require(minDf >= 2, s"minDf < 2 would flag every window as repeated, got $minDf")
+    val words = split(col(textCol), " ")
+    val wins = df
+      // the size guard must precede the sequence: Spark's sequence(1, n)
+      // DESCENDS for n < 1 instead of returning empty
+      .where(col(textCol).isNotNull && size(words) >= spanTokens)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(words) - spanTokens + 1), i =>
+          struct(i.cast("int").as("pos"),
+            TextAnalysis.hash48(
+              array_join(slice(words, i, lit(spanTokens)), " ")).as("wh")))).as("w"))
+      .select(col(idCol), col("w.pos").as("pos"), col("w.wh").as("wh"))
+    val rep = wins
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("wh"))))
+      .where(col("__df") >= minDf)
+      .select(col(idCol), col("pos"))
+    val ord = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(spanTokens - 1))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    rep
+      .withColumn("__new",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("__new")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("island"))
+      .agg(
+        min(col("pos")).cast("long").as("start_pos"),
+        (max(col("pos")) + lit(spanTokens - 1)).cast("long").as("end_pos"),
+        (max(col("pos")) + lit(spanTokens - 1) - min(col("pos")) + 1).cast("long")
+          .as("span_tokens"),
+        count(lit(1)).as("n_windows"))
+  }
+
   def contaminationReport(
       corpus: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String): DataFrame = {
     def grams(df: DataFrame, cols: Seq[Column]): DataFrame = df

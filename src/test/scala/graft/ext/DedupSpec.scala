@@ -359,6 +359,41 @@ class DedupSpec extends SparkTestBase {
     } finally graft.util.Fs.deleteRecursively(tmp)
   }
 
+  test("repeatedSpans finds a planted cross-doc paragraph and merges overlapping windows") {
+    // docs 1 and 2 share the 6-token paragraph "one two three four five six"
+    // embedded at different positions; doc 3 is all-unique text. With
+    // spanTokens=4, the shared paragraph yields 3 overlapping repeated
+    // windows per doc that must merge into ONE island spanning exactly the
+    // paragraph — and doc 3 must be absent.
+    val docs = Seq(
+      (1L, "aa bb one two three four five six cc dd"),
+      (2L, "one two three four five six zz yy xx ww vv"),
+      (3L, "totally unique words that never repeat anywhere else at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", spanTokens = 4, minDf = 2)
+      .orderBy("doc_id", "start_pos").collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("start_pos")), r.getLong(r.fieldIndex("end_pos")),
+        r.getLong(r.fieldIndex("span_tokens")), r.getLong(r.fieldIndex("n_windows"))))
+      .toSeq
+    // doc 1: paragraph at tokens 3-8; doc 2: tokens 1-6; 3 windows each
+    out shouldBe Seq((1L, 3L, 8L, 6L, 3L), (2L, 1L, 6L, 6L, 3L))
+  }
+
+  test("repeatedSpans counts within-doc repeats and splits disjoint spans into islands") {
+    // the 4-token phrase repeats INSIDE one doc with a gap: two islands
+    val docs = Seq(
+      (1L, "p q r s GAP1 GAP2 p q r s tail words here"),
+      (2L, "completely different filler text with no overlap at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", spanTokens = 4, minDf = 2)
+      .orderBy("doc_id", "start_pos").collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("island")),
+        r.getLong(r.fieldIndex("start_pos")), r.getLong(r.fieldIndex("end_pos"))))
+      .toSeq
+    out shouldBe Seq((1L, 1L, 1L, 4L), (1L, 2L, 7L, 10L))
+  }
+
   test("connectedComponents refuses non-integral edge id columns loudly (both algorithms)") {
     // a string id would null out under cast("long") and be silently dropped
     // by the isNotNull filter — the guard must fire before any job runs
