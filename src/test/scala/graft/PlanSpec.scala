@@ -254,6 +254,23 @@ class PlanSpec extends SparkTestBase {
     (p should not).include("Join")
   }
 
+  test("q175 multi-probe ANN: broadcast probe equi-join, candidate dedup partials, bounded top-k") {
+    val p = plan(SparkEntry.queries("q175_ann_multiprobe")(spark, dir))
+    p should include("BroadcastHashJoin")   // probe set broadcast onto the corpus explode
+    p should include("partial_first")       // cross-table candidate dedup combines map-side
+    p should include("TopKBySim")           // bounded top-k, not a window sort of all candidates
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin") // the bucket match must stay a broadcast equi-join
+  }
+
+  test("q177 repeated spans: one corpus scan, window frames only, no join") {
+    val p = plan(SparkEntry.queries("q177_repeated_spans")(spark, dir))
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+    (p should not).include("Join")
+    p should include("Generate")            // the sliding-window explode
+    "\\bWindow\\b".r.findAllIn(p).size should be >= 2 // df count frame + island merge
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
