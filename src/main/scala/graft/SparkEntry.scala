@@ -655,6 +655,12 @@ object SparkEntry {
       SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
       ORDER BY q_id, rank""")),
 
+    // AUDIT STRAWMAN — NOT the production index. Single-table sign-LSH
+    // measures recall@3 ≈ 0.03 on these embeddings (q164's audit); it is
+    // kept in the catalog solely as q164's negative baseline so the recall
+    // gap stays measured. Production ANN is q175 (multiProbeTopK — no
+    // training, recall ≈ 0.87) or q35 (ivfTopK — data-dependent lists,
+    // recall ≈ 0.7). Do not ship this index.
     ("q28_ann_bucketed", (s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.bucketedTopK(
@@ -4796,8 +4802,13 @@ object SparkEntry {
     // match the full-graph oracle bit-for-bit.
     ("q153_star_components", (s, dir) => {
       val docs = T(s, dir, "documents")
-      def classes = docs.groupBy(col("text"))
+      // materialized ONCE (eager localCheckpoint): three consumers below
+      // (reps, dupClasses, memberOut's anti side) would otherwise each
+      // re-plan and re-execute the full-corpus groupBy — Spark shares no
+      // subplans across DataFrame references
+      val classes = docs.groupBy(col("text"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .localCheckpoint()
       val reps = classes.select(col("keep_id").as("doc_id"), col("text"))
       val pairs = Dedup.minhashCandidatePairs(reps, "doc_id", "text")
       val repCC = Dedup.connectedComponents(pairs, "id_a", "id_b", 12, starContraction = true)
@@ -6054,9 +6065,12 @@ object SparkEntry {
     // everything from scratch, so a green hash-match proves the
     // store→reload→derive round-trip is exact — the law the independent
     // gate queries (each self-contained by harness necessity) cannot show.
-    // VERIFICATION-HARNESS BOUNDARY: the (tiny, cluster-count-sized)
-    // ledger is collected before the temp store is deleted; production
-    // persists the store and streams the ledger through a sink.
+    // The ledger is materialized DISTRIBUTED (eager localCheckpoint —
+    // executor-side blocks, never the driver) before the temp store is
+    // deleted; production persists the store and streams the ledger
+    // through a sink. At 100 TB the ledger is |clusters|-sized, so a
+    // driver collect here would be the reference's collectAsList
+    // anti-pattern (SparkStreamingService.java:262) — avoided.
     ("q176_stored_sig_ledger", (s, dir) => {
       val docs = T(s, dir, "documents")
       val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore_")
@@ -6084,9 +6098,7 @@ object SparkEntry {
             sum(when(col("rn") > 1, col("n_chars")).otherwise(lit(0L))).as("chars_dropped"),
             sum(col("n_tokens")).as("tokens_total"),
             sum(when(col("rn") > 1, col("n_tokens")).otherwise(lit(0L))).as("tokens_dropped"))
-        val rows = ledger.orderBy(col("cluster_id")).collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), ledger.schema)
-          .orderBy(col("cluster_id"))
+        ledger.localCheckpoint(eager = true).orderBy(col("cluster_id"))
       } finally graft.util.Fs.deleteRecursively(tmp)
     }, Some("""
       WITH RECURSIVE docs AS (

@@ -491,14 +491,30 @@ object Dedup {
     * merge distinct windows (same accepted false-positive direction as
     * every hash-keyed stage here).
     *
+    * `maxDf` is the open-web-scale stop-phrase guard (mirroring
+    * [[ngramJaccardPairs]]): a corpus-wide hot window (a boilerplate
+    * phrase in millions of docs) makes the count frame's partition huge —
+    * WindowExec buffers a partition's rows before emitting. With maxDf
+    * set, the df computation switches to a hash AGGREGATE (map-side
+    * partial combine, so the hot hash concentrates one combined row per
+    * map partition, never the raw rows) and the survivors come back via
+    * an inner join whose probe side streams — hot-hash rows hash-probe,
+    * miss, and drop without buffering. DROP SEMANTICS: a window with
+    * df > maxDf is treated as NOT repeated — boilerplate that frequent is
+    * a boilerplate-removal concern (q168), not span dedup — so its
+    * positions never seed or extend an island.
+    *
     * Returns (idCol, island, start_pos, end_pos, span_tokens, n_windows),
     * positions 1-based inclusive, island numbered 1.. per doc in position
     * order. */
   def repeatedSpans(
       df: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int = 50, minDf: Long = 2L): DataFrame = {
+      spanTokens: Int = 50, minDf: Long = 2L,
+      maxDf: Option[Long] = None): DataFrame = {
     require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
     require(minDf >= 2, s"minDf < 2 would flag every window as repeated, got $minDf")
+    maxDf.foreach(m => require(m >= minDf,
+      s"maxDf must be >= minDf ($minDf) to keep any window, got $m"))
     val words = split(col(textCol), " ")
     val wins = df
       // the size guard must precede the sequence: Spark's sequence(1, n)
@@ -510,10 +526,18 @@ object Dedup {
             TextAnalysis.hash48(
               array_join(slice(words, i, lit(spanTokens)), " ")).as("wh")))).as("w"))
       .select(col(idCol), col("w.pos").as("pos"), col("w.wh").as("wh"))
-    val rep = wins
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("wh"))))
-      .where(col("__df") >= minDf)
-      .select(col(idCol), col("pos"))
+    val rep = maxDf match {
+      case None =>
+        wins
+          .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("wh"))))
+          .where(col("__df") >= minDf)
+          .select(col(idCol), col("pos"))
+      case Some(m) =>
+        val keep = wins.groupBy(col("wh")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") >= minDf && col("__df") <= m)
+          .select(col("wh"))
+        wins.join(keep, Seq("wh")).select(col(idCol), col("pos"))
+    }
     val ord = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prevEnd = max(col("pos") + lit(spanTokens - 1))
       .over(ord.rowsBetween(Window.unboundedPreceding, -1))

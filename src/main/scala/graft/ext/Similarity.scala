@@ -269,8 +269,14 @@ object Similarity {
     val vecD = col(vecCol).cast("array<double>")
     val probeStructs = (0 until tables).map { t =>
       val base = signBucketAt(col(vecCol), t * bits, bits)
+      // a vector shorter than tables·bits dims yields NULL components here;
+      // coalesce the margin to +inf so an ABSENT dimension is never among
+      // the lowest-|margin| flip candidates (and the sort stays NULL-free,
+      // immune to engine NULL-ordering divergence) — matching the corpus
+      // side, where a missing dim hashes as sign 0 and is never flipped
       val margins = array_sort(array((0 until bits).map(b =>
-        struct(abs(element_at(vecD, t * bits + b + 1)).as("m"),
+        struct(coalesce(abs(element_at(vecD, t * bits + b + 1)),
+            lit(Double.PositiveInfinity)).as("m"),
           lit(b).as("b"), lit(1L << b).as("mask"))): _*))
       val probes = (0 until (1 << flips)).map { s =>
         (0 until flips).foldLeft(base) { (acc, j) =>

@@ -49,12 +49,16 @@ final class HttpControlPlane(orchestrator: PipelineOrchestrator, port: Int = 808
         // plain-text contract of the 200 path. getMessage is null for bare
         // NPE-style exceptions — fall back to the class name — and the 500
         // respond itself can fail if the 200 path died AFTER headers went
-        // out (client disconnect mid-write): swallow that rather than
-        // throwing IllegalStateException on the dispatch thread
+        // out (client disconnect mid-write): those two modes —
+        // headers-already-sent (IllegalStateException) and socket I/O —
+        // stay quiet; anything else is a genuine respond bug and must
+        // surface, not vanish into a blanket swallow
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           try respond(ex, 500, s"Error: $msg")
-          catch { case _: Exception => () }
+          catch {
+            case _: IllegalStateException | _: java.io.IOException => ()
+          }
       }
 
   server.createContext("/api/stream/start",

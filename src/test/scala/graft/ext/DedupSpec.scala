@@ -394,6 +394,33 @@ class DedupSpec extends SparkTestBase {
     out shouldBe Seq((1L, 1L, 1L, 4L), (1L, 2L, 7L, 10L))
   }
 
+  test("repeatedSpans maxDf drops a planted stop-phrase but keeps genuine spans") {
+    // "click here to subscribe" is boilerplate planted in ALL five docs
+    // (window df = 5); docs 4 and 5 additionally share a genuine repeated
+    // span "alpha beta gamma delta" (df = 2). With maxDf = 3 the
+    // stop-phrase must vanish — its positions never seed an island — while
+    // the genuine span survives untouched.
+    val docs = Seq(
+      (1L, "click here to subscribe filler one two three"),
+      (2L, "intro words click here to subscribe more filler"),
+      (3L, "click here to subscribe yet other unique stuff"),
+      (4L, "alpha beta gamma delta unique4 click here to subscribe"),
+      (5L, "pre text alpha beta gamma delta distinct5 click here to subscribe")
+    ).toDF("doc_id", "text")
+    def run(cap: Option[Long]) = Dedup.repeatedSpans(
+        docs, "doc_id", "text", spanTokens = 4, minDf = 2, maxDf = cap)
+      .orderBy("doc_id", "start_pos").collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("start_pos")), r.getLong(r.fieldIndex("end_pos"))))
+      .toSeq
+    // capped: only the genuine df=2 span remains (doc 4 tokens 1-4, doc 5
+    // tokens 3-6); the df=5 stop-phrase is dropped everywhere
+    run(Some(3L)) shouldBe Seq((4L, 1L, 4L), (5L, 3L, 6L))
+    // a cap no window exceeds is a no-op: the join formulation must agree
+    // bit-for-bit with the default window-frame formulation
+    run(Some(100L)) shouldBe run(None)
+  }
+
   test("connectedComponents refuses non-integral edge id columns loudly (both algorithms)") {
     // a string id would null out under cast("long") and be silently dropped
     // by the isNotNull filter — the guard must fire before any job runs
