@@ -30,15 +30,16 @@ object SparkEntry {
   // ---------------------------------------------------------------- helpers
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries nanosecond timestamps, which the Spark parquet
-    // reader rejects by default; read them as raw long nanos.
+    // events.parquet ts vintages: int64 nanos (needs nanosAsLong to read) or
+    // timestamp[us]; either way the catalog sees long epoch nanos — see
+    // graft.util.EventTime.
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch {
       // only possible failure: the conf is non-modifiable in this deployment,
       // in which case the session builder must have set it already
       case _: org.apache.spark.sql.AnalysisException => ()
     }
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.util.EventTime.tsToLongNanos(s.read.parquet(s"$dir/$name.parquet"))
   }
 
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
@@ -4802,13 +4803,17 @@ object SparkEntry {
     // match the full-graph oracle bit-for-bit.
     ("q153_star_components", (s, dir) => {
       val docs = T(s, dir, "documents")
-      // materialized ONCE (eager localCheckpoint): three consumers below
-      // (reps, dupClasses, memberOut's anti side) would otherwise each
-      // re-plan and re-execute the full-corpus groupBy — Spark shares no
-      // subplans across DataFrame references
+      // materialized ONCE: three consumers below (reps, dupClasses,
+      // memberOut's anti side) would otherwise each re-plan and re-execute
+      // the full-corpus groupBy — Spark shares no subplans across DataFrame
+      // references. Eager persist, NOT localCheckpoint: this table is
+      // near-corpus-sized (it keeps the text column), and checkpoint blocks
+      // are non-replicated — an executor loss after a localCheckpoint kills
+      // the job unrecoverably, while persist keeps lineage for recompute.
       val classes = docs.groupBy(col("text"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      classes.count() // populate before the consumers fork
       val reps = classes.select(col("keep_id").as("doc_id"), col("text"))
       val pairs = Dedup.minhashCandidatePairs(reps, "doc_id", "text")
       val repCC = Dedup.connectedComponents(pairs, "id_a", "id_b", 12, starContraction = true)

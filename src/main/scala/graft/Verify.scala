@@ -27,6 +27,16 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // schema-drift canary: one diagnostic line per run so a fixture vintage
+    // change (e.g. round 6's events.ts int64-nanos → timestamp[us]) shows up
+    // in the round log as a schema diff, not 30 opaque analysis errors.
+    try {
+      val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+      System.err.println("[verify] events schema (raw): " +
+        raw.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] events schema probe failed: ${e.getMessage}")
+    }
     new java.io.File(outDir).mkdirs()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

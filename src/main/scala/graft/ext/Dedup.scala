@@ -502,7 +502,13 @@ object Dedup {
     * miss, and drop without buffering. DROP SEMANTICS: a window with
     * df > maxDf is treated as NOT repeated — boilerplate that frequent is
     * a boilerplate-removal concern (q168), not span dedup — so its
-    * positions never seed or extend an island.
+    * positions never seed or extend an island. NOTE: __df counts window
+    * OCCURRENCES, not distinct documents — within-doc repeats count toward
+    * both minDf (deliberately: a phrase repeated inside one doc IS a
+    * repeated span) and therefore also toward the maxDf cap; a phrase
+    * repeated > maxDf times inside a single document is dropped like
+    * corpus-wide boilerplate. Use countDistinct-on-id semantics upstream
+    * if true document frequency is needed for the cap.
     *
     * Returns (idCol, island, start_pos, end_pos, span_tokens, n_windows),
     * positions 1-based inclusive, island numbered 1.. per doc in position

@@ -57,7 +57,9 @@ final class HttpControlPlane(orchestrator: PipelineOrchestrator, port: Int = 808
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           try respond(ex, 500, s"Error: $msg")
           catch {
-            case _: IllegalStateException | _: java.io.IOException => ()
+            // if sendResponseHeaders itself threw, respond's finally never
+            // ran — close here or the connection leaks (close is idempotent)
+            case _: IllegalStateException | _: java.io.IOException => ex.close()
           }
       }
 

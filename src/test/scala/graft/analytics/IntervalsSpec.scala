@@ -41,7 +41,8 @@ class IntervalsSpec extends SparkTestBase {
   }
 
   test("merged output is itself merge-stable (idempotence)") {
-    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val df = graft.util.EventTime
+      .tsToLongNanos(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .select(col("user_id"),
         expr("ts div 1000").as("s"),
         (expr("ts div 1000") + lit(900000000L)).as("e"))
