@@ -5735,9 +5735,17 @@ object SparkEntry {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val (schema, rows) =
         try {
-          staged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          // stage as MANY files: the file stream source does not split a
+          // single small parquet below maxPartitionBytes, so one file would
+          // serialize the per-row minhash (16 md5-permutations per shingle)
+          // onto one core; 16 files → 16 parallel tasks. Ownership is
+          // id-decided, so file layout cannot change the verdict.
+          staged.repartition(16).write.mode("overwrite").parquet(tmp.toString)
           val stream = s.readStream.schema(staged.schema).parquet(tmp.toString)
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+          // 4 shuffle partitions: each stateful op commits one state store
+          // per partition per micro-batch; at 5k docs the commit overhead
+          // dominates the actual aggregation, so fewer instances is faster
+          s.conf.set("spark.sql.shuffle.partitions", "4")
           val q = Dedup.minhashStream(stream, "doc_id", "text", "ts",
               delayThreshold = "1 second", windowDuration = "10 seconds")
             .writeStream.outputMode("append").format("memory").queryName(qname)
