@@ -6204,6 +6204,46 @@ object SparkEntry {
       FROM num GROUP BY doc_id, island
       ORDER BY doc_id, start_pos""")),
 
+    // Corpus-wide segment-level dedup + reassembly (the CCNet/RefinedWeb
+    // line-dedup stage): fixed 32-token segments, first-occurrence
+    // ownership by (doc_id, pos), docs rebuilt from surviving segments.
+    // One explode + one hash agg + one key join + one per-doc agg — no
+    // window over an unbounded partition (boilerplate segments concentrate
+    // in the owner hash agg's map-side partials).
+    ("q178_segment_dedup", (s, dir) => {
+      Dedup.segmentDedup(T(s, dir, "documents"), "doc_id", "text", 32)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents WHERE text IS NOT NULL),
+      inst AS (
+        SELECT doc_id, CAST(start // 32 AS BIGINT) AS pos,
+          array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS seg
+        FROM (SELECT doc_id, toks, n,
+                unnest(generate_series(0, n - 1, 32)) AS start FROM t)),
+      h AS (
+        SELECT doc_id, pos, seg,
+          ('0x' || substr(md5(seg), 1, 12))::BIGINT AS wh
+        FROM inst),
+      own AS (
+        SELECT wh, min(doc_id * 1048576 + pos) AS owner_key FROM h GROUP BY wh),
+      kept AS (
+        SELECT h.doc_id, h.pos, h.seg
+        FROM h JOIN own ON h.wh = own.wh
+        WHERE h.doc_id * 1048576 + h.pos = own.owner_key),
+      tot AS (SELECT doc_id, count(*) AS n_segs FROM inst GROUP BY doc_id),
+      reb AS (
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(seg, ' ' ORDER BY pos) AS text_dedup
+        FROM kept GROUP BY doc_id)
+      SELECT tot.doc_id, tot.n_segs,
+        coalesce(reb.n_kept, 0) AS n_kept,
+        coalesce(reb.text_dedup, '') AS text_dedup
+      FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+      ORDER BY tot.doc_id""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

@@ -561,6 +561,71 @@ object Dedup {
         count(lit(1)).as("n_windows"))
   }
 
+  /** Corpus-wide exact SEGMENT dedup with document reassembly — the
+    * line/paragraph-level dedup stage of a web-corpus pipeline (the CCNet /
+    * RefinedWeb shape, where duplicated boilerplate LINES are dropped
+    * corpus-wide while the host documents survive). The driver corpus has
+    * no line structure, so segments are fixed windows of `segTokens`
+    * space-separated tokens (the last segment of a doc may be shorter).
+    *
+    * Semantics: a segment INSTANCE survives iff it is the corpus-wide FIRST
+    * occurrence of its content — lowest doc id, then lowest position within
+    * that doc — so every later copy (including within-doc repeats) is
+    * dropped; each document is rebuilt from its surviving segments joined
+    * in position order (a document whose every segment is owned elsewhere
+    * comes back empty, not missing). First-occurrence ownership is decided
+    * by (id, pos), never by arrival or partition order, so the output is
+    * deterministic under any partitioning.
+    *
+    * Scale shape (the 100 TB form): one in-stage Generate (1 → n/segTokens
+    * rows), one hash AGGREGATE on the 48-bit segment hash for the owner
+    * table (map-side partial combine — a boilerplate segment in millions of
+    * docs concentrates to one combined row per map partition, never the raw
+    * rows), one shuffle hash join of instances back to owners on the same
+    * key (probe side streams), and one per-doc aggregate to reassemble.
+    * No window over an unbounded partition anywhere. Owner-key encoding
+    * id·2^20+pos caps docs at 2^20 segments (a 33M-token doc at the default
+    * segTokens=32) and ids at 2^43 — both far beyond open-web corpora.
+    *
+    * Returns (idCol, n_segs, n_kept, text_dedup), one row per non-null-text
+    * input doc. */
+  def segmentDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 32): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val words = split(col(textCol), " ")
+    val nSegs = ceil(size(words).cast("double") / segTokens).cast("int")
+    val inst = df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nSegs - 1), k =>
+          array_join(slice(words, k * segTokens + 1, lit(segTokens)), " "))))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        TextAnalysis.hash48(col("col")).as("__wh"))
+    val instKey = col(idCol) * lit(1L << 20) + col("pos")
+    val owners = inst
+      .groupBy(col("__wh")).agg(min(instKey).as("__owner_key"))
+    val kept = inst
+      .join(owners, Seq("__wh"))
+      .where(instKey === col("__owner_key"))
+      .select(col(idCol), col("pos"))
+    // reassembly re-derives segment text from the doc row (cheap transform)
+    // instead of carrying seg strings through the shuffle twice
+    val keptAgg = kept.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__kept_pos"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), words.as("__words"), nSegs.cast("long").as("n_segs"))
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        coalesce(size(col("__kept_pos")), lit(0)).cast("long").as("n_kept"),
+        when(col("__kept_pos").isNull, lit(""))
+          .otherwise(array_join(
+            transform(col("__kept_pos"), p =>
+              array_join(slice(col("__words"),
+                (p * segTokens).cast("int") + 1, lit(segTokens)), " ")),
+            " ")).as("text_dedup"))
+  }
+
   def contaminationReport(
       corpus: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String): DataFrame = {
     def grams(df: DataFrame, cols: Seq[Column]): DataFrame = df

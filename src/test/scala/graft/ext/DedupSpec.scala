@@ -562,4 +562,47 @@ class DedupSpec extends SparkTestBase {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     out shouldBe Seq((5L, 5L), (6L, 6L), (7L, 6L))
   }
+
+  private def segRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, String)] =
+    df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+  test("segmentDedup: first occurrence owns; later copies drop, novel segments survive") {
+    // 2-token segments: doc 1 = [a b][c d], doc 2 = [a b][x y] — doc 2
+    // loses its copied first segment but keeps its novel second one.
+    val docs = Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text")
+    segRows(Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 2)) shouldBe Seq(
+      (1L, 2L, 2L, "a b c d"), (2L, 2L, 1L, "x y"))
+  }
+
+  test("segmentDedup: within-doc repeats keep only the first instance") {
+    val docs = Seq((7L, "a b a b c")).toDF("doc_id", "text")
+    // segments: [a b][a b][c] — the second [a b] is a within-doc copy
+    segRows(Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 2)) shouldBe Seq(
+      (7L, 3L, 2L, "a b c"))
+  }
+
+  test("segmentDedup: a doc owned entirely elsewhere comes back empty, not missing") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    segRows(Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 2)) shouldBe Seq(
+      (1L, 1L, 1L, "a b"), (2L, 1L, 0L, ""))
+  }
+
+  test("segmentDedup: short tail segments dedup like any other; null text drops") {
+    val docs = Seq((1L, "a b c"), (2L, "c"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // doc 1 = [a b][c]; doc 2 = [c] is a copy of doc 1's tail
+    segRows(Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 2)) shouldBe Seq(
+      (1L, 2L, 2L, "a b c"), (2L, 1L, 0L, ""))
+  }
+
+  test("segmentDedup: verdict is partitioning-independent") {
+    val docs = (1L to 40L).map(i => (i, if (i % 4 == 0) "dup dup dup dup"
+      else s"u$i v$i w$i x$i")).toDF("doc_id", "text")
+    val one = segRows(Dedup.segmentDedup(docs.coalesce(1), "doc_id", "text", 2))
+    val many = segRows(Dedup.segmentDedup(docs.repartition(7), "doc_id", "text", 2))
+    many shouldBe one
+    // exactly one of the ten "dup dup dup dup" docs survives with text
+    many.count(r => r._4.nonEmpty && r._1 % 4 == 0) shouldBe 1
+  }
 }
