@@ -10,7 +10,7 @@ import graft.core.Event
 import graft.core.parse.GameLogParser
 import graft.core.stats.PlayerStatsEngine
 import graft.core.enrich.Enrich
-import graft.analytics.{AsofJoin, Intervals, RangeJoin, Scoreboard, Sessionize}
+import graft.analytics.{AsofJoin, GlobalCumsum, Intervals, RangeJoin, Scoreboard, Sessionize}
 import graft.ext.{Dedup, Diff, Multimodal, Prefilter, Sampling, Similarity, Skew, TextAnalysis}
 
 /** Driver contract: the operator catalog (SURVEY.md §2) as named queries over
@@ -2715,7 +2715,9 @@ object SparkEntry {
     // reduces orders to |customers| rows; the three quartile windows then
     // rank that REDUCED table with (value, key) total orders ⇒ deterministic
     // ntile. Global ntile is a single-partition sort of |customers| — at
-    // 100 TB swap in sketch quantile cut points (q39) exactly like q92.
+    // 100 TB either swap in sketch quantile cut points (q39, like q92) or,
+    // for exact quartiles, GlobalCumsum.ntile (two-phase scan, bit-identical
+    // — q127/q145 use that path for their fact-sized frames).
     ("q99_rfm_segments", (s, dir) => {
       val rfm = T(s, dir, "orders").groupBy(col("o_custkey"))
         .agg( // NTZ → µs: the cast is timezone-free under the UTC session
@@ -3075,7 +3077,8 @@ object SparkEntry {
     // Lorenz deciles + exact Gini coefficient of customer spend: orders
     // reduce ONCE to |customers| exact-DECIMAL totals; the decile ranking
     // is one (value, key)-ordered ntile on that REDUCED table (q99's
-    // argument — sketch cut points at 100 TB); Gini comes from the exact
+    // argument — sketch cut points or GlobalCumsum.ntile/rowNumber for the
+    // exact form at 100 TB); Gini comes from the exact
     // rank-weighted sum  G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)  where every
     // product/sum stays in DECIMAL (rank × spend fits DECIMAL(25,2)) —
     // only the final division is a double op ⇒ bit-exact.
@@ -3829,14 +3832,15 @@ object SparkEntry {
     // Key-space gap analysis (gaps-and-islands over a sparse key set): the
     // urgent-order keys reduce ONCE to ~20% of |orders| distinct values,
     // then the classic k − row_number() island label groups consecutive
-    // runs. The global window sorts only the reduced key table; for a
-    // 100 TB key audit, range-bucket the keys first and run the same
-    // window per bucket (islands can't straddle a range boundary gap).
+    // runs. The key table is fact-sized, so the global row number comes
+    // from GlobalCumsum's two-phase scan (range partition + broadcast
+    // bases) — not a single-partition window sort.
     ("q127_key_gaps", (s, dir) => {
       val k = T(s, dir, "orders")
         .where(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey").as("k")).distinct()
-      k.withColumn("grp", col("k") - row_number().over(Window.orderBy(col("k"))))
+      GlobalCumsum.rowNumber(k, Seq(col("k")), "__rn")
+        .withColumn("grp", col("k") - col("__rn"))
         .groupBy(col("grp"))
         .agg(min(col("k")).as("island_start"), max(col("k")).as("island_end"),
           count(lit(1)).as("island_len"))
@@ -4501,18 +4505,18 @@ object SparkEntry {
       FROM m4 GROUP BY tbl ORDER BY tbl""")),
 
     // Sequence packing (concatenate-then-chunk, the GPT training-data
-    // layout): docs in deterministic id order, running token offset via
-    // ONE ordered window, each doc's span in fixed 2048-token bins by pure
-    // integral arithmetic. The global window sorts only the |docs|-sized
-    // (id, n_tokens) reduction; at 100 TB assign per-shard offsets first
-    // and add a broadcast per-shard base — same math, two passes.
+    // layout): docs in deterministic id order, running token offset, each
+    // doc's span in fixed 2048-token bins by pure integral arithmetic. The
+    // offset is a GLOBAL cumsum over a corpus-sized frame, so it goes
+    // through GlobalCumsum's two-phase scan (range partition + broadcast
+    // per-partition bases) — a single-partition Window.orderBy here is the
+    // one plan shape that cannot survive 100 TB.
     ("q145_sequence_pack", (s, dir) => {
       val t = T(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      val w = Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      GlobalCumsum.cumsumBefore(
+          t, Seq(col("doc_id")), col("n_tokens"), "cum_before")
         .select(col("doc_id"), col("n_tokens"), col("cum_before"),
           expr("cum_before div 2048").as("start_bin"),
           expr("(cum_before + n_tokens - 1) div 2048").as("end_bin"),

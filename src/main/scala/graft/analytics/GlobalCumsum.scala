@@ -1,0 +1,93 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable GLOBAL running aggregation — the two-phase distributed scan that
+  * replaces the `Window.orderBy(...)` -with-no-partition anti-pattern, whose
+  * WindowExec moves the ENTIRE frame to a single partition (Spark warns "No
+  * Partition Defined for Window operation"). That form is fine on a
+  * dimension-sized frame; on a corpus-sized one it is the scale-killer.
+  *
+  * Shape: range-partition by the order key (equal keys never split across
+  * partitions, so the partition id is a monotone function of the order), tag
+  * rows with their physical partition id, reduce to ONE total per partition
+  * (map-side combine), turn the P-row totals frame into exclusive
+  * per-partition base offsets with a window that is single-partition by
+  * PARTITION COUNT — bounded by cluster configuration, not by data — then
+  * broadcast the offsets back and add them to each partition's local running
+  * sum. Output values are bit-identical to the naive global window for any
+  * associative exact sum (longs, decimals).
+  *
+  * Cost: two shuffles of the (already reduced) input — the range exchange
+  * and the window's hash-by-pid clustering — versus the naive form's one
+  * exchange into ONE partition. At scale the second narrow shuffle is noise;
+  * the single-partition sort is a job-killer.
+  *
+  * Same caveat as any ordered window: the order should be total (tie rows
+  * agree on their mutual "before" arbitrarily). */
+object GlobalCumsum {
+
+  /** Exclusive (strictly-before) global running sum of `value` in `order`:
+    * the first row gets 0. `order` columns may carry sort direction
+    * (`col("x").desc`). */
+  def cumsumBefore(
+      df: DataFrame, order: Seq[Column], value: Column, out: String,
+      numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "cumsumBefore needs at least one order column")
+    val p =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .withColumn("__v", value)
+      .repartitionByRange(p, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val pidW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged
+      .groupBy(col("__pid")).agg(sum(col("__v")).as("__ptot"))
+      .select(col("__pid"),
+        coalesce(sum(col("__ptot")).over(pidW), lit(0)).as("__offset"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out,
+        coalesce(sum(col("__v")).over(localW), lit(0)) + col("__offset"))
+      .drop("__pid", "__v", "__offset")
+  }
+
+  /** Global 1-based row number in `order`, without a single-partition sort:
+    * [[cumsumBefore]] of the constant 1, plus one. */
+  def rowNumber(
+      df: DataFrame, order: Seq[Column], out: String,
+      numPartitions: Int = 0): DataFrame =
+    cumsumBefore(df, order, lit(1L), out, numPartitions)
+      .withColumn(out, col(out) + lit(1L))
+
+  /** Exact `ntile(buckets)` in `order`, without a single-partition sort:
+    * Spark's ntile semantics reconstructed arithmetically from the global
+    * [[rowNumber]] and a broadcast one-row total — with n rows, the first
+    * n % buckets buckets hold ⌈n/buckets⌉ rows, the rest ⌊n/buckets⌋
+    * (when n < buckets the else-branch's /0 is unreachable: every row
+    * falls in the remainder region). Bit-identical to
+    * `ntile(b).over(Window.orderBy(order))` for any total order. */
+  def ntile(
+      df: DataFrame, order: Seq[Column], buckets: Int, out: String,
+      numPartitions: Int = 0): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val b = lit(buckets.toLong)
+    val total = df.agg(count(lit(1)).cast("long").as("__gc_n"))
+    val base = floor(col("__gc_n") / b)
+    val rem = col("__gc_n") % b
+    val cap = rem * (base + 1) // rows covered by the larger buckets
+    rowNumber(df, order, out, numPartitions)
+      .crossJoin(broadcast(total))
+      .withColumn(out,
+        when(col(out) <= cap, floor((col(out) - 1) / (base + 1)) + 1)
+          .otherwise(rem + floor((col(out) - cap - 1) / base) + 1)
+          .cast("long"))
+      .drop("__gc_n")
+  }
+}

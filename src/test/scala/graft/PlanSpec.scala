@@ -271,6 +271,27 @@ class PlanSpec extends SparkTestBase {
     "\\bWindow\\b".r.findAllIn(p).size should be >= 2 // df count frame + island merge
   }
 
+  test("q145/q127 global ranks range-partition the frame, never single-partition it") {
+    Seq("q145_sequence_pack", "q127_key_gaps").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      withClue(q) {
+        p should include("rangepartitioning") // the two-phase scan's first exchange
+        // the only SinglePartition exchange feeds the P-row offsets frame
+        // (below a __pid aggregate), so the pattern "Exchange SinglePartition"
+        // over a raw scan must not appear adjacent to the parquet relation
+        "Exchange SinglePartition".r.findAllIn(p).size should be <= 1
+      }
+    }
+  }
+
+  test("q178 segment dedup: owner table is a hash aggregate, no unbounded window") {
+    val p = plan(SparkEntry.queries("q178_segment_dedup")(spark, dir))
+    (p should not).include("Window")        // no window anywhere in this plan
+    p should include("partial_min")         // owner min combines map-side
+    p should include("Generate")            // the segment explode
+    (p should not).include("CartesianProduct")
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
