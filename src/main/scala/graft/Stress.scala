@@ -84,6 +84,40 @@ object Stress {
       graft.ext.Profiling.profile(big, Seq("doc_id", "text", "n_chars"))
         .write.format("noop").mode("overwrite").save()
     }
+    timed("segment dedup + reassembly") {
+      val sd = graft.ext.Dedup.segmentDedup(big, "doc_id", "text", 32)
+      val n = sd.agg(count(lit(1)), sum(col("n_kept"))).collect()(0)
+      println(s"[stress]   docs = ${n.getLong(0)}, kept segments = ${n.getLong(1)}")
+    }
+    }
+
+    // Global-rank scale probe: the two-phase GlobalCumsum vs the naive
+    // single-partition window on the SAME 20M-row frame — the probe that
+    // justifies the operator: the naive form funnels all 20M rows through
+    // one task's external sort, the two-phase form never does.
+    if (want("cumsum")) locally {
+      val n = 20_000_000L
+      val t = spark.range(n)
+        .select((col("id") * 2654435761L % n).as("k"), (col("id") % 97).as("v"))
+      println(s"[stress] cumsum: $n rows")
+      // aggregate the cumsum column itself so column pruning cannot skip
+      // the window/join work; the two checksums must agree
+      val chk1 = timed("global cumsum two-phase") {
+        val c = graft.analytics.GlobalCumsum
+          .cumsumBefore(t, Seq(col("k")), col("v"), "c")
+        val s0 = c.agg(sum(col("c"))).collect()(0).getLong(0)
+        println(s"[stress]   checksum = $s0")
+        s0
+      }
+      val chk2 = timed("global cumsum naive 1-partition") {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val c = t.withColumn("c", coalesce(sum(col("v")).over(w), lit(0L)))
+        val s0 = c.agg(sum(col("c"))).collect()(0).getLong(0)
+        println(s"[stress]   checksum = $s0")
+        s0
+      }
+      require(chk1 == chk2, s"cumsum checksum mismatch: $chk1 vs $chk2")
     }
 
     // Temporal-join scale probe: 20M points as-of/range-joined against 2M
