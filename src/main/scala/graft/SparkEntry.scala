@@ -6248,6 +6248,112 @@ object SparkEntry {
       FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
       ORDER BY tot.doc_id""")),
 
+    // Packed-example manifest — q145's inverse view: for each fixed
+    // 2048-token training example, the docs that fill it (count, id range,
+    // filled tokens — 2048 everywhere but the ragged tail). Offsets come
+    // from GlobalCumsum's two-phase scan; each doc then explodes to only
+    // the examples it touches (n_examples + n_docs rows total, never
+    // tokens), and one hash agg on example_id builds the manifest.
+    ("q179_pack_manifest", (s, dir) => {
+      val t = T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      GlobalCumsum.cumsumBefore(
+          t, Seq(col("doc_id")), col("n_tokens"), "cum_before")
+        .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+          explode(sequence(
+            expr("cum_before div 2048"),
+            expr("(cum_before + n_tokens - 1) div 2048"))).as("example_id"))
+        .groupBy(col("example_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sum(least(col("cum_before") + col("n_tokens"),
+                (col("example_id") + 1) * 2048) -
+              greatest(col("cum_before"), col("example_id") * 2048))
+            .as("n_tokens_filled"))
+        .orderBy(col("example_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM t),
+      e AS (
+        SELECT doc_id, n_tokens, cum_before,
+          unnest(generate_series(cum_before // 2048,
+                                 (cum_before + n_tokens - 1) // 2048)) AS example_id
+        FROM c)
+      SELECT example_id, count(*) AS n_docs,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        CAST(sum(least(cum_before + n_tokens, (example_id + 1) * 2048) -
+                 greatest(cum_before, example_id * 2048)) AS BIGINT)
+          AS n_tokens_filled
+      FROM e GROUP BY 1 ORDER BY 1""")),
+
+    // Streaming sessionization, oracle-gated end-to-end (the q19/q170
+    // harness pattern): the events table replays through Spark's native
+    // `session_window` (REAL Structured Streaming — file source, watermark,
+    // stateful session agg in append mode) and the emitted sessions must
+    // equal the batch gap-rule the oracle computes in SQL. The gate is
+    // sound because session_window's inclusive boundary merge IS the
+    // relational `diff > gap => new` rule (pinned in SessionizeSpec), and
+    // session identity is event-time-decided, not arrival-decided. A
+    // year-3000 sentinel (user -1) advances the watermark so every real
+    // session closes; its own never does, so it is never emitted.
+    // VERIFICATION-HARNESS BOUNDARY (same as q19/q170): memory sink +
+    // collect hands the streaming result to the batch oracle; production
+    // writes through the distributed sinks.
+    ("q180_stream_sessions", (s, dir) => {
+      val staged = T(s, dir, "events")
+        .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"))
+        .unionByName(s.range(1).select(
+          lit(-1L).as("user_id"),
+          timestamp_micros(lit(32503680000000000L)).as("ts")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ssess_")
+      val qname = "graft_stream_sessions"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val (schema, rows) =
+        try {
+          staged.repartition(16).write.mode("overwrite").parquet(tmp.toString)
+          val stream = s.readStream.schema(staged.schema).parquet(tmp.toString)
+            .withWatermark("ts", "1 second")
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          val q = Sessionize
+            .sessionWindows(stream, Seq("user_id"), "ts", "30 minutes")
+            .writeStream.outputMode("append").format("memory").queryName(qname)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val res = s.table(qname)
+          (res.schema, res.collect())
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          s.catalog.dropTempView(qname)
+          graft.util.Fs.deleteRecursively(tmp)
+        }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy(col("user_id"), col("start_time"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      m AS (
+        SELECT user_id, tus,
+          CASE WHEN LAG(tus) OVER w IS NULL
+                 OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      sid AS (
+        SELECT user_id, tus,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM m)
+      SELECT user_id, MIN(tus) AS start_time, MAX(tus) AS end_time,
+             COUNT(*) AS n_events
+      FROM sid GROUP BY user_id, session_id
+      ORDER BY user_id, start_time""")),
+
     // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
     // design, so no cross-engine oracle — the driver records a rows-only
     // check, and the spec bounds the estimates against exact values.

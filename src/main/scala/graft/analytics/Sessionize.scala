@@ -49,4 +49,30 @@ object Sessionize {
         max(col(timeCol)).as("end_time"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Streaming twin of [[sessionize]] on Spark's native `session_window` —
+    * the stateful, watermark-evicted form for a live feed. Works on batch
+    * frames too (same plan minus state).
+    *
+    * Boundary semantics: `session_window`'s merge is INCLUSIVE at the
+    * boundary (an event exactly `gap` after the previous one still merges —
+    * pinned empirically in `SessionizeSpec`), which is exactly
+    * [[sessionize]]'s relational `diff > gap` ⇒ new rule, so the two forms
+    * agree everywhere and share oracles. Emits (keys…, start_time,
+    * end_time, n_events) with event times in epoch µs; in streaming append
+    * mode a session finalizes once the watermark passes its close.
+    *
+    * @param tsCol a TIMESTAMP column (the watermark column in streaming)
+    * @param gap   e.g. "30 minutes" */
+  def sessionWindows(
+      df: DataFrame, keyCols: Seq[String], tsCol: String,
+      gap: String): DataFrame =
+    df.groupBy(
+        session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(
+        min(unix_micros(col(tsCol))).as("start_time"),
+        max(unix_micros(col(tsCol))).as("end_time"),
+        count(lit(1)).as("n_events"))
+      .select(keyCols.map(col) :+ col("start_time") :+
+        col("end_time") :+ col("n_events"): _*)
 }

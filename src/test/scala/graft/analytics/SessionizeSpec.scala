@@ -1,5 +1,7 @@
 package graft.analytics
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkTestBase
 
 class SessionizeSpec extends SparkTestBase {
@@ -30,6 +32,39 @@ class SessionizeSpec extends SparkTestBase {
     val out = Sessionize.sessionize(df, Seq("user"), "t", gap = 50L)
       .orderBy("session_id").collect().map(r => (r.getLong(2), r.getLong(3)))
     out.toSeq shouldBe Seq((0L, 10L), (200L, 210L))
+  }
+
+  test("sessionWindows (batch form) matches sessionize away from exact-gap boundaries") {
+    val rnd = new scala.util.Random(11)
+    // microsecond timestamps with gaps well clear of the 1000µs boundary
+    val evs = (1 to 4).flatMap { u =>
+      var t = 1700000000000000L + u
+      (1 to 50).map { _ =>
+        t += (if (rnd.nextBoolean()) rnd.nextInt(800) + 1 else rnd.nextInt(100000) + 2000)
+        (s"u$u", t)
+      }
+    }
+    val df = evs.toDF("user", "tus")
+      .withColumn("ts", timestamp_micros(col("tus")))
+    val rel = Sessionize.sessionize(df, Seq("user"), "tus", gap = 1000L)
+      .select(col("user"), col("start_time"), col("end_time"), col("n_events"))
+      .orderBy("user", "start_time").collect().map(_.toSeq).toSeq
+    val sw = Sessionize.sessionWindows(df, Seq("user"), "ts", "1 milliseconds")
+      .orderBy("user", "start_time").collect().map(_.toSeq).toSeq
+    sw shouldBe rel
+  }
+
+  test("sessionWindows boundary: an event exactly gap apart MERGES, like the relational form") {
+    val df = Seq(("A", 0L), ("A", 1000000L), ("A", 1500000L))
+      .toDF("user", "tus").withColumn("ts", timestamp_micros(col("tus")))
+    // session_window's merge is inclusive at the boundary (next.start <=
+    // prev.end), exactly the relational `diff > gap => new` rule — pinned
+    // here because the q180 oracle depends on it
+    val sw = Sessionize.sessionWindows(df, Seq("user"), "ts", "1 seconds")
+      .orderBy("start_time").collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    sw.toSeq shouldBe Seq((0L, 1500000L, 3L))
+    Sessionize.sessionize(df, Seq("user"), "tus", gap = 1000000L)
+      .collect().length shouldBe 1
   }
 
   test("null event times sort last (DuckDB parity), not into a phantom first session") {
