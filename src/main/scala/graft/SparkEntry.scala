@@ -33,8 +33,13 @@ object SparkEntry {
     // events.parquet ts vintages: int64 nanos (needs nanosAsLong to read) or
     // timestamp[us]; either way the catalog sees long epoch nanos — see
     // graft.util.EventTime.
-    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch {
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // EventTime's NTZ→instant rewrite and the epoch-µs arithmetic across
+      // the catalog assume UTC; pin it here so a caller session that never
+      // set it (e.g. the driver's smoke check) still reads correctly
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+    } catch {
       // only possible failure: the conf is non-modifiable in this deployment,
       // in which case the session builder must have set it already
       case _: org.apache.spark.sql.AnalysisException => ()
