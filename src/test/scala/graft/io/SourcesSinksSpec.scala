@@ -172,6 +172,23 @@ class SourcesSinksSpec extends SparkTestBase {
     }
   }
 
+  test("dialectUpsertSql: Postgres gets native ON CONFLICT, everything else the portable pair") {
+    // GOLDEN-pinned like the Kafka option surface: no Postgres server in
+    // this sandbox, so the generated statement text IS the verified seam;
+    // Derby runs exercise the None fallback end-to-end above.
+    Sinks.dialectUpsertSql(
+      "jdbc:postgresql://db:5432/stats", "latest_stats",
+      Seq("id", "name", "kills"), Seq("id")) shouldBe Some(
+      """INSERT INTO latest_stats ("id", "name", "kills") VALUES (?, ?, ?) """ +
+        """ON CONFLICT ("id") DO UPDATE SET "name" = EXCLUDED."name", "kills" = EXCLUDED."kills"""")
+    // keys-only frame: nothing to update, replay must be a no-op
+    Sinks.dialectUpsertSql(
+      "jdbc:postgresql://db/s", "t", Seq("id"), Seq("id")) shouldBe Some(
+      """INSERT INTO t ("id") VALUES (?) ON CONFLICT ("id") DO NOTHING""")
+    Sinks.dialectUpsertSql(
+      "jdbc:derby:memory:x", "t", Seq("id"), Seq("id")) shouldBe None
+  }
+
   test("jdbcUpsert handles NULL payload values via typed setNull") {
     val dbDir = Files.createTempDirectory("graft_derby4_")
     System.setProperty("derby.system.home", dbDir.toString)
