@@ -6300,6 +6300,59 @@ object SparkEntry {
           AS n_tokens_filled
       FROM e GROUP BY 1 ORDER BY 1""")),
 
+    // Incremental segment dedup (q178's snapshot-increment twin, the q47 /
+    // q176 convention): the base corpus (doc_id <= 350) persists only its
+    // (seg_hash, owner_key) store; the increment dedups against the STORE
+    // — one left-anti hash join — plus first-in-increment ownership,
+    // without re-touching base text. With base ids below increment ids
+    // this equals the full-corpus pass restricted to the increment
+    // (DedupSpec pins that law); the oracle recomputes from scratch.
+    ("q181_segment_increment", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val store = Dedup.segmentOwners(
+        docs.where(col("doc_id") <= 350), "doc_id", "text", 32)
+      Dedup.segmentDedupIncrement(
+          docs.where(col("doc_id") > 350), store, "doc_id", "text", 32)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents WHERE text IS NOT NULL),
+      inst AS (
+        SELECT doc_id, CAST(start // 32 AS BIGINT) AS pos,
+          array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS seg
+        FROM (SELECT doc_id, toks, n,
+                unnest(generate_series(0, n - 1, 32)) AS start FROM t)),
+      h AS (
+        SELECT doc_id, pos, seg,
+          ('0x' || substr(md5(seg), 1, 12))::BIGINT AS wh
+        FROM inst),
+      base AS (SELECT DISTINCT wh FROM h WHERE doc_id <= 350),
+      inc AS (SELECT * FROM h WHERE doc_id > 350),
+      novel AS (
+        SELECT i.* FROM inc i
+        WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.wh = i.wh)),
+      own AS (
+        SELECT wh, min(doc_id * 1048576 + pos) AS owner_key
+        FROM novel GROUP BY wh),
+      kept AS (
+        SELECT n.doc_id, n.pos, n.seg
+        FROM novel n JOIN own o ON n.wh = o.wh
+        WHERE n.doc_id * 1048576 + n.pos = o.owner_key),
+      tot AS (
+        SELECT doc_id, count(*) AS n_segs FROM inst
+        WHERE doc_id > 350 GROUP BY doc_id),
+      reb AS (
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(seg, ' ' ORDER BY pos) AS text_dedup
+        FROM kept GROUP BY doc_id)
+      SELECT tot.doc_id, tot.n_segs,
+        coalesce(reb.n_kept, 0) AS n_kept,
+        coalesce(reb.text_dedup, '') AS text_dedup
+      FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+      ORDER BY tot.doc_id""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,

@@ -593,24 +593,75 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 32): DataFrame = {
     require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val inst = segmentInstances(df, idCol, textCol, segTokens)
+    val instKey = col(idCol) * lit(1L << 20) + col("pos")
+    val kept = inst
+      .join(segmentOwners(df, idCol, textCol, segTokens)
+        .select(col("seg_hash").as("__wh"), col("owner_key")), Seq("__wh"))
+      .where(instKey === col("owner_key"))
+      .select(col(idCol), col("pos"))
+    rebuildFromKept(df, kept, idCol, textCol, segTokens)
+  }
+
+  /** The PERSISTABLE product of [[segmentDedup]]'s first pass: one row per
+    * distinct segment content — (seg_hash, owner_key) with owner_key =
+    * min(id·2^20 + pos) — the store an incremental pipeline keeps between
+    * snapshots (the segment-level sibling of [[minhashBuckets]]'s
+    * signature store; [[segmentDedupIncrement]] consumes it). */
+  def segmentOwners(
+      df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 32): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    segmentInstances(df, idCol, textCol, segTokens)
+      .groupBy(col("__wh").as("seg_hash"))
+      .agg(min(col(idCol) * lit(1L << 20) + col("pos")).as("owner_key"))
+  }
+
+  /** Incremental twin of [[segmentDedup]]: dedup an INCREMENT of new docs
+    * against a stored base-corpus [[segmentOwners]] table without touching
+    * the base text — a new segment instance survives iff its content is
+    * absent from the store AND it is the first occurrence within the
+    * increment ((id, pos) ownership, deterministic under any
+    * partitioning). Same plan family as the full pass plus one left-anti
+    * hash join against the store. */
+  def segmentDedupIncrement(
+      newDocs: DataFrame, storedOwners: DataFrame, idCol: String,
+      textCol: String, segTokens: Int = 32): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val inst = segmentInstances(newDocs, idCol, textCol, segTokens)
+    val instKey = col(idCol) * lit(1L << 20) + col("pos")
+    val novel = inst.join(
+      storedOwners.select(col("seg_hash").as("__wh")), Seq("__wh"), "left_anti")
+    val owners = novel.groupBy(col("__wh")).agg(min(instKey).as("__owner_key"))
+    val kept = novel
+      .join(owners, Seq("__wh"))
+      .where(instKey === col("__owner_key"))
+      .select(col(idCol), col("pos"))
+    rebuildFromKept(newDocs, kept, idCol, textCol, segTokens)
+  }
+
+  /** (id, pos, __wh): every fixed-width segment instance of every
+    * non-null-text doc, content reduced to the shared 48-bit hash. */
+  private def segmentInstances(
+      df: DataFrame, idCol: String, textCol: String, segTokens: Int): DataFrame = {
     val words = split(col(textCol), " ")
     val nSegs = ceil(size(words).cast("double") / segTokens).cast("int")
-    val inst = df
-      .where(col(textCol).isNotNull)
+    df.where(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), nSegs - 1), k =>
           array_join(slice(words, k * segTokens + 1, lit(segTokens)), " "))))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         TextAnalysis.hash48(col("col")).as("__wh"))
-    val instKey = col(idCol) * lit(1L << 20) + col("pos")
-    val owners = inst
-      .groupBy(col("__wh")).agg(min(instKey).as("__owner_key"))
-    val kept = inst
-      .join(owners, Seq("__wh"))
-      .where(instKey === col("__owner_key"))
-      .select(col(idCol), col("pos"))
-    // reassembly re-derives segment text from the doc row (cheap transform)
-    // instead of carrying seg strings through the shuffle twice
+  }
+
+  /** Rebuild each doc's text from its surviving segment positions —
+    * re-derives segment text from the doc row (cheap transform) instead of
+    * carrying seg strings through the shuffle twice. */
+  private def rebuildFromKept(
+      df: DataFrame, kept: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nSegs = ceil(size(words).cast("double") / segTokens).cast("int")
     val keptAgg = kept.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__kept_pos"))
     df.where(col(textCol).isNotNull)

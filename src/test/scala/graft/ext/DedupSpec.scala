@@ -596,6 +596,25 @@ class DedupSpec extends SparkTestBase {
       (1L, 2L, 2L, "a b c"), (2L, 1L, 0L, ""))
   }
 
+  test("segmentDedupIncrement law: store+increment equals the full pass restricted to the increment") {
+    // base ids strictly below increment ids (the q181 convention) makes
+    // full-pass ownership and store-anti-join ownership coincide
+    val base = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val inc = Seq((10L, "a b x y"), (11L, "x y e f"), (12L, "x y q r"))
+      .toDF("doc_id", "text")
+    val store = Dedup.segmentOwners(base, "doc_id", "text", 2)
+    val incOut = segRows(
+      Dedup.segmentDedupIncrement(inc, store, "doc_id", "text", 2))
+    val fullOut = segRows(
+      Dedup.segmentDedup(base.unionByName(inc), "doc_id", "text", 2))
+      .filter(_._1 >= 10L)
+    incOut shouldBe fullOut
+    // and the content is right: [a b] and [e f] are base-owned, [x y] is
+    // owned by the first increment doc that carries it
+    incOut shouldBe Seq(
+      (10L, 2L, 1L, "x y"), (11L, 2L, 0L, ""), (12L, 2L, 1L, "q r"))
+  }
+
   test("segmentDedup: verdict is partitioning-independent") {
     val docs = (1L to 40L).map(i => (i, if (i % 4 == 0) "dup dup dup dup"
       else s"u$i v$i w$i x$i")).toDF("doc_id", "text")
