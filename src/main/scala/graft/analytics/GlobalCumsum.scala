@@ -39,10 +39,21 @@ object GlobalCumsum {
     val p =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // MATERIALIZED ONCE, eagerly — correctness, not caching: the offsets
+    // branch and the main pass below both consume the physical partition
+    // ids of THIS range exchange, and a range exchange's sampled boundaries
+    // are not re-execution-stable (two independent executions of the same
+    // subtree can place boundary-adjacent rows in different partitions —
+    // observed at sf0.1 as a nondeterministic off-by-a-few-docs drift).
+    // Persist (lineage survives executor loss) + eager count pins one
+    // layout for both consumers. The input should already be the REDUCED
+    // (key, value) frame, so this holds the reduction, not the corpus.
     val ranged = df
       .withColumn("__v", value)
       .repartitionByRange(p, order: _*)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranged.count()
     val pidW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranged
