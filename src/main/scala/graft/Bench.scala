@@ -67,6 +67,7 @@ object Bench {
     catalog.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
+      finally graft.util.Caches.releaseAll()
     }
     // median of three timed runs, taken as three INTERLEAVED passes over
     // the catalog rather than back-to-back per query: VM/cgroup CPU
@@ -85,6 +86,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: $e")
       }
       samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      // release layout-pinning persists outside the timed span (unpersist
+      // is non-blocking and cheap; the persist+count is inside, as before)
+      graft.util.Caches.releaseAll()
     }
     val results = catalog.map { case (name, _) => name -> samples(name).sorted }
     val qs = results.map { case (k, t) => "\"" + k + "\":" + t(1) }

@@ -4819,9 +4819,9 @@ object SparkEntry {
       // near-corpus-sized (it keeps the text column), and checkpoint blocks
       // are non-replicated — an executor loss after a localCheckpoint kills
       // the job unrecoverably, while persist keeps lineage for recompute.
-      val classes = docs.groupBy(col("text"))
+      val classes = graft.util.Caches.register(docs.groupBy(col("text"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       classes.count() // populate before the consumers fork
       val reps = classes.select(col("keep_id").as("doc_id"), col("text"))
       val pairs = Dedup.minhashCandidatePairs(reps, "doc_id", "text")
@@ -5213,9 +5213,13 @@ object SparkEntry {
     // threshold (it shares q25's oracle verbatim), but candidates come
     // only from each doc's rarest n−⌈t·n⌉+1 shingles: the prefix theorem
     // guarantees lossless pruning, so the stop-shingle df² quadratic never
-    // reaches the candidate stage.
+    // reaches the candidate stage. Exact-dup classes are pre-collapsed to
+    // one representative before the index is built (q153's discipline) —
+    // a class of N identical mirrors costs one rep, not a C(N,2) clique in
+    // every posting/candidate/verification stage; the clique is re-created
+    // arithmetically at output time where it is inherent to result size.
     ("q161_prefix_jaccard", (s, dir) => {
-      Dedup.prefixFilteredJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+      Dedup.prefixFilteredJaccardPairsCollapsed(T(s, dir, "documents"), "doc_id", "text",
           Seq("lang"), 0.12)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -6369,15 +6373,22 @@ object SparkEntry {
     ("q180_stream_sessions", (s, dir) => {
       val staged = T(s, dir, "events")
         .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"))
-        .unionByName(s.range(1).select(
-          lit(-1L).as("user_id"),
-          timestamp_micros(lit(32503680000000000L)).as("ts")))
       val tmp = java.nio.file.Files.createTempDirectory("graft_ssess_")
       val qname = "graft_stream_sessions"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val (schema, rows) =
         try {
           staged.repartition(16).write.mode("overwrite").parquet(tmp.toString)
+          // the watermark-advancing sentinel is staged as a SEPARATE file
+          // written strictly after the real events: FileStreamSource
+          // processes files oldest-mtime-first, so under ANY micro-batch
+          // split (maxFilesPerTrigger, future default changes) the
+          // sentinel lands in the LAST batch — real sessions are always
+          // in state before the watermark advances past them
+          s.range(1).select(
+              lit(-1L).as("user_id"),
+              timestamp_micros(lit(32503680000000000L)).as("ts"))
+            .coalesce(1).write.mode("append").parquet(tmp.toString)
           val stream = s.readStream.schema(staged.schema).parquet(tmp.toString)
             .withWatermark("ts", "1 second")
           s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -6412,19 +6423,39 @@ object SparkEntry {
       FROM sid GROUP BY user_id, session_id
       ORDER BY user_id, start_time""")),
 
-    // Sketch aggregates (HLL cardinality, quantile sketch): approximate by
-    // design, so no cross-engine oracle — the driver records a rows-only
-    // check, and the spec bounds the estimates against exact values.
+    // Sketch aggregates (HLL cardinality, quantile sketch): the raw estimates
+    // are engine-specific, so the gated output is the exact grouping columns
+    // plus deterministic error-bound BOOLEANS (|approx − exact| ≤ bound).
+    // Spark verifies its sketches against exact aggregates computed in the
+    // same pass; DuckDB's side of each check is trivially true (its "approx"
+    // would be exact), so the booleans hash-compare. Bounds: 3× the default
+    // HLL++ rsd (0.05) plus absolute slack for tiny groups; 2% relative for
+    // percentile_approx at accuracy=10000 (rank error n/10000 ⇒ ~0.01%
+    // relative rank error, far inside 2% on a dense price distribution).
     ("q39_sketches", (s, dir) => {
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"),
+          approx_count_distinct(col("l_orderkey")).as("ac"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"),
+          expr("percentile(l_extendedprice, 0.5)").as("ep50"),
+          expr("percentile(l_extendedprice, 0.99)").as("ep99"),
           count(lit(1)).as("n_rows"))
+        .select(
+          col("l_returnflag"),
+          col("n_rows"),
+          col("exact_orders"),
+          (abs(col("ac") - col("exact_orders")) <= col("exact_orders") * 0.15 + lit(8)).as("orders_ok"),
+          (abs(col("ap50") - col("ep50")) <= abs(col("ep50")) * 0.02 + lit(1.0)).as("p50_ok"),
+          (abs(col("ap99") - col("ep99")) <= abs(col("ep99")) * 0.02 + lit(1.0)).as("p99_ok"))
         .orderBy(col("l_returnflag"))
-    }, None)
+    }, Some("""
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+             COUNT(DISTINCT l_orderkey) AS exact_orders,
+             true AS orders_ok, true AS p50_ok, true AS p99_ok
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
   )
 
   // ------------------------------------------------------- driver contract

@@ -46,7 +46,11 @@ object Verify {
         // poison any stale output from a previous run into this outDir —
         // otherwise the gate would compare old data and report a false OK
         graft.util.Fs.deleteRecursively(Paths.get(outDir, name))
-      }
+      } finally
+        // the parquet write above fully materialized the result, so any
+        // layout-pinning persist the query registered can go now — a
+        // full-catalog session holds one query's cache at a time
+        graft.util.Caches.releaseAll()
     }
     // the full catalog, so the gate can detect a query whose output is
     // MISSING (failed + poisoned) rather than only checking what exists

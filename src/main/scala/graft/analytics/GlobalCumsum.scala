@@ -31,10 +31,20 @@ object GlobalCumsum {
 
   /** Exclusive (strictly-before) global running sum of `value` in `order`:
     * the first row gets 0. `order` columns may carry sort direction
-    * (`col("x").desc`). */
+    * (`col("x").desc`). The pinned range exchange is registered with
+    * [[graft.util.Caches]] — long-lived sessions call
+    * `Caches.releaseAll()` once the result is fully materialized. */
   def cumsumBefore(
       df: DataFrame, order: Seq[Column], value: Column, out: String,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    core(df, order, value, out, numPartitions)._2
+
+  /** Shared two-phase scan: returns the pinned ranged frame (for derived
+    * scalars like ntile's total — reading it costs a cached scan, not a
+    * re-scan of the unpersisted input) alongside the cumsum result. */
+  private def core(
+      df: DataFrame, order: Seq[Column], value: Column, out: String,
+      numPartitions: Int): (DataFrame, DataFrame) = {
     require(order.nonEmpty, "cumsumBefore needs at least one order column")
     val p =
       if (numPartitions > 0) numPartitions
@@ -48,11 +58,13 @@ object GlobalCumsum {
     // Persist (lineage survives executor loss) + eager count pins one
     // layout for both consumers. The input should already be the REDUCED
     // (key, value) frame, so this holds the reduction, not the corpus.
-    val ranged = df
+    // Registered in Caches so runners release it post-materialization —
+    // never unpersist before the consuming action completes.
+    val ranged = graft.util.Caches.register(df
       .withColumn("__v", value)
       .repartitionByRange(p, order: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     ranged.count()
     val pidW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -62,11 +74,12 @@ object GlobalCumsum {
         coalesce(sum(col("__ptot")).over(pidW), lit(0)).as("__offset"))
     val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
+    val result = ranged
       .join(broadcast(offsets), Seq("__pid"))
       .withColumn(out,
         coalesce(sum(col("__v")).over(localW), lit(0)) + col("__offset"))
       .drop("__pid", "__v", "__offset")
+    (ranged, result)
   }
 
   /** Global 1-based row number in `order`, without a single-partition sort:
@@ -89,11 +102,16 @@ object GlobalCumsum {
       numPartitions: Int = 0): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val b = lit(buckets.toLong)
-    val total = df.agg(count(lit(1)).cast("long").as("__gc_n"))
+    // rowNumber = cumsumBefore(1) + 1; the total row count is sum(__v) over
+    // the ALREADY-PINNED ranged frame — one cached scan, not a second full
+    // scan of the unpersisted input
+    val (ranged, cum) = core(df, order, lit(1L), out, numPartitions)
+    val total = ranged.agg(
+      coalesce(sum(col("__v")), lit(0L)).cast("long").as("__gc_n"))
     val base = floor(col("__gc_n") / b)
     val rem = col("__gc_n") % b
     val cap = rem * (base + 1) // rows covered by the larger buckets
-    rowNumber(df, order, out, numPartitions)
+    cum.withColumn(out, col(out) + lit(1L))
       .crossJoin(broadcast(total))
       .withColumn(out,
         when(col(out) <= cap, floor((col(out) - 1) / (base + 1)) + 1)

@@ -405,25 +405,39 @@ object Dedup {
       blockCols: Seq[String], minJaccard: Double): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
+    // shingle strings are reduced to 64-bit hashes BEFORE any shuffle: every
+    // downstream stage (distinct, df-count, per-doc window sort, candidate
+    // self-join, verification join) then keys on fixed-width longs instead
+    // of ~25-byte strings — the prefix theorem only needs SOME consistent
+    // total order over tokens, and (__df, hash) is one. Set-size counts are
+    // exact modulo 64-bit collisions (~|shingles|²/2^65 — negligible at any
+    // in-gate scale; a 100 TB corpus would widen to a 128-bit digest).
+    // Null filtering happens on the STRING (xxhash64(NULL) is the non-null
+    // seed value, which would resurrect null shingles).
     val exploded = df
       .withColumn("__words", split(col(textCol), " "))
       .select(
         (col(idCol).as("__id") +: blockCols.map(col)) :+
-          explode(shingles(col(textCol), col("__words"))).as("__s"): _*)
-      .distinct()
-    val nonNull = (blockCols.map(col(_).isNotNull) :+ col("__s").isNotNull).reduce(_ && _)
+          explode(shingles(col(textCol), col("__words"))).as("__s0"): _*)
+    val nonNull = (blockCols.map(col(_).isNotNull) :+ col("__s0").isNotNull).reduce(_ && _)
     // materialized once: feeds the df table, the prefix index, and the
     // verification join (Spark shares no uncached subplans across joins)
-    val posts = exploded.where(nonNull).localCheckpoint(true)
+    val posts = exploded.where(nonNull)
+      .select((col("__id") +: blockCols.map(col)) :+ xxhash64(col("__s0")).as("__s"): _*)
+      .distinct()
+      .localCheckpoint(true)
     val dfreq = posts
       .groupBy((blockCols.map(col) :+ col("__s")): _*)
       .agg(count(lit(1)).as("__df"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
     val globalOrder = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
+    // dfreq joins FIRST (inner on the df table built from these very posts
+    // preserves row counts), so both per-doc windows ride ONE exchange by
+    // __id instead of window–join–window paying the doc exchange twice
     val prefix = posts
-      .withColumn("__n", count(lit(1)).over(byDoc))
       .join(dfreq, blockCols :+ "__s")
+      .withColumn("__n", count(lit(1)).over(byDoc))
       .withColumn("__pos", row_number().over(globalOrder))
       // the 1e-9 nudge guards the FP product rounding UP past the true
       // rational ceiling (e.g. 0.07·100 = 7.000000000000001 ⇒ ceil 8, one
@@ -436,21 +450,93 @@ object Dedup {
     val pb = prefix.select((blockCols.map(col) :+ col("__s") :+
       col("__id").as("id_b") :+ col("__n").as("nb")): _*)
     val cands = pa.join(pb, blockCols :+ "__s")
-      .where(col("id_a") < col("id_b"))
+      // PPJoin length filter alongside the id order: J ≥ t forces
+      // min(na,nb) ≥ t·max(na,nb) (J ≤ min/max) — size-incompatible
+      // candidates never reach dedup or verification. Same 1e-9 nudge as
+      // the prefix ceiling: t·n can round UP past the true rational bound
+      // (0.07·100 = 7.000000000000001) and drop an exactly-at-threshold
+      // pair; erring low keeps the filter lossless.
+      .where(col("id_a") < col("id_b") &&
+        col("na") >= col("nb") * lit(minJaccard) - lit(1e-9) &&
+        col("nb") >= col("na") * lit(minJaccard) - lit(1e-9))
       .select(col("id_a"), col("id_b"), col("na"), col("nb"))
       .distinct()
-    // exact verification over full postings, restricted to the candidates;
-    // both docs of a pair share one block, so shingle equality is already
-    // within-block
+    // exact verification via per-doc shingle-hash SETS: each candidate pair
+    // fetches its two fixed-width long arrays (two equi-joins on doc id)
+    // and intersects them in a single codegen'd expression — versus the
+    // posting re-explode form, whose |cands|·avg(na) intermediate rows paid
+    // a corpus-scale shuffle before the pair aggregation (measured 11M rows
+    // at sf0.1 for a 213k-candidate set). Both docs of a pair share one
+    // block, so intersection is already within-block.
+    val docSets = posts.groupBy(col("__id"))
+      .agg(collect_list(col("__s")).as("__set"))
     cands
-      .join(posts.select(col("__id").as("id_a"), col("__s")), "id_a")
-      .join(posts.select(col("__id").as("id_b"), col("__s")), Seq("id_b", "__s"))
-      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(docSets.select(col("__id").as("id_a"), col("__set").as("__sa")), "id_a")
+      .join(docSets.select(col("__id").as("id_b"), col("__set").as("__sb")), "id_b")
+      .select(
+        col("id_a"), col("id_b"), col("na"), col("nb"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("inter"))
       .select(
         col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
+  }
+
+  /** [[prefixFilteredJaccardPairs]] with EXACT-DUPLICATE PRE-COLLAPSE —
+    * result-identical, but the prefix index sees each distinct (block, text)
+    * once instead of N copies. A class of N byte-identical docs otherwise
+    * injects a C(N,2) clique into every posting, candidate, and
+    * verification stage (the measured quadratic on mirror-heavy corpora);
+    * collapsed, the index pays one representative and the clique is
+    * re-created arithmetically at output time, where it is inherent to the
+    * result size.
+    *
+    * Re-expansion is exact: members of one class share the rep's shingle
+    * set, so every cross-class member pair has the rep pair's jaccard
+    * verbatim, and every within-class pair has jaccard 1.0 ≥ any valid
+    * threshold. Classes are disjoint per block, so no expanded pair is
+    * emitted twice. Null-text docs produce no postings in the direct form
+    * and are excluded from classes here — identical behavior. */
+  def prefixFilteredJaccardPairsCollapsed(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], minJaccard: Double): DataFrame = {
+    val keyCols = blockCols :+ textCol
+    // materialized once (three consumers: reps, dup-class filter, member
+    // resolution); registered with Caches for post-materialization release
+    val classes = graft.util.Caches.register(df
+      .where(col(textCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    classes.count()
+    val reps = classes.select((col("__rep").as(idCol) +: keyCols.map(col)): _*)
+    val repPairs = prefixFilteredJaccardPairs(reps, idCol, textCol, blockCols, minJaccard)
+    // dup-class membership (rep → every member id, rep included): only
+    // classes with copies — resolved map-side off the broadcast class list,
+    // the corpus never shuffles for re-expansion (q153's discipline)
+    val dupClasses = broadcast(
+      classes.where(col("__n") >= 2).select((keyCols.map(col) :+ col("__rep")): _*))
+    val members = df.join(dupClasses, keyCols)
+      .select(col("__rep"), col(idCol).as("__member"))
+    // cross-class pairs: substitute each rep by its members (left join +
+    // coalesce keeps singleton reps as themselves); repPairs is the small
+    // side, so these resolve as broadcast probes of the member table
+    val cross = repPairs
+      .join(members.select(col("__rep").as("id_a"), col("__member").as("__ma")),
+        Seq("id_a"), "left")
+      .join(members.select(col("__rep").as("id_b"), col("__member").as("__mb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("__ma"), col("id_a")).as("__xa"),
+        coalesce(col("__mb"), col("id_b")).as("__xb"), col("jaccard"))
+      .select(least(col("__xa"), col("__xb")).as("id_a"),
+        greatest(col("__xa"), col("__xb")).as("id_b"), col("jaccard"))
+    // within-class pairs: the C(n,2) clique per dup class at jaccard 1.0 —
+    // output-bound work (these pairs ARE in the exact result)
+    val within = members.select(col("__rep"), col("__member").as("id_a"))
+      .join(members.select(col("__rep"), col("__member").as("id_b")), Seq("__rep"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** Test-set decontamination: for every corpus doc, how many of its DISTINCT
@@ -583,9 +669,9 @@ object Dedup {
     * docs concentrates to one combined row per map partition, never the raw
     * rows), one shuffle hash join of instances back to owners on the same
     * key (probe side streams), and one per-doc aggregate to reassemble.
-    * No window over an unbounded partition anywhere. Owner-key encoding
-    * id·2^20+pos caps docs at 2^20 segments (a 33M-token doc at the default
-    * segTokens=32) and ids at 2^43 — both far beyond open-web corpora.
+    * No window over an unbounded partition anywhere. Ownership is a
+    * lexicographic `min(struct(id, pos))` — structs order field-by-field,
+    * so no arithmetic packing and no overflow for any id or segment count.
     *
     * Returns (idCol, n_segs, n_kept, text_dedup), one row per non-null-text
     * input doc. */
@@ -594,18 +680,25 @@ object Dedup {
       segTokens: Int = 32): DataFrame = {
     require(segTokens > 0, s"segTokens must be positive, got $segTokens")
     val inst = segmentInstances(df, idCol, textCol, segTokens)
-    val instKey = col(idCol) * lit(1L << 20) + col("pos")
     val kept = inst
       .join(segmentOwners(df, idCol, textCol, segTokens)
         .select(col("seg_hash").as("__wh"), col("owner_key")), Seq("__wh"))
-      .where(instKey === col("owner_key"))
+      .where(ownerKey(idCol) === col("owner_key"))
       .select(col(idCol), col("pos"))
     rebuildFromKept(df, kept, idCol, textCol, segTokens)
   }
 
+  /** Lexicographic (id, pos) ownership key — struct ordering is
+    * field-by-field, so `min` picks lowest id then lowest position with no
+    * overflow for any id magnitude or per-doc segment count (the packed
+    * id·2^20+pos form this replaces silently collided past 2^20 segments
+    * or ids ≥ 2^43). */
+  private def ownerKey(idCol: String) =
+    struct(col(idCol).cast("long").as("id"), col("pos").as("pos"))
+
   /** The PERSISTABLE product of [[segmentDedup]]'s first pass: one row per
     * distinct segment content — (seg_hash, owner_key) with owner_key =
-    * min(id·2^20 + pos) — the store an incremental pipeline keeps between
+    * min(struct(id, pos)) — the store an incremental pipeline keeps between
     * snapshots (the segment-level sibling of [[minhashBuckets]]'s
     * signature store; [[segmentDedupIncrement]] consumes it). */
   def segmentOwners(
@@ -614,7 +707,7 @@ object Dedup {
     require(segTokens > 0, s"segTokens must be positive, got $segTokens")
     segmentInstances(df, idCol, textCol, segTokens)
       .groupBy(col("__wh").as("seg_hash"))
-      .agg(min(col(idCol) * lit(1L << 20) + col("pos")).as("owner_key"))
+      .agg(min(ownerKey(idCol)).as("owner_key"))
   }
 
   /** Incremental twin of [[segmentDedup]]: dedup an INCREMENT of new docs
@@ -629,13 +722,12 @@ object Dedup {
       textCol: String, segTokens: Int = 32): DataFrame = {
     require(segTokens > 0, s"segTokens must be positive, got $segTokens")
     val inst = segmentInstances(newDocs, idCol, textCol, segTokens)
-    val instKey = col(idCol) * lit(1L << 20) + col("pos")
     val novel = inst.join(
       storedOwners.select(col("seg_hash").as("__wh")), Seq("__wh"), "left_anti")
-    val owners = novel.groupBy(col("__wh")).agg(min(instKey).as("__owner_key"))
+    val owners = novel.groupBy(col("__wh")).agg(min(ownerKey(idCol)).as("__owner_key"))
     val kept = novel
       .join(owners, Seq("__wh"))
-      .where(instKey === col("__owner_key"))
+      .where(ownerKey(idCol) === col("__owner_key"))
       .select(col(idCol), col("pos"))
     rebuildFromKept(newDocs, kept, idCol, textCol, segTokens)
   }

@@ -222,8 +222,15 @@ object Sinks {
               catch { case re: Throwable => e.addSuppressed(re) }
               throw e
           } finally {
-            stmts.reverse.foldLeft(()) { (_, st) =>
-              try st.close() catch { case _: java.sql.SQLException => () }
+            // close EVERY statement even if one close throws, and surface
+            // (don't swallow) the failures — a close error after a clean
+            // commit is non-actionable but must not be invisible
+            stmts.reverse.foreach { st =>
+              try st.close()
+              catch {
+                case scala.util.control.NonFatal(ce) =>
+                  System.err.println(s"[sink] statement close failed: $ce")
+              }
             }
           }
         } finally conn.close()

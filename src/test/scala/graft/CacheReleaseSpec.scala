@@ -1,0 +1,39 @@
+package graft
+
+import graft.util.Caches
+
+/** The cache-release seam: every layout-pinning `persist` inside a catalog
+  * query registers with [[graft.util.Caches]], and the long-lived runners
+  * (Verify, Bench) call `releaseAll()` after each query materializes — so a
+  * full-catalog session never accumulates cached blocks. This spec drives
+  * the four persisting queries end-to-end the way a runner would and
+  * asserts the session ends cache-clean. */
+class CacheReleaseSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q127/q145/q153/q179 leave no persistent RDDs after releaseAll") {
+    // start clean so a leak from another suite can't mask or fail this one
+    Caches.releaseAll()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    var released = 0
+    for (q <- Seq("q127_key_gaps", "q145_sequence_pack",
+                  "q153_star_components", "q179_pack_manifest")) {
+      SparkEntry.queries(q)(spark, dir).write
+        .format("noop").mode("overwrite").save() // materialize like a runner
+      released += Caches.releaseAll()
+    }
+    released should be >= 4 // each query pinned at least one frame
+    // localCheckpoint blocks (q153's CC iterations) are weakly referenced
+    // and ContextCleaner-reclaimed after GC — the leak class this seam
+    // closes is the STRONGLY-held df.persist blocks, so assert none of
+    // those survive
+    spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.isCheckpointed) shouldBe empty
+  }
+
+  test("releaseAll is idempotent and empty-safe") {
+    Caches.releaseAll()
+    Caches.releaseAll() shouldBe 0
+  }
+}

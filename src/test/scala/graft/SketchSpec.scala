@@ -31,4 +31,16 @@ class SketchSpec extends SparkTestBase {
     val exact = sorted(sorted.length / 2)
     math.abs(approx - exact) / exact should be < 0.02
   }
+
+  test("q39 emits all-true bound-check booleans (driver-gated shape)") {
+    val rows = SparkEntry.queries("q39_sketches")(spark, dir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      withClue(s"row $r: ") {
+        r.getBoolean(r.fieldIndex("orders_ok")) shouldBe true
+        r.getBoolean(r.fieldIndex("p50_ok")) shouldBe true
+        r.getBoolean(r.fieldIndex("p99_ok")) shouldBe true
+      }
+    }
+  }
 }

@@ -274,6 +274,34 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))) should contain((1L, 2L))
   }
 
+  test("collapsed prefix jaccard equals the direct form (exact-dup pre-collapse law)") {
+    // dup classes of size 3 and 2, a near-dup bridging a class, singletons,
+    // a cross-block twin, and a null text — every re-expansion path
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "the quick brown fox jumps over the lazy dog"),
+      (9L, "en", "the quick brown fox jumps over the lazy dog"),
+      (3L, "en", "the quick brown fox leaps over the lazy dog"),
+      (8L, "en", "the quick brown fox leaps over the lazy dog"),
+      (4L, "en", "completely different content the quick brown here"),
+      (5L, "de", "the quick brown fox jumps over the lazy dog"),
+      (6L, "en", "tiny doc"),
+      (7L, "en", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "text")
+    for (t <- Seq(0.05, 0.3, 0.9, 1.0)) {
+      val collapsed = Dedup.prefixFilteredJaccardPairsCollapsed(
+          docs, "doc_id", "text", Seq("lang"), t)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val direct = Dedup.prefixFilteredJaccardPairs(
+          docs, "doc_id", "text", Seq("lang"), t)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      withClue(s"threshold $t")(collapsed shouldBe direct)
+    }
+    graft.util.Caches.releaseAll()
+  }
+
   test("prefix filter survives FP ceil overshoot at the exact threshold boundary") {
     // 0.07·100 = 7.000000000000001 in IEEE doubles: a bare float ceil gives
     // 8 and silently shortens the prefix by one element, dropping this
@@ -594,6 +622,17 @@ class DedupSpec extends SparkTestBase {
     // doc 1 = [a b][c]; doc 2 = [c] is a copy of doc 1's tail
     segRows(Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 2)) shouldBe Seq(
       (1L, 2L, 2L, "a b c"), (2L, 1L, 0L, ""))
+  }
+
+  test("segmentDedup: ids beyond the old packed-key domain (>= 2^43) own correctly") {
+    // the retired id*2^20+pos packing silently collided here; struct
+    // ownership orders (id, pos) lexicographically at any magnitude
+    val big = 1L << 50
+    val docs = Seq((big, "a b c d"), (big + 1, "a b x y"), (3L, "a b q r"))
+      .toDF("doc_id", "text")
+    segRows(Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 2)) shouldBe Seq(
+      (3L, 2L, 2L, "a b q r"),          // lowest id owns the shared [a b]
+      (big, 2L, 1L, "c d"), (big + 1, 2L, 1L, "x y"))
   }
 
   test("segmentDedupIncrement law: store+increment equals the full pass restricted to the increment") {
