@@ -6357,6 +6357,214 @@ object SparkEntry {
       FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
       ORDER BY tot.doc_id""")),
 
+    // PII redaction gate: every document gets deterministic synthetic PII
+    // (an email, an IPv4, a spaced 16-digit card number — all derived from
+    // doc_id, so both engines construct identical text) appended, then
+    // TextAnalysis.redactPii masks them. The gate hash-compares the full
+    // redacted text via md5 plus the mask count, so the three regexes'
+    // exact span semantics (Java regex in Spark, RE2 in DuckDB — patterns
+    // restricted to the common leftmost/greedy subset) are pinned end to
+    // end. Per-row codegen'd regexp chain: no shuffle, linear scan — the
+    // shape a 100 TB scrub pass needs.
+    ("q182_pii_redaction", (s, dir) => {
+      val salted = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org from "),
+          (col("doc_id") % 256).cast("string"), lit(".16.32."),
+          ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" card 4111 2222 3333 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      salted.select(col("doc_id"),
+          TextAnalysis.redactPii(col("text")).as("__red"))
+        .select(col("doc_id"),
+          length(col("__red")).as("n_chars_redacted"),
+          ((length(col("__red")) - length(regexp_replace(col("__red"),
+            "\\[PII\\]", ""))) / lit(5)).cast("long").as("n_masks"),
+          md5(col("__red")).as("redacted_key"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH s AS (
+        SELECT doc_id, text || ' contact user' || doc_id ||
+          '@mail.example.org from ' || (doc_id % 256) || '.16.32.' ||
+          ((doc_id * 7) % 256) || ' card 4111 2222 3333 ' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+            '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g'),
+            '\b\d(?:[ .-]?\d){8,}\b', '[PII]', 'g') AS red
+        FROM s)
+      SELECT doc_id, CAST(len(red) AS BIGINT) AS n_chars_redacted,
+        CAST((len(red) - len(replace(red, '[PII]', ''))) / 5 AS BIGINT)
+          AS n_masks,
+        md5(red) AS redacted_key
+      FROM r ORDER BY doc_id""")),
+
+    // Bucketed co-located join: orders and customer are written ONCE as
+    // 8-bucket tables on their join key (catalog-registered, sorted within
+    // buckets), then joined — the scan's bucketing satisfies the join's
+    // hash-partitioning requirement, so neither fact re-shuffles
+    // (BucketingSpec pins the no-Exchange plan). At 100 TB this is THE
+    // repeated-join layout: pay the shuffle once at write time, every
+    // subsequent join on the bucket key is exchange-free. The oracle is the
+    // plain relational join — bucketing is pure layout, results identical.
+    // HARNESS BOUNDARY (q180 convention): the tiny aggregate is collected
+    // before the temp tables drop so the returned frame owns its data.
+    ("q183_bucketed_join", (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_bucket_")
+      try {
+        s.sql("DROP TABLE IF EXISTS graft_b_orders")
+        s.sql("DROP TABLE IF EXISTS graft_b_customer")
+        T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            dec(col("o_totalprice")).as("o_price"))
+          .write.format("parquet").option("path", s"$wh/o")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .mode("overwrite").saveAsTable("graft_b_orders")
+        T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .write.format("parquet").option("path", s"$wh/c")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .mode("overwrite").saveAsTable("graft_b_customer")
+        val res = s.table("graft_b_orders")
+          .join(s.table("graft_b_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct(col("c_custkey")).as("n_custs"),
+            sum(col("o_price")).cast("double").as("total_price"))
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+          .orderBy(col("c_mktsegment"))
+      } finally {
+        s.sql("DROP TABLE IF EXISTS graft_b_orders")
+        s.sql("DROP TABLE IF EXISTS graft_b_customer")
+        graft.util.Fs.deleteRecursively(wh)
+      }
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n_orders,
+        count(DISTINCT c.c_custkey) AS n_custs,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS total_price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Z-order layout audit: events map onto a 2-D (user bucket × value
+    // bucket) grid, each row gets the 16-bit Morton/Z interleave of the two
+    // 8-bit coordinates (pure unrolled shift/mask arithmetic — identical in
+    // both engines), and consecutive z-ranges of 1024 codes model the files
+    // a z-ordered writer would cut. The per-"file" min/max of BOTH
+    // dimensions stays bounded (each covers at most a 32×32 tile of the
+    // 256×256 grid) — exactly the property that lets file-level min/max
+    // statistics skip data for predicates on EITHER column at 100 TB,
+    // where a single-column sort bounds only one.
+    ("q184_zorder_layout", (s, dir) => {
+      val withXY = T(s, dir, "events").select(
+        (col("user_id") % 256).cast("long").as("__x"),
+        least(floor(col("value")).cast("long"), lit(255L)).as("__y"))
+      val z = (0 until 8).map { i =>
+        shiftright(col("__x"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(col("__y"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+      }.reduce(_ + _)
+      withXY.withColumn("__z", z)
+        .withColumn("file_id", (col("__z") / 1024).cast("long"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("__x")).as("x_min"), max(col("__x")).as("x_max"),
+          min(col("__y")).as("y_min"), max(col("__y")).as("y_max"),
+          min(col("__z")).as("z_min"), max(col("__z")).as("z_max"))
+        .orderBy(col("file_id"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id % 256 AS x,
+               least(CAST(floor(value) AS BIGINT), 255) AS y
+        FROM events),
+      z AS (
+        SELECT x, y,
+          ((x >> 0) & 1) * 1 + ((y >> 0) & 1) * 2 +
+          ((x >> 1) & 1) * 4 + ((y >> 1) & 1) * 8 +
+          ((x >> 2) & 1) * 16 + ((y >> 2) & 1) * 32 +
+          ((x >> 3) & 1) * 64 + ((y >> 3) & 1) * 128 +
+          ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512 +
+          ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048 +
+          ((x >> 6) & 1) * 4096 + ((y >> 6) & 1) * 8192 +
+          ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768 AS zv
+        FROM e)
+      SELECT zv // 1024 AS file_id, count(*) AS n_rows,
+        min(x) AS x_min, max(x) AS x_max,
+        min(y) AS y_min, max(y) AS y_max,
+        min(zv) AS z_min, max(zv) AS z_max
+      FROM z GROUP BY 1 ORDER BY 1""")),
+
+    // Stream-stream interval join, oracle-gated end-to-end (the q180
+    // harness): purchases and clicks replay as two file streams,
+    // watermarked and inner-joined on user within a 6-hour attribution
+    // window — Spark keeps both sides in range-bounded state and emits
+    // matches as they meet, which for an inner join is exactly the batch
+    // join. Each side is staged as ONE file so both sources land in a
+    // single micro-batch (no late-arrival drops possible under
+    // FileStreamSource's oldest-mtime-first order). The joined pairs then
+    // aggregate per purchase in batch. VERIFICATION-HARNESS BOUNDARY
+    // (q19/q170/q180 convention): memory sink + collect hands the streamed
+    // pairs to the batch aggregation; production writes through the
+    // distributed sinks.
+    ("q185_stream_join", (s, dir) => {
+      val ev = T(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), timestamp_micros(expr("ts div 1000")).as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sjoin_")
+      val qname = "graft_stream_join"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val (schema, rows) =
+        try {
+          ev.where(col("event_type") === "click")
+            .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+              col("ts").as("c_ts"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/clicks")
+          ev.where(col("event_type") === "purchase")
+            .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/purch")
+          val c = s.readStream
+            .schema("c_id LONG, c_user LONG, c_ts TIMESTAMP")
+            .parquet(s"$tmp/clicks").withWatermark("c_ts", "1 second")
+          val p = s.readStream
+            .schema("p_id LONG, p_user LONG, p_ts TIMESTAMP")
+            .parquet(s"$tmp/purch").withWatermark("p_ts", "1 second")
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          val q = p.join(c, expr(
+              """p_user = c_user AND
+                 c_ts >= p_ts - interval 6 hours AND c_ts <= p_ts"""))
+            .writeStream.outputMode("append").format("memory").queryName(qname)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val res = s.table(qname)
+          (res.schema, res.collect())
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          s.catalog.dropTempView(qname)
+          graft.util.Fs.deleteRecursively(tmp)
+        }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .groupBy(col("p_id"), col("p_user"))
+        .agg(count(lit(1)).as("n_clicks"),
+          min(col("c_id")).as("first_click"), max(col("c_id")).as("last_click"))
+        .orderBy(col("p_id"))
+    }, Some("""
+      WITH c AS (
+        SELECT event_id AS c_id, user_id, epoch_us(ts) AS tus
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT event_id AS p_id, user_id, epoch_us(ts) AS tus
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.p_id, p.user_id AS p_user, count(*) AS n_clicks,
+        min(c.c_id) AS first_click, max(c.c_id) AS last_click
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND c.tus BETWEEN p.tus - 21600000000 AND p.tus
+      GROUP BY 1, 2 ORDER BY 1""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,
@@ -6432,17 +6640,57 @@ object SparkEntry {
     // HLL++ rsd (0.05) plus absolute slack for tiny groups; 2% relative for
     // percentile_approx at accuracy=10000 (rank error n/10000 ⇒ ~0.01%
     // relative rank error, far inside 2% on a dense price distribution).
+    // The exact reference percentiles are NOT `percentile(...)` — that
+    // aggregate buffers every (near-unique) price per group, a per-group
+    // memory hog that measured 27 s at sf0.1. Instead: GlobalCumsum's
+    // two-phase global row number over (flag, price) — fully distributed,
+    // no single-partition sort, no value buffers — then the 2–4 boundary
+    // ranks per group are picked and linearly interpolated exactly as
+    // Spark's percentile defines (pos = q·(n−1), lerp between floor/ceil
+    // ranks). Same answer, scan-shaped cost, survives a 100× scale-up.
     ("q39_sketches", (s, dir) => {
-      T(s, dir, "lineitem")
+      val li = T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+      val base = graft.util.Caches.register(
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_orderkey")).as("ac"),
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
+            percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"),
+            count(lit(1)).as("n_rows"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // exclusive per-flag rank base: |groups| rows, window is group-sized
+      val flagW = Window.orderBy(col("__f"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = base
+        .select(col("l_returnflag").as("__f"), col("n_rows").as("__n"))
+        .withColumn("__base", coalesce(sum(col("__n")).over(flagW), lit(0L)))
+      val rn = GlobalCumsum.rowNumber(
+        li.select(col("l_returnflag"), col("l_extendedprice")),
+        Seq(col("l_returnflag"), col("l_extendedprice")), "__rn")
+      val picks = rn
+        .join(broadcast(offs), col("l_returnflag") === col("__f"))
+        .withColumn("__k", (col("__rn") - col("__base") - 1).cast("double"))
+        .withColumn("__p50", lit(0.5) * (col("__n") - 1))
+        .withColumn("__p99", lit(0.99) * (col("__n") - 1))
+        .where(col("__k") === floor(col("__p50")) ||
+          col("__k") === ceil(col("__p50")) ||
+          col("__k") === floor(col("__p99")) ||
+          col("__k") === ceil(col("__p99")))
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("ac"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"),
-          expr("percentile(l_extendedprice, 0.5)").as("ep50"),
-          expr("percentile(l_extendedprice, 0.99)").as("ep99"),
-          count(lit(1)).as("n_rows"))
+          min(when(col("__k") === floor(col("__p50")), col("l_extendedprice"))).as("__v50lo"),
+          min(when(col("__k") === ceil(col("__p50")), col("l_extendedprice"))).as("__v50hi"),
+          min(when(col("__k") === floor(col("__p99")), col("l_extendedprice"))).as("__v99lo"),
+          min(when(col("__k") === ceil(col("__p99")), col("l_extendedprice"))).as("__v99hi"),
+          first(col("__p50")).as("__pos50"), first(col("__p99")).as("__pos99"))
+        .select(col("l_returnflag"),
+          (col("__v50lo") + (col("__pos50") - floor(col("__pos50"))) *
+            (col("__v50hi") - col("__v50lo"))).as("ep50"),
+          (col("__v99lo") + (col("__pos99") - floor(col("__pos99"))) *
+            (col("__v99hi") - col("__v99lo"))).as("ep99"))
+      base.join(picks, Seq("l_returnflag"))
         .select(
           col("l_returnflag"),
           col("n_rows"),

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws behind the round-8 catalog entries (q182–q185) that the DuckDB gate
+  * can't see from the outside: PII-regex span semantics, the Morton-code
+  * tile bound that makes z-order layouts skippable on BOTH dimensions, and
+  * result-identity of the bucketed join against its unbucketed twin. */
+class Round8Spec extends SparkTestBase {
+
+  import graft.ext.TextAnalysis.redactPii
+
+  private def redact(s: String, mask: String = "[PII]"): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(redactPii(col("t"), mask)).head().getString(0)
+  }
+
+  // ------------------------------------------------------------- q182 PII
+
+  test("redactPii masks emails, IPv4s and long digit runs") {
+    redact("mail a.b-c_d%e@sub.example.co.uk now") shouldBe "mail [PII] now"
+    redact("ip 192.168.0.1 end") shouldBe "ip [PII] end"
+    redact("card 4111 2222 3333 4444.") shouldBe "card [PII]."
+    redact("acct 123-456-789-0 x") shouldBe "acct [PII] x"
+  }
+
+  test("redactPii leaves short numbers, years and versions intact") {
+    redact("in 2024 v1.2.3 had 12345678 units") shouldBe
+      "in 2024 v1.2.3 had 12345678 units" // 8 digits: below the 9+ rule
+    redact("pi is 3.14") shouldBe "pi is 3.14"
+  }
+
+  test("redactPii quotes $ and \\ in the replacement mask") {
+    redact("a@b.co", "<$1\\REDACTED>") shouldBe "<$1\\REDACTED>"
+  }
+
+  test("digit rule runs last: digits inside an email never survive") {
+    redact("c 12345@example.com 9") shouldBe "c [PII] 9"
+  }
+
+  // --------------------------------------------------------- q184 z-order
+
+  test("every 1024-code z-range is confined to one 32x32 tile") {
+    // 16-bit Morton code: the high 6 bits (z div 1024) fix bits 7..5 of x
+    // and y, so within a range both coordinates span < 32 — the bound the
+    // q184 file audit relies on for two-sided min/max skipping
+    def morton(x: Int, y: Int): Int =
+      (0 until 8).map(i => (((x >> i) & 1) << (2 * i)) |
+        (((y >> i) & 1) << (2 * i + 1))).sum
+    val byRange = (for (x <- 0 until 256 by 3; y <- 0 until 256 by 3)
+      yield (morton(x, y) / 1024, x, y)).groupBy(_._1)
+    byRange.foreach { case (_, tile) =>
+      (tile.map(_._2).max - tile.map(_._2).min) should be <= 31
+      (tile.map(_._3).max - tile.map(_._3).min) should be <= 31
+    }
+  }
+
+  test("catalog z-expression matches the reference Morton interleave") {
+    import spark.implicits._
+    def morton(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).sum
+    val df = Seq((0L, 0L), (255L, 255L), (170L, 85L), (1L, 2L), (200L, 13L))
+      .toDF("__x", "__y")
+    val z = (0 until 8).map { i =>
+      shiftright(col("__x"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+      shiftright(col("__y"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    df.select(col("__x"), col("__y"), z.as("z")).collect().foreach { r =>
+      r.getLong(2) shouldBe morton(r.getLong(0), r.getLong(1))
+    }
+  }
+
+  // ---------------------------------------------------- q183 bucketed join
+
+  test("bucketed-join catalog entry equals the unbucketed relational twin") {
+    val dir = "/root/testdata/sf0.001"
+    val bucketed = SparkEntry.queries("q183_bucketed_join")(spark, dir)
+      .collect().map(_.toString)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val plain = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_custs"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("total_price"))
+      .orderBy(col("c_mktsegment"))
+      .collect().map(_.toString)
+    bucketed should contain theSameElementsInOrderAs plain
+  }
+}
