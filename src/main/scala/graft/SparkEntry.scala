@@ -5122,9 +5122,20 @@ object SparkEntry {
     // permutations enough?" before trusting the dedup at scale.
     ("q160_lsh_calibration", (s, dir) => {
       val docs = T(s, dir, "documents")
-      val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-        .localCheckpoint(true)
+      // ONE signature pass (md5 per shingle × 16 permutation mins) feeds the
+      // band buckets, the candidate pairs AND the per-permutation agreement —
+      // the previous form ran the whole pipeline twice (once inside
+      // minhashCandidatePairs, once for the agreement columns)
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      val bandCols = (0 until 4).map { b =>
+        val sig = concat_ws("-", (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*)
+        struct(lit(b).as("band"), sig.as("sig"))
+      }
+      val buckets = sigs.where(col("mh_0").isNotNull)
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      val cands = Dedup.bucketPairs(buckets, "doc_id")
       val sa = sigs.select(col("doc_id").as("id_a") +:
         (0 until 16).map(p => col(s"mh_$p").as(s"a_$p")): _*)
       val sb = sigs.select(col("doc_id").as("id_b") +:
@@ -5134,23 +5145,27 @@ object SparkEntry {
         .reduce(_ + _)
       val withAgree = cands.join(sa, "id_a").join(sb, "id_b")
         .select(col("id_a"), col("id_b"), agree.as("n_agree"))
-      val posts = docs
+      // exact Jaccard per candidate via per-doc shingle-hash SETS (the q161
+      // verification shape): two equi-joins on doc id + one codegen'd
+      // array_intersect — versus the posting re-explode, whose
+      // |cands|·avg(set) intermediate rows paid a corpus-scale shuffle
+      val docSets = docs
         .where(col("text").isNotNull)
         .withColumn("__words", split(col("text"), " "))
         .select(col("doc_id"),
           explode(Dedup.shingles(col("text"), col("__words"))).as("__g"))
+        .select(col("doc_id"), xxhash64(col("__g")).as("__s"))
         .distinct()
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("__s")).as("__set"), count(lit(1)).as("n"))
         .localCheckpoint(true)
-      val sizes = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = cands
-        .join(posts.select(col("doc_id").as("id_a"), col("__g")), "id_a")
-        .join(posts.select(col("doc_id").as("id_b"), col("__g")), Seq("id_b", "__g"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
       withAgree
-        .join(inter, Seq("id_a", "id_b"), "left")
-        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
-        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .join(docSets.select(col("doc_id").as("id_a"),
+          col("__set").as("__sa"), col("n").as("na")), "id_a")
+        .join(docSets.select(col("doc_id").as("id_b"),
+          col("__set").as("__sb"), col("n").as("nb")), "id_b")
+        .withColumn("n_shared",
+          size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
         .select(col("id_a"), col("id_b"), col("n_agree"),
           (col("n_agree").cast("double") / lit(16.0)).as("est_jaccard"),
           col("n_shared"),

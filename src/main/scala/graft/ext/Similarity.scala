@@ -263,11 +263,16 @@ object Similarity {
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     // query probes: per table, the base bucket XOR every subset of the
     // `flips` lowest-|margin| bit masks. The masks ride the sort struct
-    // (m, b, mask) — b is unique so the mask never influences the order —
-    // which keeps the whole probe computation in builtin, literal-indexed
-    // expressions (no runtime shift-by-column, no lambda).
+    // (m, b, mask) — b is unique so the mask never influences the order.
+    // STAGED deliberately: base + the sorted mask list materialize as
+    // columns BEFORE the probe fan-out, so each probe is `base XOR
+    // element_at(masks, j)` — tiny. Inlining the array_sort into every
+    // XOR reference (the obvious one-shot form) re-states the margins
+    // sort 2^flips·flips times per table and blows the plan to ~150 KB
+    // of expression tree, where driver-side analysis/codegen — not the
+    // data — was the measured cost (3.6 s for a 2000-row corpus).
     val vecD = col(vecCol).cast("array<double>")
-    val probeStructs = (0 until tables).map { t =>
+    val tableStructs = (0 until tables).map { t =>
       val base = signBucketAt(col(vecCol), t * bits, bits)
       // a vector shorter than tables·bits dims yields NULL components here;
       // coalesce the margin to +inf so an ABSENT dimension is never among
@@ -278,21 +283,24 @@ object Similarity {
         struct(coalesce(abs(element_at(vecD, t * bits + b + 1)),
             lit(Double.PositiveInfinity)).as("m"),
           lit(b).as("b"), lit(1L << b).as("mask"))): _*))
-      val probes = (0 until (1 << flips)).map { s =>
-        (0 until flips).foldLeft(base) { (acc, j) =>
-          if ((s & (1 << j)) != 0)
-            acc.bitwiseXOR(element_at(margins, j + 1).getField("mask"))
-          else acc
-        }
+      struct(lit(t).as("tbl"), base.as("base"),
+        transform(margins, m => m.getField("mask")).as("masks"))
+    }
+    val probes = (0 until (1 << flips)).map { s =>
+      (0 until flips).foldLeft(col("base")) { (acc, j) =>
+        if ((s & (1 << j)) != 0)
+          acc.bitwiseXOR(element_at(col("masks"), j + 1))
+        else acc
       }
-      struct(lit(t).as("tbl"), array(probes: _*).as("probes"))
     }
     val q = broadcast(
       queries
         .select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"),
-          explode(array(probeStructs: _*)).as("tp"))
+          explode(array(tableStructs: _*)).as("tp"))
         .select(col("q_id"), col("q_vec"), col("tp.tbl").as("tbl"),
-          explode(col("tp.probes")).as("bucket")))
+          col("tp.base").as("base"), col("tp.masks").as("masks"))
+        .select(col("q_id"), col("q_vec"), col("tbl"),
+          explode(array(probes: _*)).as("bucket")))
     // a pair can match in several tables/probes: score once per match (the
     // cosine is cheap), then collapse duplicates before the top-k so no
     // candidate is ranked twice — the groupBy shuffles only matched
