@@ -6657,54 +6657,26 @@ object SparkEntry {
     // relative rank error, far inside 2% on a dense price distribution).
     // The exact reference percentiles are NOT `percentile(...)` — that
     // aggregate buffers every (near-unique) price per group, a per-group
-    // memory hog that measured 27 s at sf0.1. Instead: GlobalCumsum's
-    // two-phase global row number over (flag, price) — fully distributed,
-    // no single-partition sort, no value buffers — then the 2–4 boundary
-    // ranks per group are picked and linearly interpolated exactly as
-    // Spark's percentile defines (pos = q·(n−1), lerp between floor/ceil
-    // ranks). Same answer, scan-shaped cost, survives a 100× scale-up.
+    // memory hog that measured 27 s at sf0.1. Profiling.exactPercentilesGlobal
+    // ranks via GlobalCumsum's two-phase scan (no single-partition sort, no
+    // value buffers — 3 groups over 100 TB would otherwise be 3 tasks) and
+    // picks/blends the 2 bracketing ranks per cut. Same answer, scan-shaped
+    // cost: 27 s → under 2 s at sf0.1.
     ("q39_sketches", (s, dir) => {
       val li = T(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
-      val base = graft.util.Caches.register(
-        li.groupBy(col("l_returnflag"))
-          .agg(
-            approx_count_distinct(col("l_orderkey")).as("ac"),
-            countDistinct(col("l_orderkey")).as("exact_orders"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
-            percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"),
-            count(lit(1)).as("n_rows"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // exclusive per-flag rank base: |groups| rows, window is group-sized
-      val flagW = Window.orderBy(col("__f"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = base
-        .select(col("l_returnflag").as("__f"), col("n_rows").as("__n"))
-        .withColumn("__base", coalesce(sum(col("__n")).over(flagW), lit(0L)))
-      val rn = GlobalCumsum.rowNumber(
-        li.select(col("l_returnflag"), col("l_extendedprice")),
-        Seq(col("l_returnflag"), col("l_extendedprice")), "__rn")
-      val picks = rn
-        .join(broadcast(offs), col("l_returnflag") === col("__f"))
-        .withColumn("__k", (col("__rn") - col("__base") - 1).cast("double"))
-        .withColumn("__p50", lit(0.5) * (col("__n") - 1))
-        .withColumn("__p99", lit(0.99) * (col("__n") - 1))
-        .where(col("__k") === floor(col("__p50")) ||
-          col("__k") === ceil(col("__p50")) ||
-          col("__k") === floor(col("__p99")) ||
-          col("__k") === ceil(col("__p99")))
-        .groupBy(col("l_returnflag"))
+      val base = li.groupBy(col("l_returnflag"))
         .agg(
-          min(when(col("__k") === floor(col("__p50")), col("l_extendedprice"))).as("__v50lo"),
-          min(when(col("__k") === ceil(col("__p50")), col("l_extendedprice"))).as("__v50hi"),
-          min(when(col("__k") === floor(col("__p99")), col("l_extendedprice"))).as("__v99lo"),
-          min(when(col("__k") === ceil(col("__p99")), col("l_extendedprice"))).as("__v99hi"),
-          first(col("__p50")).as("__pos50"), first(col("__p99")).as("__pos99"))
-        .select(col("l_returnflag"),
-          (col("__v50lo") + (col("__pos50") - floor(col("__pos50"))) *
-            (col("__v50hi") - col("__v50lo"))).as("ep50"),
-          (col("__v99lo") + (col("__pos99") - floor(col("__pos99"))) *
-            (col("__v99hi") - col("__v99lo"))).as("ep99"))
+          approx_count_distinct(col("l_orderkey")).as("ac"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"),
+          count(lit(1)).as("n_rows"))
+      val picks = ext.Profiling.exactPercentilesGlobal(
+          li.select(col("l_returnflag"), col("l_extendedprice")),
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq("ep50" -> 0.5, "ep99" -> 0.99))
+        .select(col("l_returnflag"), col("ep50"), col("ep99"))
       base.join(picks, Seq("l_returnflag"))
         .select(
           col("l_returnflag"),

@@ -120,6 +120,39 @@ object Stress {
       require(chk1 == chk2, s"cumsum checksum mismatch: $chk1 vs $chk2")
     }
 
+    // Percentile scale probe: few huge groups of near-unique doubles — the
+    // regime where the built-in `percentile` aggregate buffers every value
+    // in a per-group map (q39's measured 27 s at sf0.1) and the window
+    // form single-tasks each group. The rank-pick form must match it
+    // value-for-value while staying scan-shaped.
+    if (want("percentile")) locally {
+      val n = 20_000_000L
+      val t = spark.range(n).select(
+        (col("id") % 3).cast("string").as("g"),
+        (hash(col("id")).cast("double") / 1e6).as("x"))
+        .localCheckpoint()
+      println(s"[stress] percentile: $n rows, 3 groups, near-unique doubles")
+      val fast = timed("rank-pick exactPercentilesGlobal") {
+        graft.ext.Profiling.exactPercentilesGlobal(
+          t, Seq("g"), "x", Seq("p50" -> 0.5, "p99" -> 0.99)).collect()
+      }
+      graft.util.Caches.releaseAll()
+      val slow = timed("buffering percentile() agg") {
+        t.groupBy(col("g")).agg(
+          expr("percentile(x, 0.5)").as("p50"),
+          expr("percentile(x, 0.99)").as("p99")).collect()
+      }
+      val byG = fast.map(r =>
+        r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+      slow.foreach { r =>
+        val (p50, p99) = byG(r.getString(0))
+        require(p50 == r.getDouble(1) && p99 == r.getDouble(2),
+          s"percentile mismatch for g=${r.getString(0)}: " +
+            s"($p50, $p99) vs (${r.getDouble(1)}, ${r.getDouble(2)})")
+      }
+      println("[stress]   values identical to the buffering aggregate")
+    }
+
     // Temporal-join scale probe: 20M points as-of/range-joined against 2M
     // intervals over 100k keys — synthetic (spark.range, fully codegen'd
     // generation) so the probe sizes independently of the doc corpus. Both

@@ -45,6 +45,52 @@ object Profiling {
   def exactPercentiles(
       df: DataFrame, keys: Seq[String], valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
+    validatePs(keys, valueCol, ps)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val ranked = df
+      .select((keys.map(col) :+ col(valueCol)): _*)
+      .select(col("*"),
+        (row_number().over(w) - 1).cast("double").as("__rn"), // 0-based
+        count(lit(1)).over(cw).as("__n"))
+    pickAndBlend(ranked, keys, valueCol, ps)
+  }
+
+  /** [[exactPercentiles]] for LOW-cardinality keys over FACT-scale frames —
+    * the regime where the window form's `partitionBy(keys)` funnels each
+    * whole group through one task (3 groups over 100 TB = 3 tasks). The
+    * in-group rank comes from [[graft.analytics.GlobalCumsum]]'s two-phase
+    * range-partitioned scan over the total order (keys, value), minus each
+    * group's exclusive base (an exclusive running sum of the group counts —
+    * a |groups|-row window — broadcast back). No single-partition sort, no
+    * per-group value buffers; identical picks, identical IEEE blend.
+    *
+    * The group-count aggregation is one extra pass over `df` versus the
+    * window form — the price of never materializing a group in one task.
+    * Same non-null `valueCol` contract. */
+  def exactPercentilesGlobal(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    validatePs(keys, valueCol, ps)
+    val proj = df.select((keys.map(col) :+ col(valueCol)): _*)
+    val counts = proj.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    val gw = org.apache.spark.sql.expressions.Window
+      .orderBy(keys.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("__base", coalesce(sum(col("__n")).over(gw), lit(0L)))
+    val rn = graft.analytics.GlobalCumsum.rowNumber(
+      proj, keys.map(col) :+ col(valueCol), "__grn")
+    val ranked = rn
+      .join(broadcast(offs), keys)
+      .withColumn("__rn", (col("__grn") - col("__base") - 1).cast("double"))
+    pickAndBlend(ranked, keys, valueCol, ps)
+  }
+
+  private def validatePs(
+      keys: Seq[String], valueCol: String, ps: Seq[(String, Double)]): Unit = {
     require(ps.nonEmpty, "exactPercentiles needs at least one percentile")
     ps.foreach { case (n, p) =>
       require(p >= 0 && p <= 1, s"percentile $n must be in [0, 1], got $p") }
@@ -55,27 +101,27 @@ object Profiling {
     val clash = ps.map(_._1).filter(n => keys.contains(n) || n == valueCol)
     require(clash.isEmpty,
       s"percentile names collide with input columns: ${clash.mkString(", ")}")
-    // "n" is the emitted group-size column; __rn/__n and the per-percentile
-    // __lo_/__hi_/__f_ columns are internal scratch. Only the columns that
-    // SURVIVE the projection below (keys + valueCol) can actually collide —
-    // an unrelated input column named "n" is dropped before any scratch or
-    // output column exists and must not be rejected.
+    // "n" is the emitted group-size column; __rn/__n/__grn/__base and the
+    // per-percentile __lo_/__hi_/__f_ columns are internal scratch. Only the
+    // columns that SURVIVE the initial projection (keys + valueCol) can
+    // actually collide — an unrelated input column named "n" is dropped
+    // before any scratch or output column exists and must not be rejected.
     val surviving = keys :+ valueCol
-    val reserved = Seq("__rn", "__n", "n") ++
+    val reserved = Seq("__rn", "__n", "__grn", "__base", "n") ++
       ps.flatMap { case (n, _) => Seq(s"__lo_$n", s"__hi_$n", s"__f_$n") }
     reserved.foreach { r =>
       require(!surviving.contains(r), s"$r column name is reserved") }
     require(!ps.exists(_._1 == "n"),
       "percentile name 'n' is reserved for the group-size column")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(col(valueCol))
-    val cw = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-    val ranked = df
-      .select((keys.map(col) :+ col(valueCol)): _*)
-      .select(col("*"),
-        (row_number().over(w) - 1).cast("double").as("__rn"), // 0-based
-        count(lit(1)).over(cw).as("__n"))
+  }
+
+  /** Shared pick stage: `ranked` carries keys, `valueCol`, the 0-based
+    * in-group rank `__rn` (double) and the group size `__n`; one hash
+    * aggregation picks the two bracketing rows per percentile and blends
+    * `lo·(1−f) + hi·f`. */
+  private def pickAndBlend(
+      ranked: DataFrame, keys: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
     val aggs = ps.flatMap { case (name, p) =>
       val pos = lit(p) * (col("__n") - 1).cast("double")
       Seq(

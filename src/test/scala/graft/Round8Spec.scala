@@ -71,6 +71,32 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------- exactPercentilesGlobal (q39 spine)
+
+  test("exactPercentilesGlobal == window form == built-in percentile") {
+    import spark.implicits._
+    // groups of size 1, 2, and 101 with duplicate values mixed in
+    val rows = Seq(("a", 7.5)) ++ Seq(("b", 3.0), ("b", 1.0)) ++
+      (0 until 101).map(i => ("c", ((i * 37) % 50).toDouble))
+    val df = rows.toDF("g", "x").repartition(7)
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val global = graft.ext.Profiling.exactPercentilesGlobal(df, Seq("g"), "x", ps)
+      .orderBy("g").collect().map(key)
+    graft.util.Caches.releaseAll()
+    val windowed = graft.ext.Profiling.exactPercentiles(df, Seq("g"), "x", ps)
+      .orderBy("g").collect().map(key)
+    global should contain theSameElementsInOrderAs windowed
+    val builtin = df.groupBy("g").agg(
+        count(lit(1)).as("n"),
+        expr("percentile(x, 0.25)").as("p25"),
+        expr("percentile(x, 0.5)").as("p50"),
+        expr("percentile(x, 0.99)").as("p99"))
+      .orderBy("g").collect().map(key)
+    global should contain theSameElementsInOrderAs builtin
+  }
+
   // ---------------------------------------------------- q183 bucketed join
 
   test("bucketed-join catalog entry equals the unbucketed relational twin") {
