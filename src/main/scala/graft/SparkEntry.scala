@@ -4520,8 +4520,7 @@ object SparkEntry {
       val t = T(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      GlobalCumsum.cumsumBefore(
-          t, Seq(col("doc_id")), col("n_tokens"), "cum_before")
+      ext.Packing.offsets(t, "doc_id", "n_tokens")
         .select(col("doc_id"), col("n_tokens"), col("cum_before"),
           expr("cum_before div 2048").as("start_bin"),
           expr("(cum_before + n_tokens - 1) div 2048").as("end_bin"),
@@ -6282,21 +6281,9 @@ object SparkEntry {
       val t = T(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      GlobalCumsum.cumsumBefore(
-          t, Seq(col("doc_id")), col("n_tokens"), "cum_before")
-        .select(col("doc_id"), col("n_tokens"), col("cum_before"),
-          explode(sequence(
-            expr("cum_before div 2048"),
-            expr("(cum_before + n_tokens - 1) div 2048"))).as("example_id"))
-        .groupBy(col("example_id"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"),
-          sum(least(col("cum_before") + col("n_tokens"),
-                (col("example_id") + 1) * 2048) -
-              greatest(col("cum_before"), col("example_id") * 2048))
-            .as("n_tokens_filled"))
+      ext.Packing.manifest(
+          ext.Packing.offsets(t, "doc_id", "n_tokens"),
+          "doc_id", "n_tokens", 2048L)
         .orderBy(col("example_id"))
     }, Some("""
       WITH t AS (
@@ -6579,6 +6566,48 @@ object SparkEntry {
       FROM p JOIN c ON p.user_id = c.user_id
         AND c.tus BETWEEN p.tus - 21600000000 AND p.tus
       GROUP BY 1, 2 ORDER BY 1""")),
+
+    // Length-binned sequence packing (sorted batching): docs are quartiled
+    // by token length (GlobalCumsum.ntile — bit-identical to SQL ntile,
+    // no single-partition sort), then packed greedily into 2048-token
+    // examples WITHIN each bin — the batching layout that keeps same-batch
+    // sequence lengths near-uniform so padding-to-longest waste collapses.
+    // In-bin offsets reuse the one global token cumsum over (bin, doc_id)
+    // minus broadcast per-bin bases (the exactPercentilesGlobal rank
+    // pattern); docs explode only to the examples they touch (q179's
+    // manifest shape — n_docs + n_examples rows, never tokens).
+    ("q186_binned_packing", (s, dir) => {
+      val t = T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      ext.Packing.manifest(
+          ext.Packing.binnedOffsets(t, "doc_id", "n_tokens", 4),
+          "doc_id", "n_tokens", 2048L, extraKeys = Seq("bin"))
+        .orderBy(col("bin"), col("example_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_tokens,
+          CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bin
+        FROM t),
+      c AS (
+        SELECT doc_id, n_tokens, bin,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bin ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM b),
+      e AS (
+        SELECT bin, doc_id, n_tokens, cb,
+          unnest(generate_series(cb // 2048,
+                                 (cb + n_tokens - 1) // 2048)) AS example_id
+        FROM c)
+      SELECT bin, example_id, count(*) AS n_docs,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        CAST(sum(least(cb + n_tokens, (example_id + 1) * 2048) -
+                 greatest(cb, example_id * 2048)) AS BIGINT)
+          AS n_tokens_filled
+      FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native

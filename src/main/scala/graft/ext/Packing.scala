@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analytics.GlobalCumsum
+
+/** Sequence packing — laying a token stream of variable-length documents
+  * into fixed-width training examples. All offsets come from
+  * [[GlobalCumsum]]'s two-phase scan (never a single-partition window), and
+  * example-level products explode each doc only to the examples it TOUCHES
+  * (n_docs + n_examples rows, never tokens) — the invariants that make the
+  * family safe at corpus scale. Catalog gates: q145 (offsets), q179
+  * (manifest), q186 (length-binned packing).
+  *
+  * Contract: `tokensCol` is a positive long per doc; `idCol` is unique and
+  * defines the pack order (docs are laid out in ascending id). */
+object Packing {
+
+  /** Per-doc pack offsets: the exclusive global running token sum
+    * (`cum_before`) in ascending `idCol` order. Downstream arithmetic
+    * (`cum_before div T` = first example touched, `% T` = offset within
+    * it) is pure projection. */
+  def offsets(df: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    GlobalCumsum.cumsumBefore(
+      df, Seq(col(idCol)), col(tokensCol), "cum_before")
+
+  /** Example-level manifest over a frame that already carries
+    * `cum_before`: which docs fill each `exampleTokens`-wide example, and
+    * how full it is. A doc spanning an example boundary counts in every
+    * example it touches; `n_tokens_filled` is exact boundary-clipped
+    * coverage, so interior examples sum to exactly `exampleTokens`.
+    * `extraKeys` prefix the grouping (e.g. a length-bin column whose
+    * offsets restart at 0 per bin). */
+  def manifest(
+      withOffsets: DataFrame, idCol: String, tokensCol: String,
+      exampleTokens: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+    require(exampleTokens > 0,
+      s"exampleTokens must be positive, got $exampleTokens")
+    val keys = (extraKeys :+ "example_id").map(col)
+    withOffsets
+      .withColumn("example_id", explode(sequence(
+        expr(s"cum_before div ${exampleTokens}L"),
+        expr(s"(cum_before + $tokensCol - 1) div ${exampleTokens}L"))))
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"),
+        sum(least(col("cum_before") + col(tokensCol),
+              (col("example_id") + 1) * exampleTokens) -
+            greatest(col("cum_before"), col("example_id") * exampleTokens))
+          .as("n_tokens_filled"))
+  }
+
+  /** Length-binned pack offsets (sorted batching): docs are ntile'd into
+    * `bins` quantile bins by (`tokensCol`, `idCol`) — so same-bin docs have
+    * near-uniform lengths and padding-to-longest waste collapses — then
+    * `cum_before` restarts at 0 within each bin. The in-bin offset is the
+    * ONE global token cumsum over (bin, id) minus broadcast per-bin bases:
+    * no per-bin window, no second corpus sort. Output adds `bin` and
+    * `cum_before`. */
+  def binnedOffsets(
+      df: DataFrame, idCol: String, tokensCol: String, bins: Int): DataFrame = {
+    val binned = GlobalCumsum.ntile(
+      df, Seq(col(tokensCol), col(idCol)), bins, "bin")
+    val cum = GlobalCumsum.cumsumBefore(
+      binned, Seq(col("bin"), col(idCol)), col(tokensCol), "__g")
+    val binW = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = binned.groupBy(col("bin"))
+      .agg(sum(col(tokensCol)).as("__bt"))
+      .withColumn("__bb", coalesce(sum(col("__bt")).over(binW), lit(0L)))
+      .select(col("bin"), col("__bb"))
+    cum.join(broadcast(offs), "bin")
+      .withColumn("cum_before", col("__g") - col("__bb"))
+      .drop("__g", "__bb")
+  }
+}

@@ -97,6 +97,42 @@ class Round8Spec extends SparkTestBase {
     global should contain theSameElementsInOrderAs builtin
   }
 
+  // ---------------------------------------------- Packing (q145/q179/q186)
+
+  test("Packing.manifest covers every token exactly once; interior examples full") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, (i * 37 % 90) + 1)).toDF("doc_id", "n_tokens")
+      .repartition(5)
+    val total = docs.agg(sum("n_tokens")).head().getLong(0)
+    val m = graft.ext.Packing.manifest(
+      graft.ext.Packing.offsets(docs, "doc_id", "n_tokens"),
+      "doc_id", "n_tokens", 128L).orderBy("example_id").collect()
+    graft.util.Caches.releaseAll()
+    m.map(_.getAs[Long]("n_tokens_filled")).sum shouldBe total
+    // every example except the ragged last is exactly full
+    m.dropRight(1).foreach(_.getAs[Long]("n_tokens_filled") shouldBe 128L)
+    m.map(_.getAs[Long]("example_id")).toSeq shouldBe (0L until m.length.toLong)
+  }
+
+  test("Packing.binnedOffsets restart at zero per bin and stay gapless") {
+    import spark.implicits._
+    val docs = (1L to 123L).map(i => (i, (i * 53 % 70) + 1)).toDF("doc_id", "n_tokens")
+      .repartition(4)
+    val off = graft.ext.Packing.binnedOffsets(docs, "doc_id", "n_tokens", 4)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_before")))
+    graft.util.Caches.releaseAll()
+    off.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.head._4 shouldBe 0L // offsets restart per bin
+      sorted.sliding(2).foreach {
+        case Array((_, _, nt, cb), (_, _, _, cbNext)) =>
+          cbNext shouldBe cb + nt // gapless within the bin
+        case _ => ()
+      }
+    }
+  }
+
   // ---------------------------------------------------- q183 bucketed join
 
   test("bucketed-join catalog entry equals the unbucketed relational twin") {
