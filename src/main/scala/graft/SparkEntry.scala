@@ -6609,6 +6609,100 @@ object SparkEntry {
           AS n_tokens_filled
       FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Equi-depth histogram (optimizer statistics / drift detection): nine
+    // exact decile cuts per group over near-unique doubles, via the
+    // rank-pick exactPercentilesGlobal — the values themselves gate against
+    // DuckDB's quantile_cont (same 0-based pos, same lo·(1−f)+hi·f IEEE
+    // blend — ulp-exact cross-engine), a stronger pin than q39's
+    // error-bound booleans. Scan-shaped at any group size: no value
+    // buffers, no single-partition sort.
+    ("q187_equidepth_hist", (s, dir) => {
+      ext.Profiling.exactPercentilesGlobal(
+          T(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+          Seq("l_returnflag"), "l_extendedprice",
+          (1 to 9).map(i => s"p${i * 10}" -> i / 10.0))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag, count(*) AS n,
+        quantile_cont(l_extendedprice, 0.1) AS p10,
+        quantile_cont(l_extendedprice, 0.2) AS p20,
+        quantile_cont(l_extendedprice, 0.3) AS p30,
+        quantile_cont(l_extendedprice, 0.4) AS p40,
+        quantile_cont(l_extendedprice, 0.5) AS p50,
+        quantile_cont(l_extendedprice, 0.6) AS p60,
+        quantile_cont(l_extendedprice, 0.7) AS p70,
+        quantile_cont(l_extendedprice, 0.8) AS p80,
+        quantile_cont(l_extendedprice, 0.9) AS p90
+      FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // Streaming incremental near-dup detection: the increment snapshot
+    // (doc_id > 350) replays as a REAL file stream whose per-row LSH band
+    // buckets (Dedup.streamBuckets — no aggregation, no watermark needed)
+    // stream-static join the base corpus's persisted bucket store — the
+    // live-ingest twin of q47's batch increment, and the join is STATELESS:
+    // state size zero, every micro-batching yields the same matches. Gate:
+    // q47's from-scratch oracle verbatim. VERIFICATION-HARNESS BOUNDARY
+    // (q19/q170/q180 convention): memory sink + collect; the final DISTINCT
+    // (a doc can match a corpus doc in several bands) runs batch-side on
+    // the collected matches, where production would dedup in the sink.
+    ("q188_stream_increment_dedup", (s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val store = Dedup
+        .minhashBuckets(docs.where(col("doc_id") <= 350), "doc_id", "text")
+        .select(col("band"), col("sig"), col("doc_id").as("corpus_id"))
+        .localCheckpoint(true)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sincr_")
+      val qname = "graft_stream_incr"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val (schema, rows) =
+        try {
+          docs.where(col("doc_id") > 350)
+            .coalesce(2).write.mode("overwrite").parquet(tmp.toString)
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          val stream = s.readStream
+            .schema("doc_id LONG, text STRING").parquet(tmp.toString)
+          val q = Dedup.streamBuckets(stream, "doc_id", "text")
+            .join(store, Seq("band", "sig"))
+            .where(col("doc_id") =!= col("corpus_id"))
+            .select(col("doc_id").as("new_id"), col("corpus_id"))
+            .writeStream.outputMode("append").format("memory").queryName(qname)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val res = s.table(qname)
+          (res.schema, res.collect())
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          s.catalog.dropTempView(qname)
+          graft.util.Fs.deleteRecursively(tmp)
+        }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .distinct()
+        .orderBy(col("new_id"), col("corpus_id"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs),
+      mh AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mh GROUP BY doc_id, p // 4)
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM sigs n JOIN sigs c ON n.band = c.band AND n.sig = c.sig
+      WHERE n.doc_id > 350 AND c.doc_id <= 350
+      ORDER BY new_id, corpus_id""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,

@@ -161,29 +161,13 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, tsCol: String,
       delayThreshold: String, windowDuration: String = "10 seconds",
       numPerm: Int = 16, bands: Int = 4): DataFrame = {
-    require(numPerm % bands == 0,
-      s"numPerm ($numPerm) must be divisible by bands ($bands) — anything else silently truncates the signature")
-    val rows = numPerm / bands
-    val wm = docs
-      .where(col(textCol).isNotNull)
-      .withWatermark(tsCol, delayThreshold)
-      .withColumn("__words", split(col(textCol), " "))
-      // hash each shingle ONCE; the numPerm signature mins below permute the
-      // precomputed longs (1 md5 pass per shingle, not numPerm)
-      .withColumn("__hs",
-        transform(shingles(col(textCol), col("__words")), s => hash48(s)))
-    val sigCols = (0 until numPerm).map { p =>
-      array_min(transform(col("__hs"), h => permute(h, p))).as(s"mh_$p")
-    }
-    val sigs = wm.select(col(idCol) +: col(tsCol) +: sigCols: _*)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("-", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*).as("sig"))
-    }
-    val buckets = sigs
-      .where(col("mh_0").isNotNull) // mirror minhashBuckets' null-text guard
-      .select(col(idCol), col(tsCol), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col(tsCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    // null-text rows are dropped BEFORE the watermark node, exactly as the
+    // pre-refactor inline form did — their timestamps never advance the
+    // watermark (streamBuckets' own null guard would filter them too, but
+    // only after the watermark had already seen them)
+    val buckets = streamBuckets(
+      docs.where(col(textCol).isNotNull).withWatermark(tsCol, delayThreshold),
+      idCol, textCol, keep = Seq(tsCol), numPerm = numPerm, bands = bands)
     buckets
       // bucket owner = min id per (window, band, sig): deterministic in
       // batching/partition order, unlike first-arrival dropDuplicates
@@ -195,6 +179,46 @@ object Dedup {
       .agg(count(lit(1)).as("__owned"))
       .where(col("__owned") === lit(bands.toLong))
       .select(col("__owner").as(idCol))
+  }
+
+  /** Stream-legal LSH band buckets `(idCol, keep..., band, sig)`: per-row
+    * HOF signatures — one md5 pass per shingle into a hash array, then
+    * numPerm `array_min(transform(...))` permutation mins, bit-identical to
+    * [[minhashSignatures]]' groupBy-min — exploded to band buckets with NO
+    * aggregation anywhere. That makes it legal on an unbounded stream
+    * without watermark or state: it composes with a stream-static join
+    * against a persisted corpus store (the live-ingest increment-dedup
+    * shape, q188) just as well as with [[minhashStream]]'s windowed owners.
+    * `keep` columns (e.g. the event-time column, which preserves an
+    * upstream watermark tag) pass through untouched. */
+  def streamBuckets(
+      docs: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil,
+      numPerm: Int = 16, bands: Int = 4): DataFrame = {
+    require(numPerm % bands == 0,
+      s"numPerm ($numPerm) must be divisible by bands ($bands) — anything else silently truncates the signature")
+    val rows = numPerm / bands
+    val hs = docs
+      .where(col(textCol).isNotNull)
+      .withColumn("__words", split(col(textCol), " "))
+      // hash each shingle ONCE; the numPerm signature mins below permute the
+      // precomputed longs (1 md5 pass per shingle, not numPerm)
+      .withColumn("__hs",
+        transform(shingles(col(textCol), col("__words")), s => hash48(s)))
+    val sigCols = (0 until numPerm).map { p =>
+      array_min(transform(col("__hs"), h => permute(h, p))).as(s"mh_$p")
+    }
+    val sigs = hs.select((col(idCol) +: keep.map(col)) ++ sigCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*).as("sig"))
+    }
+    sigs
+      .where(col("mh_0").isNotNull) // mirror minhashBuckets' null-text guard
+      .select((col(idCol) +: keep.map(col)) :+
+        explode(array(bandCols: _*)).as("bk"): _*)
+      .select((col(idCol) +: keep.map(col)) :+
+        col("bk.band").as("band") :+ col("bk.sig").as("sig"): _*)
   }
 
   def minhashCandidatePairs(
