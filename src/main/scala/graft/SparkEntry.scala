@@ -6788,13 +6788,22 @@ object SparkEntry {
     ("q39_sketches", (s, dir) => {
       val li = T(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
-      val base = li.groupBy(col("l_returnflag"))
+      // countDistinct must NOT share an agg with the typed-imperative
+      // sketches (approx_count_distinct, percentile_approx): the distinct
+      // rewrite's Expand drops the combined aggregate out of the hash path
+      // and the sketch buffers pay per-row serialization — measured 30–50 s
+      // for a 600k-row frame whose pieces each run in under a second. Two
+      // aggregations + a |groups|-row join keep both sides sub-second.
+      val sketches = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_orderkey")).as("ac"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"),
           count(lit(1)).as("n_rows"))
+      val base = sketches.join(
+        li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_orders")),
+        Seq("l_returnflag"))
       val picks = ext.Profiling.exactPercentilesGlobal(
           li.select(col("l_returnflag"), col("l_extendedprice")),
           Seq("l_returnflag"), "l_extendedprice",
