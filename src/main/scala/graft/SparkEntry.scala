@@ -6656,8 +6656,12 @@ object SparkEntry {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val (schema, rows) =
         try {
+          // staged as MULTIPLE files (q170's staging pattern): the file
+          // source parallelizes by file, and the per-row signature pass is
+          // the stream's real cost; the stateless join makes any batch
+          // split harmless, so there is no single-batch constraint here
           docs.where(col("doc_id") > 350)
-            .coalesce(2).write.mode("overwrite").parquet(tmp.toString)
+            .repartition(8).write.mode("overwrite").parquet(tmp.toString)
           s.conf.set("spark.sql.shuffle.partitions", "4")
           val stream = s.readStream
             .schema("doc_id LONG, text STRING").parquet(tmp.toString)
