@@ -6707,6 +6707,81 @@ object SparkEntry {
       WHERE n.doc_id > 350 AND c.doc_id <= 350
       ORDER BY new_id, corpus_id""")),
 
+    // End-to-end curation pipeline — the composition the engine exists
+    // for, as ONE gated dataflow: quality gate (≥ 20 tokens) → exact dedup
+    // (keep-min per distinct text: one text-keyed hash agg) → PII scrub
+    // (q182's deterministic salt so the redaction regexes do real work) →
+    // segment-level dedup + reassembly (q178). Every stage is an
+    // already-gated operator; the gate here pins that they COMPOSE — each
+    // stage's output schema/determinism contract feeds the next with no
+    // collect, no recompute, one linear plan. Output stays compact: per
+    // surviving doc, segment counts + md5 of the reassembled text.
+    ("q189_curation_pipeline", (s, dir) => {
+      val q = T(s, dir, "documents")
+        .where(size(split(col("text"), " ")) >= 20)
+      val uniq = q.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      val red = uniq.select(col("doc_id"),
+        TextAnalysis.redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org from "),
+          (col("doc_id") % 256).cast("string"), lit(".16.32."),
+          ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" card 4111 2222 3333 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).as("text"))
+      Dedup.segmentDedup(red, "doc_id", "text", 32)
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          length(col("text_dedup")).as("n_chars_kept"),
+          md5(col("text_dedup")).as("dedup_key"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH kq AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(string_split(text, ' ')) >= 20),
+      u AS (SELECT min(doc_id) AS doc_id, text FROM kq GROUP BY text),
+      sal AS (
+        SELECT doc_id, text || ' contact user' || doc_id ||
+          '@mail.example.org from ' || (doc_id % 256) || '.16.32.' ||
+          ((doc_id * 7) % 256) || ' card 4111 2222 3333 ' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+        FROM u),
+      r AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(t0,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+            '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g'),
+            '\b\d(?:[ .-]?\d){8,}\b', '[PII]', 'g') AS text
+        FROM sal),
+      t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM r WHERE text IS NOT NULL),
+      inst AS (
+        SELECT doc_id, CAST(start // 32 AS BIGINT) AS pos,
+          array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS seg
+        FROM (SELECT doc_id, toks, n,
+                unnest(generate_series(0, n - 1, 32)) AS start FROM t)),
+      h AS (
+        SELECT doc_id, pos, seg,
+          ('0x' || substr(md5(seg), 1, 12))::BIGINT AS wh
+        FROM inst),
+      own AS (
+        SELECT wh, min(doc_id * 1048576 + pos) AS owner_key FROM h GROUP BY wh),
+      kept AS (
+        SELECT h.doc_id, h.pos, h.seg
+        FROM h JOIN own ON h.wh = own.wh
+        WHERE h.doc_id * 1048576 + h.pos = own.owner_key),
+      tot AS (SELECT doc_id, count(*) AS n_segs FROM inst GROUP BY doc_id),
+      reb AS (
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(seg, ' ' ORDER BY pos) AS td
+        FROM kept GROUP BY doc_id)
+      SELECT tot.doc_id, tot.n_segs,
+        coalesce(reb.n_kept, 0) AS n_kept,
+        CAST(len(coalesce(reb.td, '')) AS BIGINT) AS n_chars_kept,
+        md5(coalesce(reb.td, '')) AS dedup_key
+      FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+      ORDER BY tot.doc_id""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,
