@@ -6782,6 +6782,121 @@ object SparkEntry {
       FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
       ORDER BY tot.doc_id""")),
 
+    // Product-quantization ANN (Jégou et al. ADC): corpus encoded to m=4
+    // codes over 16-dim subspaces against a stride-sampled codebook (the
+    // q35 injection discipline — a trained fitPqCodebooks codebook yields
+    // the identical plan); queries score candidates via per-query LUT sums.
+    // Every double on both sides comes from the same strict left-to-right
+    // fold ((x−y)² partials, then sub 0..3), so the gate compares exactly.
+    ("q190_pq_ann", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cb = Similarity.pqCodebookByStride(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, stride = 50)
+      Similarity.pqTopK(
+        emb.where(col("vec_id") < 8), emb, cb,
+        "vec_id", "vec_id", "embedding", k = 3, m = 4, subDim = 16)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      cb AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+          vec[sub*16 + 1 : sub*16 + 16] AS c_vec
+        FROM v CROSS JOIN subs WHERE vec_id % 50 = 0),
+      cd AS (
+        SELECT c.vec_id AS n_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (c.vec[b.sub*16 + i] - b.c_vec[i]) * (c.vec[b.sub*16 + i] - b.c_vec[i]))) AS d2
+        FROM v c CROSS JOIN cb b),
+      codes AS (
+        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
+          SELECT n_id, sub, cid,
+            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
+          FROM cd) WHERE rn = 1 GROUP BY n_id),
+      ld AS (
+        SELECT q.vec_id AS q_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (q.vec[b.sub*16 + i] - b.c_vec[i]) * (q.vec[b.sub*16 + i] - b.c_vec[i]))) AS pd
+        FROM v q CROSS JOIN cb b WHERE q.vec_id < 8),
+      lut1 AS (SELECT q_id, sub, list(pd ORDER BY cid) AS lrow FROM ld GROUP BY q_id, sub),
+      lut AS (SELECT q_id, list(lrow ORDER BY sub) AS lut FROM lut1 GROUP BY q_id),
+      scored AS (
+        SELECT l.q_id, c.n_id,
+          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][c.codes[j+1] + 1])) AS adist
+        FROM lut l CROSS JOIN codes c WHERE c.n_id <> l.q_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
+    // PQ recall audit (the q164 discipline, L2 metric on both sides so the
+    // number isolates pure quantization loss): PQ/ADC top-3 vs the exact
+    // squared-L2 top-3 on the same bounded query slice.
+    ("q191_pq_recall", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 8)
+      val bf = Similarity.bruteForceTopKL2(qs, emb, "vec_id", "vec_id", "embedding", 3)
+        .select(col("q_id").as("bq"), col("n_id").as("bn"))
+      val cb = Similarity.pqCodebookByStride(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, stride = 50)
+      val pq = Similarity.pqTopK(qs, emb, cb, "vec_id", "vec_id", "embedding",
+          k = 3, m = 4, subDim = 16)
+        .select(col("q_id").as("mq"), col("n_id").as("mn"))
+      bf.join(pq, col("bq") === col("mq") && col("bn") === col("mn"), "left")
+        .groupBy(col("bq"))
+        .agg(count(col("mn")).as("n_hit"))
+        .select(lit("pq").as("method"), col("bq").as("q_id"), col("n_hit"),
+          lit(3).as("k"), (col("n_hit").cast("double") / lit(3)).as("recall"))
+        .orderBy(col("q_id"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      bscored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          list_sum(list_transform(range(1, least(len(q.vec), len(c.vec)) + 1), i ->
+            (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i]))) AS d2
+        FROM v q CROSS JOIN v c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      bf AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rank
+          FROM bscored) t WHERE rank <= 3),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      cb AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+          vec[sub*16 + 1 : sub*16 + 16] AS c_vec
+        FROM v CROSS JOIN subs WHERE vec_id % 50 = 0),
+      cd AS (
+        SELECT c.vec_id AS n_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (c.vec[b.sub*16 + i] - b.c_vec[i]) * (c.vec[b.sub*16 + i] - b.c_vec[i]))) AS d2
+        FROM v c CROSS JOIN cb b),
+      codes AS (
+        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
+          SELECT n_id, sub, cid,
+            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
+          FROM cd) WHERE rn = 1 GROUP BY n_id),
+      ld AS (
+        SELECT q.vec_id AS q_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (q.vec[b.sub*16 + i] - b.c_vec[i]) * (q.vec[b.sub*16 + i] - b.c_vec[i]))) AS pd
+        FROM v q CROSS JOIN cb b WHERE q.vec_id < 8),
+      lut1 AS (SELECT q_id, sub, list(pd ORDER BY cid) AS lrow FROM ld GROUP BY q_id, sub),
+      lut AS (SELECT q_id, list(lrow ORDER BY sub) AS lut FROM lut1 GROUP BY q_id),
+      ascored AS (
+        SELECT l.q_id, c.n_id,
+          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][c.codes[j+1] + 1])) AS adist
+        FROM lut l CROSS JOIN codes c WHERE c.n_id <> l.q_id),
+      pq AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+          FROM ascored) t WHERE rank <= 3)
+      SELECT 'pq' AS method, bf.q_id, COUNT(pq.n_id) AS n_hit, 3 AS k,
+             CAST(COUNT(pq.n_id) AS DOUBLE) / 3 AS recall
+      FROM bf LEFT JOIN pq ON pq.q_id = bf.q_id AND pq.n_id = bf.n_id
+      GROUP BY bf.q_id ORDER BY bf.q_id""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,

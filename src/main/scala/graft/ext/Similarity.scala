@@ -78,6 +78,24 @@ object Similarity {
     rankTopK(scored, Seq("q_id"), k)
   }
 
+  /** Exact top-k by SQUARED L2 DISTANCE (ascending) — the exact twin of
+    * [[pqTopK]]'s metric, so PQ recall audits compare like with like.
+    * Same scale shape as [[bruteForceTopK]]: broadcast queries, one corpus
+    * scan, bounded top-k reduction.
+    * @return (q_id, rank, n_id, dist) */
+  def bruteForceTopKL2(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.crossJoin(q)
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (-l2DistSq(col("q_vec"), col("n_vec"))).as("sim"))
+    rankTopK(scored, Seq("q_id"), k)
+      .select(col("q_id"), col("rank"), col("n_id"), (-col("sim")).as("dist"))
+  }
+
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer — so
     * [[ivfTopK]]'s centroid table can be FIT, not just injected.
     *
@@ -355,6 +373,145 @@ object Similarity {
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
     rankTopK(scored, Seq("q_id"), k)
+  }
+
+  // ------------------------------------------------------- product quantization
+
+  /** Squared L2 distance via the native codegen'd
+    * [[graft.functions.L2DistanceSq]] expression — strict left-to-right
+    * `(x−y)²` accumulation, bit-identical to the DuckDB oracle's ordered
+    * `list_sum` fold of the same expression. */
+  def l2DistSq(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.l2DistSq(a, b)
+
+  /** Subspace slice j of a vector: dimensions [j·subDim+1, (j+1)·subDim],
+    * 1-indexed — the decomposition PQ trains and scores over. */
+  private def pqSlice(vec: Column, sub: Int, subDim: Int): Column =
+    slice(vec.cast("array<double>"), sub * subDim + 1, subDim)
+
+  /** One `(sub, slice)` row per subspace — the narrow explode both the
+    * encoder and the LUT builder feed from. */
+  private def pqSliced(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as("__pid"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub"), pqSlice(col(vecCol), j, subDim).as("s_vec"))): _*)).as("sc"))
+      .select(col("__pid"), col("sc.sub").as("sub"), col("sc.s_vec").as("s_vec"))
+
+  /** Renumber an injected codebook's cids to the contiguous 0..ksub−1 the
+    * ADC lookup tables index by (per sub, ordered by the original cid) —
+    * so ANY deterministic codebook works, not just pre-contiguous ones.
+    * The codebook is SMALL by contract; the per-sub window is cheap. */
+  private def pqNormalizeCodebook(codebooks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("sub")).orderBy(col("cid"))
+    codebooks
+      .select(col("sub"), col("cid"), col("c_vec").cast("array<double>").as("c_vec"))
+      .withColumn("cid", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** Deterministic stride-sampled PQ codebook: every `stride`-th id's
+    * sub-vector slices become the centroids of each subspace. The injection
+    * analog of [[ivfTopK]]'s centroid table — exactly reproducible by the
+    * SQL oracle; use [[fitPqCodebooks]] for a trained deployment codebook
+    * (the downstream plan is identical either way).
+    * Returns (sub, cid, c_vec). */
+  def pqCodebookByStride(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, stride: Int): DataFrame =
+    pqSliced(corpus.where(col(idCol) % stride === 0), idCol, vecCol, m, subDim)
+      .select(col("sub"), col("__pid").as("cid"), col("s_vec").as("c_vec"))
+
+  /** Trained PQ codebook: an independent [[fitCentroids]] k-means per
+    * subspace over the sliced corpus (m small jobs — the standard PQ
+    * training decomposition; subspaces are independent by construction).
+    * Returns (sub, cid, c_vec) with cids already 0..ksub−1. */
+  def fitPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, ksub: Int, iters: Int = 5): DataFrame =
+    (0 until m).map { j =>
+      fitCentroids(
+        corpus.select(col(idCol), pqSlice(col(vecCol), j, subDim).as("__sv")),
+        idCol, "__sv", ksub, iters, cidCol = "cid", outVecCol = "c_vec")
+        .withColumn("sub", lit(j))
+    }.reduce(_ unionByName _).select(col("sub"), col("cid"), col("c_vec"))
+
+  /** PQ-encode a corpus: each vector compresses to `m` small codes (the
+    * argmin-L2 centroid per subspace — ties to the lowest cid). 64 doubles
+    * become m bytes-worth of codes: the 100 TB memory story for ANN.
+    *
+    * Scale shape: the corpus explodes to m NARROW (id, sub, slice) rows
+    * joined against the BROADCAST codebook; the argmin is a min_by hash
+    * aggregate with map-side partials (never a window over scores), and the
+    * code-array pivot shuffles only (id, sub, cid) triples — the vectors
+    * themselves never shuffle.
+    *
+    * @param codebooks (sub, cid, c_vec) — SMALL (broadcast); arbitrary cids
+    * @return (idCol, codes array<long> ordered by sub, values 0..ksub−1)
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
+    val cb = broadcast(pqNormalizeCodebook(codebooks))
+    pqSliced(corpus, idCol, vecCol, m, subDim)
+      .join(cb, Seq("sub"))
+      .select(col("__pid"), col("sub"), col("cid"),
+        l2DistSq(col("s_vec"), col("c_vec")).as("d2"))
+      .groupBy(col("__pid"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+      .groupBy(col("__pid"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("codes"))
+      .select(col("__pid").as(idCol), col("codes"))
+  }
+
+  /** PQ/ADC ANN top-k (Jégou et al., TPAMI'11 asymmetric distance): the
+    * corpus is PQ-encoded once; each query precomputes an m×ksub lookup
+    * table of partial squared distances to every sub-centroid, and a
+    * candidate's approximate distance is the m-term LUT sum — no vector
+    * arithmetic per (query, candidate) pair at scan time.
+    *
+    * Scale shape: codes are the only per-candidate state (m small ints vs
+    * d doubles — the compression is what lets a 100 TB corpus's index fit
+    * in cluster memory); the LUT set is |queries|·m·ksub doubles,
+    * BROADCAST; scoring is a narrow map over the codes feeding the bounded
+    * [[rankTopK]] reduction (O(|queries|·k) exchange). Plain PQ scans every
+    * code like [[bruteForceTopK]] scans every vector — compose with the
+    * [[ivfTopK]] coarse quantizer (IVF-ADC) to also prune candidates.
+    *
+    * The LUT sum folds subspaces strictly left-to-right (sub 0..m−1), so
+    * results are bit-comparable with the oracle's ordered list fold.
+    * Requires vectors with at least m·subDim dimensions.
+    *
+    * @return (q_id, rank, n_id, adist) — rank ascending by approximate
+    *         squared distance, ties to the lowest n_id */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
+      qIdCol: String, idCol: String, vecCol: String, k: Int,
+      m: Int, subDim: Int): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    require(subDim > 0, s"subDim must be positive, got $subDim")
+    val cb = broadcast(pqNormalizeCodebook(codebooks))
+    val codes = pqEncode(corpus, codebooks, idCol, vecCol, m, subDim)
+      .select(col(idCol).as("n_id"), col("codes"))
+    // per-query LUT: lut[sub+1][cid+1] = ‖q_sub − c_vec‖² — built by two
+    // tiny sorted-collect pivots over the (small) query×codebook product
+    val lut = pqSliced(queries, qIdCol, vecCol, m, subDim)
+      .join(cb, Seq("sub"))
+      .select(col("__pid").as("q_id"), col("sub"), col("cid"),
+        l2DistSq(col("s_vec"), col("c_vec")).as("pd"))
+      .groupBy(col("q_id"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("cid"), col("pd")))),
+        x => x.getField("pd")).as("lrow"))
+      .groupBy(col("q_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("lrow")))),
+        x => x.getField("lrow")).as("lut"))
+    val scored = codes.crossJoin(broadcast(lut))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(
+          zip_with(col("codes"), col("lut"),
+            (c, lrow) => element_at(lrow, (c + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x).as("adist"))
+    // rankTopK ranks sim DESC; negate so ascending distance wins (exact:
+    // IEEE negation is lossless, and −0.0 re-negates to 0.0)
+    rankTopK(scored.withColumn("sim", -col("adist")), Seq("q_id"), k)
+      .select(col("q_id"), col("rank"), col("n_id"), (-col("sim")).as("adist"))
   }
 
   /** Embedding-cosine near-duplicate pairs within buckets (dedup use-case):

@@ -158,6 +158,63 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** squared L2 distance Σ(aᵢ−bᵢ)² over the common prefix of two
+  * `array<double>` columns — the metric product-quantization trains and
+  * scores with. Strict left-to-right accumulation with `(x−y)*(x−y)` per
+  * element, so results are bit-identical to the DuckDB oracle's ordered
+  * `list_sum(list_transform(...))` fold of the same expression. */
+case class L2DistanceSq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_distance_sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnBridge
@@ -172,4 +229,8 @@ object VectorFunctions {
   /** Codegen'd dot product; accepts array<float> or array<double>. */
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(toDoubleArray(a), toDoubleArray(b)))
+
+  /** Codegen'd squared L2 distance; accepts array<float> or array<double>. */
+  def l2DistSq(a: Column, b: Column): Column =
+    GraftColumnBridge.column(L2DistanceSq(toDoubleArray(a), toDoubleArray(b)))
 }

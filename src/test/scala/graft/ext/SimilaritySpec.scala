@@ -152,4 +152,96 @@ class SimilaritySpec extends SparkTestBase {
     val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
     df.select(Similarity.cosine(col("a"), col("b"))).collect().head.getDouble(0).isNaN shouldBe true
   }
+
+  // --------------------------------------------------- product quantization
+
+  test("native l2DistSq is bit-identical to the composable HOF fold") {
+    val vecs = (1 to 50).map(i => (i.toLong, Array.tabulate(16)(j => ((i * 31 + j * 7) % 13 - 6).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val pairs = df.select(col("id").as("ia"), col("v").as("va"))
+      .crossJoin(df.select(col("id").as("ib"), col("v").as("vb")))
+    val hof = aggregate(
+      zip_with(col("va").cast("array<double>"), col("vb").cast("array<double>"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    pairs.select(Similarity.l2DistSq(col("va"), col("vb")).as("n"), hof.as("h"))
+      .where(col("n") =!= col("h")).count() shouldBe 0L
+  }
+
+  test("pqEncode picks the argmin sub-centroid per subspace, ties to lowest cid") {
+    // m=2 subspaces of dim 2; codebook has 2 centroids per subspace
+    val cb = Seq(
+      (0, 0L, Array(0.0, 0.0)), (0, 1L, Array(10.0, 10.0)),
+      (1, 0L, Array(0.0, 0.0)), (1, 1L, Array(10.0, 10.0))
+    ).toDF("sub", "cid", "c_vec")
+    val corpus = Seq(
+      (1L, Array(1.0f, 1.0f, 9.0f, 9.0f)),  // sub0 -> cid 0, sub1 -> cid 1
+      (2L, Array(9.0f, 9.0f, 1.0f, 1.0f)),  // sub0 -> cid 1, sub1 -> cid 0
+      (3L, Array(5.0f, 5.0f, 5.0f, 5.0f))   // equidistant: ties to cid 0
+    ).toDF("id", "v")
+    val codes = Similarity.pqEncode(corpus, cb, "id", "v", m = 2, subDim = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    codes(1L) shouldBe Seq(0L, 1L)
+    codes(2L) shouldBe Seq(1L, 0L)
+    codes(3L) shouldBe Seq(0L, 0L)
+  }
+
+  test("pqTopK: a candidate sharing all codes with the query ranks first at adist 0") {
+    val cb = Seq(
+      (0, 0L, Array(0.0, 0.0)), (0, 1L, Array(10.0, 10.0)),
+      (1, 0L, Array(0.0, 0.0)), (1, 1L, Array(10.0, 10.0))
+    ).toDF("sub", "cid", "c_vec")
+    // query 100 sits exactly ON the (cid0, cid1) = (0, 1) centroid product;
+    // candidate 1 shares both codes, candidates 2/3 differ in >= 1 code
+    val corpus = Seq(
+      (1L, Array(1.0f, 1.0f, 9.0f, 9.0f)),
+      (2L, Array(9.0f, 9.0f, 1.0f, 1.0f)),
+      (3L, Array(9.0f, 9.0f, 9.0f, 9.0f))
+    ).toDF("id", "v")
+    val qs = Seq((100L, Array(0.0f, 0.0f, 10.0f, 10.0f))).toDF("id", "v")
+    val top = Similarity.pqTopK(qs, corpus, cb, "id", "id", "v", k = 3, m = 2, subDim = 2)
+      .orderBy("rank").collect()
+    top.head.getLong(top.head.fieldIndex("n_id")) shouldBe 1L
+    top.head.getDouble(top.head.fieldIndex("adist")) shouldBe 0.0
+  }
+
+  test("pqTopK is invariant to arbitrary (non-contiguous) codebook cids") {
+    val corpus = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(4)(j => ((i * 13 + j * 5) % 9 - 4).toFloat))).toDF("id", "v")
+    val qs = corpus.where(col("id") <= 2)
+    val cb0 = Seq(
+      (0, 0L, Array(-2.0, -2.0)), (0, 1L, Array(2.0, 2.0)),
+      (1, 0L, Array(-2.0, -2.0)), (1, 1L, Array(2.0, 2.0))).toDF("sub", "cid", "c_vec")
+    // same centroids, shifted cids (order preserved) -> identical results
+    val cb1 = cb0.withColumn("cid", col("cid") * 7 + 100)
+    val a = Similarity.pqTopK(qs, corpus, cb0, "id", "id", "v", 3, m = 2, subDim = 2)
+    val b = Similarity.pqTopK(qs, corpus, cb1, "id", "id", "v", 3, m = 2, subDim = 2)
+    a.exceptAll(b).count() shouldBe 0L
+    b.exceptAll(a).count() shouldBe 0L
+  }
+
+  test("fitPqCodebooks + pqTopK retrieves cluster-mates on clustered data") {
+    // 3 well-separated cluster centers in 4-dim space; 8 points per cluster
+    // with tiny deterministic jitter. PQ with a TRAINED codebook must rank
+    // same-cluster candidates above other clusters for every query.
+    val centers = Seq(
+      Array(10.0, 0.0, 0.0, 10.0), Array(-10.0, 5.0, 5.0, -10.0),
+      Array(0.0, -10.0, 10.0, 0.0))
+    val pts = for {
+      c <- centers.indices; p <- 0 until 8
+    } yield {
+      val jit = Array.tabulate(4)(j => ((c * 31 + p * 7 + j * 3) % 5 - 2) * 0.05)
+      ((c * 8 + p).toLong, Array.tabulate(4)(j => (centers(c)(j) + jit(j)).toFloat))
+    }
+    val corpus = pts.toDF("id", "v")
+    val cb = Similarity.fitPqCodebooks(corpus, "id", "v", m = 2, subDim = 2, ksub = 3, iters = 4)
+    val qs = corpus.where(col("id") % 8 === 0) // one query per cluster
+    val top = Similarity.pqTopK(qs, corpus, cb, "id", "id", "v", k = 3, m = 2, subDim = 2)
+      .collect()
+    top.foreach { r =>
+      val q = r.getLong(r.fieldIndex("q_id"))
+      val n = r.getLong(r.fieldIndex("n_id"))
+      (n / 8) shouldBe (q / 8) // every retrieved neighbor is a cluster-mate
+    }
+  }
 }
