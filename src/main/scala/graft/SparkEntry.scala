@@ -6897,6 +6897,73 @@ object SparkEntry {
       FROM bf LEFT JOIN pq ON pq.q_id = bf.q_id AND pq.n_id = bf.n_id
       GROUP BY bf.q_id ORDER BY bf.q_id""")),
 
+    // IVF-PQ: coarse lists prune candidates (nprobe=2 of the stride-100
+    // centroids, L2 metric), PQ/ADC scores only the probed lists — the
+    // prune × compress composition that is the production 100 TB ANN shape.
+    ("q192_ivfpq_ann", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cent = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cb = Similarity.pqCodebookByStride(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, stride = 50)
+      Similarity.ivfPqTopK(
+        emb.where(col("vec_id") < 8), emb, cent, cb,
+        "vec_id", "vec_id", "cid", "embedding",
+        k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM v WHERE vec_id % 100 = 0),
+      ldist AS (
+        SELECT a.vec_id AS n_id, c.lcid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
+            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
+        FROM v a CROSS JOIN cent c),
+      lists AS (
+        SELECT n_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ldist) WHERE rn = 1),
+      probes AS (
+        SELECT n_id AS q_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ldist WHERE n_id < 8) WHERE rn <= 2),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      cb AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+          vec[sub*16 + 1 : sub*16 + 16] AS c_vec
+        FROM v CROSS JOIN subs WHERE vec_id % 50 = 0),
+      cd AS (
+        SELECT c.vec_id AS n_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (c.vec[b.sub*16 + i] - b.c_vec[i]) * (c.vec[b.sub*16 + i] - b.c_vec[i]))) AS d2
+        FROM v c CROSS JOIN cb b),
+      codes AS (
+        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
+          SELECT n_id, sub, cid,
+            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
+          FROM cd) WHERE rn = 1 GROUP BY n_id),
+      ld AS (
+        SELECT q.vec_id AS q_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (q.vec[b.sub*16 + i] - b.c_vec[i]) * (q.vec[b.sub*16 + i] - b.c_vec[i]))) AS pd
+        FROM v q CROSS JOIN cb b WHERE q.vec_id < 8),
+      lut1 AS (SELECT q_id, sub, list(pd ORDER BY cid) AS lrow FROM ld GROUP BY q_id, sub),
+      lut AS (SELECT q_id, list(lrow ORDER BY sub) AS lut FROM lut1 GROUP BY q_id),
+      scored AS (
+        SELECT l.q_id, x.n_id,
+          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
+        FROM probes p
+        JOIN lut l ON l.q_id = p.q_id
+        JOIN lists li ON li.lcid = p.lcid
+        JOIN codes x ON x.n_id = li.n_id
+        WHERE x.n_id <> l.q_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,

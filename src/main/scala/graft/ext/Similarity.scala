@@ -514,6 +514,78 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), (-col("sim")).as("adist"))
   }
 
+  /** IVF-PQ ANN (the composition [[pqTopK]]'s scan-everything shape is
+    * missing): an IVF coarse quantizer prunes candidates to `nprobe`
+    * inverted lists, and PQ/ADC scores only those — prune × compress, the
+    * actual 100 TB ANN deployment shape (Jégou et al. IVFADC, here the
+    * common no-residual variant: codes quantize the raw vector, so one code
+    * table serves any nprobe).
+    *
+    * Metric is squared L2 throughout (coarse assignment, probes, ADC) —
+    * consistent with the PQ family and unlike [[ivfTopK]]'s cosine.
+    *
+    * Scale shape: the index build is two narrow frames — (id, list) from an
+    * argmin hash agg against BROADCAST centroids and (id, codes) from
+    * [[pqEncode]] — joined once on id (rows of m+2 small ints; the vectors
+    * themselves never shuffle). At query time the probe set (|queries|·
+    * nprobe rows + their LUTs) is BROADCAST against the list-keyed index,
+    * so each query pays only its probed lists, and the bounded top-k
+    * reduction exchanges O(|queries|·k) rows.
+    *
+    * @param centroids (cidCol, vecCol) — small, broadcast
+    * @param codebooks (sub, cid, c_vec) — small, broadcast
+    * @return (q_id, rank, n_id, adist) — rank ascending by approximate
+    *         squared distance, ties to the lowest n_id */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, qIdCol: String, idCol: String, cidCol: String,
+      vecCol: String, k: Int, m: Int, subDim: Int, nprobe: Int = 2): DataFrame = {
+    val cent = broadcast(centroids
+      .select(col(cidCol).as("lcid"), col(vecCol).cast("array<double>").as("l_vec")))
+    // coarse assignment: argmin-L2 list per corpus vector (ties -> lowest
+    // cid), min_by hash agg with map-side partials — never a score window
+    val lists = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(cent)
+      .select(col("n_id"),
+        struct(l2DistSq(col("n_vec"), col("l_vec")).as("d"), col("lcid").as("c")).as("dc"))
+      .groupBy(col("n_id"))
+      .agg(min(col("dc")).getField("c").as("lcid"))
+    val codes = pqEncode(corpus, codebooks, idCol, vecCol, m, subDim)
+      .select(col(idCol).as("n_id"), col("codes"))
+    val indexed = lists.join(codes, Seq("n_id"))
+    // nprobe nearest lists per query (the query set is small by contract;
+    // the window is per-query over |centroids| rows)
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("ld"), col("lcid"))
+    val probes = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(cent)
+      .withColumn("ld", l2DistSq(col("q_vec"), col("l_vec")))
+      .withColumn("__rn", row_number().over(probeW))
+      .where(col("__rn") <= nprobe)
+      .select(col("q_id"), col("lcid"))
+    // per-query ADC LUTs (as in pqTopK), attached to each probe row
+    val cb = broadcast(pqNormalizeCodebook(codebooks))
+    val lut = pqSliced(queries, qIdCol, vecCol, m, subDim)
+      .join(cb, Seq("sub"))
+      .select(col("__pid").as("q_id"), col("sub"), col("cid"),
+        l2DistSq(col("s_vec"), col("c_vec")).as("pd"))
+      .groupBy(col("q_id"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("cid"), col("pd")))),
+        x => x.getField("pd")).as("lrow"))
+      .groupBy(col("q_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("lrow")))),
+        x => x.getField("lrow")).as("lut"))
+    val scored = broadcast(probes.join(lut, Seq("q_id")))
+      .join(indexed, Seq("lcid"))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(
+          zip_with(col("codes"), col("lut"),
+            (c, lrow) => element_at(lrow, (c + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x).as("adist"))
+    rankTopK(scored.withColumn("sim", -col("adist")), Seq("q_id"), k)
+      .select(col("q_id"), col("rank"), col("n_id"), (-col("sim")).as("adist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within buckets (dedup use-case):
     * distinct (id_a < id_b) pairs with cosine ≥ threshold, joined bucket-wise
     * so the pair space stays near-linear. */

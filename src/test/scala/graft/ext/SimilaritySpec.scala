@@ -220,6 +220,48 @@ class SimilaritySpec extends SparkTestBase {
     b.exceptAll(a).count() shouldBe 0L
   }
 
+  test("ivfPqTopK with nprobe = |centroids| degenerates to pqTopK") {
+    // probing EVERY list removes the pruning, so IVF-PQ must equal plain
+    // PQ/ADC exactly (same codebook, same candidates, same LUT sums)
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, Array.tabulate(4)(j => ((i * 17 + j * 11) % 15 - 7).toFloat))).toDF("id", "v")
+    val qs = corpus.where(col("id") <= 3)
+    val cb = Seq(
+      (0, 0L, Array(-3.0, -3.0)), (0, 1L, Array(3.0, 3.0)),
+      (1, 0L, Array(-3.0, -3.0)), (1, 1L, Array(3.0, 3.0))).toDF("sub", "cid", "c_vec")
+    val cents = corpus.where(col("id") % 20 === 0)
+      .select(col("id").as("cid"), col("v"))
+    val full = Similarity.ivfPqTopK(qs, corpus, cents, cb,
+      "id", "id", "cid", "v", k = 3, m = 2, subDim = 2, nprobe = 3)
+    val plain = Similarity.pqTopK(qs, corpus, cb, "id", "id", "v", 3, m = 2, subDim = 2)
+    full.exceptAll(plain).count() shouldBe 0L
+    plain.exceptAll(full).count() shouldBe 0L
+  }
+
+  test("ivfPqTopK with nprobe=1 returns only candidates from the query's own list") {
+    // centroids ARE the two well-separated cluster centers; with one probe,
+    // every retrieved neighbor must share the query's cluster
+    val pts = for (c <- 0 until 2; p <- 0 until 6) yield {
+      val base = if (c == 0) 10.0 else -10.0
+      ((c * 6 + p).toLong,
+        Array.tabulate(4)(j => (base + ((p * 7 + j * 3) % 5 - 2) * 0.1).toFloat))
+    }
+    val corpus = pts.toDF("id", "v")
+    val cents = Seq(
+      (0L, Array(10.0f, 10.0f, 10.0f, 10.0f)),
+      (1L, Array(-10.0f, -10.0f, -10.0f, -10.0f))).toDF("cid", "v")
+    val cb = Similarity.pqCodebookByStride(corpus, "id", "v", m = 2, subDim = 2, stride = 3)
+    val top = Similarity.ivfPqTopK(corpus.where(col("id") === 0 || col("id") === 6),
+      corpus, cents, cb, "id", "id", "cid", "v", k = 3, m = 2, subDim = 2, nprobe = 1)
+      .collect()
+    top should not be empty
+    top.foreach { r =>
+      val q = r.getLong(r.fieldIndex("q_id"))
+      val n = r.getLong(r.fieldIndex("n_id"))
+      (n / 6) shouldBe (q / 6)
+    }
+  }
+
   test("fitPqCodebooks + pqTopK retrieves cluster-mates on clustered data") {
     // 3 well-separated cluster centers in 4-dim space; 8 points per cluster
     // with tiny deterministic jitter. PQ with a TRAINED codebook must rank
