@@ -6964,6 +6964,87 @@ object SparkEntry {
       SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
       ORDER BY q_id, rank""")),
 
+    // Bloom-pruned decontamination: q51's EXACT semantics for eval suites
+    // too large to broadcast as a gram set — a Bloom sketch over the eval
+    // grams prunes the corpus gram stream at the scan, and survivors are
+    // verified by a real equi-join, so false positives cost shuffle bytes,
+    // never correctness. The oracle is q51's verbatim (same split rule):
+    // the gate proves RESULT IDENTITY between the broadcast-exact and the
+    // bloom-pruned plans on the same data.
+    ("q193_bloom_decontaminate", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.contaminationReportBloom(
+        docs.where(col("doc_id") % 17 =!= 0),
+        docs.where(col("doc_id") % 17 === 0),
+        "doc_id", "text", expectedGrams = 500000L, fpp = 0.03)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH cg AS (
+        SELECT DISTINCT doc_id, gram FROM (
+          SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END) AS gram
+          FROM documents WHERE doc_id % 17 <> 0)),
+      eg AS (
+        SELECT DISTINCT gram FROM (
+          SELECT unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END) AS gram
+          FROM documents WHERE doc_id % 17 = 0)),
+      hits AS (
+        SELECT doc_id, count(*) AS n_shared FROM cg JOIN eg USING (gram) GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(h.n_shared, 0) AS n_shared,
+             coalesce(h.n_shared, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id % 17 <> 0
+      ORDER BY d.doc_id""")),
+
+    // Conditional bigram-LM surprisal scoring — the exact-arithmetic
+    // sibling of KenLM-perplexity quality filtering: a doc's signal is the
+    // fraction of its bigram instances whose corpus-conditional probability
+    // P(w2|w1) < 1/20. Counts stay integral (no floating log-prob sums
+    // whose addition order could drift between engines); the one division
+    // happens last.
+    ("q194_bigram_lm", (s, dir) => {
+      TextAnalysis.bigramSurprisal(T(s, dir, "documents"), "doc_id", "text", k = 20)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH flat AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+          SELECT doc_id,
+            unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+              i -> struct_pack(w1 := string_split(text, ' ')[i],
+                               w2 := string_split(text, ' ')[i + 1]))) AS bg
+          FROM documents
+          WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2)),
+      dc AS (SELECT doc_id, w1, w2, count(*) AS ndc FROM flat GROUP BY 1, 2, 3),
+      bc AS (SELECT w1, w2, sum(ndc)::BIGINT AS c12 FROM dc GROUP BY 1, 2),
+      hc AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM bc GROUP BY 1),
+      flag AS (
+        SELECT b.w1, b.w2, (b.c12 * 20 < h.c1) AS rare
+        FROM bc b JOIN hc h USING (w1)),
+      per AS (
+        SELECT d.doc_id,
+               sum(d.ndc)::BIGINT AS n_bigrams,
+               sum(CASE WHEN g.rare THEN d.ndc ELSE 0 END)::BIGINT AS n_rare
+        FROM dc d JOIN flag g ON d.w1 = g.w1 AND d.w2 = g.w2
+        GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(p.n_bigrams, 0) AS n_bigrams,
+             coalesce(p.n_rare, 0) AS n_rare,
+             CASE WHEN p.n_bigrams > 0
+               THEN p.n_rare::DOUBLE / p.n_bigrams ELSE NULL END AS rare_frac
+      FROM documents d LEFT JOIN per p USING (doc_id)
+      WHERE d.text IS NOT NULL
+      ORDER BY d.doc_id""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,

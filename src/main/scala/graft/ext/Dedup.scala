@@ -812,6 +812,51 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[contaminationReport]] for eval suites too large to broadcast as an
+    * exact gram set — the shape that survives when the held-out benchmark
+    * union is itself hundreds of GB.
+    *
+    * Same EXACT result (bit-identical, same oracle): a Bloom filter over the
+    * eval grams prunes the corpus gram stream at the SCAN stage, and the
+    * survivors are verified with a real shuffle equi-join against the eval
+    * grams. False positives only pass the prefilter, never the verify join,
+    * so the false-positive rate trades shuffle volume, not correctness —
+    * with web-scale corpora the overwhelming majority of corpus grams are
+    * clean, so the sketch (a few hundred MB at billions of eval grams vs the
+    * tens-of-GB exact set) drops ~(1 − fpp) of the gram shuffle.
+    *
+    * Scale shape: one pass over eval grams to build the sketch (distributed
+    * aggregate, merged on the driver like any broadcast build), one filtered
+    * corpus scan, one equi-join whose left side is already ≈ the true hit
+    * set. Size `expectedGrams` at or above the eval side's distinct-gram
+    * count; undersizing degrades fpp toward 1 (filter prunes nothing, join
+    * still exact). */
+  def contaminationReportBloom(
+      corpus: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      expectedGrams: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    def grams(df: DataFrame, cols: Seq[Column]): DataFrame = df
+      .withColumn("__words", split(col(textCol), " "))
+      .select(cols :+ explode(shingles(col(textCol), col("__words"))).as("__g"): _*)
+      .distinct()
+    val evalGrams = grams(evalDocs, Nil)
+    val bf = evalGrams.stat.bloomFilter("__g", expectedGrams, fpp)
+    // same lifecycle as a broadcast-join relation: the UDF closure is the
+    // only reference, ContextCleaner reclaims the blocks with the plan
+    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf { g: String => g != null && bcast.value.mightContainString(g) }
+    val hits = grams(corpus, Seq(col(idCol)))
+      .where(mightContain(col("__g")))
+      .join(evalGrams, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Connected components over an undirected dup-pair edge list — the dedup
     * endgame: candidate pairs only say "a ~ b"; keeping one doc per
     * TRANSITIVE duplicate class needs the component structure (a~b, b~c ⇒

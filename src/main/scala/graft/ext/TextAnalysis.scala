@@ -302,4 +302,56 @@ object TextAnalysis {
           .as("chunk_text"),
         least(lit(chunkTokens), col("__n") - col("__start")).as("chunk_tokens"))
   }
+
+  /** Conditional bigram-LM quality heuristic — the exact-arithmetic sibling
+    * of the KenLM-perplexity filters of published web-corpus pipelines
+    * (CCNet-style): a bigram instance (w1, w2) is SURPRISING when its
+    * corpus-conditional probability is low, c(w1,w2)·k < c(w1·) — i.e.
+    * P(w2|w1) < 1/k under the corpus's own bigram statistics — and a doc's
+    * quality signal is its surprising-bigram fraction (machine-garbled and
+    * mid-word-truncated text scores high; fluent text low). Counts stay
+    * integral and the one division happens last, so the result is exact and
+    * engine-independent — no floating log-prob sums whose addition order
+    * could drift between engines.
+    *
+    * Scale shape: one in-stage Generate to bigram instances, ONE keyed
+    * reduce to per-(doc, bigram) counts (map-side combine collapses hot
+    * bigrams per partition before the exchange), a bigram-TYPE count table
+    * derived from a second hash agg of that reduction (never a re-scan of
+    * instances), head counts c(w1·) as an agg OVER the bigram table, and
+    * the flag join runs on doc-distinct bigram rows — instance rows never
+    * join. Hot-bigram skew ("of the" in every doc) is map-side-combined
+    * away; AQE handles residual join skew.
+    *
+    * Output: (idCol, n_bigrams, n_rare, rare_frac) for every non-null-text
+    * doc; rare_frac is NULL for docs with fewer than 2 tokens. */
+  def bigramSurprisal(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ws = words(col(textCol))
+    val docBigrams = df
+      .where(col(textCol).isNotNull && size(ws) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(ws) - 1), i =>
+          struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))).as("bg"))
+      .groupBy(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("__dc"))
+    val bigramCounts = docBigrams
+      .groupBy(col("w1"), col("w2")).agg(sum(col("__dc")).as("__c12"))
+    val headCounts = bigramCounts
+      .groupBy(col("w1")).agg(sum(col("__c12")).as("__c1"))
+    val flagged = bigramCounts.join(headCounts, Seq("w1"))
+      .select(col("w1"), col("w2"), (col("__c12") * k < col("__c1")).as("__rare"))
+    val per = docBigrams.join(flagged, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__dc")).as("n_bigrams"),
+        sum(when(col("__rare"), col("__dc")).otherwise(0L)).as("n_rare"))
+    df.where(col(textCol).isNotNull).select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        when(col("n_bigrams") > 0,
+          col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"))
+  }
 }

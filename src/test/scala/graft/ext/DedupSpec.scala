@@ -90,6 +90,29 @@ class DedupSpec extends SparkTestBase {
     plan should include("BroadcastHashJoin")
   }
 
+  test("contaminationReportBloom is result-identical to the broadcast-exact form") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "nothing in common here at all"),
+      (3L, "alpha beta gamma alpha beta gamma"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "short")) // < 3 words: whole text is the gram
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma epsilon"), (101L, "short")).toDF("doc_id", "text")
+    val exact = Dedup.contaminationReport(corpus, eval_, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Dedup.contaminationReportBloom(corpus, eval_, "doc_id", "text",
+      expectedGrams = 1000L, fpp = 0.01)
+      .orderBy("doc_id").collect().toSeq
+    bloom shouldBe exact
+    // an undersized sketch degrades fpp, never correctness: the verify join
+    // still removes every false positive
+    val tiny = Dedup.contaminationReportBloom(corpus, eval_, "doc_id", "text",
+      expectedGrams = 1L, fpp = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    tiny shouldBe exact
+  }
+
   test("minhashCandidatePairs maxBucket drops mega-buckets, keeps small ones") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     // 5 exact copies (every band collides → buckets of 5) plus a 2-doc near-dup pair

@@ -239,6 +239,29 @@ class TextAnalysisSpec extends SparkTestBase {
       (4L, 4L, 3L, 0.75))
   }
 
+  test("bigramSurprisal: rare = conditional probability below 1/k, exact counts") {
+    val df = Seq(
+      (1L, "a b c"),
+      (2L, "a b a b"), // within-doc repeats count as instances: (a,b)x2, (b,a)x1
+      (3L, "a x"),
+      (4L, "solo"), // one token: zero bigrams, NULL fraction
+      (5L, null.asInstanceOf[String])) // null text: not emitted
+      .toDF("doc_id", "text")
+    // corpus: c(a,b)=3 c(b,c)=1 c(b,a)=1 c(a,x)=1; heads: c(a·)=4 c(b·)=2
+    // k=2 ⇒ rare iff 2·c12 < c1: only (a,x) (2 < 4)
+    val out = TextAnalysis.bigramSurprisal(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    out shouldBe Seq(
+      (1L, 2L, 0L, 0.0),
+      (2L, 3L, 0L, 0.0),
+      (3L, 1L, 1L, 1.0),
+      (4L, 0L, 0L, null))
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.bigramSurprisal(df, "doc_id", "text", k = 0)
+  }
+
   test("vocabTopK ranks by count desc then token, drops empty tokens") {
     val df = Seq((1L, "b b a a a  c"), (2L, "b c d")).toDF("doc_id", "text")
     // counts: a=3, b=3, c=2, d=1; the doubled space yields an empty token
