@@ -7045,6 +7045,52 @@ object SparkEntry {
       WHERE d.text IS NOT NULL
       ORDER BY d.doc_id""")),
 
+    // Project-then-rerank retrieval: coarse top-32 in a 16-d deterministic
+    // signed-random-projection (Johnson–Lindenstrauss) space, exact cosine
+    // rerank to top-3 — stage 1 scores the corpus at a quarter of the
+    // FLOPs/state bytes, stage 2 pays exact math on 32 candidates only.
+    // Fully deterministic (hash-derived ±1 hyperplanes, strict
+    // left-to-right folds), so the WHOLE two-stage result is hash-gated —
+    // not just a recall bound.
+    ("q195_srp_rerank", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.srpRerankTopK(
+        emb.where(col("vec_id") < 8), emb, "vec_id", "vec_id", "embedding",
+        k = 3, m = 32, dim = 64, outDims = 16)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      signs AS (
+        SELECT r, list(CASE WHEN ('0x' || substr(md5(j::VARCHAR || ':' || r::VARCHAR), 1, 12))::BIGINT % 2 = 1
+                       THEN 1.0 ELSE -1.0 END ORDER BY j) AS srow
+        FROM range(0, 16) t(r) CROSS JOIN range(0, 64) u(j) GROUP BY r),
+      proj AS (
+        SELECT vec_id, list(p ORDER BY r) AS pvec FROM (
+          SELECT v.vec_id, s.r,
+            list_sum(list_transform(range(1, 65), j -> v.vec[j] * s.srow[j])) AS p
+          FROM v CROSS JOIN signs s) GROUP BY vec_id),
+      coarse AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          list_sum(list_transform(range(1, 17), i ->
+            (q.pvec[i] - c.pvec[i]) * (q.pvec[i] - c.pvec[i]))) AS d2
+        FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8),
+      cands AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rn
+          FROM coarse) WHERE rn <= 32),
+      exact AS (
+        SELECT x.q_id, x.n_id,
+          list_sum(list_transform(range(1, least(len(q.vec), len(n.vec)) + 1), i -> q.vec[i] * n.vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(n.vec) + 1), i -> n.vec[i] * n.vec[i])))) AS sim
+        FROM cands x JOIN v q ON q.vec_id = x.q_id JOIN v n ON n.vec_id = x.n_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+        FROM exact)
+      SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,

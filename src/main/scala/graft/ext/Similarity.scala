@@ -207,6 +207,79 @@ object Similarity {
       .map(i => when(element_at(vec, offset + i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Deterministic ±1 sign matrix for [[srpProject]] — sign(r)(j) is the
+    * low bit of the 48-bit md5 hash of "j:r", the SAME keyed-hash family
+    * every other deterministic operator here uses
+    * ([[graft.ext.TextAnalysis.hash48]]), computed driver-side so the
+    * matrix ships as plan literals (data-independent: nothing to train,
+    * nothing to persist, any engine regenerates it from the formula). */
+  private[graft] def srpSigns(dim: Int, outDims: Int): IndexedSeq[IndexedSeq[Double]] = {
+    def h48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.take(6).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    (0 until outDims).map(r => (0 until dim).map(j =>
+      if (h48(s"$j:$r") % 2 == 1) 1.0 else -1.0))
+  }
+
+  /** Signed random projection (Johnson–Lindenstrauss sketch): maps a
+    * `dim`-dimensional vector to `outDims` coordinates p_r = Σ_j v_j·s(j,r)
+    * with the deterministic ±1 hyperplanes of [[srpSigns]] — the
+    * dimensionality-reduction stage that makes a 100 TB rerank pipeline
+    * cheap (a 64-d corpus scored in 16-d costs a quarter of the FLOPs and
+    * a quarter of the candidate-state bytes; JL keeps relative distances).
+    *
+    * The whole matvec is ONE native codegen'd expression
+    * ([[graft.functions.SignedProjection]] — a tight two-level primitive
+    * loop; an unrolled dim×outDims literal tree was measured at MiB-scale
+    * task binaries with codegen compile dominating the query), accumulated
+    * strictly left-to-right in ascending j, so the DuckDB oracle's ordered
+    * `list_sum` reproduces it bit-for-bit (same discipline as [[cosine]]).
+    * [[signBucket]] is the 1-bit quantization of this projection; keeping
+    * the real values preserves ranking information a sign bucket throws
+    * away. */
+  def srpProject(vec: Column, dim: Int, outDims: Int): Column = {
+    require(dim > 0 && outDims > 0, s"dim/outDims must be positive, got $dim/$outDims")
+    graft.functions.VectorFunctions.signedProjection(vec, srpSigns(dim, outDims))
+  }
+
+  /** Two-stage ANN: coarse top-`m` in [[srpProject]]ed space (squared L2,
+    * ascending), then EXACT cosine rerank of those m candidates to top-`k`
+    * — the project-then-rerank retrieval shape. Stage 1 scans the corpus
+    * once against broadcast projected queries with the bounded top-m
+    * reduction (the exchange carries |queries|·m rows, projections are
+    * `outDims`-wide, the full vectors never enter the coarse pass); stage 2
+    * joins the tiny candidate set (BROADCAST) back to the corpus for exact
+    * vectors — the second corpus scan is the rerank's documented price (at
+    * scale it is a point-lookup against an id-keyed store).
+    *
+    * Exactly reproducible: projections, coarse ties (dist asc, n_id), and
+    * the final cosine rank (sim desc, n_id) are all deterministic, so the
+    * whole two-stage result gates against a SQL oracle.
+    * @return (q_id, rank, n_id, sim) */
+  def srpRerankTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, idCol: String, vecCol: String,
+      k: Int, m: Int, dim: Int, outDims: Int = 16): DataFrame = {
+    require(m >= k, s"rerank pool m ($m) must be >= k ($k)")
+    val qp = broadcast(queries.select(
+      col(qIdCol).as("q_id"), col(vecCol).as("q_vec"),
+      srpProject(col(vecCol), dim, outDims).as("q_pvec")))
+    val cp = corpus.select(
+      col(idCol).as("n_id"), srpProject(col(vecCol), dim, outDims).as("pvec"))
+    val coarse = cp.crossJoin(qp.select(col("q_id"), col("q_pvec")))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (-l2DistSq(col("pvec"), col("q_pvec"))).as("sim"))
+    val cands = rankTopK(coarse, Seq("q_id"), m).select(col("q_id"), col("n_id"))
+    val exact = broadcast(cands)
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), Seq("n_id"))
+      .join(qp.select(col("q_id"), col("q_vec")), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
+    rankTopK(exact, Seq("q_id"), k)
+  }
+
   /** ANN top-k restricted to the query's single sign bucket.
     *
     * RECALL-AUDIT DEMONSTRATION, not the recommended index: one 8-bit sign

@@ -215,12 +215,89 @@ case class L2DistanceSq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** out_r = Σ_j vecⱼ·signs(r)(j): a whole signed-projection matrix–vector
+  * product as ONE codegen'd expression — the unrolled per-coordinate
+  * literal-sum form builds a dim×outDims expression tree (measured: MiB-scale
+  * task binaries and codegen compile dominating the query), while this is a
+  * two-level primitive loop over `ArrayData` plus a reference-carried
+  * double[][]. Accumulation is strict left-to-right in ascending j per
+  * output coordinate, identical in eval and codegen modes, so the DuckDB
+  * oracle's ordered `list_sum` reproduces it bit-for-bit. The matrix rides
+  * along as a Seq (structural equality, so expression canonicalization
+  * works) and is flattened to primitive arrays once per operator. */
+case class SignedProjection(child: Expression, signs: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val signsArr: Array[Array[Double]] =
+    signs.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<double> argument, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "signed_projection"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](signsArr.length)
+    var r = 0
+    while (r < signsArr.length) {
+      val row = signsArr(r)
+      val m = math.min(n, row.length)
+      var acc = 0.0
+      var j = 0
+      while (j < m) { acc += x.getDouble(j) * row(j); j += 1 }
+      out(r) = acc
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.addReferenceObj("signs", signsArr, "double[][]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val row = ctx.freshName("row")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val r = ctx.freshName("r")
+      val j = ctx.freshName("j")
+      s"""
+         |final int $n = $a.numElements();
+         |final double[] $out = new double[$s.length];
+         |for (int $r = 0; $r < $s.length; $r++) {
+         |  final double[] $row = $s[$r];
+         |  final int $m = java.lang.Math.min($n, $row.length);
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $acc += $a.getDouble($j) * $row[$j];
+         |  }
+         |  $out[$r] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnBridge
 
   private def toDoubleArray(c: Column): Expression =
     GraftColumnBridge.expression(c.cast("array<double>"))
+
+  /** Codegen'd signed-projection matvec; accepts array<float> or
+    * array<double>. `signs(r)(j)` weights input dim j in output dim r. */
+  def signedProjection(vec: Column, signs: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(SignedProjection(toDoubleArray(vec), signs))
 
   /** Codegen'd cosine similarity; accepts array<float> or array<double>. */
   def cosineSim(a: Column, b: Column): Column =

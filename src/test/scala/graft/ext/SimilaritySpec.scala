@@ -262,6 +262,56 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("srpProject: native matvec is bit-identical to the unrolled literal sum") {
+    val dim = 16
+    val outDims = 4
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => ((i * 31 + j * 7) % 13 - 6) * 0.25f)))
+    val df = vecs.toDF("id", "v")
+    val signs = Similarity.srpSigns(dim, outDims)
+    signs.flatten.foreach(s => math.abs(s) shouldBe 1.0)
+    val unrolled = array((0 until outDims).map { r =>
+      (1 to dim).map(j =>
+        element_at(col("v"), j).cast("double") * lit(signs(r)(j - 1))).reduce(_ + _)
+    }: _*)
+    val rows = df.select(
+      Similarity.srpProject(col("v"), dim, outDims).as("native"),
+      unrolled.as("ref")).collect()
+    rows.foreach { r =>
+      r.getSeq[Double](0) shouldBe r.getSeq[Double](1) // exact, not approx
+    }
+  }
+
+  test("srpProject runs inside whole-stage codegen") {
+    // a Range source (not a LocalRelation, which the optimizer folds; not
+    // an Exchange, which wraps the plan in an undecided AdaptiveSparkPlan)
+    // so the explain shows the real codegen decision
+    val df = spark.range(4).select(
+      array((0 until 8).map(j => (col("id") + j).cast("float")): _*).as("v"))
+    val formatted = df.select(Similarity.srpProject(col("v"), 8, 2).as("p"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    formatted should include("signed_projection")
+    formatted should include("* Project")
+  }
+
+  test("srpRerankTopK with a full-corpus rerank pool equals exact brute force") {
+    val vecs = (1 to 30).map(i =>
+      (i.toLong, Array.tabulate(12)(j => ((i * 17 + j * 5) % 11 - 5).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val qs = df.where(col("id") <= 3)
+    // m = |corpus| ⇒ stage 1 prunes nothing, so the rerank must reproduce
+    // the exact top-k no matter how the projection scrambles distances
+    val rerank = Similarity.srpRerankTopK(qs, df, "id", "id", "v",
+        k = 3, m = 30, dim = 12, outDims = 4)
+      .orderBy("q_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val exact = Similarity.bruteForceTopK(qs, df, "id", "id", "v", 3)
+      .orderBy("q_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    rerank shouldBe exact
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.srpRerankTopK(qs, df, "id", "id", "v", k = 5, m = 3, dim = 12)
+  }
+
   test("fitPqCodebooks + pqTopK retrieves cluster-mates on clustered data") {
     // 3 well-separated cluster centers in 4-dim space; 8 points per cluster
     // with tiny deterministic jitter. PQ with a TRAINED codebook must rank
