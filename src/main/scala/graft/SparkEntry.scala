@@ -7091,6 +7091,35 @@ object SparkEntry {
       SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
       ORDER BY q_id, rank""")),
 
+    // Hard-negative mining for contrastive training: per query vector, the
+    // top-3 most-similar corpus vectors with a DIFFERENT label — one corpus
+    // scan against broadcast queries, label predicate below the scoring,
+    // bounded top-k reduction; the k survivors broadcast back for the
+    // negative's label (the corpus is never broadcast or collected).
+    ("q196_hard_negatives", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.hardNegativesTopK(
+        emb.where(col("vec_id") < 8), emb, "vec_id", "vec_id", "embedding",
+        "label", k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id AS n_id, label AS n_label, embedding::DOUBLE[] AS nv
+            FROM embeddings),
+      scored AS (
+        SELECT q_id, q_label, n_id, n_label,
+          list_sum(list_transform(range(1, least(len(qv), len(nv)) + 1), i -> qv[i] * nv[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
+        FROM q CROSS JOIN c
+        WHERE n_id <> q_id AND n_label IS DISTINCT FROM q_label),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, q_label, rank, n_id, n_label, sim FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,

@@ -280,6 +280,40 @@ object Similarity {
     rankTopK(exact, Seq("q_id"), k)
   }
 
+  /** Hard-negative mining for contrastive training data: per query, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * near-the-margin negatives that make embedding training informative
+    * (in-batch random negatives are mostly too easy). Same scale shape as
+    * [[bruteForceTopK]] — broadcast queries, ONE corpus scan, the label
+    * predicate applied before any scoring, bounded top-k reduction
+    * (|queries|·k exchange) — and the same swap-in path to an ANN index
+    * when the corpus outgrows the scan.
+    * @return (q_id, q_label, rank, n_id, n_label, sim) */
+  def hardNegativesTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(qIdCol).as("q_id"), col(labelCol).as("q_label"), col(vecCol).as("q_vec")))
+    val c = corpus.select(
+      col(idCol).as("n_id"), col(labelCol).as("n_label"), col(vecCol).as("n_vec"))
+    val scored = c.crossJoin(q)
+      .where(col("n_id") =!= col("q_id") && !(col("n_label") <=> col("q_label")))
+      .select(col("q_id"), col("q_label"),
+        // the aggregator reduces on (keys, n_id, sim); the negative's label
+        // is recovered by a tiny post-join on the k survivors per query
+        col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
+    val ranked = rankTopK(
+      scored.select(col("q_id"), col("q_label"), col("n_id"), col("sim")),
+      Seq("q_id", "q_label"), k)
+    // the |queries|·k survivors are the BROADCAST side; the corpus label
+    // table streams (it is never driver-collected or broadcast)
+    broadcast(ranked)
+      .join(c.select(col("n_id"), col("n_label")), Seq("n_id"))
+      .select(col("q_id"), col("q_label"), col("rank"),
+        col("n_id"), col("n_label"), col("sim"))
+  }
+
   /** ANN top-k restricted to the query's single sign bucket.
     *
     * RECALL-AUDIT DEMONSTRATION, not the recommended index: one 8-bit sign

@@ -328,9 +328,14 @@ object TextAnalysis {
   def bigramSurprisal(
       df: DataFrame, idCol: String, textCol: String, k: Int = 20): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val ws = words(col(textCol))
+    // the token array is materialized as a column BEFORE the lambda uses
+    // it: referencing the raw split() expression inside transform() would
+    // re-tokenize the document once per bigram position (O(tokens²) per doc)
+    val ws = col("__ws")
     val docBigrams = df
-      .where(col(textCol).isNotNull && size(ws) >= 2)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .where(size(ws) >= 2)
       .select(col(idCol),
         explode(transform(sequence(lit(1), size(ws) - 1), i =>
           struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))).as("bg"))

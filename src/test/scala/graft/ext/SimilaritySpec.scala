@@ -312,6 +312,31 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.srpRerankTopK(qs, df, "id", "id", "v", k = 5, m = 3, dim = 12)
   }
 
+  test("hardNegativesTopK: only cross-label candidates, null labels are negatives") {
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.99f, 0.1f)),  // same label as q1: NEVER a negative
+      (3L, 1, Array(0.9f, 0.2f)),   // closest cross-label
+      (4L, 1, Array(0.0f, 1.0f)),   // cross-label, orthogonal
+      (5L, 0, Array(-1.0f, 0.0f)))
+      .toDF("id", "label", "v")
+    // null-label row: <=> treats null as a VALUE, so it differs from 0
+    val withNull = df.union(Seq((6L, null.asInstanceOf[Integer], Array(1.0f, 0.01f)))
+      .toDF("id", "label", "v"))
+    val out = Similarity.hardNegativesTopK(
+        withNull.where(col("id") === 1), withNull, "id", "id", "v", "label", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(r.fieldIndex("rank")), r.getLong(r.fieldIndex("n_id"))))
+    // negatives for q1 (label 0): candidates are 3, 4, 6(null) — never 2 or 5
+    out shouldBe Seq((1, 6L), (2, 3L))
+    // and the negative's label survives the re-attach join
+    val labels = Similarity.hardNegativesTopK(
+        withNull.where(col("id") === 1), withNull, "id", "id", "v", "label", k = 2)
+      .orderBy("rank").collect()
+      .map(r => Option(r.get(r.fieldIndex("n_label"))))
+    labels shouldBe Seq(None, Some(1))
+  }
+
   test("fitPqCodebooks + pqTopK retrieves cluster-mates on clustered data") {
     // 3 well-separated cluster centers in 4-dim space; 8 points per cluster
     // with tiny deterministic jitter. PQ with a TRAINED codebook must rank
