@@ -631,11 +631,15 @@ object Dedup {
     require(minDf >= 2, s"minDf < 2 would flag every window as repeated, got $minDf")
     maxDf.foreach(m => require(m >= minDf,
       s"maxDf must be >= minDf ($minDf) to keep any window, got $m"))
-    val words = split(col(textCol), " ")
+    // tokenized ONCE into a column before the lambda: a raw split() inside
+    // the transform body would re-tokenize the doc per window (O(tokens²))
+    val words = col("__words")
     val wins = df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__words"))
       // the size guard must precede the sequence: Spark's sequence(1, n)
       // DESCENDS for n < 1 instead of returning empty
-      .where(col(textCol).isNotNull && size(words) >= spanTokens)
+      .where(size(words) >= spanTokens)
       .select(col(idCol),
         explode(transform(sequence(lit(1), size(words) - spanTokens + 1), i =>
           struct(i.cast("int").as("pos"),
@@ -760,9 +764,12 @@ object Dedup {
     * non-null-text doc, content reduced to the shared 48-bit hash. */
   private def segmentInstances(
       df: DataFrame, idCol: String, textCol: String, segTokens: Int): DataFrame = {
-    val words = split(col(textCol), " ")
+    // tokenized ONCE into a column before the lambda: a raw split() inside
+    // the transform body would re-tokenize the doc per segment
+    val words = col("__words")
     val nSegs = ceil(size(words).cast("double") / segTokens).cast("int")
     df.where(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__words"))
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), nSegs - 1), k =>
           array_join(slice(words, k * segTokens + 1, lit(segTokens)), " "))))
