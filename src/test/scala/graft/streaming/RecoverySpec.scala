@@ -61,6 +61,45 @@ class RecoverySpec extends SparkTestBase {
     }
   }
 
+  test("checkpoint recovery also holds under the RocksDB state store provider") {
+    // the 100 TB configuration: HDFSBackedStateStore holds every key
+    // on-heap, RocksDB spills state to local disk — the restart must carry
+    // the SAME counters through a provider whose files live off-heap
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = Files.createTempDirectory("graft_rsrc_")
+    val ckpt = Files.createTempDirectory("graft_rckpt_")
+    val out = Files.createTempDirectory("graft_rout_")
+    val schema = Seq.empty[Event].toDF().schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src.toString).as[Event]
+      val q = graft.io.Sinks.historizedSink(
+        PlayerStatsEngine.statefulPlayerStats(stream),
+        trigger = Trigger.AvailableNow(),
+        checkpoint = Some(ckpt.toString)) {
+        (df, _) => graft.io.Sinks.parquetAppend(df, out.toString)
+      }.start()
+      q.awaitTermination()
+    }
+    try {
+      Seq(
+        Event("Ada", "S1", "kill", 1, 0, 1),
+        Event("Ada", "S1", "kill", 2, 0, 1)).toDS()
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      runOnce()
+      Seq(Event("Ada", "S1", "kill", 3, 0, 2)).toDS()
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      runOnce()
+      spark.read.parquet(out.toString).as[PlayerStatsRow]
+        .collect().map(_.kills).sorted.toSeq shouldBe Seq(2L, 3L)
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      rmrf(src); rmrf(ckpt); rmrf(out)
+    }
+  }
+
   test("warm start from a state snapshot resumes counters without a checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val snapshot = Seq(
