@@ -17,7 +17,8 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(20)
     // optional second arg: comma-separated section names (dedup, temporal,
-    // relational, graph, linalg) — run only those probes
+    // relational, graph, linalg, cumsum, percentile, ann, decontam) — run
+    // only those probes
     val sections = args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
     def want(s: String): Boolean = sections.forall(_.contains(s))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -290,6 +291,55 @@ object Stress {
         val c = LinAlg.covarianceUpperTriangle(vecs, "label", "codes", 64)
         println(s"[stress]   cells = ${c.count()}")
       }
+    }
+
+    if (want("ann")) locally {
+      import graft.ext.Similarity
+      val nVec = 1_000_000L
+      val vecs = spark.range(nVec).select(
+        col("id"),
+        expr("""transform(sequence(1, 64),
+                 i -> CAST((pmod(hash(id * 64 + i), 2000) - 1000) / 250.0 AS FLOAT))""")
+          .as("v"))
+        .localCheckpoint()
+      val qs = vecs.where(col("id") < 8).localCheckpoint()
+      println(s"[stress] vectors: $nVec x 64-dim float, 8 queries")
+      timed("exact brute-force top-10") {
+        val r = Similarity.bruteForceTopK(qs, vecs, "id", "id", "v", 10)
+        println(s"[stress]   rows = ${r.count()} (512M MACs in the scan)")
+      }
+      timed("SRP coarse-32 + exact rerank") {
+        val r = Similarity.srpRerankTopK(qs, vecs, "id", "id", "v",
+          k = 10, m = 32, dim = 64, outDims = 16)
+        println(s"[stress]   rows = ${r.count()} (coarse pass 128M MACs; exact math on 256 pairs)")
+      }
+    }
+
+    if (want("decontam")) locally {
+      import graft.ext.Dedup
+      // eval suite = a 2% slice of the originals, corpus = the replicated
+      // 100k docs. NOTE the template-generated fixtures share boilerplate
+      // 3-grams, so ~98% of corpus docs stay contaminated and the bloom
+      // prefilter prunes little — measured ~16% cost OVER the broadcast
+      // form at this scale. That is the honest trade: bloom's win is not
+      // speed here but the removed broadcast-memory ceiling (eval-gram
+      // sets too large to ship to every task), plus scan-stage pruning on
+      // real, mostly-clean corpora. Both forms must agree exactly.
+      val eval_ = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val exactN = timed("decontaminate (broadcast-exact)") {
+        val r = Dedup.contaminationReport(big, eval_, "doc_id", "text")
+        val c = r.where(col("contaminated")).count()
+        println(s"[stress]   contaminated = $c"); c
+      }
+      val bloomN = timed("decontaminate (bloom-pruned)") {
+        val r = Dedup.contaminationReportBloom(big, eval_, "doc_id", "text",
+          expectedGrams = 2_000_000L, fpp = 0.01)
+        val c = r.where(col("contaminated")).count()
+        println(s"[stress]   contaminated = $c"); c
+      }
+      require(exactN == bloomN,
+        s"bloom decontamination diverged: exact=$exactN bloom=$bloomN")
     }
     spark.stop()
   }
