@@ -7120,6 +7120,60 @@ object SparkEntry {
       SELECT q_id, q_label, rank, n_id, n_label, sim FROM ranked WHERE rank <= 3
       ORDER BY q_id, rank""")),
 
+    // Incremental ANN-index maintenance — the vector sibling of q176
+    // (minhash signature store) and q181 (segment-owner store): the PQ code
+    // table is the persisted index artifact; a new snapshot encodes ONLY
+    // the new vectors (vec_id % 7 = 0) against the codebook FROZEN on the
+    // base snapshot and unions the stored codes, so the base corpus is
+    // never re-encoded. The oracle computes every code from scratch against
+    // the same frozen codebook — store + increment must equal it exactly.
+    ("q197_pq_code_increment", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val base = emb.where(col("vec_id") % 7 =!= 0)
+      val incr = emb.where(col("vec_id") % 7 === 0)
+      val cb = Similarity.pqCodebookByStride(base, "vec_id", "embedding",
+        m = 4, subDim = 16, stride = 50)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pqstore_")
+      try {
+        // snapshot 1: encode the base corpus once, persist the code table
+        Similarity.pqEncode(base, cb, "vec_id", "embedding", m = 4, subDim = 16)
+          .write.mode("overwrite").parquet(s"$tmp/codes")
+        // snapshot 2: stored codes reload; only the increment pays encoding
+        val stored = s.read.parquet(s"$tmp/codes")
+          .select(col("vec_id"), col("codes"), lit("stored").as("src"))
+        val fresh = Similarity
+          .pqEncode(incr, cb, "vec_id", "embedding", m = 4, subDim = 16)
+          .select(col("vec_id"), col("codes"), lit("fresh").as("src"))
+        stored.unionByName(fresh)
+          .select(col("vec_id"), col("src"),
+            posexplode(col("codes")).as(Seq("sub", "cid")))
+          .select(col("vec_id"), col("sub").cast("int").as("sub"),
+            col("cid"), col("src"))
+          .localCheckpoint(eager = true)
+          .orderBy(col("vec_id"), col("sub"))
+      } finally graft.util.Fs.deleteRecursively(tmp)
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      cb AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+          vec[sub*16 + 1 : sub*16 + 16] AS c_vec
+        FROM v CROSS JOIN subs WHERE vec_id % 50 = 0 AND vec_id % 7 <> 0),
+      cd AS (
+        SELECT c.vec_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (c.vec[b.sub*16 + i] - b.c_vec[i]) * (c.vec[b.sub*16 + i] - b.c_vec[i]))) AS d2
+        FROM v c CROSS JOIN cb b),
+      codes AS (
+        SELECT vec_id, sub, cid FROM (
+          SELECT vec_id, sub, cid,
+            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+          FROM cd) WHERE rn = 1)
+      SELECT vec_id, CAST(sub AS INT) AS sub, cid,
+        CASE WHEN vec_id % 7 = 0 THEN 'fresh' ELSE 'stored' END AS src
+      FROM codes ORDER BY vec_id, sub""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,
