@@ -7174,6 +7174,51 @@ object SparkEntry {
         CASE WHEN vec_id % 7 = 0 THEN 'fresh' ELSE 'stored' END AS src
       FROM codes ORDER BY vec_id, sub""")),
 
+    // Contrastive triplet mining — q196's completion: per anchor, the
+    // nearest SAME-label positive and the hardest CROSS-label negative in
+    // one row, with the margin that decides whether the triplet is worth
+    // training on. Two bounded corpus scans (one per label constraint),
+    // then a join of two 8-row frames.
+    ("q198_triplet_mining", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 8)
+      val pos = Similarity.nearestSameLabelTopK(
+          qs, emb, "vec_id", "vec_id", "embedding", "label", k = 1)
+        .select(col("q_id").as("anchor"), col("q_label").as("a_label"),
+          col("n_id").as("pos_id"), col("sim").as("pos_sim"))
+      val neg = Similarity.hardNegativesTopK(
+          qs, emb, "vec_id", "vec_id", "embedding", "label", k = 1)
+        .select(col("q_id").as("anchor"),
+          col("n_id").as("neg_id"), col("sim").as("neg_sim"))
+      pos.join(neg, Seq("anchor"))
+        .select(col("anchor"), col("a_label"), col("pos_id"), col("pos_sim"),
+          col("neg_id"), col("neg_sim"),
+          (col("pos_sim") - col("neg_sim")).as("margin"))
+        .orderBy(col("anchor"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id AS n_id, label AS n_label, embedding::DOUBLE[] AS nv
+            FROM embeddings),
+      scored AS (
+        SELECT q_id, q_label, n_id, n_label,
+          list_sum(list_transform(range(1, least(len(qv), len(nv)) + 1), i -> qv[i] * nv[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
+        FROM q CROSS JOIN c WHERE n_id <> q_id),
+      pos AS (
+        SELECT q_id, q_label, n_id AS pos_id, sim AS pos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+          FROM scored WHERE n_label IS NOT DISTINCT FROM q_label) WHERE rn = 1),
+      neg AS (
+        SELECT q_id, n_id AS neg_id, sim AS neg_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+          FROM scored WHERE n_label IS DISTINCT FROM q_label) WHERE rn = 1)
+      SELECT p.q_id AS anchor, p.q_label AS a_label, p.pos_id, p.pos_sim,
+             n.neg_id, n.neg_sim, p.pos_sim - n.neg_sim AS margin
+      FROM pos p JOIN neg n USING (q_id)
+      ORDER BY anchor""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,

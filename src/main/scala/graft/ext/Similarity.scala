@@ -292,13 +292,34 @@ object Similarity {
   def hardNegativesTopK(
       queries: DataFrame, corpus: DataFrame,
       qIdCol: String, idCol: String, vecCol: String, labelCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    labelConstrainedTopK(queries, corpus, qIdCol, idCol, vecCol, labelCol,
+      k, sameLabel = false)
+
+  /** The positive-mining twin of [[hardNegativesTopK]]: top-k most-similar
+    * corpus vectors with the SAME label (excluding self) — together they
+    * assemble contrastive triplets (anchor, nearest positive, hardest
+    * negative) in two corpus scans. */
+  def nearestSameLabelTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame =
+    labelConstrainedTopK(queries, corpus, qIdCol, idCol, vecCol, labelCol,
+      k, sameLabel = true)
+
+  private def labelConstrainedTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, idCol: String, vecCol: String, labelCol: String,
+      k: Int, sameLabel: Boolean): DataFrame = {
     val q = broadcast(queries.select(
       col(qIdCol).as("q_id"), col(labelCol).as("q_label"), col(vecCol).as("q_vec")))
     val c = corpus.select(
       col(idCol).as("n_id"), col(labelCol).as("n_label"), col(vecCol).as("n_vec"))
+    val labelPred =
+      if (sameLabel) col("n_label") <=> col("q_label")
+      else !(col("n_label") <=> col("q_label"))
     val scored = c.crossJoin(q)
-      .where(col("n_id") =!= col("q_id") && !(col("n_label") <=> col("q_label")))
+      .where(col("n_id") =!= col("q_id") && labelPred)
       .select(col("q_id"), col("q_label"),
         // the aggregator reduces on (keys, n_id, sim); the negative's label
         // is recovered by a tiny post-join on the k survivors per query
