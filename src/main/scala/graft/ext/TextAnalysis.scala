@@ -332,7 +332,11 @@ object TextAnalysis {
     // it: referencing the raw split() expression inside transform() would
     // re-tokenize the document once per bigram position (O(tokens²) per doc)
     val ws = col("__ws")
-    val docBigrams = df
+    // the reduced (doc, bigram) frame feeds THREE consumers (the bigram
+    // table, its head counts, and the per-doc flag join); without the pin
+    // each consumer re-scans and re-explodes the corpus — Caches-registered
+    // so catalog runners release it after materialization
+    val docBigrams = graft.util.Caches.register(df
       .where(col(textCol).isNotNull)
       .select(col(idCol), words(col(textCol)).as("__ws"))
       .where(size(ws) >= 2)
@@ -341,6 +345,7 @@ object TextAnalysis {
           struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))).as("bg"))
       .groupBy(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("__dc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bigramCounts = docBigrams
       .groupBy(col("w1"), col("w2")).agg(sum(col("__dc")).as("__c12"))
     val headCounts = bigramCounts

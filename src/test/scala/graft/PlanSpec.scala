@@ -292,6 +292,45 @@ class PlanSpec extends SparkTestBase {
     (p should not).include("CartesianProduct")
   }
 
+  test("q193 bloom decontamination: sketch filter below the verify join, eval grams NOT broadcast-pinned") {
+    val p = plan(SparkEntry.queries("q193_bloom_decontaminate")(spark, dir))
+    // the bloom prefilter is a Filter over the corpus gram stream — it must
+    // sit BELOW the verify join (prune before shuffle), and unlike q51 the
+    // plan carries no broadcast() hint on the eval gram set, so at real
+    // scale the join degrades gracefully to a shuffle join instead of OOM
+    p should include("UDF")                  // the mightContain prefilter
+    p.indexOf("UDF") should be > p.indexOf("Join") // filter deeper than the join
+  }
+
+  test("q194 bigram LM: the (doc,bigram) reduction is pinned and shared by all three consumers") {
+    val p = try plan(SparkEntry.queries("q194_bigram_lm")(spark, dir))
+    finally graft.util.Caches.releaseAll()
+    p should include("partial_count")        // the doc-bigram reduce combines map-side
+    (p should not).include("CartesianProduct")
+    // the bigram table, head counts, and flag join all read the CACHED
+    // reduction — the corpus is never re-scanned or re-exploded per consumer
+    p should include("InMemoryTableScan")
+  }
+
+  test("q195 SRP rerank: projected coarse pass broadcasts queries, exact math joins the candidate set") {
+    val p = plan(SparkEntry.queries("q195_srp_rerank")(spark, dir))
+    p should include("signed_projection")    // the native matvec in the plan
+    p should include("BroadcastNestedLoopJoin") // corpus scanned once vs broadcast queries
+    p should include("TopKBySim")            // bounded top-k reduction, not a global sort
+    (p should not).include("SortMergeJoin")  // nothing shuffles both sides
+  }
+
+  test("q196/q198 label-constrained mining: label predicate sits below the scoring join output") {
+    Seq("q196_hard_negatives", "q198_triplet_mining").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      withClue(q) {
+        p should include("BroadcastNestedLoopJoin") // one corpus scan per constraint
+        p should include("TopKBySim")
+        (p should not).include("CartesianProduct")  // never an unbroadcast cross join
+      }
+    }
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
