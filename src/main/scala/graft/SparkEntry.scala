@@ -49,6 +49,19 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
+  /** Deterministic synthetic PII salt (email + IP + spaced card number
+    * derived from the doc id) appended so the redaction regexes do real
+    * work on the PII-free fixtures — the SINGLE source both q182 and
+    * q189's pipeline stage (and their oracles' mirrored CTEs) salt with. */
+  private def piiSalt(text: Column, id: Column): Column =
+    concat(text,
+      lit(" contact user"), id.cast("string"),
+      lit("@mail.example.org from "),
+      (id % 256).cast("string"), lit(".16.32."),
+      ((id * 7) % 256).cast("string"),
+      lit(" card 4111 2222 3333 "),
+      lpad((id % 10000).cast("string"), 4, "0"))
+
   /** Game-event derivation shared by the parse/stream queries: maps the
     * `events` table onto the reference's kill/damage event model with pure
     * integer/string arithmetic (no floats ⇒ bit-exact oracle). */
@@ -5127,13 +5140,7 @@ object SparkEntry {
       // minhashCandidatePairs, once for the agreement columns)
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
         .localCheckpoint(true)
-      val bandCols = (0 until 4).map { b =>
-        val sig = concat_ws("-", (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*)
-        struct(lit(b).as("band"), sig.as("sig"))
-      }
-      val buckets = sigs.where(col("mh_0").isNotNull)
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      val buckets = Dedup.bucketsFromSignatures(sigs, "doc_id")
       val cands = Dedup.bucketPairs(buckets, "doc_id")
       val sa = sigs.select(col("doc_id").as("id_a") +:
         (0 until 16).map(p => col(s"mh_$p").as(s"a_$p")): _*)
@@ -6370,13 +6377,7 @@ object SparkEntry {
     // shape a 100 TB scrub pass needs.
     ("q182_pii_redaction", (s, dir) => {
       val salted = T(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"),
-          lit("@mail.example.org from "),
-          (col("doc_id") % 256).cast("string"), lit(".16.32."),
-          ((col("doc_id") * 7) % 256).cast("string"),
-          lit(" card 4111 2222 3333 "),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+        piiSalt(col("text"), col("doc_id")).as("text"))
       salted.select(col("doc_id"),
           TextAnalysis.redactPii(col("text")).as("__red"))
         .select(col("doc_id"),
@@ -6577,7 +6578,11 @@ object SparkEntry {
     // pattern); docs explode only to the examples they touch (q179's
     // manifest shape — n_docs + n_examples rows, never tokens).
     ("q186_binned_packing", (s, dir) => {
+      // null text is excluded EXPLICITLY (mirrored in the oracle): a NULL
+      // n_tokens would sort NULLS FIRST in Spark's ntile order but NULLS
+      // LAST in DuckDB's, silently shifting every bin boundary
       val t = T(s, dir, "documents")
+        .where(col("text").isNotNull)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
       ext.Packing.manifest(
@@ -6587,7 +6592,7 @@ object SparkEntry {
     }, Some("""
       WITH t AS (
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       b AS (
         SELECT doc_id, n_tokens,
           CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bin
@@ -6721,13 +6726,7 @@ object SparkEntry {
         .where(size(split(col("text"), " ")) >= 20)
       val uniq = q.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       val red = uniq.select(col("doc_id"),
-        TextAnalysis.redactPii(concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"),
-          lit("@mail.example.org from "),
-          (col("doc_id") % 256).cast("string"), lit(".16.32."),
-          ((col("doc_id") * 7) % 256).cast("string"),
-          lit(" card 4111 2222 3333 "),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).as("text"))
+        TextAnalysis.redactPii(piiSalt(col("text"), col("doc_id"))).as("text"))
       Dedup.segmentDedup(red, "doc_id", "text", 32)
         .select(col("doc_id"), col("n_segs"), col("n_kept"),
           length(col("text_dedup")).as("n_chars_kept"),

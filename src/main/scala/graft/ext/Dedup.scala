@@ -82,11 +82,21 @@ object Dedup {
     * and new increments join against it — see [[minhashIncrementPairs]]. */
   def minhashBuckets(
       df: DataFrame, idCol: String, textCol: String,
+      numPerm: Int = 16, bands: Int = 4): DataFrame =
+    bucketsFromSignatures(
+      minhashSignatures(df, idCol, textCol, numPerm), idCol, Nil, numPerm, bands)
+
+  /** Band buckets from an ALREADY-computed `mh_*` signature frame:
+    * (idCol, keep…, band, sig). The single source of the band/sig recipe —
+    * [[minhashBuckets]] (stored index), [[streamBuckets]] (live ingest) and
+    * the calibration queries all derive buckets here, so the signature
+    * format (and the null-text guard) can never drift between paths. */
+  def bucketsFromSignatures(
+      sigs: DataFrame, idCol: String, keep: Seq[String] = Nil,
       numPerm: Int = 16, bands: Int = 4): DataFrame = {
     require(numPerm % bands == 0,
       s"numPerm ($numPerm) must be divisible by bands ($bands) — anything else silently truncates the signature")
     val rows = numPerm / bands
-    val sigs = minhashSignatures(df, idCol, textCol, numPerm)
     val bandCols = (0 until bands).map { b =>
       val sig = concat_ws("-", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
       struct(lit(b).as("band"), sig.as("sig"))
@@ -98,8 +108,10 @@ object Dedup {
       // bucket per band, inventing pairs the oracle's NULL-excluding join
       // semantics reject.)
       .where(col("mh_0").isNotNull)
-      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .select((col(idCol) +: keep.map(col)) :+
+        explode(array(bandCols: _*)).as("bk"): _*)
+      .select((col(idCol) +: keep.map(col)) :+
+        col("bk.band").as("band") :+ col("bk.sig").as("sig"): _*)
   }
 
   /** Incremental dedup: candidate (new_id, corpus_id) pairs between a new
@@ -209,16 +221,7 @@ object Dedup {
       array_min(transform(col("__hs"), h => permute(h, p))).as(s"mh_$p")
     }
     val sigs = hs.select((col(idCol) +: keep.map(col)) ++ sigCols: _*)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("-", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*).as("sig"))
-    }
-    sigs
-      .where(col("mh_0").isNotNull) // mirror minhashBuckets' null-text guard
-      .select((col(idCol) +: keep.map(col)) :+
-        explode(array(bandCols: _*)).as("bk"): _*)
-      .select((col(idCol) +: keep.map(col)) :+
-        col("bk.band").as("band") :+ col("bk.sig").as("sig"): _*)
+    bucketsFromSignatures(sigs, idCol, keep, numPerm, bands)
   }
 
   def minhashCandidatePairs(
@@ -540,8 +543,12 @@ object Dedup {
     // the corpus never shuffles for re-expansion (q153's discipline)
     val dupClasses = broadcast(
       classes.where(col("__n") >= 2).select((keyCols.map(col) :+ col("__rep")): _*))
+    // materialized: four references below (both sides of `cross`, both
+    // sides of `within`) would otherwise each re-run the corpus scan +
+    // broadcast probe — the frame is tiny (dup-class members only)
     val members = df.join(dupClasses, keyCols)
       .select(col("__rep"), col(idCol).as("__member"))
+      .localCheckpoint(true)
     // cross-class pairs: substitute each rep by its members (left join +
     // coalesce keeps singleton reps as themselves); repPairs is the small
     // side, so these resolve as broadcast probes of the member table

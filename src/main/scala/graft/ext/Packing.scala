@@ -39,9 +39,14 @@ object Packing {
       s"exampleTokens must be positive, got $exampleTokens")
     val keys = (extraKeys :+ "example_id").map(col)
     withOffsets
+      // integer div needs expr(); the operands are re-aliased to fixed safe
+      // names first so a tokensCol needing quoting (spaces, dots) can never
+      // splice into the SQL string as something else
+      .withColumn("__pk_tok", col(tokensCol))
       .withColumn("example_id", explode(sequence(
         expr(s"cum_before div ${exampleTokens}L"),
-        expr(s"(cum_before + $tokensCol - 1) div ${exampleTokens}L"))))
+        expr(s"(cum_before + __pk_tok - 1) div ${exampleTokens}L"))))
+      .drop("__pk_tok")
       .groupBy(keys: _*)
       .agg(
         count(lit(1)).as("n_docs"),

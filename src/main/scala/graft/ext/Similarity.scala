@@ -609,17 +609,16 @@ object Similarity {
     *
     * @return (q_id, rank, n_id, adist) — rank ascending by approximate
     *         squared distance, ties to the lowest n_id */
-  def pqTopK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
-      qIdCol: String, idCol: String, vecCol: String, k: Int,
-      m: Int, subDim: Int): DataFrame = {
-    require(m > 0, s"m must be positive, got $m")
-    require(subDim > 0, s"subDim must be positive, got $subDim")
+  /** Per-query ADC lookup table: lut[sub+1][cid+1] = ‖q_sub − c_vec‖² —
+    * built by two tiny sorted-collect pivots over the (small)
+    * query×codebook product. The SINGLE source both [[pqTopK]] and
+    * [[ivfPqTopK]] score with, so LUT tie-breaking / cid-normalization
+    * semantics can never drift between the two gated paths.
+    * @return (q_id, lut array<array<double>> ordered by sub, then cid) */
+  private def pqLut(queries: DataFrame, codebooks: DataFrame,
+      qIdCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
     val cb = broadcast(pqNormalizeCodebook(codebooks))
-    val codes = pqEncode(corpus, codebooks, idCol, vecCol, m, subDim)
-      .select(col(idCol).as("n_id"), col("codes"))
-    // per-query LUT: lut[sub+1][cid+1] = ‖q_sub − c_vec‖² — built by two
-    // tiny sorted-collect pivots over the (small) query×codebook product
-    val lut = pqSliced(queries, qIdCol, vecCol, m, subDim)
+    pqSliced(queries, qIdCol, vecCol, m, subDim)
       .join(cb, Seq("sub"))
       .select(col("__pid").as("q_id"), col("sub"), col("cid"),
         l2DistSq(col("s_vec"), col("c_vec")).as("pd"))
@@ -629,6 +628,16 @@ object Similarity {
       .groupBy(col("q_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("lrow")))),
         x => x.getField("lrow")).as("lut"))
+  }
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
+      qIdCol: String, idCol: String, vecCol: String, k: Int,
+      m: Int, subDim: Int): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    require(subDim > 0, s"subDim must be positive, got $subDim")
+    val codes = pqEncode(corpus, codebooks, idCol, vecCol, m, subDim)
+      .select(col(idCol).as("n_id"), col("codes"))
+    val lut = pqLut(queries, codebooks, qIdCol, vecCol, m, subDim)
     val scored = codes.crossJoin(broadcast(lut))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
@@ -690,18 +699,9 @@ object Similarity {
       .withColumn("__rn", row_number().over(probeW))
       .where(col("__rn") <= nprobe)
       .select(col("q_id"), col("lcid"))
-    // per-query ADC LUTs (as in pqTopK), attached to each probe row
-    val cb = broadcast(pqNormalizeCodebook(codebooks))
-    val lut = pqSliced(queries, qIdCol, vecCol, m, subDim)
-      .join(cb, Seq("sub"))
-      .select(col("__pid").as("q_id"), col("sub"), col("cid"),
-        l2DistSq(col("s_vec"), col("c_vec")).as("pd"))
-      .groupBy(col("q_id"), col("sub"))
-      .agg(transform(array_sort(collect_list(struct(col("cid"), col("pd")))),
-        x => x.getField("pd")).as("lrow"))
-      .groupBy(col("q_id"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("lrow")))),
-        x => x.getField("lrow")).as("lut"))
+    // per-query ADC LUTs (the same pqLut pqTopK scores with), attached to
+    // each probe row
+    val lut = pqLut(queries, codebooks, qIdCol, vecCol, m, subDim)
     val scored = broadcast(probes.join(lut, Seq("q_id")))
       .join(indexed, Seq("lcid"))
       .where(col("n_id") =!= col("q_id"))

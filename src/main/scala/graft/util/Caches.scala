@@ -17,6 +17,14 @@ import org.apache.spark.sql.Dataset
   * unpersisting early would let the two consumers of a pinned range
   * exchange recompute it with independently-sampled boundaries (the
   * nondeterminism the persist exists to prevent).
+  *
+  * CONTRACT — one in-flight query per registry: the registry is
+  * process-global, so `releaseAll()` from one thread would unpersist a
+  * pinned frame another thread is still consuming (and a recomputed range
+  * exchange is exactly the wrong-answer hazard above). Every runner here
+  * (Verify, Bench, the specs) executes catalog queries sequentially; a
+  * concurrent runner must scope queries to separate processes or add a
+  * per-query handle discipline before sharing a session.
   */
 object Caches {
 

@@ -38,6 +38,7 @@ object Scratch {
         try SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[scratch] $spec failed: $e") }
+        finally graft.util.Caches.releaseAll() // runner discipline: no cross-run block buildup
         println(f"[scratch] $spec%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
