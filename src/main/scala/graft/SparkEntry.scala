@@ -521,6 +521,80 @@ object SparkEntry {
              CAST(damage AS DOUBLE) / rnd AS "damagePerRound"
       FROM agg ORDER BY "steamId"""")),
 
+    // q19's gate on Spark 4's transformWithState — the modern
+    // arbitrary-state API (named RocksDB-backed state, store-managed TTL)
+    // replayed REAL-streaming end-to-end against the SAME batch oracle, so
+    // both stateful APIs carry identical semantics under the driver's
+    // hash compare. The RocksDB provider is set for the query (TWS rejects
+    // the default HDFS-backed store) and restored after.
+    ("q199_tws_stream_stats", (s, dir) => {
+      import s.implicits._
+      val game = gameEvents(T(s, dir, "events"))
+      // VERIFICATION-HARNESS BOUNDARY (q19's convention): memory sink +
+      // collect hand the streaming result to the batch oracle; production
+      // writes through the distributed sinks.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tws_")
+      val qname = "graft_tws_stats"
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val (schema, rows) =
+        try {
+          game.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val stream = s.readStream.schema(game.schema).parquet(tmp.toString).as[Event]
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.conf.set(provKey,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val q = PlayerStatsEngine.statefulPlayerStatsTws(stream)
+            .writeStream.outputMode("update").format("memory").queryName(qname)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val out = s.table(qname)
+          // last cumulative-complete row per key (q19's multi-batch-robust
+          // selector): the counter total is the monotone signal
+          val w = Window.partitionBy(col("steamId"))
+            .orderBy(
+              (col("kills") + col("deaths") + col("assists") + col("damage")).desc,
+              col("second").desc)
+          val res = out
+            .withColumn("rn", row_number().over(w))
+            .withColumn("second",
+              max(col("second")).over(Window.partitionBy(col("steamId"))))
+            .where(col("rn") === 1).drop("rn")
+          (res.schema, res.collect())
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          prevProv.fold(s.conf.unset(provKey))(s.conf.set(provKey, _))
+          s.catalog.dropTempView(qname)
+          graft.util.Fs.deleteRecursively(tmp)
+        }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy(col("steamId"))
+    }, Some("""
+      WITH ev AS (
+        SELECT ('S' || CAST(user_id AS VARCHAR)) AS sid,
+               CASE WHEN event_type = 'purchase' THEN ('P' || CAST(user_id AS VARCHAR)) ELSE '' END AS pname,
+               CASE event_type WHEN 'purchase' THEN 'kill' WHEN 'error' THEN 'death'
+                    WHEN 'signup' THEN 'assist' ELSE 'damage' END AS et,
+               event_id AS sec, event_id % 97 AS amt, 1 + user_id % 19 AS rnd
+        FROM events),
+      agg AS (
+        SELECT sid,
+          COALESCE(MAX(CASE WHEN pname <> '' THEN pname END), '') AS pn,
+          GREATEST(MAX(sec), 0) AS sec,
+          COUNT(*) FILTER (WHERE et = 'kill') AS kills,
+          COUNT(*) FILTER (WHERE et = 'death') AS deaths,
+          COUNT(*) FILTER (WHERE et = 'assist') AS assists,
+          CAST(COALESCE(SUM(amt) FILTER (WHERE et = 'damage'), 0) AS BIGINT) AS damage,
+          GREATEST(MAX(rnd), 0) AS rnd
+        FROM ev GROUP BY sid)
+      SELECT pn AS "playerName", sid AS "steamId", sec AS "second",
+             kills, deaths, assists, damage,
+             CASE WHEN deaths = 0 THEN CAST(kills AS DOUBLE)
+                  ELSE CAST(kills AS DOUBLE) / deaths END AS "kdRatio",
+             CAST(damage AS DOUBLE) / rnd AS "damagePerRound"
+      FROM agg ORDER BY "steamId"""")),
+
     ("q20_batch_stats_twin", (s, dir) => {
       PlayerStatsEngine.batchPlayerStats(gameEvents(T(s, dir, "events")))
         .orderBy(col("steamId"))
