@@ -7292,6 +7292,98 @@ object SparkEntry {
       FROM pos p JOIN neg n USING (q_id)
       ORDER BY anchor""")),
 
+    // The flagship composition — corpus to TRAINING SHARDS as one gated
+    // dataflow: quality gate → exact dedup → eval-suite decontamination →
+    // deterministic 80/10/10 split → per-split sequence packing into
+    // 2048-token examples. Every stage is an already-gated operator
+    // (q169/q21/q51/q53/q179 family); this gate pins that the COMPLETE
+    // pipeline composes into one linear plan — no collect, no recompute —
+    // and emits the per-example manifest a trainer would consume. Offsets
+    // restart per split via the binnedOffsets discipline: ONE global token
+    // cumsum minus broadcast per-split bases, never a per-split sort.
+    ("q200_training_snapshot", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val gated = docs
+        .where(col("text").isNotNull && size(split(col("text"), " ")) >= 20)
+      val uniq = gated.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      val evalDocs = docs.where(col("doc_id") % 17 === 0)
+      val corpus = uniq.where(col("doc_id") % 17 =!= 0)
+      // overlap-FRACTION rule (dirty iff > half the doc's distinct grams
+      // appear in the eval suite) — any-overlap (q51's rule) annihilates
+      // this template-heavy corpus; the compare is exact integer
+      // cross-multiplication, no float threshold
+      val clean = Dedup.contaminationFractions(corpus, evalDocs, "doc_id", "text")
+        .where(col("n_shared") * 2 <= col("n_grams")).select(col("doc_id"))
+        .join(corpus, Seq("doc_id"))
+      val splitd = Sampling.assignSplit(clean, col("doc_id"),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select(col("doc_id"), col("split"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val cum = analytics.GlobalCumsum.cumsumBefore(
+        splitd, Seq(col("split"), col("doc_id")), col("n_tokens"), "__g")
+      val splW = Window.orderBy(col("split"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bases = splitd.groupBy(col("split"))
+        .agg(sum(col("n_tokens")).as("__st"))
+        .withColumn("__base", coalesce(sum(col("__st")).over(splW), lit(0L)))
+        .select(col("split"), col("__base"))
+      val offs = cum.join(broadcast(bases), "split")
+        .withColumn("cum_before", col("__g") - col("__base"))
+        .drop("__g", "__base")
+      ext.Packing.manifest(offs, "doc_id", "n_tokens", 2048L,
+          extraKeys = Seq("split"))
+        .orderBy(col("split"), col("example_id"))
+    }, Some("""
+      WITH gated AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 20),
+      uniq AS (SELECT min(doc_id) AS doc_id, text FROM gated GROUP BY text),
+      eg AS (
+        SELECT DISTINCT gram FROM (
+          SELECT unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END) AS gram
+          FROM documents WHERE doc_id % 17 = 0)),
+      corpus AS (SELECT * FROM uniq WHERE doc_id % 17 <> 0),
+      cg AS (
+        SELECT DISTINCT doc_id, gram FROM (
+          SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END) AS gram
+          FROM corpus)),
+      tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+      hits AS (SELECT doc_id, count(*) AS n_shared FROM cg JOIN eg USING (gram) GROUP BY 1),
+      keep AS (
+        SELECT t.doc_id FROM tot t LEFT JOIN hits h USING (doc_id)
+        WHERE coalesce(h.n_shared, 0) * 2 <= t.n_grams),
+      clean AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS b
+              FROM corpus WHERE doc_id IN (SELECT doc_id FROM keep))),
+      cum AS (
+        SELECT doc_id, split, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM clean),
+      e AS (
+        SELECT split, doc_id, n_tokens, cb,
+          unnest(generate_series(cb // 2048,
+                                 (cb + n_tokens - 1) // 2048)) AS example_id
+        FROM cum)
+      SELECT split, example_id, count(*) AS n_docs,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        CAST(sum(least(cb + n_tokens, (example_id + 1) * 2048) -
+                 greatest(cb, example_id * 2048)) AS BIGINT)
+          AS n_tokens_filled
+      FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,

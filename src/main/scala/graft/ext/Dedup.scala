@@ -826,6 +826,31 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Overlap-FRACTION decontamination — the thresholded form of
+    * [[contaminationReport]] that published pipelines apply on
+    * template-heavy web corpora, where ANY-overlap annihilates the corpus
+    * (boilerplate n-grams appear in every doc): report each corpus doc's
+    * distinct-gram total alongside its eval-shared count, so callers gate
+    * on the ratio (exactly, via integer cross-multiplication: dirty iff
+    * `n_shared · k > n_grams` for a fraction 1/k).
+    *
+    * One corpus scan: the distinct postings LEFT-join the broadcast eval
+    * gram set and ONE per-doc aggregate counts both totals and hits —
+    * never two passes over the postings.
+    * @return (idCol, n_grams, n_shared) for every non-null-text corpus doc */
+  def contaminationFractions(
+      corpus: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def grams(df: DataFrame, cols: Seq[Column]): DataFrame = df
+      .withColumn("__words", split(col(textCol), " "))
+      .select(cols :+ explode(shingles(col(textCol), col("__words"))).as("__g"): _*)
+      .distinct()
+    val evalGrams = grams(evalDocs, Nil).withColumn("__hit", lit(1))
+    grams(corpus, Seq(col(idCol)))
+      .join(broadcast(evalGrams), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_shared"))
+  }
+
   /** [[contaminationReport]] for eval suites too large to broadcast as an
     * exact gram set — the shape that survives when the held-out benchmark
     * union is itself hundreds of GB.

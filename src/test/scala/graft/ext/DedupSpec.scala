@@ -90,6 +90,21 @@ class DedupSpec extends SparkTestBase {
     plan should include("BroadcastHashJoin")
   }
 
+  test("contaminationFractions counts distinct grams and eval hits per doc") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),      // grams: abg, bgd — 1 of 2 shared
+      (2L, "nothing in common here at all"), // 4 grams, 0 shared
+      (3L, "alpha beta gamma alpha beta gamma")) // repeats collapse: 3 distinct, 1 shared
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val out = Dedup.contaminationFractions(corpus, eval_, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    out shouldBe Seq((1L, 2L, 1L), (2L, 4L, 0L), (3L, 3L, 1L))
+    // the integer cross-multiplication gate: dirty iff shared·2 > total
+    out.map { case (_, g, s) => s * 2 > g } shouldBe Seq(false, false, false)
+  }
+
   test("contaminationReportBloom is result-identical to the broadcast-exact form") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"),
