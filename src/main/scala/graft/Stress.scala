@@ -17,8 +17,8 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(20)
     // optional second arg: comma-separated section names (dedup, temporal,
-    // relational, graph, linalg, cumsum, percentile, ann, decontam) — run
-    // only those probes
+    // relational, graph, linalg, cumsum, percentile, ann, decontam, bigram)
+    // — run only those probes
     val sections = args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
     def want(s: String): Boolean = sections.forall(_.contains(s))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -312,6 +312,17 @@ object Stress {
         val r = Similarity.srpRerankTopK(qs, vecs, "id", "id", "v",
           k = 10, m = 32, dim = 64, outDims = 16)
         println(s"[stress]   rows = ${r.count()} (coarse pass 128M MACs; exact math on 256 pairs)")
+      }
+    }
+
+    if (want("bigram")) locally {
+      // bigram-LM surprisal over the replicated corpus: the reduce-then-
+      // join shape must stay linear in bigram INSTANCES (map-side combine
+      // collapses the 20× replication before any exchange)
+      timed("bigram surprisal 100k docs") {
+        val r = graft.ext.TextAnalysis.bigramSurprisal(big, "doc_id", "text")
+        println(s"[stress]   scored docs = ${r.count()}")
+        graft.util.Caches.releaseAll()
       }
     }
 
