@@ -7384,6 +7384,36 @@ object SparkEntry {
           AS n_tokens_filled
       FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Embedding-space drift audit between two corpus snapshots (vec_id
+    // parity split): per-dimension exact quantized sums + mean shift — the
+    // model-input monitor that catches a silently shifted feature
+    // distribution. Quantization (floor(x·1000) BIGINT) keeps the sums
+    // exact and engine-independent; one narrow explode + one 64-key agg.
+    ("q201_embedding_drift", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      ext.LinAlg.perDimDrift(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 =!= 0),
+          "embedding", scale = 1000)
+        .orderBy(col("dim"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      e AS (
+        SELECT (vec_id % 2 = 0) AS is_base, t.i AS dim,
+          CAST(floor(vec[CAST(t.i AS INT)] * 1000) AS BIGINT) AS q
+        FROM v CROSS JOIN range(1, 65) t(i)),
+      agg AS (
+        SELECT dim,
+          count(*) FILTER (WHERE is_base) AS n_base,
+          count(*) FILTER (WHERE NOT is_base) AS n_delta,
+          CAST(sum(q) FILTER (WHERE is_base) AS BIGINT) AS sum_base,
+          CAST(sum(q) FILTER (WHERE NOT is_base) AS BIGINT) AS sum_delta
+        FROM e GROUP BY 1)
+      SELECT CAST(dim AS INT) AS dim, n_base, n_delta, sum_base, sum_delta,
+        CAST(sum_base AS DOUBLE) / n_base -
+          CAST(sum_delta AS DOUBLE) / n_delta AS shift_milli
+      FROM agg ORDER BY dim""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,

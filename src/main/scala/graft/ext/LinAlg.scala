@@ -116,4 +116,38 @@ object LinAlg {
       .withColumn("cov",
         col("cov_num").cast("double") / (col("n") * col("n")).cast("double"))
   }
+
+  /** Per-dimension embedding drift between two corpus snapshots — the
+    * model-input monitor that catches a silently shifted feature
+    * distribution before training does. Values are quantized to
+    * `floor(x·scale)` BIGINTs first so the per-snapshot sums are EXACT and
+    * engine-independent (a raw double sum's addition order would drift
+    * between engines); the two means divide once each at the end.
+    *
+    * Scale shape: one narrow posexplode per snapshot (dim, q) and ONE
+    * 64-key hash aggregate with map-side partials — the exchange carries
+    * dims × partitions rows regardless of corpus size.
+    * @return (dim 1-based, n_base, n_delta, sum_base, sum_delta,
+    *          shift_milli = mean_base − mean_delta in 1/scale units;
+    *          sums/means are NULL for a side with no vectors) */
+  def perDimDrift(
+      base: DataFrame, delta: DataFrame, vecCol: String,
+      scale: Int = 1000): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    def quantized(df: DataFrame, isBase: Boolean) = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("__p", "__x")))
+      .select((col("__p") + 1).as("dim"),
+        floor(col("__x") * scale).cast("long").as("__q"),
+        lit(isBase).as("__b"))
+    quantized(base, isBase = true).unionByName(quantized(delta, isBase = false))
+      .groupBy(col("dim"))
+      .agg(
+        count(when(col("__b"), 1)).as("n_base"),
+        count(when(!col("__b"), 1)).as("n_delta"),
+        sum(when(col("__b"), col("__q"))).as("sum_base"),
+        sum(when(!col("__b"), col("__q"))).as("sum_delta"))
+      .withColumn("shift_milli",
+        col("sum_base").cast("double") / col("n_base") -
+          col("sum_delta").cast("double") / col("n_delta"))
+  }
 }

@@ -97,6 +97,29 @@ class LinAlgSpec extends SparkTestBase {
     e.getMessage should include("outside int8 range")
   }
 
+  test("perDimDrift: exact quantized sums, NULL sums for an empty side") {
+    val base = Seq(
+      (1L, Array(1.0f, -0.5f)),
+      (2L, Array(0.25f, 0.5f))).toDF("id", "v")
+    val delta = Seq((3L, Array(0.0f, 1.0f))).toDF("id", "v")
+    val out = LinAlg.perDimDrift(base, delta, "v", scale = 1000)
+      .orderBy("dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // dim1: base q = 1000, 250 → 1250; delta q = 0 → shift 625.0 - 0.0
+    // dim2: base q = floor(-500)= -500, 500 → 0; delta 1000 → 0 - 1000
+    out shouldBe Seq(
+      (1, 2L, 1L, 1250L, 0L, 625.0),
+      (2, 2L, 1L, 0L, 1000L, -1000.0))
+    // an empty side yields NULL sums/shift, never a fabricated zero
+    val empty = LinAlg.perDimDrift(base, delta.where(lit(false)), "v")
+      .orderBy("dim").collect()
+    empty.foreach { r =>
+      r.isNullAt(r.fieldIndex("sum_delta")) shouldBe true
+      r.isNullAt(r.fieldIndex("shift_milli")) shouldBe true
+    }
+  }
+
   test("MaxExactCovarianceRows is the documented worst-case bound") {
     val n = LinAlg.MaxExactCovarianceRows
     // worst case is a saturated −128 code (GramUpperTriangle admits the
