@@ -7414,6 +7414,99 @@ object SparkEntry {
           CAST(sum_delta AS DOUBLE) / n_delta AS shift_milli
       FROM agg ORDER BY dim""")),
 
+    // Fuzzy decontamination — q51's leak check through the MINHASH index
+    // instead of exact n-grams: a corpus doc is dirty when it NEAR-dups an
+    // eval doc (any shared LSH band bucket), catching paraphrased or
+    // lightly-edited benchmark leakage exact grams miss. One signature
+    // pass per side, one bucket equi-join — never a gram-level join.
+    ("q202_fuzzy_decontaminate", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val corpusB = Dedup.minhashBuckets(
+        docs.where(col("doc_id") % 17 =!= 0), "doc_id", "text")
+      val evalB = Dedup.minhashBuckets(
+        docs.where(col("doc_id") % 17 === 0), "doc_id", "text")
+      val hits = Dedup.minhashIncrementPairs(corpusB, evalB, "doc_id")
+        .groupBy(col("new_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_near_eval"))
+      docs.where(col("doc_id") % 17 =!= 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_near_eval"), lit(0L)).as("n_near_eval"),
+          (coalesce(col("n_near_eval"), lit(0L)) > 0).as("contaminated_fuzzy"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents WHERE text IS NOT NULL),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs),
+      mh AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mh GROUP BY doc_id, p // 4),
+      pairs AS (
+        SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS eval_id
+        FROM sigs n JOIN sigs c ON n.band = c.band AND n.sig = c.sig
+        WHERE n.doc_id % 17 <> 0 AND c.doc_id % 17 = 0),
+      hits AS (SELECT doc_id, count(*) AS n_near_eval FROM pairs GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(h.n_near_eval, 0) AS n_near_eval,
+             coalesce(h.n_near_eval, 0) > 0 AS contaminated_fuzzy
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id % 17 <> 0
+      ORDER BY d.doc_id""")),
+
+    // Per-source token-budget selection (the domain-allowance curation
+    // rule): rank each source's docs by a deterministic quality score
+    // (distinct-token fraction, exact-integer ordering semantics) and keep
+    // the maximal prefix fitting a 5000-token budget. Keyed window — the
+    // exchange is the source key, never a global sort. Output: per-source
+    // selection accounting.
+    ("q203_budget_selection", (s, dir) => {
+      val docs = T(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .withColumn("__ws", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          size(col("__ws")).cast("long").as("n_tokens"),
+          (size(array_distinct(col("__ws"))).cast("double") /
+            size(col("__ws")).cast("double")).as("score"))
+      Sampling.budgetCappedSelection(
+          docs, Seq("source"), col("doc_id"), col("n_tokens"), col("score"), 5000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+        .withColumn("budget_tokens", lit(5000L))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          len(list_distinct(string_split(text, ' ')))::DOUBLE /
+            len(string_split(text, ' ')) AS score
+        FROM documents WHERE text IS NOT NULL),
+      c AS (
+        SELECT source, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM t)
+      SELECT source, count(*) AS n_docs,
+        sum(CASE WHEN cb + n_tokens <= 5000 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        sum(CASE WHEN cb + n_tokens <= 5000 THEN n_tokens ELSE 0 END)::BIGINT AS tokens_kept,
+        CAST(5000 AS BIGINT) AS budget_tokens
+      FROM c GROUP BY 1 ORDER BY 1""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,

@@ -103,4 +103,30 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= n)
   }
+
+  /** Token-budget-capped corpus selection: per group, documents are ranked
+    * by descending `score` (ties by `id` ascending) and the MAXIMAL PREFIX
+    * whose token sum fits `budgetTokens` is kept — the quality-first
+    * selection a curation pipeline runs when each domain or source gets a
+    * fixed token allowance. With positive token counts the prefix sum is
+    * monotone, so `kept = (cum_before + tokens ≤ budget)` IS the maximal
+    * prefix: once a doc misfits, every later (lower-scored) doc misfits.
+    *
+    * Scale shape: one KEYED window per group (partitionBy(groupCols) — the
+    * exchange is the group key, never a global sort); deterministic under
+    * any partitioning because the order key (score desc, id) is total.
+    * Adds `cum_before_tokens` and `kept`. */
+  def budgetCappedSelection(
+      df: DataFrame, groupCols: Seq[String], id: Column,
+      tokens: Column, score: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(score.desc, id)
+    df
+      .withColumn("__t", tokens.cast("long"))
+      .withColumn("cum_before_tokens",
+        coalesce(sum(col("__t")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("kept", col("cum_before_tokens") + col("__t") <= budgetTokens)
+      .drop("__t")
+  }
 }

@@ -148,4 +148,25 @@ class SamplingSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Sampling.stratifiedSample(df, col("lang"), col("k"), Map.empty, defaultPct = -1)
   }
+
+  test("budgetCappedSelection keeps the maximal quality-first prefix per group") {
+    val df = Seq(
+      // group a: scores rank docs 1 > 2 > 3; tokens 6, 3, 2; budget 10
+      // prefix sums: 6, 9, 11 → doc 3 misfits, docs 1-2 kept
+      (1L, "a", 6L, 0.9),
+      (2L, "a", 3L, 0.8),
+      (3L, "a", 2L, 0.7),
+      // group b: single doc larger than the budget → nothing kept
+      (4L, "b", 11L, 0.9))
+      .toDF("id", "g", "t", "s")
+    val out = Sampling.budgetCappedSelection(
+        df, Seq("g"), col("id"), col("t"), col("s"), 10L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("cum_before_tokens")),
+        r.getBoolean(r.fieldIndex("kept"))))
+    out shouldBe Seq(
+      (1L, 0L, true), (2L, 6L, true), (3L, 9L, false), (4L, 0L, false))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.budgetCappedSelection(df, Seq("g"), col("id"), col("t"), col("s"), 0L)
+  }
 }
