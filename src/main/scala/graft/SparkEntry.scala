@@ -7319,12 +7319,17 @@ object SparkEntry {
           Seq(("train", 80), ("val", 10), ("test", 10)))
         .select(col("doc_id"), col("split"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      val cum = analytics.GlobalCumsum.cumsumBefore(
-        splitd, Seq(col("split"), col("doc_id")), col("n_tokens"), "__g")
+      // cumsum AND per-split totals off the SAME pinned range exchange: the
+      // bases frame reads the cached reduced (doc_id, split, n_tokens) rows,
+      // so the expensive gate→dedup→decontaminate subtree executes ONCE
+      // (an independent `splitd.groupBy` lineage would re-run all of it
+      // just to build the 3-row base frame — PlanSpec pins the shape)
+      val (cum, splitTotals) = analytics.GlobalCumsum.cumsumBeforeWithTotals(
+        splitd, Seq(col("split"), col("doc_id")), col("n_tokens"), "__g",
+        Seq("split"), "__st")
       val splW = Window.orderBy(col("split"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val bases = splitd.groupBy(col("split"))
-        .agg(sum(col("n_tokens")).as("__st"))
+      val bases = splitTotals
         .withColumn("__base", coalesce(sum(col("__st")).over(splW), lit(0L)))
         .select(col("split"), col("__base"))
       val offs = cum.join(broadcast(bases), "split")

@@ -82,6 +82,28 @@ object GlobalCumsum {
     (ranged, result)
   }
 
+  /** [[cumsumBefore]] plus per-group totals of `value`, BOTH derived from
+    * the same pinned range exchange: the totals consumer reads the cached
+    * reduced frame instead of re-executing the (possibly expensive) input
+    * lineage — the single-pass guarantee for callers that need "global
+    * cumsum + per-group base offsets" (per-split sequence packing, binned
+    * offsets), where aggregating the unpersisted input a second time would
+    * re-run everything upstream of it.
+    *
+    * @return (cumsum result as in [[cumsumBefore]],
+    *         totals frame with columns `groupCols :+ totalOut`) */
+  def cumsumBeforeWithTotals(
+      df: DataFrame, order: Seq[Column], value: Column, out: String,
+      groupCols: Seq[String], totalOut: String,
+      numPartitions: Int = 0): (DataFrame, DataFrame) = {
+    require(groupCols.nonEmpty, "cumsumBeforeWithTotals needs group columns")
+    val (ranged, cum) = core(df, order, value, out, numPartitions)
+    val totals = ranged
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__v")).as(totalOut))
+    (cum, totals)
+  }
+
   /** Global 1-based row number in `order`, without a single-partition sort:
     * [[cumsumBefore]] of the constant 1, plus one. */
   def rowNumber(

@@ -69,12 +69,14 @@ object Packing {
       df: DataFrame, idCol: String, tokensCol: String, bins: Int): DataFrame = {
     val binned = GlobalCumsum.ntile(
       df, Seq(col(tokensCol), col(idCol)), bins, "bin")
-    val cum = GlobalCumsum.cumsumBefore(
-      binned, Seq(col("bin"), col(idCol)), col(tokensCol), "__g")
+    // cumsum AND per-bin totals off ONE pinned range exchange — a separate
+    // `binned.groupBy` would re-run the whole ntile subtree for the base frame
+    val (cum, binTotals) = GlobalCumsum.cumsumBeforeWithTotals(
+      binned, Seq(col("bin"), col(idCol)), col(tokensCol), "__g",
+      Seq("bin"), "__bt")
     val binW = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offs = binned.groupBy(col("bin"))
-      .agg(sum(col(tokensCol)).as("__bt"))
+    val offs = binTotals
       .withColumn("__bb", coalesce(sum(col("__bt")).over(binW), lit(0L)))
       .select(col("bin"), col("__bb"))
     cum.join(broadcast(offs), "bin")

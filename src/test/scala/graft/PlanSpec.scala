@@ -331,6 +331,33 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q200 flagship: the gate→dedup→decontaminate subtree executes ONCE — every consumer reads the pinned exchange") {
+    // node-level check (TreeNode.collect does not descend into a cached
+    // relation's inner plan): outside the InMemoryRelation there must be NO
+    // parquet scan at all — the cumsum branch, the per-split bases branch,
+    // and the packing manifest all consume GlobalCumsum's pinned ranged
+    // frame, so the expensive quality-gate → dedup → decontaminate subtree
+    // is executed exactly once, at pin time. AQE is disabled for the shape
+    // assertion only (AdaptiveSparkPlanExec is opaque to collect).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("q200_training_snapshot")(spark, dir)
+        .queryExecution.executedPlan
+      val fileScans = exec.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      fileScans shouldBe empty
+      val memScans = exec.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+      }
+      memScans.size should be >= 2 // cumsum branch + per-split bases branch
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      graft.util.Caches.releaseAll()
+    }
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))

@@ -60,6 +60,42 @@ class GlobalCumsumSpec extends SparkTestBase {
     }
   }
 
+  test("cumsumBeforeWithTotals: totals are exact AND read the pinned exchange, not the input") {
+    val grouped = data.withColumn("g", col("k") % 3)
+    // AQE off for the shape assertion only (AdaptiveSparkPlanExec is opaque
+    // to TreeNode.collect)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (cum, totals) = GlobalCumsum.cumsumBeforeWithTotals(
+      grouped, Seq(col("g"), col("k")), col("v"), "c", Seq("g"), "t", 5)
+    try {
+      // values: totals == a plain groupBy-sum; cumsum == the naive window
+      val naiveTotals = grouped.groupBy(col("g")).agg(sum(col("v")).as("t"))
+        .orderBy("g").as[(Long, Long)].collect().toSeq
+      totals.orderBy("g").as[(Long, Long)].collect().toSeq shouldBe naiveTotals
+      val naive = grouped.withColumn("c",
+          coalesce(sum(col("v")).over(Window.orderBy(col("g"), col("k"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .orderBy("k").select("k", "c").as[(Long, Long)].collect().toSeq
+      cum.orderBy("k").select("k", "c")
+        .as[(Long, Long)].collect().toSeq shouldBe naive
+      // single-pass property: the totals plan reads the persisted ranged
+      // frame (InMemoryTableScan) and NEVER re-executes the input lineage —
+      // node-level collect does not descend into the cached relation's inner
+      // plan, so any LocalTableScan node here would be a live re-execution
+      val exec = totals.queryExecution.executedPlan
+      exec.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+      } should not be empty
+      exec.collect {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+      } shouldBe empty
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.util.Caches.releaseAll()
+    }
+  }
+
   test("the corpus-sized frame never goes through a no-partition window") {
     // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect);
     // disable it for the shape assertion only
