@@ -313,6 +313,55 @@ object Stress {
           k = 10, m = 32, dim = 64, outDims = 16)
         println(s"[stress]   rows = ${r.count()} (coarse pass 128M MACs; exact math on 256 pairs)")
       }
+      // ADC scoring A/B: the native codegen AdcDistance vs the interpreted
+      // zip_with+aggregate HOF fold over 1M synthetic (codes, LUT-sum)
+      // pairs — the hot loop of a PQ index scan. Results must be
+      // bit-identical (full-frame compare, not counts).
+      locally {
+        val m = 16
+        val ksub = 256
+        val nQ = 8
+        // pqTopK's exact shape: a 1M-row code table crossJoined against a
+        // BROADCAST 8-row LUT frame — LUT construction happens once per
+        // query, scoring 8M times. That isolates the per-pair LUT-sum cost
+        // the native expression targets.
+        val codes = spark.range(nVec).select(
+          col("id"),
+          expr(s"transform(sequence(1, $m), s -> CAST(pmod(hash(id * $m + s), $ksub) AS INT))")
+            .as("codes"))
+          .localCheckpoint()
+        val luts = spark.range(nQ).select(
+          col("id").as("q_id"),
+          expr(s"""transform(sequence(1, $m), s ->
+            transform(sequence(1, $ksub), c -> CAST(pmod(hash(q_id * 7 + s * $ksub + c), 1000) AS DOUBLE) / 8.0))""")
+            .as("lut"))
+          .localCheckpoint()
+        val scored = codes.crossJoin(broadcast(luts))
+        val hof = aggregate(
+          zip_with(col("codes"), col("lut"),
+            (c, lrow) => element_at(lrow, (c + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x)
+        val hofSum = timed(s"ADC HOF fold 8M pairs x $m subs") {
+          val s = scored.select(hof.as("d"))
+            .agg(sum(col("d"))).head.getDouble(0)
+          println(s"[stress]   checksum = $s"); s
+        }
+        val natSum = timed(s"ADC native codegen 8M pairs x $m subs") {
+          val s = scored.select(
+              graft.functions.VectorFunctions.adcDistance(col("codes"), col("lut")).as("d"))
+            .agg(sum(col("d"))).head.getDouble(0)
+          println(s"[stress]   checksum = $s"); s
+        }
+        // full-result identity, not just the checksum: any per-pair drift
+        // (even compensating) fails here
+        require(hofSum == natSum,
+          s"ADC forms diverged: hof=$hofSum native=$natSum")
+        val diff = scored.select(
+            graft.functions.VectorFunctions.adcDistance(col("codes"), col("lut")).as("n"),
+            hof.as("h"))
+          .where(col("n") =!= col("h")).count()
+        require(diff == 0L, s"ADC forms diverged on $diff rows")
+      }
     }
 
     if (want("bigram")) locally {

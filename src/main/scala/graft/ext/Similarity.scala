@@ -638,13 +638,14 @@ object Similarity {
     val codes = pqEncode(corpus, codebooks, idCol, vecCol, m, subDim)
       .select(col(idCol).as("n_id"), col("codes"))
     val lut = pqLut(queries, codebooks, qIdCol, vecCol, m, subDim)
+    // native codegen'd ADC LUT sum — THE hot loop of a PQ index scan
+    // (bit-identical to the interpreted zip_with+aggregate fold; the
+    // identity is law-tested in SimilaritySpec)
     val scored = codes.crossJoin(broadcast(lut))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        aggregate(
-          zip_with(col("codes"), col("lut"),
-            (c, lrow) => element_at(lrow, (c + 1).cast("int"))),
-          lit(0.0), (acc, x) => acc + x).as("adist"))
+        graft.functions.VectorFunctions.adcDistance(
+          col("codes"), col("lut")).as("adist"))
     // rankTopK ranks sim DESC; negate so ascending distance wins (exact:
     // IEEE negation is lossless, and −0.0 re-negates to 0.0)
     rankTopK(scored.withColumn("sim", -col("adist")), Seq("q_id"), k)
@@ -706,10 +707,8 @@ object Similarity {
       .join(indexed, Seq("lcid"))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        aggregate(
-          zip_with(col("codes"), col("lut"),
-            (c, lrow) => element_at(lrow, (c + 1).cast("int"))),
-          lit(0.0), (acc, x) => acc + x).as("adist"))
+        graft.functions.VectorFunctions.adcDistance(
+          col("codes"), col("lut")).as("adist"))
     rankTopK(scored.withColumn("sim", -col("adist")), Seq("q_id"), k)
       .select(col("q_id"), col("rank"), col("n_id"), (-col("sim")).as("adist"))
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for embedding-vector math.
   *
@@ -215,6 +215,88 @@ case class L2DistanceSq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ADC (asymmetric-distance-computation) LUT sum: given a candidate's PQ
+  * `codes` (array<int>, one sub-centroid id per subspace) and a query's
+  * per-subspace lookup table `lut` (array<array<double>>, lut(sub)(cid) =
+  * partial squared distance), computes Σ_sub lut(sub)(codes(sub)) — the
+  * inner loop of every PQ/IVF-PQ index scan. The composable form
+  * (`zip_with` + `aggregate`) is an interpreted per-element lambda; this is
+  * a tight codegen'd loop, bit-identical to it (strict left-to-right fold,
+  * acc starts 0.0) for well-formed inputs.
+  *
+  * Strictness (the deterministic-oracle discipline): a null slot in either
+  * array, or a code outside its LUT row, throws instead of silently
+  * skewing the distance — a malformed index must fail loudly, not rank
+  * wrong neighbors. Folds over min(|codes|, |lut|) subspaces (equal by
+  * construction for any index built with [[graft.ext.Similarity.pqEncode]]). */
+case class AdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<array<double>>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val n = math.min(codes.numElements(), lut.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (codes.isNullAt(i) || lut.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"adc_distance: null slot at subspace $i")
+      val row = lut.getArray(i)
+      val c = codes.getInt(i)
+      if (c < 0 || c >= row.numElements() || row.isNullAt(c))
+        throw new IllegalArgumentException(
+          s"adc_distance: code $c out of LUT row range [0, ${row.numElements()}) at subspace $i")
+      acc += row.getDouble(c)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val row = ctx.freshName("row")
+      val c = ctx.freshName("c")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "adc_distance: null slot at subspace " + $i);
+         |  }
+         |  final org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($i);
+         |  final int $c = $a.getInt($i);
+         |  if ($c < 0 || $c >= $row.numElements() || $row.isNullAt($c)) {
+         |    throw new IllegalArgumentException(
+         |      "adc_distance: code " + $c + " out of LUT row range [0, " +
+         |        $row.numElements() + ") at subspace " + $i);
+         |  }
+         |  $acc += $row.getDouble($c);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** out_r = Σ_j vecⱼ·signs(r)(j): a whole signed-projection matrix–vector
   * product as ONE codegen'd expression — the unrolled per-coordinate
   * literal-sum form builds a dim×outDims expression tree (measured: MiB-scale
@@ -310,4 +392,11 @@ object VectorFunctions {
   /** Codegen'd squared L2 distance; accepts array<float> or array<double>. */
   def l2DistSq(a: Column, b: Column): Column =
     GraftColumnBridge.column(L2DistanceSq(toDoubleArray(a), toDoubleArray(b)))
+
+  /** Codegen'd PQ/ADC LUT sum; accepts any integral code array (cast to
+    * array<int>) and an array<array<double>> lookup table. */
+  def adcDistance(codes: Column, lut: Column): Column =
+    GraftColumnBridge.column(AdcDistance(
+      GraftColumnBridge.expression(codes.cast("array<int>")),
+      GraftColumnBridge.expression(lut.cast("array<array<double>>"))))
 }

@@ -168,6 +168,40 @@ class SimilaritySpec extends SparkTestBase {
       .where(col("n") =!= col("h")).count() shouldBe 0L
   }
 
+  test("native adcDistance is bit-identical to the composable HOF LUT fold") {
+    // 40 candidates x 8 subspaces, LUT rows of 16 partial distances with
+    // non-associative-friendly magnitudes (so any fold-order drift shows)
+    val rows = (1 to 40).map { i =>
+      val codes = Array.tabulate(8)(s => (i * 13 + s * 5) % 16)
+      val lut = Array.tabulate(8)(s =>
+        Array.tabulate(16)(c => ((i + s * 3 + c * 7) % 101 - 50) / 7.0))
+      (i.toLong, codes, lut)
+    }
+    val df = rows.toDF("id", "codes", "lut")
+    val hof = aggregate(
+      zip_with(col("codes"), col("lut"),
+        (c, lrow) => element_at(lrow, (c + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+    df.select(
+        graft.functions.VectorFunctions.adcDistance(col("codes"), col("lut")).as("n"),
+        hof.as("h"))
+      .where(col("n") =!= col("h")).count() shouldBe 0L
+  }
+
+  test("adcDistance fails loudly on an out-of-range code (never a silent skew)") {
+    val df = Seq((1L, Array(0, 99), Array(Array(1.0, 2.0), Array(3.0, 4.0))))
+      .toDF("id", "codes", "lut")
+    val e = intercept[Exception] {
+      df.select(graft.functions.VectorFunctions.adcDistance(
+        col("codes"), col("lut"))).collect()
+    }
+    // the IllegalArgumentException may arrive wrapped (SparkException) —
+    // search the cause chain for the loud failure
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    msgs should include("adc_distance")
+  }
+
   test("pqEncode picks the argmin sub-centroid per subspace, ties to lowest cid") {
     // m=2 subspaces of dim 2; codebook has 2 centroids per subspace
     val cb = Seq(
