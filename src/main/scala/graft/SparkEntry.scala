@@ -683,7 +683,10 @@ object SparkEntry {
       FROM documents ORDER BY doc_id""")),
 
     ("q25_ngram_jaccard", (s, dir) => {
-      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+      // collapsed form (q161's discipline, proven result-identical by
+      // DedupSpec law + this unchanged oracle): exact-dup classes never
+      // reach the inverted index, the clique re-expands at output time
+      Dedup.ngramJaccardPairsCollapsed(T(s, dir, "documents"), "doc_id", "text",
           Seq("lang"), 0.12)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))

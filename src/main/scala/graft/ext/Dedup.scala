@@ -366,13 +366,24 @@ object Dedup {
     // Per-doc DISTINCT shingles via explode + relational distinct — a
     // codegen'd hash aggregate. (array_distinct on a string array is an
     // interpreted O(|sh|²) per-row loop — measurably the dominant cost of the
-    // naive shape.) The per-doc shingle count |A| rides along via a window
-    // count over the already-distinct postings.
+    // naive shape.) Shingle strings reduce to 64-bit hashes BEFORE the
+    // distinct (the prefixFilteredJaccardPairs discipline): every shuffle —
+    // distinct, per-doc window, pair grouping — then keys on fixed-width
+    // longs instead of ~25-byte strings. Set sizes and intersections are
+    // exact modulo 64-bit collisions (~|shingles|²/2^65, negligible at any
+    // in-gate scale; a 100 TB corpus would widen to a 128-bit digest).
+    // Null filtering happens on the STRING (xxhash64(NULL) is the non-null
+    // seed value, which would resurrect null shingles). The per-doc shingle
+    // count |A| rides along via a window count over the distinct postings.
+    val nonNull0 = (blockCols.map(col(_).isNotNull) :+ col("__s0").isNotNull).reduce(_ && _)
     val exploded = df
       .withColumn("__words", split(col(textCol), " "))
       .select(
         (col(idCol).as("__id") +: blockCols.map(col)) :+
-          explode(shingles(col(textCol), col("__words"))).as("__s"): _*)
+          explode(shingles(col(textCol), col("__words"))).as("__s0"): _*)
+      .where(nonNull0)
+      .select(
+        (col("__id") +: blockCols.map(col)) :+ xxhash64(col("__s0")).as("__s"): _*)
       .distinct()
     val postings = exploded.withColumn(
       "__n",
@@ -385,10 +396,9 @@ object Dedup {
     // stop-shingle (huge df) is the thing to cap upstream at open-web scale.
     // Null block keys / shingles never pair (SQL join-equality semantics —
     // the groupBy would otherwise bucket NULLs together and invent pairs the
-    // oracle's `a.lang = b.lang` join excludes).
-    val nonNull = (blockCols.map(col(_).isNotNull) :+ col("__s").isNotNull).reduce(_ && _)
+    // oracle's `a.lang = b.lang` join excludes); both are already filtered
+    // at the explode, before the hash.
     val byShingle = postings
-      .where(nonNull)
       .groupBy((blockCols.map(col) :+ col("__s")): _*)
       .agg(collect_list(struct(col("__id"), col("__n"))).as("__docs"))
       .where(size(col("__docs")) > 1)
@@ -526,29 +536,69 @@ object Dedup {
     * and are excluded from classes here — identical behavior. */
   def prefixFilteredJaccardPairsCollapsed(
       df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], minJaccard: Double): DataFrame =
+    withExactDupCollapse(df, idCol, textCol, blockCols,
+      reps => prefixFilteredJaccardPairs(reps, idCol, textCol, blockCols, minJaccard))
+
+  /** [[ngramJaccardPairs]] with the same exact-duplicate pre-collapse as
+    * [[prefixFilteredJaccardPairsCollapsed]] — the inverted-index form's
+    * guard against mirror-heavy corpora, where a class of N byte-identical
+    * docs otherwise injects a C(N,2) clique into every posting group.
+    * Result-identical to the direct form (no `maxDf` here: the df cap
+    * counts DOCS, which collapse changes — use the prefix-filtered form
+    * when boilerplate shingles need lossless pruning). */
+  def ngramJaccardPairsCollapsed(
+      df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], minJaccard: Double): DataFrame = {
+    require(minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    withExactDupCollapse(df, idCol, textCol, blockCols,
+      reps => ngramJaccardPairs(reps, idCol, textCol, blockCols, minJaccard))
+  }
+
+  /** The exact-duplicate pre-collapse harness shared by the collapsed pair
+    * joins: group byte-identical (block, text) docs into classes, run
+    * `pairFn` over ONE representative per class, then re-create member
+    * pairs arithmetically at output time, where the clique is inherent to
+    * the result size.
+    *
+    * Re-expansion is exact: members of one class share the rep's shingle
+    * set, so every cross-class member pair has the rep pair's jaccard
+    * verbatim, and every within-class pair has jaccard 1.0 ≥ any valid
+    * threshold. Classes are disjoint per block, so no expanded pair is
+    * emitted twice. Docs with a NULL text or a NULL block key never pair
+    * in the direct forms (SQL join-equality semantics) and are excluded
+    * from classes here — identical behavior. */
+  private def withExactDupCollapse(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String],
+      pairFn: DataFrame => DataFrame): DataFrame = {
     val keyCols = blockCols :+ textCol
+    val keysNonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
     // materialized once (three consumers: reps, dup-class filter, member
     // resolution); registered with Caches for post-materialization release
     val classes = graft.util.Caches.register(df
-      .where(col(textCol).isNotNull)
+      .where(keysNonNull)
       .groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     classes.count()
     val reps = classes.select((col("__rep").as(idCol) +: keyCols.map(col)): _*)
-    val repPairs = prefixFilteredJaccardPairs(reps, idCol, textCol, blockCols, minJaccard)
+    val repPairs = pairFn(reps)
     // dup-class membership (rep → every member id, rep included): only
     // classes with copies — resolved map-side off the broadcast class list,
     // the corpus never shuffles for re-expansion (q153's discipline)
     val dupClasses = broadcast(
       classes.where(col("__n") >= 2).select((keyCols.map(col) :+ col("__rep")): _*))
-    // materialized: four references below (both sides of `cross`, both
-    // sides of `within`) would otherwise each re-run the corpus scan +
-    // broadcast probe — the frame is tiny (dup-class members only)
-    val members = df.join(dupClasses, keyCols)
+    // materialized + registered: four references below (both sides of
+    // `cross`, both sides of `within`) would otherwise each re-run the
+    // corpus scan + broadcast probe. persist, NOT localCheckpoint(true):
+    // lineage survives executor loss (the q153 resilience discipline) and
+    // the runners release it with the class frame
+    val members = graft.util.Caches.register(df.join(dupClasses, keyCols)
       .select(col("__rep"), col(idCol).as("__member"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    members.count()
     // cross-class pairs: substitute each rep by its members (left join +
     // coalesce keeps singleton reps as themselves); repPairs is the small
     // side, so these resolve as broadcast probes of the member table

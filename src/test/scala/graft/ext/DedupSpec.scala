@@ -340,6 +340,36 @@ class DedupSpec extends SparkTestBase {
     graft.util.Caches.releaseAll()
   }
 
+  test("collapsed ngram jaccard equals the direct inverted-index form") {
+    // same re-expansion paths as the prefix law, plus a NULL block key —
+    // join-equality semantics say those docs never pair in either form
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "the quick brown fox jumps over the lazy dog"),
+      (9L, "en", "the quick brown fox jumps over the lazy dog"),
+      (3L, "en", "the quick brown fox leaps over the lazy dog"),
+      (8L, "en", "the quick brown fox leaps over the lazy dog"),
+      (4L, "en", "completely different content the quick brown here"),
+      (5L, "de", "the quick brown fox jumps over the lazy dog"),
+      (6L, "en", "tiny doc"),
+      (7L, "en", null.asInstanceOf[String]),
+      (10L, null.asInstanceOf[String], "the quick brown fox jumps over the lazy dog"),
+      (11L, null.asInstanceOf[String], "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "lang", "text")
+    for (t <- Seq(0.05, 0.3, 0.9, 1.0)) {
+      val collapsed = Dedup.ngramJaccardPairsCollapsed(
+          docs, "doc_id", "text", Seq("lang"), t)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val direct = Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", Seq("lang"), t)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      withClue(s"threshold $t")(collapsed shouldBe direct)
+    }
+    graft.util.Caches.releaseAll()
+  }
+
   test("prefix filter survives FP ceil overshoot at the exact threshold boundary") {
     // 0.07·100 = 7.000000000000001 in IEEE doubles: a bare float ceil gives
     // 8 and silently shortens the prefix by one element, dropping this
