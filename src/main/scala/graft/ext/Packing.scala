@@ -41,8 +41,20 @@ object Packing {
     withOffsets
       // integer div needs expr(); the operands are re-aliased to fixed safe
       // names first so a tokensCol needing quoting (spaces, dots) can never
-      // splice into the SQL string as something else
-      .withColumn("__pk_tok", col(tokensCol))
+      // splice into the SQL string as something else. The contract says
+      // "positive long per doc" — enforce it IN the data path (a guard
+      // column would be pruned): a zero/negative count would make the
+      // example `sequence` end before it starts, silently dropping the doc
+      // from the manifest (or throwing an opaque sequence error) instead
+      // of naming the offender.
+      .withColumn("__pk_tok",
+        when(col(tokensCol) > 0, col(tokensCol))
+          .otherwise(raise_error(concat(
+            lit("Packing.manifest: non-positive token count "),
+            coalesce(col(tokensCol).cast("string"), lit("NULL")),
+            lit(s" for $idCol="),
+            coalesce(col(idCol).cast("string"), lit("NULL"))))
+            .cast("long")))
       .withColumn("example_id", explode(sequence(
         expr(s"cum_before div ${exampleTokens}L"),
         expr(s"(cum_before + __pk_tok - 1) div ${exampleTokens}L"))))

@@ -114,6 +114,25 @@ class Round8Spec extends SparkTestBase {
     m.map(_.getAs[Long]("example_id")).toSeq shouldBe (0L until m.length.toLong)
   }
 
+  test("Packing.manifest fails loudly on a zero or negative token count") {
+    import spark.implicits._
+    for (bad <- Seq(0L, -5L)) {
+      val docs = Seq((1L, 40L), (2L, bad), (3L, 30L)).toDF("doc_id", "n_tokens")
+      val e = intercept[Exception] {
+        graft.ext.Packing.manifest(
+          graft.ext.Packing.offsets(docs, "doc_id", "n_tokens"),
+          "doc_id", "n_tokens", 128L).collect()
+      }
+      graft.util.Caches.releaseAll()
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      withClue(s"bad=$bad") {
+        msgs should include("non-positive token count")
+        msgs should include("doc_id=2")
+      }
+    }
+  }
+
   test("Packing.binnedOffsets restart at zero per bin and stay gapless") {
     import spark.implicits._
     val docs = (1L to 123L).map(i => (i, (i * 53 % 70) + 1)).toDF("doc_id", "n_tokens")
