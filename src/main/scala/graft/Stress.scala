@@ -387,19 +387,29 @@ object Stress {
       // real, mostly-clean corpora. Both forms must agree exactly.
       val eval_ = docs.where(col("doc_id") % 50 === 0)
         .select(col("doc_id"), col("text")).localCheckpoint()
-      val exactN = timed("decontaminate (broadcast-exact)") {
-        val r = Dedup.contaminationReport(big, eval_, "doc_id", "text")
-        val c = r.where(col("contaminated")).count()
-        println(s"[stress]   contaminated = $c"); c
+      // full-result agreement, not just counts: compensating per-doc flips
+      // (one doc going clean, another dirty) must fail too — compare an
+      // order-insensitive checksum over every (doc_id, n_shared) row
+      def summary(r: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+        val row = r.agg(
+          sum(when(col("contaminated"), 1L).otherwise(0L)),
+          count(lit(1)),
+          // XOR fold: order-insensitive, overflow-free under ANSI
+          bit_xor(xxhash64(col("doc_id"), col("n_shared")))).head
+        (row.getLong(0), row.getLong(1), row.getLong(2))
       }
-      val bloomN = timed("decontaminate (bloom-pruned)") {
-        val r = Dedup.contaminationReportBloom(big, eval_, "doc_id", "text",
-          expectedGrams = 2_000_000L, fpp = 0.01)
-        val c = r.where(col("contaminated")).count()
-        println(s"[stress]   contaminated = $c"); c
+      val exactS = timed("decontaminate (broadcast-exact)") {
+        val s = summary(Dedup.contaminationReport(big, eval_, "doc_id", "text"))
+        println(s"[stress]   contaminated = ${s._1} (rows ${s._2}, checksum ${s._3})"); s
       }
-      require(exactN == bloomN,
-        s"bloom decontamination diverged: exact=$exactN bloom=$bloomN")
+      val bloomS = timed("decontaminate (bloom-pruned)") {
+        val s = summary(Dedup.contaminationReportBloom(big, eval_, "doc_id", "text",
+          expectedGrams = 2_000_000L, fpp = 0.01))
+        graft.util.Caches.releaseAll() // the pinned eval-gram frame
+        println(s"[stress]   contaminated = ${s._1} (rows ${s._2}, checksum ${s._3})"); s
+      }
+      require(exactS == bloomS,
+        s"bloom decontamination diverged: exact=$exactS bloom=$bloomS")
     }
     spark.stop()
   }

@@ -927,7 +927,12 @@ object Dedup {
       .withColumn("__words", split(col(textCol), " "))
       .select(cols :+ explode(shingles(col(textCol), col("__words"))).as("__g"): _*)
       .distinct()
-    val evalGrams = grams(evalDocs, Nil)
+    // pinned: the sketch build below is an EAGER action over the eval grams
+    // and the verify join re-reads them — without the persist the
+    // (potentially hundreds-of-GB) eval explode+distinct would run twice.
+    // Registered with Caches; runners release after materialization.
+    val evalGrams = graft.util.Caches.register(grams(evalDocs, Nil)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bf = evalGrams.stat.bloomFilter("__g", expectedGrams, fpp)
     // same lifecycle as a broadcast-join relation: the UDF closure is the
     // only reference, ContextCleaner reclaims the blocks with the plan

@@ -306,7 +306,10 @@ case class AdcDistance(left: Expression, right: Expression)
   * output coordinate, identical in eval and codegen modes, so the DuckDB
   * oracle's ordered `list_sum` reproduces it bit-for-bit. The matrix rides
   * along as a Seq (structural equality, so expression canonicalization
-  * works) and is flattened to primitive arrays once per operator. */
+  * works) and is flattened to primitive arrays once per operator.
+  * Strict on malformed input: a vector shorter than a projection row, or a
+  * null element, throws — a truncated/zero-padded projection would
+  * otherwise surface only as an opaque downstream hash mismatch. */
 case class SignedProjection(child: Expression, signs: Seq[Seq[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -329,10 +332,22 @@ case class SignedProjection(child: Expression, signs: Seq[Seq[Double]])
     var r = 0
     while (r < signsArr.length) {
       val row = signsArr(r)
-      val m = math.min(n, row.length)
+      // strictness (deterministic-oracle discipline): a vector shorter than
+      // the projection dim, or a null slot, throws instead of silently
+      // projecting a truncated/zero-padded vector — which would surface
+      // only as an opaque downstream hash mismatch
+      if (n < row.length)
+        throw new IllegalArgumentException(
+          s"signed_projection: vector has $n elements, projection row $r needs ${row.length}")
       var acc = 0.0
       var j = 0
-      while (j < m) { acc += x.getDouble(j) * row(j); j += 1 }
+      while (j < row.length) {
+        if (x.isNullAt(j))
+          throw new IllegalArgumentException(
+            s"signed_projection: null vector element at index $j")
+        acc += x.getDouble(j) * row(j)
+        j += 1
+      }
       out(r) = acc
       r += 1
     }
@@ -345,7 +360,6 @@ case class SignedProjection(child: Expression, signs: Seq[Seq[Double]])
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
       val row = ctx.freshName("row")
-      val m = ctx.freshName("m")
       val acc = ctx.freshName("acc")
       val r = ctx.freshName("r")
       val j = ctx.freshName("j")
@@ -354,9 +368,17 @@ case class SignedProjection(child: Expression, signs: Seq[Seq[Double]])
          |final double[] $out = new double[$s.length];
          |for (int $r = 0; $r < $s.length; $r++) {
          |  final double[] $row = $s[$r];
-         |  final int $m = java.lang.Math.min($n, $row.length);
+         |  if ($n < $row.length) {
+         |    throw new IllegalArgumentException(
+         |      "signed_projection: vector has " + $n +
+         |        " elements, projection row " + $r + " needs " + $row.length);
+         |  }
          |  double $acc = 0.0;
-         |  for (int $j = 0; $j < $m; $j++) {
+         |  for (int $j = 0; $j < $row.length; $j++) {
+         |    if ($a.isNullAt($j)) {
+         |      throw new IllegalArgumentException(
+         |        "signed_projection: null vector element at index " + $j);
+         |    }
          |    $acc += $a.getDouble($j) * $row[$j];
          |  }
          |  $out[$r] = $acc;

@@ -316,6 +316,18 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("srpProject fails loudly on a short vector (never a silent truncated projection)") {
+    val signs = Seq.fill(4)(Seq.fill(8)(1.0))
+    val df = Seq((1L, Array.fill(5)(1.0f))).toDF("id", "v") // 5 < dim 8
+    val e = intercept[Exception] {
+      df.select(graft.functions.VectorFunctions.signedProjection(col("v"), signs))
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    msgs should include("signed_projection")
+  }
+
   test("srpProject runs inside whole-stage codegen") {
     // a Range source (not a LocalRelation, which the optimizer folds; not
     // an Exchange, which wraps the plan in an undecided AdaptiveSparkPlan)
