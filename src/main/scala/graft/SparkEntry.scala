@@ -7515,6 +7515,92 @@ object SparkEntry {
         CAST(5000 AS BIGINT) AS budget_tokens
       FROM c GROUP BY 1 ORDER BY 1""")),
 
+    // q89's funnel on Spark 4 `transformWithState` — the MULTI-step-state
+    // port of the modern arbitrary-state API (q199 proved the single-slot
+    // running stats; this carries the earliest-valid recursion's per-step
+    // slots in named RocksDB-backed state), replayed REAL-streaming
+    // end-to-end and gated on q89's oracle VERBATIM: both funnel APIs and
+    // the batch window form must carry identical semantics under the
+    // driver's hash compare.
+    ("q204_tws_funnel", (s, dir) => {
+      import s.implicits._
+      import graft.analytics.Funnel
+      val ev = T(s, dir, "events").select(
+        col("user_id").as("key"),
+        expr("ts div 1000").as("t"),
+        array(col("event_type") === "view",
+              col("event_type") === "click",
+              col("event_type") === "purchase").as("steps"))
+      // VERIFICATION-HARNESS BOUNDARY (q19/q199 convention): memory sink +
+      // collect hand the streaming result to the batch oracle; production
+      // writes through the distributed sinks.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_twsf_")
+      val qname = "graft_tws_funnel"
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val (schema, rows) =
+        try {
+          ev.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val stream = s.readStream.schema(ev.schema).parquet(tmp.toString)
+            .as[Funnel.FunnelEvent]
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.conf.set(provKey,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val q = Funnel.funnelStreamTws(stream, 3)
+            .writeStream.outputMode("update").format("memory").queryName(qname)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val out = s.table(qname)
+          // funnelStep is the monotone selector (filled slots form a
+          // prefix, so a key's deepest emitted row carries its final
+          // times) — robust under any micro-batch split of the source
+          val w = Window.partitionBy(col("key")).orderBy(col("funnelStep").desc)
+          val res = out
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1)
+            .select(col("key").as("user_id"),
+              element_at(col("times"), 1).as("t_view"),
+              element_at(col("times"), 2).as("t_click"),
+              element_at(col("times"), 3).as("t_purchase"),
+              col("funnelStep").as("funnel_step"))
+          (res.schema, res.collect())
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          prevProv.fold(s.conf.unset(provKey))(s.conf.set(provKey, _))
+          s.catalog.dropTempView(qname)
+          graft.util.Fs.deleteRecursively(tmp)
+        }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+                 FROM events),
+      s1 AS (
+        SELECT *,
+          min(CASE WHEN event_type = 'view' THEN tus END) OVER
+            (PARTITION BY user_id ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mv,
+          min(CASE WHEN event_type = 'view' THEN tus END) OVER
+            (PARTITION BY user_id) AS t_view
+        FROM e),
+      s2 AS (
+        SELECT *,
+          min(CASE WHEN event_type = 'click' AND tus > mv THEN tus END) OVER
+            (PARTITION BY user_id) AS t_click
+        FROM s1),
+      s3 AS (
+        SELECT *,
+          min(CASE WHEN event_type = 'purchase' AND tus > t_click THEN tus END) OVER
+            (PARTITION BY user_id) AS t_purchase
+        FROM s2)
+      SELECT DISTINCT user_id, t_view, t_click, t_purchase,
+        CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                  WHEN t_click IS NOT NULL THEN 2
+                  WHEN t_view IS NOT NULL THEN 1
+                  ELSE 0 END AS BIGINT) AS funnel_step
+      FROM s3 ORDER BY user_id""")),
+
     // Streaming sessionization, oracle-gated end-to-end (the q19/q170
     // harness pattern): the events table replays through Spark's native
     // `session_window` (REAL Structured Streaming — file source, watermark,

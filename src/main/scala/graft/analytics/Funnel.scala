@@ -3,7 +3,8 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Ordered funnel analysis: for each key, the earliest time each step of an
   * ordered step sequence was reached, where step i counts only STRICTLY
@@ -81,6 +82,30 @@ object Funnel {
     * earlier-step event that would have validated it is dropped, because
     * replaying it would need unbounded per-key history. Update mode; emits
     * the running state for every key touched by the batch. */
+  /** The shared per-batch fold of both streaming APIs: events in event-time
+    * order (tie order within a sort key is irrelevant: strict > only
+    * compares values, and a same-time later step can never fire), each
+    * filling at most one step — an event uses the ALREADY-UPDATED earlier
+    * slots, same as the batch recursion. Filled slots always form a prefix
+    * (slot i requires slot i−1), so `funnelStep` = count of set slots and
+    * is MONOTONE across batches — the multi-batch row selector. */
+  private def foldBatch(
+      key: Long, times: Array[Option[Long]],
+      batch: Iterator[FunnelEvent], numSteps: Int): FunnelState = {
+    batch.toSeq.sortBy(_.t).foreach { e =>
+      require(e.steps.length == numSteps,
+        s"event has ${e.steps.length} step flags, expected $numSteps")
+      var i = 0
+      while (i < numSteps) {
+        if (times(i).isEmpty && e.steps(i) &&
+            (i == 0 || times(i - 1).exists(_ < e.t)))
+          times(i) = Some(e.t)
+        i += 1
+      }
+    }
+    FunnelState(key, times.toSeq, times.takeWhile(_.isDefined).length.toLong)
+  }
+
   def funnelStream(
       events: Dataset[FunnelEvent], numSteps: Int): Dataset[FunnelState] = {
     require(numSteps > 0, s"numSteps must be positive, got $numSteps")
@@ -90,25 +115,58 @@ object Funnel {
         (key: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
           val times = state.getOption.map(_.times.toArray)
             .getOrElse(Array.fill[Option[Long]](numSteps)(None))
-          // tie order within a sort key is irrelevant: strict > only
-          // compares values, and a same-time later step can never fire
-          batch.toSeq.sortBy(_.t).foreach { e =>
-            require(e.steps.length == numSteps,
-              s"event has ${e.steps.length} step flags, expected $numSteps")
-            var i = 0
-            while (i < numSteps) {
-              // uses the ALREADY-UPDATED earlier slots, so one event can
-              // fill at most one step — same as the batch recursion
-              if (times(i).isEmpty && e.steps(i) &&
-                  (i == 0 || times(i - 1).exists(_ < e.t)))
-                times(i) = Some(e.t)
-              i += 1
-            }
-          }
-          val out = FunnelState(
-            key, times.toSeq, times.takeWhile(_.isDefined).length.toLong)
+          val out = foldBatch(key, times, batch, numSteps)
           state.update(out)
           out
       }(Encoders.product[FunnelState], Encoders.product[FunnelState])
+  }
+
+  /** [[funnelStream]] on the Spark 4 `transformWithState` API — identical
+    * semantics (the same [[foldBatch]]), with what the modern API adds
+    * operationally: typed NAMED state with optional store-managed TTL (the
+    * expiry bound for unbounded key spaces — an abandoned funnel's state
+    * is dropped by the store, no timer bookkeeping), and the RocksDB-backed
+    * provider the API requires, so per-key state spills to executor disk
+    * instead of heap — the 100 TB configuration. Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider` on the session running the query.
+    * Same batch-twin contract as [[funnelStream]]: with `t` monotone per
+    * key across micro-batches, the final state equals [[funnelSteps]] over
+    * the union of all batches. */
+  def funnelStreamTws(
+      events: Dataset[FunnelEvent], numSteps: Int,
+      ttl: Option[java.time.Duration] = None): Dataset[FunnelState] = {
+    require(numSteps > 0, s"numSteps must be positive, got $numSteps")
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    implicit val stateEnc: org.apache.spark.sql.Encoder[FunnelState] =
+      Encoders.product[FunnelState]
+    events
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .transformWithState(
+        new FunnelProcessor(numSteps, ttl), timeMode, OutputMode.Update())
+  }
+
+  /** The [[funnelStreamTws]] processor: one named `ValueState[FunnelState]`
+    * slot per key, folded with the exact [[foldBatch]] the legacy API uses. */
+  private[analytics] class FunnelProcessor(
+      numSteps: Int, ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, FunnelEvent, FunnelState] {
+    @transient private var state: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState]("funnelState",
+        Encoders.product[FunnelState], ttl.fold(TTLConfig.NONE)(TTLConfig.apply))
+
+    override def handleInputRows(
+        key: Long, events: Iterator[FunnelEvent],
+        timers: TimerValues): Iterator[FunnelState] = {
+      val times =
+        if (state.exists()) state.get().times.toArray
+        else Array.fill[Option[Long]](numSteps)(None)
+      val out = foldBatch(key, times, events, numSteps)
+      state.update(out)
+      Iterator.single(out)
+    }
   }
 }

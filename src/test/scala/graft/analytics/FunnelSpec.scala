@@ -104,6 +104,41 @@ class FunnelSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState funnel equals the legacy API across micro-batches (RocksDB)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import Funnel.{FunnelEvent, FunnelState}
+    implicit val sqlCtx = spark.sqlContext
+    def ev(k: Long, t: Long, e: String) =
+      FunnelEvent(k, t, Seq(e == "a", e == "b", e == "c"))
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[FunnelEvent]
+    val q = Funnel.funnelStreamTws(mem.toDS(), 3)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_tws_spec").start()
+    try {
+      // the exact scenario of the legacy twin-law test — both APIs must
+      // carry identical semantics batch by batch
+      mem.addData(ev(1L, 5L, "b"), ev(1L, 10L, "a"))
+      q.processAllAvailable()
+      mem.addData(ev(1L, 20L, "a"), ev(1L, 30L, "c"), ev(1L, 40L, "b"))
+      q.processAllAvailable()
+      mem.addData(ev(1L, 50L, "c"), ev(2L, 60L, "a"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_tws_spec").as[FunnelState].collect()
+      rows.filter(_.key == 1L).maxBy(_.funnelStep) shouldBe
+        FunnelState(1L, Seq(Some(10L), Some(40L), Some(50L)), 3L)
+      rows.filter(_.key == 2L).maxBy(_.funnelStep) shouldBe
+        FunnelState(2L, Seq(Some(60L), None, None), 1L)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("funnel_tws_spec")
+      prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    }
+  }
+
   test("duplicate step names and reserved columns are rejected") {
     val df = Seq((1L, 10L, "a")).toDF("k", "t", "e")
     an[IllegalArgumentException] should be thrownBy

@@ -100,6 +100,50 @@ class RecoverySpec extends SparkTestBase {
     }
   }
 
+  test("TWS funnel carries multi-step state across a checkpointed restart (RocksDB)") {
+    import graft.analytics.Funnel
+    import Funnel.{FunnelEvent, FunnelState}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = Files.createTempDirectory("graft_fsrc_")
+    val ckpt = Files.createTempDirectory("graft_fckpt_")
+    val out = Files.createTempDirectory("graft_fout_")
+    val schema = Seq.empty[FunnelEvent].toDF().schema
+    def runOnce(): Unit = {
+      // foreachBatch append sink (memory sinks cannot recover a checkpoint)
+      val stream = spark.readStream.schema(schema).parquet(src.toString)
+        .as[FunnelEvent]
+      val q = Funnel.funnelStreamTws(stream, 3).toDF()
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.io.Sinks.parquetAppend(df, out.toString))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      // run 1: steps 1 and 2 fill
+      Seq(FunnelEvent(1L, 10L, Seq(true, false, false)),
+          FunnelEvent(1L, 20L, Seq(false, true, false))).toDS()
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      runOnce()
+      // "restart": a NEW query on the same checkpoint; only the step-3
+      // event is new — its validity depends on the RECOVERED step-2 slot
+      Seq(FunnelEvent(1L, 30L, Seq(false, false, true))).toDS()
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      runOnce()
+      val last = spark.read.parquet(out.toString).as[FunnelState]
+        .collect().maxBy(_.funnelStep)
+      last shouldBe FunnelState(1L, Seq(Some(10L), Some(20L), Some(30L)), 3L)
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      rmrf(src); rmrf(ckpt); rmrf(out)
+    }
+  }
+
   test("warm start from a state snapshot resumes counters without a checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val snapshot = Seq(
