@@ -69,6 +69,18 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
       finally graft.util.Caches.releaseAll()
     }
+    // second untimed pass at the TARGET SF: the small-SF pass compiles the
+    // plans (Janino) but its few hundred rows leave the interpreted-
+    // expression paths below the JVM's C2 thresholds — one pass at real
+    // volume JIT-compiles the hot loops, so the timed passes measure PLANS,
+    // not compiler tiering (the r8 bimodality: a query's first timed passes
+    // ran 3-5× its final steady-state pass on an unchanged plan).
+    catalog.foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name target warmup failed: $e") }
+      finally graft.util.Caches.releaseAll()
+    }
+    System.gc()
     // median of three timed runs, taken as three INTERLEAVED passes over
     // the catalog rather than back-to-back per query: VM/cgroup CPU
     // throttling arrives in multi-minute windows that would hit all three
@@ -78,17 +90,23 @@ object Bench {
     // regression alarms like r3's q23 and r4's q104)
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to 3; (name, fn) <- catalog) {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: $e")
+    for (pass <- 1 to 3) {
+      for ((name, fn) <- catalog) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: $e")
+        }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        // release layout-pinning persists outside the timed span (unpersist
+        // is non-blocking and cheap; the persist+count is inside, as before)
+        graft.util.Caches.releaseAll()
       }
-      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
-      // release layout-pinning persists outside the timed span (unpersist
-      // is non-blocking and cheap; the persist+count is inside, as before)
-      graft.util.Caches.releaseAll()
+      // reset heap pressure between passes so accumulated session garbage
+      // (broadcasts, codegen classes, state-store files) lands in an
+      // untimed GC instead of skewing a random query's sample
+      System.gc()
     }
     val results = catalog.map { case (name, _) => name -> samples(name).sorted }
     val qs = results.map { case (k, t) => "\"" + k + "\":" + t(1) }

@@ -358,6 +358,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("native ADC expression runs inside whole-stage codegen") {
+    // codes derive from a parquet column (a purely-literal frame constant-
+    // folds the whole projection away before any plan shape exists)
+    // array() construction (not transform — interpreted HOFs would break
+    // WSCG themselves and mask what this test pins)
+    val df = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(
+        expr("array(CAST(pmod(vec_id, 2) AS INT), CAST(pmod(vec_id + 1, 2) AS INT))").as("codes"),
+        expr("array(array(1.0D, 2.0D), array(3.0D, 4.0D))").as("lut"))
+      .select(graft.functions.VectorFunctions.adcDistance(col("codes"), col("lut")).as("d"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    formatted should include("adc_distance")
+    formatted should include("* Project")
+  }
+
   test("native cosine expression runs inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = emb.select(graft.ext.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
