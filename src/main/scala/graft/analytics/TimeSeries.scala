@@ -2,7 +2,8 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{GroupState, MapState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Time-series smoothing (EWMA) — the running-metric shape a stream analyzer
   * (the reference's domain) applies to per-key measurements.
@@ -80,6 +81,16 @@ object TimeSeries {
     * batch-twin equality — the usual source-ordering contract; within a
     * batch the group is sorted here). Update mode; emits the running state
     * for every key touched by the batch. */
+  /** The shared per-batch EWMA fold of both streaming APIs: points in
+    * (t, v) order, seeded with the first value when no state exists. */
+  private def foldPoints(
+      key: Long, start: EwmaState, batch: Iterator[Point],
+      alpha: Double): EwmaState =
+    batch.toSeq.sortBy(p => (p.t, p.v)).foldLeft(start) { (s, p) =>
+      val e = if (s.nPoints == 0L) p.v else alpha * p.v + (1 - alpha) * s.ewma
+      EwmaState(key, s.nPoints + 1, e)
+    }
+
   def ewmaStream(points: Dataset[Point], alpha: Double): Dataset[EwmaState] = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     import org.apache.spark.sql.streaming.GroupStateTimeout
@@ -87,16 +98,49 @@ object TimeSeries {
       .groupByKey(_.key)(Encoders.scalaLong)
       .mapGroupsWithState[EwmaState, EwmaState](GroupStateTimeout.NoTimeout) {
         (key: Long, batch: Iterator[Point], state: GroupState[EwmaState]) =>
-          val pts = batch.toSeq.sortBy(p => (p.t, p.v))
-          val init = state.getOption
-          val start = init.getOrElse(EwmaState(key, 0L, 0.0))
-          val folded = pts.foldLeft(start) { (s, p) =>
-            val e = if (s.nPoints == 0L) p.v else alpha * p.v + (1 - alpha) * s.ewma
-            EwmaState(key, s.nPoints + 1, e)
-          }
+          val folded = foldPoints(
+            key, state.getOption.getOrElse(EwmaState(key, 0L, 0.0)), batch, alpha)
           state.update(folded)
           folded
       }(Encoders.product[EwmaState], Encoders.product[EwmaState])
+  }
+
+  /** [[ewmaStream]] on the Spark 4 `transformWithState` API — identical
+    * semantics (the same [[foldPoints]]), named RocksDB-backed value state
+    * with optional store-managed TTL (state for keys whose series went
+    * quiet is dropped by the store — the expiry bound for unbounded key
+    * spaces). Requires the RocksDB state store provider on the session. */
+  def ewmaStreamTws(
+      points: Dataset[Point], alpha: Double,
+      ttl: Option[java.time.Duration] = None): Dataset[EwmaState] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    implicit val outEnc: org.apache.spark.sql.Encoder[EwmaState] =
+      Encoders.product[EwmaState]
+    points
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .transformWithState(
+        new EwmaProcessor(alpha, ttl), timeMode, OutputMode.Update())
+  }
+
+  private[analytics] class EwmaProcessor(
+      alpha: Double, ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, Point, EwmaState] {
+    @transient private var state: ValueState[EwmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[EwmaState]("ewmaState",
+        Encoders.product[EwmaState], ttl.fold(TTLConfig.NONE)(TTLConfig.apply))
+
+    override def handleInputRows(
+        key: Long, batch: Iterator[Point],
+        timers: TimerValues): Iterator[EwmaState] = {
+      val start = if (state.exists()) state.get() else EwmaState(key, 0L, 0.0)
+      val folded = foldPoints(key, start, batch, alpha)
+      state.update(folded)
+      Iterator.single(folded)
+    }
   }
 
   // ------------------------------------------------------- spike detection
@@ -137,31 +181,91 @@ object TimeSeries {
     * no matter how long the stream runs (days older than the trailing
     * baseline are evicted as each new day arrives). The 100 TB form: each
     * micro-batch touches only its own keys' bounded maps. */
+  /** The shared per-batch fold of both streaming spike APIs: batch points
+    * in day order against the carried (day → count) baseline map; returns
+    * the verdict rows and the final evicted map. */
+  private def foldSpikes(
+      key: String, days0: Map[Long, Long], batch: Iterator[DayPoint],
+      window: Int, factor: Long, minDays: Long): (Seq[SpikeRow], Map[Long, Long]) = {
+    var days = days0
+    val out = batch.toSeq.sortBy(_.day).map { p =>
+      val trail = days.filter { case (d, _) =>
+        d >= p.day - window && d <= p.day - 1 }
+      val ts = trail.values.sum
+      val td = trail.size.toLong
+      // evict everything no future day's baseline can reach
+      days = (days + (p.day -> p.cnt))
+        .filter { case (d, _) => d >= p.day - window + 1 }
+      SpikeRow(key, p.day, p.cnt, ts, td,
+        td >= minDays && p.cnt * td > factor * ts)
+    }
+    (out, days)
+  }
+
   def spikeStream(
       points: Dataset[DayPoint],
       window: Int = 7, factor: Long = 2, minDays: Long = 3): Dataset[SpikeRow] = {
     require(window > 0, s"window must be positive, got $window")
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
     points
       .groupByKey(_.key)(Encoders.STRING)
       .flatMapGroupsWithState[Map[Long, Long], SpikeRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: String, batch: Iterator[DayPoint], state: GroupState[Map[Long, Long]]) =>
-          var days = state.getOption.getOrElse(Map.empty[Long, Long])
-          val out = batch.toSeq.sortBy(_.day).map { p =>
-            val trail = days.filter { case (d, _) =>
-              d >= p.day - window && d <= p.day - 1 }
-            val ts = trail.values.sum
-            val td = trail.size.toLong
-            // evict everything no future day's baseline can reach
-            days = (days + (p.day -> p.cnt))
-              .filter { case (d, _) => d >= p.day - window + 1 }
-            SpikeRow(key, p.day, p.cnt, ts, td,
-              td >= minDays && p.cnt * td > factor * ts)
-          }
+          val (out, days) = foldSpikes(
+            key, state.getOption.getOrElse(Map.empty[Long, Long]), batch,
+            window, factor, minDays)
           state.update(days)
           out.iterator
       }(ExpressionEncoder[Map[Long, Long]](), Encoders.product[SpikeRow])
+  }
+
+  /** [[spikeStream]] on the Spark 4 `transformWithState` API — identical
+    * semantics (the same [[foldSpikes]]), with the baseline carried in a
+    * NAMED `MapState[day, count]` instead of a single map blob: each
+    * micro-batch reads/writes only the ≤ `window` entries it touches
+    * (per-entry RocksDB point lookups — the legacy form deserializes and
+    * rewrites the whole map every batch), and optional store-managed TTL
+    * drops series that went quiet. Requires the RocksDB provider. */
+  def spikeStreamTws(
+      points: Dataset[DayPoint],
+      window: Int = 7, factor: Long = 2, minDays: Long = 3,
+      ttl: Option[java.time.Duration] = None): Dataset[SpikeRow] = {
+    require(window > 0, s"window must be positive, got $window")
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    implicit val outEnc: org.apache.spark.sql.Encoder[SpikeRow] =
+      Encoders.product[SpikeRow]
+    points
+      .groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(
+        new SpikeProcessor(window, factor, minDays, ttl), timeMode,
+        OutputMode.Update())
+  }
+
+  private[analytics] class SpikeProcessor(
+      window: Int, factor: Long, minDays: Long, ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, DayPoint, SpikeRow] {
+    @transient private var days: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      days = getHandle.getMapState[Long, Long]("trailDays",
+        Encoders.scalaLong, Encoders.scalaLong,
+        ttl.fold(TTLConfig.NONE)(TTLConfig.apply))
+
+    override def handleInputRows(
+        key: String, batch: Iterator[DayPoint],
+        timers: TimerValues): Iterator[SpikeRow] = {
+      val before = days.iterator().map(kv => kv._1 -> kv._2).toMap
+      val (out, after) = foldSpikes(key, before, batch, window, factor, minDays)
+      // per-entry delta writeback: evicted days are removed, new/changed
+      // days upserted — the whole point of MapState over a value blob
+      before.keysIterator.filterNot(after.contains).foreach(days.removeKey)
+      after.foreach { case (d, c) =>
+        if (!before.get(d).contains(c)) days.updateValue(d, c)
+      }
+      out.iterator
+    }
   }
 }

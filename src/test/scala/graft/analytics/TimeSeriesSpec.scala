@@ -122,4 +122,71 @@ class TimeSeriesSpec extends SparkTestBase {
       spark.catalog.dropTempView("spike_stream_spec")
     }
   }
+
+  // ------------------------------------------- transformWithState parity
+
+  private def withRocksDb[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("transformWithState ewma equals the legacy API across micro-batches (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[Point]
+      val q = TimeSeries.ewmaStreamTws(mem.toDS(), 0.5)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("ewma_tws_spec").start()
+      try {
+        // the exact legacy twin-law scenario — both APIs must agree
+        mem.addData(Point(1L, 10L, 1.0), Point(1L, 20L, 2.0), Point(2L, 10L, 8.0))
+        q.processAllAvailable()
+        mem.addData(Point(1L, 30L, 3.0))
+        q.processAllAvailable()
+        val finalRows = spark.table("ewma_tws_spec").as[EwmaState]
+          .collect().groupBy(_.key).map { case (k, rs) => k -> rs.maxBy(_.nPoints) }
+        finalRows(1L) shouldBe EwmaState(1L, 3L, 2.25)
+        finalRows(2L) shouldBe EwmaState(2L, 1L, 8.0)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("ewma_tws_spec")
+      }
+    }
+  }
+
+  test("transformWithState spike (MapState baseline) equals batch spikeDetect (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.analytics.TimeSeries.DayPoint
+    withRocksDb {
+      val mem = MemoryStream[DayPoint]
+      val q = TimeSeries.spikeStreamTws(mem.toDS())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("spike_tws_spec").start()
+      try {
+        // three batches so the MapState delta writeback (evictions across
+        // the day-13 gap) is exercised across state-store commits
+        val (first, rest) = spikeDays.partition(_._2 <= 7)
+        val (second, third) = rest.partition(_._2 <= 11)
+        Seq(first, second, third).foreach { part =>
+          mem.addData(part.map(p => DayPoint(p._1, p._2, p._3)): _*)
+          q.processAllAvailable()
+        }
+        val streamed = spark.table("spike_tws_spec")
+          .select("key", "day", "cnt", "trailSum", "trailDays", "isSpike")
+          .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq.sorted
+        val batch = TimeSeries.spikeDetect(
+            spikeDays.toDF("key", "day", "cnt"), Seq("key"), "day", "cnt")
+          .select("key", "day", "cnt", "trail_sum", "trail_days", "is_spike")
+          .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq.sorted
+        streamed shouldBe batch
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("spike_tws_spec")
+      }
+    }
+  }
 }
