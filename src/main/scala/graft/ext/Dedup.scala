@@ -435,15 +435,16 @@ object Dedup {
     * postings, which df-ordering biases toward RARE shingles — the
     * stop-shingle quadratic never enters the candidate stage at all
     * (where [[ngramJaccardPairs]] needs the lossy `maxDf` cap, this
-    * prunes losslessly). Costs one extra per-doc window (df-sort) on the
-    * posting table. */
+    * prunes losslessly). Costs one df-count aggregation plus a per-doc
+    * sort bounded by doc length (inside the collect_list aggregation —
+    * never a corpus-scale window sort). */
   def prefixFilteredJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], minJaccard: Double): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
     // shingle strings are reduced to 64-bit hashes BEFORE any shuffle: every
-    // downstream stage (distinct, df-count, per-doc window sort, candidate
+    // downstream stage (distinct, df-count, per-doc sort, candidate
     // self-join, verification join) then keys on fixed-width longs instead
     // of ~25-byte strings — the prefix theorem only needs SOME consistent
     // total order over tokens, and (__df, hash) is one. Set-size counts are
@@ -457,38 +458,44 @@ object Dedup {
         (col(idCol).as("__id") +: blockCols.map(col)) :+
           explode(shingles(col(textCol), col("__words"))).as("__s0"): _*)
     val nonNull = (blockCols.map(col(_).isNotNull) :+ col("__s0").isNotNull).reduce(_ && _)
-    // materialized once: feeds the df table, the prefix index, and the
-    // verification join (Spark shares no uncached subplans across joins).
-    // localCheckpoint over persist is a MEASURED choice for this
-    // posting-scale frame: persist's columnar InMemoryRelation costs a
-    // compress-on-write + decompress-per-consumer pass that localCheckpoint's
-    // raw row blocks skip (~40% of the whole query at sf0.1, 3 consumers).
-    // The trade is lineage truncation — an executor loss fails the query
-    // instead of recomputing; at 100 TB swap for a reliable `checkpoint`
-    // (the same caveat as connectedComponents' iteration frames).
+    // NOT materialized: its two consumers (the df table, the per-doc
+    // aggregation below) share the distinct's exchange via ReuseExchange —
+    // only the cheap post-exchange aggregations run twice.
     val posts = exploded.where(nonNull)
       .select((col("__id") +: blockCols.map(col)) :+ xxhash64(col("__s0")).as("__s"): _*)
       .distinct()
-      .localCheckpoint(true)
     val dfreq = posts
       .groupBy((blockCols.map(col) :+ col("__s")): _*)
       .agg(count(lit(1)).as("__df"))
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
-    val globalOrder = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
-    // dfreq joins FIRST (inner on the df table built from these very posts
-    // preserves row counts), so both per-doc windows ride ONE exchange by
-    // __id instead of window–join–window paying the doc exchange twice
-    val prefix = posts
+    // ONE per-doc frame serves BOTH the prefix index and the verification
+    // join: each doc's postings collapse to a single row holding its
+    // (__df, __s)-sorted shingle array. `sort_array` over the struct gives
+    // exactly the (df asc, hash asc) global order the prefix theorem needs —
+    // per-doc work bounded by doc length, no corpus-scale window sort, and
+    // the separate docSets shuffle of the windowed form disappears (its
+    // set IS this array, projected). Materialized once (localCheckpoint —
+    // the measured choice over persist for this shape: raw row blocks skip
+    // InMemoryRelation's compress/decompress pass; the trade is lineage
+    // truncation — at 100 TB swap for a reliable `checkpoint`, the
+    // connectedComponents caveat). The checkpoint also preserves the
+    // (__id, block) hash partitioning, so the verification joins below
+    // probe it with NO exchange on the doc side.
+    val docs = posts
       .join(dfreq, blockCols :+ "__s")
-      .withColumn("__n", count(lit(1)).over(byDoc))
-      .withColumn("__pos", row_number().over(globalOrder))
-      // the 1e-9 nudge guards the FP product rounding UP past the true
-      // rational ceiling (e.g. 0.07·100 = 7.000000000000001 ⇒ ceil 8, one
-      // prefix element short — a dropped qualifying pair). Erring low keeps
-      // the prefix one element longer: more candidates, still lossless.
-      .where(col("__pos") <=
-        col("__n") - ceil(lit(minJaccard) * col("__n") - lit(1e-9)) + 1)
+      .groupBy((col("__id") +: blockCols.map(col)): _*)
+      .agg(sort_array(collect_list(struct(col("__df"), col("__s")))).as("__ord"),
+        count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    // the 1e-9 nudge guards the FP product rounding UP past the true
+    // rational ceiling (e.g. 0.07·100 = 7.000000000000001 ⇒ ceil 8, one
+    // prefix element short — a dropped qualifying pair). Erring low keeps
+    // the prefix one element longer: more candidates, still lossless.
+    val prefLen = (col("__n") - ceil(lit(minJaccard) * col("__n") - lit(1e-9)) + 1)
+      .cast("int")
+    val prefix = docs.select(
+      (blockCols.map(col) :+ col("__id") :+ col("__n") :+
+        explode(transform(slice(col("__ord"), lit(1), prefLen), x => x("__s")))
+          .as("__s")): _*)
     val pa = prefix.select((blockCols.map(col) :+ col("__s") :+
       col("__id").as("id_a") :+ col("__n").as("na")): _*)
     val pb = prefix.select((blockCols.map(col) :+ col("__s") :+
@@ -503,20 +510,25 @@ object Dedup {
       .where(col("id_a") < col("id_b") &&
         col("na") >= col("nb") * lit(minJaccard) - lit(1e-9) &&
         col("nb") >= col("na") * lit(minJaccard) - lit(1e-9))
-      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+
+        col("na") :+ col("nb")): _*)
       .distinct()
-    // exact verification via per-doc shingle-hash SETS: each candidate pair
-    // fetches its two fixed-width long arrays (two equi-joins on doc id)
-    // and intersects them in a single codegen'd expression — versus the
-    // posting re-explode form, whose |cands|·avg(na) intermediate rows paid
-    // a corpus-scale shuffle before the pair aggregation (measured 11M rows
-    // at sf0.1 for a 213k-candidate set). Both docs of a pair share one
-    // block, so intersection is already within-block.
-    val docSets = posts.groupBy(col("__id"))
-      .agg(collect_list(col("__s")).as("__set"))
+    // exact verification via the per-doc shingle-hash SETS already sitting
+    // in `docs`: each candidate pair fetches its two fixed-width long
+    // arrays (two equi-joins on (block, doc id) — block included so the
+    // docs side reuses its checkpointed partitioning) and intersects them
+    // in a single codegen'd expression — versus the posting re-explode
+    // form, whose |cands|·avg(na) intermediate rows paid a corpus-scale
+    // shuffle before the pair aggregation (measured 11M rows at sf0.1 for
+    // a 213k-candidate set).
+    val docSets = docs.select(
+      (blockCols.map(col) :+ col("__id") :+
+        transform(col("__ord"), x => x("__s")).as("__set")): _*)
     cands
-      .join(docSets.select(col("__id").as("id_a"), col("__set").as("__sa")), "id_a")
-      .join(docSets.select(col("__id").as("id_b"), col("__set").as("__sb")), "id_b")
+      .join(docSets.select((blockCols.map(col) :+ col("__id").as("id_a") :+
+        col("__set").as("__sa")): _*), blockCols :+ "id_a")
+      .join(docSets.select((blockCols.map(col) :+ col("__id").as("id_b") :+
+        col("__set").as("__sb")): _*), blockCols :+ "id_b")
       .select(
         col("id_a"), col("id_b"), col("na"), col("nb"),
         size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("inter"))
@@ -582,30 +594,31 @@ object Dedup {
       pairFn: DataFrame => DataFrame): DataFrame = {
     val keyCols = blockCols :+ textCol
     val keysNonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
-    // materialized once (three consumers: reps, dup-class filter, member
-    // resolution); registered with Caches for post-materialization release
+    // ONE corpus pass builds classes AND membership: collect_list keeps each
+    // class's member ids right in the class row (bounded by class size —
+    // the same bound the within-class pair output already implies), so
+    // member resolution below is a map-side explode over this cached frame
+    // instead of a SECOND corpus scan + broadcast probe. The eager count
+    // populates the cache BEFORE any multi-branch job: concurrent branches
+    // of an uncached persist race to compute the same partitions (each
+    // branch pays the corpus scan — the measured regression when this
+    // count was dropped). Registered with Caches for release.
     val classes = graft.util.Caches.register(df
       .where(keysNonNull)
       .groupBy(keyCols.map(col): _*)
-      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"),
+        collect_list(col(idCol)).as("__ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     classes.count()
     val reps = classes.select((col("__rep").as(idCol) +: keyCols.map(col)): _*)
     val repPairs = pairFn(reps)
     // dup-class membership (rep → every member id, rep included): only
-    // classes with copies — resolved map-side off the broadcast class list,
-    // the corpus never shuffles for re-expansion (q153's discipline)
-    val dupClasses = broadcast(
-      classes.where(col("__n") >= 2).select((keyCols.map(col) :+ col("__rep")): _*))
-    // materialized + registered: four references below (both sides of
-    // `cross`, both sides of `within`) would otherwise each re-run the
-    // corpus scan + broadcast probe. persist, NOT localCheckpoint(true):
-    // lineage survives executor loss (the q153 resilience discipline) and
-    // the runners release it with the class frame
-    val members = graft.util.Caches.register(df.join(dupClasses, keyCols)
-      .select(col("__rep"), col(idCol).as("__member"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    members.count()
+    // classes with copies, exploded from the cached id lists — cheap enough
+    // per consumer that no separate materialization (and no eager count) is
+    // needed; member ORDER inside a list is nondeterministic, but every use
+    // below is set-shaped (least/greatest + the final caller sort)
+    val members = classes.where(col("__n") >= 2)
+      .select(col("__rep"), explode(col("__ids")).as("__member"))
     // cross-class pairs: substitute each rep by its members (left join +
     // coalesce keeps singleton reps as themselves); repPairs is the small
     // side, so these resolve as broadcast probes of the member table
