@@ -7720,7 +7720,39 @@ object SparkEntry {
       SELECT l_returnflag, COUNT(*) AS n_rows,
              COUNT(DISTINCT l_orderkey) AS exact_orders,
              true AS orders_ok, true AS p50_ok, true AS p99_ok
-      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+      FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // Frequent tokens via the Misra–Gries sketch (Profiling.heavyHitters):
+    // the bounded-memory answer when the key's cardinality is itself
+    // web-scale — each partition folds into ≤ k counters and only O(k) rows
+    // cross the exchange, vs the exact form shipping one hash entry per
+    // DISTINCT token. Which sub-threshold keys survive (and their exact
+    // estimates) depend on partitioning, so per the q39 sketch discipline
+    // the gate is the exact top-25 (deterministic: ties break by token)
+    // plus the sketch's two ALWAYS-TRUE invariants, evaluated as booleans:
+    //   est_ok:       0 ≤ f(token) − estimate ≤ N/(k+1)  (absent ⇒ est 0)
+    //   guarantee_ok: f(token) > N/(k+1) ⇒ token present in the sketch
+    // Both hold for EVERY partitioning and merge order (Misra–Gries 1982;
+    // mergeability per Agarwal et al., PODS 2012), so the output
+    // hash-matches DuckDB's trivially-true side. k=64 < the corpus
+    // vocabulary, so the sketch genuinely evicts — the invariants are
+    // exercised, not vacuous. The exact top-N side exists only to audit;
+    // production reads Profiling.heavyHitters alone (one pass, O(k) state).
+    ("q205_heavy_hitters", (s, dir) => {
+      val toks = T(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(explode(TextAnalysis.words(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      ext.Profiling.heavyHittersAudit(toks, "token", 64, 25)
+        .orderBy(col("cnt").desc, col("token"))
+    }, Some("""
+      SELECT token, cnt, true AS est_ok, true AS guarantee_ok FROM (
+        SELECT token, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE text IS NOT NULL)
+        WHERE token <> '' GROUP BY token
+        ORDER BY cnt DESC, token LIMIT 25)
+      ORDER BY cnt DESC, token"""))
   )
 
   // ------------------------------------------------------- driver contract

@@ -176,4 +176,69 @@ object Profiling {
         max(value).cast("double").as("bin_max"))
   }
 
+  /** Bounded-memory frequent-items estimate over `keyCol` via the
+    * [[graft.functions.MisraGries]] sketch: one row per surviving counter,
+    * `(keyCol, est)`, plus the mathematically certain columns
+    * `est ≤ f(key)` and `est ≥ f(key) − N/(k+1)` left to the caller.
+    *
+    * This is the production path when the key's cardinality is itself
+    * web-scale (token vocabularies, URLs, user agents): the exact
+    * `groupBy(key).count` shuffles one hash entry per DISTINCT key, while
+    * this folds each partition into ≤ k counters, combines them map-side,
+    * and ships O(k) rows TOTAL across the exchange. Estimates (and which
+    * sub-threshold keys appear) depend on partitioning; only the error
+    * bounds are deterministic — gate on them (see [[heavyHittersAudit]]),
+    * never on raw estimates. Null keys contribute nothing. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val mg = udaf(new graft.functions.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    df.select(col(keyCol).cast("string").as("__k"))
+      .where(col("__k").isNotNull)
+      .agg(mg(col("__k")).as("__sk"))
+      .select(explode(col("__sk")).as(Seq(keyCol, "est")))
+  }
+
+  /** Audit harness for [[heavyHitters]]: the exact top-`topN` keys joined
+    * against the sketch's estimates, with the two Misra–Gries guarantees
+    * evaluated as booleans —
+    *
+    *   `est_ok`       = 0 ≤ f(key) − estimate ≤ N/(k+1)   (estimate-absent ⇒ 0)
+    *   `guarantee_ok` = f(key) > N/(k+1) ⇒ key is present in the sketch
+    *
+    * Both are invariants of the sketch for EVERY partitioning and merge
+    * order, so the output is deterministic and oracle-gateable even though
+    * the underlying estimates are not (the q39 sketch discipline). The
+    * exact side — one `groupBy(key)` + bounded top-N — exists only to audit
+    * the sketch; production reads [[heavyHitters]] alone. */
+  def heavyHittersAudit(
+      df: DataFrame, keyCol: String, k: Int, topN: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(topN > 0, s"topN must be positive, got $topN")
+    val keys = df.select(col(keyCol).cast("string").as("__k"))
+      .where(col("__k").isNotNull)
+    val mg = udaf(new graft.functions.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    // ONE row: the sketch map and the exact stream length N the bound needs
+    val sk = keys.agg(mg(col("__k")).as("__sk"), count(lit(1)).as("__n"))
+    val top = keys.groupBy(col("__k")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("__k")).limit(topN)
+    val slack = col("__n").cast("double") / lit((k + 1).toDouble)
+    top.crossJoin(broadcast(sk)) // 1-row broadcast — no exchange on the top-N side
+      .select(
+        // try_element_at, not element_at: ANSI mode (Spark 4 default) makes
+        // a missing map key THROW, and sub-threshold keys may be absent
+        col("__k").as(keyCol), col("cnt"),
+        coalesce(try_element_at(col("__sk"), col("__k")), lit(0L)).as("__est"),
+        slack.as("__slack"),
+        try_element_at(col("__sk"), col("__k")).isNotNull.as("__present"))
+      .select(
+        col(keyCol), col("cnt"),
+        (col("__est") <= col("cnt") &&
+          col("__est").cast("double") >= col("cnt").cast("double") - col("__slack"))
+          .as("est_ok"),
+        (!(col("cnt").cast("double") > col("__slack")) || col("__present"))
+          .as("guarantee_ok"))
+  }
+
 }

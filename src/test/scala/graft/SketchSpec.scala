@@ -32,6 +32,112 @@ class SketchSpec extends SparkTestBase {
     math.abs(approx - exact) / exact should be < 0.02
   }
 
+  // ------------------------------------------------- Misra–Gries laws
+
+  /** Exact frequencies of a reference stream. */
+  private def freq(xs: Seq[String]): Map[String, Long] =
+    xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  /** Assert the two MG invariants of `sketch` against stream `xs`:
+    * 0 ≤ f(x) − est(x) ≤ N/(k+1) for every x, and every x with
+    * f(x) > N/(k+1) is present. */
+  private def assertMgInvariants(
+      xs: Seq[String], k: Int, sketch: Map[String, Long]): Unit = {
+    val f = freq(xs)
+    val slack = xs.size.toDouble / (k + 1)
+    sketch.keySet.foreach(x => assert(f.contains(x), s"phantom key $x"))
+    f.foreach { case (x, n) =>
+      val est = sketch.getOrElse(x, 0L)
+      withClue(s"key $x (f=$n est=$est slack=$slack): ") {
+        est should be <= n
+        est.toDouble should be >= n - slack
+        if (n > slack) sketch.keySet should contain(x)
+      }
+    }
+    sketch.size should be <= k
+  }
+
+  private def mgStream(): Seq[String] = {
+    // Zipf-ish: key_i appears ~ 2000/i times, plus a long tail of singletons
+    val heads = (1 to 40).flatMap(i => Seq.fill(2000 / i)(s"key_$i"))
+    val tail = (1 to 3000).map(i => s"tail_$i")
+    // deterministic shuffle: interleave by a fixed stride
+    val all = (heads ++ tail).zipWithIndex
+    all.sortBy { case (_, i) => (i * 7919) % all.size }.map(_._1)
+  }
+
+  test("MisraGries invariants hold for sequential reduce (k smaller than vocab)") {
+    val xs = mgStream()
+    for (k <- Seq(5, 16, 64)) {
+      val mg = new graft.functions.MisraGries(k)
+      val sketch = xs.foldLeft(mg.zero)(mg.reduce)
+      assertMgInvariants(xs, k, sketch)
+    }
+  }
+
+  test("MisraGries invariants survive arbitrary split + merge trees") {
+    val xs = mgStream()
+    val mg = new graft.functions.MisraGries(16)
+    // several partitionings, including skewed and many tiny parts
+    val splits = Seq(
+      xs.grouped(100).toSeq,
+      xs.grouped(1).toSeq.take(500) :+ xs.drop(500),
+      Seq(xs.take(13), xs.slice(13, 6000), xs.drop(6000)))
+    splits.foreach { parts =>
+      val partials = parts.map(_.foldLeft(mg.zero)(mg.reduce))
+      // left-fold merge AND a balanced binary merge must both satisfy the laws
+      val folded = partials.foldLeft(mg.zero)(mg.merge)
+      def tree(ps: Seq[Map[String, Long]]): Map[String, Long] = ps match {
+        case Seq(one) => one
+        case _ =>
+          val (l, r) = ps.splitAt(ps.size / 2)
+          mg.merge(tree(l), tree(r))
+      }
+      assertMgInvariants(xs, 16, folded)
+      assertMgInvariants(xs, 16, tree(partials))
+    }
+  }
+
+  test("MisraGries is exact when k is at least the distinct-key count") {
+    val xs = Seq("a", "b", "a", "c", "a", "b")
+    val mg = new graft.functions.MisraGries(8)
+    val viaMerge = mg.merge(
+      xs.take(3).foldLeft(mg.zero)(mg.reduce),
+      xs.drop(3).foldLeft(mg.zero)(mg.reduce))
+    viaMerge shouldBe Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
+  }
+
+  test("heavyHitters ships O(k) rows and its estimates obey the bounds (any partitioning)") {
+    val xs = mgStream()
+    import spark.implicits._
+    for (parts <- Seq(1, 4, 13)) {
+      val df = xs.toDF("k").repartition(parts)
+      val rows = graft.ext.Profiling.heavyHitters(df, "k", 16).collect()
+      rows.length should be <= 16
+      val sketch = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      assertMgInvariants(xs, 16, sketch)
+    }
+  }
+
+  test("heavyHittersAudit: top-N matches exact and both invariant booleans are true") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = docs.where(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    val audited = graft.ext.Profiling.heavyHittersAudit(toks, "token", 64, 10)
+      .orderBy(col("cnt").desc, col("token")).collect()
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(10).collect()
+    audited.map(r => (r.getString(0), r.getLong(1))) shouldBe
+      exact.map(r => (r.getString(0), r.getLong(1)))
+    audited.foreach { r =>
+      withClue(s"row $r: ") {
+        r.getBoolean(r.fieldIndex("est_ok")) shouldBe true
+        r.getBoolean(r.fieldIndex("guarantee_ok")) shouldBe true
+      }
+    }
+  }
+
   test("q39 emits all-true bound-check booleans (driver-gated shape)") {
     val rows = SparkEntry.queries("q39_sketches")(spark, dir).collect()
     rows should not be empty
