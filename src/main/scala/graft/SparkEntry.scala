@@ -7752,7 +7752,64 @@ object SparkEntry {
               FROM documents WHERE text IS NOT NULL)
         WHERE token <> '' GROUP BY token
         ORDER BY cnt DESC, token LIMIT 25)
-      ORDER BY cnt DESC, token"""))
+      ORDER BY cnt DESC, token""")),
+
+    // Count-min point-frequency estimates (Profiling.countMin /
+    // countMinLookup) — the dual of q205's Misra–Gries: MG UNDER-estimates
+    // and its surviving key set is partitioning-dependent (hence q205 gates
+    // bounds-booleans), while a count-min cell is a pure SUM over fixed
+    // hash buckets — commutative, associative, partitioning-independent —
+    // so here the RAW estimates hash-gate against DuckDB recomputing the
+    // identical (a·h48+b) mod p mod w arithmetic (every product < 2^62,
+    // wrap-free BIGINT in both engines). 4×2048 cells means at most 8192
+    // rows cross the build exchange no matter the vocabulary size, and the
+    // probe side reads the broadcast table without shuffling. Probes = the
+    // exact top-40 tokens (deterministic; ties by token): head probes show
+    // est = cnt, tail probes sit where collisions (est > cnt) appear —
+    // `ge_ok` (est ≥ f, the CMS law) is true for every key by construction.
+    // The exact side exists only to pick probes and audit; production reads
+    // the sketch alone.
+    ("q206_count_min", (s, dir) => {
+      val toks = T(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(explode(TextAnalysis.words(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      val cms = ext.Profiling.countMin(toks, "token", 4, 2048)
+      // 40 rows feeding two consumers (lookup + the cnt join): persist the
+      // REDUCED frame so the vocabulary aggregation runs once
+      val probes = graft.util.Caches.register(
+        toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token")).limit(40)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      ext.Profiling.countMinLookup(cms, probes.select("token"), "token", 4, 2048)
+        .join(probes, Seq("token"))
+        .select(col("token"), col("cnt"), col("est"),
+          (col("est") >= col("cnt")).as("ge_ok"))
+        .orderBy(col("cnt").desc, col("token"))
+    }, Some("""
+      WITH cnts AS (
+        SELECT token, count(*)::BIGINT AS cnt,
+               ('0x' || substr(md5(token), 1, 12))::BIGINT % 2147483647 AS hp
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE text IS NOT NULL)
+        WHERE token <> '' GROUP BY token),
+      hashes(j, a, b) AS (
+        VALUES (0, 1103515245, 12345), (1, 1299709, 7919),
+               (2, 15485863, 104729), (3, 32452843, 1299721)),
+      cms AS (
+        SELECT j, ((a * hp + b) % 2147483647) % 2048 AS bucket,
+               sum(cnt)::BIGINT AS c
+        FROM cnts CROSS JOIN hashes GROUP BY 1, 2),
+      probes AS (
+        SELECT token, cnt, hp FROM cnts ORDER BY cnt DESC, token LIMIT 40)
+      SELECT p.token, p.cnt,
+             min(coalesce(c.c, 0))::BIGINT AS est,
+             min(coalesce(c.c, 0)) >= p.cnt AS ge_ok
+      FROM probes p CROSS JOIN hashes h
+      LEFT JOIN cms c ON c.j = h.j
+        AND c.bucket = ((h.a * p.hp + h.b) % 2147483647) % 2048
+      GROUP BY p.token, p.cnt
+      ORDER BY p.cnt DESC, p.token"""))
   )
 
   // ------------------------------------------------------- driver contract

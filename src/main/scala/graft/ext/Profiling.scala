@@ -199,6 +199,79 @@ object Profiling {
       .select(explode(col("__sk")).as(Seq(keyCol, "est")))
   }
 
+  // Count-min hash family: bucket_j(x) = ((a_j·hp + b_j) mod p) mod width,
+  // hp = hash48(x) mod p. p = 2^31−1 keeps every product below 2^62, so the
+  // identical BIGINT arithmetic runs wrap-free in Spark AND DuckDB — the
+  // property that makes CMS estimates exactly oracle-gateable.
+  private val CmsP = 2147483647L
+  private val CmsA = Array(1103515245L, 1299709L, 15485863L, 32452843L)
+  private val CmsB = Array(12345L, 7919L, 104729L, 1299721L)
+
+  private def cmsHp(key: Column): Column =
+    graft.ext.TextAnalysis.hash48(key) % lit(CmsP)
+
+  private def cmsBucket(hp: Column, j: Int, width: Int): Column =
+    ((lit(CmsA(j)) * hp + lit(CmsB(j))) % lit(CmsP)) % lit(width.toLong)
+
+  /** Count-min sketch table over `keyCol`: `depth`×`width` bucket sums,
+    * one row per non-empty cell `(j, bucket, c)`.
+    *
+    * The dual of [[heavyHitters]]: Misra–Gries answers "which keys are
+    * frequent" with a deterministic UNDER-estimate whose surviving set
+    * depends on partitioning; count-min answers a point query for ANY key
+    * with an OVER-estimate (`est ≥ f`, always) that is a pure sum over
+    * fixed hash cells — commutative and associative, so the table (and
+    * every estimate read from it) is IDENTICAL for every partitioning and
+    * merge order, and the whole sketch hash-gates against a SQL oracle
+    * exactly, raw values included — no bounds-boolean indirection needed.
+    *
+    * Scale shape: each occurrence projects to `depth` (j, bucket) cells;
+    * map-side partial aggregation collapses them, so at most depth·width
+    * rows cross the exchange no matter how many distinct keys flow through
+    * — vs the exact form's one hash entry per vocabulary entry. Null keys
+    * contribute nothing. `depth` ≤ 4 hash rows (the family above). */
+  def countMin(
+      df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= CmsA.length,
+      s"depth must be in [1, ${CmsA.length}], got $depth")
+    require(width > 0, s"width must be positive, got $width")
+    val cells = (0 until depth).map { j =>
+      struct(lit(j).as("j"), cmsBucket(col("__hp"), j, width).as("bucket"))
+    }
+    df.select(col(keyCol).cast("string").as("__k"))
+      .where(col("__k").isNotNull)
+      .select(cmsHp(col("__k")).as("__hp"))
+      .select(explode(array(cells: _*)).as("__cell"))
+      .groupBy(col("__cell.j").as("j"), col("__cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query `probes(keyCol)` against a [[countMin]] table built with
+    * the same `depth`/`width`: `est(x) = min_j c[j][bucket_j(x)]`, an empty
+    * cell reading 0. Output `(keyCol, est)`, one row per distinct probe key.
+    *
+    * The sketch table is at most depth·width rows, so it broadcasts; the
+    * probe side never shuffles. Estimates obey `f(x) ≤ est(x)` always (a
+    * cell sums every key that lands in it) and are partitioning-independent
+    * — gate them raw. */
+  def countMinLookup(
+      cms: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= CmsA.length,
+      s"depth must be in [1, ${CmsA.length}], got $depth")
+    require(width > 0, s"width must be positive, got $width")
+    val cells = (0 until depth).map { j =>
+      struct(lit(j).as("j"), cmsBucket(col("__hp"), j, width).as("bucket"))
+    }
+    probes
+      .withColumn("__hp", cmsHp(col(keyCol).cast("string")))
+      .withColumn("__cell", explode(array(cells: _*)))
+      .select(col(keyCol), col("__cell.j").as("j"), col("__cell.bucket").as("bucket"))
+      .join(broadcast(cms), Seq("j", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
   /** Audit harness for [[heavyHitters]]: the exact top-`topN` keys joined
     * against the sketch's estimates, with the two Misra–Gries guarantees
     * evaluated as booleans —

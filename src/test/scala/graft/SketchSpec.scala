@@ -119,6 +119,64 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------- count-min laws
+
+  // Independent reference model: same md5-derived hash and (a·h+b) mod p
+  // mod w family as Profiling.countMin, recomputed from first principles so
+  // a constant drift or overflow in either side breaks the bit-equality law.
+  private val cmsP = 2147483647L
+  private val cmsA = Seq(1103515245L, 1299709L, 15485863L, 32452843L)
+  private val cmsB = Seq(12345L, 7919L, 104729L, 1299721L)
+
+  private def h48(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(12), 16)
+  }
+
+  private def cmsBuckets(s: String, width: Int): Seq[(Int, Long)] = {
+    val hp = h48(s) % cmsP
+    (0 until 4).map(j => j -> ((cmsA(j) * hp + cmsB(j)) % cmsP) % width)
+  }
+
+  test("countMin is reference-exact, partitioning-independent, and never underestimates") {
+    val xs = mgStream()
+    import spark.implicits._
+    val f = freq(xs)
+    val width = 512 // < vocab (~3k keys): collisions certain, est > f occurs
+    val table = scala.collection.mutable.Map[(Int, Long), Long]().withDefaultValue(0L)
+    xs.foreach(s => cmsBuckets(s, width).foreach(jb => table(jb) += 1L))
+    def refEst(s: String): Long = cmsBuckets(s, width).map(table).min
+    // probes: 10 heaviest keys + 50 lexicographic (mostly tail) + an absent key
+    val probeKeys = (f.toSeq.sortBy { case (k, n) => (-n, k) }.take(10).map(_._1) ++
+      f.keys.toSeq.sorted.take(50) :+ "never_seen_key").distinct
+    val byPartitioning = Seq(1, 4, 13).map { parts =>
+      val cms = ext.Profiling.countMin(xs.toDF("k").repartition(parts), "k", 4, width)
+      ext.Profiling.countMinLookup(cms, probeKeys.toDF("k"), "k", 4, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    byPartitioning.tail.foreach(_ shouldBe byPartitioning.head)
+    val ests = byPartitioning.head
+    ests.keySet shouldBe probeKeys.toSet
+    probeKeys.foreach { k =>
+      withClue(s"key $k (f=${f.getOrElse(k, 0L)}): ") {
+        ests(k) should be >= f.getOrElse(k, 0L) // CMS law: never under
+        ests(k) shouldBe refEst(k)              // bit-equal to the model
+      }
+    }
+    // the heaviest key collides with at most slack, sanity: est is not wild
+    ests("never_seen_key") shouldBe refEst("never_seen_key")
+  }
+
+  test("countMin table is at most depth*width rows and cells sum to depth*N") {
+    val xs = mgStream()
+    import spark.implicits._
+    val cms = ext.Profiling.countMin(xs.toDF("k"), "k", 3, 64).collect()
+    cms.length should be <= 3 * 64
+    cms.map(_.getLong(2)).sum shouldBe 3L * xs.size
+    cms.map(r => (r.getInt(0), r.getLong(1))).toSet should have size cms.length
+  }
+
   test("heavyHittersAudit: top-N matches exact and both invariant booleans are true") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val toks = docs.where(col("text").isNotNull)
