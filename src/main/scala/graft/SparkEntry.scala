@@ -7809,7 +7809,72 @@ object SparkEntry {
       LEFT JOIN cms c ON c.j = h.j
         AND c.bucket = ((h.a * p.hp + h.b) % 2147483647) % 2048
       GROUP BY p.token, p.cnt
-      ORDER BY p.cnt DESC, p.token"""))
+      ORDER BY p.cnt DESC, p.token""")),
+
+    // Systematic PPS sampling (Sampling.ppsSystematicSample): docs laid on
+    // a global token axis in id-hash order, every 500th token selects its
+    // doc — sampling ∝ training cost with ZERO selection variance (exactly
+    // ⌊W/500⌋±1 draws) and integer-only arithmetic, so the oracle replays
+    // the draw bit-for-bit. The cumsum spine is GlobalCumsum's two-phase
+    // scan (range exchange + broadcast offsets), never a single-partition
+    // window; the selection rule is per-row codegen after it. All docs gate
+    // (zeros included) so the oracle proves non-selection too.
+    ("q207_pps_sample", (s, dir) => {
+      val t = T(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Sampling.ppsSystematicSample(t, col("doc_id"), col("n_tokens"), 500L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+          col("pps_count"), (col("pps_count") >= 1).as("kept"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS ph
+        FROM documents WHERE text IS NOT NULL),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY ph, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum_before
+        FROM t)
+      SELECT doc_id, n_tokens, cum_before,
+        ((cum_before + n_tokens - 1 + 500) // 500
+          - (cum_before - 1 + 500) // 500) AS pps_count,
+        ((cum_before + n_tokens - 1 + 500) // 500
+          - (cum_before - 1 + 500) // 500) >= 1 AS kept
+      FROM c ORDER BY doc_id""")),
+
+    // Fractional-epoch mixing (Sampling.epochMix) — the UPSAMPLING dual of
+    // q48's weightedMix: zh docs at 2.5 epochs (the low-resource upweight),
+    // en at 0.4. Every key gets ⌊pct/100⌋ full copies + one more iff its
+    // hash bucket < pct mod 100 — pure scan-stage explode, no shuffle, and
+    // monotone in pct (raising a weight only ADDS copies, so a grown mix
+    // never invalidates earlier training data). epoch_copy is 1-based so
+    // packing can interleave copies instead of concatenating epochs.
+    ("q208_epoch_mix", (s, dir) => {
+      val d = T(s, dir, "documents")
+      Sampling.epochMix(Seq(
+          (d.where(col("lang") === "zh").select(col("doc_id"), col("lang")),
+            col("doc_id"), 250),
+          (d.where(col("lang") === "en").select(col("doc_id"), col("lang")),
+            col("doc_id"), 40)))
+        .orderBy(col("doc_id"), col("epoch_copy"))
+    }, Some("""
+      WITH src AS (
+        SELECT doc_id, lang, 250 AS pct FROM documents WHERE lang = 'zh'
+        UNION ALL
+        SELECT doc_id, lang, 40 AS pct FROM documents WHERE lang = 'en'),
+      c AS (
+        SELECT doc_id, lang,
+          pct // 100 + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+            % 100 < pct % 100 THEN 1 ELSE 0 END AS copies
+        FROM src)
+      SELECT doc_id, lang,
+             CAST(unnest(generate_series(1, copies)) AS INT) AS epoch_copy
+      FROM c WHERE copies >= 1
+      ORDER BY doc_id, epoch_copy"""))
   )
 
   // ------------------------------------------------------- driver contract

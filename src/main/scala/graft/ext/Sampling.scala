@@ -104,6 +104,82 @@ object Sampling {
       .where(col("sample_rank") <= n)
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling: documents
+    * are laid out on a global weight axis in deterministic pseudorandom
+    * order (id-hash, id tie-break — unbiased w.r.t. storage order, exactly
+    * reproducible), and every `step`-th weight unit selects the document it
+    * falls inside. A document of weight w is hit
+    * `⌊(cum+w−1)/step⌋ − ⌊(cum−1)/step⌋` times — ≥1 guaranteed when
+    * w ≥ step, proportional to w below it — the classic systematic PPS
+    * design (Madow 1949) with a fixed origin instead of a random start, so
+    * the draw is a pure function of the corpus. The natural weights are
+    * token counts (sampling docs ∝ training cost) or quantized
+    * quality×tokens scores.
+    *
+    * Unlike [[hashSample]] (uniform over KEYS) this samples ∝ weight with
+    * NO per-key randomness at all: collisionless, exact sample mass
+    * (selections = ⌊W/step⌋±1 always — a Bernoulli design's variance is
+    * zero here), and integer-only arithmetic end to end, so the oracle
+    * replays it exactly.
+    *
+    * Scale shape: the weight axis comes from [[graft.analytics.GlobalCumsum]]'s
+    * two-phase scan — range exchange + per-partition offsets, never a
+    * single-partition window — and everything after is per-row arithmetic.
+    * The shifted `(x+step) div step` form keeps every dividend non-negative
+    * so truncating and flooring division agree in every engine.
+    *
+    * Output: input columns + `cum_before` (exclusive weight prefix) +
+    * `pps_count` (0 = not drawn; ≥2 = a mega-doc spanning multiple steps —
+    * repeat-weight it or cap downstream). Weights must be non-negative;
+    * zero-weight rows are never drawn. */
+  def ppsSystematicSample(
+      df: DataFrame, id: Column, weight: Column, step: Long): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    val cum = graft.analytics.GlobalCumsum.cumsumBefore(
+      df.withColumn("__ph", hash48(id.cast("string")))
+        .withColumn("__w", weight.cast("long")),
+      Seq(col("__ph"), id), col("__w"), "cum_before")
+    // `div` = integral division; both dividends are ≥ step−1 ≥ 0 (shifted
+    // by +step), so truncation and floor agree — and stay exact at any
+    // scale, where a double-division round-trip could round across a
+    // multiple and miscount by one
+    cum
+      .withColumn("pps_count", expr(
+        s"((cum_before + __w - 1 + $step) div $step) - " +
+          s"((cum_before - 1 + $step) div $step)"))
+      .drop("__ph", "__w")
+  }
+
+  /** Deterministic fractional-epoch mixing — the UPSAMPLING dual of
+    * [[weightedMix]]: each source is replicated to `epochsPct/100` epochs
+    * (250 = 2.5 epochs), where every key gets ⌊pct/100⌋ full copies and the
+    * hash-lowest `pct mod 100` percent of keys get one more — the standard
+    * pretraining-mixture shape (high-quality sources weighted past one
+    * epoch, bulk crawl under it; cf. the published GPT-3 / LLaMA data-mix
+    * tables). Emits `epoch_copy` (1-based) so downstream shuffling/packing
+    * can interleave copies rather than concatenate epochs.
+    *
+    * Every [[hashSample]] guarantee carries over, per copy: the draw is a
+    * pure function of (key, pct) — rerun/partitioning/engine-stable — and
+    * MONOTONE in pct: raising a source's weight only ADDS copies (the
+    * bucket set for pct mod 100 nests, and crossing an integer epoch turns
+    * the 99% partial into a full copy), so growing a mix never invalidates
+    * data an earlier run already trained on. Replication is a generated
+    * per-row array explode — no shuffle, no join, scan-stage codegen. */
+  def epochMix(sources: Seq[(DataFrame, Column, Int)]): DataFrame = {
+    require(sources.nonEmpty, "epochMix needs at least one source")
+    require(sources.forall(_._3 >= 0),
+      s"epoch percentages must be non-negative, got ${sources.map(_._3)}")
+    sources.map { case (df, key, pct) =>
+      val copies = lit(pct / 100) +
+        when(hash48(key.cast("string")) % 100 < lit(pct % 100), 1).otherwise(0)
+      // guard: sequence(1, 0) would DESCEND [1, 0], not return empty
+      df.withColumn("epoch_copy",
+        explode(when(copies >= 1, sequence(lit(1), copies))
+          .otherwise(array().cast("array<int>"))))
+    }.reduce(_ unionByName _)
+  }
+
   /** Token-budget-capped corpus selection: per group, documents are ranked
     * by descending `score` (ties by `id` ascending) and the MAXIMAL PREFIX
     * whose token sum fits `budgetTokens` is kept — the quality-first

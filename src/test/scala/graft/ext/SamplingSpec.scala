@@ -149,6 +149,81 @@ class SamplingSpec extends SparkTestBase {
       Sampling.stratifiedSample(df, col("lang"), col("k"), Map.empty, defaultPct = -1)
   }
 
+  // ------------------------------------------------- systematic PPS laws
+
+  // Independent reference model: same hash order and integer selection rule
+  // recomputed from first principles (BigInt prefix sums, explicit multiple
+  // counting) so a drift in either side breaks the equality.
+  private def ppsRef(ws: Seq[(Long, Long)], step: Long): Map[Long, Long] = {
+    val ordered = ws.sortBy { case (id, _) => (h48(id.toString), id) }
+    var cum = 0L
+    ordered.map { case (id, w) =>
+      val lo = cum; val hi = cum + w; cum = hi
+      // multiples of step in [lo, hi)
+      val n = (if (hi == 0) 0L else (hi - 1) / step + 1) -
+        (if (lo == 0) 0L else (lo - 1) / step + 1)
+      id -> n
+    }.toMap
+  }
+
+  test("ppsSystematicSample matches the reference draw under any partitioning") {
+    val ws = (1L to 300L).map(id => (id, id % 37)) // weights 0..36, zeros included
+    val step = 40L
+    val ref = ppsRef(ws, step)
+    Seq(1, 7, 32).foreach { parts =>
+      val got = Sampling.ppsSystematicSample(
+          ws.toDF("id", "w").repartition(parts), col("id"), col("w"), step)
+        .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("pps_count"))).toMap
+      withClue(s"parts=$parts: ") { got shouldBe ref }
+      graft.util.Caches.releaseAll()
+    }
+    // exact sample mass: ⌊W/step⌋ or ⌈W/step⌉ — zero selection variance
+    val total = ws.map(_._2).sum
+    val drawn = ref.values.sum
+    drawn should (be(total / step) or be(total / step + 1))
+    // zero-weight rows are never drawn; w ≥ step rows always are
+    ws.filter(_._2 == 0L).foreach { case (id, _) => ref(id) shouldBe 0L }
+    val big = Sampling.ppsSystematicSample(
+        Seq((1L, 5L), (2L, 100L), (3L, 5L)).toDF("id", "w"), col("id"), col("w"), 40L)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("pps_count"))).toMap
+    big(2L) should be >= 2L // w=100 spans ≥2 step boundaries
+    graft.util.Caches.releaseAll()
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.ppsSystematicSample(ws.toDF("id", "w"), col("id"), col("w"), 0L)
+  }
+
+  // ------------------------------------------------- epoch-mix laws
+
+  test("epochMix gives every key floor(pct/100) copies plus the hash fraction") {
+    val df = rows.toDF("k", "v")
+    val out = Sampling.epochMix(Seq((df, col("k"), 250)))
+      .collect().map(r => (r.getLong(0), r.getInt(r.fieldIndex("epoch_copy"))))
+    val copies = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    rows.foreach { case (k, _) =>
+      val expected = 2 + (if (h48(k.toString) % 100 < 50) 1 else 0)
+      copies(k) shouldBe (1 to expected)
+    }
+    // 0 epochs drops the source entirely; 100 is exactly one copy per key
+    Sampling.epochMix(Seq((df, col("k"), 0))).count() shouldBe 0L
+    Sampling.epochMix(Seq((df, col("k"), 100))).count() shouldBe 400L
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.epochMix(Seq((df, col("k"), -1)))
+  }
+
+  test("epochMix is monotone in pct and unions sources by name") {
+    val a = rows.toDF("k", "v").withColumn("src", lit("a"))
+    val b = rows.map { case (k, v) => (k + 1000L, v) }.toDF("k", "v")
+      .withColumn("src", lit("b"))
+    def copies(pa: Int, pb: Int): Set[(String, Long, Int)] =
+      Sampling.epochMix(Seq((a, col("k"), pa), (b, col("k"), pb)))
+        .collect().map(r => (r.getString(2), r.getLong(0),
+          r.getInt(r.fieldIndex("epoch_copy")))).toSet
+    val small = copies(130, 40)
+    val grown = copies(260, 40)
+    small.subsetOf(grown) shouldBe true // raising a weight only ADDS copies
+    grown.filter(_._1 == "b") shouldBe small.filter(_._1 == "b")
+  }
+
   test("budgetCappedSelection keeps the maximal quality-first prefix per group") {
     val df = Seq(
       // group a: scores rank docs 1 > 2 > 3; tokens 6, 3, 2; budget 10
