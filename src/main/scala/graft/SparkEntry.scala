@@ -7874,7 +7874,59 @@ object SparkEntry {
       SELECT doc_id, lang,
              CAST(unnest(generate_series(1, copies)) AS INT) AS epoch_copy
       FROM c WHERE copies >= 1
-      ORDER BY doc_id, epoch_copy"""))
+      ORDER BY doc_id, epoch_copy""")),
+
+    // Training-order composition: q208's epoch mix → deterministic global
+    // shuffle → shard assignment. Each (doc, copy) instance gets a shuffle
+    // key = hash48(id:copy) — so the copies of one document land at
+    // independent positions (the interleaving epochMix's epoch_copy exists
+    // for), the order is a pure function of the corpus (rerun/engine/
+    // partitioning-stable), and the global position comes from
+    // GlobalCumsum.rowNumber's two-phase spine, never a single-partition
+    // sort. shard = (pos-1) div 64 gives size-64 shards a writer can
+    // partitionBy — contiguous in the shuffled order, balanced by
+    // construction (every shard full except the last). The oracle replays
+    // mix, shuffle key, and row_number independently.
+    ("q209_training_order", (s, dir) => {
+      val d = T(s, dir, "documents")
+      val mixed = Sampling.epochMix(Seq(
+        (d.where(col("lang") === "zh").select(col("doc_id"), col("lang")),
+          col("doc_id"), 250),
+        (d.where(col("lang") === "en").select(col("doc_id"), col("lang")),
+          col("doc_id"), 40)))
+      val keyed = mixed.withColumn("__sh", TextAnalysis.hash48(
+        concat_ws(":", col("doc_id"), col("epoch_copy"))))
+      graft.analytics.GlobalCumsum.rowNumber(
+          keyed, Seq(col("__sh"), col("doc_id"), col("epoch_copy")), "pos")
+        .withColumn("shard", expr("(pos - 1) div 64"))
+        .select(col("doc_id"), col("lang"), col("epoch_copy"),
+          col("pos"), col("shard"))
+        .orderBy(col("pos"))
+    }, Some("""
+      WITH src AS (
+        SELECT doc_id, lang, 250 AS pct FROM documents WHERE lang = 'zh'
+        UNION ALL
+        SELECT doc_id, lang, 40 AS pct FROM documents WHERE lang = 'en'),
+      c AS (
+        SELECT doc_id, lang,
+          pct // 100 + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+            % 100 < pct % 100 THEN 1 ELSE 0 END AS copies
+        FROM src),
+      m AS (
+        SELECT doc_id, lang,
+               CAST(unnest(generate_series(1, copies)) AS INT) AS epoch_copy
+        FROM c WHERE copies >= 1),
+      o AS (
+        SELECT doc_id, lang, epoch_copy,
+          ('0x' || substr(md5(doc_id::VARCHAR || ':' || epoch_copy::VARCHAR),
+            1, 12))::BIGINT AS sh
+        FROM m),
+      p AS (
+        SELECT doc_id, lang, epoch_copy,
+          CAST(row_number() OVER (ORDER BY sh, doc_id, epoch_copy) AS BIGINT) AS pos
+        FROM o)
+      SELECT doc_id, lang, epoch_copy, pos, (pos - 1) // 64 AS shard
+      FROM p ORDER BY pos"""))
   )
 
   // ------------------------------------------------------- driver contract
