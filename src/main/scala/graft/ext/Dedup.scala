@@ -637,7 +637,17 @@ object Dedup {
       .join(members.select(col("__rep"), col("__member").as("id_b")), Seq("__rep"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    cross.unionByName(within)
+    // The RESULT frame is pinned (lazily — no extra pass) because every
+    // caller total-orders it for deterministic output, and a global sort's
+    // range exchange runs its child TWICE: once to sample partition
+    // boundaries, once to shuffle. Everything downstream of the last
+    // shuffle here — the verification joins and this expansion — is
+    // broadcast-joined, so without the pin the sampling pass re-executes
+    // the entire verification stage (measured ~1.3 s of the q161 medians).
+    // Pinned, the sampling pass populates the (result-sized) cache and the
+    // shuffle pass reads it. Registered with Caches for release.
+    graft.util.Caches.register(cross.unionByName(within)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Test-set decontamination: for every corpus doc, how many of its DISTINCT

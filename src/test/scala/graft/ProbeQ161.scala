@@ -93,9 +93,28 @@ object ProbeQ161 {
           col("id_a"), col("id_b"),
           (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
         .where(col("jaccard") >= minJaccard)
+      val candsMat = time("cands distinct") {
+        val m = cands.localCheckpoint(true); println(s"  cands rows: ${m.count()}"); m
+      }
+      val verified2 = candsMat
+        .join(docSets.select((blockCols.map(col) :+ col("__id").as("id_a") :+
+          col("__set").as("__sa")): _*), blockCols :+ "id_a")
+        .join(docSets.select((blockCols.map(col) :+ col("__id").as("id_b") :+
+          col("__set").as("__sb")): _*), blockCols :+ "id_b")
+        .select(
+          col("id_a"), col("id_b"), col("na"), col("nb"),
+          size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("inter"))
+        .where(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= minJaccard)
+      time("verify only (from cands mat)")(
+        verified2.write.format("noop").mode("overwrite").save())
       time("pairs (no collapse harness)")(
         verified.write.format("noop").mode("overwrite").save())
 
+      time("library pairFn over reps (no collapse)") {
+        graft.ext.Dedup.prefixFilteredJaccardPairs(
+            reps, idCol, textCol, blockCols, minJaccard)
+          .write.format("noop").mode("overwrite").save()
+      }
       // full library call for comparison
       time("full q161 (library)") {
         graft.ext.Dedup.prefixFilteredJaccardPairsCollapsed(
