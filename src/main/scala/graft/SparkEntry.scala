@@ -7926,7 +7926,58 @@ object SparkEntry {
           CAST(row_number() OVER (ORDER BY sh, doc_id, epoch_copy) AS BIGINT) AS pos
         FROM o)
       SELECT doc_id, lang, epoch_copy, pos, (pos - 1) // 64 AS shard
-      FROM p ORDER BY pos"""))
+      FROM p ORDER BY pos""")),
+
+    // Perplexity-bucketed quality filtering — the CCNet discipline (Wenzek
+    // et al.: score the corpus with a language model, split into exact
+    // head/middle/tail terciles, keep head+middle) over q194's integral
+    // bigram-LM surprisal instead of a KenLM binary. The tercile cut uses
+    // GlobalCumsum.ntile (two-phase spine — no single-partition sort), so
+    // the thresholds are exact ORDER STATISTICS of the corpus, not sketch
+    // quantiles: the bucket boundary is reproducible and hash-gateable.
+    // rare_frac's single trailing division is IEEE-exact in both engines;
+    // ties (shared rare_frac) break by doc_id so the total order is total.
+    // Zero-bigram docs carry no signal and are excluded before ranking
+    // (also pins away the Spark-nulls-first / DuckDB-nulls-last split).
+    ("q210_perplexity_buckets", (s, dir) => {
+      val scored = TextAnalysis.bigramSurprisal(
+          T(s, dir, "documents"), "doc_id", "text", k = 20)
+        .where(col("n_bigrams") > 0)
+      graft.analytics.GlobalCumsum.ntile(scored,
+          Seq(col("rare_frac"), col("doc_id")), 3, "bucket")
+        .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+          col("rare_frac"), col("bucket"), (col("bucket") <= 2).as("kept"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH flat AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+          SELECT doc_id,
+            unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+              i -> struct_pack(w1 := string_split(text, ' ')[i],
+                               w2 := string_split(text, ' ')[i + 1]))) AS bg
+          FROM documents
+          WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2)),
+      dc AS (SELECT doc_id, w1, w2, count(*) AS ndc FROM flat GROUP BY 1, 2, 3),
+      bc AS (SELECT w1, w2, sum(ndc)::BIGINT AS c12 FROM dc GROUP BY 1, 2),
+      hc AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM bc GROUP BY 1),
+      flag AS (
+        SELECT b.w1, b.w2, (b.c12 * 20 < h.c1) AS rare
+        FROM bc b JOIN hc h USING (w1)),
+      per AS (
+        SELECT d.doc_id,
+               sum(d.ndc)::BIGINT AS n_bigrams,
+               sum(CASE WHEN g.rare THEN d.ndc ELSE 0 END)::BIGINT AS n_rare
+        FROM dc d JOIN flag g ON d.w1 = g.w1 AND d.w2 = g.w2
+        GROUP BY 1),
+      ranked AS (
+        SELECT doc_id, n_bigrams, n_rare,
+               n_rare::DOUBLE / n_bigrams AS rare_frac,
+               CAST(ntile(3) OVER (ORDER BY n_rare::DOUBLE / n_bigrams, doc_id)
+                 AS BIGINT) AS bucket
+        FROM per WHERE n_bigrams > 0)
+      SELECT doc_id, n_bigrams, n_rare, rare_frac, bucket,
+             bucket <= 2 AS kept
+      FROM ranked ORDER BY doc_id"""))
   )
 
   // ------------------------------------------------------- driver contract
