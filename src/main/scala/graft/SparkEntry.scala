@@ -7977,7 +7977,83 @@ object SparkEntry {
         FROM per WHERE n_bigrams > 0)
       SELECT doc_id, n_bigrams, n_rare, rare_frac, bucket,
              bucket <= 2 AS kept
-      FROM ranked ORDER BY doc_id"""))
+      FROM ranked ORDER BY doc_id""")),
+
+    // Streaming count-min maintenance — q206's sketch built INCREMENTALLY
+    // by REAL Structured Streaming (file source batched 2 files/trigger →
+    // 4 micro-batches, complete-mode state merged across them) and gated
+    // on q206's oracle VERBATIM. This works because a CMS cell is a pure
+    // SUM over fixed hash buckets: commutative + associative, so the
+    // incremental state after any micro-batch sequence is bit-identical
+    // to the one-shot batch table — the same `Profiling.countMin` code
+    // runs both paths unchanged, and the final estimates hash-gate raw.
+    // This is the sketch a streaming ingest keeps warm so point-frequency
+    // queries never re-scan the corpus. Probes (exact top-40) come from
+    // the batch side — production would read the sketch alone.
+    // VERIFICATION-HARNESS BOUNDARY (same as q19/q170): memory sink +
+    // collect is the only way to hand a streaming result to the batch
+    // oracle; the production path writes through the distributed sinks.
+    ("q211_stream_count_min", (s, dir) => {
+      val toks = T(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(explode(TextAnalysis.words(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scms_")
+      val qname = "graft_stream_cms"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val (schema, rows) =
+        try {
+          toks.repartition(8).write.mode("overwrite").parquet(tmp.toString)
+          val stream = s.readStream.schema(toks.schema)
+            .option("maxFilesPerTrigger", 2).parquet(tmp.toString)
+          // 4 shuffle partitions: one state-store commit per partition per
+          // micro-batch; 8192 cells do not need 32 stores (q170 discipline)
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          val q = ext.Profiling.countMin(stream, "token", 4, 2048)
+            .writeStream.outputMode("complete").format("memory").queryName(qname)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val res = s.table(qname)
+          (res.schema, res.collect())
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          s.catalog.dropTempView(qname)
+          graft.util.Fs.deleteRecursively(tmp)
+        }
+      val cms = s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val probes = graft.util.Caches.register(
+        toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token")).limit(40)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      ext.Profiling.countMinLookup(cms, probes.select("token"), "token", 4, 2048)
+        .join(probes, Seq("token"))
+        .select(col("token"), col("cnt"), col("est"),
+          (col("est") >= col("cnt")).as("ge_ok"))
+        .orderBy(col("cnt").desc, col("token"))
+    }, Some("""
+      WITH cnts AS (
+        SELECT token, count(*)::BIGINT AS cnt,
+               ('0x' || substr(md5(token), 1, 12))::BIGINT % 2147483647 AS hp
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE text IS NOT NULL)
+        WHERE token <> '' GROUP BY token),
+      hashes(j, a, b) AS (
+        VALUES (0, 1103515245, 12345), (1, 1299709, 7919),
+               (2, 15485863, 104729), (3, 32452843, 1299721)),
+      cms AS (
+        SELECT j, ((a * hp + b) % 2147483647) % 2048 AS bucket,
+               sum(cnt)::BIGINT AS c
+        FROM cnts CROSS JOIN hashes GROUP BY 1, 2),
+      probes AS (
+        SELECT token, cnt, hp FROM cnts ORDER BY cnt DESC, token LIMIT 40)
+      SELECT p.token, p.cnt,
+             min(coalesce(c.c, 0))::BIGINT AS est,
+             min(coalesce(c.c, 0)) >= p.cnt AS ge_ok
+      FROM probes p CROSS JOIN hashes h
+      LEFT JOIN cms c ON c.j = h.j
+        AND c.bucket = ((h.a * p.hp + h.b) % 2147483647) % 2048
+      GROUP BY p.token, p.cnt
+      ORDER BY p.cnt DESC, p.token"""))
   )
 
   // ------------------------------------------------------- driver contract
