@@ -123,13 +123,18 @@ object Bench {
       "\"" + name + "\":[" + samples(name).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2(1)).sum
+    // best-of-3 total alongside the median: a harness/VM stall inflates
+    // medians but rarely all three interleaved passes, so a plan regression
+    // moves BOTH numbers while throttle noise moves only the median —
+    // making the next regression diagnosable from this JSON alone
+    val totalBest = results.map(_._2.head).sum
     // a throwing query "benches" at time-to-exception — flag it in the
     // machine-readable line so a broken engine can never look FAST
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_best":$totalBest,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes$failedJson,"sf":"$sfDir"}"""
     println(json)
     // provenance copy for anyone reading the repo rather than the run log
     try java.nio.file.Files.writeString(

@@ -227,7 +227,14 @@ object TimeSeries {
     * micro-batch reads/writes only the ≤ `window` entries it touches
     * (per-entry RocksDB point lookups — the legacy form deserializes and
     * rewrites the whole map every batch), and optional store-managed TTL
-    * drops series that went quiet. Requires the RocksDB provider. */
+    * drops series that went quiet. TTL SEMANTICS: MapState TTL expires per
+    * ENTRY, not per key — so with TTL enabled, every batch that touches a
+    * key REWRITES all of its surviving entries (renewing their TTL
+    * together), trading the delta-writeback optimization for a whole
+    * contract: a series stays complete as long as its inter-arrival gap is
+    * under the TTL, and a quiet series expires wholesale rather than
+    * losing older baseline days first. Pick a TTL above the longest live
+    * inter-arrival gap. Requires the RocksDB provider. */
   def spikeStreamTws(
       points: Dataset[DayPoint],
       window: Int = 7, factor: Long = 2, minDays: Long = 3,
@@ -259,13 +266,32 @@ object TimeSeries {
         timers: TimerValues): Iterator[SpikeRow] = {
       val before = days.iterator().map(kv => kv._1 -> kv._2).toMap
       val (out, after) = foldSpikes(key, before, batch, window, factor, minDays)
-      // per-entry delta writeback: evicted days are removed, new/changed
-      // days upserted — the whole point of MapState over a value blob
-      before.keysIterator.filterNot(after.contains).foreach(days.removeKey)
-      after.foreach { case (d, c) =>
-        if (!before.get(d).contains(c)) days.updateValue(d, c)
-      }
+      val (removals, upserts) =
+        TimeSeries.mapStateWriteback(before, after, refreshAll = ttl.isDefined)
+      removals.foreach(days.removeKey)
+      upserts.foreach { case (d, c) => days.updateValue(d, c) }
       out.iterator
     }
+  }
+
+  /** The MapState writeback decision, pure so the TTL contract is unit-
+    * testable: evicted entries are removed; without TTL only new/changed
+    * entries are upserted (per-entry delta writeback — the whole point of
+    * MapState over a value blob); WITH TTL every surviving entry is
+    * rewritten, because MapState TTL expires per ENTRY — skipping an
+    * unchanged entry would leave its TTL clock at its last rewrite, letting
+    * an ACTIVE series' older baseline days expire out from under it and
+    * silently shrink trail_sum vs the batch twin. Rewriting all entries on
+    * every touched batch renews the whole baseline together, so the
+    * contract becomes: a series survives while its inter-arrival gap stays
+    * under the TTL, and a quiet series expires wholesale. */
+  private[analytics] def mapStateWriteback(
+      before: Map[Long, Long], after: Map[Long, Long], refreshAll: Boolean)
+      : (Iterable[Long], Iterable[(Long, Long)]) = {
+    val removals = before.keys.filterNot(after.contains)
+    val upserts =
+      if (refreshAll) after
+      else after.filter { case (d, c) => !before.get(d).contains(c) }
+    (removals, upserts)
   }
 }

@@ -569,7 +569,7 @@ object Dedup {
   def ngramJaccardPairsCollapsed(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], minJaccard: Double): DataFrame = {
-    require(minJaccard <= 1.0,
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
     withExactDupCollapse(df, idCol, textCol, blockCols,
       reps => ngramJaccardPairs(reps, idCol, textCol, blockCols, minJaccard))

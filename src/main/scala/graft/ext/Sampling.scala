@@ -130,14 +130,22 @@ object Sampling {
     *
     * Output: input columns + `cum_before` (exclusive weight prefix) +
     * `pps_count` (0 = not drawn; ≥2 = a mega-doc spanning multiple steps —
-    * repeat-weight it or cap downstream). Weights must be non-negative;
+    * repeat-weight it or cap downstream). Weights must be non-negative
+    * (ENFORCED in the data path — a negative weight raises, naming the id);
     * zero-weight rows are never drawn. */
   def ppsSystematicSample(
       df: DataFrame, id: Column, weight: Column, step: Long): DataFrame = {
     require(step > 0, s"step must be positive, got $step")
+    // in-path guard (the Packing.manifest discipline): a negative weight
+    // would silently shift the cumulative axis and skew every later doc's
+    // draw — fail loudly naming the offending id instead
+    val guardedW = when(weight >= 0, weight.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("ppsSystematicSample: negative weight for id "),
+        id.cast("string"))))
     val cum = graft.analytics.GlobalCumsum.cumsumBefore(
       df.withColumn("__ph", hash48(id.cast("string")))
-        .withColumn("__w", weight.cast("long")),
+        .withColumn("__w", guardedW),
       Seq(col("__ph"), id), col("__w"), "cum_before")
     // `div` = integral division; both dividends are ≥ step−1 ≥ 0 (shifted
     // by +step), so truncation and floor agree — and stay exact at any

@@ -575,18 +575,34 @@ object Similarity {
     * @return (idCol, codes array<long> ordered by sub, values 0..ksub−1)
     */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame,
-      idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
+      idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame =
+    pqEncodeCarry(corpus, codebooks, idCol, vecCol, m, subDim, Nil)
+
+  /** [[pqEncode]] with pass-through columns: `carryCols` ride the encode
+    * unchanged (they must be CONSTANT per id — e.g. the IVF list id in the
+    * residual index build, where carrying the column through one plan
+    * beats re-deriving the assignment in a second corpus pass). Including
+    * them in the grouping keys is free: the keys are id-functional, so the
+    * hash aggregation's cardinality is unchanged. */
+  private def pqEncodeCarry(corpus: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int,
+      carryCols: Seq[String]): DataFrame = {
     val cb = broadcast(pqNormalizeCodebook(codebooks))
-    pqSliced(corpus, idCol, vecCol, m, subDim)
+    val carry = carryCols.map(col)
+    corpus.select((col(idCol).as("__pid") +: carry) :+
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub"), pqSlice(col(vecCol), j, subDim).as("s_vec"))): _*)).as("sc"): _*)
+      .select((col("__pid") +: carry) ++
+        Seq(col("sc.sub").as("sub"), col("sc.s_vec").as("s_vec")): _*)
       .join(cb, Seq("sub"))
-      .select(col("__pid"), col("sub"), col("cid"),
-        l2DistSq(col("s_vec"), col("c_vec")).as("d2"))
-      .groupBy(col("__pid"), col("sub"))
+      .select((col("__pid") +: carry) ++ Seq(col("sub"), col("cid"),
+        l2DistSq(col("s_vec"), col("c_vec")).as("d2")): _*)
+      .groupBy((col("__pid") +: carry) :+ col("sub"): _*)
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
-      .groupBy(col("__pid"))
+      .groupBy(col("__pid") +: carry: _*)
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
         s => s.getField("cid")).as("codes"))
-      .select(col("__pid").as(idCol), col("codes"))
+      .select((col("__pid").as(idCol) +: carry) :+ col("codes"): _*)
   }
 
   /** PQ/ADC ANN top-k (Jégou et al., TPAMI'11 asymmetric distance): the
@@ -657,7 +673,8 @@ object Similarity {
     * inverted lists, and PQ/ADC scores only those — prune × compress, the
     * actual 100 TB ANN deployment shape (Jégou et al. IVFADC, here the
     * common no-residual variant: codes quantize the raw vector, so one code
-    * table serves any nprobe).
+    * table serves any nprobe; [[ivfPqResidualTopK]] is the full
+    * residual-encoding IVFADC).
     *
     * Metric is squared L2 throughout (coarse assignment, probes, ADC) —
     * consistent with the PQ family and unlike [[ivfTopK]]'s cosine.
@@ -711,6 +728,114 @@ object Similarity {
           col("codes"), col("lut")).as("adist"))
     rankTopK(scored.withColumn("sim", -col("adist")), Seq("q_id"), k)
       .select(col("q_id"), col("rank"), col("n_id"), (-col("sim")).as("adist"))
+  }
+
+  /** Residual IVF-PQ ANN — the full Jégou et al. IVFADC: PQ codes quantize
+    * the RESIDUAL x − c(list(x)) instead of the raw vector, so the codebook
+    * spends its bits on the (much tighter) within-list displacement
+    * distribution rather than re-describing the coarse structure the IVF
+    * level already captured — the accuracy gap [[ivfPqTopK]]'s Scaladoc
+    * documents as its one deviation from the production index.
+    *
+    * Consequence at query time: the ADC lookup table depends on the PROBED
+    * LIST (the query's residual q − c(list) differs per list), so LUTs are
+    * per (query, probe) — nprobe× the LUT mass of the no-residual form,
+    * still |queries|·nprobe·m·ksub doubles, still broadcast.
+    *
+    * Scale shape: ONE corpus pass — coarse argmin against BROADCAST
+    * centroids, residual subtraction, and PQ encode in a single linear
+    * plan ([[pqEncodeCarry]] carries the list id through the encode, so
+    * the assignment is never re-derived); the index rows are (id, list,
+    * codes) — m+2 small ints, vectors never shuffle. Everything else is
+    * the [[ivfPqTopK]] plan with the per-probe LUT join on `lcid`.
+    *
+    * @param centroids (cidCol, vecCol) — small, broadcast
+    * @param codebooks (sub, cid, c_vec) — trained/sampled over RESIDUALS
+    *                  (see [[residuals]] for building the training frame)
+    * @return (q_id, rank, n_id, adist) — rank ascending by approximate
+    *         squared distance, ties to the lowest n_id */
+  def ivfPqResidualTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, qIdCol: String, idCol: String, cidCol: String,
+      vecCol: String, k: Int, m: Int, subDim: Int, nprobe: Int = 2): DataFrame = {
+    val res = residuals(corpus, centroids, idCol, cidCol, vecCol)
+    val indexed = pqEncodeCarry(res, codebooks, idCol, "res", m, subDim,
+        carryCols = Seq("lcid"))
+      .select(col(idCol).as("n_id"), col("lcid"), col("codes"))
+    val cent = broadcast(centroids
+      .select(col(cidCol).as("lcid"), col(vecCol).cast("array<double>").as("l_vec")))
+    // nprobe nearest lists per query, carrying the list centroid so the
+    // query residual per probe is a zip_with away (no re-join)
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("ld"), col("lcid"))
+    val probes = queries
+      .select(col(qIdCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
+      .crossJoin(cent)
+      .withColumn("ld", l2DistSq(col("q_vec"), col("l_vec")))
+      .withColumn("__rn", row_number().over(probeW))
+      .where(col("__rn") <= nprobe)
+      .select(struct(col("q_id"), col("lcid")).as("__qp"),
+        zip_with(col("q_vec"), col("l_vec"), (a, b) => a - b).as("q_res"))
+    // per-(query, probe) LUT — the same pqLut both gated ADC paths use
+    val lut = pqLut(probes, codebooks, "__qp", "q_res", m, subDim)
+      .select(col("q_id").getField("q_id").as("q_id"),
+        col("q_id").getField("lcid").as("lcid"), col("lut"))
+    val scored = broadcast(lut)
+      .join(indexed, Seq("lcid"))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.VectorFunctions.adcDistance(
+          col("codes"), col("lut")).as("adist"))
+    rankTopK(scored.withColumn("sim", -col("adist")), Seq("q_id"), k)
+      .select(col("q_id"), col("rank"), col("n_id"), (-col("sim")).as("adist"))
+  }
+
+  /** Coarse-assignment residuals: each vector's displacement from its
+    * nearest centroid (argmin L2, ties to the lowest cid) — the frame
+    * residual PQ codebooks train on and [[ivfPqResidualTopK]] encodes.
+    * One corpus pass: argmin against the BROADCAST centroid set, then a
+    * broadcast re-join recovers the centroid vector for the subtraction.
+    * @return (idCol, lcid, res) */
+  def residuals(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, cidCol: String, vecCol: String): DataFrame = {
+    val cent = broadcast(centroids
+      .select(col(cidCol).as("lcid"), col(vecCol).cast("array<double>").as("l_vec")))
+    corpus
+      .select(col(idCol).as("__rid"), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(cent)
+      .select(col("__rid"), col("__v"),
+        struct(l2DistSq(col("__v"), col("l_vec")).as("d"), col("lcid").as("c")).as("dc"))
+      .groupBy(col("__rid"))
+      .agg(min(col("dc")).getField("c").as("lcid"), first(col("__v")).as("__v"))
+      .join(cent, Seq("lcid"))
+      .select(col("__rid").as(idCol), col("lcid"),
+        zip_with(col("__v"), col("l_vec"), (a, b) => a - b).as("res"))
+  }
+
+  /** PQ quantization error — the index-quality audit every PQ deployment
+    * tracks (Jégou et al. report it alongside recall): per vector, the sum
+    * over subspaces of the squared distance to the chosen codeword; here
+    * aggregated corpus-wide. The per-(vector, sub) min distances are
+    * floored to integer NANO-units before summing, so the corpus total is
+    * an exact BIGINT sum (order-independent — a raw double sum would round
+    * differently under Spark's partition order vs any replay) and the MSE
+    * is a single final division.
+    * @return one row (n_vectors, err_nano_total, quant_mse) */
+  def pqQuantizationError(corpus: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
+    val cb = broadcast(pqNormalizeCodebook(codebooks))
+    pqSliced(corpus, idCol, vecCol, m, subDim)
+      .join(cb, Seq("sub"))
+      .select(col("__pid"), col("sub"),
+        l2DistSq(col("s_vec"), col("c_vec")).as("d2"))
+      .groupBy(col("__pid"), col("sub"))
+      .agg(min(col("d2")).as("mind2"))
+      .select(col("__pid"),
+        floor(col("mind2") * lit(1e9)).cast("long").as("e"))
+      .agg(countDistinct(col("__pid")).as("n_vectors"),
+        sum(col("e")).as("err_nano_total"))
+      .select(col("n_vectors"), col("err_nano_total"),
+        (col("err_nano_total").cast("double") / lit(1e9) /
+          col("n_vectors").cast("double")).as("quant_mse"))
   }
 
   /** Embedding-cosine near-duplicate pairs within buckets (dedup use-case):

@@ -24,22 +24,38 @@ import org.apache.spark.sql.Dataset
   * exchange is exactly the wrong-answer hazard above). Every runner here
   * (Verify, Bench, the specs) executes catalog queries sequentially; a
   * concurrent runner must scope queries to separate processes or add a
-  * per-query handle discipline before sharing a session.
+  * per-query handle discipline before sharing a session. ENFORCED: while
+  * handles are live, [[register]] from a second thread throws — a future
+  * parallel runner fails loudly at its first pinned query instead of
+  * silently recomputing a pinned range exchange under a racing release.
   */
 object Caches {
 
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val owner = new java.util.concurrent.atomic.AtomicReference[Thread](null)
 
-  /** Track a persisted dataset for later [[releaseAll]]; returns it. */
-  def register[T](ds: Dataset[T]): Dataset[T] = { live.add(ds); ds }
+  /** Track a persisted dataset for later [[releaseAll]]; returns it.
+    * Throws [[IllegalStateException]] if another thread holds live
+    * handles (the single-runner contract above). */
+  def register[T](ds: Dataset[T]): Dataset[T] = {
+    val me = Thread.currentThread()
+    val prev = owner.compareAndExchange(null, me)
+    if (prev != null && (prev ne me))
+      throw new IllegalStateException(
+        s"Caches: register from '${me.getName}' while '${prev.getName}' holds " +
+          "live handles — the registry supports ONE in-flight query; run " +
+          "concurrent queries in separate processes (see the class contract)")
+    live.add(ds); ds
+  }
 
-  /** Unpersist every registered dataset (non-blocking) and clear the
-    * registry; returns how many handles were released. Idempotent —
-    * unpersisting an already-released dataset is a no-op in Spark. */
+  /** Unpersist every registered dataset (non-blocking), clear the registry,
+    * and release ownership; returns how many handles were released.
+    * Idempotent — unpersisting an already-released dataset is a no-op. */
   def releaseAll(): Int = {
     var n = 0
     var ds = live.poll()
     while (ds != null) { ds.unpersist(false); n += 1; ds = live.poll() }
+    owner.set(null)
     n
   }
 }

@@ -40,4 +40,32 @@ class CacheReleaseSpec extends SparkTestBase {
     Caches.releaseAll()
     Caches.releaseAll() shouldBe 0
   }
+
+  test("register from a second thread while handles are live fails loudly") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val pinned = Caches.register(Seq(1, 2, 3).toDS().persist())
+    try {
+      // same thread: re-register is fine (one query pins several frames)
+      Caches.register(Seq(4).toDS().persist())
+      // second thread while live: the single-runner contract violation
+      @volatile var caught: Option[Throwable] = None
+      val t = new Thread(() => {
+        val ds = Seq(5).toDS().persist()
+        try Caches.register(ds)
+        catch { case e: Throwable => caught = Some(e) }
+        finally ds.unpersist(true) // rejected handle must not leak a cache
+      }, "cache-contract-intruder")
+      t.start(); t.join()
+      caught.map(_.getClass) shouldBe Some(classOf[IllegalStateException])
+      caught.get.getMessage should include("ONE in-flight query")
+    } finally {
+      Caches.releaseAll()
+      pinned.unpersist(true)
+    }
+    // after release, a different thread may own the registry again
+    val t2 = new Thread(() => Caches.register(Seq(6).toDS().persist()), "next-runner")
+    t2.start(); t2.join()
+    Caches.releaseAll() shouldBe 1
+  }
 }

@@ -189,4 +189,69 @@ class TimeSeriesSpec extends SparkTestBase {
       }
     }
   }
+
+  test("spike TWS with TTL enabled still equals batch spikeDetect (within-TTL parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.analytics.TimeSeries.DayPoint
+    // TTL far above the test's wall clock, so nothing expires: the gate is
+    // that the ProcessingTime time-mode + per-entry TTL config changes NO
+    // result within the TTL window. (Actual expiry is wall-clock-driven and
+    // cannot be pinned deterministically in a unit test — the writeback
+    // policy that makes expiry safe for active series is unit-tested below.)
+    // NOTE: under TimeMode.ProcessingTime the engine keeps scheduling
+    // batches for timer/TTL housekeeping, and `processAllAvailable` never
+    // observes the settled state it waits for (it livelocks) — so this test
+    // POLLS the sink for the expected row count instead. Each input point
+    // emits exactly one update-mode row, so the expected count is exact.
+    withRocksDb {
+      val mem = MemoryStream[DayPoint]
+      val q = TimeSeries.spikeStreamTws(
+          mem.toDS(), ttl = Some(java.time.Duration.ofHours(1)))
+        .writeStream.outputMode("update").format("memory")
+        .queryName("spike_ttl_spec")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+        .start()
+      try {
+        def awaitRows(n: Long): Unit = {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (spark.table("spike_ttl_spec").count() < n) {
+            if (System.nanoTime() > deadline)
+              fail(s"sink never reached $n rows (TTL-mode stream stalled)")
+            Thread.sleep(200)
+          }
+        }
+        val (first, rest) = spikeDays.partition(_._2 <= 7)
+        mem.addData(first.map(p => DayPoint(p._1, p._2, p._3)): _*)
+        awaitRows(first.size.toLong)
+        mem.addData(rest.map(p => DayPoint(p._1, p._2, p._3)): _*)
+        awaitRows(spikeDays.size.toLong)
+        val streamed = spark.table("spike_ttl_spec")
+          .select("key", "day", "cnt", "trailSum", "trailDays", "isSpike")
+          .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq.sorted
+        val batch = TimeSeries.spikeDetect(
+            spikeDays.toDF("key", "day", "cnt"), Seq("key"), "day", "cnt")
+          .select("key", "day", "cnt", "trail_sum", "trail_days", "is_spike")
+          .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq.sorted
+        streamed shouldBe batch
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("spike_ttl_spec")
+      }
+    }
+  }
+
+  test("MapState writeback policy: delta without TTL, full refresh with TTL") {
+    val before = Map(1L -> 10L, 2L -> 20L, 3L -> 30L)
+    val after = Map(2L -> 20L, 3L -> 31L, 4L -> 40L) // 1 evicted, 2 same, 3 changed, 4 new
+    // no TTL: per-entry delta — unchanged entry 2 is NOT rewritten
+    val (rm, up) = TimeSeries.mapStateWriteback(before, after, refreshAll = false)
+    rm.toSet shouldBe Set(1L)
+    up.toMap shouldBe Map(3L -> 31L, 4L -> 40L)
+    // TTL: every surviving entry rewritten, renewing its per-entry TTL
+    // clock — otherwise an ACTIVE series' stable older days would expire
+    // out from under it (trail_sum silently shrinking vs batch)
+    val (rmT, upT) = TimeSeries.mapStateWriteback(before, after, refreshAll = true)
+    rmT.toSet shouldBe Set(1L)
+    upT.toMap shouldBe after
+  }
 }
