@@ -8331,7 +8331,249 @@ object SparkEntry {
         qeraw.e AS err_nano_nores, qeres.e AS err_nano_res,
         qeraw.e::DOUBLE / 1000000000 / qeraw.n AS quant_mse_nores,
         qeres.e::DOUBLE / 1000000000 / qeres.n AS quant_mse_res
-      FROM hn CROSS JOIN hr CROSS JOIN qeraw CROSS JOIN qeres"""))
+      FROM hn CROSS JOIN hr CROSS JOIN qeraw CROSS JOIN qeres""")),
+
+    // REAL image decode (javax.imageio, no stub): per doc a deterministic
+    // grayscale PNG is synthesized (w = 4 + id%5, h = 3 + id%4, pixel
+    // (x,y) = (id·31 + x·7 + y·13) mod 256 — Multimodal.synthPixel), every
+    // 50th payload is CORRUPTED to exercise the skip-and-flag path (one
+    // bad blob must never kill a 100 TB scan), and ImageIO decodes the
+    // rest back. PNG is lossless, so the decoded width/height/band-count/
+    // pixel-sum must equal the oracle's pure-arithmetic recomputation of
+    // the generation formula — a real codec round trip, hash-gated.
+    // Scale shape: synthesis and decode are partition-batched maps; only
+    // small feature rows survive past the decode (payloads never shuffle).
+    ("q214_image_decode", (s, dir) => {
+      import s.implicits._
+      val specs = T(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        (lit(4) + col("doc_id") % 5).cast("int").as("w"),
+        (lit(3) + col("doc_id") % 4).cast("int").as("h"))
+      val media = Multimodal.synthesizePngs(specs)
+        .withColumn("payload",
+          when(col("id") % 50 === 0, lit("notanimage".getBytes("UTF-8")))
+            .otherwise(col("payload")))
+      Multimodal.decodeImages(media)
+        .toDF()
+        .select(col("id").as("doc_id"), col("decodeOk").as("decode_ok"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("nBands").cast("long").as("n_bands"), col("pxSum").as("px_sum"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+               doc_id % 50 = 0 AS corrupt
+        FROM documents),
+      px AS (
+        SELECT d.doc_id, CAST(sum((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256) AS BIGINT) AS s
+        FROM d
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
+        CROSS JOIN (SELECT unnest(range(0, 6)) AS y) y
+        WHERE x.x < d.w AND y.y < d.h
+        GROUP BY d.doc_id)
+      SELECT d.doc_id,
+        NOT d.corrupt AS decode_ok,
+        CAST(CASE WHEN d.corrupt THEN 0 ELSE d.w END AS BIGINT) AS width,
+        CAST(CASE WHEN d.corrupt THEN 0 ELSE d.h END AS BIGINT) AS height,
+        CAST(CASE WHEN d.corrupt THEN 0 ELSE 1 END AS BIGINT) AS n_bands,
+        CASE WHEN d.corrupt THEN 0 ELSE px.s END AS px_sum
+      FROM d JOIN px ON px.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
+    // The reference's §3.1 lifecycle as ONE oracle-gated dataflow, driven
+    // over REAL HTTP (MainController.java:29-61): POST start → dim load →
+    // Spark query up → producer up; GET status mid-flight; POST stop →
+    // producer down first, query drained (drain direction); GET status
+    // after. The pipeline under control is the reference's own dataflow
+    // (kill lines + damage lines → parse → union → stateful stats), the
+    // HTTP transcript is pinned INTO the result (`lifecycle` column — any
+    // deviation fails every row's hash), the internal ordering is
+    // require()-asserted, and the sink table hash-gates against the
+    // relational recomputation — so the control plane is catalog-covered,
+    // not just spec-covered. VERIFICATION-HARNESS BOUNDARY (q19): memory
+    // sink + collect hand the streamed stats to the batch oracle.
+    ("q215_control_plane", (s, dir) => {
+      import graft.streaming.{HttpControlPlane, Pipeline, PipelineOrchestrator, StreamController}
+      val ev = T(s, dir, "events")
+      // q16/q17's line derivations with round = 1 + uid % 19 (never 0, so
+      // damagePerRound stays NaN-free — the A4 /0 edge has its own spec)
+      val killLines = ev.select(concat_ws(",",
+        lit("x"), (col("event_id") * 128).cast("string"),
+        (lit(1) + col("user_id") % 19).cast("string"),
+        when(col("event_type") === "purchase",
+          concat(lit("P"), col("user_id").cast("string"))).otherwise(lit("")),
+        concat(lit("S"), col("user_id").cast("string")),
+        lit("x"), lit("x"),
+        when(col("value") > 100, concat(lit("V"), col("user_id").cast("string"))).otherwise(lit("")),
+        concat(lit("T"), col("user_id").cast("string")),
+        lit("x"), lit("x"),
+        when(col("event_type") === "view", concat(lit("A"), col("user_id").cast("string")))
+          .when(col("event_type") === "click", lit("0")).otherwise(lit("")),
+        concat(lit("U"), col("user_id").cast("string"))
+      ).as("value"))
+      val damageLines = ev.select(concat_ws(",",
+        lit("x"), (col("event_id") * 128).cast("string"),
+        (lit(1) + col("user_id") % 19).cast("string"),
+        lit("x"), lit("x"),
+        (lit(100) + col("event_id") % 37).cast("string"),
+        (col("event_id") % 29).cast("string"),
+        lit("x"), lit("x"),
+        when(col("event_type") === "error", lit(""))
+          .otherwise(concat(lit("S"), col("user_id").cast("string"))),
+        lit("x")
+      ).as("value"))
+      val tmp = graft.util.Staging.dir("q215_lines", dir) { p =>
+        killLines.coalesce(1).write.mode("overwrite").parquet(s"$p/kills")
+        damageLines.coalesce(1).write.mode("overwrite").parquet(s"$p/damages")
+      }
+      val qname = "graft_ctrl_pipeline"
+      val order = scala.collection.mutable.ListBuffer[String]()
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val (schema, rows, lifecycle) =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val controller = new StreamController(() => {
+            order += "query-start"
+            Pipeline.playerStats(
+                s.readStream.schema("value STRING").parquet(s"$tmp/kills"),
+                s.readStream.schema("value STRING").parquet(s"$tmp/damages"))
+              .writeStream.outputMode("update").format("memory")
+              .queryName(qname).start()
+          })
+          val orch = new PipelineOrchestrator(
+            loadDimension = () => {
+              // the reference loads its player dimension before the query
+              order += "dim-load"
+              T(s, dir, "customer").limit(1).count(): Unit
+            },
+            controller = controller,
+            producerStart = () => order += "producer-start",
+            producerStop = () => order += "producer-stop")
+          val http = new HttpControlPlane(orch, port = 0)
+          http.start()
+          val transcript =
+            try {
+              val base = s"http://127.0.0.1:${http.boundPort}"
+              def call(method: String, path: String): String = {
+                val conn = new java.net.URL(base + path).openConnection()
+                  .asInstanceOf[java.net.HttpURLConnection]
+                conn.setRequestMethod(method)
+                val body = new String(conn.getInputStream.readAllBytes(),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                conn.disconnect()
+                body
+              }
+              val t1 = call("POST", "/api/stream/start")
+              val t2 = call("GET", "/api/status")
+              // drain the staged files through the RUNNING query, then stop
+              s.streams.active.find(_.name == qname)
+                .getOrElse(sys.error("control plane did not start the query"))
+                .processAllAvailable()
+              val t3 = call("POST", "/api/stream/stop")
+              val t4 = call("GET", "/api/status")
+              Seq(t1, t2, t3, t4)
+            } finally http.shutdown()
+          require(order.toSeq ==
+            Seq("dim-load", "query-start", "producer-start", "producer-stop"),
+            s"reference lifecycle ordering violated: $order")
+          val out = s.table(qname)
+          // q19's multi-batch-robust selector: last cumulative-complete row
+          val w = Window.partitionBy(col("steamId"))
+            .orderBy(
+              (col("kills") + col("deaths") + col("assists") + col("damage")).desc,
+              col("second").desc)
+          val res = out
+            .withColumn("rn", row_number().over(w))
+            .withColumn("second",
+              max(col("second")).over(Window.partitionBy(col("steamId"))))
+            .where(col("rn") === 1).drop("rn")
+          (res.schema, res.collect(), transcript.mkString("|"))
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          s.catalog.dropTempView(qname)
+        }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .withColumn("lifecycle", lit(lifecycle))
+        .orderBy(col("steamId"))
+    }, Some("""
+      WITH ev AS (
+        SELECT ('P' || CAST(user_id AS VARCHAR)) AS pname,
+               ('S' || CAST(user_id AS VARCHAR)) AS sid,
+               'kill' AS et, event_id AS sec, CAST(0 AS BIGINT) AS amt,
+               1 + user_id % 19 AS rnd
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT ('V' || CAST(user_id AS VARCHAR)), ('T' || CAST(user_id AS VARCHAR)),
+               'death', event_id, CAST(0 AS BIGINT), 1 + user_id % 19
+        FROM events WHERE value > 100
+        UNION ALL
+        SELECT ('A' || CAST(user_id AS VARCHAR)), ('U' || CAST(user_id AS VARCHAR)),
+               'assist', event_id, CAST(0 AS BIGINT), 1 + user_id % 19
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT '', ('S' || CAST(user_id AS VARCHAR)),
+               'damage', event_id, (100 + event_id % 37) - (event_id % 29),
+               1 + user_id % 19
+        FROM events WHERE event_type IS DISTINCT FROM 'error'),
+      agg AS (
+        SELECT sid,
+          COALESCE(MAX(CASE WHEN pname <> '' THEN pname END), '') AS pn,
+          GREATEST(MAX(sec), 0) AS sec,
+          COUNT(*) FILTER (WHERE et = 'kill') AS kills,
+          COUNT(*) FILTER (WHERE et = 'death') AS deaths,
+          COUNT(*) FILTER (WHERE et = 'assist') AS assists,
+          CAST(COALESCE(SUM(amt) FILTER (WHERE et = 'damage'), 0) AS BIGINT) AS damage,
+          GREATEST(MAX(rnd), 0) AS rnd
+        FROM ev GROUP BY sid)
+      SELECT pn AS "playerName", sid AS "steamId", sec AS "second",
+             kills, deaths, assists, damage,
+             CASE WHEN deaths = 0 THEN CAST(kills AS DOUBLE)
+                  ELSE CAST(kills AS DOUBLE) / deaths END AS "kdRatio",
+             CAST(damage AS DOUBLE) / rnd AS "damagePerRound",
+             'Started|Running|Stopped|Stopped' AS lifecycle
+      FROM agg ORDER BY "steamId"""")),
+
+    // REAL image resize (decode → nearest-neighbor resample → PNG
+    // re-encode → decode again): every synthetic PNG (q214's formula,
+    // varying source geometry) is resized to a FIXED 4×3 — the
+    // resize-to-model-input step every vision pipeline runs — and the
+    // RE-DECODED pixels must equal the oracle's pure arithmetic
+    // (sx = x·w div 4, sy = y·h div 3; two lossless PNG round trips, so
+    // the whole chain is exact). Payloads shrink to the target geometry
+    // and never shuffle; only feature rows leave the partition.
+    ("q216_image_resize", (s, dir) => {
+      val specs = T(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        (lit(4) + col("doc_id") % 5).cast("int").as("w"),
+        (lit(3) + col("doc_id") % 4).cast("int").as("h"))
+      val resized = Multimodal.resizeImages(
+          Multimodal.synthesizePngs(specs).toDF(), dw = 4, dh = 3)
+        .toDF()
+        .select(col("id"), col("payload"), col("mimeType"))
+      Multimodal.decodeImages(resized)
+        .toDF()
+        .select(col("id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("pxSum").as("px_sum"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        FROM documents),
+      px AS (
+        SELECT d.doc_id,
+          CAST(sum((d.doc_id * 31 + ((x.x * d.w) // 4) * 7
+                    + ((y.y * d.h) // 3) * 13) % 256) AS BIGINT) AS s
+        FROM d
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS x) x
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS y) y
+        GROUP BY d.doc_id)
+      SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+             px.s AS px_sum
+      FROM d JOIN px USING (doc_id)
+      ORDER BY doc_id"""))
   )
 
   // ------------------------------------------------------- driver contract

@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column handling: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata alongside. The Spark-side plumbing —
-  * schema, partition sizing, batch shape — is real; the codec step is a
-  * clearly-marked deterministic STUB (no image/audio libraries exist in this
-  * environment; at deployment, swap `stubDecode` for a real codec keeping the
-  * same signature).
+  * schema, partition sizing, batch shape — is real. Codecs: PNG/JPEG decode
+  * is REAL ([[decodeImage]], the JDK's own `javax.imageio` — no external
+  * libraries), with [[synthPngBytes]] generating deterministic fixture
+  * payloads whose decoded pixel sums an oracle can recompute arithmetically;
+  * the audio/video steps remain clearly-marked deterministic STUBs (no such
+  * libraries exist in this environment; at deployment, swap `stubDecode` /
+  * `stubResize` / `stubFrameSample` for real codecs keeping the signatures).
   *
   * Scale notes: payloads dominate row size, so (a) never shuffle the binary
   * column — derive features first, then drop it; (b) size
@@ -115,4 +118,128 @@ object Multimodal {
     expr(s"CAST(octet_length(CAST($payloadExpr AS BINARY)) AS BIGINT)").as("n_bytes"),
     expr(s"hex(CAST(substr($payloadExpr, 1, 4) AS BINARY))").as("head_hex"),
     expr(s"CAST(ascii($payloadExpr) AS BIGINT)").as("first_byte"))
+
+  // ------------------------------------------------- REAL codec (javax.imageio)
+
+  final case class SynthSpec(id: Long, w: Int, h: Int)
+  final case class DecodedImage(
+      id: Long, decodeOk: Boolean, width: Int, height: Int,
+      nBands: Int, pxSum: Long)
+
+  /** Grayscale pixel formula the synthetic PNGs carry — FIXED so an oracle
+    * can recompute the decoded pixel sum arithmetically:
+    * px(id, x, y) = (id·31 + x·7 + y·13) mod 256. PNG is lossless, so the
+    * encode→decode round trip returns these exact values. */
+  def synthPixel(id: Long, x: Int, y: Int): Int =
+    (((id * 31 + x * 7 + y * 13) % 256) + 256).toInt % 256
+
+  /** Encode one deterministic grayscale PNG via the JDK's ImageIO — a real
+    * codec, no external libraries. */
+  def synthPngBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, synthPixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Partition-batched synthetic-PNG generation: (id, w, h) specs → media
+    * rows with REAL image payloads. The fixture seam for the decode gate —
+    * at deployment, payloads arrive from the ingest tier instead. */
+  def synthesizePngs(specs: DataFrame): Dataset[MediaRow] = {
+    val spark = specs.sparkSession
+    import spark.implicits._
+    specs.as[SynthSpec].mapPartitions(_.map(s =>
+      MediaRow(s.id, synthPngBytes(s.id, s.w, s.h), "image/png")))
+  }
+
+  /** REAL image decode (the deployment replacement for [[stubDecode]],
+    * same partition-batched shape): ImageIO sniffs and decodes the payload;
+    * an undecodable payload yields a `decodeOk = false` row with zeroed
+    * features instead of failing the batch — the skip-and-flag behavior a
+    * production media pipeline needs, since one corrupt blob must never
+    * kill a 100 TB scan. Output rows carry only small features (the
+    * payload is dropped before any shuffle). */
+  def decodeImage(row: MediaRow): DecodedImage = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) DecodedImage(row.id, decodeOk = false, 0, 0, 0, 0L)
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(row.id, decodeOk = true, w, h, bands, sum)
+    }
+  }
+
+  /** Partition-batched real decode over a media table (ImageIO init and
+    * reader lookup amortize per partition, not per row). */
+  def decodeImages(media: DataFrame): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(decodeImage))
+  }
+
+  /** REAL image resize (the deployment replacement for [[stubResize]]):
+    * ImageIO decode → explicit nearest-neighbor resample → PNG re-encode.
+    * The source index mapping is exact integer arithmetic —
+    * `sx = (x·srcW) div dstW` — so an oracle can recompute every resized
+    * pixel from the generation formula; interpolating resizers (bilinear,
+    * Lanczos) would be deployment-quality but not arithmetic-replayable.
+    * Undecodable payloads flag (`resizeOk = false`, empty payload) instead
+    * of failing the batch. Grayscale output (band 0) — the fixture model;
+    * a multi-band deployment widens the inner loop, nothing else. */
+  def resizeImageNearest(row: MediaRow, dw: Int, dh: Int): ResizedMedia = {
+    require(dw > 0 && dh > 0, s"target geometry must be positive, got ${dw}x$dh")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) ResizedMedia(row.id, row.mimeType, 0, 0, Array.empty[Byte])
+    else {
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val src = img.getRaster
+      val out = new java.awt.image.BufferedImage(
+        dw, dh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val dst = out.getRaster
+      var y = 0
+      while (y < dh) {
+        val sy = y * sh / dh
+        var x = 0
+        while (x < dw) { dst.setSample(x, y, 0, src.getSample(x * sw / dw, sy, 0)); x += 1 }
+        y += 1
+      }
+      val bytes = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bytes)
+      ResizedMedia(row.id, "image/png", dw, dh, bytes.toByteArray)
+    }
+  }
+
+  /** Partition-batched real resize over a media table — decode, resample,
+    * re-encode per row with codec init amortized per partition. Output
+    * payloads shrink to the target geometry (the property that matters for
+    * shuffle planning downstream). */
+  def resizeImages(media: DataFrame, dw: Int, dh: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(resizeImageNearest(_, dw, dh)))
+  }
 }

@@ -33,6 +33,24 @@ object Sources {
   /** The source format [[kafkaLines]] resolves. */
   val KafkaFormat = "kafka"
 
+  /** True when the Spark Kafka connector is on the classpath — the
+    * opportunistic seam that upgrades the plan-level S1/S2 coverage to a
+    * live round trip wherever the deployment provides the jar (this
+    * sandbox does not ship it; verified per-round against
+    * /opt/spark/jars). Tests `assume` on this, so they run as real
+    * integration tests in a kafka-equipped environment and cancel — not
+    * silently pass — here. */
+  def kafkaConnectorAvailable: Boolean =
+    scala.util.Try(Class.forName(
+      "org.apache.spark.sql.kafka010.KafkaSourceProvider")).isSuccess
+
+  /** True when an embeddable Kafka broker is ALSO on the classpath (the
+    * server jar, beyond the connector) — the stronger precondition for a
+    * self-contained broker-in-process test. */
+  def kafkaBrokerAvailable: Boolean =
+    kafkaConnectorAvailable &&
+      scala.util.Try(Class.forName("kafka.server.KafkaConfig")).isSuccess
+
   /** The EXACT reader options [[kafkaLines]] sets, factored out so a test
     * can pin the option surface even where the connector jar is absent
     * (this sandbox): reference SparkStreamingService.java:124-132 sets
