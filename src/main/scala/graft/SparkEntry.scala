@@ -8573,7 +8573,56 @@ object SparkEntry {
       SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
              px.s AS px_sum
       FROM d JOIN px USING (doc_id)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // Gopher composite quality filter (Rae et al. 2021, Appendix A): the
+    // published rule set as ONE auditable operator — word-count bounds,
+    // mean-word-length window, stopword floor, alphabetic-word floor,
+    // duplicate-3-gram ceiling — with every signal, every per-rule
+    // verdict, and the composite keep in the row (a bare boolean cannot
+    // explain WHY a document died). All ratios are single divisions of
+    // integer counts, so the verdicts hash-gate bit-exact.
+    ("q217_gopher_rules", (s, dir) => {
+      TextAnalysis.gopherRules(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws
+        FROM documents WHERE text IS NOT NULL),
+      sc AS (
+        SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(len(text) - (len(ws) - 1) AS DOUBLE) / len(ws) AS avg_word_len,
+          CAST(len(list_filter(ws, w ->
+            list_contains(['the','a','of','and','to','in'], w))) AS DOUBLE)
+            / len(ws) AS stopword_ratio,
+          CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+            / len(ws) AS alpha_ratio
+        FROM t),
+      sh AS (
+        SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+          THEN list_transform(generate_series(1, len(ws) - 2),
+               i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
+          ELSE [text] END) AS g
+        FROM t),
+      gp AS (SELECT doc_id, g, count(*) AS c FROM sh GROUP BY 1, 2),
+      rep AS (
+        SELECT doc_id,
+          (CAST(sum(c) AS BIGINT) - count(*))::DOUBLE / CAST(sum(c) AS BIGINT) AS dup_frac
+        FROM gp GROUP BY doc_id)
+      SELECT sc.doc_id, sc.n_words, sc.avg_word_len, sc.stopword_ratio,
+        sc.alpha_ratio, rep.dup_frac,
+        sc.n_words >= 50 AND sc.n_words <= 100000 AS words_ok,
+        sc.avg_word_len >= 3.0 AND sc.avg_word_len <= 10.0 AS length_ok,
+        sc.stopword_ratio >= 0.06 AS stop_ok,
+        sc.alpha_ratio >= 0.8 AS alpha_ok,
+        rep.dup_frac <= 0.2 AS rep_ok,
+        (sc.n_words >= 50 AND sc.n_words <= 100000)
+          AND (sc.avg_word_len >= 3.0 AND sc.avg_word_len <= 10.0)
+          AND sc.stopword_ratio >= 0.06 AND sc.alpha_ratio >= 0.8
+          AND rep.dup_frac <= 0.2 AS keep
+      FROM sc JOIN rep USING (doc_id)
+      ORDER BY sc.doc_id"""))
   )
 
   // ------------------------------------------------------- driver contract

@@ -249,6 +249,56 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("cnt"))
   }
 
+  /** Gopher-style composite quality filter (Rae et al. 2021, Appendix A),
+    * on this engine's exact-arithmetic signals: a document survives only if
+    * its word count, mean word length, stopword ratio, alphabetic-word
+    * ratio, and duplicate-3-gram fraction all land inside the published
+    * bounds. Emits every measured signal, every per-rule verdict, and the
+    * composite `keep` — the auditable form a curation pipeline needs (a
+    * bare boolean cannot explain WHY a document died).
+    *
+    * Scale shape: the scalar signals are one codegen'd scan-stage pass
+    * (array HOFs over a materialized words column — never re-split per
+    * lambda); the repetition signal is the [[repetitionStats]] gram
+    * aggregation (the one shuffle, keyed by (doc, gram) with map-side
+    * partials) joined back by id. All ratios are single divisions of
+    * integer counts, so verdicts are bit-stable across engines. Docs with
+    * NULL text are excluded (they have no signals to judge). */
+  def gopherRules(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      minStopRatio: Double = 0.06, minAlphaRatio: Double = 0.8,
+      maxDupFrac: Double = 0.2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"word-count bounds must satisfy 1 <= min <= max, got [$minWords, $maxWords]")
+    val stopArr = array(stopwords.map(lit): _*)
+    val scalars = df
+      .where(col(textCol).isNotNull)
+      .withColumn("__w", words(col(textCol)))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_words"),
+        ((length(col(textCol)) - (size(col("__w")) - 1)).cast("double") /
+          size(col("__w"))).as("avg_word_len"),
+        (size(filter(col("__w"), x => array_contains(stopArr, x))).cast("double") /
+          size(col("__w"))).as("stopword_ratio"),
+        (size(filter(col("__w"), x => x.rlike("[a-z]"))).cast("double") /
+          size(col("__w"))).as("alpha_ratio"))
+    val rep = repetitionStats(df, idCol, textCol)
+      .select(col(idCol), col("dup_frac"))
+    scalars.join(rep, Seq(idCol))
+      .withColumn("words_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("length_ok",
+        col("avg_word_len") >= minAvgLen && col("avg_word_len") <= maxAvgLen)
+      .withColumn("stop_ok", col("stopword_ratio") >= minStopRatio)
+      .withColumn("alpha_ok", col("alpha_ratio") >= minAlphaRatio)
+      .withColumn("rep_ok", col("dup_frac") <= maxDupFrac)
+      .withColumn("keep",
+        col("words_ok") && col("length_ok") && col("stop_ok") &&
+          col("alpha_ok") && col("rep_ok"))
+  }
+
   /** Content fingerprint: md5 of the lowercased text — exact-dup key. */
   def fingerprintExact(c: Column): Column = md5(lower(c).cast("binary"))
 

@@ -270,4 +270,37 @@ class TextAnalysisSpec extends SparkTestBase {
     out shouldBe Seq((1, "a", 3L), (2, "b", 3L), (3, "c", 2L))
     an[IllegalArgumentException] should be thrownBy TextAnalysis.vocabTopK(df, "text", 0)
   }
+
+  test("gopherRules: each rule kills its own violator, the clean doc survives") {
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    val clean = (stops ++ (1 to 54).map(i => s"word$i")).mkString(" ")
+    val short = "the of a"
+    val caps = (1 to 60).map(i => s"WORD$i").mkString(" ")
+    val repeated = Seq.fill(60)("the").mkString(" ")
+    val longwords = (stops ++ (1 to 54).map(i => s"extraordinarily$i")).mkString(" ")
+    val df = Seq(
+      (1L, clean), (2L, short), (3L, caps), (4L, repeated), (5L, longwords))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((6L, Option.empty[String])).toDF("doc_id", "text"))
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (
+        r.getBoolean(r.fieldIndex("words_ok")),
+        r.getBoolean(r.fieldIndex("length_ok")),
+        r.getBoolean(r.fieldIndex("stop_ok")),
+        r.getBoolean(r.fieldIndex("alpha_ok")),
+        r.getBoolean(r.fieldIndex("rep_ok")),
+        r.getBoolean(r.fieldIndex("keep")))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L) // NULL text never judged
+    out(1L) shouldBe ((true, true, true, true, true, true))
+    out(2L)._1 shouldBe false // word count below the floor
+    out(2L)._6 shouldBe false
+    out(3L)._4 shouldBe false // no lowercase letters anywhere
+    out(3L)._6 shouldBe false
+    out(4L) shouldBe ((true, true, true, true, false, false)) // one gram, 58 copies
+    out(5L)._2 shouldBe false // mean word length above the ceiling
+    out(5L)._6 shouldBe false
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.gopherRules(df, "doc_id", "text", minWords = 10, maxWords = 5)
+  }
 }
