@@ -8622,7 +8622,162 @@ object SparkEntry {
           AND sc.stopword_ratio >= 0.06 AND sc.alpha_ratio >= 0.8
           AND rep.dup_frac <= 0.2 AS keep
       FROM sc JOIN rep USING (doc_id)
-      ORDER BY sc.doc_id"""))
+      ORDER BY sc.doc_id""")),
+
+    // DSIR importance scoring + top-k resampling (Xie et al. 2023): the
+    // English docs play the TARGET distribution, every other doc is the
+    // raw pool to be scored; hashed-bigram bucket profiles (64 buckets,
+    // shared 48-bit md5 prefix) give each pool doc an exact-BIGINT
+    // target-vs-raw evidence score, and the 100 best (score desc, id)
+    // are flagged. Every arithmetic step is integer (the log-ratio of the
+    // paper is linearized to a cross-difference — Sampling.dsirScores's
+    // docstring carries the equivalence and the production swap), so the
+    // gate hash-matches DuckDB exactly. Scale: one explode+reduce per
+    // corpus, B-row broadcast weight table, TakeOrderedAndProject top-k —
+    // no corpus-width shuffle beyond the (doc, bucket) reduce.
+    ("q218_dsir_selection", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = Sampling.dsirScores(
+        docs.where(col("lang") =!= "en"),
+        docs.where(col("lang") === "en"),
+        "doc_id", "text", buckets = 64)
+      Sampling.selectTopK(scored, col("doc_id"), col("score"), k = 100)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH pool AS (SELECT doc_id, text FROM documents WHERE lang <> 'en'),
+      tgt AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+      pg AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(g), 1, 12))::BIGINT % 64 AS b
+        FROM (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(ws) - 1),
+            i -> concat_ws(' ', ws[i], ws[i + 1]))) AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM pool WHERE text IS NOT NULL)
+          WHERE len(ws) >= 2)),
+      tg AS (
+        SELECT ('0x' || substr(md5(g), 1, 12))::BIGINT % 64 AS b
+        FROM (
+          SELECT unnest(list_transform(
+            generate_series(1, len(ws) - 1),
+            i -> concat_ws(' ', ws[i], ws[i + 1]))) AS g
+          FROM (SELECT string_split(text, ' ') AS ws
+                FROM tgt WHERE text IS NOT NULL)
+          WHERE len(ws) >= 2)),
+      pc AS (SELECT doc_id, b, count(*) AS c FROM pg GROUP BY 1, 2),
+      ct AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+      cr AS (SELECT b, sum(c) AS cr FROM pc GROUP BY b),
+      tot AS (
+        SELECT (SELECT sum(ct) FROM ct) AS nt, (SELECT sum(cr) FROM cr) AS nr),
+      w AS (
+        SELECT COALESCE(ct.b, cr.b) AS b,
+          (COALESCE(ct.ct, 0) + 1) * (COALESCE(tot.nr, 0) + 64)
+            - (COALESCE(cr.cr, 0) + 1) * (COALESCE(tot.nt, 0) + 64) AS w
+        FROM ct FULL OUTER JOIN cr ON ct.b = cr.b CROSS JOIN tot),
+      per AS (
+        SELECT pc.doc_id, CAST(sum(pc.c) AS BIGINT) AS n_grams,
+          CAST(sum(pc.c * w.w) AS BIGINT) AS score
+        FROM pc JOIN w USING (b) GROUP BY pc.doc_id),
+      allp AS (
+        SELECT p.doc_id,
+          COALESCE(per.n_grams, 0) AS n_grams,
+          COALESCE(per.score, 0) AS score
+        FROM pool p LEFT JOIN per USING (doc_id))
+      SELECT doc_id, n_grams, score,
+        row_number() OVER (ORDER BY score DESC, doc_id) <= 100 AS selected
+      FROM allp ORDER BY doc_id""")),
+
+    // SemDeDup over the embedding corpus: coarse centroids are the
+    // deterministic stride sample (every 100th vec_id — the q212 gate
+    // discipline; Similarity.fitCentroids is the production fit), pairs
+    // are compared ONLY within a cluster (pair space Σ|c|², never n²),
+    // the ≥0.25-cosine graph's star-contraction components are the
+    // duplicate groups, and each group keeps its LEAST-centroid-similar
+    // member (the paper's rule; ties by id). Cosines fold left-to-right
+    // in both engines, so sim_c and keep hash-gate exactly.
+    ("q219_semdedup", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cent = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      Dedup.semDedup(emb, cent, "vec_id", "embedding", "cid", "embedding",
+        threshold = 0.25)
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH RECURSIVE v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cent AS (SELECT vec_id AS cid, vec AS cv FROM v WHERE vec_id % 100 = 0),
+      sims AS (
+        SELECT a.vec_id AS id, c.cid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.cv)) + 1),
+            i -> a.vec[i] * c.cv[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * c.cv[i])))) AS s
+        FROM v a CROSS JOIN cent c),
+      assign AS (
+        SELECT id, cid, s AS sim_c FROM (
+          SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+          FROM sims) WHERE rn = 1),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id
+        JOIN v va ON va.vec_id = a.id JOIN v vb ON vb.vec_id = b.id
+        WHERE list_sum(list_transform(range(1, least(len(va.vec), len(vb.vec)) + 1),
+            i -> va.vec[i] * vb.vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(va.vec) + 1), i -> va.vec[i] * va.vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(vb.vec) + 1), i -> vb.vec[i] * vb.vec[i]))))
+            >= 0.25),
+      e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS label FROM e
+        UNION
+        SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.id),
+      cc AS (SELECT id, min(label) AS comp FROM reach GROUP BY id),
+      lab AS (
+        SELECT a.id, a.cid, a.sim_c, COALESCE(cc.comp, a.id) AS comp
+        FROM assign a LEFT JOIN cc ON cc.id = a.id),
+      keepers AS (
+        SELECT comp, id AS keep_id FROM (
+          SELECT comp, id, row_number() OVER (PARTITION BY comp ORDER BY sim_c, id) AS rn
+          FROM lab) WHERE rn = 1)
+      SELECT lab.id AS vec_id, lab.cid, lab.sim_c, lab.comp,
+             lab.id = keepers.keep_id AS keep
+      FROM lab JOIN keepers USING (comp) ORDER BY vec_id""")),
+
+    // Gopher's full per-n repetition signal family (top n-gram char
+    // fraction + duplicated n-gram char fraction for n = 2, 3, 4): one
+    // corpus pass with the n values exploded alongside the grams, exact
+    // BIGINT char mass, divisions last — q217's composite filter uses one
+    // dup signal; this is the per-n audit the paper actually thresholds.
+    ("q220_ngram_repetition", (s, dir) => {
+      TextAnalysis.ngramRepetition(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("n"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE text IS NOT NULL),
+      nn AS (SELECT unnest([2, 3, 4]) AS n),
+      g AS (
+        SELECT doc_id, n,
+          unnest(list_transform(generate_series(1, len(ws) - n + 1),
+            i -> array_to_string(ws[i : i + n - 1], ' '))) AS g
+        FROM t CROSS JOIN nn WHERE len(ws) >= n),
+      c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+      agg AS (
+        SELECT doc_id, n,
+          CAST(sum(c) AS BIGINT) AS n_grams,
+          CAST(sum(c * len(g)) AS BIGINT) AS total_chars,
+          CAST(sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END) AS BIGINT) AS dup_chars
+        FROM c GROUP BY 1, 2),
+      top AS (
+        SELECT doc_id, n, g AS top_gram, c * len(g) AS top_chars FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) AS rn
+          FROM c) WHERE rn = 1)
+      SELECT agg.doc_id, agg.n, agg.n_grams, top.top_gram,
+        top.top_chars::DOUBLE / agg.total_chars AS top_frac,
+        agg.dup_chars::DOUBLE / agg.total_chars AS dup_frac
+      FROM agg JOIN top USING (doc_id, n) ORDER BY doc_id, n"""))
   )
 
   // ------------------------------------------------------- driver contract

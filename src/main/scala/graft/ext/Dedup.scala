@@ -1201,4 +1201,71 @@ object Dedup {
       .where(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space
+    * deduplication that only ever compares WITHIN a coarse cluster.
+    *
+    * Every vector is assigned to its most-cosine-similar centroid
+    * (broadcast — the centroid table is k rows); pairs inside one cluster
+    * with cosine ≥ `threshold` form the semantic-duplicate graph; its
+    * connected components (star contraction, O(log d) alternations) are
+    * the duplicate groups, and per group the paper's keeper rule applies:
+    * KEEP the example LEAST similar to its centroid (ties → smaller id) —
+    * the most "extreme" representative — and drop the rest.
+    *
+    * Scale shape: the cluster assignment is one broadcast-product argmax
+    * (no shuffle of scores); the pair join is cluster-bucketed, so the pair
+    * space is Σ_c |c|² — the whole point of SemDeDup vs all-pairs cosine;
+    * components run on the (sparse) above-threshold edges only. Centroids
+    * come from the caller: [[Similarity.fitCentroids]] is the production
+    * fit, a deterministic stride-sample is the reproducible-gate form (the
+    * q212 discipline). The assigned frame feeds the two pair sides and the
+    * final report, so it is Caches-pinned and eagerly materialized.
+    *
+    * Returns one row per corpus vector: (`idCol`, cid, sim_c, comp, keep)
+    * where comp is the duplicate-group label (its minimal member id;
+    * singletons label themselves) and sim_c the similarity to the assigned
+    * centroid. */
+  def semDedup(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, cidCol: String, cVecCol: String,
+      threshold: Double, maxIter: Int = 25): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val cents = centroids.select(
+      col(cidCol).as("__cid"), col(cVecCol).cast("array<double>").as("__cv"))
+    val assigned = graft.util.Caches.register(corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("__v"), col("__cid"),
+        Similarity.cosine(col("__v"), col("__cv")).as("__s"))
+      .groupBy(col("id"))
+      .agg(
+        max_by(struct(col("__cid"), col("__s")), struct(col("__s"), -col("__cid"))).as("__best"),
+        first(col("__v")).as("__v"))
+      .select(col("id"), col("__v"),
+        col("__best.__cid").as("cid"), col("__best.__s").as("sim_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    assigned.count() // eager: three uncached consumers would race re-scans
+    val a = assigned.select(col("cid"), col("id").as("id_a"), col("__v").as("__va"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"), col("__v").as("__vb"))
+    val edges = a.join(b, Seq("cid"))
+      .where(col("id_a") < col("id_b"))
+      .where(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comps = connectedComponents(edges, "id_a", "id_b", maxIter,
+      starContraction = true)
+    val labeled = assigned.select(col("id"), col("cid"), col("sim_c"))
+      .join(comps, Seq("id"), "left")
+      .withColumn("comp", coalesce(col("cluster_id"), col("id").cast("long")))
+      .drop("cluster_id")
+    // keeper per duplicate group: least-similar-to-centroid, ties by id —
+    // a keyed min over (sim_c, id); groups are tiny, the exchange is O(|groups|)
+    val keepers = labeled.groupBy(col("comp"))
+      .agg(min(struct(col("sim_c"), col("id"))).as("__k"))
+      .select(col("comp"), col("__k.id").as("__keep_id"))
+    labeled.join(keepers, Seq("comp"))
+      .select(col("id").as(idCol), col("cid"), col("sim_c"), col("comp"),
+        (col("id") === col("__keep_id")).as("keep"))
+  }
 }

@@ -213,4 +213,89 @@ object Sampling {
       .withColumn("kept", col("cum_before_tokens") + col("__t") <= budgetTokens)
       .drop("__t")
   }
+
+  /** DSIR-style hashed n-gram importance scoring (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score every
+    * raw-pool document by how much more its hashed-bigram profile looks
+    * like the TARGET corpus than like the raw pool itself, so the top of
+    * the ranking is the raw data worth keeping.
+    *
+    * Features are word bigrams hashed into `buckets` buckets with the
+    * shared 48-bit md5 prefix (engine-reproducible). Per bucket g the
+    * add-one-smoothed evidence is the exact BIGINT cross-difference
+    *
+    *   w_g = (c_t[g]+1)·(N_r+B) − (c_r[g]+1)·(N_t+B)
+    *
+    * (positive iff the smoothed target rate c_t[g]/N_t exceeds the smoothed
+    * raw rate — the same sign as the paper's log p_t(g)/p_r(g), linearized
+    * so the gate stays EXACT integer arithmetic; the production swap back
+    * to log-ratio scores is a one-line change where approximate FP ranking
+    * is acceptable). A document's score is Σ_g c_doc[g]·w_g.
+    *
+    * Scale shape: one explode+reduce pass over each corpus; the per-doc
+    * bucket-count frame feeds BOTH the raw totals and the scoring join, so
+    * it is Caches-pinned (two uncached consumers would each re-scan the
+    * corpus); the B-row weight table and the 1-row totals are broadcast.
+    * Nothing wider than (docs × distinct buckets per doc) ever shuffles.
+    * BIGINT headroom: |w_g| ≤ (N_t+B)·(N_r+B) and scores sum ≤ tokens/doc
+    * of those, so ~1e18 overflows only past ~10^8-token corpora per side —
+    * at that scale swap the two totals factors to DECIMAL(38,0) or return
+    * to log-space doubles.
+    *
+    * Output: one row per raw doc (`idCol`, n_grams, score) — docs with <2
+    * words carry n_grams=0, score=0. */
+  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val ws = col("__ws")
+    def bucketCounts(df: DataFrame): DataFrame = df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("__ws"))
+      .where(size(ws) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(ws) - 1), i =>
+          concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))).as("__g"))
+      .select(col(idCol), (hash48(col("__g")) % buckets).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    // consumed twice (raw totals + scoring join) — pin the reduced frame
+    val rawCounts = graft.util.Caches.register(bucketCounts(raw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tCounts = bucketCounts(target)
+      .groupBy(col("__b")).agg(sum(col("__c")).as("__ct"))
+    val rCounts = rawCounts
+      .groupBy(col("__b")).agg(sum(col("__c")).as("__cr"))
+    val totals = tCounts.agg(sum(col("__ct")).as("__nt"))
+      .crossJoin(rCounts.agg(sum(col("__cr")).as("__nr")))
+    // B rows at most: full outer over the two count tables (a bucket can
+    // appear in only one corpus), then the exact cross-difference weight
+    val weights = tCounts.join(rCounts, Seq("__b"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"),
+        ((coalesce(col("__ct"), lit(0L)) + 1L) * (coalesce(col("__nr"), lit(0L)) + buckets) -
+         (coalesce(col("__cr"), lit(0L)) + 1L) * (coalesce(col("__nt"), lit(0L)) + buckets))
+          .as("__w"))
+    val per = rawCounts.join(broadcast(weights), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_grams"), sum(col("__c") * col("__w")).as("score"))
+    raw.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** Top-k selection over [[dsirScores]] output (or any scored frame):
+    * flags the k best rows by (`score` desc, `id` asc). The winner set is
+    * computed as orderBy+limit — Spark plans a DISTRIBUTED partial top-k
+    * (TakeOrderedAndProject), never a global single-partition sort — and
+    * joined back as a broadcast of k ids. Deterministic: the order key is
+    * total. Adds boolean `selected`. */
+  def selectTopK(scored: DataFrame, id: Column, score: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val winners = scored.orderBy(score.desc, id).limit(k)
+      .select(id.as("__sel_id")).withColumn("__sel", lit(true))
+    scored.join(broadcast(winners), id === col("__sel_id"), "left")
+      .withColumn("selected", coalesce(col("__sel"), lit(false)))
+      .drop("__sel_id", "__sel")
+  }
 }

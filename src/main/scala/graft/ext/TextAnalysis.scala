@@ -226,6 +226,48 @@ object TextAnalysis {
         ((sum(col("__c")) - count(lit(1))).cast("double") / sum(col("__c")))
           .as("dup_frac"))
 
+  /** Gopher's full n-gram repetition signal family (Rae et al. 2021,
+    * Appendix A.1.1), generalizing [[repetitionStats]] from one n to many:
+    * per (doc, n) the fraction of n-gram CHARACTERS claimed by the single
+    * most frequent n-gram (`top_frac` — ties break to the lexicographically
+    * smallest gram) and by all grams occurring ≥2 times (`dup_frac`), the
+    * two signals the paper thresholds per n. Character mass = count ×
+    * gram string length, all BIGINT until the final division, so both
+    * fractions are bit-stable across engines.
+    *
+    * Shape: ONE corpus pass — the n values explode alongside the grams
+    * (|ns|× row inflation of the gram stream, same asymptotics as running
+    * repetitionStats |ns| times but one scan), then two hash aggregations
+    * keyed (doc, n, gram) → (doc, n). The top gram is an exact min over
+    * a (−count, gram, charmass) struct — no per-group window, no sort.
+    * Docs with fewer than n words emit no row for that n. */
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be positive, got $ns")
+    val counts = df.where(col(textCol).isNotNull)
+      .withColumn("__ws", words(col(textCol)))
+      .select(col(idCol), col("__ws"), explode(array(ns.map(lit): _*)).as("n"))
+      .where(size(col("__ws")) >= col("n"))
+      .select(col(idCol), col("n"),
+        explode(transform(sequence(lit(1), size(col("__ws")) - col("n") + 1),
+          i => array_join(slice(col("__ws"), i, col("n")), " "))).as("__g"))
+      .groupBy(col(idCol), col("n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    counts
+      .withColumn("__cm", col("__c") * length(col("__g")).cast("long"))
+      .groupBy(col(idCol), col("n"))
+      .agg(
+        sum(col("__c")).as("n_grams"),
+        sum(col("__cm")).as("total_chars"),
+        min(struct((-col("__c")).as("nc"), col("__g").as("g"), col("__cm").as("cm")))
+          .as("__top"),
+        sum(when(col("__c") >= 2, col("__cm")).otherwise(0L)).as("dup_chars"))
+      .select(col(idCol), col("n"), col("n_grams"),
+        col("__top.g").as("top_gram"),
+        (col("__top.cm").cast("double") / col("total_chars")).as("top_frac"),
+        (col("dup_chars").cast("double") / col("total_chars")).as("dup_frac"))
+  }
+
   /** Global top-`k` token vocabulary with frequencies — the first pass of
     * any tokenizer/vocab build. One explode → hash aggregate keyed by token
     * (map-side partials collapse in-partition repeats, so the exchange

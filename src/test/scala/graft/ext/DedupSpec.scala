@@ -731,4 +731,38 @@ class DedupSpec extends SparkTestBase {
     // exactly one of the ten "dup dup dup dup" docs survives with text
     many.count(r => r._4.nonEmpty && r._1 % 4 == 0) shouldBe 1
   }
+
+  test("semDedup groups within clusters and keeps the least-centroid-similar member") {
+    import org.apache.spark.sql.DataFrame
+    val corpus: DataFrame = Seq(
+      (1L, Seq(1.0, 0.0)),    // cluster 0, sim_c = 1.0
+      (2L, Seq(1.0, 0.0)),    // exact dup of 1
+      (3L, Seq(0.6, 0.8)),    // assigns to cluster 1 (cos 0.8 beats 0.6)
+      (4L, Seq(0.0, 1.0)),    // cluster 1, sim_c = 1.0
+      (5L, Seq(0.1, 0.995))   // cluster 1, sim_c ≈ 0.995 — near-dup of 4
+    ).toDF("id", "vec")
+    val cents: DataFrame = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cvec")
+    val out = Dedup.semDedup(corpus, cents, "id", "vec", "cid", "cvec",
+        threshold = 0.99)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("cid")),
+        r.getLong(r.fieldIndex("comp")), r.getBoolean(r.fieldIndex("keep"))))
+    // doc 3 assigns to cluster 1 (cos 0.8 > 0.6) but is below threshold
+    // with both members, so it stays a singleton
+    val byId = out.map(t => t._1 -> t).toMap
+    byId(1L)._2 shouldBe 0L
+    byId(2L)._2 shouldBe 0L
+    byId(3L)._2 shouldBe 1L
+    // dup groups: {1,2} labeled 1; {4,5} labeled 4; 3 labels itself
+    out.map(t => t._1 -> t._3).toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L)
+    // keeper of {1,2}: sim_c ties at 1.0 → smaller id (1); keeper of
+    // {4,5}: doc 5 is LESS similar to the centroid → 5 kept, 4 dropped
+    out.map(t => t._1 -> t._4).toMap shouldBe
+      Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.semDedup(corpus, cents, "id", "vec", "cid", "cvec", threshold = 0.0)
+    graft.util.Caches.releaseAll()
+  }
 }

@@ -224,6 +224,40 @@ class SamplingSpec extends SparkTestBase {
     grown.filter(_._1 == "b") shouldBe small.filter(_._1 == "b")
   }
 
+  test("dsirScores ranks target-like pool docs above target-unlike ones, exactly") {
+    // 2^20 buckets ⇒ no collisions among 4 distinct grams, so the exact
+    // cross-difference weights are hand-computable:
+    //   target "alpha beta alpha beta": c_t = {ab:2, ba:1}, N_t = 3
+    //   pool A "alpha beta alpha":      grams ab, ba        (target-like)
+    //   pool B "zeta eta theta":        grams ze, et        (target-unlike)
+    //   N_r = 4;  B = 2^20
+    //   w(ab) = 3(4+B) − 2(3+B) = B+6;  w(ba) = 2(4+B) − 2(3+B) = 2
+    //   w(ze) = w(et) = 1(4+B) − 2(3+B) = −B−2
+    val buckets = 1 << 20
+    val target = Seq((10L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "zeta eta theta"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = Sampling.dsirScores(pool, target, "doc_id", "text", buckets)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = buckets.toLong
+    out shouldBe Seq(
+      (1L, 2L, (b + 6L) + 2L),
+      (2L, 2L, 2L * (-b - 2L)),
+      (3L, 0L, 0L))
+    val sel = Sampling.selectTopK(
+        Sampling.dsirScores(pool, target, "doc_id", "text", buckets),
+        col("doc_id"), col("score"), k = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(r.fieldIndex("selected"))))
+    sel shouldBe Seq((1L, true), (2L, false), (3L, false))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.dsirScores(pool, target, "doc_id", "text", 0)
+    graft.util.Caches.releaseAll()
+  }
+
   test("budgetCappedSelection keeps the maximal quality-first prefix per group") {
     val df = Seq(
       // group a: scores rank docs 1 > 2 > 3; tokens 6, 3, 2; budget 10

@@ -303,4 +303,28 @@ class TextAnalysisSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       TextAnalysis.gopherRules(df, "doc_id", "text", minWords = 10, maxWords = 5)
   }
+
+  test("ngramRepetition: exact per-n top-gram and duplicated-gram char fractions") {
+    val df = Seq(
+      (1L, "a b a b a"), // n=2: {a b:2, b a:2}; n=3: {a b a:2, b a b:1}; n=4: two singletons
+      (2L, "x y z"),     // n=2: two singletons; n=3: one gram; no n=4 row
+      (3L, "solo"),      // below every n — no rows
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetition(df, "doc_id", "text")
+      .orderBy("doc_id", "n").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getDouble(5)))
+    out shouldBe Seq(
+      // doc 1, n=2: 4 grams × 3 chars = 12; top "a b" (tie 2-2 → lexic.
+      // min) claims 6; every gram duplicated → dup mass 12
+      (1L, 2, 4L, "a b", 0.5, 1.0),
+      // n=3: mass 15; "a b a"×2 claims 10; "b a b" is a singleton
+      (1L, 3, 3L, "a b a", 10.0 / 15.0, 10.0 / 15.0),
+      // n=4: two distinct grams of 7 chars — no duplication
+      (1L, 4, 2L, "a b a b", 0.5, 0.0),
+      (2L, 2, 2L, "x y", 0.5, 0.0),
+      (2L, 3, 1L, "x y z", 1.0, 0.0))
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.ngramRepetition(df, "doc_id", "text", ns = Seq(0))
+  }
 }
