@@ -8777,7 +8777,93 @@ object SparkEntry {
       SELECT agg.doc_id, agg.n, agg.n_grams, top.top_gram,
         top.top_chars::DOUBLE / agg.total_chars AS top_frac,
         agg.dup_chars::DOUBLE / agg.total_chars AS dup_frac
-      FROM agg JOIN top USING (doc_id, n) ORDER BY doc_id, n"""))
+      FROM agg JOIN top USING (doc_id, n) ORDER BY doc_id, n""")),
+
+    // Edit-distance verification of the q23 LSH candidates — the exact
+    // precision stage of a character-level near-dup pipeline: banding
+    // proposes, Levenshtein disposes. The normalized verdict
+    // (lev·100 ≤ 20·max_len) is decided by integer cross-multiplication,
+    // so the boundary hash-gates exactly; the distances themselves are
+    // integers in both engines. Scale: two id-keyed hash joins move only
+    // candidate texts; production swaps in Spark's threshold-banded
+    // three-arg levenshtein (O(len·threshold) per pair) once the full
+    // distance no longer needs replaying.
+    ("q221_edit_verified_pairs", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      Dedup.editVerifiedPairs(docs, cands, "doc_id", "text", maxDistancePct = 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+        FROM docs),
+      mh AS (
+        SELECT doc_id, p,
+          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
+        FROM hashed CROSS JOIN range(16) t(p)),
+      sigs AS (
+        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
+        FROM mh GROUP BY doc_id, p // 4),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      t AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
+      SELECT id_a, id_b,
+        CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS lev,
+        CAST(greatest(len(ta.t), len(tb.t)) AS BIGINT) AS max_len,
+        levenshtein(ta.t, tb.t) * 100 <= greatest(len(ta.t), len(tb.t)) * 20 AS near
+      FROM cands JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
+      ORDER BY id_a, id_b""")),
+
+    // Sparse TF-IDF top-k neighbors — the inverted-index dual of the dense
+    // ANN family: pairs exist only where docs SHARE a 3-gram shingle (df
+    // between 2 and 50 — the stopword prune that also bounds posting
+    // fan-out), scored by the exact-BIGINT Σ tf_a·tf_b·(N div df)², so the
+    // commutative integer sum hash-gates across engines with no fold-order
+    // discipline needed.
+    ("q222_sparse_tfidf_topk", (s, dir) => {
+      TextAnalysis.sparseTfIdfTopK(T(s, dir, "documents"), "doc_id", "text",
+          k = 5, maxDf = 50L)
+        .orderBy(col("doc_id"), col("rank"))
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2]))
+            ELSE [text] END AS sh
+        FROM documents WHERE text IS NOT NULL),
+      tf AS (
+        SELECT doc_id, t, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(sh) AS t FROM docs) GROUP BY 1, 2),
+      dfr AS (
+        SELECT t, count(*)::BIGINT AS df FROM tf
+        GROUP BY t HAVING count(*) BETWEEN 2 AND 50),
+      n AS (SELECT count(*)::BIGINT AS n FROM docs),
+      posts AS (
+        SELECT tf.doc_id, tf.t, tf.tf, (n.n // dfr.df) AS w
+        FROM tf JOIN dfr USING (t) CROSS JOIN n),
+      pairs AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb,
+          CAST(sum(a.tf * b.tf * a.w * a.w) AS BIGINT) AS score
+        FROM posts a JOIN posts b ON a.t = b.t AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT ida AS doc_id, idb AS neighbor_id, score, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+          PARTITION BY ida ORDER BY score DESC, idb) AS INT) AS rank
+        FROM pairs)
+      WHERE rank <= 5 ORDER BY doc_id, rank"""))
   )
 
   // ------------------------------------------------------- driver contract

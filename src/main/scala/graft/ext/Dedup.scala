@@ -1268,4 +1268,37 @@ object Dedup {
       .select(col("id").as(idCol), col("cid"), col("sim_c"), col("comp"),
         (col("id") === col("__keep_id")).as("keep"))
   }
+
+  /** Edit-distance verification of LSH candidate pairs — the exact-verify
+    * stage of a character-level near-dup pipeline: MinHash banding proposes
+    * (cheap, recall-oriented), Levenshtein disposes (exact, precision).
+    * The candidate set comes from [[minhashCandidatePairs]] (or any
+    * (id_a, id_b) frame), texts are joined back (candidates are sparse —
+    * two hash joins keyed by id move only candidate texts, never the
+    * corpus cross product), and each pair gets its exact edit distance
+    * plus a NORMALIZED verdict: near ⇔ lev·100 ≤ pct·max(len_a, len_b),
+    * decided by integer cross-multiplication so the boundary is exact in
+    * every engine (a lev/maxLen double could round across the threshold).
+    *
+    * Levenshtein is O(len_a·len_b) PER PAIR — fine on verify-stage
+    * volumes, but at open-web document lengths cap the work: Spark's
+    * three-arg `levenshtein(l, r, threshold)` abandons a pair once the
+    * distance provably exceeds pct·maxLen/100 (banded DP, O(len·threshold))
+    * — the production swap once a gate no longer needs the full distance
+    * replayed by the oracle. Empty-vs-empty pairs (maxLen 0) are near.
+    *
+    * Output: (id_a, id_b, lev, max_len, near). */
+  def editVerifiedPairs(df: DataFrame, candidates: DataFrame,
+      idCol: String, textCol: String, maxDistancePct: Int): DataFrame = {
+    require(maxDistancePct >= 0 && maxDistancePct <= 100,
+      s"maxDistancePct must be in [0, 100], got $maxDistancePct")
+    val texts = df.select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+    candidates
+      .join(texts.select(col(idCol).as("id_a"), col("__t").as("__ta")), Seq("id_a"))
+      .join(texts.select(col(idCol).as("id_b"), col("__t").as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long").as("max_len"))
+      .withColumn("near", col("lev") * 100 <= col("max_len") * maxDistancePct)
+  }
 }

@@ -456,4 +456,67 @@ object TextAnalysis {
         when(col("n_bigrams") > 0,
           col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"))
   }
+
+  /** Sparse TF-IDF top-k similarity join — the inverted-index dual of the
+    * dense ANN family: each document's k most similar neighbors under a
+    * weighted shared-shingle score, computed entirely through term
+    * postings (a pair is ever considered only if the docs SHARE a term —
+    * the classic IR sparse join; no all-pairs product, no embeddings).
+    *
+    * Terms are the 3-word shingles of the dedup family; tf is the
+    * multiset shingle count. The idf surrogate is integral:
+    * w(t) = N div df(t) — monotone in the true log idf, and EXACT BIGINT,
+    * so pair scores Σ_t tf_a·tf_b·w(t)² are commutative integer sums that
+    * hash-gate across engines (the production swap to double log-idf is a
+    * one-line change where FP ranking is acceptable). Terms with df > `maxDf`
+    * are pruned (the stopword prune — it is also the SCALE contract: the
+    * posting-list fan-out per term is bounded by maxDf, so the pair space
+    * is ≤ maxDf·Σ df_t, linear in postings, never n²); df < 2 terms
+    * contribute no pairs and are dropped with the same filter.
+    *
+    * Shape: one corpus scan → (doc, term, tf) hash agg (persisted — the
+    * df aggregation and the pair join both consume it; at open-web scale
+    * swap to a reliable checkpoint) → per-term posting lists (≤ maxDf
+    * entries each, the [[Dedup.bucketPairs]] buffer discipline) → double
+    * explode emits BOTH pair directions pre-aggregation (2× exchange rows
+    * but ONE aggregation and no second persist; at extreme scale emit
+    * a<b and mirror after the aggregate) → per-doc top-k window over
+    * already-aggregated neighbor rows, keyed by doc. Ties break by
+    * neighbor id. Docs with no qualifying shared term emit no rows.
+    *
+    * Output: (`idCol`, neighbor_id, score, rank ≤ k). */
+  def sparseTfIdfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDf: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxDf >= 2, s"maxDf must be >= 2 to allow any pair, got $maxDf")
+    val tf = graft.util.Caches.register(df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(Dedup.shingles(col(textCol), words(col(textCol)))).as("__t"))
+      .groupBy(col("__id"), col("__t")).agg(count(lit(1)).as("__tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    tf.count() // eager: df agg + pair join would race an uncached persist
+    val dfr = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .where(col("__df").between(2L, maxDf))
+    val nDocs = df.where(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("__n"))
+    val lists = tf.join(dfr, Seq("__t"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__w", expr("__n div __df"))
+      .groupBy(col("__t"))
+      .agg(first(col("__w")).as("__w"),
+        collect_list(struct(col("__id"), col("__tf"))).as("__ps"))
+    val scores = lists
+      .select(col("__w"), explode(col("__ps")).as("__a"), col("__ps"))
+      .select(col("__w"), col("__a"), explode(col("__ps")).as("__b"))
+      .where(col("__a.__id") =!= col("__b.__id"))
+      .groupBy(col("__a.__id").as("__ida"), col("__b.__id").as("__idb"))
+      .agg(sum(col("__a.__tf") * col("__b.__tf") * col("__w") * col("__w")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__ida")).orderBy(col("score").desc, col("__idb"))
+    scores.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__ida").as(idCol), col("__idb").as("neighbor_id"),
+        col("score"), col("rank"))
+  }
 }

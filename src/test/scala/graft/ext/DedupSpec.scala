@@ -765,4 +765,29 @@ class DedupSpec extends SparkTestBase {
       Dedup.semDedup(corpus, cents, "id", "vec", "cid", "cvec", threshold = 0.0)
     graft.util.Caches.releaseAll()
   }
+
+  test("editVerifiedPairs: exact distances, integer-exact normalized verdict") {
+    val docs = Seq(
+      (1L, "kitten in the yard"),
+      (2L, "sitten in the yard"),   // lev 1 vs doc 1
+      (3L, "totally different words here"),
+      (4L, null.asInstanceOf[String]), // null → "" for distance purposes
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.editVerifiedPairs(docs, cands, "doc_id", "text", 20)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // (1,2): lev 1, max_len 18 → 100 ≤ 360 near; boundary check is
+    // cross-multiplied: lev·100 ≤ pct·max_len exactly
+    val byPair = out.map(t => (t._1, t._2) -> t).toMap
+    byPair((1L, 2L)) shouldBe ((1L, 2L, 1L, 18L, true))
+    byPair((1L, 3L))._3 should be > 10L
+    byPair((1L, 3L))._5 shouldBe false
+    // empty-vs-empty: max_len 0, lev 0 → 0 ≤ 0, near
+    byPair((4L, 5L)) shouldBe ((4L, 5L, 0L, 0L, true))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.editVerifiedPairs(docs, cands, "doc_id", "text", 101)
+  }
 }

@@ -327,4 +327,32 @@ class TextAnalysisSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       TextAnalysis.ngramRepetition(df, "doc_id", "text", ns = Seq(0))
   }
+
+  test("sparseTfIdfTopK: postings-only pairs, exact integer scores, per-doc rank") {
+    // docs 1/2 share "a b c"; doc 2/3 share "c d e"; docs 1 and 3 share
+    // NOTHING — the inverted index must never propose that pair
+    val df = Seq(
+      (1L, "a b c x1 x2"),
+      (2L, "a b c d e"),
+      (3L, "c d e y1 y2"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.sparseTfIdfTopK(df, "doc_id", "text", k = 5, maxDf = 50L)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    graft.util.Caches.releaseAll()
+    // N = 3 docs with text; shared shingles have df = 2 → w = 3 div 2 = 1;
+    // each shared shingle contributes tf·tf·w² = 1
+    val pairs = out.map(t => (t._1, t._2) -> t._3).toMap
+    pairs.keySet shouldBe Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    pairs((1L, 2L)) shouldBe 1L // one shared shingle "a b c"
+    pairs((2L, 3L)) shouldBe 1L
+    // symmetric scores, both directions emitted
+    pairs((2L, 1L)) shouldBe pairs((1L, 2L))
+    // doc 2 ranks its two neighbors deterministically (tie → smaller id)
+    out.filter(_._1 == 2L).map(t => (t._2, t._4)) shouldBe Seq((1L, 1), (3L, 2))
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.sparseTfIdfTopK(df, "doc_id", "text", k = 0, maxDf = 50L)
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.sparseTfIdfTopK(df, "doc_id", "text", k = 5, maxDf = 1L)
+  }
 }
