@@ -80,6 +80,45 @@ object SparkEntry {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Unrolled DuckDB replay of `k` BPE merge iterations over the documents
+    * word dict (the [[ext.Bpe]] semantics verbatim): w0 is the delimited
+    * initial encoding, each step counts adjacent symbol pairs, picks the
+    * deterministic argmax, and applies the plain-string merge — generated
+    * programmatically because the oracle must replay a data-dependent
+    * LOOP, which SQL can only express unrolled. Returns the WITH body;
+    * callers append their final SELECT over m1..mk / w{k}. */
+  private def bpeOracleCtes(k: Int): String = {
+    // every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
+    // w(i) that references w(i-1) twice (pair counts + merge) would expand
+    // 2^k subtrees of the base scan
+    val w0 = """w0 AS MATERIALIZED (
+        SELECT word, count(*)::BIGINT AS cnt,
+          regexp_replace(word, '(.)', '|\1|', 'g') || '|>|' AS sym
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE word <> '' GROUP BY word)"""
+    val steps = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+        SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS c FROM (
+          SELECT cnt, unnest(list_transform(generate_series(1, len(s) - 1),
+            j -> {'l': s[j], 'r': s[j + 1]})) AS p
+          FROM (SELECT cnt, string_split(substr(sym, 2, length(sym) - 2), '||') AS s
+                FROM w${i - 1})
+          WHERE len(s) >= 2)
+        GROUP BY 1, 2),
+      m$i AS MATERIALIZED (
+        SELECT $i AS step, l AS "left", r AS "right", l || r AS merged,
+          c AS pair_count
+        FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+      w$i AS MATERIALIZED (
+        SELECT word, cnt, replace(sym,
+          '|' || (SELECT "left" FROM m$i) || '||' || (SELECT "right" FROM m$i) || '|',
+          '|' || (SELECT merged FROM m$i) || '|') AS sym
+        FROM w${i - 1})"""
+    }
+    (w0 +: steps).mkString(",\n      ")
+  }
+
   // ------------------------------------------------------------- the catalog
 
   /** (name, spark impl, duckdb oracle SQL — None ⇒ rows-only check). */
@@ -8863,7 +8902,44 @@ object SparkEntry {
         SELECT *, CAST(row_number() OVER (
           PARTITION BY ida ORDER BY score DESC, idb) AS INT) AS rank
         FROM pairs)
-      WHERE rank <= 5 ORDER BY doc_id, rank"""))
+      WHERE rank <= 5 ORDER BY doc_id, rank""")),
+
+    // BPE vocabulary training (Sennrich et al. 2016) — 8 merge iterations
+    // over the corpus word-frequency dict. The oracle replays the full
+    // data-dependent loop UNROLLED (bpeOracleCtes): same delimited symbol
+    // encoding, same plain-replace greedy merge, same (count desc, pair
+    // lexicographic) argmax — so the learned merge table hash-gates
+    // end-to-end. Corpus pays ONE scan (the dict build); every iteration
+    // is vocabulary-sized.
+    ("q223_bpe_merges", (s, dir) => {
+      ext.Bpe.learnMerges(T(s, dir, "documents"), "text", merges = 8)
+        .orderBy(col("step"))
+    }, Some(s"""
+      WITH ${bpeOracleCtes(8)}
+      SELECT * FROM (
+        ${(1 to 8).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+      ORDER BY step""")),
+
+    // Tokenization with the learned merges: the 8 merges compose into ONE
+    // nested-replace projection — a single codegen'd corpus pass — and the
+    // per-doc token counts (eow symbols included) gate against the oracle
+    // re-deriving the same merges and applying them to the same words.
+    ("q224_bpe_tokenize", (s, dir) => {
+      ext.Bpe.learnAndTokenize(T(s, dir, "documents"), "doc_id", "text",
+          merges = 8)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH ${bpeOracleCtes(8)},
+      tok AS (
+        SELECT word, (length(sym) - length(replace(sym, '|', ''))) // 2 AS n_syms
+        FROM w8),
+      dw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+        CAST(sum(t.n_syms) AS BIGINT) AS n_tokens
+      FROM dw JOIN tok t USING (word) WHERE word <> ''
+      GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   // ------------------------------------------------------- driver contract

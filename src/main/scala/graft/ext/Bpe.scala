@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary learning and application (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units") —
+  * the tokenizer-training stage of an LLM data pipeline, distributed the
+  * way the textbook algorithm already wants to be: over the WORD-FREQUENCY
+  * dictionary, not the raw corpus. One corpus scan builds (word, count);
+  * every merge iteration then touches only the dict (O(vocabulary) rows —
+  * even a multilingual web crawl's word dict is billions at most, a frame
+  * Spark aggregates without ceremony), so corpus size pays exactly one
+  * pass no matter how many merges are learned.
+  *
+  * Symbol streams are encoded as delimited strings: every symbol is
+  * wrapped in single `sep` characters and symbols are concatenated, so a
+  * word's encoding is `|t||h||e||>|` (eow marker `>` is a symbol like any
+  * other, per the paper). The merge of pair (a, b) is then the PLAIN
+  * string replacement `|a||b|` → `|ab|` — leftmost, non-overlapping,
+  * sequential, which is precisely BPE's greedy merge semantics, and
+  * identical in Spark and DuckDB (`replace` in both engines scans
+  * left-to-right and resumes AFTER the replacement), so the whole
+  * training loop is replayable by the oracle. Delimiters double between
+  * symbols (`||`) exactly so that adjacent merge sites stay matchable:
+  * with single separators the trailing `|` of one match would consume the
+  * leading `|` of the next and plain replace would skip every second
+  * occurrence.
+  *
+  * The per-iteration argmax (ONE row: best pair by count desc, then
+  * lexicographic) is collected to the driver — the k-means discipline: a
+  * scalar per iteration, never the data. Each iteration's dict is
+  * persisted and the previous one released, so lineage stays one merge
+  * deep and the pair-count job rereads a vocabulary-sized cache.
+  *
+  * Requires `sep` and the eow marker to be absent from the corpus
+  * alphabet (enforced in the data path with `raise_error` naming the
+  * offending word — a silent collision would corrupt merge boundaries).
+  */
+object Bpe {
+
+  val Sep = "|"
+  val Eow = ">"
+
+  /** (word, cnt, sym) dict off one corpus scan; `sym` is the delimited
+    * initial encoding: each character a symbol, plus the eow symbol. */
+  private[ext] def wordDict(df: DataFrame, textCol: String): DataFrame = {
+    val word = col("word")
+    val guarded = when(
+      word.contains(Sep) || word.contains(Eow),
+      raise_error(concat(lit("Bpe: word contains a reserved delimiter: "), word)))
+      .otherwise(word)
+    df.where(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.words(col(textCol))).as("word"))
+      .where(word =!= "")
+      .groupBy(word).agg(count(lit(1)).as("cnt"))
+      .withColumn("sym",
+        concat(regexp_replace(guarded, "(.)", s"\\$Sep$$1\\$Sep"),
+          lit(s"$Sep$Eow$Sep")))
+  }
+
+  /** Adjacent-pair counts over a dict's symbol streams: split each stream
+    * back to symbols (strip the outer delimiters, split on the doubled
+    * inner one), zip neighbors, weight by word count. Map-side partials
+    * collapse in-dict repeats; the exchange carries (pair, partial). */
+  private[ext] def pairCounts(dict: DataFrame): DataFrame = {
+    val syms = split(
+      expr("substring(sym, 2, length(sym) - 2)"), "\\|\\|").as("__s")
+    dict
+      .select(col("cnt"), syms)
+      .where(size(col("__s")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("__s")) - 1),
+        i => struct(element_at(col("__s"), i).as("l"),
+          element_at(col("__s"), i + 1).as("r")))).as("__p"))
+      .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+  }
+
+  /** Learn `merges` BPE merge operations; returns the merge table
+    * (step, left, right, merged, pair_count) — `merges` rows, or fewer if
+    * the dict runs out of pairs first. Deterministic: the argmax breaks
+    * ties by count desc, then (left, right) lexicographic. */
+  def learnMerges(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges > 0, s"merges must be positive, got $merges")
+    val spark = df.sparkSession
+    var dict = graft.util.Caches.register(wordDict(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    dict.count()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val best = pairCounts(dict)
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val merged = l + r
+        learned += ((step, l, r, merged, c))
+        val next = graft.util.Caches.register(dict
+          .withColumn("sym", replace(col("sym"),
+            lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$merged$Sep")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        next.count() // materialize before releasing the parent iteration
+        dict.unpersist(false)
+        dict = next
+        step += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("step", "left", "right", "merged", "pair_count")
+  }
+
+  /** Tokenize a corpus with an ALREADY-LEARNED merge list, applied in
+    * order. The k merges compose into ONE nested-replace projection —
+    * a single codegen'd corpus pass, no iteration jobs, no shuffle beyond
+    * the final per-doc count. Emits (`idCol`, n_words, n_tokens) where
+    * n_tokens counts post-merge symbols INCLUDING each word's eow marker
+    * (the paper's symbol space). Null-text docs are excluded. */
+  def applyMerges(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc0 = {
+      val word = col("__w")
+      concat(regexp_replace(word, "(.)", s"\\$Sep$$1\\$Sep"), lit(s"$Sep$Eow$Sep"))
+    }
+    val encoded = merges.foldLeft[Column](enc0) { case (acc, (l, r)) =>
+      replace(acc, lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep${l + r}$Sep"))
+    }
+    // symbol count = half the delimiter count: every symbol carries
+    // exactly two `|`s in the delimited form
+    val nSyms = ((length(encoded) - length(replace(encoded, lit(Sep), lit("")))) / 2)
+      .cast("long")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(nSyms).as("n_tokens"))
+  }
+
+  /** [[applyMerges]] driven by a freshly-learned table — the end-to-end
+    * train-then-tokenize convenience; the merge table is vocabulary-scale
+    * metadata (k rows), so collecting it to the driver is the contract,
+    * not a compromise. */
+  def learnAndTokenize(df: DataFrame, idCol: String, textCol: String,
+      merges: Int): DataFrame = {
+    val table = learnMerges(df, textCol, merges)
+      .orderBy(col("step"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    applyMerges(df, idCol, textCol, table)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("wordDict encodes words as delimited symbol streams with eow") {
+    val df = Seq((1L, "the the cat")).toDF("doc_id", "text")
+    val d = Bpe.wordDict(df, "text").orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    d shouldBe Array(
+      ("cat", 1L, "|c||a||t||>|"),
+      ("the", 2L, "|t||h||e||>|"))
+  }
+
+  test("pairCounts weights by word count and never crosses words") {
+    val df = Seq((1L, "ab ab xy")).toDF("doc_id", "text")
+    val p = Bpe.pairCounts(Bpe.wordDict(df, "text"))
+      .orderBy("l", "r").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // "ab"×2 → (a,b)×2, (b,>)×2; "xy" → (x,y), (y,>); no (b,x) pair
+    p shouldBe Array(
+      ("a", "b", 2L), ("b", ">", 2L), ("x", "y", 1L), ("y", ">", 1L))
+  }
+
+  test("learnMerges: deterministic argmax, greedy non-overlapping merge") {
+    // "aaaa": after merging (a,a) the greedy left-to-right pass yields
+    // aa|aa — NOT aa|a|a or a|aa|a; the delimited plain-replace encoding
+    // must reproduce that, including at ADJACENT merge sites
+    val df = Seq((1L, "aaaa aaaa ab")).toDF("doc_id", "text")
+    val m = Bpe.learnMerges(df, "text", 2).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    graft.util.Caches.releaseAll()
+    // step 1 pairs: (a,a) count 3 per "aaaa" ×2 = 6 → best; and the
+    // greedy pass must yield aa|aa (two merge sites, ADJACENT), proving
+    // the doubled-delimiter encoding doesn't skip the second site
+    m(0) shouldBe ((1, "a", "a", "aa", 6L))
+    // step 2: "aaaa" is now |aa||aa||>| ×2 and "ab" |a||b||>|:
+    // (aa,aa)×2 ties (aa,>)×2 → lexicographic tie-break: ">" < "aa"
+    m(1) shouldBe ((2, "aa", ">", "aa>", 2L))
+  }
+
+  test("learnMerges stops early when no pairs remain") {
+    val df = Seq((1L, "a a a")).toDF("doc_id", "text")
+    // "a" = |a||>| : only pair (a,>); after merging it, streams are single
+    // symbols — no second merge exists
+    val m = Bpe.learnMerges(df, "text", 5).collect()
+    graft.util.Caches.releaseAll()
+    m.length shouldBe 1
+    m(0).getString(3) shouldBe "a>"
+  }
+
+  test("applyMerges tokenizes with one nested-replace pass; counts match learn-time dict") {
+    val df = Seq((1L, "aaaa ab"), (2L, "aaaa aaaa"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Bpe.learnAndTokenize(df, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.util.Caches.releaseAll()
+    // merges learned on docs 1+2: (a,a)→aa (count 3·3=9? — per "aaaa" 3
+    // pairs, 3 words → 9... regardless), then (aa,aa)→aaaa
+    // post-merge: "aaaa" → [aaaa, >] = 2 tokens; "ab" → [a, b, >] = 3
+    out shouldBe Array((1L, 2L, 5L), (2L, 2L, 4L))
+  }
+
+  test("reserved delimiter in a word fails loudly") {
+    val df = Seq((1L, "ok bad|word")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Bpe.learnMerges(df, "text", 1).collect()
+    }
+    graft.util.Caches.releaseAll()
+    ex.getMessage should include ("reserved delimiter")
+  }
+}
