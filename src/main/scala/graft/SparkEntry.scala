@@ -8939,6 +8939,79 @@ object SparkEntry {
       SELECT doc_id, count(*)::BIGINT AS n_words,
         CAST(sum(t.n_syms) AS BIGINT) AS n_tokens
       FROM dw JOIN tok t USING (word) WHERE word <> ''
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Tokenizer fertility audit — tokens-per-word by language, the
+    // standard multilingual-tokenizer health check (a vocabulary trained
+    // on skewed data over-fragments the under-represented languages).
+    // Integer token/word masses summed per language, ONE final division.
+    ("q225_bpe_fertility", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      ext.Bpe.learnAndTokenize(docs, "doc_id", "text", merges = 8)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_words"), sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("fertility",
+          col("n_tokens").cast("double") / col("n_words"))
+        .orderBy(col("lang"))
+    }, Some(s"""
+      WITH ${bpeOracleCtes(8)},
+      tok AS (
+        SELECT word, (length(sym) - length(replace(sym, '|', ''))) // 2 AS n_syms
+        FROM w8),
+      dw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL),
+      per AS (
+        SELECT doc_id, count(*)::BIGINT AS n_words,
+          CAST(sum(t.n_syms) AS BIGINT) AS n_tokens
+        FROM dw JOIN tok t USING (word) WHERE word <> '' GROUP BY doc_id)
+      SELECT d.lang, CAST(sum(per.n_words) AS BIGINT) AS n_words,
+        CAST(sum(per.n_tokens) AS BIGINT) AS n_tokens,
+        CAST(sum(per.n_tokens) AS DOUBLE) / sum(per.n_words) AS fertility
+      FROM per JOIN documents d USING (doc_id)
+      GROUP BY d.lang ORDER BY d.lang""")),
+
+    // Streaming tokenization — the production shape: the merge table is
+    // learned OFFLINE (batch, q223's loop), then the document stream is
+    // tokenized by a STATELESS per-row projection (tokenizeRowwise: no
+    // explode, no shuffle, no state — tokenize-on-ingest). Gated on
+    // q224's oracle VERBATIM: the stream must reproduce the batch
+    // tokenization exactly.
+    ("q226_bpe_stream", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = ext.Bpe.learnMerges(docs, "text", merges = 8)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val tmp = graft.util.Staging.dir("q226_docs", dir) { p =>
+        docs.select(col("doc_id"), col("text"))
+          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
+      }
+      val qname = "graft_bpe_stream"
+      val (schema, rows) =
+        try {
+          val stream = s.readStream
+            .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
+          val q = ext.Bpe.tokenizeRowwise(stream, "doc_id", "text", merges)
+            .writeStream.outputMode("append").format("memory").queryName(qname)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val res = s.table(qname)
+          (res.schema, res.collect())
+        } finally s.catalog.dropTempView(qname)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH ${bpeOracleCtes(8)},
+      tok AS (
+        SELECT word, (length(sym) - length(replace(sym, '|', ''))) // 2 AS n_syms
+        FROM w8),
+      dw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+        CAST(sum(t.n_syms) AS BIGINT) AS n_tokens
+      FROM dw JOIN tok t USING (word) WHERE word <> ''
       GROUP BY doc_id ORDER BY doc_id"""))
   )
 

@@ -375,6 +375,42 @@ object Stress {
       }
     }
 
+    if (want("bpe")) locally {
+      import graft.ext.Bpe
+      // merge iterations are vocabulary-sized, so the scale axis is the
+      // DICT, not the corpus: 500k distinct synthetic words (12-char hex
+      // strings — alphabet 16, so early merges have real competition),
+      // Zipf-ish counts. Then tokenization must stay one corpus pass:
+      // apply the learned merges row-wise over the replicated 100k docs.
+      val vocab = spark.range(500_000)
+        .select(col("id").as("doc_id"),
+          md5(col("id").cast("string")).substr(1, 12).as("text"),
+          (col("id") % 1000 + 1).as("w"))
+        .select(col("doc_id"),
+          // repeat each word `w mod 7 + 1` times so counts differ
+          array_join(array_repeat(col("text"), (col("w") % 7 + 1).cast("int")), " ").as("text"))
+        .localCheckpoint()
+      val merges = timed("BPE learn 16 merges / 500k-word dict") {
+        val m = Bpe.learnMerges(vocab, "text", 16)
+          .orderBy(col("step")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.util.Caches.releaseAll()
+        m
+      }
+      val grouped = timed("BPE tokenize 100k docs (grouped)") {
+        val t = Bpe.applyMerges(big, "doc_id", "text", merges)
+        val total = t.agg(count(lit(1)), sum(col("n_tokens"))).head
+        println(s"[stress]   tokenized docs = ${total.getLong(0)}, " +
+          s"tokens = ${total.getLong(1)}")
+        total.getLong(1)
+      }
+      timed("BPE tokenize 100k docs (rowwise)") {
+        val t = Bpe.tokenizeRowwise(big, "doc_id", "text", merges)
+        val total = t.agg(sum(col("n_tokens"))).head.getLong(0)
+        assert(total == grouped, s"rowwise $total != grouped $grouped")
+      }
+    }
+
     if (want("decontam")) locally {
       import graft.ext.Dedup
       // eval suite = a 2% slice of the originals, corpus = the replicated

@@ -30,8 +30,13 @@ import org.apache.spark.sql.functions._
   * The per-iteration argmax (ONE row: best pair by count desc, then
   * lexicographic) is collected to the driver — the k-means discipline: a
   * scalar per iteration, never the data. Each iteration's dict is
-  * persisted and the previous one released, so lineage stays one merge
-  * deep and the pair-count job rereads a vocabulary-sized cache.
+  * `localCheckpoint`ed: persist alone does NOT truncate lineage, and a
+  * k-deep chain of nested cached plans makes analysis + codegen cost grow
+  * superlinearly (measured: step 13 of a 500k-word dict jumped 1 s → 60 s
+  * under persist; flat ~1 s/step checkpointed). Checkpoint blocks are
+  * weakly referenced, so stale iterations are reclaimed by the
+  * ContextCleaner without bookkeeping. On a real cluster swap for a
+  * reliable `checkpoint` — localCheckpoint blocks die with an executor.
   *
   * Requires `sep` and the eow marker to be absent from the corpus
   * alphabet (enforced in the data path with `raise_error` naming the
@@ -44,20 +49,12 @@ object Bpe {
 
   /** (word, cnt, sym) dict off one corpus scan; `sym` is the delimited
     * initial encoding: each character a symbol, plus the eow symbol. */
-  private[ext] def wordDict(df: DataFrame, textCol: String): DataFrame = {
-    val word = col("word")
-    val guarded = when(
-      word.contains(Sep) || word.contains(Eow),
-      raise_error(concat(lit("Bpe: word contains a reserved delimiter: "), word)))
-      .otherwise(word)
+  private[ext] def wordDict(df: DataFrame, textCol: String): DataFrame =
     df.where(col(textCol).isNotNull)
       .select(explode(TextAnalysis.words(col(textCol))).as("word"))
-      .where(word =!= "")
-      .groupBy(word).agg(count(lit(1)).as("cnt"))
-      .withColumn("sym",
-        concat(regexp_replace(guarded, "(.)", s"\\$Sep$$1\\$Sep"),
-          lit(s"$Sep$Eow$Sep")))
-  }
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("sym", encodeWord(col("word"), Nil))
 
   /** Adjacent-pair counts over a dict's symbol streams: split each stream
     * back to symbols (strip the outer delimiters, split on the doubled
@@ -84,9 +81,7 @@ object Bpe {
   def learnMerges(df: DataFrame, textCol: String, merges: Int): DataFrame = {
     require(merges > 0, s"merges must be positive, got $merges")
     val spark = df.sparkSession
-    var dict = graft.util.Caches.register(wordDict(df, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    dict.count()
+    var dict = wordDict(df, textCol).localCheckpoint(true)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -98,19 +93,37 @@ object Bpe {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         val merged = l + r
         learned += ((step, l, r, merged, c))
-        val next = graft.util.Caches.register(dict
+        dict = dict
           .withColumn("sym", replace(col("sym"),
             lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$merged$Sep")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        next.count() // materialize before releasing the parent iteration
-        dict.unpersist(false)
-        dict = next
+          .localCheckpoint(true) // truncate: plan depth stays ONE merge
         step += 1
       }
     }
     import spark.implicits._
     learned.toSeq.toDF("step", "left", "right", "merged", "pair_count")
   }
+
+  /** The delimited encoding of one word column, with `merges` applied in
+    * order as a single nested-replace expression chain. */
+  private[ext] def encodeWord(word: Column, merges: Seq[(String, String)]): Column = {
+    // same fail-loudly contract as wordDict: a reserved char in the input
+    // would silently corrupt merge boundaries and symbol counts
+    val guarded = when(word.contains(Sep) || word.contains(Eow),
+      raise_error(concat(lit("Bpe: word contains a reserved delimiter: "), word)))
+      .otherwise(word)
+    val enc0 = concat(regexp_replace(guarded, "(.)", s"\\$Sep$$1\\$Sep"),
+      lit(s"$Sep$Eow$Sep"))
+    merges.foldLeft[Column](enc0) { case (acc, (l, r)) =>
+      replace(acc, lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep${l + r}$Sep"))
+    }
+  }
+
+  /** Symbol count of a delimited encoding = half its delimiter count:
+    * every symbol carries exactly two `sep`s in the delimited form. */
+  private[ext] def symCount(encoded: Column): Column =
+    ((length(encoded) - length(replace(encoded, lit(Sep), lit("")))) / 2)
+      .cast("long")
 
   /** Tokenize a corpus with an ALREADY-LEARNED merge list, applied in
     * order. The k merges compose into ONE nested-replace projection —
@@ -120,23 +133,31 @@ object Bpe {
     * (the paper's symbol space). Null-text docs are excluded. */
   def applyMerges(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val enc0 = {
-      val word = col("__w")
-      concat(regexp_replace(word, "(.)", s"\\$Sep$$1\\$Sep"), lit(s"$Sep$Eow$Sep"))
-    }
-    val encoded = merges.foldLeft[Column](enc0) { case (acc, (l, r)) =>
-      replace(acc, lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep${l + r}$Sep"))
-    }
-    // symbol count = half the delimiter count: every symbol carries
-    // exactly two `|`s in the delimited form
-    val nSyms = ((length(encoded) - length(replace(encoded, lit(Sep), lit("")))) / 2)
-      .cast("long")
+    val nSyms = symCount(encodeWord(col("__w"), merges))
     df.where(col(textCol).isNotNull)
       .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("__w"))
       .where(col("__w") =!= "")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(nSyms).as("n_tokens"))
   }
+
+  /** [[applyMerges]] as a PURE PER-ROW PROJECTION — no explode, no
+    * shuffle, no state: the word array is materialized once per row (the
+    * HOF-lambda discipline) and the per-word symbol counts fold inside the
+    * row. Exactly the shape a STREAMING tokenizer needs (tokenize-on-
+    * ingest is a stateless map over the document stream once the merge
+    * table is learned offline), and result-identical to the grouped form
+    * on any batch frame. */
+  def tokenizeRowwise(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .withColumn("__ws",
+        filter(TextAnalysis.words(col(textCol)), w => w =!= ""))
+      .where(size(col("__ws")) > 0) // grouped-form parity: no-word docs emit nothing
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        aggregate(col("__ws"), lit(0L),
+          (acc, w) => acc + symCount(encodeWord(w, merges))).as("n_tokens"))
 
   /** [[applyMerges]] driven by a freshly-learned table — the end-to-end
     * train-then-tokenize convenience; the merge table is vocabulary-scale

@@ -64,6 +64,19 @@ class BpeSpec extends SparkTestBase {
     out shouldBe Array((1L, 2L, 5L), (2L, 2L, 4L))
   }
 
+  test("tokenizeRowwise agrees with the grouped form on any frame") {
+    val df = Seq((1L, "aaaa ab"), (2L, "aaaa  aaaa x"), (3L, "q"),
+      (4L, null.asInstanceOf[String]), (5L, "")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("aa", ">"))
+    val grouped = Bpe.applyMerges(df, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rowwise = Bpe.tokenizeRowwise(df, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rowwise shouldBe grouped
+    // doubled separator produces an empty word — dropped by both forms
+    grouped.find(_._1 == 2L).get._2 shouldBe 3L
+  }
+
   test("reserved delimiter in a word fails loudly") {
     val df = Seq((1L, "ok bad|word")).toDF("doc_id", "text")
     val ex = intercept[Exception] {
