@@ -314,4 +314,35 @@ object Profiling {
           .as("guarantee_ok"))
   }
 
+  /** Curation attrition report — the audit a filtering pipeline owes its
+    * operators: given per-document boolean verdicts (one per pipeline
+    * stage, ORDERED as the pipeline applies them), ONE hash aggregation
+    * keyed by the verdict combination yields (a) the upset counts (how
+    * many docs land in every verdict combination — the overlap structure
+    * a Venn/UpSet plot draws) and (b) `funnel_depth`, the number of
+    * LEADING stages a combination survives, from which the sequential
+    * attrition curve (survivors after stage k = Σ counts with depth ≥ k)
+    * is a k-row rollup. Optional `massCol` sums a weight (chars, tokens,
+    * bytes) alongside the doc counts, since curation decisions are about
+    * retained MASS, not row counts.
+    *
+    * NULL verdicts (a doc absent from some stage's frame after a left
+    * join) count as false — the conservative reading: an unjudged doc did
+    * not survive that stage. Scale: the exchange carries at most
+    * 2^|verdicts| rows; everything else is scan-stage. */
+  def attritionReport(df: DataFrame, verdictCols: Seq[String],
+      massCol: Option[String] = None): DataFrame = {
+    require(verdictCols.nonEmpty, "attritionReport needs at least one verdict column")
+    val vs = verdictCols.map(v => coalesce(col(v), lit(false)).as(v))
+    val base = df.select(vs ++ massCol.map(col(_)): _*)
+    val depth = verdictCols.zipWithIndex
+      .foldRight(lit(verdictCols.size): Column) { case ((v, i), acc) =>
+        when(!col(v), lit(i)).otherwise(acc)
+      }
+    val aggs = count(lit(1)).as("n_docs") +:
+      massCol.toSeq.map(c => sum(col(c)).as("mass"))
+    base.groupBy(verdictCols.map(col(_)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("funnel_depth", depth)
+  }
 }

@@ -160,4 +160,26 @@ class ProfilingSpec extends SparkTestBase {
       df.withColumn("__lo_p50", lit(1)), Seq("g"), "x", Seq("p50" -> 0.5))
       .columns should contain("p50")
   }
+
+  test("attritionReport: upset counts, mass, leading-prefix funnel depth, null=false") {
+    val df = Seq(
+      (1L, Some(true), Some(true), 10L),   // survives both → depth 2
+      (2L, Some(true), Some(false), 20L),  // dies at stage 2 → depth 1
+      (3L, Some(false), Some(true), 40L),  // dies at stage 1 → depth 0
+      (4L, None, Some(true), 80L),         // null verdict counts as FALSE
+      (5L, Some(true), Some(true), 160L)
+    ).toDF("id", "v_a", "v_b", "chars")
+    val out = Profiling.attritionReport(df, Seq("v_a", "v_b"), Some("chars"))
+      .orderBy("v_a", "v_b").collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    out shouldBe Array(
+      (false, true, 2L, 120L, 0),   // docs 3+4 (null folded to false)
+      (true, false, 1L, 20L, 1),
+      (true, true, 2L, 170L, 2))
+    // without a mass column the schema is verdicts + n_docs + depth
+    Profiling.attritionReport(df, Seq("v_a")).columns shouldBe
+      Array("v_a", "n_docs", "funnel_depth")
+    an[IllegalArgumentException] should be thrownBy
+      Profiling.attritionReport(df, Seq.empty)
+  }
 }
