@@ -9082,6 +9082,91 @@ object SparkEntry {
         CAST(sum(n_chars) AS BIGINT) AS mass,
         CASE WHEN NOT v_lang THEN 0 WHEN NOT v_quality THEN 1
              WHEN NOT v_dedup THEN 2 ELSE 3 END AS funnel_depth
+      FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // q227's attrition report computed ON THE STREAM: quality verdicts are
+    // the stateless ROWWISE Gopher projection (filter-on-ingest — law-
+    // tested ≡ the grouped form), the dedup verdict is a stream-static
+    // join against the precomputed keeper store (the q188 discipline: the
+    // store is an ingest-time artifact that pre-exists the stream), and
+    // the funnel itself is the one stateful op — a ≤8-group streaming
+    // aggregation in complete mode. Gated on q227's oracle VERBATIM.
+    ("q228_stream_curation_funnel", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val tmp = graft.util.Staging.dir("q228_docs", dir) { p =>
+        docs.select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
+        Dedup.exactDupGroups(docs, "doc_id", md5(col("text").cast("binary")))
+          .select(col("keep_id").as("doc_id"), lit(true).as("v_dedup"))
+          .write.mode("overwrite").parquet(s"$p/store")
+      }
+      val store = s.read.parquet(s"$tmp/store")
+      val qname = "graft_stream_funnel"
+      val (schema, rows) =
+        try {
+          val stream = s.readStream
+            .schema("doc_id LONG, text STRING, lang STRING, n_chars LONG")
+            .parquet(s"$tmp/stream")
+          val verdicts = TextAnalysis.gopherRulesRowwise(stream, "text")
+            .select(col("doc_id"),
+              coalesce(col("lang") === "en", lit(false)).as("v_lang"),
+              col("keep").as("v_quality"), col("n_chars"))
+            .join(store, Seq("doc_id"), "left")
+          val q = ext.Profiling.attritionReport(verdicts,
+              Seq("v_lang", "v_quality", "v_dedup"), Some("n_chars"))
+            .writeStream.outputMode("complete").format("memory").queryName(qname)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val res = s.table(qname)
+          (res.schema, res.collect())
+        } finally s.catalog.dropTempView(qname)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy(col("v_lang"), col("v_quality"), col("v_dedup"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws
+        FROM documents WHERE text IS NOT NULL),
+      sc AS (
+        SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(len(text) - (len(ws) - 1) AS DOUBLE) / len(ws) AS avg_word_len,
+          CAST(len(list_filter(ws, w ->
+            list_contains(['the','a','of','and','to','in'], w))) AS DOUBLE)
+            / len(ws) AS stopword_ratio,
+          CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+            / len(ws) AS alpha_ratio
+        FROM t),
+      sh AS (
+        SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+          THEN list_transform(generate_series(1, len(ws) - 2),
+               i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
+          ELSE [text] END) AS g
+        FROM t),
+      gp AS (SELECT doc_id, g, count(*) AS c FROM sh GROUP BY 1, 2),
+      rep AS (
+        SELECT doc_id,
+          (CAST(sum(c) AS BIGINT) - count(*))::DOUBLE / CAST(sum(c) AS BIGINT) AS dup_frac
+        FROM gp GROUP BY doc_id),
+      q AS (
+        SELECT sc.doc_id,
+          (sc.n_words >= 50 AND sc.n_words <= 100000)
+            AND (sc.avg_word_len >= 3.0 AND sc.avg_word_len <= 10.0)
+            AND sc.stopword_ratio >= 0.06 AND sc.alpha_ratio >= 0.8
+            AND rep.dup_frac <= 0.2 AS v_quality
+        FROM sc JOIN rep USING (doc_id)),
+      k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      v AS (
+        SELECT d.doc_id,
+          COALESCE(d.lang = 'en', false) AS v_lang,
+          COALESCE(q.v_quality, false) AS v_quality,
+          (k.doc_id IS NOT NULL) AS v_dedup,
+          d.n_chars
+        FROM documents d LEFT JOIN q USING (doc_id) LEFT JOIN k USING (doc_id))
+      SELECT v_lang, v_quality, v_dedup,
+        count(*)::BIGINT AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS mass,
+        CASE WHEN NOT v_lang THEN 0 WHEN NOT v_quality THEN 1
+             WHEN NOT v_dedup THEN 2 ELSE 3 END AS funnel_depth
       FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 

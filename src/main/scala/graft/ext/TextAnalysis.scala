@@ -457,6 +457,53 @@ object TextAnalysis {
           col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"))
   }
 
+  /** [[gopherRules]] as a PURE PER-ROW PROJECTION — no shuffle, no join,
+    * no state: every signal folds inside the row (the duplicate-3-gram
+    * fraction reduces to `(|grams| − |distinct grams|) / |grams|` over the
+    * row's own shingle array, which is exactly [[repetitionStats]]'
+    * `(Σc − #grams) / Σc` computed locally). This is the shape a STREAMING
+    * quality gate needs — filter-on-ingest over a document stream — and is
+    * law-tested result-identical to the grouped form on any batch frame.
+    * APPENDS the signal/verdict columns to the input frame (a projection
+    * preserves its input, and a stream consumer usually needs the original
+    * columns downstream); null-text rows are excluded like the grouped
+    * form. */
+  def gopherRulesRowwise(
+      df: DataFrame, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      minStopRatio: Double = 0.06, minAlphaRatio: Double = 0.8,
+      maxDupFrac: Double = 0.2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"word-count bounds must satisfy 1 <= min <= max, got [$minWords, $maxWords]")
+    val stopArr = array(stopwords.map(lit): _*)
+    val ws = col("__gr_ws")
+    val sh = col("__gr_sh")
+    df.where(col(textCol).isNotNull)
+      .withColumn("__gr_ws", words(col(textCol)))
+      .withColumn("__gr_sh", Dedup.shingles(col(textCol), ws))
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("avg_word_len",
+        (length(col(textCol)) - (size(ws) - 1)).cast("double") / size(ws))
+      .withColumn("stopword_ratio",
+        size(filter(ws, x => array_contains(stopArr, x))).cast("double") / size(ws))
+      .withColumn("alpha_ratio",
+        size(filter(ws, x => x.rlike("[a-z]"))).cast("double") / size(ws))
+      .withColumn("dup_frac",
+        (size(sh) - size(array_distinct(sh))).cast("double") / size(sh))
+      .withColumn("words_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("length_ok",
+        col("avg_word_len") >= minAvgLen && col("avg_word_len") <= maxAvgLen)
+      .withColumn("stop_ok", col("stopword_ratio") >= minStopRatio)
+      .withColumn("alpha_ok", col("alpha_ratio") >= minAlphaRatio)
+      .withColumn("rep_ok", col("dup_frac") <= maxDupFrac)
+      .withColumn("keep",
+        col("words_ok") && col("length_ok") && col("stop_ok") &&
+          col("alpha_ok") && col("rep_ok"))
+      .drop("__gr_ws", "__gr_sh")
+  }
+
   /** Sparse TF-IDF top-k similarity join — the inverted-index dual of the
     * dense ANN family: each document's k most similar neighbors under a
     * weighted shared-shingle score, computed entirely through term

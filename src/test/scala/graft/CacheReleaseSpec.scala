@@ -12,7 +12,7 @@ class CacheReleaseSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("q25/q127/q145/q153/q161/q179/q193/q194/q200/q206/q207/q209/q210 leave no persistent RDDs after releaseAll") {
+  test("q25/q127/q145/q153/q161/q179/q193/q194/q200/q206/q207/q209/q210/q218/q219/q222 leave no persistent RDDs after releaseAll") {
     // start clean so a leak from another suite can't mask or fail this one
     Caches.releaseAll()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
@@ -22,12 +22,13 @@ class CacheReleaseSpec extends SparkTestBase {
                   "q179_pack_manifest", "q193_bloom_decontaminate",
                   "q194_bigram_lm", "q200_training_snapshot",
                   "q206_count_min", "q207_pps_sample", "q209_training_order",
-                  "q210_perplexity_buckets")) {
+                  "q210_perplexity_buckets", "q218_dsir_selection",
+                  "q219_semdedup", "q222_sparse_tfidf_topk")) {
       SparkEntry.queries(q)(spark, dir).write
         .format("noop").mode("overwrite").save() // materialize like a runner
       released += Caches.releaseAll()
     }
-    released should be >= 13 // each query pinned at least one frame
+    released should be >= 16 // each query pinned at least one frame
     // localCheckpoint blocks (q153's CC iterations) are weakly referenced
     // and ContextCleaner-reclaimed after GC — the leak class this seam
     // closes is the STRONGLY-held df.persist blocks, so assert none of

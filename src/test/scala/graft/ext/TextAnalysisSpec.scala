@@ -328,6 +328,21 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.ngramRepetition(df, "doc_id", "text", ns = Seq(0))
   }
 
+  test("gopherRulesRowwise is law-identical to the grouped form on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cols = Seq("doc_id", "n_words", "avg_word_len", "stopword_ratio",
+      "alpha_ratio", "dup_frac", "words_ok", "length_ok", "stop_ok",
+      "alpha_ok", "rep_ok", "keep")
+    val grouped = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    val rowwise = TextAnalysis.gopherRulesRowwise(docs, "text")
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    rowwise shouldBe grouped
+    grouped.nonEmpty shouldBe true
+    // the rowwise form preserves input columns (the streaming contract)
+    TextAnalysis.gopherRulesRowwise(docs, "text").columns should contain ("lang")
+  }
+
   test("sparseTfIdfTopK: postings-only pairs, exact integer scores, per-doc rank") {
     // docs 1/2 share "a b c"; doc 2/3 share "c d e"; docs 1 and 3 share
     // NOTHING — the inverted index must never propose that pair
