@@ -119,6 +119,39 @@ object SparkEntry {
     (w0 +: steps).mkString(",\n      ")
   }
 
+  /** Unrolled DuckDB replay of `iters` integer-Lloyd rounds over the
+    * embeddings table ([[ext.Similarity.lloydInt]] semantics verbatim):
+    * fixed-point grid, exact squared-L2 argmin (ties → smaller cid),
+    * elementwise floored means. MATERIALIZED throughout — each round
+    * references its predecessor twice. Returns the WITH body; the caller
+    * selects the final assignment against c`iters`. */
+  private def lloydOracleCtes(iters: Int, dims: Int): String = {
+    val base = s"""v AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1000) AS BIGINT) + 1024) AS y
+        FROM embeddings),
+      c0 AS MATERIALIZED (SELECT vec_id AS cid, y AS cy FROM v WHERE vec_id % 100 = 0)"""
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (
+        SELECT vec_id, cid, y FROM (
+          SELECT v.vec_id, c.cid, v.y,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              list_sum(list_transform(range(1, len(v.y) + 1),
+                j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))), c.cid) AS rn
+          FROM v CROSS JOIN c${i - 1} c) WHERE rn = 1),
+      m$i AS MATERIALIZED (
+        SELECT cid, list(m ORDER BY i) AS cy FROM (
+          SELECT a.cid, t.i, sum(a.y[t.i]) // count(*) AS m
+          FROM a$i a CROSS JOIN range(1, ${dims + 1}) t(i)
+          GROUP BY a.cid, t.i) GROUP BY cid),
+      c$i AS MATERIALIZED (
+        SELECT c.cid, COALESCE(m.cy, c.cy) AS cy
+        FROM c${i - 1} c LEFT JOIN m$i m USING (cid))"""
+    }
+    (base +: rounds).mkString(",\n      ")
+  }
+
   // ------------------------------------------------------------- the catalog
 
   /** (name, spark impl, duckdb oracle SQL — None ⇒ rows-only check). */
@@ -9167,7 +9200,107 @@ object SparkEntry {
         CAST(sum(n_chars) AS BIGINT) AS mass,
         CASE WHEN NOT v_lang THEN 0 WHEN NOT v_quality THEN 1
              WHEN NOT v_dedup THEN 2 ELSE 3 END AS funnel_depth
-      FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+      FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // k-means (Lloyd) on exact integer arithmetic — the reproducible twin
+    // of the FP fitCentroids: fixed-point grid (floor is engine-exact,
+    // the +1024 shift keeps every coordinate and centroid sum
+    // non-negative so floored and truncating division agree), exact
+    // squared-L2 argmin with deterministic ties, elementwise floored
+    // means. THREE full rounds replayed by the oracle UNROLLED; the gate
+    // output is the final assignment + distance, which witnesses every
+    // round (a wrong centroid anywhere changes some dist). Per round: one
+    // broadcast-k argmin, one (cid, dim) aggregation (k·64 exchange rows).
+    ("q229_kmeans_int", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val inits = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      ext.Similarity.lloydInt(emb, "vec_id", "embedding", inits, iters = 3)
+        .orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH ${lloydOracleCtes(3, 64)},
+      fin AS (
+        SELECT vec_id, cid, d FROM (
+          SELECT v.vec_id, c.cid,
+            list_sum(list_transform(range(1, len(v.y) + 1),
+              j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))) AS d,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              list_sum(list_transform(range(1, len(v.y) + 1),
+                j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))), c.cid) AS rn
+          FROM v CROSS JOIN c3 c) WHERE rn = 1)
+      SELECT vec_id, cid, CAST(d AS BIGINT) AS dist
+      FROM fin ORDER BY vec_id""")),
+
+    // Vocabulary coverage curve — the tokenizer budget-planning audit:
+    // what fraction of all token instances the k most frequent types
+    // claim, per rank. Integral masses, one final division; the running
+    // sum windows over the k SURVIVING rows only.
+    ("q230_vocab_coverage", (s, dir) => {
+      TextAnalysis.vocabCoverage(T(s, dir, "documents"), "text", k = 25)
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL),
+      counts AS (
+        SELECT token, count(*)::BIGINT AS cnt FROM toks
+        WHERE token <> '' GROUP BY token),
+      total AS (SELECT sum(cnt)::BIGINT AS t FROM counts),
+      top AS (
+        SELECT token, cnt,
+          CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+          sum(cnt) OVER (ORDER BY cnt DESC, token
+            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cnt
+        FROM counts ORDER BY cnt DESC, token LIMIT 25)
+      SELECT rank, token, cnt, cum_cnt,
+        CAST(cum_cnt AS DOUBLE) / total.t AS coverage
+      FROM top CROSS JOIN total ORDER BY rank""")),
+
+    // q229's assignment computed ON THE STREAM — the inference shape:
+    // the k-means model is trained offline (lloydIntCentroids, the same
+    // 3 exact rounds), its k·64 grid longs ship as LITERALS, and the
+    // stream assignment is a pure per-row argmin (least over (dist, cid)
+    // structs — no join, no aggregation, no state). Gated on q229's
+    // oracle VERBATIM; spec law pins inference ≡ batch assignment.
+    ("q231_stream_kmeans_assign", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val inits = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      val model = ext.Similarity.lloydIntCentroids(
+          emb, "vec_id", "embedding", inits, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+      val tmp = graft.util.Staging.dir("q231_emb", dir) { p =>
+        emb.select(col("vec_id"), col("embedding"))
+          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
+      }
+      val qname = "graft_stream_kmeans"
+      val (schema, rows) =
+        try {
+          val stream = s.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(s"$tmp/stream")
+          val q = ext.Similarity.assignToCentroids(
+              stream, "vec_id", "embedding", model)
+            .writeStream.outputMode("append").format("memory").queryName(qname)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val res = s.table(qname)
+          (res.schema, res.collect())
+        } finally s.catalog.dropTempView(qname)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH ${lloydOracleCtes(3, 64)},
+      fin AS (
+        SELECT vec_id, cid, d FROM (
+          SELECT v.vec_id, c.cid,
+            list_sum(list_transform(range(1, len(v.y) + 1),
+              j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))) AS d,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              list_sum(list_transform(range(1, len(v.y) + 1),
+                j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))), c.cid) AS rn
+          FROM v CROSS JOIN c3 c) WHERE rn = 1)
+      SELECT vec_id, cid, CAST(d AS BIGINT) AS dist
+      FROM fin ORDER BY vec_id"""))
   )
 
   // ------------------------------------------------------- driver contract

@@ -853,4 +853,118 @@ object Similarity {
       .where(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
+
+  /** Lloyd's k-means on EXACT integer arithmetic — the reproducible twin
+    * of [[fitCentroids]] (which averages in floating point and therefore
+    * cannot hash-gate across engines): vectors land on a fixed-point grid
+    * `floor(x·scale) + shift` (floor is exact on doubles and identical in
+    * every engine; the shift makes every coordinate — and so every
+    * centroid SUM — non-negative, so truncating and flooring integer
+    * division agree), assignment is the exact squared-L2 argmin (ties →
+    * smaller centroid id), and the centroid update is the elementwise
+    * FLOORED mean `sum div count`. Squared L2 is translation-invariant,
+    * so the shift never changes an assignment. The floored mean is the
+    * one deliberate deviation from textbook Lloyd (a ≤1-grid-unit
+    * centroid perturbation per round, immaterial at scale=1000); swap
+    * [[fitCentroids]] in where FP centroids are acceptable and
+    * replayability is not required.
+    *
+    * Scale shape: the vector frame is localCheckpointed once (every
+    * iteration re-scans it); each iteration is one broadcast-k argmin
+    * (no shuffle of scores) + one (cid, dim) hash aggregation whose
+    * exchange is k·dims rows; per-iteration frames are checkpointed so
+    * lineage stays one round deep (the Bpe lesson). Empty clusters keep
+    * their previous centroid. Init centroids are the caller's id set —
+    * deterministic and oracle-replayable.
+    *
+    * Returns the final assignment (`idCol`, cid, dist) with dist the
+    * exact grid-space squared L2 to the FINAL centroid — a value that
+    * witnesses the whole iteration chain. */
+  def lloydInt(corpus: DataFrame, idCol: String, vecCol: String,
+      initIds: Seq[Long], iters: Int,
+      scale: Long = 1000L, shift: Long = 1024L): DataFrame = {
+    val cents = lloydIntCentroids(corpus, idCol, vecCol, initIds, iters, scale, shift)
+    val vecs = corpus.select(col(idCol).as("__vid"),
+      gridCol(col(vecCol), scale, shift).as("__y"))
+    assignGrid(vecs, cents)
+      .select(col("__vid").as(idCol), col("__cid").as("cid"), col("__d").as("dist"))
+  }
+
+  /** The trained model of [[lloydInt]]: final centroids in GRID space,
+    * (cid, centroid array<long>) — k rows of metadata, the artifact a
+    * store persists and a stream ships as literals. Same exact-arithmetic
+    * loop; see lloydInt for the contract. */
+  def lloydIntCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      initIds: Seq[Long], iters: Int,
+      scale: Long = 1000L, shift: Long = 1024L): DataFrame = {
+    require(initIds.nonEmpty, "lloydInt needs at least one initial centroid id")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale > 0 && shift >= 0, s"bad grid: scale=$scale shift=$shift")
+    val vecs = corpus
+      .select(col(idCol).as("__vid"), gridCol(col(vecCol), scale, shift).as("__y"))
+      .localCheckpoint(true)
+    var cents = vecs
+      .where(col("__vid").isin(initIds: _*))
+      .select(col("__vid").as("__cid"), col("__y").as("__cy"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val means = assignGrid(vecs, cents)
+        .select(col("__cid"), posexplode(col("__y")).as(Seq("__pos", "__x")))
+        .groupBy(col("__cid"), col("__pos"))
+        .agg(expr("sum(__x) div count(1)").as("__m"))
+        .groupBy(col("__cid"))
+        .agg(collect_list(struct(col("__pos"), col("__m"))).as("__pm"))
+        .select(col("__cid"),
+          transform(array_sort(col("__pm")), s => s.getField("__m")).as("__new"))
+      cents = cents.join(means, Seq("__cid"), "left")
+        .select(col("__cid"), coalesce(col("__new"), col("__cy")).as("__cy"))
+        .localCheckpoint(true)
+    }
+    cents.select(col("__cid").as("cid"), col("__cy").as("centroid"))
+  }
+
+  private def gridCol(vec: Column, scale: Long, shift: Long): Column =
+    transform(vec.cast("array<double>"), x => floor(x * scale).cast("long") + shift)
+
+  private def gridSqDist(y: Column, c: Column): Column =
+    aggregate(zip_with(y, c, (a, b) => (a - b) * (a - b)), lit(0L), _ + _)
+
+  /** Exact argmin assignment of grid vectors (`__vid`, `__y`) to grid
+    * centroids (cid|__cid, centroid|__cy): broadcast-k product, keyed min,
+    * ties → smaller cid. */
+  private def assignGrid(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val c = (if (cents.columns.contains("cid"))
+      cents.select(col("cid").as("__cid"), col("centroid").as("__cy"))
+    else cents)
+    vecs.crossJoin(broadcast(c))
+      .select(col("__vid"), col("__y"), col("__cid"),
+        gridSqDist(col("__y"), col("__cy")).as("__d"))
+      .groupBy(col("__vid"))
+      .agg(min(struct(col("__d"), col("__cid"))).as("__best"),
+        first(col("__y")).as("__y"))
+      .select(col("__vid"), col("__y"),
+        col("__best.__cid").as("__cid"), col("__best.__d").as("__d"))
+  }
+
+  /** STATELESS assignment to an already-trained [[lloydIntCentroids]]
+    * model shipped as LITERALS — the streaming-inference shape: k
+    * centroids are model metadata (k·dims longs), so the argmin folds
+    * per row with no join, no aggregation, no state; `least` over
+    * (dist, cid) structs gives the same exact argmin/tie contract as the
+    * batch form. Each centroid array is ONE Literal node, so codegen
+    * stays small at any realistic k. */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Long])],
+      scale: Long = 1000L, shift: Long = 1024L): DataFrame = {
+    require(centroids.nonEmpty, "assignToCentroids needs at least one centroid")
+    val y = col("__y")
+    val cands = centroids.map { case (cid, cy) =>
+      struct(gridSqDist(y, typedLit(cy)).as("__d"), lit(cid).as("__cid"))
+    }
+    val best =
+      if (cands.size == 1) cands.head else least(cands: _*)
+    df.withColumn("__y", gridCol(col(vecCol), scale, shift))
+      .withColumn("__best", best)
+      .select(col(idCol), col("__best.__cid").as("cid"), col("__best.__d").as("dist"))
+  }
 }

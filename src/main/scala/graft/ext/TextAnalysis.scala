@@ -291,6 +291,35 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("cnt"))
   }
 
+  /** Cumulative corpus coverage of the top-`k` vocabulary — the tokenizer
+    * budget-planning curve: what fraction of all token INSTANCES the k
+    * most frequent types claim, per rank. One corpus pass builds the
+    * vocabulary counts (persisted — the grand total and the top-k both
+    * consume it; the frame is vocabulary-sized, so the cache is cheap and
+    * at open-web scale swaps to a reliable checkpoint), the top-k is a
+    * distributed TakeOrderedAndProject, and the running sum is a window
+    * over the k SURVIVING rows only — metadata-sized by construction, so
+    * the single-partition window is the right plan, not a hazard.
+    * Counts stay integral; coverage is the one final division. */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = graft.util.Caches.register(df
+      .select(explode(words(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    counts.count() // eager: total + top-k would race an uncached persist
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    counts.orderBy(col("cnt").desc, col("token")).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .select(col("rank"), col("token"), col("cnt"), col("cum_cnt"),
+        (col("cum_cnt").cast("double") / col("__total")).as("coverage"))
+  }
+
   /** Gopher-style composite quality filter (Rae et al. 2021, Appendix A),
     * on this engine's exact-arithmetic signals: a document survives only if
     * its word count, mean word length, stopword ratio, alphabetic-word

@@ -496,4 +496,43 @@ class SimilaritySpec extends SparkTestBase {
     val perfect = Similarity.pqCodebookByStride(corpus, "id", "v", m = 2, subDim = 2, stride = 1)
     mse(corpus, "v", perfect) shouldBe 0.0 +- 1e-12
   }
+
+  test("lloydInt: exact argmin assignment, floored means, shift invariance") {
+    import org.apache.spark.sql.DataFrame
+    // two tight clusters around (0,0) and (1,1); seeds 1 and 3 start one
+    // in each cluster, so one round already separates them. All values
+    // are exact binary fractions, so the grid coordinates are certain.
+    val corpus: DataFrame = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.125f, 0.25f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(0.875f, 1.0f)),
+      (5L, Seq(0.25f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lloydInt(corpus, "vec_id", "embedding",
+        initIds = Seq(1L, 3L), iters = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.map(t => t._1 -> t._2).toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 3L)
+    // dists are exact grid-space integers vs the FLOORED-mean centroid:
+    // cluster 1 members {1,2,5} grid to (0,0),(125,250),(250,0) →
+    // floored mean (125, 83); doc 1's dist = 125² + 83² = 22514
+    out.find(_._1 == 1L).get._3 shouldBe 22514L
+    // the shift is distance-invariant: a different shift, same output
+    val shifted = Similarity.lloydInt(corpus, "vec_id", "embedding",
+        initIds = Seq(1L, 3L), iters = 2, shift = 5000L)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    shifted shouldBe out
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.lloydInt(corpus, "vec_id", "embedding", Seq.empty, 1)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.lloydInt(corpus, "vec_id", "embedding", Seq(1L), 0)
+    // the stateless literal-centroid inference form reproduces the batch
+    // assignment exactly (the streaming twin's law)
+    val model = Similarity.lloydIntCentroids(corpus, "vec_id", "embedding",
+        Seq(1L, 3L), 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    val inf = Similarity.assignToCentroids(corpus, "vec_id", "embedding", model)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    inf shouldBe out
+  }
 }

@@ -328,6 +328,23 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.ngramRepetition(df, "doc_id", "text", ns = Seq(0))
   }
 
+  test("vocabCoverage: exact cumulative masses over the top-k ranks") {
+    val df = Seq(
+      (1L, "a a a b b c"), (2L, "a b x"), (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // counts: a=4, b=3, c=1, x=1 (total 9); ranks by (cnt desc, token)
+    val out = TextAnalysis.vocabCoverage(df, "text", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    graft.util.Caches.releaseAll()
+    out shouldBe Array(
+      (1, "a", 4L, 4L, 4.0 / 9.0),
+      (2, "b", 3L, 7L, 7.0 / 9.0),
+      (3, "c", 1L, 8L, 8.0 / 9.0)) // ties (c=1, x=1) break lexicographically
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.vocabCoverage(df, "text", 0)
+  }
+
   test("gopherRulesRowwise is law-identical to the grouped form on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val cols = Seq("doc_id", "n_words", "avg_word_len", "stopword_ratio",
