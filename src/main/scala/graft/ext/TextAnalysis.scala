@@ -582,12 +582,29 @@ object TextAnalysis {
       .groupBy(col("__t"))
       .agg(first(col("__w")).as("__w"),
         collect_list(struct(col("__id"), col("__tf"))).as("__ps"))
-    val scores = lists
-      .select(col("__w"), explode(col("__ps")).as("__a"), col("__ps"))
-      .select(col("__w"), col("__a"), explode(col("__ps")).as("__b"))
-      .where(col("__a.__id") =!= col("__b.__id"))
-      .groupBy(col("__a.__id").as("__ida"), col("__b.__id").as("__idb"))
-      .agg(sum(col("__a.__tf") * col("__b.__tf") * col("__w") * col("__w")).as("score"))
+    // each unordered pair is generated ONCE per shared term — posexplode +
+    // slice emits the C(df,2) combinations, not the df² product — and the
+    // contribution is symmetric, so least/greatest canonicalizes without
+    // loss; the mirror happens AFTER the pair aggregation, on the (much
+    // smaller) distinct-pair frame, which is persisted because both
+    // directions consume it
+    val half = lists
+      .select(col("__w"), col("__ps"),
+        posexplode(col("__ps")).as(Seq("__i", "__a")))
+      .select(col("__w"), col("__a"),
+        explode(slice(col("__ps"), col("__i") + 2,
+          size(col("__ps")) - col("__i") - 1)).as("__b"))
+      .select(
+        least(col("__a.__id"), col("__b.__id")).as("__ida"),
+        greatest(col("__a.__id"), col("__b.__id")).as("__idb"),
+        (col("__a.__tf") * col("__b.__tf") * col("__w") * col("__w")).as("__c"))
+      .groupBy(col("__ida"), col("__idb"))
+      .agg(sum(col("__c")).as("score"))
+    val pairs = graft.util.Caches.register(
+      half.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pairs.count() // eager: the two mirror directions would race re-scans
+    val scores = pairs.union(pairs.select(
+      col("__idb").as("__ida"), col("__ida").as("__idb"), col("score")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__ida")).orderBy(col("score").desc, col("__idb"))
     scores.withColumn("rank", row_number().over(w))
