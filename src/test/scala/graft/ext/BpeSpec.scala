@@ -77,6 +77,63 @@ class BpeSpec extends SparkTestBase {
     grouped.find(_._1 == 2L).get._2 shouldBe 3L
   }
 
+  test("learnMerges matches an independent in-JVM reference BPE on random corpora") {
+    // differential test: the delimited-string replace trick vs a direct
+    // greedy sequence-merge reference, over seeded random corpora with a
+    // tiny alphabet (forces heavy pair collisions, overlaps, and ties)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 10) {
+      val words = (1 to 2 + rnd.nextInt(6)).map { _ =>
+        (1 to 1 + rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val counts = words.map(w => w -> (1L + rnd.nextInt(5))).toMap
+      val instances = rnd.shuffle(
+        counts.toSeq.flatMap { case (w, c) => Seq.fill(c.toInt)(w) })
+      val docs = instances.grouped(4).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val k = 1 + rnd.nextInt(5)
+      val got = Bpe.learnMerges(docs, "text", k).orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      withClue(s"trial $trial corpus=$counts k=$k") {
+        got shouldBe refBpe(counts, k)
+      }
+    }
+  }
+
+  /** Straightforward greedy BPE over symbol VECTORS — no string encoding
+    * tricks — as the independent oracle for the differential test. */
+  private def refBpe(counts: Map[String, Long], k: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var dict: Seq[(Vector[String], Long)] =
+      counts.toSeq.map { case (w, c) => (w.map(_.toString).toVector :+ ">") -> c }
+    var res = Vector.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val pairs = dict.flatMap { case (s, c) =>
+        if (s.size >= 2) s.sliding(2).map(p => (p(0), p(1)) -> c).toSeq else Nil
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), c) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+        res :+= ((step, l, r, l + r, c))
+        dict = dict.map { case (s, cnt) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.size) {
+            if (i + 1 < s.size && s(i) == l && s(i + 1) == r) { b += l + r; i += 2 }
+            else { b += s(i); i += 1 }
+          }
+          (b.result(), cnt)
+        }
+        step += 1
+      }
+    }
+    res
+  }
+
   test("reserved delimiter in a word fails loudly") {
     val df = Seq((1L, "ok bad|word")).toDF("doc_id", "text")
     val ex = intercept[Exception] {
