@@ -411,6 +411,30 @@ object Stress {
       }
     }
 
+    if (want("semdedup")) locally {
+      import graft.ext.Dedup
+      // 50 near-identical replicas of each real embedding (1e-4-scale
+      // deterministic perturbation) → 100k vectors whose true dup groups
+      // are the replica classes; 1000 stride centroids → ~100-member
+      // clusters, so the pair space is Σ|c|² ≈ 5M, never the 5G of
+      // all-pairs — the SemDeDup scale contract this probe measures
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val repl = spark.range(50).crossJoin(emb)
+        .select((col("vec_id") + col("id") * 10000000L).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x + (col("id") % 13) * lit(1e-4)).as("embedding"))
+        .localCheckpoint()
+      val cents = repl.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      timed("semDedup 100k vecs / 1k clusters") {
+        val out = Dedup.semDedup(repl, cents, "vec_id", "embedding",
+          "cid", "embedding", threshold = 0.9)
+        val r = out.agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L))).head
+        println(s"[stress]   rows=${r.getLong(0)} keepers=${r.getLong(1)}")
+        graft.util.Caches.releaseAll()
+      }
+    }
+
     if (want("decontam")) locally {
       import graft.ext.Dedup
       // eval suite = a 2% slice of the originals, corpus = the replicated

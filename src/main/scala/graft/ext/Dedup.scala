@@ -1234,17 +1234,22 @@ object Dedup {
       s"threshold must be in (0, 1], got $threshold")
     val cents = centroids.select(
       col(cidCol).as("__cid"), col(cVecCol).cast("array<double>").as("__cv"))
-    val assigned = graft.util.Caches.register(corpus
+    val vecs = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+    // the broadcast product is n·k rows — project ONLY scalars through it
+    // (id, cid, cosine): dragging the d-dim vector into the aggregation
+    // buffers would materialize it n·k times; the vector joins back by id
+    // afterwards, one corpus-sized hash join
+    val assigned = graft.util.Caches.register(vecs
       .crossJoin(broadcast(cents))
-      .select(col("id"), col("__v"), col("__cid"),
+      .select(col("id"), col("__cid"),
         Similarity.cosine(col("__v"), col("__cv")).as("__s"))
       .groupBy(col("id"))
-      .agg(
-        max_by(struct(col("__cid"), col("__s")), struct(col("__s"), -col("__cid"))).as("__best"),
-        first(col("__v")).as("__v"))
-      .select(col("id"), col("__v"),
+      .agg(max_by(struct(col("__cid"), col("__s")),
+        struct(col("__s"), -col("__cid"))).as("__best"))
+      .select(col("id"),
         col("__best.__cid").as("cid"), col("__best.__s").as("sim_c"))
+      .join(vecs, Seq("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     assigned.count() // eager: three uncached consumers would race re-scans
     val a = assigned.select(col("cid"), col("id").as("id_a"), col("__v").as("__va"))
