@@ -384,4 +384,46 @@ class PlanSpec extends SparkTestBase {
     formatted should include("cosine_similarity")
     formatted should include("* Project")
   }
+
+  test("q218 DSIR: weight table and totals broadcast; no corpus-wide sort") {
+    val p = plan(SparkEntry.queries("q218_dsir_selection")(spark, dir))
+    p should include("BroadcastHashJoin")
+    // top-k selection is a distributed TakeOrderedAndProject, never a
+    // global Sort of the scored pool
+    p should include("TakeOrderedAndProject")
+    graft.util.Caches.releaseAll()
+  }
+
+  test("q219 semDedup: centroid assignment broadcasts the centroid side") {
+    val p = plan(SparkEntry.queries("q219_semdedup")(spark, dir))
+    p should include("BroadcastNestedLoopJoin") // the k-row centroid product
+    graft.util.Caches.releaseAll()
+  }
+
+  test("q229 integer Lloyd: per-round argmin is a broadcast product, means partial-aggregate") {
+    val p = plan(SparkEntry.queries("q229_kmeans_int")(spark, dir))
+    p should include("BroadcastNestedLoopJoin")
+    p should include("partial_min") // the keyed argmin combines map-side
+  }
+
+  test("streaming k-means inference is join-free: centroids are literals") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = Seq((0L, Seq.fill(64)(1024L)), (1L, Seq.fill(64)(1030L)))
+    val p = plan(graft.ext.Similarity.assignToCentroids(
+      emb, "vec_id", "embedding", model))
+    (p should not).include("Join")
+    (p should not).include("Exchange") // pure per-row projection
+  }
+
+  test("sparse TF-IDF pairs: postings aggregate partially; top-k windows per doc key") {
+    val p = plan(graft.ext.TextAnalysis.sparseTfIdfTopK(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 5, 50L))
+    p should include("partial_count") // tf build combines map-side
+    // the neighbor ranking is a rank<=k window KEYED by doc with the
+    // WindowGroupLimit pushdown: each map task keeps only its local top-k
+    // per doc BEFORE the keyed exchange — never a global unkeyed window
+    p should include("WindowGroupLimit")
+    p should include("Exchange hashpartitioning(__ida")
+    graft.util.Caches.releaseAll()
+  }
 }
