@@ -9300,7 +9300,38 @@ object SparkEntry {
                 j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))), c.cid) AS rn
           FROM v CROSS JOIN c3 c) WHERE rn = 1)
       SELECT vec_id, cid, CAST(d AS BIGINT) AS dist
-      FROM fin ORDER BY vec_id"""))
+      FROM fin ORDER BY vec_id""")),
+
+    // The tokenizer-artifact round trip (q176's stored-index discipline,
+    // for BPE): the merge table is TRAINED once, PERSISTED as parquet —
+    // the artifact a production pipeline ships — then RELOADED by a
+    // consumer that never touches the trainer, and tokenization off the
+    // stored table must reproduce q224's batch result exactly (its oracle
+    // VERBATIM). Step order survives the round trip explicitly via sort.
+    ("q232_bpe_store_roundtrip", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val tmp = graft.util.Staging.dir("q232_bpe_store", dir) { p =>
+        ext.Bpe.learnMerges(docs, "text", merges = 8)
+          .write.mode("overwrite").parquet(s"$p/merges")
+      }
+      val merges = s.read.parquet(s"$tmp/merges")
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(r.fieldIndex("left")), r.getString(r.fieldIndex("right"))))
+        .toSeq
+      ext.Bpe.applyMerges(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH ${bpeOracleCtes(8)},
+      tok AS (
+        SELECT word, (length(sym) - length(replace(sym, '|', ''))) // 2 AS n_syms
+        FROM w8),
+      dw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+        CAST(sum(t.n_syms) AS BIGINT) AS n_tokens
+      FROM dw JOIN tok t USING (word) WHERE word <> ''
+      GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   // ------------------------------------------------------- driver contract
