@@ -9331,7 +9331,29 @@ object SparkEntry {
       SELECT doc_id, count(*)::BIGINT AS n_words,
         CAST(sum(t.n_syms) AS BIGINT) AS n_tokens
       FROM dw JOIN tok t USING (word) WHERE word <> ''
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // The tokenization ITSELF, as strings — one row per (distinct word,
+    // position) with the post-merge token; counts are audits, this is the
+    // artifact that encodes text, and it must match the oracle's replay
+    // of the same 8 merges string-for-string (the eow marker included).
+    ("q233_bpe_tokens", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = ext.Bpe.learnMerges(docs, "text", merges = 8)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      ext.Bpe.tokenTable(docs, "text", merges)
+        .orderBy(col("word"), col("token_idx"))
+    }, Some(s"""
+      WITH ${bpeOracleCtes(8)},
+      t AS (
+        SELECT word,
+          string_split(substr(sym, 2, length(sym) - 2), '||') AS s
+        FROM w8)
+      SELECT word, CAST(u.i - 1 AS INT) AS token_idx, s[u.i] AS token
+      FROM t CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(s) + 1)) AS i) u
+      ORDER BY word, token_idx"""))
   )
 
   // ------------------------------------------------------- driver contract

@@ -159,6 +159,24 @@ object Bpe {
         aggregate(col("__ws"), lit(0L),
           (acc, w) => acc + symCount(encodeWord(w, merges))).as("n_tokens"))
 
+  /** The tokenization itself, as strings: one row per (distinct word,
+    * token position) with the post-merge token — the vocabulary-sized
+    * lookup table a tokenizer service serves (token counts are audits;
+    * THIS is the artifact that encodes text). One distinct-word pass, one
+    * nested-replace chain, one split+posexplode; `token_idx` is 0-based
+    * and the eow marker appears as its own final token. */
+  def tokenTable(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    df.where(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .distinct()
+      .withColumn("__enc", encodeWord(col("word"), merges))
+      .select(col("word"),
+        posexplode(split(expr("substring(__enc, 2, length(__enc) - 2)"), "\\|\\|"))
+          .as(Seq("token_idx", "token")))
+  }
+
   /** [[applyMerges]] driven by a freshly-learned table — the end-to-end
     * train-then-tokenize convenience; the merge table is vocabulary-scale
     * metadata (k rows), so collecting it to the driver is the contract,
