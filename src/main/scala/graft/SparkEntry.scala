@@ -49,6 +49,22 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
+  /** Catalog-query conf isolation: a CHILD session (shared SparkContext,
+    * isolated SQLConf + temp-view catalog) with the parent's modifiable
+    * runtime conf copied over and `overrides` applied on top. Queries that
+    * need a non-default shuffle-partition count or state-store provider pin
+    * it HERE instead of mutating the caller's session — no try/finally
+    * restore, and no window where a concurrent reader could observe the
+    * pin. (newSession() alone only inherits builder-time options, hence
+    * the explicit runtime-conf copy.) */
+  private def isolated(s: SparkSession, overrides: (String, String)*): SparkSession = {
+    val s2 = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      if (s2.conf.isModifiable(k)) s2.conf.set(k, v) }
+    overrides.foreach { case (k, v) => s2.conf.set(k, v) }
+    s2
+  }
+
   /** Deterministic synthetic PII salt (email + IP + spaced card number
     * derived from the doc id) appended so the redaction regexes do real
     * work on the PII-free fixtures — the SINGLE source both q182 and
@@ -533,16 +549,15 @@ object SparkEntry {
       val qname = "graft_stream_stats"
       // State-store count == shuffle partitions at query start; 8 stores is
       // plenty for this key space and far less per-store setup than 32.
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val (schema, rows) =
-        try {
-          val stream = s.readStream.schema(game.schema).parquet(tmp).as[Event]
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+      // The pin lives in an isolated child session — parent never mutated.
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "8")
+      val (schema, rows) = {
+          val stream = s2.readStream.schema(game.schema).parquet(tmp).as[Event]
           val q = PlayerStatsEngine.statefulPlayerStats(stream)
             .writeStream.outputMode("update").format("memory").queryName(qname)
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
-          val out = s.table(qname)
+          val out = s2.table(qname)
           // keep each key's last emitted (cumulative-complete) row — robust
           // even if the source were split into several micro-batches: the
           // CUMULATIVE counter total is the monotone selector (`second` is
@@ -561,10 +576,9 @@ object SparkEntry {
             .withColumn("second",
               max(col("second")).over(Window.partitionBy(col("steamId"))))
             .where(col("rn") === 1).drop("rn")
-          (res.schema, res.collect())
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          s.catalog.dropTempView(qname) // the memory sink's backing view
+          val r = (res.schema, res.collect())
+          s2.catalog.dropTempView(qname) // the memory sink's backing view
+          r
         }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy(col("steamId"))
@@ -610,20 +624,17 @@ object SparkEntry {
         game.coalesce(1).write.mode("overwrite").parquet(p)
       }
       val qname = "graft_tws_stats"
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = s.conf.getOption(provKey)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val (schema, rows) =
-        try {
-          val stream = s.readStream.schema(game.schema).parquet(tmp).as[Event]
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          s.conf.set(provKey,
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val s2 = isolated(s,
+        "spark.sql.shuffle.partitions" -> "8",
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val (schema, rows) = {
+          val stream = s2.readStream.schema(game.schema).parquet(tmp).as[Event]
           val q = PlayerStatsEngine.statefulPlayerStatsTws(stream)
             .writeStream.outputMode("update").format("memory").queryName(qname)
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
-          val out = s.table(qname)
+          val out = s2.table(qname)
           // last cumulative-complete row per key (q19's multi-batch-robust
           // selector): the counter total is the monotone signal
           val w = Window.partitionBy(col("steamId"))
@@ -635,11 +646,9 @@ object SparkEntry {
             .withColumn("second",
               max(col("second")).over(Window.partitionBy(col("steamId"))))
             .where(col("rn") === 1).drop("rn")
-          (res.schema, res.collect())
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          prevProv.fold(s.conf.unset(provKey))(s.conf.set(provKey, _))
-          s.catalog.dropTempView(qname)
+          val r = (res.schema, res.collect())
+          s2.catalog.dropTempView(qname)
+          r
         }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy(col("steamId"))
@@ -5923,24 +5932,22 @@ object SparkEntry {
         staged.repartition(16).write.mode("overwrite").parquet(p)
       }
       val qname = "graft_stream_dedup"
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val (schema, rows) =
-        try {
-          val stream = s.readStream.schema(staged.schema).parquet(tmp)
-          // 4 shuffle partitions: each stateful op commits one state store
-          // per partition per micro-batch; at 5k docs the commit overhead
-          // dominates the actual aggregation, so fewer instances is faster
-          s.conf.set("spark.sql.shuffle.partitions", "4")
+      // 4 shuffle partitions: each stateful op commits one state store
+      // per partition per micro-batch; at 5k docs the commit overhead
+      // dominates the actual aggregation, so fewer instances is faster.
+      // Pinned in an isolated child session — parent never mutated.
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
+      val (schema, rows) = {
+          val stream = s2.readStream.schema(staged.schema).parquet(tmp)
           val q = Dedup.minhashStream(stream, "doc_id", "text", "ts",
               delayThreshold = "1 second", windowDuration = "10 seconds")
             .writeStream.outputMode("append").format("memory").queryName(qname)
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
-          val res = s.table(qname)
-          (res.schema, res.collect())
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          s.catalog.dropTempView(qname)
+          val res = s2.table(qname)
+          val r = (res.schema, res.collect())
+          s2.catalog.dropTempView(qname)
+          r
         }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy(col("doc_id"))
@@ -6680,27 +6687,24 @@ object SparkEntry {
           .coalesce(1).write.mode("overwrite").parquet(s"$p/purch")
       }
       val qname = "graft_stream_join"
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val (schema, rows) =
-        try {
-          val c = s.readStream
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
+      val (schema, rows) = {
+          val c = s2.readStream
             .schema("c_id LONG, c_user LONG, c_ts TIMESTAMP")
             .parquet(s"$tmp/clicks").withWatermark("c_ts", "1 second")
-          val p = s.readStream
+          val p = s2.readStream
             .schema("p_id LONG, p_user LONG, p_ts TIMESTAMP")
             .parquet(s"$tmp/purch").withWatermark("p_ts", "1 second")
-          s.conf.set("spark.sql.shuffle.partitions", "4")
           val q = p.join(c, expr(
               """p_user = c_user AND
                  c_ts >= p_ts - interval 6 hours AND c_ts <= p_ts"""))
             .writeStream.outputMode("append").format("memory").queryName(qname)
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
-          val res = s.table(qname)
-          (res.schema, res.collect())
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          s.catalog.dropTempView(qname)
+          val res = s2.table(qname)
+          val r = (res.schema, res.collect())
+          s2.catalog.dropTempView(qname)
+          r
         }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .groupBy(col("p_id"), col("p_user"))
@@ -6817,27 +6821,27 @@ object SparkEntry {
           .select(col("band"), col("sig"), col("doc_id").as("corpus_id"))
           .write.mode("overwrite").parquet(s"$p/store")
       }
-      val store = s.read.parquet(s"$tmp/store")
+      // the 4-partition shuffle pin lives in an isolated child session:
+      // the parent is never mutated (the r10 verdict's last shared-state
+      // foot-gun in a query body)
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
+      val store = s2.read.parquet(s"$tmp/store")
       val qname = "graft_stream_incr"
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val (schema, rows) =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "4")
-          val stream = s.readStream
-            .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
-          val q = Dedup.streamBuckets(stream, "doc_id", "text")
-            .join(store, Seq("band", "sig"))
-            .where(col("doc_id") =!= col("corpus_id"))
-            .select(col("doc_id").as("new_id"), col("corpus_id"))
-            .writeStream.outputMode("append").format("memory").queryName(qname)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          val res = s.table(qname)
-          (res.schema, res.collect())
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          s.catalog.dropTempView(qname)
-        }
+      val (schema, rows) = {
+        val stream = s2.readStream
+          .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
+        val q = Dedup.streamBuckets(stream, "doc_id", "text")
+          .join(store, Seq("band", "sig"))
+          .where(col("doc_id") =!= col("corpus_id"))
+          .select(col("doc_id").as("new_id"), col("corpus_id"))
+          .writeStream.outputMode("append").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val res = s2.table(qname)
+        val out = (res.schema, res.collect())
+        s2.catalog.dropTempView(qname)
+        out
+      }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .distinct()
         .orderBy(col("new_id"), col("corpus_id"))
@@ -7616,21 +7620,18 @@ object SparkEntry {
         ev.coalesce(1).write.mode("overwrite").parquet(p)
       }
       val qname = "graft_tws_funnel"
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = s.conf.getOption(provKey)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val (schema, rows) =
-        try {
-          val stream = s.readStream.schema(ev.schema).parquet(tmp)
+      val s2 = isolated(s,
+        "spark.sql.shuffle.partitions" -> "8",
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val (schema, rows) = {
+          val stream = s2.readStream.schema(ev.schema).parquet(tmp)
             .as[Funnel.FunnelEvent]
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          s.conf.set(provKey,
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
           val q = Funnel.funnelStreamTws(stream, 3)
             .writeStream.outputMode("update").format("memory").queryName(qname)
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
-          val out = s.table(qname)
+          val out = s2.table(qname)
           // funnelStep is the monotone selector (filled slots form a
           // prefix, so a key's deepest emitted row carries its final
           // times) — robust under any micro-batch split of the source
@@ -7643,11 +7644,9 @@ object SparkEntry {
               element_at(col("times"), 2).as("t_click"),
               element_at(col("times"), 3).as("t_purchase"),
               col("funnelStep").as("funnel_step"))
-          (res.schema, res.collect())
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          prevProv.fold(s.conf.unset(provKey))(s.conf.set(provKey, _))
-          s.catalog.dropTempView(qname)
+          val r = (res.schema, res.collect())
+          s2.catalog.dropTempView(qname)
+          r
         }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy(col("user_id"))
@@ -7709,22 +7708,19 @@ object SparkEntry {
           .coalesce(1).write.mode("append").parquet(p)
       }
       val qname = "graft_stream_sessions"
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val (schema, rows) =
-        try {
-          val stream = s.readStream.schema(staged.schema).parquet(tmp)
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
+      val (schema, rows) = {
+          val stream = s2.readStream.schema(staged.schema).parquet(tmp)
             .withWatermark("ts", "1 second")
-          s.conf.set("spark.sql.shuffle.partitions", "4")
           val q = Sessionize
             .sessionWindows(stream, Seq("user_id"), "ts", "30 minutes")
             .writeStream.outputMode("append").format("memory").queryName(qname)
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
-          val res = s.table(qname)
-          (res.schema, res.collect())
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          s.catalog.dropTempView(qname)
+          val res = s2.table(qname)
+          val r = (res.schema, res.collect())
+          s2.catalog.dropTempView(qname)
+          r
         }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy(col("user_id"), col("start_time"))
@@ -8083,23 +8079,20 @@ object SparkEntry {
         toks.repartition(8).write.mode("overwrite").parquet(p)
       }
       val qname = "graft_stream_cms"
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val (schema, rows) =
-        try {
-          val stream = s.readStream.schema(toks.schema)
+      // 4 shuffle partitions: one state-store commit per partition per
+      // micro-batch; 8192 cells do not need 32 stores (q170 discipline)
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
+      val (schema, rows) = {
+          val stream = s2.readStream.schema(toks.schema)
             .option("maxFilesPerTrigger", 2).parquet(tmp)
-          // 4 shuffle partitions: one state-store commit per partition per
-          // micro-batch; 8192 cells do not need 32 stores (q170 discipline)
-          s.conf.set("spark.sql.shuffle.partitions", "4")
           val q = ext.Profiling.countMin(stream, "token", 4, 2048)
             .writeStream.outputMode("complete").format("memory").queryName(qname)
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
-          val res = s.table(qname)
-          (res.schema, res.collect())
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          s.catalog.dropTempView(qname)
+          val res = s2.table(qname)
+          val r = (res.schema, res.collect())
+          s2.catalog.dropTempView(qname)
+          r
         }
       val cms = s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       val probes = graft.util.Caches.register(
@@ -8501,15 +8494,13 @@ object SparkEntry {
       }
       val qname = "graft_ctrl_pipeline"
       val order = scala.collection.mutable.ListBuffer[String]()
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val (schema, rows, lifecycle) =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "8")
+      val (schema, rows, lifecycle) = {
           val controller = new StreamController(() => {
             order += "query-start"
             Pipeline.playerStats(
-                s.readStream.schema("value STRING").parquet(s"$tmp/kills"),
-                s.readStream.schema("value STRING").parquet(s"$tmp/damages"))
+                s2.readStream.schema("value STRING").parquet(s"$tmp/kills"),
+                s2.readStream.schema("value STRING").parquet(s"$tmp/damages"))
               .writeStream.outputMode("update").format("memory")
               .queryName(qname).start()
           })
@@ -8539,7 +8530,7 @@ object SparkEntry {
               val t1 = call("POST", "/api/stream/start")
               val t2 = call("GET", "/api/status")
               // drain the staged files through the RUNNING query, then stop
-              s.streams.active.find(_.name == qname)
+              s2.streams.active.find(_.name == qname)
                 .getOrElse(sys.error("control plane did not start the query"))
                 .processAllAvailable()
               val t3 = call("POST", "/api/stream/stop")
@@ -8549,7 +8540,7 @@ object SparkEntry {
           require(order.toSeq ==
             Seq("dim-load", "query-start", "producer-start", "producer-stop"),
             s"reference lifecycle ordering violated: $order")
-          val out = s.table(qname)
+          val out = s2.table(qname)
           // q19's multi-batch-robust selector: last cumulative-complete row
           val w = Window.partitionBy(col("steamId"))
             .orderBy(
@@ -8560,10 +8551,9 @@ object SparkEntry {
             .withColumn("second",
               max(col("second")).over(Window.partitionBy(col("steamId"))))
             .where(col("rn") === 1).drop("rn")
-          (res.schema, res.collect(), transcript.mkString("|"))
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          s.catalog.dropTempView(qname)
+          val r = (res.schema, res.collect(), transcript.mkString("|"))
+          s2.catalog.dropTempView(qname)
+          r
         }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .withColumn("lifecycle", lit(lifecycle))
