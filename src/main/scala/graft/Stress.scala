@@ -433,6 +433,21 @@ object Stress {
         println(s"[stress]   rows=${r.getLong(0)} keepers=${r.getLong(1)}")
         graft.util.Caches.releaseAll()
       }
+      // ADVERSARIAL regime: ONE coarse centroid — the unguarded pair space
+      // is C(100k,2) ≈ 5e9 cosine evaluations in a single join key (the
+      // r10-measured 741 s blowup class). The cap bounds it to
+      // nsplit·C(cap,2) ≈ 5e7 — near-linear — and must stay a two-digit
+      // number of seconds at this scale.
+      val oneCent = repl.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id").as("cid"), col("embedding"))
+        .localCheckpoint()
+      timed("semDedup ADVERSARIAL 1 cluster, cap=1000") {
+        val out = Dedup.semDedup(repl, oneCent, "vec_id", "embedding",
+          "cid", "embedding", threshold = 0.9, maxClusterSize = 1000)
+        val r = out.agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L))).head
+        println(s"[stress]   rows=${r.getLong(0)} keepers=${r.getLong(1)}")
+        graft.util.Caches.releaseAll()
+      }
     }
 
     if (want("decontam")) locally {

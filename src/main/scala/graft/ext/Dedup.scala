@@ -1226,12 +1226,33 @@ object Dedup {
     * Returns one row per corpus vector: (`idCol`, cid, sim_c, comp, keep)
     * where comp is the duplicate-group label (its minimal member id;
     * singletons label themselves) and sim_c the similarity to the assigned
-    * centroid. */
+    * centroid.
+    *
+    * `maxClusterSize` is the giant-cluster guard: the within-cluster pair
+    * space is Σ_c |c|², which one skewed coarse cluster (bad centroids, a
+    * near-duplicate-saturated corpus) degenerates toward n² in a single
+    * join key — the measured adversarial regime in Stress ran 741 s at
+    * 100k vectors. With a cap, any cluster larger than the cap is
+    * stride-split into ceil(|c|/cap) sub-buckets by a deterministic
+    * member-id hash (the repo's shared 48-bit md5 — oracle-replayable),
+    * and pairs are generated per (cluster, sub-bucket): the pair space is
+    * bounded near cap·n regardless of skew. Result-EQUIVALENT to the
+    * unguarded form whenever every cluster is at or under the cap (one
+    * sub-bucket ⇒ same pairs); over the cap it trades cross-sub-bucket
+    * duplicate edges for the bound — SemDeDup's own extreme-dedup regime
+    * already accepts approximate grouping (the paper dedups within coarse
+    * clusters only, dropping cross-cluster pairs by design; this is the
+    * same cut one level down). Hash-stride bucket sizes are expected
+    * |c|/ceil(|c|/cap) — concentration at large |c| keeps them within a
+    * few percent of the cap. */
   def semDedup(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, cidCol: String, cVecCol: String,
-      threshold: Double, maxIter: Int = 25): DataFrame = {
+      threshold: Double, maxIter: Int = 25,
+      maxClusterSize: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(maxClusterSize > 0,
+      s"maxClusterSize must be positive, got $maxClusterSize")
     val cents = centroids.select(
       col(cidCol).as("__cid"), col(cVecCol).cast("array<double>").as("__cv"))
     val vecs = corpus
@@ -1252,9 +1273,25 @@ object Dedup {
       .join(vecs, Seq("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     assigned.count() // eager: three uncached consumers would race re-scans
-    val a = assigned.select(col("cid"), col("id").as("id_a"), col("__v").as("__va"))
-    val b = assigned.select(col("cid"), col("id").as("id_b"), col("__v").as("__vb"))
-    val edges = a.join(b, Seq("cid"))
+    // giant-cluster guard: sub-split oversized clusters before pairing.
+    // The size table is one hash agg over the PINNED assigned frame —
+    // k-ish rows, broadcast back.
+    val (pairSide, joinKeys) =
+      if (maxClusterSize == Int.MaxValue) (assigned, Seq("cid"))
+      else {
+        val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("__csz"))
+        val sub = assigned.join(broadcast(sizes), Seq("cid"))
+          .withColumn("__sub", pmod(
+            TextAnalysis.hash48(col("id").cast("string")),
+            ceil(col("__csz").cast("double") / maxClusterSize).cast("long")))
+          .drop("__csz")
+        (sub, Seq("cid", "__sub"))
+      }
+    val a = pairSide.select(
+      (joinKeys.map(col) :+ col("id").as("id_a") :+ col("__v").as("__va")): _*)
+    val b = pairSide.select(
+      (joinKeys.map(col) :+ col("id").as("id_b") :+ col("__v").as("__vb")): _*)
+    val edges = a.join(b, joinKeys)
       .where(col("id_a") < col("id_b"))
       .where(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
       .select(col("id_a"), col("id_b"))

@@ -766,6 +766,51 @@ class DedupSpec extends SparkTestBase {
     graft.util.Caches.releaseAll()
   }
 
+  test("semDedup maxClusterSize law: guarded == unguarded when every cluster is under the cap") {
+    import org.apache.spark.sql.DataFrame
+    // 12 vectors in 2 clusters (6 each) with several dup groups
+    val corpus: DataFrame = (1L to 12L).map { i =>
+      val base = if (i <= 6) Seq(1.0, 0.0) else Seq(0.0, 1.0)
+      // three near-dup pairs per cluster: (1,2),(3,4),(5,6) etc.
+      val eps = ((i - 1) / 2) * 0.05
+      (i, Seq(base.head + eps, base(1) + eps))
+    }.toDF("id", "vec")
+    val cents: DataFrame = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cvec")
+    def run(cap: Int) = Dedup.semDedup(corpus, cents, "id", "vec", "cid",
+        "cvec", threshold = 0.999, maxClusterSize = cap)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("cid")),
+        r.getLong(r.fieldIndex("comp")), r.getBoolean(r.fieldIndex("keep"))))
+      .toSeq
+    val unguarded = Dedup.semDedup(corpus, cents, "id", "vec", "cid",
+        "cvec", threshold = 0.999)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("cid")),
+        r.getLong(r.fieldIndex("comp")), r.getBoolean(r.fieldIndex("keep"))))
+      .toSeq
+    graft.util.Caches.releaseAll()
+    // cap at exactly the largest cluster, and far above it: both identical
+    run(6) shouldBe unguarded
+    graft.util.Caches.releaseAll()
+    run(1000) shouldBe unguarded
+    graft.util.Caches.releaseAll()
+    // a BINDING cap still returns every vector exactly once, keeps the
+    // per-component keeper invariant, and can only LOSE dup edges (never
+    // invent them): every guarded component is a subset of an unguarded one
+    val capped = run(2)
+    capped.map(_._1) shouldBe (1L to 12L)
+    capped.count(_._4) shouldBe capped.map(_._3).distinct.size
+    val unComp = unguarded.map(t => t._1 -> t._3).toMap
+    capped.groupBy(_._3).values.foreach { grp =>
+      grp.map(t => unComp(t._1)).distinct.size shouldBe 1
+    }
+    graft.util.Caches.releaseAll()
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.semDedup(corpus, cents, "id", "vec", "cid", "cvec",
+        threshold = 0.9, maxClusterSize = 0)
+  }
+
   test("editVerifiedPairs: exact distances, integer-exact normalized verdict") {
     val docs = Seq(
       (1L, "kitten in the yard"),
