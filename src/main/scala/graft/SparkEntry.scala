@@ -135,6 +135,33 @@ object SparkEntry {
     (w0 +: steps).mkString(",\n      ")
   }
 
+  /** The token-ID derivation CTEs shared by the q234/q235 oracles,
+    * appended after [[bpeOracleCtes]] (they read w8): per-word token
+    * lists, the frequency-ranked vocabulary ([[ext.Bpe.vocab]] semantics:
+    * count desc, token asc, 0-based dense ids), and the per-doc
+    * (word position, token position, token) stream. */
+  private val bpeTokenIdCtes: String = """
+      toks AS MATERIALIZED (
+        SELECT word, cnt, string_split(substr(sym, 2, length(sym) - 2), '||') AS ts
+        FROM w8),
+      vc AS (
+        SELECT ts[u.i] AS token, sum(cnt)::BIGINT AS c
+        FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) u
+        GROUP BY 1),
+      vocab AS MATERIALIZED (
+        SELECT token, CAST(row_number() OVER (ORDER BY c DESC, token) - 1 AS INT) AS token_id
+        FROM vc),
+      dw AS (
+        SELECT doc_id, u.i AS wpos, ws[u.i] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE text IS NOT NULL)
+        CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
+        WHERE ws[u.i] <> ''),
+      dt AS MATERIALIZED (
+        SELECT d.doc_id, d.wpos, u.i AS tpos, t.ts[u.i] AS token
+        FROM dw d JOIN toks t USING (word)
+        CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.ts) + 1)) AS i) u)"""
+
   /** Unrolled DuckDB replay of `iters` integer-Lloyd rounds over the
     * embeddings table ([[ext.Similarity.lloydInt]] semantics verbatim):
     * fixed-point grid, exact squared-L2 argmin (ties → smaller cid),
@@ -9343,7 +9370,62 @@ object SparkEntry {
       SELECT word, CAST(u.i - 1 AS INT) AS token_idx, s[u.i] AS token
       FROM t CROSS JOIN LATERAL (
         SELECT unnest(range(1, len(s) + 1)) AS i) u
-      ORDER BY word, token_idx"""))
+      ORDER BY word, token_idx""")),
+
+    // Per-document TOKEN-ID sequences — the missing last mile between the
+    // tokenizer family (which emitted counts and token strings) and
+    // packing: a training pipeline ships id ARRAYS. Merges learned (q223's
+    // loop), vocabulary ids assigned by frequency rank (Bpe.vocab — count
+    // desc, token asc, dense 0-based), every doc's words resolved through
+    // the word→ids artifact and flattened in (word pos, token pos) order.
+    // Gated token by token: the id arrays are posexploded so the oracle
+    // compares every (doc, pos, id) triple exactly.
+    ("q234_bpe_token_ids", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = ext.Bpe.learnMerges(docs, "text", merges = 8)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val v = ext.Bpe.vocab(docs, "text", merges)
+      ext.Bpe.tokenIds(docs, "doc_id", "text", merges, v)
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .orderBy(col("doc_id"), col("pos"))
+    }, Some(s"""
+      WITH ${bpeOracleCtes(8)},
+      ${bpeTokenIdCtes}
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS INT) AS pos,
+        v.token_id
+      FROM dt JOIN vocab v USING (token)
+      ORDER BY doc_id, pos""")),
+
+    // The END-TO-END token pipeline: docs → learned merges → vocabulary →
+    // per-doc token-id arrays → 2048-token packed training examples, every
+    // example's payload gated position by position against the oracle's
+    // independent replay (concatenate-the-corpus-then-chunk semantics; a
+    // doc spanning an example boundary contributes to both). The offsets
+    // come from the GlobalCumsum two-phase spine — per-token rows only
+    // ever exist AFTER the doc-level cumsum, so token payloads never
+    // shuffle (Packing.packTokens).
+    ("q235_pack_token_ids", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = ext.Bpe.learnMerges(docs, "text", merges = 8)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val v = ext.Bpe.vocab(docs, "text", merges)
+      val ids = ext.Bpe.tokenIds(docs, "doc_id", "text", merges, v)
+      ext.Packing.packTokens(ids, "doc_id", "token_ids", exampleTokens = 2048L)
+        .orderBy(col("example_id"), col("pos"))
+    }, Some(s"""
+      WITH ${bpeOracleCtes(8)},
+      ${bpeTokenIdCtes},
+      seq AS (
+        SELECT dt.doc_id, v.token_id,
+          row_number() OVER (ORDER BY dt.doc_id, dt.wpos, dt.tpos) - 1 AS g
+        FROM dt JOIN vocab v USING (token))
+      SELECT CAST(g // 2048 AS BIGINT) AS example_id,
+        CAST(g % 2048 AS BIGINT) AS pos, doc_id, token_id
+      FROM seq ORDER BY example_id, pos"""))
   )
 
   // ------------------------------------------------------- driver contract

@@ -190,4 +190,71 @@ object Bpe {
       .toSeq
     applyMerges(df, idCol, textCol, table)
   }
+
+  /** The id-assigned vocabulary over a tokenized corpus: every post-merge
+    * token ranked by (corpus occurrence count desc, token asc) —
+    * frequency rank is the id space real tokenizers ship (low ids = hot
+    * tokens) — with `token_id` = rank − 1 (0-based, dense). Counts are
+    * exact: per-word token multiplicity weighted by the word-dict count,
+    * so the corpus pays ONE scan (the word dict) no matter the alphabet.
+    * The rank is a [[graft.analytics.GlobalCumsum]] global row number —
+    * never a single-partition sort, though the vocabulary is
+    * metadata-scale by contract.
+    * @return (token_id int, token, cnt) */
+  def vocab(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc = wordDict(df, textCol)
+      .withColumn("sym", encodeWord(col("word"), merges))
+    val counts = enc
+      .select(col("cnt"), explode(split(
+        expr("substring(sym, 2, length(sym) - 2)"), "\\|\\|")).as("token"))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+    graft.analytics.GlobalCumsum
+      .rowNumber(counts, Seq(col("cnt").desc, col("token")), "token_id")
+      .select((col("token_id") - 1).cast("int").as("token_id"),
+        col("token"), col("cnt"))
+  }
+
+  /** word → ordered token-ID array under a learned (merges, vocab) pair —
+    * the serving artifact of a trained tokenizer (the [[tokenTable]] with
+    * ids resolved and positions folded into one array per word). One
+    * distinct-word pass; the vocab join broadcasts (vocabulary-scale by
+    * contract). Join is INNER: by construction every token a corpus word
+    * produces exists in a vocab trained on the same corpus; for
+    * out-of-corpus serving, train vocab on the union or handle OOV
+    * upstream. */
+  def wordTokenIds(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], vocabDf: DataFrame): DataFrame =
+    tokenTable(df, textCol, merges)
+      .join(broadcast(vocabDf.select(col("token"), col("token_id"))), Seq("token"))
+      .groupBy(col("word"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("token_idx"), col("token_id")))),
+        s => s.getField("token_id")).as("ids"))
+
+  /** Per-document token-ID sequences — the last mile between tokenizer
+    * training and sequence packing: a training pipeline ships id ARRAYS,
+    * not token counts. Each doc's words resolve through the
+    * [[wordTokenIds]] artifact (one hash join keyed by word — per-doc
+    * payloads never shuffle more than their own ids) and the per-word id
+    * arrays flatten in (word position, token position) order. Documents
+    * with no words emit nothing ([[applyMerges]] parity); `n_tokens` =
+    * size(token_ids) matches [[applyMerges]]'s count by construction
+    * (law-tested).
+    * @return (`idCol`, n_tokens long, token_ids array<int>) */
+  def tokenIds(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], vocabDf: DataFrame): DataFrame = {
+    val wt = wordTokenIds(df, textCol, merges, vocabDf)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(TextAnalysis.words(col(textCol))).as(Seq("__wp", "__w")))
+      .where(col("__w") =!= "")
+      .join(wt.withColumnRenamed("word", "__w"), Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__wp"), col("ids")))),
+        s => s.getField("ids"))).as("token_ids"))
+      .select(col(idCol), size(col("token_ids")).cast("long").as("n_tokens"),
+        col("token_ids"))
+  }
 }

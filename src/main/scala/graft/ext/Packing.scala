@@ -70,6 +70,52 @@ object Packing {
           .as("n_tokens_filled"))
   }
 
+  /** Fixed-width packing of PER-DOCUMENT TOKEN-ID SEQUENCES — the payload
+    * form of [[offsets]]/[[manifest]] (which reason about counts): lay the
+    * corpus token stream, doc after doc in ascending `idCol`, into
+    * `exampleTokens`-wide training examples and emit one row per token
+    * with its (example, in-example position) address. A doc spanning an
+    * example boundary contributes its tokens to every example it touches —
+    * exact concatenate-then-chunk semantics, no padding.
+    *
+    * Scale shape: one [[GlobalCumsum]] two-phase pass over doc-level rows
+    * for the offsets, then a pure posexplode projection — per-token rows
+    * exist only AFTER the cumsum (token payloads never shuffle; the
+    * explode is scan-stage work wherever the consumer lands). Grouping to
+    * (example_id, ids array) is [[packedExamples]] — one hash agg away.
+    *
+    * @param df (`idCol`, `idsCol` array<int>) — one row per doc
+    * @return (example_id, pos, `idCol`, token_id) — pos ∈ [0, exampleTokens) */
+  def packTokens(df: DataFrame, idCol: String, idsCol: String,
+      exampleTokens: Long): DataFrame = {
+    require(exampleTokens > 0,
+      s"exampleTokens must be positive, got $exampleTokens")
+    val withOff = offsets(
+      df.withColumn("__pt_n", size(col(idsCol)).cast("long"))
+        .where(col("__pt_n") > 0),
+      idCol, "__pt_n")
+    withOff
+      .select(col(idCol), col("cum_before"),
+        posexplode(col(idsCol)).as(Seq("__tp", "token_id")))
+      .withColumn("__g", col("cum_before") + col("__tp"))
+      .select(expr(s"__g div ${exampleTokens}L").as("example_id"),
+        (col("__g") % exampleTokens).as("pos"),
+        col(idCol), col("token_id"))
+  }
+
+  /** [[packTokens]] folded to one row per example: the id array in stream
+    * order plus its fill count (every example except possibly the last
+    * holds exactly `exampleTokens` ids). */
+  def packedExamples(df: DataFrame, idCol: String, idsCol: String,
+      exampleTokens: Long): DataFrame =
+    packTokens(df, idCol, idsCol, exampleTokens)
+      .groupBy(col("example_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("token_id")))),
+        s => s.getField("token_id")).as("token_ids"))
+      .select(col("example_id"),
+        size(col("token_ids")).cast("long").as("n_tokens"), col("token_ids"))
+
   /** Length-binned pack offsets (sorted batching): docs are ntile'd into
     * `bins` quantile bins by (`tokensCol`, `idCol`) — so same-bin docs have
     * near-uniform lengths and padding-to-longest waste collapses — then

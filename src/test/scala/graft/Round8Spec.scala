@@ -133,6 +133,45 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("Packing.packTokens == concatenate-then-chunk; packedExamples interior width exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic variable-length id sequences, several spanning the
+    // example boundary; empty docs must be skipped, not packed
+    val docs = (1L to 40L).map { i =>
+      val n = if (i % 9 == 0) 0 else (i * 13 % 23).toInt + 1
+      (i, (0 until n).map(j => (i * 100 + j).toInt))
+    }.toDF("doc_id", "ids")
+      .repartition(4)
+    val expected = (1L to 40L).flatMap { i =>
+      val n = if (i % 9 == 0) 0 else (i * 13 % 23).toInt + 1
+      (0 until n).map(j => (i, (i * 100 + j).toInt))
+    } // corpus stream in ascending doc_id, in-doc order
+    val t = 16L
+    val got = graft.ext.Packing.packTokens(docs, "doc_id", "ids", t)
+      .orderBy("example_id", "pos").collect()
+      .map(r => (r.getAs[Long]("example_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("token_id")))
+    graft.util.Caches.releaseAll()
+    got.length shouldBe expected.length
+    got.zip(expected.zipWithIndex).foreach {
+      case ((ex, pos, doc, id), ((edoc, eid), g)) =>
+        ex shouldBe g / t
+        pos shouldBe g % t
+        doc shouldBe edoc
+        id shouldBe eid
+    }
+    val packed = graft.ext.Packing.packedExamples(docs, "doc_id", "ids", t)
+      .orderBy("example_id").collect()
+      .map(r => (r.getAs[Long]("example_id"), r.getAs[Long]("n_tokens"),
+        r.getSeq[Int](r.fieldIndex("token_ids")).toVector))
+    graft.util.Caches.releaseAll()
+    packed.map(_._1).toSeq shouldBe (0L until packed.length.toLong)
+    packed.dropRight(1).foreach { case (_, n, ids) =>
+      n shouldBe t; ids.size.toLong shouldBe t }
+    packed.flatMap(_._3).toSeq shouldBe expected.map(_._2)
+  }
+
   test("Packing.binnedOffsets restart at zero per bin and stay gapless") {
     import spark.implicits._
     val docs = (1L to 123L).map(i => (i, (i * 53 % 70) + 1)).toDF("doc_id", "n_tokens")

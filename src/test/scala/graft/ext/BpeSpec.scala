@@ -134,6 +134,49 @@ class BpeSpec extends SparkTestBase {
     res
   }
 
+  test("vocab: dense 0-based frequency-ranked ids; ties break by token asc") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    // no merges: tokens are chars + eow. counts: a=2, b=3, >=3
+    val v = Bpe.vocab(df, "text", Nil).orderBy("token_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    graft.util.Caches.releaseAll()
+    // cnt desc, token asc: ">"(3) < "b"(3) lexicographically
+    v shouldBe Array((0, ">", 3L), (1, "b", 3L), (2, "a", 2L))
+    // ids are dense 0..V-1
+    v.map(_._1).toSeq shouldBe (0 until v.length)
+  }
+
+  test("tokenIds: flattened (word pos, token pos) order; size law vs applyMerges") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "ab ba"),
+      (2L, "ab  ab"), // double space: empty word filtered, order preserved
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b")) // "ab" merges; "ba" stays b,a
+    val v = Bpe.vocab(df, "text", merges)
+    val ids = Bpe.tokenIds(df, "doc_id", "text", merges, v)
+    val byDoc = ids.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2).toVector)).toMap
+    graft.util.Caches.releaseAll()
+    // vocab over this corpus: counts ">"=5, "ab"=3, "a"=2(from ba? no —
+    // "ba" splits b,a,> so a=2,b=2), so ranks: >(5)=0, ab(3)=1, a(2)=2, b(2)=3
+    val vm = v.collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    byDoc(1L)._2 shouldBe Vector(vm("ab"), vm(">"), vm("b"), vm("a"), vm(">"))
+    byDoc(2L)._2 shouldBe Vector(vm("ab"), vm(">"), vm("ab"), vm(">"))
+    byDoc.contains(3L) shouldBe false // null text: applyMerges parity
+    byDoc.contains(4L) shouldBe false // no words
+    // law: n_tokens == size(token_ids) == applyMerges count, per doc
+    val am = Bpe.applyMerges(df, "doc_id", "text", merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    byDoc.foreach { case (d, (n, seq)) =>
+      n shouldBe seq.size.toLong
+      n shouldBe am(d)
+    }
+    graft.util.Caches.releaseAll()
+  }
+
   test("reserved delimiter in a word fails loudly") {
     val df = Seq((1L, "ok bad|word")).toDF("doc_id", "text")
     val ex = intercept[Exception] {
