@@ -135,6 +135,58 @@ object SparkEntry {
     (w0 +: steps).mkString(",\n      ")
   }
 
+  /** Unrolled DuckDB replay of `rounds` BATCHED BPE rounds at batch=2
+    * ([[ext.Bpe.learnMergesBatched]] semantics): each round counts pairs,
+    * ranks the top 2 (count desc, l, r), always accepts rank 1, accepts
+    * rank 2 only if symbol-disjoint from rank 1's symbols AND its merged
+    * output (the deferral rule), and applies the acceptances as chained
+    * replaces in rank order. Scalar subqueries COALESCE to a chr(1)
+    * identity replace when a round accepts only one pair (or the dict
+    * runs out). The caller trims the unioned acceptances to the first k
+    * steps — generating a fixed round count is the price of expressing a
+    * data-dependent loop in SQL, and extra rounds trim away exactly
+    * because acceptance order equals rank order. */
+  private def bpeBatchedOracleCtes(rounds: Int): String = {
+    val b0 = """b0 AS MATERIALIZED (
+        SELECT word, count(*)::BIGINT AS cnt,
+          regexp_replace(word, '(.)', '|\1|', 'g') || '|>|' AS sym
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE word <> '' GROUP BY word)"""
+    val steps = (1 to rounds).map { i =>
+      s"""bp$i AS MATERIALIZED (
+        SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS c FROM (
+          SELECT cnt, unnest(list_transform(generate_series(1, len(s) - 1),
+            j -> {'l': s[j], 'r': s[j + 1]})) AS p
+          FROM (SELECT cnt, string_split(substr(sym, 2, length(sym) - 2), '||') AS s
+                FROM b${i - 1})
+          WHERE len(s) >= 2)
+        GROUP BY 1, 2),
+      bt$i AS MATERIALIZED (
+        SELECT l, r, c, rk FROM (
+          SELECT *, CAST(row_number() OVER (ORDER BY c DESC, l, r) AS INT) AS rk
+          FROM bp$i) WHERE rk <= 2),
+      ba$i AS MATERIALIZED (
+        SELECT l, r, c, rk FROM bt$i WHERE rk = 1
+        UNION ALL
+        SELECT t.l, t.r, t.c, t.rk FROM bt$i t JOIN bt$i o ON o.rk = 1
+        WHERE t.rk = 2
+          AND t.l <> o.l AND t.l <> o.r AND t.l <> o.l || o.r
+          AND t.r <> o.l AND t.r <> o.r AND t.r <> o.l || o.r),
+      b$i AS MATERIALIZED (
+        SELECT word, cnt, replace(
+          replace(sym,
+            coalesce('|' || (SELECT l FROM ba$i WHERE rk = 1) || '||' ||
+              (SELECT r FROM ba$i WHERE rk = 1) || '|', chr(1)),
+            coalesce('|' || (SELECT l || r FROM ba$i WHERE rk = 1) || '|', chr(1))),
+          coalesce('|' || (SELECT l FROM ba$i WHERE rk = 2) || '||' ||
+            (SELECT r FROM ba$i WHERE rk = 2) || '|', chr(1)),
+          coalesce('|' || (SELECT l || r FROM ba$i WHERE rk = 2) || '|', chr(1))) AS sym
+        FROM b${i - 1})"""
+    }
+    (b0 +: steps).mkString(",\n      ")
+  }
+
   /** The token-ID derivation CTEs shared by the q234/q235 oracles,
     * appended after [[bpeOracleCtes]] (they read w8): per-word token
     * lists, the frequency-ranked vocabulary ([[ext.Bpe.vocab]] semantics:
@@ -9425,7 +9477,28 @@ object SparkEntry {
         FROM dt JOIN vocab v USING (token))
       SELECT CAST(g // 2048 AS BIGINT) AS example_id,
         CAST(g % 2048 AS BIGINT) AS pos, doc_id, token_id
-      FROM seq ORDER BY example_id, pos"""))
+      FROM seq ORDER BY example_id, pos""")),
+
+    // BATCHED BPE training gated end to end: 8 merges learned two
+    // candidates per counting round with the deferral rule (a rank-2 pair
+    // sharing a symbol with — or naming the output of — rank 1 waits for
+    // the next round), against a full DuckDB replay of the same batched
+    // rounds. This is the production merge-count path: driver round trips
+    // drop batch× (Stress: 256 merges in 41 rounds), while batch=1
+    // degenerates to q223's sequential loop exactly (spec law).
+    ("q236_bpe_batched", (s, dir) => {
+      ext.Bpe.learnMergesBatched(T(s, dir, "documents"), "text",
+          merges = 8, batch = 2)
+        .orderBy(col("step"))
+    }, Some(s"""
+      WITH ${bpeBatchedOracleCtes(8)}
+      SELECT step, round, "left", "right", merged, pair_count FROM (
+        SELECT CAST(row_number() OVER (ORDER BY round, rk) AS INT) AS step,
+          round, l AS "left", r AS "right", l || r AS merged, c AS pair_count
+        FROM (${(1 to 8).map(i =>
+          s"SELECT CAST($i AS INT) AS round, l, r, c, rk FROM ba$i")
+          .mkString(" UNION ALL ")}))
+      WHERE step <= 8 ORDER BY step"""))
   )
 
   // ------------------------------------------------------- driver contract

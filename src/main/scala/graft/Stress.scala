@@ -397,6 +397,17 @@ object Stress {
         graft.util.Caches.releaseAll()
         m
       }
+      // production merge counts: 256 merges in BATCHED rounds (batch=32) —
+      // the driver pays ~256/32 + deferral-retry round trips instead of
+      // 256. Bounded time is the contract under test; per-round
+      // localCheckpoint keeps step cost flat (the r10 lineage lesson).
+      timed("BPE learn 256 merges BATCHED(32) / 500k-word dict") {
+        val m = Bpe.learnMergesBatched(vocab, "text", 256, batch = 32)
+        val n = m.count()
+        val rounds = m.agg(max(col("round"))).head.getInt(0)
+        println(s"[stress]   merges = $n in $rounds rounds")
+        graft.util.Caches.releaseAll()
+      }
       val grouped = timed("BPE tokenize 100k docs (grouped)") {
         val t = Bpe.applyMerges(big, "doc_id", "text", merges)
         val total = t.agg(count(lit(1)), sum(col("n_tokens"))).head

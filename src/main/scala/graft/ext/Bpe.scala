@@ -104,6 +104,76 @@ object Bpe {
     learned.toSeq.toDF("step", "left", "right", "merged", "pair_count")
   }
 
+  /** [[learnMerges]] in BATCHED rounds — the standard distributed-BPE
+    * batching that cuts driver round trips `batch`×: each round counts
+    * pairs ONCE, collects the top `batch` candidates (count desc, then
+    * (l, r) lexicographic — the sequential argmax order), and greedily
+    * ACCEPTS a candidate only if neither of its symbols appears among the
+    * symbols OR merged results of a higher-ranked pair already accepted
+    * this round; otherwise it DEFERS to a later round. Deferral is what
+    * keeps the round sound: two pairs sharing a symbol compete for the
+    * same occurrences, so the lower-ranked one's count is stale the
+    * moment the higher-ranked replace runs (and a pair whose side equals
+    * an earlier pair's OUTPUT would match occurrences that replace just
+    * created). Accepted pairs are symbol-disjoint, so their delimited
+    * replaces touch disjoint sites and commute — the round applies them
+    * as ONE chained-replace projection over the dict.
+    *
+    * Exact-sequential equivalence holds when each round's acceptances
+    * don't interact AND no merge-created pair overtakes the next
+    * acceptance's count (spec-tested both ways: an equality fixture and a
+    * divergence fixture); `batch = 1` is [[learnMerges]] exactly. The
+    * recorded `pair_count` of a non-first acceptance is its count at the
+    * START of the round — the number the argmax actually ranked on.
+    *
+    * Returns (step, round, left, right, merged, pair_count); `step` is
+    * the global application order ([[applyMerges]]-compatible), `round`
+    * the counting round that accepted it. */
+  def learnMergesBatched(df: DataFrame, textCol: String, merges: Int,
+      batch: Int): DataFrame = {
+    require(merges > 0, s"merges must be positive, got $merges")
+    require(batch > 0, s"batch must be positive, got $batch")
+    val spark = df.sparkSession
+    var dict = wordDict(df, textCol).localCheckpoint(true)
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (learned.size < merges && !exhausted) {
+      // fetch the full batch of candidates even when fewer merges remain:
+      // a deferral must be able to let the NEXT-ranked candidate in, and a
+      // pool clamped to the remaining-merge count would starve it
+      val top = pairCounts(dict)
+        .orderBy(col("c").desc, col("l"), col("r")).limit(batch).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val room = merges - learned.size
+        val blocked = scala.collection.mutable.Set.empty[String]
+        val accepted =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        top.foreach { r =>
+          val (l, rt, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (accepted.size < room && !blocked(l) && !blocked(rt)) {
+            accepted += ((l, rt, c))
+            blocked ++= Seq(l, rt, l + rt)
+          }
+        }
+        accepted.foreach { case (l, r, c) =>
+          learned += ((learned.size + 1, round, l, r, l + r, c))
+        }
+        dict = dict
+          .withColumn("sym", accepted.foldLeft(col("sym")) {
+            case (acc, (l, r, _)) =>
+              replace(acc, lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep${l + r}$Sep"))
+          })
+          .localCheckpoint(true) // truncate: plan depth stays ONE round
+        round += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("step", "round", "left", "right", "merged", "pair_count")
+  }
+
   /** The delimited encoding of one word column, with `merges` applied in
     * order as a single nested-replace expression chain. */
   private[ext] def encodeWord(word: Column, merges: Seq[(String, String)]): Column = {

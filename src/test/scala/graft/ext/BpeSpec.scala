@@ -134,6 +134,133 @@ class BpeSpec extends SparkTestBase {
     res
   }
 
+  test("learnMergesBatched: batch=1 == learnMerges exactly (random corpora)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val words = (1 to 2 + rnd.nextInt(5)).map { _ =>
+        (1 to 1 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, (w + " ") * (1 + rnd.nextInt(3))) }
+        .toDF("doc_id", "text")
+      val k = 1 + rnd.nextInt(4)
+      val seqr = Bpe.learnMerges(docs, "text", k).orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      val bat = Bpe.learnMergesBatched(docs, "text", k, batch = 1)
+        .orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getString(2), r.getString(3),
+          r.getString(4), r.getLong(5))).toSeq
+      withClue(s"trial $trial") { bat shouldBe seqr }
+    }
+  }
+
+  test("learnMergesBatched: deferral keeps batched == sequential on a non-interacting corpus") {
+    // 'abc'x4, 'xyz'x3: round-1 top-2 by (count desc, l, r) is
+    // (a,b)=4 then (b,c)=4 — (b,c) DEFERS (shares b). Round 2 top-2 is
+    // (ab,c)=4 then (c,>)=4 — (c,>) defers (shares c). The accepted
+    // sequence (a,b),(ab,c) is exactly sequential BPE's.
+    val docs = Seq((1L, "abc abc abc abc xyz xyz xyz")).toDF("doc_id", "text")
+    val seqr = Bpe.learnMerges(docs, "text", 2).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val bat = Bpe.learnMergesBatched(docs, "text", 2, batch = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5))).toSeq
+    bat.map(t => (t._1, t._3, t._4, t._5, t._6)) shouldBe seqr
+    // the deferrals are visible as one acceptance per round
+    bat.map(_._2) shouldBe Seq(1, 2)
+  }
+
+  test("learnMergesBatched: a round CAN accept several disjoint pairs (documented divergence)") {
+    // 'ab'x2, 'cd'x2: round-1 ranking (a,b),(b,>),(c,d),(d,>) all count 2.
+    // batch=4 accepts (a,b) and (c,d) in ONE round ((b,>) and (d,>) defer
+    // on shared symbols). Sequential BPE would instead pick (a,b) then
+    // (ab,>) — the merge-created pair overtakes by lexicographic rank.
+    // This is the batching trade, pinned here as a DOCUMENTED divergence.
+    val docs = Seq((1L, "ab ab cd cd")).toDF("doc_id", "text")
+    val bat = Bpe.learnMergesBatched(docs, "text", 2, batch = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5))).toSeq
+    bat shouldBe Seq(
+      (1, 1, "a", "b", "ab", 2L),
+      (2, 1, "c", "d", "cd", 2L))
+    val seqr = Bpe.learnMerges(docs, "text", 2).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    seqr shouldBe Seq(("a", "b"), ("ab", ">"))
+  }
+
+  test("learnMergesBatched matches an in-JVM batched-greedy reference on random corpora") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 8) {
+      val words = (1 to 2 + rnd.nextInt(6)).map { _ =>
+        (1 to 1 + rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val counts = words.map(w => w -> (1L + rnd.nextInt(5))).toMap
+      val docs = counts.toSeq.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
+        .grouped(4).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val k = 1 + rnd.nextInt(5)
+      val b = 2 + rnd.nextInt(2)
+      val got = Bpe.learnMergesBatched(docs, "text", k, batch = b)
+        .orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+          r.getString(4), r.getLong(5))).toSeq
+      withClue(s"trial $trial corpus=$counts k=$k batch=$b") {
+        got shouldBe refBpeBatched(counts, k, b)
+      }
+    }
+  }
+
+  /** Batched-greedy reference over symbol VECTORS, mirroring the
+    * learnMergesBatched spec: rank by (count desc, l, r), accept unless a
+    * symbol collides with a higher-ranked acceptance's symbols or output,
+    * apply the round's acceptances, repeat. */
+  private def refBpeBatched(counts: Map[String, Long], k: Int, batch: Int)
+      : Seq[(Int, Int, String, String, String, Long)] = {
+    var dict: Seq[(Vector[String], Long)] =
+      counts.toSeq.map { case (w, c) => (w.map(_.toString).toVector :+ ">") -> c }
+    var res = Vector.empty[(Int, Int, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (res.size < k && !done) {
+      val pairs = dict.flatMap { case (s, c) =>
+        if (s.size >= 2) s.sliding(2).map(p => (p(0), p(1)) -> c).toSeq else Nil
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (pairs.isEmpty) done = true
+      else {
+        val top = pairs.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.take(batch)
+        val room = k - res.size
+        val blocked = scala.collection.mutable.Set.empty[String]
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        top.foreach { case ((l, r), c) =>
+          if (acc.size < room && !blocked(l) && !blocked(r)) {
+            acc += ((l, r, c)); blocked ++= Seq(l, r, l + r)
+          }
+        }
+        acc.foreach { case (l, r, c) =>
+          res :+= ((res.size + 1, round, l, r, l + r, c))
+        }
+        acc.foreach { case (l, r, _) =>
+          dict = dict.map { case (s, cnt) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < s.size) {
+              if (i + 1 < s.size && s(i) == l && s(i + 1) == r) { b += l + r; i += 2 }
+              else { b += s(i); i += 1 }
+            }
+            (b.result(), cnt)
+          }
+        }
+        round += 1
+      }
+    }
+    res
+  }
+
   test("vocab: dense 0-based frequency-ranked ids; ties break by token asc") {
     import org.apache.spark.sql.functions._
     val df = Seq((1L, "ab ab b")).toDF("doc_id", "text")
