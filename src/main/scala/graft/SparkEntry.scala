@@ -9498,7 +9498,103 @@ object SparkEntry {
         FROM (${(1 to 8).map(i =>
           s"SELECT CAST($i AS INT) AS round, l, r, c, rk FROM ba$i")
           .mkString(" UNION ALL ")}))
-      WHERE step <= 8 ORDER BY step"""))
+      WHERE step <= 8 ORDER BY step""")),
+
+    // The residual-IVFADC index as a STORED deployment artifact (q197's
+    // stored-index discipline for the q212 production form): centroids,
+    // residual codebooks, and the encoded base index (vec_id % 7 != 0 —
+    // coarse list + residual PQ codes, m+2 small values per vector, the
+    // vectors themselves never stored) persist as parquet ONCE per JVM;
+    // the consumer reloads the frozen model, encodes ONLY the increment
+    // (vec_id % 7 == 0) against it, unions the index rows, and serves
+    // queries — and must reproduce q212's from-scratch oracle VERBATIM,
+    // because nothing in an index row depends on corpus membership.
+    ("q237_ivfpq_residual_store", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q237_ivfpq_store", dir) { p =>
+        val cent = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cbRes = Similarity.pqCodebookByStride(
+          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+          "vec_id", "res", m = 4, subDim = 16, stride = 50)
+        cent.write.mode("overwrite").parquet(s"$p/centroids")
+        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
+        Similarity.residualIndex(emb.where(col("vec_id") % 7 =!= 0),
+            cent, cbRes, "vec_id", "cid", "embedding", m = 4, subDim = 16)
+          .write.mode("overwrite").parquet(s"$p/index")
+      }
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      val stored = s.read.parquet(s"$tmp/index")
+      val incr = Similarity.residualIndex(emb.where(col("vec_id") % 7 === 0),
+        cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)
+      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
+        stored.unionByName(incr), cent, cb, "vec_id", "cid", "embedding",
+        k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM v WHERE vec_id % 100 = 0),
+      ldist AS (
+        SELECT a.vec_id AS n_id, c.lcid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
+            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
+        FROM v a CROSS JOIN cent c),
+      assign AS (
+        SELECT n_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ldist) WHERE rn = 1),
+      resid AS (
+        SELECT a.n_id, a.lcid,
+          list_transform(range(1, least(len(x.vec), len(c.l_vec)) + 1),
+            i -> x.vec[i] - c.l_vec[i]) AS rv
+        FROM assign a JOIN v x ON x.vec_id = a.n_id JOIN cent c ON c.lcid = a.lcid),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      cb AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY n_id) - 1 AS BIGINT) AS cid,
+          rv[sub*16 + 1 : sub*16 + 16] AS c_vec
+        FROM resid CROSS JOIN subs WHERE n_id % 50 = 0),
+      cd AS (
+        SELECT r.n_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS d2
+        FROM resid r CROSS JOIN cb b),
+      codes AS (
+        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
+          SELECT n_id, sub, cid,
+            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
+          FROM cd) WHERE rn = 1 GROUP BY n_id),
+      probes AS (
+        SELECT n_id AS q_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ldist WHERE n_id < 8) WHERE rn <= 2),
+      qres AS (
+        SELECT p.q_id, p.lcid,
+          list_transform(range(1, least(len(q.vec), len(c.l_vec)) + 1),
+            i -> q.vec[i] - c.l_vec[i]) AS rv
+        FROM probes p JOIN v q ON q.vec_id = p.q_id JOIN cent c ON c.lcid = p.lcid),
+      ld AS (
+        SELECT r.q_id, r.lcid, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS pd
+        FROM qres r CROSS JOIN cb b),
+      lut1 AS (SELECT q_id, lcid, sub, list(pd ORDER BY cid) AS lrow
+               FROM ld GROUP BY q_id, lcid, sub),
+      lut AS (SELECT q_id, lcid, list(lrow ORDER BY sub) AS lut
+              FROM lut1 GROUP BY q_id, lcid),
+      scored AS (
+        SELECT l.q_id, a.n_id,
+          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
+        FROM lut l
+        JOIN assign a ON a.lcid = l.lcid
+        JOIN codes x ON x.n_id = a.n_id
+        WHERE a.n_id <> l.q_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank"""))
   )
 
   // ------------------------------------------------------- driver contract

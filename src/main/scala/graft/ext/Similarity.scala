@@ -757,11 +757,38 @@ object Similarity {
   def ivfPqResidualTopK(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       codebooks: DataFrame, qIdCol: String, idCol: String, cidCol: String,
-      vecCol: String, k: Int, m: Int, subDim: Int, nprobe: Int = 2): DataFrame = {
+      vecCol: String, k: Int, m: Int, subDim: Int, nprobe: Int = 2): DataFrame =
+    ivfPqResidualStoredTopK(queries,
+      residualIndex(corpus, centroids, codebooks, idCol, cidCol, vecCol, m, subDim),
+      centroids, codebooks, qIdCol, cidCol, vecCol, k, m, subDim, nprobe)
+
+  /** The residual-IVFADC INDEX build, split out so it can be PERSISTED as
+    * the deployment artifact (coarse list + residual PQ codes per vector —
+    * m+2 small values, vectors never stored): one corpus pass — coarse
+    * argmin against broadcast centroids, residual subtraction, PQ encode —
+    * exactly [[ivfPqResidualTopK]]'s first stage. An INCREMENT encodes
+    * against the same FROZEN (centroids, codebooks) model and appends;
+    * nothing in the stored rows depends on corpus membership.
+    * @return (n_id, lcid, codes) */
+  def residualIndex(corpus: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, idCol: String, cidCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame = {
     val res = residuals(corpus, centroids, idCol, cidCol, vecCol)
-    val indexed = pqEncodeCarry(res, codebooks, idCol, "res", m, subDim,
+    pqEncodeCarry(res, codebooks, idCol, "res", m, subDim,
         carryCols = Seq("lcid"))
       .select(col(idCol).as("n_id"), col("lcid"), col("codes"))
+  }
+
+  /** [[ivfPqResidualTopK]]'s QUERY stage over an already-built (possibly
+    * reloaded-from-store) index — the serving path of the persisted
+    * artifact: per-(query, probe) residual LUTs joined to the index on the
+    * probed list, ADC-scored, top-k ranked. `index` is (n_id, lcid, codes)
+    * as produced by [[residualIndex]]. */
+  def ivfPqResidualStoredTopK(
+      queries: DataFrame, index: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, qIdCol: String, cidCol: String,
+      vecCol: String, k: Int, m: Int, subDim: Int, nprobe: Int = 2): DataFrame = {
+    val indexed = index
     val cent = broadcast(centroids
       .select(col(cidCol).as("lcid"), col(vecCol).cast("array<double>").as("l_vec")))
     // nprobe nearest lists per query, carrying the list centroid so the
