@@ -9594,7 +9594,78 @@ object SparkEntry {
         SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
         FROM scored)
       SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
-      ORDER BY q_id, rank"""))
+      ORDER BY q_id, rank""")),
+
+    // STREAMING tokenize-to-ids — the serving shape of the whole tokenizer
+    // family: merges AND vocabulary are trained offline and ship as
+    // LITERALS (the token space is alphabet + merges — model metadata), so
+    // resolving a document to its id sequence is a pure per-row projection:
+    // no join, no aggregation, no state (Bpe.tokenIdsRowwise). Gated on
+    // q234's oracle VERBATIM — the stream must reproduce the batch id
+    // assignment token for token. VERIFICATION-HARNESS BOUNDARY
+    // (q19/q170 convention): memory sink + collect; the batch-side
+    // posexplode just reshapes the collected arrays for the gate.
+    ("q238_stream_token_ids", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = ext.Bpe.learnMerges(docs, "text", merges = 8)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = ext.Bpe.vocab(docs, "text", merges).collect()
+        .map(r => r.getString(1) -> r.getInt(0)).toMap
+      val tmp = graft.util.Staging.dir("q226_docs", dir) { p =>
+        docs.select(col("doc_id"), col("text"))
+          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
+      }
+      val qname = "graft_stream_token_ids"
+      val (schema, rows) = {
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
+        val q = ext.Bpe.tokenIdsRowwise(stream, "doc_id", "text", merges, vocab)
+          .writeStream.outputMode("append").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val res = s.table(qname)
+        val out = (res.schema, res.collect())
+        s.catalog.dropTempView(qname)
+        out
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .orderBy(col("doc_id"), col("pos"))
+    }, Some(s"""
+      WITH ${bpeOracleCtes(8)},
+      ${bpeTokenIdCtes}
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS INT) AS pos,
+        v.token_id
+      FROM dt JOIN vocab v USING (token)
+      ORDER BY doc_id, pos""")),
+
+    // Detokenization ROUND TRIP — the proof that the id arrays are
+    // information-complete: ids resolve back through the INVERSE vocab
+    // (literal map, no join), tokens concatenate, eow markers become word
+    // boundaries, and the rebuilt text must equal the original (modulo
+    // space runs — empty words are filtered at encode time, the
+    // tokenizer's one documented loss; the oracle normalizes identically).
+    ("q239_detokenize_roundtrip", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = ext.Bpe.learnMerges(docs, "text", merges = 8)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vdf = ext.Bpe.vocab(docs, "text", merges)
+      val vocab = vdf.collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+      val ids = ext.Bpe.tokenIds(docs, "doc_id", "text", merges, vdf)
+      ext.Bpe.detokenize(ids, "doc_id", "token_ids", vocab)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        array_to_string(list_filter(string_split(text, ' '), w -> w <> ''), ' ')
+          AS text_rebuilt
+      FROM documents
+      WHERE text IS NOT NULL
+        AND len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+      ORDER BY doc_id"""))
   )
 
   // ------------------------------------------------------- driver contract

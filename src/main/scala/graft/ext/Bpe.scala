@@ -302,6 +302,58 @@ object Bpe {
         array_sort(collect_list(struct(col("token_idx"), col("token_id")))),
         s => s.getField("token_id")).as("ids"))
 
+  /** [[tokenIds]] as a PURE PER-ROW PROJECTION — the streaming
+    * tokenize-to-ids shape: the merge table AND the vocabulary ship as
+    * literals (both are model metadata — the token space is alphabet +
+    * merges, vocabulary-scale by construction), so resolving a document
+    * to its id sequence needs no join, no aggregation, no state. Each
+    * word encodes through the nested-replace chain and its tokens look up
+    * in the literal map; an out-of-vocabulary token fails loudly (cannot
+    * happen when the vocab was trained on a superset of the stream's
+    * alphabet — the production OOV path is a byte-fallback vocab, not a
+    * silent null). Result-identical to [[tokenIds]] on any batch frame
+    * (law-tested). */
+  def tokenIdsRowwise(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], vocab: Map[String, Int]): DataFrame = {
+    require(vocab.nonEmpty, "tokenIdsRowwise needs a non-empty vocabulary")
+    val vm = typedLit(vocab)
+    def idsOfWord(w: Column): Column = {
+      val enc = encodeWord(w, merges)
+      transform(split(enc.substr(lit(2), length(enc) - 2), "\\|\\|"),
+        t => coalesce(element_at(vm, t),
+          raise_error(concat(lit("Bpe: out-of-vocabulary token: "), t))
+            .cast("int")))
+    }
+    df.where(col(textCol).isNotNull)
+      .withColumn("__ws",
+        filter(TextAnalysis.words(col(textCol)), w => w =!= ""))
+      .where(size(col("__ws")) > 0)
+      .withColumn("token_ids", flatten(transform(col("__ws"), idsOfWord(_))))
+      .select(col(idCol), size(col("token_ids")).cast("long").as("n_tokens"),
+        col("token_ids"))
+  }
+
+  /** Detokenization — ids back to text: per doc, the id sequence resolves
+    * through the INVERSE vocabulary (a literal map, model metadata —
+    * no join, no state, streamable), tokens concatenate, and eow markers
+    * become word boundaries. `detokenize(tokenIds(text))` reproduces
+    * `text` with single spaces — runs of spaces are the tokenizer's one
+    * documented loss (empty words are filtered at encode time) — which is
+    * exactly what q239's round-trip oracle pins. An unknown id fails
+    * loudly. Input is (`idCol`, `idsCol` array<int>). */
+  def detokenize(df: DataFrame, idCol: String, idsCol: String,
+      vocab: Map[String, Int]): DataFrame = {
+    require(vocab.nonEmpty, "detokenize needs a non-empty vocabulary")
+    val inv = typedLit(vocab.map { case (t, i) => i -> t })
+    df.select(col(idCol),
+      rtrim(translate(
+        concat_ws("", transform(col(idsCol), i =>
+          coalesce(element_at(inv, i),
+            raise_error(concat(lit("Bpe: unknown token id: "),
+              i.cast("string")))))),
+        Eow, " ")).as("text_rebuilt"))
+  }
+
   /** Per-document token-ID sequences — the last mile between tokenizer
     * training and sequence packing: a training pipeline ships id ARRAYS,
     * not token counts. Each doc's words resolve through the

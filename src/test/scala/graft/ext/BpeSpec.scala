@@ -304,6 +304,48 @@ class BpeSpec extends SparkTestBase {
     graft.util.Caches.releaseAll()
   }
 
+  test("tokenIdsRowwise == tokenIds on any batch frame; OOV fails loudly") {
+    val df = Seq(
+      (1L, "ab ba ab"), (2L, "b  a"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    val vdf = Bpe.vocab(df, "text", merges)
+    val vocab = vdf.collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    val grouped = Bpe.tokenIds(df, "doc_id", "text", merges, vdf)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toVector)).toSeq
+    val rowwise = Bpe.tokenIdsRowwise(df, "doc_id", "text", merges, vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toVector)).toSeq
+    graft.util.Caches.releaseAll()
+    rowwise shouldBe grouped
+    // an out-of-vocabulary token (vocab trained elsewhere) fails loudly
+    val alien = Seq((9L, "zz")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Bpe.tokenIdsRowwise(alien, "doc_id", "text", merges, vocab).collect()
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n") should
+      include("out-of-vocabulary")
+  }
+
+  test("detokenize(tokenIds(text)) round-trips modulo space runs") {
+    val df = Seq(
+      (1L, "hello world"), (2L, "a  b"), (3L, "xyz")).toDF("doc_id", "text")
+    val merges = Seq(("l", "l"), ("h", "e"))
+    val vdf = Bpe.vocab(df, "text", merges)
+    val vocab = vdf.collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    val ids = Bpe.tokenIds(df, "doc_id", "text", merges, vdf)
+    val back = Bpe.detokenize(ids, "doc_id", "token_ids", vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    graft.util.Caches.releaseAll()
+    back shouldBe Map(
+      1L -> "hello world",
+      2L -> "a b", // the documented loss: runs of spaces collapse
+      3L -> "xyz")
+  }
+
   test("reserved delimiter in a word fails loudly") {
     val df = Seq((1L, "ok bad|word")).toDF("doc_id", "text")
     val ex = intercept[Exception] {
