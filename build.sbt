@@ -30,4 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // A full catalog session (239 queries x 5+ executions) generates
+  // thousands of Janino/whole-stage-codegen classes; the JDK-17 default
+  // 240 MB reserved code cache fills late in the session and the JIT
+  // starts flushing/recompiling HOT loops — measured as a 10-25%
+  // end-of-session slowdown concentrated in codegen-hot (md5/minhash)
+  // queries while relational plans stayed flat (round-11 drift
+  // experiment, DRIFT_LOCAL.json). Reserving more code cache removes the
+  // eviction pressure; it is virtual reservation, not committed memory.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -142,7 +142,7 @@ object Bench {
       !failed(n) && samples(n).nonEmpty && median(samples(n)) > 1.2 * samples(n).min
     }
     var repairRound = 0
-    while (repairRound < 3 && contaminated.nonEmpty) {
+    while (repairRound < 5 && contaminated.nonEmpty) {
       val flagged = contaminated.toSet
       System.err.println(s"[bench] repair round ${repairRound + 1}: " +
         s"${flagged.size} contaminated samples (${flagged.toSeq.sorted.take(8).mkString(",")}...)")
