@@ -426,4 +426,39 @@ class PlanSpec extends SparkTestBase {
     p should include("Exchange hashpartitioning(__ida")
     graft.util.Caches.releaseAll()
   }
+
+  test("streaming tokenize-to-ids is join-free and exchange-free: model is literals") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ext.Bpe.tokenIdsRowwise(docs, "doc_id", "text",
+      Seq(("t", "h"), ("e", ">")), Map("t" -> 0, "h" -> 1, "e" -> 2,
+        ">" -> 3, "th" -> 4, "e>" -> 5)))
+    (p should not).include("Join")
+    (p should not).include("Exchange") // pure per-row projection — streamable
+  }
+
+  test("packTokens: per-token rows exist only AFTER the doc-level cumsum spine") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      transform(sequence(lit(1), (col("id") % 7 + 1).cast("int")),
+        i => i.cast("int")).as("ids"))
+    val df = graft.ext.Packing.packTokens(docs, "doc_id", "ids", 16L)
+    val p = plan(df)
+    // the generator (posexplode) must sit ABOVE every exchange: all
+    // shuffles move doc-level rows, token payloads never shuffle
+    val genIdx = p.indexOf("Generate posexplode")
+    genIdx should be >= 0
+    p.indexOf("Exchange") should be > genIdx // first Exchange is BELOW (printed after) the generate
+    graft.util.Caches.releaseAll()
+  }
+
+  test("semDedup guarded path broadcasts the cluster-size table") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val p = plan(graft.ext.Dedup.semDedup(emb, cents, "vec_id", "embedding",
+      "cid", "embedding", threshold = 0.9, maxClusterSize = 10))
+    p should include("BroadcastHashJoin") // sizes join back broadcast
+    graft.util.Caches.releaseAll()
+  }
 }
