@@ -9665,7 +9665,74 @@ object SparkEntry {
       FROM documents
       WHERE text IS NOT NULL
         AND len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // REAL perceptual-hash image dedup — the image twin of the simhash
+    // text pipeline, every stage real and oracle-replayed: deterministic
+    // PNG variants (pairs share a pixel source; odd ids carry a one-grey-
+    // level tweak at (0,0); every 50th payload corrupted) → javax.imageio
+    // decode → exact-integer 8×8 average-hash (two 32-bit halves — the
+    // oracle engine cannot shift into bit 63) → 4×16-bit band buckets →
+    // exact hamming verify ≤ 3. The banded join is RESULT-IDENTICAL to
+    // brute force at this threshold (pigeonhole: ≤3 differing bits leave
+    // ≥1 of 4 bands equal), so the oracle replays brute force; corrupt
+    // payloads hash as hashOk=false and must match NOTHING.
+    ("q240_image_ahash_dedup", (s, dir) => {
+      val specs = T(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id").as("id"),
+        expr("doc_id div 2").as("pxId"),
+        (lit(8) + expr("doc_id div 2") % 5).cast("int").as("w"),
+        (lit(8) + expr("doc_id div 2") % 4).cast("int").as("h"),
+        (col("doc_id") % 2 === 1).as("tweak"))
+      val media = Multimodal.synthesizePngVariants(specs).toDF()
+        .withColumn("payload",
+          when(col("id") % 50 === 0, lit("notanimage".getBytes("UTF-8")))
+            .otherwise(col("payload")))
+      val hashes = Multimodal.averageHashes(media).toDF()
+      Dedup.imageDupPairs(hashes, "id", "hashHi", "hashLo", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id AS id, doc_id // 2 AS px_id, doc_id % 2 = 1 AS tweak
+        FROM documents WHERE doc_id < 200 AND doc_id % 50 <> 0),
+      geo AS (
+        SELECT id, px_id, tweak, 8 + px_id % 5 AS w, 8 + px_id % 4 AS h
+        FROM d),
+      px AS (
+        SELECT g.id, g.w, g.h, x.x AS x, y.y AS y,
+          (((g.px_id * 31 + x.x * 7 + y.y * 13) % 256) +
+           CASE WHEN g.tweak AND x.x = 0 AND y.y = 0 THEN 1 ELSE 0 END) % 256 AS p
+        FROM geo g
+        CROSS JOIN (SELECT unnest(range(0, 13)) AS x) x
+        CROSS JOIN (SELECT unnest(range(0, 12)) AS y) y
+        WHERE x.x < g.w AND y.y < g.h),
+      cells AS (
+        SELECT id, (y * 8) // h AS gy, (x * 8) // w AS gx,
+          sum(p)::BIGINT AS cs, count(*)::BIGINT AS cp
+        FROM px GROUP BY 1, 2, 3),
+      tot AS (
+        SELECT id, sum(cs)::BIGINT AS ts, sum(cp)::BIGINT AS tp
+        FROM cells GROUP BY 1),
+      grid AS (
+        SELECT a.gy, b.gx
+        FROM (SELECT unnest(range(0, 8)) AS gy) a,
+             (SELECT unnest(range(0, 8)) AS gx) b),
+      bits AS (
+        SELECT t.id, g.gy * 8 + g.gx AS k,
+          CASE WHEN COALESCE(c.cs, 0) * t.tp > t.ts * COALESCE(c.cp, 0)
+               THEN 1 ELSE 0 END AS bit
+        FROM tot t CROSS JOIN grid g
+        LEFT JOIN cells c ON c.id = t.id AND c.gy = g.gy AND c.gx = g.gx),
+      hashes AS (
+        SELECT id,
+          sum(CASE WHEN k < 32 THEN bit::BIGINT << (31 - k) ELSE 0 END)::BIGINT AS hi,
+          sum(CASE WHEN k >= 32 THEN bit::BIGINT << (63 - k) ELSE 0 END)::BIGINT AS lo
+        FROM bits GROUP BY 1)
+      SELECT a.id AS id_a, b.id AS id_b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      FROM hashes a JOIN hashes b ON a.id < b.id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+      ORDER BY id_a, id_b"""))
   )
 
   // ------------------------------------------------------- driver contract

@@ -1311,6 +1311,49 @@ object Dedup {
         (col("id") === col("__keep_id")).as("keep"))
   }
 
+  /** Perceptual-hash image near-duplicate pairs — the image twin of the
+    * simhash text pipeline, over [[Multimodal.averageHash]]'s two-half
+    * 64-bit aHash: the hash splits into four 16-bit bands (two per half),
+    * candidates are exact-match bucket joins per band (pigeonhole: two
+    * hashes within hamming ≤ 3 MUST agree on at least one of 4 bands, so
+    * recall is total for `maxHamming` ≤ 3 — the standard aHash dup
+    * threshold), and the verify stage computes the exact hamming distance
+    * `bit_count(hi⊕hi) + bit_count(lo⊕lo)`. Never all-pairs: the pair
+    * space is Σ per-bucket |b|², the banding discipline every dedup
+    * family here uses. Rows with `hashOk = false` (undecodable payloads)
+    * are excluded — a corrupt image matches nothing rather than
+    * everything (an all-zero hash would bucket-collide with every other
+    * corrupt image).
+    * @param hashes ([[Multimodal.ImageHash]]-shaped: id, hashOk, hi, lo)
+    * @return (id_a, id_b, hamming) with id_a < id_b, hamming ≤ maxHamming */
+  def imageDupPairs(hashes: DataFrame, idCol: String, hiCol: String,
+      loCol: String, maxHamming: Int, okCol: String = "hashOk"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band pigeonhole recall only holds for maxHamming in [0, 3], got $maxHamming")
+    val ok = hashes
+      .where(col(okCol))
+      .select(col(idCol).as("id"), col(hiCol).as("__hi"), col(loCol).as("__lo"))
+    val banded = ok.select(col("id"), col("__hi"), col("__lo"),
+      explode(array(
+        struct(lit(0).as("band"), (shiftright(col("__hi"), 16) bitwiseAND lit(0xFFFFL)).as("key")),
+        struct(lit(1).as("band"), (col("__hi") bitwiseAND lit(0xFFFFL)).as("key")),
+        struct(lit(2).as("band"), (shiftright(col("__lo"), 16) bitwiseAND lit(0xFFFFL)).as("key")),
+        struct(lit(3).as("band"), (col("__lo") bitwiseAND lit(0xFFFFL)).as("key")))).as("__b"))
+      .select(col("id"), col("__hi"), col("__lo"),
+        col("__b.band").as("band"), col("__b.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"),
+      col("__hi").as("__hia"), col("__lo").as("__loa"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"),
+      col("__hi").as("__hib"), col("__lo").as("__lob"))
+    a.join(b, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("__hia").bitwiseXOR(col("__hib"))) +
+         bit_count(col("__loa").bitwiseXOR(col("__lob")))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct() // a pair can agree on several bands
+  }
+
   /** Edit-distance verification of LSH candidate pairs — the exact-verify
     * stage of a character-level near-dup pipeline: MinHash banding proposes
     * (cheap, recall-oriented), Levenshtein disposes (exact, precision).

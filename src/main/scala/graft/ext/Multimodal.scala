@@ -242,4 +242,99 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map(resizeImageNearest(_, dw, dh)))
   }
+
+  final case class ImageHash(id: Long, hashOk: Boolean, hashHi: Long, hashLo: Long)
+
+  /** REAL perceptual average-hash (aHash — the standard 8×8, 64-bit image
+    * fingerprint near-dup pipelines index): ImageIO decode → pixels binned
+    * onto an 8×8 grid by the exact integer mapping `g = p·8 div extent`
+    * (sub-8px images leave some cells empty; an empty cell is a 0 bit) →
+    * bit k set iff its cell mean exceeds the image mean, decided by integer
+    * CROSS-MULTIPLICATION `cellSum·totalPx > totalSum·cellPx` so the hash
+    * is bit-exact and an oracle can replay it from the pixel formula (the
+    * q214 discipline; safe while pixels ≤ ~1.9e8 — cellSum·totalPx ≤
+    * 255·px², far above any in-memory ImageIO frame). The 64 bits pack
+    * row-major (gy, gx), MSB-first, as two NON-NEGATIVE 32-bit halves —
+    * full signed-64 packing would overflow the oracle engine's left shift.
+    * Undecodable payloads flag `hashOk = false` (zero hash) instead of
+    * failing the batch. Grayscale band 0 — the fixture model. */
+  def averageHash(row: MediaRow): ImageHash = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) ImageHash(row.id, hashOk = false, 0L, 0L)
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val cellSum = new Array[Long](64)
+      val cellPx = new Array[Long](64)
+      var totalSum = 0L
+      var y = 0
+      while (y < h) {
+        val gy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val k = gy * 8 + x * 8 / w
+          val p = raster.getSample(x, y, 0)
+          cellSum(k) += p
+          cellPx(k) += 1
+          totalSum += p
+          x += 1
+        }
+        y += 1
+      }
+      val totalPx = w.toLong * h
+      var hi = 0L
+      var lo = 0L
+      var k = 0
+      while (k < 64) {
+        if (cellSum(k) * totalPx > totalSum * cellPx(k)) {
+          if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+        }
+        k += 1
+      }
+      ImageHash(row.id, hashOk = true, hi, lo)
+    }
+  }
+
+  /** Partition-batched perceptual hashing over a media table (codec init
+    * amortized per partition; payloads never leave the scan stage — the
+    * output is 3 small columns per image). */
+  def averageHashes(media: DataFrame): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(averageHash))
+  }
+
+  final case class SynthVariantSpec(
+      id: Long, pxId: Long, w: Int, h: Int, tweak: Boolean)
+
+  /** Synthetic-PNG VARIANTS: payload pixels come from `pxId`'s formula
+    * (several ids sharing a pxId are exact duplicates), and `tweak` bumps
+    * pixel (0,0) by one grey level (mod 256) — a controlled near-duplicate.
+    * The fixture seam for the perceptual-hash dedup gate: every derived
+    * value stays arithmetically replayable. */
+  def synthesizePngVariants(specs: DataFrame): Dataset[MediaRow] = {
+    val spark = specs.sparkSession
+    import spark.implicits._
+    specs.as[SynthVariantSpec].mapPartitions(_.map { s =>
+      val img = new java.awt.image.BufferedImage(
+        s.w, s.h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < s.h) {
+        var x = 0
+        while (x < s.w) {
+          val base = synthPixel(s.pxId, x, y)
+          val p = if (s.tweak && x == 0 && y == 0) (base + 1) % 256 else base
+          raster.setSample(x, y, 0, p)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      MediaRow(s.id, out.toByteArray, "image/png")
+    })
+  }
 }

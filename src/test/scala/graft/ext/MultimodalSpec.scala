@@ -62,4 +62,82 @@ class MultimodalSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Multimodal.resizeImageNearest(src, 0, 3)
   }
+
+  test("averageHash: exact, deterministic, in-JVM-replayable; corrupt flags") {
+    import Multimodal._
+    // independent in-JVM replay of the aHash arithmetic from the formula
+    def refHash(id: Long, w: Int, h: Int, tweak: Boolean): (Long, Long) = {
+      def px(x: Int, y: Int) = {
+        val b = synthPixel(id, x, y)
+        if (tweak && x == 0 && y == 0) (b + 1) % 256 else b
+      }
+      val cs = new Array[Long](64); val cp = new Array[Long](64)
+      var ts = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = (y * 8 / h) * 8 + x * 8 / w
+        cs(k) += px(x, y); cp(k) += 1; ts += px(x, y)
+      }
+      val tp = w.toLong * h
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64 if cs(k) * tp > ts * cp(k))
+        if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+      (hi, lo)
+    }
+    def variantPng(id: Long, w: Int, h: Int, tweak: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = synthPixel(id, x, y)
+        img.getRaster.setSample(x, y, 0,
+          if (tweak && x == 0 && y == 0) (b + 1) % 256 else b)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    for (id <- 1L to 8L; (w, h) <- Seq((8, 8), (10, 9), (5, 7), (12, 11))) {
+      val got = averageHash(MediaRow(id, variantPng(id, w, h, tweak = false), "image/png"))
+      withClue(s"id=$id ${w}x$h") {
+        (got.hashHi, got.hashLo) shouldBe refHash(id, w, h, tweak = false)
+        got.hashOk shouldBe true
+        // both halves fit 32 unsigned bits (the oracle-engine contract)
+        got.hashHi should (be >= 0L and be < (1L << 32))
+        got.hashLo should (be >= 0L and be < (1L << 32))
+      }
+      // exact duplicate payload ⇒ identical hash
+      val again = averageHash(MediaRow(id + 100, variantPng(id, w, h, tweak = false), "image/png"))
+      (again.hashHi, again.hashLo) shouldBe ((got.hashHi, got.hashLo))
+    }
+    averageHash(MediaRow(1L, "junk".getBytes("UTF-8"), "image/png")).hashOk shouldBe false
+  }
+
+  test("imageDupPairs: banded join == brute force at hamming <= 3; corrupt matches nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val specs = (0L until 60L).map(i =>
+      Multimodal.SynthVariantSpec(i, i / 2, (8 + (i / 2) % 5).toInt,
+        (8 + (i / 2) % 4).toInt, i % 2 == 1)).toDF()
+    val media = Multimodal.synthesizePngVariants(specs).toDF()
+      .withColumn("payload",
+        when(col("id") % 25 === 0, lit("junk".getBytes("UTF-8")))
+          .otherwise(col("payload")))
+    val hashes = Multimodal.averageHashes(media).toDF().cache()
+    val banded = Dedup.imageDupPairs(hashes, "id", "hashHi", "hashLo", 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // brute force over the ok rows
+    val ok = hashes.where(col("hashOk")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("hashHi"), r.getAs[Long]("hashLo")))
+    val brute = (for {
+      (ia, hia, loa) <- ok; (ib, hib, lob) <- ok if ia < ib
+      d = java.lang.Long.bitCount(hia ^ hib) + java.lang.Long.bitCount(loa ^ lob)
+      if d <= 3
+    } yield (ia, ib, d.toLong)).sortBy(t => (t._1, t._2)).toSeq
+    hashes.unpersist()
+    banded shouldBe brute
+    // corrupt ids (0, 25, 50) appear in no pair
+    banded.flatMap(t => Seq(t._1, t._2)).toSet.intersect(Set(0L, 25L, 50L)) shouldBe empty
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.imageDupPairs(hashes, "id", "hashHi", "hashLo", 4)
+  }
 }
