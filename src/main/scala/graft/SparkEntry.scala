@@ -9732,7 +9732,85 @@ object SparkEntry {
         CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
       FROM hashes a JOIN hashes b ON a.id < b.id
       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b""")),
+
+    // REAL audio decode — the JDK's own codec (javax.sound.sampled, the
+    // audio twin of javax.imageio; q214's discipline): deterministic
+    // 16-bit PCM mono WAVs (sample formula s = ((id·31+i·7) mod 65536) −
+    // 32768, lossless container ⇒ exact round trip), every 50th payload
+    // corrupted and flagging decodeOk=false instead of killing the scan.
+    // Features are exact integers (n_samples, peak |s|, Σ|s|) the oracle
+    // recomputes arithmetically. Compressed formats (mp3/ogg) stay a
+    // documented deployment boundary — the container family is real.
+    ("q241_audio_decode", (s, dir) => {
+      val specs = T(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        (lit(256) + col("doc_id") % 100).cast("int").as("nSamples"),
+        (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("sampleRate"))
+      val media = Multimodal.synthesizeWavs(specs).toDF()
+        .withColumn("payload",
+          when(col("id") % 50 === 0, lit("notaudio".getBytes("UTF-8")))
+            .otherwise(col("payload")))
+      Multimodal.decodeWavs(media).toDF()
+        .select(col("id").as("doc_id"), col("decodeOk").as("decode_ok"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("nChannels").cast("long").as("n_channels"),
+          col("nSamples").as("n_samples"),
+          col("peakAbs").as("peak_abs"), col("sumAbs").as("sum_abs"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, 256 + doc_id % 100 AS n,
+               8000 + (doc_id % 3) * 4000 AS rate,
+               doc_id % 50 = 0 AS corrupt
+        FROM documents),
+      sm AS (
+        SELECT d.doc_id,
+          CAST(max(abs((d.doc_id * 31 + i.i * 7) % 65536 - 32768)) AS BIGINT) AS peak,
+          CAST(sum(abs((d.doc_id * 31 + i.i * 7) % 65536 - 32768)) AS BIGINT) AS sa
+        FROM d CROSS JOIN (SELECT unnest(range(0, 356)) AS i) i
+        WHERE i.i < d.n
+        GROUP BY d.doc_id)
+      SELECT d.doc_id, NOT d.corrupt AS decode_ok,
+        CAST(CASE WHEN d.corrupt THEN 0 ELSE d.rate END AS BIGINT) AS sample_rate,
+        CAST(CASE WHEN d.corrupt THEN 0 ELSE 1 END AS BIGINT) AS n_channels,
+        CAST(CASE WHEN d.corrupt THEN 0 ELSE d.n END AS BIGINT) AS n_samples,
+        CASE WHEN d.corrupt THEN 0 ELSE sm.peak END AS peak_abs,
+        CASE WHEN d.corrupt THEN 0 ELSE sm.sa END AS sum_abs
+      FROM d JOIN sm ON sm.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
+    // REAL audio framing — fixed 128-sample analysis frames with exact
+    // integer energy (Σ|s| per frame): the VAD/segmentation primitive,
+    // 1→n rows per payload through the typed flatMap (the real shape of a
+    // frame extractor); the ragged final frame keeps its true sample
+    // count, corrupt payloads emit nothing.
+    ("q242_audio_frames", (s, dir) => {
+      val specs = T(s, dir, "documents").where(col("doc_id") < 100).select(
+        col("doc_id").as("id"),
+        (lit(256) + col("doc_id") % 100).cast("int").as("nSamples"),
+        lit(16000).as("sampleRate"))
+      val media = Multimodal.synthesizeWavs(specs).toDF()
+        .withColumn("payload",
+          when(col("id") % 50 === 0, lit("notaudio".getBytes("UTF-8")))
+            .otherwise(col("payload")))
+      Multimodal.frameEnergies(media, frameSamples = 128).toDF()
+        .select(col("id").as("doc_id"), col("frameIndex").as("frame_index"),
+          col("nSamples").as("n_samples"), col("sumAbs").as("sum_abs"))
+        .orderBy(col("doc_id"), col("frame_index"))
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, 256 + doc_id % 100 AS n
+        FROM documents WHERE doc_id < 100 AND doc_id % 50 <> 0),
+      sm AS (
+        SELECT d.doc_id, i.i // 128 AS frame_index,
+          count(*)::BIGINT AS n_samples,
+          CAST(sum(abs((d.doc_id * 31 + i.i * 7) % 65536 - 32768)) AS BIGINT) AS sum_abs
+        FROM d CROSS JOIN (SELECT unnest(range(0, 356)) AS i) i
+        WHERE i.i < d.n
+        GROUP BY 1, 2)
+      SELECT doc_id, CAST(frame_index AS BIGINT) AS frame_index, n_samples, sum_abs
+      FROM sm ORDER BY doc_id, frame_index"""))
   )
 
   // ------------------------------------------------------- driver contract

@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata alongside. The Spark-side plumbing —
   * schema, partition sizing, batch shape — is real. Codecs: PNG/JPEG decode
   * is REAL ([[decodeImage]], the JDK's own `javax.imageio` — no external
-  * libraries), with [[synthPngBytes]] generating deterministic fixture
-  * payloads whose decoded pixel sums an oracle can recompute arithmetically;
-  * the audio/video steps remain clearly-marked deterministic STUBs (no such
-  * libraries exist in this environment; at deployment, swap `stubDecode` /
-  * `stubResize` / `stubFrameSample` for real codecs keeping the signatures).
+  * libraries), as are the perceptual hash ([[averageHash]]) and the WAV/PCM
+  * audio family ([[decodeWav]]/[[frameEnergies]], the JDK's own
+  * `javax.sound.sampled`); [[synthPngBytes]]/[[synthWavBytes]] generate
+  * deterministic fixture payloads whose decoded features an oracle can
+  * recompute arithmetically. The remaining STUBs are the formats whose
+  * codecs genuinely don't exist in this environment — compressed
+  * audio (mp3/ogg/aac) and video containers; at deployment, swap
+  * `stubDecode` / `stubResize` / `stubFrameSample` for those codecs
+  * keeping the signatures.
   *
   * Scale notes: payloads dominate row size, so (a) never shuffle the binary
   * column — derive features first, then drop it; (b) size
@@ -304,6 +308,143 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map(averageHash))
+  }
+
+  // ------------------------------------------- REAL audio codec (javax.sound)
+
+  final case class AudioSpec(id: Long, nSamples: Int, sampleRate: Int)
+  final case class DecodedAudio(
+      id: Long, decodeOk: Boolean, sampleRate: Int, nChannels: Int,
+      bitsPerSample: Int, nSamples: Long, peakAbs: Long, sumAbs: Long)
+  final case class FrameEnergy(id: Long, frameIndex: Long, nSamples: Long, sumAbs: Long)
+
+  /** PCM sample formula the synthetic WAVs carry — FIXED so an oracle can
+    * recompute every decoded feature arithmetically:
+    * s(id, i) = ((id·31 + i·7) mod 65536) − 32768. WAV/PCM is lossless,
+    * so the encode→decode round trip returns these exact values. */
+  def synthSample(id: Long, i: Long): Int =
+    ((((id * 31 + i * 7) % 65536) + 65536) % 65536 - 32768).toInt
+
+  /** Encode one deterministic 16-bit PCM mono WAV via the JDK's own audio
+    * codec (`javax.sound.sampled.AudioSystem` — the audio twin of
+    * javax.imageio; no external libraries). */
+  def synthWavBytes(id: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = synthSample(id, i)
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // signed, little-endian
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Partition-batched synthetic-WAV generation — the audio fixture seam
+    * (at deployment, payloads arrive from the ingest tier instead). */
+  def synthesizeWavs(specs: DataFrame): Dataset[MediaRow] = {
+    val spark = specs.sparkSession
+    import spark.implicits._
+    specs.as[AudioSpec].mapPartitions(_.map(s =>
+      MediaRow(s.id, synthWavBytes(s.id, s.nSamples, s.sampleRate), "audio/wav")))
+  }
+
+  /** Decode a WAV payload to its 16-bit PCM samples via AudioSystem, or
+    * null when the payload is not decodable audio — shared by the feature
+    * and framing paths. */
+  private def wavSamples(payload: Array[Byte]): (javax.sound.sampled.AudioFormat, Array[Int]) = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (ais == null) (null, null)
+    else {
+      val fmt = ais.getFormat
+      val bytes = ais.readAllBytes()
+      // fixture model: 16-bit signed little-endian PCM (the canonical WAV);
+      // other encodings flag as undecodable rather than mis-read
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        (null, null)
+      else {
+        val n = bytes.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          i += 1
+        }
+        (fmt, out)
+      }
+    }
+  }
+
+  /** REAL audio decode (the deployment replacement for [[stubDecode]] on
+    * audio payloads): AudioSystem parses the container and the features
+    * are exact integers — sample count, peak |s|, Σ|s| — so an oracle can
+    * replay them from the generation formula. Undecodable payloads flag
+    * (`decodeOk = false`) instead of failing the batch; compressed
+    * formats (mp3/ogg/aac) remain a documented deployment boundary — the
+    * JDK codec handles the PCM container family. */
+  def decodeWav(row: MediaRow): DecodedAudio = {
+    val (fmt, samples) = wavSamples(row.payload)
+    if (samples == null) DecodedAudio(row.id, decodeOk = false, 0, 0, 0, 0L, 0L, 0L)
+    else {
+      var peak = 0L
+      var sum = 0L
+      var i = 0
+      while (i < samples.length) {
+        val a = math.abs(samples(i).toLong)
+        if (a > peak) peak = a
+        sum += a
+        i += 1
+      }
+      DecodedAudio(row.id, decodeOk = true, fmt.getSampleRate.toInt,
+        fmt.getChannels, fmt.getSampleSizeInBits, samples.length.toLong, peak, sum)
+    }
+  }
+
+  /** Partition-batched real audio decode (codec init amortized per
+    * partition; payloads dropped before any shuffle). */
+  def decodeWavs(media: DataFrame): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(decodeWav))
+  }
+
+  /** REAL audio framing (the deployment replacement for
+    * [[stubFrameSample]] on audio): fixed-width analysis frames with
+    * exact integer energy (Σ|s| per frame — the VAD/segmentation
+    * primitive). 1→n typed flatMap; a ragged final frame keeps its true
+    * sample count. Undecodable payloads emit nothing (their flag lives on
+    * the [[decodeWav]] path). */
+  def frameEnergies(media: DataFrame, frameSamples: Int): Dataset[FrameEnergy] = {
+    require(frameSamples > 0, s"frameSamples must be positive, got $frameSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { row =>
+      val (_, samples) = wavSamples(row.payload)
+      if (samples == null) Iterator.empty
+      else (0 until (samples.length + frameSamples - 1) / frameSamples)
+        .iterator.map { f =>
+          val from = f * frameSamples
+          val until = math.min(samples.length, from + frameSamples)
+          var sum = 0L
+          var i = from
+          while (i < until) { sum += math.abs(samples(i).toLong); i += 1 }
+          FrameEnergy(row.id, f.toLong, (until - from).toLong, sum)
+        }
+    })
   }
 
   final case class SynthVariantSpec(

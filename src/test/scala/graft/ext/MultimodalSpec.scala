@@ -63,6 +63,36 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.resizeImageNearest(src, 0, 3)
   }
 
+  test("WAV encode → AudioSystem decode round trip returns the exact sample formula") {
+    import Multimodal._
+    val wav = synthWavBytes(7L, 300, 16000)
+    val d = decodeWav(MediaRow(7L, wav, "audio/wav"))
+    d.decodeOk shouldBe true
+    (d.sampleRate, d.nChannels, d.bitsPerSample, d.nSamples) shouldBe ((16000, 1, 16, 300L))
+    val samples = (0L until 300L).map(i => synthSample(7L, i))
+    d.peakAbs shouldBe samples.map(s => math.abs(s.toLong)).max
+    d.sumAbs shouldBe samples.map(s => math.abs(s.toLong)).sum
+    // corrupt payload flags, never throws
+    decodeWav(MediaRow(8L, "junk".getBytes("UTF-8"), "audio/wav")).decodeOk shouldBe false
+    decodeWav(MediaRow(9L, Array.empty[Byte], "audio/wav")).decodeOk shouldBe false
+  }
+
+  test("frameEnergies: exact per-frame energy, ragged tail, corrupt emits nothing") {
+    import Multimodal._
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val media = Seq(
+      MediaRow(1L, synthWavBytes(1L, 300, 8000), "audio/wav"),
+      MediaRow(2L, "junk".getBytes("UTF-8"), "audio/wav")).toDF()
+    val frames = frameEnergies(media, 128).collect().sortBy(f => (f.id, f.frameIndex))
+    frames.map(_.id).distinct.toSeq shouldBe Seq(1L) // corrupt emitted nothing
+    frames.map(_.nSamples).toSeq shouldBe Seq(128L, 128L, 44L) // ragged tail exact
+    val samples = (0L until 300L).map(i => math.abs(synthSample(1L, i).toLong))
+    frames.map(_.sumAbs).toSeq shouldBe Seq(
+      samples.slice(0, 128).sum, samples.slice(128, 256).sum, samples.slice(256, 300).sum)
+    an[IllegalArgumentException] should be thrownBy frameEnergies(media, 0)
+  }
+
   test("averageHash: exact, deterministic, in-JVM-replayable; corrupt flags") {
     import Multimodal._
     // independent in-JVM replay of the aHash arithmetic from the formula
