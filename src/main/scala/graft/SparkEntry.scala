@@ -9810,7 +9810,37 @@ object SparkEntry {
         WHERE i.i < d.n
         GROUP BY 1, 2)
       SELECT doc_id, CAST(frame_index AS BIGINT) AS frame_index, n_samples, sum_abs
-      FROM sm ORDER BY doc_id, frame_index"""))
+      FROM sm ORDER BY doc_id, frame_index""")),
+
+    // Padded-batch manifest — the SFT packing discipline (docs stay
+    // ATOMIC; each batch pads to its max length): exact length-sorted
+    // global order (GlobalCumsum row number — no single-partition sort),
+    // consecutive 32-doc batches, exact integer padding economics
+    // (padding_waste = n_docs·max_len − total_tokens is the token mass a
+    // trainer burns on pads; length-sorting collapses the in-batch
+    // spread — the reason sorted batching exists).
+    ("q243_padded_batches", (s, dir) => {
+      val docs = T(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(filter(TextAnalysis.words(col("text")), w => w =!= ""))
+            .cast("long").as("n_tokens"))
+      ext.Packing.paddedBatchManifest(docs, "doc_id", "n_tokens", batchDocs = 32)
+        .orderBy(col("batch_id"))
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id,
+          len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n
+        FROM documents WHERE text IS NOT NULL),
+      r AS (
+        SELECT doc_id, n, row_number() OVER (ORDER BY n, doc_id) AS rn
+        FROM d)
+      SELECT CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+        count(*)::BIGINT AS n_docs,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        min(n)::BIGINT AS min_len, max(n)::BIGINT AS max_len,
+        sum(n)::BIGINT AS total_tokens,
+        (count(*) * max(n) - sum(n))::BIGINT AS padding_waste
+      FROM r GROUP BY 1 ORDER BY batch_id"""))
   )
 
   // ------------------------------------------------------- driver contract

@@ -116,6 +116,38 @@ object Packing {
       .select(col("example_id"),
         size(col("token_ids")).cast("long").as("n_tokens"), col("token_ids"))
 
+  /** Padded-batch manifest — the SFT-style packing discipline where
+    * documents stay ATOMIC (no concatenate-then-chunk: each example is one
+    * padded doc) and batches pad every member to the batch maximum:
+    * docs sort by (`tokensCol`, `idCol`) via the exact [[GlobalCumsum]]
+    * row number (never a single-partition sort), group into consecutive
+    * `batchDocs`-sized batches, and each batch reports its exact integer
+    * padding economics — `padding_waste = n_docs·max_len − total_tokens`
+    * is the token mass a trainer burns on pad tokens. Length-sorting is
+    * the whole point: random batching wastes O(max−mean) per doc, sorted
+    * batching collapses the in-batch spread. One ranged exchange (the
+    * cumsum spine) + one hash agg keyed by batch id.
+    * @return (batch_id, n_docs, first_doc, last_doc, min_len, max_len,
+    *         total_tokens, padding_waste) */
+  def paddedBatchManifest(df: DataFrame, idCol: String, tokensCol: String,
+      batchDocs: Int): DataFrame = {
+    require(batchDocs > 0, s"batchDocs must be positive, got $batchDocs")
+    GlobalCumsum.rowNumber(
+        df.select(col(idCol), col(tokensCol)),
+        Seq(col(tokensCol), col(idCol)), "__rn")
+      .withColumn("batch_id", expr(s"(__rn - 1) div ${batchDocs}L"))
+      .groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"),
+        min(col(tokensCol)).cast("long").as("min_len"),
+        max(col(tokensCol)).cast("long").as("max_len"),
+        sum(col(tokensCol)).cast("long").as("total_tokens"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_len") - col("total_tokens"))
+  }
+
   /** Length-binned pack offsets (sorted batching): docs are ntile'd into
     * `bins` quantile bins by (`tokensCol`, `idCol`) — so same-bin docs have
     * near-uniform lengths and padding-to-longest waste collapses — then

@@ -172,6 +172,32 @@ class Round8Spec extends SparkTestBase {
     packed.flatMap(_._3).toSeq shouldBe expected.map(_._2)
   }
 
+  test("paddedBatchManifest == in-JVM sorted batching; waste arithmetic exact") {
+    import spark.implicits._
+    val docs = (1L to 130L).map(i => (i, (i * 29 % 97) + 1)).toDF("doc_id", "n_tokens")
+      .repartition(5)
+    val got = graft.ext.Packing
+      .paddedBatchManifest(docs, "doc_id", "n_tokens", batchDocs = 16)
+      .orderBy("batch_id").collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("min_len"), r.getAs[Long]("max_len"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("padding_waste")))
+    graft.util.Caches.releaseAll()
+    val ref = (1L to 130L).map(i => (i, (i * 29 % 97) + 1))
+      .sortBy { case (id, n) => (n, id) }
+      .grouped(16).zipWithIndex
+      .map { case (b, k) =>
+        val lens = b.map(_._2)
+        (k.toLong, b.size.toLong, lens.min, lens.max, lens.sum,
+          b.size * lens.max - lens.sum)
+      }.toSeq
+    got.toSeq shouldBe ref
+    // length-sorting strictly beats id-order batching on this skew
+    val idOrder = (1L to 130L).map(i => (i, (i * 29 % 97) + 1))
+      .grouped(16).map { b => b.size * b.map(_._2).max - b.map(_._2).sum }.sum
+    got.map(_._6).sum should be < idOrder
+  }
+
   test("Packing.binnedOffsets restart at zero per bin and stay gapless") {
     import spark.implicits._
     val docs = (1L to 123L).map(i => (i, (i * 53 % 70) + 1)).toDF("doc_id", "n_tokens")
