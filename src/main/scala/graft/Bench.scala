@@ -102,22 +102,24 @@ object Bench {
     // pass instead of reading them as independent regressions
     val passBounds = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     def nowSec: Double = System.currentTimeMillis() / 1000.0
-    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: $e")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: $e")
+          false
+        }
       // release layout-pinning persists outside the timed span (unpersist
       // is non-blocking and cheap; the persist+count is inside, as before)
       val t = (System.nanoTime() - t0) / 1e9
       graft.util.Caches.releaseAll()
-      t
+      (t, ok)
     }
     for (pass <- 1 to 3) {
       val p0 = nowSec
-      for ((name, fn) <- catalog) samples(name) = samples(name) :+ runOne(name, fn)
+      for ((name, fn) <- catalog) samples(name) = samples(name) :+ runOne(name, fn)._1
       passBounds += ((p0, nowSec))
       // reset heap pressure between passes so accumulated session garbage
       // (broadcasts, codegen classes, state-store files) lands in an
@@ -148,10 +150,15 @@ object Bench {
         s"${flagged.size} contaminated samples (${flagged.toSeq.sorted.take(8).mkString(",")}...)")
       val p0 = nowSec
       for ((name, fn) <- catalog if flagged(name)) {
-        val t = runOne(name, fn)
-        repairs(name) += 1
-        val v = samples(name)
-        if (t < v.max) samples(name) = v.updated(v.indexOf(v.max), t)
+        val (t, ok) = runOne(name, fn)
+        // a THROWING re-run records nothing: its time-to-exception is not a
+        // measurement, and letting it replace the worst sample would deflate
+        // the median of a query that succeeded in all three main passes
+        if (ok) {
+          repairs(name) += 1
+          val v = samples(name)
+          if (t < v.max) samples(name) = v.updated(v.indexOf(v.max), t)
+        }
       }
       passBounds += ((p0, nowSec))
       repairRound += 1
@@ -174,6 +181,13 @@ object Bench {
     val repairsJson = repairs.toSeq.sortBy(_._1)
       .map { case (n, k) => "\"" + n + "\":" + k }.mkString("{", ",", "}")
     val total = results.map(_._2(1)).sum
+    // the UNEDITED median total (straight off the three main passes, before
+    // any repair replacement) published next to the repaired headline: repair
+    // is one-sided by design (it can only heal, never worsen), so the honest
+    // record carries both — a reader compares value_raw vs value to see
+    // exactly how much the repair passes moved the number
+    val totalRaw = rawPasses
+      .collect { case (_, v) if v.nonEmpty => median(v) }.sum
     // best-of-3 total alongside the median: a harness/VM stall inflates
     // medians but rarely all three interleaved passes, so a plan regression
     // moves BOTH numbers while throttle noise moves only the median —
@@ -185,7 +199,7 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"value_best":$totalBest,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"pass_bounds":$boundsJson,"repairs":$repairsJson$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_raw":$totalRaw,"value_best":$totalBest,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"pass_bounds":$boundsJson,"repairs":$repairsJson$failedJson,"sf":"$sfDir"}"""
     println(json)
     // provenance copy for anyone reading the repo rather than the run log
     try java.nio.file.Files.writeString(
@@ -202,7 +216,7 @@ object Bench {
       val ds = scala.collection.mutable.Map[String, Vector[Double]]()
         .withDefaultValue(Vector.empty)
       for (_ <- 1 to 3) {
-        for ((name, fn) <- probe) ds(name) = ds(name) :+ runOne(name, fn)
+        for ((name, fn) <- probe) ds(name) = ds(name) :+ runOne(name, fn)._1
         System.gc()
       }
       val dq = probe.map { case (n, _) =>

@@ -173,8 +173,11 @@ object Multimodal {
     * payload is dropped before any shuffle). */
   def decodeImage(row: MediaRow): DecodedImage = {
     val img =
+      // NonFatal, not just IOException: ImageIO plugins throw RuntimeExceptions
+      // (CMMException, IllegalArgumentException, …) on malformed-but-recognized
+      // payloads, and the contract is that a corrupt blob flags, never kills
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) DecodedImage(row.id, decodeOk = false, 0, 0, 0, 0L)
     else {
       val (w, h) = (img.getWidth, img.getHeight)
@@ -216,7 +219,7 @@ object Multimodal {
     require(dw > 0 && dh > 0, s"target geometry must be positive, got ${dw}x$dh")
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null } // see decodeImage
     if (img == null) ResizedMedia(row.id, row.mimeType, 0, 0, Array.empty[Byte])
     else {
       val (sw, sh) = (img.getWidth, img.getHeight)
@@ -265,7 +268,7 @@ object Multimodal {
   def averageHash(row: MediaRow): ImageHash = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null } // see decodeImage
     if (img == null) ImageHash(row.id, hashOk = false, 0L, 0L)
     else {
       val (w, h) = (img.getWidth, img.getHeight)
@@ -363,14 +366,17 @@ object Multimodal {
     val ais =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => null
-        case _: java.io.IOException => null
-      }
+      // NonFatal for the decodeImage reason: SPI parsers can throw
+      // RuntimeExceptions on malformed-but-recognized containers
+      catch { case scala.util.control.NonFatal(_) => null }
     if (ais == null) (null, null)
     else {
       val fmt = ais.getFormat
-      val bytes = ais.readAllBytes()
+      // a header that parses can still front truncated/misaligned frames
+      val bytes =
+        try ais.readAllBytes()
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (bytes == null) return (null, null)
       // fixture model: 16-bit signed little-endian PCM (the canonical WAV);
       // other encodings flag as undecodable rather than mis-read
       if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
