@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Byte-pair-encoding vocabulary learning and application (Sennrich et al.
   * 2016, "Neural Machine Translation of Rare Words with Subword Units") —
@@ -202,14 +203,17 @@ object Bpe {
     * n_tokens counts post-merge symbols INCLUDING each word's eow marker
     * (the paper's symbol space). Null-text docs are excluded. */
   def applyMerges(df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    val nSyms = symCount(encodeWord(col("__w"), merges))
-    df.where(col(textCol).isNotNull)
-      .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("__w"))
-      .where(col("__w") =!= "")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"), sum(nSyms).as("n_tokens"))
-  }
+      merges: Seq[(String, String)]): DataFrame =
+    if (merges.size > RankPathMaxMerges)
+      applyMergesTyped(df, idCol, textCol, merges) // production merge counts
+    else {
+      val nSyms = symCount(encodeWord(col("__w"), merges))
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("__w"))
+        .where(col("__w") =!= "")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_words"), sum(nSyms).as("n_tokens"))
+    }
 
   /** [[applyMerges]] as a PURE PER-ROW PROJECTION — no explode, no
     * shuffle, no state: the word array is materialized once per row (the
@@ -220,7 +224,9 @@ object Bpe {
     * on any batch frame. */
   def tokenizeRowwise(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame =
-    df.where(col(textCol).isNotNull)
+    if (merges.size > RankPathMaxMerges)
+      tokenizeRowwiseTyped(df, idCol, textCol, merges) // production merge counts
+    else df.where(col(textCol).isNotNull)
       .withColumn("__ws",
         filter(TextAnalysis.words(col(textCol)), w => w =!= ""))
       .where(size(col("__ws")) > 0) // grouped-form parity: no-word docs emit nothing
@@ -236,8 +242,10 @@ object Bpe {
     * nested-replace chain, one split+posexplode; `token_idx` is 0-based
     * and the eow marker appears as its own final token. */
   def tokenTable(df: DataFrame, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    df.where(col(textCol).isNotNull)
+      merges: Seq[(String, String)]): DataFrame =
+    if (merges.size > RankPathMaxMerges)
+      tokenTableTyped(df, textCol, merges) // production merge counts
+    else df.where(col(textCol).isNotNull)
       .select(explode(TextAnalysis.words(col(textCol))).as("word"))
       .where(col("word") =!= "")
       .distinct()
@@ -245,7 +253,6 @@ object Bpe {
       .select(col("word"),
         posexplode(split(expr("substring(__enc, 2, length(__enc) - 2)"), "\\|\\|"))
           .as(Seq("token_idx", "token")))
-  }
 
   /** [[applyMerges]] driven by a freshly-learned table — the end-to-end
     * train-then-tokenize convenience; the merge table is vocabulary-scale
@@ -273,11 +280,25 @@ object Bpe {
     * @return (token_id int, token, cnt) */
   def vocab(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val enc = wordDict(df, textCol)
-      .withColumn("sym", encodeWord(col("word"), merges))
-    val counts = enc
-      .select(col("cnt"), explode(split(
-        expr("substring(sym, 2, length(sym) - 2)"), "\\|\\|")).as("token"))
+    val tokenCnt: DataFrame =
+      if (merges.size > RankPathMaxMerges) { // production merge counts
+        val dict = wordDict(df, textCol).select(col("word"), col("cnt"))
+        val ranksB = df.sparkSession.sparkContext.broadcast(merges.toIndexedSeq)
+        val schema = StructType(Seq(
+          StructField("token", StringType, nullable = true),
+          StructField("cnt", LongType, nullable = false)))
+        dict.mapPartitions { it =>
+          val ranks = rankMap(ranksB.value)
+          it.flatMap { row =>
+            val cnt = row.getLong(1)
+            tokenizeWordRank(row.getString(0), ranks).iterator.map(Row(_, cnt))
+          }
+        }(Encoders.row(schema))
+      } else wordDict(df, textCol)
+        .withColumn("sym", encodeWord(col("word"), merges))
+        .select(col("cnt"), explode(split(
+          expr("substring(sym, 2, length(sym) - 2)"), "\\|\\|")).as("token"))
+    val counts = tokenCnt
       .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
     graft.analytics.GlobalCumsum
       .rowNumber(counts, Seq(col("cnt").desc, col("token")), "token_id")
@@ -316,6 +337,8 @@ object Bpe {
   def tokenIdsRowwise(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], vocab: Map[String, Int]): DataFrame = {
     require(vocab.nonEmpty, "tokenIdsRowwise needs a non-empty vocabulary")
+    if (merges.size > RankPathMaxMerges || vocab.size > RankPathMaxVocab)
+      return tokenIdsTyped(df, idCol, textCol, merges, vocab) // production model sizes
     val vm = typedLit(vocab)
     def idsOfWord(w: Column): Column = {
       val enc = encodeWord(w, merges)
@@ -344,6 +367,8 @@ object Bpe {
   def detokenize(df: DataFrame, idCol: String, idsCol: String,
       vocab: Map[String, Int]): DataFrame = {
     require(vocab.nonEmpty, "detokenize needs a non-empty vocabulary")
+    if (vocab.size > RankPathMaxVocab)
+      return detokenizeTyped(df, idCol, idsCol, vocab) // production model sizes
     val inv = typedLit(vocab.map { case (t, i) => i -> t })
     df.select(col(idCol),
       rtrim(translate(
@@ -352,6 +377,290 @@ object Bpe {
             raise_error(concat(lit("Bpe: unknown token id: "),
               i.cast("string")))))),
         Eow, " ")).as("text_rebuilt"))
+  }
+
+  // ------------------------------------------------------------------------
+  // Rank-based typed apply path — the PRODUCTION merge-count form.
+  //
+  // The expression path above ([[encodeWord]]) folds one `replace` node per
+  // merge, so the Catalyst tree's DEPTH equals the merge count: at the gated
+  // 8–256 merges that is the fastest form (whole-stage codegen, zero per-row
+  // interpretation), but at a production 32k–64k-merge vocabulary the
+  // analyzer/codegen stack and Janino method size blow up with the MODEL,
+  // not the data. Past [[RankPathMaxMerges]] the apply family therefore
+  // routes through a typed per-word tokenizer (the HuggingFace-BPE shape):
+  // the merge table broadcasts ONCE per executor as a pair→rank map — never
+  // a plan literal re-serialized into every task — and each word merges its
+  // lowest-ranked present pair until none remains. The per-word loop is
+  // genuinely opaque per-row work (data-dependent iteration), so the typed
+  // form is justified under the functions-not-UDFs rule; everything around
+  // it (explode, joins, aggregation) stays relational.
+  //
+  // Equivalence contract (law-tested in BpeSpec): for any merge table in
+  // which a pair that references a merge OUTPUT has strictly higher rank
+  // than the merge that created it — true of every table [[learnMerges]] /
+  // [[learnMergesBatched]] can produce, because a symbol must exist before
+  // it can be counted in a pair — merging the lowest-ranked PRESENT pair
+  // repeatedly (all leftmost/non-overlapping occurrences per round, the
+  // `replace` discipline) yields exactly the rank-order nested-replace
+  // result: a merge can only CREATE pairs that involve its output, and
+  // those sit at higher ranks than everything already processed.
+  // ------------------------------------------------------------------------
+
+  /** Above this merge count [[applyMerges]] / [[tokenizeRowwise]] /
+    * [[tokenTable]] / [[vocab]] / [[tokenIds]] route through the typed rank
+    * tokenizer. 512 keeps the expression form (measurably faster at small k)
+    * for every gate-scale model while staying far below the plan-depth
+    * regime where analysis cost dominates. */
+  val RankPathMaxMerges = 512
+
+  /** Above this vocabulary size [[tokenIdsRowwise]] / [[detokenize]] route
+    * through the typed path: a `typedLit` map of V entries is re-serialized
+    * into EVERY task and bloats the plan with the MODEL size, where the
+    * typed path broadcasts it once per executor. */
+  val RankPathMaxVocab = 4096
+
+  private def rankKey(l: String, r: String): String = l + "\u0000" + r
+
+  /** Tokenize ONE word under a pair→rank map: initial symbols are the
+    * word's code points plus the eow marker; each round merges every
+    * leftmost/non-overlapping occurrence of the lowest-ranked pair present.
+    * Code points (not UTF-16 units) mirror the expression form's
+    * `regexp_replace(word, "(.)", …)`, which matches per code point. */
+  private[ext] def tokenizeWordRank(
+      word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
+    if (word.contains(Sep) || word.contains(Eow))
+      throw new IllegalArgumentException(
+        s"Bpe: word contains a reserved delimiter: $word") // encodeWord parity
+    val cps = word.codePoints().toArray
+    var n = cps.length + 1
+    var syms = new Array[String](n)
+    var i = 0
+    while (i < n - 1) { syms(i) = new String(Character.toChars(cps(i))); i += 1 }
+    syms(n - 1) = Eow
+    var done = ranks.isEmpty || n < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestL: String = null
+      var bestR: String = null
+      i = 0
+      while (i < n - 1) {
+        val r = ranks.get(rankKey(syms(i), syms(i + 1)))
+        if (r != null && r < bestRank) { bestRank = r; bestL = syms(i); bestR = syms(i + 1) }
+        i += 1
+      }
+      if (bestL == null) done = true
+      else {
+        val merged = bestL + bestR
+        val out = new Array[String](n)
+        var j = 0
+        i = 0
+        while (i < n) {
+          if (i < n - 1 && syms(i) == bestL && syms(i + 1) == bestR) {
+            out(j) = merged; i += 2
+          } else { out(j) = syms(i); i += 1 }
+          j += 1
+        }
+        syms = out
+        n = j
+        if (n < 2) done = true
+      }
+    }
+    if (n == syms.length) syms else java.util.Arrays.copyOfRange(syms, 0, n)
+  }
+
+  private def rankMap(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      // first (lowest) rank wins on a duplicate pair — applying the same
+      // pair twice is a no-op in the expression chain, so rank order = first
+      m.putIfAbsent(rankKey(l, r), i)
+    }
+    m
+  }
+
+  /** The word splitter of [[TextAnalysis.words]] (`split(text, " ")` —
+    * limit −1 semantics, trailing empties kept) on the JVM side. */
+  private def splitWords(text: String): Array[String] = text.split(" ", -1)
+
+  /** [[tokenizeRowwise]] on the typed rank path: a stateless per-row map
+    * (streaming-legal — no shuffle, no state) with a per-partition
+    * word→count memo (Zipf makes the cache rate dict-like). The merge
+    * table rides an explicit `broadcast` — once per executor, never a
+    * per-task plan literal. */
+  private[ext] def tokenizeRowwiseTyped(df: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("__text"))
+    val ranksB = df.sparkSession.sparkContext.broadcast(merges.toIndexedSeq)
+    val outSchema = StructType(Seq(base.schema.head,
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false)))
+    base.mapPartitions { it =>
+      val ranks = rankMap(ranksB.value)
+      val memo = new java.util.HashMap[String, Integer]()
+      it.flatMap { row =>
+        val ws = splitWords(row.getString(1))
+        var nw = 0L
+        var nt = 0L
+        ws.foreach { w =>
+          if (w.nonEmpty) {
+            nw += 1
+            var c = memo.get(w)
+            if (c == null) { c = tokenizeWordRank(w, ranks).length; memo.put(w, c) }
+            nt += c.toLong
+          }
+        }
+        if (nw == 0) Iterator.empty // grouped-form parity: no-word docs emit nothing
+        else Iterator(Row(row.get(0), nw, nt))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** [[applyMerges]] on the typed rank path: the rowwise typed map plus ONE
+    * tiny exchange to preserve the grouped form's duplicate-id semantics. */
+  private[ext] def applyMergesTyped(df: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): DataFrame =
+    tokenizeRowwiseTyped(df, idCol, textCol, merges)
+      .groupBy(col(idCol))
+      .agg(sum(col("n_words")).as("n_words"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** [[tokenTable]] on the typed rank path: one distinct-word pass, each
+    * word tokenized once by the rank loop. */
+  private[ext] def tokenTableTyped(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df.where(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .distinct()
+    val ranksB = df.sparkSession.sparkContext.broadcast(merges.toIndexedSeq)
+    val outSchema = StructType(Seq(
+      StructField("word", StringType, nullable = true),
+      StructField("__toks", ArrayType(StringType, containsNull = false), nullable = false)))
+    words.mapPartitions { it =>
+      val ranks = rankMap(ranksB.value)
+      it.map(row => Row(row.getString(0), tokenizeWordRank(row.getString(0), ranks).toSeq))
+    }(Encoders.row(outSchema))
+      .select(col("word"),
+        posexplode(col("__toks")).as(Seq("token_idx", "token")))
+  }
+
+  /** First id of the byte-fallback range for a vocabulary: ids
+    * `base .. base+255` encode raw UTF-8 bytes, placed immediately after
+    * the learned ids so the two ranges never collide. (Real tokenizers
+    * reserve the byte range up front; appending it is the same contract
+    * for an already-dense learned vocab.) */
+  def byteFallbackBase(vocab: Map[String, Int]): Int = {
+    require(vocab.nonEmpty, "byteFallbackBase needs a non-empty vocabulary")
+    vocab.values.max + 1
+  }
+
+  /** [[tokenIdsRowwise]] on the typed rank path — the PRODUCTION streaming
+    * tokenize-to-ids: merges and vocabulary broadcast once per executor
+    * (never plan literals), the per-word rank loop replaces the
+    * merge-count-deep replace chain, and with `byteFallback` the map is
+    * TOTAL: an out-of-vocabulary token falls back to its UTF-8 bytes as
+    * ids `byteFallbackBase(vocab) + byte` — the documented production OOV
+    * path (a live stream WILL carry characters the training corpus never
+    * saw; killing the query on them is a training-time contract, not a
+    * serving-time one). With `byteFallback = false` an OOV token throws
+    * with the expression form's message. Stateless per-row map —
+    * streaming-legal, result-identical to [[tokenIdsRowwise]] on any
+    * in-vocabulary frame (law-tested). */
+  def tokenIdsTyped(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], vocab: Map[String, Int],
+      byteFallback: Boolean = false): DataFrame = {
+    require(vocab.nonEmpty, "tokenIdsTyped needs a non-empty vocabulary")
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("__text"))
+    val sc = df.sparkSession.sparkContext
+    val ranksB = sc.broadcast(merges.toIndexedSeq)
+    val vocabB = sc.broadcast(vocab)
+    val fbBase = if (byteFallback) byteFallbackBase(vocab) else -1
+    val outSchema = StructType(Seq(base.schema.head,
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("token_ids", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    base.mapPartitions { it =>
+      val ranks = rankMap(ranksB.value)
+      val voc = vocabB.value
+      val memo = new java.util.HashMap[String, Array[Int]]()
+      def idsOfWord(w: String): Array[Int] = {
+        var ids = memo.get(w)
+        if (ids == null) {
+          val toks = tokenizeWordRank(w, ranks)
+          val buf = new scala.collection.mutable.ArrayBuffer[Int](toks.length)
+          toks.foreach { t =>
+            voc.get(t) match {
+              case Some(id) => buf += id
+              case None if fbBase >= 0 =>
+                t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  .foreach(b => buf += fbBase + (b & 0xff))
+              case None =>
+                throw new IllegalArgumentException(
+                  s"Bpe: out-of-vocabulary token: $t")
+            }
+          }
+          ids = buf.toArray
+          memo.put(w, ids)
+        }
+        ids
+      }
+      it.flatMap { row =>
+        val ws = splitWords(row.getString(1))
+        val out = new scala.collection.mutable.ArrayBuffer[Int]()
+        var nw = 0
+        ws.foreach { w => if (w.nonEmpty) { nw += 1; out ++= idsOfWord(w) } }
+        if (nw == 0) Iterator.empty
+        else Iterator(Row(row.get(0), out.length.toLong, out.toSeq))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** [[detokenize]] on the typed rank path — vocabulary broadcast, not a
+    * plan literal, and with `byteFallback` the inverse of
+    * [[tokenIdsTyped]]'s total map: a RUN of consecutive byte-fallback ids
+    * decodes as one UTF-8 sequence (a multi-byte code point's bytes are
+    * adjacent by construction, and UTF-8 concat-decode equals decode-concat
+    * across token boundaries), so `detokenize ∘ tokenize` reproduces the
+    * normalized text even for out-of-vocabulary characters. An id outside
+    * vocab ∪ byte range fails loudly, as the expression form does. */
+  def detokenizeTyped(df: DataFrame, idCol: String, idsCol: String,
+      vocab: Map[String, Int], byteFallback: Boolean = false): DataFrame = {
+    require(vocab.nonEmpty, "detokenizeTyped needs a non-empty vocabulary")
+    val base = df.select(col(idCol), col(idsCol).as("__ids"))
+    val invB = base.sparkSession.sparkContext.broadcast(
+      vocab.map { case (t, i) => i -> t })
+    val fbBase = if (byteFallback) byteFallbackBase(vocab) else Int.MaxValue
+    val outSchema = StructType(Seq(base.schema.head,
+      StructField("text_rebuilt", StringType, nullable = false)))
+    base.mapPartitions { it =>
+      val inv = invB.value
+      it.map { row =>
+        val ids = row.getSeq[Int](1)
+        val sb = new java.lang.StringBuilder()
+        val bytes = new java.io.ByteArrayOutputStream()
+        def flushBytes(): Unit = if (bytes.size() > 0) {
+          sb.append(new String(bytes.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8))
+          bytes.reset()
+        }
+        ids.foreach { id =>
+          if (id >= fbBase && id < fbBase + 256) bytes.write(id - fbBase)
+          else inv.get(id) match {
+            case Some(t) => flushBytes(); sb.append(t)
+            case None => throw new IllegalArgumentException(
+              s"Bpe: unknown token id: $id")
+          }
+        }
+        flushBytes()
+        // expression-form parity: eow markers become spaces, trailing run trimmed
+        var s = sb.toString.replace(Eow.charAt(0), ' ')
+        var end = s.length
+        while (end > 0 && s.charAt(end - 1) == ' ') end -= 1
+        Row(row.get(0), s.substring(0, end))
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Per-document token-ID sequences — the last mile between tokenizer

@@ -461,4 +461,31 @@ class PlanSpec extends SparkTestBase {
     p should include("BroadcastHashJoin") // sizes join back broadcast
     graft.util.Caches.releaseAll()
   }
+
+  test("production-size tokenizer model never lands in the plan: typed route, bounded plan size") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // a vocab past RankPathMaxVocab: the expression path would typedLit all
+    // V entries into the plan (re-serialized per task); the typed route
+    // must broadcast instead, leaving a model-size-independent plan
+    val bigVocab = (0 until graft.ext.Bpe.RankPathMaxVocab + 256)
+      .map(i => s"tok$i" -> i).toMap ++ Map("t" -> 0, "h" -> 1, "e" -> 2, ">" -> 3)
+    val merges = Seq(("t", "h"))
+    val typed = graft.ext.Bpe.tokenIdsRowwise(docs, "doc_id", "text", merges,
+      bigVocab) // routes typed past the vocab threshold
+    val pTyped = plan(typed)
+    pTyped should include("MapPartitions") // the typed route marker
+    (pTyped should not).include("keys: [") // no literal map node
+    withClue("plan must not grow with the model size:") {
+      pTyped.length should be < 10000
+    }
+    // same shape for a merge table past RankPathMaxMerges
+    val bigMerges = (0 until graft.ext.Bpe.RankPathMaxMerges + 8)
+      .map(i => (s"zz$i", s"qq$i"))
+    val pCounts = plan(graft.ext.Bpe.tokenizeRowwise(docs, "doc_id", "text", bigMerges))
+    pCounts should include("MapPartitions")
+    (pCounts should not).include("replace(") // no merge-deep expression chain
+    withClue("plan must not grow with the merge count:") {
+      pCounts.length should be < 10000
+    }
+  }
 }

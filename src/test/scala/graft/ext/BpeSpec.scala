@@ -354,4 +354,190 @@ class BpeSpec extends SparkTestBase {
     graft.util.Caches.releaseAll()
     ex.getMessage should include ("reserved delimiter")
   }
+
+  // ------------------------------------------------- rank-based typed path
+
+  /** Independent rank-order reference: apply each merge IN TABLE ORDER as a
+    * full leftmost/non-overlapping pass over the symbol vector — the
+    * expression chain's semantics, with none of either implementation's
+    * machinery. */
+  private def refApplyMerges(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var s = word.map(_.toString).toVector :+ ">"
+    merges.foreach { case (l, r) =>
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.size) {
+        if (i + 1 < s.size && s(i) == l && s(i + 1) == r) { b += l + r; i += 2 }
+        else { b += s(i); i += 1 }
+      }
+      s = b.result()
+    }
+    s
+  }
+
+  test("rank-typed apply family == expression family on random corpora (learned merges)") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 6) {
+      val words = (1 to 2 + rnd.nextInt(6)).map { _ =>
+        (1 to 1 + rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val instances = rnd.shuffle(words.flatMap(w => Seq.fill(1 + rnd.nextInt(4))(w)))
+      val docs = instances.grouped(3).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val k = 1 + rnd.nextInt(6)
+      val merges = Bpe.learnMerges(docs, "text", k).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val exprCounts = Bpe.applyMerges(docs, "doc_id", "text", merges)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val typedCounts = Bpe.applyMergesTyped(docs, "doc_id", "text", merges)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val exprTab = Bpe.tokenTable(docs, "text", merges)
+        .orderBy("word", "token_idx").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+      val typedTab = Bpe.tokenTableTyped(docs, "text", merges)
+        .orderBy("word", "token_idx").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+      graft.util.Caches.releaseAll()
+      withClue(s"trial $trial words=$words merges=$merges") {
+        typedCounts shouldBe exprCounts
+        typedTab shouldBe exprTab
+      }
+    }
+  }
+
+  test("rank loop settles boundary competition exactly as rank order does") {
+    // "abc" with (a,b) ranked before (b,c): the b belongs to (a,b) → [ab c >];
+    // reversed ranking hands it to (b,c) → [a bc >]. Both paths must agree.
+    Bpe.tokenizeWordRank("abc",
+      { val m = new java.util.HashMap[String, Integer]()
+        m.put("a\u0000b", 0); m.put("b\u0000c", 1); m }).toSeq shouldBe Seq("ab", "c", ">")
+    Bpe.tokenizeWordRank("abc",
+      { val m = new java.util.HashMap[String, Integer]()
+        m.put("b\u0000c", 0); m.put("a\u0000b", 1); m }).toSeq shouldBe Seq("a", "bc", ">")
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    for (ms <- Seq(Seq(("a", "b"), ("b", "c")), Seq(("b", "c"), ("a", "b")))) {
+      val e = Bpe.applyMerges(docs, "doc_id", "text", ms).collect()(0)
+      val t = Bpe.applyMergesTyped(docs, "doc_id", "text", ms).collect()(0)
+      graft.util.Caches.releaseAll()
+      (t.getLong(1), t.getLong(2)) shouldBe ((e.getLong(1), e.getLong(2)))
+    }
+  }
+
+  test("above RankPathMaxMerges the public API routes typed and matches the rank-order reference") {
+    // deterministic pseudo-words over an 8-letter alphabet; prefix-chain
+    // merges (each word built left-to-right, deduped keeping first
+    // occurrence) — a >512-entry table with the creation-order invariant
+    // every learnable table has
+    val words = (0 until 300).map { i =>
+      val len = 6 + i % 9
+      val h = i.toLong * 2654435761L + 0x9e3779b9L
+      (0 until len).map(j => ('a' + ((h >> (3 * j)) & 7)).toChar).mkString
+    }.distinct
+    val seen = scala.collection.mutable.LinkedHashSet[(String, String)]()
+    words.foreach { w =>
+      (1 until w.length).foreach(j => seen += ((w.substring(0, j), w.substring(j, j + 1))))
+    }
+    val merges = seen.toSeq
+    merges.size should be > Bpe.RankPathMaxMerges
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    // in-JVM expected counts straight off the rank-order reference
+    val perWord = words.map(w => w -> refApplyMerges(w, merges).size.toLong).toMap
+    val expected = words.grouped(10).zipWithIndex.map { case (ws, i) =>
+      (i.toLong, ws.size.toLong, ws.map(perWord).sum)
+    }.toSeq
+    val got = Bpe.applyMerges(docs, "doc_id", "text", merges) // routes typed
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val gotRowwise = Bpe.tokenizeRowwise(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.util.Caches.releaseAll()
+    got shouldBe expected
+    gotRowwise shouldBe expected
+    // token STRINGS too, not just counts: tokenTable routes typed as well
+    val tab = Bpe.tokenTable(docs, "text", merges)
+      .orderBy("word", "token_idx").collect()
+      .map(r => (r.getString(0), r.getString(2)))
+      .groupBy(_._1).map { case (w, ts) => w -> ts.map(_._2).toVector }
+    graft.util.Caches.releaseAll()
+    words.foreach { w => tab(w) shouldBe refApplyMerges(w, merges) }
+  }
+
+  test("tokenIdsTyped == tokenIdsRowwise on in-vocabulary frames") {
+    val df = Seq((1L, "ab ba ab"), (2L, "b  a"), (3L, "abab")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    val vocab = Bpe.vocab(df, "text", merges).collect()
+      .map(r => r.getString(1) -> r.getInt(0)).toMap
+    val expr = Bpe.tokenIdsRowwise(df, "doc_id", "text", merges, vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toVector)).toSeq
+    val typed = Bpe.tokenIdsTyped(df, "doc_id", "text", merges, vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toVector)).toSeq
+    graft.util.Caches.releaseAll()
+    typed shouldBe expr
+    // without byte fallback the typed path keeps the fail-loudly contract
+    val alien = Seq((9L, "zz")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Bpe.tokenIdsTyped(alien, "doc_id", "text", merges, vocab).collect()
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n") should
+      include("out-of-vocabulary")
+  }
+
+  test("byte fallback: OOV tokens become UTF-8 byte ids and round-trip, multibyte included") {
+    val train = Seq((1L, "ab ba ab b")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    val vocab = Bpe.vocab(train, "text", merges).collect()
+      .map(r => r.getString(1) -> r.getInt(0)).toMap
+    val base = Bpe.byteFallbackBase(vocab)
+    base shouldBe vocab.values.max + 1
+    // 'x' (1-byte), 'ñ' (2-byte), '→' (3-byte) are absent from training
+    val stream = Seq((5L, "ab xñ→"), (6L, "ñ")).toDF("doc_id", "text")
+    val ids = Bpe.tokenIdsTyped(stream, "doc_id", "text", merges, vocab,
+      byteFallback = true)
+    val rows = ids.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](2).toVector)).toMap
+    // doc 5: word "ab" → [ab, >] in vocab; word "xñ→" → x, ñ, → all OOV
+    val utf8 = (s: String) => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => base + (b & 0xff)).toVector
+    rows(5L) shouldBe Vector(vocab("ab"), vocab(">")) ++
+      utf8("x") ++ utf8("ñ") ++ utf8("→") ++ Vector(vocab(">"))
+    // round trip: byte runs decode as one UTF-8 sequence
+    val back = Bpe.detokenizeTyped(ids, "doc_id", "token_ids", vocab,
+      byteFallback = true).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    graft.util.Caches.releaseAll()
+    back shouldBe Map(5L -> "ab xñ→", 6L -> "ñ")
+    // an id outside vocab ∪ byte range still fails loudly
+    val badIds = Seq((1L, Seq(base + 300))).toDF("doc_id", "token_ids")
+    val e = intercept[Exception] {
+      Bpe.detokenizeTyped(badIds, "doc_id", "token_ids", vocab,
+        byteFallback = true).collect()
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n") should
+      include("unknown token id")
+  }
+
+  test("vocab routes typed above the merge threshold and stays identical") {
+    // same corpus, same merges — once under the expression path, once with
+    // the table padded past the threshold by inert merges (pairs that can
+    // never occur), which must not change any count or id
+    val df = Seq((1L, "ab ba ab"), (2L, "aab")).toDF("doc_id", "text")
+    val real = Seq(("a", "b"))
+    val inert = (0 until Bpe.RankPathMaxMerges + 8).map(i => (s"zz$i", s"qq$i"))
+    val small = Bpe.vocab(df, "text", real).orderBy("token_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val big = Bpe.vocab(df, "text", real ++ inert).orderBy("token_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    graft.util.Caches.releaseAll()
+    big shouldBe small
+  }
 }
