@@ -214,6 +214,19 @@ object SparkEntry {
         FROM dw d JOIN toks t USING (word)
         CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.ts) + 1)) AS i) u)"""
 
+  /** DuckDB expression applying the k learned merges (m1..mk from
+    * [[bpeOracleCtes]]) to an arbitrary `word` column: the initial
+    * delimited encoding folded through k nested scalar-subquery replaces —
+    * how the oracle tokenizes words OUTSIDE the training dict (q245/q246's
+    * salted stream words). */
+  private def bpeApplyOracleExpr(k: Int): String =
+    (1 to k).foldLeft("""regexp_replace(word, '(.)', '|\1|', 'g') || '|>|'""") {
+      (acc, i) =>
+        s"""replace($acc,
+          '|' || (SELECT "left" FROM m$i) || '||' || (SELECT "right" FROM m$i) || '|',
+          '|' || (SELECT merged FROM m$i) || '|')"""
+    }
+
   /** Unrolled DuckDB replay of `iters` integer-Lloyd rounds over the
     * embeddings table ([[ext.Similarity.lloydInt]] semantics verbatim):
     * fixed-point grid, exact squared-L2 argmin (ties → smaller cid),
@@ -9840,7 +9853,206 @@ object SparkEntry {
         min(n)::BIGINT AS min_len, max(n)::BIGINT AS max_len,
         sum(n)::BIGINT AS total_tokens,
         (count(*) * max(n) - sum(n))::BIGINT AS padding_waste
-      FROM r GROUP BY 1 ORDER BY batch_id"""))
+      FROM r GROUP BY 1 ORDER BY batch_id""")),
+
+    // The PRODUCTION-merge-count apply path, gated end to end at 2048
+    // merges: past Bpe.RankPathMaxMerges the apply family routes through
+    // the typed rank tokenizer (broadcast pair→rank map + per-word
+    // lowest-ranked-present-pair loop) instead of the nested-replace
+    // expression chain, whose plan DEPTH grows with the merge count — the
+    // one plan shape that fails structurally at a 32k-merge vocabulary.
+    // The corpus's 31-word fixture vocabulary can't source 2048 merges, so
+    // each doc is salted with 12 md5-derived pseudo-words (the
+    // q240/q241 fixture discipline: payloads from a doc_id formula the
+    // oracle replays) and the merge table is the top-450 words' prefix
+    // chains — (prefix_j, char_{j+1}) in (word rank, j) order, deduped
+    // keeping first, capped at 2048. Prefix chains satisfy the same
+    // creation-order invariant every LEARNED table has (a pair's left
+    // symbol is built by a strictly earlier merge), so rank application is
+    // well-defined; the oracle replays the exact table and folds all 2048
+    // delimited replaces per distinct word (list_reduce), then gates every
+    // per-doc count. The merge table itself is model metadata (2048 rows
+    // collected — the k-means discipline).
+    ("q244_bpe_rank_2048", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val salted = docs.where(col("text").isNotNull)
+        .select(col("doc_id"), concat(col("text"), lit(" "),
+          concat_ws(" ", transform(sequence(lit(0), lit(11)), i =>
+            md5(concat(col("doc_id").cast("string"), lit("_"), i.cast("string")))
+              .substr(lit(1), (lit(3) + pmod(col("doc_id") * 7 + i * 13, lit(10)))
+                .cast("int"))))).as("text2"))
+      val counts = salted
+        .select(explode(split(col("text2"), " ")).as("word"))
+        .where(col("word") =!= "" && length(col("word")).between(2, 63))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val ranked = GlobalCumsum.rowNumber(counts,
+        Seq(col("cnt").desc, md5(col("word")), col("word")), "rk")
+        .where(col("rk") <= 450)
+      val merges = ranked
+        .select(col("rk"), col("word"),
+          explode(sequence(lit(1), length(col("word")) - 1)).as("j"))
+        .select(col("word").substr(lit(1), col("j")).as("l"),
+          col("word").substr(col("j") + 1, lit(1)).as("r"),
+          (col("rk") * 64 + col("j")).as("ord"))
+        .groupBy(col("l"), col("r")).agg(min(col("ord")).as("ord"))
+        .orderBy(col("ord")).limit(2048)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      require(merges.size > ext.Bpe.RankPathMaxMerges,
+        s"q244 must exercise the rank path, got only ${merges.size} merges")
+      ext.Bpe.applyMerges(salted, "doc_id", "text2", merges) // routes typed at 2048
+        .orderBy(col("doc_id"))
+    }, Some(raw"""
+      WITH sw AS (
+        SELECT doc_id, i.i AS i,
+          substr(md5(doc_id || '_' || i.i), 1,
+            CAST(3 + (doc_id*7 + i.i*13) % 10 AS INT)) AS w
+        FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+        CROSS JOIN (SELECT unnest(range(0, 12)) AS i) i),
+      salt AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS swords
+               FROM sw GROUP BY doc_id),
+      d AS MATERIALIZED (
+        SELECT dd.doc_id, dd.text || ' ' || s.swords AS text
+        FROM documents dd JOIN salt s USING (doc_id) WHERE dd.text IS NOT NULL),
+      w AS (
+        SELECT word, count(*)::BIGINT AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM d)
+        WHERE word <> '' AND len(word) BETWEEN 2 AND 63 GROUP BY word),
+      r AS (
+        SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, md5(word), word) AS BIGINT) AS rk
+        FROM w),
+      chains AS (
+        SELECT substr(word, 1, CAST(j.j AS INT)) AS l,
+               substr(word, CAST(j.j AS INT) + 1, 1) AS r2,
+               min(rk*64 + j.j) AS ord
+        FROM r CROSS JOIN LATERAL (SELECT unnest(range(1, len(word))) AS j) j
+        WHERE rk <= 450 GROUP BY 1, 2),
+      mt AS (
+        SELECT l, r2, CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS rank
+        FROM chains QUALIFY rank <= 2048),
+      ml AS (SELECT list('|' || l || '||' || r2 || '|' || chr(9) || '|' || l || r2 || '|'
+               ORDER BY rank) AS ms FROM mt),
+      dict AS (
+        SELECT DISTINCT word FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM d) WHERE word <> ''),
+      tok AS MATERIALIZED (
+        SELECT word, list_reduce(
+            list_prepend(regexp_replace(word, '(.)', '|\1|', 'g') || '|>|',
+              (SELECT ms FROM ml)),
+            (acc, m) -> replace(acc, split_part(m, chr(9), 1), split_part(m, chr(9), 2))) AS sym
+        FROM dict),
+      tokn AS (SELECT word,
+          (length(sym) - length(replace(sym, '|', ''))) // 2 AS n_syms FROM tok),
+      dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM d)
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+        CAST(sum(t.n_syms) AS BIGINT) AS n_tokens
+      FROM dw JOIN tokn t USING (word) WHERE word <> ''
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // STREAMING tokenize-to-ids made TOTAL — the byte-fallback production
+    // OOV path: the stream carries characters the training corpus never saw
+    // (each doc salted with "theñ<d>→" — a 2-byte and a 3-byte code point
+    // plus a digit, fused to a real-word prefix so learned merges apply
+    // INSIDE the partially-OOV word), and instead of killing the query an
+    // out-of-vocabulary token falls back to its UTF-8 bytes as ids
+    // byteFallbackBase + byte (Bpe.tokenIdsTyped, the typed rank path —
+    // model broadcast, never plan literals). The oracle learns the same 8
+    // merges, tokenizes the SALTED words through the same replace chain,
+    // resolves known tokens through the vocab and OOV tokens byte by byte
+    // (hex(encode(token))), and gates every (doc, pos, id) triple.
+    ("q245_stream_byte_fallback", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = ext.Bpe.learnMerges(docs, "text", merges = 8)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = ext.Bpe.vocab(docs, "text", merges).collect()
+        .map(r => r.getString(1) -> r.getInt(0)).toMap
+      val tmp = graft.util.Staging.dir("q245_salted_docs", dir) { p =>
+        docs.where(col("text").isNotNull)
+          .select(col("doc_id"), concat(col("text"), lit(" theñ"),
+            (col("doc_id") % 7).cast("string"), lit("→")).as("text"))
+          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
+      }
+      val qname = "graft_stream_byte_fallback"
+      val (schema, rows) = {
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
+        val q = ext.Bpe.tokenIdsTyped(stream, "doc_id", "text", merges, vocab,
+            byteFallback = true)
+          .writeStream.outputMode("append").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val res = s.table(qname)
+        val out = (res.schema, res.collect())
+        s.catalog.dropTempView(qname)
+        out
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .orderBy(col("doc_id"), col("pos"))
+    }, Some(s"""
+      WITH ${bpeOracleCtes(8)},
+      ${bpeTokenIdCtes},
+      sdw AS (
+        SELECT doc_id, u.i AS wpos, ws[u.i] AS word
+        FROM (SELECT doc_id,
+                string_split(text || ' theñ' || (doc_id % 7) || '→', ' ') AS ws
+              FROM documents WHERE text IS NOT NULL)
+        CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
+        WHERE ws[u.i] <> ''),
+      stok AS MATERIALIZED (
+        SELECT word, string_split(substr(sym2, 2, length(sym2) - 2), '||') AS ts
+        FROM (SELECT word, ${bpeApplyOracleExpr(8)} AS sym2
+              FROM (SELECT DISTINCT word FROM sdw))),
+      vsz AS (SELECT max(token_id) + 1 AS base FROM vocab),
+      stid AS (
+        SELECT d.doc_id, d.wpos, u.i AS tpos, t.ts[u.i] AS token
+        FROM sdw d JOIN stok t USING (word)
+        CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.ts) + 1)) AS i) u),
+      pertok AS (
+        SELECT s.doc_id, s.wpos, s.tpos,
+          CASE WHEN v.token_id IS NOT NULL THEN [v.token_id]
+               ELSE list_transform(range(1, octet_length(encode(s.token)) + 1), j ->
+                 CAST(z.base +
+                   CAST('0x' || substr(hex(encode(s.token)), CAST(2*j-1 AS INT), 2) AS INT) AS INT))
+          END AS ids
+        FROM stid s LEFT JOIN vocab v USING (token) CROSS JOIN vsz z),
+      flat AS (
+        SELECT doc_id, wpos, tpos, u.i AS bpos, ids[u.i] AS token_id
+        FROM pertok CROSS JOIN LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i) u)
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos, bpos) - 1 AS INT) AS pos,
+        token_id
+      FROM flat ORDER BY doc_id, pos""")),
+
+    // Byte-fallback ROUND TRIP — the id arrays of the salted (OOV-bearing)
+    // corpus are information-complete: detokenizeTyped resolves learned ids
+    // through the inverse vocab and BYTE RUNS through one UTF-8 decode (a
+    // multi-byte code point's bytes are adjacent by construction, and
+    // UTF-8 concat-decode equals decode-concat), reproducing the salted
+    // text exactly modulo space runs — q239's law, now under OOV input.
+    ("q246_byte_fallback_roundtrip", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = ext.Bpe.learnMerges(docs, "text", merges = 8)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = ext.Bpe.vocab(docs, "text", merges).collect()
+        .map(r => r.getString(1) -> r.getInt(0)).toMap
+      val salted = docs.where(col("text").isNotNull)
+        .select(col("doc_id"), concat(col("text"), lit(" theñ"),
+          (col("doc_id") % 7).cast("string"), lit("→")).as("text"))
+      val ids = ext.Bpe.tokenIdsTyped(salted, "doc_id", "text", merges, vocab,
+        byteFallback = true)
+      ext.Bpe.detokenizeTyped(ids, "doc_id", "token_ids", vocab,
+          byteFallback = true)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        array_to_string(list_filter(
+          string_split(text || ' theñ' || (doc_id % 7) || '→', ' '),
+          w -> w <> ''), ' ') AS text_rebuilt
+      FROM documents WHERE text IS NOT NULL
+      ORDER BY doc_id"""))
   )
 
   // ------------------------------------------------------- driver contract
