@@ -10052,7 +10052,74 @@ object SparkEntry {
           string_split(text || ' theñ' || (doc_id % 7) || '→', ' '),
           w -> w <> ''), ' ') AS text_rebuilt
       FROM documents WHERE text IS NOT NULL
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // SemDeDup with a BINDING giant-cluster cap, oracle-pinned: q219 runs
+    // the unguarded pair space (its fixture clusters are well-sized); this
+    // gate sets maxClusterSize = 40 — BELOW every coarse cluster here
+    // (~100 members: |corpus| / |stride centroids| at both SFs), so the
+    // stride-split path (Dedup.semDedup:maxClusterSize — sub-bucket =
+    // hash48(id) mod ceil(|c|/cap), pairs per (cluster, sub-bucket)) runs
+    // for real and the oracle replays it: same md5-prefix hash, same
+    // ceil arithmetic, same within-sub-bucket pairing, same star/min-label
+    // components over the reduced edge set. The guarded result trades
+    // cross-sub-bucket edges for the Σ|c|² bound — exactly what the replay
+    // computes, so any deviation in the split (wrong modulus, unsplit
+    // cluster, hash drift) fails every downstream row.
+    ("q247_semdedup_capped", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cent = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      Dedup.semDedup(emb, cent, "vec_id", "embedding", "cid", "embedding",
+        threshold = 0.25, maxClusterSize = 40)
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH RECURSIVE v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cent AS (SELECT vec_id AS cid, vec AS cv FROM v WHERE vec_id % 100 = 0),
+      sims AS (
+        SELECT a.vec_id AS id, c.cid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.cv)) + 1),
+            i -> a.vec[i] * c.cv[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * c.cv[i])))) AS s
+        FROM v a CROSS JOIN cent c),
+      assign AS (
+        SELECT id, cid, s AS sim_c FROM (
+          SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+          FROM sims) WHERE rn = 1),
+      sizes AS (SELECT cid, count(*)::BIGINT AS csz FROM assign GROUP BY cid),
+      sub AS (
+        SELECT a.id, a.cid,
+          ('0x' || substr(md5(CAST(a.id AS VARCHAR)), 1, 12))::BIGINT %
+            CAST(ceil(z.csz / 40.0) AS BIGINT) AS sb
+        FROM assign a JOIN sizes z USING (cid)),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM sub a JOIN sub b ON a.cid = b.cid AND a.sb = b.sb AND a.id < b.id
+        JOIN v va ON va.vec_id = a.id JOIN v vb ON vb.vec_id = b.id
+        WHERE list_sum(list_transform(range(1, least(len(va.vec), len(vb.vec)) + 1),
+            i -> va.vec[i] * vb.vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(va.vec) + 1), i -> va.vec[i] * va.vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(vb.vec) + 1), i -> vb.vec[i] * vb.vec[i]))))
+            >= 0.25),
+      e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS label FROM e
+        UNION
+        SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.id),
+      cc AS (SELECT id, min(label) AS comp FROM reach GROUP BY id),
+      lab AS (
+        SELECT a.id, a.cid, a.sim_c, COALESCE(cc.comp, a.id) AS comp
+        FROM assign a LEFT JOIN cc ON cc.id = a.id),
+      keepers AS (
+        SELECT comp, id AS keep_id FROM (
+          SELECT comp, id, row_number() OVER (PARTITION BY comp ORDER BY sim_c, id) AS rn
+          FROM lab) WHERE rn = 1)
+      SELECT lab.id AS vec_id, lab.cid, lab.sim_c, lab.comp,
+             lab.id = keepers.keep_id AS keep
+      FROM lab JOIN keepers USING (comp) ORDER BY vec_id"""))
   )
 
   // ------------------------------------------------------- driver contract
