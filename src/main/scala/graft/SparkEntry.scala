@@ -10119,7 +10119,52 @@ object SparkEntry {
           FROM lab) WHERE rn = 1)
       SELECT lab.id AS vec_id, lab.cid, lab.sim_c, lab.comp,
              lab.id = keepers.keep_id AS keep
-      FROM lab JOIN keepers USING (comp) ORDER BY vec_id"""))
+      FROM lab JOIN keepers USING (comp) ORDER BY vec_id""")),
+
+    // Packed-example DOC BOUNDARIES — the attention-masking metadata q235's
+    // payload gate doesn't carry: a trainer packing multiple docs into one
+    // 2048-token example must know where each doc segment starts so tokens
+    // never attend across documents. packedExamplesWithBoundaries emits
+    // (doc_starts, doc_ids) per example off the SAME one-agg fold as the
+    // payload (a doc's tokens are contiguous by construction, so
+    // boundaries are exactly the owner changes in position order); the
+    // gate posexplodes the boundary arrays and the oracle recomputes every
+    // (example, slot, start, doc) from the q235 token stream.
+    ("q248_packed_doc_boundaries", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = ext.Bpe.learnMerges(docs, "text", merges = 8)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val v = ext.Bpe.vocab(docs, "text", merges)
+      val ids = ext.Bpe.tokenIds(docs, "doc_id", "text", merges, v)
+      ext.Packing.packedExamplesWithBoundaries(ids, "doc_id", "token_ids",
+          exampleTokens = 2048L)
+        .select(col("example_id"), col("n_tokens"),
+          posexplode(arrays_zip(col("doc_starts"), col("doc_ids")))
+            .as(Seq("slot", "__b")))
+        .select(col("example_id"), col("n_tokens"), col("slot"),
+          col("__b.doc_starts").as("doc_start"),
+          col("__b.doc_ids").as("doc_id"))
+        .orderBy(col("example_id"), col("slot"))
+    }, Some(s"""
+      WITH ${bpeOracleCtes(8)},
+      ${bpeTokenIdCtes},
+      seq AS (
+        SELECT dt.doc_id, v.token_id,
+          row_number() OVER (ORDER BY dt.doc_id, dt.wpos, dt.tpos) - 1 AS g
+        FROM dt JOIN vocab v USING (token)),
+      tok AS (
+        SELECT CAST(g // 2048 AS BIGINT) AS example_id,
+               CAST(g % 2048 AS BIGINT) AS pos, doc_id FROM seq),
+      b AS (
+        SELECT example_id, doc_id, min(pos) AS doc_start
+        FROM tok GROUP BY 1, 2),
+      n AS (SELECT example_id, count(*)::BIGINT AS n_tokens FROM tok GROUP BY 1)
+      SELECT b.example_id, n.n_tokens,
+        CAST(row_number() OVER (PARTITION BY b.example_id ORDER BY b.doc_start) - 1 AS INT) AS slot,
+        b.doc_start, b.doc_id
+      FROM b JOIN n USING (example_id)
+      ORDER BY example_id, slot"""))
   )
 
   // ------------------------------------------------------- driver contract

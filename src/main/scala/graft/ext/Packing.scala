@@ -116,6 +116,37 @@ object Packing {
       .select(col("example_id"),
         size(col("token_ids")).cast("long").as("n_tokens"), col("token_ids"))
 
+  /** [[packedExamples]] plus per-example DOCUMENT BOUNDARIES — the
+    * metadata a trainer needs for attention masking (tokens must not
+    * attend across the docs packed into one example): `doc_starts(k)` is
+    * the in-example position of the first token of the k-th document
+    * segment, `doc_ids(k)` its source doc. A doc's tokens are contiguous
+    * in the stream by construction, so boundaries are exactly the
+    * positions where the owning doc changes. ONE hash agg (the
+    * [[packTokens]] rows fold once; boundaries derive from the sorted
+    * struct array with index HOFs — the sorted array is materialized as a
+    * column first, never recomputed per element).
+    * @return (example_id, n_tokens, token_ids array<int>,
+    *         doc_starts array<long>, doc_ids array) */
+  def packedExamplesWithBoundaries(df: DataFrame, idCol: String,
+      idsCol: String, exampleTokens: Long): DataFrame =
+    packTokens(df, idCol, idsCol, exampleTokens)
+      .groupBy(col("example_id"))
+      .agg(array_sort(collect_list(
+        struct(col("pos"), col(idCol).as("__doc"), col("token_id")))).as("__st"))
+      .withColumn("token_ids", transform(col("__st"), s => s.getField("token_id")))
+      .withColumn("__docs", transform(col("__st"), s => s.getField("__doc")))
+      .withColumn("doc_starts",
+        transform(
+          filter(sequence(lit(0), size(col("__st")) - 1), i =>
+            (i === 0) || element_at(col("__docs"), i + 1) =!= element_at(col("__docs"), i)),
+          i => i.cast("long")))
+      .withColumn("doc_ids",
+        transform(col("doc_starts"), p => element_at(col("__docs"), p.cast("int") + 1)))
+      .select(col("example_id"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        col("token_ids"), col("doc_starts"), col("doc_ids"))
+
   /** Padded-batch manifest — the SFT-style packing discipline where
     * documents stay ATOMIC (no concatenate-then-chunk: each example is one
     * padded doc) and batches pad every member to the batch maximum:

@@ -172,6 +172,46 @@ class Round8Spec extends SparkTestBase {
     packed.flatMap(_._3).toSeq shouldBe expected.map(_._2)
   }
 
+  test("packedExamplesWithBoundaries: boundaries mark exactly each doc's first token per example") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 40L).map { i =>
+      val n = if (i % 9 == 0) 0 else (i * 13 % 23).toInt + 1
+      (i, (0 until n).map(j => (i * 100 + j).toInt))
+    }.toDF("doc_id", "ids").repartition(4)
+    val stream = (1L to 40L).flatMap { i =>
+      val n = if (i % 9 == 0) 0 else (i * 13 % 23).toInt + 1
+      (0 until n).map(j => (i, (i * 100 + j).toInt))
+    }
+    val t = 16L
+    // brute-force expectation: chunk the stream, then per example record
+    // (start pos, doc) at every owner change
+    val expected = stream.zipWithIndex
+      .map { case ((doc, id), g) => (g / t, g % t, doc, id) }
+      .groupBy(_._1).view.mapValues { rows =>
+        val sorted = rows.sortBy(_._2)
+        val bounds = sorted.zipWithIndex.collect {
+          case ((_, pos, doc, _), k) if k == 0 || sorted(k - 1)._3 != doc =>
+            (pos, doc)
+        }
+        (sorted.map(_._4).toVector, bounds.toVector)
+      }.toMap
+    val got = graft.ext.Packing
+      .packedExamplesWithBoundaries(docs, "doc_id", "ids", t)
+      .orderBy("example_id").collect()
+    graft.util.Caches.releaseAll()
+    got.length shouldBe expected.size
+    got.foreach { r =>
+      val ex = r.getAs[Long]("example_id")
+      val (eIds, eBounds) = expected(ex)
+      r.getAs[Long]("n_tokens") shouldBe eIds.size.toLong
+      r.getSeq[Int](r.fieldIndex("token_ids")).toVector shouldBe eIds
+      val starts = r.getSeq[Long](r.fieldIndex("doc_starts")).toVector
+      val dids = r.getSeq[Long](r.fieldIndex("doc_ids")).toVector
+      starts.zip(dids) shouldBe eBounds
+    }
+  }
+
   test("paddedBatchManifest == in-JVM sorted batching; waste arithmetic exact") {
     import spark.implicits._
     val docs = (1L to 130L).map(i => (i, (i * 29 % 97) + 1)).toDF("doc_id", "n_tokens")
