@@ -227,6 +227,77 @@ object SparkEntry {
           '|' || (SELECT merged FROM m$i) || '|')"""
     }
 
+  /** One residual-IVFADC model + serving chain for the q249 lifecycle
+    * oracle (the q237 chain, parameterized): centroids stride-picked from
+    * `centSrc` (a CTE over (vec_id, vec)), the WHOLE current corpus `cur`
+    * assigned/encoded against them, residual codebooks stride-trained on
+    * the rows matching `cbPred`, queries vec_id < 8 probed at nprobe=2,
+    * ADC-scored, top-5 ranked. Emits CTEs prefixed `tag`; `subs` and `cur`
+    * are shared and defined by the caller. */
+  private def residualServeCtes(tag: String, centSrc: String, cbPred: String,
+      stride: Int = 5, nprobe: Int = 4, k: Int = 10): String = s"""
+      ${tag}cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM $centSrc WHERE vec_id % 100 = 0),
+      ${tag}ldist AS (
+        SELECT a.vec_id AS n_id, c.lcid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
+            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
+        FROM cur a CROSS JOIN ${tag}cent c),
+      ${tag}assign AS (
+        SELECT n_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ${tag}ldist) WHERE rn = 1),
+      ${tag}resid AS (
+        SELECT a.n_id, a.lcid,
+          list_transform(range(1, least(len(x.vec), len(c.l_vec)) + 1),
+            i -> x.vec[i] - c.l_vec[i]) AS rv
+        FROM ${tag}assign a JOIN cur x ON x.vec_id = a.n_id
+        JOIN ${tag}cent c ON c.lcid = a.lcid),
+      ${tag}cb AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY n_id) - 1 AS BIGINT) AS cid,
+          rv[sub*16 + 1 : sub*16 + 16] AS c_vec
+        FROM ${tag}resid CROSS JOIN subs WHERE n_id % $stride = 0 $cbPred),
+      ${tag}cd AS (
+        SELECT r.n_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS d2
+        FROM ${tag}resid r CROSS JOIN ${tag}cb b),
+      ${tag}codes AS (
+        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
+          SELECT n_id, sub, cid,
+            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
+          FROM ${tag}cd) WHERE rn = 1 GROUP BY n_id),
+      ${tag}probes AS (
+        SELECT n_id AS q_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ${tag}ldist WHERE n_id < 8) WHERE rn <= $nprobe),
+      ${tag}qres AS (
+        SELECT p.q_id, p.lcid,
+          list_transform(range(1, least(len(q.vec), len(c.l_vec)) + 1),
+            i -> q.vec[i] - c.l_vec[i]) AS rv
+        FROM ${tag}probes p JOIN cur q ON q.vec_id = p.q_id
+        JOIN ${tag}cent c ON c.lcid = p.lcid),
+      ${tag}ld AS (
+        SELECT r.q_id, r.lcid, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS pd
+        FROM ${tag}qres r CROSS JOIN ${tag}cb b),
+      ${tag}lut1 AS (SELECT q_id, lcid, sub, list(pd ORDER BY cid) AS lrow
+               FROM ${tag}ld GROUP BY q_id, lcid, sub),
+      ${tag}lut AS (SELECT q_id, lcid, list(lrow ORDER BY sub) AS lut
+              FROM ${tag}lut1 GROUP BY q_id, lcid),
+      ${tag}scored AS (
+        SELECT l.q_id, a.n_id,
+          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
+        FROM ${tag}lut l
+        JOIN ${tag}assign a ON a.lcid = l.lcid
+        JOIN ${tag}codes x ON x.n_id = a.n_id
+        WHERE a.n_id <> l.q_id),
+      ${tag}top AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+          FROM ${tag}scored) WHERE rank <= $k)"""
+
   /** Unrolled DuckDB replay of `iters` integer-Lloyd rounds over the
     * embeddings table ([[ext.Similarity.lloydInt]] semantics verbatim):
     * fixed-point grid, exact squared-L2 argmin (ties → smaller cid),
@@ -10164,7 +10235,135 @@ object SparkEntry {
         CAST(row_number() OVER (PARTITION BY b.example_id ORDER BY b.doc_start) - 1 AS INT) AS slot,
         b.doc_start, b.doc_id
       FROM b JOIN n USING (example_id)
-      ORDER BY example_id, slot"""))
+      ORDER BY example_id, slot""")),
+
+    // The ANN index LIFECYCLE — the operational loop a production vector
+    // store runs, composed from the individually-gated pieces and
+    // oracle-replayed end to end: an increment arrives DRIFTED (every
+    // element x → 0.75·x + 0.1 — elementwise IEEE ops, exact in both
+    // engines); q201's drift audit detects it (exact quantized BIGINT
+    // sums, per-dim mean shift); serving then compares the two responses —
+    // FROZEN (q237: increment encoded against the old centroids+codebooks,
+    // unioned with the stored base index) vs REFIT (centroids and residual
+    // codebooks re-derived from the drifted corpus — stride-picked, the
+    // reproducible-gate stand-in for fitCentroids — and the whole corpus
+    // re-encoded). Both serve the same 8 queries; per-query top-5 hits
+    // against the exact L2 ground truth land in one report with the
+    // drifted-dimension count. Everything is exact integers, so the gate
+    // hash-pins the entire loop: audit arithmetic, both encode chains,
+    // both ADC rankings, the ground truth, and the recall bookkeeping.
+    ("q249_ann_lifecycle", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val base = emb.where(col("vec_id") % 7 =!= 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val inc = emb.where(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
+          x => x * lit(0.75) + lit(0.1)).as("embedding"))
+      val cur = graft.util.Caches.register(
+        base.unionByName(inc).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // 1. drift audit (q201 path): dims whose base-vs-increment mean shift
+      // exceeds 20 grid units — a 1-row frame, crossJoined into the report
+      val driftRow = graft.ext.LinAlg.perDimDrift(base, inc, "embedding")
+        .agg(count(when(abs(col("shift_milli")) > 20.0, 1)).as("drifted_dims"))
+      val queries = cur.where(col("vec_id") < 8)
+      // 2. FROZEN serving: old model from the base only; increment encoded
+      // against it (q237's frozen-model contract) and unioned in
+      val centOld = base.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cbOld = Similarity.pqCodebookByStride(
+        Similarity.residuals(base, centOld, "vec_id", "cid", "embedding"),
+        "vec_id", "res", m = 4, subDim = 16, stride = 5)
+      val idxFrozen = Similarity
+        .residualIndex(base, centOld, cbOld, "vec_id", "cid", "embedding", 4, 16)
+        .unionByName(Similarity
+          .residualIndex(inc, centOld, cbOld, "vec_id", "cid", "embedding", 4, 16))
+      val frozenTop = Similarity.ivfPqResidualStoredTopK(queries, idxFrozen,
+        centOld, cbOld, "vec_id", "cid", "embedding", k = 10, m = 4, subDim = 16,
+        nprobe = 4)
+      // 3. REFIT serving: model re-derived from the drifted corpus, whole
+      // corpus re-encoded — the cost the recall delta is weighed against
+      val centNew = cur.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cbNew = Similarity.pqCodebookByStride(
+        Similarity.residuals(cur, centNew, "vec_id", "cid", "embedding"),
+        "vec_id", "res", m = 4, subDim = 16, stride = 5)
+      val idxNew = Similarity
+        .residualIndex(cur, centNew, cbNew, "vec_id", "cid", "embedding", 4, 16)
+      val refitTop = Similarity.ivfPqResidualStoredTopK(queries, idxNew,
+        centNew, cbNew, "vec_id", "cid", "embedding", k = 10, m = 4, subDim = 16,
+        nprobe = 4)
+      // 4. exact L2 ground truth over the current corpus (bounded: 8 queries)
+      val exact = queries.select(col("vec_id").as("q_id"), col("embedding").as("__qv"))
+        .crossJoin(cur.select(col("vec_id").as("n_id"), col("embedding").as("__nv")))
+        .where(col("n_id") =!= col("q_id"))
+        .withColumn("__d", aggregate(
+          zip_with(col("__qv"), col("__nv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, z) => acc + z))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("__d"), col("n_id"))))
+        .where(col("__rn") <= 10)
+        .select(col("q_id"), col("n_id"))
+      // 5. the report: per-query hit counts of both configurations
+      val hf = exact.join(frozenTop.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id")).groupBy(col("q_id"))
+        .agg(count(lit(1)).as("hits_frozen"))
+      val hr = exact.join(refitTop.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id")).groupBy(col("q_id"))
+        .agg(count(lit(1)).as("hits_refit"))
+      queries.select(col("vec_id").as("q_id"))
+        .join(hf, Seq("q_id"), "left").join(hr, Seq("q_id"), "left")
+        .crossJoin(broadcast(driftRow))
+        .select(col("q_id"), lit(10L).as("n_exact"),
+          coalesce(col("hits_frozen"), lit(0L)).as("hits_frozen"),
+          coalesce(col("hits_refit"), lit(0L)).as("hits_refit"),
+          col("drifted_dims"))
+        .orderBy(col("q_id"))
+    }, Some(s"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      bse AS (SELECT vec_id, vec FROM v WHERE vec_id % 7 <> 0),
+      incr AS (SELECT vec_id, list_transform(vec, x -> x * 0.75 + 0.1) AS vec
+               FROM v WHERE vec_id % 7 = 0),
+      cur AS MATERIALIZED (SELECT * FROM bse UNION ALL SELECT * FROM incr),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      bq AS (
+        SELECT u.i AS dim, CAST(floor(vec[u.i] * 1000) AS BIGINT) AS q
+        FROM bse CROSS JOIN LATERAL (SELECT unnest(range(1, len(vec) + 1)) AS i) u),
+      dq AS (
+        SELECT u.i AS dim, CAST(floor(vec[u.i] * 1000) AS BIGINT) AS q
+        FROM incr CROSS JOIN LATERAL (SELECT unnest(range(1, len(vec) + 1)) AS i) u),
+      drift AS (
+        SELECT count(*) FILTER (abs(shift) > 20.0)::BIGINT AS drifted_dims FROM (
+          SELECT b.dim, (b.sb::DOUBLE / b.nb) - (d.sd::DOUBLE / d.nd) AS shift
+          FROM (SELECT dim, count(*) AS nb, sum(q)::BIGINT AS sb FROM bq GROUP BY 1) b
+          JOIN (SELECT dim, count(*) AS nd, sum(q)::BIGINT AS sd FROM dq GROUP BY 1) d
+            USING (dim))),
+      ${residualServeCtes("f", "bse", "AND n_id % 7 <> 0")},
+      ${residualServeCtes("n", "cur", "")},
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, x.vec_id AS n_id,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_sum(list_transform(range(1, least(len(q.vec), len(x.vec)) + 1),
+                i -> (q.vec[i] - x.vec[i]) * (q.vec[i] - x.vec[i]))), x.vec_id) AS rn
+          FROM (SELECT * FROM cur WHERE vec_id < 8) q
+          CROSS JOIN cur x WHERE x.vec_id <> q.vec_id) WHERE rn <= 10),
+      hf AS (
+        SELECT e.q_id, count(*)::BIGINT AS hits_frozen
+        FROM exact e JOIN ftop t ON t.q_id = e.q_id AND t.n_id = e.n_id
+        GROUP BY 1),
+      hr AS (
+        SELECT e.q_id, count(*)::BIGINT AS hits_refit
+        FROM exact e JOIN ntop t ON t.q_id = e.q_id AND t.n_id = e.n_id
+        GROUP BY 1)
+      SELECT q.vec_id AS q_id, CAST(10 AS BIGINT) AS n_exact,
+        COALESCE(hf.hits_frozen, 0) AS hits_frozen,
+        COALESCE(hr.hits_refit, 0) AS hits_refit,
+        d.drifted_dims
+      FROM (SELECT vec_id FROM cur WHERE vec_id < 8) q
+      LEFT JOIN hf ON hf.q_id = q.vec_id
+      LEFT JOIN hr ON hr.q_id = q.vec_id
+      CROSS JOIN drift d
+      ORDER BY q_id"""))
   )
 
   // ------------------------------------------------------- driver contract
