@@ -17,7 +17,8 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(20)
     // optional second arg: comma-separated section names (dedup, temporal,
-    // relational, graph, linalg, cumsum, percentile, ann, decontam, bigram)
+    // relational, graph, linalg, cumsum, percentile, ann, decontam, bigram,
+    // bpe, bperank, semdedup)
     // — run only those probes
     val sections = args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
     def want(s: String): Boolean = sections.forall(_.contains(s))
@@ -419,6 +420,70 @@ object Stress {
         val t = Bpe.tokenizeRowwise(big, "doc_id", "text", merges)
         val total = t.agg(sum(col("n_tokens"))).head.getLong(0)
         assert(total == grouped, s"rowwise $total != grouped $grouped")
+      }
+    }
+
+    if (want("bperank")) locally {
+      import graft.ext.Bpe
+      // PRODUCTION model sizes: (a) the batched learner's economics at a
+      // 4k-merge vocabulary — rounds and wall-clock are the numbers a
+      // training-infra owner budgets; (b) the rank-path tokenizer at an
+      // 8k-merge table over the 500k-distinct-word dict corpus — the
+      // regime where the expression chain is structurally impossible
+      // (8192-deep plans) and the typed rank loop with a broadcast model
+      // must hold. Token space stays model-bounded: every post-merge token
+      // is an alphabet char, the eow, or one of the 8192 merge outputs, so
+      // the vocab collect is metadata by construction.
+      val dict = spark.range(500_000)
+        .select(col("id").as("doc_id"),
+          md5(col("id").cast("string")).substr(1, 12).as("text"),
+          (col("id") % 1000 + 1).as("w"))
+        .select(col("doc_id"),
+          array_join(array_repeat(col("text"), (col("w") % 7 + 1).cast("int")), " ").as("text"))
+        .localCheckpoint()
+      timed("BPE learn 4096 merges BATCHED(256) / 500k-word dict") {
+        val m = Bpe.learnMergesBatched(dict, "text", 4096, batch = 256)
+        val row = m.agg(count(lit(1)), max(col("round"))).head
+        println(s"[stress]   merges = ${row.getLong(0)} in ${row.getInt(1)} rounds")
+        graft.util.Caches.releaseAll()
+      }
+      // 8k+ merges without another learn: prefix chains over the dict's
+      // top words (the q244 discipline — same creation-order invariant as
+      // a learned table)
+      val merges8k = timed("build 8192 prefix-chain merges") {
+        val words = dict.select(explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val ranked = graft.analytics.GlobalCumsum.rowNumber(words,
+          Seq(col("cnt").desc, md5(col("word")), col("word")), "rk")
+          .where(col("rk") <= 1200)
+        val m = ranked
+          .select(col("rk"), col("word"),
+            explode(sequence(lit(1), length(col("word")) - 1)).as("j"))
+          .select(col("word").substr(lit(1), col("j")).as("l"),
+            col("word").substr(col("j") + 1, lit(1)).as("r"),
+            (col("rk") * 16 + col("j")).as("ord"))
+          .groupBy(col("l"), col("r")).agg(min(col("ord")).as("ord"))
+          .orderBy(col("ord")).limit(8192)
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        graft.util.Caches.releaseAll()
+        m
+      }
+      println(s"[stress]   merge table = ${merges8k.size} pairs")
+      require(merges8k.size > Bpe.RankPathMaxMerges, "must exercise the rank path")
+      timed("rank-path tokenize 2M words / 8k merges") {
+        val t = Bpe.applyMerges(dict, "doc_id", "text", merges8k) // routes typed
+        val total = t.agg(count(lit(1)), sum(col("n_tokens"))).head
+        println(s"[stress]   docs = ${total.getLong(0)}, tokens = ${total.getLong(1)}")
+        graft.util.Caches.releaseAll()
+      }
+      timed("rank-path tokenIdsTyped / 8k merges + vocab") {
+        val vdf = Bpe.vocab(dict, "text", merges8k)
+        val vmap = vdf.collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+        println(s"[stress]   vocab = ${vmap.size} tokens (model-bounded)")
+        val total = Bpe.tokenIdsTyped(dict, "doc_id", "text", merges8k, vmap)
+          .agg(sum(col("n_tokens"))).head.getLong(0)
+        println(s"[stress]   ids emitted = $total")
+        graft.util.Caches.releaseAll()
       }
     }
 
