@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO by default spools EVERY read through a disk-cache temp file —
+  // pure overhead (create + write + delete per image, and tmp-dir
+  // contention in a long session: measured 2-3× per-image decode cost
+  // late in a full bench run) for byte-array payloads that are already in
+  // memory. JVM-global and safe to disable: the memory variant is an
+  // in-heap buffer, and every decode here reads a ByteArrayInputStream.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(id: Long, payload: Array[Byte], mimeType: String)
   final case class MediaFeatures(
       id: Long, mimeType: String, nBytes: Long,
