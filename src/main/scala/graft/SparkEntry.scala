@@ -10370,7 +10370,92 @@ object SparkEntry {
       LEFT JOIN hf ON hf.q_id = q.vec_id
       LEFT JOIN hr ON hr.q_id = q.vec_id
       CROSS JOIN drift d
-      ORDER BY q_id"""))
+      ORDER BY q_id""")),
+
+    // Fill-in-the-middle (PSM) training-data transform (Bavarian et al.
+    // 2022) — the op that teaches a causal LM to infill: half the docs
+    // (doc_id even — the paper's FIM rate) re-emit their id sequence as
+    // [PRE] prefix [SUF] suffix [MID] middle, split at the exact integer
+    // points (n·37) div 100 and (n·75) div 100, with sentinels allocated
+    // immediately after the vocabulary; odd docs pass through. Pure
+    // per-row array surgery over q234's id pipeline — no shuffle, no
+    // state — and the oracle recomputes every output position from the
+    // layout arithmetic (prefix keeps its index, suffix shifts behind
+    // [SUF], the middle lands at the tail behind [MID]).
+    ("q250_fim_transform", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = merges8(s, dir)
+      val v = vocab8Map(s, dir)
+      val base = v.values.max + 1
+      val ids = ext.Bpe.tokenIds(docs, "doc_id", "text", merges, vocab8Df(s, dir))
+      ext.Packing.fimPsm(ids, "token_ids",
+          preId = base, sufId = base + 1, midId = base + 2,
+          midStartPct = 37, midEndPct = 75,
+          transformPred = col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          posexplode(col("fim_ids")).as(Seq("pos", "token_id")))
+        .orderBy(col("doc_id"), col("pos"))
+    }, Some(s"""
+      WITH ${bpeOracleCtes(8)},
+      ${bpeTokenIdCtes},
+      seqd AS (
+        SELECT dt.doc_id, v.token_id,
+          row_number() OVER (PARTITION BY dt.doc_id ORDER BY dt.wpos, dt.tpos) AS i
+        FROM dt JOIN vocab v USING (token)),
+      nn AS (SELECT doc_id, max(i) AS n FROM seqd GROUP BY 1),
+      vsz AS (SELECT max(token_id) + 1 AS v FROM vocab),
+      fimtoks AS (
+        SELECT s.doc_id,
+          CASE WHEN s.doc_id % 2 <> 0 THEN s.i - 1
+               WHEN s.i <= (n.n*37)//100 THEN s.i
+               WHEN s.i > (n.n*75)//100
+                 THEN (n.n*37)//100 + 1 + (s.i - (n.n*75)//100)
+               ELSE n.n - (n.n*75)//100 + 2 + s.i END AS pos,
+          s.token_id
+        FROM seqd s JOIN nn n USING (doc_id)),
+      sent AS (
+        SELECT n.doc_id,
+          CASE k.k WHEN 0 THEN 0
+                   WHEN 1 THEN (n.n*37)//100 + 1
+                   ELSE (n.n*37)//100 + (n.n - (n.n*75)//100) + 2 END AS pos,
+          CAST(z.v + k.k AS INT) AS token_id
+        FROM nn n CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k CROSS JOIN vsz z
+        WHERE n.doc_id % 2 = 0)
+      SELECT doc_id, CAST(pos AS INT) AS pos, token_id
+      FROM (SELECT * FROM fimtoks UNION ALL SELECT * FROM sent)
+      ORDER BY doc_id, pos""")),
+
+    // SFT prompt loss-masking THROUGH packing: the first 30% of each doc's
+    // tokens (the prompt) mask to 0 — excluded from the loss — by exact
+    // integer cross-multiplication, the mask fuses onto the id array as a
+    // struct payload, and packTokens lays out (token_id, mask) with the
+    // SAME offsets arithmetic as the ids (one pass, no second packer, no
+    // join). The oracle recomputes the in-doc index, the mask boundary,
+    // and the packed (example, pos) address for every token.
+    ("q251_packed_loss_mask", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val ids = ext.Bpe.tokenIds(docs, "doc_id", "text", merges8(s, dir),
+        vocab8Df(s, dir))
+      val masked = ext.Packing.promptMasked(ids, "token_ids", promptPct = 30)
+      ext.Packing.packTokens(masked, "doc_id", "masked", exampleTokens = 2048L)
+        .select(col("example_id"), col("pos"), col("doc_id"),
+          col("token_id").getField("token_id").as("token_id"),
+          col("token_id").getField("mask").as("loss_mask"))
+        .orderBy(col("example_id"), col("pos"))
+    }, Some(s"""
+      WITH ${bpeOracleCtes(8)},
+      ${bpeTokenIdCtes},
+      seqd AS (
+        SELECT dt.doc_id, v.token_id,
+          row_number() OVER (PARTITION BY dt.doc_id ORDER BY dt.wpos, dt.tpos) AS i,
+          row_number() OVER (ORDER BY dt.doc_id, dt.wpos, dt.tpos) - 1 AS g
+        FROM dt JOIN vocab v USING (token)),
+      nn AS (SELECT doc_id, max(i) AS n FROM seqd GROUP BY 1)
+      SELECT CAST(s.g // 2048 AS BIGINT) AS example_id,
+        CAST(s.g % 2048 AS BIGINT) AS pos, s.doc_id, s.token_id,
+        CASE WHEN (s.i - 1) * 100 < n.n * 30 THEN 0 ELSE 1 END AS loss_mask
+      FROM seqd s JOIN nn n USING (doc_id)
+      ORDER BY example_id, pos"""))
   )
 
   // ------------------------------------------------------- driver contract

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.GlobalCumsum
@@ -146,6 +146,66 @@ object Packing {
       .select(col("example_id"),
         size(col("token_ids")).cast("long").as("n_tokens"),
         col("token_ids"), col("doc_starts"), col("doc_ids"))
+
+  /** Fill-in-the-middle transform in PSM order (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle") — the
+    * data-side op that teaches a causal LM to infill: a document's id
+    * sequence splits at exact integer points `p1 = (n·midStartPct) div
+    * 100`, `p2 = (n·midEndPct) div 100` and re-emits as
+    * `[PRE] prefix [SUF] suffix [MID] middle`, so the middle is predicted
+    * LAST with both sides visible. Sentinels are caller-allocated ids
+    * (immediately after the vocab, the byte-fallback discipline). Docs
+    * failing `transformPred` pass through unchanged — the paper applies
+    * FIM at a rate, not universally. Pure per-row projection: no shuffle,
+    * no state, streaming-legal; downstream packing treats the result like
+    * any id array.
+    * @return df with `fim_ids` (array<int>) replacing nothing — original
+    *         columns kept */
+  def fimPsm(df: DataFrame, idsCol: String,
+      preId: Int, sufId: Int, midId: Int,
+      midStartPct: Int, midEndPct: Int,
+      transformPred: Column): DataFrame = {
+    require(0 <= midStartPct && midStartPct <= midEndPct && midEndPct <= 100,
+      s"need 0 <= midStartPct <= midEndPct <= 100, got $midStartPct/$midEndPct")
+    df.withColumn("__n", size(col(idsCol)))
+      .withColumn("__p1", expr(s"(__n * $midStartPct) div 100"))
+      .withColumn("__p2", expr(s"(__n * $midEndPct) div 100"))
+      .withColumn("fim_ids", when(transformPred,
+        concat(
+          array(lit(preId)),
+          slice(col(idsCol), lit(1), col("__p1")),
+          array(lit(sufId)),
+          slice(col(idsCol), col("__p2") + 1, col("__n") - col("__p2")),
+          array(lit(midId)),
+          slice(col(idsCol), col("__p1") + 1, col("__p2") - col("__p1"))))
+        .otherwise(col(idsCol)))
+      .drop("__n", "__p1", "__p2")
+  }
+
+  /** Per-token SFT loss mask fused onto the id array: the first
+    * `promptPct` percent of each doc's tokens (the "prompt") get mask 0 —
+    * excluded from the loss — and the rest mask 1, by exact integer
+    * cross-multiplication `i·100 < n·promptPct` (0-based i), so the
+    * boundary is engine-exact. Emits `masked` as array<struct<token_id,
+    * mask>>, which [[packTokens]] lays out like any payload — the mask
+    * rides the same packing arithmetic as the ids (one transform, no
+    * second pass, no join). Per-row projection; the size is materialized
+    * once (never recomputed per element). */
+  def promptMasked(df: DataFrame, idsCol: String, promptPct: Int): DataFrame = {
+    require(0 <= promptPct && promptPct <= 100,
+      s"promptPct must be in [0, 100], got $promptPct")
+    df.withColumn("__n", size(col(idsCol)))
+      // empty-doc guard: sequence(0, -1) would DESCEND and zip_with would
+      // null-pad — an empty ids array must mask to an empty array
+      .withColumn("masked", when(col("__n") > 0, zip_with(
+        col(idsCol),
+        sequence(lit(0), col("__n") - 1),
+        (id, i) => struct(id.as("token_id"),
+          when(i * 100 < col("__n") * promptPct, lit(0)).otherwise(lit(1))
+            .as("mask"))))
+        .otherwise(expr("CAST(array() AS array<struct<token_id:int,mask:int>>)")))
+      .drop("__n")
+  }
 
   /** Padded-batch manifest — the SFT-style packing discipline where
     * documents stay ATOMIC (no concatenate-then-chunk: each example is one

@@ -212,6 +212,58 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("fimPsm: PSM layout law, multiset preservation, passthrough, split edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (2L, (1 to 10).toSeq), // transformed: p1=3, p2=7 at 37/75 pct
+      (3L, (11 to 14).toSeq), // passthrough (odd id)
+      (4L, Seq(99)), // n=1: p1=0, p2=0 — empty prefix AND middle
+      (6L, (21 to 24).toSeq)) // n=4: p1=1, p2=3
+      .toDF("doc_id", "ids")
+    val out = graft.ext.Packing.fimPsm(docs, "ids",
+        preId = 1000, sufId = 1001, midId = 1002,
+        midStartPct = 37, midEndPct = 75,
+        transformPred = col("doc_id") % 2 === 0)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](r.fieldIndex("fim_ids")).toVector)
+      .toMap
+    graft.util.Caches.releaseAll()
+    def psm(ids: Vector[Int]): Vector[Int] = {
+      val n = ids.size; val p1 = n * 37 / 100; val p2 = n * 75 / 100
+      Vector(1000) ++ ids.take(p1) ++ Vector(1001) ++ ids.drop(p2) ++
+        Vector(1002) ++ ids.slice(p1, p2)
+    }
+    out(2L) shouldBe psm((1 to 10).toVector)
+    out(3L) shouldBe (11 to 14).toVector // passthrough untouched
+    out(4L) shouldBe psm(Vector(99))
+    out(6L) shouldBe psm((21 to 24).toVector)
+    // a transform never loses or duplicates a token — it adds 3 sentinels
+    out(2L).filterNot(Set(1000, 1001, 1002)).sorted shouldBe (1 to 10).toVector
+    out(2L).size shouldBe 13
+  }
+
+  test("promptMasked: exact integer mask boundary; edges pct=0/100; empty doc") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 10).toSeq), (2L, Seq.empty[Int]))
+      .toDF("doc_id", "ids")
+    def masks(pct: Int): Map[Long, Vector[(Int, Int)]] =
+      graft.ext.Packing.promptMasked(docs, "ids", pct)
+        .orderBy("doc_id").collect()
+        .map { r =>
+          r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("masked"))
+            .map(x => (x.getInt(0), x.getInt(1))).toVector
+        }.toMap
+    val m30 = masks(30)
+    // i·100 < n·30 with n=10: i = 0, 1, 2 masked out
+    m30(1L).map(_._2) shouldBe Vector(0, 0, 0, 1, 1, 1, 1, 1, 1, 1)
+    m30(1L).map(_._1) shouldBe (1 to 10).toVector
+    m30(2L) shouldBe Vector.empty // empty doc → empty mask, never null-padded
+    masks(0)(1L).map(_._2) shouldBe Vector.fill(10)(1) // no prompt
+    masks(100)(1L).map(_._2) shouldBe Vector.fill(10)(0) // all prompt
+    graft.util.Caches.releaseAll()
+  }
+
   test("paddedBatchManifest == in-JVM sorted batching; waste arithmetic exact") {
     import spark.implicits._
     val docs = (1L to 130L).map(i => (i, (i * 29 % 97) + 1)).toDF("doc_id", "n_tokens")
