@@ -10300,7 +10300,11 @@ object SparkEntry {
         centNew, cbNew, "vec_id", "cid", "embedding", k = 10, m = 4, subDim = 16,
         nprobe = 4)
       // 4. exact L2 ground truth over the current corpus (bounded: 8 queries)
-      val exact = queries.select(col("vec_id").as("q_id"), col("embedding").as("__qv"))
+      // queries side pinned broadcast: the product stays linear in the
+      // corpus (the bounded-evaluation-slice discipline every recall audit
+      // here uses)
+      val exact = broadcast(
+          queries.select(col("vec_id").as("q_id"), col("embedding").as("__qv")))
         .crossJoin(cur.select(col("vec_id").as("n_id"), col("embedding").as("__nv")))
         .where(col("n_id") =!= col("q_id"))
         .withColumn("__d", aggregate(
