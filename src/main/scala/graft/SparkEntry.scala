@@ -259,9 +259,10 @@ object SparkEntry {
     * oracle (the q237 chain, parameterized): centroids stride-picked from
     * `centSrc` (a CTE over (vec_id, vec)), the WHOLE current corpus `cur`
     * assigned/encoded against them, residual codebooks stride-trained on
-    * the rows matching `cbPred`, queries vec_id < 8 probed at nprobe=2,
-    * ADC-scored, top-5 ranked. Emits CTEs prefixed `tag`; `subs` and `cur`
-    * are shared and defined by the caller. */
+    * the rows matching `cbPred`, queries vec_id < 8 probed at `nprobe`
+    * lists (default 4, the q249 setting), ADC-scored, top-`k` ranked
+    * (default 10). Emits CTEs prefixed `tag`; `subs` and `cur` are shared
+    * and defined by the caller. */
   private def residualServeCtes(tag: String, centSrc: String, cbPred: String,
       stride: Int = 5, nprobe: Int = 4, k: Int = 10): String = s"""
       ${tag}cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM $centSrc WHERE vec_id % 100 = 0),

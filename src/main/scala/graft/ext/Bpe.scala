@@ -470,6 +470,26 @@ object Bpe {
   }
 
   private def rankMap(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    // the equivalence contract ("a pair referencing a merge OUTPUT outranks
+    // the merge that created it") is well-defined only when merge outputs
+    // are DISTINCT strings: with two merges producing the same output — e.g.
+    // ("a","bc")→"abc" and ("ab","c")→"abc" — a pair ranked between the two
+    // creators could re-merge in the rank loop where the once-per-merge
+    // expression chain would not. Such tables are rejected loudly rather
+    // than silently diverging from the law-tested expression form.
+    // (a literally repeated PAIR stays legal — it is a no-op under
+    // putIfAbsent below, exactly as re-applying it is in the chain)
+    val outs = new java.util.HashMap[String, String](merges.size * 2)
+    merges.foreach { case (l, r) =>
+      val merged = l + r
+      val prev = outs.putIfAbsent(merged, rankKey(l, r))
+      if (prev != null && prev != rankKey(l, r))
+        throw new IllegalArgumentException(
+          "Bpe: rank-path tokenizer requires distinct merge outputs, but " +
+            s"'$merged' is produced by two different merges — such tables " +
+            "are only supported by the expression path " +
+            s"(<= RankPathMaxMerges = $RankPathMaxMerges merges)")
+    }
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       // first (lowest) rank wins on a duplicate pair — applying the same
@@ -632,12 +652,17 @@ object Bpe {
     val invB = base.sparkSession.sparkContext.broadcast(
       vocab.map { case (t, i) => i -> t })
     val fbBase = if (byteFallback) byteFallbackBase(vocab) else Int.MaxValue
+    // nullable like the expression form: a null ids array rebuilds to a
+    // null text (not an NPE) — parity must not flip when vocab.size
+    // crosses RankPathMaxVocab
     val outSchema = StructType(Seq(base.schema.head,
-      StructField("text_rebuilt", StringType, nullable = false)))
+      StructField("text_rebuilt", StringType, nullable = true)))
     base.mapPartitions { it =>
       val inv = invB.value
       it.map { row =>
         val ids = row.getSeq[Int](1)
+        if (ids == null) Row(row.get(0), null)
+        else {
         val sb = new java.lang.StringBuilder()
         val bytes = new java.io.ByteArrayOutputStream()
         def flushBytes(): Unit = if (bytes.size() > 0) {
@@ -659,6 +684,7 @@ object Bpe {
         var end = s.length
         while (end > 0 && s.charAt(end - 1) == ' ') end -= 1
         Row(row.get(0), s.substring(0, end))
+        }
       }
     }(Encoders.row(outSchema))
   }

@@ -29,9 +29,35 @@ object Multimodal {
   // pure overhead (create + write + delete per image, and tmp-dir
   // contention in a long session: measured 2-3× per-image decode cost
   // late in a full bench run) for byte-array payloads that are already in
-  // memory. JVM-global and safe to disable: the memory variant is an
-  // in-heap buffer, and every decode here reads a ByteArrayInputStream.
-  javax.imageio.ImageIO.setUseCache(false)
+  // memory. GLOBAL EFFECT: `setUseCache(false)` mutates the JVM-wide
+  // ImageIO default, affecting any other ImageIO user in the same JVM
+  // (their reads switch to in-heap buffers too — a performance change,
+  // not a behavior change). It is therefore NOT an object-init side
+  // effect: the lazy guard below runs exactly once, the first time one of
+  // THIS object's codec helpers actually touches ImageIO, and every
+  // ImageIO call here routes through [[imageIoRead]]/[[imageIoWritePng]]
+  // so the guard cannot be bypassed.
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** All ImageIO reads in this object go through here: forces the one-time
+    * disk-cache disable, then decodes the in-memory payload. Returns null
+    * on any undecodable payload (NonFatal, not just IOException: ImageIO
+    * plugins throw RuntimeExceptions — CMMException,
+    * IllegalArgumentException, … — on malformed-but-recognized payloads,
+    * and the contract is that a corrupt blob flags, never kills a batch). */
+  private def imageIoRead(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    imageIoNoDiskCache
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** All ImageIO writes in this object go through here (same guard). */
+  private def imageIoWritePng(img: java.awt.image.BufferedImage,
+      out: java.io.OutputStream): Unit = {
+    imageIoNoDiskCache
+    javax.imageio.ImageIO.write(img, "png", out)
+  }
 
   final case class MediaRow(id: Long, payload: Array[Byte], mimeType: String)
   final case class MediaFeatures(
@@ -158,7 +184,7 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    imageIoWritePng(img, out)
     out.toByteArray
   }
 
@@ -180,12 +206,7 @@ object Multimodal {
     * kill a 100 TB scan. Output rows carry only small features (the
     * payload is dropped before any shuffle). */
   def decodeImage(row: MediaRow): DecodedImage = {
-    val img =
-      // NonFatal, not just IOException: ImageIO plugins throw RuntimeExceptions
-      // (CMMException, IllegalArgumentException, …) on malformed-but-recognized
-      // payloads, and the contract is that a corrupt blob flags, never kills
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
-      catch { case scala.util.control.NonFatal(_) => null }
+    val img = imageIoRead(row.payload)
     if (img == null) DecodedImage(row.id, decodeOk = false, 0, 0, 0, 0L)
     else {
       val (w, h) = (img.getWidth, img.getHeight)
@@ -225,9 +246,7 @@ object Multimodal {
     * a multi-band deployment widens the inner loop, nothing else. */
   def resizeImageNearest(row: MediaRow, dw: Int, dh: Int): ResizedMedia = {
     require(dw > 0 && dh > 0, s"target geometry must be positive, got ${dw}x$dh")
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
-      catch { case scala.util.control.NonFatal(_) => null } // see decodeImage
+    val img = imageIoRead(row.payload)
     if (img == null) ResizedMedia(row.id, row.mimeType, 0, 0, Array.empty[Byte])
     else {
       val (sw, sh) = (img.getWidth, img.getHeight)
@@ -243,7 +262,7 @@ object Multimodal {
         y += 1
       }
       val bytes = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", bytes)
+      imageIoWritePng(out, bytes)
       ResizedMedia(row.id, "image/png", dw, dh, bytes.toByteArray)
     }
   }
@@ -274,9 +293,7 @@ object Multimodal {
     * Undecodable payloads flag `hashOk = false` (zero hash) instead of
     * failing the batch. Grayscale band 0 — the fixture model. */
   def averageHash(row: MediaRow): ImageHash = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
-      catch { case scala.util.control.NonFatal(_) => null } // see decodeImage
+    val img = imageIoRead(row.payload)
     if (img == null) ImageHash(row.id, hashOk = false, 0L, 0L)
     else {
       val (w, h) = (img.getWidth, img.getHeight)
@@ -488,7 +505,7 @@ object Multimodal {
         y += 1
       }
       val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
+      imageIoWritePng(img, out)
       MediaRow(s.id, out.toByteArray, "image/png")
     })
   }

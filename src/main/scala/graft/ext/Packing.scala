@@ -170,7 +170,10 @@ object Packing {
     df.withColumn("__n", size(col(idsCol)))
       .withColumn("__p1", expr(s"(__n * $midStartPct) div 100"))
       .withColumn("__p2", expr(s"(__n * $midEndPct) div 100"))
-      .withColumn("fim_ids", when(transformPred,
+      // empty-doc guard (promptMasked discipline): slicing an empty ids
+      // array would still emit the three sentinels — a sentinels-only
+      // "document" no trainer wants; token-less docs pass through unchanged
+      .withColumn("fim_ids", when(col("__n") > 0 && transformPred,
         concat(
           array(lit(preId)),
           slice(col(idsCol), lit(1), col("__p1")),

@@ -219,7 +219,8 @@ class Round8Spec extends SparkTestBase {
       (2L, (1 to 10).toSeq), // transformed: p1=3, p2=7 at 37/75 pct
       (3L, (11 to 14).toSeq), // passthrough (odd id)
       (4L, Seq(99)), // n=1: p1=0, p2=0 — empty prefix AND middle
-      (6L, (21 to 24).toSeq)) // n=4: p1=1, p2=3
+      (6L, (21 to 24).toSeq), // n=4: p1=1, p2=3
+      (8L, Seq.empty[Int])) // n=0: pred true, but empty passes through
       .toDF("doc_id", "ids")
     val out = graft.ext.Packing.fimPsm(docs, "ids",
         preId = 1000, sufId = 1001, midId = 1002,
@@ -238,6 +239,8 @@ class Round8Spec extends SparkTestBase {
     out(3L) shouldBe (11 to 14).toVector // passthrough untouched
     out(4L) shouldBe psm(Vector(99))
     out(6L) shouldBe psm((21 to 24).toVector)
+    // a token-less doc must NOT become a sentinels-only [PRE][SUF][MID]
+    out(8L) shouldBe Vector.empty
     // a transform never loses or duplicates a token — it adds 3 sentinels
     out(2L).filterNot(Set(1000, 1001, 1002)).sorted shouldBe (1 to 10).toVector
     out(2L).size shouldBe 13

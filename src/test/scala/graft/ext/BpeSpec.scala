@@ -526,6 +526,40 @@ class BpeSpec extends SparkTestBase {
       include("unknown token id")
   }
 
+  test("rank path rejects duplicate merge OUTPUTS, tolerates repeated pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc ab")).toDF("doc_id", "text")
+    // ("a","bc") and ("ab","c") both output "abc": a pair ranked between
+    // the two creators could re-merge in the rank loop where the
+    // once-per-merge expression chain would not — must fail LOUDLY
+    val dup = Seq(("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c"))
+    val e = intercept[Exception] {
+      Bpe.tokenizeRowwiseTyped(docs, "doc_id", "text", dup).collect()
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n") should
+      include("distinct merge outputs")
+    // a literally REPEATED pair stays legal (no-op, first rank wins)
+    val rep = Seq(("a", "b"), ("a", "b"))
+    val out = Bpe.tokenizeRowwiseTyped(docs, "doc_id", "text", rep)
+      .orderBy("doc_id").collect()
+    graft.util.Caches.releaseAll()
+    out.length shouldBe 1
+    out(0).getLong(1) shouldBe 2L // two words
+  }
+
+  test("detokenizeTyped: null ids array rebuilds to null, like the expression form") {
+    import spark.implicits._
+    val vocab = Map("a" -> 0, ">" -> 1)
+    val df = Seq((1L, Some(Seq(0, 1))), (2L, Option.empty[Seq[Int]]))
+      .toDF("doc_id", "token_ids")
+    val back = Bpe.detokenizeTyped(df, "doc_id", "token_ids", vocab)
+      .orderBy("doc_id").collect()
+    graft.util.Caches.releaseAll()
+    back(0).getString(1) shouldBe "a"
+    back(1).isNullAt(1) shouldBe true
+  }
+
   test("vocab routes typed above the merge threshold and stays identical") {
     // same corpus, same merges — once under the expression path, once with
     // the table padded past the threshold by inert merges (pairs that can
