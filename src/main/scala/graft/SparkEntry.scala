@@ -363,6 +363,79 @@ object SparkEntry {
   // ------------------------------------------------------------- the catalog
 
   /** (name, spark impl, duckdb oracle SQL — None ⇒ rows-only check). */
+
+  /** The full residual-IVFADC serve replay — assignment, residual
+    * codebooks (stride 50), codes, nprobe=2 probes, per-(query, probe)
+    * LUTs, ADC, top-3 — over the WHOLE embeddings corpus with queries
+    * vec_id < 8 at m=4×16. Shared VERBATIM by every gate whose serving
+    * path must reproduce the same answers: q212 (one-shot build+serve),
+    * q237 (persisted store + frozen-model increment) and q252 (streaming
+    * serve of the persisted artifact).
+    */
+  private val ivfAdcFullOracle: String = """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM v WHERE vec_id % 100 = 0),
+      ldist AS (
+        SELECT a.vec_id AS n_id, c.lcid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
+            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
+        FROM v a CROSS JOIN cent c),
+      assign AS (
+        SELECT n_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ldist) WHERE rn = 1),
+      resid AS (
+        SELECT a.n_id, a.lcid,
+          list_transform(range(1, least(len(x.vec), len(c.l_vec)) + 1),
+            i -> x.vec[i] - c.l_vec[i]) AS rv
+        FROM assign a JOIN v x ON x.vec_id = a.n_id JOIN cent c ON c.lcid = a.lcid),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      cb AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY n_id) - 1 AS BIGINT) AS cid,
+          rv[sub*16 + 1 : sub*16 + 16] AS c_vec
+        FROM resid CROSS JOIN subs WHERE n_id % 50 = 0),
+      cd AS (
+        SELECT r.n_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS d2
+        FROM resid r CROSS JOIN cb b),
+      codes AS (
+        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
+          SELECT n_id, sub, cid,
+            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
+          FROM cd) WHERE rn = 1 GROUP BY n_id),
+      probes AS (
+        SELECT n_id AS q_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ldist WHERE n_id < 8) WHERE rn <= 2),
+      qres AS (
+        SELECT p.q_id, p.lcid,
+          list_transform(range(1, least(len(q.vec), len(c.l_vec)) + 1),
+            i -> q.vec[i] - c.l_vec[i]) AS rv
+        FROM probes p JOIN v q ON q.vec_id = p.q_id JOIN cent c ON c.lcid = p.lcid),
+      ld AS (
+        SELECT r.q_id, r.lcid, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS pd
+        FROM qres r CROSS JOIN cb b),
+      lut1 AS (SELECT q_id, lcid, sub, list(pd ORDER BY cid) AS lrow
+               FROM ld GROUP BY q_id, lcid, sub),
+      lut AS (SELECT q_id, lcid, list(lrow ORDER BY sub) AS lut
+              FROM lut1 GROUP BY q_id, lcid),
+      scored AS (
+        SELECT l.q_id, a.n_id,
+          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
+        FROM lut l
+        JOIN assign a ON a.lcid = l.lcid
+        JOIN codes x ON x.n_id = a.n_id
+        WHERE a.n_id <> l.q_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank"""
+
   private lazy val catalog: Seq[(String, Q, Option[String])] = Seq(
 
     // ================================================================
@@ -8346,69 +8419,7 @@ object SparkEntry {
         "vec_id", "vec_id", "cid", "embedding",
         k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
-    }, Some("""
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM v WHERE vec_id % 100 = 0),
-      ldist AS (
-        SELECT a.vec_id AS n_id, c.lcid,
-          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
-            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
-        FROM v a CROSS JOIN cent c),
-      assign AS (
-        SELECT n_id, lcid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
-          FROM ldist) WHERE rn = 1),
-      resid AS (
-        SELECT a.n_id, a.lcid,
-          list_transform(range(1, least(len(x.vec), len(c.l_vec)) + 1),
-            i -> x.vec[i] - c.l_vec[i]) AS rv
-        FROM assign a JOIN v x ON x.vec_id = a.n_id JOIN cent c ON c.lcid = a.lcid),
-      subs AS (SELECT unnest(range(0, 4)) AS sub),
-      cb AS (
-        SELECT sub,
-          CAST(row_number() OVER (PARTITION BY sub ORDER BY n_id) - 1 AS BIGINT) AS cid,
-          rv[sub*16 + 1 : sub*16 + 16] AS c_vec
-        FROM resid CROSS JOIN subs WHERE n_id % 50 = 0),
-      cd AS (
-        SELECT r.n_id, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS d2
-        FROM resid r CROSS JOIN cb b),
-      codes AS (
-        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
-          SELECT n_id, sub, cid,
-            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
-          FROM cd) WHERE rn = 1 GROUP BY n_id),
-      probes AS (
-        SELECT n_id AS q_id, lcid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
-          FROM ldist WHERE n_id < 8) WHERE rn <= 2),
-      qres AS (
-        SELECT p.q_id, p.lcid,
-          list_transform(range(1, least(len(q.vec), len(c.l_vec)) + 1),
-            i -> q.vec[i] - c.l_vec[i]) AS rv
-        FROM probes p JOIN v q ON q.vec_id = p.q_id JOIN cent c ON c.lcid = p.lcid),
-      ld AS (
-        SELECT r.q_id, r.lcid, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS pd
-        FROM qres r CROSS JOIN cb b),
-      lut1 AS (SELECT q_id, lcid, sub, list(pd ORDER BY cid) AS lrow
-               FROM ld GROUP BY q_id, lcid, sub),
-      lut AS (SELECT q_id, lcid, list(lrow ORDER BY sub) AS lut
-              FROM lut1 GROUP BY q_id, lcid),
-      scored AS (
-        SELECT l.q_id, a.n_id,
-          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
-        FROM lut l
-        JOIN assign a ON a.lcid = l.lcid
-        JOIN codes x ON x.n_id = a.n_id
-        WHERE a.n_id <> l.q_id),
-      ranked AS (
-        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
-        FROM scored)
-      SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
-      ORDER BY q_id, rank""")),
+    }, Some(ivfAdcFullOracle)),
 
     // Residual-vs-no-residual audit (q164's methodology, head to head at
     // EQUAL nprobe/m/subDim/k): exact L2 top-3 over 16 queries is ground
@@ -9637,69 +9648,7 @@ object SparkEntry {
         stored.unionByName(incr), cent, cb, "vec_id", "cid", "embedding",
         k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
-    }, Some("""
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM v WHERE vec_id % 100 = 0),
-      ldist AS (
-        SELECT a.vec_id AS n_id, c.lcid,
-          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
-            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
-        FROM v a CROSS JOIN cent c),
-      assign AS (
-        SELECT n_id, lcid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
-          FROM ldist) WHERE rn = 1),
-      resid AS (
-        SELECT a.n_id, a.lcid,
-          list_transform(range(1, least(len(x.vec), len(c.l_vec)) + 1),
-            i -> x.vec[i] - c.l_vec[i]) AS rv
-        FROM assign a JOIN v x ON x.vec_id = a.n_id JOIN cent c ON c.lcid = a.lcid),
-      subs AS (SELECT unnest(range(0, 4)) AS sub),
-      cb AS (
-        SELECT sub,
-          CAST(row_number() OVER (PARTITION BY sub ORDER BY n_id) - 1 AS BIGINT) AS cid,
-          rv[sub*16 + 1 : sub*16 + 16] AS c_vec
-        FROM resid CROSS JOIN subs WHERE n_id % 50 = 0),
-      cd AS (
-        SELECT r.n_id, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS d2
-        FROM resid r CROSS JOIN cb b),
-      codes AS (
-        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
-          SELECT n_id, sub, cid,
-            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
-          FROM cd) WHERE rn = 1 GROUP BY n_id),
-      probes AS (
-        SELECT n_id AS q_id, lcid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
-          FROM ldist WHERE n_id < 8) WHERE rn <= 2),
-      qres AS (
-        SELECT p.q_id, p.lcid,
-          list_transform(range(1, least(len(q.vec), len(c.l_vec)) + 1),
-            i -> q.vec[i] - c.l_vec[i]) AS rv
-        FROM probes p JOIN v q ON q.vec_id = p.q_id JOIN cent c ON c.lcid = p.lcid),
-      ld AS (
-        SELECT r.q_id, r.lcid, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS pd
-        FROM qres r CROSS JOIN cb b),
-      lut1 AS (SELECT q_id, lcid, sub, list(pd ORDER BY cid) AS lrow
-               FROM ld GROUP BY q_id, lcid, sub),
-      lut AS (SELECT q_id, lcid, list(lrow ORDER BY sub) AS lut
-              FROM lut1 GROUP BY q_id, lcid),
-      scored AS (
-        SELECT l.q_id, a.n_id,
-          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
-        FROM lut l
-        JOIN assign a ON a.lcid = l.lcid
-        JOIN codes x ON x.n_id = a.n_id
-        WHERE a.n_id <> l.q_id),
-      ranked AS (
-        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
-        FROM scored)
-      SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
-      ORDER BY q_id, rank""")),
+    }, Some(ivfAdcFullOracle)),
 
     // STREAMING tokenize-to-ids — the serving shape of the whole tokenizer
     // family: merges AND vocabulary are trained offline and ship as
@@ -10460,7 +10409,61 @@ object SparkEntry {
         CAST(s.g % 2048 AS BIGINT) AS pos, s.doc_id, s.token_id,
         CASE WHEN (s.i - 1) * 100 < n.n * 30 THEN 0 ELSE 1 END AS loss_mask
       FROM seqd s JOIN nn n USING (doc_id)
-      ORDER BY example_id, pos"""))
+      ORDER BY example_id, pos""")),
+
+    // STREAMING ANN serving — the query side of the persisted residual-
+    // IVFADC artifact run as a SERVICE, the one serving-shaped loop the
+    // vector store was missing (token ids have q238, k-means assignment
+    // q231, dedup buckets q188, count-min q211): centroids + residual
+    // codebooks + full-corpus index are built once and PERSISTED (q237's
+    // artifact discipline), then a STREAM of query vectors is answered
+    // micro-batch by micro-batch through Similarity.serveIndexStream —
+    // ivfPqResidualStoredTopK VERBATIM per batch against the loaded,
+    // cache-pinned index (stateless by construction: a query is answered
+    // completely in its arrival batch, so the union over ANY micro-batch
+    // split equals the one-shot serve — law-tested in SimilaritySpec).
+    // maxFilesPerTrigger=1 forces 4 REAL micro-batches, so the gate
+    // replays the split law against q212's oracle VERBATIM, not a
+    // degenerate 1-batch pass. VERIFICATION-HARNESS BOUNDARY (q19/q238
+    // convention): each batch's answers append to a per-run temp parquet
+    // sink — the production sink shape — read back only for the gate.
+    ("q252_stream_ann_serve", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q252_ivfpq_store", dir) { p =>
+        val cent = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cbRes = Similarity.pqCodebookByStride(
+          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+          "vec_id", "res", m = 4, subDim = 16, stride = 50)
+        cent.write.mode("overwrite").parquet(s"$p/centroids")
+        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
+        Similarity.residualIndex(emb, cent, cbRes,
+            "vec_id", "cid", "embedding", m = 4, subDim = 16)
+          .write.mode("overwrite").parquet(s"$p/index")
+        // the query stream: 8 probe vectors split across 4 files so
+        // AvailableNow + maxFilesPerTrigger=1 yields 4 micro-batches
+        emb.where(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+          .repartition(4).write.mode("overwrite").parquet(s"$p/queries")
+      }
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      val stored = graft.util.Caches.register(s.read.parquet(s"$tmp/index")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      stored.count() // pin BEFORE serving: every micro-batch re-consumes it
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_q252_serve").toString
+      val stream = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/queries")
+      val q = Similarity.serveIndexStream(stream, stored, cent, cb,
+          "vec_id", "cid", "embedding", k = 3, m = 4, subDim = 16,
+          nprobe = 2) { (answers, _) =>
+          answers.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy(col("q_id"), col("rank"))
+    }, Some(ivfAdcFullOracle))
   )
 
   // ------------------------------------------------------- driver contract

@@ -816,6 +816,41 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), (-col("sim")).as("adist"))
   }
 
+  /** STREAMING serving of a persisted residual-IVFADC index — the query
+    * side of the [[residualIndex]] artifact as a long-running service: a
+    * STREAM of query vectors is answered micro-batch by micro-batch
+    * against the STATIC (loaded, ideally cached) index, each batch through
+    * [[ivfPqResidualStoredTopK]] verbatim — same probes, same
+    * per-(query, probe) residual LUTs, same ADC scoring, same bounded
+    * top-k. `foreachBatch` is the right seam (not a streaming plan): the
+    * serve involves per-query windows and LUT aggregations that append
+    * mode cannot express, and — unlike an aggregation — it NEEDS no
+    * cross-batch state: a query is answered completely in the micro-batch
+    * it arrives in, so the serving is STATELESS by construction and the
+    * union of per-batch answers equals the one-shot batch serve for ANY
+    * micro-batch split of the query set (law-tested in SimilaritySpec).
+    *
+    * Scale shape per micro-batch: |batch|·nprobe probe rows + their LUTs
+    * broadcast against the list-keyed index (only probed lists pay), a
+    * bounded top-k reduction of O(|batch|·k) rows out. The index frame is
+    * the per-batch constant — persist it once at service start, or the
+    * every-trigger re-scan is the bill.
+    *
+    * Returns the un-started writer so the caller owns trigger, checkpoint
+    * and start — `sink` receives each batch's (answers, batchId). */
+  def serveIndexStream(
+      queryStream: DataFrame, index: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, qIdCol: String, cidCol: String, vecCol: String,
+      k: Int, m: Int, subDim: Int, nprobe: Int = 2)(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(ivfPqResidualStoredTopK(batch, index, centroids, codebooks,
+          qIdCol, cidCol, vecCol, k, m, subDim, nprobe), batchId)
+      }
+
   /** Coarse-assignment residuals: each vector's displacement from its
     * nearest centroid (argmin L2, ties to the lowest cid) — the frame
     * residual PQ codebooks train on and [[ivfPqResidualTopK]] encodes.

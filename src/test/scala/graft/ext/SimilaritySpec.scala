@@ -535,4 +535,39 @@ class SimilaritySpec extends SparkTestBase {
       .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     inf shouldBe out
   }
+
+  test("serveIndexStream: union over any micro-batch split equals the one-shot batch serve") {
+    import org.apache.spark.sql.streaming.Trigger
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, Array.tabulate(4)(j => ((i * 17 + j * 11) % 15 - 7).toFloat))).toDF("id", "v")
+    val cents = Seq(
+      (0L, Array(3.0f, 3.0f, 3.0f, 3.0f)),
+      (1L, Array(-3.0f, -3.0f, -3.0f, -3.0f))).toDF("cid", "v")
+    val cb = Similarity.pqCodebookByStride(
+      Similarity.residuals(corpus, cents, "id", "cid", "v"),
+      "id", "res", m = 2, subDim = 2, stride = 7)
+    val index = Similarity.residualIndex(corpus, cents, cb,
+      "id", "cid", "v", m = 2, subDim = 2).localCheckpoint(true)
+    val qs = corpus.where(col("id") <= 6)
+    val expected = Similarity.ivfPqResidualStoredTopK(qs, index, cents, cb,
+      "id", "cid", "v", k = 3, m = 2, subDim = 2, nprobe = 2).collect().toSet
+    // split the same queries across 3 files → 3 micro-batches
+    val tmp = java.nio.file.Files.createTempDirectory("graft_serve_law")
+    qs.repartition(3).write.mode("overwrite").parquet(s"$tmp/queries")
+    val got = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = spark.readStream.schema("id LONG, v ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/queries")
+    val q = Similarity.serveIndexStream(stream, index, cents, cb,
+        "id", "cid", "v", k = 3, m = 2, subDim = 2, nprobe = 2) { (ans, _) =>
+        val rows = ans.collect() // verification-harness boundary
+        got.synchronized { got ++= rows }
+        nBatches.incrementAndGet()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    nBatches.get() should be >= 2 // a real split, not a 1-batch pass
+    got.toSet shouldBe expected
+    got.size shouldBe expected.size // no duplicate answers across batches
+  }
 }
