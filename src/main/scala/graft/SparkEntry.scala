@@ -364,6 +364,44 @@ object SparkEntry {
 
   /** (name, spark impl, duckdb oracle SQL — None ⇒ rows-only check). */
 
+  /** FFD bin-packing replay CTEs (q253/q254): whitespace-token doc lengths
+    * (q243's length source), the exact (length desc, id asc) rank, groups
+    * of `groupDocs` consecutive ranks, and a recursive CTE that advances
+    * all groups in lockstep — iteration r places each group's rank-r doc
+    * into the first bin with room (state = per-group bin-load list), the
+    * exact first-fit-decreasing fold `Packing.ffdPack` runs per group.
+    * Callers must open with WITH RECURSIVE. Exposes `g` (doc_id, n, grp,
+    * rnk) and `fin` (grp, bins — 1-based bin index per rank). */
+  private def ffdOracleCtes(budget: Int, groupDocs: Int): String = s"""
+      d AS (
+        SELECT doc_id, len(list_filter(string_split(text,' '), w -> w <> ''))::BIGINT AS n
+        FROM documents WHERE text IS NOT NULL),
+      r AS (
+        SELECT doc_id, n, row_number() OVER (ORDER BY n DESC, doc_id) AS rn
+        FROM d WHERE n > 0),
+      g AS (
+        SELECT doc_id, n, CAST((rn-1)//$groupDocs AS BIGINT) AS grp,
+               CAST((rn-1)%$groupDocs AS BIGINT) AS rnk FROM r),
+      ffd(grp, step, loads, bins) AS (
+        SELECT grp, CAST(-1 AS BIGINT), CAST([] AS BIGINT[]), CAST([] AS INT[])
+        FROM (SELECT DISTINCT grp FROM g)
+        UNION ALL
+        SELECT grp, step,
+          CASE WHEN fit IS NULL THEN list_append(loads, n)
+               ELSE list_transform(range(1, len(loads)+1),
+                      i -> CASE WHEN i = fit THEN loads[i] + n ELSE loads[i] END)
+          END AS loads,
+          list_append(bins, CAST(coalesce(fit, len(loads)+1) AS INT)) AS bins
+        FROM (
+          SELECT f.grp, f.step + 1 AS step, f.loads, f.bins, x.n,
+            list_filter(range(1, len(f.loads)+1),
+              i -> f.loads[i] + x.n <= $budget)[1] AS fit
+          FROM ffd f JOIN g x ON x.grp = f.grp AND x.rnk = f.step + 1)),
+      fin AS (
+        SELECT grp, bins FROM (
+          SELECT grp, bins, row_number() OVER (PARTITION BY grp ORDER BY step DESC) AS rr
+          FROM ffd) WHERE rr = 1)"""
+
   /** The full residual-IVFADC serve replay — assignment, residual
     * codebooks (stride 50), codes, nprobe=2 probes, per-(query, probe)
     * LUTs, ADC, top-3 — over the WHOLE embeddings corpus with queries
@@ -10463,7 +10501,95 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.read.parquet(outDir).orderBy(col("q_id"), col("rank"))
-    }, Some(ivfAdcFullOracle))
+    }, Some(ivfAdcFullOracle)),
+
+    // First-fit-decreasing bin packing — the THIRD packing discipline next
+    // to concat-chunk (q235: docs split, no padding) and padded batches
+    // (q243: docs atomic, one per row): docs atomic AND multi-doc bins of
+    // a fixed budget. Deterministic FFD order (length desc, id asc — the
+    // exact GlobalCumsum rank) with groups of 256 consecutive ranks packing
+    // INDEPENDENTLY — the bounded sequential horizon that makes first-fit
+    // (inherently order-dependent) distributable: every group is an
+    // isolated ≤256-doc problem, all groups in parallel. The oracle replays
+    // the identical fold as a recursive CTE advancing all groups in
+    // lockstep, one rank per iteration, state = per-group bin loads —
+    // assignment replayed row-exact, not just waste totals.
+    ("q253_ffd_packing", (s, dir) => {
+      val docs = T(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(filter(TextAnalysis.words(col("text")), w => w =!= ""))
+            .cast("long").as("n"))
+        .where(col("n") > 0)
+      ext.Packing.ffdPack(docs, "doc_id", "n", budget = 256L, groupDocs = 256)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE ${ffdOracleCtes(256, 256)}
+      SELECT x.doc_id, x.n AS n_tokens, x.grp,
+        fin.bins[CAST(x.rnk AS INT) + 1] - 1 AS bin
+      FROM g x JOIN fin USING (grp)
+      ORDER BY doc_id""")),
+
+    // The packing WASTE LEDGER — four disciplines costed over the SAME
+    // docs in one report, the number a pipeline owner decides with: slots
+    // allocated vs payload used, waste = slots − payload, plus the
+    // split-doc count that is concat-chunk's (non-waste) price. The
+    // honest comparison is WITHIN the fixed-width rows (what a fixed
+    // context length can consume): concat_chunk < ffd < padded_fixed,
+    // with ffd ≤ padded_fixed GUARANTEED (FFD never opens more bins than
+    // docs — law-tested) — that pair is the packer's before/after.
+    // padded_batches (length-sorted, padded to each batch's own max) posts
+    // the smallest pad mass but VARIABLE-width examples — spendable only
+    // by a trainer that accepts per-batch sequence lengths; the ledger
+    // prints it with exactly that caveat. All counts integral, the one
+    // ratio divides last (FP-determinism discipline).
+    ("q254_packing_waste_ledger", (s, dir) => {
+      val docs = T(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(filter(TextAnalysis.words(col("text")), w => w =!= ""))
+            .cast("long").as("n"))
+      ext.Packing.packingWasteLedger(docs, "doc_id", "n",
+          exampleTokens = 256L, batchDocs = 32, groupDocs = 256)
+        .orderBy(col("discipline"))
+    }, Some(s"""
+      WITH RECURSIVE ${ffdOracleCtes(256, 256)},
+      tot AS (SELECT sum(n)::BIGINT AS payload, count(*)::BIGINT AS nd FROM g),
+      co AS (
+        SELECT doc_id, n,
+          coalesce(sum(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM g),
+      cosplit AS (
+        SELECT count(*) FILTER (cb // 256 <> (cb + n - 1) // 256)::BIGINT AS ds
+        FROM co),
+      pr AS (
+        SELECT doc_id, n, row_number() OVER (ORDER BY n, doc_id) AS rn FROM g),
+      pb AS (
+        SELECT (rn-1)//32 AS batch_id, count(*)::BIGINT AS k,
+               max(n)::BIGINT AS mx, sum(n)::BIGINT AS bt
+        FROM pr GROUP BY 1),
+      fb AS (SELECT sum(list_max(bins))::BIGINT AS nbins FROM fin),
+      led AS (
+        SELECT 'concat_chunk' AS discipline,
+          (t.payload + 255) // 256 AS n_examples,
+          ((t.payload + 255) // 256) * 256 AS slot_tokens,
+          t.payload AS payload_tokens, s.ds AS docs_split
+        FROM tot t CROSS JOIN cosplit s
+        UNION ALL
+        SELECT 'padded_batches', count(*)::BIGINT, sum(k * mx)::BIGINT,
+          sum(bt)::BIGINT, 0 FROM pb
+        UNION ALL
+        SELECT 'padded_fixed', t.nd, t.nd * 256, t.payload, 0 FROM tot t
+        UNION ALL
+        SELECT 'ffd', f.nbins, f.nbins * 256, t.payload, 0
+        FROM fb f CROSS JOIN tot t)
+      SELECT discipline, CAST(n_examples AS BIGINT) AS n_examples,
+        CAST(slot_tokens AS BIGINT) AS slot_tokens,
+        CAST(payload_tokens AS BIGINT) AS payload_tokens,
+        CAST(docs_split AS BIGINT) AS docs_split,
+        CAST(slot_tokens - payload_tokens AS BIGINT) AS waste_tokens,
+        CAST(slot_tokens - payload_tokens AS DOUBLE) /
+          CAST(slot_tokens AS DOUBLE) AS waste_pct
+      FROM led ORDER BY discipline"""))
   )
 
   // ------------------------------------------------------- driver contract

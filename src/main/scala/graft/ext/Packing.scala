@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 import graft.analytics.GlobalCumsum
 
@@ -240,6 +241,159 @@ object Packing {
         sum(col(tokensCol)).cast("long").as("total_tokens"))
       .withColumn("padding_waste",
         col("n_docs") * col("max_len") - col("total_tokens"))
+  }
+
+  /** First-fit-decreasing bin packing of ATOMIC documents into fixed
+    * `budget`-token bins — the third packing discipline real SFT pipelines
+    * run next to concat-then-chunk ([[packTokens]]: docs split, zero
+    * padding) and padded batches ([[paddedBatchManifest]]: docs atomic,
+    * one doc per example row): docs stay whole AND multiple docs share one
+    * fixed-budget example, trading a little per-bin slack for no splits
+    * and no per-doc padding.
+    *
+    * Deterministic FFD order: the EXACT global (length desc, id asc) rank
+    * via the [[GlobalCumsum]] two-phase spine (no single-partition sort),
+    * then each consecutive run of `groupDocs` ranks packs INDEPENDENTLY —
+    * bins never span groups. That grouping is what makes the discipline
+    * 100 TB-honest: a global first-fit scan is inherently sequential (bin
+    * k's load depends on every earlier doc), so production packers bound
+    * the sequential horizon; each group is an isolated ≤`groupDocs`-doc
+    * packing problem, all groups pack in parallel, and FFD's waste
+    * guarantee holds per group. The per-group loop is genuinely
+    * data-dependent iteration (the [[Bpe.tokenizeWordRank]]
+    * justification), so it runs typed over the grouped rows; everything
+    * around it — rank, group key, manifests — stays relational. Exchanges:
+    * the rank's ranged repartition + ONE hash partition on the group key.
+    *
+    * First-fit rule per group, docs in (length desc, id asc) order: a doc
+    * goes to the LOWEST-indexed bin whose load + n ≤ budget, else opens a
+    * new bin. A doc longer than `budget` therefore opens a bin alone and
+    * overflows it — flagged by fill > budget in [[ffdBinManifest]], never
+    * an error (truncation policy is the caller's). Non-positive token
+    * counts fail loudly ([[manifest]] discipline).
+    *
+    * @return one row per doc: (`idCol`, n_tokens, grp, bin) — bin is the
+    *         0-based index within grp; (grp, bin) is the global bin key */
+  def ffdPack(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, groupDocs: Int = 4096): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(groupDocs > 0, s"groupDocs must be positive, got $groupDocs")
+    val checked = df.withColumn("__fp_n",
+      when(col(tokensCol) > 0, col(tokensCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit("Packing.ffdPack: non-positive token count "),
+          coalesce(col(tokensCol).cast("string"), lit("NULL")),
+          lit(s" for $idCol="),
+          coalesce(col(idCol).cast("string"), lit("NULL"))))
+          .cast("long")))
+    val ranked = GlobalCumsum.rowNumber(
+        checked.select(col(idCol), col("__fp_n")),
+        Seq(col("__fp_n").desc, col(idCol)), "__rn")
+      .select(
+        expr(s"(__rn - 1) div ${groupDocs}L").as("grp"),
+        ((col("__rn") - 1) % groupDocs).as("rnk"),
+        col(idCol), col("__fp_n"))
+    val outSchema = StructType(Seq(
+      ranked.schema(idCol),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("grp", LongType, nullable = false),
+      StructField("bin", IntegerType, nullable = false)))
+    ranked
+      .groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroups { (g: Long, it: Iterator[Row]) =>
+        // ≤ groupDocs rows by construction — bounded, never data-sized
+        val docs = it.toArray.sortBy(_.getLong(1))
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.iterator.map { r =>
+          val n = r.getLong(3)
+          var b = 0
+          var placed = -1
+          while (placed < 0 && b < loads.length) {
+            if (loads(b) + n <= budget) { loads(b) += n; placed = b }
+            b += 1
+          }
+          if (placed < 0) { loads += n; placed = loads.length - 1 }
+          Row(r.get(2), n, g, placed)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Bin-level manifest over [[ffdPack]] rows: per (grp, bin) the doc
+    * count, exact fill, and slack `budget − fill` (negative exactly when
+    * one over-budget doc owns the bin). One hash agg. */
+  def ffdBinManifest(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("fill"))
+      .withColumn("slack", lit(budget) - col("fill"))
+
+  /** The WASTE LEDGER: four packing disciplines costed over the SAME docs
+    * in one report — the number a pipeline owner actually decides with.
+    * Slots are what the trainer allocates, payload what it uses:
+    * - concat_chunk: `ceil(total / exampleTokens)` FIXED-width examples,
+    *   zero padding anywhere but the final tail — minimal waste, but docs
+    *   SPLIT across examples (`docs_split` counts them; that is its
+    *   price, not waste).
+    * - padded_fixed: docs atomic, ONE doc per `exampleTokens`-wide
+    *   example — what fixed-context training costs WITHOUT a packer.
+    * - ffd: [[ffdPack]] bins of `exampleTokens` capacity — docs atomic,
+    *   FIXED-width examples, waste is the per-bin slack. FFD never opens
+    *   more bins than docs, so its waste is ≤ padded_fixed's by
+    *   construction (law-tested) — this pair is the packer's honest
+    *   before/after.
+    * - padded_batches: [[paddedBatchManifest]] with `batchDocs`
+    *   length-sorted docs per batch padded to the batch max. Its pad mass
+    *   is small BUT its examples are VARIABLE-width (each batch has its
+    *   own max) — only a trainer that accepts per-batch sequence lengths
+    *   can spend these slots; it is NOT feasible at a fixed context
+    *   length, so compare it to the fixed-width rows only with that
+    *   caveat.
+    * All counts integral; the one ratio divides last. */
+  def packingWasteLedger(df: DataFrame, idCol: String, tokensCol: String,
+      exampleTokens: Long, batchDocs: Int, groupDocs: Int = 4096): DataFrame = {
+    val docs = graft.util.Caches.register(
+      df.select(col(idCol), col(tokensCol).cast("long").as("__n"))
+        .where(col("__n") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    docs.count() // multi-consumer pin (three disciplines re-scan it)
+    val concat0 = docs
+      .agg(sum(col("__n")).as("payload"), count(lit(1)).as("n_docs"))
+      .select(lit("concat_chunk").as("discipline"),
+        expr(s"(payload + ${exampleTokens}L - 1) div ${exampleTokens}L")
+          .as("n_examples"),
+        col("payload"),
+        // docs whose token run crosses an example boundary — the split count
+        lit(0L).as("docs_split"), col("n_docs"))
+    // exact split count needs the offsets, not just the total
+    val concatSplit = offsets(docs, idCol, "__n")
+      .select((expr(s"cum_before div ${exampleTokens}L") =!=
+        expr(s"(cum_before + __n - 1) div ${exampleTokens}L")).cast("long").as("__sp"))
+      .agg(sum(col("__sp")).as("docs_split"))
+    val concat = concat0.drop("docs_split").crossJoin(broadcast(concatSplit))
+      .select(col("discipline"), col("n_examples"),
+        (col("n_examples") * exampleTokens).as("slot_tokens"),
+        col("payload").as("payload_tokens"), col("docs_split"))
+    val padded = paddedBatchManifest(docs, idCol, "__n", batchDocs)
+      .agg(count(lit(1)).as("n_examples"),
+        sum(col("n_docs") * col("max_len")).as("slot_tokens"),
+        sum(col("total_tokens")).as("payload_tokens"))
+      .select(lit("padded_batches").as("discipline"), col("n_examples"),
+        col("slot_tokens"), col("payload_tokens"), lit(0L).as("docs_split"))
+    val paddedFixed = docs
+      .agg(count(lit(1)).as("n_examples"), sum(col("__n")).as("payload_tokens"))
+      .select(lit("padded_fixed").as("discipline"), col("n_examples"),
+        (col("n_examples") * exampleTokens).as("slot_tokens"),
+        col("payload_tokens"), lit(0L).as("docs_split"))
+    val ffd = ffdBinManifest(
+        ffdPack(docs, idCol, "__n", exampleTokens, groupDocs), exampleTokens)
+      .agg(count(lit(1)).as("n_examples"), sum(col("fill")).as("payload_tokens"))
+      .select(lit("ffd").as("discipline"), col("n_examples"),
+        (col("n_examples") * exampleTokens).as("slot_tokens"),
+        col("payload_tokens"), lit(0L).as("docs_split"))
+    concat.unionByName(padded).unionByName(paddedFixed).unionByName(ffd)
+      .withColumn("waste_tokens", col("slot_tokens") - col("payload_tokens"))
+      .withColumn("waste_pct",
+        col("waste_tokens").cast("double") / col("slot_tokens").cast("double"))
   }
 
   /** Length-binned pack offsets (sorted batching): docs are ntile'd into

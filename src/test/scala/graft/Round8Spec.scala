@@ -212,6 +212,63 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("ffdPack: exact FFD reference, coverage, fills, over-budget isolation") {
+    import spark.implicits._
+    // deterministic lengths 1..120 plus ONE over-budget doc (150 > 128)
+    val docs0 = (1L to 300L).map(i => (i, 1L + (i * 53 % 120))) :+ (301L, 150L)
+    val B = 128L
+    val packed = graft.ext.Packing.ffdPack(
+        docs0.toDF("doc_id", "n"), "doc_id", "n", B, groupDocs = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    graft.util.Caches.releaseAll()
+    // in-JVM first-fit-decreasing reference over the same grouping
+    val order = docs0.sortBy { case (id, n) => (-n, id) }
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Int)]
+    order.grouped(64).zipWithIndex.foreach { case (grp, g) =>
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      grp.foreach { case (id, n) =>
+        val fit = loads.indexWhere(_ + n <= B)
+        val b = if (fit >= 0) { loads(fit) += n; fit }
+          else { loads += n; loads.length - 1 }
+        expected(id) = (g.toLong, b)
+      }
+    }
+    packed.length shouldBe docs0.size // every doc exactly once
+    val lens = docs0.toMap
+    packed.foreach { case (id, n, g, b) =>
+      n shouldBe lens(id)
+      (g, b) shouldBe expected(id)
+    }
+    // the ONE over-budget doc owns the ONLY overflowing bin, alone
+    val fills = packed.groupBy(p => (p._3, p._4))
+      .view.mapValues(ds => (ds.map(_._2).sum, ds.length)).toMap
+    val over = fills.filter(_._2._1 > B)
+    over.size shouldBe 1
+    over.head._2._2 shouldBe 1
+    val overBin = packed.filter(_._1 == 301L).head
+    over.head._1 shouldBe ((overBin._3, overBin._4))
+  }
+
+  test("packingWasteLedger: payload conserved; fixed-width waste ordering holds") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, 1L + (i * 37 % 97))).toDF("doc_id", "n")
+    val led = graft.ext.Packing.packingWasteLedger(
+        docs, "doc_id", "n", exampleTokens = 128L, batchDocs = 16, groupDocs = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    graft.util.Caches.releaseAll()
+    led.keySet shouldBe Set("concat_chunk", "padded_batches", "padded_fixed", "ffd")
+    // every discipline accounts for the same payload
+    led.values.map(_._3).toSet.size shouldBe 1
+    // fixed-width rows: concat (docs split) <= ffd (docs atomic) <=
+    // padded_fixed (docs atomic, no packer) — the packer's before/after
+    led("concat_chunk")._4 should be <= led("ffd")._4
+    led("ffd")._4 should be <= led("padded_fixed")._4
+    // slot accounting: waste = slots - payload, slots = examples * width
+    led("ffd")._2 shouldBe led("ffd")._1 * 128L
+    led("ffd")._4 shouldBe led("ffd")._2 - led("ffd")._3
+  }
+
   test("fimPsm: PSM layout law, multiset preservation, passthrough, split edges") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
