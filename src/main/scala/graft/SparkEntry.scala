@@ -131,15 +131,16 @@ object SparkEntry {
     * programmatically because the oracle must replay a data-dependent
     * LOOP, which SQL can only express unrolled. Returns the WITH body;
     * callers append their final SELECT over m1..mk / w{k}. */
-  private def bpeOracleCtes(k: Int): String = {
+  private def bpeOracleCtes(k: Int,
+      wordSrc: String = """SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE text IS NOT NULL"""): String = {
     // every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
     // w(i) that references w(i-1) twice (pair counts + merge) would expand
     // 2^k subtrees of the base scan
-    val w0 = """w0 AS MATERIALIZED (
+    val w0 = s"""w0 AS MATERIALIZED (
         SELECT word, count(*)::BIGINT AS cnt,
-          regexp_replace(word, '(.)', '|\1|', 'g') || '|>|' AS sym
-        FROM (SELECT unnest(string_split(text, ' ')) AS word
-              FROM documents WHERE text IS NOT NULL)
+          regexp_replace(word, '(.)', '|\\1|', 'g') || '|>|' AS sym
+        FROM ($wordSrc)
         WHERE word <> '' GROUP BY word)"""
     val steps = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (
@@ -10589,7 +10590,54 @@ object SparkEntry {
         CAST(slot_tokens - payload_tokens AS BIGINT) AS waste_tokens,
         CAST(slot_tokens - payload_tokens AS DOUBLE) /
           CAST(slot_tokens AS DOUBLE) AS waste_pct
-      FROM led ORDER BY discipline"""))
+      FROM led ORDER BY discipline""")),
+
+    // Regex PRE-TOKENIZATION in front of BPE — production tokenizers
+    // (GPT-2/tiktoken family) split text on a category regex BEFORE
+    // merging, so merges never cross letter/digit/punctuation boundaries
+    // and contractions detach ("don't 12ab!" -> don  't  12  ab  !).
+    // Bpe.PreTokenPattern is the Java∩RE2 leftmost-first subset of the
+    // GPT-2 split (no lookahead, whitespace a separator — the q80/q182
+    // regex discipline), and Bpe.preTokenizedText feeds the EXISTING
+    // merge path by re-joining the matches on single spaces (a pre-token
+    // can never contain whitespace, so the pipeline's whitespace splitter
+    // recovers exactly the pre-tokens). The fixture's 31 plain words
+    // would make pre-tokenization the identity, so docs are salted with
+    // 4 deterministic contraction/digit/punctuation tails keyed by
+    // doc_id % 4; the oracle replays the SAME splits via DuckDB's
+    // regexp_extract_all (RE2) — engine-identical matching is the whole
+    // point of the pattern subset — then folds the 8 live-trained merges
+    // over the pre-token dictionary (q233's gate shape).
+    ("q255_bpe_pretokenize", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val salts = array(lit(" it's 42, x!"), lit(" don't a1-b2."),
+        lit(" we're #99??"), lit(" i'll 3.14; ok"))
+      val salted = docs.where(col("text").isNotNull)
+        .select(col("doc_id"), concat(col("text"),
+          element_at(salts, pmod(col("doc_id"), lit(4)).cast("int") + 1)).as("text"))
+      val pre = ext.Bpe.preTokenizedText(salted, "text")
+      val merges = ext.Bpe.learnMerges(pre, "text", merges = 8)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      ext.Bpe.tokenTable(pre, "text", merges)
+        .orderBy(col("word"), col("token_idx"))
+    }, Some(s"""
+      WITH ${bpeOracleCtes(8, s"""SELECT unnest(regexp_extract_all(
+                text || CASE doc_id % 4
+                  WHEN 0 THEN ' it''s 42, x!'
+                  WHEN 1 THEN ' don''t a1-b2.'
+                  WHEN 2 THEN ' we''re #99??'
+                  ELSE ' i''ll 3.14; ok' END,
+                '${ext.Bpe.PreTokenPattern.replace("'", "''")}')) AS word
+              FROM documents WHERE text IS NOT NULL""")},
+      t AS (
+        SELECT word,
+          string_split(substr(sym, 2, length(sym) - 2), '||') AS s
+        FROM w8)
+      SELECT word, CAST(u.i - 1 AS INT) AS token_idx, s[u.i] AS token
+      FROM t CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(s) + 1)) AS i) u
+      ORDER BY word, token_idx"""))
   )
 
   // ------------------------------------------------------- driver contract

@@ -48,6 +48,44 @@ object Bpe {
   val Sep = "|"
   val Eow = ">"
 
+  /** GPT-2-family pre-tokenization pattern (Radford et al. 2019 /
+    * tiktoken's r50k split), restricted to the Java∩RE2 LEFTMOST-FIRST
+    * subset so Spark (java.util.regex) and the DuckDB oracle (RE2) match
+    * identically: lowercase contractions, letter runs, digit runs,
+    * punctuation/symbol runs. Two deliberate deviations from the
+    * original, both forced by the subset: the ` ?` leading-space capture
+    * is dropped (whitespace is a SEPARATOR here, never token content —
+    * the merge path's eow-marker discipline already encodes word
+    * boundaries) and the `\s+(?!\S)` tail needs lookahead, which RE2
+    * does not have. Unicode classes `\p{L}`/`\p{N}` behave identically
+    * in both engines (law-tested against an in-JVM reference). */
+  val PreTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)|\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+"
+
+  /** Pre-token array of a text column: every [[PreTokenPattern]] match in
+    * order — `regexp_extract_all`, codegen'd, no UDF. */
+  def preTokens(text: Column): Column =
+    regexp_extract_all(text, lit(PreTokenPattern), lit(0))
+
+  /** Pre-tokenizing NORMALIZATION of a text column — production BPE
+    * (GPT-2/tiktoken family) splits on a category regex BEFORE merging,
+    * so "don't 12ab!" merges within {don, 't, 12, ab, !}, never across
+    * the category boundaries. A pre-token can never contain whitespace
+    * (every branch of the pattern excludes it), so re-joining the matches
+    * on single spaces makes the whitespace word splitter the whole merge
+    * path already uses recover EXACTLY the pre-tokens: every existing
+    * entry point — [[learnMerges]]/[[learnMergesBatched]],
+    * [[applyMerges]], [[tokenTable]], [[vocab]], [[tokenIds]],
+    * [[tokenIdsTyped]], [[detokenize]] — runs the regex-split discipline
+    * by consuming this frame instead of the raw one. Pure per-row
+    * projection: no shuffle, no state, streaming-legal. On text that is
+    * already single-space-separated letter runs the normalization is the
+    * IDENTITY (law-tested), so whitespace corpora reduce to the previous
+    * behavior; reserved-symbol enforcement (`sep`/eow absent from tokens)
+    * is unchanged and still fails loudly in the data path. */
+  def preTokenizedText(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, array_join(preTokens(col(textCol)), " "))
+
   /** (word, cnt, sym) dict off one corpus scan; `sym` is the delimited
     * initial encoding: each character a symbol, plus the eow symbol. */
   private[ext] def wordDict(df: DataFrame, textCol: String): DataFrame =

@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 
 class BpeSpec extends SparkTestBase {
@@ -524,6 +526,55 @@ class BpeSpec extends SparkTestBase {
     Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n") should
       include("unknown token id")
+  }
+
+  test("preTokens matches an in-JVM leftmost-first reference on edge inputs") {
+    import spark.implicits._
+    val inputs = Seq(
+      "it's a don't 12ab!! x9,y.z  ''' o'clock a'm",
+      "we're i'll you've they'd", // every contraction branch
+      "hello world", "", "   ", "a1b2 -3.14e5", "!@#$%", "'",
+      "naïve résumé №5", "tab\tand\nnewline separated")
+    val got = inputs.toDF("t")
+      .select(col("t"), Bpe.preTokens(col("t")).as("p")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    graft.util.Caches.releaseAll()
+    val ref = java.util.regex.Pattern.compile(Bpe.PreTokenPattern)
+    inputs.foreach { t =>
+      val m = ref.matcher(t)
+      val exp = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toVector
+      got(t) shouldBe exp
+    }
+  }
+
+  test("preTokenizedText is the identity on whitespace corpora; pipeline reduces") {
+    import spark.implicits._
+    // single-space-separated letter runs — the previous splitter's world
+    val docs = Seq((1L, "ab ba ab b"), (2L, "aab ab"), (3L, "b")).toDF("doc_id", "text")
+    val pre = Bpe.preTokenizedText(docs, "text")
+    pre.select(col("text")).collect().map(_.getString(0)) shouldBe
+      docs.select(col("text")).collect().map(_.getString(0))
+    // and the whole pipeline reduces: same merges, same ids
+    val merges = Bpe.learnMerges(docs, "text", 4).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val mergesPre = Bpe.learnMerges(pre, "text", 4).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    mergesPre shouldBe merges
+    val v = Bpe.vocab(docs, "text", merges)
+    val a = Bpe.tokenIds(docs, "doc_id", "text", merges, v)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Int](2).toVector))
+    val b = Bpe.tokenIds(pre, "doc_id", "text", merges, v)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Int](2).toVector))
+    graft.util.Caches.releaseAll()
+    b shouldBe a
+    // and a categorical boundary is real: merges never cross it
+    val mixed = Seq((1L, "ab1 ab1 ab1 ab1")).toDF("doc_id", "text")
+    val m2 = Bpe.learnMerges(Bpe.preTokenizedText(mixed, "text"), "text", 6)
+      .collect().map(r => r.getString(3))
+    m2.foreach { merged =>
+      // no merged symbol may span letters AND digits
+      merged.exists(_.isDigit) && merged.exists(_.isLetter) shouldBe false
+    }
   }
 
   test("rank path rejects duplicate merge OUTPUTS, tolerates repeated pairs") {
