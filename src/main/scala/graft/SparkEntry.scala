@@ -10637,7 +10637,45 @@ object SparkEntry {
       SELECT word, CAST(u.i - 1 AS INT) AS token_idx, s[u.i] AS token
       FROM t CROSS JOIN LATERAL (
         SELECT unnest(range(1, len(s) + 1)) AS i) u
-      ORDER BY word, token_idx"""))
+      ORDER BY word, token_idx""")),
+
+    // INDEX COMPACTION — the store-maintenance step between increments:
+    // q237 proves store + ONE increment; production accumulates k code
+    // snapshots and compacts. Similarity.compactIndex unions the two
+    // snapshots (disjoint %7 split here), keeps the latest row per id,
+    // and STRIDE-sub-splits every coarse list so no (lcid, sub) cell
+    // exceeds the cap — WITHOUT re-encoding a single code (sub is layout
+    // metadata; serving joins lcid alone), so serving the compacted store
+    // must reproduce q212's answers verbatim. The cap law (<= 16 rows per
+    // cell, exact rank stride) is spec-tested; the gate proves the result
+    // identity the compaction contract hinges on.
+    ("q256_index_compaction", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q256_ivfpq_snaps", dir) { p =>
+        val cent = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cbRes = Similarity.pqCodebookByStride(
+          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+          "vec_id", "res", m = 4, subDim = 16, stride = 50)
+        cent.write.mode("overwrite").parquet(s"$p/centroids")
+        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
+        Similarity.residualIndex(emb.where(col("vec_id") % 7 =!= 0),
+            cent, cbRes, "vec_id", "cid", "embedding", m = 4, subDim = 16)
+          .write.mode("overwrite").parquet(s"$p/snap0")
+        Similarity.residualIndex(emb.where(col("vec_id") % 7 === 0),
+            cent, cbRes, "vec_id", "cid", "embedding", m = 4, subDim = 16)
+          .write.mode("overwrite").parquet(s"$p/snap1")
+      }
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      val compacted = Similarity.compactIndex(
+        Seq(s.read.parquet(s"$tmp/snap0"), s.read.parquet(s"$tmp/snap1")),
+        cap = 16L)
+      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
+        compacted.drop("sub"), cent, cb, "vec_id", "cid", "embedding",
+        k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(ivfAdcFullOracle))
   )
 
   // ------------------------------------------------------- driver contract

@@ -851,6 +851,48 @@ object Similarity {
           qIdCol, cidCol, vecCol, k, m, subDim, nprobe), batchId)
       }
 
+  /** COMPACTION of accumulated [[residualIndex]] snapshots — the store
+    * maintenance step between increments (q237's story proves store + one
+    * increment; production accumulates k snapshots and compacts): union
+    * the snapshots, keep the LATEST row per vector id (a later increment
+    * may legitimately RE-ENCODE an id — snapshot order is the caller's
+    * argument order), and re-balance oversized coarse lists by a STRICT
+    * stride sub-split — `sub = rank-within-list div cap` — so no
+    * (lcid, sub) cell ever exceeds `cap` rows, BY CONSTRUCTION (the q247
+    * stride discipline, here with the deterministic rank instead of a
+    * probabilistic hash: compaction is an offline job and can afford the
+    * per-list sort). Codes are NEVER re-encoded: `sub` is physical
+    * layout metadata only — the store writer partitions/buckets by
+    * (lcid, sub) so no file or partition outgrows the cap — and serving
+    * still joins on `lcid` alone, so compacted serving is
+    * RESULT-IDENTICAL to serving the raw snapshot union (law-tested, and
+    * q256 gates it on the full-corpus oracle).
+    *
+    * Scale shape: one union of narrow (m+2 small ints) code rows, one
+    * max_by hash agg on n_id (map-side partials), one per-list
+    * rank — a sort within each coarse list, which is exactly the skewed
+    * thing compaction exists to bound. Vectors never appear.
+    *
+    * @param snapshots (n_id, lcid, codes) frames, OLDEST FIRST; ids must
+    *                  be unique within one snapshot
+    * @return (n_id, lcid, sub, codes) — ≤ cap rows per (lcid, sub) */
+  def compactIndex(snapshots: Seq[DataFrame], cap: Long): DataFrame = {
+    require(snapshots.nonEmpty, "compactIndex needs at least one snapshot")
+    require(cap > 0, s"cap must be positive, got $cap")
+    val tagged = snapshots.zipWithIndex.map { case (df, i) =>
+      df.select(col("n_id"), col("lcid"), col("codes"), lit(i).as("__snap"))
+    }.reduce(_ unionByName _)
+    val latest = tagged.groupBy(col("n_id"))
+      .agg(max_by(struct(col("lcid"), col("codes")), col("__snap")).as("__b"))
+      .select(col("n_id"), col("__b").getField("lcid").as("lcid"),
+        col("__b").getField("codes").as("codes"))
+    val w = Window.partitionBy(col("lcid")).orderBy(col("n_id"))
+    latest
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("sub", expr(s"(cast(__rn as bigint) - 1) div ${cap}L"))
+      .select(col("n_id"), col("lcid"), col("sub"), col("codes"))
+  }
+
   /** Coarse-assignment residuals: each vector's displacement from its
     * nearest centroid (argmin L2, ties to the lowest cid) — the frame
     * residual PQ codebooks train on and [[ivfPqResidualTopK]] encodes.

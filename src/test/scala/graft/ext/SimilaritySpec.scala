@@ -536,6 +536,59 @@ class SimilaritySpec extends SparkTestBase {
     inf shouldBe out
   }
 
+  test("compactIndex: latest wins, strict cap, serving identical to the raw union") {
+    import org.apache.spark.sql.Row
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, Array.tabulate(4)(j => ((i * 17 + j * 11) % 15 - 7).toFloat))).toDF("id", "v")
+    val cents = Seq(
+      (0L, Array(3.0f, 3.0f, 3.0f, 3.0f)),
+      (1L, Array(-3.0f, -3.0f, -3.0f, -3.0f))).toDF("cid", "v")
+    val cb = Similarity.pqCodebookByStride(
+      Similarity.residuals(corpus, cents, "id", "cid", "v"),
+      "id", "res", m = 2, subDim = 2, stride = 7)
+    // a SECOND codebook (different stride) re-encodes a subset: the later
+    // snapshot's codes for those ids genuinely differ
+    val cb2 = Similarity.pqCodebookByStride(
+      Similarity.residuals(corpus, cents, "id", "cid", "v"),
+      "id", "res", m = 2, subDim = 2, stride = 11)
+    val snap0 = Similarity.residualIndex(corpus, cents, cb,
+      "id", "cid", "v", m = 2, subDim = 2).localCheckpoint(true)
+    val snap1 = Similarity.residualIndex(corpus.where(col("id") % 5 === 0),
+      cents, cb2, "id", "cid", "v", m = 2, subDim = 2).localCheckpoint(true)
+    val cap = 8L
+    val compacted = Similarity.compactIndex(Seq(snap0, snap1), cap)
+      .localCheckpoint(true)
+    // every id exactly once, and re-encoded ids carry snap1's codes
+    compacted.count() shouldBe 60L
+    val snap1Codes = snap1.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](2).toVector).toMap
+    val snap0Codes = snap0.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](2).toVector).toMap
+    compacted.collect().foreach { r =>
+      val id = r.getLong(0)
+      val codes = r.getSeq[Any](3).toVector
+      codes shouldBe snap1Codes.getOrElse(id, snap0Codes(id))
+    }
+    // STRICT cap per (lcid, sub), and sub is the exact rank stride
+    val cells = compacted.groupBy(col("lcid"), col("sub"))
+      .agg(count(lit(1)).as("c")).collect()
+    cells.foreach(_.getAs[Long]("c") should be <= cap)
+    val perList = compacted.collect().groupBy(_.getLong(1))
+    perList.foreach { case (_, rows) =>
+      rows.sortBy(_.getLong(0)).zipWithIndex.foreach { case (r, i) =>
+        r.getLong(2) shouldBe (i / cap)
+      }
+    }
+    // serving the compacted store == serving the naive latest-union
+    val latest = snap1.unionByName(
+      snap0.join(snap1.select(col("n_id")), Seq("n_id"), "left_anti"))
+    val qs = corpus.where(col("id") <= 6)
+    def serve(ix: org.apache.spark.sql.DataFrame): Set[Row] =
+      Similarity.ivfPqResidualStoredTopK(qs, ix, cents, cb,
+        "id", "cid", "v", k = 3, m = 2, subDim = 2, nprobe = 2).collect().toSet
+    serve(compacted.drop("sub")) shouldBe serve(latest)
+  }
+
   test("serveIndexStream: union over any micro-batch split equals the one-shot batch serve") {
     import org.apache.spark.sql.streaming.Trigger
     val corpus = (1 to 60).map(i =>
