@@ -475,6 +475,29 @@ object SparkEntry {
       SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
       ORDER BY q_id, rank"""
 
+
+  /** The exact per-dimension drift replay (quantized BIGINT sums over the
+    * %2 base/delta snapshot split of the embeddings corpus) — shared
+    * VERBATIM by q201 (batch) and q257 (the same gauge maintained as a
+    * complete-mode STREAMING aggregation over the delta side). */
+  private val perDimDriftOracle: String = """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      e AS (
+        SELECT (vec_id % 2 = 0) AS is_base, t.i AS dim,
+          CAST(floor(vec[CAST(t.i AS INT)] * 1000) AS BIGINT) AS q
+        FROM v CROSS JOIN range(1, 65) t(i)),
+      agg AS (
+        SELECT dim,
+          count(*) FILTER (WHERE is_base) AS n_base,
+          count(*) FILTER (WHERE NOT is_base) AS n_delta,
+          CAST(sum(q) FILTER (WHERE is_base) AS BIGINT) AS sum_base,
+          CAST(sum(q) FILTER (WHERE NOT is_base) AS BIGINT) AS sum_delta
+        FROM e GROUP BY 1)
+      SELECT CAST(dim AS INT) AS dim, n_base, n_delta, sum_base, sum_delta,
+        CAST(sum_base AS DOUBLE) / n_base -
+          CAST(sum_delta AS DOUBLE) / n_delta AS shift_milli
+      FROM agg ORDER BY dim"""
+
   private lazy val catalog: Seq[(String, Q, Option[String])] = Seq(
 
     // ================================================================
@@ -7790,23 +7813,7 @@ object SparkEntry {
           emb.where(col("vec_id") % 2 =!= 0),
           "embedding", scale = 1000)
         .orderBy(col("dim"))
-    }, Some("""
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      e AS (
-        SELECT (vec_id % 2 = 0) AS is_base, t.i AS dim,
-          CAST(floor(vec[CAST(t.i AS INT)] * 1000) AS BIGINT) AS q
-        FROM v CROSS JOIN range(1, 65) t(i)),
-      agg AS (
-        SELECT dim,
-          count(*) FILTER (WHERE is_base) AS n_base,
-          count(*) FILTER (WHERE NOT is_base) AS n_delta,
-          CAST(sum(q) FILTER (WHERE is_base) AS BIGINT) AS sum_base,
-          CAST(sum(q) FILTER (WHERE NOT is_base) AS BIGINT) AS sum_delta
-        FROM e GROUP BY 1)
-      SELECT CAST(dim AS INT) AS dim, n_base, n_delta, sum_base, sum_delta,
-        CAST(sum_base AS DOUBLE) / n_base -
-          CAST(sum_delta AS DOUBLE) / n_delta AS shift_milli
-      FROM agg ORDER BY dim""")),
+    }, Some(perDimDriftOracle)),
 
     // Fuzzy decontamination — q51's leak check through the MINHASH index
     // instead of exact n-grams: a corpus doc is dirty when it NEAR-dups an
@@ -10675,7 +10682,46 @@ object SparkEntry {
         compacted.drop("sub"), cent, cb, "vec_id", "cid", "embedding",
         k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
-    }, Some(ivfAdcFullOracle))
+    }, Some(ivfAdcFullOracle)),
+
+    // STREAMING drift monitor — q201's gauge kept LIVE: the per-dimension
+    // (count, exact quantized BIGINT sum) pairs are pure commutative adds
+    // (exactly the q211 count-min shape), so LinAlg.perDimQuantStats runs
+    // as a COMPLETE-mode streaming aggregation over the delta vector
+    // stream — state is one (count, sum) per dim, 64 rows, never
+    // corpus-sized — and index refit (q249's trigger) is decided by a
+    // live gauge instead of a batch job. The final complete-mode table
+    // joins the batch base gauge through LinAlg.driftFromStats (2x64 rows
+    // of integer arithmetic + two divisions) and must reproduce q201's
+    // oracle VERBATIM. VERIFICATION-HARNESS BOUNDARY (q19/q238
+    // convention): memory sink + collect of the 64-row gauge.
+    ("q257_stream_drift_monitor", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q257_delta", dir) { p =>
+        emb.where(col("vec_id") % 2 =!= 0).select(col("vec_id"), col("embedding"))
+          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
+      }
+      val qname = "graft_stream_drift"
+      // 4 shuffle partitions: one state-store commit per partition per
+      // micro-batch; 64 dims do not need 32 stores (q170/q211 discipline)
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
+      val (schema, rows) = {
+        val stream = s2.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 2).parquet(s"$tmp/stream")
+        val q = ext.LinAlg.perDimQuantStats(stream, "embedding", scale = 1000)
+          .writeStream.outputMode("complete").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val res = s2.table(qname)
+        val out = (res.schema, res.collect())
+        s2.catalog.dropTempView(qname)
+        out
+      }
+      val deltaStats = s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val baseStats = ext.LinAlg.perDimQuantStats(
+        emb.where(col("vec_id") % 2 === 0), "embedding", scale = 1000)
+      ext.LinAlg.driftFromStats(baseStats, deltaStats).orderBy(col("dim"))
+    }, Some(perDimDriftOracle))
   )
 
   // ------------------------------------------------------- driver contract

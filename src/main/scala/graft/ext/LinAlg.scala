@@ -130,6 +130,45 @@ object LinAlg {
     * @return (dim 1-based, n_base, n_delta, sum_base, sum_delta,
     *          shift_milli = mean_base − mean_delta in 1/scale units;
     *          sums/means are NULL for a side with no vectors) */
+  /** The per-dimension drift GAUGE: (dim, count, exact quantized BIGINT
+    * sum) — [[perDimDrift]]'s state, exposed so a STREAM can maintain it:
+    * the sums are pure commutative BIGINT adds (the q211 count-min shape),
+    * so this exact plan runs as a complete-mode streaming aggregation
+    * whose state is one (count, sum) pair per dimension — dims × 1 rows,
+    * never corpus-sized — and the live gauge decides index refit (q249's
+    * trigger) without a batch job. Batch ≡ streaming by commutativity
+    * (law-tested via [[driftFromStats]] identity; q257 replays it for
+    * real). @return (dim 1-based int, n, sum_q) */
+  def perDimQuantStats(df: DataFrame, vecCol: String,
+      scale: Int = 1000): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("__p", "__x")))
+      .select((col("__p") + 1).as("dim"),
+        floor(col("__x") * scale).cast("long").as("__q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("__q")).as("sum_q"))
+  }
+
+  /** Drift report from two gauge frames ([[perDimQuantStats]] of the base
+    * snapshot and of the live side) — the last mile of the streaming
+    * monitor, 2×dims rows of integer arithmetic plus the two final
+    * divisions; identical to [[perDimDrift]] on the same inputs
+    * (law-tested). Total over dims present on either side (full outer;
+    * a missing side reports count 0 and NULL sum/shift — perDimDrift's
+    * exact convention). */
+  def driftFromStats(baseStats: DataFrame, deltaStats: DataFrame): DataFrame =
+    baseStats
+      .select(col("dim"), col("n").as("n_base"), col("sum_q").as("sum_base"))
+      .join(deltaStats.select(col("dim"), col("n").as("n_delta"),
+        col("sum_q").as("sum_delta")), Seq("dim"), "full_outer")
+      .select(col("dim"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        col("sum_base"), col("sum_delta"))
+      .withColumn("shift_milli",
+        col("sum_base").cast("double") / col("n_base") -
+          col("sum_delta").cast("double") / col("n_delta"))
+
   def perDimDrift(
       base: DataFrame, delta: DataFrame, vecCol: String,
       scale: Int = 1000): DataFrame = {

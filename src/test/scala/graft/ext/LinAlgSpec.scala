@@ -120,6 +120,28 @@ class LinAlgSpec extends SparkTestBase {
     }
   }
 
+  test("perDimDrift == driftFromStats over perDimQuantStats gauges (incl. ragged dims)") {
+    // delta vectors are LONGER than base: dim 3 exists only on the delta
+    // side, so the full-outer totality of driftFromStats is exercised
+    val base = Seq((1L, Array(0.5f, -1.25f)), (2L, Array(1.5f, 0.75f)))
+      .toDF("id", "v")
+    val delta = Seq((3L, Array(0.25f, 2.0f, 4.0f)), (4L, Array(-0.5f, 1.0f, 8.0f)))
+      .toDF("id", "v")
+    val direct = LinAlg.perDimDrift(base, delta, "v")
+      .orderBy("dim").collect()
+    val composed = LinAlg.driftFromStats(
+        LinAlg.perDimQuantStats(base, "v"),
+        LinAlg.perDimQuantStats(delta, "v"))
+      .orderBy("dim").collect()
+    graft.util.Caches.releaseAll()
+    composed.map(_.toSeq) shouldBe direct.map(_.toSeq)
+    // the gauge itself is exact: dim 1 base sum = floor(.5*1000)+floor(1.5*1000)
+    val g = LinAlg.perDimQuantStats(base, "v").orderBy("dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    g(0) shouldBe ((1, 2L, 2000L))
+    g(1) shouldBe ((2, 2L, -500L)) // floor(-1.25*1000) = -1250, +750
+  }
+
   test("MaxExactCovarianceRows is the documented worst-case bound") {
     val n = LinAlg.MaxExactCovarianceRows
     // worst case is a saturated −128 code (GramUpperTriangle admits the
