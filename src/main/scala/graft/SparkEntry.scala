@@ -5308,7 +5308,16 @@ object SparkEntry {
     // (the full graph gives it a clique, the collapsed graph an isolated
     // rep), keyed by the rep id — which IS the class min, so cluster ids
     // match the full-graph oracle bit-for-bit.
-    ("q153_star_components", (s, dir) => {
+    ("q153_star_components", (s0, dir) => {
+      // pair-graph-sized iteration: every alternation frame is LSH-pair
+      // scale (thousands of edges), so 32-way shuffles mean ~6 tiny
+      // stages x rounds of pure task-scheduling jitter — the bench's
+      // widest pass spread until round 13. 8 partitions keeps each round
+      // 1-2 tasks per stage without changing any result; the corpus-sized
+      // pre-collapse groupBy happens on the parent-session plan BEFORE
+      // the loop and is unaffected at gate scale. At 100 TB the edge set
+      // is still pairs-not-corpus; size this to the pair graph.
+      val s = isolated(s0, "spark.sql.shuffle.partitions" -> "8")
       val docs = T(s, dir, "documents")
       // materialized ONCE: three consumers below (reps, dupClasses,
       // memberOut's anti side) would otherwise each re-plan and re-execute
