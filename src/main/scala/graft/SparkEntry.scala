@@ -27,10711 +27,21 @@ import graft.ext.{Dedup, Diff, Multimodal, Prefilter, Sampling, Similarity, Skew
   */
 object SparkEntry {
 
-  // ---------------------------------------------------------------- helpers
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet ts vintages: int64 nanos (needs nanosAsLong to read) or
-    // timestamp[us]; either way the catalog sees long epoch nanos — see
-    // graft.util.EventTime.
-    try {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // EventTime's NTZ→instant rewrite and the epoch-µs arithmetic across
-      // the catalog assume UTC; pin it here so a caller session that never
-      // set it (e.g. the driver's smoke check) still reads correctly
-      s.conf.set("spark.sql.session.timeZone", "UTC")
-    } catch {
-      // only possible failure: the conf is non-modifiable in this deployment,
-      // in which case the session builder must have set it already
-      case _: org.apache.spark.sql.AnalysisException => ()
-    }
-    graft.util.EventTime.tsToLongNanos(s.read.parquet(s"$dir/$name.parquet"))
+  import graft.catalog._
+
+  private lazy val catalog: Seq[(String, CatalogShared.Q, Option[String])] = {
+    val all =
+      ReferenceCatalog.entries ++ RelationalCatalog.entries ++
+      AnalyticsCatalog.entries ++ DedupCatalog.entries ++
+      AnnCatalog.entries ++ TextCatalog.entries ++
+      TokenizerCatalog.entries ++ SamplingCatalog.entries ++
+      MultimodalCatalog.entries ++ StreamingCatalog.entries
+    require(all.map(_._1).distinct.size == all.size,
+      "duplicate catalog query name across family files")
+    all
   }
 
-  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
-
-  /** Catalog-query conf isolation: a CHILD session (shared SparkContext,
-    * isolated SQLConf + temp-view catalog) with the parent's modifiable
-    * runtime conf copied over and `overrides` applied on top. Queries that
-    * need a non-default shuffle-partition count or state-store provider pin
-    * it HERE instead of mutating the caller's session — no try/finally
-    * restore, and no window where a concurrent reader could observe the
-    * pin. (newSession() alone only inherits builder-time options, hence
-    * the explicit runtime-conf copy.) */
-  private def isolated(s: SparkSession, overrides: (String, String)*): SparkSession = {
-    val s2 = s.newSession()
-    s.conf.getAll.foreach { case (k, v) =>
-      if (s2.conf.isModifiable(k)) s2.conf.set(k, v) }
-    overrides.foreach { case (k, v) => s2.conf.set(k, v) }
-    s2
-  }
-
-  /** Per-JVM memo of the 8-merge tokenizer MODEL per sfDir — the Staging
-    * discipline applied to model artifacts: a dozen catalog queries
-    * downstream of training (tokenize, ids, packing, streaming serve,
-    * detokenize) consume the merge table + vocabulary as INPUTS, exactly
-    * as a production pipeline ships them, so the bench times the
-    * consumers rather than a re-train per query per pass. The training
-    * loop itself stays live-gated (q223 sequential, q236 batched, and
-    * every consumer's oracle still replays the learn from scratch). */
-  private val bpeModelMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[(String, String)], Seq[(Int, String, Long)])]()
-  private def bpeModel8(s: SparkSession, dir: String) =
-    bpeModelMemo.computeIfAbsent(dir, _ => {
-      val docs = T(s, dir, "documents")
-      val merges = ext.Bpe.learnMerges(docs, "text", 8).orderBy(col("step"))
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      val vocabRows = ext.Bpe.vocab(docs, "text", merges)
-        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
-      (merges, vocabRows)
-    })
-  private def merges8(s: SparkSession, dir: String): Seq[(String, String)] =
-    bpeModel8(s, dir)._1
-  private def vocab8Df(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    bpeModel8(s, dir)._2.toDF("token_id", "token", "cnt")
-  }
-  private def vocab8Map(s: SparkSession, dir: String): Map[String, Int] =
-    bpeModel8(s, dir)._2.map(t => t._2 -> t._1).toMap
-
-  /** Deterministic synthetic PII salt (email + IP + spaced card number
-    * derived from the doc id) appended so the redaction regexes do real
-    * work on the PII-free fixtures — the SINGLE source both q182 and
-    * q189's pipeline stage (and their oracles' mirrored CTEs) salt with. */
-  private def piiSalt(text: Column, id: Column): Column =
-    concat(text,
-      lit(" contact user"), id.cast("string"),
-      lit("@mail.example.org from "),
-      (id % 256).cast("string"), lit(".16.32."),
-      ((id * 7) % 256).cast("string"),
-      lit(" card 4111 2222 3333 "),
-      lpad((id % 10000).cast("string"), 4, "0"))
-
-  /** Game-event derivation shared by the parse/stream queries: maps the
-    * `events` table onto the reference's kill/damage event model with pure
-    * integer/string arithmetic (no floats ⇒ bit-exact oracle). */
-  private def gameEvents(ev: DataFrame): DataFrame =
-    ev.select(
-      when(col("event_type") === "purchase",
-        concat(lit("P"), col("user_id").cast("string"))).otherwise(lit("")).as("player"),
-      concat(lit("S"), col("user_id").cast("string")).as("steamId"),
-      when(col("event_type") === "purchase", "kill")
-        .when(col("event_type") === "error", "death")
-        .when(col("event_type") === "signup", "assist")
-        .otherwise("damage").as("eventType"),
-      col("event_id").as("second"),
-      (col("event_id") % 97).as("amount"),
-      (lit(1) + col("user_id") % 19).cast("long").as("round"))
-
-  private type Q = (SparkSession, String) => DataFrame
-
-  /** Unrolled DuckDB replay of `k` BPE merge iterations over the documents
-    * word dict (the [[ext.Bpe]] semantics verbatim): w0 is the delimited
-    * initial encoding, each step counts adjacent symbol pairs, picks the
-    * deterministic argmax, and applies the plain-string merge — generated
-    * programmatically because the oracle must replay a data-dependent
-    * LOOP, which SQL can only express unrolled. Returns the WITH body;
-    * callers append their final SELECT over m1..mk / w{k}. */
-  private def bpeOracleCtes(k: Int,
-      wordSrc: String = """SELECT unnest(string_split(text, ' ')) AS word
-              FROM documents WHERE text IS NOT NULL"""): String = {
-    // every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
-    // w(i) that references w(i-1) twice (pair counts + merge) would expand
-    // 2^k subtrees of the base scan
-    val w0 = s"""w0 AS MATERIALIZED (
-        SELECT word, count(*)::BIGINT AS cnt,
-          regexp_replace(word, '(.)', '|\\1|', 'g') || '|>|' AS sym
-        FROM ($wordSrc)
-        WHERE word <> '' GROUP BY word)"""
-    val steps = (1 to k).map { i =>
-      s"""p$i AS MATERIALIZED (
-        SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS c FROM (
-          SELECT cnt, unnest(list_transform(generate_series(1, len(s) - 1),
-            j -> {'l': s[j], 'r': s[j + 1]})) AS p
-          FROM (SELECT cnt, string_split(substr(sym, 2, length(sym) - 2), '||') AS s
-                FROM w${i - 1})
-          WHERE len(s) >= 2)
-        GROUP BY 1, 2),
-      m$i AS MATERIALIZED (
-        SELECT $i AS step, l AS "left", r AS "right", l || r AS merged,
-          c AS pair_count
-        FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-      w$i AS MATERIALIZED (
-        SELECT word, cnt, replace(sym,
-          '|' || (SELECT "left" FROM m$i) || '||' || (SELECT "right" FROM m$i) || '|',
-          '|' || (SELECT merged FROM m$i) || '|') AS sym
-        FROM w${i - 1})"""
-    }
-    (w0 +: steps).mkString(",\n      ")
-  }
-
-  /** Unrolled DuckDB replay of `rounds` BATCHED BPE rounds at batch=2
-    * ([[ext.Bpe.learnMergesBatched]] semantics): each round counts pairs,
-    * ranks the top 2 (count desc, l, r), always accepts rank 1, accepts
-    * rank 2 only if symbol-disjoint from rank 1's symbols AND its merged
-    * output (the deferral rule), and applies the acceptances as chained
-    * replaces in rank order. Scalar subqueries COALESCE to a chr(1)
-    * identity replace when a round accepts only one pair (or the dict
-    * runs out). The caller trims the unioned acceptances to the first k
-    * steps — generating a fixed round count is the price of expressing a
-    * data-dependent loop in SQL, and extra rounds trim away exactly
-    * because acceptance order equals rank order. */
-  private def bpeBatchedOracleCtes(rounds: Int): String = {
-    val b0 = """b0 AS MATERIALIZED (
-        SELECT word, count(*)::BIGINT AS cnt,
-          regexp_replace(word, '(.)', '|\1|', 'g') || '|>|' AS sym
-        FROM (SELECT unnest(string_split(text, ' ')) AS word
-              FROM documents WHERE text IS NOT NULL)
-        WHERE word <> '' GROUP BY word)"""
-    val steps = (1 to rounds).map { i =>
-      s"""bp$i AS MATERIALIZED (
-        SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS c FROM (
-          SELECT cnt, unnest(list_transform(generate_series(1, len(s) - 1),
-            j -> {'l': s[j], 'r': s[j + 1]})) AS p
-          FROM (SELECT cnt, string_split(substr(sym, 2, length(sym) - 2), '||') AS s
-                FROM b${i - 1})
-          WHERE len(s) >= 2)
-        GROUP BY 1, 2),
-      bt$i AS MATERIALIZED (
-        SELECT l, r, c, rk FROM (
-          SELECT *, CAST(row_number() OVER (ORDER BY c DESC, l, r) AS INT) AS rk
-          FROM bp$i) WHERE rk <= 2),
-      ba$i AS MATERIALIZED (
-        SELECT l, r, c, rk FROM bt$i WHERE rk = 1
-        UNION ALL
-        SELECT t.l, t.r, t.c, t.rk FROM bt$i t JOIN bt$i o ON o.rk = 1
-        WHERE t.rk = 2
-          AND t.l <> o.l AND t.l <> o.r AND t.l <> o.l || o.r
-          AND t.r <> o.l AND t.r <> o.r AND t.r <> o.l || o.r),
-      b$i AS MATERIALIZED (
-        SELECT word, cnt, replace(
-          replace(sym,
-            coalesce('|' || (SELECT l FROM ba$i WHERE rk = 1) || '||' ||
-              (SELECT r FROM ba$i WHERE rk = 1) || '|', chr(1)),
-            coalesce('|' || (SELECT l || r FROM ba$i WHERE rk = 1) || '|', chr(1))),
-          coalesce('|' || (SELECT l FROM ba$i WHERE rk = 2) || '||' ||
-            (SELECT r FROM ba$i WHERE rk = 2) || '|', chr(1)),
-          coalesce('|' || (SELECT l || r FROM ba$i WHERE rk = 2) || '|', chr(1))) AS sym
-        FROM b${i - 1})"""
-    }
-    (b0 +: steps).mkString(",\n      ")
-  }
-
-  /** The token-ID derivation CTEs shared by the q234/q235 oracles,
-    * appended after [[bpeOracleCtes]] (they read w8): per-word token
-    * lists, the frequency-ranked vocabulary ([[ext.Bpe.vocab]] semantics:
-    * count desc, token asc, 0-based dense ids), and the per-doc
-    * (word position, token position, token) stream. */
-  private val bpeTokenIdCtes: String = """
-      toks AS MATERIALIZED (
-        SELECT word, cnt, string_split(substr(sym, 2, length(sym) - 2), '||') AS ts
-        FROM w8),
-      vc AS (
-        SELECT ts[u.i] AS token, sum(cnt)::BIGINT AS c
-        FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) u
-        GROUP BY 1),
-      vocab AS MATERIALIZED (
-        SELECT token, CAST(row_number() OVER (ORDER BY c DESC, token) - 1 AS INT) AS token_id
-        FROM vc),
-      dw AS (
-        SELECT doc_id, u.i AS wpos, ws[u.i] AS word
-        FROM (SELECT doc_id, string_split(text, ' ') AS ws
-              FROM documents WHERE text IS NOT NULL)
-        CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
-        WHERE ws[u.i] <> ''),
-      dt AS MATERIALIZED (
-        SELECT d.doc_id, d.wpos, u.i AS tpos, t.ts[u.i] AS token
-        FROM dw d JOIN toks t USING (word)
-        CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.ts) + 1)) AS i) u)"""
-
-  /** DuckDB expression applying the k learned merges (m1..mk from
-    * [[bpeOracleCtes]]) to an arbitrary `word` column: the initial
-    * delimited encoding folded through k nested scalar-subquery replaces —
-    * how the oracle tokenizes words OUTSIDE the training dict (q245/q246's
-    * salted stream words). */
-  private def bpeApplyOracleExpr(k: Int): String =
-    (1 to k).foldLeft("""regexp_replace(word, '(.)', '|\1|', 'g') || '|>|'""") {
-      (acc, i) =>
-        s"""replace($acc,
-          '|' || (SELECT "left" FROM m$i) || '||' || (SELECT "right" FROM m$i) || '|',
-          '|' || (SELECT merged FROM m$i) || '|')"""
-    }
-
-  /** One residual-IVFADC model + serving chain for the q249 lifecycle
-    * oracle (the q237 chain, parameterized): centroids stride-picked from
-    * `centSrc` (a CTE over (vec_id, vec)), the WHOLE current corpus `cur`
-    * assigned/encoded against them, residual codebooks stride-trained on
-    * the rows matching `cbPred`, queries vec_id < 8 probed at `nprobe`
-    * lists (default 4, the q249 setting), ADC-scored, top-`k` ranked
-    * (default 10). Emits CTEs prefixed `tag`; `subs` and `cur` are shared
-    * and defined by the caller. */
-  private def residualServeCtes(tag: String, centSrc: String, cbPred: String,
-      stride: Int = 5, nprobe: Int = 4, k: Int = 10): String = s"""
-      ${tag}cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM $centSrc WHERE vec_id % 100 = 0),
-      ${tag}ldist AS (
-        SELECT a.vec_id AS n_id, c.lcid,
-          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
-            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
-        FROM cur a CROSS JOIN ${tag}cent c),
-      ${tag}assign AS (
-        SELECT n_id, lcid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
-          FROM ${tag}ldist) WHERE rn = 1),
-      ${tag}resid AS (
-        SELECT a.n_id, a.lcid,
-          list_transform(range(1, least(len(x.vec), len(c.l_vec)) + 1),
-            i -> x.vec[i] - c.l_vec[i]) AS rv
-        FROM ${tag}assign a JOIN cur x ON x.vec_id = a.n_id
-        JOIN ${tag}cent c ON c.lcid = a.lcid),
-      ${tag}cb AS (
-        SELECT sub,
-          CAST(row_number() OVER (PARTITION BY sub ORDER BY n_id) - 1 AS BIGINT) AS cid,
-          rv[sub*16 + 1 : sub*16 + 16] AS c_vec
-        FROM ${tag}resid CROSS JOIN subs WHERE n_id % $stride = 0 $cbPred),
-      ${tag}cd AS (
-        SELECT r.n_id, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS d2
-        FROM ${tag}resid r CROSS JOIN ${tag}cb b),
-      ${tag}codes AS (
-        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
-          SELECT n_id, sub, cid,
-            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
-          FROM ${tag}cd) WHERE rn = 1 GROUP BY n_id),
-      ${tag}probes AS (
-        SELECT n_id AS q_id, lcid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
-          FROM ${tag}ldist WHERE n_id < 8) WHERE rn <= $nprobe),
-      ${tag}qres AS (
-        SELECT p.q_id, p.lcid,
-          list_transform(range(1, least(len(q.vec), len(c.l_vec)) + 1),
-            i -> q.vec[i] - c.l_vec[i]) AS rv
-        FROM ${tag}probes p JOIN cur q ON q.vec_id = p.q_id
-        JOIN ${tag}cent c ON c.lcid = p.lcid),
-      ${tag}ld AS (
-        SELECT r.q_id, r.lcid, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS pd
-        FROM ${tag}qres r CROSS JOIN ${tag}cb b),
-      ${tag}lut1 AS (SELECT q_id, lcid, sub, list(pd ORDER BY cid) AS lrow
-               FROM ${tag}ld GROUP BY q_id, lcid, sub),
-      ${tag}lut AS (SELECT q_id, lcid, list(lrow ORDER BY sub) AS lut
-              FROM ${tag}lut1 GROUP BY q_id, lcid),
-      ${tag}scored AS (
-        SELECT l.q_id, a.n_id,
-          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
-        FROM ${tag}lut l
-        JOIN ${tag}assign a ON a.lcid = l.lcid
-        JOIN ${tag}codes x ON x.n_id = a.n_id
-        WHERE a.n_id <> l.q_id),
-      ${tag}top AS (
-        SELECT q_id, n_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
-          FROM ${tag}scored) WHERE rank <= $k)"""
-
-  /** Unrolled DuckDB replay of `iters` integer-Lloyd rounds over the
-    * embeddings table ([[ext.Similarity.lloydInt]] semantics verbatim):
-    * fixed-point grid, exact squared-L2 argmin (ties → smaller cid),
-    * elementwise floored means. MATERIALIZED throughout — each round
-    * references its predecessor twice. Returns the WITH body; the caller
-    * selects the final assignment against c`iters`. */
-  private def lloydOracleCtes(iters: Int, dims: Int): String = {
-    val base = s"""v AS MATERIALIZED (
-        SELECT vec_id,
-          list_transform(embedding::DOUBLE[],
-            x -> CAST(floor(x * 1000) AS BIGINT) + 1024) AS y
-        FROM embeddings),
-      c0 AS MATERIALIZED (SELECT vec_id AS cid, y AS cy FROM v WHERE vec_id % 100 = 0)"""
-    val rounds = (1 to iters).map { i =>
-      s"""a$i AS MATERIALIZED (
-        SELECT vec_id, cid, y FROM (
-          SELECT v.vec_id, c.cid, v.y,
-            row_number() OVER (PARTITION BY v.vec_id ORDER BY
-              list_sum(list_transform(range(1, len(v.y) + 1),
-                j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))), c.cid) AS rn
-          FROM v CROSS JOIN c${i - 1} c) WHERE rn = 1),
-      m$i AS MATERIALIZED (
-        SELECT cid, list(m ORDER BY i) AS cy FROM (
-          SELECT a.cid, t.i, sum(a.y[t.i]) // count(*) AS m
-          FROM a$i a CROSS JOIN range(1, ${dims + 1}) t(i)
-          GROUP BY a.cid, t.i) GROUP BY cid),
-      c$i AS MATERIALIZED (
-        SELECT c.cid, COALESCE(m.cy, c.cy) AS cy
-        FROM c${i - 1} c LEFT JOIN m$i m USING (cid))"""
-    }
-    (base +: rounds).mkString(",\n      ")
-  }
-
-  // ------------------------------------------------------------- the catalog
-
-  /** (name, spark impl, duckdb oracle SQL — None ⇒ rows-only check). */
-
-  /** FFD bin-packing replay CTEs (q253/q254): whitespace-token doc lengths
-    * (q243's length source), the exact (length desc, id asc) rank, groups
-    * of `groupDocs` consecutive ranks, and a recursive CTE that advances
-    * all groups in lockstep — iteration r places each group's rank-r doc
-    * into the first bin with room (state = per-group bin-load list), the
-    * exact first-fit-decreasing fold `Packing.ffdPack` runs per group.
-    * Callers must open with WITH RECURSIVE. Exposes `g` (doc_id, n, grp,
-    * rnk) and `fin` (grp, bins — 1-based bin index per rank). */
-  private def ffdOracleCtes(budget: Int, groupDocs: Int): String = s"""
-      d AS (
-        SELECT doc_id, len(list_filter(string_split(text,' '), w -> w <> ''))::BIGINT AS n
-        FROM documents WHERE text IS NOT NULL),
-      r AS (
-        SELECT doc_id, n, row_number() OVER (ORDER BY n DESC, doc_id) AS rn
-        FROM d WHERE n > 0),
-      g AS (
-        SELECT doc_id, n, CAST((rn-1)//$groupDocs AS BIGINT) AS grp,
-               CAST((rn-1)%$groupDocs AS BIGINT) AS rnk FROM r),
-      ffd(grp, step, loads, bins) AS (
-        SELECT grp, CAST(-1 AS BIGINT), CAST([] AS BIGINT[]), CAST([] AS INT[])
-        FROM (SELECT DISTINCT grp FROM g)
-        UNION ALL
-        SELECT grp, step,
-          CASE WHEN fit IS NULL THEN list_append(loads, n)
-               ELSE list_transform(range(1, len(loads)+1),
-                      i -> CASE WHEN i = fit THEN loads[i] + n ELSE loads[i] END)
-          END AS loads,
-          list_append(bins, CAST(coalesce(fit, len(loads)+1) AS INT)) AS bins
-        FROM (
-          SELECT f.grp, f.step + 1 AS step, f.loads, f.bins, x.n,
-            list_filter(range(1, len(f.loads)+1),
-              i -> f.loads[i] + x.n <= $budget)[1] AS fit
-          FROM ffd f JOIN g x ON x.grp = f.grp AND x.rnk = f.step + 1)),
-      fin AS (
-        SELECT grp, bins FROM (
-          SELECT grp, bins, row_number() OVER (PARTITION BY grp ORDER BY step DESC) AS rr
-          FROM ffd) WHERE rr = 1)"""
-
-  /** The full residual-IVFADC serve replay — assignment, residual
-    * codebooks (stride 50), codes, nprobe=2 probes, per-(query, probe)
-    * LUTs, ADC, top-3 — over the WHOLE embeddings corpus with queries
-    * vec_id < 8 at m=4×16. Shared VERBATIM by every gate whose serving
-    * path must reproduce the same answers: q212 (one-shot build+serve),
-    * q237 (persisted store + frozen-model increment) and q252 (streaming
-    * serve of the persisted artifact).
-    */
-  private val ivfAdcFullOracle: String = """
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM v WHERE vec_id % 100 = 0),
-      ldist AS (
-        SELECT a.vec_id AS n_id, c.lcid,
-          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
-            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
-        FROM v a CROSS JOIN cent c),
-      assign AS (
-        SELECT n_id, lcid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
-          FROM ldist) WHERE rn = 1),
-      resid AS (
-        SELECT a.n_id, a.lcid,
-          list_transform(range(1, least(len(x.vec), len(c.l_vec)) + 1),
-            i -> x.vec[i] - c.l_vec[i]) AS rv
-        FROM assign a JOIN v x ON x.vec_id = a.n_id JOIN cent c ON c.lcid = a.lcid),
-      subs AS (SELECT unnest(range(0, 4)) AS sub),
-      cb AS (
-        SELECT sub,
-          CAST(row_number() OVER (PARTITION BY sub ORDER BY n_id) - 1 AS BIGINT) AS cid,
-          rv[sub*16 + 1 : sub*16 + 16] AS c_vec
-        FROM resid CROSS JOIN subs WHERE n_id % 50 = 0),
-      cd AS (
-        SELECT r.n_id, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS d2
-        FROM resid r CROSS JOIN cb b),
-      codes AS (
-        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
-          SELECT n_id, sub, cid,
-            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
-          FROM cd) WHERE rn = 1 GROUP BY n_id),
-      probes AS (
-        SELECT n_id AS q_id, lcid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
-          FROM ldist WHERE n_id < 8) WHERE rn <= 2),
-      qres AS (
-        SELECT p.q_id, p.lcid,
-          list_transform(range(1, least(len(q.vec), len(c.l_vec)) + 1),
-            i -> q.vec[i] - c.l_vec[i]) AS rv
-        FROM probes p JOIN v q ON q.vec_id = p.q_id JOIN cent c ON c.lcid = p.lcid),
-      ld AS (
-        SELECT r.q_id, r.lcid, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS pd
-        FROM qres r CROSS JOIN cb b),
-      lut1 AS (SELECT q_id, lcid, sub, list(pd ORDER BY cid) AS lrow
-               FROM ld GROUP BY q_id, lcid, sub),
-      lut AS (SELECT q_id, lcid, list(lrow ORDER BY sub) AS lut
-              FROM lut1 GROUP BY q_id, lcid),
-      scored AS (
-        SELECT l.q_id, a.n_id,
-          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
-        FROM lut l
-        JOIN assign a ON a.lcid = l.lcid
-        JOIN codes x ON x.n_id = a.n_id
-        WHERE a.n_id <> l.q_id),
-      ranked AS (
-        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
-        FROM scored)
-      SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
-      ORDER BY q_id, rank"""
-
-
-  /** The exact per-dimension drift replay (quantized BIGINT sums over the
-    * %2 base/delta snapshot split of the embeddings corpus) — shared
-    * VERBATIM by q201 (batch) and q257 (the same gauge maintained as a
-    * complete-mode STREAMING aggregation over the delta side). */
-  private val perDimDriftOracle: String = """
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      e AS (
-        SELECT (vec_id % 2 = 0) AS is_base, t.i AS dim,
-          CAST(floor(vec[CAST(t.i AS INT)] * 1000) AS BIGINT) AS q
-        FROM v CROSS JOIN range(1, 65) t(i)),
-      agg AS (
-        SELECT dim,
-          count(*) FILTER (WHERE is_base) AS n_base,
-          count(*) FILTER (WHERE NOT is_base) AS n_delta,
-          CAST(sum(q) FILTER (WHERE is_base) AS BIGINT) AS sum_base,
-          CAST(sum(q) FILTER (WHERE NOT is_base) AS BIGINT) AS sum_delta
-        FROM e GROUP BY 1)
-      SELECT CAST(dim AS INT) AS dim, n_base, n_delta, sum_base, sum_delta,
-        CAST(sum_base AS DOUBLE) / n_base -
-          CAST(sum_delta AS DOUBLE) / n_delta AS shift_milli
-      FROM agg ORDER BY dim"""
-
-  private lazy val catalog: Seq[(String, Q, Option[String])] = Seq(
-
-    // ================================================================
-    // §2.4 A1-A8 aggregation / §2.2 scan-project layer
-    // ================================================================
-
-    ("q01_pricing_agg", (s, dir) => {
-      T(s, dir, "lineitem")
-        .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-            * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
-          count(lit(1)).as("n_rows"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    }, Some("""
-      SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-        COUNT(*) AS n_rows
-      FROM lineitem
-      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
-      GROUP BY l_returnflag, l_linestatus
-      ORDER BY l_returnflag, l_linestatus""")),
-
-    ("q02_filter_project", (s, dir) => {
-      T(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
-          && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz")
-          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
-          && col("l_quantity") < 24)
-        .select(
-          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          (dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-    }, Some("""
-      SELECT l_orderkey, l_linenumber, l_quantity,
-        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS revenue
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
-      ORDER BY l_orderkey, l_linenumber""")),
-
-    ("q03_union", (s, dir) => {
-      val ev = T(s, dir, "events")
-      val kills = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), lit("kill").as("etype"), col("value"))
-      val damages = ev.where(col("event_type") === "error")
-        .select(col("event_id"), col("user_id"), lit("damage").as("etype"), col("value"))
-      kills.unionByName(damages).orderBy(col("event_id"))
-    }, Some("""
-      SELECT event_id, user_id, 'kill' AS etype, value FROM events WHERE event_type = 'purchase'
-      UNION ALL
-      SELECT event_id, user_id, 'damage' AS etype, value FROM events WHERE event_type = 'error'
-      ORDER BY event_id""")),
-
-    // ================================================================
-    // §2.5 joins J1-J5 + §2.6 windows / sort / limit
-    // ================================================================
-
-    ("q04_latest_per_group", (s, dir) => {
-      // max_by hash-agg form: one shuffle, map-side partials, no sort
-      // (ordering (o_orderdate, o_orderkey) is tie-free — orderkey unique)
-      val latest = Scoreboard.latestPerGroupAgg(
-        T(s, dir, "orders"), Seq("o_custkey"),
-        Seq("o_orderdate", "o_orderkey"))
-      latest
-        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .select(
-          col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
-        .orderBy(col("c_custkey"))
-    }, Some("""
-      WITH latest AS (
-        SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-        FROM orders)
-      SELECT c_custkey, c_name, o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS o_date
-      FROM latest JOIN customer ON c_custkey = o_custkey
-      WHERE rn = 1
-      ORDER BY c_custkey""")),
-
-    ("q05_join_const_filter", (s, dir) => {
-      T(s, dir, "events")
-        .join(broadcast(T(s, dir, "customer").where(col("c_custkey") === 7)),
-          col("user_id") === col("c_custkey"))
-        .select(col("event_id"), col("user_id"), col("c_name"), col("value"))
-        .orderBy(col("event_id"))
-    }, Some("""
-      SELECT event_id, user_id, c_name, value
-      FROM events e JOIN customer c ON c.c_custkey = 7
-      WHERE e.user_id = c.c_custkey
-      ORDER BY event_id""")),
-
-    ("q06_cross_join_grid", (s, dir) => {
-      val months = T(s, dir, "orders")
-        .select(date_format(col("o_orderdate"), "yyyy-MM").as("mo")).distinct()
-      val segs = T(s, dir, "customer")
-        .select(col("c_mktsegment").as("seg")).distinct()
-      months.crossJoin(segs).orderBy(col("mo"), col("seg"))
-    }, Some("""
-      SELECT mm.mo, ss.seg
-      FROM (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS mo FROM orders) mm
-      CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) ss
-      ORDER BY mm.mo, ss.seg""")),
-
-    ("q07_left_join_grid", (s, dir) => {
-      val orders = T(s, dir, "orders")
-      val customer = T(s, dir, "customer")
-      val monthly = orders
-        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-        .groupBy(
-          date_format(col("o_orderdate"), "yyyy-MM").as("mo"),
-          col("c_mktsegment").as("seg"))
-        .agg(
-          count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
-      val months = orders.select(date_format(col("o_orderdate"), "yyyy-MM").as("mo")).distinct()
-      val segs = customer.select(col("c_mktsegment").as("seg")).distinct()
-      months.crossJoin(segs)
-        .join(monthly, Seq("mo", "seg"), "left")
-        .select(
-          col("mo"), col("seg"),
-          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
-          coalesce(col("revenue"), lit(0.0)).as("revenue"))
-        .orderBy(col("mo"), col("seg"))
-    }, Some("""
-      WITH monthly AS (
-        SELECT strftime(o_orderdate, '%Y-%m') AS mo, c_mktsegment AS seg,
-               COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY 1, 2)
-      SELECT mm.mo, ss.seg, COALESCE(m.n_orders, 0) AS n_orders, COALESCE(m.revenue, 0.0) AS revenue
-      FROM (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS mo FROM orders) mm
-           CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) ss
-           LEFT JOIN monthly m ON m.mo = mm.mo AND m.seg = ss.seg
-      ORDER BY mm.mo, ss.seg""")),
-
-    ("q08_locf_asof", (s, dir) => {
-      val orders = T(s, dir, "orders")
-      val custs = T(s, dir, "customer").where(col("c_custkey") < 100).select(col("c_custkey"))
-      val monthly = orders
-        .groupBy(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM").as("mo2"))
-        .agg(max(col("o_totalprice")).as("v"))
-      val months = orders.select(date_format(col("o_orderdate"), "yyyy-MM").as("mo")).distinct()
-      val grid = custs.crossJoin(months)
-        .join(monthly,
-          col("c_custkey") === col("o_custkey") && col("mo") === col("mo2"), "left")
-        .select(col("c_custkey"), col("mo"), col("v"))
-      Scoreboard.locf(grid, Seq("c_custkey"), "mo", "v", lit(0.0))
-        .select(col("c_custkey"), col("mo"), col("v").as("locf_value"))
-        .orderBy(col("c_custkey"), col("mo"))
-    }, Some("""
-      WITH monthly AS (
-        SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS mo, MAX(o_totalprice) AS v
-        FROM orders GROUP BY 1, 2),
-      grid AS (
-        SELECT c_custkey, mo
-        FROM (SELECT c_custkey FROM customer WHERE c_custkey < 100)
-             CROSS JOIN (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS mo FROM orders)),
-      joined AS (
-        SELECT g.c_custkey, g.mo, m.v
-        FROM grid g LEFT JOIN monthly m ON m.o_custkey = g.c_custkey AND m.mo = g.mo)
-      SELECT c_custkey, mo,
-        COALESCE(last_value(v IGNORE NULLS) OVER (
-          PARTITION BY c_custkey ORDER BY mo
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS locf_value
-      FROM joined
-      ORDER BY c_custkey, mo""")),
-
-    ("q09_pivot", (s, dir) => {
-      Scoreboard.pivotMatrix(
-        T(s, dir, "events"), "user_id", "event_type",
-        Seq("click", "error", "purchase", "signup", "view"), count(lit(1)))
-        .orderBy(col("user_id"))
-    }, Some("""
-      SELECT user_id,
-        COUNT(*) FILTER (WHERE event_type = 'click') AS click,
-        COUNT(*) FILTER (WHERE event_type = 'error') AS error,
-        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-        COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
-        COUNT(*) FILTER (WHERE event_type = 'view') AS view
-      FROM events GROUP BY user_id ORDER BY user_id""")),
-
-    ("q10_distinct", (s, dir) => {
-      T(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_linestatus")).distinct()
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    }, Some("""
-      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-      ORDER BY l_returnflag, l_linestatus""")),
-
-    ("q11_topk", (s, dir) => {
-      T(s, dir, "customer")
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-        .limit(10)
-    }, Some("""
-      SELECT c_custkey, c_name, c_acctbal FROM customer
-      ORDER BY c_acctbal DESC, c_custkey LIMIT 10""")),
-
-    ("q12_semi_join", (s, dir) => {
-      T(s, dir, "customer")
-        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))
-    }, Some("""
-      SELECT c_custkey, c_name FROM customer
-      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-      ORDER BY c_custkey""")),
-
-    ("q13_anti_join", (s, dir) => {
-      T(s, dir, "customer")
-        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))
-    }, Some("""
-      SELECT c_custkey, c_name FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-      ORDER BY c_custkey""")),
-
-    ("q14_running_total", (s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      T(s, dir, "events")
-        .select(
-          col("user_id"), col("event_id"),
-          sum(dec(col("value"))).over(w).cast("double").as("running_value"))
-        .orderBy(col("user_id"), col("event_id"))
-    }, Some("""
-      SELECT user_id, event_id,
-        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
-          PARTITION BY user_id ORDER BY event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
-      FROM events ORDER BY user_id, event_id""")),
-
-    ("q15_json_agg", (s, dir) => {
-      T(s, dir, "events")
-        .withColumn("k",
-          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
-            .getField("k"))
-        .groupBy(col("event_type"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("k")).as("sum_k"),
-          max(col("k")).as("max_k"),
-          countDistinct(col("k")).as("n_distinct_k"))
-        .orderBy(col("event_type"))
-    }, Some("""
-      WITH j AS (
-        SELECT event_type,
-          CASE WHEN json_valid(props)
-                 AND json_type(json_extract(props, '$.k')) IN ('BIGINT', 'UBIGINT')
-            THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
-        FROM events)
-      SELECT event_type, COUNT(*) AS n,
-        CAST(SUM(k) AS BIGINT) AS sum_k,
-        MAX(k) AS max_k,
-        COUNT(DISTINCT k) AS n_distinct_k
-      FROM j GROUP BY event_type ORDER BY event_type""")),
-
-    // ================================================================
-    // §2.2 P2-P7 the CSV wire-format parsers (ground-truth oracle)
-    // ================================================================
-
-    ("q16_parse_kills", (s, dir) => {
-      val ev = T(s, dir, "events")
-      val lines = ev.select(concat_ws(",",
-        lit("x"),
-        (col("event_id") * 128).cast("string"),
-        (col("user_id") % 19).cast("string"),
-        when(col("event_type") === "purchase",
-          concat(lit("P"), col("user_id").cast("string"))).otherwise(lit("")),
-        concat(lit("S"), col("user_id").cast("string")),
-        lit("x"), lit("x"),
-        when(col("value") > 100, concat(lit("V"), col("user_id").cast("string"))).otherwise(lit("")),
-        concat(lit("T"), col("user_id").cast("string")),
-        lit("x"), lit("x"),
-        when(col("event_type") === "view", concat(lit("A"), col("user_id").cast("string")))
-          .when(col("event_type") === "click", lit("0")).otherwise(lit("")),
-        concat(lit("U"), col("user_id").cast("string"))
-      ).as("value"))
-      GameLogParser.parseKillLines(lines)
-        .orderBy(col("second"), col("eventType"))
-    }, Some("""
-      SELECT ('P' || CAST(user_id AS VARCHAR)) AS player,
-             ('S' || CAST(user_id AS VARCHAR)) AS "steamId",
-             'kill' AS "eventType", event_id AS "second",
-             CAST(0 AS BIGINT) AS amount, user_id % 19 AS round
-      FROM events WHERE event_type = 'purchase'
-      UNION ALL
-      SELECT ('V' || CAST(user_id AS VARCHAR)), ('T' || CAST(user_id AS VARCHAR)),
-             'death', event_id, CAST(0 AS BIGINT), user_id % 19
-      FROM events WHERE value > 100
-      UNION ALL
-      SELECT ('A' || CAST(user_id AS VARCHAR)), ('U' || CAST(user_id AS VARCHAR)),
-             'assist', event_id, CAST(0 AS BIGINT), user_id % 19
-      FROM events WHERE event_type = 'view'
-      ORDER BY "second", "eventType"""")),
-
-    ("q17_parse_damages", (s, dir) => {
-      val ev = T(s, dir, "events")
-      val lines = ev.select(concat_ws(",",
-        lit("x"),
-        (col("event_id") * 128).cast("string"),
-        (col("user_id") % 19).cast("string"),
-        lit("x"), lit("x"),
-        (lit(100) + col("event_id") % 37).cast("string"),
-        (col("event_id") % 29).cast("string"),
-        lit("x"), lit("x"),
-        when(col("event_type") === "error", lit(""))
-          .otherwise(concat(lit("S"), col("user_id").cast("string"))),
-        lit("x")
-      ).as("value"))
-      GameLogParser.parseDamageLines(lines)
-        .orderBy(col("second"))
-    }, Some("""
-      SELECT '' AS player, ('S' || CAST(user_id AS VARCHAR)) AS "steamId",
-             'damage' AS "eventType", event_id AS "second",
-             (100 + event_id % 37) - (event_id % 29) AS amount,
-             user_id % 19 AS round
-      FROM events WHERE event_type IS DISTINCT FROM 'error'
-      ORDER BY "second"""")),
-
-    ("q18_enrich_backfill", (s, dir) => {
-      val stats = T(s, dir, "events")
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-        .withColumn("playerName",
-          when(col("user_id") % 3 === 0, lit(""))
-            .otherwise(concat(lit("U"), col("user_id").cast("string"))))
-        .withColumn("steamId", col("user_id").cast("string"))
-      val dim = T(s, dir, "customer")
-        .select(col("c_custkey").cast("string").as("steamId"), col("c_name").as("name"))
-      Enrich.backfillName(stats, dim)
-        .select(col("user_id"), col("n"), col("playerName"))
-        .orderBy(col("user_id"))
-    }, Some("""
-      WITH stats AS (
-        SELECT user_id, COUNT(*) AS n,
-          CASE WHEN user_id % 3 = 0 THEN '' ELSE ('U' || CAST(user_id AS VARCHAR)) END AS pn
-        FROM events GROUP BY user_id)
-      SELECT s.user_id, s.n,
-        CASE WHEN s.pn = '' THEN COALESCE(c.c_name, '') ELSE s.pn END AS "playerName"
-      FROM stats s LEFT JOIN customer c ON CAST(c.c_custkey AS VARCHAR) = CAST(s.user_id AS VARCHAR)
-      ORDER BY s.user_id""")),
-
-    // ================================================================
-    // §2.4 A2-A5: the stateful engine, replayed through REAL Structured
-    // Streaming (file source → mapGroupsWithState → memory sink)
-    // ================================================================
-
-    ("q19_stream_stats", (s, dir) => {
-      import s.implicits._
-      val game = gameEvents(T(s, dir, "events"))
-      // VERIFICATION-HARNESS BOUNDARY: this entry materializes the streaming
-      // result on the driver (memory sink + collect + createDataFrame) —
-      // the only way to hand a STREAMING result to the batch oracle compare.
-      // It would not survive 100×; the PRODUCTION path is
-      // `statefulPlayerStats → Sinks.historizedSink`, which is fully
-      // distributed (foreachBatch append, no driver materialization) and is
-      // what `SourcesSinksSpec`/`RecoverySpec` exercise.
-      // The file-stream source needs a DIRECTORY: stage the derived events as
-      // one parquet file (1 file ⇒ 1 AvailableNow micro-batch) — once per
-      // JVM via Staging (harness setup, not operator work) — then tear the
-      // memory-sink view down once the result is materialized.
-      val tmp = graft.util.Staging.dir("q19_events", dir) { p =>
-        game.coalesce(1).write.mode("overwrite").parquet(p)
-      }
-      val qname = "graft_stream_stats"
-      // State-store count == shuffle partitions at query start; 8 stores is
-      // plenty for this key space and far less per-store setup than 32.
-      // The pin lives in an isolated child session — parent never mutated.
-      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "8")
-      val (schema, rows) = {
-          val stream = s2.readStream.schema(game.schema).parquet(tmp).as[Event]
-          val q = PlayerStatsEngine.statefulPlayerStats(stream)
-            .writeStream.outputMode("update").format("memory").queryName(qname)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          val out = s2.table(qname)
-          // keep each key's last emitted (cumulative-complete) row — robust
-          // even if the source were split into several micro-batches: the
-          // CUMULATIVE counter total is the monotone selector (`second` is
-          // batch-scoped and can shrink in a later batch)
-          val w = Window.partitionBy(col("steamId"))
-            .orderBy(
-              (col("kills") + col("deaths") + col("assists") + col("damage")).desc,
-              col("second").desc)
-          val res = out
-            .withColumn("rn", row_number().over(w))
-            // `second` itself is batch-scoped: the cumulative-complete row of
-            // a later batch can carry a SMALLER second than an earlier
-            // batch's. The oracle's second is the global max per key — take
-            // it across every emitted row so a multi-batch split still
-            // matches.
-            .withColumn("second",
-              max(col("second")).over(Window.partitionBy(col("steamId"))))
-            .where(col("rn") === 1).drop("rn")
-          val r = (res.schema, res.collect())
-          s2.catalog.dropTempView(qname) // the memory sink's backing view
-          r
-        }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .orderBy(col("steamId"))
-    }, Some("""
-      WITH ev AS (
-        SELECT ('S' || CAST(user_id AS VARCHAR)) AS sid,
-               CASE WHEN event_type = 'purchase' THEN ('P' || CAST(user_id AS VARCHAR)) ELSE '' END AS pname,
-               CASE event_type WHEN 'purchase' THEN 'kill' WHEN 'error' THEN 'death'
-                    WHEN 'signup' THEN 'assist' ELSE 'damage' END AS et,
-               event_id AS sec, event_id % 97 AS amt, 1 + user_id % 19 AS rnd
-        FROM events),
-      agg AS (
-        SELECT sid,
-          COALESCE(MAX(CASE WHEN pname <> '' THEN pname END), '') AS pn,
-          GREATEST(MAX(sec), 0) AS sec,
-          COUNT(*) FILTER (WHERE et = 'kill') AS kills,
-          COUNT(*) FILTER (WHERE et = 'death') AS deaths,
-          COUNT(*) FILTER (WHERE et = 'assist') AS assists,
-          CAST(COALESCE(SUM(amt) FILTER (WHERE et = 'damage'), 0) AS BIGINT) AS damage,
-          GREATEST(MAX(rnd), 0) AS rnd
-        FROM ev GROUP BY sid)
-      SELECT pn AS "playerName", sid AS "steamId", sec AS "second",
-             kills, deaths, assists, damage,
-             CASE WHEN deaths = 0 THEN CAST(kills AS DOUBLE)
-                  ELSE CAST(kills AS DOUBLE) / deaths END AS "kdRatio",
-             CAST(damage AS DOUBLE) / rnd AS "damagePerRound"
-      FROM agg ORDER BY "steamId"""")),
-
-    // q19's gate on Spark 4's transformWithState — the modern
-    // arbitrary-state API (named RocksDB-backed state, store-managed TTL)
-    // replayed REAL-streaming end-to-end against the SAME batch oracle, so
-    // both stateful APIs carry identical semantics under the driver's
-    // hash compare. The RocksDB provider is set for the query (TWS rejects
-    // the default HDFS-backed store) and restored after.
-    ("q199_tws_stream_stats", (s, dir) => {
-      import s.implicits._
-      val game = gameEvents(T(s, dir, "events"))
-      // VERIFICATION-HARNESS BOUNDARY (q19's convention): memory sink +
-      // collect hand the streaming result to the batch oracle; production
-      // writes through the distributed sinks.
-      // same staged content as q19 (same derive + coalesce(1)) — share it
-      val tmp = graft.util.Staging.dir("q19_events", dir) { p =>
-        game.coalesce(1).write.mode("overwrite").parquet(p)
-      }
-      val qname = "graft_tws_stats"
-      val s2 = isolated(s,
-        "spark.sql.shuffle.partitions" -> "8",
-        "spark.sql.streaming.stateStore.providerClass" ->
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val (schema, rows) = {
-          val stream = s2.readStream.schema(game.schema).parquet(tmp).as[Event]
-          val q = PlayerStatsEngine.statefulPlayerStatsTws(stream)
-            .writeStream.outputMode("update").format("memory").queryName(qname)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          val out = s2.table(qname)
-          // last cumulative-complete row per key (q19's multi-batch-robust
-          // selector): the counter total is the monotone signal
-          val w = Window.partitionBy(col("steamId"))
-            .orderBy(
-              (col("kills") + col("deaths") + col("assists") + col("damage")).desc,
-              col("second").desc)
-          val res = out
-            .withColumn("rn", row_number().over(w))
-            .withColumn("second",
-              max(col("second")).over(Window.partitionBy(col("steamId"))))
-            .where(col("rn") === 1).drop("rn")
-          val r = (res.schema, res.collect())
-          s2.catalog.dropTempView(qname)
-          r
-        }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .orderBy(col("steamId"))
-    }, Some("""
-      WITH ev AS (
-        SELECT ('S' || CAST(user_id AS VARCHAR)) AS sid,
-               CASE WHEN event_type = 'purchase' THEN ('P' || CAST(user_id AS VARCHAR)) ELSE '' END AS pname,
-               CASE event_type WHEN 'purchase' THEN 'kill' WHEN 'error' THEN 'death'
-                    WHEN 'signup' THEN 'assist' ELSE 'damage' END AS et,
-               event_id AS sec, event_id % 97 AS amt, 1 + user_id % 19 AS rnd
-        FROM events),
-      agg AS (
-        SELECT sid,
-          COALESCE(MAX(CASE WHEN pname <> '' THEN pname END), '') AS pn,
-          GREATEST(MAX(sec), 0) AS sec,
-          COUNT(*) FILTER (WHERE et = 'kill') AS kills,
-          COUNT(*) FILTER (WHERE et = 'death') AS deaths,
-          COUNT(*) FILTER (WHERE et = 'assist') AS assists,
-          CAST(COALESCE(SUM(amt) FILTER (WHERE et = 'damage'), 0) AS BIGINT) AS damage,
-          GREATEST(MAX(rnd), 0) AS rnd
-        FROM ev GROUP BY sid)
-      SELECT pn AS "playerName", sid AS "steamId", sec AS "second",
-             kills, deaths, assists, damage,
-             CASE WHEN deaths = 0 THEN CAST(kills AS DOUBLE)
-                  ELSE CAST(kills AS DOUBLE) / deaths END AS "kdRatio",
-             CAST(damage AS DOUBLE) / rnd AS "damagePerRound"
-      FROM agg ORDER BY "steamId"""")),
-
-    ("q20_batch_stats_twin", (s, dir) => {
-      PlayerStatsEngine.batchPlayerStats(gameEvents(T(s, dir, "events")))
-        .orderBy(col("steamId"))
-    }, Some("""
-      WITH ev AS (
-        SELECT ('S' || CAST(user_id AS VARCHAR)) AS sid,
-               CASE WHEN event_type = 'purchase' THEN ('P' || CAST(user_id AS VARCHAR)) ELSE '' END AS pname,
-               CASE event_type WHEN 'purchase' THEN 'kill' WHEN 'error' THEN 'death'
-                    WHEN 'signup' THEN 'assist' ELSE 'damage' END AS et,
-               event_id AS sec, event_id % 97 AS amt, 1 + user_id % 19 AS rnd
-        FROM events),
-      agg AS (
-        SELECT sid,
-          COALESCE(MAX(CASE WHEN pname <> '' THEN pname END), '') AS pn,
-          GREATEST(MAX(sec), 0) AS sec,
-          COUNT(*) FILTER (WHERE et = 'kill') AS kills,
-          COUNT(*) FILTER (WHERE et = 'death') AS deaths,
-          COUNT(*) FILTER (WHERE et = 'assist') AS assists,
-          CAST(COALESCE(SUM(amt) FILTER (WHERE et = 'damage'), 0) AS BIGINT) AS damage,
-          GREATEST(MAX(rnd), 0) AS rnd
-        FROM ev GROUP BY sid)
-      SELECT pn AS "playerName", sid AS "steamId", sec AS "second",
-             kills, deaths, assists, damage,
-             CASE WHEN deaths = 0 THEN CAST(kills AS DOUBLE)
-                  ELSE CAST(kills AS DOUBLE) / deaths END AS "kdRatio",
-             CAST(damage AS DOUBLE) / rnd AS "damagePerRound"
-      FROM agg ORDER BY "steamId"""")),
-
-    // ================================================================
-    // Extension surface: dedup
-    // ================================================================
-
-    ("q21_dedup_exact", (s, dir) => {
-      Dedup.exactDupGroups(
-        T(s, dir, "documents"), "doc_id", md5(col("text").cast("binary")))
-        .orderBy(col("dup_key"))
-    }, Some("""
-      SELECT md5(text) AS dup_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-      FROM documents GROUP BY md5(text) ORDER BY dup_key""")),
-
-    ("q22_dedup_fingerprint", (s, dir) => {
-      Dedup.exactDupGroups(
-        T(s, dir, "documents"), "doc_id", TextAnalysis.fingerprintBag(col("text")))
-        .orderBy(col("dup_key"))
-    }, Some("""
-      SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS dup_key,
-             MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-      FROM documents GROUP BY 1 ORDER BY dup_key""")),
-
-    ("q23_minhash_lsh", (s, dir) => {
-      Dedup.minhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("id_a"), col("id_b"))
-    }, Some("""
-      WITH docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs),
-      mh AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mh GROUP BY doc_id, p // 4)
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-      ORDER BY id_a, id_b""")),
-
-    ("q24_simhash", (s, dir) => {
-      Dedup.simhashTable(T(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))
-    }, Some("""
-      SELECT doc_id,
-        CAST(list_sum(list_transform(range(0, 48), b ->
-          CASE WHEN list_sum(list_transform(string_split(text, ' '), w ->
-                 2 * ((('0x' || substr(md5(w), 1, 12))::BIGINT >> b) & 1) - 1)) > 0
-               THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
-      FROM documents ORDER BY doc_id""")),
-
-    ("q25_ngram_jaccard", (s, dir) => {
-      // collapsed form (q161's discipline, proven result-identical by
-      // DedupSpec law + this unchanged oracle): exact-dup classes never
-      // reach the inverted index, the clique re-expands at output time
-      Dedup.ngramJaccardPairsCollapsed(T(s, dir, "documents"), "doc_id", "text",
-          Seq("lang"), 0.12)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
-    }, Some("""
-      WITH docs AS (
-        SELECT doc_id, lang,
-          list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END) AS sh
-        FROM documents),
-      pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          len(list_intersect(a.sh, b.sh)) AS inter,
-          len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
-        FROM docs a JOIN docs b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-      SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
-      FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.12
-      ORDER BY id_a, id_b""")),
-
-    ("q26_cosine_dup_pairs", (s, dir) => {
-      Similarity.cosineDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.2)
-        .orderBy(col("id_a"), col("id_b"))
-    }, Some("""
-      WITH b AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-          CAST(list_sum(list_transform(range(0, 8), i ->
-            CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
-        FROM embeddings),
-      pairs AS (
-        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-          list_sum(list_transform(range(1, least(len(a.v), len(c.v)) + 1), i -> a.v[i] * c.v[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS sim
-        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
-      SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.2
-      ORDER BY id_a, id_b""")),
-
-    // ================================================================
-    // Extension surface: similarity search
-    // ================================================================
-
-    ("q27_cosine_topk", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.bruteForceTopK(
-        emb.where(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding", 3)
-        .orderBy(col("q_id"), col("rank"))
-    }, Some("""
-      WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-      c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
-      scored AS (
-        SELECT q_id, n_id,
-          list_sum(list_transform(range(1, least(len(qv), len(nv)) + 1), i -> qv[i] * nv[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
-        FROM q CROSS JOIN c WHERE n_id <> q_id),
-      ranked AS (
-        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
-        FROM scored)
-      SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
-      ORDER BY q_id, rank""")),
-
-    // AUDIT STRAWMAN — NOT the production index. Single-table sign-LSH
-    // measures recall@3 ≈ 0.03 on these embeddings (q164's audit); it is
-    // kept in the catalog solely as q164's negative baseline so the recall
-    // gap stays measured. Production ANN is q175 (multiProbeTopK — no
-    // training, recall ≈ 0.87) or q35 (ivfTopK — data-dependent lists,
-    // recall ≈ 0.7). Do not ship this index.
-    ("q28_ann_bucketed", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.bucketedTopK(
-        emb.where(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding", 3)
-        .orderBy(col("q_id"), col("rank"))
-    }, Some("""
-      WITH b AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-          CAST(list_sum(list_transform(range(0, 8), i ->
-            CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
-        FROM embeddings),
-      scored AS (
-        SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS n_id,
-          list_sum(list_transform(range(1, least(len(q.v), len(c.v)) + 1), i -> q.v[i] * c.v[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS sim
-        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-        WHERE q.vec_id < 10),
-      ranked AS (
-        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
-        FROM scored)
-      SELECT q_id, bucket, rank, n_id, sim FROM ranked WHERE rank <= 3
-      ORDER BY q_id, rank""")),
-
-    // ================================================================
-    // Extension surface: text analysis + multimodal metadata
-    // ================================================================
-
-    ("q29_langid", (s, dir) => {
-      // two projections: the marker-filter scores evaluate ONCE, and the
-      // argmax reads the projected score_* columns (Catalyst keeps the
-      // projects separate because the scores are non-cheap and multiply
-      // referenced)
-      T(s, dir, "documents")
-        .select(
-          (col("doc_id") +: col("lang").as("actual_lang") +:
-            TextAnalysis.langScores("text")): _*)
-        .select(col("*"),
-          TextAnalysis.predictedLang("text", l => col(s"score_$l")).as("pred_lang"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH scored AS (
-        SELECT doc_id, lang AS actual_lang,
-          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['der','die','das','und'], w))) AS BIGINT) AS score_de,
-          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and'], w))) AS BIGINT) AS score_en,
-          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['el','la','los','que'], w))) AS BIGINT) AS score_es,
-          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['le','la','les','et'], w))) AS BIGINT) AS score_fr,
-          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['de5','shi4','le5','zai4'], w))) AS BIGINT) AS score_zh
-        FROM documents)
-      SELECT doc_id, actual_lang, score_de, score_en, score_es, score_fr, score_zh,
-        CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
-             WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
-             WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
-             WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
-             WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
-             ELSE 'zh' END AS pred_lang
-      FROM scored ORDER BY doc_id""")),
-
-    ("q30_text_quality", (s, dir) => {
-      T(s, dir, "documents")
-        .select(col("doc_id") +: TextAnalysis.qualityColumns("text", "n_chars"): _*)
-        .orderBy(col("doc_id"))
-    }, Some("""
-      SELECT doc_id,
-        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-        CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and','to','in'], w))) AS BIGINT) AS n_stopwords,
-        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS distinct_ratio,
-        CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and','to','in'], w))) AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
-        CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len
-      FROM documents ORDER BY doc_id""")),
-
-    ("q31_token_count", (s, dir) => {
-      T(s, dir, "documents")
-        .groupBy(col("source"))
-        .agg(
-          sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"),
-          sum(TextAnalysis.regexTokenCount("text").cast("long")).as("re_tokens"))
-        .orderBy(col("source"))
-    }, Some("""
-      SELECT source,
-        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
-        CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens
-      FROM documents GROUP BY source ORDER BY source""")),
-
-    ("q32_multimodal_meta", (s, dir) => {
-      T(s, dir, "documents")
-        .select(col("doc_id") +: Multimodal.metadataColumns("text"): _*)
-        .orderBy(col("doc_id"))
-    }, Some("""
-      SELECT doc_id,
-        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        hex(encode(substr(text, 1, 4))) AS head_hex,
-        CAST(ascii(text) AS BIGINT) AS first_byte
-      FROM documents ORDER BY doc_id""")),
-
-    // ================================================================
-    // §2.9 / queries.sql:30-69 — the reference's FULL pivoted view as one
-    // composite plan: sparse history → dense grid (DISTINCT + CROSS JOIN)
-    // → LEFT JOIN → LOCF window → 10-column pivot → ORDER BY
-    // ================================================================
-
-    ("q33_scoreboard_matrix", (s, dir) => {
-      val ev = T(s, dir, "events")
-      val hist = ev.where(col("event_type") === "purchase")
-        .groupBy(
-          (col("event_id") % 40).as("sec"),
-          (col("user_id") % 10 + 1).as("pid"))
-        .agg(max(dec(col("value"))).cast("double").as("v"))
-      val secs = ev.select((col("event_id") % 40).as("sec")).distinct()
-      val players = s.range(1, 11).select(
-        col("id").as("pid"), concat(lit("p"), col("id")).as("plabel"))
-      val grid = secs.crossJoin(broadcast(players))
-      val joined = grid.join(hist, Seq("sec", "pid"), "left")
-      val filled = Scoreboard.locf(joined, Seq("pid"), "sec", "v", lit(0.0))
-      Scoreboard.pivotMatrix(
-        filled, "sec", "plabel", (1 to 10).map("p" + _), first(col("v")),
-        floor = Some(lit(0.0))) // queries.sql's ELSE-0 clamp
-        .orderBy(col("sec"))
-    }, Some("""
-      WITH hist AS (
-        SELECT event_id % 40 AS sec, user_id % 10 + 1 AS pid,
-               CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
-        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
-      secs AS (SELECT DISTINCT event_id % 40 AS sec FROM events),
-      players AS (SELECT unnest(generate_series(1, 10)) AS pid),
-      grid AS (SELECT s.sec, p.pid FROM secs s CROSS JOIN players p),
-      joined AS (
-        SELECT g.sec, g.pid, h.v
-        FROM grid g LEFT JOIN hist h ON h.sec = g.sec AND h.pid = g.pid),
-      filled AS (
-        SELECT sec, pid,
-          COALESCE(last_value(v IGNORE NULLS) OVER (
-            PARTITION BY pid ORDER BY sec
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v
-        FROM joined)
-      SELECT sec,
-        GREATEST(MAX(v) FILTER (WHERE pid = 1), 0) AS p1, GREATEST(MAX(v) FILTER (WHERE pid = 2), 0) AS p2,
-        GREATEST(MAX(v) FILTER (WHERE pid = 3), 0) AS p3, GREATEST(MAX(v) FILTER (WHERE pid = 4), 0) AS p4,
-        GREATEST(MAX(v) FILTER (WHERE pid = 5), 0) AS p5, GREATEST(MAX(v) FILTER (WHERE pid = 6), 0) AS p6,
-        GREATEST(MAX(v) FILTER (WHERE pid = 7), 0) AS p7, GREATEST(MAX(v) FILTER (WHERE pid = 8), 0) AS p8,
-        GREATEST(MAX(v) FILTER (WHERE pid = 9), 0) AS p9, GREATEST(MAX(v) FILTER (WHERE pid = 10), 0) AS p10
-      FROM filled GROUP BY sec ORDER BY sec""")),
-
-    // ================================================================
-    // Streaming-native extension ops, batch-verified: event-time tumbling
-    // window and gap sessionization
-    // ================================================================
-
-    ("q34_event_time_window", (s, dir) => {
-      // ts is nanosecond epoch (read as long); integer-divide to micros so
-      // the hour truncation is exact, then the standard tumbling window.
-      T(s, dir, "events")
-        .select(
-          timestamp_micros(expr("ts div 1000")).as("t"),
-          col("event_type"), dec(col("value")).as("v"))
-        .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("sum_value"))
-        .select(
-          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-          col("event_type"), col("n"), col("sum_value"))
-        .orderBy(col("w_start"), col("event_type"))
-    }, Some("""
-      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
-             event_type, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    ("q35_ivf_ann", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val centroids = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cid"), col("embedding"))
-      Similarity.ivfTopK(
-        emb.where(col("vec_id") < 5), emb, centroids,
-        "vec_id", "vec_id", "cid", "embedding", k = 3, nprobe = 2)
-        .orderBy(col("q_id"), col("rank"))
-    }, Some("""
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      cent AS (SELECT vec_id AS cid, vec AS c_vec FROM v WHERE vec_id % 100 = 0),
-      cosd AS (
-        SELECT a.vec_id AS n_id, a.vec AS n_vec, c.cid,
-          list_sum(list_transform(range(1, least(len(a.vec), len(c.c_vec)) + 1), i -> a.vec[i] * c.c_vec[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(c.c_vec) + 1), i -> c.c_vec[i] * c.c_vec[i])))) AS c_sim
-        FROM v a CROSS JOIN cent c),
-      lists AS (
-        SELECT n_id, n_vec, cid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_sim DESC, cid) AS rn
-          FROM cosd) WHERE rn = 1),
-      probes AS (
-        SELECT n_id AS q_id, n_vec AS q_vec, cid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_sim DESC, cid) AS rn
-          FROM cosd WHERE n_id < 5) WHERE rn <= 2),
-      scored AS (
-        SELECT p.q_id, l.n_id,
-          list_sum(list_transform(range(1, least(len(p.q_vec), len(l.n_vec)) + 1), i -> p.q_vec[i] * l.n_vec[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(p.q_vec) + 1), i -> p.q_vec[i] * p.q_vec[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(l.n_vec) + 1), i -> l.n_vec[i] * l.n_vec[i])))) AS sim
-        FROM probes p JOIN lists l ON l.cid = p.cid AND l.n_id <> p.q_id),
-      ranked AS (
-        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
-        FROM scored)
-      SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
-      ORDER BY q_id, rank""")),
-
-    ("q36_sessionize", (s, dir) => {
-      // 30-minute gap sessions. Event time is truncated to MICROseconds on
-      // both sides (DuckDB's timestamp arithmetic is µs-resolution even for
-      // TIMESTAMP_NS parquet), so the oracle compares exactly.
-      Sessionize.sessionize(
-        T(s, dir, "events")
-          .select(col("user_id"), expr("ts div 1000").as("tus")),
-        Seq("user_id"), "tus", gap = 1800L * 1000 * 1000)
-        .orderBy(col("user_id"), col("session_id"))
-    }, Some("""
-      WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
-      m AS (
-        SELECT user_id, tus,
-          CASE WHEN LAG(tus) OVER w IS NULL
-                 OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
-        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
-      sid AS (
-        SELECT user_id, tus,
-          CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        FROM m)
-      SELECT user_id, session_id, MIN(tus) AS start_time, MAX(tus) AS end_time,
-             COUNT(*) AS n_events
-      FROM sid GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    ("q37_tfidf", (s, dir) => {
-      TextAnalysis.tfIdf(T(s, dir, "documents"), "doc_id", "text", 3)
-        .orderBy(col("doc_id"), col("rank"))
-    }, Some("""
-      WITH terms AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
-      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-      scored AS (
-        SELECT t.doc_id, t.term, t.tf, d.df,
-          CAST(t.tf AS DOUBLE) * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / d.df) AS score
-        FROM tf t JOIN dfreq d USING (term)),
-      ranked AS (
-        SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
-        FROM scored)
-      SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 3
-      ORDER BY doc_id, rank""")),
-
-    ("q38_rolling_fingerprint", (s, dir) => {
-      Dedup.exactDupGroups(
-        TextAnalysis.rollingHashTable(T(s, dir, "documents"), "doc_id", "text"),
-        "doc_id", col("rolling_hash"))
-        .orderBy(col("dup_key"))
-    }, Some(s"""
-      WITH rh AS (
-        SELECT doc_id,
-          list_reduce(
-            list_transform(string_split(text, ' '),
-              w -> ('0x' || substr(md5(w), 1, 12))::BIGINT % 2147483647),
-            (acc, h) -> (acc * 1000003 + h) % 2147483647) AS dup_key
-        FROM documents)
-      SELECT dup_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-      FROM rh GROUP BY 1 ORDER BY dup_key""")),
-
-    ("q40_vector_norms", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      // norm once per output column (unit_first divides by the norm
-      // directly — l2Normalize would re-fold the norm per array element)
-      emb.select(
-        col("vec_id"),
-        Similarity.l2Norm(col("embedding")).as("l2_norm"),
-        (element_at(col("embedding").cast("array<double>"), 1) /
-          Similarity.l2Norm(col("embedding"))).as("unit_first"))
-        .orderBy(col("vec_id"))
-    }, Some("""
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      n AS (
-        SELECT vec_id, vec,
-          sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * vec[i]))) AS l2_norm
-        FROM v)
-      SELECT vec_id, l2_norm, vec[1] / l2_norm AS unit_first
-      FROM n ORDER BY vec_id""")),
-
-    // Transitive dedup clusters: minhash-LSH candidate pairs → connected
-    // components (iterative min-label propagation) → one keeper per
-    // component. Oracle replicates the label fixpoint with a recursive
-    // reachability CTE (component min = min over reachable ids).
-    ("q41_dedup_clusters", (s, dir) => {
-      val pairs = Dedup.minhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text")
-      Dedup.connectedComponents(pairs, "id_a", "id_b")
-        .select(
-          col("id").as("doc_id"), col("cluster_id"),
-          (col("id") === col("cluster_id")).as("is_keeper"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH RECURSIVE docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs),
-      mh AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mh GROUP BY doc_id, p // 4),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION SELECT id_b, id_a FROM pairs),
-      reach AS (
-        SELECT src AS id, src AS label FROM edges
-        UNION
-        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
-      SELECT id AS doc_id, min(label) AS cluster_id,
-             (id = min(label)) AS is_keeper
-      FROM reach GROUP BY id ORDER BY doc_id""")),
-
-    // Deterministic keyed hash-sample: reproducible (engine/partitioning/
-    // seed-independent) 5% sample of ORDERS — every lineitem of a sampled
-    // order survives together; nested (5% ⊂ 10%); pure codegen filter at
-    // the scan, no shuffle added.
-    ("q42_hash_sample", (s, dir) => {
-      Sampling.hashSample(T(s, dir, "lineitem"), col("l_orderkey"), 5)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
-        .orderBy(col("l_returnflag"))
-    }, Some("""
-      SELECT l_returnflag,
-             count(*) AS n_rows,
-             count(DISTINCT l_orderkey) AS n_orders,
-             sum(l_quantity::DECIMAL(12,2))::DOUBLE AS sum_qty
-      FROM lineitem
-      WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 12))::BIGINT % 100 < 5
-      GROUP BY 1 ORDER BY 1""")),
-
-    // Class-balanced downsample: ≤20 docs per language in deterministic
-    // pseudorandom (id-hash) order — the unbiased-but-reproducible per-class
-    // cap a balanced training mix needs.
-    ("q43_balanced_sample", (s, dir) => {
-      Sampling.balancedSample(T(s, dir, "documents"), Seq("lang"), col("doc_id"), 20)
-        .select(col("lang"), col("doc_id"), col("sample_rank"))
-        .orderBy(col("lang"), col("sample_rank"))
-    }, Some("""
-      WITH ranked AS (
-        SELECT lang, doc_id,
-          CAST(row_number() OVER (PARTITION BY lang
-            ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT, doc_id)
-            AS INT) AS sample_rank
-        FROM documents)
-      SELECT lang, doc_id, sample_rank FROM ranked
-      WHERE sample_rank <= 20 ORDER BY lang, sample_rank""")),
-
-    // Sliding token-window chunking (32-token chunks, 8-token overlap):
-    // 1→n row generation in one codegen projection, no shuffle.
-    ("q44_chunk_docs", (s, dir) => {
-      TextAnalysis.chunkByTokens(T(s, dir, "documents"), "doc_id", "text", 32, 8)
-        .orderBy(col("doc_id"), col("chunk_idx"))
-    }, Some("""
-      WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks,
-               len(string_split(text, ' ')) AS n
-        FROM documents),
-      s AS (
-        SELECT doc_id, toks, n,
-               unnest(generate_series(0, greatest(n - 1 - 8, 0), 24)) AS start
-        FROM t)
-      SELECT doc_id,
-             CAST(start // 24 AS INT) AS chunk_idx,
-             array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text,
-             CAST(least(32, n - start) AS INT) AS chunk_tokens
-      FROM s ORDER BY doc_id, chunk_idx""")),
-
-    // End-to-end corpus dedup: LSH pairs → components → keep the LONGEST
-    // doc per duplicate class (ties → lowest id); non-colliding docs
-    // survive as singletons.
-    ("q46_dedup_corpus", (s, dir) => {
-      Dedup.dedupCorpus(T(s, dir, "documents"), "doc_id", "text", col("n_chars"))
-        .select(col("doc_id"), col("cluster_id"), col("n_chars"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH RECURSIVE docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs),
-      mh AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mh GROUP BY doc_id, p // 4),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION SELECT id_b, id_a FROM pairs),
-      reach AS (
-        SELECT src AS id, src AS label FROM edges
-        UNION
-        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-      clusters AS (
-        SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
-      joined AS (
-        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
-        FROM documents d LEFT JOIN clusters c USING (doc_id)),
-      ranked AS (
-        SELECT *, row_number() OVER (
-          PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
-        FROM joined)
-      SELECT doc_id, cluster_id, n_chars FROM ranked
-      WHERE rn = 1 ORDER BY doc_id""")),
-
-    // Fixed-width histogram per group: price distribution of lineitem by
-    // return flag, one hash aggregation.
-    ("q50_histogram", (s, dir) => {
-      ext.Profiling.histogram(
-        T(s, dir, "lineitem"), col("l_extendedprice"), 10000.0, Seq("l_returnflag"))
-        .orderBy(col("l_returnflag"), col("bin"))
-    }, Some("""
-      SELECT l_returnflag,
-             CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin,
-             count(*) AS n,
-             CAST(min(l_extendedprice) AS DOUBLE) AS bin_min,
-             CAST(max(l_extendedprice) AS DOUBLE) AS bin_max
-      FROM lineitem
-      GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // Int8 scalar quantization of the embedding column: per-vector scale,
-    // code sum (integer-exact), max reconstruction error, and the cosine
-    // between original and dequantized vector — the compression-fidelity
-    // audit a 100 TB embedding store runs before switching storage.
-    ("q49_quantize_int8", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val withScale = emb.withColumn("scale", ext.Quantize.int8Scale(col("embedding")))
-      val withCodes = withScale.withColumn(
-        "codes", ext.Quantize.int8Codes(col("embedding"), col("scale")))
-      // dequantize ONCE and share it: error and cosine both consume it, and
-      // Catalyst does not dedupe repeated lambda subtrees
-      withCodes
-        .withColumn("deq", ext.Quantize.dequantize(col("codes"), col("scale")))
-        .select(
-          col("vec_id"),
-          col("scale"),
-          aggregate(col("codes"), lit(0L), (a, x) => a + x.cast("long")).as("code_sum"),
-          ext.Quantize.reconError(col("embedding"), col("deq")).as("max_err"),
-          Similarity.cosine(col("embedding"), col("deq")).as("recon_cos"))
-        .orderBy(col("vec_id"))
-    }, Some("""
-      WITH v AS (
-        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      s AS (
-        SELECT vec_id, vec,
-          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
-        FROM v),
-      q AS (
-        SELECT vec_id, vec, scale,
-          CASE WHEN scale = 0
-            THEN list_transform(vec, x -> CAST(0 AS BIGINT))
-            ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
-        FROM s),
-      d AS (
-        SELECT vec_id, vec, scale, codes,
-          list_transform(codes, c -> c * scale) AS deq
-        FROM q)
-      SELECT vec_id, scale,
-        CAST(list_sum(codes) AS BIGINT) AS code_sum,
-        coalesce(list_max(list_transform(range(1, len(vec) + 1), i -> abs(vec[i] - deq[i]))), 0)
-          AS max_err,
-        list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * deq[i])) /
-          (sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * vec[i]))) *
-           sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> deq[i] * deq[i])))) AS recon_cos
-      FROM d ORDER BY vec_id""")),
-
-    // Incremental dedup: docs with doc_id > 350 play the nightly batch,
-    // the rest the persisted corpus index — candidate (new, corpus) pairs
-    // via one equi-join on the (band, sig) bucket key.
-    ("q47_incremental_dedup", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val corpus = Dedup.minhashBuckets(docs.where(col("doc_id") <= 350), "doc_id", "text")
-      val fresh = Dedup.minhashBuckets(docs.where(col("doc_id") > 350), "doc_id", "text")
-      Dedup.minhashIncrementPairs(fresh, corpus, "doc_id")
-        .orderBy(col("new_id"), col("corpus_id"))
-    }, Some("""
-      WITH docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs),
-      mh AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mh GROUP BY doc_id, p // 4)
-      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
-      FROM sigs n JOIN sigs c ON n.band = c.band AND n.sig = c.sig
-      WHERE n.doc_id > 350 AND c.doc_id <= 350
-      ORDER BY new_id, corpus_id""")),
-
-    // Deterministic weighted training mix: 30% of one source, 60% of
-    // another, keyed hash selection — reproducible and nested.
-    ("q48_weighted_mix", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val webish = Seq("src0", "src1", "src2")
-      val a = docs.where(col("source").isin(webish: _*))
-        .select(col("doc_id"), col("lang"), lit("web").as("mix_src"))
-      val b = docs.where(!col("source").isin(webish: _*))
-        .select(col("doc_id"), col("lang"), lit("rest").as("mix_src"))
-      Sampling.weightedMix(Seq((a, col("doc_id"), 30), (b, col("doc_id"), 60)))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      SELECT doc_id, lang, 'web' AS mix_src FROM documents
-      WHERE source IN ('src0', 'src1', 'src2')
-        AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 < 30
-      UNION ALL
-      SELECT doc_id, lang, 'rest' AS mix_src FROM documents
-      WHERE source NOT IN ('src0', 'src1', 'src2')
-        AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 < 60
-      ORDER BY doc_id""")),
-
-    // Dataset profiling: row/null/distinct counts + min/max for several
-    // columns in ONE aggregation over ONE scan (tall output, one row per
-    // column).
-    ("q45_profile", (s, dir) => {
-      graft.ext.Profiling.profile(
-        T(s, dir, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
-        .orderBy(col("column"))
-    }, Some("""
-      WITH one AS (
-        SELECT
-          count(*) AS n,
-          count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS null_ok,
-          count(DISTINCT o_orderkey) AS dist_ok,
-          CAST(min(o_orderkey) AS VARCHAR) AS min_ok, CAST(max(o_orderkey) AS VARCHAR) AS max_ok,
-          count(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_ck,
-          count(DISTINCT o_custkey) AS dist_ck,
-          CAST(min(o_custkey) AS VARCHAR) AS min_ck, CAST(max(o_custkey) AS VARCHAR) AS max_ck,
-          count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS null_os,
-          count(DISTINCT o_orderstatus) AS dist_os,
-          CAST(min(o_orderstatus) AS VARCHAR) AS min_os, CAST(max(o_orderstatus) AS VARCHAR) AS max_os,
-          count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS null_tp,
-          count(DISTINCT o_totalprice) AS dist_tp,
-          CAST(min(o_totalprice) AS VARCHAR) AS min_tp, CAST(max(o_totalprice) AS VARCHAR) AS max_tp
-        FROM orders)
-      SELECT 'o_orderkey' AS "column", n AS n_rows, null_ok AS n_null,
-             dist_ok AS n_distinct, min_ok AS min_value, max_ok AS max_value FROM one
-      UNION ALL
-      SELECT 'o_custkey', n, null_ck, dist_ck, min_ck, max_ck FROM one
-      UNION ALL
-      SELECT 'o_orderstatus', n, null_os, dist_os, min_os, max_os FROM one
-      UNION ALL
-      SELECT 'o_totalprice', n, null_tp, dist_tp, min_tp, max_tp FROM one
-      ORDER BY "column" """)),
-
-    // Test-set decontamination: per corpus doc, how many of its distinct
-    // 3-grams appear anywhere in the (broadcast) eval split — the leak
-    // check run before training. Eval = doc_id % 17 == 0, corpus = rest.
-    ("q51_decontaminate", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      Dedup.contaminationReport(
-        docs.where(col("doc_id") % 17 =!= 0),
-        docs.where(col("doc_id") % 17 === 0),
-        "doc_id", "text")
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH cg AS (
-        SELECT DISTINCT doc_id, gram FROM (
-          SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END) AS gram
-          FROM documents WHERE doc_id % 17 <> 0)),
-      eg AS (
-        SELECT DISTINCT gram FROM (
-          SELECT unnest(CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END) AS gram
-          FROM documents WHERE doc_id % 17 = 0)),
-      hits AS (
-        SELECT doc_id, count(*) AS n_shared FROM cg JOIN eg USING (gram) GROUP BY 1)
-      SELECT d.doc_id,
-             coalesce(h.n_shared, 0) AS n_shared,
-             coalesce(h.n_shared, 0) > 0 AS contaminated
-      FROM documents d LEFT JOIN hits h USING (doc_id)
-      WHERE d.doc_id % 17 <> 0
-      ORDER BY d.doc_id""")),
-
-    // Intra-doc repetition (duplicated-3-gram fraction): the boilerplate/
-    // spam signal of published web-corpus quality heuristics.
-    ("q52_repetition", (s, dir) => {
-      TextAnalysis.repetitionStats(T(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH g AS (
-        SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
-          THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-               i -> concat_ws(' ', string_split(text, ' ')[i],
-                                   string_split(text, ' ')[i + 1],
-                                   string_split(text, ' ')[i + 2]))
-          ELSE [text] END) AS gram
-        FROM documents WHERE text IS NOT NULL),
-      per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
-      SELECT doc_id,
-             sum(c)::BIGINT AS n_grams,
-             count(*) AS n_distinct_grams,
-             (sum(c) - count(*))::DOUBLE / sum(c)::DOUBLE AS dup_frac
-      FROM per GROUP BY doc_id ORDER BY doc_id""")),
-
-    // Deterministic train/val/test split (80/10/10 by content hash), summed
-    // per (split, lang) — reproducible across engines/reruns/partitioning.
-    ("q53_split_assign", (s, dir) => {
-      Sampling.assignSplit(T(s, dir, "documents"), col("doc_id"),
-          Seq(("train", 80), ("val", 10), ("test", 10)))
-        .groupBy(col("split"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy(col("split"), col("lang"))
-    }, Some("""
-      WITH s AS (
-        SELECT lang, n_chars,
-          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-        FROM (SELECT lang, n_chars,
-                ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS b
-              FROM documents))
-      SELECT split, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
-      FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // Vocabulary build: global top-25 tokens by frequency (distributed
-    // top-k — no global sort, no full-vocab window).
-    ("q54_vocab_topk", (s, dir) => {
-      TextAnalysis.vocabTopK(T(s, dir, "documents"), "text", 25)
-        .orderBy(col("rank"))
-    }, Some("""
-      SELECT rank, token, cnt FROM (
-        SELECT token, count(*) AS cnt,
-               row_number() OVER (ORDER BY count(*) DESC, token) AS rank
-        FROM (SELECT unnest(string_split(text, ' ')) AS token
-              FROM documents WHERE text IS NOT NULL)
-        WHERE token <> '' GROUP BY token)
-      WHERE rank <= 25 ORDER BY rank""")),
-
-    // Point-in-interval range join: non-error events landing within 10
-    // minutes after a same-user error event. No native Spark operator for
-    // this — a bare BETWEEN join plans a nested-loop sweep; bucketedIntervalJoin
-    // restores an equi-key by quantizing time (see RangeJoin). Ticks are µs
-    // on both sides (ts div 1000 / epoch_us) so the oracle compares exactly.
-    ("q55_range_join", (s, dir) => {
-      val ev = T(s, dir, "events").select(
-        col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("tus"))
-      val win = ev.where(col("event_type") === "error")
-        .select(col("user_id"), col("tus").as("w_start"),
-          (col("tus") + lit(600000000L)).as("w_end"))
-      val pts = ev.where(col("event_type") =!= "error")
-      RangeJoin.bucketedIntervalJoin(
-          pts, col("tus"), win, col("w_start"), col("w_end"),
-          bucketWidth = 600000000L, keys = Seq("user_id"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_pairs"),
-          countDistinct(col("event_id")).as("n_events"))
-        .orderBy(col("event_type"))
-    }, Some("""
-      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
-                 FROM events),
-      w AS (SELECT user_id, tus AS ws, tus + 600000000 AS we
-            FROM e WHERE event_type = 'error'),
-      p AS (SELECT * FROM e WHERE event_type <> 'error')
-      SELECT p.event_type, count(*) AS n_pairs,
-             count(DISTINCT p.event_id) AS n_events
-      FROM p JOIN w ON p.user_id = w.user_id AND p.tus >= w.ws AND p.tus < w.we
-      GROUP BY 1 ORDER BY 1""")),
-
-    // Multi-level OLAP aggregate (CUBE): all four grouping combinations in
-    // one pass — Catalyst expands the grouping sets once and keeps the whole
-    // thing a single hash aggregation (one Expand + one shuffle), vs the 4
-    // scans a UNION ALL of separate GROUP BYs would cost. grouping() flags
-    // disambiguate a real value from a rolled-up NULL.
-    ("q56_cube_agg", (s, dir) => {
-      T(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          count(lit(1)).as("n"),
-          grouping(col("l_returnflag")).cast("int").as("g_flag"),
-          grouping(col("l_linestatus")).cast("int").as("g_status"))
-        .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-          col("sum_qty"), col("n"), col("g_flag"), col("g_status"))
-        .orderBy(col("g_flag"), col("g_status"), col("flag"), col("status"))
-    }, Some("""
-      SELECT coalesce(l_returnflag, 'ALL') AS flag,
-             coalesce(l_linestatus, 'ALL') AS status,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-             count(*) AS n,
-             CAST(grouping(l_returnflag) AS INT) AS g_flag,
-             CAST(grouping(l_linestatus) AS INT) AS g_status
-      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-      ORDER BY g_flag, g_status, flag, status""")),
-
-    // Generic as-of join (AsofJoin): every click annotated with the user's
-    // most recent prior-or-same-instant purchase. Single shuffle + window
-    // pass — no correlated subquery, no nested loop (see AsofJoin). The
-    // right side is pre-aggregated to unique (user, tus) so both engines'
-    // as-of semantics are deterministic.
-    ("q57_asof_join", (s, dir) => {
-      val ev = T(s, dir, "events").select(
-        col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("tus"), col("value"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("tus").as("p_tus"))
-        .agg(max(col("event_id")).as("p_event_id"),
-          max_by(col("value"), col("event_id")).as("p_value"))
-      val clicks = ev.where(col("event_type") === "click")
-        .select("event_id", "user_id", "tus")
-      AsofJoin.asofJoin(
-          clicks, col("tus"), purchases, col("p_tus"),
-          keys = Seq("user_id"), rightCols = Seq("p_tus", "p_event_id", "p_value"))
-        .orderBy(col("event_id"))
-    }, Some("""
-      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus, value
-                 FROM events),
-      p AS (SELECT user_id, tus AS p_tus, max(event_id) AS p_event_id,
-                   arg_max(value, event_id) AS p_value
-            FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
-      c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click')
-      SELECT c.event_id, c.user_id, c.tus, p.p_tus, p.p_event_id, p.p_value
-      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tus >= p.p_tus
-      ORDER BY c.event_id""")),
-
-    // Ranking-window suite: rank/dense_rank over a tie-rich coarse key plus
-    // row_number/ntile/lag/lead over the total order, per priority class.
-    // rank and dense_rank depend only on sort-key VALUES, so they stay
-    // deterministic under ties; anything that reads a NEIGHBORING row
-    // (lag/lead) runs over the total (orderkey-tiebroken) order instead.
-    ("q58_window_suite", (s, dir) => {
-      val bucket = floor(col("o_totalprice") / 1000).cast("long")
-      val wTies = Window.partitionBy(col("o_orderpriority")).orderBy(bucket.desc)
-      val wTotal = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(bucket.desc, col("o_orderkey"))
-      T(s, dir, "orders")
-        .select(
-          col("o_orderkey"), col("o_orderpriority"), bucket.as("price_kb"),
-          rank().over(wTies).as("rnk"),
-          dense_rank().over(wTies).as("drnk"),
-          // pure functions of (rank, peer count, partition size) — identical
-          // integer inputs in both engines ⇒ identical doubles
-          percent_rank().over(wTies).as("prnk"),
-          cume_dist().over(wTies).as("cdist"),
-          row_number().over(wTotal).as("rn"),
-          ntile(4).over(wTotal).as("quartile"),
-          lag(col("o_orderkey"), 1).over(wTotal).as("prev_key"),
-          lead(col("o_orderkey"), 1).over(wTotal).as("next_key"))
-        .where(col("rn") <= 200)
-        .orderBy(col("o_orderpriority"), col("rn"))
-    }, Some("""
-      SELECT * FROM (
-        SELECT o_orderkey, o_orderpriority,
-               CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kb,
-               rank() OVER wt AS rnk,
-               dense_rank() OVER wt AS drnk,
-               percent_rank() OVER wt AS prnk,
-               cume_dist() OVER wt AS cdist,
-               row_number() OVER wf AS rn,
-               ntile(4) OVER wf AS quartile,
-               lag(o_orderkey, 1) OVER wf AS prev_key,
-               lead(o_orderkey, 1) OVER wf AS next_key
-        FROM orders
-        WINDOW
-          wt AS (PARTITION BY o_orderpriority
-                 ORDER BY floor(o_totalprice / 1000) DESC),
-          wf AS (PARTITION BY o_orderpriority
-                 ORDER BY floor(o_totalprice / 1000) DESC, o_orderkey)
-      ) WHERE rn <= 200 ORDER BY o_orderpriority, rn""")),
-
-    // Per-class sampling rates (stratified): rebalance a corpus by keeping a
-    // different hash-bucket percentage per language — all of hashSample's
-    // guarantees per class, still a pure scan-stage filter (q42's hash).
-    ("q59_stratified_sample", (s, dir) => {
-      Sampling.stratifiedSample(
-          T(s, dir, "documents"), col("lang"), col("doc_id"),
-          pct = Map("en" -> 50, "de" -> 20), defaultPct = 5)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy(col("lang"))
-    }, Some("""
-      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-      FROM documents
-      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100
-            < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 5 END
-      GROUP BY 1 ORDER BY 1""")),
-
-    // Time-grid resample + LOCF gap fill: one row per (user, hour) between
-    // each user's first and last event, carrying the last observation
-    // forward — sequence+explode builds the grid in codegen (no driver
-    // loop), AsofJoin fills it in one window pass. Hours are integral µs
-    // buckets so grid arithmetic is exact in both engines.
-    ("q60_resample_locf", (s, dir) => {
-      // localCheckpoint: `hourly` feeds BOTH the grid bounds and the asof
-      // right side, and Spark shares no uncached subplan across branches —
-      // without it the events scan + hash agg runs twice (verified in the
-      // plan). The checkpointed aggregate is one row per (user, hour), tiny
-      // next to its input; on a real cluster use reliable checkpoint/persist.
-      val hourly = T(s, dir, "events")
-        .select(col("user_id"), expr("(ts div 1000) div 3600000000").as("rh"),
-          col("value"), col("event_id"))
-        .groupBy(col("user_id"), col("rh"))
-        .agg(max_by(col("value"), col("event_id")).as("v"))
-        .localCheckpoint()
-      val grid = hourly.groupBy(col("user_id"))
-        .agg(min(col("rh")).as("h0"), max(col("rh")).as("h1"))
-        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
-      AsofJoin.asofJoin(
-          grid, col("h"), hourly.select(col("user_id"), col("rh"), col("v")),
-          col("rh"), keys = Seq("user_id"), rightCols = Seq("rh", "v"))
-        .select(col("user_id"), col("h"), col("rh").as("src_hour"),
-          col("v").as("locf_value"))
-        .orderBy(col("user_id"), col("h"))
-    }, Some("""
-      WITH hr AS (SELECT user_id, epoch_us(ts) // 3600000000 AS rh,
-                         arg_max(value, event_id) AS v
-                  FROM events GROUP BY 1, 2),
-      b AS (SELECT user_id, min(rh) AS h0, max(rh) AS h1 FROM hr GROUP BY 1),
-      g AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM b)
-      SELECT g.user_id, g.h, hr.rh AS src_hour, hr.v AS locf_value
-      FROM g ASOF LEFT JOIN hr ON g.user_id = hr.user_id AND g.h >= hr.rh
-      ORDER BY 1, 2""")),
-
-    // Exact interpolated percentiles per group. Quantities are integral
-    // doubles and the interpolation fractions are dyadic (0.25/0.5/0.75),
-    // so lo + (hi-lo)*frac is bit-exact in both engines. At 100 TB swap in
-    // the t-digest sketch (q39) — exact percentile's full sort per group is
-    // the scale bound, which is why both forms are in the catalog.
-    ("q61_percentiles", (s, dir) => {
-      T(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile(l_quantity, 0.25)").as("p25"),
-          expr("percentile(l_quantity, 0.5)").as("p50"),
-          expr("percentile(l_quantity, 0.75)").as("p75"),
-          min(col("l_quantity")).as("q_min"),
-          max(col("l_quantity")).as("q_max"))
-        .orderBy(col("l_returnflag"))
-    }, Some("""
-      SELECT l_returnflag,
-             quantile_cont(l_quantity, 0.25) AS p25,
-             quantile_cont(l_quantity, 0.5) AS p50,
-             quantile_cont(l_quantity, 0.75) AS p75,
-             min(l_quantity) AS q_min,
-             max(l_quantity) AS q_max
-      FROM lineitem GROUP BY 1 ORDER BY 1""")),
-
-    // Salted join: lineitem ⋈ part on a deterministically salted key — the
-    // hot-key-safe join for when the dim side is too big to broadcast and
-    // AQE's runtime skew split is unavailable. The oracle is the PLAIN join:
-    // salting must be result-invisible.
-    ("q62_salted_join", (s, dir) => {
-      val li = T(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_orderkey"), dec(col("l_quantity")).as("qty"))
-      val part = T(s, dir, "part")
-        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
-      Skew.saltedJoin(li, part, keys = Seq("l_partkey"),
-          saltSource = col("l_orderkey"), salts = 8)
-        .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("qty")).cast("double").as("sum_qty"))
-        .orderBy(col("p_brand"))
-    }, Some("""
-      SELECT p_brand, count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-      FROM lineitem JOIN part ON l_partkey = p_partkey
-      GROUP BY 1 ORDER BY 1""")),
-
-    // Hopping (sliding) event-time window: 30-minute windows every 10
-    // minutes, epoch-aligned — each event lands in exactly 3 windows (one
-    // Expand of 3, not a self-join). The oracle replays the same alignment
-    // with integral 10-minute µs buckets, so window membership is exact.
-    ("q63_hopping_window", (s, dir) => {
-      T(s, dir, "events")
-        .select(
-          timestamp_micros(expr("ts div 1000")).as("t"),
-          col("event_type"), dec(col("value")).as("v"))
-        .groupBy(window(col("t"), "30 minutes", "10 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("sum_value"))
-        .select(
-          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-          col("event_type"), col("n"), col("sum_value"))
-        .orderBy(col("w_start"), col("event_type"))
-    }, Some("""
-      WITH e AS (SELECT epoch_us(ts) // 600000000 AS b10, event_type, value
-                 FROM events),
-      h AS (SELECT b10 - k AS wb, event_type, value
-            FROM e CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k))
-      SELECT strftime(make_timestamp(wb * 600000000), '%Y-%m-%d %H:%M:%S') AS w_start,
-             event_type, count(*) AS n,
-             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-      FROM h GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // Ordered distinct string aggregation: collect_set is unordered (and
-    // collect_list is partitioning-dependent), so the deterministic form is
-    // array_sort before joining — the cross-engine-stable way to emit a
-    // per-key label list.
-    ("q64_sorted_listagg", (s, dir) => {
-      T(s, dir, "events")
-        .groupBy(col("user_id"))
-        .agg(
-          array_sort(collect_set(col("event_type"))).as("arr"),
-          countDistinct(col("event_type")).as("n_types"))
-        // all-NULL group: collect_set yields [] and concat_ws would emit ''
-        // where SQL string_agg emits NULL — guard on set size so both
-        // engines agree (a genuine '' value still round-trips as '')
-        .select(col("user_id"),
-          when(size(col("arr")) > 0, concat_ws(",", col("arr"))).as("types"),
-          col("n_types"))
-        .orderBy(col("user_id"))
-    }, Some("""
-      SELECT user_id,
-             string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
-             count(DISTINCT event_type) AS n_types
-      FROM events GROUP BY 1 ORDER BY 1""")),
-
-    // Set operations (§2.3): INTERSECT ∘ EXCEPT with SQL's distinct-set
-    // semantics — customers ordering in both years, minus any who ever
-    // placed an urgent order. Catalyst rewrites both to semi/anti joins
-    // under a distinct, so they shuffle like any equi-join (AQE-splittable).
-    ("q65_intersect_except", (s, dir) => {
-      val o = T(s, dir, "orders")
-      def custs(y: Int) =
-        o.where(year(col("o_orderdate")) === y).select(col("o_custkey"))
-      val urgent = o.where(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_custkey"))
-      custs(1995).intersect(custs(1996)).except(urgent)
-        .orderBy(col("o_custkey"))
-    }, Some("""
-      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
-      INTERSECT
-      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
-      EXCEPT
-      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-      ORDER BY o_custkey""")),
-
-    // UNPIVOT (wide → tall): the inverse of q09's pivot, as the native
-    // Expand-based unpivot operator — 1→n in the same stage, no union of
-    // per-measure scans.
-    ("q66_unpivot", (s, dir) => {
-      T(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
-          sum(dec(col("l_discount"))).cast("double").as("sum_disc"))
-        .unpivot(
-          Array(col("l_returnflag")),
-          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
-          "measure", "val")
-        .orderBy(col("l_returnflag"), col("measure"))
-    }, Some("""
-      WITH w AS (SELECT l_returnflag,
-               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
-               CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc
-             FROM lineitem GROUP BY 1)
-      SELECT l_returnflag, measure, val
-      FROM (UNPIVOT w ON sum_qty, sum_price, sum_disc INTO NAME measure VALUE val)
-      ORDER BY 1, 2""")),
-
-    // RANGE-frame rolling aggregate: trailing-hour sum/count per user by
-    // VALUE distance (µs ticks), not row count — the moving-average frame
-    // that rows-frames can't express when events are irregularly spaced.
-    // Ties on tus are all peers of the frame bound, so the result is
-    // deterministic without a tiebreak.
-    ("q67_rolling_range", (s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
-        .rangeBetween(-3600000000L, 0)
-      T(s, dir, "events")
-        .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("tus"), dec(col("value")).as("v"))
-        .select(col("event_id"), col("user_id"), col("tus"),
-          sum(col("v")).over(w).cast("double").as("hour_sum"),
-          count(lit(1)).over(w).as("hour_n"))
-        .orderBy(col("event_id"))
-    }, Some("""
-      SELECT event_id, user_id, tus,
-             CAST(sum(v) OVER w AS DOUBLE) AS hour_sum,
-             count(*) OVER w AS hour_n
-      FROM (SELECT event_id, user_id, epoch_us(ts) AS tus,
-                   CAST(value AS DECIMAL(12,2)) AS v FROM events)
-      WINDOW w AS (PARTITION BY user_id ORDER BY tus
-                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-      ORDER BY event_id""")),
-
-    // Conditional aggregation (SQL FILTER clause): one scan, one hash agg,
-    // N conditions — the idiomatic replacement for N filtered self-joins.
-    // Spark's sum(when) with a typed zero matches FILTER+COALESCE exactly.
-    ("q68_conditional_agg", (s, dir) => {
-      val zero = lit(0).cast(DecimalType(12, 2))
-      T(s, dir, "events")
-        .groupBy(col("user_id"))
-        .agg(
-          count_if(col("event_type") === "error").as("n_err"),
-          count_if(col("event_type") === "purchase").as("n_buy"),
-          sum(when(col("event_type") === "purchase", dec(col("value")))
-            .otherwise(zero)).cast("double").as("buy_value"),
-          max(when(col("event_type") === "error", col("event_id"))).as("last_err_id"))
-        .orderBy(col("user_id"))
-    }, Some("""
-      SELECT user_id,
-             count(*) FILTER (WHERE event_type = 'error') AS n_err,
-             count(*) FILTER (WHERE event_type = 'purchase') AS n_buy,
-             CAST(COALESCE(sum(CAST(value AS DECIMAL(12,2)))
-               FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE) AS buy_value,
-             max(event_id) FILTER (WHERE event_type = 'error') AS last_err_id
-      FROM events GROUP BY 1 ORDER BY 1""")),
-
-    // Fuzzy (edit-distance) matching: near-identical customer names within
-    // a nation — levenshtein is identically defined in both engines. The
-    // self-join is blocked on the nation key so comparisons are per-block,
-    // not all-pairs; at open-web scale block on a cheaper key (n-gram or
-    // length bucket, as ngramJaccardPairs does) before paying O(len²) DP.
-    ("q69_fuzzy_name_pairs", (s, dir) => {
-      // three nations keep the catalog entry O(N²/blocks) small; the cost
-      // model (pairs × len² DP) is linear in pair count — measured 4.5M
-      // pairs/13.7s at sf0.1 unrestricted on local[32]
-      val c = T(s, dir, "customer")
-        .where(col("c_nationkey") < 3)
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      val a = c.toDF("k1", "n1", "nat")
-      val b = c.toDF("k2", "n2", "nat")
-      a.join(b, Seq("nat"))
-        .where(col("k1") < col("k2") && levenshtein(col("n1"), col("n2")) <= 1)
-        .groupBy(col("nat"))
-        .agg(count(lit(1)).as("n_close_pairs"),
-          countDistinct(col("k1")).as("n_left_members"))
-        .orderBy(col("nat"))
-    }, Some("""
-      SELECT a.c_nationkey AS nat, count(*) AS n_close_pairs,
-             count(DISTINCT a.c_custkey) AS n_left_members
-      FROM customer a JOIN customer b
-        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-      WHERE a.c_nationkey < 3 AND levenshtein(a.c_name, b.c_name) <= 1
-      GROUP BY 1 ORDER BY 1""")),
-
-    // Change capture → SCD-2 validity intervals: collapse consecutive
-    // same-state rows per key (run-length compression via lag), then stamp
-    // each surviving state change with [valid_from, valid_to) via lead —
-    // the slowly-changing-dimension build, in two window passes over ONE
-    // keyed sort (both windows share the partitioning and ordering, so
-    // Catalyst plans a single exchange+sort).
-    ("q70_scd2_intervals", (s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-      val changes = T(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("tus"))
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-      changes
-        .select(col("user_id"), col("event_type").as("state"),
-          col("tus").as("valid_from"),
-          lead(col("tus"), 1).over(w).as("valid_to"),
-          lead(col("tus"), 1).over(w).isNull.as("is_current"))
-        .orderBy(col("user_id"), col("valid_from"), col("state"))
-    }, Some("""
-      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
-                 FROM events),
-      c AS (SELECT *, lag(event_type) OVER
-              (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type
-            FROM e)
-      SELECT user_id, event_type AS state, tus AS valid_from,
-             lead(tus) OVER w AS valid_to,
-             lead(tus) OVER w IS NULL AS is_current
-      FROM c WHERE prev_type IS NULL OR prev_type <> event_type
-      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
-      ORDER BY user_id, valid_from, state""")),
-
-    // Datetime-part extraction + interval arithmetic (§2.7 scalar surface):
-    // year/quarter/month/day and a +30-day due date, reduced per (year,
-    // quarter). Parts with engine-dependent conventions (day-of-week
-    // numbering) are deliberately excluded from the oracle-gated set.
-    ("q71_datetime_parts", (s, dir) => {
-      T(s, dir, "orders")
-        .select(
-          year(col("o_orderdate")).as("y"),
-          quarter(col("o_orderdate")).as("q"),
-          month(col("o_orderdate")).as("m"),
-          dayofmonth(col("o_orderdate")).as("d"),
-          date_format(col("o_orderdate") + expr("INTERVAL 30 DAYS"), "yyyy-MM-dd")
-            .as("due"))
-        .groupBy(col("y"), col("q"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("m")).as("n_months"),
-          max(col("d")).as("max_day"),
-          min(col("due")).as("first_due"))
-        .orderBy(col("y"), col("q"))
-    }, Some("""
-      SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
-             count(*) AS n, count(DISTINCT month(o_orderdate)) AS n_months,
-             max(dayofmonth(o_orderdate)) AS max_day,
-             min(strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')) AS first_due
-      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // String-function surface (§2.7): upper/lower/substring/replace/length/
-    // concat, with the digits of the synthetic name round-tripped through
-    // replace → BIGINT and checked against the real key.
-    ("q72_string_functions", (s, dir) => {
-      T(s, dir, "customer")
-        .select(
-          lower(col("c_mktsegment")).as("seg"),
-          upper(substring(col("c_name"), -4, 4)).as("tail"),
-          length(col("c_name")).as("name_len"),
-          replace(col("c_name"), lit("Customer#"), lit("")).cast("long").as("parsed_key"),
-          col("c_custkey"))
-        .groupBy(col("seg"))
-        .agg(count(lit(1)).as("n"),
-          min(col("tail")).as("min_tail"),
-          max(col("name_len")).as("max_len"),
-          count_if(col("parsed_key") === col("c_custkey")).as("n_roundtrip"))
-        .orderBy(col("seg"))
-    }, Some("""
-      SELECT lower(c_mktsegment) AS seg, count(*) AS n,
-             min(upper(c_name[-4:])) AS min_tail,
-             max(length(c_name)) AS max_len,
-             count(*) FILTER (WHERE CAST(replace(c_name, 'Customer#', '') AS BIGINT)
-                              = c_custkey) AS n_roundtrip
-      FROM customer GROUP BY 1 ORDER BY 1""")),
-
-    // SQL entry point (§2.9 downstream-SQL surface): correlated EXISTS
-    // (⇒ shuffled semi join) and a scalar subquery (⇒ broadcast of one
-    // aggregated row) through spark.sql over temp views — the same text a
-    // BI tool would submit. The scalar threshold uses max (exact), not avg,
-    // so the float comparison cannot flip on cross-engine summation order.
-    ("q73_sql_subqueries", (s, dir) => {
-      T(s, dir, "orders").createOrReplaceTempView("g_orders")
-      T(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
-      s.sql("""
-        SELECT o_orderpriority, count(*) AS n
-        FROM g_orders
-        WHERE EXISTS (SELECT 1 FROM g_lineitem
-                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
-          AND o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM g_orders)
-        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
-    }, Some("""
-      SELECT o_orderpriority, count(*) AS n
-      FROM orders
-      WHERE EXISTS (SELECT 1 FROM lineitem
-                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
-        AND o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
-      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
-
-    // Interval coalescing (gap-and-islands): each event opens a 15-minute
-    // activity interval; overlapping-or-touching intervals per user merge
-    // into maximal spans (Intervals.mergeIntervals — one keyed sort shared
-    // by both window passes, no self-join). Integral µs arithmetic ⇒
-    // bit-exact oracle.
-    ("q74_interval_merge", (s, dir) => {
-      val iv = T(s, dir, "events").select(
-        col("user_id"),
-        expr("ts div 1000").as("s_us"),
-        (expr("ts div 1000") + lit(900000000L)).as("e_us"))
-      Intervals.mergeIntervals(iv, Seq("user_id"), "s_us", "e_us")
-        .orderBy(col("user_id"), col("s_us"))
-    }, Some("""
-      WITH iv AS (SELECT user_id, epoch_us(ts) AS s_us,
-                         epoch_us(ts) + 900000000 AS e_us FROM events),
-      m AS (SELECT *, max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv),
-      f AS (SELECT *, CASE WHEN pme IS NULL OR s_us > pme THEN 1 ELSE 0 END AS brk FROM m),
-      g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s_us, e_us
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f)
-      SELECT user_id, min(s_us) AS s_us, max(e_us) AS e_us,
-             count(*) AS n_merged
-      FROM g GROUP BY user_id, island ORDER BY user_id, s_us""")),
-
-    // Snapshot diff (Diff.snapshotDiff): the change feed between two table
-    // versions via ONE full-outer key join — inserted/deleted/updated rows
-    // only. The "new" snapshot is derived deterministically from customer
-    // in BOTH engines (drop %97 keys, bump %11 balances, insert shifted
-    // %131 keys), so the diff itself is the thing under test.
-    ("q75_snapshot_diff", (s, dir) => {
-      val cust = T(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-      val survived = cust.where(col("c_custkey") % 97 =!= 0)
-        .select(col("c_custkey"), col("c_name"),
-          when(col("c_custkey") % 11 === 0, col("c_acctbal") + 100)
-            .otherwise(col("c_acctbal")).as("c_acctbal"))
-      val inserted = cust.where(col("c_custkey") % 131 === 0)
-        .select((col("c_custkey") + 1000000L).as("c_custkey"),
-          col("c_name"), col("c_acctbal"))
-      Diff.snapshotDiff(cust, survived.unionByName(inserted), Seq("c_custkey"))
-        .where(col("change_type") =!= "unchanged")
-        .select(col("c_custkey"), col("change_type"),
-          col("old_c_acctbal"), col("new_c_acctbal"))
-        .orderBy(col("c_custkey"))
-    }, Some("""
-      WITH olds AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
-      news AS (
-        SELECT c_custkey, c_name,
-          CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
-        FROM customer WHERE c_custkey % 97 <> 0
-        UNION ALL
-        SELECT c_custkey + 1000000, c_name, c_acctbal
-        FROM customer WHERE c_custkey % 131 = 0),
-      d AS (
-        SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
-          CASE WHEN o.c_custkey IS NULL THEN 'inserted'
-               WHEN n.c_custkey IS NULL THEN 'deleted'
-               WHEN NOT (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
-                         AND o.c_name IS NOT DISTINCT FROM n.c_name) THEN 'updated'
-               ELSE 'unchanged' END AS change_type,
-          o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal
-        FROM olds o FULL OUTER JOIN news n ON o.c_custkey = n.c_custkey)
-      SELECT c_custkey, change_type, old_c_acctbal, new_c_acctbal
-      FROM d WHERE change_type <> 'unchanged' ORDER BY c_custkey""")),
-
-    // Bloom-prefiltered selective join (Prefilter.bloomFilteredJoin): only
-    // ~10% of suppliers survive the dim filter, so ~90% of lineitem rows
-    // are doomed — the Bloom probe discards them at the scan, BEFORE the
-    // shuffle. False positives only ⇒ the oracle is the PLAIN join.
-    ("q76_bloom_join", (s, dir) => {
-      val li = T(s, dir, "lineitem")
-        .select(col("l_suppkey"), dec(col("l_quantity")).as("qty"))
-      val sup = T(s, dir, "supplier").where(col("s_suppkey") % 10 === 0)
-        .select(col("s_suppkey"), col("s_nationkey"))
-      Prefilter.bloomFilteredJoin(li, sup, "l_suppkey", "s_suppkey",
-          expectedItems = 100000L)
-        .groupBy(col("s_nationkey"))
-        .agg(count(lit(1)).as("n"), sum(col("qty")).cast("double").as("sum_qty"))
-        .orderBy(col("s_nationkey"))
-    }, Some("""
-      SELECT s_nationkey, count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      WHERE s_suppkey % 10 = 0
-      GROUP BY 1 ORDER BY 1""")),
-
-    // IQR outlier fences: exact dyadic percentiles (as q61) → Tukey fences
-    // → one broadcast join back → conditional counts. The two-pass shape is
-    // the 100 TB form: pass 1 reduces to one tiny fence row per group,
-    // pass 2 is a map-side broadcast probe — no sort of the fact table.
-    ("q77_iqr_outliers", (s, dir) => {
-      val li = T(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
-      // both cut points from ONE keyed sort (Profiling.exactPercentiles),
-      // not two hash-map percentile buffers — measured ~3× at sf0.1
-      val fences = ext.Profiling.exactPercentiles(
-          li, Seq("l_returnflag"), "l_extendedprice",
-          Seq("p25" -> 0.25, "p75" -> 0.75))
-        .select(col("l_returnflag"),
-          (col("p25") - lit(1.5) * (col("p75") - col("p25"))).as("lo"),
-          (col("p75") + lit(1.5) * (col("p75") - col("p25"))).as("hi"))
-      li.join(broadcast(fences), Seq("l_returnflag"))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          count_if(col("l_extendedprice") < col("lo")).as("n_low"),
-          count_if(col("l_extendedprice") > col("hi")).as("n_high"),
-          min(col("lo")).as("fence_lo"), max(col("hi")).as("fence_hi"))
-        .orderBy(col("l_returnflag"))
-    }, Some("""
-      WITH f AS (SELECT l_returnflag,
-              quantile_cont(l_extendedprice, 0.25) AS p25,
-              quantile_cont(l_extendedprice, 0.75) AS p75
-            FROM lineitem GROUP BY 1),
-      b AS (SELECT l_returnflag, p25 - 1.5 * (p75 - p25) AS lo,
-                   p75 + 1.5 * (p75 - p25) AS hi FROM f)
-      SELECT l.l_returnflag, count(*) AS n,
-             count(*) FILTER (WHERE l_extendedprice < lo) AS n_low,
-             count(*) FILTER (WHERE l_extendedprice > hi) AS n_high,
-             min(lo) AS fence_lo, max(hi) AS fence_hi
-      FROM lineitem l JOIN b USING (l_returnflag)
-      GROUP BY 1 ORDER BY 1""")),
-
-    // ROLLUP hierarchy totals (year → priority → grand total): the partial-
-    // hierarchy sibling of q56's CUBE — one Expand + one hash agg, with
-    // grouping() flags disambiguating real NULLs from subtotal rows.
-    ("q78_rollup_hierarchy", (s, dir) => {
-      T(s, dir, "orders")
-        .select(year(col("o_orderdate")).as("y"), col("o_orderpriority").as("prio"),
-          col("o_custkey"), col("o_totalprice"))
-        .rollup(col("y"), col("prio"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("o_custkey")).as("n_cust"),
-          min(col("o_totalprice")).as("min_price"),
-          max(col("o_totalprice")).as("max_price"),
-          grouping(col("y")).cast("int").as("g_y"),
-          grouping(col("prio")).cast("int").as("g_prio"))
-        .select(coalesce(col("y"), lit(-1)).as("y"),
-          coalesce(col("prio"), lit("ALL")).as("prio"),
-          col("n"), col("n_cust"), col("min_price"), col("max_price"),
-          col("g_y"), col("g_prio"))
-        .orderBy(col("g_y"), col("g_prio"), col("y"), col("prio"))
-    }, Some("""
-      SELECT coalesce(year(o_orderdate), -1) AS y,
-             coalesce(o_orderpriority, 'ALL') AS prio,
-             count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
-             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
-             CAST(grouping(year(o_orderdate)) AS INT) AS g_y,
-             CAST(grouping(o_orderpriority) AS INT) AS g_prio
-      FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
-      ORDER BY g_y, g_prio, y, prio""")),
-
-    // Array-function surface (§2.7 extended to collections): per-order
-    // sorted part list, then size/index/slice/join/distinct — every op a
-    // codegen'd collection expression over one hash-agg pass. Arrays are
-    // per-order (≤7 elements), so the interpreted-lambda trap that rules
-    // array ops out for corpus-scale shingle sets does not bite here.
-    ("q79_array_functions", (s, dir) => {
-      T(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
-        .select(col("l_orderkey"),
-          size(col("parts")).cast("long").as("n_parts"),
-          element_at(col("parts"), 1).as("first_part"),
-          element_at(col("parts"), -1).as("last_part"),
-          array_join(slice(col("parts"), 1, 3).cast("array<string>"), ",").as("top3"),
-          size(array_distinct(col("parts"))).cast("long").as("n_unique"))
-        .orderBy(col("l_orderkey"))
-    }, Some("""
-      WITH a AS (SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
-                 FROM lineitem GROUP BY 1)
-      SELECT l_orderkey, CAST(len(parts) AS BIGINT) AS n_parts,
-             parts[1] AS first_part, parts[-1] AS last_part,
-             array_to_string(parts[1:3], ',') AS top3,
-             CAST(len(list_distinct(parts)) AS BIGINT) AS n_unique
-      FROM a ORDER BY l_orderkey""")),
-
-    // Regexp-function surface (§2.7): extract / count / replace-all / full-
-    // match over document text. Patterns stay where RE2 and Java regex
-    // agree (char classes, alternation); the one divergence is `$`, which
-    // Java matches BEFORE a final trailing newline while RE2 matches only
-    // end-of-text — so the Spark side anchors with Java's `\z` (true
-    // end-of-text) to mean what DuckDB's `$` means.
-    ("q80_regexp_functions", (s, dir) => {
-      T(s, dir, "documents")
-        .select(col("doc_id"),
-          regexp_extract(col("text"), "w[a-z]+", 0).as("first_w"),
-          regexp_count(col("text"), lit("spark|stream")).cast("long").as("n_sparkish"),
-          length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("consonant_len"),
-          col("text").rlike("^[a-z ]+\\z").as("is_clean"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      SELECT doc_id,
-             regexp_extract(text, 'w[a-z]+') AS first_w,
-             CAST(len(regexp_extract_all(text, 'spark|stream')) AS BIGINT) AS n_sparkish,
-             CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS consonant_len,
-             regexp_matches(text, '^[a-z ]+$') AS is_clean
-      FROM documents ORDER BY doc_id""")),
-
-    // Value-window suite (first/last/nth over an explicit full frame): the
-    // per-partition-constant trio reduced to one row per user via DISTINCT.
-    // The frame is UNBOUNDED..UNBOUNDED in both engines — last_value under
-    // the default frame is the running-current row, a classic cross-engine
-    // divergence this query pins shut.
-    ("q81_value_windows", (s, dir) => {
-      val ev = T(s, dir, "events").select(col("event_id"), col("user_id"),
-        col("event_type"), expr("ts div 1000").as("tus"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("tus"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      ev.select(col("user_id"),
-          first(col("event_type")).over(w).as("first_type"),
-          last(col("event_type")).over(w).as("last_type"),
-          nth_value(col("event_type"), 2).over(w).as("second_type"),
-          count(lit(1)).over(w).as("n_events"))
-        .distinct()
-        .orderBy(col("user_id"))
-    }, Some("""
-      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
-                 FROM events)
-      SELECT DISTINCT user_id,
-        first_value(event_type) OVER w AS first_type,
-        last_value(event_type) OVER w AS last_type,
-        nth_value(event_type, 2) OVER w AS second_type,
-        count(*) OVER w AS n_events
-      FROM e
-      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-      ORDER BY user_id""")),
-
-    // Map-function surface (§2.7 extended to collections): the props JSON
-    // parsed as a MAP (not a fixed struct — the schema-dynamic form),
-    // then keys/values/size/lookup, plus a constructed literal-key map.
-    // The DuckDB oracle walks the same JSON with json_keys/json_extract.
-    ("q82_map_functions", (s, dir) => {
-      val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
-      T(s, dir, "events")
-        .select(col("event_id"), col("user_id"), m.as("pm"))
-        .select(col("event_id"),
-          // try_element_at, not element_at: under ANSI mode a missing map
-          // key / empty keys array must yield NULL, not a runtime error —
-          // same totality stance as q15/q16's TRY-cast parsing
-          try_element_at(map_keys(col("pm")), lit(1)).as("first_key"),
-          try_element_at(col("pm"), lit("k")).as("k_val"),
-          size(col("pm")).cast("long").as("n_keys"),
-          element_at(
-            map(lit("uid"), col("user_id"), lit("eid"), col("event_id")),
-            "uid").as("uid_val"))
-        .orderBy(col("event_id"))
-    }, Some("""
-      SELECT event_id,
-             CASE WHEN json_valid(props) THEN json_keys(props)[1] END AS first_key,
-             CASE WHEN json_valid(props)
-                  THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k_val,
-             CASE WHEN json_valid(props)
-                  THEN CAST(len(json_keys(props)) AS BIGINT) END AS n_keys,
-             user_id AS uid_val
-      FROM events ORDER BY event_id""")),
-
-    // Statistical aggregates from exact moments: Pearson correlation and
-    // the OLS slope/intercept, assembled from DECIMAL sums (exact in both
-    // engines) with the SAME double expression tree at the end — built-in
-    // corr()/regr_slope() use engine-specific streaming update formulas
-    // whose rounding differs, so the moment form is both the cross-engine-
-    // exact one AND the one whose partials combine map-side (each task
-    // ships 6 numbers, not a covariance state).
-    ("q83_corr_regression", (s, dir) => {
-      val x = dec(col("l_quantity"))
-      val y = dec(col("l_extendedprice"))
-      val moments = T(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
-          sum(x * y).cast("double").as("sxy"),
-          sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"))
-      val nd = col("n").cast("double")
-      val cov = nd * col("sxy") - col("sx") * col("sy")
-      val vx = nd * col("sxx") - col("sx") * col("sx")
-      val vy = nd * col("syy") - col("sy") * col("sy")
-      moments.select(
-          col("l_returnflag"), col("n"),
-          (cov / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"),
-          (cov / vx).as("slope"),
-          ((col("sy") - (cov / vx) * col("sx")) / nd).as("intercept"))
-        .orderBy(col("l_returnflag"))
-    }, Some("""
-      WITH m AS (
-        SELECT l_returnflag, count(*) AS n,
-          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-          CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
-          CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
-        FROM lineitem GROUP BY 1)
-      SELECT l_returnflag, n,
-        (CAST(n AS DOUBLE) * sxy - sx * sy)
-          / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
-             * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price,
-        (CAST(n AS DOUBLE) * sxy - sx * sy)
-          / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
-        (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
-               / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
-          / CAST(n AS DOUBLE) AS intercept
-      FROM m ORDER BY l_returnflag""")),
-
-    // SimHash near-dup candidate pairs (completing the q24 pipeline): band
-    // the 48-bit hash into 4×12-bit slices, bucket-join on any shared
-    // band (pigeonhole: Hamming ≤ 3 < 4 bands ⇒ ≥ 1 band equal), then the
-    // exact bit_count(xor) filter. Same one-groupBy double-explode shape
-    // as MinHash — no self-join, no N² comparison.
-    ("q84_simhash_pairs", (s, dir) => {
-      Dedup.simhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("id_a"), col("id_b"))
-    }, Some("""
-      WITH sim AS (
-        SELECT doc_id,
-          CAST(list_sum(list_transform(range(0, 48), b ->
-            CASE WHEN list_sum(list_transform(string_split(text, ' '), w ->
-                   2 * ((('0x' || substr(md5(w), 1, 12))::BIGINT >> b) & 1) - 1)) > 0
-                 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
-        FROM documents),
-      posted AS (
-        SELECT t.band, (simhash >> (t.band * 12)) & 4095 AS sig, doc_id, simhash
-        FROM sim CROSS JOIN generate_series(0, 3) t(band)),
-      p AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        FROM posted a JOIN posted b
-          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
-      SELECT DISTINCT id_a, id_b, hamming FROM p
-      WHERE hamming <= 3 ORDER BY id_a, id_b""")),
-
-    // Deterministic mode (most frequent value) per group: count → rank with
-    // an explicit tiebreak (higher count, then smaller value) → keep rank 1.
-    // Built-in mode()/any_value tiebreaks are engine- and partitioning-
-    // dependent; the windowed form is reproducible everywhere.
-    ("q85_mode_per_group", (s, dir) => {
-      val counts = T(s, dir, "events")
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("cnt").desc, col("event_type").asc)
-      counts.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("user_id"), col("event_type").as("modal_type"), col("cnt"))
-        .orderBy(col("user_id"))
-    }, Some("""
-      WITH c AS (
-        SELECT user_id, event_type, count(*) AS cnt
-        FROM events GROUP BY 1, 2),
-      r AS (
-        SELECT *, row_number() OVER
-          (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
-        FROM c)
-      SELECT user_id, event_type AS modal_type, cnt
-      FROM r WHERE rn = 1 ORDER BY user_id""")),
-
-    // GROUPING SETS (completing the q56 CUBE / q78 ROLLUP trio): exactly
-    // the two requested groupings — per-year and per-priority — in ONE
-    // Expand + one hash agg, not a UNION of two scans.
-    ("q86_grouping_sets", (s, dir) => {
-      T(s, dir, "orders")
-        .select(year(col("o_orderdate")).as("y"), col("o_orderpriority").as("prio"),
-          col("o_totalprice"))
-        .groupingSets(Seq(Seq(col("y")), Seq(col("prio"))), col("y"), col("prio"))
-        .agg(count(lit(1)).as("n"),
-          min(col("o_totalprice")).as("min_price"),
-          max(col("o_totalprice")).as("max_price"),
-          grouping(col("y")).cast("int").as("g_y"),
-          grouping(col("prio")).cast("int").as("g_prio"))
-        .select(coalesce(col("y"), lit(-1)).as("y"),
-          coalesce(col("prio"), lit("ALL")).as("prio"),
-          col("n"), col("min_price"), col("max_price"),
-          col("g_y"), col("g_prio"))
-        .orderBy(col("g_y"), col("y"), col("prio"))
-    }, Some("""
-      SELECT coalesce(year(o_orderdate), -1) AS y,
-             coalesce(o_orderpriority, 'ALL') AS prio,
-             count(*) AS n,
-             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
-             CAST(grouping(year(o_orderdate)) AS INT) AS g_y,
-             CAST(grouping(o_orderpriority) AS INT) AS g_prio
-      FROM orders
-      GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority))
-      ORDER BY g_y, y, prio""")),
-
-    // EWMA smoothing (TimeSeries.ewma): the per-key running metric of a
-    // stream analyzer, batch form — ordered fold with dyadic α=0.5 so every
-    // step is exact IEEE arithmetic; DuckDB's seedless list_reduce seeds
-    // with element 1, mirrored by the Spark fold's element-1 seed. The
-    // streaming twin (one double of state per key) is TimeSeries.ewmaStream.
-    ("q87_ewma", (s, dir) => {
-      val ev = T(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("tus"),
-          col("event_id"), col("value"))
-        .where(col("value").isNotNull)
-      graft.analytics.TimeSeries.ewma(
-          ev, Seq("user_id"), Seq("tus", "event_id"), "value", 0.5)
-        .orderBy(col("user_id"))
-    }, Some("""
-      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value
-                 FROM events WHERE value IS NOT NULL),
-      a AS (SELECT user_id, list(value ORDER BY tus, event_id) AS vals
-            FROM e GROUP BY 1)
-      SELECT user_id, CAST(len(vals) AS BIGINT) AS n_points,
-             list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
-      FROM a ORDER BY user_id""")),
-
-    // Time-series similarity search: each user's 24-dim hourly-activity
-    // vector, all-pairs squared Euclidean distance as |a|² + |b|² − 2⟨a,b⟩
-    // over DENSE arrays with the native codegen DotProduct — the dense-
-    // small-dim regime where an inverted index is the WRONG shape (every
-    // user is active in most hours, so a posting join degenerates into the
-    // all-pairs matrix × 24 redundant rows + a giant hash agg; measured 4×
-    // slower than this form at sf0.1). Sparse/high-dim is where the
-    // bucketed forms (q26/q28/q35) take over. Counts are small integers ⇒
-    // every double op is exact; top-3 per user, deterministic tiebreak.
-    ("q88_series_similarity", (s, dir) => {
-      import graft.functions.VectorFunctions.dotProduct
-      val counts = T(s, dir, "events")
-        .select(col("user_id"),
-          (expr("(ts div 1000) div 3600000000") % 24).as("h"))
-        .groupBy(col("user_id"), col("h"))
-        .agg(count(lit(1)).as("c"))
-      val vecs = counts.groupBy(col("user_id"))
-        .agg(map_from_arrays(collect_list(col("h")), collect_list(col("c"))).as("m"))
-        .select(col("user_id"), expr(
-          // 1500 rows × 24 elements: the interpreted transform is noise;
-          // the hot path below is the codegen'd dot product
-          "transform(sequence(0, 23), h -> CAST(coalesce(try_element_at(m, CAST(h AS BIGINT)), 0) AS DOUBLE))")
-          .as("vec"))
-        .withColumn("norm2", dotProduct(col("vec"), col("vec")))
-        // both join sides consume the vectors — materialize once or the
-        // counts aggregation over the fact table runs twice
-        .localCheckpoint()
-      val a = vecs.select(col("user_id").as("qid"), col("vec").as("qv"), col("norm2").as("qn"))
-      val b = vecs.select(col("user_id").as("nid"), col("vec").as("nv"), col("norm2").as("nn"))
-      val dist = a.crossJoin(broadcast(b))
-        .where(col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"),
-          (col("qn") + col("nn") - lit(2) * dotProduct(col("qv"), col("nv"))).as("dist2"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("dist2").asc, col("nid").asc)
-      dist.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 3)
-        .select(col("qid"), col("rank").cast("long").as("rank"),
-          col("nid"), col("dist2"))
-        .orderBy(col("qid"), col("rank"))
-    }, Some("""
-      WITH counts AS (
-        SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS h, count(*) AS c
-        FROM events GROUP BY 1, 2),
-      grid AS (
-        SELECT u.user_id, g.h
-        FROM (SELECT DISTINCT user_id FROM counts) u
-        CROSS JOIN (SELECT unnest(range(0, 24)) AS h) g),
-      dense AS (
-        SELECT grid.user_id, grid.h, coalesce(c.c, 0) AS c
-        FROM grid LEFT JOIN counts c
-          ON c.user_id = grid.user_id AND c.h = grid.h),
-      vecs AS (
-        SELECT user_id, list(CAST(c AS DOUBLE) ORDER BY h) AS v
-        FROM dense GROUP BY 1),
-      dist AS (
-        SELECT a.user_id AS qid, b.user_id AS nid,
-          list_sum(list_transform(range(1, 25), i -> a.v[i] * a.v[i]))
-          + list_sum(list_transform(range(1, 25), i -> b.v[i] * b.v[i]))
-          - 2 * list_sum(list_transform(range(1, 25), i -> a.v[i] * b.v[i])) AS dist2
-        FROM vecs a CROSS JOIN vecs b WHERE a.user_id <> b.user_id),
-      ranked AS (
-        SELECT *, row_number() OVER
-          (PARTITION BY qid ORDER BY dist2 ASC, nid ASC) AS rank
-        FROM dist)
-      SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist2
-      FROM ranked WHERE rank <= 3 ORDER BY qid, rank""")),
-
-    // Ordered funnel (view → click → purchase, strictly increasing time):
-    // the product-analytics staple. One keyed sort feeds everything — a
-    // running min-view-time window decides which clicks are sequence-valid,
-    // then full-frame mins pick the earliest valid click/purchase. No
-    // per-step re-scan of the fact table (the naive form scans once per
-    // funnel step), no self-join; funnel depth is a CASE at the end.
-    ("q89_funnel", (s, dir) => {
-      val ev = T(s, dir, "events").select(col("user_id"),
-        expr("ts div 1000").as("tus"), col("event_type"))
-      graft.analytics.Funnel.funnelSteps(ev, Seq("user_id"), "tus", Seq(
-          "view" -> (col("event_type") === "view"),
-          "click" -> (col("event_type") === "click"),
-          "purchase" -> (col("event_type") === "purchase")))
-        .orderBy(col("user_id"))
-    }, Some("""
-      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
-                 FROM events),
-      s1 AS (
-        SELECT *,
-          min(CASE WHEN event_type = 'view' THEN tus END) OVER
-            (PARTITION BY user_id ORDER BY tus, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mv,
-          min(CASE WHEN event_type = 'view' THEN tus END) OVER
-            (PARTITION BY user_id) AS t_view
-        FROM e),
-      s2 AS (
-        SELECT *,
-          min(CASE WHEN event_type = 'click' AND tus > mv THEN tus END) OVER
-            (PARTITION BY user_id) AS t_click
-        FROM s1),
-      s3 AS (
-        SELECT *,
-          min(CASE WHEN event_type = 'purchase' AND tus > t_click THEN tus END) OVER
-            (PARTITION BY user_id) AS t_purchase
-        FROM s2)
-      SELECT DISTINCT user_id, t_view, t_click, t_purchase,
-        CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
-                  WHEN t_click IS NOT NULL THEN 2
-                  WHEN t_view IS NOT NULL THEN 1
-                  ELSE 0 END AS BIGINT) AS funnel_step
-      FROM s3 ORDER BY user_id""")),
-
-    // Cohort retention triangle (q89's sibling): users cohorted by first
-    // active week, retention = distinct active users per (cohort, week
-    // offset). Distinct (user, week) activity reduces the fact table ONCE
-    // to ~|users|·|weeks| rows (localCheckpointed — both the cohort
-    // aggregate and the offset join consume it); everything after is
-    // small-table work. Integral µs week buckets ⇒ exact in both engines.
-    ("q90_cohort_retention", (s, dir) => {
-      val activity = T(s, dir, "events")
-        .select(col("user_id"),
-          expr("(ts div 1000) div 604800000000").as("wk"))
-        .distinct()
-        .localCheckpoint()
-      val cohorts = activity.groupBy(col("user_id"))
-        .agg(min(col("wk")).as("cohort_wk"))
-      activity.join(cohorts, Seq("user_id"))
-        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
-        .agg(countDistinct(col("user_id")).as("n_active"))
-        .orderBy(col("cohort_wk"), col("offset_wk"))
-    }, Some("""
-      WITH activity AS (
-        SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
-        FROM events),
-      cohorts AS (
-        SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY 1)
-      SELECT c.cohort_wk, a.wk - c.cohort_wk AS offset_wk,
-             count(DISTINCT a.user_id) AS n_active
-      FROM activity a JOIN cohorts c USING (user_id)
-      GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // Markov transition matrix over per-user event sequences: lag() pairs
-    // each event with its predecessor (ONE keyed exchange over the fact
-    // table — the only big-data stage), then the bigram counts and the
-    // row-normalized transition probabilities are |event_types|² work.
-    // p = n/total is a single IEEE division of two exact BIGINTs ⇒
-    // bit-identical cross-engine.
-    ("q91_markov_transitions", (s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("tus"), col("event_id"))
-      val bigrams = T(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("tus"),
-          col("event_id"), col("event_type"))
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_type").isNotNull)
-        .groupBy(col("prev_type"), col("event_type").as("next_type"))
-        .agg(count(lit(1)).as("n"))
-      bigrams
-        .withColumn("p", col("n").cast("double") /
-          sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
-        .orderBy(col("prev_type"), col("next_type"))
-    }, Some("""
-      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
-                 FROM events),
-      seq AS (
-        SELECT event_type,
-          lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
-            AS prev_type
-        FROM e),
-      big AS (
-        SELECT prev_type, event_type AS next_type, count(*) AS n
-        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
-      SELECT prev_type, next_type, n,
-        CAST(n AS DOUBLE)
-          / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
-      FROM big ORDER BY prev_type, next_type""")),
-
-    // Equal-frequency (quantile) binning — the feature-engineering
-    // discretizer: ntile(4) per order-priority class over a TOTAL order
-    // (price, key ⇒ deterministic bin assignment), then per-bin count /
-    // bounds / exact-DECIMAL mean. Per-class partitioning keeps the sort
-    // keyed (parallel across classes) instead of a global single-partition
-    // sort; at 100 TB the same surface runs on approx-quantile cut points
-    // (q39's sketch path) — ntile is the exact, oracle-comparable form.
-    ("q92_quantile_bins", (s, dir) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      T(s, dir, "orders")
-        .withColumn("bin", ntile(4).over(w).cast("long"))
-        .groupBy(col("o_orderpriority"), col("bin"))
-        .agg(count(lit(1)).as("n"),
-          min(col("o_totalprice")).as("lo"),
-          max(col("o_totalprice")).as("hi"),
-          (sum(dec(col("o_totalprice"))).cast("double") /
-            count(lit(1)).cast("double")).as("avg_price"))
-        .orderBy(col("o_orderpriority"), col("bin"))
-    }, Some("""
-      WITH b AS (
-        SELECT o_orderpriority, o_totalprice,
-          CAST(ntile(4) OVER (PARTITION BY o_orderpriority
-            ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bin
-        FROM orders)
-      SELECT o_orderpriority, bin, count(*) AS n,
-        min(o_totalprice) AS lo, max(o_totalprice) AS hi,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-          / CAST(count(*) AS DOUBLE) AS avg_price
-      FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // Z-score anomaly detection — q77's parametric sibling: per-group
-    // mean/std from exact DECIMAL moments (ONE map-side-combining scan, 3
-    // numbers per group per task), broadcast back onto the fact rows, flag
-    // |z| > 1.5 (the fence that has a tail on this bounded-uniform price
-    // distribution — max |z| < 1.8, so a 3σ fence would be vacuous). The
-    // identical (sum, sumsq, n) → double expression tree on both engines
-    // makes z bit-exact, so even the flag boundary agrees.
-    ("q93_zscore_outliers", (s, dir) => {
-      val x = dec(col("l_extendedprice"))
-      val m = T(s, dir, "lineitem")
-        .groupBy(col("l_returnflag").as("g"))
-        .agg(count(lit(1)).as("n"),
-          sum(x).cast("double").as("s1"),
-          sum(x * x).cast("double").as("s2"))
-        .select(col("g"),
-          (col("s1") / col("n").cast("double")).as("mean"),
-          sqrt(col("s2") / col("n").cast("double") -
-            (col("s1") / col("n").cast("double")) *
-            (col("s1") / col("n").cast("double"))).as("std"))
-      T(s, dir, "lineitem")
-        .join(broadcast(m), col("l_returnflag") === col("g"))
-        .withColumn("z",
-          (col("l_extendedprice") - col("mean")) / col("std"))
-        .filter(abs(col("z")) > 1.5)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          col("l_extendedprice"), col("z"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-    }, Some("""
-      WITH m AS (
-        SELECT l_returnflag AS g, count(*) AS n,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s1,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s2
-        FROM lineitem GROUP BY 1),
-      f AS (
-        SELECT g, s1 / CAST(n AS DOUBLE) AS mean,
-          sqrt(s2 / CAST(n AS DOUBLE)
-               - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) AS std
-        FROM m)
-      SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-        (l_extendedprice - mean) / std AS z
-      FROM lineitem JOIN f ON l_returnflag = g
-      WHERE abs((l_extendedprice - mean) / std) > 1.5
-      ORDER BY l_orderkey, l_linenumber""")),
-
-    // Market-basket co-occurrence (association mining's candidate pairs):
-    // orders' line items reduce ONCE to distinct (order, brand) rows —
-    // localCheckpointed, Spark shares no subplans across self-join branches
-    // — then the within-order self-join generates Σ C(brands_per_order, 2)
-    // pairs (bounded by basket width, never N²). Support threshold 2% as
-    // the integer cross-multiplication n*50 >= total ⇒ no float compare.
-    ("q94_basket_pairs", (s, dir) => {
-      // One shuffle on ok builds each order's SORTED distinct-brand basket
-      // (map-side partial sets); C(basket,2) pairs generate IN-STAGE from
-      // the array — the within-order self-join this replaces paid a second
-      // full shuffle of the (ok, brand) table and re-materialized Σ pairs
-      // through an exchange. Baskets are bounded (brands per order), so the
-      // nested transform never sees a hot row.
-      val baskets = T(s, dir, "lineitem")
-        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("l_orderkey").as("ok"))
-        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
-        .localCheckpoint() // feeds the order count AND the pair explode
-      val tot = baskets.agg(count(lit(1)).as("n_orders"))
-      baskets
-        .select(explode(expr(
-          """flatten(transform(bs, (x, i) ->
-               transform(slice(bs, i + 2, size(bs)),
-                         y -> struct(x AS brand_a, y AS brand_b))))""")).as("p"))
-        .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
-        .agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(tot))
-        .filter(col("n") * 50 >= col("n_orders"))
-        .select(col("brand_a"), col("brand_b"), col("n"),
-          (col("n").cast("double") / col("n_orders").cast("double")).as("support"))
-        .orderBy(col("brand_a"), col("brand_b"))
-    }, Some("""
-      WITH ob AS (
-        SELECT DISTINCT l_orderkey AS ok, p_brand
-        FROM lineitem JOIN part ON l_partkey = p_partkey),
-      tot AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
-      pairs AS (
-        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n
-        FROM ob a JOIN ob b ON a.ok = b.ok AND a.p_brand < b.p_brand
-        GROUP BY 1, 2)
-      SELECT brand_a, brand_b, n,
-        CAST(n AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support
-      FROM pairs, tot WHERE n * 50 >= n_orders
-      ORDER BY brand_a, brand_b""")),
-
-    // PageRank over the nation-level trade graph (customer nation →
-    // supplier nation, weighted by lineitem count): the iterative graph
-    // algorithm, made cross-engine BIT-EXACT by fixed-point integer
-    // arithmetic — ranks are BIGINTs scaled by 1e9, every step is integer
-    // multiply + truncating div (Spark `div` ≡ DuckDB `//` for positive
-    // values), so no float-summation-order nondeterminism can creep in.
-    // The heavy stage (4-way join → edge aggregation) runs ONCE and is
-    // localCheckpointed; 8 power iterations are then |edges|-sized joins
-    // against a broadcast rank vector. Dangling-node mass is not
-    // redistributed (the standard simplification); overflow bound:
-    // scale · max_edge_weight < 2^63 / 85.
-    ("q95_pagerank", (s, dir) => {
-      val edges = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(T(s, dir, "customer").select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
-        .join(T(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
-      val nodes = T(s, dir, "nation")
-        .select(col("n_nationkey").as("node"), col("n_name"))
-      graft.analytics.Graph
-        .pageRankFixedPoint(nodes.select("node"), "node",
-          edges, "src", "dst", "w", iterations = 8)
-        .join(nodes, Seq("node"))
-        .select(col("node").as("n_nationkey"), col("n_name"), col("rank_fp"),
-          (col("rank_fp").cast("double") / lit(1.0e9)).as("rank"))
-        .orderBy(col("rank_fp").desc, col("n_nationkey"))
-    }, Some {
-      val iter = (1 to 8).map { k =>
-        s"""r$k AS (
-        SELECT v.node, (15 * CAST(1000000000 AS BIGINT)) // (100 * (SELECT nn FROM n))
-          + (85 * CAST(COALESCE(c.s, 0) AS BIGINT)) // 100 AS rank
-        FROM (SELECT n_nationkey AS node FROM nation) v
-        LEFT JOIN (
-          SELECT e.dst, sum((r.rank * e.w) // e.outw) AS s
-          FROM ew e JOIN r${k - 1} r ON e.src = r.node GROUP BY 1) c
-        ON v.node = c.dst)"""
-      }.mkString(",\n")
-      s"""
-      WITH edges AS (
-        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        GROUP BY 1, 2),
-      ew AS (SELECT src, dst, w,
-               CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS outw
-             FROM edges),
-      n AS (SELECT count(*) AS nn FROM nation),
-      r0 AS (SELECT n_nationkey AS node,
-               CAST(1000000000 AS BIGINT) // (SELECT nn FROM n) AS rank
-             FROM nation),
-      $iter
-      SELECT r8.node AS n_nationkey, nt.n_name,
-        CAST(r8.rank AS BIGINT) AS rank_fp,
-        CAST(r8.rank AS DOUBLE) / 1.0E9 AS rank
-      FROM r8 JOIN nation nt ON r8.node = nt.n_nationkey
-      ORDER BY rank_fp DESC, n_nationkey"""
-    }),
-
-    // Categorical feature encoders (label + smoothed target encoding): one
-    // hash-aggregated pass builds per-category (n, Σtarget) in exact
-    // DECIMAL; the 25-row category table is then checkpointed and consumed
-    // by both the global prior and the final projection. label_id =
-    // frequency rank (deterministic count-then-value tiebreak); target_enc
-    // = (Σ + m·prior)/(n + m) with m=100 — the standard leakage-smoothed
-    // encoder, bit-exact cross-engine via the shared expression tree.
-    ("q96_target_encoding", (s, dir) => {
-      val per = T(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_extendedprice"))
-        .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("sd"))
-        .localCheckpoint() // tiny; consumed by the prior AND the projection
-      val glob = per.agg(sum(col("n")).as("ng"), sum(col("sd")).as("sgd"))
-      val nd = col("n").cast("double")
-      per.crossJoin(broadcast(glob))
-        .select(col("p_brand"), col("n"),
-          row_number().over(Window.orderBy(col("n").desc, col("p_brand")))
-            .cast("long").as("label_id"),
-          (col("sd").cast("double") / nd).as("target_mean"),
-          ((col("sd").cast("double") +
-            lit(100.0) * (col("sgd").cast("double") / col("ng").cast("double"))) /
-            (nd + lit(100.0))).as("target_enc"))
-        .orderBy(col("p_brand"))
-    }, Some("""
-      WITH j AS (
-        SELECT p_brand, CAST(l_extendedprice AS DECIMAL(12,2)) AS x
-        FROM lineitem JOIN part ON l_partkey = p_partkey),
-      per AS (SELECT p_brand, count(*) AS n, sum(x) AS sd FROM j GROUP BY 1),
-      g AS (SELECT CAST(sum(n) AS BIGINT) AS ng, sum(sd) AS sgd FROM per)
-      SELECT p_brand, n,
-        CAST(row_number() OVER (ORDER BY n DESC, p_brand) AS BIGINT) AS label_id,
-        CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS target_mean,
-        (CAST(sd AS DOUBLE)
-           + CAST(100 AS DOUBLE) * (CAST(sgd AS DOUBLE) / CAST(ng AS DOUBLE)))
-          / (CAST(n AS DOUBLE) + CAST(100 AS DOUBLE)) AS target_enc
-      FROM per, g ORDER BY p_brand""")),
-
-    // Event-path analysis (the "top user journeys" query): each user's
-    // first 5 events in strict (time, id) order become a '>'-joined path
-    // string, then paths are counted. The fact table pays ONE keyed
-    // window exchange (row_number prunes to ≤5 rows per user IN-stage);
-    // the path aggregation and ranking run on |users| and |paths| rows.
-    // The per-user array is ≤5 elements, so the interpreted transform()
-    // is off the hot path by construction.
-    ("q97_event_paths", (s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("tus"), col("event_id"))
-      val first5 = T(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("tus"),
-          col("event_id"), col("event_type"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-      first5.groupBy(col("user_id"))
-        .agg(expr("""array_join(
-            transform(array_sort(collect_list(struct(rn, event_type))),
-                      p -> p.event_type), '>')""").as("path"))
-        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
-        .orderBy(col("n_users").desc, col("path"))
-    }, Some("""
-      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
-                 FROM events),
-      r AS (SELECT *, row_number() OVER
-              (PARTITION BY user_id ORDER BY tus, event_id) AS rn FROM e),
-      p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
-            FROM r WHERE rn <= 5 GROUP BY 1)
-      SELECT path, count(*) AS n_users FROM p
-      GROUP BY 1 ORDER BY n_users DESC, path""")),
-
-    // Bag-semantics set operators (INTERSECT ALL / EXCEPT ALL — the
-    // multiplicity-preserving forms q65's distinct set ops don't cover):
-    // urgent-priority order customers vs finished-order customers, tagged
-    // and re-counted. Catalyst plans both as aggregate+join with map-side
-    // partials (multiplicity = min / difference of per-key counts), so
-    // nothing materializes the raw bag.
-    ("q98_setops_all", (s, dir) => {
-      val o = T(s, dir, "orders")
-      val a = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
-      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
-      a.intersectAll(b).withColumn("tag", lit("both"))
-        .unionByName(a.exceptAll(b).withColumn("tag", lit("only_urgent")))
-        .groupBy(col("tag"), col("o_custkey")).agg(count(lit(1)).as("n"))
-        .orderBy(col("tag"), col("o_custkey"))
-    }, Some("""
-      WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
-      b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
-      u AS (
-        SELECT o_custkey, 'both' AS tag
-        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
-        UNION ALL
-        SELECT o_custkey, 'only_urgent' AS tag
-        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
-      SELECT tag, o_custkey, count(*) AS n FROM u
-      GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // RFM segmentation (recency / frequency / monetary quartiles → segment
-    // code): the classic customer-analytics composite. One hash aggregation
-    // reduces orders to |customers| rows; the three quartile windows then
-    // rank that REDUCED table with (value, key) total orders ⇒ deterministic
-    // ntile. Global ntile is a single-partition sort of |customers| — at
-    // 100 TB either swap in sketch quantile cut points (q39, like q92) or,
-    // for exact quartiles, GlobalCumsum.ntile (two-phase scan, bit-identical
-    // — q127/q145 use that path for their fact-sized frames).
-    ("q99_rfm_segments", (s, dir) => {
-      val rfm = T(s, dir, "orders").groupBy(col("o_custkey"))
-        .agg( // NTZ → µs: the cast is timezone-free under the UTC session
-          max(unix_micros(col("o_orderdate").cast("timestamp"))).as("recency_us"),
-          count(lit(1)).as("frequency"),
-          sum(dec(col("o_totalprice"))).cast("double").as("monetary"))
-      val rq = ntile(4).over(
-        Window.orderBy(col("recency_us"), col("o_custkey"))).cast("long")
-      val fq = ntile(4).over(
-        Window.orderBy(col("frequency"), col("o_custkey"))).cast("long")
-      val mq = ntile(4).over(
-        Window.orderBy(col("monetary"), col("o_custkey"))).cast("long")
-      rfm.select(col("o_custkey"), col("recency_us"), col("frequency"),
-          col("monetary"), rq.as("r_q"), fq.as("f_q"), mq.as("m_q"),
-          (rq * 100 + fq * 10 + mq).as("segment"))
-        .orderBy(col("o_custkey"))
-    }, Some("""
-      WITH rfm AS (
-        SELECT o_custkey, max(epoch_us(o_orderdate)) AS recency_us,
-          count(*) AS frequency,
-          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
-        FROM orders GROUP BY 1),
-      q AS (
-        SELECT *,
-          CAST(ntile(4) OVER (ORDER BY recency_us, o_custkey) AS BIGINT) AS r_q,
-          CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_q,
-          CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_q
-        FROM rfm)
-      SELECT o_custkey, recency_us, frequency, monetary, r_q, f_q, m_q,
-        r_q * 100 + f_q * 10 + m_q AS segment
-      FROM q ORDER BY o_custkey""")),
-
-    // Market concentration (Herfindahl–Hirschman index) per nation: the
-    // fact table reduces ONCE (hash agg with map-side partials) to
-    // |suppliers| exact-DECIMAL revenue rows. For the squared-share sum,
-    // revenues are first TRUNCATED to whole-$1k integer units (exact
-    // integral div of the cent value — HHI is scale-invariant, and the
-    // Σr² of full-precision cents carries ~18 significant digits, past
-    // double precision, where the two engines' decimal→double roundings
-    // diverge); every term then fits int64/double exactly and hhi/
-    // top_share are single IEEE divisions ⇒ bit-exact cross-engine.
-    ("q100_hhi_concentration", (s, dir) => {
-      val rev = T(s, dir, "lineitem")
-        .join(T(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_nationkey"), col("s_suppkey"))
-        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(14, 2)).as("r"))
-        .withColumn("rk",
-          expr("CAST(r * 100 AS BIGINT) div 100000")) // cents → whole $1k
-      val h = rev.groupBy(col("s_nationkey"))
-        .agg(count(lit(1)).as("n_suppliers"),
-          sum(col("r")).cast(DecimalType(18, 2)).as("tot"),
-          sum(col("rk") * col("rk")).as("sqk"),
-          sum(col("rk")).as("totk"),
-          max(col("r")).as("maxr"))
-      h.join(broadcast(T(s, dir, "nation")),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("n_nationkey"), col("n_name"), col("n_suppliers"),
-          col("tot").cast("double").as("total_rev"),
-          (col("sqk").cast("double") /
-            (col("totk") * col("totk")).cast("double")).as("hhi"),
-          (col("maxr").cast("double") / col("tot").cast("double")).as("top_share"))
-        .orderBy(col("n_nationkey"))
-    }, Some("""
-      WITH rev AS (
-        SELECT s_nationkey, s_suppkey,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS r
-        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        GROUP BY 1, 2),
-      rk AS (
-        SELECT *, CAST(r * 100 AS BIGINT) // 100000 AS rk FROM rev),
-      h AS (
-        SELECT s_nationkey, count(*) AS n_suppliers,
-          CAST(sum(r) AS DECIMAL(18,2)) AS tot,
-          CAST(sum(rk * rk) AS BIGINT) AS sqk,
-          CAST(sum(rk) AS BIGINT) AS totk,
-          max(r) AS maxr
-        FROM rk GROUP BY 1)
-      SELECT n_nationkey, n_name, n_suppliers,
-        CAST(tot AS DOUBLE) AS total_rev,
-        CAST(sqk AS DOUBLE) / CAST(totk * totk AS DOUBLE) AS hhi,
-        CAST(maxr AS DOUBLE) / CAST(tot AS DOUBLE) AS top_share
-      FROM h JOIN nation ON s_nationkey = n_nationkey
-      ORDER BY n_nationkey""")),
-
-    // Triangle counting on the brand co-occurrence graph — the graph-
-    // structure sibling of q94: the fact table reduces ONCE to distinct
-    // (order, brand), edges are the within-order co-occurrence pairs, and
-    // Graph.triangles runs the DEGREE-ORIENTED O(m^1.5) algorithm (orient
-    // edges low→high degree ⇒ out-degree ≤ O(√m) ⇒ the wedge self-join
-    // never explodes on hubs — the naive triple join is quadratic in the
-    // hottest node). The oracle counts the same triangles by their unique
-    // a<b<c form. Output: per-brand triangle participation.
-    ("q101_triangle_count", (s, dir) => {
-      // q94's basket rewrite: one shuffle on ok builds sorted distinct-brand
-      // baskets, co-occurrence pairs generate in-stage from the array, and
-      // only the (tiny) pair set pays the distinct exchange — the
-      // (ok, brand) self-join this replaces re-shuffled the full reduction.
-      val edges = T(s, dir, "lineitem")
-        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("l_orderkey").as("ok"))
-        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
-        .select(explode(expr(
-          """flatten(transform(bs, (x, i) ->
-               transform(slice(bs, i + 2, size(bs)),
-                         y -> struct(x AS u, y AS v))))""")).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v")).distinct()
-      graft.analytics.Graph.triangles(edges, "u", "v")
-        .select(explode(array(col("a"), col("b"), col("c"))).as("brand"))
-        .groupBy(col("brand")).agg(count(lit(1)).as("n_triangles"))
-        .orderBy(col("brand"))
-    }, Some("""
-      WITH ob AS (
-        SELECT DISTINCT l_orderkey AS ok, p_brand
-        FROM lineitem JOIN part ON l_partkey = p_partkey),
-      e AS (
-        SELECT DISTINCT a.p_brand AS u, b.p_brand AS v
-        FROM ob a JOIN ob b ON a.ok = b.ok AND a.p_brand < b.p_brand),
-      t AS (
-        SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        FROM e e1
-        JOIN e e2 ON e1.v = e2.u
-        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-      x AS (SELECT a AS brand FROM t
-            UNION ALL SELECT b FROM t
-            UNION ALL SELECT c FROM t)
-      SELECT brand, count(*) AS n_triangles
-      FROM x GROUP BY 1 ORDER BY 1""")),
-
-    // Bounded-depth BFS (k-hop reachability) over the top-3-partner trade
-    // graph: each nation keeps its 3 heaviest distinct-destination trade
-    // edges (deterministic (w DESC, dst) rank), then Graph.kHopReachable
-    // runs 3 rounds of frontier-join + anti-join-visited with checkpointed
-    // lineage. The heavy 4-way join builds the edge weights ONCE; the
-    // iteration works on |nations|-sized frames. Oracle: the same BFS
-    // unrolled as 3 CTE rounds.
-    ("q102_khop_reach", (s, dir) => {
-      val ew = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-        .join(T(s, dir, "orders").select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(T(s, dir, "customer").select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
-        .join(T(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
-          col("l_suppkey") === col("s_suppkey"))
-        .where(col("c_nationkey") =!= col("s_nationkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
-      val top3 = ew
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst"))))
-        .where(col("rn") <= 3).select(col("src"), col("dst"))
-      val seeds = T(s, dir, "nation")
-        .where(col("n_nationkey") === 0).select(col("n_nationkey"))
-      graft.analytics.Graph
-        .kHopReachable(top3, "src", "dst", seeds, "n_nationkey", maxHops = 3)
-        .orderBy(col("hop"), col("n_nationkey"))
-    }, Some("""
-      WITH ew AS (
-        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        WHERE c.c_nationkey <> s.s_nationkey
-        GROUP BY 1, 2),
-      e AS (
-        SELECT src, dst FROM (
-          SELECT src, dst,
-            row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
-          FROM ew)
-        WHERE rn <= 3),
-      r0 AS (SELECT CAST(0 AS INTEGER) AS node, CAST(0 AS INTEGER) AS hop),
-      f1 AS (SELECT DISTINCT dst AS node FROM e JOIN r0 ON src = r0.node
-             WHERE dst NOT IN (SELECT node FROM r0)),
-      r1 AS (SELECT * FROM r0
-             UNION ALL SELECT node, CAST(1 AS INTEGER) FROM f1),
-      f2 AS (SELECT DISTINCT dst AS node FROM e JOIN r1 ON src = r1.node
-             WHERE dst NOT IN (SELECT node FROM r1)),
-      r2 AS (SELECT * FROM r1
-             UNION ALL SELECT node, CAST(2 AS INTEGER) FROM f2),
-      f3 AS (SELECT DISTINCT dst AS node FROM e JOIN r2 ON src = r2.node
-             WHERE dst NOT IN (SELECT node FROM r2)),
-      r3 AS (SELECT * FROM r2
-             UNION ALL SELECT node, CAST(3 AS INTEGER) FROM f3)
-      SELECT node AS n_nationkey, hop FROM r3 ORDER BY hop, node""")),
-
-    // Ordered-subsequence pattern match over full event journeys (the
-    // MATCH_RECOGNIZE-shaped query): each user's complete event-type path
-    // in strict (time, id) order, flagged when a 'signup' is EVER followed
-    // by a 'purchase'. One keyed exchange builds the per-user sequence;
-    // the multi-wildcard LIKE compiles to a codegen'd scan of the path
-    // string. Per-user sequences are bounded (|events|/|users|), so the
-    // interpreted transform stays off the fact-table hot path.
-    ("q103_sequence_match", (s, dir) => {
-      T(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("tus"),
-          col("event_id"), col("event_type"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          expr("""array_join(
-              transform(array_sort(collect_list(struct(tus, event_id, event_type))),
-                        p -> p.event_type), '>')""").as("path"))
-        .select(col("user_id"), col("n_events"),
-          col("path").like("%signup%purchase%").as("matched"))
-        .orderBy(col("user_id"))
-    }, Some("""
-      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
-                 FROM events),
-      p AS (SELECT user_id, count(*) AS n_events,
-              string_agg(event_type, '>' ORDER BY tus, event_id) AS path
-            FROM e GROUP BY 1)
-      SELECT user_id, n_events, path LIKE '%signup%purchase%' AS matched
-      FROM p ORDER BY user_id""")),
-
-    // Median-absolute-deviation outlier fences — q77 IQR's robust sibling:
-    // med and MAD are exact interpolated medians (dyadic 0.5 ⇒ the (a+b)/2
-    // midpoint is one IEEE add + halving, bit-exact cross-engine, q61's
-    // argument), each deviation |x − med| is a single exact subtraction,
-    // and the 3·MAD fence is one multiply — so even rows ON the fence
-    // agree. Two aggregation passes + one probe pass, each with map-side
-    // partials; the per-group scalars travel by broadcast, the fact table
-    // is never sorted globally.
-    ("q104_mad_outliers", (s, dir) => {
-      val li = T(s, dir, "lineitem")
-        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
-      // med and madt are |groups|-sized but EXPENSIVE (exact percentile over
-      // the fact table); each has two consumers, and without a checkpoint
-      // Spark re-derives the whole percentile pass per consumer — measured
-      // 2× on this query. Each median comes from ONE keyed sort
-      // (Profiling.exactPercentiles) instead of the hash-map percentile
-      // buffer — measured ~3× at sf0.1.
-      val med = ext.Profiling.exactPercentiles(
-          li, Seq("g"), "x", Seq("med" -> 0.5))
-        .select(col("g"), col("med"))
-        .localCheckpoint()
-      val dev = li.join(broadcast(med), "g")
-        .select(col("g"), col("x"), col("med"),
-          abs(col("x") - col("med")).as("d"))
-      val madt = ext.Profiling.exactPercentiles(
-          dev, Seq("g"), "d", Seq("mad" -> 0.5))
-        .join(med, "g") // reattach the (checkpointed, tiny) median
-        .select(col("g"), col("med"), col("mad"), col("n"))
-        .localCheckpoint()
-      dev.join(broadcast(madt.select(col("g"), col("mad"))), "g")
-        .groupBy(col("g"))
-        .agg(count(when(col("d") > lit(3.0) * col("mad"), 1)).as("n_outliers"))
-        .join(madt, "g")
-        .select(col("g").as("l_returnflag"), col("n"), col("med"), col("mad"),
-          col("n_outliers"))
-        .orderBy(col("l_returnflag"))
-    }, Some("""
-      WITH m AS (
-        SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.5) AS med
-        FROM lineitem GROUP BY 1),
-      d AS (
-        SELECT g, med, abs(l_extendedprice - med) AS d
-        FROM lineitem JOIN m ON l_returnflag = g),
-      t AS (
-        SELECT g, max(med) AS med, quantile_cont(d, 0.5) AS mad,
-          count(*) AS n
-        FROM d GROUP BY 1)
-      SELECT d.g AS l_returnflag, t.n, t.med, t.mad,
-        count(*) FILTER (WHERE d.d > 3.0 * t.mad) AS n_outliers
-      FROM d JOIN t ON d.g = t.g
-      GROUP BY 1, 2, 3, 4 ORDER BY 1""")),
-
-    // Pareto frontier (skyline) per brand: parts not dominated on
-    // (price ↓, size ↑) by any same-brand part. The dominance test is a
-    // brand-blocked LEFT ANTI self-join — Σ per-block C(n,2) comparisons,
-    // never |part|² (the same blocking argument as q69's fuzzy match); at
-    // open-web scale the block key is the partition key and a grid-based
-    // pre-prune drops interior points before the quadratic step. Pure
-    // comparisons ⇒ trivially bit-exact.
-    ("q105_skyline", (s, dir) => {
-      val p = T(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
-          col("p_size"))
-      val q = p.select(col("p_brand").as("qb"), col("p_retailprice").as("qp"),
-        col("p_size").as("qs"))
-      p.join(q,
-          col("p_brand") === col("qb") &&
-            col("qp") <= col("p_retailprice") && col("qs") >= col("p_size") &&
-            (col("qp") < col("p_retailprice") || col("qs") > col("p_size")),
-          "left_anti")
-        .orderBy(col("p_brand"), col("p_partkey"))
-    }, Some("""
-      SELECT p_partkey, p_brand, p_retailprice, p_size FROM part p
-      WHERE NOT EXISTS (
-        SELECT 1 FROM part q
-        WHERE q.p_brand = p.p_brand
-          AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
-          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
-      ORDER BY p_brand, p_partkey""")),
-
-    // A/B experiment readout: users split into two arms by the shared
-    // 48-bit content hash (assignment is engine-, seed- and partitioning-
-    // independent — the q42 sampling key), conversion = any purchase
-    // event. The fact table reduces ONCE to per-user rows; the readout is
-    // a single conditional aggregation. Rates, absolute lift and the
-    // two-proportion z statistic are built from exact BIGINT counts
-    // through an IDENTICAL double expression tree in both engines
-    // (divisions + one sqrt, both correctly rounded) ⇒ hash-exact.
-    ("q106_ab_lift", (s, dir) => {
-      import graft.ext.TextAnalysis.hash48
-      val per = T(s, dir, "events")
-        .groupBy(col("user_id"))
-        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
-        .select(col("user_id"), col("conv"),
-          (hash48(col("user_id").cast("string")) % 2).as("arm"))
-      val r = per.agg(
-        count(when(col("arm") === 0, 1)).as("n_a"),
-        count(when(col("arm") === 1, 1)).as("n_b"),
-        sum(when(col("arm") === 0, col("conv")).otherwise(0)).as("conv_a"),
-        sum(when(col("arm") === 1, col("conv")).otherwise(0)).as("conv_b"))
-      val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
-      val ra = col("conv_a").cast("double") / naD
-      val rb = col("conv_b").cast("double") / nbD
-      val pp = (col("conv_a") + col("conv_b")).cast("double") /
-        (col("n_a") + col("n_b")).cast("double")
-      // z is undefined when the pooled rate is degenerate (pp ∈ {0,1} ⇒
-      // zero variance): emit NULL, matching DuckDB's NULL-on-/0 semantics
-      // (Spark's ANSI double division instead raises DIVIDE_BY_ZERO).
-      val zDen = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / naD + lit(1.0) / nbD))
-      r.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
-        ra.as("rate_a"), rb.as("rate_b"), (rb - ra).as("abs_lift"),
-        when(zDen =!= 0.0, (rb - ra) / zDen).otherwise(lit(null)).as("z"))
-    }, Some("""
-      WITH per AS (
-        SELECT user_id,
-          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
-          ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT % 2 AS arm
-        FROM events GROUP BY user_id),
-      r AS (
-        SELECT
-          count(*) FILTER (WHERE arm = 0) AS n_a,
-          count(*) FILTER (WHERE arm = 1) AS n_b,
-          CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
-          CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
-        FROM per),
-      rr AS (
-        SELECT n_a, n_b, conv_a, conv_b,
-          CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
-          CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
-          CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
-        FROM r)
-      SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b,
-        rate_b - rate_a AS abs_lift,
-        CASE WHEN sqrt(pp * (CAST(1 AS DOUBLE) - pp)
-               * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
-                    + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) <> 0
-          THEN (rate_b - rate_a)
-            / sqrt(pp * (CAST(1 AS DOUBLE) - pp)
-                 * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
-                      + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)))
-          ELSE NULL END AS z
-      FROM rr""")),
-
-    // Lorenz deciles + exact Gini coefficient of customer spend: orders
-    // reduce ONCE to |customers| exact-DECIMAL totals; the decile ranking
-    // is one (value, key)-ordered ntile on that REDUCED table (q99's
-    // argument — sketch cut points or GlobalCumsum.ntile/rowNumber for the
-    // exact form at 100 TB); Gini comes from the exact
-    // rank-weighted sum  G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)  where every
-    // product/sum stays in DECIMAL (rank × spend fits DECIMAL(25,2)) —
-    // only the final division is a double op ⇒ bit-exact.
-    ("q107_lorenz_gini", (s, dir) => {
-      val spend = T(s, dir, "orders")
-        .groupBy(col("o_custkey"))
-        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(14, 2)).as("x"))
-      val w = Window.orderBy(col("x"), col("o_custkey"))
-      val ranked = spend
-        .select(col("o_custkey"), col("x"),
-          row_number().over(w).cast(DecimalType(10, 0)).as("i"),
-          ntile(10).over(w).cast("long").as("decile"))
-        .localCheckpoint() // consumed by the gini scalar AND the deciles
-      val g = ranked.agg(
-          count(lit(1)).as("n"),
-          sum(col("x")).cast(DecimalType(18, 2)).as("tot"),
-          sum(col("i") * col("x")).as("six"))
-        .select(((lit(2) * col("six") -
-            (col("n") + lit(1)).cast(DecimalType(10, 0)) * col("tot"))
-            .cast("double") /
-          (col("n").cast(DecimalType(10, 0)) * col("tot")).cast("double"))
-          .as("gini"),
-          col("tot"))
-      val dw = Window.orderBy(col("decile"))
-      ranked.groupBy(col("decile"))
-        .agg(count(lit(1)).as("n_customers"),
-          sum(col("x")).cast(DecimalType(18, 2)).as("dsum"))
-        .select(col("decile"), col("n_customers"),
-          col("dsum").as("dsum"),
-          sum(col("dsum")).over(dw).cast(DecimalType(18, 2)).as("csum"))
-        .crossJoin(broadcast(g))
-        .select(col("decile"), col("n_customers"),
-          col("dsum").cast("double").as("decile_spend"),
-          (col("csum").cast("double") / col("tot").cast("double")).as("cum_share"),
-          col("gini"))
-        .orderBy(col("decile"))
-    }, Some("""
-      WITH spend AS (
-        SELECT o_custkey,
-          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS x
-        FROM orders GROUP BY 1),
-      ranked AS (
-        SELECT o_custkey, x,
-          CAST(row_number() OVER (ORDER BY x, o_custkey) AS DECIMAL(10,0)) AS i,
-          CAST(ntile(10) OVER (ORDER BY x, o_custkey) AS BIGINT) AS decile
-        FROM spend),
-      g AS (
-        SELECT count(*) AS n, CAST(sum(x) AS DECIMAL(18,2)) AS tot,
-          sum(i * x) AS six
-        FROM ranked),
-      gg AS (
-        SELECT
-          CAST(2 * six - CAST(n + 1 AS DECIMAL(10,0)) * tot AS DOUBLE)
-            / CAST(CAST(n AS DECIMAL(10,0)) * tot AS DOUBLE) AS gini,
-          tot
-        FROM g),
-      d AS (
-        SELECT decile, count(*) AS n_customers,
-          CAST(sum(x) AS DECIMAL(18,2)) AS dsum
-        FROM ranked GROUP BY 1),
-      c AS (
-        SELECT decile, n_customers, dsum,
-          CAST(sum(dsum) OVER (ORDER BY decile) AS DECIMAL(18,2)) AS csum
-        FROM d)
-      SELECT decile, n_customers, CAST(dsum AS DOUBLE) AS decile_spend,
-        CAST(csum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share, gini
-      FROM c, gg ORDER BY decile""")),
-
-    // Rolling 7-day distinct active users — the sliding-DISTINCT window no
-    // frame can express (count(DISTINCT) over RANGE isn't supported
-    // anywhere): the fact table reduces ONCE to distinct (day, user) rows;
-    // each then EXPLODES into the ≤7 window-end days it covers and one
-    // hash aggregation counts distincts per day — a keyed equi-shuffle
-    // (Σ rows · 7), not a day×activity range join. Day ids are integral
-    // day-epochs from the int64 nano timestamps ⇒ exact.
-    ("q108_rolling_distinct", (s, dir) => {
-      val au = T(s, dir, "events")
-        .select(expr("ts div 86400000000000").as("day"), col("user_id"))
-        .distinct()
-        .localCheckpoint() // small; feeds the explode AND the day grid
-      val days = au.select(col("day")).distinct()
-      au.select(explode(sequence(col("day"), col("day") + lit(6))).as("tday"),
-          col("user_id"))
-        .groupBy(col("tday"))
-        .agg(countDistinct(col("user_id")).as("wau"))
-        .join(days, col("tday") === col("day"))
-        .select(col("day"), col("wau"))
-        .orderBy(col("day"))
-    }, Some("""
-      WITH au AS (
-        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
-        FROM events),
-      days AS (SELECT DISTINCT day FROM au)
-      SELECT d.day, count(DISTINCT a.user_id) AS wau
-      FROM days d JOIN au a ON a.day BETWEEN d.day - 6 AND d.day
-      GROUP BY 1 ORDER BY 1""")),
-
-    // Behavioral diversity per user (Gini–Simpson index and its inverse,
-    // the "effective number of behaviors"): D = 1 − Σcᵢ²/n², computed
-    // entirely from exact BIGINT counts — two keyed hash aggs with
-    // map-side partials and two final IEEE divisions ⇒ bit-exact.
-    // (Shannon entropy is the transcendental sibling; ln is NOT identically
-    // rounded between JVM StrictMath and libm — measured 54/2M integer
-    // inputs differ — so the hash-gated catalog uses the exact index and
-    // leaves entropy to sketch-style bounds like q39.)
-    ("q109_behavior_diversity", (s, dir) => {
-      val c = T(s, dir, "events")
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("c"))
-      c.groupBy(col("user_id"))
-        .agg(sum(col("c")).as("n_events"),
-          count(lit(1)).as("n_types"),
-          sum(col("c") * col("c")).as("ssq"))
-        .select(col("user_id"), col("n_events"), col("n_types"),
-          (lit(1.0) - col("ssq").cast("double") /
-            (col("n_events") * col("n_events")).cast("double")).as("simpson"),
-          ((col("n_events") * col("n_events")).cast("double") /
-            col("ssq").cast("double")).as("effective_types"))
-        .orderBy(col("user_id"))
-    }, Some("""
-      WITH c AS (
-        SELECT user_id, event_type, count(*) AS c
-        FROM events GROUP BY 1, 2),
-      l AS (
-        SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
-          count(*) AS n_types,
-          CAST(sum(c * c) AS BIGINT) AS ssq
-        FROM c GROUP BY 1)
-      SELECT user_id, n_events, n_types,
-        CAST(1 AS DOUBLE) - CAST(ssq AS DOUBLE)
-          / CAST(n_events * n_events AS DOUBLE) AS simpson,
-        CAST(n_events * n_events AS DOUBLE) / CAST(ssq AS DOUBLE)
-          AS effective_types
-      FROM l ORDER BY user_id""")),
-
-    // Per-user activity bitmap: each user's active days packed into ONE
-    // 64-bit word (slot = day mod 64) with bit_or, per-behavior bitmaps via
-    // conditional masks, and set algebra (intersection cardinality) as
-    // bit_count(a & b) — O(1) state per user where collect_set(day) is
-    // O(days), and the roaring-bitmap pattern for 100 TB audience overlap
-    // queries. Pure integer ops ⇒ bit-exact.
-    ("q110_bitmap_activity", (s, dir) => {
-      val b = T(s, dir, "events")
-        .select(col("user_id"),
-          (expr("ts div 86400000000000") % 64).cast("int").as("slot"),
-          col("event_type"))
-        .select(col("user_id"),
-          expr("shiftleft(CAST(1 AS BIGINT), slot)").as("m"),
-          col("event_type"))
-        .groupBy(col("user_id"))
-        .agg(
-          expr("bit_or(m)").as("all_days"),
-          expr("bit_or(CASE WHEN event_type = 'purchase' THEN m ELSE 0 END)")
-            .as("buy_days"),
-          expr("bit_or(CASE WHEN event_type = 'error' THEN m ELSE 0 END)")
-            .as("err_days"))
-      b.select(col("user_id"), col("all_days"),
-          bit_count(col("all_days")).cast("int").as("n_active"),
-          bit_count(col("buy_days")).cast("int").as("n_buy_days"),
-          bit_count(col("buy_days").bitwiseAND(col("err_days"))).cast("int")
-            .as("n_overlap"))
-        .orderBy(col("user_id"))
-    }, Some("""
-      WITH slots AS (
-        SELECT user_id,
-          CAST(CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 64 AS INTEGER) AS slot,
-          event_type
-        FROM events),
-      b AS (
-        SELECT user_id,
-          bit_or(1::BIGINT << slot) AS all_days,
-          bit_or(CASE WHEN event_type = 'purchase' THEN 1::BIGINT << slot ELSE 0 END) AS buy_days,
-          bit_or(CASE WHEN event_type = 'error' THEN 1::BIGINT << slot ELSE 0 END) AS err_days
-        FROM slots GROUP BY 1)
-      SELECT user_id, all_days,
-        CAST(bit_count(all_days) AS INTEGER) AS n_active,
-        CAST(bit_count(buy_days) AS INTEGER) AS n_buy_days,
-        CAST(bit_count(buy_days & err_days) AS INTEGER) AS n_overlap
-      FROM b ORDER BY user_id""")),
-
-    // Chi-square test of independence (event_type × user cohort), cell
-    // level: the fact table reduces ONCE to |types|·|cohorts| observed
-    // BIGINT counts; row/column/grand totals come from windows over that
-    // tiny frame (no second scan); expected counts and (O−E)²/E are an
-    // IDENTICAL double expression tree from exact BIGINT products ⇒
-    // hash-exact. Cell-level output keeps the result deterministic — a
-    // single chi² total would sum doubles in engine-dependent order.
-    ("q111_chisq_cells", (s, dir) => {
-      val c = T(s, dir, "events")
-        .groupBy(col("event_type"), (col("user_id") % 4).as("cohort"))
-        .agg(count(lit(1)).as("o"))
-      val t = c.select(col("event_type"), col("cohort"), col("o"),
-        sum(col("o")).over(Window.partitionBy(col("event_type"))).as("rt"),
-        sum(col("o")).over(Window.partitionBy(col("cohort"))).as("ct"),
-        sum(col("o")).over(Window.partitionBy()).as("n"))
-      val e = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
-      t.select(col("event_type"), col("cohort"), col("o"),
-          e.as("expected"),
-          ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
-            .as("contrib"))
-        .orderBy(col("event_type"), col("cohort"))
-    }, Some("""
-      WITH c AS (
-        SELECT event_type, user_id % 4 AS cohort, count(*) AS o
-        FROM events GROUP BY 1, 2),
-      t AS (
-        SELECT event_type, cohort, o,
-          sum(o) OVER (PARTITION BY event_type) AS rt,
-          sum(o) OVER (PARTITION BY cohort) AS ct,
-          sum(o) OVER () AS n
-        FROM c)
-      SELECT event_type, cohort, o,
-        CAST(rt*ct AS DOUBLE)/CAST(n AS DOUBLE) AS expected,
-        (CAST(o AS DOUBLE) - CAST(rt*ct AS DOUBLE)/CAST(n AS DOUBLE))
-          * (CAST(o AS DOUBLE) - CAST(rt*ct AS DOUBLE)/CAST(n AS DOUBLE))
-          / (CAST(rt*ct AS DOUBLE)/CAST(n AS DOUBLE)) AS contrib
-      FROM t ORDER BY event_type, cohort""")),
-
-    // Autocorrelation of the daily event-count series at lags 1 and 7:
-    // the fact table reduces ONCE to |days| BIGINT counts; each lag is an
-    // equi-join of that tiny series against itself shifted (join on
-    // d = d + lag — no window spill, works for ANY lag set); Pearson r
-    // comes from exact DECIMAL moments (q83's argument) so the result is
-    // bit-exact despite being a float statistic.
-    ("q112_autocorr", (s, dir) => {
-      import s.implicits._
-      val daily = T(s, dir, "events")
-        .groupBy(expr("ts div 86400000000000").as("d"))
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // tiny; feeds both sides of both lag joins
-      val lags = Seq(1L, 7L).toDF("lag")
-      val pairs = lags.crossJoin(daily.select(col("d"), col("c").as("x")))
-        .join(daily.select(col("d").as("d2"), col("c").as("y")),
-          col("d2") === col("d") + col("lag"))
-      val m = pairs.groupBy(col("lag"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("x")).cast(DecimalType(20, 0)).as("sx"),
-          sum(col("y")).cast(DecimalType(20, 0)).as("sy"),
-          sum(col("x") * col("y")).cast(DecimalType(30, 0)).as("sxy"),
-          sum(col("x") * col("x")).cast(DecimalType(30, 0)).as("sxx"),
-          sum(col("y") * col("y")).cast(DecimalType(30, 0)).as("syy"))
-      m.select(col("lag"), col("n"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
-            .as("r"))
-        .orderBy(col("lag"))
-    }, Some("""
-      WITH daily AS (
-        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d, count(*) AS c
-        FROM events GROUP BY 1),
-      pairs AS (
-        SELECT l.lag, a.c AS x, b.c AS y
-        FROM (VALUES (CAST(1 AS BIGINT)), (CAST(7 AS BIGINT))) l(lag)
-        JOIN daily a ON true
-        JOIN daily b ON b.d = a.d + l.lag),
-      m AS (
-        SELECT lag, count(*) AS n,
-          CAST(sum(x) AS DECIMAL(20,0)) AS sx, CAST(sum(y) AS DECIMAL(20,0)) AS sy,
-          CAST(sum(x*y) AS DECIMAL(30,0)) AS sxy,
-          CAST(sum(x*x) AS DECIMAL(30,0)) AS sxx,
-          CAST(sum(y*y) AS DECIMAL(30,0)) AS syy
-        FROM pairs GROUP BY 1)
-      SELECT lag, n,
-        CAST(n*sxy - sx*sy AS DOUBLE)
-          / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS r
-      FROM m ORDER BY lag""")),
-
-    // Period-over-period revenue: monthly totals (exact DECIMAL), MoM via
-    // lag over the |months| frame, YoY via a self-join on (y−1, m) — join,
-    // not lag(12), so gaps in the month sequence can never silently pair
-    // the wrong periods. The fact table pays ONE keyed exchange; everything
-    // downstream is |months|-sized.
-    ("q113_period_growth", (s, dir) => {
-      val m = T(s, dir, "orders")
-        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
-          month(col("o_orderdate")).cast("long").as("mo"))
-        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"),
-          count(lit(1)).as("n_orders"))
-        .localCheckpoint() // tiny; feeds the MoM window AND the YoY join
-      val g = m.select((col("y") * 100 + col("mo")).as("ym"), col("y"),
-        col("mo"), col("rev"), col("n_orders"),
-        lag(col("rev"), 1).over(Window.orderBy(col("y"), col("mo")))
-          .as("prev_rev"))
-      g.join(m.select(col("y").as("py"), col("mo").as("pmo"),
-            col("rev").as("yoy_rev")),
-          col("py") === col("y") - 1 && col("pmo") === col("mo"), "left")
-        .select(col("ym"), col("rev").cast("double").as("revenue"),
-          col("n_orders"),
-          col("prev_rev").cast("double").as("prev_revenue"),
-          ((col("rev") - col("prev_rev")).cast("double") /
-            col("prev_rev").cast("double")).as("mom_pct"),
-          col("yoy_rev").cast("double").as("yoy_revenue"),
-          ((col("rev") - col("yoy_rev")).cast("double") /
-            col("yoy_rev").cast("double")).as("yoy_pct"))
-        .orderBy(col("ym"))
-    }, Some("""
-      WITH m AS (
-        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
-          CAST(month(o_orderdate) AS BIGINT) AS mo,
-          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev,
-          count(*) AS n_orders
-        FROM orders GROUP BY 1, 2),
-      g AS (
-        SELECT y*100+mo AS ym, y, mo, rev, n_orders,
-          lag(rev) OVER (ORDER BY y, mo) AS prev_rev
-        FROM m)
-      SELECT g.ym, CAST(g.rev AS DOUBLE) AS revenue, g.n_orders,
-        CAST(g.prev_rev AS DOUBLE) AS prev_revenue,
-        CAST(g.rev - g.prev_rev AS DOUBLE) / CAST(g.prev_rev AS DOUBLE) AS mom_pct,
-        CAST(p.rev AS DOUBLE) AS yoy_revenue,
-        CAST(g.rev - p.rev AS DOUBLE) / CAST(p.rev AS DOUBLE) AS yoy_pct
-      FROM g LEFT JOIN m p ON p.y = g.y - 1 AND p.mo = g.mo
-      ORDER BY g.ym""")),
-
-    // Data-quality audit (the Deequ-shaped constraint pass a training-data
-    // pipeline runs before every ingest): referential integrity both ways
-    // (anti joins), key uniqueness, null and domain checks — each check is
-    // one scan or one join, results union into a tall (check, count)
-    // report. Exact BIGINT counts.
-    ("q114_dq_audit", (s, dir) => {
-      val li = T(s, dir, "lineitem")
-      val ord = T(s, dir, "orders")
-      def one(name: String, d: DataFrame): DataFrame =
-        d.agg(count(lit(1)).as("n")).select(lit(name).as("check_name"), col("n"))
-      one("lineitem_orphan_fk",
-          li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti"))
-        .unionByName(one("orders_childless",
-          ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")))
-        .unionByName(
-          li.groupBy(col("l_orderkey"), col("l_linenumber"))
-            .agg(count(lit(1)).as("c")).where(col("c") > 1)
-            .agg(count(lit(1)).as("n"))
-            .select(lit("lineitem_dup_pk").as("check_name"), col("n")))
-        .unionByName(one("orders_null_custkey",
-          ord.where(col("o_custkey").isNull)))
-        .unionByName(one("lineitem_nonpositive_qty",
-          li.where(col("l_quantity") <= 0)))
-        .unionByName(one("lineitem_discount_range",
-          li.where(col("l_discount") < 0 || col("l_discount") > 1)))
-        .orderBy(col("check_name"))
-    }, Some("""
-      SELECT 'lineitem_orphan_fk' AS check_name, count(*) AS n
-      FROM lineitem l
-      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
-      UNION ALL
-      SELECT 'orders_childless', count(*) FROM orders o
-      WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
-      UNION ALL
-      SELECT 'lineitem_dup_pk', count(*) FROM (
-        SELECT l_orderkey, l_linenumber FROM lineitem
-        GROUP BY 1, 2 HAVING count(*) > 1)
-      UNION ALL
-      SELECT 'orders_null_custkey', count(*) FROM orders WHERE o_custkey IS NULL
-      UNION ALL
-      SELECT 'lineitem_nonpositive_qty', count(*) FROM lineitem WHERE l_quantity <= 0
-      UNION ALL
-      SELECT 'lineitem_discount_range', count(*) FROM lineitem
-      WHERE l_discount < 0 OR l_discount > 1
-      ORDER BY check_name""")),
-
-    // Incremental aggregate maintenance: the stream splits into a BASE and
-    // a DELTA batch (even/odd days); each batch aggregates independently
-    // into mergeable partials (count/sum/min/max — the algebraic aggregates
-    // a materialized view keeps), and the view refresh is a SECOND-level
-    // aggregation over the partial rows — never a re-scan of base. Distinct
-    // users merge through the (type,user) key set, the one aggregate whose
-    // partial IS a set. Oracle: the same stats computed directly over the
-    // full table — the merge law count(A∪B)=count(A)+count(B) etc. is what
-    // the hash match proves.
-    ("q115_incremental_agg", (s, dir) => {
-      val ev = T(s, dir, "events")
-        .select(col("event_type"), col("user_id"), dec(col("value")).as("v"),
-          (expr("ts div 86400000000000") % 2 === 0).as("is_base"))
-      val partials = ev.groupBy(col("event_type"), col("is_base"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("v")).cast(DecimalType(16, 2)).as("s"),
-          min(col("v")).as("mn"), max(col("v")).as("mx"))
-      val merged = partials.groupBy(col("event_type"))
-        .agg(sum(col("cnt")).as("n"),
-          sum(col("s")).cast("double").as("sum_value"),
-          min(col("mn")).cast("double").as("min_value"),
-          max(col("mx")).cast("double").as("max_value"))
-      val users = ev.select(col("event_type"), col("user_id"), col("is_base"))
-        .distinct() // per-batch key sets ...
-        .select(col("event_type"), col("user_id")).distinct() // ... merged
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
-      merged.join(users, "event_type").orderBy(col("event_type"))
-    }, Some("""
-      SELECT event_type, count(*) AS n,
-        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
-        CAST(min(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS min_value,
-        CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value,
-        count(DISTINCT user_id) AS n_users
-      FROM events GROUP BY 1 ORDER BY 1""")),
-
-    // Per-label centroids over int8-QUANTIZED embeddings: codes sum as
-    // exact BIGINTs per (label, position) — the float-summation-order trap
-    // that makes naive mean-vector aggregation engine-dependent never
-    // appears, and at 100 TB the 4×-smaller codes are what you'd scan
-    // anyway (q49). posexplode is a 1→64 in-stage Generate; one keyed hash
-    // agg with map-side partials does the rest.
-    ("q116_label_centroids", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val codes = emb.select(col("label"),
-        ext.Quantize.int8Codes(col("embedding"),
-          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
-      codes.select(col("label"), posexplode(col("codes")).as(Seq("p", "c")))
-        .groupBy(col("label"), (col("p") + 1).cast("long").as("pos"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("c").cast("long")).as("code_sum"))
-        .select(col("label").cast("long").as("label"), col("pos"), col("n"),
-          col("code_sum"),
-          (col("code_sum").cast("double") / col("n").cast("double"))
-            .as("centroid"))
-        .orderBy(col("label"), col("pos"))
-    }, Some("""
-      WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
-      s AS (
-        SELECT label, vec,
-          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
-        FROM v),
-      q AS (
-        SELECT label, CASE WHEN scale = 0
-          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
-          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
-        FROM s),
-      e AS (
-        SELECT label, i, codes[i] AS c
-        FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r)
-      SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS pos,
-        count(*) AS n, CAST(sum(c) AS BIGINT) AS code_sum,
-        CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid
-      FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // Weighted median (size-weighted retail price per brand): one keyed
-    // window builds the running weight, the median is the FIRST value whose
-    // cumulative weight reaches half the total — deterministic via the
-    // (value, key) window order, exact comparisons only (2·cw ≥ tw is
-    // integer arithmetic). One exchange+sort per brand block; the two
-    // windows (running + total) share it.
-    ("q117_weighted_median", (s, dir) => {
-      val w = Window.partitionBy(col("p_brand"))
-        .orderBy(col("p_retailprice"), col("p_partkey"))
-      val t = Window.partitionBy(col("p_brand"))
-      T(s, dir, "part")
-        .select(col("p_brand"), col("p_retailprice"), col("p_partkey"),
-          sum(col("p_size").cast("long")).over(w).as("cw"),
-          sum(col("p_size").cast("long")).over(t).as("tw"))
-        .where(col("cw") * 2 >= col("tw"))
-        .groupBy(col("p_brand"))
-        .agg(min(col("p_retailprice")).as("weighted_median"))
-        .orderBy(col("p_brand"))
-    }, Some("""
-      WITH w AS (
-        SELECT p_brand, p_retailprice,
-          sum(CAST(p_size AS BIGINT)) OVER (
-            PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS cw,
-          sum(CAST(p_size AS BIGINT)) OVER (PARTITION BY p_brand) AS tw
-        FROM part)
-      SELECT p_brand, min(p_retailprice) AS weighted_median
-      FROM w WHERE 2*cw >= tw GROUP BY 1 ORDER BY 1""")),
-
-    // New-vs-returning user split per day: the fact table reduces ONCE to
-    // distinct (day, user) activity rows (q108's reduction); first-seen day
-    // is one more hash agg over that small frame; the daily split is a
-    // conditional count. Exact BIGINT counts; the growth-accounting query
-    // every activity pipeline runs.
-    ("q118_new_returning", (s, dir) => {
-      val au = T(s, dir, "events")
-        .select(expr("ts div 86400000000000").as("d"), col("user_id"))
-        .distinct()
-        .localCheckpoint() // feeds first-seen AND the day split
-      val f = au.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
-      au.join(f, "user_id")
-        .groupBy(col("d"))
-        .agg(count(lit(1)).as("dau"),
-          count(when(col("d") === col("first_d"), 1)).as("new_users"),
-          count(when(col("d") > col("first_d"), 1)).as("returning_users"))
-        .orderBy(col("d"))
-    }, Some("""
-      WITH au AS (
-        SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d, user_id
-        FROM events),
-      f AS (SELECT user_id, min(d) AS first_d FROM au GROUP BY 1)
-      SELECT d, count(*) AS dau,
-        count(*) FILTER (WHERE d = first_d) AS new_users,
-        count(*) FILTER (WHERE d > first_d) AS returning_users
-      FROM au JOIN f USING (user_id) GROUP BY 1 ORDER BY 1""")),
-
-    // Last-touch conversion attribution: each purchase credits the latest
-    // STRICTLY-earlier non-purchase event of the same user — the correlated
-    // LIMIT-1 subquery shape (J5's generalization) rewritten as ONE keyed
-    // window: last(non-purchase type, ignoreNulls) over rows
-    // (unboundedPreceding, -1) in deterministic (time, id) order. The fact
-    // table pays one exchange+sort; no self-join, no subquery per row.
-    ("q119_attribution", (s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("t"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      T(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("t"),
-          col("event_id"), col("event_type"))
-        .withColumn("channel",
-          last(when(col("event_type") =!= "purchase", col("event_type")),
-            ignoreNulls = true).over(w))
-        .where(col("event_type") === "purchase")
-        .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
-        .agg(count(lit(1)).as("conversions"))
-        .orderBy(col("channel"))
-    }, Some("""
-      WITH e AS (
-        SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
-      att AS (
-        SELECT user_id, t, event_id, event_type,
-          last(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
-            OVER (PARTITION BY user_id ORDER BY t, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
-        FROM e)
-      SELECT coalesce(channel, 'none') AS channel, count(*) AS conversions
-      FROM att WHERE event_type = 'purchase'
-      GROUP BY 1 ORDER BY 1""")),
-
-    // Winsorization (percentile clipping — the outlier-mitigation pass a
-    // training pipeline applies before normalization): exact interpolated
-    // p25/p75 per group (dyadic fractions ⇒ bit-exact, q61), broadcast back
-    // onto the fact rows, clamp with greatest/least (exact comparisons),
-    // and compare raw vs clipped DECIMAL sums plus clip counts. Two passes,
-    // no fact-table sort.
-    ("q120_winsorize", (s, dir) => {
-      val li = T(s, dir, "lineitem")
-        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
-      // one keyed sort for both cut points (Profiling.exactPercentiles)
-      val b = ext.Profiling.exactPercentiles(
-          li, Seq("g"), "x", Seq("lo" -> 0.25, "hi" -> 0.75))
-        .select(col("g"), col("lo"), col("hi"))
-      li.join(broadcast(b), "g")
-        .groupBy(col("g"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("x"))).cast("double").as("sum_raw"),
-          sum(dec(greatest(least(col("x"), col("hi")), col("lo"))))
-            .cast("double").as("sum_winsor"),
-          count(when(col("x") < col("lo"), 1)).as("n_clipped_lo"),
-          count(when(col("x") > col("hi"), 1)).as("n_clipped_hi"))
-        .orderBy(col("g"))
-    }, Some("""
-      WITH b AS (
-        SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.25) AS lo,
-               quantile_cont(l_extendedprice, 0.75) AS hi
-        FROM lineitem GROUP BY 1)
-      SELECT g, count(*) AS n,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_raw,
-        CAST(sum(CAST(greatest(least(l_extendedprice, hi), lo) AS DECIMAL(12,2)))
-          AS DOUBLE) AS sum_winsor,
-        count(*) FILTER (WHERE l_extendedprice < lo) AS n_clipped_lo,
-        count(*) FILTER (WHERE l_extendedprice > hi) AS n_clipped_hi
-      FROM lineitem JOIN b ON l_returnflag = g
-      GROUP BY 1 ORDER BY 1""")),
-
-    // Distribution-drift report between a base and a delta batch (even/odd
-    // days — the train-vs-serve drift check): per-category conditional
-    // counts in ONE scan, shares and absolute drift from exact BIGINTs via
-    // an identical double tree. (PSI's ln() is not cross-engine bit-stable
-    // — the exact |Δshare| report is the hash-gated form.)
-    ("q121_drift_report", (s, dir) => {
-      val c = T(s, dir, "events")
-        .select(col("event_type"),
-          (expr("ts div 86400000000000") % 2 === 0).as("is_base"))
-        .groupBy(col("event_type"))
-        .agg(count(when(col("is_base"), 1)).as("cb"),
-          count(when(!col("is_base"), 1)).as("cd"))
-      val t = c.select(col("event_type"), col("cb"), col("cd"),
-        sum(col("cb")).over(Window.partitionBy()).as("tb"),
-        sum(col("cd")).over(Window.partitionBy()).as("td"))
-      val sb = col("cb").cast("double") / col("tb").cast("double")
-      val sd = col("cd").cast("double") / col("td").cast("double")
-      t.select(col("event_type"), col("cb"), col("cd"),
-          sb.as("share_base"), sd.as("share_delta"),
-          abs(sb - sd).as("abs_drift"))
-        .orderBy(col("event_type"))
-    }, Some("""
-      WITH c AS (
-        SELECT event_type,
-          count(*) FILTER (WHERE CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 2 = 0) AS cb,
-          count(*) FILTER (WHERE CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 2 <> 0) AS cd
-        FROM events GROUP BY 1),
-      t AS (SELECT sum(cb) AS tb, sum(cd) AS td FROM c)
-      SELECT event_type, cb, cd,
-        CAST(cb AS DOUBLE)/CAST(tb AS DOUBLE) AS share_base,
-        CAST(cd AS DOUBLE)/CAST(td AS DOUBLE) AS share_delta,
-        abs(CAST(cb AS DOUBLE)/CAST(tb AS DOUBLE)
-          - CAST(cd AS DOUBLE)/CAST(td AS DOUBLE)) AS abs_drift
-      FROM c, t ORDER BY event_type""")),
-
-    // Recency-decayed engagement score with half-life = 1 day: weight
-    // 2^(−age) is a DYADIC fraction, so the whole weighted sum stays EXACT —
-    // each value scales by the integer 2^(31−age) (BIGINT shift, age capped
-    // at 31 ⇒ older events round to weight 0, exactly like the double would
-    // underflow the scale), sums in DECIMAL, and divides by 2^31 once at the
-    // end. The float-decay idiom exp(−λ·age) is summation-order-dependent;
-    // this form is hash-exact and one hash agg.
-    ("q122_decay_score", (s, dir) => {
-      val ev = T(s, dir, "events")
-        .select(col("user_id"), dec(col("value")).as("v"),
-          expr("ts div 86400000000000").as("d"))
-      val maxd = ev.agg(max(col("d")).as("maxd"))
-      ev.crossJoin(broadcast(maxd))
-        .select(col("user_id"),
-          (col("v") * expr(
-            """CAST(shiftleft(CAST(1 AS BIGINT),
-                              CAST(31 - least(maxd - d, 31) AS INT))
-                    AS DECIMAL(12,0))""")).as("wv"))
-        .groupBy(col("user_id"))
-        .agg(sum(col("wv")).as("num"))
-        .select(col("user_id"),
-          (col("num").cast("double") / lit(2147483648.0)).as("decay_score"))
-        .orderBy(col("user_id"))
-    }, Some("""
-      WITH mx AS (
-        SELECT max(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS maxd FROM events),
-      e AS (
-        SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v,
-          CAST(maxd - epoch_us(ts) // 86400000000 AS BIGINT) AS age
-        FROM events, mx),
-      s AS (
-        SELECT user_id,
-          sum(v * CAST(1::BIGINT << CAST(31 - least(age, 31) AS INTEGER)
-                AS DECIMAL(12,0))) AS num
-        FROM e GROUP BY 1)
-      SELECT user_id, CAST(num AS DOUBLE) / 2147483648.0 AS decay_score
-      FROM s ORDER BY user_id""")),
-
-    // SQL surface: WITH RECURSIVE (Spark 4's UnionLoop) — bounded-depth BFS
-    // from nation 0 over the customer→supplier trade graph, min-distance per
-    // reached nation. The recursion is the SQL-parity twin of q102's
-    // kHopReachable: the DataFrame form (checkpointed frontier, visited-set
-    // anti-join) is the 100 TB path, because a recursive CTE re-evaluates
-    // the edge-derivation join every iteration and keeps no visited set —
-    // fine here only because depth is capped at 2 and nations number 25.
-    ("q123_recursive_bfs", (s, dir) => {
-      T(s, dir, "customer").createOrReplaceTempView("g_customer")
-      T(s, dir, "orders").createOrReplaceTempView("g_orders")
-      T(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
-      T(s, dir, "supplier").createOrReplaceTempView("g_supplier")
-      s.sql("""
-        WITH RECURSIVE hop(dst, d) AS (
-          SELECT CAST(0 AS BIGINT) AS dst, 0 AS d
-          UNION ALL
-          SELECT e.dst, h.d + 1
-          FROM hop h
-          JOIN (SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
-                FROM g_customer JOIN g_orders ON o_custkey = c_custkey
-                JOIN g_lineitem ON l_orderkey = o_orderkey
-                JOIN g_supplier ON s_suppkey = l_suppkey) e
-            ON e.src = h.dst
-          WHERE h.d < 2)
-        SELECT dst, min(d) AS dist FROM hop GROUP BY dst ORDER BY dst""")
-    }, Some("""
-      WITH RECURSIVE hop(dst, d) AS (
-        SELECT CAST(0 AS BIGINT) AS dst, 0 AS d
-        UNION ALL
-        SELECT e.dst, h.d + 1
-        FROM hop h
-        JOIN (SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
-              FROM customer JOIN orders ON o_custkey = c_custkey
-              JOIN lineitem ON l_orderkey = o_orderkey
-              JOIN supplier ON s_suppkey = l_suppkey) e
-          ON e.src = h.dst
-        WHERE h.d < 2)
-      SELECT dst, min(d) AS dist FROM hop GROUP BY dst ORDER BY dst""")),
-
-    // SQL surface: correlated LATERAL subquery with ORDER BY + LIMIT — the
-    // top-N-per-group shape written the way an analyst writes it. Catalyst
-    // decorrelates the LIMIT-1..N lateral into a window/join plan (no
-    // per-row re-execution); tiebreak on c_name keeps the double ordering
-    // deterministic cross-engine.
-    ("q124_lateral_topn", (s, dir) => {
-      T(s, dir, "nation").createOrReplaceTempView("g_nation")
-      T(s, dir, "customer").createOrReplaceTempView("g_customer")
-      s.sql("""
-        SELECT n.n_name, c.c_name, c.c_acctbal
-        FROM g_nation n
-        JOIN LATERAL (
-          SELECT c_name, c_acctbal FROM g_customer
-          WHERE c_nationkey = n.n_nationkey
-          ORDER BY c_acctbal DESC, c_name LIMIT 2) c
-        ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""")
-    }, Some("""
-      SELECT n.n_name, c.c_name, c.c_acctbal
-      FROM nation n
-      JOIN LATERAL (
-        SELECT c_name, c_acctbal FROM customer
-        WHERE c_nationkey = n.n_nationkey
-        ORDER BY c_acctbal DESC, c_name LIMIT 2) c ON TRUE
-      ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""")),
-
-    // Higher-order-function surface (filter/exists/forall/zip_with/
-    // aggregate) over per-order line arrays: one hash agg builds the
-    // arrays, every downstream op is per-row in-stage (no further
-    // shuffle). The dot product runs in exact BIGINTs (quantity × price
-    // CENTS), so the fold is hash-exact regardless of element order.
-    ("q125_hof_surface", (s, dir) => {
-      T(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(collect_list(struct(
-          col("l_quantity").cast("long").as("q"),
-          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))).as("xs"))
-        .select(col("l_orderkey"),
-          expr("transform(xs, x -> x.q)").as("qs"),
-          expr("transform(xs, x -> x.cents)").as("cs"))
-        .select(col("l_orderkey"),
-          expr("size(filter(qs, x -> x > 25))").cast("long").as("n_big"),
-          expr("exists(qs, x -> x > 25)").as("any_big"),
-          expr("forall(qs, x -> x > 25)").as("all_big"),
-          expr("aggregate(zip_with(qs, cs, (q, c) -> q * c), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
-            .as("dot_cents"))
-        .orderBy(col("l_orderkey"))
-    }, Some("""
-      WITH a AS (
-        SELECT l_orderkey,
-          list(CAST(l_quantity AS BIGINT)) AS qs,
-          list(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cs
-        FROM lineitem GROUP BY 1)
-      SELECT l_orderkey,
-        len(list_filter(qs, x -> x > 25)) AS n_big,
-        len(list_filter(qs, x -> x > 25)) > 0 AS any_big,
-        len(list_filter(qs, x -> x > 25)) = len(qs) AS all_big,
-        CAST(list_sum(list_transform(list_zip(qs, cs), t -> t[1] * t[2])) AS BIGINT) AS dot_cents
-      FROM a ORDER BY l_orderkey""")),
-
-    // Content-addressed storage keys: md5 of the full text (the dedup /
-    // cache / blob-store key every corpus pipeline assigns) + sha256 of a
-    // prefix, with the per-key group size via one window. Pure per-row
-    // codegen'd hashing — the only shuffle is the window's hash partition
-    // on the 16-byte key, which at 100 TB is also exactly how the
-    // content-addressed blob store shards.
-    ("q126_content_hash", (s, dir) => {
-      T(s, dir, "documents")
-        .select(col("doc_id"),
-          md5(col("text")).as("content_key"),
-          sha2(substring(col("text"), 1, 32), 256).as("prefix_key"))
-        .withColumn("n_same",
-          count(lit(1)).over(Window.partitionBy(col("content_key"))))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      SELECT doc_id, md5(text) AS content_key,
-        sha256(substr(text, 1, 32)) AS prefix_key,
-        count(*) OVER (PARTITION BY md5(text)) AS n_same
-      FROM documents ORDER BY doc_id""")),
-
-    // Key-space gap analysis (gaps-and-islands over a sparse key set): the
-    // urgent-order keys reduce ONCE to ~20% of |orders| distinct values,
-    // then the classic k − row_number() island label groups consecutive
-    // runs. The key table is fact-sized, so the global row number comes
-    // from GlobalCumsum's two-phase scan (range partition + broadcast
-    // bases) — not a single-partition window sort.
-    ("q127_key_gaps", (s, dir) => {
-      val k = T(s, dir, "orders")
-        .where(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey").as("k")).distinct()
-      GlobalCumsum.rowNumber(k, Seq(col("k")), "__rn")
-        .withColumn("grp", col("k") - col("__rn"))
-        .groupBy(col("grp"))
-        .agg(min(col("k")).as("island_start"), max(col("k")).as("island_end"),
-          count(lit(1)).as("island_len"))
-        .select(col("island_start"), col("island_end"), col("island_len"))
-        .orderBy(col("island_start"))
-    }, Some("""
-      WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
-                 WHERE o_orderpriority = '1-URGENT'),
-      r AS (SELECT k, k - row_number() OVER (ORDER BY k) AS grp FROM k)
-      SELECT min(k) AS island_start, max(k) AS island_end,
-             count(*) AS island_len
-      FROM r GROUP BY grp ORDER BY island_start""")),
-
-    // Per-label Gram matrix (XᵀX upper triangle) over int8-QUANTIZED codes:
-    // the covariance/PCA scaffold computed the way a 100 TB vector store
-    // would — 4×-smaller codes, products as exact BIGINTs (no float
-    // summation-order drift). LinAlg.gramUpperTriangle is ONE typed
-    // aggregation: each task multiply-accumulates rows into a 2080-slot
-    // BIGINT triangle buffer (no per-pair hash probes, no exploded pair
-    // rows — measured ~3× faster than the explode + hash-agg form at
-    // sf0.1), buffers combine map-side, and only |labels| buffer rows
-    // cross the exchange regardless of corpus size.
-    ("q128_gram_matrix", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val codes = emb.select(col("label"),
-        ext.Quantize.int8Codes(col("embedding"),
-          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
-      ext.LinAlg.gramUpperTriangle(codes, "label", "codes", 64)
-        .select(col("k").as("label"), col("i"), col("j"), col("g"), col("n"))
-        .orderBy(col("label"), col("i"), col("j"))
-    }, Some("""
-      WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
-      s AS (
-        SELECT label, vec,
-          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
-        FROM v),
-      q AS (
-        SELECT label, CASE WHEN scale = 0
-          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
-          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
-        FROM s),
-      e AS (
-        SELECT label, i.i AS i, j.j AS j, codes[i.i] * codes[j.j] AS p
-        FROM q
-        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
-        CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
-        WHERE i.i <= j.j)
-      SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
-        CAST(j AS BIGINT) AS j, CAST(sum(p) AS BIGINT) AS g, count(*) AS n
-      FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
-
-    // Per-label EXACT covariance matrix — the PCA/whitening input, from
-    // the SAME one-pass typed aggregation as q128 (the triangle buffer
-    // also carries Σxᵢ): cov·n² = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ stays in BIGINTs, so
-    // the matrix is bit-exact in any partitioning; the single final
-    // division is the only float op. The float-moments alternative
-    // (built-in covar_pop) is summation-order-dependent and could never
-    // hash-match.
-    ("q133_covariance", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val codes = emb.select(col("label"),
-        ext.Quantize.int8Codes(col("embedding"),
-          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
-      ext.LinAlg.covarianceUpperTriangle(codes, "label", "codes", 64)
-        .select(col("k").as("label"), col("i"), col("j"), col("g"),
-          col("si"), col("sj"), col("n"), col("cov_num"), col("cov"))
-        .orderBy(col("label"), col("i"), col("j"))
-    }, Some("""
-      WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
-      s AS (
-        SELECT label, vec,
-          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
-        FROM v),
-      q AS (
-        SELECT label, CASE WHEN scale = 0
-          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
-          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
-        FROM s),
-      e AS (
-        SELECT label, i.i AS i, j.j AS j, codes[i.i] * codes[j.j] AS p
-        FROM q
-        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
-        CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
-        WHERE i.i <= j.j),
-      g AS (
-        SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
-          CAST(j AS BIGINT) AS j, CAST(sum(p) AS BIGINT) AS g, count(*) AS n
-        FROM e GROUP BY 1, 2, 3),
-      su AS (
-        SELECT CAST(label AS BIGINT) AS label, CAST(d.d AS BIGINT) AS d,
-          CAST(sum(codes[d.d]) AS BIGINT) AS s
-        FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
-        GROUP BY 1, 2)
-      SELECT g.label, g.i, g.j, g.g, si.s AS si, sj.s AS sj, g.n,
-        g.n*g.g - si.s*sj.s AS cov_num,
-        CAST(g.n*g.g - si.s*sj.s AS DOUBLE)/CAST(g.n*g.n AS DOUBLE) AS cov
-      FROM g JOIN su si ON si.label = g.label AND si.d = g.i
-             JOIN su sj ON sj.label = g.label AND sj.d = g.j
-      ORDER BY g.label, g.i, g.j""")),
-
-    // Volume-spike anomaly detection: per-type daily counts (the fact table
-    // reduces ONCE to |types|·|days| rows), then a RANGE-frame trailing
-    // window (7 PRECEDING..1 PRECEDING by day VALUE, so calendar gaps can't
-    // slide the baseline) and an exact cross-multiplied threshold —
-    // cnt·days > 2·sum is pure BIGINT arithmetic, no float rate to drift.
-    // The ≥3-day guard keeps series warm-up from flagging everything.
-    ("q129_spike_detect", (s, dir) => {
-      val d = T(s, dir, "events")
-        .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
-        .agg(count(lit(1)).as("cnt"))
-      graft.analytics.TimeSeries
-        .spikeDetect(d, Seq("event_type"), "d", "cnt")
-        .orderBy(col("event_type"), col("d"))
-    }, Some("""
-      WITH d AS (
-        SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
-               count(*) AS cnt
-        FROM events GROUP BY 1, 2)
-      SELECT event_type, d, cnt,
-        CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY d
-          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS trail_sum,
-        count(cnt) OVER (PARTITION BY event_type ORDER BY d
-          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_days,
-        (count(cnt) OVER (PARTITION BY event_type ORDER BY d
-           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) >= 3
-         AND cnt * count(cnt) OVER (PARTITION BY event_type ORDER BY d
-           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
-           > 2 * coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY d
-           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)) AS is_spike
-      FROM d ORDER BY event_type, d""")),
-
-    // Multi-measure pivot (q09's single-measure sibling): one hash agg
-    // produces value×measure columns in a single Expand — no per-measure
-    // scan union, no extra distinct job (pivot values are explicit).
-    // Exact DECIMAL sums; absent cells are zero-filled on both sides.
-    ("q130_pivot_multi", (s, dir) => {
-      T(s, dir, "lineitem")
-        .select(
-          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym"),
-          col("l_linestatus"), dec(col("l_quantity")).as("q"))
-        .groupBy(col("ym"))
-        .pivot("l_linestatus", Seq("F", "O"))
-        .agg(sum(col("q")).cast("double").as("sum_qty"), count(lit(1)).as("n"))
-        .select(col("ym"),
-          coalesce(col("F_sum_qty"), lit(0.0)).as("f_sum_qty"),
-          coalesce(col("F_n"), lit(0L)).as("f_n"),
-          coalesce(col("O_sum_qty"), lit(0.0)).as("o_sum_qty"),
-          coalesce(col("O_n"), lit(0L)).as("o_n"))
-        .orderBy(col("ym"))
-    }, Some("""
-      SELECT year(l_shipdate)*100 + month(l_shipdate) AS ym,
-        CAST(coalesce(sum(CASE WHEN l_linestatus='F'
-          THEN CAST(l_quantity AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS f_sum_qty,
-        count(*) FILTER (WHERE l_linestatus='F') AS f_n,
-        CAST(coalesce(sum(CASE WHEN l_linestatus='O'
-          THEN CAST(l_quantity AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS o_sum_qty,
-        count(*) FILTER (WHERE l_linestatus='O') AS o_n
-      FROM lineitem GROUP BY 1 ORDER BY 1""")),
-
-    // Multimodal frame sampling through the typed media pipeline: documents
-    // wrap as binary payloads (Multimodal.asMediaTable), the partition-
-    // batched 1→3 frame sampler slices each payload deterministically
-    // (stub codec — real extractor swaps in with the same signature), and
-    // the output projects only derived columns (length, head bytes) so the
-    // payload never shuffles. Oracle: the same byte-range arithmetic over
-    // the (all-ASCII) text in DuckDB.
-    ("q131_frame_sample", (s, dir) => {
-      val media = Multimodal.asMediaTable(
-        T(s, dir, "documents"), "doc_id", "text", "text/plain")
-      Multimodal.sampleFrames(media, 3)
-        .select(col("id").as("doc_id"), col("frameIndex").as("frame_index"),
-          expr("CAST(octet_length(payload) AS BIGINT)").as("frame_bytes"),
-          hex(expr("substr(payload, 1, 4)")).as("frame_head_hex"))
-        .orderBy(col("doc_id"), col("frame_index"))
-    }, Some("""
-      WITH m AS (SELECT doc_id, text, length(text) AS len FROM documents),
-      f AS (SELECT doc_id, text, CAST(k AS INT) AS k,
-              (len*k)//3 AS s, (len*(k+1))//3 AS e
-            FROM m CROSS JOIN (SELECT unnest(range(0, 3)) AS k) r)
-      SELECT doc_id, k AS frame_index, CAST(e - s AS BIGINT) AS frame_bytes,
-        hex(encode(substring(text, CAST(s+1 AS INT),
-          CAST(least(4, e-s) AS INT)))) AS frame_head_hex
-      FROM f ORDER BY doc_id, frame_index""")),
-
-    // Heavy-key skew diagnosis — the report you run BEFORE choosing q62's
-    // salted join: per-key counts (one map-side-combining agg), global
-    // total by broadcast, top 20 via TakeOrdered (no global sort of the
-    // key table). Share = one exact division of BIGINTs.
-    ("q132_heavy_keys", (s, dir) => {
-      val c = T(s, dir, "lineitem")
-        .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("cnt"))
-      c.crossJoin(broadcast(c.agg(sum(col("cnt")).as("tot"))))
-        .orderBy(col("cnt").desc, col("k")).limit(20)
-        .select(col("k"), col("cnt"),
-          (col("cnt").cast("double") / col("tot").cast("double")).as("share"))
-        .orderBy(col("cnt").desc, col("k"))
-    }, Some("""
-      WITH c AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
-      t AS (SELECT sum(cnt) AS tot FROM c),
-      r AS (SELECT k, cnt, row_number() OVER (ORDER BY cnt DESC, k) AS rk FROM c)
-      SELECT r.k, r.cnt, CAST(r.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
-      FROM r, t WHERE r.rk <= 20 ORDER BY r.cnt DESC, r.k""")),
-
-    // Array set-algebra surface (array_intersect / array_except over
-    // per-key sets): engagement-day vs transaction-day overlap per user.
-    // The fact table reduces ONCE per user into two sorted distinct day
-    // arrays (conditional collect in one hash agg), then every set op is
-    // per-row in-stage. Counts (not arrays) are the output, so the hash
-    // compare stays scalar.
-    ("q134_array_setops", (s, dir) => {
-      val au = T(s, dir, "events").select(col("user_id"),
-        expr("ts div 86400000000000").as("d"),
-        col("event_type").isin("click", "view").as("eng"))
-      au.groupBy(col("user_id"))
-        .agg(
-          sort_array(array_distinct(collect_list(when(col("eng"), col("d")))))
-            .as("a"),
-          sort_array(array_distinct(collect_list(when(!col("eng"), col("d")))))
-            .as("b"))
-        .select(col("user_id"),
-          size(col("a")).cast("long").as("n_a"),
-          size(col("b")).cast("long").as("n_b"),
-          size(array_intersect(col("a"), col("b"))).cast("long").as("n_common"),
-          size(array_except(col("a"), col("b"))).cast("long").as("n_only_a"))
-        .orderBy(col("user_id"))
-    }, Some("""
-      WITH au AS (
-        SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
-               event_type IN ('click','view') AS eng
-        FROM events),
-      s AS (
-        SELECT user_id,
-          coalesce(list_sort(list_distinct(list(d) FILTER (WHERE eng))),
-                   CAST([] AS BIGINT[])) AS a,
-          coalesce(list_sort(list_distinct(list(d) FILTER (WHERE NOT eng))),
-                   CAST([] AS BIGINT[])) AS b
-        FROM au GROUP BY 1)
-      SELECT user_id, len(a) AS n_a, len(b) AS n_b,
-        len(list_filter(a, x -> list_contains(b, x))) AS n_common,
-        len(list_filter(a, x -> NOT list_contains(b, x))) AS n_only_a
-      FROM s ORDER BY user_id""")),
-
-    // Discrete (nearest-rank) percentiles — q61's interpolation-free
-    // sibling: the value AT rank ceil(p·n), always a real data point (what
-    // a latency SLO reports). One keyed window pass assigns deterministic
-    // ranks; the picks are conditional mins. Both engines compute ceil on
-    // the identical IEEE product, so even p=0.99's non-dyadic multiply
-    // agrees bit-for-bit.
-    ("q135_pctl_disc", (s, dir) => {
-      val w = Window.partitionBy(col("g"))
-        .orderBy(col("x"), col("ok"), col("ln"))
-      val cw = Window.partitionBy(col("g"))
-      T(s, dir, "lineitem")
-        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"),
-          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
-        .select(col("g"), col("x"),
-          row_number().over(w).cast("long").as("rn"),
-          count(lit(1)).over(cw).as("n"))
-        .groupBy(col("g"))
-        .agg(
-          min(when(col("rn") === ceil(lit(0.25) * col("n")), col("x"))).as("p25_disc"),
-          min(when(col("rn") === ceil(lit(0.50) * col("n")), col("x"))).as("p50_disc"),
-          min(when(col("rn") === ceil(lit(0.99) * col("n")), col("x"))).as("p99_disc"))
-        .orderBy(col("g"))
-    }, Some("""
-      WITH r AS (
-        SELECT l_returnflag AS g, l_extendedprice AS x,
-          row_number() OVER (PARTITION BY l_returnflag
-            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
-          count(*) OVER (PARTITION BY l_returnflag) AS n
-        FROM lineitem)
-      SELECT g,
-        min(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN x END) AS p25_disc,
-        min(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN x END) AS p50_disc,
-        min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN x END) AS p99_disc
-      FROM r GROUP BY 1 ORDER BY 1""")),
-
-    // TPC-H Q5-shaped 6-table star join (region→nation→customer→orders→
-    // lineitem→supplier, local-supplier correlation s_nationkey =
-    // c_nationkey): the canonical join-order workout. The dimension chain
-    // (region filter → nation → customer) broadcasts — the fact tables
-    // never shuffle for it; supplier broadcasts into the lineitem scan;
-    // the only big exchange is lineitem ⋈ orders. Exact DECIMAL revenue.
-    ("q136_star_join", (s, dir) => {
-      val r = T(s, dir, "region").where(col("r_name") === "EUROPE")
-      val nat = T(s, dir, "nation")
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      val cust = T(s, dir, "customer")
-        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
-      val ord = T(s, dir, "orders")
-        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
-          && col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      T(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"),
-          col("l_extendedprice"), col("l_discount"))
-        .join(broadcast(T(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_nationkey"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(ord, col("l_orderkey") === col("o_orderkey")
-          && col("s_nationkey") === col("c_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice"))
-            * (lit(1) - dec(col("l_discount")))).cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy(col("revenue").desc, col("n_name"))
-    }, Some("""
-      SELECT n_name,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-          * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
-        count(*) AS n_items
-      FROM region
-      JOIN nation ON n_regionkey = r_regionkey
-      JOIN customer ON c_nationkey = n_nationkey
-      JOIN orders ON o_custkey = c_custkey
-      JOIN lineitem ON l_orderkey = o_orderkey
-      JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
-      WHERE r_name = 'EUROPE'
-        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-      GROUP BY 1 ORDER BY revenue DESC, n_name""")),
-
-    // TPC-H Q22-shaped lapsed-customer report: positive-balance customers
-    // ABOVE the global average balance (exact cross-multiplied bal·n > Σ —
-    // the float-avg comparison would be summation-order-dependent) with NO
-    // order since 2000 (anti join), grouped by the 2-digit name tail. The
-    // one-row global aggregate broadcasts; the anti join is the only
-    // fact-side exchange.
-    ("q137_lapsed_cust", (s, dir) => {
-      val pos = T(s, dir, "customer").where(col("c_acctbal") > 0)
-        .select(col("c_custkey"), dec(col("c_acctbal")).as("bal"),
-          expr("substr(c_name, -2)").as("cc"))
-      val t = pos.agg(sum(col("bal")).cast(DecimalType(18, 2)).as("s"),
-        count(lit(1)).as("n"))
-      pos
-        .join(T(s, dir, "orders")
-          .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
-          .select(col("o_custkey")),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .crossJoin(broadcast(t))
-        .where(col("bal") * col("n") > col("s"))
-        .groupBy(col("cc"))
-        .agg(count(lit(1)).as("n_cust"),
-          sum(col("bal")).cast("double").as("total_bal"))
-        .orderBy(col("cc"))
-    }, Some("""
-      WITH pos AS (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
-                          substr(c_name, -2) AS cc
-                   FROM customer WHERE c_acctbal > 0),
-      t AS (SELECT CAST(sum(bal) AS DECIMAL(18,2)) AS s, count(*) AS n FROM pos)
-      SELECT cc, count(*) AS n_cust, CAST(sum(bal) AS DOUBLE) AS total_bal
-      FROM pos, t
-      WHERE bal * n > s
-        AND NOT EXISTS (SELECT 1 FROM orders
-                        WHERE o_custkey = c_custkey
-                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-      GROUP BY cc ORDER BY cc""")),
-
-    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM) on a genuinely
-    // NULLABLE derived key: NULL matches NULL exactly once — the semantics
-    // a plain `=` join silently drops. Spark plans <=> as a real hash join
-    // (null-safe keys hash like values), so the scale story is unchanged.
-    ("q138_nullsafe_join", (s, dir) => {
-      val a = T(s, dir, "orders").where(col("o_orderkey") % 100 === 0)
-        .select(col("o_orderkey"),
-          nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("k"))
-      val b = T(s, dir, "orders").where(col("o_orderkey") % 100 === 50)
-        .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("bk"))
-        .groupBy(col("bk")).agg(count(lit(1)).as("n"))
-      a.join(b, col("k") <=> col("bk")).select(col("o_orderkey"), col("k"), col("n"))
-        .orderBy(col("o_orderkey"))
-    }, Some("""
-      WITH a AS (
-        SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS k
-        FROM orders WHERE o_orderkey % 100 = 0),
-      b AS (
-        SELECT nullif(o_orderpriority, '3-MEDIUM') AS k, count(*) AS n
-        FROM orders WHERE o_orderkey % 100 = 50 GROUP BY 1)
-      SELECT a.o_orderkey, a.k, b.n
-      FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
-      ORDER BY a.o_orderkey""")),
-
-    // The NOT IN null trap, side by side with the NOT EXISTS fix: one NULL
-    // in the subquery's value list makes `x NOT IN (...)` UNKNOWN for every
-    // row (0 rows), while NOT EXISTS counts the truly-absent keys. Spark
-    // plans the former as a null-aware anti join, the latter as a plain
-    // anti join — both reported from the SAME derived subset so the
-    // contrast is the only variable.
-    ("q139_not_in_trap", (s, dir) => {
-      T(s, dir, "orders").createOrReplaceTempView("g_orders")
-      T(s, dir, "customer").createOrReplaceTempView("g_customer")
-      s.sql("""
-        SELECT
-          (SELECT count(*) FROM g_customer
-           WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
-                                          ELSE o_custkey END FROM g_orders
-                                   WHERE o_orderkey % 50 = 0)) AS n_not_in,
-          (SELECT count(*) FROM g_customer c
-           WHERE NOT EXISTS (SELECT 1 FROM g_orders o
-                             WHERE o_orderkey % 50 = 0
-                               AND (CASE WHEN o_orderkey % 1000 = 0 THEN NULL
-                                    ELSE o_custkey END) = c.c_custkey)) AS n_not_exists""")
-    }, Some("""
-      SELECT
-        (SELECT count(*) FROM customer
-         WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
-                                        ELSE o_custkey END FROM orders
-                                 WHERE o_orderkey % 50 = 0)) AS n_not_in,
-        (SELECT count(*) FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM orders o
-                           WHERE o_orderkey % 50 = 0
-                             AND (CASE WHEN o_orderkey % 1000 = 0 THEN NULL
-                                  ELSE o_custkey END) = c.c_custkey)) AS n_not_exists""")),
-
-    // Error-tolerant scalar surface (try_cast + guarded division): junk
-    // input degrades to NULL instead of failing the task — the lenient
-    // twin of the reference's crash-on-junk parse (§7.4.5). count() over
-    // the try-results measures parse yield per segment in one scan.
-    ("q140_try_funcs", (s, dir) => {
-      T(s, dir, "customer")
-        .groupBy(col("c_mktsegment").as("seg"))
-        .agg(
-          count(expr("try_cast(replace(c_name, 'Customer#', '') AS BIGINT)"))
-            .as("n_numeric"),
-          count(expr("try_cast(c_name AS BIGINT)")).as("n_junk_numeric"),
-          count(when(col("c_custkey") % 10 =!= 0,
-            col("c_acctbal") / (col("c_custkey") % 10))).as("n_divisible"))
-        .orderBy(col("seg"))
-    }, Some("""
-      SELECT c_mktsegment AS seg,
-        count(try_cast(replace(c_name, 'Customer#', '') AS BIGINT)) AS n_numeric,
-        count(try_cast(c_name AS BIGINT)) AS n_junk_numeric,
-        count(CASE WHEN (c_custkey % 10) <> 0
-                   THEN c_acctbal / (c_custkey % 10) END) AS n_divisible
-      FROM customer GROUP BY 1 ORDER BY 1""")),
-
-    // Interval-OVERLAP join (two interval sets, not point-in-interval):
-    // per-user purchase windows × error windows that overlap in time, with
-    // exact overlap length. RangeJoin.intervalOverlapJoin buckets BOTH
-    // sides and emits each pair in its first shared bucket — exactly once,
-    // no dedup — so a bare non-equi join's O(|A|·|B|) nested loop never
-    // appears; cost is Σ per-bucket products. Integral µs arithmetic ⇒
-    // bit-exact oracle.
-    ("q141_interval_overlap", (s, dir) => {
-      val ev = T(s, dir, "events")
-      val a = ev.where(col("event_type") === "purchase").select(
-        col("user_id"), col("event_id").as("a_id"),
-        expr("ts div 1000").as("a_s"),
-        (expr("ts div 1000") + lit(900000000L)).as("a_e"))
-      val b = ev.where(col("event_type") === "error").select(
-        col("user_id"), col("event_id").as("b_id"),
-        expr("ts div 1000").as("b_s"),
-        (expr("ts div 1000") + lit(1800000000L)).as("b_e"))
-      RangeJoin.intervalOverlapJoin(
-          a, col("a_s"), col("a_e"), b, col("b_s"), col("b_e"),
-          bucketWidth = 900000000L, keys = Seq("user_id"))
-        .select(col("user_id"), col("a_id"), col("b_id"),
-          (least(col("a_e"), col("b_e"))
-            - greatest(col("a_s"), col("b_s"))).as("overlap_us"))
-        .orderBy(col("user_id"), col("a_id"), col("b_id"))
-    }, Some("""
-      WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_s,
-                        epoch_us(ts) + 900000000 AS a_e
-                 FROM events WHERE event_type = 'purchase'),
-      b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_s,
-                   epoch_us(ts) + 1800000000 AS b_e
-            FROM events WHERE event_type = 'error')
-      SELECT a.user_id, a_id, b_id,
-        least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
-      FROM a JOIN b ON a.user_id = b.user_id AND a_s < b_e AND b_s < a_e
-      ORDER BY 1, 2, 3""")),
-
-    // Per-label feature CORRELATION matrix (feature-selection input),
-    // derived from q133's exact covariance cells: corr = cov_num /
-    // √(varᵢ·varⱼ). The BIGINT numerators are bit-exact; the variance
-    // product is formed in doubles (the BIGINT product could overflow) and
-    // the single sqrt+division tree is identical in both engines. The
-    // covariance aggregation runs ONCE (checkpointed) for the cells and
-    // both diagonal probes; diagonals broadcast.
-    ("q142_correlation", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val codes = emb.select(col("label"),
-        ext.Quantize.int8Codes(col("embedding"),
-          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
-      val cells = ext.LinAlg.covarianceUpperTriangle(codes, "label", "codes", 64)
-        .select(col("k"), col("i"), col("j"), col("cov_num"))
-        .localCheckpoint() // one agg pass for cells + two diagonal probes
-      val diag = cells.where(col("i") === col("j"))
-        .select(col("k").as("dk"), col("i").as("d"), col("cov_num").as("var_num"))
-      cells
-        .join(broadcast(diag.select(col("dk"), col("d"),
-          col("var_num").as("vi"))),
-          col("k") === col("dk") && col("i") === col("d"))
-        .drop("dk", "d")
-        .join(broadcast(diag.select(col("dk"), col("d"),
-          col("var_num").as("vj"))),
-          col("k") === col("dk") && col("j") === col("d"))
-        .drop("dk", "d")
-        .select(col("k").as("label"), col("i"), col("j"), col("cov_num"),
-          when(col("vi") === 0 || col("vj") === 0, lit(null).cast("double"))
-            .otherwise(col("cov_num").cast("double") /
-              sqrt(col("vi").cast("double") * col("vj").cast("double")))
-            .as("corr"))
-        .orderBy(col("label"), col("i"), col("j"))
-    }, Some("""
-      WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
-      s AS (SELECT label, vec,
-              coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale FROM v),
-      q AS (SELECT label, CASE WHEN scale = 0
-              THEN list_transform(vec, x -> CAST(0 AS BIGINT))
-              ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes FROM s),
-      e AS (SELECT label, i.i AS i, j.j AS j, codes[i.i] * codes[j.j] AS p
-            FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
-            CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j WHERE i.i <= j.j),
-      g AS (SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
-              CAST(j AS BIGINT) AS j, CAST(sum(p) AS BIGINT) AS g, count(*) AS n
-            FROM e GROUP BY 1, 2, 3),
-      su AS (SELECT CAST(label AS BIGINT) AS label, CAST(d.d AS BIGINT) AS d,
-              CAST(sum(codes[d.d]) AS BIGINT) AS s
-             FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d GROUP BY 1, 2),
-      cells AS (
-        SELECT g.label, g.i, g.j, g.n*g.g - si.s*sj.s AS cov_num
-        FROM g JOIN su si ON si.label = g.label AND si.d = g.i
-               JOIN su sj ON sj.label = g.label AND sj.d = g.j),
-      diag AS (SELECT label, i AS d, cov_num AS var_num FROM cells WHERE i = j)
-      SELECT c.label, c.i, c.j, c.cov_num,
-        CASE WHEN di.var_num = 0 OR dj.var_num = 0 THEN NULL
-             ELSE CAST(c.cov_num AS DOUBLE)
-                  / sqrt(CAST(di.var_num AS DOUBLE) * CAST(dj.var_num AS DOUBLE)) END AS corr
-      FROM cells c JOIN diag di ON di.label = c.label AND di.d = c.i
-                   JOIN diag dj ON dj.label = c.label AND dj.d = c.j
-      ORDER BY c.label, c.i, c.j""")),
-
-    // Language-ID confusion matrix — the model-evaluation readout over
-    // q29's classifier: cells from one hash agg on the |docs|-reduced
-    // predictions, margins via two windows over the |langs|²-sized cell
-    // table (the fact table is NOT re-scanned per margin). Recall and
-    // precision shares are single divisions of exact BIGINTs.
-    ("q143_lang_confusion", (s, dir) => {
-      val cells = T(s, dir, "documents")
-        .select(
-          (col("doc_id") +: col("lang").as("actual_lang") +:
-            TextAnalysis.langScores("text")): _*)
-        .select(col("actual_lang"),
-          TextAnalysis.predictedLang("text", l => col(s"score_$l")).as("pred_lang"))
-        .groupBy(col("actual_lang"), col("pred_lang"))
-        .agg(count(lit(1)).as("n"))
-      val wa = Window.partitionBy(col("actual_lang"))
-      val wp = Window.partitionBy(col("pred_lang"))
-      cells.select(col("actual_lang"), col("pred_lang"), col("n"),
-          sum(col("n")).over(wa).as("n_actual"),
-          sum(col("n")).over(wp).as("n_pred"))
-        .withColumn("recall_share",
-          col("n").cast("double") / col("n_actual").cast("double"))
-        .withColumn("precision_share",
-          col("n").cast("double") / col("n_pred").cast("double"))
-        .orderBy(col("actual_lang"), col("pred_lang"))
-    }, Some("""
-      WITH scored AS (
-        SELECT doc_id, lang AS actual_lang,
-          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['der','die','das','und'], w))) AS BIGINT) AS score_de,
-          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and'], w))) AS BIGINT) AS score_en,
-          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['el','la','los','que'], w))) AS BIGINT) AS score_es,
-          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['le','la','les','et'], w))) AS BIGINT) AS score_fr,
-          CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['de5','shi4','le5','zai4'], w))) AS BIGINT) AS score_zh
-        FROM documents),
-      pred AS (
-        SELECT actual_lang,
-          CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
-               WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
-               WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
-               WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
-               WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
-               ELSE 'zh' END AS pred_lang
-        FROM scored),
-      cells AS (SELECT actual_lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2)
-      SELECT actual_lang, pred_lang, n,
-        CAST(sum(n) OVER (PARTITION BY actual_lang) AS BIGINT) AS n_actual,
-        CAST(sum(n) OVER (PARTITION BY pred_lang) AS BIGINT) AS n_pred,
-        CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY actual_lang) AS BIGINT) AS recall_share,
-        CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY pred_lang) AS BIGINT) AS precision_share
-      FROM cells ORDER BY actual_lang, pred_lang""")),
-
-    // Whole-warehouse reconciliation checksums — the migration-validation
-    // pass run after any copy/engine-swap: per table, row count + an
-    // order-independent XOR fold over the key and over key|payload. XOR
-    // (not SUM) so the fold can never overflow and any partitioning merges
-    // identically; one column-pruned scan per table, all in one job. A
-    // single changed/missing/duplicated row flips the checksum. The
-    // key-only fold uses the ALU-only intMix48 (keys are integral — no
-    // string format, no md5); only the key|payload fold pays one md5 per
-    // row, which halved this query's dominant cost vs hashing twice.
-    ("q144_table_checksums", (s, dir) => {
-      import graft.ext.TextAnalysis.{hash48, intMix48}
-      def row(tbl: String, keyInt: Column, keyStr: Column, valCol: Column): DataFrame =
-        T(s, dir, tbl).agg(
-            count(lit(1)).as("n_rows"),
-            call_function("bit_xor", intMix48(keyInt)).as("key_xor"),
-            call_function("bit_xor",
-              hash48(concat(keyStr, lit("|"), valCol.cast("string"))))
-              .as("val_xor"))
-          .select(lit(tbl).as("tbl"), col("n_rows"), col("key_xor"), col("val_xor"))
-      Seq(
-        row("region", col("r_regionkey"), col("r_regionkey").cast("string"), col("r_name")),
-        row("nation", col("n_nationkey"), col("n_nationkey").cast("string"), col("n_name")),
-        row("customer", col("c_custkey"), col("c_custkey").cast("string"), col("c_name")),
-        row("supplier", col("s_suppkey"), col("s_suppkey").cast("string"), col("s_name")),
-        row("part", col("p_partkey"), col("p_partkey").cast("string"), col("p_brand")),
-        row("orders", col("o_orderkey"), col("o_orderkey").cast("string"), col("o_orderpriority")),
-        row("lineitem",
-          // l_linenumber ∈ 1..7, so key*8+ln is injective and stays integral
-          col("l_orderkey").cast("long") * 8 + col("l_linenumber"),
-          concat(col("l_orderkey").cast("string"), lit("_"),
-            col("l_linenumber").cast("string")), col("l_returnflag")),
-        row("events", col("event_id"), col("event_id").cast("string"), col("event_type")),
-        row("documents", col("doc_id"), col("doc_id").cast("string"), col("lang")),
-        row("embeddings", col("vec_id"), col("vec_id").cast("string"), col("label")))
-        .reduce(_ unionByName _)
-        .orderBy(col("tbl"))
-    }, Some("""
-      WITH ks AS (
-        SELECT 'region' AS tbl, r_regionkey::BIGINT AS k,
-               r_regionkey::VARCHAR || '|' || r_name AS s FROM region
-        UNION ALL
-        SELECT 'nation', n_nationkey::BIGINT,
-               n_nationkey::VARCHAR || '|' || n_name FROM nation
-        UNION ALL
-        SELECT 'customer', c_custkey::BIGINT,
-               c_custkey::VARCHAR || '|' || c_name FROM customer
-        UNION ALL
-        SELECT 'supplier', s_suppkey::BIGINT,
-               s_suppkey::VARCHAR || '|' || s_name FROM supplier
-        UNION ALL
-        SELECT 'part', p_partkey::BIGINT,
-               p_partkey::VARCHAR || '|' || p_brand FROM part
-        UNION ALL
-        SELECT 'orders', o_orderkey::BIGINT,
-               o_orderkey::VARCHAR || '|' || o_orderpriority FROM orders
-        UNION ALL
-        SELECT 'lineitem', l_orderkey::BIGINT * 8 + l_linenumber,
-               l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR || '|' || l_returnflag FROM lineitem
-        UNION ALL
-        SELECT 'events', event_id::BIGINT,
-               event_id::VARCHAR || '|' || event_type FROM events
-        UNION ALL
-        SELECT 'documents', doc_id::BIGINT,
-               doc_id::VARCHAR || '|' || lang FROM documents
-        UNION ALL
-        SELECT 'embeddings', vec_id::BIGINT,
-               vec_id::VARCHAR || '|' || label::VARCHAR FROM embeddings),
-      -- intMix48: xorshift-multiply rounds, every intermediate < 2^63
-      h  AS (SELECT tbl, k % 281474976710656 AS h0,
-                    ('0x' || substr(md5(s), 1, 12))::BIGINT AS vh FROM ks),
-      m1 AS (SELECT tbl, xor(h0, h0 >> 21) AS h1, vh FROM h),
-      m2 AS (SELECT tbl, (h1 * 26071) % 281474976710656 AS h2, vh FROM m1),
-      m3 AS (SELECT tbl, xor(h2, h2 >> 17) AS h3, vh FROM m2),
-      m4 AS (SELECT tbl, (h3 * 20267) % 281474976710656 AS h4, vh FROM m3)
-      SELECT tbl, count(*) AS n_rows, bit_xor(xor(h4, h4 >> 13)) AS key_xor,
-             bit_xor(vh) AS val_xor
-      FROM m4 GROUP BY tbl ORDER BY tbl""")),
-
-    // Sequence packing (concatenate-then-chunk, the GPT training-data
-    // layout): docs in deterministic id order, running token offset, each
-    // doc's span in fixed 2048-token bins by pure integral arithmetic. The
-    // offset is a GLOBAL cumsum over a corpus-sized frame, so it goes
-    // through GlobalCumsum's two-phase scan (range partition + broadcast
-    // per-partition bases) — a single-partition Window.orderBy here is the
-    // one plan shape that cannot survive 100 TB.
-    ("q145_sequence_pack", (s, dir) => {
-      val t = T(s, dir, "documents")
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      ext.Packing.offsets(t, "doc_id", "n_tokens")
-        .select(col("doc_id"), col("n_tokens"), col("cum_before"),
-          expr("cum_before div 2048").as("start_bin"),
-          expr("(cum_before + n_tokens - 1) div 2048").as("end_bin"),
-          (col("cum_before") % 2048).as("start_offset"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH t AS (
-        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        FROM documents),
-      c AS (
-        SELECT doc_id, n_tokens,
-          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-        FROM t)
-      SELECT doc_id, n_tokens, cum_before,
-        cum_before // 2048 AS start_bin,
-        (cum_before + n_tokens - 1) // 2048 AS end_bin,
-        cum_before % 2048 AS start_offset
-      FROM c ORDER BY doc_id""")),
-
-    // SCD-2 as-of enrichment — THE warehouse composition: build the
-    // slowly-changing user-state dimension from the change stream (q70's
-    // run-length collapse, deduped per (user, time) with a deterministic
-    // max_by), then attach to each purchase the state valid AT its
-    // timestamp via AsofJoin (one union + window pass — no correlated
-    // subquery, no nested loop). The oracle computes the same thing with
-    // the OPPOSITE algorithm (correlated LIMIT-1 lateral), so the hash
-    // match proves the as-of rewrite, not just the arithmetic.
-    ("q146_scd2_enrich", (s, dir) => {
-      val ev = T(s, dir, "events").select(col("event_id"), col("user_id"),
-        col("event_type"), expr("ts div 1000").as("tus"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-      val changes = ev.where(col("event_type") =!= "purchase")
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-      val states = changes.groupBy(col("user_id"), col("tus").as("stus"))
-        .agg(expr("max_by(event_type, event_id)").as("state"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("tus"))
-      graft.analytics.AsofJoin.asofJoin(
-          purchases, col("tus"), states, col("stus"),
-          keys = Seq("user_id"), rightCols = Seq("state"))
-        .select(col("event_id"), col("user_id"), col("tus"),
-          coalesce(col("state"), lit("none")).as("state_at_purchase"))
-        .orderBy(col("event_id"))
-    }, Some("""
-      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
-      c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type
-            FROM e WHERE event_type <> 'purchase'),
-      ch AS (SELECT user_id, tus, event_type, event_id FROM c
-             WHERE prev_type IS NULL OR prev_type <> event_type),
-      st AS (SELECT user_id, tus, max_by(event_type, event_id) AS state FROM ch GROUP BY 1, 2),
-      p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase')
-      SELECT p.event_id, p.user_id, p.tus,
-        coalesce((SELECT s.state FROM st s WHERE s.user_id = p.user_id AND s.tus <= p.tus
-                  ORDER BY s.tus DESC LIMIT 1), 'none') AS state_at_purchase
-      FROM p ORDER BY p.event_id""")),
-
-    // Percent-of-parent hierarchy shares (nation ÷ region ÷ grand total):
-    // the drill-down ratio every OLAP report carries. The fact table
-    // reduces ONCE to |nations| revenue rows (broadcast dim chain); both
-    // parent totals come from windows over that tiny frame — no second
-    // fact scan, no self-join. Exact DECIMAL sums; shares are single
-    // divisions.
-    ("q147_pct_of_parent", (s, dir) => {
-      val rev = T(s, dir, "orders")
-        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("nrev"))
-      rev.select(col("r_name"), col("n_name"), col("nrev"),
-          sum(col("nrev")).over(Window.partitionBy(col("r_name")))
-            .cast(DecimalType(18, 2)).as("rrev"),
-          sum(col("nrev")).over(Window.partitionBy())
-            .cast(DecimalType(18, 2)).as("grev"))
-        .select(col("r_name"), col("n_name"),
-          col("nrev").cast("double").as("nation_rev"),
-          (col("nrev").cast("double") / col("rrev").cast("double"))
-            .as("share_of_region"),
-          (col("rrev").cast("double") / col("grev").cast("double"))
-            .as("region_share_of_total"))
-        .orderBy(col("r_name"), col("n_name"))
-    }, Some("""
-      WITH rev AS (
-        SELECT r_name, n_name,
-          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS nrev
-        FROM region JOIN nation ON n_regionkey = r_regionkey
-        JOIN customer ON c_nationkey = n_nationkey
-        JOIN orders ON o_custkey = c_custkey
-        GROUP BY 1, 2),
-      tot AS (
-        SELECT *, CAST(sum(nrev) OVER (PARTITION BY r_name) AS DECIMAL(18,2)) AS rrev,
-                  CAST(sum(nrev) OVER () AS DECIMAL(18,2)) AS grev
-        FROM rev)
-      SELECT r_name, n_name, CAST(nrev AS DOUBLE) AS nation_rev,
-        CAST(nrev AS DOUBLE) / CAST(rrev AS DOUBLE) AS share_of_region,
-        CAST(rrev AS DOUBLE) / CAST(grev AS DOUBLE) AS region_share_of_total
-      FROM tot ORDER BY r_name, n_name""")),
-
-    // Accumulating-snapshot fact (order lifecycle): each order reduces
-    // ONCE to its milestone row (first/last ship, line count) in a single
-    // hash agg over the join, then the per-priority report is small-table
-    // work. Day arithmetic on midnight-aligned dates is identical in both
-    // engines.
-    ("q148_order_lifecycle", (s, dir) => {
-      val o = T(s, dir, "orders")
-        .join(T(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
-        .agg(min(col("l_shipdate")).as("first_ship"),
-          max(col("l_shipdate")).as("last_ship"),
-          count(lit(1)).as("n_lines"))
-      o.groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"),
-          min(datediff(to_date(col("first_ship")), to_date(col("o_orderdate"))))
-            .cast("long").as("min_days_to_first"),
-          max(datediff(to_date(col("last_ship")), to_date(col("o_orderdate"))))
-            .cast("long").as("max_days_to_last"),
-          sum(datediff(to_date(col("last_ship")), to_date(col("first_ship"))))
-            .cast("long").as("total_span_days"),
-          sum(col("n_lines")).as("total_lines"))
-        .orderBy(col("o_orderpriority"))
-    }, Some("""
-      WITH o AS (
-        SELECT o_orderkey, o_orderpriority, o_orderdate,
-          min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
-          count(*) AS n_lines
-        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        GROUP BY 1, 2, 3)
-      SELECT o_orderpriority, count(*) AS n_orders,
-        CAST(min(date_diff('day', o_orderdate, first_ship)) AS BIGINT) AS min_days_to_first,
-        CAST(max(date_diff('day', o_orderdate, last_ship)) AS BIGINT) AS max_days_to_last,
-        CAST(sum(date_diff('day', first_ship, last_ship)) AS BIGINT) AS total_span_days,
-        CAST(sum(n_lines) AS BIGINT) AS total_lines
-      FROM o GROUP BY 1 ORDER BY 1""")),
-
-    // COUNT(DISTINCT) under CUBE — a physical plan q56's plain-agg cube
-    // never exercises: Catalyst stacks the grouping-set Expand with the
-    // distinct-aggregate Expand (dedup per grouping set, then count). The
-    // exact distinct counts hash-gate that double-Expand pipeline.
-    ("q149_cube_distinct", (s, dir) => {
-      T(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(grouping(col("l_returnflag")).cast("long").as("g1"),
-          grouping(col("l_linestatus")).cast("long").as("g2"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_rows"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-          col("g1"), col("g2"), col("n_orders"), col("n_rows"))
-        .orderBy(col("g1"), col("g2"), col("rf"), col("ls"))
-    }, Some("""
-      SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-        grouping(l_returnflag) AS g1, grouping(l_linestatus) AS g2,
-        count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
-      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-      ORDER BY g1, g2, rf, ls""")),
-
-    // Running maximum drawdown per customer (the risk metric over a signed
-    // cumulative balance): running balance and running peak are two window
-    // passes over ONE keyed exchange+sort; the drawdown report is a final
-    // hash agg. Exact DECIMAL arithmetic end-to-end — the doubles appear
-    // only in the output projection.
-    ("q150_max_drawdown", (s, dir) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val r = T(s, dir, "orders").select(
-        col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
-        sum(when(col("o_orderpriority") === "1-URGENT", dec(col("o_totalprice")))
-          .otherwise(-dec(col("o_totalprice")))).over(w)
-          .cast(DecimalType(18, 2)).as("bal"))
-      r.select(col("o_custkey"), col("bal"),
-          max(col("bal")).over(w).cast(DecimalType(18, 2)).as("peak"))
-        .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_orders"),
-          max(col("peak") - col("bal")).cast("double").as("max_drawdown"),
-          max(col("peak")).cast("double").as("max_peak"))
-        .orderBy(col("o_custkey"))
-    }, Some("""
-      WITH r AS (
-        SELECT o_custkey, o_orderdate, o_orderkey,
-          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
-                    THEN CAST(o_totalprice AS DECIMAL(12,2))
-                    ELSE -CAST(o_totalprice AS DECIMAL(12,2)) END)
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS bal
-        FROM orders),
-      d AS (
-        SELECT o_custkey, bal,
-          CAST(max(bal) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS peak
-        FROM r)
-      SELECT o_custkey, count(*) AS n_orders,
-        CAST(max(peak - bal) AS DOUBLE) AS max_drawdown,
-        CAST(max(peak) AS DOUBLE) AS max_peak
-      FROM d GROUP BY 1 ORDER BY 1""")),
-
-    // Session bounce-rate report over q36's gap sessions: the per-session
-    // frame (one keyed window pass inside Sessionize) reduces to per-user
-    // product metrics — bounce = single-event session; rate is one exact
-    // division of BIGINTs; duration stays in integral µs.
-    ("q151_bounce_rate", (s, dir) => {
-      val sess = Sessionize.sessionize(
-        T(s, dir, "events").select(col("user_id"), expr("ts div 1000").as("tus")),
-        Seq("user_id"), "tus", gap = 1800L * 1000 * 1000)
-      sess.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_sessions"),
-          count(when(col("n_events") === 1, 1)).as("n_bounces"),
-          max(col("end_time") - col("start_time")).cast("long")
-            .as("max_duration_us"))
-        .withColumn("bounce_rate",
-          col("n_bounces").cast("double") / col("n_sessions").cast("double"))
-        .select(col("user_id"), col("n_sessions"), col("n_bounces"),
-          col("bounce_rate"), col("max_duration_us"))
-        .orderBy(col("user_id"))
-    }, Some("""
-      WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
-      m AS (SELECT user_id, tus,
-              CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w > 1800000000
-                   THEN 1 ELSE 0 END AS is_new
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
-      sess AS (SELECT user_id, tus,
-                 sum(is_new) OVER (PARTITION BY user_id ORDER BY tus
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-               FROM m),
-      per AS (SELECT user_id, session_id, count(*) AS n_events,
-                CAST(max(tus) - min(tus) AS BIGINT) AS duration_us
-              FROM sess GROUP BY 1, 2)
-      SELECT user_id, count(*) AS n_sessions,
-        count(*) FILTER (WHERE n_events = 1) AS n_bounces,
-        CAST(count(*) FILTER (WHERE n_events = 1) AS DOUBLE) / count(*) AS bounce_rate,
-        CAST(max(duration_us) AS BIGINT) AS max_duration_us
-      FROM per GROUP BY 1 ORDER BY 1""")),
-
-    // Top-N-with-OTHER rollup (the standard report shape: top 2 brands per
-    // nation, everything else in one bucket): the fact table reduces ONCE
-    // to |nations|·|brands| exact-DECIMAL revenue rows; ranking and the
-    // OTHER regroup are small-table work after that single reduction.
-    ("q152_topn_other", (s, dir) => {
-      val rev = T(s, dir, "lineitem")
-        .join(broadcast(T(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
-          col("l_partkey") === col("p_partkey"))
-        .join(broadcast(T(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_nationkey"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_nationkey").as("nat"), col("p_brand"))
-        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
-      rev
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("nat")).orderBy(col("rev").desc, col("p_brand"))))
-        .groupBy(col("nat"),
-          when(col("rk") <= 2, col("p_brand")).otherwise(lit("OTHER"))
-            .as("brand_bucket"))
-        .agg(sum(col("rev")).cast("double").as("revenue"),
-          count(lit(1)).as("n_brands"))
-        .orderBy(col("nat"), col("revenue").desc, col("brand_bucket"))
-    }, Some("""
-      WITH rev AS (
-        SELECT s_nationkey AS nat, p_brand,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        GROUP BY 1, 2),
-      rk AS (SELECT *, row_number() OVER
-               (PARTITION BY nat ORDER BY rev DESC, p_brand) AS rk FROM rev)
-      SELECT nat, CASE WHEN rk <= 2 THEN p_brand ELSE 'OTHER' END AS brand_bucket,
-        CAST(sum(rev) AS DOUBLE) AS revenue, count(*) AS n_brands
-      FROM rk GROUP BY 1, 2 ORDER BY 1, revenue DESC, brand_bucket""")),
-
-    // Same transitive-cluster semantics as q41, computed by the ALTERNATING
-    // large/small-star contraction instead of label propagation — the
-    // O(log d) algorithm for adversarial diameters. Sharing q41's
-    // recursive-CTE oracle proves the two algorithms agree bit-for-bit on
-    // real pair graphs, not just in unit tests.
-    //
-    // Exact-dup classes are PRE-COLLAPSED before pair generation (the
-    // mega-class discipline minhashCandidatePairs' own docs prescribe):
-    // identical text ⇒ identical signatures ⇒ identical buckets, so one
-    // representative (min id) per class sees exactly the bucket
-    // co-memberships every member would, while an un-collapsed class of N
-    // copies would inject C(N,2) clique pairs into every band. Re-expansion
-    // afterwards is exact: each member adopts its representative's cluster;
-    // a class of ≥ 2 with no external near-dup edge is its own component
-    // (the full graph gives it a clique, the collapsed graph an isolated
-    // rep), keyed by the rep id — which IS the class min, so cluster ids
-    // match the full-graph oracle bit-for-bit.
-    ("q153_star_components", (s0, dir) => {
-      // pair-graph-sized iteration: every alternation frame is LSH-pair
-      // scale (thousands of edges), so 32-way shuffles mean ~6 tiny
-      // stages x rounds of pure task-scheduling jitter — the bench's
-      // widest pass spread until round 13. 8 partitions keeps each round
-      // 1-2 tasks per stage without changing any result; the corpus-sized
-      // pre-collapse groupBy happens on the parent-session plan BEFORE
-      // the loop and is unaffected at gate scale. At 100 TB the edge set
-      // is still pairs-not-corpus; size this to the pair graph.
-      val s = isolated(s0, "spark.sql.shuffle.partitions" -> "8")
-      val docs = T(s, dir, "documents")
-      // materialized ONCE: three consumers below (reps, dupClasses,
-      // memberOut's anti side) would otherwise each re-plan and re-execute
-      // the full-corpus groupBy — Spark shares no subplans across DataFrame
-      // references. Eager persist, NOT localCheckpoint: this table is
-      // near-corpus-sized (it keeps the text column), and checkpoint blocks
-      // are non-replicated — an executor loss after a localCheckpoint kills
-      // the job unrecoverably, while persist keeps lineage for recompute.
-      val classes = graft.util.Caches.register(docs.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      classes.count() // populate before the consumers fork
-      val reps = classes.select(col("keep_id").as("doc_id"), col("text"))
-      val pairs = Dedup.minhashCandidatePairs(reps, "doc_id", "text")
-      val repCC = Dedup.connectedComponents(pairs, "id_a", "id_b", 12, starContraction = true)
-        .localCheckpoint() // tiny; consumed by both output branches below
-      // classes WITH copies are the only ones needing re-expansion — a tiny
-      // table (corpus agg → broadcast), so members resolve via a map-side
-      // join; the corpus never shuffles for the re-expansion
-      val dupClasses = broadcast(classes.where(col("n_dups") >= 2)
-        .select(col("text"), col("keep_id")))
-      val memberOut = docs.select(col("doc_id"), col("text"))
-        .join(dupClasses, Seq("text"))
-        .join(repCC.select(col("id"), col("cluster_id")),
-          col("keep_id") === col("id"), "left")
-        // rep has an external near-dup edge → adopt its cluster; otherwise
-        // the exact class is its own component keyed by its min id
-        .select(col("doc_id"), coalesce(col("cluster_id"), col("keep_id")).as("cluster_id"))
-      val repOut = repCC
-        .join(dupClasses.select(col("keep_id").as("id")), Seq("id"), "left_anti")
-        .select(col("id").as("doc_id"), col("cluster_id"))
-      memberOut.unionByName(repOut)
-        .select(col("doc_id"), col("cluster_id"),
-          (col("doc_id") === col("cluster_id")).as("is_keeper"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH RECURSIVE docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs),
-      mh AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mh GROUP BY doc_id, p // 4),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION SELECT id_b, id_a FROM pairs),
-      reach AS (
-        SELECT src AS id, src AS label FROM edges
-        UNION
-        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
-      SELECT id AS doc_id, min(label) AS cluster_id,
-             (id = min(label)) AS is_keeper
-      FROM reach GROUP BY id ORDER BY doc_id""")),
-
-    // Temperature-based corpus mixing weights (the multilingual-sampling
-    // recipe of published LLM training reports: w_l ∝ n_l^α with α = 0.5):
-    // per language, doc/token counts plus the RELATIVE sampling weight and
-    // the upsample factor vs proportional sampling. Every double is a
-    // single sqrt/division over exact integer counts (max via window —
-    // deterministic), so no float-sum ordering can break cross-engine
-    // bit-equality. One scan, one tiny aggregation.
-    ("q154_mixing_weights", (s, dir) => {
-      val c = T(s, dir, "documents")
-        .where(col("lang").isNotNull)
-        .groupBy(col("lang"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-      c.withColumn("max_docs", max(col("n_docs")).over(Window.partitionBy()))
-        .select(col("lang"), col("n_docs"), col("n_tokens"),
-          sqrt(col("n_docs").cast("double") / col("max_docs").cast("double"))
-            .as("rel_weight"),
-          sqrt(col("max_docs").cast("double") / col("n_docs").cast("double"))
-            .as("upsample_factor"))
-        .orderBy(col("lang"))
-    }, Some("""
-      WITH c AS (
-        SELECT lang, count(*) AS n_docs,
-               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        FROM documents WHERE lang IS NOT NULL GROUP BY lang),
-      m AS (SELECT *, max(n_docs) OVER () AS max_docs FROM c)
-      SELECT lang, n_docs, n_tokens,
-        sqrt(CAST(n_docs AS DOUBLE) / CAST(max_docs AS DOUBLE)) AS rel_weight,
-        sqrt(CAST(max_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS upsample_factor
-      FROM m ORDER BY lang""")),
-
-    // Quality-gate funnel — the observability report every filtering
-    // pipeline publishes: how many docs survive each CUMULATIVE gate
-    // (length → token count → stopword evidence → distinct-token ratio).
-    // ONE scan computes every gate as a conditional sum (the gates nest, so
-    // later sums reuse the same row predicates); the 5-row result unpivots
-    // driver-free via stack. Integer cross-multiplication for the ratio
-    // gate — no float compare.
-    ("q155_filter_funnel", (s, dir) => {
-      val w = split(col("text"), " ")
-      val sw = array(graft.ext.TextAnalysis.stopwords.map(lit): _*)
-      val g1 = col("text").isNotNull && col("n_chars") >= 50
-      val g2 = g1 && size(w) >= 10
-      val g3 = g2 && arrays_overlap(w, sw)
-      val g4 = g3 && size(array_distinct(w)) * 2 >= size(w)
-      def cnt(c: Column): Column = sum(when(c, lit(1L)).otherwise(lit(0L)))
-      T(s, dir, "documents")
-        .agg(
-          count(lit(1)).as("n_total"), cnt(g1).as("n1"), cnt(g2).as("n2"),
-          cnt(g3).as("n3"), cnt(g4).as("n4"))
-        .select(expr("""stack(5,
-            'g0_total',     n_total, cast(n_total as double) / cast(n_total as double),
-            'g1_length',    n1,      cast(n1 as double) / cast(n_total as double),
-            'g2_tokens',    n2,      cast(n2 as double) / cast(n_total as double),
-            'g3_stopwords', n3,      cast(n3 as double) / cast(n_total as double),
-            'g4_distinct',  n4,      cast(n4 as double) / cast(n_total as double))
-            AS (stage, n_pass, share)"""))
-        .orderBy(col("stage"))
-    }, Some("""
-      WITH w AS (
-        SELECT text, n_chars, string_split(text, ' ') AS ws FROM documents),
-      g AS (
-        SELECT count(*) AS n_total,
-          CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-          CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 50 AND len(ws) >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-          CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 50 AND len(ws) >= 10
-                        AND len(list_intersect(ws, ['the','a','of','and','to','in'])) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
-          CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 50 AND len(ws) >= 10
-                        AND len(list_intersect(ws, ['the','a','of','and','to','in'])) > 0
-                        AND len(list_distinct(ws)) * 2 >= len(ws) THEN 1 ELSE 0 END) AS BIGINT) AS n4
-        FROM w)
-      SELECT 'g0_total' AS stage, n_total AS n_pass,
-             CAST(n_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS share FROM g
-      UNION ALL SELECT 'g1_length', n1, CAST(n1 AS DOUBLE) / CAST(n_total AS DOUBLE) FROM g
-      UNION ALL SELECT 'g2_tokens', n2, CAST(n2 AS DOUBLE) / CAST(n_total AS DOUBLE) FROM g
-      UNION ALL SELECT 'g3_stopwords', n3, CAST(n3 AS DOUBLE) / CAST(n_total AS DOUBLE) FROM g
-      UNION ALL SELECT 'g4_distinct', n4, CAST(n4 AS DOUBLE) / CAST(n_total AS DOUBLE) FROM g
-      ORDER BY stage""")),
-
-    // Sequence-length histogram with cumulative token mass — the report
-    // that sizes a packing configuration (q145): token counts bucketed at
-    // width 64, each bucket's doc/token counts plus cumulative token share.
-    // Integer sums feed every double division, and the windowed cumsum runs
-    // over the |buckets|-sized reduction (single-partition is fine — and
-    // exactly why the shares stay deterministic cross-engine).
-    ("q156_seqlen_histogram", (s, dir) => {
-      val b = T(s, dir, "documents")
-        .where(col("text").isNotNull)
-        .select((size(split(col("text"), " ")).cast("long")).as("nt"))
-        .groupBy((floor(col("nt") / 64) * 64).as("bucket_lo"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-      val cum = Window.partitionBy().orderBy(col("bucket_lo"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy()
-      b.select(col("bucket_lo"), col("n_docs"), col("n_tokens"),
-          sum(col("n_tokens")).over(cum).as("cum_tokens"),
-          sum(col("n_tokens")).over(tot).as("__tot"))
-        .select(col("bucket_lo"), col("n_docs"), col("n_tokens"), col("cum_tokens"),
-          (col("n_tokens").cast("double") / col("__tot").cast("double"))
-            .as("token_share"),
-          (col("cum_tokens").cast("double") / col("__tot").cast("double"))
-            .as("cum_token_share"))
-        .orderBy(col("bucket_lo"))
-    }, Some("""
-      WITH t AS (
-        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
-        FROM documents WHERE text IS NOT NULL),
-      b AS (
-        SELECT (nt // 64) * 64 AS bucket_lo, count(*) AS n_docs,
-               CAST(sum(nt) AS BIGINT) AS n_tokens
-        FROM t GROUP BY 1),
-      c AS (
-        SELECT *,
-          CAST(sum(n_tokens) OVER (ORDER BY bucket_lo
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
-          CAST(sum(n_tokens) OVER () AS BIGINT) AS tot
-        FROM b)
-      SELECT bucket_lo, n_docs, n_tokens, cum_tokens,
-             CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS token_share,
-             CAST(cum_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_token_share
-      FROM c ORDER BY bucket_lo""")),
-
-    // Prefix-fingerprint dedup — the boilerplate/mirror-page heuristic:
-    // documents sharing their first 8 words collapse to one keeper. Reuses
-    // exactDupGroups with a hash48-of-prefix key: same one-shuffle shape as
-    // q21/q22, a different (cheaper, position-sensitive) notion of "same".
-    ("q157_prefix_dedup", (s, dir) => {
-      Dedup.exactDupGroups(
-        T(s, dir, "documents").where(col("text").isNotNull), "doc_id",
-        TextAnalysis.hash48(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
-        .orderBy(col("dup_key"))
-    }, Some("""
-      SELECT ('0x' || substr(md5(array_to_string(string_split(text, ' ')[1:8], ' ')), 1, 12))::BIGINT AS dup_key,
-             MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-      FROM documents WHERE text IS NOT NULL
-      GROUP BY 1 ORDER BY dup_key""")),
-
-    // Dedup-method agreement audit: the MinHash-LSH (q23) and SimHash (q84)
-    // candidate-pair sets over the same corpus, full-outer-joined — the
-    // report a pipeline owner reads before trusting one method's recall.
-    // Both pair pipelines are the already-proven bucket-join shapes; the
-    // join keys are (id_a, id_b) canonical pairs, so the audit costs one
-    // extra shuffle of the (tiny) pair sets, never of the corpus.
-    ("q158_dedup_agreement", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val mh = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-        .withColumn("m", lit(1))
-      val sh = Dedup.simhashCandidatePairs(docs, "doc_id", "text")
-        .select(col("id_a"), col("id_b")).withColumn("s", lit(1))
-      mh.join(sh, Seq("id_a", "id_b"), "full_outer")
-        .agg(
-          count(col("m")).as("n_minhash"),
-          count(col("s")).as("n_simhash"),
-          sum(when(col("m").isNotNull && col("s").isNotNull, 1L).otherwise(0L))
-            .as("n_both"),
-          sum(when(col("s").isNull, 1L).otherwise(0L)).as("n_minhash_only"),
-          sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_simhash_only"))
-    }, Some("""
-      WITH docs3 AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs3),
-      mhx AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mhx GROUP BY doc_id, p // 4),
-      mpairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      sim AS (
-        SELECT doc_id,
-          CAST(list_sum(list_transform(range(0, 48), b ->
-            CASE WHEN list_sum(list_transform(string_split(text, ' '), w ->
-                   2 * ((('0x' || substr(md5(w), 1, 12))::BIGINT >> b) & 1) - 1)) > 0
-                 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
-        FROM documents),
-      posted AS (
-        SELECT t.band, (simhash >> (t.band * 12)) & 4095 AS sig, doc_id, simhash
-        FROM sim CROSS JOIN generate_series(0, 3) t(band)),
-      spairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM posted a JOIN posted b
-          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-      mm AS (SELECT id_a, id_b, 1 AS m FROM mpairs),
-      ss AS (SELECT id_a, id_b, 1 AS s FROM spairs),
-      j AS (
-        SELECT mm.m, ss.s FROM mm
-        FULL JOIN ss ON mm.id_a = ss.id_a AND mm.id_b = ss.id_b)
-      SELECT CAST(count(m) AS BIGINT) AS n_minhash,
-             CAST(count(s) AS BIGINT) AS n_simhash,
-             CAST(sum(CASE WHEN m = 1 AND s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
-             CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_only,
-             CAST(sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_only
-      FROM j""")),
-
-    // Per-document n-gram novelty (corpus-unique gram share) — the
-    // uniqueness/memorization-risk signal, computed on the same inverted
-    // index as the Jaccard/decontamination operators: all work linear in
-    // posting count, no pair space anywhere.
-    ("q159_ngram_novelty", (s, dir) => {
-      TextAnalysis.noveltyScores(T(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH docs AS (
-        SELECT doc_id,
-          list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END) AS sh
-        FROM documents WHERE text IS NOT NULL),
-      posts AS (SELECT doc_id, unnest(sh) AS g FROM docs),
-      dfreq AS (SELECT g, count(*) AS df FROM posts GROUP BY g)
-      SELECT doc_id, count(*) AS n_grams,
-             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-               / CAST(count(*) AS DOUBLE) AS novelty
-      FROM posts JOIN dfreq USING (g)
-      GROUP BY doc_id ORDER BY doc_id""")),
-
-    // LSH calibration audit: for every MinHash candidate pair, the
-    // signature-agreement ESTIMATE of Jaccard (agreeing permutations / 16 —
-    // the unbiased MinHash estimator) next to the EXACT n-gram Jaccard,
-    // computed only for the candidate set (postings semi-restricted by the
-    // pair ids — never all-pairs). The report that answers "is 16
-    // permutations enough?" before trusting the dedup at scale.
-    ("q160_lsh_calibration", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      // ONE signature pass (md5 per shingle × 16 permutation mins) feeds the
-      // band buckets, the candidate pairs AND the per-permutation agreement —
-      // the previous form ran the whole pipeline twice (once inside
-      // minhashCandidatePairs, once for the agreement columns)
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
-        .localCheckpoint(true)
-      val buckets = Dedup.bucketsFromSignatures(sigs, "doc_id")
-      val cands = Dedup.bucketPairs(buckets, "doc_id")
-      val sa = sigs.select(col("doc_id").as("id_a") +:
-        (0 until 16).map(p => col(s"mh_$p").as(s"a_$p")): _*)
-      val sb = sigs.select(col("doc_id").as("id_b") +:
-        (0 until 16).map(p => col(s"mh_$p").as(s"b_$p")): _*)
-      val agree = (0 until 16)
-        .map(p => when(col(s"a_$p") === col(s"b_$p"), lit(1L)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val withAgree = cands.join(sa, "id_a").join(sb, "id_b")
-        .select(col("id_a"), col("id_b"), agree.as("n_agree"))
-      // exact Jaccard per candidate via per-doc shingle-hash SETS (the q161
-      // verification shape): two equi-joins on doc id + one codegen'd
-      // array_intersect — versus the posting re-explode, whose
-      // |cands|·avg(set) intermediate rows paid a corpus-scale shuffle
-      val docSets = docs
-        .where(col("text").isNotNull)
-        .withColumn("__words", split(col("text"), " "))
-        .select(col("doc_id"),
-          explode(Dedup.shingles(col("text"), col("__words"))).as("__g"))
-        .select(col("doc_id"), xxhash64(col("__g")).as("__s"))
-        .distinct()
-        .groupBy(col("doc_id"))
-        .agg(collect_list(col("__s")).as("__set"), count(lit(1)).as("n"))
-        .localCheckpoint(true)
-      withAgree
-        .join(docSets.select(col("doc_id").as("id_a"),
-          col("__set").as("__sa"), col("n").as("na")), "id_a")
-        .join(docSets.select(col("doc_id").as("id_b"),
-          col("__set").as("__sb"), col("n").as("nb")), "id_b")
-        .withColumn("n_shared",
-          size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
-        .select(col("id_a"), col("id_b"), col("n_agree"),
-          (col("n_agree").cast("double") / lit(16.0)).as("est_jaccard"),
-          col("n_shared"),
-          (col("n_shared").cast("double") /
-            (col("na") + col("nb") - col("n_shared")).cast("double")).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
-    }, Some("""
-      WITH docs3 AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs3),
-      mhx AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mhx GROUP BY doc_id, p // 4),
-      mpairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      agree AS (
-        SELECT j.id_a, j.id_b,
-               CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
-        FROM mpairs j
-        JOIN mhx a ON a.doc_id = j.id_a
-        JOIN mhx b ON b.doc_id = j.id_b AND b.p = a.p
-        GROUP BY j.id_a, j.id_b),
-      posts AS (
-        SELECT doc_id, unnest(list_distinct(sh)) AS g
-        FROM docs3 WHERE sh IS NOT NULL),
-      sizes AS (SELECT doc_id, count(*) AS n FROM posts GROUP BY doc_id),
-      inter AS (
-        SELECT j.id_a, j.id_b, count(*) AS n_shared
-        FROM mpairs j
-        JOIN posts pa ON pa.doc_id = j.id_a
-        JOIN posts pb ON pb.doc_id = j.id_b AND pb.g = pa.g
-        GROUP BY j.id_a, j.id_b)
-      SELECT g.id_a, g.id_b, g.n_agree,
-             CAST(g.n_agree AS DOUBLE) / 16.0 AS est_jaccard,
-             COALESCE(i.n_shared, 0) AS n_shared,
-             CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
-               / CAST(na.n + nb.n - COALESCE(i.n_shared, 0) AS DOUBLE) AS jaccard
-      FROM agree g
-      LEFT JOIN inter i ON i.id_a = g.id_a AND i.id_b = g.id_b
-      JOIN sizes na ON na.doc_id = g.id_a
-      JOIN sizes nb ON nb.doc_id = g.id_b
-      ORDER BY g.id_a, g.id_b""")),
-
-    // Prefix-filtered set-similarity join (SSJoin/PPJoin principle) —
-    // RESULT-IDENTICAL to q25's inverted-index Jaccard at the same
-    // threshold (it shares q25's oracle verbatim), but candidates come
-    // only from each doc's rarest n−⌈t·n⌉+1 shingles: the prefix theorem
-    // guarantees lossless pruning, so the stop-shingle df² quadratic never
-    // reaches the candidate stage. Exact-dup classes are pre-collapsed to
-    // one representative before the index is built (q153's discipline) —
-    // a class of N identical mirrors costs one rep, not a C(N,2) clique in
-    // every posting/candidate/verification stage; the clique is re-created
-    // arithmetically at output time where it is inherent to result size.
-    ("q161_prefix_jaccard", (s, dir) => {
-      Dedup.prefixFilteredJaccardPairsCollapsed(T(s, dir, "documents"), "doc_id", "text",
-          Seq("lang"), 0.12)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
-    }, Some("""
-      WITH docs AS (
-        SELECT doc_id, lang,
-          list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END) AS sh
-        FROM documents),
-      pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          len(list_intersect(a.sh, b.sh)) AS inter,
-          len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
-        FROM docs a JOIN docs b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-      SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
-      FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.12
-      ORDER BY id_a, id_b""")),
-
-    // Per-source near-dup governance report: which sources generate the
-    // candidate pairs (mirror sites, syndicated feeds). The corpus pays
-    // only the already-proven pair pipeline; sources attach by two joins
-    // on the (tiny) pair set and the rate is a single division by the
-    // windowed total.
-    ("q162_dedup_by_source", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val src = docs.select(col("doc_id"), col("source"))
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-      val tot = Window.partitionBy()
-      pairs
-        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
-        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
-        .groupBy(least(col("sa"), col("sb")).as("src_lo"),
-          greatest(col("sa"), col("sb")).as("src_hi"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .withColumn("pair_share",
-          col("n_pairs").cast("double") /
-            sum(col("n_pairs")).over(tot).cast("double"))
-        .orderBy(col("src_lo"), col("src_hi"))
-    }, Some("""
-      WITH docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs),
-      mh AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mh GROUP BY doc_id, p // 4),
-      mpairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      lab AS (
-        SELECT least(da.source, db.source) AS src_lo,
-               greatest(da.source, db.source) AS src_hi, count(*) AS n_pairs
-        FROM mpairs j
-        JOIN documents da ON da.doc_id = j.id_a
-        JOIN documents db ON db.doc_id = j.id_b
-        GROUP BY 1, 2)
-      SELECT src_lo, src_hi, n_pairs,
-        CAST(n_pairs AS DOUBLE) / CAST(sum(n_pairs) OVER () AS DOUBLE) AS pair_share
-      FROM lab ORDER BY src_lo, src_hi""")),
-
-    // Label-centroid separation matrix over int8-QUANTIZED embeddings
-    // (q116's exact-BIGINT centroid sums, taken pairwise): Euclidean
-    // distance between every label pair's centroid, the "are my classes
-    // separable?" audit. The corpus reduces ONCE to |labels|·64 exact
-    // integer sums; the |labels|² pairing and the per-pair 64-term fold
-    // run on that tiny frame, with a SEQUENTIAL left-to-right fold
-    // (zip_with + aggregate ≡ DuckDB's list fold) so the double sum has
-    // ONE evaluation order in both engines.
-    ("q163_centroid_distances", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val codes = emb.select(col("label"),
-        ext.Quantize.int8Codes(col("embedding"),
-          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
-      val cent = codes
-        .select(col("label"), posexplode(col("codes")).as(Seq("p", "c")))
-        .groupBy(col("label").cast("long").as("label"), col("p"))
-        .agg((sum(col("c").cast("long")).cast("double") /
-          count(lit(1)).cast("double")).as("centroid"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(p, centroid))), x -> x.centroid)")
-          .as("cvec"))
-      val a = cent.select(col("label").as("label_a"), col("cvec").as("ca"))
-      val b = cent.select(col("label").as("label_b"), col("cvec").as("cb"))
-      a.crossJoin(b).where(col("label_a") < col("label_b"))
-        .select(col("label_a"), col("label_b"),
-          sqrt(expr("aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v)"))
-            .as("dist"))
-        .orderBy(col("label_a"), col("label_b"))
-    }, Some("""
-      WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
-      s AS (
-        SELECT label, vec,
-          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
-        FROM v),
-      q AS (
-        SELECT label, CASE WHEN scale = 0
-          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
-          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
-        FROM s),
-      e AS (
-        SELECT label, i, codes[i] AS c
-        FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r),
-      cent AS (
-        SELECT CAST(label AS BIGINT) AS label, i,
-          CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid
-        FROM e GROUP BY 1, 2),
-      cv AS (SELECT label, list(centroid ORDER BY i) AS cvec FROM cent GROUP BY label)
-      SELECT a.label AS label_a, b.label AS label_b,
-        sqrt(list_sum(list_transform(range(1, 65),
-          i -> (a.cvec[i] - b.cvec[i]) * (a.cvec[i] - b.cvec[i])))) AS dist
-      FROM cv a JOIN cv b ON a.label < b.label
-      ORDER BY label_a, label_b""")),
-
-    // ANN recall audit (q160's sibling for the vector side): every
-    // approximate index trades recall for probe cost, and this report is the
-    // number that decides whether the trade is acceptable — per-query
-    // recall@k of all three approximate methods (one-table sign-bucket LSH,
-    // IVF/nprobe, and q175's multi-table multi-probe sign-LSH)
-    // against the exact brute-force top-k. The exact side is computed once
-    // on the (tiny) query set; the joins that score the methods touch only
-    // |queries|·k rows, never the corpus. At 100 TB the brute-force side is
-    // the expensive one — it runs over a fixed evaluation slice (here
-    // vec_id < 10), which is exactly how production recall audits bound it.
-    ("q164_ann_recall", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val qs = emb.where(col("vec_id") < 10)
-      val bf = Similarity.bruteForceTopK(qs, emb, "vec_id", "vec_id", "embedding", 3)
-        .select(col("q_id").as("bq"), col("n_id").as("bn"))
-      val cents = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cid"), col("embedding"))
-      val meth =
-        Similarity.bucketedTopK(qs, emb, "vec_id", "vec_id", "embedding", 3)
-          .select(lit("bucketed").as("method"), col("q_id").as("mq"), col("n_id").as("mn"))
-        .unionByName(
-          Similarity.ivfTopK(qs, emb, cents, "vec_id", "vec_id", "cid", "embedding",
-              k = 3, nprobe = 2)
-            .select(lit("ivf").as("method"), col("q_id").as("mq"), col("n_id").as("mn")))
-        .unionByName(
-          Similarity.multiProbeTopK(qs, emb, "vec_id", "vec_id", "embedding",
-              k = 3, tables = 8, bits = 7, flips = 3)
-            .select(lit("multiprobe").as("method"), col("q_id").as("mq"), col("n_id").as("mn")))
-      val mm = meth.select(col("method").as("mthd")).distinct()
-      bf.crossJoin(mm)
-        .join(meth,
-          col("mthd") === col("method") && col("bq") === col("mq") &&
-            col("bn") === col("mn"),
-          "left")
-        .groupBy(col("mthd"), col("bq"))
-        .agg(count(col("mn")).as("n_hit"))
-        .select(col("mthd").as("method"), col("bq").as("q_id"), col("n_hit"),
-          lit(3).as("k"),
-          (col("n_hit").cast("double") / lit(3)).as("recall"))
-        .orderBy(col("method"), col("q_id"))
-    }, Some("""
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      scored AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-          list_sum(list_transform(range(1, least(len(q.vec), len(c.vec)) + 1), i -> q.vec[i] * c.vec[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * c.vec[i])))) AS sim
-        FROM v q CROSS JOIN v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-      bf AS (
-        SELECT q_id, n_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM scored) t
-        WHERE rank <= 3),
-      b AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-          CAST(list_sum(list_transform(range(0, 8), i ->
-            CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
-        FROM embeddings),
-      ascored AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-          list_sum(list_transform(range(1, least(len(q.v), len(c.v)) + 1), i -> q.v[i] * c.v[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS sim
-        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-        WHERE q.vec_id < 10),
-      ann AS (
-        SELECT q_id, n_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM ascored) t
-        WHERE rank <= 3),
-      cent AS (SELECT vec_id AS cid, vec AS c_vec FROM v WHERE vec_id % 100 = 0),
-      cosd AS (
-        SELECT a.vec_id AS n_id, a.vec AS n_vec, c.cid,
-          list_sum(list_transform(range(1, least(len(a.vec), len(c.c_vec)) + 1), i -> a.vec[i] * c.c_vec[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(c.c_vec) + 1), i -> c.c_vec[i] * c.c_vec[i])))) AS c_sim
-        FROM v a CROSS JOIN cent c),
-      lists AS (
-        SELECT n_id, n_vec, cid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_sim DESC, cid) AS rn
-          FROM cosd) WHERE rn = 1),
-      probes AS (
-        SELECT n_id AS q_id, n_vec AS q_vec, cid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_sim DESC, cid) AS rn
-          FROM cosd WHERE n_id < 10) WHERE rn <= 2),
-      iscored AS (
-        SELECT p.q_id, l.n_id,
-          list_sum(list_transform(range(1, least(len(p.q_vec), len(l.n_vec)) + 1), i -> p.q_vec[i] * l.n_vec[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(p.q_vec) + 1), i -> p.q_vec[i] * p.q_vec[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(l.n_vec) + 1), i -> l.n_vec[i] * l.n_vec[i])))) AS sim
-        FROM probes p JOIN lists l ON l.cid = p.cid AND l.n_id <> p.q_id),
-      ivf AS (
-        SELECT q_id, n_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM iscored) t
-        WHERE rank <= 3),
-      mpb AS (
-        SELECT tbl, vec_id, CAST(list_sum(list_transform(range(0, 7), bb ->
-            CASE WHEN vec[tbl*7 + bb + 1] > 0 THEN (1::BIGINT << bb) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
-        FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl)),
-      mpp AS (
-        SELECT q_id, tbl, unnest(probes) AS bucket FROM (
-          SELECT vec_id AS q_id, tbl,
-            [base,
-             xor(base, sorted[1].k),
-             xor(base, sorted[2].k),
-             xor(xor(base, sorted[1].k), sorted[2].k),
-             xor(base, sorted[3].k),
-             xor(xor(base, sorted[1].k), sorted[3].k),
-             xor(xor(base, sorted[2].k), sorted[3].k),
-             xor(xor(xor(base, sorted[1].k), sorted[2].k), sorted[3].k)] AS probes
-          FROM (
-            SELECT vec_id, tbl,
-              CAST(list_sum(list_transform(range(0, 7), bb ->
-                CASE WHEN vec[tbl*7 + bb + 1] > 0 THEN (1::BIGINT << bb) ELSE 0::BIGINT END)) AS BIGINT) AS base,
-              list_sort(list_transform(range(0, 7), bb ->
-                {'m': abs(vec[tbl*7 + bb + 1]), 'b': bb, 'k': (1::BIGINT << bb)})) AS sorted
-            FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl)
-            WHERE vec_id < 10))),
-      mpcand AS (
-        SELECT DISTINCT p.q_id, b.vec_id AS n_id
-        FROM mpp p JOIN mpb b ON b.tbl = p.tbl AND b.bucket = p.bucket AND b.vec_id <> p.q_id),
-      mpscored AS (
-        SELECT c.q_id, c.n_id,
-          list_sum(list_transform(range(1, least(len(q.vec), len(n.vec)) + 1), i -> q.vec[i] * n.vec[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(n.vec) + 1), i -> n.vec[i] * n.vec[i])))) AS sim
-        FROM mpcand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id),
-      mp AS (
-        SELECT q_id, n_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM mpscored) t
-        WHERE rank <= 3),
-      meth AS (
-        SELECT 'bucketed' AS method, q_id, n_id FROM ann
-        UNION ALL SELECT 'ivf', q_id, n_id FROM ivf
-        UNION ALL SELECT 'multiprobe', q_id, n_id FROM mp)
-      SELECT mm.method AS method, bf.q_id AS q_id, count(m.n_id) AS n_hit, 3 AS k,
-        CAST(count(m.n_id) AS DOUBLE) / 3 AS recall
-      FROM bf CROSS JOIN (SELECT DISTINCT method FROM meth) mm
-      LEFT JOIN meth m ON m.method = mm.method AND m.q_id = bf.q_id AND m.n_id = bf.n_id
-      GROUP BY 1, 2 ORDER BY method, q_id""")),
-
-    // Canonical-document selection — the artifact a dedup pipeline actually
-    // ships: per near-dup cluster (q41's connected components over the
-    // minhash pair graph), keep the longest member (ties → lowest doc_id)
-    // and account for what was dropped. The corpus-scale work is the
-    // already-proven pair pipeline; clustering, ranking, and the
-    // kept/dropped ledger all run on the (tiny) cluster-member set, joined
-    // back to `documents` by key — a co-partitioned hash join at 100 TB,
-    // never a second corpus scan. All outputs are exact BIGINTs.
-    ("q165_cluster_canonical", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-      val clus = Dedup.connectedComponents(pairs, "id_a", "id_b")
-        .select(col("id").as("doc_id"), col("cluster_id"))
-      val memb = clus.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-      val w = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      memb.withColumn("rn", row_number().over(w))
-        .groupBy(col("cluster_id"))
-        .agg(
-          max(when(col("rn") === 1, col("doc_id"))).as("canonical_id"),
-          max(when(col("rn") === 1, col("n_chars"))).as("canonical_chars"),
-          count(lit(1)).as("n_members"),
-          (count(lit(1)) - lit(1)).as("n_dropped"),
-          sum(col("n_chars")).as("chars_total"),
-          sum(when(col("rn") > 1, col("n_chars")).otherwise(lit(0L))).as("chars_dropped"))
-        .orderBy(col("cluster_id"))
-    }, Some("""
-      WITH RECURSIVE docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs),
-      mh AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mh GROUP BY doc_id, p // 4),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION SELECT id_b, id_a FROM pairs),
-      reach AS (
-        SELECT src AS id, src AS label FROM edges
-        UNION
-        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-      clus AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
-      memb AS (
-        SELECT c.cluster_id, c.doc_id, d.n_chars
-        FROM clus c JOIN documents d ON c.doc_id = d.doc_id),
-      ranked AS (
-        SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
-        FROM memb)
-      SELECT cluster_id,
-        max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
-        max(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars,
-        count(*) AS n_members,
-        count(*) - 1 AS n_dropped,
-        CAST(sum(n_chars) AS BIGINT) AS chars_total,
-        CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
-      FROM ranked GROUP BY cluster_id ORDER BY cluster_id""")),
-
-    // BPE merge-candidate scan — the inner loop of byte-pair-encoding
-    // tokenizer training at corpus scale: word frequencies (ONE corpus
-    // reduce; the word domain is Zipf-small), then adjacent character
-    // pairs weighted by word frequency (a second reduce over the tiny
-    // charset² pair domain — map-side combine collapses it before the
-    // exchange). No per-document state, no driver loop: at 100 TB the
-    // corpus is touched once and everything downstream is dictionary-sized.
-    ("q166_bpe_merges", (s, dir) => {
-      val w = T(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
-        .where(col("word") =!= "")
-        .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      w.where(length(col("word")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"),
-          col("n"))
-        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("cnt").desc, col("pair"))).cast("int"))
-        .where(col("rank") <= 50)
-        .select(col("rank"), col("pair"), col("cnt"))
-        .orderBy(col("rank"))
-    }, Some("""
-      WITH w AS (
-        SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
-          SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
-        WHERE word <> '' GROUP BY word),
-      p AS (
-        SELECT unnest(list_transform(range(1, len(word)), i -> substr(word, i, 2))) AS pair, n
-        FROM w WHERE len(word) >= 2),
-      agg AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM p GROUP BY pair),
-      ranked AS (
-        SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
-        FROM agg)
-      SELECT rank, pair, cnt FROM ranked WHERE rank <= 50 ORDER BY rank""")),
-
-    // Join fan-out pre-flight audit — predict an N:M join's output size
-    // WITHOUT running the join: per-key multiplicities of each side (two
-    // keyed reduces, map-side combined), joined on the key domain (already
-    // co-partitioned by the groupBy), out_rows = nl·nr per key. At 100 TB
-    // this is the report that catches the key that would explode a join
-    // into 10¹² rows — for the cost of two aggregations instead of the
-    // catastrophic shuffle itself.
-    ("q167_join_explosion", (s, dir) => {
-      val li = T(s, dir, "lineitem")
-      val l = li.where(col("l_returnflag") === "R")
-        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("nl"))
-      val r = li.where(col("l_linestatus") === "F")
-        .groupBy(col("l_partkey").as("kr")).agg(count(lit(1)).as("nr"))
-      l.join(r, col("k") === col("kr"))
-        .select(col("k"), col("nl"), col("nr"), (col("nl") * col("nr")).as("out_rows"))
-        .withColumn("total_out", sum(col("out_rows")).over(Window.partitionBy()))
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("out_rows").desc, col("k"))).cast("int"))
-        .where(col("rank") <= 20)
-        .select(col("rank"), col("k").as("join_key"), col("nl"), col("nr"),
-          col("out_rows"), col("total_out"),
-          (col("out_rows").cast("double") / col("total_out").cast("double")).as("out_share"))
-        .orderBy(col("rank"))
-    }, Some("""
-      WITH l AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS nl
-                 FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
-      r AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS nr
-            FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1),
-      j AS (SELECT l.k AS k, nl, nr, nl * nr AS out_rows FROM l JOIN r ON l.k = r.k),
-      t AS (SELECT *, CAST(sum(out_rows) OVER () AS BIGINT) AS total_out,
-              CAST(row_number() OVER (ORDER BY out_rows DESC, k) AS INT) AS rank
-            FROM j)
-      SELECT rank, k AS join_key, nl, nr, out_rows, total_out,
-        CAST(out_rows AS DOUBLE) / total_out AS out_share
-      FROM t WHERE rank <= 20 ORDER BY rank""")),
-
-    // Per-source boilerplate detection (C4-style cleaning signal): an
-    // n-gram repeated across documents OF THE SAME SOURCE is
-    // template/boilerplate text, not content. The corpus explodes once to
-    // distinct per-doc shingles (the same inverted-index spine as
-    // q25/q51/q159); within-source document frequency is one keyed reduce;
-    // the per-doc share joins postings to flags BY (source, gram) — linear
-    // in postings, no pair space anywhere. The df ≥ 2 floor is the
-    // data-scaled knob (production corpora use a source-size fraction).
-    ("q168_boilerplate_grams", (s, dir) => {
-      val sh = T(s, dir, "documents")
-        .withColumn("__words", split(col("text"), " "))
-        .select(col("doc_id"), col("source"),
-          explode(array_distinct(Dedup.shingles(col("text"), col("__words")))).as("g"))
-      val flag = sh.groupBy(col("source"), col("g"))
-        .agg(count(lit(1)).as("df"))
-        .select(col("source").as("fs"), col("g").as("fg"), (col("df") >= 2).as("boiler"))
-      sh.join(flag, col("source") === col("fs") && col("g") === col("fg"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("boiler"), lit(1L)).otherwise(lit(0L))).as("n_boiler"))
-        .select(col("doc_id"), col("source"), col("n_grams"), col("n_boiler"),
-          (col("n_boiler").cast("double") / col("n_grams").cast("double")).as("boiler_share"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH sh AS (
-        SELECT doc_id, source,
-          unnest(list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END)) AS g
-        FROM documents),
-      gdf AS (SELECT source, g, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1, 2),
-      flag AS (SELECT source, g, (df >= 2) AS boiler FROM gdf),
-      per_doc AS (
-        SELECT d.doc_id, d.source, CAST(count(*) AS BIGINT) AS n_grams,
-          CAST(sum(CASE WHEN f.boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
-        FROM sh d JOIN flag f ON d.source = f.source AND d.g = f.g
-        GROUP BY 1, 2)
-      SELECT doc_id, source, n_grams, n_boiler,
-        CAST(n_boiler AS DOUBLE) / n_grams AS boiler_share
-      FROM per_doc ORDER BY doc_id""")),
-
-    // Per-language adaptive quality gate — the real shape of a corpus
-    // quality filter: instead of one global threshold (which would gut
-    // low-resource languages), rank documents WITHIN each language by a
-    // quality score and drop the bottom fifth. The gate itself is exact
-    // integer arithmetic (5·(rn−1) ≥ n−1 ⇔ percent_rank ≥ 0.2 under a
-    // total order), so no float comparison decides membership; the score
-    // (q30's distinct_ratio) is a single IEEE division — bit-exact in both
-    // engines. One shuffle (partition by lang) + per-partition sort; at
-    // 100 TB the same report swaps the full sort for a percentile_approx
-    // threshold with bounded rank error — the exact form here is the oracle
-    // for that approximation.
-    ("q169_quality_gate", (s, dir) => {
-      // null texts are excluded explicitly: their score would be NULL, and
-      // Spark's ASC ordering puts NULLs first while DuckDB defaults to
-      // NULLS LAST — the filter pins one cross-engine kept-set
-      val sc = T(s, dir, "documents")
-        .where(col("text").isNotNull)
-        .select(col("doc_id"), col("lang"),
-        (size(array_distinct(split(col("text"), " "))).cast("double") /
-          size(split(col("text"), " ")).cast("double")).as("score"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("score").asc, col("doc_id").asc)
-      sc.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("lang"))))
-        .where((col("rn") - 1) * 5 >= col("nd") - 1)
-        .groupBy(col("lang"))
-        .agg(max(col("nd")).as("n_docs"), count(lit(1)).as("n_kept"),
-          min(col("score")).as("cut_score"))
-        .orderBy(col("lang"))
-    }, Some("""
-      WITH sc AS (
-        SELECT doc_id, lang,
-          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-            len(string_split(text, ' ')) AS score
-        FROM documents WHERE text IS NOT NULL),
-      rk AS (
-        SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS BIGINT) AS rn,
-          CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS nd
-        FROM sc),
-      kept AS (SELECT * FROM rk WHERE (rn - 1) * 5 >= nd - 1)
-      SELECT lang, CAST(max(nd) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_kept,
-        min(score) AS cut_score
-      FROM kept GROUP BY lang ORDER BY lang""")),
-
-    // Streaming near-dup dedup, oracle-gated end-to-end: the documents
-    // table replays through `Dedup.minhashStream` (REAL Structured
-    // Streaming — file source, watermark, two chained windowed
-    // aggregations in append mode) and the surviving ids must equal the
-    // batch min-id-ownership rule the oracle computes in SQL. This gate is
-    // only possible because ownership is id-decided, not arrival-decided —
-    // the verdict is bit-stable no matter how the stream is micro-batched.
-    // Docs are assigned to two event-time windows (doc_id parity); a
-    // far-future sentinel advances the watermark so both windows close
-    // (its own window never closes, so it is never emitted).
-    // VERIFICATION-HARNESS BOUNDARY (same as q19): memory sink + collect
-    // is the only way to hand a streaming result to the batch oracle; the
-    // production path writes through the distributed sinks.
-    ("q170_stream_dedup", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val base = lit(1700000000L)
-      val staged = docs
-        .select(col("doc_id"),
-          timestamp_seconds(base + (col("doc_id") % 2) * 10).as("ts"),
-          col("text"))
-        .unionByName(docs.sparkSession.range(1).select(
-          lit(-1L).as("doc_id"),
-          timestamp_seconds(base + 1000000L).as("ts"),
-          lit("zz yy xx ww vv uu flush sentinel").as("text")))
-      // stage as MANY files: the file stream source does not split a
-      // single small parquet below maxPartitionBytes, so one file would
-      // serialize the per-row minhash (16 md5-permutations per shingle)
-      // onto one core; 16 files → 16 parallel tasks. Ownership is
-      // id-decided, so file layout cannot change the verdict.
-      val tmp = graft.util.Staging.dir("q170_docs", dir) { p =>
-        staged.repartition(16).write.mode("overwrite").parquet(p)
-      }
-      val qname = "graft_stream_dedup"
-      // 4 shuffle partitions: each stateful op commits one state store
-      // per partition per micro-batch; at 5k docs the commit overhead
-      // dominates the actual aggregation, so fewer instances is faster.
-      // Pinned in an isolated child session — parent never mutated.
-      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
-      val (schema, rows) = {
-          val stream = s2.readStream.schema(staged.schema).parquet(tmp)
-          val q = Dedup.minhashStream(stream, "doc_id", "text", "ts",
-              delayThreshold = "1 second", windowDuration = "10 seconds")
-            .writeStream.outputMode("append").format("memory").queryName(qname)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          val res = s2.table(qname)
-          val r = (res.schema, res.collect())
-          s2.catalog.dropTempView(qname)
-          r
-        }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs),
-      mh AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mh GROUP BY doc_id, p // 4),
-      buck AS (
-        SELECT doc_id, doc_id % 2 AS wb, band, sig FROM sigs),
-      own AS (
-        SELECT wb, band, sig, min(doc_id) AS owner FROM buck GROUP BY 1, 2, 3),
-      kept AS (
-        SELECT b.doc_id
-        FROM buck b JOIN own o ON b.wb = o.wb AND b.band = o.band AND b.sig = o.sig
-        GROUP BY b.doc_id
-        HAVING sum(CASE WHEN o.owner = b.doc_id THEN 1 ELSE 0 END) = 4)
-      SELECT doc_id FROM kept ORDER BY doc_id""")),
-
-    // Skip-gram pair extraction (window ±2) — the word2vec/embedding
-    // pre-training data prep op: context pairs are emitted PER ROW with
-    // array HOFs (the q25-family precedent: CPU-only, no corpus shuffle —
-    // the alternative posexplode + two shifted self-joins pays two
-    // corpus-wide exchanges) and reduce onto the Zipf-small pair domain
-    // with map-side combine. Both `sequence` calls are guarded: Spark's
-    // sequence(1, 0) DESCENDS instead of being empty.
-    ("q171_skipgram_pairs", (s, dir) => {
-      val w = T(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val p1 = when(size(col("ws")) >= 2, expr(
-        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), '|', element_at(ws, i + 1)))"))
-        .otherwise(expr("cast(array() as array<string>)"))
-      val p2 = when(size(col("ws")) >= 3, expr(
-        "transform(sequence(1, size(ws) - 2), i -> concat(element_at(ws, i), '|', element_at(ws, i + 2)))"))
-        .otherwise(expr("cast(array() as array<string>)"))
-      w.select(explode(concat(p1, p2)).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("cnt").desc, col("pair"))).cast("int"))
-        .where(col("rank") <= 40)
-        .select(col("rank"), col("pair"), col("cnt"))
-        .orderBy(col("rank"))
-    }, Some("""
-      WITH w AS (
-        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      pairs AS (
-        SELECT unnest(flatten([
-          CASE WHEN len(ws) >= 2
-            THEN list_transform(range(1, len(ws)), i -> concat(ws[i], '|', ws[i + 1]))
-            ELSE [] END,
-          CASE WHEN len(ws) >= 3
-            THEN list_transform(range(1, len(ws) - 1), i -> concat(ws[i], '|', ws[i + 2]))
-            ELSE [] END])) AS pair
-        FROM w),
-      agg AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY pair),
-      ranked AS (
-        SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
-        FROM agg)
-      SELECT rank, pair, cnt FROM ranked WHERE rank <= 40 ORDER BY rank""")),
-
-    // Per-language discriminative vocabulary by smoothed odds ratio — the
-    // keyword-extraction sibling of TF-IDF (q37) that needs NO logarithm
-    // (ln/exp are not cross-engine bit-stable): odds = c·(N−N_l) /
-    // ((c_g−c+1)·N_l), every factor an exact BIGINT < 2^53 so the single
-    // double division is IEEE-exact in both engines. One corpus reduce to
-    // (lang, word) counts; the global word table and the 1-row total join
-    // back onto that Zipf-small frame, never the corpus.
-    ("q172_lang_keywords", (s, dir) => {
-      val wc = T(s, dir, "documents")
-        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-        .where(col("word") =!= "")
-        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
-      val tot = wc.groupBy(col("lang").as("tl")).agg(sum(col("c")).as("nl"))
-      val gw = wc.groupBy(col("word").as("gword")).agg(sum(col("c")).as("cg"))
-      val gn = wc.agg(sum(col("c")).as("n"))
-      wc.join(tot, col("lang") === col("tl"))
-        .join(gw, col("word") === col("gword"))
-        .crossJoin(gn)
-        .select(col("lang"), col("word"), col("c"),
-          ((col("c").cast("double") * (col("n") - col("nl"))) /
-            ((col("cg") - col("c") + 1).cast("double") * col("nl"))).as("odds_ratio"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("lang"))
-            .orderBy(col("odds_ratio").desc, col("word"))).cast("int"))
-        .where(col("rank") <= 10)
-        .orderBy(col("lang"), col("rank"))
-    }, Some("""
-      WITH wc AS (
-        SELECT lang, word, CAST(count(*) AS BIGINT) AS c
-        FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) t
-        WHERE word <> '' GROUP BY lang, word),
-      tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nl FROM wc GROUP BY lang),
-      gw AS (SELECT word, CAST(sum(c) AS BIGINT) AS cg FROM wc GROUP BY word),
-      gn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM wc),
-      odds AS (
-        SELECT w.lang, w.word, w.c,
-          (CAST(w.c AS DOUBLE) * (n.n - t.nl)) /
-            (CAST(g.cg - w.c + 1 AS DOUBLE) * t.nl) AS odds_ratio
-        FROM wc w
-        JOIN tot t ON w.lang = t.lang
-        JOIN gw g ON w.word = g.word
-        CROSS JOIN gn n),
-      ranked AS (
-        SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY odds_ratio DESC, word) AS INT) AS rank
-        FROM odds)
-      SELECT lang, rank, word, c, odds_ratio FROM ranked WHERE rank <= 10
-      ORDER BY lang, rank""")),
-
-    // Split-leakage audit — near-dup pairs that CROSS train/val/test
-    // boundaries are evaluation contamination (the val doc is a near-copy
-    // of a training doc), and hash-based splitting does nothing to prevent it.
-    // Composition of two proven pipelines: the minhash candidate pairs and
-    // q53's deterministic hash split; the split table attaches by two joins
-    // on the (tiny) pair set — the corpus pays only the signature pass.
-    ("q173_split_leakage", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-      val sp = Sampling.assignSplit(docs, col("doc_id"),
-          Seq(("train", 80), ("val", 10), ("test", 10)))
-        .select(col("doc_id"), col("split"))
-      pairs
-        .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
-        .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
-        .groupBy(least(col("sa"), col("sb")).as("split_lo"),
-          greatest(col("sa"), col("sb")).as("split_hi"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .select(col("split_lo"), col("split_hi"), col("n_pairs"),
-          (col("split_lo") =!= col("split_hi")).as("is_leak"))
-        .orderBy(col("split_lo"), col("split_hi"))
-    }, Some("""
-      WITH docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs),
-      mh AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mh GROUP BY doc_id, p // 4),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      sp AS (
-        SELECT doc_id,
-          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-        FROM (SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS b
-              FROM documents)),
-      lab AS (
-        SELECT least(sa.split, sb.split) AS split_lo, greatest(sa.split, sb.split) AS split_hi,
-          CAST(count(*) AS BIGINT) AS n_pairs
-        FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id JOIN sp sb ON p.id_b = sb.doc_id
-        GROUP BY 1, 2)
-      SELECT split_lo, split_hi, n_pairs, (split_lo <> split_hi) AS is_leak
-      FROM lab ORDER BY split_lo, split_hi""")),
-
-    // Dedup token-savings ledger — the pipeline-planning number dedup is
-    // run FOR: training tokens removed per language if every non-keeper
-    // cluster member (q41's min-id rule) is dropped. The cluster table is
-    // tiny; it joins documents by key for lang + token counts, and the
-    // per-language totals are one map-side-combined reduce over the corpus.
-    ("q174_dedup_savings", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-      val clus = Dedup.connectedComponents(pairs, "id_a", "id_b")
-        .select(col("id").as("doc_id"), col("cluster_id"))
-      val tok = docs.select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      val dropped = clus.where(col("doc_id") =!= col("cluster_id"))
-        .join(tok, Seq("doc_id"))
-        .groupBy(col("lang").as("dl"))
-        .agg(count(lit(1)).as("n_dropped"), sum(col("n_tokens")).as("tokens_dropped"))
-      tok.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_total"))
-        .join(dropped, col("lang") === col("dl"), "left")
-        .select(col("lang"), col("n_docs"), col("tokens_total"),
-          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-          coalesce(col("tokens_dropped"), lit(0L)).as("tokens_dropped"),
-          (coalesce(col("tokens_dropped"), lit(0L)).cast("double") /
-            col("tokens_total").cast("double")).as("savings_share"))
-        .orderBy(col("lang"))
-    }, Some("""
-      WITH RECURSIVE docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs),
-      mh AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mh GROUP BY doc_id, p // 4),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION SELECT id_b, id_a FROM pairs),
-      reach AS (
-        SELECT src AS id, src AS label FROM edges
-        UNION
-        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-      clus AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
-      tok AS (
-        SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        FROM documents),
-      dropped AS (
-        SELECT t.lang, CAST(count(*) AS BIGINT) AS n_dropped,
-          CAST(sum(t.n_tokens) AS BIGINT) AS tokens_dropped
-        FROM clus c JOIN tok t ON c.doc_id = t.doc_id
-        WHERE c.doc_id <> c.cluster_id
-        GROUP BY t.lang),
-      tot AS (
-        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-          CAST(sum(n_tokens) AS BIGINT) AS tokens_total
-        FROM tok GROUP BY lang)
-      SELECT t.lang, t.n_docs, t.tokens_total,
-        coalesce(d.n_dropped, 0) AS n_dropped,
-        coalesce(d.tokens_dropped, 0) AS tokens_dropped,
-        CAST(coalesce(d.tokens_dropped, 0) AS DOUBLE) / t.tokens_total AS savings_share
-      FROM tot t LEFT JOIN dropped d ON t.lang = d.lang
-      ORDER BY t.lang""")),
-
-    // Multi-table multi-probe sign-LSH ANN — the round-4 verdict's fix for
-    // q28's one-table recall collapse (q164 measured recall@3 ≈ 0.03 there).
-    // 8 independent sign tables over disjoint 7-dim windows; per table the
-    // query probes its bucket plus every subset-flip of the 3 lowest-|margin|
-    // bits (Lv et al. multi-probe), so a true neighbor is recalled if ANY of
-    // the 64 probed buckets holds it. q164 measures recall@3 ≈ 0.87 for this
-    // method on the same data. Corpus side is a narrow 8-row explode into a
-    // broadcast-probe equi-join — never all-pairs; candidates are deduped
-    // before the bounded top-k.
-    ("q175_ann_multiprobe", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.multiProbeTopK(
-        emb.where(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding",
-        k = 3, tables = 8, bits = 7, flips = 3)
-        .orderBy(col("q_id"), col("rank"))
-    }, Some("""
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      mpb AS (
-        SELECT tbl, vec_id, CAST(list_sum(list_transform(range(0, 7), bb ->
-            CASE WHEN v[tbl*7 + bb + 1] > 0 THEN (1::BIGINT << bb) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
-        FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl)),
-      mpp AS (
-        SELECT q_id, tbl, unnest(probes) AS bucket FROM (
-          SELECT vec_id AS q_id, tbl,
-            [base,
-             xor(base, sorted[1].k),
-             xor(base, sorted[2].k),
-             xor(xor(base, sorted[1].k), sorted[2].k),
-             xor(base, sorted[3].k),
-             xor(xor(base, sorted[1].k), sorted[3].k),
-             xor(xor(base, sorted[2].k), sorted[3].k),
-             xor(xor(xor(base, sorted[1].k), sorted[2].k), sorted[3].k)] AS probes
-          FROM (
-            SELECT vec_id, tbl,
-              CAST(list_sum(list_transform(range(0, 7), bb ->
-                CASE WHEN v[tbl*7 + bb + 1] > 0 THEN (1::BIGINT << bb) ELSE 0::BIGINT END)) AS BIGINT) AS base,
-              list_sort(list_transform(range(0, 7), bb ->
-                {'m': abs(v[tbl*7 + bb + 1]), 'b': bb, 'k': (1::BIGINT << bb)})) AS sorted
-            FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl)
-            WHERE vec_id < 10))),
-      mpcand AS (
-        SELECT DISTINCT p.q_id, b.vec_id AS n_id
-        FROM mpp p JOIN mpb b ON b.tbl = p.tbl AND b.bucket = p.bucket AND b.vec_id <> p.q_id),
-      mpscored AS (
-        SELECT c.q_id, c.n_id,
-          list_sum(list_transform(range(1, least(len(q.v), len(n.v)) + 1), i -> q.v[i] * n.v[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * n.v[i])))) AS sim
-        FROM mpcand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
-      SELECT q_id, rank, n_id, sim FROM (
-        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
-        FROM mpscored) t
-      WHERE rank <= 3
-      ORDER BY q_id, rank""")),
-
-    // Persisted-signature dedup composition — the REUSE path production
-    // pipelines actually run: the banded minhash signature table is
-    // computed ONCE and STORED (parquet), pairs + clusters derive from the
-    // stored table (Dedup.bucketPairs — never re-touching corpus text),
-    // the cluster map is stored too, and the final per-cluster ledger
-    // (q165's canonical pick + q174's token savings) reads only the STORED
-    // cluster table joined back to `documents` by key. The oracle computes
-    // everything from scratch, so a green hash-match proves the
-    // store→reload→derive round-trip is exact — the law the independent
-    // gate queries (each self-contained by harness necessity) cannot show.
-    // The ledger derives lazily from the staged stores (which outlive the
-    // query); production persists the store and streams the ledger through
-    // a sink. At 100 TB the ledger is |clusters|-sized, so a driver collect
-    // here would be the reference's collectAsList anti-pattern
-    // (SparkStreamingService.java:262) — avoided.
-    ("q176_stored_sig_ledger", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      // the stores are computed+written ONCE per JVM (Staging) — exactly the
-      // production reuse contract this gate exists to pin: later executions
-      // (and later bench passes) RELOAD the stored tables rather than
-      // rebuilding them, and the ledger must still hash-match the oracle's
-      // from-scratch computation.
-      val tmp = graft.util.Staging.dir("q176_sigstore", dir) { p =>
-        Dedup.minhashBuckets(docs, "doc_id", "text")
-          .write.mode("overwrite").parquet(s"$p/signatures")
-        Dedup.connectedComponents(
-            Dedup.bucketPairs(s.read.parquet(s"$p/signatures"), "doc_id"), "id_a", "id_b")
-          .select(col("id").as("doc_id"), col("cluster_id"))
-          .write.mode("overwrite").parquet(s"$p/clusters")
-      }
-      locally {
-        val clus = s.read.parquet(s"$tmp/clusters")
-        val memb = clus.join(
-          docs.select(col("doc_id"), col("n_chars"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens")),
-          Seq("doc_id"))
-        val w = Window.partitionBy(col("cluster_id"))
-          .orderBy(col("n_chars").desc, col("doc_id"))
-        val ledger = memb.withColumn("rn", row_number().over(w))
-          .groupBy(col("cluster_id"))
-          .agg(
-            max(when(col("rn") === 1, col("doc_id"))).as("canonical_id"),
-            count(lit(1)).as("n_members"),
-            sum(col("n_chars")).as("chars_total"),
-            sum(when(col("rn") > 1, col("n_chars")).otherwise(lit(0L))).as("chars_dropped"),
-            sum(col("n_tokens")).as("tokens_total"),
-            sum(when(col("rn") > 1, col("n_tokens")).otherwise(lit(0L))).as("tokens_dropped"))
-        ledger.orderBy(col("cluster_id"))
-      }
-    }, Some("""
-      WITH RECURSIVE docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs),
-      mh AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mh GROUP BY doc_id, p // 4),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION SELECT id_b, id_a FROM pairs),
-      reach AS (
-        SELECT src AS id, src AS label FROM edges
-        UNION
-        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-      clus AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
-      memb AS (
-        SELECT c.cluster_id, c.doc_id, d.n_chars,
-          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
-        FROM clus c JOIN documents d ON c.doc_id = d.doc_id),
-      ranked AS (
-        SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
-        FROM memb)
-      SELECT cluster_id,
-        max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
-        count(*) AS n_members,
-        CAST(sum(n_chars) AS BIGINT) AS chars_total,
-        CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped,
-        CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
-        CAST(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped
-      FROM ranked GROUP BY cluster_id ORDER BY cluster_id""")),
-
-    // Exact-substring (repeated-span) dedup — the one training-data dedup
-    // family the catalog lacked: find every 8-token sliding window whose
-    // exact text occurs ≥ 2 times corpus-wide and merge each doc's hits
-    // into maximal repeated spans (the fixed-width distributed equivalent
-    // of the literature's suffix-array ≥50-token rule; 8 fits this
-    // corpus's ~40-token docs). One window-table pass, two bounded
-    // shuffles, no join — see Dedup.repeatedSpans.
-    ("q177_repeated_spans", (s, dir) => {
-      Dedup.repeatedSpans(T(s, dir, "documents"), "doc_id", "text",
-          spanTokens = 8, minDf = 2)
-        .orderBy(col("doc_id"), col("start_pos"))
-    }, Some("""
-      WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS w
-        FROM documents WHERE text IS NOT NULL),
-      wins AS (
-        SELECT doc_id, i AS pos,
-          ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 12))::BIGINT AS wh
-        FROM t, unnest(generate_series(1, len(w) - 7)) AS u(i)
-        WHERE len(w) >= 8),
-      rep AS (
-        SELECT doc_id, pos FROM (
-          SELECT doc_id, pos, count(*) OVER (PARTITION BY wh) AS df FROM wins)
-        WHERE df >= 2),
-      isl AS (
-        SELECT doc_id, pos,
-          CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-               OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-               THEN 1 ELSE 0 END AS new_island
-        FROM rep),
-      num AS (
-        SELECT doc_id, pos,
-          CAST(sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
-        FROM isl)
-      SELECT doc_id, island,
-        CAST(min(pos) AS BIGINT) AS start_pos,
-        CAST(max(pos) + 7 AS BIGINT) AS end_pos,
-        CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens,
-        count(*) AS n_windows
-      FROM num GROUP BY doc_id, island
-      ORDER BY doc_id, start_pos""")),
-
-    // Corpus-wide segment-level dedup + reassembly (the CCNet/RefinedWeb
-    // line-dedup stage): fixed 32-token segments, first-occurrence
-    // ownership by (doc_id, pos), docs rebuilt from surviving segments.
-    // One explode + one hash agg + one key join + one per-doc agg — no
-    // window over an unbounded partition (boilerplate segments concentrate
-    // in the owner hash agg's map-side partials).
-    ("q178_segment_dedup", (s, dir) => {
-      Dedup.segmentDedup(T(s, dir, "documents"), "doc_id", "text", 32)
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks,
-               len(string_split(text, ' ')) AS n
-        FROM documents WHERE text IS NOT NULL),
-      inst AS (
-        SELECT doc_id, CAST(start // 32 AS BIGINT) AS pos,
-          array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS seg
-        FROM (SELECT doc_id, toks, n,
-                unnest(generate_series(0, n - 1, 32)) AS start FROM t)),
-      h AS (
-        SELECT doc_id, pos, seg,
-          ('0x' || substr(md5(seg), 1, 12))::BIGINT AS wh
-        FROM inst),
-      own AS (
-        SELECT wh, min(doc_id * 1048576 + pos) AS owner_key FROM h GROUP BY wh),
-      kept AS (
-        SELECT h.doc_id, h.pos, h.seg
-        FROM h JOIN own ON h.wh = own.wh
-        WHERE h.doc_id * 1048576 + h.pos = own.owner_key),
-      tot AS (SELECT doc_id, count(*) AS n_segs FROM inst GROUP BY doc_id),
-      reb AS (
-        SELECT doc_id, count(*) AS n_kept,
-          string_agg(seg, ' ' ORDER BY pos) AS text_dedup
-        FROM kept GROUP BY doc_id)
-      SELECT tot.doc_id, tot.n_segs,
-        coalesce(reb.n_kept, 0) AS n_kept,
-        coalesce(reb.text_dedup, '') AS text_dedup
-      FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
-      ORDER BY tot.doc_id""")),
-
-    // Packed-example manifest — q145's inverse view: for each fixed
-    // 2048-token training example, the docs that fill it (count, id range,
-    // filled tokens — 2048 everywhere but the ragged tail). Offsets come
-    // from GlobalCumsum's two-phase scan; each doc then explodes to only
-    // the examples it touches (n_examples + n_docs rows total, never
-    // tokens), and one hash agg on example_id builds the manifest.
-    ("q179_pack_manifest", (s, dir) => {
-      val t = T(s, dir, "documents")
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      ext.Packing.manifest(
-          ext.Packing.offsets(t, "doc_id", "n_tokens"),
-          "doc_id", "n_tokens", 2048L)
-        .orderBy(col("example_id"))
-    }, Some("""
-      WITH t AS (
-        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        FROM documents),
-      c AS (
-        SELECT doc_id, n_tokens,
-          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-        FROM t),
-      e AS (
-        SELECT doc_id, n_tokens, cum_before,
-          unnest(generate_series(cum_before // 2048,
-                                 (cum_before + n_tokens - 1) // 2048)) AS example_id
-        FROM c)
-      SELECT example_id, count(*) AS n_docs,
-        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-        CAST(sum(least(cum_before + n_tokens, (example_id + 1) * 2048) -
-                 greatest(cum_before, example_id * 2048)) AS BIGINT)
-          AS n_tokens_filled
-      FROM e GROUP BY 1 ORDER BY 1""")),
-
-    // Incremental segment dedup (q178's snapshot-increment twin, the q47 /
-    // q176 convention): the base corpus (doc_id <= 350) persists only its
-    // (seg_hash, owner_key) store; the increment dedups against the STORE
-    // — one left-anti hash join — plus first-in-increment ownership,
-    // without re-touching base text. With base ids below increment ids
-    // this equals the full-corpus pass restricted to the increment
-    // (DedupSpec pins that law); the oracle recomputes from scratch.
-    ("q181_segment_increment", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val store = Dedup.segmentOwners(
-        docs.where(col("doc_id") <= 350), "doc_id", "text", 32)
-      Dedup.segmentDedupIncrement(
-          docs.where(col("doc_id") > 350), store, "doc_id", "text", 32)
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks,
-               len(string_split(text, ' ')) AS n
-        FROM documents WHERE text IS NOT NULL),
-      inst AS (
-        SELECT doc_id, CAST(start // 32 AS BIGINT) AS pos,
-          array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS seg
-        FROM (SELECT doc_id, toks, n,
-                unnest(generate_series(0, n - 1, 32)) AS start FROM t)),
-      h AS (
-        SELECT doc_id, pos, seg,
-          ('0x' || substr(md5(seg), 1, 12))::BIGINT AS wh
-        FROM inst),
-      base AS (SELECT DISTINCT wh FROM h WHERE doc_id <= 350),
-      inc AS (SELECT * FROM h WHERE doc_id > 350),
-      novel AS (
-        SELECT i.* FROM inc i
-        WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.wh = i.wh)),
-      own AS (
-        SELECT wh, min(doc_id * 1048576 + pos) AS owner_key
-        FROM novel GROUP BY wh),
-      kept AS (
-        SELECT n.doc_id, n.pos, n.seg
-        FROM novel n JOIN own o ON n.wh = o.wh
-        WHERE n.doc_id * 1048576 + n.pos = o.owner_key),
-      tot AS (
-        SELECT doc_id, count(*) AS n_segs FROM inst
-        WHERE doc_id > 350 GROUP BY doc_id),
-      reb AS (
-        SELECT doc_id, count(*) AS n_kept,
-          string_agg(seg, ' ' ORDER BY pos) AS text_dedup
-        FROM kept GROUP BY doc_id)
-      SELECT tot.doc_id, tot.n_segs,
-        coalesce(reb.n_kept, 0) AS n_kept,
-        coalesce(reb.text_dedup, '') AS text_dedup
-      FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
-      ORDER BY tot.doc_id""")),
-
-    // PII redaction gate: every document gets deterministic synthetic PII
-    // (an email, an IPv4, a spaced 16-digit card number — all derived from
-    // doc_id, so both engines construct identical text) appended, then
-    // TextAnalysis.redactPii masks them. The gate hash-compares the full
-    // redacted text via md5 plus the mask count, so the three regexes'
-    // exact span semantics (Java regex in Spark, RE2 in DuckDB — patterns
-    // restricted to the common leftmost/greedy subset) are pinned end to
-    // end. Per-row codegen'd regexp chain: no shuffle, linear scan — the
-    // shape a 100 TB scrub pass needs.
-    ("q182_pii_redaction", (s, dir) => {
-      val salted = T(s, dir, "documents").select(col("doc_id"),
-        piiSalt(col("text"), col("doc_id")).as("text"))
-      salted.select(col("doc_id"),
-          TextAnalysis.redactPii(col("text")).as("__red"))
-        .select(col("doc_id"),
-          length(col("__red")).as("n_chars_redacted"),
-          ((length(col("__red")) - length(regexp_replace(col("__red"),
-            "\\[PII\\]", ""))) / lit(5)).cast("long").as("n_masks"),
-          md5(col("__red")).as("redacted_key"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH s AS (
-        SELECT doc_id, text || ' contact user' || doc_id ||
-          '@mail.example.org from ' || (doc_id % 256) || '.16.32.' ||
-          ((doc_id * 7) % 256) || ' card 4111 2222 3333 ' ||
-          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
-        FROM documents),
-      r AS (
-        SELECT doc_id,
-          regexp_replace(regexp_replace(regexp_replace(text,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
-            '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g'),
-            '\b\d(?:[ .-]?\d){8,}\b', '[PII]', 'g') AS red
-        FROM s)
-      SELECT doc_id, CAST(len(red) AS BIGINT) AS n_chars_redacted,
-        CAST((len(red) - len(replace(red, '[PII]', ''))) / 5 AS BIGINT)
-          AS n_masks,
-        md5(red) AS redacted_key
-      FROM r ORDER BY doc_id""")),
-
-    // Bucketed co-located join: orders and customer are written ONCE as
-    // 8-bucket tables on their join key (catalog-registered, sorted within
-    // buckets), then joined — the scan's bucketing satisfies the join's
-    // hash-partitioning requirement, so neither fact re-shuffles
-    // (BucketingSpec pins the no-Exchange plan). At 100 TB this is THE
-    // repeated-join layout: pay the shuffle once at write time, every
-    // subsequent join on the bucket key is exchange-free — so the bucketed
-    // tables are written ONCE per JVM per source dir (Staging) under
-    // dir-keyed names (bijective dir→table, so a session mixing scale
-    // factors can never read the wrong layout), and every execution joins
-    // the pre-bucketed layout, which is the contract under test.
-    ("q183_bucketed_join", (s, dir) => {
-      val suf = java.lang.Integer.toHexString(
-        new java.io.File(dir).getCanonicalPath.hashCode)
-      val (to, tc) = (s"graft_b_orders_$suf", s"graft_b_customer_$suf")
-      // Staging provides the stable JVM-lifetime path; the CREATE itself is
-      // guarded on the SESSION catalog (tables are session-scoped, so a
-      // fresh session in the same JVM re-registers over the same path)
-      val wh = graft.util.Staging.dir(s"q183_warehouse_$suf", dir)(_ => ())
-      if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tc)) {
-        T(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"),
-            dec(col("o_totalprice")).as("o_price"))
-          .write.format("parquet").option("path", s"$wh/o")
-          .bucketBy(8, "o_custkey").sortBy("o_custkey")
-          .mode("overwrite").saveAsTable(to)
-        T(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))
-          .write.format("parquet").option("path", s"$wh/c")
-          .bucketBy(8, "c_custkey").sortBy("c_custkey")
-          .mode("overwrite").saveAsTable(tc)
-      }
-      s.table(to)
-        .join(s.table(tc), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"),
-          countDistinct(col("c_custkey")).as("n_custs"),
-          sum(col("o_price")).cast("double").as("total_price"))
-        .orderBy(col("c_mktsegment"))
-    }, Some("""
-      SELECT c_mktsegment, count(*) AS n_orders,
-        count(DISTINCT c.c_custkey) AS n_custs,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-          AS total_price
-      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      GROUP BY 1 ORDER BY 1""")),
-
-    // Z-order layout audit: events map onto a 2-D (user bucket × value
-    // bucket) grid, each row gets the 16-bit Morton/Z interleave of the two
-    // 8-bit coordinates (pure unrolled shift/mask arithmetic — identical in
-    // both engines), and consecutive z-ranges of 1024 codes model the files
-    // a z-ordered writer would cut. The per-"file" min/max of BOTH
-    // dimensions stays bounded (each covers at most a 32×32 tile of the
-    // 256×256 grid) — exactly the property that lets file-level min/max
-    // statistics skip data for predicates on EITHER column at 100 TB,
-    // where a single-column sort bounds only one.
-    ("q184_zorder_layout", (s, dir) => {
-      val withXY = T(s, dir, "events").select(
-        (col("user_id") % 256).cast("long").as("__x"),
-        least(floor(col("value")).cast("long"), lit(255L)).as("__y"))
-      val z = (0 until 8).map { i =>
-        shiftright(col("__x"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-        shiftright(col("__y"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
-      }.reduce(_ + _)
-      withXY.withColumn("__z", z)
-        .withColumn("file_id", (col("__z") / 1024).cast("long"))
-        .groupBy(col("file_id"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("__x")).as("x_min"), max(col("__x")).as("x_max"),
-          min(col("__y")).as("y_min"), max(col("__y")).as("y_max"),
-          min(col("__z")).as("z_min"), max(col("__z")).as("z_max"))
-        .orderBy(col("file_id"))
-    }, Some("""
-      WITH e AS (
-        SELECT user_id % 256 AS x,
-               least(CAST(floor(value) AS BIGINT), 255) AS y
-        FROM events),
-      z AS (
-        SELECT x, y,
-          ((x >> 0) & 1) * 1 + ((y >> 0) & 1) * 2 +
-          ((x >> 1) & 1) * 4 + ((y >> 1) & 1) * 8 +
-          ((x >> 2) & 1) * 16 + ((y >> 2) & 1) * 32 +
-          ((x >> 3) & 1) * 64 + ((y >> 3) & 1) * 128 +
-          ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512 +
-          ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048 +
-          ((x >> 6) & 1) * 4096 + ((y >> 6) & 1) * 8192 +
-          ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768 AS zv
-        FROM e)
-      SELECT zv // 1024 AS file_id, count(*) AS n_rows,
-        min(x) AS x_min, max(x) AS x_max,
-        min(y) AS y_min, max(y) AS y_max,
-        min(zv) AS z_min, max(zv) AS z_max
-      FROM z GROUP BY 1 ORDER BY 1""")),
-
-    // Stream-stream interval join, oracle-gated end-to-end (the q180
-    // harness): purchases and clicks replay as two file streams,
-    // watermarked and inner-joined on user within a 6-hour attribution
-    // window — Spark keeps both sides in range-bounded state and emits
-    // matches as they meet, which for an inner join is exactly the batch
-    // join. Each side is staged as ONE file so both sources land in a
-    // single micro-batch (no late-arrival drops possible under
-    // FileStreamSource's oldest-mtime-first order). The joined pairs then
-    // aggregate per purchase in batch. VERIFICATION-HARNESS BOUNDARY
-    // (q19/q170/q180 convention): memory sink + collect hands the streamed
-    // pairs to the batch aggregation; production writes through the
-    // distributed sinks.
-    ("q185_stream_join", (s, dir) => {
-      val ev = T(s, dir, "events").select(col("event_id"), col("user_id"),
-        col("event_type"), timestamp_micros(expr("ts div 1000")).as("ts"))
-      val tmp = graft.util.Staging.dir("q185_sides", dir) { p =>
-        ev.where(col("event_type") === "click")
-          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-            col("ts").as("c_ts"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$p/clicks")
-        ev.where(col("event_type") === "purchase")
-          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-            col("ts").as("p_ts"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$p/purch")
-      }
-      val qname = "graft_stream_join"
-      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
-      val (schema, rows) = {
-          val c = s2.readStream
-            .schema("c_id LONG, c_user LONG, c_ts TIMESTAMP")
-            .parquet(s"$tmp/clicks").withWatermark("c_ts", "1 second")
-          val p = s2.readStream
-            .schema("p_id LONG, p_user LONG, p_ts TIMESTAMP")
-            .parquet(s"$tmp/purch").withWatermark("p_ts", "1 second")
-          val q = p.join(c, expr(
-              """p_user = c_user AND
-                 c_ts >= p_ts - interval 6 hours AND c_ts <= p_ts"""))
-            .writeStream.outputMode("append").format("memory").queryName(qname)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          val res = s2.table(qname)
-          val r = (res.schema, res.collect())
-          s2.catalog.dropTempView(qname)
-          r
-        }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .groupBy(col("p_id"), col("p_user"))
-        .agg(count(lit(1)).as("n_clicks"),
-          min(col("c_id")).as("first_click"), max(col("c_id")).as("last_click"))
-        .orderBy(col("p_id"))
-    }, Some("""
-      WITH c AS (
-        SELECT event_id AS c_id, user_id, epoch_us(ts) AS tus
-        FROM events WHERE event_type = 'click'),
-      p AS (
-        SELECT event_id AS p_id, user_id, epoch_us(ts) AS tus
-        FROM events WHERE event_type = 'purchase')
-      SELECT p.p_id, p.user_id AS p_user, count(*) AS n_clicks,
-        min(c.c_id) AS first_click, max(c.c_id) AS last_click
-      FROM p JOIN c ON p.user_id = c.user_id
-        AND c.tus BETWEEN p.tus - 21600000000 AND p.tus
-      GROUP BY 1, 2 ORDER BY 1""")),
-
-    // Length-binned sequence packing (sorted batching): docs are quartiled
-    // by token length (GlobalCumsum.ntile — bit-identical to SQL ntile,
-    // no single-partition sort), then packed greedily into 2048-token
-    // examples WITHIN each bin — the batching layout that keeps same-batch
-    // sequence lengths near-uniform so padding-to-longest waste collapses.
-    // In-bin offsets reuse the one global token cumsum over (bin, doc_id)
-    // minus broadcast per-bin bases (the exactPercentilesGlobal rank
-    // pattern); docs explode only to the examples they touch (q179's
-    // manifest shape — n_docs + n_examples rows, never tokens).
-    ("q186_binned_packing", (s, dir) => {
-      // null text is excluded EXPLICITLY (mirrored in the oracle): a NULL
-      // n_tokens would sort NULLS FIRST in Spark's ntile order but NULLS
-      // LAST in DuckDB's, silently shifting every bin boundary
-      val t = T(s, dir, "documents")
-        .where(col("text").isNotNull)
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      ext.Packing.manifest(
-          ext.Packing.binnedOffsets(t, "doc_id", "n_tokens", 4),
-          "doc_id", "n_tokens", 2048L, extraKeys = Seq("bin"))
-        .orderBy(col("bin"), col("example_id"))
-    }, Some("""
-      WITH t AS (
-        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        FROM documents WHERE text IS NOT NULL),
-      b AS (
-        SELECT doc_id, n_tokens,
-          CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bin
-        FROM t),
-      c AS (
-        SELECT doc_id, n_tokens, bin,
-          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bin ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
-        FROM b),
-      e AS (
-        SELECT bin, doc_id, n_tokens, cb,
-          unnest(generate_series(cb // 2048,
-                                 (cb + n_tokens - 1) // 2048)) AS example_id
-        FROM c)
-      SELECT bin, example_id, count(*) AS n_docs,
-        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-        CAST(sum(least(cb + n_tokens, (example_id + 1) * 2048) -
-                 greatest(cb, example_id * 2048)) AS BIGINT)
-          AS n_tokens_filled
-      FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // Equi-depth histogram (optimizer statistics / drift detection): nine
-    // exact decile cuts per group over near-unique doubles, via the
-    // rank-pick exactPercentilesGlobal — the values themselves gate against
-    // DuckDB's quantile_cont (same 0-based pos, same lo·(1−f)+hi·f IEEE
-    // blend — ulp-exact cross-engine), a stronger pin than q39's
-    // error-bound booleans. Scan-shaped at any group size: no value
-    // buffers, no single-partition sort.
-    ("q187_equidepth_hist", (s, dir) => {
-      ext.Profiling.exactPercentilesGlobal(
-          T(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
-          Seq("l_returnflag"), "l_extendedprice",
-          (1 to 9).map(i => s"p${i * 10}" -> i / 10.0))
-        .orderBy(col("l_returnflag"))
-    }, Some("""
-      SELECT l_returnflag, count(*) AS n,
-        quantile_cont(l_extendedprice, 0.1) AS p10,
-        quantile_cont(l_extendedprice, 0.2) AS p20,
-        quantile_cont(l_extendedprice, 0.3) AS p30,
-        quantile_cont(l_extendedprice, 0.4) AS p40,
-        quantile_cont(l_extendedprice, 0.5) AS p50,
-        quantile_cont(l_extendedprice, 0.6) AS p60,
-        quantile_cont(l_extendedprice, 0.7) AS p70,
-        quantile_cont(l_extendedprice, 0.8) AS p80,
-        quantile_cont(l_extendedprice, 0.9) AS p90
-      FROM lineitem GROUP BY 1 ORDER BY 1""")),
-
-    // Streaming incremental near-dup detection: the increment snapshot
-    // (doc_id > 350) replays as a REAL file stream whose per-row LSH band
-    // buckets (Dedup.streamBuckets — no aggregation, no watermark needed)
-    // stream-static join the base corpus's persisted bucket store — the
-    // live-ingest twin of q47's batch increment, and the join is STATELESS:
-    // state size zero, every micro-batching yields the same matches. Gate:
-    // q47's from-scratch oracle verbatim. VERIFICATION-HARNESS BOUNDARY
-    // (q19/q170/q180 convention): memory sink + collect; the final DISTINCT
-    // (a doc can match a corpus doc in several bands) runs batch-side on
-    // the collected matches, where production would dedup in the sink.
-    ("q188_stream_increment_dedup", (s, dir) => {
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      // staged ONCE per JVM (Staging): the increment as MULTIPLE files
-      // (q170's pattern — the file source parallelizes by file, and the
-      // stateless join makes any batch split harmless) and the corpus
-      // bucket store as a parquet table — which is the production contract
-      // anyway: the store PRE-EXISTS when the live increment arrives, its
-      // build is ingest-time work, not per-batch work.
-      val tmp = graft.util.Staging.dir("q188_incr", dir) { p =>
-        docs.where(col("doc_id") > 350)
-          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
-        Dedup.minhashBuckets(docs.where(col("doc_id") <= 350), "doc_id", "text")
-          .select(col("band"), col("sig"), col("doc_id").as("corpus_id"))
-          .write.mode("overwrite").parquet(s"$p/store")
-      }
-      // the 4-partition shuffle pin lives in an isolated child session:
-      // the parent is never mutated (the r10 verdict's last shared-state
-      // foot-gun in a query body)
-      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
-      val store = s2.read.parquet(s"$tmp/store")
-      val qname = "graft_stream_incr"
-      val (schema, rows) = {
-        val stream = s2.readStream
-          .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
-        val q = Dedup.streamBuckets(stream, "doc_id", "text")
-          .join(store, Seq("band", "sig"))
-          .where(col("doc_id") =!= col("corpus_id"))
-          .select(col("doc_id").as("new_id"), col("corpus_id"))
-          .writeStream.outputMode("append").format("memory").queryName(qname)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        val res = s2.table(qname)
-        val out = (res.schema, res.collect())
-        s2.catalog.dropTempView(qname)
-        out
-      }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .distinct()
-        .orderBy(col("new_id"), col("corpus_id"))
-    }, Some("""
-      WITH docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs),
-      mh AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mh GROUP BY doc_id, p // 4)
-      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
-      FROM sigs n JOIN sigs c ON n.band = c.band AND n.sig = c.sig
-      WHERE n.doc_id > 350 AND c.doc_id <= 350
-      ORDER BY new_id, corpus_id""")),
-
-    // End-to-end curation pipeline — the composition the engine exists
-    // for, as ONE gated dataflow: quality gate (≥ 20 tokens) → exact dedup
-    // (keep-min per distinct text: one text-keyed hash agg) → PII scrub
-    // (q182's deterministic salt so the redaction regexes do real work) →
-    // segment-level dedup + reassembly (q178). Every stage is an
-    // already-gated operator; the gate here pins that they COMPOSE — each
-    // stage's output schema/determinism contract feeds the next with no
-    // collect, no recompute, one linear plan. Output stays compact: per
-    // surviving doc, segment counts + md5 of the reassembled text.
-    ("q189_curation_pipeline", (s, dir) => {
-      val q = T(s, dir, "documents")
-        .where(size(split(col("text"), " ")) >= 20)
-      val uniq = q.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      val red = uniq.select(col("doc_id"),
-        TextAnalysis.redactPii(piiSalt(col("text"), col("doc_id"))).as("text"))
-      Dedup.segmentDedup(red, "doc_id", "text", 32)
-        .select(col("doc_id"), col("n_segs"), col("n_kept"),
-          length(col("text_dedup")).as("n_chars_kept"),
-          md5(col("text_dedup")).as("dedup_key"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH kq AS (
-        SELECT doc_id, text FROM documents
-        WHERE len(string_split(text, ' ')) >= 20),
-      u AS (SELECT min(doc_id) AS doc_id, text FROM kq GROUP BY text),
-      sal AS (
-        SELECT doc_id, text || ' contact user' || doc_id ||
-          '@mail.example.org from ' || (doc_id % 256) || '.16.32.' ||
-          ((doc_id * 7) % 256) || ' card 4111 2222 3333 ' ||
-          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
-        FROM u),
-      r AS (
-        SELECT doc_id,
-          regexp_replace(regexp_replace(regexp_replace(t0,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
-            '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g'),
-            '\b\d(?:[ .-]?\d){8,}\b', '[PII]', 'g') AS text
-        FROM sal),
-      t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks,
-               len(string_split(text, ' ')) AS n
-        FROM r WHERE text IS NOT NULL),
-      inst AS (
-        SELECT doc_id, CAST(start // 32 AS BIGINT) AS pos,
-          array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS seg
-        FROM (SELECT doc_id, toks, n,
-                unnest(generate_series(0, n - 1, 32)) AS start FROM t)),
-      h AS (
-        SELECT doc_id, pos, seg,
-          ('0x' || substr(md5(seg), 1, 12))::BIGINT AS wh
-        FROM inst),
-      own AS (
-        SELECT wh, min(doc_id * 1048576 + pos) AS owner_key FROM h GROUP BY wh),
-      kept AS (
-        SELECT h.doc_id, h.pos, h.seg
-        FROM h JOIN own ON h.wh = own.wh
-        WHERE h.doc_id * 1048576 + h.pos = own.owner_key),
-      tot AS (SELECT doc_id, count(*) AS n_segs FROM inst GROUP BY doc_id),
-      reb AS (
-        SELECT doc_id, count(*) AS n_kept,
-          string_agg(seg, ' ' ORDER BY pos) AS td
-        FROM kept GROUP BY doc_id)
-      SELECT tot.doc_id, tot.n_segs,
-        coalesce(reb.n_kept, 0) AS n_kept,
-        CAST(len(coalesce(reb.td, '')) AS BIGINT) AS n_chars_kept,
-        md5(coalesce(reb.td, '')) AS dedup_key
-      FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
-      ORDER BY tot.doc_id""")),
-
-    // Product-quantization ANN (Jégou et al. ADC): corpus encoded to m=4
-    // codes over 16-dim subspaces against a stride-sampled codebook (the
-    // q35 injection discipline — a trained fitPqCodebooks codebook yields
-    // the identical plan); queries score candidates via per-query LUT sums.
-    // Every double on both sides comes from the same strict left-to-right
-    // fold ((x−y)² partials, then sub 0..3), so the gate compares exactly.
-    ("q190_pq_ann", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val cb = Similarity.pqCodebookByStride(emb, "vec_id", "embedding",
-        m = 4, subDim = 16, stride = 50)
-      Similarity.pqTopK(
-        emb.where(col("vec_id") < 8), emb, cb,
-        "vec_id", "vec_id", "embedding", k = 3, m = 4, subDim = 16)
-        .orderBy(col("q_id"), col("rank"))
-    }, Some("""
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      subs AS (SELECT unnest(range(0, 4)) AS sub),
-      cb AS (
-        SELECT sub,
-          CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-          vec[sub*16 + 1 : sub*16 + 16] AS c_vec
-        FROM v CROSS JOIN subs WHERE vec_id % 50 = 0),
-      cd AS (
-        SELECT c.vec_id AS n_id, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (c.vec[b.sub*16 + i] - b.c_vec[i]) * (c.vec[b.sub*16 + i] - b.c_vec[i]))) AS d2
-        FROM v c CROSS JOIN cb b),
-      codes AS (
-        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
-          SELECT n_id, sub, cid,
-            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
-          FROM cd) WHERE rn = 1 GROUP BY n_id),
-      ld AS (
-        SELECT q.vec_id AS q_id, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (q.vec[b.sub*16 + i] - b.c_vec[i]) * (q.vec[b.sub*16 + i] - b.c_vec[i]))) AS pd
-        FROM v q CROSS JOIN cb b WHERE q.vec_id < 8),
-      lut1 AS (SELECT q_id, sub, list(pd ORDER BY cid) AS lrow FROM ld GROUP BY q_id, sub),
-      lut AS (SELECT q_id, list(lrow ORDER BY sub) AS lut FROM lut1 GROUP BY q_id),
-      scored AS (
-        SELECT l.q_id, c.n_id,
-          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][c.codes[j+1] + 1])) AS adist
-        FROM lut l CROSS JOIN codes c WHERE c.n_id <> l.q_id),
-      ranked AS (
-        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
-        FROM scored)
-      SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
-      ORDER BY q_id, rank""")),
-
-    // PQ recall audit (the q164 discipline, L2 metric on both sides so the
-    // number isolates pure quantization loss): PQ/ADC top-3 vs the exact
-    // squared-L2 top-3 on the same bounded query slice.
-    ("q191_pq_recall", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val qs = emb.where(col("vec_id") < 8)
-      val bf = Similarity.bruteForceTopKL2(qs, emb, "vec_id", "vec_id", "embedding", 3)
-        .select(col("q_id").as("bq"), col("n_id").as("bn"))
-      val cb = Similarity.pqCodebookByStride(emb, "vec_id", "embedding",
-        m = 4, subDim = 16, stride = 50)
-      val pq = Similarity.pqTopK(qs, emb, cb, "vec_id", "vec_id", "embedding",
-          k = 3, m = 4, subDim = 16)
-        .select(col("q_id").as("mq"), col("n_id").as("mn"))
-      bf.join(pq, col("bq") === col("mq") && col("bn") === col("mn"), "left")
-        .groupBy(col("bq"))
-        .agg(count(col("mn")).as("n_hit"))
-        .select(lit("pq").as("method"), col("bq").as("q_id"), col("n_hit"),
-          lit(3).as("k"), (col("n_hit").cast("double") / lit(3)).as("recall"))
-        .orderBy(col("q_id"))
-    }, Some("""
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      bscored AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-          list_sum(list_transform(range(1, least(len(q.vec), len(c.vec)) + 1), i ->
-            (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i]))) AS d2
-        FROM v q CROSS JOIN v c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
-      bf AS (
-        SELECT q_id, n_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rank
-          FROM bscored) t WHERE rank <= 3),
-      subs AS (SELECT unnest(range(0, 4)) AS sub),
-      cb AS (
-        SELECT sub,
-          CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-          vec[sub*16 + 1 : sub*16 + 16] AS c_vec
-        FROM v CROSS JOIN subs WHERE vec_id % 50 = 0),
-      cd AS (
-        SELECT c.vec_id AS n_id, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (c.vec[b.sub*16 + i] - b.c_vec[i]) * (c.vec[b.sub*16 + i] - b.c_vec[i]))) AS d2
-        FROM v c CROSS JOIN cb b),
-      codes AS (
-        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
-          SELECT n_id, sub, cid,
-            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
-          FROM cd) WHERE rn = 1 GROUP BY n_id),
-      ld AS (
-        SELECT q.vec_id AS q_id, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (q.vec[b.sub*16 + i] - b.c_vec[i]) * (q.vec[b.sub*16 + i] - b.c_vec[i]))) AS pd
-        FROM v q CROSS JOIN cb b WHERE q.vec_id < 8),
-      lut1 AS (SELECT q_id, sub, list(pd ORDER BY cid) AS lrow FROM ld GROUP BY q_id, sub),
-      lut AS (SELECT q_id, list(lrow ORDER BY sub) AS lut FROM lut1 GROUP BY q_id),
-      ascored AS (
-        SELECT l.q_id, c.n_id,
-          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][c.codes[j+1] + 1])) AS adist
-        FROM lut l CROSS JOIN codes c WHERE c.n_id <> l.q_id),
-      pq AS (
-        SELECT q_id, n_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
-          FROM ascored) t WHERE rank <= 3)
-      SELECT 'pq' AS method, bf.q_id, COUNT(pq.n_id) AS n_hit, 3 AS k,
-             CAST(COUNT(pq.n_id) AS DOUBLE) / 3 AS recall
-      FROM bf LEFT JOIN pq ON pq.q_id = bf.q_id AND pq.n_id = bf.n_id
-      GROUP BY bf.q_id ORDER BY bf.q_id""")),
-
-    // IVF-PQ: coarse lists prune candidates (nprobe=2 of the stride-100
-    // centroids, L2 metric), PQ/ADC scores only the probed lists — the
-    // prune × compress composition that is the production 100 TB ANN shape.
-    ("q192_ivfpq_ann", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val cent = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cid"), col("embedding"))
-      val cb = Similarity.pqCodebookByStride(emb, "vec_id", "embedding",
-        m = 4, subDim = 16, stride = 50)
-      Similarity.ivfPqTopK(
-        emb.where(col("vec_id") < 8), emb, cent, cb,
-        "vec_id", "vec_id", "cid", "embedding",
-        k = 3, m = 4, subDim = 16, nprobe = 2)
-        .orderBy(col("q_id"), col("rank"))
-    }, Some("""
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM v WHERE vec_id % 100 = 0),
-      ldist AS (
-        SELECT a.vec_id AS n_id, c.lcid,
-          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
-            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
-        FROM v a CROSS JOIN cent c),
-      lists AS (
-        SELECT n_id, lcid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
-          FROM ldist) WHERE rn = 1),
-      probes AS (
-        SELECT n_id AS q_id, lcid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
-          FROM ldist WHERE n_id < 8) WHERE rn <= 2),
-      subs AS (SELECT unnest(range(0, 4)) AS sub),
-      cb AS (
-        SELECT sub,
-          CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-          vec[sub*16 + 1 : sub*16 + 16] AS c_vec
-        FROM v CROSS JOIN subs WHERE vec_id % 50 = 0),
-      cd AS (
-        SELECT c.vec_id AS n_id, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (c.vec[b.sub*16 + i] - b.c_vec[i]) * (c.vec[b.sub*16 + i] - b.c_vec[i]))) AS d2
-        FROM v c CROSS JOIN cb b),
-      codes AS (
-        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
-          SELECT n_id, sub, cid,
-            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
-          FROM cd) WHERE rn = 1 GROUP BY n_id),
-      ld AS (
-        SELECT q.vec_id AS q_id, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (q.vec[b.sub*16 + i] - b.c_vec[i]) * (q.vec[b.sub*16 + i] - b.c_vec[i]))) AS pd
-        FROM v q CROSS JOIN cb b WHERE q.vec_id < 8),
-      lut1 AS (SELECT q_id, sub, list(pd ORDER BY cid) AS lrow FROM ld GROUP BY q_id, sub),
-      lut AS (SELECT q_id, list(lrow ORDER BY sub) AS lut FROM lut1 GROUP BY q_id),
-      scored AS (
-        SELECT l.q_id, x.n_id,
-          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
-        FROM probes p
-        JOIN lut l ON l.q_id = p.q_id
-        JOIN lists li ON li.lcid = p.lcid
-        JOIN codes x ON x.n_id = li.n_id
-        WHERE x.n_id <> l.q_id),
-      ranked AS (
-        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
-        FROM scored)
-      SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
-      ORDER BY q_id, rank""")),
-
-    // Bloom-pruned decontamination: q51's EXACT semantics for eval suites
-    // too large to broadcast as a gram set — a Bloom sketch over the eval
-    // grams prunes the corpus gram stream at the scan, and survivors are
-    // verified by a real equi-join, so false positives cost shuffle bytes,
-    // never correctness. The oracle is q51's verbatim (same split rule):
-    // the gate proves RESULT IDENTITY between the broadcast-exact and the
-    // bloom-pruned plans on the same data.
-    ("q193_bloom_decontaminate", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      Dedup.contaminationReportBloom(
-        docs.where(col("doc_id") % 17 =!= 0),
-        docs.where(col("doc_id") % 17 === 0),
-        "doc_id", "text", expectedGrams = 500000L, fpp = 0.03)
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH cg AS (
-        SELECT DISTINCT doc_id, gram FROM (
-          SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END) AS gram
-          FROM documents WHERE doc_id % 17 <> 0)),
-      eg AS (
-        SELECT DISTINCT gram FROM (
-          SELECT unnest(CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END) AS gram
-          FROM documents WHERE doc_id % 17 = 0)),
-      hits AS (
-        SELECT doc_id, count(*) AS n_shared FROM cg JOIN eg USING (gram) GROUP BY 1)
-      SELECT d.doc_id,
-             coalesce(h.n_shared, 0) AS n_shared,
-             coalesce(h.n_shared, 0) > 0 AS contaminated
-      FROM documents d LEFT JOIN hits h USING (doc_id)
-      WHERE d.doc_id % 17 <> 0
-      ORDER BY d.doc_id""")),
-
-    // Conditional bigram-LM surprisal scoring — the exact-arithmetic
-    // sibling of KenLM-perplexity quality filtering: a doc's signal is the
-    // fraction of its bigram instances whose corpus-conditional probability
-    // P(w2|w1) < 1/20. Counts stay integral (no floating log-prob sums
-    // whose addition order could drift between engines); the one division
-    // happens last.
-    ("q194_bigram_lm", (s, dir) => {
-      TextAnalysis.bigramSurprisal(T(s, dir, "documents"), "doc_id", "text", k = 20)
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH flat AS (
-        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
-          SELECT doc_id,
-            unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
-              i -> struct_pack(w1 := string_split(text, ' ')[i],
-                               w2 := string_split(text, ' ')[i + 1]))) AS bg
-          FROM documents
-          WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2)),
-      dc AS (SELECT doc_id, w1, w2, count(*) AS ndc FROM flat GROUP BY 1, 2, 3),
-      bc AS (SELECT w1, w2, sum(ndc)::BIGINT AS c12 FROM dc GROUP BY 1, 2),
-      hc AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM bc GROUP BY 1),
-      flag AS (
-        SELECT b.w1, b.w2, (b.c12 * 20 < h.c1) AS rare
-        FROM bc b JOIN hc h USING (w1)),
-      per AS (
-        SELECT d.doc_id,
-               sum(d.ndc)::BIGINT AS n_bigrams,
-               sum(CASE WHEN g.rare THEN d.ndc ELSE 0 END)::BIGINT AS n_rare
-        FROM dc d JOIN flag g ON d.w1 = g.w1 AND d.w2 = g.w2
-        GROUP BY 1)
-      SELECT d.doc_id,
-             coalesce(p.n_bigrams, 0) AS n_bigrams,
-             coalesce(p.n_rare, 0) AS n_rare,
-             CASE WHEN p.n_bigrams > 0
-               THEN p.n_rare::DOUBLE / p.n_bigrams ELSE NULL END AS rare_frac
-      FROM documents d LEFT JOIN per p USING (doc_id)
-      WHERE d.text IS NOT NULL
-      ORDER BY d.doc_id""")),
-
-    // Project-then-rerank retrieval: coarse top-32 in a 16-d deterministic
-    // signed-random-projection (Johnson–Lindenstrauss) space, exact cosine
-    // rerank to top-3 — stage 1 scores the corpus at a quarter of the
-    // FLOPs/state bytes, stage 2 pays exact math on 32 candidates only.
-    // Fully deterministic (hash-derived ±1 hyperplanes, strict
-    // left-to-right folds), so the WHOLE two-stage result is hash-gated —
-    // not just a recall bound.
-    ("q195_srp_rerank", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.srpRerankTopK(
-        emb.where(col("vec_id") < 8), emb, "vec_id", "vec_id", "embedding",
-        k = 3, m = 32, dim = 64, outDims = 16)
-        .orderBy(col("q_id"), col("rank"))
-    }, Some("""
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      signs AS (
-        SELECT r, list(CASE WHEN ('0x' || substr(md5(j::VARCHAR || ':' || r::VARCHAR), 1, 12))::BIGINT % 2 = 1
-                       THEN 1.0 ELSE -1.0 END ORDER BY j) AS srow
-        FROM range(0, 16) t(r) CROSS JOIN range(0, 64) u(j) GROUP BY r),
-      proj AS (
-        SELECT vec_id, list(p ORDER BY r) AS pvec FROM (
-          SELECT v.vec_id, s.r,
-            list_sum(list_transform(range(1, 65), j -> v.vec[j] * s.srow[j])) AS p
-          FROM v CROSS JOIN signs s) GROUP BY vec_id),
-      coarse AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-          list_sum(list_transform(range(1, 17), i ->
-            (q.pvec[i] - c.pvec[i]) * (q.pvec[i] - c.pvec[i]))) AS d2
-        FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id < 8),
-      cands AS (
-        SELECT q_id, n_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rn
-          FROM coarse) WHERE rn <= 32),
-      exact AS (
-        SELECT x.q_id, x.n_id,
-          list_sum(list_transform(range(1, least(len(q.vec), len(n.vec)) + 1), i -> q.vec[i] * n.vec[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(n.vec) + 1), i -> n.vec[i] * n.vec[i])))) AS sim
-        FROM cands x JOIN v q ON q.vec_id = x.q_id JOIN v n ON n.vec_id = x.n_id),
-      ranked AS (
-        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
-        FROM exact)
-      SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
-      ORDER BY q_id, rank""")),
-
-    // Hard-negative mining for contrastive training: per query vector, the
-    // top-3 most-similar corpus vectors with a DIFFERENT label — one corpus
-    // scan against broadcast queries, label predicate below the scoring,
-    // bounded top-k reduction; the k survivors broadcast back for the
-    // negative's label (the corpus is never broadcast or collected).
-    ("q196_hard_negatives", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      Similarity.hardNegativesTopK(
-        emb.where(col("vec_id") < 8), emb, "vec_id", "vec_id", "embedding",
-        "label", k = 3)
-        .orderBy(col("q_id"), col("rank"))
-    }, Some("""
-      WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS qv
-                 FROM embeddings WHERE vec_id < 8),
-      c AS (SELECT vec_id AS n_id, label AS n_label, embedding::DOUBLE[] AS nv
-            FROM embeddings),
-      scored AS (
-        SELECT q_id, q_label, n_id, n_label,
-          list_sum(list_transform(range(1, least(len(qv), len(nv)) + 1), i -> qv[i] * nv[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
-        FROM q CROSS JOIN c
-        WHERE n_id <> q_id AND n_label IS DISTINCT FROM q_label),
-      ranked AS (
-        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
-        FROM scored)
-      SELECT q_id, q_label, rank, n_id, n_label, sim FROM ranked WHERE rank <= 3
-      ORDER BY q_id, rank""")),
-
-    // Incremental ANN-index maintenance — the vector sibling of q176
-    // (minhash signature store) and q181 (segment-owner store): the PQ code
-    // table is the persisted index artifact; a new snapshot encodes ONLY
-    // the new vectors (vec_id % 7 = 0) against the codebook FROZEN on the
-    // base snapshot and unions the stored codes, so the base corpus is
-    // never re-encoded. The oracle computes every code from scratch against
-    // the same frozen codebook — store + increment must equal it exactly.
-    ("q197_pq_code_increment", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val base = emb.where(col("vec_id") % 7 =!= 0)
-      val incr = emb.where(col("vec_id") % 7 === 0)
-      val cb = Similarity.pqCodebookByStride(base, "vec_id", "embedding",
-        m = 4, subDim = 16, stride = 50)
-      // snapshot 1 — the base corpus encoded once, persisted — is staged
-      // per JVM: the stored code table PRE-EXISTING is the scenario under
-      // test (that is what "incremental maintenance" means); only the
-      // increment pays encoding per execution.
-      val tmp = graft.util.Staging.dir("q197_pqstore", dir) { p =>
-        Similarity.pqEncode(base, cb, "vec_id", "embedding", m = 4, subDim = 16)
-          .write.mode("overwrite").parquet(s"$p/codes")
-      }
-      // snapshot 2: stored codes reload; only the increment pays encoding
-      val stored = s.read.parquet(s"$tmp/codes")
-        .select(col("vec_id"), col("codes"), lit("stored").as("src"))
-      val fresh = Similarity
-        .pqEncode(incr, cb, "vec_id", "embedding", m = 4, subDim = 16)
-        .select(col("vec_id"), col("codes"), lit("fresh").as("src"))
-      stored.unionByName(fresh)
-        .select(col("vec_id"), col("src"),
-          posexplode(col("codes")).as(Seq("sub", "cid")))
-        .select(col("vec_id"), col("sub").cast("int").as("sub"),
-          col("cid"), col("src"))
-        .orderBy(col("vec_id"), col("sub"))
-    }, Some("""
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      subs AS (SELECT unnest(range(0, 4)) AS sub),
-      cb AS (
-        SELECT sub,
-          CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-          vec[sub*16 + 1 : sub*16 + 16] AS c_vec
-        FROM v CROSS JOIN subs WHERE vec_id % 50 = 0 AND vec_id % 7 <> 0),
-      cd AS (
-        SELECT c.vec_id, b.sub, b.cid,
-          list_sum(list_transform(range(1, 17), i ->
-            (c.vec[b.sub*16 + i] - b.c_vec[i]) * (c.vec[b.sub*16 + i] - b.c_vec[i]))) AS d2
-        FROM v c CROSS JOIN cb b),
-      codes AS (
-        SELECT vec_id, sub, cid FROM (
-          SELECT vec_id, sub, cid,
-            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
-          FROM cd) WHERE rn = 1)
-      SELECT vec_id, CAST(sub AS INT) AS sub, cid,
-        CASE WHEN vec_id % 7 = 0 THEN 'fresh' ELSE 'stored' END AS src
-      FROM codes ORDER BY vec_id, sub""")),
-
-    // Contrastive triplet mining — q196's completion: per anchor, the
-    // nearest SAME-label positive and the hardest CROSS-label negative in
-    // one row, with the margin that decides whether the triplet is worth
-    // training on. Two bounded corpus scans (one per label constraint),
-    // then a join of two 8-row frames.
-    ("q198_triplet_mining", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val qs = emb.where(col("vec_id") < 8)
-      val pos = Similarity.nearestSameLabelTopK(
-          qs, emb, "vec_id", "vec_id", "embedding", "label", k = 1)
-        .select(col("q_id").as("anchor"), col("q_label").as("a_label"),
-          col("n_id").as("pos_id"), col("sim").as("pos_sim"))
-      val neg = Similarity.hardNegativesTopK(
-          qs, emb, "vec_id", "vec_id", "embedding", "label", k = 1)
-        .select(col("q_id").as("anchor"),
-          col("n_id").as("neg_id"), col("sim").as("neg_sim"))
-      pos.join(neg, Seq("anchor"))
-        .select(col("anchor"), col("a_label"), col("pos_id"), col("pos_sim"),
-          col("neg_id"), col("neg_sim"),
-          (col("pos_sim") - col("neg_sim")).as("margin"))
-        .orderBy(col("anchor"))
-    }, Some("""
-      WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS qv
-                 FROM embeddings WHERE vec_id < 8),
-      c AS (SELECT vec_id AS n_id, label AS n_label, embedding::DOUBLE[] AS nv
-            FROM embeddings),
-      scored AS (
-        SELECT q_id, q_label, n_id, n_label,
-          list_sum(list_transform(range(1, least(len(qv), len(nv)) + 1), i -> qv[i] * nv[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
-        FROM q CROSS JOIN c WHERE n_id <> q_id),
-      pos AS (
-        SELECT q_id, q_label, n_id AS pos_id, sim AS pos_sim FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
-          FROM scored WHERE n_label IS NOT DISTINCT FROM q_label) WHERE rn = 1),
-      neg AS (
-        SELECT q_id, n_id AS neg_id, sim AS neg_sim FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
-          FROM scored WHERE n_label IS DISTINCT FROM q_label) WHERE rn = 1)
-      SELECT p.q_id AS anchor, p.q_label AS a_label, p.pos_id, p.pos_sim,
-             n.neg_id, n.neg_sim, p.pos_sim - n.neg_sim AS margin
-      FROM pos p JOIN neg n USING (q_id)
-      ORDER BY anchor""")),
-
-    // The flagship composition — corpus to TRAINING SHARDS as one gated
-    // dataflow: quality gate → exact dedup → eval-suite decontamination →
-    // deterministic 80/10/10 split → per-split sequence packing into
-    // 2048-token examples. Every stage is an already-gated operator
-    // (q169/q21/q51/q53/q179 family); this gate pins that the COMPLETE
-    // pipeline composes into one linear plan — no collect, no recompute —
-    // and emits the per-example manifest a trainer would consume. Offsets
-    // restart per split via the binnedOffsets discipline: ONE global token
-    // cumsum minus broadcast per-split bases, never a per-split sort.
-    ("q200_training_snapshot", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val gated = docs
-        .where(col("text").isNotNull && size(split(col("text"), " ")) >= 20)
-      val uniq = gated.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      val evalDocs = docs.where(col("doc_id") % 17 === 0)
-      val corpus = uniq.where(col("doc_id") % 17 =!= 0)
-      // overlap-FRACTION rule (dirty iff > half the doc's distinct grams
-      // appear in the eval suite) — any-overlap (q51's rule) annihilates
-      // this template-heavy corpus; the compare is exact integer
-      // cross-multiplication, no float threshold
-      val clean = Dedup.contaminationFractions(corpus, evalDocs, "doc_id", "text")
-        .where(col("n_shared") * 2 <= col("n_grams")).select(col("doc_id"))
-        .join(corpus, Seq("doc_id"))
-      val splitd = Sampling.assignSplit(clean, col("doc_id"),
-          Seq(("train", 80), ("val", 10), ("test", 10)))
-        .select(col("doc_id"), col("split"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      // cumsum AND per-split totals off the SAME pinned range exchange: the
-      // bases frame reads the cached reduced (doc_id, split, n_tokens) rows,
-      // so the expensive gate→dedup→decontaminate subtree executes ONCE
-      // (an independent `splitd.groupBy` lineage would re-run all of it
-      // just to build the 3-row base frame — PlanSpec pins the shape)
-      val (cum, splitTotals) = analytics.GlobalCumsum.cumsumBeforeWithTotals(
-        splitd, Seq(col("split"), col("doc_id")), col("n_tokens"), "__g",
-        Seq("split"), "__st")
-      val splW = Window.orderBy(col("split"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val bases = splitTotals
-        .withColumn("__base", coalesce(sum(col("__st")).over(splW), lit(0L)))
-        .select(col("split"), col("__base"))
-      val offs = cum.join(broadcast(bases), "split")
-        .withColumn("cum_before", col("__g") - col("__base"))
-        .drop("__g", "__base")
-      ext.Packing.manifest(offs, "doc_id", "n_tokens", 2048L,
-          extraKeys = Seq("split"))
-        .orderBy(col("split"), col("example_id"))
-    }, Some("""
-      WITH gated AS (
-        SELECT doc_id, text FROM documents
-        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 20),
-      uniq AS (SELECT min(doc_id) AS doc_id, text FROM gated GROUP BY text),
-      eg AS (
-        SELECT DISTINCT gram FROM (
-          SELECT unnest(CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END) AS gram
-          FROM documents WHERE doc_id % 17 = 0)),
-      corpus AS (SELECT * FROM uniq WHERE doc_id % 17 <> 0),
-      cg AS (
-        SELECT DISTINCT doc_id, gram FROM (
-          SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END) AS gram
-          FROM corpus)),
-      tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
-      hits AS (SELECT doc_id, count(*) AS n_shared FROM cg JOIN eg USING (gram) GROUP BY 1),
-      keep AS (
-        SELECT t.doc_id FROM tot t LEFT JOIN hits h USING (doc_id)
-        WHERE coalesce(h.n_shared, 0) * 2 <= t.n_grams),
-      clean AS (
-        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-        FROM (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS b
-              FROM corpus WHERE doc_id IN (SELECT doc_id FROM keep))),
-      cum AS (
-        SELECT doc_id, split, n_tokens,
-          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
-        FROM clean),
-      e AS (
-        SELECT split, doc_id, n_tokens, cb,
-          unnest(generate_series(cb // 2048,
-                                 (cb + n_tokens - 1) // 2048)) AS example_id
-        FROM cum)
-      SELECT split, example_id, count(*) AS n_docs,
-        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-        CAST(sum(least(cb + n_tokens, (example_id + 1) * 2048) -
-                 greatest(cb, example_id * 2048)) AS BIGINT)
-          AS n_tokens_filled
-      FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // Embedding-space drift audit between two corpus snapshots (vec_id
-    // parity split): per-dimension exact quantized sums + mean shift — the
-    // model-input monitor that catches a silently shifted feature
-    // distribution. Quantization (floor(x·1000) BIGINT) keeps the sums
-    // exact and engine-independent; one narrow explode + one 64-key agg.
-    ("q201_embedding_drift", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      ext.LinAlg.perDimDrift(
-          emb.where(col("vec_id") % 2 === 0),
-          emb.where(col("vec_id") % 2 =!= 0),
-          "embedding", scale = 1000)
-        .orderBy(col("dim"))
-    }, Some(perDimDriftOracle)),
-
-    // Fuzzy decontamination — q51's leak check through the MINHASH index
-    // instead of exact n-grams: a corpus doc is dirty when it NEAR-dups an
-    // eval doc (any shared LSH band bucket), catching paraphrased or
-    // lightly-edited benchmark leakage exact grams miss. One signature
-    // pass per side, one bucket equi-join — never a gram-level join.
-    ("q202_fuzzy_decontaminate", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val corpusB = Dedup.minhashBuckets(
-        docs.where(col("doc_id") % 17 =!= 0), "doc_id", "text")
-      val evalB = Dedup.minhashBuckets(
-        docs.where(col("doc_id") % 17 === 0), "doc_id", "text")
-      val hits = Dedup.minhashIncrementPairs(corpusB, evalB, "doc_id")
-        .groupBy(col("new_id").as("doc_id"))
-        .agg(count(lit(1)).as("n_near_eval"))
-      docs.where(col("doc_id") % 17 =!= 0).select(col("doc_id"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_near_eval"), lit(0L)).as("n_near_eval"),
-          (coalesce(col("n_near_eval"), lit(0L)) > 0).as("contaminated_fuzzy"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents WHERE text IS NOT NULL),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs),
-      mh AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mh GROUP BY doc_id, p // 4),
-      pairs AS (
-        SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS eval_id
-        FROM sigs n JOIN sigs c ON n.band = c.band AND n.sig = c.sig
-        WHERE n.doc_id % 17 <> 0 AND c.doc_id % 17 = 0),
-      hits AS (SELECT doc_id, count(*) AS n_near_eval FROM pairs GROUP BY 1)
-      SELECT d.doc_id,
-             coalesce(h.n_near_eval, 0) AS n_near_eval,
-             coalesce(h.n_near_eval, 0) > 0 AS contaminated_fuzzy
-      FROM documents d LEFT JOIN hits h USING (doc_id)
-      WHERE d.doc_id % 17 <> 0
-      ORDER BY d.doc_id""")),
-
-    // Per-source token-budget selection (the domain-allowance curation
-    // rule): rank each source's docs by a deterministic quality score
-    // (distinct-token fraction, exact-integer ordering semantics) and keep
-    // the maximal prefix fitting a 5000-token budget. Keyed window — the
-    // exchange is the source key, never a global sort. Output: per-source
-    // selection accounting.
-    ("q203_budget_selection", (s, dir) => {
-      val docs = T(s, dir, "documents")
-        .where(col("text").isNotNull)
-        .withColumn("__ws", split(col("text"), " "))
-        .select(col("doc_id"), col("source"),
-          size(col("__ws")).cast("long").as("n_tokens"),
-          (size(array_distinct(col("__ws"))).cast("double") /
-            size(col("__ws")).cast("double")).as("score"))
-      Sampling.budgetCappedSelection(
-          docs, Seq("source"), col("doc_id"), col("n_tokens"), col("score"), 5000L)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
-        .withColumn("budget_tokens", lit(5000L))
-        .orderBy(col("source"))
-    }, Some("""
-      WITH t AS (
-        SELECT doc_id, source,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-          len(list_distinct(string_split(text, ' ')))::DOUBLE /
-            len(string_split(text, ' ')) AS score
-        FROM documents WHERE text IS NOT NULL),
-      c AS (
-        SELECT source, n_tokens,
-          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
-            ORDER BY score DESC, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
-        FROM t)
-      SELECT source, count(*) AS n_docs,
-        sum(CASE WHEN cb + n_tokens <= 5000 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-        sum(CASE WHEN cb + n_tokens <= 5000 THEN n_tokens ELSE 0 END)::BIGINT AS tokens_kept,
-        CAST(5000 AS BIGINT) AS budget_tokens
-      FROM c GROUP BY 1 ORDER BY 1""")),
-
-    // q89's funnel on Spark 4 `transformWithState` — the MULTI-step-state
-    // port of the modern arbitrary-state API (q199 proved the single-slot
-    // running stats; this carries the earliest-valid recursion's per-step
-    // slots in named RocksDB-backed state), replayed REAL-streaming
-    // end-to-end and gated on q89's oracle VERBATIM: both funnel APIs and
-    // the batch window form must carry identical semantics under the
-    // driver's hash compare.
-    ("q204_tws_funnel", (s, dir) => {
-      import s.implicits._
-      import graft.analytics.Funnel
-      val ev = T(s, dir, "events").select(
-        col("user_id").as("key"),
-        expr("ts div 1000").as("t"),
-        array(col("event_type") === "view",
-              col("event_type") === "click",
-              col("event_type") === "purchase").as("steps"))
-      // VERIFICATION-HARNESS BOUNDARY (q19/q199 convention): memory sink +
-      // collect hand the streaming result to the batch oracle; production
-      // writes through the distributed sinks.
-      val tmp = graft.util.Staging.dir("q204_funnel_events", dir) { p =>
-        ev.coalesce(1).write.mode("overwrite").parquet(p)
-      }
-      val qname = "graft_tws_funnel"
-      val s2 = isolated(s,
-        "spark.sql.shuffle.partitions" -> "8",
-        "spark.sql.streaming.stateStore.providerClass" ->
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val (schema, rows) = {
-          val stream = s2.readStream.schema(ev.schema).parquet(tmp)
-            .as[Funnel.FunnelEvent]
-          val q = Funnel.funnelStreamTws(stream, 3)
-            .writeStream.outputMode("update").format("memory").queryName(qname)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          val out = s2.table(qname)
-          // funnelStep is the monotone selector (filled slots form a
-          // prefix, so a key's deepest emitted row carries its final
-          // times) — robust under any micro-batch split of the source
-          val w = Window.partitionBy(col("key")).orderBy(col("funnelStep").desc)
-          val res = out
-            .withColumn("rn", row_number().over(w))
-            .where(col("rn") === 1)
-            .select(col("key").as("user_id"),
-              element_at(col("times"), 1).as("t_view"),
-              element_at(col("times"), 2).as("t_click"),
-              element_at(col("times"), 3).as("t_purchase"),
-              col("funnelStep").as("funnel_step"))
-          val r = (res.schema, res.collect())
-          s2.catalog.dropTempView(qname)
-          r
-        }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .orderBy(col("user_id"))
-    }, Some("""
-      WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
-                 FROM events),
-      s1 AS (
-        SELECT *,
-          min(CASE WHEN event_type = 'view' THEN tus END) OVER
-            (PARTITION BY user_id ORDER BY tus, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mv,
-          min(CASE WHEN event_type = 'view' THEN tus END) OVER
-            (PARTITION BY user_id) AS t_view
-        FROM e),
-      s2 AS (
-        SELECT *,
-          min(CASE WHEN event_type = 'click' AND tus > mv THEN tus END) OVER
-            (PARTITION BY user_id) AS t_click
-        FROM s1),
-      s3 AS (
-        SELECT *,
-          min(CASE WHEN event_type = 'purchase' AND tus > t_click THEN tus END) OVER
-            (PARTITION BY user_id) AS t_purchase
-        FROM s2)
-      SELECT DISTINCT user_id, t_view, t_click, t_purchase,
-        CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
-                  WHEN t_click IS NOT NULL THEN 2
-                  WHEN t_view IS NOT NULL THEN 1
-                  ELSE 0 END AS BIGINT) AS funnel_step
-      FROM s3 ORDER BY user_id""")),
-
-    // Streaming sessionization, oracle-gated end-to-end (the q19/q170
-    // harness pattern): the events table replays through Spark's native
-    // `session_window` (REAL Structured Streaming — file source, watermark,
-    // stateful session agg in append mode) and the emitted sessions must
-    // equal the batch gap-rule the oracle computes in SQL. The gate is
-    // sound because session_window's inclusive boundary merge IS the
-    // relational `diff > gap => new` rule (pinned in SessionizeSpec), and
-    // session identity is event-time-decided, not arrival-decided. A
-    // year-3000 sentinel (user -1) advances the watermark so every real
-    // session closes; its own never does, so it is never emitted.
-    // VERIFICATION-HARNESS BOUNDARY (same as q19/q170): memory sink +
-    // collect hands the streaming result to the batch oracle; production
-    // writes through the distributed sinks.
-    ("q180_stream_sessions", (s, dir) => {
-      val staged = T(s, dir, "events")
-        .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"))
-      val tmp = graft.util.Staging.dir("q180_sessions", dir) { p =>
-        staged.repartition(16).write.mode("overwrite").parquet(p)
-        // the watermark-advancing sentinel is staged as a SEPARATE file
-        // written strictly after the real events: FileStreamSource
-        // processes files oldest-mtime-first, so under ANY micro-batch
-        // split (maxFilesPerTrigger, future default changes) the
-        // sentinel lands in the LAST batch — real sessions are always
-        // in state before the watermark advances past them
-        s.range(1).select(
-            lit(-1L).as("user_id"),
-            timestamp_micros(lit(32503680000000000L)).as("ts"))
-          .coalesce(1).write.mode("append").parquet(p)
-      }
-      val qname = "graft_stream_sessions"
-      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
-      val (schema, rows) = {
-          val stream = s2.readStream.schema(staged.schema).parquet(tmp)
-            .withWatermark("ts", "1 second")
-          val q = Sessionize
-            .sessionWindows(stream, Seq("user_id"), "ts", "30 minutes")
-            .writeStream.outputMode("append").format("memory").queryName(qname)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          val res = s2.table(qname)
-          val r = (res.schema, res.collect())
-          s2.catalog.dropTempView(qname)
-          r
-        }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .orderBy(col("user_id"), col("start_time"))
-    }, Some("""
-      WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
-      m AS (
-        SELECT user_id, tus,
-          CASE WHEN LAG(tus) OVER w IS NULL
-                 OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
-        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
-      sid AS (
-        SELECT user_id, tus,
-          SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        FROM m)
-      SELECT user_id, MIN(tus) AS start_time, MAX(tus) AS end_time,
-             COUNT(*) AS n_events
-      FROM sid GROUP BY user_id, session_id
-      ORDER BY user_id, start_time""")),
-
-    // Sketch aggregates (HLL cardinality, quantile sketch): the raw estimates
-    // are engine-specific, so the gated output is the exact grouping columns
-    // plus deterministic error-bound BOOLEANS (|approx − exact| ≤ bound).
-    // Spark verifies its sketches against exact aggregates computed in the
-    // same pass; DuckDB's side of each check is trivially true (its "approx"
-    // would be exact), so the booleans hash-compare. Bounds: 3× the default
-    // HLL++ rsd (0.05) plus absolute slack for tiny groups; 2% relative for
-    // percentile_approx at accuracy=10000 (rank error n/10000 ⇒ ~0.01%
-    // relative rank error, far inside 2% on a dense price distribution).
-    // The exact reference percentiles are NOT `percentile(...)` — that
-    // aggregate buffers every (near-unique) price per group, a per-group
-    // memory hog that measured 27 s at sf0.1. Profiling.exactPercentilesGlobal
-    // ranks via GlobalCumsum's two-phase scan (no single-partition sort, no
-    // value buffers — 3 groups over 100 TB would otherwise be 3 tasks) and
-    // picks/blends the 2 bracketing ranks per cut. Same answer, scan-shaped
-    // cost: 27 s → under 2 s at sf0.1.
-    ("q39_sketches", (s, dir) => {
-      val li = T(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
-      // countDistinct must NOT share an agg with the typed-imperative
-      // sketches (approx_count_distinct, percentile_approx): the distinct
-      // rewrite's Expand drops the combined aggregate out of the hash path
-      // and the sketch buffers pay per-row serialization — measured 30–50 s
-      // for a 600k-row frame whose pieces each run in under a second. Two
-      // aggregations + a |groups|-row join keep both sides sub-second.
-      val sketches = li.groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_orderkey")).as("ac"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"),
-          count(lit(1)).as("n_rows"))
-      val base = sketches.join(
-        li.groupBy(col("l_returnflag"))
-          .agg(countDistinct(col("l_orderkey")).as("exact_orders")),
-        Seq("l_returnflag"))
-      val picks = ext.Profiling.exactPercentilesGlobal(
-          li.select(col("l_returnflag"), col("l_extendedprice")),
-          Seq("l_returnflag"), "l_extendedprice",
-          Seq("ep50" -> 0.5, "ep99" -> 0.99))
-        .select(col("l_returnflag"), col("ep50"), col("ep99"))
-      base.join(picks, Seq("l_returnflag"))
-        .select(
-          col("l_returnflag"),
-          col("n_rows"),
-          col("exact_orders"),
-          (abs(col("ac") - col("exact_orders")) <= col("exact_orders") * 0.15 + lit(8)).as("orders_ok"),
-          (abs(col("ap50") - col("ep50")) <= abs(col("ep50")) * 0.02 + lit(1.0)).as("p50_ok"),
-          (abs(col("ap99") - col("ep99")) <= abs(col("ep99")) * 0.02 + lit(1.0)).as("p99_ok"))
-        .orderBy(col("l_returnflag"))
-    }, Some("""
-      SELECT l_returnflag, COUNT(*) AS n_rows,
-             COUNT(DISTINCT l_orderkey) AS exact_orders,
-             true AS orders_ok, true AS p50_ok, true AS p99_ok
-      FROM lineitem GROUP BY 1 ORDER BY 1""")),
-
-    // Frequent tokens via the Misra–Gries sketch (Profiling.heavyHitters):
-    // the bounded-memory answer when the key's cardinality is itself
-    // web-scale — each partition folds into ≤ k counters and only O(k) rows
-    // cross the exchange, vs the exact form shipping one hash entry per
-    // DISTINCT token. Which sub-threshold keys survive (and their exact
-    // estimates) depend on partitioning, so per the q39 sketch discipline
-    // the gate is the exact top-25 (deterministic: ties break by token)
-    // plus the sketch's two ALWAYS-TRUE invariants, evaluated as booleans:
-    //   est_ok:       0 ≤ f(token) − estimate ≤ N/(k+1)  (absent ⇒ est 0)
-    //   guarantee_ok: f(token) > N/(k+1) ⇒ token present in the sketch
-    // Both hold for EVERY partitioning and merge order (Misra–Gries 1982;
-    // mergeability per Agarwal et al., PODS 2012), so the output
-    // hash-matches DuckDB's trivially-true side. k=64 < the corpus
-    // vocabulary, so the sketch genuinely evicts — the invariants are
-    // exercised, not vacuous. The exact top-N side exists only to audit;
-    // production reads Profiling.heavyHitters alone (one pass, O(k) state).
-    ("q205_heavy_hitters", (s, dir) => {
-      val toks = T(s, dir, "documents")
-        .where(col("text").isNotNull)
-        .select(explode(TextAnalysis.words(col("text"))).as("token"))
-        .where(col("token") =!= "")
-      ext.Profiling.heavyHittersAudit(toks, "token", 64, 25)
-        .orderBy(col("cnt").desc, col("token"))
-    }, Some("""
-      SELECT token, cnt, true AS est_ok, true AS guarantee_ok FROM (
-        SELECT token, count(*) AS cnt
-        FROM (SELECT unnest(string_split(text, ' ')) AS token
-              FROM documents WHERE text IS NOT NULL)
-        WHERE token <> '' GROUP BY token
-        ORDER BY cnt DESC, token LIMIT 25)
-      ORDER BY cnt DESC, token""")),
-
-    // Count-min point-frequency estimates (Profiling.countMin /
-    // countMinLookup) — the dual of q205's Misra–Gries: MG UNDER-estimates
-    // and its surviving key set is partitioning-dependent (hence q205 gates
-    // bounds-booleans), while a count-min cell is a pure SUM over fixed
-    // hash buckets — commutative, associative, partitioning-independent —
-    // so here the RAW estimates hash-gate against DuckDB recomputing the
-    // identical (a·h48+b) mod p mod w arithmetic (every product < 2^62,
-    // wrap-free BIGINT in both engines). 4×2048 cells means at most 8192
-    // rows cross the build exchange no matter the vocabulary size, and the
-    // probe side reads the broadcast table without shuffling. Probes = the
-    // exact top-40 tokens (deterministic; ties by token): head probes show
-    // est = cnt, tail probes sit where collisions (est > cnt) appear —
-    // `ge_ok` (est ≥ f, the CMS law) is true for every key by construction.
-    // The exact side exists only to pick probes and audit; production reads
-    // the sketch alone.
-    ("q206_count_min", (s, dir) => {
-      val toks = T(s, dir, "documents")
-        .where(col("text").isNotNull)
-        .select(explode(TextAnalysis.words(col("text"))).as("token"))
-        .where(col("token") =!= "")
-      val cms = ext.Profiling.countMin(toks, "token", 4, 2048)
-      // 40 rows feeding two consumers (lookup + the cnt join): persist the
-      // REDUCED frame and force it NOW so the vocabulary aggregation runs
-      // once (concurrent branches of an uncached persist race and each
-      // re-runs the upstream scan — the withExactDupCollapse discipline)
-      val probes = graft.util.Caches.register(
-        toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("token")).limit(40)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      probes.count()
-      ext.Profiling.countMinLookup(cms, probes.select("token"), "token", 4, 2048)
-        .join(probes, Seq("token"))
-        .select(col("token"), col("cnt"), col("est"),
-          (col("est") >= col("cnt")).as("ge_ok"))
-        .orderBy(col("cnt").desc, col("token"))
-    }, Some("""
-      WITH cnts AS (
-        SELECT token, count(*)::BIGINT AS cnt,
-               ('0x' || substr(md5(token), 1, 12))::BIGINT % 2147483647 AS hp
-        FROM (SELECT unnest(string_split(text, ' ')) AS token
-              FROM documents WHERE text IS NOT NULL)
-        WHERE token <> '' GROUP BY token),
-      hashes(j, a, b) AS (
-        VALUES (0, 1103515245, 12345), (1, 1299709, 7919),
-               (2, 15485863, 104729), (3, 32452843, 1299721)),
-      cms AS (
-        SELECT j, ((a * hp + b) % 2147483647) % 2048 AS bucket,
-               sum(cnt)::BIGINT AS c
-        FROM cnts CROSS JOIN hashes GROUP BY 1, 2),
-      probes AS (
-        SELECT token, cnt, hp FROM cnts ORDER BY cnt DESC, token LIMIT 40)
-      SELECT p.token, p.cnt,
-             min(coalesce(c.c, 0))::BIGINT AS est,
-             min(coalesce(c.c, 0)) >= p.cnt AS ge_ok
-      FROM probes p CROSS JOIN hashes h
-      LEFT JOIN cms c ON c.j = h.j
-        AND c.bucket = ((h.a * p.hp + h.b) % 2147483647) % 2048
-      GROUP BY p.token, p.cnt
-      ORDER BY p.cnt DESC, p.token""")),
-
-    // Systematic PPS sampling (Sampling.ppsSystematicSample): docs laid on
-    // a global token axis in id-hash order, every 500th token selects its
-    // doc — sampling ∝ training cost with ZERO selection variance (exactly
-    // ⌊W/500⌋±1 draws) and integer-only arithmetic, so the oracle replays
-    // the draw bit-for-bit. The cumsum spine is GlobalCumsum's two-phase
-    // scan (range exchange + broadcast offsets), never a single-partition
-    // window; the selection rule is per-row codegen after it. All docs gate
-    // (zeros included) so the oracle proves non-selection too.
-    ("q207_pps_sample", (s, dir) => {
-      val t = T(s, dir, "documents")
-        .where(col("text").isNotNull)
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      Sampling.ppsSystematicSample(t, col("doc_id"), col("n_tokens"), 500L)
-        .select(col("doc_id"), col("n_tokens"), col("cum_before"),
-          col("pps_count"), (col("pps_count") >= 1).as("kept"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH t AS (
-        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-               ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS ph
-        FROM documents WHERE text IS NOT NULL),
-      c AS (
-        SELECT doc_id, n_tokens,
-          CAST(coalesce(sum(n_tokens) OVER (ORDER BY ph, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-            AS cum_before
-        FROM t)
-      SELECT doc_id, n_tokens, cum_before,
-        ((cum_before + n_tokens - 1 + 500) // 500
-          - (cum_before - 1 + 500) // 500) AS pps_count,
-        ((cum_before + n_tokens - 1 + 500) // 500
-          - (cum_before - 1 + 500) // 500) >= 1 AS kept
-      FROM c ORDER BY doc_id""")),
-
-    // Fractional-epoch mixing (Sampling.epochMix) — the UPSAMPLING dual of
-    // q48's weightedMix: zh docs at 2.5 epochs (the low-resource upweight),
-    // en at 0.4. Every key gets ⌊pct/100⌋ full copies + one more iff its
-    // hash bucket < pct mod 100 — pure scan-stage explode, no shuffle, and
-    // monotone in pct (raising a weight only ADDS copies, so a grown mix
-    // never invalidates earlier training data). epoch_copy is 1-based so
-    // packing can interleave copies instead of concatenating epochs.
-    ("q208_epoch_mix", (s, dir) => {
-      val d = T(s, dir, "documents")
-      Sampling.epochMix(Seq(
-          (d.where(col("lang") === "zh").select(col("doc_id"), col("lang")),
-            col("doc_id"), 250),
-          (d.where(col("lang") === "en").select(col("doc_id"), col("lang")),
-            col("doc_id"), 40)))
-        .orderBy(col("doc_id"), col("epoch_copy"))
-    }, Some("""
-      WITH src AS (
-        SELECT doc_id, lang, 250 AS pct FROM documents WHERE lang = 'zh'
-        UNION ALL
-        SELECT doc_id, lang, 40 AS pct FROM documents WHERE lang = 'en'),
-      c AS (
-        SELECT doc_id, lang,
-          pct // 100 + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
-            % 100 < pct % 100 THEN 1 ELSE 0 END AS copies
-        FROM src)
-      SELECT doc_id, lang,
-             CAST(unnest(generate_series(1, copies)) AS INT) AS epoch_copy
-      FROM c WHERE copies >= 1
-      ORDER BY doc_id, epoch_copy""")),
-
-    // Training-order composition: q208's epoch mix → deterministic global
-    // shuffle → shard assignment. Each (doc, copy) instance gets a shuffle
-    // key = hash48(id:copy) — so the copies of one document land at
-    // independent positions (the interleaving epochMix's epoch_copy exists
-    // for), the order is a pure function of the corpus (rerun/engine/
-    // partitioning-stable), and the global position comes from
-    // GlobalCumsum.rowNumber's two-phase spine, never a single-partition
-    // sort. shard = (pos-1) div 64 gives size-64 shards a writer can
-    // partitionBy — contiguous in the shuffled order, balanced by
-    // construction (every shard full except the last). The oracle replays
-    // mix, shuffle key, and row_number independently.
-    ("q209_training_order", (s, dir) => {
-      val d = T(s, dir, "documents")
-      val mixed = Sampling.epochMix(Seq(
-        (d.where(col("lang") === "zh").select(col("doc_id"), col("lang")),
-          col("doc_id"), 250),
-        (d.where(col("lang") === "en").select(col("doc_id"), col("lang")),
-          col("doc_id"), 40)))
-      val keyed = mixed.withColumn("__sh", TextAnalysis.hash48(
-        concat_ws(":", col("doc_id"), col("epoch_copy"))))
-      graft.analytics.GlobalCumsum.rowNumber(
-          keyed, Seq(col("__sh"), col("doc_id"), col("epoch_copy")), "pos")
-        .withColumn("shard", expr("(pos - 1) div 64"))
-        .select(col("doc_id"), col("lang"), col("epoch_copy"),
-          col("pos"), col("shard"))
-        .orderBy(col("pos"))
-    }, Some("""
-      WITH src AS (
-        SELECT doc_id, lang, 250 AS pct FROM documents WHERE lang = 'zh'
-        UNION ALL
-        SELECT doc_id, lang, 40 AS pct FROM documents WHERE lang = 'en'),
-      c AS (
-        SELECT doc_id, lang,
-          pct // 100 + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
-            % 100 < pct % 100 THEN 1 ELSE 0 END AS copies
-        FROM src),
-      m AS (
-        SELECT doc_id, lang,
-               CAST(unnest(generate_series(1, copies)) AS INT) AS epoch_copy
-        FROM c WHERE copies >= 1),
-      o AS (
-        SELECT doc_id, lang, epoch_copy,
-          ('0x' || substr(md5(doc_id::VARCHAR || ':' || epoch_copy::VARCHAR),
-            1, 12))::BIGINT AS sh
-        FROM m),
-      p AS (
-        SELECT doc_id, lang, epoch_copy,
-          CAST(row_number() OVER (ORDER BY sh, doc_id, epoch_copy) AS BIGINT) AS pos
-        FROM o)
-      SELECT doc_id, lang, epoch_copy, pos, (pos - 1) // 64 AS shard
-      FROM p ORDER BY pos""")),
-
-    // Perplexity-bucketed quality filtering — the CCNet discipline (Wenzek
-    // et al.: score the corpus with a language model, split into exact
-    // head/middle/tail terciles, keep head+middle) over q194's integral
-    // bigram-LM surprisal instead of a KenLM binary. The tercile cut uses
-    // GlobalCumsum.ntile (two-phase spine — no single-partition sort), so
-    // the thresholds are exact ORDER STATISTICS of the corpus, not sketch
-    // quantiles: the bucket boundary is reproducible and hash-gateable.
-    // rare_frac's single trailing division is IEEE-exact in both engines;
-    // ties (shared rare_frac) break by doc_id so the total order is total.
-    // Zero-bigram docs carry no signal and are excluded before ranking
-    // (also pins away the Spark-nulls-first / DuckDB-nulls-last split).
-    ("q210_perplexity_buckets", (s, dir) => {
-      val scored = TextAnalysis.bigramSurprisal(
-          T(s, dir, "documents"), "doc_id", "text", k = 20)
-        .where(col("n_bigrams") > 0)
-      graft.analytics.GlobalCumsum.ntile(scored,
-          Seq(col("rare_frac"), col("doc_id")), 3, "bucket")
-        .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
-          col("rare_frac"), col("bucket"), (col("bucket") <= 2).as("kept"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH flat AS (
-        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
-          SELECT doc_id,
-            unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
-              i -> struct_pack(w1 := string_split(text, ' ')[i],
-                               w2 := string_split(text, ' ')[i + 1]))) AS bg
-          FROM documents
-          WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2)),
-      dc AS (SELECT doc_id, w1, w2, count(*) AS ndc FROM flat GROUP BY 1, 2, 3),
-      bc AS (SELECT w1, w2, sum(ndc)::BIGINT AS c12 FROM dc GROUP BY 1, 2),
-      hc AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM bc GROUP BY 1),
-      flag AS (
-        SELECT b.w1, b.w2, (b.c12 * 20 < h.c1) AS rare
-        FROM bc b JOIN hc h USING (w1)),
-      per AS (
-        SELECT d.doc_id,
-               sum(d.ndc)::BIGINT AS n_bigrams,
-               sum(CASE WHEN g.rare THEN d.ndc ELSE 0 END)::BIGINT AS n_rare
-        FROM dc d JOIN flag g ON d.w1 = g.w1 AND d.w2 = g.w2
-        GROUP BY 1),
-      ranked AS (
-        SELECT doc_id, n_bigrams, n_rare,
-               n_rare::DOUBLE / n_bigrams AS rare_frac,
-               CAST(ntile(3) OVER (ORDER BY n_rare::DOUBLE / n_bigrams, doc_id)
-                 AS BIGINT) AS bucket
-        FROM per WHERE n_bigrams > 0)
-      SELECT doc_id, n_bigrams, n_rare, rare_frac, bucket,
-             bucket <= 2 AS kept
-      FROM ranked ORDER BY doc_id""")),
-
-    // Streaming count-min maintenance — q206's sketch built INCREMENTALLY
-    // by REAL Structured Streaming (file source batched 2 files/trigger →
-    // 4 micro-batches, complete-mode state merged across them) and gated
-    // on q206's oracle VERBATIM. This works because a CMS cell is a pure
-    // SUM over fixed hash buckets: commutative + associative, so the
-    // incremental state after any micro-batch sequence is bit-identical
-    // to the one-shot batch table — the same `Profiling.countMin` code
-    // runs both paths unchanged, and the final estimates hash-gate raw.
-    // This is the sketch a streaming ingest keeps warm so point-frequency
-    // queries never re-scan the corpus. Probes (exact top-40) come from
-    // the batch side — production would read the sketch alone.
-    // VERIFICATION-HARNESS BOUNDARY (same as q19/q170): memory sink +
-    // collect is the only way to hand a streaming result to the batch
-    // oracle; the production path writes through the distributed sinks.
-    ("q211_stream_count_min", (s, dir) => {
-      val toks = T(s, dir, "documents")
-        .where(col("text").isNotNull)
-        .select(explode(TextAnalysis.words(col("text"))).as("token"))
-        .where(col("token") =!= "")
-      val tmp = graft.util.Staging.dir("q211_tokens", dir) { p =>
-        toks.repartition(8).write.mode("overwrite").parquet(p)
-      }
-      val qname = "graft_stream_cms"
-      // 4 shuffle partitions: one state-store commit per partition per
-      // micro-batch; 8192 cells do not need 32 stores (q170 discipline)
-      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
-      val (schema, rows) = {
-          val stream = s2.readStream.schema(toks.schema)
-            .option("maxFilesPerTrigger", 2).parquet(tmp)
-          val q = ext.Profiling.countMin(stream, "token", 4, 2048)
-            .writeStream.outputMode("complete").format("memory").queryName(qname)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          val res = s2.table(qname)
-          val r = (res.schema, res.collect())
-          s2.catalog.dropTempView(qname)
-          r
-        }
-      val cms = s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-      val probes = graft.util.Caches.register(
-        toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("token")).limit(40)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // two branches of the final action consume `probes` — force the cache
-      // NOW (the withExactDupCollapse discipline: concurrent branches of an
-      // uncached persist race and each re-runs the token aggregation)
-      probes.count()
-      ext.Profiling.countMinLookup(cms, probes.select("token"), "token", 4, 2048)
-        .join(probes, Seq("token"))
-        .select(col("token"), col("cnt"), col("est"),
-          (col("est") >= col("cnt")).as("ge_ok"))
-        .orderBy(col("cnt").desc, col("token"))
-    }, Some("""
-      WITH cnts AS (
-        SELECT token, count(*)::BIGINT AS cnt,
-               ('0x' || substr(md5(token), 1, 12))::BIGINT % 2147483647 AS hp
-        FROM (SELECT unnest(string_split(text, ' ')) AS token
-              FROM documents WHERE text IS NOT NULL)
-        WHERE token <> '' GROUP BY token),
-      hashes(j, a, b) AS (
-        VALUES (0, 1103515245, 12345), (1, 1299709, 7919),
-               (2, 15485863, 104729), (3, 32452843, 1299721)),
-      cms AS (
-        SELECT j, ((a * hp + b) % 2147483647) % 2048 AS bucket,
-               sum(cnt)::BIGINT AS c
-        FROM cnts CROSS JOIN hashes GROUP BY 1, 2),
-      probes AS (
-        SELECT token, cnt, hp FROM cnts ORDER BY cnt DESC, token LIMIT 40)
-      SELECT p.token, p.cnt,
-             min(coalesce(c.c, 0))::BIGINT AS est,
-             min(coalesce(c.c, 0)) >= p.cnt AS ge_ok
-      FROM probes p CROSS JOIN hashes h
-      LEFT JOIN cms c ON c.j = h.j
-        AND c.bucket = ((h.a * p.hp + h.b) % 2147483647) % 2048
-      GROUP BY p.token, p.cnt
-      ORDER BY p.cnt DESC, p.token""")),
-
-    // Residual IVF-PQ (the FULL Jégou et al. IVFADC — closes q192's one
-    // documented gap): PQ codes quantize the residual x − c(list(x)), the
-    // codebook is stride-sampled over RESIDUALS, and the per-(query, probe)
-    // ADC LUTs score each probed list against the query's residual to THAT
-    // list's centroid. The oracle replays the whole residual chain —
-    // assignment, residual subtraction, residual codebook, codes, per-probe
-    // LUTs, ADC sum — so the gate is bit-exact (the q190/q192 discipline).
-    ("q212_ivfpq_residual", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val cent = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cid"), col("embedding"))
-      // codebook training is offline index-build work: stride-sample the
-      // residual frame (every 50th id's residual slices become centroids)
-      val cbRes = Similarity.pqCodebookByStride(
-        Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
-        "vec_id", "res", m = 4, subDim = 16, stride = 50)
-      Similarity.ivfPqResidualTopK(
-        emb.where(col("vec_id") < 8), emb, cent, cbRes,
-        "vec_id", "vec_id", "cid", "embedding",
-        k = 3, m = 4, subDim = 16, nprobe = 2)
-        .orderBy(col("q_id"), col("rank"))
-    }, Some(ivfAdcFullOracle)),
-
-    // Residual-vs-no-residual audit (q164's methodology, head to head at
-    // EQUAL nprobe/m/subDim/k): exact L2 top-3 over 16 queries is ground
-    // truth; both IVF-PQ forms run with their matching stride-10 codebooks
-    // (raw vectors vs residuals) at m=16×4 — the fine-grained PQ geometry
-    // that actually ranks on this corpus — and ONE row carries both
-    // recalls, the ≥ verdict, and both corpus quantization errors
-    // (Similarity.pqQuantizationError — exact nano-unit BIGINT sums).
-    // HONESTY NOTE (read with the recall columns): the fixture embeddings
-    // are unit-norm ISOTROPIC, so any coarse centroid is near-orthogonal
-    // to the data (E‖x−c‖² ≈ 2 > E‖x‖² = 1) and residual subtraction
-    // INFLATES the vectors it encodes — the measured quant_mse_res >
-    // quant_mse_nores shows exactly that, and recall parity/small-margin
-    // wins are all this regime allows. On a clustered production corpus
-    // (the regime IVFADC targets) the energy inequality reverses and the
-    // residual form wins outright; the gate pins that BOTH forms are
-    // computed exactly and the audit measures them honestly.
-    ("q213_ivfpq_residual_recall", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val qs = emb.where(col("vec_id") < 16)
-      val cent = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cid"), col("embedding"))
-      val cbRaw = Similarity.pqCodebookByStride(emb, "vec_id", "embedding",
-        m = 16, subDim = 4, stride = 10)
-      val residFrame = Similarity.residuals(emb, cent, "vec_id", "cid", "embedding")
-      val cbRes = Similarity.pqCodebookByStride(residFrame,
-        "vec_id", "res", m = 16, subDim = 4, stride = 10)
-      val bf = Similarity.bruteForceTopKL2(qs, emb, "vec_id", "vec_id", "embedding", 3)
-        .select(col("q_id").as("bq"), col("n_id").as("bn"))
-      val nores = Similarity.ivfPqTopK(qs, emb, cent, cbRaw,
-          "vec_id", "vec_id", "cid", "embedding", k = 3, m = 16, subDim = 4, nprobe = 5)
-        .select(col("q_id").as("mq"), col("n_id").as("mn"))
-      val resid = Similarity.ivfPqResidualTopK(qs, emb, cent, cbRes,
-          "vec_id", "vec_id", "cid", "embedding", k = 3, m = 16, subDim = 4, nprobe = 5)
-        .select(col("q_id").as("rq"), col("n_id").as("rn"))
-      val hitsN = bf.join(nores, col("bq") === col("mq") && col("bn") === col("mn"))
-        .agg(count(lit(1)).as("hits_nores"))
-      val hitsR = bf.join(resid, col("bq") === col("rq") && col("bn") === col("rn"))
-        .agg(count(lit(1)).as("hits_res"))
-      val qeN = Similarity.pqQuantizationError(emb, cbRaw,
-          "vec_id", "embedding", m = 16, subDim = 4)
-        .select(col("err_nano_total").as("err_nano_nores"),
-          col("quant_mse").as("quant_mse_nores"))
-      val qeR = Similarity.pqQuantizationError(residFrame, cbRes,
-          "vec_id", "res", m = 16, subDim = 4)
-        .select(col("err_nano_total").as("err_nano_res"),
-          col("quant_mse").as("quant_mse_res"))
-      hitsN.crossJoin(hitsR).crossJoin(qeN).crossJoin(qeR)
-        .select(lit(16L).as("n_queries"), lit(3L).as("k"), lit(5L).as("nprobe"),
-          col("hits_nores"), col("hits_res"),
-          (col("hits_nores").cast("double") / lit(48.0)).as("recall_nores"),
-          (col("hits_res").cast("double") / lit(48.0)).as("recall_res"),
-          (col("hits_res") >= col("hits_nores")).as("res_recall_ge"),
-          col("err_nano_nores"), col("err_nano_res"),
-          col("quant_mse_nores"), col("quant_mse_res"))
-    }, Some("""
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      bscored AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-          list_sum(list_transform(range(1, least(len(q.vec), len(c.vec)) + 1), i ->
-            (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i]))) AS d2
-        FROM v q CROSS JOIN v c WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id),
-      bf AS (
-        SELECT q_id, n_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rank
-          FROM bscored) t WHERE rank <= 3),
-      cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM v WHERE vec_id % 100 = 0),
-      ldist AS (
-        SELECT a.vec_id AS n_id, c.lcid,
-          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
-            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
-        FROM v a CROSS JOIN cent c),
-      assign AS (
-        SELECT n_id, lcid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
-          FROM ldist) WHERE rn = 1),
-      probes AS (
-        SELECT n_id AS q_id, lcid FROM (
-          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
-          FROM ldist WHERE n_id < 16) WHERE rn <= 5),
-      subs AS (SELECT unnest(range(0, 16)) AS sub),
-      cbraw AS (
-        SELECT sub,
-          CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-          vec[sub*4 + 1 : sub*4 + 4] AS c_vec
-        FROM v CROSS JOIN subs WHERE vec_id % 10 = 0),
-      cdraw AS (
-        SELECT c.vec_id AS n_id, b.sub, b.cid,
-          list_sum(list_transform(range(1, 5), i ->
-            (c.vec[b.sub*4 + i] - b.c_vec[i]) * (c.vec[b.sub*4 + i] - b.c_vec[i]))) AS d2
-        FROM v c CROSS JOIN cbraw b),
-      codesraw AS (
-        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
-          SELECT n_id, sub, cid,
-            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
-          FROM cdraw) WHERE rn = 1 GROUP BY n_id),
-      qeraw AS (
-        SELECT count(DISTINCT n_id) AS n, CAST(sum(CAST(floor(mind2 * 1000000000) AS BIGINT)) AS BIGINT) AS e
-        FROM (SELECT n_id, sub, min(d2) AS mind2 FROM cdraw GROUP BY 1, 2)),
-      ldraw AS (
-        SELECT q.vec_id AS q_id, b.sub, b.cid,
-          list_sum(list_transform(range(1, 5), i ->
-            (q.vec[b.sub*4 + i] - b.c_vec[i]) * (q.vec[b.sub*4 + i] - b.c_vec[i]))) AS pd
-        FROM v q CROSS JOIN cbraw b WHERE q.vec_id < 16),
-      lutraw1 AS (SELECT q_id, sub, list(pd ORDER BY cid) AS lrow FROM ldraw GROUP BY q_id, sub),
-      lutraw AS (SELECT q_id, list(lrow ORDER BY sub) AS lut FROM lutraw1 GROUP BY q_id),
-      snores AS (
-        SELECT l.q_id, a.n_id,
-          list_sum(list_transform(range(0, 16), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
-        FROM probes p
-        JOIN lutraw l ON l.q_id = p.q_id
-        JOIN assign a ON a.lcid = p.lcid
-        JOIN codesraw x ON x.n_id = a.n_id
-        WHERE a.n_id <> l.q_id),
-      nores AS (
-        SELECT q_id, n_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
-          FROM snores) WHERE rank <= 3),
-      resid AS (
-        SELECT a.n_id, a.lcid,
-          list_transform(range(1, least(len(x.vec), len(c.l_vec)) + 1),
-            i -> x.vec[i] - c.l_vec[i]) AS rv
-        FROM assign a JOIN v x ON x.vec_id = a.n_id JOIN cent c ON c.lcid = a.lcid),
-      cbres AS (
-        SELECT sub,
-          CAST(row_number() OVER (PARTITION BY sub ORDER BY n_id) - 1 AS BIGINT) AS cid,
-          rv[sub*4 + 1 : sub*4 + 4] AS c_vec
-        FROM resid CROSS JOIN subs WHERE n_id % 10 = 0),
-      cdres AS (
-        SELECT r.n_id, b.sub, b.cid,
-          list_sum(list_transform(range(1, 5), i ->
-            (r.rv[b.sub*4 + i] - b.c_vec[i]) * (r.rv[b.sub*4 + i] - b.c_vec[i]))) AS d2
-        FROM resid r CROSS JOIN cbres b),
-      codesres AS (
-        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
-          SELECT n_id, sub, cid,
-            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
-          FROM cdres) WHERE rn = 1 GROUP BY n_id),
-      qeres AS (
-        SELECT count(DISTINCT n_id) AS n, CAST(sum(CAST(floor(mind2 * 1000000000) AS BIGINT)) AS BIGINT) AS e
-        FROM (SELECT n_id, sub, min(d2) AS mind2 FROM cdres GROUP BY 1, 2)),
-      qres AS (
-        SELECT p.q_id, p.lcid,
-          list_transform(range(1, least(len(q.vec), len(c.l_vec)) + 1),
-            i -> q.vec[i] - c.l_vec[i]) AS rv
-        FROM probes p JOIN v q ON q.vec_id = p.q_id JOIN cent c ON c.lcid = p.lcid),
-      ldres AS (
-        SELECT r.q_id, r.lcid, b.sub, b.cid,
-          list_sum(list_transform(range(1, 5), i ->
-            (r.rv[b.sub*4 + i] - b.c_vec[i]) * (r.rv[b.sub*4 + i] - b.c_vec[i]))) AS pd
-        FROM qres r CROSS JOIN cbres b),
-      lutres1 AS (SELECT q_id, lcid, sub, list(pd ORDER BY cid) AS lrow
-                  FROM ldres GROUP BY q_id, lcid, sub),
-      lutres AS (SELECT q_id, lcid, list(lrow ORDER BY sub) AS lut
-                 FROM lutres1 GROUP BY q_id, lcid),
-      sres AS (
-        SELECT l.q_id, a.n_id,
-          list_sum(list_transform(range(0, 16), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
-        FROM lutres l
-        JOIN assign a ON a.lcid = l.lcid
-        JOIN codesres x ON x.n_id = a.n_id
-        WHERE a.n_id <> l.q_id),
-      resk AS (
-        SELECT q_id, n_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
-          FROM sres) WHERE rank <= 3),
-      hn AS (SELECT count(*) AS hits_nores FROM bf JOIN nores n
-             ON n.q_id = bf.q_id AND n.n_id = bf.n_id),
-      hr AS (SELECT count(*) AS hits_res FROM bf JOIN resk r
-             ON r.q_id = bf.q_id AND r.n_id = bf.n_id)
-      SELECT CAST(16 AS BIGINT) AS n_queries, CAST(3 AS BIGINT) AS k,
-        CAST(5 AS BIGINT) AS nprobe,
-        hn.hits_nores, hr.hits_res,
-        hn.hits_nores::DOUBLE / 48 AS recall_nores,
-        hr.hits_res::DOUBLE / 48 AS recall_res,
-        hr.hits_res >= hn.hits_nores AS res_recall_ge,
-        qeraw.e AS err_nano_nores, qeres.e AS err_nano_res,
-        qeraw.e::DOUBLE / 1000000000 / qeraw.n AS quant_mse_nores,
-        qeres.e::DOUBLE / 1000000000 / qeres.n AS quant_mse_res
-      FROM hn CROSS JOIN hr CROSS JOIN qeraw CROSS JOIN qeres""")),
-
-    // REAL image decode (javax.imageio, no stub): per doc a deterministic
-    // grayscale PNG is synthesized (w = 4 + id%5, h = 3 + id%4, pixel
-    // (x,y) = (id·31 + x·7 + y·13) mod 256 — Multimodal.synthPixel), every
-    // 50th payload is CORRUPTED to exercise the skip-and-flag path (one
-    // bad blob must never kill a 100 TB scan), and ImageIO decodes the
-    // rest back. PNG is lossless, so the decoded width/height/band-count/
-    // pixel-sum must equal the oracle's pure-arithmetic recomputation of
-    // the generation formula — a real codec round trip, hash-gated.
-    // Scale shape: synthesis and decode are partition-batched maps; only
-    // small feature rows survive past the decode (payloads never shuffle).
-    ("q214_image_decode", (s, dir) => {
-      import s.implicits._
-      val specs = T(s, dir, "documents").select(
-        col("doc_id").as("id"),
-        (lit(4) + col("doc_id") % 5).cast("int").as("w"),
-        (lit(3) + col("doc_id") % 4).cast("int").as("h"))
-      val media = Multimodal.synthesizePngs(specs)
-        .withColumn("payload",
-          when(col("id") % 50 === 0, lit("notanimage".getBytes("UTF-8")))
-            .otherwise(col("payload")))
-      Multimodal.decodeImages(media)
-        .toDF()
-        .select(col("id").as("doc_id"), col("decodeOk").as("decode_ok"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          col("nBands").cast("long").as("n_bands"), col("pxSum").as("px_sum"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH d AS (
-        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
-               doc_id % 50 = 0 AS corrupt
-        FROM documents),
-      px AS (
-        SELECT d.doc_id, CAST(sum((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256) AS BIGINT) AS s
-        FROM d
-        CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
-        CROSS JOIN (SELECT unnest(range(0, 6)) AS y) y
-        WHERE x.x < d.w AND y.y < d.h
-        GROUP BY d.doc_id)
-      SELECT d.doc_id,
-        NOT d.corrupt AS decode_ok,
-        CAST(CASE WHEN d.corrupt THEN 0 ELSE d.w END AS BIGINT) AS width,
-        CAST(CASE WHEN d.corrupt THEN 0 ELSE d.h END AS BIGINT) AS height,
-        CAST(CASE WHEN d.corrupt THEN 0 ELSE 1 END AS BIGINT) AS n_bands,
-        CASE WHEN d.corrupt THEN 0 ELSE px.s END AS px_sum
-      FROM d JOIN px ON px.doc_id = d.doc_id
-      ORDER BY d.doc_id""")),
-
-    // The reference's §3.1 lifecycle as ONE oracle-gated dataflow, driven
-    // over REAL HTTP (MainController.java:29-61): POST start → dim load →
-    // Spark query up → producer up; GET status mid-flight; POST stop →
-    // producer down first, query drained (drain direction); GET status
-    // after. The pipeline under control is the reference's own dataflow
-    // (kill lines + damage lines → parse → union → stateful stats), the
-    // HTTP transcript is pinned INTO the result (`lifecycle` column — any
-    // deviation fails every row's hash), the internal ordering is
-    // require()-asserted, and the sink table hash-gates against the
-    // relational recomputation — so the control plane is catalog-covered,
-    // not just spec-covered. VERIFICATION-HARNESS BOUNDARY (q19): memory
-    // sink + collect hand the streamed stats to the batch oracle.
-    ("q215_control_plane", (s, dir) => {
-      import graft.streaming.{HttpControlPlane, Pipeline, PipelineOrchestrator, StreamController}
-      val ev = T(s, dir, "events")
-      // q16/q17's line derivations with round = 1 + uid % 19 (never 0, so
-      // damagePerRound stays NaN-free — the A4 /0 edge has its own spec)
-      val killLines = ev.select(concat_ws(",",
-        lit("x"), (col("event_id") * 128).cast("string"),
-        (lit(1) + col("user_id") % 19).cast("string"),
-        when(col("event_type") === "purchase",
-          concat(lit("P"), col("user_id").cast("string"))).otherwise(lit("")),
-        concat(lit("S"), col("user_id").cast("string")),
-        lit("x"), lit("x"),
-        when(col("value") > 100, concat(lit("V"), col("user_id").cast("string"))).otherwise(lit("")),
-        concat(lit("T"), col("user_id").cast("string")),
-        lit("x"), lit("x"),
-        when(col("event_type") === "view", concat(lit("A"), col("user_id").cast("string")))
-          .when(col("event_type") === "click", lit("0")).otherwise(lit("")),
-        concat(lit("U"), col("user_id").cast("string"))
-      ).as("value"))
-      val damageLines = ev.select(concat_ws(",",
-        lit("x"), (col("event_id") * 128).cast("string"),
-        (lit(1) + col("user_id") % 19).cast("string"),
-        lit("x"), lit("x"),
-        (lit(100) + col("event_id") % 37).cast("string"),
-        (col("event_id") % 29).cast("string"),
-        lit("x"), lit("x"),
-        when(col("event_type") === "error", lit(""))
-          .otherwise(concat(lit("S"), col("user_id").cast("string"))),
-        lit("x")
-      ).as("value"))
-      val tmp = graft.util.Staging.dir("q215_lines", dir) { p =>
-        killLines.coalesce(1).write.mode("overwrite").parquet(s"$p/kills")
-        damageLines.coalesce(1).write.mode("overwrite").parquet(s"$p/damages")
-      }
-      val qname = "graft_ctrl_pipeline"
-      val order = scala.collection.mutable.ListBuffer[String]()
-      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "8")
-      val (schema, rows, lifecycle) = {
-          val controller = new StreamController(() => {
-            order += "query-start"
-            Pipeline.playerStats(
-                s2.readStream.schema("value STRING").parquet(s"$tmp/kills"),
-                s2.readStream.schema("value STRING").parquet(s"$tmp/damages"))
-              .writeStream.outputMode("update").format("memory")
-              .queryName(qname).start()
-          })
-          val orch = new PipelineOrchestrator(
-            loadDimension = () => {
-              // the reference loads its player dimension before the query
-              order += "dim-load"
-              T(s, dir, "customer").limit(1).count(): Unit
-            },
-            controller = controller,
-            producerStart = () => order += "producer-start",
-            producerStop = () => order += "producer-stop")
-          val http = new HttpControlPlane(orch, port = 0)
-          http.start()
-          val transcript =
-            try {
-              val base = s"http://127.0.0.1:${http.boundPort}"
-              def call(method: String, path: String): String = {
-                val conn = new java.net.URL(base + path).openConnection()
-                  .asInstanceOf[java.net.HttpURLConnection]
-                conn.setRequestMethod(method)
-                val body = new String(conn.getInputStream.readAllBytes(),
-                  java.nio.charset.StandardCharsets.UTF_8)
-                conn.disconnect()
-                body
-              }
-              val t1 = call("POST", "/api/stream/start")
-              val t2 = call("GET", "/api/status")
-              // drain the staged files through the RUNNING query, then stop
-              s2.streams.active.find(_.name == qname)
-                .getOrElse(sys.error("control plane did not start the query"))
-                .processAllAvailable()
-              val t3 = call("POST", "/api/stream/stop")
-              val t4 = call("GET", "/api/status")
-              Seq(t1, t2, t3, t4)
-            } finally http.shutdown()
-          require(order.toSeq ==
-            Seq("dim-load", "query-start", "producer-start", "producer-stop"),
-            s"reference lifecycle ordering violated: $order")
-          val out = s2.table(qname)
-          // q19's multi-batch-robust selector: last cumulative-complete row
-          val w = Window.partitionBy(col("steamId"))
-            .orderBy(
-              (col("kills") + col("deaths") + col("assists") + col("damage")).desc,
-              col("second").desc)
-          val res = out
-            .withColumn("rn", row_number().over(w))
-            .withColumn("second",
-              max(col("second")).over(Window.partitionBy(col("steamId"))))
-            .where(col("rn") === 1).drop("rn")
-          val r = (res.schema, res.collect(), transcript.mkString("|"))
-          s2.catalog.dropTempView(qname)
-          r
-        }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .withColumn("lifecycle", lit(lifecycle))
-        .orderBy(col("steamId"))
-    }, Some("""
-      WITH ev AS (
-        SELECT ('P' || CAST(user_id AS VARCHAR)) AS pname,
-               ('S' || CAST(user_id AS VARCHAR)) AS sid,
-               'kill' AS et, event_id AS sec, CAST(0 AS BIGINT) AS amt,
-               1 + user_id % 19 AS rnd
-        FROM events WHERE event_type = 'purchase'
-        UNION ALL
-        SELECT ('V' || CAST(user_id AS VARCHAR)), ('T' || CAST(user_id AS VARCHAR)),
-               'death', event_id, CAST(0 AS BIGINT), 1 + user_id % 19
-        FROM events WHERE value > 100
-        UNION ALL
-        SELECT ('A' || CAST(user_id AS VARCHAR)), ('U' || CAST(user_id AS VARCHAR)),
-               'assist', event_id, CAST(0 AS BIGINT), 1 + user_id % 19
-        FROM events WHERE event_type = 'view'
-        UNION ALL
-        SELECT '', ('S' || CAST(user_id AS VARCHAR)),
-               'damage', event_id, (100 + event_id % 37) - (event_id % 29),
-               1 + user_id % 19
-        FROM events WHERE event_type IS DISTINCT FROM 'error'),
-      agg AS (
-        SELECT sid,
-          COALESCE(MAX(CASE WHEN pname <> '' THEN pname END), '') AS pn,
-          GREATEST(MAX(sec), 0) AS sec,
-          COUNT(*) FILTER (WHERE et = 'kill') AS kills,
-          COUNT(*) FILTER (WHERE et = 'death') AS deaths,
-          COUNT(*) FILTER (WHERE et = 'assist') AS assists,
-          CAST(COALESCE(SUM(amt) FILTER (WHERE et = 'damage'), 0) AS BIGINT) AS damage,
-          GREATEST(MAX(rnd), 0) AS rnd
-        FROM ev GROUP BY sid)
-      SELECT pn AS "playerName", sid AS "steamId", sec AS "second",
-             kills, deaths, assists, damage,
-             CASE WHEN deaths = 0 THEN CAST(kills AS DOUBLE)
-                  ELSE CAST(kills AS DOUBLE) / deaths END AS "kdRatio",
-             CAST(damage AS DOUBLE) / rnd AS "damagePerRound",
-             'Started|Running|Stopped|Stopped' AS lifecycle
-      FROM agg ORDER BY "steamId"""")),
-
-    // REAL image resize (decode → nearest-neighbor resample → PNG
-    // re-encode → decode again): every synthetic PNG (q214's formula,
-    // varying source geometry) is resized to a FIXED 4×3 — the
-    // resize-to-model-input step every vision pipeline runs — and the
-    // RE-DECODED pixels must equal the oracle's pure arithmetic
-    // (sx = x·w div 4, sy = y·h div 3; two lossless PNG round trips, so
-    // the whole chain is exact). Payloads shrink to the target geometry
-    // and never shuffle; only feature rows leave the partition.
-    ("q216_image_resize", (s, dir) => {
-      val specs = T(s, dir, "documents").select(
-        col("doc_id").as("id"),
-        (lit(4) + col("doc_id") % 5).cast("int").as("w"),
-        (lit(3) + col("doc_id") % 4).cast("int").as("h"))
-      val resized = Multimodal.resizeImages(
-          Multimodal.synthesizePngs(specs).toDF(), dw = 4, dh = 3)
-        .toDF()
-        .select(col("id"), col("payload"), col("mimeType"))
-      Multimodal.decodeImages(resized)
-        .toDF()
-        .select(col("id").as("doc_id"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          col("pxSum").as("px_sum"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH d AS (
-        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
-        FROM documents),
-      px AS (
-        SELECT d.doc_id,
-          CAST(sum((d.doc_id * 31 + ((x.x * d.w) // 4) * 7
-                    + ((y.y * d.h) // 3) * 13) % 256) AS BIGINT) AS s
-        FROM d
-        CROSS JOIN (SELECT unnest(range(0, 4)) AS x) x
-        CROSS JOIN (SELECT unnest(range(0, 3)) AS y) y
-        GROUP BY d.doc_id)
-      SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
-             px.s AS px_sum
-      FROM d JOIN px USING (doc_id)
-      ORDER BY doc_id""")),
-
-    // Gopher composite quality filter (Rae et al. 2021, Appendix A): the
-    // published rule set as ONE auditable operator — word-count bounds,
-    // mean-word-length window, stopword floor, alphabetic-word floor,
-    // duplicate-3-gram ceiling — with every signal, every per-rule
-    // verdict, and the composite keep in the row (a bare boolean cannot
-    // explain WHY a document died). All ratios are single divisions of
-    // integer counts, so the verdicts hash-gate bit-exact.
-    ("q217_gopher_rules", (s, dir) => {
-      TextAnalysis.gopherRules(T(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH t AS (
-        SELECT doc_id, text, string_split(text, ' ') AS ws
-        FROM documents WHERE text IS NOT NULL),
-      sc AS (
-        SELECT doc_id,
-          CAST(len(ws) AS BIGINT) AS n_words,
-          CAST(len(text) - (len(ws) - 1) AS DOUBLE) / len(ws) AS avg_word_len,
-          CAST(len(list_filter(ws, w ->
-            list_contains(['the','a','of','and','to','in'], w))) AS DOUBLE)
-            / len(ws) AS stopword_ratio,
-          CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
-            / len(ws) AS alpha_ratio
-        FROM t),
-      sh AS (
-        SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
-          THEN list_transform(generate_series(1, len(ws) - 2),
-               i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
-          ELSE [text] END) AS g
-        FROM t),
-      gp AS (SELECT doc_id, g, count(*) AS c FROM sh GROUP BY 1, 2),
-      rep AS (
-        SELECT doc_id,
-          (CAST(sum(c) AS BIGINT) - count(*))::DOUBLE / CAST(sum(c) AS BIGINT) AS dup_frac
-        FROM gp GROUP BY doc_id)
-      SELECT sc.doc_id, sc.n_words, sc.avg_word_len, sc.stopword_ratio,
-        sc.alpha_ratio, rep.dup_frac,
-        sc.n_words >= 50 AND sc.n_words <= 100000 AS words_ok,
-        sc.avg_word_len >= 3.0 AND sc.avg_word_len <= 10.0 AS length_ok,
-        sc.stopword_ratio >= 0.06 AS stop_ok,
-        sc.alpha_ratio >= 0.8 AS alpha_ok,
-        rep.dup_frac <= 0.2 AS rep_ok,
-        (sc.n_words >= 50 AND sc.n_words <= 100000)
-          AND (sc.avg_word_len >= 3.0 AND sc.avg_word_len <= 10.0)
-          AND sc.stopword_ratio >= 0.06 AND sc.alpha_ratio >= 0.8
-          AND rep.dup_frac <= 0.2 AS keep
-      FROM sc JOIN rep USING (doc_id)
-      ORDER BY sc.doc_id""")),
-
-    // DSIR importance scoring + top-k resampling (Xie et al. 2023): the
-    // English docs play the TARGET distribution, every other doc is the
-    // raw pool to be scored; hashed-bigram bucket profiles (64 buckets,
-    // shared 48-bit md5 prefix) give each pool doc an exact-BIGINT
-    // target-vs-raw evidence score, and the 100 best (score desc, id)
-    // are flagged. Every arithmetic step is integer (the log-ratio of the
-    // paper is linearized to a cross-difference — Sampling.dsirScores's
-    // docstring carries the equivalence and the production swap), so the
-    // gate hash-matches DuckDB exactly. Scale: one explode+reduce per
-    // corpus, B-row broadcast weight table, TakeOrderedAndProject top-k —
-    // no corpus-width shuffle beyond the (doc, bucket) reduce.
-    ("q218_dsir_selection", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val scored = Sampling.dsirScores(
-        docs.where(col("lang") =!= "en"),
-        docs.where(col("lang") === "en"),
-        "doc_id", "text", buckets = 64)
-      Sampling.selectTopK(scored, col("doc_id"), col("score"), k = 100)
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH pool AS (SELECT doc_id, text FROM documents WHERE lang <> 'en'),
-      tgt AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
-      pg AS (
-        SELECT doc_id,
-          ('0x' || substr(md5(g), 1, 12))::BIGINT % 64 AS b
-        FROM (
-          SELECT doc_id, unnest(list_transform(
-            generate_series(1, len(ws) - 1),
-            i -> concat_ws(' ', ws[i], ws[i + 1]))) AS g
-          FROM (SELECT doc_id, string_split(text, ' ') AS ws
-                FROM pool WHERE text IS NOT NULL)
-          WHERE len(ws) >= 2)),
-      tg AS (
-        SELECT ('0x' || substr(md5(g), 1, 12))::BIGINT % 64 AS b
-        FROM (
-          SELECT unnest(list_transform(
-            generate_series(1, len(ws) - 1),
-            i -> concat_ws(' ', ws[i], ws[i + 1]))) AS g
-          FROM (SELECT string_split(text, ' ') AS ws
-                FROM tgt WHERE text IS NOT NULL)
-          WHERE len(ws) >= 2)),
-      pc AS (SELECT doc_id, b, count(*) AS c FROM pg GROUP BY 1, 2),
-      ct AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
-      cr AS (SELECT b, sum(c) AS cr FROM pc GROUP BY b),
-      tot AS (
-        SELECT (SELECT sum(ct) FROM ct) AS nt, (SELECT sum(cr) FROM cr) AS nr),
-      w AS (
-        SELECT COALESCE(ct.b, cr.b) AS b,
-          (COALESCE(ct.ct, 0) + 1) * (COALESCE(tot.nr, 0) + 64)
-            - (COALESCE(cr.cr, 0) + 1) * (COALESCE(tot.nt, 0) + 64) AS w
-        FROM ct FULL OUTER JOIN cr ON ct.b = cr.b CROSS JOIN tot),
-      per AS (
-        SELECT pc.doc_id, CAST(sum(pc.c) AS BIGINT) AS n_grams,
-          CAST(sum(pc.c * w.w) AS BIGINT) AS score
-        FROM pc JOIN w USING (b) GROUP BY pc.doc_id),
-      allp AS (
-        SELECT p.doc_id,
-          COALESCE(per.n_grams, 0) AS n_grams,
-          COALESCE(per.score, 0) AS score
-        FROM pool p LEFT JOIN per USING (doc_id))
-      SELECT doc_id, n_grams, score,
-        row_number() OVER (ORDER BY score DESC, doc_id) <= 100 AS selected
-      FROM allp ORDER BY doc_id""")),
-
-    // SemDeDup over the embedding corpus: coarse centroids are the
-    // deterministic stride sample (every 100th vec_id — the q212 gate
-    // discipline; Similarity.fitCentroids is the production fit), pairs
-    // are compared ONLY within a cluster (pair space Σ|c|², never n²),
-    // the ≥0.25-cosine graph's star-contraction components are the
-    // duplicate groups, and each group keeps its LEAST-centroid-similar
-    // member (the paper's rule; ties by id). Cosines fold left-to-right
-    // in both engines, so sim_c and keep hash-gate exactly.
-    ("q219_semdedup", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val cent = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cid"), col("embedding"))
-      Dedup.semDedup(emb, cent, "vec_id", "embedding", "cid", "embedding",
-        threshold = 0.25)
-        .orderBy(col("vec_id"))
-    }, Some("""
-      WITH RECURSIVE v AS (
-        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      cent AS (SELECT vec_id AS cid, vec AS cv FROM v WHERE vec_id % 100 = 0),
-      sims AS (
-        SELECT a.vec_id AS id, c.cid,
-          list_sum(list_transform(range(1, least(len(a.vec), len(c.cv)) + 1),
-            i -> a.vec[i] * c.cv[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * c.cv[i])))) AS s
-        FROM v a CROSS JOIN cent c),
-      assign AS (
-        SELECT id, cid, s AS sim_c FROM (
-          SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
-          FROM sims) WHERE rn = 1),
-      pairs AS (
-        SELECT a.id AS id_a, b.id AS id_b
-        FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id
-        JOIN v va ON va.vec_id = a.id JOIN v vb ON vb.vec_id = b.id
-        WHERE list_sum(list_transform(range(1, least(len(va.vec), len(vb.vec)) + 1),
-            i -> va.vec[i] * vb.vec[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(va.vec) + 1), i -> va.vec[i] * va.vec[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(vb.vec) + 1), i -> vb.vec[i] * vb.vec[i]))))
-            >= 0.25),
-      e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-            UNION SELECT id_b, id_a FROM pairs),
-      reach AS (
-        SELECT src AS id, src AS label FROM e
-        UNION
-        SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.id),
-      cc AS (SELECT id, min(label) AS comp FROM reach GROUP BY id),
-      lab AS (
-        SELECT a.id, a.cid, a.sim_c, COALESCE(cc.comp, a.id) AS comp
-        FROM assign a LEFT JOIN cc ON cc.id = a.id),
-      keepers AS (
-        SELECT comp, id AS keep_id FROM (
-          SELECT comp, id, row_number() OVER (PARTITION BY comp ORDER BY sim_c, id) AS rn
-          FROM lab) WHERE rn = 1)
-      SELECT lab.id AS vec_id, lab.cid, lab.sim_c, lab.comp,
-             lab.id = keepers.keep_id AS keep
-      FROM lab JOIN keepers USING (comp) ORDER BY vec_id""")),
-
-    // Gopher's full per-n repetition signal family (top n-gram char
-    // fraction + duplicated n-gram char fraction for n = 2, 3, 4): one
-    // corpus pass with the n values exploded alongside the grams, exact
-    // BIGINT char mass, divisions last — q217's composite filter uses one
-    // dup signal; this is the per-n audit the paper actually thresholds.
-    ("q220_ngram_repetition", (s, dir) => {
-      TextAnalysis.ngramRepetition(T(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"), col("n"))
-    }, Some("""
-      WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS ws
-        FROM documents WHERE text IS NOT NULL),
-      nn AS (SELECT unnest([2, 3, 4]) AS n),
-      g AS (
-        SELECT doc_id, n,
-          unnest(list_transform(generate_series(1, len(ws) - n + 1),
-            i -> array_to_string(ws[i : i + n - 1], ' '))) AS g
-        FROM t CROSS JOIN nn WHERE len(ws) >= n),
-      c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
-      agg AS (
-        SELECT doc_id, n,
-          CAST(sum(c) AS BIGINT) AS n_grams,
-          CAST(sum(c * len(g)) AS BIGINT) AS total_chars,
-          CAST(sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END) AS BIGINT) AS dup_chars
-        FROM c GROUP BY 1, 2),
-      top AS (
-        SELECT doc_id, n, g AS top_gram, c * len(g) AS top_chars FROM (
-          SELECT *, row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) AS rn
-          FROM c) WHERE rn = 1)
-      SELECT agg.doc_id, agg.n, agg.n_grams, top.top_gram,
-        top.top_chars::DOUBLE / agg.total_chars AS top_frac,
-        agg.dup_chars::DOUBLE / agg.total_chars AS dup_frac
-      FROM agg JOIN top USING (doc_id, n) ORDER BY doc_id, n""")),
-
-    // Edit-distance verification of the q23 LSH candidates — the exact
-    // precision stage of a character-level near-dup pipeline: banding
-    // proposes, Levenshtein disposes. The normalized verdict
-    // (lev·100 ≤ 20·max_len) is decided by integer cross-multiplication,
-    // so the boundary hash-gates exactly; the distances themselves are
-    // integers in both engines. Scale: two id-keyed hash joins move only
-    // candidate texts; production swaps in Spark's threshold-banded
-    // three-arg levenshtein (O(len·threshold) per pair) once the full
-    // distance no longer needs replaying.
-    ("q221_edit_verified_pairs", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-      Dedup.editVerifiedPairs(docs, cands, "doc_id", "text", maxDistancePct = 20)
-        .orderBy(col("id_a"), col("id_b"))
-    }, Some("""
-      WITH docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents),
-      hashed AS (
-        SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
-        FROM docs),
-      mh AS (
-        SELECT doc_id, p,
-          list_min(list_transform(hs, h -> ((2 * p + 1) * h + (10007 * p + 1)) % 2147483647)) AS m
-        FROM hashed CROSS JOIN range(16) t(p)),
-      sigs AS (
-        SELECT doc_id, p // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY p) AS sig
-        FROM mh GROUP BY doc_id, p // 4),
-      cands AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      t AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
-      SELECT id_a, id_b,
-        CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS lev,
-        CAST(greatest(len(ta.t), len(tb.t)) AS BIGINT) AS max_len,
-        levenshtein(ta.t, tb.t) * 100 <= greatest(len(ta.t), len(tb.t)) * 20 AS near
-      FROM cands JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
-      ORDER BY id_a, id_b""")),
-
-    // Sparse TF-IDF top-k neighbors — the inverted-index dual of the dense
-    // ANN family: pairs exist only where docs SHARE a 3-gram shingle (df
-    // between 2 and 50 — the stopword prune that also bounds posting
-    // fan-out), scored by the exact-BIGINT Σ tf_a·tf_b·(N div df)², so the
-    // commutative integer sum hash-gates across engines with no fold-order
-    // discipline needed.
-    ("q222_sparse_tfidf_topk", (s, dir) => {
-      TextAnalysis.sparseTfIdfTopK(T(s, dir, "documents"), "doc_id", "text",
-          k = 5, maxDf = 50L)
-        .orderBy(col("doc_id"), col("rank"))
-    }, Some("""
-      WITH docs AS (
-        SELECT doc_id,
-          CASE WHEN len(string_split(text, ' ')) >= 3
-            THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                 i -> concat_ws(' ', string_split(text, ' ')[i],
-                                     string_split(text, ' ')[i + 1],
-                                     string_split(text, ' ')[i + 2]))
-            ELSE [text] END AS sh
-        FROM documents WHERE text IS NOT NULL),
-      tf AS (
-        SELECT doc_id, t, count(*)::BIGINT AS tf
-        FROM (SELECT doc_id, unnest(sh) AS t FROM docs) GROUP BY 1, 2),
-      dfr AS (
-        SELECT t, count(*)::BIGINT AS df FROM tf
-        GROUP BY t HAVING count(*) BETWEEN 2 AND 50),
-      n AS (SELECT count(*)::BIGINT AS n FROM docs),
-      posts AS (
-        SELECT tf.doc_id, tf.t, tf.tf, (n.n // dfr.df) AS w
-        FROM tf JOIN dfr USING (t) CROSS JOIN n),
-      pairs AS (
-        SELECT a.doc_id AS ida, b.doc_id AS idb,
-          CAST(sum(a.tf * b.tf * a.w * a.w) AS BIGINT) AS score
-        FROM posts a JOIN posts b ON a.t = b.t AND a.doc_id <> b.doc_id
-        GROUP BY 1, 2)
-      SELECT ida AS doc_id, idb AS neighbor_id, score, rank FROM (
-        SELECT *, CAST(row_number() OVER (
-          PARTITION BY ida ORDER BY score DESC, idb) AS INT) AS rank
-        FROM pairs)
-      WHERE rank <= 5 ORDER BY doc_id, rank""")),
-
-    // BPE vocabulary training (Sennrich et al. 2016) — 8 merge iterations
-    // over the corpus word-frequency dict. The oracle replays the full
-    // data-dependent loop UNROLLED (bpeOracleCtes): same delimited symbol
-    // encoding, same plain-replace greedy merge, same (count desc, pair
-    // lexicographic) argmax — so the learned merge table hash-gates
-    // end-to-end. Corpus pays ONE scan (the dict build); every iteration
-    // is vocabulary-sized.
-    ("q223_bpe_merges", (s, dir) => {
-      ext.Bpe.learnMerges(T(s, dir, "documents"), "text", merges = 8)
-        .orderBy(col("step"))
-    }, Some(s"""
-      WITH ${bpeOracleCtes(8)}
-      SELECT * FROM (
-        ${(1 to 8).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
-      ORDER BY step""")),
-
-    // Tokenization with the learned merges: the 8 merges compose into ONE
-    // nested-replace projection — a single codegen'd corpus pass — and the
-    // per-doc token counts (eow symbols included) gate against the oracle
-    // re-deriving the same merges and applying them to the same words.
-    ("q224_bpe_tokenize", (s, dir) => {
-      ext.Bpe.applyMerges(T(s, dir, "documents"), "doc_id", "text",
-          merges8(s, dir))
-        .orderBy(col("doc_id"))
-    }, Some(s"""
-      WITH ${bpeOracleCtes(8)},
-      tok AS (
-        SELECT word, (length(sym) - length(replace(sym, '|', ''))) // 2 AS n_syms
-        FROM w8),
-      dw AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        FROM documents WHERE text IS NOT NULL)
-      SELECT doc_id, count(*)::BIGINT AS n_words,
-        CAST(sum(t.n_syms) AS BIGINT) AS n_tokens
-      FROM dw JOIN tok t USING (word) WHERE word <> ''
-      GROUP BY doc_id ORDER BY doc_id""")),
-
-    // Tokenizer fertility audit — tokens-per-word by language, the
-    // standard multilingual-tokenizer health check (a vocabulary trained
-    // on skewed data over-fragments the under-represented languages).
-    // Integer token/word masses summed per language, ONE final division.
-    ("q225_bpe_fertility", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      ext.Bpe.applyMerges(docs, "doc_id", "text", merges8(s, dir))
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .groupBy(col("lang"))
-        .agg(sum(col("n_words")).as("n_words"), sum(col("n_tokens")).as("n_tokens"))
-        .withColumn("fertility",
-          col("n_tokens").cast("double") / col("n_words"))
-        .orderBy(col("lang"))
-    }, Some(s"""
-      WITH ${bpeOracleCtes(8)},
-      tok AS (
-        SELECT word, (length(sym) - length(replace(sym, '|', ''))) // 2 AS n_syms
-        FROM w8),
-      dw AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        FROM documents WHERE text IS NOT NULL),
-      per AS (
-        SELECT doc_id, count(*)::BIGINT AS n_words,
-          CAST(sum(t.n_syms) AS BIGINT) AS n_tokens
-        FROM dw JOIN tok t USING (word) WHERE word <> '' GROUP BY doc_id)
-      SELECT d.lang, CAST(sum(per.n_words) AS BIGINT) AS n_words,
-        CAST(sum(per.n_tokens) AS BIGINT) AS n_tokens,
-        CAST(sum(per.n_tokens) AS DOUBLE) / sum(per.n_words) AS fertility
-      FROM per JOIN documents d USING (doc_id)
-      GROUP BY d.lang ORDER BY d.lang""")),
-
-    // Streaming tokenization — the production shape: the merge table is
-    // learned OFFLINE (batch, q223's loop), then the document stream is
-    // tokenized by a STATELESS per-row projection (tokenizeRowwise: no
-    // explode, no shuffle, no state — tokenize-on-ingest). Gated on
-    // q224's oracle VERBATIM: the stream must reproduce the batch
-    // tokenization exactly.
-    ("q226_bpe_stream", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = merges8(s, dir)
-      val tmp = graft.util.Staging.dir("q226_docs", dir) { p =>
-        docs.select(col("doc_id"), col("text"))
-          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
-      }
-      val qname = "graft_bpe_stream"
-      val (schema, rows) =
-        try {
-          val stream = s.readStream
-            .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
-          val q = ext.Bpe.tokenizeRowwise(stream, "doc_id", "text", merges)
-            .writeStream.outputMode("append").format("memory").queryName(qname)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          val res = s.table(qname)
-          (res.schema, res.collect())
-        } finally s.catalog.dropTempView(qname)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .orderBy(col("doc_id"))
-    }, Some(s"""
-      WITH ${bpeOracleCtes(8)},
-      tok AS (
-        SELECT word, (length(sym) - length(replace(sym, '|', ''))) // 2 AS n_syms
-        FROM w8),
-      dw AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        FROM documents WHERE text IS NOT NULL)
-      SELECT doc_id, count(*)::BIGINT AS n_words,
-        CAST(sum(t.n_syms) AS BIGINT) AS n_tokens
-      FROM dw JOIN tok t USING (word) WHERE word <> ''
-      GROUP BY doc_id ORDER BY doc_id""")),
-
-    // Curation attrition / UpSet report over a 3-stage filter pipeline
-    // (language gate → Gopher quality → exact-dup keeper): ONE hash
-    // aggregation keyed by the verdict combination gives the overlap
-    // counts AND retained char mass, plus funnel_depth = leading stages
-    // survived (the sequential attrition curve is a rollup of this
-    // frame). The exchange carries ≤ 2^3 rows; verdict computation is
-    // the existing operators' plans unchanged.
-    ("q227_curation_funnel", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val quality = TextAnalysis.gopherRules(docs, "doc_id", "text")
-        .select(col("doc_id"), col("keep").as("v_quality"))
-      val keepers = Dedup.exactDupGroups(docs, "doc_id",
-          md5(col("text").cast("binary")))
-        .select(col("keep_id").as("doc_id"), lit(true).as("v_dedup"))
-      val verdicts = docs
-        .select(col("doc_id"),
-          coalesce(col("lang") === "en", lit(false)).as("v_lang"),
-          col("n_chars"))
-        .join(quality, Seq("doc_id"), "left")
-        .join(keepers, Seq("doc_id"), "left")
-      ext.Profiling.attritionReport(verdicts,
-          Seq("v_lang", "v_quality", "v_dedup"), Some("n_chars"))
-        .orderBy(col("v_lang"), col("v_quality"), col("v_dedup"))
-    }, Some("""
-      WITH t AS (
-        SELECT doc_id, text, string_split(text, ' ') AS ws
-        FROM documents WHERE text IS NOT NULL),
-      sc AS (
-        SELECT doc_id,
-          CAST(len(ws) AS BIGINT) AS n_words,
-          CAST(len(text) - (len(ws) - 1) AS DOUBLE) / len(ws) AS avg_word_len,
-          CAST(len(list_filter(ws, w ->
-            list_contains(['the','a','of','and','to','in'], w))) AS DOUBLE)
-            / len(ws) AS stopword_ratio,
-          CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
-            / len(ws) AS alpha_ratio
-        FROM t),
-      sh AS (
-        SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
-          THEN list_transform(generate_series(1, len(ws) - 2),
-               i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
-          ELSE [text] END) AS g
-        FROM t),
-      gp AS (SELECT doc_id, g, count(*) AS c FROM sh GROUP BY 1, 2),
-      rep AS (
-        SELECT doc_id,
-          (CAST(sum(c) AS BIGINT) - count(*))::DOUBLE / CAST(sum(c) AS BIGINT) AS dup_frac
-        FROM gp GROUP BY doc_id),
-      q AS (
-        SELECT sc.doc_id,
-          (sc.n_words >= 50 AND sc.n_words <= 100000)
-            AND (sc.avg_word_len >= 3.0 AND sc.avg_word_len <= 10.0)
-            AND sc.stopword_ratio >= 0.06 AND sc.alpha_ratio >= 0.8
-            AND rep.dup_frac <= 0.2 AS v_quality
-        FROM sc JOIN rep USING (doc_id)),
-      k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-      v AS (
-        SELECT d.doc_id,
-          COALESCE(d.lang = 'en', false) AS v_lang,
-          COALESCE(q.v_quality, false) AS v_quality,
-          (k.doc_id IS NOT NULL) AS v_dedup,
-          d.n_chars
-        FROM documents d LEFT JOIN q USING (doc_id) LEFT JOIN k USING (doc_id))
-      SELECT v_lang, v_quality, v_dedup,
-        count(*)::BIGINT AS n_docs,
-        CAST(sum(n_chars) AS BIGINT) AS mass,
-        CASE WHEN NOT v_lang THEN 0 WHEN NOT v_quality THEN 1
-             WHEN NOT v_dedup THEN 2 ELSE 3 END AS funnel_depth
-      FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
-
-    // q227's attrition report computed ON THE STREAM: quality verdicts are
-    // the stateless ROWWISE Gopher projection (filter-on-ingest — law-
-    // tested ≡ the grouped form), the dedup verdict is a stream-static
-    // join against the precomputed keeper store (the q188 discipline: the
-    // store is an ingest-time artifact that pre-exists the stream), and
-    // the funnel itself is the one stateful op — a ≤8-group streaming
-    // aggregation in complete mode. Gated on q227's oracle VERBATIM.
-    ("q228_stream_curation_funnel", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val tmp = graft.util.Staging.dir("q228_docs", dir) { p =>
-        docs.select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
-        Dedup.exactDupGroups(docs, "doc_id", md5(col("text").cast("binary")))
-          .select(col("keep_id").as("doc_id"), lit(true).as("v_dedup"))
-          .write.mode("overwrite").parquet(s"$p/store")
-      }
-      val store = s.read.parquet(s"$tmp/store")
-      val qname = "graft_stream_funnel"
-      val (schema, rows) =
-        try {
-          val stream = s.readStream
-            .schema("doc_id LONG, text STRING, lang STRING, n_chars LONG")
-            .parquet(s"$tmp/stream")
-          val verdicts = TextAnalysis.gopherRulesRowwise(stream, "text")
-            .select(col("doc_id"),
-              coalesce(col("lang") === "en", lit(false)).as("v_lang"),
-              col("keep").as("v_quality"), col("n_chars"))
-            .join(store, Seq("doc_id"), "left")
-          val q = ext.Profiling.attritionReport(verdicts,
-              Seq("v_lang", "v_quality", "v_dedup"), Some("n_chars"))
-            .writeStream.outputMode("complete").format("memory").queryName(qname)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          val res = s.table(qname)
-          (res.schema, res.collect())
-        } finally s.catalog.dropTempView(qname)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .orderBy(col("v_lang"), col("v_quality"), col("v_dedup"))
-    }, Some("""
-      WITH t AS (
-        SELECT doc_id, text, string_split(text, ' ') AS ws
-        FROM documents WHERE text IS NOT NULL),
-      sc AS (
-        SELECT doc_id,
-          CAST(len(ws) AS BIGINT) AS n_words,
-          CAST(len(text) - (len(ws) - 1) AS DOUBLE) / len(ws) AS avg_word_len,
-          CAST(len(list_filter(ws, w ->
-            list_contains(['the','a','of','and','to','in'], w))) AS DOUBLE)
-            / len(ws) AS stopword_ratio,
-          CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
-            / len(ws) AS alpha_ratio
-        FROM t),
-      sh AS (
-        SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
-          THEN list_transform(generate_series(1, len(ws) - 2),
-               i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))
-          ELSE [text] END) AS g
-        FROM t),
-      gp AS (SELECT doc_id, g, count(*) AS c FROM sh GROUP BY 1, 2),
-      rep AS (
-        SELECT doc_id,
-          (CAST(sum(c) AS BIGINT) - count(*))::DOUBLE / CAST(sum(c) AS BIGINT) AS dup_frac
-        FROM gp GROUP BY doc_id),
-      q AS (
-        SELECT sc.doc_id,
-          (sc.n_words >= 50 AND sc.n_words <= 100000)
-            AND (sc.avg_word_len >= 3.0 AND sc.avg_word_len <= 10.0)
-            AND sc.stopword_ratio >= 0.06 AND sc.alpha_ratio >= 0.8
-            AND rep.dup_frac <= 0.2 AS v_quality
-        FROM sc JOIN rep USING (doc_id)),
-      k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-      v AS (
-        SELECT d.doc_id,
-          COALESCE(d.lang = 'en', false) AS v_lang,
-          COALESCE(q.v_quality, false) AS v_quality,
-          (k.doc_id IS NOT NULL) AS v_dedup,
-          d.n_chars
-        FROM documents d LEFT JOIN q USING (doc_id) LEFT JOIN k USING (doc_id))
-      SELECT v_lang, v_quality, v_dedup,
-        count(*)::BIGINT AS n_docs,
-        CAST(sum(n_chars) AS BIGINT) AS mass,
-        CASE WHEN NOT v_lang THEN 0 WHEN NOT v_quality THEN 1
-             WHEN NOT v_dedup THEN 2 ELSE 3 END AS funnel_depth
-      FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
-
-    // k-means (Lloyd) on exact integer arithmetic — the reproducible twin
-    // of the FP fitCentroids: fixed-point grid (floor is engine-exact,
-    // the +1024 shift keeps every coordinate and centroid sum
-    // non-negative so floored and truncating division agree), exact
-    // squared-L2 argmin with deterministic ties, elementwise floored
-    // means. THREE full rounds replayed by the oracle UNROLLED; the gate
-    // output is the final assignment + distance, which witnesses every
-    // round (a wrong centroid anywhere changes some dist). Per round: one
-    // broadcast-k argmin, one (cid, dim) aggregation (k·64 exchange rows).
-    ("q229_kmeans_int", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val inits = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
-      ext.Similarity.lloydInt(emb, "vec_id", "embedding", inits, iters = 3)
-        .orderBy(col("vec_id"))
-    }, Some(s"""
-      WITH ${lloydOracleCtes(3, 64)},
-      fin AS (
-        SELECT vec_id, cid, d FROM (
-          SELECT v.vec_id, c.cid,
-            list_sum(list_transform(range(1, len(v.y) + 1),
-              j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))) AS d,
-            row_number() OVER (PARTITION BY v.vec_id ORDER BY
-              list_sum(list_transform(range(1, len(v.y) + 1),
-                j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))), c.cid) AS rn
-          FROM v CROSS JOIN c3 c) WHERE rn = 1)
-      SELECT vec_id, cid, CAST(d AS BIGINT) AS dist
-      FROM fin ORDER BY vec_id""")),
-
-    // Vocabulary coverage curve — the tokenizer budget-planning audit:
-    // what fraction of all token instances the k most frequent types
-    // claim, per rank. Integral masses, one final division; the running
-    // sum windows over the k SURVIVING rows only.
-    ("q230_vocab_coverage", (s, dir) => {
-      TextAnalysis.vocabCoverage(T(s, dir, "documents"), "text", k = 25)
-        .orderBy(col("rank"))
-    }, Some("""
-      WITH toks AS (
-        SELECT unnest(string_split(text, ' ')) AS token
-        FROM documents WHERE text IS NOT NULL),
-      counts AS (
-        SELECT token, count(*)::BIGINT AS cnt FROM toks
-        WHERE token <> '' GROUP BY token),
-      total AS (SELECT sum(cnt)::BIGINT AS t FROM counts),
-      top AS (
-        SELECT token, cnt,
-          CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
-          sum(cnt) OVER (ORDER BY cnt DESC, token
-            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cnt
-        FROM counts ORDER BY cnt DESC, token LIMIT 25)
-      SELECT rank, token, cnt, cum_cnt,
-        CAST(cum_cnt AS DOUBLE) / total.t AS coverage
-      FROM top CROSS JOIN total ORDER BY rank""")),
-
-    // q229's assignment computed ON THE STREAM — the inference shape:
-    // the k-means model is trained offline (lloydIntCentroids, the same
-    // 3 exact rounds), its k·64 grid longs ship as LITERALS, and the
-    // stream assignment is a pure per-row argmin (least over (dist, cid)
-    // structs — no join, no aggregation, no state). Gated on q229's
-    // oracle VERBATIM; spec law pins inference ≡ batch assignment.
-    ("q231_stream_kmeans_assign", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val inits = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
-      val model = ext.Similarity.lloydIntCentroids(
-          emb, "vec_id", "embedding", inits, iters = 3)
-        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
-      val tmp = graft.util.Staging.dir("q231_emb", dir) { p =>
-        emb.select(col("vec_id"), col("embedding"))
-          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
-      }
-      val qname = "graft_stream_kmeans"
-      val (schema, rows) =
-        try {
-          val stream = s.readStream
-            .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(s"$tmp/stream")
-          val q = ext.Similarity.assignToCentroids(
-              stream, "vec_id", "embedding", model)
-            .writeStream.outputMode("append").format("memory").queryName(qname)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          val res = s.table(qname)
-          (res.schema, res.collect())
-        } finally s.catalog.dropTempView(qname)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .orderBy(col("vec_id"))
-    }, Some(s"""
-      WITH ${lloydOracleCtes(3, 64)},
-      fin AS (
-        SELECT vec_id, cid, d FROM (
-          SELECT v.vec_id, c.cid,
-            list_sum(list_transform(range(1, len(v.y) + 1),
-              j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))) AS d,
-            row_number() OVER (PARTITION BY v.vec_id ORDER BY
-              list_sum(list_transform(range(1, len(v.y) + 1),
-                j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))), c.cid) AS rn
-          FROM v CROSS JOIN c3 c) WHERE rn = 1)
-      SELECT vec_id, cid, CAST(d AS BIGINT) AS dist
-      FROM fin ORDER BY vec_id""")),
-
-    // The tokenizer-artifact round trip (q176's stored-index discipline,
-    // for BPE): the merge table is TRAINED once, PERSISTED as parquet —
-    // the artifact a production pipeline ships — then RELOADED by a
-    // consumer that never touches the trainer, and tokenization off the
-    // stored table must reproduce q224's batch result exactly (its oracle
-    // VERBATIM). Step order survives the round trip explicitly via sort.
-    ("q232_bpe_store_roundtrip", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val tmp = graft.util.Staging.dir("q232_bpe_store", dir) { p =>
-        ext.Bpe.learnMerges(docs, "text", merges = 8)
-          .write.mode("overwrite").parquet(s"$p/merges")
-      }
-      val merges = s.read.parquet(s"$tmp/merges")
-        .orderBy(col("step")).collect()
-        .map(r => (r.getString(r.fieldIndex("left")), r.getString(r.fieldIndex("right"))))
-        .toSeq
-      ext.Bpe.applyMerges(docs, "doc_id", "text", merges)
-        .orderBy(col("doc_id"))
-    }, Some(s"""
-      WITH ${bpeOracleCtes(8)},
-      tok AS (
-        SELECT word, (length(sym) - length(replace(sym, '|', ''))) // 2 AS n_syms
-        FROM w8),
-      dw AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        FROM documents WHERE text IS NOT NULL)
-      SELECT doc_id, count(*)::BIGINT AS n_words,
-        CAST(sum(t.n_syms) AS BIGINT) AS n_tokens
-      FROM dw JOIN tok t USING (word) WHERE word <> ''
-      GROUP BY doc_id ORDER BY doc_id""")),
-
-    // The tokenization ITSELF, as strings — one row per (distinct word,
-    // position) with the post-merge token; counts are audits, this is the
-    // artifact that encodes text, and it must match the oracle's replay
-    // of the same 8 merges string-for-string (the eow marker included).
-    ("q233_bpe_tokens", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = merges8(s, dir)
-      ext.Bpe.tokenTable(docs, "text", merges)
-        .orderBy(col("word"), col("token_idx"))
-    }, Some(s"""
-      WITH ${bpeOracleCtes(8)},
-      t AS (
-        SELECT word,
-          string_split(substr(sym, 2, length(sym) - 2), '||') AS s
-        FROM w8)
-      SELECT word, CAST(u.i - 1 AS INT) AS token_idx, s[u.i] AS token
-      FROM t CROSS JOIN LATERAL (
-        SELECT unnest(range(1, len(s) + 1)) AS i) u
-      ORDER BY word, token_idx""")),
-
-    // Per-document TOKEN-ID sequences — the missing last mile between the
-    // tokenizer family (which emitted counts and token strings) and
-    // packing: a training pipeline ships id ARRAYS. Merges learned (q223's
-    // loop), vocabulary ids assigned by frequency rank (Bpe.vocab — count
-    // desc, token asc, dense 0-based), every doc's words resolved through
-    // the word→ids artifact and flattened in (word pos, token pos) order.
-    // Gated token by token: the id arrays are posexploded so the oracle
-    // compares every (doc, pos, id) triple exactly.
-    ("q234_bpe_token_ids", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = merges8(s, dir)
-      val v = vocab8Df(s, dir)
-      ext.Bpe.tokenIds(docs, "doc_id", "text", merges, v)
-        .select(col("doc_id"),
-          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
-        .orderBy(col("doc_id"), col("pos"))
-    }, Some(s"""
-      WITH ${bpeOracleCtes(8)},
-      ${bpeTokenIdCtes}
-      SELECT doc_id,
-        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS INT) AS pos,
-        v.token_id
-      FROM dt JOIN vocab v USING (token)
-      ORDER BY doc_id, pos""")),
-
-    // The END-TO-END token pipeline: docs → learned merges → vocabulary →
-    // per-doc token-id arrays → 2048-token packed training examples, every
-    // example's payload gated position by position against the oracle's
-    // independent replay (concatenate-the-corpus-then-chunk semantics; a
-    // doc spanning an example boundary contributes to both). The offsets
-    // come from the GlobalCumsum two-phase spine — per-token rows only
-    // ever exist AFTER the doc-level cumsum, so token payloads never
-    // shuffle (Packing.packTokens).
-    ("q235_pack_token_ids", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = merges8(s, dir)
-      val v = vocab8Df(s, dir)
-      val ids = ext.Bpe.tokenIds(docs, "doc_id", "text", merges, v)
-      ext.Packing.packTokens(ids, "doc_id", "token_ids", exampleTokens = 2048L)
-        .orderBy(col("example_id"), col("pos"))
-    }, Some(s"""
-      WITH ${bpeOracleCtes(8)},
-      ${bpeTokenIdCtes},
-      seq AS (
-        SELECT dt.doc_id, v.token_id,
-          row_number() OVER (ORDER BY dt.doc_id, dt.wpos, dt.tpos) - 1 AS g
-        FROM dt JOIN vocab v USING (token))
-      SELECT CAST(g // 2048 AS BIGINT) AS example_id,
-        CAST(g % 2048 AS BIGINT) AS pos, doc_id, token_id
-      FROM seq ORDER BY example_id, pos""")),
-
-    // BATCHED BPE training gated end to end: 8 merges learned two
-    // candidates per counting round with the deferral rule (a rank-2 pair
-    // sharing a symbol with — or naming the output of — rank 1 waits for
-    // the next round), against a full DuckDB replay of the same batched
-    // rounds. This is the production merge-count path: driver round trips
-    // drop batch× (Stress: 256 merges in 41 rounds), while batch=1
-    // degenerates to q223's sequential loop exactly (spec law).
-    ("q236_bpe_batched", (s, dir) => {
-      ext.Bpe.learnMergesBatched(T(s, dir, "documents"), "text",
-          merges = 8, batch = 2)
-        .orderBy(col("step"))
-    }, Some(s"""
-      WITH ${bpeBatchedOracleCtes(8)}
-      SELECT step, round, "left", "right", merged, pair_count FROM (
-        SELECT CAST(row_number() OVER (ORDER BY round, rk) AS INT) AS step,
-          round, l AS "left", r AS "right", l || r AS merged, c AS pair_count
-        FROM (${(1 to 8).map(i =>
-          s"SELECT CAST($i AS INT) AS round, l, r, c, rk FROM ba$i")
-          .mkString(" UNION ALL ")}))
-      WHERE step <= 8 ORDER BY step""")),
-
-    // The residual-IVFADC index as a STORED deployment artifact (q197's
-    // stored-index discipline for the q212 production form): centroids,
-    // residual codebooks, and the encoded base index (vec_id % 7 != 0 —
-    // coarse list + residual PQ codes, m+2 small values per vector, the
-    // vectors themselves never stored) persist as parquet ONCE per JVM;
-    // the consumer reloads the frozen model, encodes ONLY the increment
-    // (vec_id % 7 == 0) against it, unions the index rows, and serves
-    // queries — and must reproduce q212's from-scratch oracle VERBATIM,
-    // because nothing in an index row depends on corpus membership.
-    ("q237_ivfpq_residual_store", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q237_ivfpq_store", dir) { p =>
-        val cent = emb.where(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("cid"), col("embedding"))
-        val cbRes = Similarity.pqCodebookByStride(
-          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
-          "vec_id", "res", m = 4, subDim = 16, stride = 50)
-        cent.write.mode("overwrite").parquet(s"$p/centroids")
-        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
-        Similarity.residualIndex(emb.where(col("vec_id") % 7 =!= 0),
-            cent, cbRes, "vec_id", "cid", "embedding", m = 4, subDim = 16)
-          .write.mode("overwrite").parquet(s"$p/index")
-      }
-      val cent = s.read.parquet(s"$tmp/centroids")
-      val cb = s.read.parquet(s"$tmp/codebooks")
-      val stored = s.read.parquet(s"$tmp/index")
-      val incr = Similarity.residualIndex(emb.where(col("vec_id") % 7 === 0),
-        cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)
-      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
-        stored.unionByName(incr), cent, cb, "vec_id", "cid", "embedding",
-        k = 3, m = 4, subDim = 16, nprobe = 2)
-        .orderBy(col("q_id"), col("rank"))
-    }, Some(ivfAdcFullOracle)),
-
-    // STREAMING tokenize-to-ids — the serving shape of the whole tokenizer
-    // family: merges AND vocabulary are trained offline and ship as
-    // LITERALS (the token space is alphabet + merges — model metadata), so
-    // resolving a document to its id sequence is a pure per-row projection:
-    // no join, no aggregation, no state (Bpe.tokenIdsRowwise). Gated on
-    // q234's oracle VERBATIM — the stream must reproduce the batch id
-    // assignment token for token. VERIFICATION-HARNESS BOUNDARY
-    // (q19/q170 convention): memory sink + collect; the batch-side
-    // posexplode just reshapes the collected arrays for the gate.
-    ("q238_stream_token_ids", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = merges8(s, dir)
-      val vocab = vocab8Map(s, dir)
-      val tmp = graft.util.Staging.dir("q226_docs", dir) { p =>
-        docs.select(col("doc_id"), col("text"))
-          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
-      }
-      val qname = "graft_stream_token_ids"
-      val (schema, rows) = {
-        val stream = s.readStream
-          .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
-        val q = ext.Bpe.tokenIdsRowwise(stream, "doc_id", "text", merges, vocab)
-          .writeStream.outputMode("append").format("memory").queryName(qname)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        val res = s.table(qname)
-        val out = (res.schema, res.collect())
-        s.catalog.dropTempView(qname)
-        out
-      }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .select(col("doc_id"),
-          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
-        .orderBy(col("doc_id"), col("pos"))
-    }, Some(s"""
-      WITH ${bpeOracleCtes(8)},
-      ${bpeTokenIdCtes}
-      SELECT doc_id,
-        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS INT) AS pos,
-        v.token_id
-      FROM dt JOIN vocab v USING (token)
-      ORDER BY doc_id, pos""")),
-
-    // Detokenization ROUND TRIP — the proof that the id arrays are
-    // information-complete: ids resolve back through the INVERSE vocab
-    // (literal map, no join), tokens concatenate, eow markers become word
-    // boundaries, and the rebuilt text must equal the original (modulo
-    // space runs — empty words are filtered at encode time, the
-    // tokenizer's one documented loss; the oracle normalizes identically).
-    ("q239_detokenize_roundtrip", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = merges8(s, dir)
-      val vdf = vocab8Df(s, dir)
-      val vocab = vocab8Map(s, dir)
-      val ids = ext.Bpe.tokenIds(docs, "doc_id", "text", merges, vdf)
-      ext.Bpe.detokenize(ids, "doc_id", "token_ids", vocab)
-        .orderBy(col("doc_id"))
-    }, Some("""
-      SELECT doc_id,
-        array_to_string(list_filter(string_split(text, ' '), w -> w <> ''), ' ')
-          AS text_rebuilt
-      FROM documents
-      WHERE text IS NOT NULL
-        AND len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
-      ORDER BY doc_id""")),
-
-    // REAL perceptual-hash image dedup — the image twin of the simhash
-    // text pipeline, every stage real and oracle-replayed: deterministic
-    // PNG variants (pairs share a pixel source; odd ids carry a one-grey-
-    // level tweak at (0,0); every 50th payload corrupted) → javax.imageio
-    // decode → exact-integer 8×8 average-hash (two 32-bit halves — the
-    // oracle engine cannot shift into bit 63) → 4×16-bit band buckets →
-    // exact hamming verify ≤ 3. The banded join is RESULT-IDENTICAL to
-    // brute force at this threshold (pigeonhole: ≤3 differing bits leave
-    // ≥1 of 4 bands equal), so the oracle replays brute force; corrupt
-    // payloads hash as hashOk=false and must match NOTHING.
-    ("q240_image_ahash_dedup", (s, dir) => {
-      val specs = T(s, dir, "documents").where(col("doc_id") < 200).select(
-        col("doc_id").as("id"),
-        expr("doc_id div 2").as("pxId"),
-        (lit(8) + expr("doc_id div 2") % 5).cast("int").as("w"),
-        (lit(8) + expr("doc_id div 2") % 4).cast("int").as("h"),
-        (col("doc_id") % 2 === 1).as("tweak"))
-      val media = Multimodal.synthesizePngVariants(specs).toDF()
-        .withColumn("payload",
-          when(col("id") % 50 === 0, lit("notanimage".getBytes("UTF-8")))
-            .otherwise(col("payload")))
-      val hashes = Multimodal.averageHashes(media).toDF()
-      Dedup.imageDupPairs(hashes, "id", "hashHi", "hashLo", maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
-    }, Some("""
-      WITH d AS (
-        SELECT doc_id AS id, doc_id // 2 AS px_id, doc_id % 2 = 1 AS tweak
-        FROM documents WHERE doc_id < 200 AND doc_id % 50 <> 0),
-      geo AS (
-        SELECT id, px_id, tweak, 8 + px_id % 5 AS w, 8 + px_id % 4 AS h
-        FROM d),
-      px AS (
-        SELECT g.id, g.w, g.h, x.x AS x, y.y AS y,
-          (((g.px_id * 31 + x.x * 7 + y.y * 13) % 256) +
-           CASE WHEN g.tweak AND x.x = 0 AND y.y = 0 THEN 1 ELSE 0 END) % 256 AS p
-        FROM geo g
-        CROSS JOIN (SELECT unnest(range(0, 13)) AS x) x
-        CROSS JOIN (SELECT unnest(range(0, 12)) AS y) y
-        WHERE x.x < g.w AND y.y < g.h),
-      cells AS (
-        SELECT id, (y * 8) // h AS gy, (x * 8) // w AS gx,
-          sum(p)::BIGINT AS cs, count(*)::BIGINT AS cp
-        FROM px GROUP BY 1, 2, 3),
-      tot AS (
-        SELECT id, sum(cs)::BIGINT AS ts, sum(cp)::BIGINT AS tp
-        FROM cells GROUP BY 1),
-      grid AS (
-        SELECT a.gy, b.gx
-        FROM (SELECT unnest(range(0, 8)) AS gy) a,
-             (SELECT unnest(range(0, 8)) AS gx) b),
-      bits AS (
-        SELECT t.id, g.gy * 8 + g.gx AS k,
-          CASE WHEN COALESCE(c.cs, 0) * t.tp > t.ts * COALESCE(c.cp, 0)
-               THEN 1 ELSE 0 END AS bit
-        FROM tot t CROSS JOIN grid g
-        LEFT JOIN cells c ON c.id = t.id AND c.gy = g.gy AND c.gx = g.gx),
-      hashes AS (
-        SELECT id,
-          sum(CASE WHEN k < 32 THEN bit::BIGINT << (31 - k) ELSE 0 END)::BIGINT AS hi,
-          sum(CASE WHEN k >= 32 THEN bit::BIGINT << (63 - k) ELSE 0 END)::BIGINT AS lo
-        FROM bits GROUP BY 1)
-      SELECT a.id AS id_a, b.id AS id_b,
-        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
-      FROM hashes a JOIN hashes b ON a.id < b.id
-      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-      ORDER BY id_a, id_b""")),
-
-    // REAL audio decode — the JDK's own codec (javax.sound.sampled, the
-    // audio twin of javax.imageio; q214's discipline): deterministic
-    // 16-bit PCM mono WAVs (sample formula s = ((id·31+i·7) mod 65536) −
-    // 32768, lossless container ⇒ exact round trip), every 50th payload
-    // corrupted and flagging decodeOk=false instead of killing the scan.
-    // Features are exact integers (n_samples, peak |s|, Σ|s|) the oracle
-    // recomputes arithmetically. Compressed formats (mp3/ogg) stay a
-    // documented deployment boundary — the container family is real.
-    ("q241_audio_decode", (s, dir) => {
-      val specs = T(s, dir, "documents").select(
-        col("doc_id").as("id"),
-        (lit(256) + col("doc_id") % 100).cast("int").as("nSamples"),
-        (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("sampleRate"))
-      val media = Multimodal.synthesizeWavs(specs).toDF()
-        .withColumn("payload",
-          when(col("id") % 50 === 0, lit("notaudio".getBytes("UTF-8")))
-            .otherwise(col("payload")))
-      Multimodal.decodeWavs(media).toDF()
-        .select(col("id").as("doc_id"), col("decodeOk").as("decode_ok"),
-          col("sampleRate").cast("long").as("sample_rate"),
-          col("nChannels").cast("long").as("n_channels"),
-          col("nSamples").as("n_samples"),
-          col("peakAbs").as("peak_abs"), col("sumAbs").as("sum_abs"))
-        .orderBy(col("doc_id"))
-    }, Some("""
-      WITH d AS (
-        SELECT doc_id, 256 + doc_id % 100 AS n,
-               8000 + (doc_id % 3) * 4000 AS rate,
-               doc_id % 50 = 0 AS corrupt
-        FROM documents),
-      sm AS (
-        SELECT d.doc_id,
-          CAST(max(abs((d.doc_id * 31 + i.i * 7) % 65536 - 32768)) AS BIGINT) AS peak,
-          CAST(sum(abs((d.doc_id * 31 + i.i * 7) % 65536 - 32768)) AS BIGINT) AS sa
-        FROM d CROSS JOIN (SELECT unnest(range(0, 356)) AS i) i
-        WHERE i.i < d.n
-        GROUP BY d.doc_id)
-      SELECT d.doc_id, NOT d.corrupt AS decode_ok,
-        CAST(CASE WHEN d.corrupt THEN 0 ELSE d.rate END AS BIGINT) AS sample_rate,
-        CAST(CASE WHEN d.corrupt THEN 0 ELSE 1 END AS BIGINT) AS n_channels,
-        CAST(CASE WHEN d.corrupt THEN 0 ELSE d.n END AS BIGINT) AS n_samples,
-        CASE WHEN d.corrupt THEN 0 ELSE sm.peak END AS peak_abs,
-        CASE WHEN d.corrupt THEN 0 ELSE sm.sa END AS sum_abs
-      FROM d JOIN sm ON sm.doc_id = d.doc_id
-      ORDER BY d.doc_id""")),
-
-    // REAL audio framing — fixed 128-sample analysis frames with exact
-    // integer energy (Σ|s| per frame): the VAD/segmentation primitive,
-    // 1→n rows per payload through the typed flatMap (the real shape of a
-    // frame extractor); the ragged final frame keeps its true sample
-    // count, corrupt payloads emit nothing.
-    ("q242_audio_frames", (s, dir) => {
-      val specs = T(s, dir, "documents").where(col("doc_id") < 100).select(
-        col("doc_id").as("id"),
-        (lit(256) + col("doc_id") % 100).cast("int").as("nSamples"),
-        lit(16000).as("sampleRate"))
-      val media = Multimodal.synthesizeWavs(specs).toDF()
-        .withColumn("payload",
-          when(col("id") % 50 === 0, lit("notaudio".getBytes("UTF-8")))
-            .otherwise(col("payload")))
-      Multimodal.frameEnergies(media, frameSamples = 128).toDF()
-        .select(col("id").as("doc_id"), col("frameIndex").as("frame_index"),
-          col("nSamples").as("n_samples"), col("sumAbs").as("sum_abs"))
-        .orderBy(col("doc_id"), col("frame_index"))
-    }, Some("""
-      WITH d AS (
-        SELECT doc_id, 256 + doc_id % 100 AS n
-        FROM documents WHERE doc_id < 100 AND doc_id % 50 <> 0),
-      sm AS (
-        SELECT d.doc_id, i.i // 128 AS frame_index,
-          count(*)::BIGINT AS n_samples,
-          CAST(sum(abs((d.doc_id * 31 + i.i * 7) % 65536 - 32768)) AS BIGINT) AS sum_abs
-        FROM d CROSS JOIN (SELECT unnest(range(0, 356)) AS i) i
-        WHERE i.i < d.n
-        GROUP BY 1, 2)
-      SELECT doc_id, CAST(frame_index AS BIGINT) AS frame_index, n_samples, sum_abs
-      FROM sm ORDER BY doc_id, frame_index""")),
-
-    // Padded-batch manifest — the SFT packing discipline (docs stay
-    // ATOMIC; each batch pads to its max length): exact length-sorted
-    // global order (GlobalCumsum row number — no single-partition sort),
-    // consecutive 32-doc batches, exact integer padding economics
-    // (padding_waste = n_docs·max_len − total_tokens is the token mass a
-    // trainer burns on pads; length-sorting collapses the in-batch
-    // spread — the reason sorted batching exists).
-    ("q243_padded_batches", (s, dir) => {
-      val docs = T(s, dir, "documents").where(col("text").isNotNull)
-        .select(col("doc_id"),
-          size(filter(TextAnalysis.words(col("text")), w => w =!= ""))
-            .cast("long").as("n_tokens"))
-      ext.Packing.paddedBatchManifest(docs, "doc_id", "n_tokens", batchDocs = 32)
-        .orderBy(col("batch_id"))
-    }, Some("""
-      WITH d AS (
-        SELECT doc_id,
-          len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n
-        FROM documents WHERE text IS NOT NULL),
-      r AS (
-        SELECT doc_id, n, row_number() OVER (ORDER BY n, doc_id) AS rn
-        FROM d)
-      SELECT CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
-        count(*)::BIGINT AS n_docs,
-        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-        min(n)::BIGINT AS min_len, max(n)::BIGINT AS max_len,
-        sum(n)::BIGINT AS total_tokens,
-        (count(*) * max(n) - sum(n))::BIGINT AS padding_waste
-      FROM r GROUP BY 1 ORDER BY batch_id""")),
-
-    // The PRODUCTION-merge-count apply path, gated end to end at 2048
-    // merges: past Bpe.RankPathMaxMerges the apply family routes through
-    // the typed rank tokenizer (broadcast pair→rank map + per-word
-    // lowest-ranked-present-pair loop) instead of the nested-replace
-    // expression chain, whose plan DEPTH grows with the merge count — the
-    // one plan shape that fails structurally at a 32k-merge vocabulary.
-    // The corpus's 31-word fixture vocabulary can't source 2048 merges, so
-    // each doc is salted with 12 md5-derived pseudo-words (the
-    // q240/q241 fixture discipline: payloads from a doc_id formula the
-    // oracle replays) and the merge table is the top-450 words' prefix
-    // chains — (prefix_j, char_{j+1}) in (word rank, j) order, deduped
-    // keeping first, capped at 2048. Prefix chains satisfy the same
-    // creation-order invariant every LEARNED table has (a pair's left
-    // symbol is built by a strictly earlier merge), so rank application is
-    // well-defined; the oracle replays the exact table and folds all 2048
-    // delimited replaces per distinct word (list_reduce), then gates every
-    // per-doc count. The merge table itself is model metadata (2048 rows
-    // collected — the k-means discipline).
-    ("q244_bpe_rank_2048", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val salted = docs.where(col("text").isNotNull)
-        .select(col("doc_id"), concat(col("text"), lit(" "),
-          concat_ws(" ", transform(sequence(lit(0), lit(11)), i =>
-            md5(concat(col("doc_id").cast("string"), lit("_"), i.cast("string")))
-              .substr(lit(1), (lit(3) + pmod(col("doc_id") * 7 + i * 13, lit(10)))
-                .cast("int"))))).as("text2"))
-      val counts = salted
-        .select(explode(split(col("text2"), " ")).as("word"))
-        .where(col("word") =!= "" && length(col("word")).between(2, 63))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      val ranked = GlobalCumsum.rowNumber(counts,
-        Seq(col("cnt").desc, md5(col("word")), col("word")), "rk")
-        .where(col("rk") <= 450)
-      val merges = ranked
-        .select(col("rk"), col("word"),
-          explode(sequence(lit(1), length(col("word")) - 1)).as("j"))
-        .select(col("word").substr(lit(1), col("j")).as("l"),
-          col("word").substr(col("j") + 1, lit(1)).as("r"),
-          (col("rk") * 64 + col("j")).as("ord"))
-        .groupBy(col("l"), col("r")).agg(min(col("ord")).as("ord"))
-        .orderBy(col("ord")).limit(2048)
-        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-      require(merges.size > ext.Bpe.RankPathMaxMerges,
-        s"q244 must exercise the rank path, got only ${merges.size} merges")
-      ext.Bpe.applyMerges(salted, "doc_id", "text2", merges) // routes typed at 2048
-        .orderBy(col("doc_id"))
-    }, Some(raw"""
-      WITH sw AS (
-        SELECT doc_id, i.i AS i,
-          substr(md5(doc_id || '_' || i.i), 1,
-            CAST(3 + (doc_id*7 + i.i*13) % 10 AS INT)) AS w
-        FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL)
-        CROSS JOIN (SELECT unnest(range(0, 12)) AS i) i),
-      salt AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS swords
-               FROM sw GROUP BY doc_id),
-      d AS MATERIALIZED (
-        SELECT dd.doc_id, dd.text || ' ' || s.swords AS text
-        FROM documents dd JOIN salt s USING (doc_id) WHERE dd.text IS NOT NULL),
-      w AS (
-        SELECT word, count(*)::BIGINT AS cnt FROM (
-          SELECT unnest(string_split(text, ' ')) AS word FROM d)
-        WHERE word <> '' AND len(word) BETWEEN 2 AND 63 GROUP BY word),
-      r AS (
-        SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, md5(word), word) AS BIGINT) AS rk
-        FROM w),
-      chains AS (
-        SELECT substr(word, 1, CAST(j.j AS INT)) AS l,
-               substr(word, CAST(j.j AS INT) + 1, 1) AS r2,
-               min(rk*64 + j.j) AS ord
-        FROM r CROSS JOIN LATERAL (SELECT unnest(range(1, len(word))) AS j) j
-        WHERE rk <= 450 GROUP BY 1, 2),
-      mt AS (
-        SELECT l, r2, CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS rank
-        FROM chains QUALIFY rank <= 2048),
-      ml AS (SELECT list('|' || l || '||' || r2 || '|' || chr(9) || '|' || l || r2 || '|'
-               ORDER BY rank) AS ms FROM mt),
-      dict AS (
-        SELECT DISTINCT word FROM (
-          SELECT unnest(string_split(text, ' ')) AS word FROM d) WHERE word <> ''),
-      tok AS MATERIALIZED (
-        SELECT word, list_reduce(
-            list_prepend(regexp_replace(word, '(.)', '|\1|', 'g') || '|>|',
-              (SELECT ms FROM ml)),
-            (acc, m) -> replace(acc, split_part(m, chr(9), 1), split_part(m, chr(9), 2))) AS sym
-        FROM dict),
-      tokn AS (SELECT word,
-          (length(sym) - length(replace(sym, '|', ''))) // 2 AS n_syms FROM tok),
-      dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM d)
-      SELECT doc_id, count(*)::BIGINT AS n_words,
-        CAST(sum(t.n_syms) AS BIGINT) AS n_tokens
-      FROM dw JOIN tokn t USING (word) WHERE word <> ''
-      GROUP BY doc_id ORDER BY doc_id""")),
-
-    // STREAMING tokenize-to-ids made TOTAL — the byte-fallback production
-    // OOV path: the stream carries characters the training corpus never saw
-    // (each doc salted with "theñ<d>→" — a 2-byte and a 3-byte code point
-    // plus a digit, fused to a real-word prefix so learned merges apply
-    // INSIDE the partially-OOV word), and instead of killing the query an
-    // out-of-vocabulary token falls back to its UTF-8 bytes as ids
-    // byteFallbackBase + byte (Bpe.tokenIdsTyped, the typed rank path —
-    // model broadcast, never plan literals). The oracle learns the same 8
-    // merges, tokenizes the SALTED words through the same replace chain,
-    // resolves known tokens through the vocab and OOV tokens byte by byte
-    // (hex(encode(token))), and gates every (doc, pos, id) triple.
-    ("q245_stream_byte_fallback", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = merges8(s, dir)
-      val vocab = vocab8Map(s, dir)
-      val tmp = graft.util.Staging.dir("q245_salted_docs", dir) { p =>
-        docs.where(col("text").isNotNull)
-          .select(col("doc_id"), concat(col("text"), lit(" theñ"),
-            (col("doc_id") % 7).cast("string"), lit("→")).as("text"))
-          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
-      }
-      val qname = "graft_stream_byte_fallback"
-      val (schema, rows) = {
-        val stream = s.readStream
-          .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
-        val q = ext.Bpe.tokenIdsTyped(stream, "doc_id", "text", merges, vocab,
-            byteFallback = true)
-          .writeStream.outputMode("append").format("memory").queryName(qname)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        val res = s.table(qname)
-        val out = (res.schema, res.collect())
-        s.catalog.dropTempView(qname)
-        out
-      }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .select(col("doc_id"),
-          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
-        .orderBy(col("doc_id"), col("pos"))
-    }, Some(s"""
-      WITH ${bpeOracleCtes(8)},
-      ${bpeTokenIdCtes},
-      sdw AS (
-        SELECT doc_id, u.i AS wpos, ws[u.i] AS word
-        FROM (SELECT doc_id,
-                string_split(text || ' theñ' || (doc_id % 7) || '→', ' ') AS ws
-              FROM documents WHERE text IS NOT NULL)
-        CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
-        WHERE ws[u.i] <> ''),
-      stok AS MATERIALIZED (
-        SELECT word, string_split(substr(sym2, 2, length(sym2) - 2), '||') AS ts
-        FROM (SELECT word, ${bpeApplyOracleExpr(8)} AS sym2
-              FROM (SELECT DISTINCT word FROM sdw))),
-      vsz AS (SELECT max(token_id) + 1 AS base FROM vocab),
-      stid AS (
-        SELECT d.doc_id, d.wpos, u.i AS tpos, t.ts[u.i] AS token
-        FROM sdw d JOIN stok t USING (word)
-        CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.ts) + 1)) AS i) u),
-      pertok AS (
-        SELECT s.doc_id, s.wpos, s.tpos,
-          CASE WHEN v.token_id IS NOT NULL THEN [v.token_id]
-               ELSE list_transform(range(1, octet_length(encode(s.token)) + 1), j ->
-                 CAST(z.base +
-                   CAST('0x' || substr(hex(encode(s.token)), CAST(2*j-1 AS INT), 2) AS INT) AS INT))
-          END AS ids
-        FROM stid s LEFT JOIN vocab v USING (token) CROSS JOIN vsz z),
-      flat AS (
-        SELECT doc_id, wpos, tpos, u.i AS bpos, ids[u.i] AS token_id
-        FROM pertok CROSS JOIN LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i) u)
-      SELECT doc_id,
-        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos, bpos) - 1 AS INT) AS pos,
-        token_id
-      FROM flat ORDER BY doc_id, pos""")),
-
-    // Byte-fallback ROUND TRIP — the id arrays of the salted (OOV-bearing)
-    // corpus are information-complete: detokenizeTyped resolves learned ids
-    // through the inverse vocab and BYTE RUNS through one UTF-8 decode (a
-    // multi-byte code point's bytes are adjacent by construction, and
-    // UTF-8 concat-decode equals decode-concat), reproducing the salted
-    // text exactly modulo space runs — q239's law, now under OOV input.
-    ("q246_byte_fallback_roundtrip", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = merges8(s, dir)
-      val vocab = vocab8Map(s, dir)
-      val salted = docs.where(col("text").isNotNull)
-        .select(col("doc_id"), concat(col("text"), lit(" theñ"),
-          (col("doc_id") % 7).cast("string"), lit("→")).as("text"))
-      val ids = ext.Bpe.tokenIdsTyped(salted, "doc_id", "text", merges, vocab,
-        byteFallback = true)
-      ext.Bpe.detokenizeTyped(ids, "doc_id", "token_ids", vocab,
-          byteFallback = true)
-        .orderBy(col("doc_id"))
-    }, Some("""
-      SELECT doc_id,
-        array_to_string(list_filter(
-          string_split(text || ' theñ' || (doc_id % 7) || '→', ' '),
-          w -> w <> ''), ' ') AS text_rebuilt
-      FROM documents WHERE text IS NOT NULL
-      ORDER BY doc_id""")),
-
-    // SemDeDup with a BINDING giant-cluster cap, oracle-pinned: q219 runs
-    // the unguarded pair space (its fixture clusters are well-sized); this
-    // gate sets maxClusterSize = 40 — BELOW every coarse cluster here
-    // (~100 members: |corpus| / |stride centroids| at both SFs), so the
-    // stride-split path (Dedup.semDedup:maxClusterSize — sub-bucket =
-    // hash48(id) mod ceil(|c|/cap), pairs per (cluster, sub-bucket)) runs
-    // for real and the oracle replays it: same md5-prefix hash, same
-    // ceil arithmetic, same within-sub-bucket pairing, same star/min-label
-    // components over the reduced edge set. The guarded result trades
-    // cross-sub-bucket edges for the Σ|c|² bound — exactly what the replay
-    // computes, so any deviation in the split (wrong modulus, unsplit
-    // cluster, hash drift) fails every downstream row.
-    ("q247_semdedup_capped", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val cent = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cid"), col("embedding"))
-      Dedup.semDedup(emb, cent, "vec_id", "embedding", "cid", "embedding",
-        threshold = 0.25, maxClusterSize = 40)
-        .orderBy(col("vec_id"))
-    }, Some("""
-      WITH RECURSIVE v AS (
-        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      cent AS (SELECT vec_id AS cid, vec AS cv FROM v WHERE vec_id % 100 = 0),
-      sims AS (
-        SELECT a.vec_id AS id, c.cid,
-          list_sum(list_transform(range(1, least(len(a.vec), len(c.cv)) + 1),
-            i -> a.vec[i] * c.cv[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(c.cv) + 1), i -> c.cv[i] * c.cv[i])))) AS s
-        FROM v a CROSS JOIN cent c),
-      assign AS (
-        SELECT id, cid, s AS sim_c FROM (
-          SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
-          FROM sims) WHERE rn = 1),
-      sizes AS (SELECT cid, count(*)::BIGINT AS csz FROM assign GROUP BY cid),
-      sub AS (
-        SELECT a.id, a.cid,
-          ('0x' || substr(md5(CAST(a.id AS VARCHAR)), 1, 12))::BIGINT %
-            CAST(ceil(z.csz / 40.0) AS BIGINT) AS sb
-        FROM assign a JOIN sizes z USING (cid)),
-      pairs AS (
-        SELECT a.id AS id_a, b.id AS id_b
-        FROM sub a JOIN sub b ON a.cid = b.cid AND a.sb = b.sb AND a.id < b.id
-        JOIN v va ON va.vec_id = a.id JOIN v vb ON vb.vec_id = b.id
-        WHERE list_sum(list_transform(range(1, least(len(va.vec), len(vb.vec)) + 1),
-            i -> va.vec[i] * vb.vec[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(va.vec) + 1), i -> va.vec[i] * va.vec[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(vb.vec) + 1), i -> vb.vec[i] * vb.vec[i]))))
-            >= 0.25),
-      e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-            UNION SELECT id_b, id_a FROM pairs),
-      reach AS (
-        SELECT src AS id, src AS label FROM e
-        UNION
-        SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.id),
-      cc AS (SELECT id, min(label) AS comp FROM reach GROUP BY id),
-      lab AS (
-        SELECT a.id, a.cid, a.sim_c, COALESCE(cc.comp, a.id) AS comp
-        FROM assign a LEFT JOIN cc ON cc.id = a.id),
-      keepers AS (
-        SELECT comp, id AS keep_id FROM (
-          SELECT comp, id, row_number() OVER (PARTITION BY comp ORDER BY sim_c, id) AS rn
-          FROM lab) WHERE rn = 1)
-      SELECT lab.id AS vec_id, lab.cid, lab.sim_c, lab.comp,
-             lab.id = keepers.keep_id AS keep
-      FROM lab JOIN keepers USING (comp) ORDER BY vec_id""")),
-
-    // Packed-example DOC BOUNDARIES — the attention-masking metadata q235's
-    // payload gate doesn't carry: a trainer packing multiple docs into one
-    // 2048-token example must know where each doc segment starts so tokens
-    // never attend across documents. packedExamplesWithBoundaries emits
-    // (doc_starts, doc_ids) per example off the SAME one-agg fold as the
-    // payload (a doc's tokens are contiguous by construction, so
-    // boundaries are exactly the owner changes in position order); the
-    // gate posexplodes the boundary arrays and the oracle recomputes every
-    // (example, slot, start, doc) from the q235 token stream.
-    ("q248_packed_doc_boundaries", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = merges8(s, dir)
-      val v = vocab8Df(s, dir)
-      val ids = ext.Bpe.tokenIds(docs, "doc_id", "text", merges, v)
-      ext.Packing.packedExamplesWithBoundaries(ids, "doc_id", "token_ids",
-          exampleTokens = 2048L)
-        .select(col("example_id"), col("n_tokens"),
-          posexplode(arrays_zip(col("doc_starts"), col("doc_ids")))
-            .as(Seq("slot", "__b")))
-        .select(col("example_id"), col("n_tokens"), col("slot"),
-          col("__b.doc_starts").as("doc_start"),
-          col("__b.doc_ids").as("doc_id"))
-        .orderBy(col("example_id"), col("slot"))
-    }, Some(s"""
-      WITH ${bpeOracleCtes(8)},
-      ${bpeTokenIdCtes},
-      seq AS (
-        SELECT dt.doc_id, v.token_id,
-          row_number() OVER (ORDER BY dt.doc_id, dt.wpos, dt.tpos) - 1 AS g
-        FROM dt JOIN vocab v USING (token)),
-      tok AS (
-        SELECT CAST(g // 2048 AS BIGINT) AS example_id,
-               CAST(g % 2048 AS BIGINT) AS pos, doc_id FROM seq),
-      b AS (
-        SELECT example_id, doc_id, min(pos) AS doc_start
-        FROM tok GROUP BY 1, 2),
-      n AS (SELECT example_id, count(*)::BIGINT AS n_tokens FROM tok GROUP BY 1)
-      SELECT b.example_id, n.n_tokens,
-        CAST(row_number() OVER (PARTITION BY b.example_id ORDER BY b.doc_start) - 1 AS INT) AS slot,
-        b.doc_start, b.doc_id
-      FROM b JOIN n USING (example_id)
-      ORDER BY example_id, slot""")),
-
-    // The ANN index LIFECYCLE — the operational loop a production vector
-    // store runs, composed from the individually-gated pieces and
-    // oracle-replayed end to end: an increment arrives DRIFTED (every
-    // element x → 0.75·x + 0.1 — elementwise IEEE ops, exact in both
-    // engines); q201's drift audit detects it (exact quantized BIGINT
-    // sums, per-dim mean shift); serving then compares the two responses —
-    // FROZEN (q237: increment encoded against the old centroids+codebooks,
-    // unioned with the stored base index) vs REFIT (centroids and residual
-    // codebooks re-derived from the drifted corpus — stride-picked, the
-    // reproducible-gate stand-in for fitCentroids — and the whole corpus
-    // re-encoded). Both serve the same 8 queries; per-query top-5 hits
-    // against the exact L2 ground truth land in one report with the
-    // drifted-dimension count. Everything is exact integers, so the gate
-    // hash-pins the entire loop: audit arithmetic, both encode chains,
-    // both ADC rankings, the ground truth, and the recall bookkeeping.
-    ("q249_ann_lifecycle", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val base = emb.where(col("vec_id") % 7 =!= 0)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val inc = emb.where(col("vec_id") % 7 === 0)
-        .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
-          x => x * lit(0.75) + lit(0.1)).as("embedding"))
-      val cur = graft.util.Caches.register(
-        base.unionByName(inc).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // 1. drift audit (q201 path): dims whose base-vs-increment mean shift
-      // exceeds 20 grid units — a 1-row frame, crossJoined into the report
-      val driftRow = graft.ext.LinAlg.perDimDrift(base, inc, "embedding")
-        .agg(count(when(abs(col("shift_milli")) > 20.0, 1)).as("drifted_dims"))
-      val queries = cur.where(col("vec_id") < 8)
-      // 2. FROZEN serving: old model from the base only; increment encoded
-      // against it (q237's frozen-model contract) and unioned in
-      val centOld = base.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cid"), col("embedding"))
-      val cbOld = Similarity.pqCodebookByStride(
-        Similarity.residuals(base, centOld, "vec_id", "cid", "embedding"),
-        "vec_id", "res", m = 4, subDim = 16, stride = 5)
-      val idxFrozen = Similarity
-        .residualIndex(base, centOld, cbOld, "vec_id", "cid", "embedding", 4, 16)
-        .unionByName(Similarity
-          .residualIndex(inc, centOld, cbOld, "vec_id", "cid", "embedding", 4, 16))
-      val frozenTop = Similarity.ivfPqResidualStoredTopK(queries, idxFrozen,
-        centOld, cbOld, "vec_id", "cid", "embedding", k = 10, m = 4, subDim = 16,
-        nprobe = 4)
-      // 3. REFIT serving: model re-derived from the drifted corpus, whole
-      // corpus re-encoded — the cost the recall delta is weighed against
-      val centNew = cur.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cid"), col("embedding"))
-      val cbNew = Similarity.pqCodebookByStride(
-        Similarity.residuals(cur, centNew, "vec_id", "cid", "embedding"),
-        "vec_id", "res", m = 4, subDim = 16, stride = 5)
-      val idxNew = Similarity
-        .residualIndex(cur, centNew, cbNew, "vec_id", "cid", "embedding", 4, 16)
-      val refitTop = Similarity.ivfPqResidualStoredTopK(queries, idxNew,
-        centNew, cbNew, "vec_id", "cid", "embedding", k = 10, m = 4, subDim = 16,
-        nprobe = 4)
-      // 4. exact L2 ground truth over the current corpus (bounded: 8 queries)
-      // queries side pinned broadcast: the product stays linear in the
-      // corpus (the bounded-evaluation-slice discipline every recall audit
-      // here uses)
-      val exact = broadcast(
-          queries.select(col("vec_id").as("q_id"), col("embedding").as("__qv")))
-        .crossJoin(cur.select(col("vec_id").as("n_id"), col("embedding").as("__nv")))
-        .where(col("n_id") =!= col("q_id"))
-        .withColumn("__d", aggregate(
-          zip_with(col("__qv"), col("__nv"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, z) => acc + z))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("__d"), col("n_id"))))
-        .where(col("__rn") <= 10)
-        .select(col("q_id"), col("n_id"))
-      // 5. the report: per-query hit counts of both configurations
-      val hf = exact.join(frozenTop.select(col("q_id"), col("n_id")),
-        Seq("q_id", "n_id")).groupBy(col("q_id"))
-        .agg(count(lit(1)).as("hits_frozen"))
-      val hr = exact.join(refitTop.select(col("q_id"), col("n_id")),
-        Seq("q_id", "n_id")).groupBy(col("q_id"))
-        .agg(count(lit(1)).as("hits_refit"))
-      queries.select(col("vec_id").as("q_id"))
-        .join(hf, Seq("q_id"), "left").join(hr, Seq("q_id"), "left")
-        .crossJoin(broadcast(driftRow))
-        .select(col("q_id"), lit(10L).as("n_exact"),
-          coalesce(col("hits_frozen"), lit(0L)).as("hits_frozen"),
-          coalesce(col("hits_refit"), lit(0L)).as("hits_refit"),
-          col("drifted_dims"))
-        .orderBy(col("q_id"))
-    }, Some(s"""
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      bse AS (SELECT vec_id, vec FROM v WHERE vec_id % 7 <> 0),
-      incr AS (SELECT vec_id, list_transform(vec, x -> x * 0.75 + 0.1) AS vec
-               FROM v WHERE vec_id % 7 = 0),
-      cur AS MATERIALIZED (SELECT * FROM bse UNION ALL SELECT * FROM incr),
-      subs AS (SELECT unnest(range(0, 4)) AS sub),
-      bq AS (
-        SELECT u.i AS dim, CAST(floor(vec[u.i] * 1000) AS BIGINT) AS q
-        FROM bse CROSS JOIN LATERAL (SELECT unnest(range(1, len(vec) + 1)) AS i) u),
-      dq AS (
-        SELECT u.i AS dim, CAST(floor(vec[u.i] * 1000) AS BIGINT) AS q
-        FROM incr CROSS JOIN LATERAL (SELECT unnest(range(1, len(vec) + 1)) AS i) u),
-      drift AS (
-        SELECT count(*) FILTER (abs(shift) > 20.0)::BIGINT AS drifted_dims FROM (
-          SELECT b.dim, (b.sb::DOUBLE / b.nb) - (d.sd::DOUBLE / d.nd) AS shift
-          FROM (SELECT dim, count(*) AS nb, sum(q)::BIGINT AS sb FROM bq GROUP BY 1) b
-          JOIN (SELECT dim, count(*) AS nd, sum(q)::BIGINT AS sd FROM dq GROUP BY 1) d
-            USING (dim))),
-      ${residualServeCtes("f", "bse", "AND n_id % 7 <> 0")},
-      ${residualServeCtes("n", "cur", "")},
-      exact AS (
-        SELECT q_id, n_id FROM (
-          SELECT q.vec_id AS q_id, x.vec_id AS n_id,
-            row_number() OVER (PARTITION BY q.vec_id ORDER BY
-              list_sum(list_transform(range(1, least(len(q.vec), len(x.vec)) + 1),
-                i -> (q.vec[i] - x.vec[i]) * (q.vec[i] - x.vec[i]))), x.vec_id) AS rn
-          FROM (SELECT * FROM cur WHERE vec_id < 8) q
-          CROSS JOIN cur x WHERE x.vec_id <> q.vec_id) WHERE rn <= 10),
-      hf AS (
-        SELECT e.q_id, count(*)::BIGINT AS hits_frozen
-        FROM exact e JOIN ftop t ON t.q_id = e.q_id AND t.n_id = e.n_id
-        GROUP BY 1),
-      hr AS (
-        SELECT e.q_id, count(*)::BIGINT AS hits_refit
-        FROM exact e JOIN ntop t ON t.q_id = e.q_id AND t.n_id = e.n_id
-        GROUP BY 1)
-      SELECT q.vec_id AS q_id, CAST(10 AS BIGINT) AS n_exact,
-        COALESCE(hf.hits_frozen, 0) AS hits_frozen,
-        COALESCE(hr.hits_refit, 0) AS hits_refit,
-        d.drifted_dims
-      FROM (SELECT vec_id FROM cur WHERE vec_id < 8) q
-      LEFT JOIN hf ON hf.q_id = q.vec_id
-      LEFT JOIN hr ON hr.q_id = q.vec_id
-      CROSS JOIN drift d
-      ORDER BY q_id""")),
-
-    // Fill-in-the-middle (PSM) training-data transform (Bavarian et al.
-    // 2022) — the op that teaches a causal LM to infill: half the docs
-    // (doc_id even — the paper's FIM rate) re-emit their id sequence as
-    // [PRE] prefix [SUF] suffix [MID] middle, split at the exact integer
-    // points (n·37) div 100 and (n·75) div 100, with sentinels allocated
-    // immediately after the vocabulary; odd docs pass through. Pure
-    // per-row array surgery over q234's id pipeline — no shuffle, no
-    // state — and the oracle recomputes every output position from the
-    // layout arithmetic (prefix keeps its index, suffix shifts behind
-    // [SUF], the middle lands at the tail behind [MID]).
-    ("q250_fim_transform", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val merges = merges8(s, dir)
-      val v = vocab8Map(s, dir)
-      val base = v.values.max + 1
-      val ids = ext.Bpe.tokenIds(docs, "doc_id", "text", merges, vocab8Df(s, dir))
-      ext.Packing.fimPsm(ids, "token_ids",
-          preId = base, sufId = base + 1, midId = base + 2,
-          midStartPct = 37, midEndPct = 75,
-          transformPred = col("doc_id") % 2 === 0)
-        .select(col("doc_id"),
-          posexplode(col("fim_ids")).as(Seq("pos", "token_id")))
-        .orderBy(col("doc_id"), col("pos"))
-    }, Some(s"""
-      WITH ${bpeOracleCtes(8)},
-      ${bpeTokenIdCtes},
-      seqd AS (
-        SELECT dt.doc_id, v.token_id,
-          row_number() OVER (PARTITION BY dt.doc_id ORDER BY dt.wpos, dt.tpos) AS i
-        FROM dt JOIN vocab v USING (token)),
-      nn AS (SELECT doc_id, max(i) AS n FROM seqd GROUP BY 1),
-      vsz AS (SELECT max(token_id) + 1 AS v FROM vocab),
-      fimtoks AS (
-        SELECT s.doc_id,
-          CASE WHEN s.doc_id % 2 <> 0 THEN s.i - 1
-               WHEN s.i <= (n.n*37)//100 THEN s.i
-               WHEN s.i > (n.n*75)//100
-                 THEN (n.n*37)//100 + 1 + (s.i - (n.n*75)//100)
-               ELSE n.n - (n.n*75)//100 + 2 + s.i END AS pos,
-          s.token_id
-        FROM seqd s JOIN nn n USING (doc_id)),
-      sent AS (
-        SELECT n.doc_id,
-          CASE k.k WHEN 0 THEN 0
-                   WHEN 1 THEN (n.n*37)//100 + 1
-                   ELSE (n.n*37)//100 + (n.n - (n.n*75)//100) + 2 END AS pos,
-          CAST(z.v + k.k AS INT) AS token_id
-        FROM nn n CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k CROSS JOIN vsz z
-        WHERE n.doc_id % 2 = 0)
-      SELECT doc_id, CAST(pos AS INT) AS pos, token_id
-      FROM (SELECT * FROM fimtoks UNION ALL SELECT * FROM sent)
-      ORDER BY doc_id, pos""")),
-
-    // SFT prompt loss-masking THROUGH packing: the first 30% of each doc's
-    // tokens (the prompt) mask to 0 — excluded from the loss — by exact
-    // integer cross-multiplication, the mask fuses onto the id array as a
-    // struct payload, and packTokens lays out (token_id, mask) with the
-    // SAME offsets arithmetic as the ids (one pass, no second packer, no
-    // join). The oracle recomputes the in-doc index, the mask boundary,
-    // and the packed (example, pos) address for every token.
-    ("q251_packed_loss_mask", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val ids = ext.Bpe.tokenIds(docs, "doc_id", "text", merges8(s, dir),
-        vocab8Df(s, dir))
-      val masked = ext.Packing.promptMasked(ids, "token_ids", promptPct = 30)
-      ext.Packing.packTokens(masked, "doc_id", "masked", exampleTokens = 2048L)
-        .select(col("example_id"), col("pos"), col("doc_id"),
-          col("token_id").getField("token_id").as("token_id"),
-          col("token_id").getField("mask").as("loss_mask"))
-        .orderBy(col("example_id"), col("pos"))
-    }, Some(s"""
-      WITH ${bpeOracleCtes(8)},
-      ${bpeTokenIdCtes},
-      seqd AS (
-        SELECT dt.doc_id, v.token_id,
-          row_number() OVER (PARTITION BY dt.doc_id ORDER BY dt.wpos, dt.tpos) AS i,
-          row_number() OVER (ORDER BY dt.doc_id, dt.wpos, dt.tpos) - 1 AS g
-        FROM dt JOIN vocab v USING (token)),
-      nn AS (SELECT doc_id, max(i) AS n FROM seqd GROUP BY 1)
-      SELECT CAST(s.g // 2048 AS BIGINT) AS example_id,
-        CAST(s.g % 2048 AS BIGINT) AS pos, s.doc_id, s.token_id,
-        CASE WHEN (s.i - 1) * 100 < n.n * 30 THEN 0 ELSE 1 END AS loss_mask
-      FROM seqd s JOIN nn n USING (doc_id)
-      ORDER BY example_id, pos""")),
-
-    // STREAMING ANN serving — the query side of the persisted residual-
-    // IVFADC artifact run as a SERVICE, the one serving-shaped loop the
-    // vector store was missing (token ids have q238, k-means assignment
-    // q231, dedup buckets q188, count-min q211): centroids + residual
-    // codebooks + full-corpus index are built once and PERSISTED (q237's
-    // artifact discipline), then a STREAM of query vectors is answered
-    // micro-batch by micro-batch through Similarity.serveIndexStream —
-    // ivfPqResidualStoredTopK VERBATIM per batch against the loaded,
-    // cache-pinned index (stateless by construction: a query is answered
-    // completely in its arrival batch, so the union over ANY micro-batch
-    // split equals the one-shot serve — law-tested in SimilaritySpec).
-    // maxFilesPerTrigger=1 forces 4 REAL micro-batches, so the gate
-    // replays the split law against q212's oracle VERBATIM, not a
-    // degenerate 1-batch pass. VERIFICATION-HARNESS BOUNDARY (q19/q238
-    // convention): each batch's answers append to a per-run temp parquet
-    // sink — the production sink shape — read back only for the gate.
-    ("q252_stream_ann_serve", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q252_ivfpq_store", dir) { p =>
-        val cent = emb.where(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("cid"), col("embedding"))
-        val cbRes = Similarity.pqCodebookByStride(
-          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
-          "vec_id", "res", m = 4, subDim = 16, stride = 50)
-        cent.write.mode("overwrite").parquet(s"$p/centroids")
-        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
-        Similarity.residualIndex(emb, cent, cbRes,
-            "vec_id", "cid", "embedding", m = 4, subDim = 16)
-          .write.mode("overwrite").parquet(s"$p/index")
-        // the query stream: 8 probe vectors split across 4 files so
-        // AvailableNow + maxFilesPerTrigger=1 yields 4 micro-batches
-        emb.where(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
-          .repartition(4).write.mode("overwrite").parquet(s"$p/queries")
-      }
-      val cent = s.read.parquet(s"$tmp/centroids")
-      val cb = s.read.parquet(s"$tmp/codebooks")
-      val stored = graft.util.Caches.register(s.read.parquet(s"$tmp/index")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      stored.count() // pin BEFORE serving: every micro-batch re-consumes it
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft_q252_serve").toString
-      val stream = s.readStream
-        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
-        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/queries")
-      val q = Similarity.serveIndexStream(stream, stored, cent, cb,
-          "vec_id", "cid", "embedding", k = 3, m = 4, subDim = 16,
-          nprobe = 2) { (answers, _) =>
-          answers.write.mode("append").parquet(outDir)
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.read.parquet(outDir).orderBy(col("q_id"), col("rank"))
-    }, Some(ivfAdcFullOracle)),
-
-    // First-fit-decreasing bin packing — the THIRD packing discipline next
-    // to concat-chunk (q235: docs split, no padding) and padded batches
-    // (q243: docs atomic, one per row): docs atomic AND multi-doc bins of
-    // a fixed budget. Deterministic FFD order (length desc, id asc — the
-    // exact GlobalCumsum rank) with groups of 256 consecutive ranks packing
-    // INDEPENDENTLY — the bounded sequential horizon that makes first-fit
-    // (inherently order-dependent) distributable: every group is an
-    // isolated ≤256-doc problem, all groups in parallel. The oracle replays
-    // the identical fold as a recursive CTE advancing all groups in
-    // lockstep, one rank per iteration, state = per-group bin loads —
-    // assignment replayed row-exact, not just waste totals.
-    ("q253_ffd_packing", (s, dir) => {
-      val docs = T(s, dir, "documents").where(col("text").isNotNull)
-        .select(col("doc_id"),
-          size(filter(TextAnalysis.words(col("text")), w => w =!= ""))
-            .cast("long").as("n"))
-        .where(col("n") > 0)
-      ext.Packing.ffdPack(docs, "doc_id", "n", budget = 256L, groupDocs = 256)
-        .orderBy(col("doc_id"))
-    }, Some(s"""
-      WITH RECURSIVE ${ffdOracleCtes(256, 256)}
-      SELECT x.doc_id, x.n AS n_tokens, x.grp,
-        fin.bins[CAST(x.rnk AS INT) + 1] - 1 AS bin
-      FROM g x JOIN fin USING (grp)
-      ORDER BY doc_id""")),
-
-    // The packing WASTE LEDGER — four disciplines costed over the SAME
-    // docs in one report, the number a pipeline owner decides with: slots
-    // allocated vs payload used, waste = slots − payload, plus the
-    // split-doc count that is concat-chunk's (non-waste) price. The
-    // honest comparison is WITHIN the fixed-width rows (what a fixed
-    // context length can consume): concat_chunk < ffd < padded_fixed,
-    // with ffd ≤ padded_fixed GUARANTEED (FFD never opens more bins than
-    // docs — law-tested) — that pair is the packer's before/after.
-    // padded_batches (length-sorted, padded to each batch's own max) posts
-    // the smallest pad mass but VARIABLE-width examples — spendable only
-    // by a trainer that accepts per-batch sequence lengths; the ledger
-    // prints it with exactly that caveat. All counts integral, the one
-    // ratio divides last (FP-determinism discipline).
-    ("q254_packing_waste_ledger", (s, dir) => {
-      val docs = T(s, dir, "documents").where(col("text").isNotNull)
-        .select(col("doc_id"),
-          size(filter(TextAnalysis.words(col("text")), w => w =!= ""))
-            .cast("long").as("n"))
-      ext.Packing.packingWasteLedger(docs, "doc_id", "n",
-          exampleTokens = 256L, batchDocs = 32, groupDocs = 256)
-        .orderBy(col("discipline"))
-    }, Some(s"""
-      WITH RECURSIVE ${ffdOracleCtes(256, 256)},
-      tot AS (SELECT sum(n)::BIGINT AS payload, count(*)::BIGINT AS nd FROM g),
-      co AS (
-        SELECT doc_id, n,
-          coalesce(sum(n) OVER (ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-        FROM g),
-      cosplit AS (
-        SELECT count(*) FILTER (cb // 256 <> (cb + n - 1) // 256)::BIGINT AS ds
-        FROM co),
-      pr AS (
-        SELECT doc_id, n, row_number() OVER (ORDER BY n, doc_id) AS rn FROM g),
-      pb AS (
-        SELECT (rn-1)//32 AS batch_id, count(*)::BIGINT AS k,
-               max(n)::BIGINT AS mx, sum(n)::BIGINT AS bt
-        FROM pr GROUP BY 1),
-      fb AS (SELECT sum(list_max(bins))::BIGINT AS nbins FROM fin),
-      led AS (
-        SELECT 'concat_chunk' AS discipline,
-          (t.payload + 255) // 256 AS n_examples,
-          ((t.payload + 255) // 256) * 256 AS slot_tokens,
-          t.payload AS payload_tokens, s.ds AS docs_split
-        FROM tot t CROSS JOIN cosplit s
-        UNION ALL
-        SELECT 'padded_batches', count(*)::BIGINT, sum(k * mx)::BIGINT,
-          sum(bt)::BIGINT, 0 FROM pb
-        UNION ALL
-        SELECT 'padded_fixed', t.nd, t.nd * 256, t.payload, 0 FROM tot t
-        UNION ALL
-        SELECT 'ffd', f.nbins, f.nbins * 256, t.payload, 0
-        FROM fb f CROSS JOIN tot t)
-      SELECT discipline, CAST(n_examples AS BIGINT) AS n_examples,
-        CAST(slot_tokens AS BIGINT) AS slot_tokens,
-        CAST(payload_tokens AS BIGINT) AS payload_tokens,
-        CAST(docs_split AS BIGINT) AS docs_split,
-        CAST(slot_tokens - payload_tokens AS BIGINT) AS waste_tokens,
-        CAST(slot_tokens - payload_tokens AS DOUBLE) /
-          CAST(slot_tokens AS DOUBLE) AS waste_pct
-      FROM led ORDER BY discipline""")),
-
-    // Regex PRE-TOKENIZATION in front of BPE — production tokenizers
-    // (GPT-2/tiktoken family) split text on a category regex BEFORE
-    // merging, so merges never cross letter/digit/punctuation boundaries
-    // and contractions detach ("don't 12ab!" -> don  't  12  ab  !).
-    // Bpe.PreTokenPattern is the Java∩RE2 leftmost-first subset of the
-    // GPT-2 split (no lookahead, whitespace a separator — the q80/q182
-    // regex discipline), and Bpe.preTokenizedText feeds the EXISTING
-    // merge path by re-joining the matches on single spaces (a pre-token
-    // can never contain whitespace, so the pipeline's whitespace splitter
-    // recovers exactly the pre-tokens). The fixture's 31 plain words
-    // would make pre-tokenization the identity, so docs are salted with
-    // 4 deterministic contraction/digit/punctuation tails keyed by
-    // doc_id % 4; the oracle replays the SAME splits via DuckDB's
-    // regexp_extract_all (RE2) — engine-identical matching is the whole
-    // point of the pattern subset — then folds the 8 live-trained merges
-    // over the pre-token dictionary (q233's gate shape).
-    ("q255_bpe_pretokenize", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val salts = array(lit(" it's 42, x!"), lit(" don't a1-b2."),
-        lit(" we're #99??"), lit(" i'll 3.14; ok"))
-      val salted = docs.where(col("text").isNotNull)
-        .select(col("doc_id"), concat(col("text"),
-          element_at(salts, pmod(col("doc_id"), lit(4)).cast("int") + 1)).as("text"))
-      val pre = ext.Bpe.preTokenizedText(salted, "text")
-      val merges = ext.Bpe.learnMerges(pre, "text", merges = 8)
-        .orderBy(col("step")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      ext.Bpe.tokenTable(pre, "text", merges)
-        .orderBy(col("word"), col("token_idx"))
-    }, Some(s"""
-      WITH ${bpeOracleCtes(8, s"""SELECT unnest(regexp_extract_all(
-                text || CASE doc_id % 4
-                  WHEN 0 THEN ' it''s 42, x!'
-                  WHEN 1 THEN ' don''t a1-b2.'
-                  WHEN 2 THEN ' we''re #99??'
-                  ELSE ' i''ll 3.14; ok' END,
-                '${ext.Bpe.PreTokenPattern.replace("'", "''")}')) AS word
-              FROM documents WHERE text IS NOT NULL""")},
-      t AS (
-        SELECT word,
-          string_split(substr(sym, 2, length(sym) - 2), '||') AS s
-        FROM w8)
-      SELECT word, CAST(u.i - 1 AS INT) AS token_idx, s[u.i] AS token
-      FROM t CROSS JOIN LATERAL (
-        SELECT unnest(range(1, len(s) + 1)) AS i) u
-      ORDER BY word, token_idx""")),
-
-    // INDEX COMPACTION — the store-maintenance step between increments:
-    // q237 proves store + ONE increment; production accumulates k code
-    // snapshots and compacts. Similarity.compactIndex unions the two
-    // snapshots (disjoint %7 split here), keeps the latest row per id,
-    // and STRIDE-sub-splits every coarse list so no (lcid, sub) cell
-    // exceeds the cap — WITHOUT re-encoding a single code (sub is layout
-    // metadata; serving joins lcid alone), so serving the compacted store
-    // must reproduce q212's answers verbatim. The cap law (<= 16 rows per
-    // cell, exact rank stride) is spec-tested; the gate proves the result
-    // identity the compaction contract hinges on.
-    ("q256_index_compaction", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q256_ivfpq_snaps", dir) { p =>
-        val cent = emb.where(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("cid"), col("embedding"))
-        val cbRes = Similarity.pqCodebookByStride(
-          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
-          "vec_id", "res", m = 4, subDim = 16, stride = 50)
-        cent.write.mode("overwrite").parquet(s"$p/centroids")
-        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
-        Similarity.residualIndex(emb.where(col("vec_id") % 7 =!= 0),
-            cent, cbRes, "vec_id", "cid", "embedding", m = 4, subDim = 16)
-          .write.mode("overwrite").parquet(s"$p/snap0")
-        Similarity.residualIndex(emb.where(col("vec_id") % 7 === 0),
-            cent, cbRes, "vec_id", "cid", "embedding", m = 4, subDim = 16)
-          .write.mode("overwrite").parquet(s"$p/snap1")
-      }
-      val cent = s.read.parquet(s"$tmp/centroids")
-      val cb = s.read.parquet(s"$tmp/codebooks")
-      val compacted = Similarity.compactIndex(
-        Seq(s.read.parquet(s"$tmp/snap0"), s.read.parquet(s"$tmp/snap1")),
-        cap = 16L)
-      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
-        compacted.drop("sub"), cent, cb, "vec_id", "cid", "embedding",
-        k = 3, m = 4, subDim = 16, nprobe = 2)
-        .orderBy(col("q_id"), col("rank"))
-    }, Some(ivfAdcFullOracle)),
-
-    // STREAMING drift monitor — q201's gauge kept LIVE: the per-dimension
-    // (count, exact quantized BIGINT sum) pairs are pure commutative adds
-    // (exactly the q211 count-min shape), so LinAlg.perDimQuantStats runs
-    // as a COMPLETE-mode streaming aggregation over the delta vector
-    // stream — state is one (count, sum) per dim, 64 rows, never
-    // corpus-sized — and index refit (q249's trigger) is decided by a
-    // live gauge instead of a batch job. The final complete-mode table
-    // joins the batch base gauge through LinAlg.driftFromStats (2x64 rows
-    // of integer arithmetic + two divisions) and must reproduce q201's
-    // oracle VERBATIM. VERIFICATION-HARNESS BOUNDARY (q19/q238
-    // convention): memory sink + collect of the 64-row gauge.
-    ("q257_stream_drift_monitor", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q257_delta", dir) { p =>
-        emb.where(col("vec_id") % 2 =!= 0).select(col("vec_id"), col("embedding"))
-          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
-      }
-      val qname = "graft_stream_drift"
-      // 4 shuffle partitions: one state-store commit per partition per
-      // micro-batch; 64 dims do not need 32 stores (q170/q211 discipline)
-      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
-      val (schema, rows) = {
-        val stream = s2.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
-          .option("maxFilesPerTrigger", 2).parquet(s"$tmp/stream")
-        val q = ext.LinAlg.perDimQuantStats(stream, "embedding", scale = 1000)
-          .writeStream.outputMode("complete").format("memory").queryName(qname)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        val res = s2.table(qname)
-        val out = (res.schema, res.collect())
-        s2.catalog.dropTempView(qname)
-        out
-      }
-      val deltaStats = s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-      val baseStats = ext.LinAlg.perDimQuantStats(
-        emb.where(col("vec_id") % 2 === 0), "embedding", scale = 1000)
-      ext.LinAlg.driftFromStats(baseStats, deltaStats).orderBy(col("dim"))
-    }, Some(perDimDriftOracle))
-  )
 
   // ------------------------------------------------------- driver contract
 

@@ -1,0 +1,1535 @@
+package graft
+package catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Event
+import graft.core.parse.GameLogParser
+import graft.core.stats.PlayerStatsEngine
+import graft.core.enrich.Enrich
+import graft.analytics.{AsofJoin, GlobalCumsum, Intervals, RangeJoin, Scoreboard, Sessionize}
+import graft.ext.{Dedup, Diff, Multimodal, Prefilter, Sampling, Similarity, Skew, TextAnalysis}
+
+import CatalogShared._
+
+/** Similarity search / vectors: brute-force and bucketed top-k, IVF,
+  * PQ/ADC, residual IVFADC (store, increment, compaction, streaming serve,
+  * lifecycle), recall audits, k-means (exact integer Lloyd + streaming
+  * inference), exact Gram/covariance/correlation, embedding drift.
+  *
+  * Each entry is (name, query, oracle SQL) exactly as it sat in
+  * SparkEntry's catalog before the per-family split; SparkEntry composes
+  * the families back into the single driver-contract map.
+  */
+private[graft] object AnnCatalog {
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+
+    // ================================================================
+    // Extension surface: similarity search
+    // ================================================================
+
+    ("q27_cosine_topk", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding", 3)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+      scored AS (
+        SELECT q_id, n_id,
+          list_sum(list_transform(range(1, least(len(qv), len(nv)) + 1), i -> qv[i] * nv[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
+        FROM q CROSS JOIN c WHERE n_id <> q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
+
+    // AUDIT STRAWMAN — NOT the production index. Single-table sign-LSH
+    // measures recall@3 ≈ 0.03 on these embeddings (q164's audit); it is
+    // kept in the catalog solely as q164's negative baseline so the recall
+    // gap stays measured. Production ANN is q175 (multiProbeTopK — no
+    // training, recall ≈ 0.87) or q35 (ivfTopK — data-dependent lists,
+    // recall ≈ 0.7). Do not ship this index.
+    ("q28_ann_bucketed", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bucketedTopK(
+        emb.where(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding", 3)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          CAST(list_sum(list_transform(range(0, 8), i ->
+            CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS n_id,
+          list_sum(list_transform(range(1, least(len(q.v), len(c.v)) + 1), i -> q.v[i] * c.v[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS sim
+        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        FROM scored)
+      SELECT q_id, bucket, rank, n_id, sim FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
+
+    ("q35_ivf_ann", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      Similarity.ivfTopK(
+        emb.where(col("vec_id") < 5), emb, centroids,
+        "vec_id", "vec_id", "cid", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cent AS (SELECT vec_id AS cid, vec AS c_vec FROM v WHERE vec_id % 100 = 0),
+      cosd AS (
+        SELECT a.vec_id AS n_id, a.vec AS n_vec, c.cid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.c_vec)) + 1), i -> a.vec[i] * c.c_vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(c.c_vec) + 1), i -> c.c_vec[i] * c.c_vec[i])))) AS c_sim
+        FROM v a CROSS JOIN cent c),
+      lists AS (
+        SELECT n_id, n_vec, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_sim DESC, cid) AS rn
+          FROM cosd) WHERE rn = 1),
+      probes AS (
+        SELECT n_id AS q_id, n_vec AS q_vec, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_sim DESC, cid) AS rn
+          FROM cosd WHERE n_id < 5) WHERE rn <= 2),
+      scored AS (
+        SELECT p.q_id, l.n_id,
+          list_sum(list_transform(range(1, least(len(p.q_vec), len(l.n_vec)) + 1), i -> p.q_vec[i] * l.n_vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(p.q_vec) + 1), i -> p.q_vec[i] * p.q_vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(l.n_vec) + 1), i -> l.n_vec[i] * l.n_vec[i])))) AS sim
+        FROM probes p JOIN lists l ON l.cid = p.cid AND l.n_id <> p.q_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
+
+    ("q40_vector_norms", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      // norm once per output column (unit_first divides by the norm
+      // directly — l2Normalize would re-fold the norm per array element)
+      emb.select(
+        col("vec_id"),
+        Similarity.l2Norm(col("embedding")).as("l2_norm"),
+        (element_at(col("embedding").cast("array<double>"), 1) /
+          Similarity.l2Norm(col("embedding"))).as("unit_first"))
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      n AS (
+        SELECT vec_id, vec,
+          sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * vec[i]))) AS l2_norm
+        FROM v)
+      SELECT vec_id, l2_norm, vec[1] / l2_norm AS unit_first
+      FROM n ORDER BY vec_id""")),
+
+
+    // Int8 scalar quantization of the embedding column: per-vector scale,
+    // code sum (integer-exact), max reconstruction error, and the cosine
+    // between original and dequantized vector — the compression-fidelity
+    // audit a 100 TB embedding store runs before switching storage.
+    ("q49_quantize_int8", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val withScale = emb.withColumn("scale", ext.Quantize.int8Scale(col("embedding")))
+      val withCodes = withScale.withColumn(
+        "codes", ext.Quantize.int8Codes(col("embedding"), col("scale")))
+      // dequantize ONCE and share it: error and cosine both consume it, and
+      // Catalyst does not dedupe repeated lambda subtrees
+      withCodes
+        .withColumn("deq", ext.Quantize.dequantize(col("codes"), col("scale")))
+        .select(
+          col("vec_id"),
+          col("scale"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x.cast("long")).as("code_sum"),
+          ext.Quantize.reconError(col("embedding"), col("deq")).as("max_err"),
+          Similarity.cosine(col("embedding"), col("deq")).as("recon_cos"))
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      s AS (
+        SELECT vec_id, vec,
+          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
+        FROM v),
+      q AS (
+        SELECT vec_id, vec, scale,
+          CASE WHEN scale = 0
+            THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+            ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
+        FROM s),
+      d AS (
+        SELECT vec_id, vec, scale, codes,
+          list_transform(codes, c -> c * scale) AS deq
+        FROM q)
+      SELECT vec_id, scale,
+        CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        coalesce(list_max(list_transform(range(1, len(vec) + 1), i -> abs(vec[i] - deq[i]))), 0)
+          AS max_err,
+        list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * deq[i])) /
+          (sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * vec[i]))) *
+           sqrt(list_sum(list_transform(range(1, len(vec) + 1), i -> deq[i] * deq[i])))) AS recon_cos
+      FROM d ORDER BY vec_id""")),
+
+
+    // Per-label centroids over int8-QUANTIZED embeddings: codes sum as
+    // exact BIGINTs per (label, position) — the float-summation-order trap
+    // that makes naive mean-vector aggregation engine-dependent never
+    // appears, and at 100 TB the 4×-smaller codes are what you'd scan
+    // anyway (q49). posexplode is a 1→64 in-stage Generate; one keyed hash
+    // agg with map-side partials does the rest.
+    ("q116_label_centroids", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val codes = emb.select(col("label"),
+        ext.Quantize.int8Codes(col("embedding"),
+          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
+      codes.select(col("label"), posexplode(col("codes")).as(Seq("p", "c")))
+        .groupBy(col("label"), (col("p") + 1).cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("long")).as("code_sum"))
+        .select(col("label").cast("long").as("label"), col("pos"), col("n"),
+          col("code_sum"),
+          (col("code_sum").cast("double") / col("n").cast("double"))
+            .as("centroid"))
+        .orderBy(col("label"), col("pos"))
+    }, Some("""
+      WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
+      s AS (
+        SELECT label, vec,
+          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
+        FROM v),
+      q AS (
+        SELECT label, CASE WHEN scale = 0
+          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
+        FROM s),
+      e AS (
+        SELECT label, i, codes[i] AS c
+        FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r)
+      SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS pos,
+        count(*) AS n, CAST(sum(c) AS BIGINT) AS code_sum,
+        CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid
+      FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+
+    // Per-label Gram matrix (XᵀX upper triangle) over int8-QUANTIZED codes:
+    // the covariance/PCA scaffold computed the way a 100 TB vector store
+    // would — 4×-smaller codes, products as exact BIGINTs (no float
+    // summation-order drift). LinAlg.gramUpperTriangle is ONE typed
+    // aggregation: each task multiply-accumulates rows into a 2080-slot
+    // BIGINT triangle buffer (no per-pair hash probes, no exploded pair
+    // rows — measured ~3× faster than the explode + hash-agg form at
+    // sf0.1), buffers combine map-side, and only |labels| buffer rows
+    // cross the exchange regardless of corpus size.
+    ("q128_gram_matrix", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val codes = emb.select(col("label"),
+        ext.Quantize.int8Codes(col("embedding"),
+          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
+      ext.LinAlg.gramUpperTriangle(codes, "label", "codes", 64)
+        .select(col("k").as("label"), col("i"), col("j"), col("g"), col("n"))
+        .orderBy(col("label"), col("i"), col("j"))
+    }, Some("""
+      WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
+      s AS (
+        SELECT label, vec,
+          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
+        FROM v),
+      q AS (
+        SELECT label, CASE WHEN scale = 0
+          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
+        FROM s),
+      e AS (
+        SELECT label, i.i AS i, j.j AS j, codes[i.i] * codes[j.j] AS p
+        FROM q
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+        WHERE i.i <= j.j)
+      SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+        CAST(j AS BIGINT) AS j, CAST(sum(p) AS BIGINT) AS g, count(*) AS n
+      FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+
+    // Per-label EXACT covariance matrix — the PCA/whitening input, from
+    // the SAME one-pass typed aggregation as q128 (the triangle buffer
+    // also carries Σxᵢ): cov·n² = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ stays in BIGINTs, so
+    // the matrix is bit-exact in any partitioning; the single final
+    // division is the only float op. The float-moments alternative
+    // (built-in covar_pop) is summation-order-dependent and could never
+    // hash-match.
+    ("q133_covariance", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val codes = emb.select(col("label"),
+        ext.Quantize.int8Codes(col("embedding"),
+          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
+      ext.LinAlg.covarianceUpperTriangle(codes, "label", "codes", 64)
+        .select(col("k").as("label"), col("i"), col("j"), col("g"),
+          col("si"), col("sj"), col("n"), col("cov_num"), col("cov"))
+        .orderBy(col("label"), col("i"), col("j"))
+    }, Some("""
+      WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
+      s AS (
+        SELECT label, vec,
+          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
+        FROM v),
+      q AS (
+        SELECT label, CASE WHEN scale = 0
+          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
+        FROM s),
+      e AS (
+        SELECT label, i.i AS i, j.j AS j, codes[i.i] * codes[j.j] AS p
+        FROM q
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+        WHERE i.i <= j.j),
+      g AS (
+        SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+          CAST(j AS BIGINT) AS j, CAST(sum(p) AS BIGINT) AS g, count(*) AS n
+        FROM e GROUP BY 1, 2, 3),
+      su AS (
+        SELECT CAST(label AS BIGINT) AS label, CAST(d.d AS BIGINT) AS d,
+          CAST(sum(codes[d.d]) AS BIGINT) AS s
+        FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
+        GROUP BY 1, 2)
+      SELECT g.label, g.i, g.j, g.g, si.s AS si, sj.s AS sj, g.n,
+        g.n*g.g - si.s*sj.s AS cov_num,
+        CAST(g.n*g.g - si.s*sj.s AS DOUBLE)/CAST(g.n*g.n AS DOUBLE) AS cov
+      FROM g JOIN su si ON si.label = g.label AND si.d = g.i
+             JOIN su sj ON sj.label = g.label AND sj.d = g.j
+      ORDER BY g.label, g.i, g.j""")),
+
+
+    // Label-centroid separation matrix over int8-QUANTIZED embeddings
+    // (q116's exact-BIGINT centroid sums, taken pairwise): Euclidean
+    // distance between every label pair's centroid, the "are my classes
+    // separable?" audit. The corpus reduces ONCE to |labels|·64 exact
+    // integer sums; the |labels|² pairing and the per-pair 64-term fold
+    // run on that tiny frame, with a SEQUENTIAL left-to-right fold
+    // (zip_with + aggregate ≡ DuckDB's list fold) so the double sum has
+    // ONE evaluation order in both engines.
+    ("q163_centroid_distances", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val codes = emb.select(col("label"),
+        ext.Quantize.int8Codes(col("embedding"),
+          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
+      val cent = codes
+        .select(col("label"), posexplode(col("codes")).as(Seq("p", "c")))
+        .groupBy(col("label").cast("long").as("label"), col("p"))
+        .agg((sum(col("c").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("centroid"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(p, centroid))), x -> x.centroid)")
+          .as("cvec"))
+      val a = cent.select(col("label").as("label_a"), col("cvec").as("ca"))
+      val b = cent.select(col("label").as("label_b"), col("cvec").as("cb"))
+      a.crossJoin(b).where(col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          sqrt(expr("aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v)"))
+            .as("dist"))
+        .orderBy(col("label_a"), col("label_b"))
+    }, Some("""
+      WITH v AS (SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
+      s AS (
+        SELECT label, vec,
+          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
+        FROM v),
+      q AS (
+        SELECT label, CASE WHEN scale = 0
+          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
+        FROM s),
+      e AS (
+        SELECT label, i, codes[i] AS c
+        FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r),
+      cent AS (
+        SELECT CAST(label AS BIGINT) AS label, i,
+          CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid
+        FROM e GROUP BY 1, 2),
+      cv AS (SELECT label, list(centroid ORDER BY i) AS cvec FROM cent GROUP BY label)
+      SELECT a.label AS label_a, b.label AS label_b,
+        sqrt(list_sum(list_transform(range(1, 65),
+          i -> (a.cvec[i] - b.cvec[i]) * (a.cvec[i] - b.cvec[i])))) AS dist
+      FROM cv a JOIN cv b ON a.label < b.label
+      ORDER BY label_a, label_b""")),
+
+
+    // ANN recall audit (q160's sibling for the vector side): every
+    // approximate index trades recall for probe cost, and this report is the
+    // number that decides whether the trade is acceptable — per-query
+    // recall@k of all three approximate methods (one-table sign-bucket LSH,
+    // IVF/nprobe, and q175's multi-table multi-probe sign-LSH)
+    // against the exact brute-force top-k. The exact side is computed once
+    // on the (tiny) query set; the joins that score the methods touch only
+    // |queries|·k rows, never the corpus. At 100 TB the brute-force side is
+    // the expensive one — it runs over a fixed evaluation slice (here
+    // vec_id < 10), which is exactly how production recall audits bound it.
+    ("q164_ann_recall", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(qs, emb, "vec_id", "vec_id", "embedding", 3)
+        .select(col("q_id").as("bq"), col("n_id").as("bn"))
+      val cents = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val meth =
+        Similarity.bucketedTopK(qs, emb, "vec_id", "vec_id", "embedding", 3)
+          .select(lit("bucketed").as("method"), col("q_id").as("mq"), col("n_id").as("mn"))
+        .unionByName(
+          Similarity.ivfTopK(qs, emb, cents, "vec_id", "vec_id", "cid", "embedding",
+              k = 3, nprobe = 2)
+            .select(lit("ivf").as("method"), col("q_id").as("mq"), col("n_id").as("mn")))
+        .unionByName(
+          Similarity.multiProbeTopK(qs, emb, "vec_id", "vec_id", "embedding",
+              k = 3, tables = 8, bits = 7, flips = 3)
+            .select(lit("multiprobe").as("method"), col("q_id").as("mq"), col("n_id").as("mn")))
+      val mm = meth.select(col("method").as("mthd")).distinct()
+      bf.crossJoin(mm)
+        .join(meth,
+          col("mthd") === col("method") && col("bq") === col("mq") &&
+            col("bn") === col("mn"),
+          "left")
+        .groupBy(col("mthd"), col("bq"))
+        .agg(count(col("mn")).as("n_hit"))
+        .select(col("mthd").as("method"), col("bq").as("q_id"), col("n_hit"),
+          lit(3).as("k"),
+          (col("n_hit").cast("double") / lit(3)).as("recall"))
+        .orderBy(col("method"), col("q_id"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          list_sum(list_transform(range(1, least(len(q.vec), len(c.vec)) + 1), i -> q.vec[i] * c.vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * c.vec[i])))) AS sim
+        FROM v q CROSS JOIN v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      bf AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM scored) t
+        WHERE rank <= 3),
+      b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          CAST(list_sum(list_transform(range(0, 8), i ->
+            CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        FROM embeddings),
+      ascored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          list_sum(list_transform(range(1, least(len(q.v), len(c.v)) + 1), i -> q.v[i] * c.v[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS sim
+        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10),
+      ann AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM ascored) t
+        WHERE rank <= 3),
+      cent AS (SELECT vec_id AS cid, vec AS c_vec FROM v WHERE vec_id % 100 = 0),
+      cosd AS (
+        SELECT a.vec_id AS n_id, a.vec AS n_vec, c.cid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.c_vec)) + 1), i -> a.vec[i] * c.c_vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * a.vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(c.c_vec) + 1), i -> c.c_vec[i] * c.c_vec[i])))) AS c_sim
+        FROM v a CROSS JOIN cent c),
+      lists AS (
+        SELECT n_id, n_vec, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_sim DESC, cid) AS rn
+          FROM cosd) WHERE rn = 1),
+      probes AS (
+        SELECT n_id AS q_id, n_vec AS q_vec, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_sim DESC, cid) AS rn
+          FROM cosd WHERE n_id < 10) WHERE rn <= 2),
+      iscored AS (
+        SELECT p.q_id, l.n_id,
+          list_sum(list_transform(range(1, least(len(p.q_vec), len(l.n_vec)) + 1), i -> p.q_vec[i] * l.n_vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(p.q_vec) + 1), i -> p.q_vec[i] * p.q_vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(l.n_vec) + 1), i -> l.n_vec[i] * l.n_vec[i])))) AS sim
+        FROM probes p JOIN lists l ON l.cid = p.cid AND l.n_id <> p.q_id),
+      ivf AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM iscored) t
+        WHERE rank <= 3),
+      mpb AS (
+        SELECT tbl, vec_id, CAST(list_sum(list_transform(range(0, 7), bb ->
+            CASE WHEN vec[tbl*7 + bb + 1] > 0 THEN (1::BIGINT << bb) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl)),
+      mpp AS (
+        SELECT q_id, tbl, unnest(probes) AS bucket FROM (
+          SELECT vec_id AS q_id, tbl,
+            [base,
+             xor(base, sorted[1].k),
+             xor(base, sorted[2].k),
+             xor(xor(base, sorted[1].k), sorted[2].k),
+             xor(base, sorted[3].k),
+             xor(xor(base, sorted[1].k), sorted[3].k),
+             xor(xor(base, sorted[2].k), sorted[3].k),
+             xor(xor(xor(base, sorted[1].k), sorted[2].k), sorted[3].k)] AS probes
+          FROM (
+            SELECT vec_id, tbl,
+              CAST(list_sum(list_transform(range(0, 7), bb ->
+                CASE WHEN vec[tbl*7 + bb + 1] > 0 THEN (1::BIGINT << bb) ELSE 0::BIGINT END)) AS BIGINT) AS base,
+              list_sort(list_transform(range(0, 7), bb ->
+                {'m': abs(vec[tbl*7 + bb + 1]), 'b': bb, 'k': (1::BIGINT << bb)})) AS sorted
+            FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl)
+            WHERE vec_id < 10))),
+      mpcand AS (
+        SELECT DISTINCT p.q_id, b.vec_id AS n_id
+        FROM mpp p JOIN mpb b ON b.tbl = p.tbl AND b.bucket = p.bucket AND b.vec_id <> p.q_id),
+      mpscored AS (
+        SELECT c.q_id, c.n_id,
+          list_sum(list_transform(range(1, least(len(q.vec), len(n.vec)) + 1), i -> q.vec[i] * n.vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(n.vec) + 1), i -> n.vec[i] * n.vec[i])))) AS sim
+        FROM mpcand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id),
+      mp AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM mpscored) t
+        WHERE rank <= 3),
+      meth AS (
+        SELECT 'bucketed' AS method, q_id, n_id FROM ann
+        UNION ALL SELECT 'ivf', q_id, n_id FROM ivf
+        UNION ALL SELECT 'multiprobe', q_id, n_id FROM mp)
+      SELECT mm.method AS method, bf.q_id AS q_id, count(m.n_id) AS n_hit, 3 AS k,
+        CAST(count(m.n_id) AS DOUBLE) / 3 AS recall
+      FROM bf CROSS JOIN (SELECT DISTINCT method FROM meth) mm
+      LEFT JOIN meth m ON m.method = mm.method AND m.q_id = bf.q_id AND m.n_id = bf.n_id
+      GROUP BY 1, 2 ORDER BY method, q_id""")),
+
+
+    // Multi-table multi-probe sign-LSH ANN — the round-4 verdict's fix for
+    // q28's one-table recall collapse (q164 measured recall@3 ≈ 0.03 there).
+    // 8 independent sign tables over disjoint 7-dim windows; per table the
+    // query probes its bucket plus every subset-flip of the 3 lowest-|margin|
+    // bits (Lv et al. multi-probe), so a true neighbor is recalled if ANY of
+    // the 64 probed buckets holds it. q164 measures recall@3 ≈ 0.87 for this
+    // method on the same data. Corpus side is a narrow 8-row explode into a
+    // broadcast-probe equi-join — never all-pairs; candidates are deduped
+    // before the bounded top-k.
+    ("q175_ann_multiprobe", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.multiProbeTopK(
+        emb.where(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding",
+        k = 3, tables = 8, bits = 7, flips = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      mpb AS (
+        SELECT tbl, vec_id, CAST(list_sum(list_transform(range(0, 7), bb ->
+            CASE WHEN v[tbl*7 + bb + 1] > 0 THEN (1::BIGINT << bb) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl)),
+      mpp AS (
+        SELECT q_id, tbl, unnest(probes) AS bucket FROM (
+          SELECT vec_id AS q_id, tbl,
+            [base,
+             xor(base, sorted[1].k),
+             xor(base, sorted[2].k),
+             xor(xor(base, sorted[1].k), sorted[2].k),
+             xor(base, sorted[3].k),
+             xor(xor(base, sorted[1].k), sorted[3].k),
+             xor(xor(base, sorted[2].k), sorted[3].k),
+             xor(xor(xor(base, sorted[1].k), sorted[2].k), sorted[3].k)] AS probes
+          FROM (
+            SELECT vec_id, tbl,
+              CAST(list_sum(list_transform(range(0, 7), bb ->
+                CASE WHEN v[tbl*7 + bb + 1] > 0 THEN (1::BIGINT << bb) ELSE 0::BIGINT END)) AS BIGINT) AS base,
+              list_sort(list_transform(range(0, 7), bb ->
+                {'m': abs(v[tbl*7 + bb + 1]), 'b': bb, 'k': (1::BIGINT << bb)})) AS sorted
+            FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl)
+            WHERE vec_id < 10))),
+      mpcand AS (
+        SELECT DISTINCT p.q_id, b.vec_id AS n_id
+        FROM mpp p JOIN mpb b ON b.tbl = p.tbl AND b.bucket = p.bucket AND b.vec_id <> p.q_id),
+      mpscored AS (
+        SELECT c.q_id, c.n_id,
+          list_sum(list_transform(range(1, least(len(q.v), len(n.v)) + 1), i -> q.v[i] * n.v[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * n.v[i])))) AS sim
+        FROM mpcand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
+      SELECT q_id, rank, n_id, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        FROM mpscored) t
+      WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
+
+    // Product-quantization ANN (Jégou et al. ADC): corpus encoded to m=4
+    // codes over 16-dim subspaces against a stride-sampled codebook (the
+    // q35 injection discipline — a trained fitPqCodebooks codebook yields
+    // the identical plan); queries score candidates via per-query LUT sums.
+    // Every double on both sides comes from the same strict left-to-right
+    // fold ((x−y)² partials, then sub 0..3), so the gate compares exactly.
+    ("q190_pq_ann", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cb = Similarity.pqCodebookByStride(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, stride = 50)
+      Similarity.pqTopK(
+        emb.where(col("vec_id") < 8), emb, cb,
+        "vec_id", "vec_id", "embedding", k = 3, m = 4, subDim = 16)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      cb AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+          vec[sub*16 + 1 : sub*16 + 16] AS c_vec
+        FROM v CROSS JOIN subs WHERE vec_id % 50 = 0),
+      cd AS (
+        SELECT c.vec_id AS n_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (c.vec[b.sub*16 + i] - b.c_vec[i]) * (c.vec[b.sub*16 + i] - b.c_vec[i]))) AS d2
+        FROM v c CROSS JOIN cb b),
+      codes AS (
+        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
+          SELECT n_id, sub, cid,
+            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
+          FROM cd) WHERE rn = 1 GROUP BY n_id),
+      ld AS (
+        SELECT q.vec_id AS q_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (q.vec[b.sub*16 + i] - b.c_vec[i]) * (q.vec[b.sub*16 + i] - b.c_vec[i]))) AS pd
+        FROM v q CROSS JOIN cb b WHERE q.vec_id < 8),
+      lut1 AS (SELECT q_id, sub, list(pd ORDER BY cid) AS lrow FROM ld GROUP BY q_id, sub),
+      lut AS (SELECT q_id, list(lrow ORDER BY sub) AS lut FROM lut1 GROUP BY q_id),
+      scored AS (
+        SELECT l.q_id, c.n_id,
+          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][c.codes[j+1] + 1])) AS adist
+        FROM lut l CROSS JOIN codes c WHERE c.n_id <> l.q_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
+
+    // PQ recall audit (the q164 discipline, L2 metric on both sides so the
+    // number isolates pure quantization loss): PQ/ADC top-3 vs the exact
+    // squared-L2 top-3 on the same bounded query slice.
+    ("q191_pq_recall", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 8)
+      val bf = Similarity.bruteForceTopKL2(qs, emb, "vec_id", "vec_id", "embedding", 3)
+        .select(col("q_id").as("bq"), col("n_id").as("bn"))
+      val cb = Similarity.pqCodebookByStride(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, stride = 50)
+      val pq = Similarity.pqTopK(qs, emb, cb, "vec_id", "vec_id", "embedding",
+          k = 3, m = 4, subDim = 16)
+        .select(col("q_id").as("mq"), col("n_id").as("mn"))
+      bf.join(pq, col("bq") === col("mq") && col("bn") === col("mn"), "left")
+        .groupBy(col("bq"))
+        .agg(count(col("mn")).as("n_hit"))
+        .select(lit("pq").as("method"), col("bq").as("q_id"), col("n_hit"),
+          lit(3).as("k"), (col("n_hit").cast("double") / lit(3)).as("recall"))
+        .orderBy(col("q_id"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      bscored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          list_sum(list_transform(range(1, least(len(q.vec), len(c.vec)) + 1), i ->
+            (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i]))) AS d2
+        FROM v q CROSS JOIN v c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      bf AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rank
+          FROM bscored) t WHERE rank <= 3),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      cb AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+          vec[sub*16 + 1 : sub*16 + 16] AS c_vec
+        FROM v CROSS JOIN subs WHERE vec_id % 50 = 0),
+      cd AS (
+        SELECT c.vec_id AS n_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (c.vec[b.sub*16 + i] - b.c_vec[i]) * (c.vec[b.sub*16 + i] - b.c_vec[i]))) AS d2
+        FROM v c CROSS JOIN cb b),
+      codes AS (
+        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
+          SELECT n_id, sub, cid,
+            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
+          FROM cd) WHERE rn = 1 GROUP BY n_id),
+      ld AS (
+        SELECT q.vec_id AS q_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (q.vec[b.sub*16 + i] - b.c_vec[i]) * (q.vec[b.sub*16 + i] - b.c_vec[i]))) AS pd
+        FROM v q CROSS JOIN cb b WHERE q.vec_id < 8),
+      lut1 AS (SELECT q_id, sub, list(pd ORDER BY cid) AS lrow FROM ld GROUP BY q_id, sub),
+      lut AS (SELECT q_id, list(lrow ORDER BY sub) AS lut FROM lut1 GROUP BY q_id),
+      ascored AS (
+        SELECT l.q_id, c.n_id,
+          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][c.codes[j+1] + 1])) AS adist
+        FROM lut l CROSS JOIN codes c WHERE c.n_id <> l.q_id),
+      pq AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+          FROM ascored) t WHERE rank <= 3)
+      SELECT 'pq' AS method, bf.q_id, COUNT(pq.n_id) AS n_hit, 3 AS k,
+             CAST(COUNT(pq.n_id) AS DOUBLE) / 3 AS recall
+      FROM bf LEFT JOIN pq ON pq.q_id = bf.q_id AND pq.n_id = bf.n_id
+      GROUP BY bf.q_id ORDER BY bf.q_id""")),
+
+
+    // IVF-PQ: coarse lists prune candidates (nprobe=2 of the stride-100
+    // centroids, L2 metric), PQ/ADC scores only the probed lists — the
+    // prune × compress composition that is the production 100 TB ANN shape.
+    ("q192_ivfpq_ann", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cent = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cb = Similarity.pqCodebookByStride(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, stride = 50)
+      Similarity.ivfPqTopK(
+        emb.where(col("vec_id") < 8), emb, cent, cb,
+        "vec_id", "vec_id", "cid", "embedding",
+        k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM v WHERE vec_id % 100 = 0),
+      ldist AS (
+        SELECT a.vec_id AS n_id, c.lcid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
+            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
+        FROM v a CROSS JOIN cent c),
+      lists AS (
+        SELECT n_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ldist) WHERE rn = 1),
+      probes AS (
+        SELECT n_id AS q_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ldist WHERE n_id < 8) WHERE rn <= 2),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      cb AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+          vec[sub*16 + 1 : sub*16 + 16] AS c_vec
+        FROM v CROSS JOIN subs WHERE vec_id % 50 = 0),
+      cd AS (
+        SELECT c.vec_id AS n_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (c.vec[b.sub*16 + i] - b.c_vec[i]) * (c.vec[b.sub*16 + i] - b.c_vec[i]))) AS d2
+        FROM v c CROSS JOIN cb b),
+      codes AS (
+        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
+          SELECT n_id, sub, cid,
+            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
+          FROM cd) WHERE rn = 1 GROUP BY n_id),
+      ld AS (
+        SELECT q.vec_id AS q_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (q.vec[b.sub*16 + i] - b.c_vec[i]) * (q.vec[b.sub*16 + i] - b.c_vec[i]))) AS pd
+        FROM v q CROSS JOIN cb b WHERE q.vec_id < 8),
+      lut1 AS (SELECT q_id, sub, list(pd ORDER BY cid) AS lrow FROM ld GROUP BY q_id, sub),
+      lut AS (SELECT q_id, list(lrow ORDER BY sub) AS lut FROM lut1 GROUP BY q_id),
+      scored AS (
+        SELECT l.q_id, x.n_id,
+          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
+        FROM probes p
+        JOIN lut l ON l.q_id = p.q_id
+        JOIN lists li ON li.lcid = p.lcid
+        JOIN codes x ON x.n_id = li.n_id
+        WHERE x.n_id <> l.q_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
+
+    // Project-then-rerank retrieval: coarse top-32 in a 16-d deterministic
+    // signed-random-projection (Johnson–Lindenstrauss) space, exact cosine
+    // rerank to top-3 — stage 1 scores the corpus at a quarter of the
+    // FLOPs/state bytes, stage 2 pays exact math on 32 candidates only.
+    // Fully deterministic (hash-derived ±1 hyperplanes, strict
+    // left-to-right folds), so the WHOLE two-stage result is hash-gated —
+    // not just a recall bound.
+    ("q195_srp_rerank", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.srpRerankTopK(
+        emb.where(col("vec_id") < 8), emb, "vec_id", "vec_id", "embedding",
+        k = 3, m = 32, dim = 64, outDims = 16)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      signs AS (
+        SELECT r, list(CASE WHEN ('0x' || substr(md5(j::VARCHAR || ':' || r::VARCHAR), 1, 12))::BIGINT % 2 = 1
+                       THEN 1.0 ELSE -1.0 END ORDER BY j) AS srow
+        FROM range(0, 16) t(r) CROSS JOIN range(0, 64) u(j) GROUP BY r),
+      proj AS (
+        SELECT vec_id, list(p ORDER BY r) AS pvec FROM (
+          SELECT v.vec_id, s.r,
+            list_sum(list_transform(range(1, 65), j -> v.vec[j] * s.srow[j])) AS p
+          FROM v CROSS JOIN signs s) GROUP BY vec_id),
+      coarse AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          list_sum(list_transform(range(1, 17), i ->
+            (q.pvec[i] - c.pvec[i]) * (q.pvec[i] - c.pvec[i]))) AS d2
+        FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8),
+      cands AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rn
+          FROM coarse) WHERE rn <= 32),
+      exact AS (
+        SELECT x.q_id, x.n_id,
+          list_sum(list_transform(range(1, least(len(q.vec), len(n.vec)) + 1), i -> q.vec[i] * n.vec[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * q.vec[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(n.vec) + 1), i -> n.vec[i] * n.vec[i])))) AS sim
+        FROM cands x JOIN v q ON q.vec_id = x.q_id JOIN v n ON n.vec_id = x.n_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+        FROM exact)
+      SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
+
+    // Hard-negative mining for contrastive training: per query vector, the
+    // top-3 most-similar corpus vectors with a DIFFERENT label — one corpus
+    // scan against broadcast queries, label predicate below the scoring,
+    // bounded top-k reduction; the k survivors broadcast back for the
+    // negative's label (the corpus is never broadcast or collected).
+    ("q196_hard_negatives", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.hardNegativesTopK(
+        emb.where(col("vec_id") < 8), emb, "vec_id", "vec_id", "embedding",
+        "label", k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id AS n_id, label AS n_label, embedding::DOUBLE[] AS nv
+            FROM embeddings),
+      scored AS (
+        SELECT q_id, q_label, n_id, n_label,
+          list_sum(list_transform(range(1, least(len(qv), len(nv)) + 1), i -> qv[i] * nv[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
+        FROM q CROSS JOIN c
+        WHERE n_id <> q_id AND n_label IS DISTINCT FROM q_label),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, q_label, rank, n_id, n_label, sim FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank""")),
+
+
+    // Incremental ANN-index maintenance — the vector sibling of q176
+    // (minhash signature store) and q181 (segment-owner store): the PQ code
+    // table is the persisted index artifact; a new snapshot encodes ONLY
+    // the new vectors (vec_id % 7 = 0) against the codebook FROZEN on the
+    // base snapshot and unions the stored codes, so the base corpus is
+    // never re-encoded. The oracle computes every code from scratch against
+    // the same frozen codebook — store + increment must equal it exactly.
+    ("q197_pq_code_increment", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val base = emb.where(col("vec_id") % 7 =!= 0)
+      val incr = emb.where(col("vec_id") % 7 === 0)
+      val cb = Similarity.pqCodebookByStride(base, "vec_id", "embedding",
+        m = 4, subDim = 16, stride = 50)
+      // snapshot 1 — the base corpus encoded once, persisted — is staged
+      // per JVM: the stored code table PRE-EXISTING is the scenario under
+      // test (that is what "incremental maintenance" means); only the
+      // increment pays encoding per execution.
+      val tmp = graft.util.Staging.dir("q197_pqstore", dir) { p =>
+        Similarity.pqEncode(base, cb, "vec_id", "embedding", m = 4, subDim = 16)
+          .write.mode("overwrite").parquet(s"$p/codes")
+      }
+      // snapshot 2: stored codes reload; only the increment pays encoding
+      val stored = s.read.parquet(s"$tmp/codes")
+        .select(col("vec_id"), col("codes"), lit("stored").as("src"))
+      val fresh = Similarity
+        .pqEncode(incr, cb, "vec_id", "embedding", m = 4, subDim = 16)
+        .select(col("vec_id"), col("codes"), lit("fresh").as("src"))
+      stored.unionByName(fresh)
+        .select(col("vec_id"), col("src"),
+          posexplode(col("codes")).as(Seq("sub", "cid")))
+        .select(col("vec_id"), col("sub").cast("int").as("sub"),
+          col("cid"), col("src"))
+        .orderBy(col("vec_id"), col("sub"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      cb AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+          vec[sub*16 + 1 : sub*16 + 16] AS c_vec
+        FROM v CROSS JOIN subs WHERE vec_id % 50 = 0 AND vec_id % 7 <> 0),
+      cd AS (
+        SELECT c.vec_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (c.vec[b.sub*16 + i] - b.c_vec[i]) * (c.vec[b.sub*16 + i] - b.c_vec[i]))) AS d2
+        FROM v c CROSS JOIN cb b),
+      codes AS (
+        SELECT vec_id, sub, cid FROM (
+          SELECT vec_id, sub, cid,
+            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+          FROM cd) WHERE rn = 1)
+      SELECT vec_id, CAST(sub AS INT) AS sub, cid,
+        CASE WHEN vec_id % 7 = 0 THEN 'fresh' ELSE 'stored' END AS src
+      FROM codes ORDER BY vec_id, sub""")),
+
+
+    // Contrastive triplet mining — q196's completion: per anchor, the
+    // nearest SAME-label positive and the hardest CROSS-label negative in
+    // one row, with the margin that decides whether the triplet is worth
+    // training on. Two bounded corpus scans (one per label constraint),
+    // then a join of two 8-row frames.
+    ("q198_triplet_mining", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 8)
+      val pos = Similarity.nearestSameLabelTopK(
+          qs, emb, "vec_id", "vec_id", "embedding", "label", k = 1)
+        .select(col("q_id").as("anchor"), col("q_label").as("a_label"),
+          col("n_id").as("pos_id"), col("sim").as("pos_sim"))
+      val neg = Similarity.hardNegativesTopK(
+          qs, emb, "vec_id", "vec_id", "embedding", "label", k = 1)
+        .select(col("q_id").as("anchor"),
+          col("n_id").as("neg_id"), col("sim").as("neg_sim"))
+      pos.join(neg, Seq("anchor"))
+        .select(col("anchor"), col("a_label"), col("pos_id"), col("pos_sim"),
+          col("neg_id"), col("neg_sim"),
+          (col("pos_sim") - col("neg_sim")).as("margin"))
+        .orderBy(col("anchor"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id AS n_id, label AS n_label, embedding::DOUBLE[] AS nv
+            FROM embeddings),
+      scored AS (
+        SELECT q_id, q_label, n_id, n_label,
+          list_sum(list_transform(range(1, least(len(qv), len(nv)) + 1), i -> qv[i] * nv[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
+        FROM q CROSS JOIN c WHERE n_id <> q_id),
+      pos AS (
+        SELECT q_id, q_label, n_id AS pos_id, sim AS pos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+          FROM scored WHERE n_label IS NOT DISTINCT FROM q_label) WHERE rn = 1),
+      neg AS (
+        SELECT q_id, n_id AS neg_id, sim AS neg_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+          FROM scored WHERE n_label IS DISTINCT FROM q_label) WHERE rn = 1)
+      SELECT p.q_id AS anchor, p.q_label AS a_label, p.pos_id, p.pos_sim,
+             n.neg_id, n.neg_sim, p.pos_sim - n.neg_sim AS margin
+      FROM pos p JOIN neg n USING (q_id)
+      ORDER BY anchor""")),
+
+
+    // Embedding-space drift audit between two corpus snapshots (vec_id
+    // parity split): per-dimension exact quantized sums + mean shift — the
+    // model-input monitor that catches a silently shifted feature
+    // distribution. Quantization (floor(x·1000) BIGINT) keeps the sums
+    // exact and engine-independent; one narrow explode + one 64-key agg.
+    ("q201_embedding_drift", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      ext.LinAlg.perDimDrift(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 =!= 0),
+          "embedding", scale = 1000)
+        .orderBy(col("dim"))
+    }, Some(perDimDriftOracle)),
+
+
+    // Residual IVF-PQ (the FULL Jégou et al. IVFADC — closes q192's one
+    // documented gap): PQ codes quantize the residual x − c(list(x)), the
+    // codebook is stride-sampled over RESIDUALS, and the per-(query, probe)
+    // ADC LUTs score each probed list against the query's residual to THAT
+    // list's centroid. The oracle replays the whole residual chain —
+    // assignment, residual subtraction, residual codebook, codes, per-probe
+    // LUTs, ADC sum — so the gate is bit-exact (the q190/q192 discipline).
+    ("q212_ivfpq_residual", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cent = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      // codebook training is offline index-build work: stride-sample the
+      // residual frame (every 50th id's residual slices become centroids)
+      val cbRes = Similarity.pqCodebookByStride(
+        Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+        "vec_id", "res", m = 4, subDim = 16, stride = 50)
+      Similarity.ivfPqResidualTopK(
+        emb.where(col("vec_id") < 8), emb, cent, cbRes,
+        "vec_id", "vec_id", "cid", "embedding",
+        k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(ivfAdcFullOracle)),
+
+
+    // Residual-vs-no-residual audit (q164's methodology, head to head at
+    // EQUAL nprobe/m/subDim/k): exact L2 top-3 over 16 queries is ground
+    // truth; both IVF-PQ forms run with their matching stride-10 codebooks
+    // (raw vectors vs residuals) at m=16×4 — the fine-grained PQ geometry
+    // that actually ranks on this corpus — and ONE row carries both
+    // recalls, the ≥ verdict, and both corpus quantization errors
+    // (Similarity.pqQuantizationError — exact nano-unit BIGINT sums).
+    // HONESTY NOTE (read with the recall columns): the fixture embeddings
+    // are unit-norm ISOTROPIC, so any coarse centroid is near-orthogonal
+    // to the data (E‖x−c‖² ≈ 2 > E‖x‖² = 1) and residual subtraction
+    // INFLATES the vectors it encodes — the measured quant_mse_res >
+    // quant_mse_nores shows exactly that, and recall parity/small-margin
+    // wins are all this regime allows. On a clustered production corpus
+    // (the regime IVFADC targets) the energy inequality reverses and the
+    // residual form wins outright; the gate pins that BOTH forms are
+    // computed exactly and the audit measures them honestly.
+    ("q213_ivfpq_residual_recall", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 16)
+      val cent = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cbRaw = Similarity.pqCodebookByStride(emb, "vec_id", "embedding",
+        m = 16, subDim = 4, stride = 10)
+      val residFrame = Similarity.residuals(emb, cent, "vec_id", "cid", "embedding")
+      val cbRes = Similarity.pqCodebookByStride(residFrame,
+        "vec_id", "res", m = 16, subDim = 4, stride = 10)
+      val bf = Similarity.bruteForceTopKL2(qs, emb, "vec_id", "vec_id", "embedding", 3)
+        .select(col("q_id").as("bq"), col("n_id").as("bn"))
+      val nores = Similarity.ivfPqTopK(qs, emb, cent, cbRaw,
+          "vec_id", "vec_id", "cid", "embedding", k = 3, m = 16, subDim = 4, nprobe = 5)
+        .select(col("q_id").as("mq"), col("n_id").as("mn"))
+      val resid = Similarity.ivfPqResidualTopK(qs, emb, cent, cbRes,
+          "vec_id", "vec_id", "cid", "embedding", k = 3, m = 16, subDim = 4, nprobe = 5)
+        .select(col("q_id").as("rq"), col("n_id").as("rn"))
+      val hitsN = bf.join(nores, col("bq") === col("mq") && col("bn") === col("mn"))
+        .agg(count(lit(1)).as("hits_nores"))
+      val hitsR = bf.join(resid, col("bq") === col("rq") && col("bn") === col("rn"))
+        .agg(count(lit(1)).as("hits_res"))
+      val qeN = Similarity.pqQuantizationError(emb, cbRaw,
+          "vec_id", "embedding", m = 16, subDim = 4)
+        .select(col("err_nano_total").as("err_nano_nores"),
+          col("quant_mse").as("quant_mse_nores"))
+      val qeR = Similarity.pqQuantizationError(residFrame, cbRes,
+          "vec_id", "res", m = 16, subDim = 4)
+        .select(col("err_nano_total").as("err_nano_res"),
+          col("quant_mse").as("quant_mse_res"))
+      hitsN.crossJoin(hitsR).crossJoin(qeN).crossJoin(qeR)
+        .select(lit(16L).as("n_queries"), lit(3L).as("k"), lit(5L).as("nprobe"),
+          col("hits_nores"), col("hits_res"),
+          (col("hits_nores").cast("double") / lit(48.0)).as("recall_nores"),
+          (col("hits_res").cast("double") / lit(48.0)).as("recall_res"),
+          (col("hits_res") >= col("hits_nores")).as("res_recall_ge"),
+          col("err_nano_nores"), col("err_nano_res"),
+          col("quant_mse_nores"), col("quant_mse_res"))
+    }, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      bscored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          list_sum(list_transform(range(1, least(len(q.vec), len(c.vec)) + 1), i ->
+            (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i]))) AS d2
+        FROM v q CROSS JOIN v c WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id),
+      bf AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rank
+          FROM bscored) t WHERE rank <= 3),
+      cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM v WHERE vec_id % 100 = 0),
+      ldist AS (
+        SELECT a.vec_id AS n_id, c.lcid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
+            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
+        FROM v a CROSS JOIN cent c),
+      assign AS (
+        SELECT n_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ldist) WHERE rn = 1),
+      probes AS (
+        SELECT n_id AS q_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ldist WHERE n_id < 16) WHERE rn <= 5),
+      subs AS (SELECT unnest(range(0, 16)) AS sub),
+      cbraw AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+          vec[sub*4 + 1 : sub*4 + 4] AS c_vec
+        FROM v CROSS JOIN subs WHERE vec_id % 10 = 0),
+      cdraw AS (
+        SELECT c.vec_id AS n_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 5), i ->
+            (c.vec[b.sub*4 + i] - b.c_vec[i]) * (c.vec[b.sub*4 + i] - b.c_vec[i]))) AS d2
+        FROM v c CROSS JOIN cbraw b),
+      codesraw AS (
+        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
+          SELECT n_id, sub, cid,
+            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
+          FROM cdraw) WHERE rn = 1 GROUP BY n_id),
+      qeraw AS (
+        SELECT count(DISTINCT n_id) AS n, CAST(sum(CAST(floor(mind2 * 1000000000) AS BIGINT)) AS BIGINT) AS e
+        FROM (SELECT n_id, sub, min(d2) AS mind2 FROM cdraw GROUP BY 1, 2)),
+      ldraw AS (
+        SELECT q.vec_id AS q_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 5), i ->
+            (q.vec[b.sub*4 + i] - b.c_vec[i]) * (q.vec[b.sub*4 + i] - b.c_vec[i]))) AS pd
+        FROM v q CROSS JOIN cbraw b WHERE q.vec_id < 16),
+      lutraw1 AS (SELECT q_id, sub, list(pd ORDER BY cid) AS lrow FROM ldraw GROUP BY q_id, sub),
+      lutraw AS (SELECT q_id, list(lrow ORDER BY sub) AS lut FROM lutraw1 GROUP BY q_id),
+      snores AS (
+        SELECT l.q_id, a.n_id,
+          list_sum(list_transform(range(0, 16), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
+        FROM probes p
+        JOIN lutraw l ON l.q_id = p.q_id
+        JOIN assign a ON a.lcid = p.lcid
+        JOIN codesraw x ON x.n_id = a.n_id
+        WHERE a.n_id <> l.q_id),
+      nores AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+          FROM snores) WHERE rank <= 3),
+      resid AS (
+        SELECT a.n_id, a.lcid,
+          list_transform(range(1, least(len(x.vec), len(c.l_vec)) + 1),
+            i -> x.vec[i] - c.l_vec[i]) AS rv
+        FROM assign a JOIN v x ON x.vec_id = a.n_id JOIN cent c ON c.lcid = a.lcid),
+      cbres AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY n_id) - 1 AS BIGINT) AS cid,
+          rv[sub*4 + 1 : sub*4 + 4] AS c_vec
+        FROM resid CROSS JOIN subs WHERE n_id % 10 = 0),
+      cdres AS (
+        SELECT r.n_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 5), i ->
+            (r.rv[b.sub*4 + i] - b.c_vec[i]) * (r.rv[b.sub*4 + i] - b.c_vec[i]))) AS d2
+        FROM resid r CROSS JOIN cbres b),
+      codesres AS (
+        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
+          SELECT n_id, sub, cid,
+            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
+          FROM cdres) WHERE rn = 1 GROUP BY n_id),
+      qeres AS (
+        SELECT count(DISTINCT n_id) AS n, CAST(sum(CAST(floor(mind2 * 1000000000) AS BIGINT)) AS BIGINT) AS e
+        FROM (SELECT n_id, sub, min(d2) AS mind2 FROM cdres GROUP BY 1, 2)),
+      qres AS (
+        SELECT p.q_id, p.lcid,
+          list_transform(range(1, least(len(q.vec), len(c.l_vec)) + 1),
+            i -> q.vec[i] - c.l_vec[i]) AS rv
+        FROM probes p JOIN v q ON q.vec_id = p.q_id JOIN cent c ON c.lcid = p.lcid),
+      ldres AS (
+        SELECT r.q_id, r.lcid, b.sub, b.cid,
+          list_sum(list_transform(range(1, 5), i ->
+            (r.rv[b.sub*4 + i] - b.c_vec[i]) * (r.rv[b.sub*4 + i] - b.c_vec[i]))) AS pd
+        FROM qres r CROSS JOIN cbres b),
+      lutres1 AS (SELECT q_id, lcid, sub, list(pd ORDER BY cid) AS lrow
+                  FROM ldres GROUP BY q_id, lcid, sub),
+      lutres AS (SELECT q_id, lcid, list(lrow ORDER BY sub) AS lut
+                 FROM lutres1 GROUP BY q_id, lcid),
+      sres AS (
+        SELECT l.q_id, a.n_id,
+          list_sum(list_transform(range(0, 16), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
+        FROM lutres l
+        JOIN assign a ON a.lcid = l.lcid
+        JOIN codesres x ON x.n_id = a.n_id
+        WHERE a.n_id <> l.q_id),
+      resk AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+          FROM sres) WHERE rank <= 3),
+      hn AS (SELECT count(*) AS hits_nores FROM bf JOIN nores n
+             ON n.q_id = bf.q_id AND n.n_id = bf.n_id),
+      hr AS (SELECT count(*) AS hits_res FROM bf JOIN resk r
+             ON r.q_id = bf.q_id AND r.n_id = bf.n_id)
+      SELECT CAST(16 AS BIGINT) AS n_queries, CAST(3 AS BIGINT) AS k,
+        CAST(5 AS BIGINT) AS nprobe,
+        hn.hits_nores, hr.hits_res,
+        hn.hits_nores::DOUBLE / 48 AS recall_nores,
+        hr.hits_res::DOUBLE / 48 AS recall_res,
+        hr.hits_res >= hn.hits_nores AS res_recall_ge,
+        qeraw.e AS err_nano_nores, qeres.e AS err_nano_res,
+        qeraw.e::DOUBLE / 1000000000 / qeraw.n AS quant_mse_nores,
+        qeres.e::DOUBLE / 1000000000 / qeres.n AS quant_mse_res
+      FROM hn CROSS JOIN hr CROSS JOIN qeraw CROSS JOIN qeres""")),
+
+
+    // k-means (Lloyd) on exact integer arithmetic — the reproducible twin
+    // of the FP fitCentroids: fixed-point grid (floor is engine-exact,
+    // the +1024 shift keeps every coordinate and centroid sum
+    // non-negative so floored and truncating division agree), exact
+    // squared-L2 argmin with deterministic ties, elementwise floored
+    // means. THREE full rounds replayed by the oracle UNROLLED; the gate
+    // output is the final assignment + distance, which witnesses every
+    // round (a wrong centroid anywhere changes some dist). Per round: one
+    // broadcast-k argmin, one (cid, dim) aggregation (k·64 exchange rows).
+    ("q229_kmeans_int", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val inits = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      ext.Similarity.lloydInt(emb, "vec_id", "embedding", inits, iters = 3)
+        .orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH ${lloydOracleCtes(3, 64)},
+      fin AS (
+        SELECT vec_id, cid, d FROM (
+          SELECT v.vec_id, c.cid,
+            list_sum(list_transform(range(1, len(v.y) + 1),
+              j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))) AS d,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              list_sum(list_transform(range(1, len(v.y) + 1),
+                j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))), c.cid) AS rn
+          FROM v CROSS JOIN c3 c) WHERE rn = 1)
+      SELECT vec_id, cid, CAST(d AS BIGINT) AS dist
+      FROM fin ORDER BY vec_id""")),
+
+
+    // q229's assignment computed ON THE STREAM — the inference shape:
+    // the k-means model is trained offline (lloydIntCentroids, the same
+    // 3 exact rounds), its k·64 grid longs ship as LITERALS, and the
+    // stream assignment is a pure per-row argmin (least over (dist, cid)
+    // structs — no join, no aggregation, no state). Gated on q229's
+    // oracle VERBATIM; spec law pins inference ≡ batch assignment.
+    ("q231_stream_kmeans_assign", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val inits = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      val model = ext.Similarity.lloydIntCentroids(
+          emb, "vec_id", "embedding", inits, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+      val tmp = graft.util.Staging.dir("q231_emb", dir) { p =>
+        emb.select(col("vec_id"), col("embedding"))
+          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
+      }
+      val qname = "graft_stream_kmeans"
+      val (schema, rows) =
+        try {
+          val stream = s.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(s"$tmp/stream")
+          val q = ext.Similarity.assignToCentroids(
+              stream, "vec_id", "embedding", model)
+            .writeStream.outputMode("append").format("memory").queryName(qname)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val res = s.table(qname)
+          (res.schema, res.collect())
+        } finally s.catalog.dropTempView(qname)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH ${lloydOracleCtes(3, 64)},
+      fin AS (
+        SELECT vec_id, cid, d FROM (
+          SELECT v.vec_id, c.cid,
+            list_sum(list_transform(range(1, len(v.y) + 1),
+              j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))) AS d,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              list_sum(list_transform(range(1, len(v.y) + 1),
+                j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))), c.cid) AS rn
+          FROM v CROSS JOIN c3 c) WHERE rn = 1)
+      SELECT vec_id, cid, CAST(d AS BIGINT) AS dist
+      FROM fin ORDER BY vec_id""")),
+
+
+    // The residual-IVFADC index as a STORED deployment artifact (q197's
+    // stored-index discipline for the q212 production form): centroids,
+    // residual codebooks, and the encoded base index (vec_id % 7 != 0 —
+    // coarse list + residual PQ codes, m+2 small values per vector, the
+    // vectors themselves never stored) persist as parquet ONCE per JVM;
+    // the consumer reloads the frozen model, encodes ONLY the increment
+    // (vec_id % 7 == 0) against it, unions the index rows, and serves
+    // queries — and must reproduce q212's from-scratch oracle VERBATIM,
+    // because nothing in an index row depends on corpus membership.
+    ("q237_ivfpq_residual_store", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q237_ivfpq_store", dir) { p =>
+        val cent = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cbRes = Similarity.pqCodebookByStride(
+          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+          "vec_id", "res", m = 4, subDim = 16, stride = 50)
+        cent.write.mode("overwrite").parquet(s"$p/centroids")
+        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
+        Similarity.residualIndex(emb.where(col("vec_id") % 7 =!= 0),
+            cent, cbRes, "vec_id", "cid", "embedding", m = 4, subDim = 16)
+          .write.mode("overwrite").parquet(s"$p/index")
+      }
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      val stored = s.read.parquet(s"$tmp/index")
+      val incr = Similarity.residualIndex(emb.where(col("vec_id") % 7 === 0),
+        cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)
+      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
+        stored.unionByName(incr), cent, cb, "vec_id", "cid", "embedding",
+        k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(ivfAdcFullOracle)),
+
+
+    // The ANN index LIFECYCLE — the operational loop a production vector
+    // store runs, composed from the individually-gated pieces and
+    // oracle-replayed end to end: an increment arrives DRIFTED (every
+    // element x → 0.75·x + 0.1 — elementwise IEEE ops, exact in both
+    // engines); q201's drift audit detects it (exact quantized BIGINT
+    // sums, per-dim mean shift); serving then compares the two responses —
+    // FROZEN (q237: increment encoded against the old centroids+codebooks,
+    // unioned with the stored base index) vs REFIT (centroids and residual
+    // codebooks re-derived from the drifted corpus — stride-picked, the
+    // reproducible-gate stand-in for fitCentroids — and the whole corpus
+    // re-encoded). Both serve the same 8 queries; per-query top-5 hits
+    // against the exact L2 ground truth land in one report with the
+    // drifted-dimension count. Everything is exact integers, so the gate
+    // hash-pins the entire loop: audit arithmetic, both encode chains,
+    // both ADC rankings, the ground truth, and the recall bookkeeping.
+    ("q249_ann_lifecycle", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val base = emb.where(col("vec_id") % 7 =!= 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val inc = emb.where(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
+          x => x * lit(0.75) + lit(0.1)).as("embedding"))
+      val cur = graft.util.Caches.register(
+        base.unionByName(inc).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // 1. drift audit (q201 path): dims whose base-vs-increment mean shift
+      // exceeds 20 grid units — a 1-row frame, crossJoined into the report
+      val driftRow = graft.ext.LinAlg.perDimDrift(base, inc, "embedding")
+        .agg(count(when(abs(col("shift_milli")) > 20.0, 1)).as("drifted_dims"))
+      val queries = cur.where(col("vec_id") < 8)
+      // 2. FROZEN serving: old model from the base only; increment encoded
+      // against it (q237's frozen-model contract) and unioned in
+      val centOld = base.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cbOld = Similarity.pqCodebookByStride(
+        Similarity.residuals(base, centOld, "vec_id", "cid", "embedding"),
+        "vec_id", "res", m = 4, subDim = 16, stride = 5)
+      val idxFrozen = Similarity
+        .residualIndex(base, centOld, cbOld, "vec_id", "cid", "embedding", 4, 16)
+        .unionByName(Similarity
+          .residualIndex(inc, centOld, cbOld, "vec_id", "cid", "embedding", 4, 16))
+      val frozenTop = Similarity.ivfPqResidualStoredTopK(queries, idxFrozen,
+        centOld, cbOld, "vec_id", "cid", "embedding", k = 10, m = 4, subDim = 16,
+        nprobe = 4)
+      // 3. REFIT serving: model re-derived from the drifted corpus, whole
+      // corpus re-encoded — the cost the recall delta is weighed against
+      val centNew = cur.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cbNew = Similarity.pqCodebookByStride(
+        Similarity.residuals(cur, centNew, "vec_id", "cid", "embedding"),
+        "vec_id", "res", m = 4, subDim = 16, stride = 5)
+      val idxNew = Similarity
+        .residualIndex(cur, centNew, cbNew, "vec_id", "cid", "embedding", 4, 16)
+      val refitTop = Similarity.ivfPqResidualStoredTopK(queries, idxNew,
+        centNew, cbNew, "vec_id", "cid", "embedding", k = 10, m = 4, subDim = 16,
+        nprobe = 4)
+      // 4. exact L2 ground truth over the current corpus (bounded: 8 queries)
+      // queries side pinned broadcast: the product stays linear in the
+      // corpus (the bounded-evaluation-slice discipline every recall audit
+      // here uses)
+      val exact = broadcast(
+          queries.select(col("vec_id").as("q_id"), col("embedding").as("__qv")))
+        .crossJoin(cur.select(col("vec_id").as("n_id"), col("embedding").as("__nv")))
+        .where(col("n_id") =!= col("q_id"))
+        .withColumn("__d", aggregate(
+          zip_with(col("__qv"), col("__nv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, z) => acc + z))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("__d"), col("n_id"))))
+        .where(col("__rn") <= 10)
+        .select(col("q_id"), col("n_id"))
+      // 5. the report: per-query hit counts of both configurations
+      val hf = exact.join(frozenTop.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id")).groupBy(col("q_id"))
+        .agg(count(lit(1)).as("hits_frozen"))
+      val hr = exact.join(refitTop.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id")).groupBy(col("q_id"))
+        .agg(count(lit(1)).as("hits_refit"))
+      queries.select(col("vec_id").as("q_id"))
+        .join(hf, Seq("q_id"), "left").join(hr, Seq("q_id"), "left")
+        .crossJoin(broadcast(driftRow))
+        .select(col("q_id"), lit(10L).as("n_exact"),
+          coalesce(col("hits_frozen"), lit(0L)).as("hits_frozen"),
+          coalesce(col("hits_refit"), lit(0L)).as("hits_refit"),
+          col("drifted_dims"))
+        .orderBy(col("q_id"))
+    }, Some(s"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      bse AS (SELECT vec_id, vec FROM v WHERE vec_id % 7 <> 0),
+      incr AS (SELECT vec_id, list_transform(vec, x -> x * 0.75 + 0.1) AS vec
+               FROM v WHERE vec_id % 7 = 0),
+      cur AS MATERIALIZED (SELECT * FROM bse UNION ALL SELECT * FROM incr),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      bq AS (
+        SELECT u.i AS dim, CAST(floor(vec[u.i] * 1000) AS BIGINT) AS q
+        FROM bse CROSS JOIN LATERAL (SELECT unnest(range(1, len(vec) + 1)) AS i) u),
+      dq AS (
+        SELECT u.i AS dim, CAST(floor(vec[u.i] * 1000) AS BIGINT) AS q
+        FROM incr CROSS JOIN LATERAL (SELECT unnest(range(1, len(vec) + 1)) AS i) u),
+      drift AS (
+        SELECT count(*) FILTER (abs(shift) > 20.0)::BIGINT AS drifted_dims FROM (
+          SELECT b.dim, (b.sb::DOUBLE / b.nb) - (d.sd::DOUBLE / d.nd) AS shift
+          FROM (SELECT dim, count(*) AS nb, sum(q)::BIGINT AS sb FROM bq GROUP BY 1) b
+          JOIN (SELECT dim, count(*) AS nd, sum(q)::BIGINT AS sd FROM dq GROUP BY 1) d
+            USING (dim))),
+      ${residualServeCtes("f", "bse", "AND n_id % 7 <> 0")},
+      ${residualServeCtes("n", "cur", "")},
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, x.vec_id AS n_id,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_sum(list_transform(range(1, least(len(q.vec), len(x.vec)) + 1),
+                i -> (q.vec[i] - x.vec[i]) * (q.vec[i] - x.vec[i]))), x.vec_id) AS rn
+          FROM (SELECT * FROM cur WHERE vec_id < 8) q
+          CROSS JOIN cur x WHERE x.vec_id <> q.vec_id) WHERE rn <= 10),
+      hf AS (
+        SELECT e.q_id, count(*)::BIGINT AS hits_frozen
+        FROM exact e JOIN ftop t ON t.q_id = e.q_id AND t.n_id = e.n_id
+        GROUP BY 1),
+      hr AS (
+        SELECT e.q_id, count(*)::BIGINT AS hits_refit
+        FROM exact e JOIN ntop t ON t.q_id = e.q_id AND t.n_id = e.n_id
+        GROUP BY 1)
+      SELECT q.vec_id AS q_id, CAST(10 AS BIGINT) AS n_exact,
+        COALESCE(hf.hits_frozen, 0) AS hits_frozen,
+        COALESCE(hr.hits_refit, 0) AS hits_refit,
+        d.drifted_dims
+      FROM (SELECT vec_id FROM cur WHERE vec_id < 8) q
+      LEFT JOIN hf ON hf.q_id = q.vec_id
+      LEFT JOIN hr ON hr.q_id = q.vec_id
+      CROSS JOIN drift d
+      ORDER BY q_id""")),
+
+
+    // STREAMING ANN serving — the query side of the persisted residual-
+    // IVFADC artifact run as a SERVICE, the one serving-shaped loop the
+    // vector store was missing (token ids have q238, k-means assignment
+    // q231, dedup buckets q188, count-min q211): centroids + residual
+    // codebooks + full-corpus index are built once and PERSISTED (q237's
+    // artifact discipline), then a STREAM of query vectors is answered
+    // micro-batch by micro-batch through Similarity.serveIndexStream —
+    // ivfPqResidualStoredTopK VERBATIM per batch against the loaded,
+    // cache-pinned index (stateless by construction: a query is answered
+    // completely in its arrival batch, so the union over ANY micro-batch
+    // split equals the one-shot serve — law-tested in SimilaritySpec).
+    // maxFilesPerTrigger=1 forces 4 REAL micro-batches, so the gate
+    // replays the split law against q212's oracle VERBATIM, not a
+    // degenerate 1-batch pass. VERIFICATION-HARNESS BOUNDARY (q19/q238
+    // convention): each batch's answers append to a per-run temp parquet
+    // sink — the production sink shape — read back only for the gate.
+    ("q252_stream_ann_serve", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q252_ivfpq_store", dir) { p =>
+        val cent = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cbRes = Similarity.pqCodebookByStride(
+          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+          "vec_id", "res", m = 4, subDim = 16, stride = 50)
+        cent.write.mode("overwrite").parquet(s"$p/centroids")
+        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
+        Similarity.residualIndex(emb, cent, cbRes,
+            "vec_id", "cid", "embedding", m = 4, subDim = 16)
+          .write.mode("overwrite").parquet(s"$p/index")
+        // the query stream: 8 probe vectors split across 4 files so
+        // AvailableNow + maxFilesPerTrigger=1 yields 4 micro-batches
+        emb.where(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+          .repartition(4).write.mode("overwrite").parquet(s"$p/queries")
+      }
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      val stored = graft.util.Caches.register(s.read.parquet(s"$tmp/index")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      stored.count() // pin BEFORE serving: every micro-batch re-consumes it
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_q252_serve").toString
+      val stream = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/queries")
+      val q = Similarity.serveIndexStream(stream, stored, cent, cb,
+          "vec_id", "cid", "embedding", k = 3, m = 4, subDim = 16,
+          nprobe = 2) { (answers, _) =>
+          answers.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy(col("q_id"), col("rank"))
+    }, Some(ivfAdcFullOracle)),
+
+
+    // INDEX COMPACTION — the store-maintenance step between increments:
+    // q237 proves store + ONE increment; production accumulates k code
+    // snapshots and compacts. Similarity.compactIndex unions the two
+    // snapshots (disjoint %7 split here), keeps the latest row per id,
+    // and STRIDE-sub-splits every coarse list so no (lcid, sub) cell
+    // exceeds the cap — WITHOUT re-encoding a single code (sub is layout
+    // metadata; serving joins lcid alone), so serving the compacted store
+    // must reproduce q212's answers verbatim. The cap law (<= 16 rows per
+    // cell, exact rank stride) is spec-tested; the gate proves the result
+    // identity the compaction contract hinges on.
+    ("q256_index_compaction", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q256_ivfpq_snaps", dir) { p =>
+        val cent = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cbRes = Similarity.pqCodebookByStride(
+          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+          "vec_id", "res", m = 4, subDim = 16, stride = 50)
+        cent.write.mode("overwrite").parquet(s"$p/centroids")
+        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
+        Similarity.residualIndex(emb.where(col("vec_id") % 7 =!= 0),
+            cent, cbRes, "vec_id", "cid", "embedding", m = 4, subDim = 16)
+          .write.mode("overwrite").parquet(s"$p/snap0")
+        Similarity.residualIndex(emb.where(col("vec_id") % 7 === 0),
+            cent, cbRes, "vec_id", "cid", "embedding", m = 4, subDim = 16)
+          .write.mode("overwrite").parquet(s"$p/snap1")
+      }
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      val compacted = Similarity.compactIndex(
+        Seq(s.read.parquet(s"$tmp/snap0"), s.read.parquet(s"$tmp/snap1")),
+        cap = 16L)
+      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
+        compacted.drop("sub"), cent, cb, "vec_id", "cid", "embedding",
+        k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(ivfAdcFullOracle)),
+
+
+    // STREAMING drift monitor — q201's gauge kept LIVE: the per-dimension
+    // (count, exact quantized BIGINT sum) pairs are pure commutative adds
+    // (exactly the q211 count-min shape), so LinAlg.perDimQuantStats runs
+    // as a COMPLETE-mode streaming aggregation over the delta vector
+    // stream — state is one (count, sum) per dim, 64 rows, never
+    // corpus-sized — and index refit (q249's trigger) is decided by a
+    // live gauge instead of a batch job. The final complete-mode table
+    // joins the batch base gauge through LinAlg.driftFromStats (2x64 rows
+    // of integer arithmetic + two divisions) and must reproduce q201's
+    // oracle VERBATIM. VERIFICATION-HARNESS BOUNDARY (q19/q238
+    // convention): memory sink + collect of the 64-row gauge.
+    ("q257_stream_drift_monitor", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q257_delta", dir) { p =>
+        emb.where(col("vec_id") % 2 =!= 0).select(col("vec_id"), col("embedding"))
+          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
+      }
+      val qname = "graft_stream_drift"
+      // 4 shuffle partitions: one state-store commit per partition per
+      // micro-batch; 64 dims do not need 32 stores (q170/q211 discipline)
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
+      val (schema, rows) = {
+        val stream = s2.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 2).parquet(s"$tmp/stream")
+        val q = ext.LinAlg.perDimQuantStats(stream, "embedding", scale = 1000)
+          .writeStream.outputMode("complete").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val res = s2.table(qname)
+        val out = (res.schema, res.collect())
+        s2.catalog.dropTempView(qname)
+        out
+      }
+      val deltaStats = s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val baseStats = ext.LinAlg.perDimQuantStats(
+        emb.where(col("vec_id") % 2 === 0), "embedding", scale = 1000)
+      ext.LinAlg.driftFromStats(baseStats, deltaStats).orderBy(col("dim"))
+    }, Some(perDimDriftOracle))
+  )
+}

@@ -1,0 +1,493 @@
+package graft
+package catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Event
+import graft.core.parse.GameLogParser
+import graft.core.stats.PlayerStatsEngine
+import graft.core.enrich.Enrich
+import graft.analytics.{AsofJoin, GlobalCumsum, Intervals, RangeJoin, Scoreboard, Sessionize}
+import graft.ext.{Dedup, Diff, Multimodal, Prefilter, Sampling, Similarity, Skew, TextAnalysis}
+
+/** Shared plumbing for the per-family catalog files: the parquet reader with
+  * the ts-vintage/UTC pins (`T`), the exact-decimal cast (`dec`), per-query
+  * session isolation, the per-JVM BPE model memo, and the multi-query oracle
+  * CTE builders. Split out of SparkEntry so each family file stays readable;
+  * behavior is identical.
+  */
+private[graft] object CatalogShared {
+
+  def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet ts vintages: int64 nanos (needs nanosAsLong to read) or
+    // timestamp[us]; either way the catalog sees long epoch nanos — see
+    // graft.util.EventTime.
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // EventTime's NTZ→instant rewrite and the epoch-µs arithmetic across
+      // the catalog assume UTC; pin it here so a caller session that never
+      // set it (e.g. the driver's smoke check) still reads correctly
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+    } catch {
+      // only possible failure: the conf is non-modifiable in this deployment,
+      // in which case the session builder must have set it already
+      case _: org.apache.spark.sql.AnalysisException => ()
+    }
+    graft.util.EventTime.tsToLongNanos(s.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Catalog-query conf isolation: a CHILD session (shared SparkContext,
+    * isolated SQLConf + temp-view catalog) with the parent's modifiable
+    * runtime conf copied over and `overrides` applied on top. Queries that
+    * need a non-default shuffle-partition count or state-store provider pin
+    * it HERE instead of mutating the caller's session — no try/finally
+    * restore, and no window where a concurrent reader could observe the
+    * pin. (newSession() alone only inherits builder-time options, hence
+    * the explicit runtime-conf copy.) */
+  def isolated(s: SparkSession, overrides: (String, String)*): SparkSession = {
+    val s2 = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      if (s2.conf.isModifiable(k)) s2.conf.set(k, v) }
+    overrides.foreach { case (k, v) => s2.conf.set(k, v) }
+    s2
+  }
+
+  /** Per-JVM memo of the 8-merge tokenizer MODEL per sfDir — the Staging
+    * discipline applied to model artifacts: a dozen catalog queries
+    * downstream of training (tokenize, ids, packing, streaming serve,
+    * detokenize) consume the merge table + vocabulary as INPUTS, exactly
+    * as a production pipeline ships them, so the bench times the
+    * consumers rather than a re-train per query per pass. The training
+    * loop itself stays live-gated (q223 sequential, q236 batched, and
+    * every consumer's oracle still replays the learn from scratch). */
+  val bpeModelMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, String)], Seq[(Int, String, Long)])]()
+  def bpeModel8(s: SparkSession, dir: String) =
+    bpeModelMemo.computeIfAbsent(dir, _ => {
+      val docs = T(s, dir, "documents")
+      val merges = ext.Bpe.learnMerges(docs, "text", 8).orderBy(col("step"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocabRows = ext.Bpe.vocab(docs, "text", merges)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      (merges, vocabRows)
+    })
+  def merges8(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeModel8(s, dir)._1
+  def vocab8Df(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeModel8(s, dir)._2.toDF("token_id", "token", "cnt")
+  }
+  def vocab8Map(s: SparkSession, dir: String): Map[String, Int] =
+    bpeModel8(s, dir)._2.map(t => t._2 -> t._1).toMap
+
+  /** Deterministic synthetic PII salt (email + IP + spaced card number
+    * derived from the doc id) appended so the redaction regexes do real
+    * work on the PII-free fixtures — the SINGLE source both q182 and
+    * q189's pipeline stage (and their oracles' mirrored CTEs) salt with. */
+  def piiSalt(text: Column, id: Column): Column =
+    concat(text,
+      lit(" contact user"), id.cast("string"),
+      lit("@mail.example.org from "),
+      (id % 256).cast("string"), lit(".16.32."),
+      ((id * 7) % 256).cast("string"),
+      lit(" card 4111 2222 3333 "),
+      lpad((id % 10000).cast("string"), 4, "0"))
+
+  /** Game-event derivation shared by the parse/stream queries: maps the
+    * `events` table onto the reference's kill/damage event model with pure
+    * integer/string arithmetic (no floats ⇒ bit-exact oracle). */
+  def gameEvents(ev: DataFrame): DataFrame =
+    ev.select(
+      when(col("event_type") === "purchase",
+        concat(lit("P"), col("user_id").cast("string"))).otherwise(lit("")).as("player"),
+      concat(lit("S"), col("user_id").cast("string")).as("steamId"),
+      when(col("event_type") === "purchase", "kill")
+        .when(col("event_type") === "error", "death")
+        .when(col("event_type") === "signup", "assist")
+        .otherwise("damage").as("eventType"),
+      col("event_id").as("second"),
+      (col("event_id") % 97).as("amount"),
+      (lit(1) + col("user_id") % 19).cast("long").as("round"))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Unrolled DuckDB replay of `k` BPE merge iterations over the documents
+    * word dict (the [[ext.Bpe]] semantics verbatim): w0 is the delimited
+    * initial encoding, each step counts adjacent symbol pairs, picks the
+    * deterministic argmax, and applies the plain-string merge — generated
+    * programmatically because the oracle must replay a data-dependent
+    * LOOP, which SQL can only express unrolled. Returns the WITH body;
+    * callers append their final SELECT over m1..mk / w{k}. */
+  def bpeOracleCtes(k: Int,
+      wordSrc: String = """SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE text IS NOT NULL"""): String = {
+    // every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
+    // w(i) that references w(i-1) twice (pair counts + merge) would expand
+    // 2^k subtrees of the base scan
+    val w0 = s"""w0 AS MATERIALIZED (
+        SELECT word, count(*)::BIGINT AS cnt,
+          regexp_replace(word, '(.)', '|\\1|', 'g') || '|>|' AS sym
+        FROM ($wordSrc)
+        WHERE word <> '' GROUP BY word)"""
+    val steps = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+        SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS c FROM (
+          SELECT cnt, unnest(list_transform(generate_series(1, len(s) - 1),
+            j -> {'l': s[j], 'r': s[j + 1]})) AS p
+          FROM (SELECT cnt, string_split(substr(sym, 2, length(sym) - 2), '||') AS s
+                FROM w${i - 1})
+          WHERE len(s) >= 2)
+        GROUP BY 1, 2),
+      m$i AS MATERIALIZED (
+        SELECT $i AS step, l AS "left", r AS "right", l || r AS merged,
+          c AS pair_count
+        FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+      w$i AS MATERIALIZED (
+        SELECT word, cnt, replace(sym,
+          '|' || (SELECT "left" FROM m$i) || '||' || (SELECT "right" FROM m$i) || '|',
+          '|' || (SELECT merged FROM m$i) || '|') AS sym
+        FROM w${i - 1})"""
+    }
+    (w0 +: steps).mkString(",\n      ")
+  }
+
+  /** Unrolled DuckDB replay of `rounds` BATCHED BPE rounds at batch=2
+    * ([[ext.Bpe.learnMergesBatched]] semantics): each round counts pairs,
+    * ranks the top 2 (count desc, l, r), always accepts rank 1, accepts
+    * rank 2 only if symbol-disjoint from rank 1's symbols AND its merged
+    * output (the deferral rule), and applies the acceptances as chained
+    * replaces in rank order. Scalar subqueries COALESCE to a chr(1)
+    * identity replace when a round accepts only one pair (or the dict
+    * runs out). The caller trims the unioned acceptances to the first k
+    * steps — generating a fixed round count is the price of expressing a
+    * data-dependent loop in SQL, and extra rounds trim away exactly
+    * because acceptance order equals rank order. */
+  def bpeBatchedOracleCtes(rounds: Int): String = {
+    val b0 = """b0 AS MATERIALIZED (
+        SELECT word, count(*)::BIGINT AS cnt,
+          regexp_replace(word, '(.)', '|\1|', 'g') || '|>|' AS sym
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE word <> '' GROUP BY word)"""
+    val steps = (1 to rounds).map { i =>
+      s"""bp$i AS MATERIALIZED (
+        SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS c FROM (
+          SELECT cnt, unnest(list_transform(generate_series(1, len(s) - 1),
+            j -> {'l': s[j], 'r': s[j + 1]})) AS p
+          FROM (SELECT cnt, string_split(substr(sym, 2, length(sym) - 2), '||') AS s
+                FROM b${i - 1})
+          WHERE len(s) >= 2)
+        GROUP BY 1, 2),
+      bt$i AS MATERIALIZED (
+        SELECT l, r, c, rk FROM (
+          SELECT *, CAST(row_number() OVER (ORDER BY c DESC, l, r) AS INT) AS rk
+          FROM bp$i) WHERE rk <= 2),
+      ba$i AS MATERIALIZED (
+        SELECT l, r, c, rk FROM bt$i WHERE rk = 1
+        UNION ALL
+        SELECT t.l, t.r, t.c, t.rk FROM bt$i t JOIN bt$i o ON o.rk = 1
+        WHERE t.rk = 2
+          AND t.l <> o.l AND t.l <> o.r AND t.l <> o.l || o.r
+          AND t.r <> o.l AND t.r <> o.r AND t.r <> o.l || o.r),
+      b$i AS MATERIALIZED (
+        SELECT word, cnt, replace(
+          replace(sym,
+            coalesce('|' || (SELECT l FROM ba$i WHERE rk = 1) || '||' ||
+              (SELECT r FROM ba$i WHERE rk = 1) || '|', chr(1)),
+            coalesce('|' || (SELECT l || r FROM ba$i WHERE rk = 1) || '|', chr(1))),
+          coalesce('|' || (SELECT l FROM ba$i WHERE rk = 2) || '||' ||
+            (SELECT r FROM ba$i WHERE rk = 2) || '|', chr(1)),
+          coalesce('|' || (SELECT l || r FROM ba$i WHERE rk = 2) || '|', chr(1))) AS sym
+        FROM b${i - 1})"""
+    }
+    (b0 +: steps).mkString(",\n      ")
+  }
+
+  /** The token-ID derivation CTEs shared by the q234/q235 oracles,
+    * appended after [[bpeOracleCtes]] (they read w8): per-word token
+    * lists, the frequency-ranked vocabulary ([[ext.Bpe.vocab]] semantics:
+    * count desc, token asc, 0-based dense ids), and the per-doc
+    * (word position, token position, token) stream. */
+  val bpeTokenIdCtes: String = """
+      toks AS MATERIALIZED (
+        SELECT word, cnt, string_split(substr(sym, 2, length(sym) - 2), '||') AS ts
+        FROM w8),
+      vc AS (
+        SELECT ts[u.i] AS token, sum(cnt)::BIGINT AS c
+        FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) u
+        GROUP BY 1),
+      vocab AS MATERIALIZED (
+        SELECT token, CAST(row_number() OVER (ORDER BY c DESC, token) - 1 AS INT) AS token_id
+        FROM vc),
+      dw AS (
+        SELECT doc_id, u.i AS wpos, ws[u.i] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE text IS NOT NULL)
+        CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
+        WHERE ws[u.i] <> ''),
+      dt AS MATERIALIZED (
+        SELECT d.doc_id, d.wpos, u.i AS tpos, t.ts[u.i] AS token
+        FROM dw d JOIN toks t USING (word)
+        CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.ts) + 1)) AS i) u)"""
+
+  /** DuckDB expression applying the k learned merges (m1..mk from
+    * [[bpeOracleCtes]]) to an arbitrary `word` column: the initial
+    * delimited encoding folded through k nested scalar-subquery replaces —
+    * how the oracle tokenizes words OUTSIDE the training dict (q245/q246's
+    * salted stream words). */
+  def bpeApplyOracleExpr(k: Int): String =
+    (1 to k).foldLeft("""regexp_replace(word, '(.)', '|\1|', 'g') || '|>|'""") {
+      (acc, i) =>
+        s"""replace($acc,
+          '|' || (SELECT "left" FROM m$i) || '||' || (SELECT "right" FROM m$i) || '|',
+          '|' || (SELECT merged FROM m$i) || '|')"""
+    }
+
+  /** One residual-IVFADC model + serving chain for the q249 lifecycle
+    * oracle (the q237 chain, parameterized): centroids stride-picked from
+    * `centSrc` (a CTE over (vec_id, vec)), the WHOLE current corpus `cur`
+    * assigned/encoded against them, residual codebooks stride-trained on
+    * the rows matching `cbPred`, queries vec_id < 8 probed at `nprobe`
+    * lists (default 4, the q249 setting), ADC-scored, top-`k` ranked
+    * (default 10). Emits CTEs prefixed `tag`; `subs` and `cur` are shared
+    * and defined by the caller. */
+  def residualServeCtes(tag: String, centSrc: String, cbPred: String,
+      stride: Int = 5, nprobe: Int = 4, k: Int = 10): String = s"""
+      ${tag}cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM $centSrc WHERE vec_id % 100 = 0),
+      ${tag}ldist AS (
+        SELECT a.vec_id AS n_id, c.lcid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
+            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
+        FROM cur a CROSS JOIN ${tag}cent c),
+      ${tag}assign AS (
+        SELECT n_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ${tag}ldist) WHERE rn = 1),
+      ${tag}resid AS (
+        SELECT a.n_id, a.lcid,
+          list_transform(range(1, least(len(x.vec), len(c.l_vec)) + 1),
+            i -> x.vec[i] - c.l_vec[i]) AS rv
+        FROM ${tag}assign a JOIN cur x ON x.vec_id = a.n_id
+        JOIN ${tag}cent c ON c.lcid = a.lcid),
+      ${tag}cb AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY n_id) - 1 AS BIGINT) AS cid,
+          rv[sub*16 + 1 : sub*16 + 16] AS c_vec
+        FROM ${tag}resid CROSS JOIN subs WHERE n_id % $stride = 0 $cbPred),
+      ${tag}cd AS (
+        SELECT r.n_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS d2
+        FROM ${tag}resid r CROSS JOIN ${tag}cb b),
+      ${tag}codes AS (
+        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
+          SELECT n_id, sub, cid,
+            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
+          FROM ${tag}cd) WHERE rn = 1 GROUP BY n_id),
+      ${tag}probes AS (
+        SELECT n_id AS q_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ${tag}ldist WHERE n_id < 8) WHERE rn <= $nprobe),
+      ${tag}qres AS (
+        SELECT p.q_id, p.lcid,
+          list_transform(range(1, least(len(q.vec), len(c.l_vec)) + 1),
+            i -> q.vec[i] - c.l_vec[i]) AS rv
+        FROM ${tag}probes p JOIN cur q ON q.vec_id = p.q_id
+        JOIN ${tag}cent c ON c.lcid = p.lcid),
+      ${tag}ld AS (
+        SELECT r.q_id, r.lcid, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS pd
+        FROM ${tag}qres r CROSS JOIN ${tag}cb b),
+      ${tag}lut1 AS (SELECT q_id, lcid, sub, list(pd ORDER BY cid) AS lrow
+               FROM ${tag}ld GROUP BY q_id, lcid, sub),
+      ${tag}lut AS (SELECT q_id, lcid, list(lrow ORDER BY sub) AS lut
+              FROM ${tag}lut1 GROUP BY q_id, lcid),
+      ${tag}scored AS (
+        SELECT l.q_id, a.n_id,
+          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
+        FROM ${tag}lut l
+        JOIN ${tag}assign a ON a.lcid = l.lcid
+        JOIN ${tag}codes x ON x.n_id = a.n_id
+        WHERE a.n_id <> l.q_id),
+      ${tag}top AS (
+        SELECT q_id, n_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+          FROM ${tag}scored) WHERE rank <= $k)"""
+
+  /** Unrolled DuckDB replay of `iters` integer-Lloyd rounds over the
+    * embeddings table ([[ext.Similarity.lloydInt]] semantics verbatim):
+    * fixed-point grid, exact squared-L2 argmin (ties → smaller cid),
+    * elementwise floored means. MATERIALIZED throughout — each round
+    * references its predecessor twice. Returns the WITH body; the caller
+    * selects the final assignment against c`iters`. */
+  def lloydOracleCtes(iters: Int, dims: Int): String = {
+    val base = s"""v AS MATERIALIZED (
+        SELECT vec_id,
+          list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * 1000) AS BIGINT) + 1024) AS y
+        FROM embeddings),
+      c0 AS MATERIALIZED (SELECT vec_id AS cid, y AS cy FROM v WHERE vec_id % 100 = 0)"""
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (
+        SELECT vec_id, cid, y FROM (
+          SELECT v.vec_id, c.cid, v.y,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              list_sum(list_transform(range(1, len(v.y) + 1),
+                j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))), c.cid) AS rn
+          FROM v CROSS JOIN c${i - 1} c) WHERE rn = 1),
+      m$i AS MATERIALIZED (
+        SELECT cid, list(m ORDER BY i) AS cy FROM (
+          SELECT a.cid, t.i, sum(a.y[t.i]) // count(*) AS m
+          FROM a$i a CROSS JOIN range(1, ${dims + 1}) t(i)
+          GROUP BY a.cid, t.i) GROUP BY cid),
+      c$i AS MATERIALIZED (
+        SELECT c.cid, COALESCE(m.cy, c.cy) AS cy
+        FROM c${i - 1} c LEFT JOIN m$i m USING (cid))"""
+    }
+    (base +: rounds).mkString(",\n      ")
+  }
+
+
+  /** (name, spark impl, duckdb oracle SQL — None ⇒ rows-only check). */
+
+  /** FFD bin-packing replay CTEs (q253/q254): whitespace-token doc lengths
+    * (q243's length source), the exact (length desc, id asc) rank, groups
+    * of `groupDocs` consecutive ranks, and a recursive CTE that advances
+    * all groups in lockstep — iteration r places each group's rank-r doc
+    * into the first bin with room (state = per-group bin-load list), the
+    * exact first-fit-decreasing fold `Packing.ffdPack` runs per group.
+    * Callers must open with WITH RECURSIVE. Exposes `g` (doc_id, n, grp,
+    * rnk) and `fin` (grp, bins — 1-based bin index per rank). */
+  def ffdOracleCtes(budget: Int, groupDocs: Int): String = s"""
+      d AS (
+        SELECT doc_id, len(list_filter(string_split(text,' '), w -> w <> ''))::BIGINT AS n
+        FROM documents WHERE text IS NOT NULL),
+      r AS (
+        SELECT doc_id, n, row_number() OVER (ORDER BY n DESC, doc_id) AS rn
+        FROM d WHERE n > 0),
+      g AS (
+        SELECT doc_id, n, CAST((rn-1)//$groupDocs AS BIGINT) AS grp,
+               CAST((rn-1)%$groupDocs AS BIGINT) AS rnk FROM r),
+      ffd(grp, step, loads, bins) AS (
+        SELECT grp, CAST(-1 AS BIGINT), CAST([] AS BIGINT[]), CAST([] AS INT[])
+        FROM (SELECT DISTINCT grp FROM g)
+        UNION ALL
+        SELECT grp, step,
+          CASE WHEN fit IS NULL THEN list_append(loads, n)
+               ELSE list_transform(range(1, len(loads)+1),
+                      i -> CASE WHEN i = fit THEN loads[i] + n ELSE loads[i] END)
+          END AS loads,
+          list_append(bins, CAST(coalesce(fit, len(loads)+1) AS INT)) AS bins
+        FROM (
+          SELECT f.grp, f.step + 1 AS step, f.loads, f.bins, x.n,
+            list_filter(range(1, len(f.loads)+1),
+              i -> f.loads[i] + x.n <= $budget)[1] AS fit
+          FROM ffd f JOIN g x ON x.grp = f.grp AND x.rnk = f.step + 1)),
+      fin AS (
+        SELECT grp, bins FROM (
+          SELECT grp, bins, row_number() OVER (PARTITION BY grp ORDER BY step DESC) AS rr
+          FROM ffd) WHERE rr = 1)"""
+
+  /** The full residual-IVFADC serve replay — assignment, residual
+    * codebooks (stride 50), codes, nprobe=2 probes, per-(query, probe)
+    * LUTs, ADC, top-3 — over the WHOLE embeddings corpus with queries
+    * vec_id < 8 at m=4×16. Shared VERBATIM by every gate whose serving
+    * path must reproduce the same answers: q212 (one-shot build+serve),
+    * q237 (persisted store + frozen-model increment) and q252 (streaming
+    * serve of the persisted artifact).
+    */
+  val ivfAdcFullOracle: String = """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM v WHERE vec_id % 100 = 0),
+      ldist AS (
+        SELECT a.vec_id AS n_id, c.lcid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
+            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
+        FROM v a CROSS JOIN cent c),
+      assign AS (
+        SELECT n_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ldist) WHERE rn = 1),
+      resid AS (
+        SELECT a.n_id, a.lcid,
+          list_transform(range(1, least(len(x.vec), len(c.l_vec)) + 1),
+            i -> x.vec[i] - c.l_vec[i]) AS rv
+        FROM assign a JOIN v x ON x.vec_id = a.n_id JOIN cent c ON c.lcid = a.lcid),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      cb AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY n_id) - 1 AS BIGINT) AS cid,
+          rv[sub*16 + 1 : sub*16 + 16] AS c_vec
+        FROM resid CROSS JOIN subs WHERE n_id % 50 = 0),
+      cd AS (
+        SELECT r.n_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS d2
+        FROM resid r CROSS JOIN cb b),
+      codes AS (
+        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
+          SELECT n_id, sub, cid,
+            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
+          FROM cd) WHERE rn = 1 GROUP BY n_id),
+      probes AS (
+        SELECT n_id AS q_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ldist WHERE n_id < 8) WHERE rn <= 2),
+      qres AS (
+        SELECT p.q_id, p.lcid,
+          list_transform(range(1, least(len(q.vec), len(c.l_vec)) + 1),
+            i -> q.vec[i] - c.l_vec[i]) AS rv
+        FROM probes p JOIN v q ON q.vec_id = p.q_id JOIN cent c ON c.lcid = p.lcid),
+      ld AS (
+        SELECT r.q_id, r.lcid, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS pd
+        FROM qres r CROSS JOIN cb b),
+      lut1 AS (SELECT q_id, lcid, sub, list(pd ORDER BY cid) AS lrow
+               FROM ld GROUP BY q_id, lcid, sub),
+      lut AS (SELECT q_id, lcid, list(lrow ORDER BY sub) AS lut
+              FROM lut1 GROUP BY q_id, lcid),
+      scored AS (
+        SELECT l.q_id, a.n_id,
+          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
+        FROM lut l
+        JOIN assign a ON a.lcid = l.lcid
+        JOIN codes x ON x.n_id = a.n_id
+        WHERE a.n_id <> l.q_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank"""
+
+
+  /** The exact per-dimension drift replay (quantized BIGINT sums over the
+    * %2 base/delta snapshot split of the embeddings corpus) — shared
+    * VERBATIM by q201 (batch) and q257 (the same gauge maintained as a
+    * complete-mode STREAMING aggregation over the delta side). */
+  val perDimDriftOracle: String = """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      e AS (
+        SELECT (vec_id % 2 = 0) AS is_base, t.i AS dim,
+          CAST(floor(vec[CAST(t.i AS INT)] * 1000) AS BIGINT) AS q
+        FROM v CROSS JOIN range(1, 65) t(i)),
+      agg AS (
+        SELECT dim,
+          count(*) FILTER (WHERE is_base) AS n_base,
+          count(*) FILTER (WHERE NOT is_base) AS n_delta,
+          CAST(sum(q) FILTER (WHERE is_base) AS BIGINT) AS sum_base,
+          CAST(sum(q) FILTER (WHERE NOT is_base) AS BIGINT) AS sum_delta
+        FROM e GROUP BY 1)
+      SELECT CAST(dim AS INT) AS dim, n_base, n_delta, sum_base, sum_delta,
+        CAST(sum_base AS DOUBLE) / n_base -
+          CAST(sum_delta AS DOUBLE) / n_delta AS shift_milli
+      FROM agg ORDER BY dim"""
+
+}
