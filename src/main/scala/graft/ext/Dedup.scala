@@ -598,18 +598,16 @@ object Dedup {
     // class's member ids right in the class row (bounded by class size —
     // the same bound the within-class pair output already implies), so
     // member resolution below is a map-side explode over this cached frame
-    // instead of a SECOND corpus scan + broadcast probe. The eager count
-    // populates the cache BEFORE any multi-branch job: concurrent branches
+    // instead of a SECOND corpus scan + broadcast probe. Caches.pin
+    // materializes it BEFORE any multi-branch job: concurrent branches
     // of an uncached persist race to compute the same partitions (each
     // branch pays the corpus scan — the measured regression when this
-    // count was dropped). Registered with Caches for release.
-    val classes = graft.util.Caches.register(df
+    // pin was dropped); see Caches.pin for the checkpoint-mode story.
+    val classes = graft.util.Caches.pin(df
       .where(keysNonNull)
       .groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"),
-        collect_list(col(idCol)).as("__ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    classes.count()
+        collect_list(col(idCol)).as("__ids")))
     val reps = classes.select((col("__rep").as(idCol) +: keyCols.map(col)): _*)
     val repPairs = pairFn(reps)
     // dup-class membership (rep → every member id, rep included): only
@@ -1261,7 +1259,8 @@ object Dedup {
     // (id, cid, cosine): dragging the d-dim vector into the aggregation
     // buffers would materialize it n·k times; the vector joins back by id
     // afterwards, one corpus-sized hash join
-    val assigned = graft.util.Caches.register(vecs
+    // eager pin: three uncached consumers would race re-scans
+    val assigned = graft.util.Caches.pin(vecs
       .crossJoin(broadcast(cents))
       .select(col("id"), col("__cid"),
         Similarity.cosine(col("__v"), col("__cv")).as("__s"))
@@ -1270,9 +1269,7 @@ object Dedup {
         struct(col("__s"), -col("__cid"))).as("__best"))
       .select(col("id"),
         col("__best.__cid").as("cid"), col("__best.__s").as("sim_c"))
-      .join(vecs, Seq("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    assigned.count() // eager: three uncached consumers would race re-scans
+      .join(vecs, Seq("id")))
     // giant-cluster guard: sub-split oversized clusters before pairing.
     // The size table is one hash agg over the PINNED assigned frame —
     // k-ish rows, broadcast back.

@@ -351,11 +351,10 @@ object Packing {
     * All counts integral; the one ratio divides last. */
   def packingWasteLedger(df: DataFrame, idCol: String, tokensCol: String,
       exampleTokens: Long, batchDocs: Int, groupDocs: Int = 4096): DataFrame = {
-    val docs = graft.util.Caches.register(
+    // eager multi-consumer pin (three disciplines re-scan it)
+    val docs = graft.util.Caches.pin(
       df.select(col(idCol), col(tokensCol).cast("long").as("__n"))
-        .where(col("__n") > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    docs.count() // multi-consumer pin (three disciplines re-scan it)
+        .where(col("__n") > 0))
     val concat0 = docs
       .agg(sum(col("__n")).as("payload"), count(lit(1)).as("n_docs"))
       .select(lit("concat_chunk").as("discipline"),

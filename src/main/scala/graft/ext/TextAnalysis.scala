@@ -303,12 +303,11 @@ object TextAnalysis {
     * Counts stay integral; coverage is the one final division. */
   def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val counts = graft.util.Caches.register(df
+    // eager pin: total + top-k would race an uncached persist
+    val counts = graft.util.Caches.pin(df
       .select(explode(words(col(textCol))).as("token"))
       .where(col("token") =!= "")
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    counts.count() // eager: total + top-k would race an uncached persist
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt")))
     val total = counts.agg(sum(col("cnt")).as("__total"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("token"))
@@ -565,13 +564,12 @@ object TextAnalysis {
       k: Int, maxDf: Long): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(maxDf >= 2, s"maxDf must be >= 2 to allow any pair, got $maxDf")
-    val tf = graft.util.Caches.register(df
+    // eager pin: df agg + pair join would race an uncached persist
+    val tf = graft.util.Caches.pin(df
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         explode(Dedup.shingles(col(textCol), words(col(textCol)))).as("__t"))
-      .groupBy(col("__id"), col("__t")).agg(count(lit(1)).as("__tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    tf.count() // eager: df agg + pair join would race an uncached persist
+      .groupBy(col("__id"), col("__t")).agg(count(lit(1)).as("__tf")))
     val dfr = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
       .where(col("__df").between(2L, maxDf))
     val nDocs = df.where(col(textCol).isNotNull)
@@ -600,9 +598,8 @@ object TextAnalysis {
         (col("__a.__tf") * col("__b.__tf") * col("__w") * col("__w")).as("__c"))
       .groupBy(col("__ida"), col("__idb"))
       .agg(sum(col("__c")).as("score"))
-    val pairs = graft.util.Caches.register(
-      half.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    pairs.count() // eager: the two mirror directions would race re-scans
+    // eager pin: the two mirror directions would race re-scans
+    val pairs = graft.util.Caches.pin(half)
     val scores = pairs.union(pairs.select(
       col("__idb").as("__ida"), col("__ida").as("__idb"), col("score")))
     val w = org.apache.spark.sql.expressions.Window

@@ -48,6 +48,44 @@ object Caches {
     live.add(ds); ds
   }
 
+  /** Pin `ds` for multiple downstream consumers: materialize it EAGERLY so
+    * concurrent consumer branches never race an uncached persist (each
+    * racing branch recomputes the full upstream — the measured regression
+    * whenever one of these pins was dropped). Mode is selected by the
+    * session conf `spark.graft.pin.mode`:
+    *
+    *  - `persist` (default): MEMORY_AND_DISK persist + eager count,
+    *    [[register]]ed for [[releaseAll]] — right for a long-lived
+    *    single-JVM session (Verify/Bench/specs) where the block manager
+    *    owns the lifetime.
+    *  - `checkpoint`: a RELIABLE `ds.checkpoint(eager = true)` when the
+    *    SparkContext has a checkpoint directory — the production setting
+    *    at 100 TB: the pinned frame lands on the cluster FS, survives
+    *    executor loss, and TRUNCATES the lineage instead of keeping the
+    *    upstream plan resident. Without a checkpoint dir it degrades to
+    *    `localCheckpoint(eager = true)` (executor-local, lineage still
+    *    cut). Reliable checkpoint files are reclaimed by the
+    *    ContextCleaner when
+    *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`, or by
+    *    the cluster's checkpoint-dir retention job otherwise.
+    *
+    * Downstream consumers MUST use the RETURNED handle (in checkpoint mode
+    * it is a different Dataset whose plan reads the checkpoint files). */
+  def pin[T](ds: Dataset[T]): Dataset[T] =
+    ds.sparkSession.conf.get("spark.graft.pin.mode", "persist") match {
+      case "persist" =>
+        val p = register(ds.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        p.count()
+        p
+      case "checkpoint" =>
+        if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          ds.checkpoint(eager = true)
+        else ds.localCheckpoint(eager = true)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.pin.mode must be 'persist' or 'checkpoint', got '$other'")
+    }
+
   /** Unpersist every registered dataset (non-blocking), clear the registry,
     * and release ownership; returns how many handles were released.
     * Idempotent — unpersisting an already-released dataset is a no-op. */

@@ -37,6 +37,29 @@ class CacheReleaseSpec extends SparkTestBase {
       .filterNot(_.isCheckpointed) shouldBe empty
   }
 
+  test("Caches.pin: default mode persists + registers; checkpoint mode cuts lineage") {
+    import spark.implicits._
+    Caches.releaseAll()
+    // default (persist) mode: eager, registered for release
+    val p = Caches.pin(Seq(1, 2, 3).toDS())
+    p.collect().sorted shouldBe Array(1, 2, 3)
+    p.storageLevel.useMemory shouldBe true // already materialized by pin
+    Caches.releaseAll() shouldBe 1
+    // checkpoint mode (the production flag, on an ISOLATED child session so
+    // no other suite sees the conf): same rows, lineage truncated to an RDD
+    // scan, nothing registered → nothing for releaseAll to leak
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.pin.mode", "checkpoint")
+    val ds = { import s2.implicits._; Seq(4, 5).toDS() }
+    val c = Caches.pin(ds.map(_ + 1))
+    c.collect().sorted shouldBe Array(5, 6)
+    c.queryExecution.optimizedPlan.getClass.getSimpleName shouldBe "LogicalRDD"
+    Caches.releaseAll() shouldBe 0
+    // unknown mode fails loudly instead of silently not pinning
+    s2.conf.set("spark.graft.pin.mode", "nope")
+    an[IllegalArgumentException] should be thrownBy Caches.pin(ds)
+  }
+
   test("releaseAll is idempotent and empty-safe") {
     Caches.releaseAll()
     Caches.releaseAll() shouldBe 0
