@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The [[Ann]] facade contract: each method name routes to its
+  * [[Similarity]] rung with the output normalized to
+  * (q_id, rank, n_id, score), the default is the deployable residual
+  * IVFADC (not a strawman), and the low-recall `sign_lsh` rung refuses to
+  * run without an explicit acknowledgement. */
+class AnnFacadeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 64 vectors, 64 dims (multi-probe needs tables·bits = 56, ivfpq needs
+  // m·subDim = 64), deterministic and spread enough for distinct neighbors
+  private lazy val corpus = (0 until 64).map { i =>
+    (i.toLong, Array.tabulate(64)(j => (((i * 31 + j * 17) % 23) - 11).toFloat))
+  }.toDF("id", "v")
+  private lazy val queries = corpus.where(col("id") < 3)
+
+  test("exact routing ≡ bruteForceTopK with score = cosine") {
+    val facade = Ann.topK(queries, corpus, "id", "id", "v", k = 3,
+      method = "exact").orderBy("q_id", "rank").collect()
+    val direct = Similarity.bruteForceTopK(queries, corpus, "id", "id", "v", 3)
+      .orderBy("q_id", "rank").collect()
+    facade.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))) shouldBe
+      direct.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+  }
+
+  test("default method is residual IVFADC and emits the normalized schema") {
+    val out = Ann.topK(queries, corpus, "id", "id", "v", k = 3,
+      nlist = 4, iters = 2, m = 4, subDim = 16, stride = 7)
+    out.columns.toSeq shouldBe Seq("q_id", "rank", "n_id", "score")
+    val rows = out.orderBy("q_id", "rank").collect()
+    rows.map(_.getLong(0)).distinct.sorted shouldBe Array(0L, 1L, 2L)
+    // score descends within each query (negated approximate distance)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val scores = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      scores.zip(scores.tail).foreach { case (a, b) => a should be >= b }
+    }
+  }
+
+  test("sign_lsh refuses without acceptLowRecall, runs with it") {
+    val e = intercept[IllegalArgumentException] {
+      Ann.topK(queries, corpus, "id", "id", "v", k = 3, method = "sign_lsh")
+    }
+    e.getMessage should include("strawman")
+    e.getMessage should include("acceptLowRecall")
+    noException should be thrownBy Ann.topK(queries, corpus, "id", "id", "v",
+      k = 3, method = "sign_lsh", acceptLowRecall = true).collect()
+  }
+
+  test("unknown method fails loudly with the ladder listed") {
+    val e = intercept[IllegalArgumentException] {
+      Ann.topK(queries, corpus, "id", "id", "v", k = 3, method = "hnsw")
+    }
+    e.getMessage should include("ivfpq_residual")
+  }
+}
