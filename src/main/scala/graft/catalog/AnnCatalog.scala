@@ -1530,6 +1530,60 @@ private[graft] object AnnCatalog {
       val baseStats = ext.LinAlg.perDimQuantStats(
         emb.where(col("vec_id") % 2 === 0), "embedding", scale = 1000)
       ext.LinAlg.driftFromStats(baseStats, deltaStats).orderBy(col("dim"))
-    }, Some(perDimDriftOracle))
+    }, Some(perDimDriftOracle)),
+
+    // MMR diversification — the re-rank pass a retrieval pipeline runs
+    // after top-m recall so the k results it returns are not m copies of
+    // the same neighborhood. Greedy argmax of rel/2 − maxSimToSelected/2
+    // (λ = 1/2: every blend is an exact IEEE half, so the oracle's
+    // recursive replay hash-matches bit for bit). The oracle carries the
+    // selected set as a list column through a recursive CTE — the FFD
+    // (q253) state-carrying discipline — and re-derives rel and the
+    // pairwise penalties from the same double-cast vectors.
+    ("q258_mmr_rerank", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.mmrRerank(emb.where(col("vec_id") < 6), emb,
+        "vec_id", "vec_id", "embedding", k = 5, m = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH RECURSIVE
+      q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 6),
+      c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+      scored AS (
+        SELECT q_id, n_id,
+          list_sum(list_transform(range(1, least(len(qv), len(nv)) + 1), i -> qv[i] * nv[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
+        FROM q CROSS JOIN c WHERE n_id <> q_id),
+      cands AS (
+        SELECT q_id, n_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+          FROM scored) WHERE rn <= 10),
+      cv AS (SELECT cd.q_id, cd.n_id, cd.sim, c.nv FROM cands cd JOIN c USING (n_id)),
+      p AS (
+        SELECT a.q_id, a.n_id AS ia, b.n_id AS ib,
+          list_sum(list_transform(range(1, least(len(a.nv), len(b.nv)) + 1), i -> a.nv[i] * b.nv[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(a.nv) + 1), i -> a.nv[i] * a.nv[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(b.nv) + 1), i -> b.nv[i] * b.nv[i])))) AS s
+        FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.n_id < b.n_id),
+      sel(q_id, step, sel_ids, n_id, score) AS (
+        SELECT q_id, 1, [n_id], n_id, sim / 2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+          FROM cands) WHERE rn = 1
+        UNION ALL
+        SELECT q_id, step, list_append(sel_ids, n_id), n_id, score FROM (
+          SELECT x.*, row_number() OVER (PARTITION BY x.q_id ORDER BY x.score DESC, x.n_id) AS rn
+          FROM (
+            SELECT s.q_id, s.step + 1 AS step, s.sel_ids, c2.n_id,
+              c2.sim / 2 - max(p.s) / 2 AS score
+            FROM sel s
+            JOIN cands c2 ON c2.q_id = s.q_id AND NOT list_contains(s.sel_ids, c2.n_id)
+            JOIN p ON p.q_id = s.q_id
+              AND ((p.ia = c2.n_id AND list_contains(s.sel_ids, p.ib))
+                OR (p.ib = c2.n_id AND list_contains(s.sel_ids, p.ia)))
+            WHERE s.step < 5
+            GROUP BY s.q_id, s.step, s.sel_ids, c2.n_id, c2.sim) x) WHERE rn = 1)
+      SELECT q_id, CAST(step AS INT) AS rank, n_id, score FROM sel
+      ORDER BY q_id, rank"""))
   )
 }

@@ -1071,4 +1071,110 @@ object Similarity {
       .withColumn("__best", best)
       .select(col(idCol), col("__best.__cid").as("cid"), col("__best.__d").as("dist"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR'98)
+    * — the diversification pass a retrieval pipeline runs AFTER top-m
+    * recall: from each query's m candidates, greedily select k whose MMR
+    * objective `rel/2 − maxSimToSelected/2` is maximal (λ = 1/2, a
+    * power-of-two blend so every score is an EXACT IEEE half — no
+    * rounding, engine-exact). First pick has no penalty (score = rel/2);
+    * every tie breaks to the lowest candidate id.
+    *
+    * Scale shape: candidate recall is [[bruteForceTopK]] (broadcast
+    * queries, ONE corpus scan, bounded top-k reduction — swap in any index
+    * rung for the recall stage at larger corpora); the greedy loop then
+    * touches only |queries|·m candidate rows. The selection itself is a
+    * data-dependent iterative argmax — inexpressible as a fixed Catalyst
+    * expression (each step's scores depend on the previous picks), so it
+    * runs as a typed mapPartitions over ONE ROW PER QUERY holding the m
+    * (id, rel, vec) candidates: per-group state is m·dims doubles +
+    * an O(m²) bounded loop, never corpus-sized. Pairwise candidate
+    * cosines are computed inside the fold with the same strict
+    * left-to-right dot/norm/÷ sequence as the native [[cosine]]
+    * expression, so scores stay bit-identical to an engine that derives
+    * them from the same vectors.
+    *
+    * @param queries (qIdCol, vecCol) — SMALL (broadcast by the recall stage)
+    * @param corpus  (idCol long-castable, vecCol) — arbitrarily large
+    * @param k       results per query (k ≤ m)
+    * @param m       candidate pool per query
+    * @return (q_id, rank, n_id, score) — rank 1..k in selection order */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, idCol: String, vecCol: String,
+      k: Int, m: Int): DataFrame = {
+    require(k > 0 && m >= k, s"need m >= k > 0, got k=$k m=$m")
+    val cands = bruteForceTopK(queries, corpus, qIdCol, idCol, vecCol, m)
+    val vecs = corpus.select(col(idCol).cast("long").as("n_id"),
+      col(vecCol).cast("array<double>").as("n_vec"))
+    val grouped = cands
+      .select(col("q_id").cast("long").as("q_id"), col("n_id").cast("long").as("n_id"),
+        col("sim"))
+      .join(vecs, Seq("n_id"))
+      .groupBy(col("q_id"))
+      .agg(sort_array(collect_list(
+        struct(col("n_id"), col("sim"), col("n_vec")))).as("cs"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    grouped.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val qId = r.getLong(0)
+        val cs = r.getSeq[org.apache.spark.sql.Row](1)
+        val n = cs.size
+        val ids = cs.map(_.getLong(0)).toArray
+        val rel = cs.map(_.getDouble(1)).toArray
+        val vec = cs.map(_.getSeq[Double](2).toArray).toArray
+        // pairwise cosine, exactly the native expression's op sequence:
+        // strict left-to-right dot and norms, then dot / (√na · √nb)
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          val d = math.min(a.length, b.length)
+          var dot = 0.0; var i = 0
+          while (i < d) { dot += a(i) * b(i); i += 1 }
+          var na = 0.0; i = 0
+          while (i < a.length) { na += a(i) * a(i); i += 1 }
+          var nb = 0.0; i = 0
+          while (i < b.length) { nb += b(i) * b(i); i += 1 }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val pair = Array.ofDim[Double](n, n)
+        for (i <- 0 until n; j <- i + 1 until n) {
+          val s = cos(vec(i), vec(j)); pair(i)(j) = s; pair(j)(i) = s
+        }
+        val selected = new Array[Boolean](n)
+        val picks = new Array[Int](math.min(k, n))
+        val out = Array.newBuilder[org.apache.spark.sql.Row]
+        for (step <- 0 until math.min(k, n)) {
+          var bestI = -1; var bestScore = Double.NegativeInfinity
+          for (c <- 0 until n if !selected(c)) {
+            // penalty = TRUE max of pairwise sims to the picked set (may be
+            // negative — a diversity bonus); no penalty on the first pick
+            val score =
+              if (step == 0) rel(c) / 2
+              else {
+                var pen = pair(c)(picks(0))
+                var t = 1
+                while (t < step) {
+                  val s = pair(c)(picks(t)); if (s > pen) pen = s; t += 1
+                }
+                rel(c) / 2 - pen / 2
+              }
+            if (score > bestScore ||
+                (score == bestScore && (bestI < 0 || ids(c) < ids(bestI)))) {
+              bestScore = score; bestI = c
+            }
+          }
+          selected(bestI) = true; picks(step) = bestI
+          out += org.apache.spark.sql.Row(qId, step + 1, ids(bestI), bestScore)
+        }
+        out.result()
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
+  }
 }

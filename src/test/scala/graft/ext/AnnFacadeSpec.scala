@@ -51,6 +51,34 @@ class AnnFacadeSpec extends SparkTestBase {
       k = 3, method = "sign_lsh", acceptLowRecall = true).collect()
   }
 
+  test("mmrRerank: first pick is the relevance top-1, later picks diversify") {
+    // two tight clusters near the query + one moderately relevant outlier:
+    // pure relevance ranks the second cluster-A doc ahead of the outlier,
+    // MMR (λ=1/2) must NOT — the near-duplicate's penalty sinks it
+    val docs = Seq(
+      (1L, Array(1.00f, 0.00f, 0f, 0f)), // query
+      (2L, Array(0.99f, 0.10f, 0f, 0f)), // cluster A, most relevant
+      (3L, Array(0.98f, 0.12f, 0f, 0f)), // cluster A, near-dup of 2
+      (4L, Array(0.50f, -0.866f, 0f, 0f)) // outlier, moderate relevance,
+                                          // low sim to cluster A
+    ).toDF("id", "v")
+    val out = Similarity.mmrRerank(docs.where(col("id") === 1), docs,
+        "id", "id", "v", k = 3, m = 3)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    out.head shouldBe (1, 2L) // = bruteForceTopK rank 1
+    out(1) shouldBe (2, 4L)   // diversified past the near-dup
+    out(2) shouldBe (3, 3L)
+  }
+
+  test("mmrRerank emits all candidates when the pool is smaller than k") {
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("id", "v")
+    val out = Similarity.mmrRerank(docs.where(col("id") === 1), docs,
+      "id", "id", "v", k = 5, m = 5).collect()
+    out.length shouldBe 2 // only two non-self candidates exist
+  }
+
   test("unknown method fails loudly with the ladder listed") {
     val e = intercept[IllegalArgumentException] {
       Ann.topK(queries, corpus, "id", "id", "v", k = 3, method = "hnsw")
