@@ -1584,6 +1584,53 @@ private[graft] object AnnCatalog {
             WHERE s.step < 5
             GROUP BY s.q_id, s.step, s.sel_ids, c2.n_id, c2.sim) x) WHERE rn = 1)
       SELECT q_id, CAST(step AS INT) AS rank, n_id, score FROM sel
+      ORDER BY q_id, rank""")),
+
+    // RAG context assembly: retrieval (exact top-m per query, the q27
+    // plan) joined to passage token lengths (q243's whitespace-token
+    // source via the 1:1 vec_id↔doc_id mapping), then a rank-prefix fill
+    // of a fixed token budget — the context window is packed in relevance
+    // order and truncated at the first passage that would overflow.
+    // Scale shape: the candidate set is |queries|·m rows broadcast into
+    // the length join; the running sum windows over ≤ m rows per query —
+    // bounded by construction, never corpus-wide.
+    ("q259_rag_context_pack", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cands = Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 6), emb, "vec_id", "vec_id", "embedding", 10)
+      val lens = T(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(filter(TextAnalysis.words(col("text")), w => w =!= ""))
+            .cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+      lens.join(broadcast(cands), col("doc_id") === col("n_id"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .where(col("cum_tokens") <= 256L)
+        .select(col("q_id"), col("rank"), col("doc_id"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 6),
+      c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+      scored AS (
+        SELECT q_id, n_id,
+          list_sum(list_transform(range(1, least(len(qv), len(nv)) + 1), i -> qv[i] * nv[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
+        FROM q CROSS JOIN c WHERE n_id <> q_id),
+      cands AS (
+        SELECT q_id, n_id, rn AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+          FROM scored) WHERE rn <= 10),
+      lens AS (
+        SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+        FROM documents WHERE text IS NOT NULL),
+      packed AS (
+        SELECT cd.q_id, cd.rank, l.doc_id, l.n_tokens,
+          CAST(sum(l.n_tokens) OVER (PARTITION BY cd.q_id ORDER BY cd.rank) AS BIGINT) AS cum_tokens
+        FROM cands cd JOIN lens l ON l.doc_id = cd.n_id)
+      SELECT q_id, rank, doc_id, n_tokens, cum_tokens
+      FROM packed WHERE cum_tokens <= 256
       ORDER BY q_id, rank"""))
   )
 }
