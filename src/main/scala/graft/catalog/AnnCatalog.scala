@@ -1631,6 +1631,74 @@ private[graft] object AnnCatalog {
         FROM cands cd JOIN lens l ON l.doc_id = cd.n_id)
       SELECT q_id, rank, doc_id, n_tokens, cum_tokens
       FROM packed WHERE cum_tokens <= 256
-      ORDER BY q_id, rank"""))
+      ORDER BY q_id, rank""")),
+
+    // Spectral direction of the corpus: 6 fixed rounds of power iteration
+    // on the EXACT integer covariance numerator (q133's one-pass BIGINT
+    // aggregation, single global key) — the top-PC estimate a whitening /
+    // drift pipeline needs, with zero float matvec drift because every
+    // round is BIGINT mul/add plus a sign-split integer renormalization.
+    // The oracle replays the identical rounds in a recursive CTE carrying
+    // the integer vector as a list column.
+    ("q260_power_iteration", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val codes = emb.select(lit(0L).as("k"),
+        ext.Quantize.int8Codes(col("embedding"),
+          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
+      val cov = ext.LinAlg.covarianceUpperTriangle(codes, "k", "codes", 64)
+      ext.LinAlg.powerIterationTop(cov, 64, 6)
+    }, Some("""
+      WITH RECURSIVE
+      v0 AS (SELECT embedding::DOUBLE[] AS vec FROM embeddings),
+      s0 AS (
+        SELECT vec,
+          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
+        FROM v0),
+      q0 AS (
+        SELECT CASE WHEN scale = 0
+          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
+        FROM s0),
+      e0 AS (
+        SELECT i.i AS i, j.j AS j, codes[i.i] * codes[j.j] AS p
+        FROM q0
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+        WHERE i.i <= j.j),
+      g0 AS (
+        SELECT i, j, CAST(sum(p) AS BIGINT) AS g, count(*) AS n
+        FROM e0 GROUP BY 1, 2),
+      su0 AS (
+        SELECT d.d AS d, CAST(sum(codes[d.d]) AS BIGINT) AS s
+        FROM q0 CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
+        GROUP BY 1),
+      cn AS (
+        SELECT g0.i, g0.j, g0.n*g0.g - si.s*sj.s AS x
+        FROM g0 JOIN su0 si ON si.d = g0.i JOIN su0 sj ON sj.d = g0.j),
+      m AS (
+        SELECT i, j, x FROM cn
+        UNION ALL
+        SELECT j AS i, i AS j, x FROM cn WHERE i <> j),
+      sc AS (
+        SELECT least(100000, 4611686018427387903 // greatest(1, 64 * max(abs(x)))) AS sv
+        FROM m),
+      pw(step, vl) AS (
+        SELECT 0, list_transform(range(1, 65), i -> CAST(1 AS BIGINT))
+        UNION ALL
+        SELECT step + 1,
+          list(CASE WHEN w < 0 THEN -(abs(w) // dv) ELSE abs(w) // dv END ORDER BY i)
+        FROM (
+          SELECT step, i, w, max(abs(w)) OVER () // sv + 1 AS dv
+          FROM (
+            SELECT p.step, m.i, CAST(sum(m.x * p.vl[m.j]) AS BIGINT) AS w
+            FROM pw p CROSS JOIN m
+            WHERE p.step < 6
+            GROUP BY p.step, m.i) t
+          CROSS JOIN sc)
+        GROUP BY step)
+      SELECT d.i AS dim, vl[d.i] AS v
+      FROM pw CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+      WHERE step = 6
+      ORDER BY dim"""))
   )
 }

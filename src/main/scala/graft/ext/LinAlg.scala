@@ -189,4 +189,63 @@ object LinAlg {
         col("sum_base").cast("double") / col("n_base") -
           col("sum_delta").cast("double") / col("n_delta"))
   }
+
+  /** Dominant-eigenvector POWER ITERATION over the exact integer
+    * covariance numerator — the spectral step of a PCA/whitening pipeline
+    * kept ENGINE-EXACT: the corpus-sized work is the one-pass
+    * [[covarianceUpperTriangle]] aggregation upstream; the iteration here
+    * runs on the dim²-row matrix frame entirely in BIGINT arithmetic, so
+    * any engine replays it bit for bit (no float matvec drift, no libm).
+    *
+    * Each round: w = A·v (matrix join + hash agg — distributed, the
+    * matrix never collects), then the integer renormalization
+    * `v ← sign(w)·(|w| div (max|w| div S + 1))`, which bounds |v| ≤ S.
+    * S = min(`cap`, (2⁶²−1) div max(1, dim·max|A|)) is chosen once from
+    * the matrix so the NEXT matvec provably fits in BIGINT
+    * (|Σ aᵢⱼvⱼ| ≤ dim·max|A|·S < 2⁶²); `require(S ≥ 2)` guards that bound
+    * the way [[MaxExactCovarianceRows]] guards the covariance itself —
+    * pre-scale the matrix upstream (e.g. divide cov_num by a power of
+    * two) if a corpus legitimately trips it. The sign-split division
+    * keeps Spark's truncating `div` and an oracle's floor `//` identical
+    * by only ever dividing non-negative operands.
+    *
+    * `iters` is FIXED, not convergence-tested — the replayable-iteration
+    * discipline of [[Similarity.lloydIntCentroids]]. Per round: one
+    * metadata-sized max|w| action; lineage truncated per round.
+    *
+    * @param cov  ONE key's (i, j, cov_num) upper triangle, 1-based, as
+    *             produced by [[covarianceUpperTriangle]]
+    * @return (dim, v) — the integer-scaled dominant-eigenvector estimate */
+  def powerIterationTop(cov: DataFrame, dim: Int, iters: Int,
+      cap: Long = 100000L): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    val spark = cov.sparkSession
+    val upper = cov.select(col("i").cast("long").as("i"),
+      col("j").cast("long").as("j"), col("cov_num").cast("long").as("x"))
+    val a = upper.unionByName(upper.where(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("x")))
+      .localCheckpoint(true)
+    val maxA = a.agg(coalesce(max(abs(col("x"))), lit(0L))).first().getLong(0)
+    val s = math.min(cap, (Long.MaxValue / 2) / math.max(1L, dim.toLong * maxA))
+    require(s >= 2,
+      s"powerIterationTop: dim*max|A| = $dim*$maxA leaves no integer " +
+        "headroom for an exact matvec — pre-scale the matrix upstream")
+    var v = spark.range(1, dim + 1).select(col("id").as("dim"), lit(1L).as("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val w = a.join(v, a("j") === v("dim"))
+        .groupBy(col("i"))
+        .agg(sum(col("x") * col("v")).as("w"))
+        .localCheckpoint(true) // consumed twice: the max gauge + the rescale
+      val mxW = w.agg(coalesce(max(abs(col("w"))), lit(0L))).first().getLong(0)
+      val dv = mxW / s + 1
+      v = w.select(col("i").as("dim"),
+        expr(s"CASE WHEN w < 0 THEN -(abs(w) div ${dv}L) " +
+          s"ELSE abs(w) div ${dv}L END").as("v"))
+        .localCheckpoint(true)
+    }
+    v.orderBy(col("dim"))
+  }
 }

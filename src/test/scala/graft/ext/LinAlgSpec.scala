@@ -142,6 +142,41 @@ class LinAlgSpec extends SparkTestBase {
     g(1) shouldBe ((2, 2L, -500L)) // floor(-1.25*1000) = -1250, +750
   }
 
+  test("powerIterationTop finds the dominant axis of a diagonal matrix") {
+    // diag(100, 1): the dominant eigenvector is e1. Upper triangle input
+    // shaped like covarianceUpperTriangle's (i, j, cov_num).
+    val cov = Seq((1L, 1L, 100L), (1L, 2L, 0L), (2L, 2L, 1L))
+      .toDF("i", "j", "cov_num")
+    val v = LinAlg.powerIterationTop(cov, dim = 2, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    v.length shouldBe 2
+    val m = v.toMap
+    // starting from (1,1): component 2 decays by 100× per round vs
+    // component 1 — after 4 rounds it is ~1e-8 of component 1
+    m(1L) should be > 0L
+    m(2L) shouldBe 0L
+  }
+
+  test("powerIterationTop renormalization keeps |v| within the exact bound") {
+    // near-Long-max entries: S shrinks so the matvec provably fits
+    val big = Long.MaxValue / 1000
+    val cov = Seq((1L, 1L, big), (1L, 2L, big / 2), (2L, 2L, big))
+      .toDF("i", "j", "cov_num")
+    val v = LinAlg.powerIterationTop(cov, dim = 2, iters = 3)
+      .collect().map(_.getLong(1))
+    val s = math.min(100000L, (Long.MaxValue / 2) / (2L * big))
+    all(v.map(math.abs)) should be <= s
+  }
+
+  test("powerIterationTop refuses a matrix with no integer headroom") {
+    val cov = Seq((1L, 1L, Long.MaxValue / 2), (1L, 2L, 0L), (2L, 2L, 1L))
+      .toDF("i", "j", "cov_num")
+    val e = intercept[IllegalArgumentException] {
+      LinAlg.powerIterationTop(cov, dim = 2, iters = 1)
+    }
+    e.getMessage should include("headroom")
+  }
+
   test("MaxExactCovarianceRows is the documented worst-case bound") {
     val n = LinAlg.MaxExactCovarianceRows
     // worst case is a saturated −128 code (GramUpperTriangle admits the
