@@ -1090,6 +1090,75 @@ private[graft] object TokenizerCatalog {
       SELECT word, CAST(u.i - 1 AS INT) AS token_idx, s[u.i] AS token
       FROM t CROSS JOIN LATERAL (
         SELECT unnest(range(1, len(s) + 1)) AS i) u
-      ORDER BY word, token_idx"""))
+      ORDER BY word, token_idx""")),
+
+    // WordPiece (BERT-family) tokenization — the second production
+    // tokenizer family next to BPE: greedy longest-match-first
+    // segmentation of the distinct word dictionary against a
+    // corpus-derived piece vocabulary (top-50 occurrence-weighted
+    // substrings per side + every single character, so the corpus
+    // tokenizes totally). The oracle re-derives the same vocabulary in
+    // SQL and replays the greedy loop as a recursive CTE carrying the
+    // piece list, with a static 1..4 length table (maxLen = 4) instead
+    // of a correlated lateral inside the recursion.
+    ("q261_wordpiece", (s, dir) => {
+      ext.Wordpiece.tokenTable(T(s, dir, "documents"), "text",
+          maxLen = 4, topK = 50)
+        .orderBy(col("word"), col("piece_idx"))
+    }, Some("""
+      WITH RECURSIVE
+      w AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+          FROM documents WHERE text IS NOT NULL) GROUP BY word),
+      ini AS (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
+          SELECT substr(word, 1, CAST(l.i AS INT)) AS piece, cnt
+          FROM w CROSS JOIN LATERAL (
+            SELECT unnest(range(1, least(4, length(word)) + 1)) AS i) l)
+        GROUP BY piece),
+      con AS (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
+          SELECT substr(word, CAST(p.i AS INT), CAST(l.i AS INT)) AS piece, cnt
+          FROM w
+          CROSS JOIN LATERAL (
+            SELECT unnest(range(2, length(word) + 1)) AS i) p
+          CROSS JOIN LATERAL (
+            SELECT unnest(range(1, least(4, length(word) - p.i + 1) + 1)) AS i) l)
+        GROUP BY piece),
+      initv AS (
+        SELECT piece FROM (
+          SELECT piece, row_number() OVER (ORDER BY c DESC, piece) AS rn
+          FROM ini WHERE length(piece) >= 2) WHERE rn <= 50
+        UNION
+        SELECT piece FROM ini WHERE length(piece) = 1),
+      contv AS (
+        SELECT piece FROM (
+          SELECT piece, row_number() OVER (ORDER BY c DESC, piece) AS rn
+          FROM con WHERE length(piece) >= 2) WHERE rn <= 50
+        UNION
+        SELECT piece FROM con WHERE length(piece) = 1),
+      lens AS (SELECT unnest(range(1, 5)) AS ll),
+      tok(word, pos, pieces) AS (
+        SELECT word, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]) FROM w
+        UNION ALL
+        SELECT word, pos + bl, list_append(pieces, bp) FROM (
+          SELECT t.word, t.pos, t.pieces, l.ll AS bl,
+            substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT)) AS bp,
+            row_number() OVER (PARTITION BY t.word ORDER BY l.ll DESC) AS rn
+          FROM tok t CROSS JOIN lens l
+          WHERE t.pos <= length(t.word)
+            AND l.ll <= length(t.word) - t.pos + 1
+            AND ((t.pos = 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
+                    IN (SELECT piece FROM initv))
+              OR (t.pos > 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
+                    IN (SELECT piece FROM contv))))
+        WHERE rn = 1),
+      fin AS (SELECT word, pieces FROM tok WHERE pos = length(word) + 1)
+      SELECT word, CAST(u.i - 1 AS INT) AS piece_idx,
+        CASE WHEN u.i = 1 THEN pieces[u.i] ELSE '##' || pieces[u.i] END AS piece
+      FROM fin CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(pieces) + 1)) AS i) u
+      ORDER BY word, piece_idx"""))
   )
 }

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class WordpieceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "unhappy unhappy unfit fit happy"),
+    (2L, "fit unfit happy a")).toDF("doc_id", "text")
+
+  test("greedy longest-match-first with explicit piece sets") {
+    val out = Wordpiece.tokenTableWith(docs, "text",
+        initPieces = Set("un", "unha", "fit", "happy", "a", "u", "h", "f"),
+        contPieces = Set("ppy", "fit", "happy", "p", "y", "t", "i", "n", "a", "h"),
+        maxLen = 4)
+      .orderBy("word", "piece_idx").collect()
+      .groupBy(_.getString(0)).map { case (w, rs) =>
+        w -> rs.sortBy(_.getInt(1)).map(_.getString(2)).toSeq }
+    // 'unhappy': longest initial match is 'unha' (len 4 beats 'un'),
+    // then the longest continuation 'ppy' (beats the singles)
+    out("unhappy") shouldBe Seq("unha", "##ppy")
+    out("unfit") shouldBe Seq("un", "##fit")
+    // maxLen = 4 caps the match: 'happy' (len 5) can never match whole,
+    // even though it sits in the piece set
+    out("happy") shouldBe Seq("h", "##a", "##ppy")
+    out("a") shouldBe Seq("a")
+  }
+
+  test("a corpus-derived vocabulary tokenizes its own corpus totally, round-trip exact") {
+    val out = Wordpiece.tokenTable(docs, "text", maxLen = 4, topK = 10)
+      .orderBy("word", "piece_idx").collect()
+    out.map(_.getString(2)) should not contain Wordpiece.Unk
+    val rebuilt = out.groupBy(_.getString(0)).map { case (w, rs) =>
+      w -> rs.sortBy(_.getInt(1)).map(_.getString(2).stripPrefix("##")).mkString }
+    rebuilt.foreach { case (w, r) => r shouldBe w }
+  }
+
+  test("an uncoverable word emits one [UNK] and stops") {
+    val oov = Seq((1L, "zzz")).toDF("doc_id", "text")
+    val out = Wordpiece.tokenTableWith(oov, "text",
+        initPieces = Set("a"), contPieces = Set("a"), maxLen = 4)
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    out.toSeq shouldBe Seq((0, Wordpiece.Unk))
+  }
+
+  test("vocab: singles always present, multi-char pieces capped at topK per side") {
+    val v = Wordpiece.vocab(docs, "text", maxLen = 4, topK = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val initSingles = v.collect { case ("init", p) if p.length == 1 => p }.toSet
+    initSingles shouldBe Set("u", "f", "h", "a") // first chars of the dict
+    v.count { case (s, p) => s == "init" && p.length >= 2 } shouldBe 2
+    v.count { case (s, p) => s == "cont" && p.length >= 2 } shouldBe 2
+  }
+}
