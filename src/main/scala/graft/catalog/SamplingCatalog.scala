@@ -608,6 +608,39 @@ private[graft] object SamplingCatalog {
         FROM pool p LEFT JOIN per USING (doc_id))
       SELECT doc_id, n_grams, score,
         row_number() OVER (ORDER BY score DESC, doc_id) <= 100 AS selected
-      FROM allp ORDER BY doc_id"""))
+      FROM allp ORDER BY doc_id""")),
+
+    // Cluster-balanced diversity sampling: the exact integer k-means
+    // assignment (q229's model verbatim) followed by an equal per-cluster
+    // quota picked by (hash48, id) — the cluster-then-sample step of
+    // diversity-aware training-data curation, so one dense topic cannot
+    // dominate the sample. The window's row_number ≤ quota collapses to
+    // the per-group WindowGroupLimit pushdown.
+    ("q262_cluster_balanced_sample", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val inits = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      val assigned = ext.Similarity
+        .lloydInt(emb, "vec_id", "embedding", inits, iters = 3)
+        .select(col("vec_id"), col("cid"))
+      Sampling.clusterBalanced(assigned, "vec_id", "cid", quota = 8)
+        .orderBy(col("cid"), col("pick_rank"))
+    }, Some(s"""
+      WITH ${lloydOracleCtes(3, 64)},
+      fin AS (
+        SELECT vec_id, cid FROM (
+          SELECT v.vec_id, c.cid,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              list_sum(list_transform(range(1, len(v.y) + 1),
+                j -> (v.y[j] - c.cy[j]) * (v.y[j] - c.cy[j]))), c.cid) AS rn
+          FROM v CROSS JOIN c3 c) WHERE rn = 1),
+      picked AS (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY cid ORDER BY
+            ('0x' || substr(md5(vec_id::VARCHAR), 1, 12))::BIGINT, vec_id)
+          AS pick_rank
+        FROM fin)
+      SELECT vec_id, cid, CAST(pick_rank AS INT) AS pick_rank
+      FROM picked WHERE pick_rank <= 8
+      ORDER BY cid, pick_rank"""))
   )
 }

@@ -298,4 +298,27 @@ object Sampling {
       .withColumn("selected", coalesce(col("__sel"), lit(false)))
       .drop("__sel_id", "__sel")
   }
+
+  /** Cluster-balanced (diversity) sampling: an equal per-cluster quota,
+    * picked deterministically — within each cluster the `quota` rows with
+    * the smallest (hash48(id), id) survive, so the sample is rerun- and
+    * partitioning-stable and spreads coverage across the embedding space
+    * instead of letting one dense topic dominate (the
+    * cluster-then-sample selection step of diversity-aware training-data
+    * pipelines; clusters typically come from
+    * [[Similarity.lloydInt]]/[[Similarity.assignToCentroids]]).
+    *
+    * Scale shape: one keyed window whose `row_number ≤ quota` filter
+    * collapses to the per-group WindowGroupLimit pushdown — each group
+    * keeps a quota-sized heap, no full per-cluster sort materializes.
+    * Monotone in quota: the quota-8 sample is a prefix of the quota-16
+    * sample per cluster. Adds `pick_rank` (1-based within cluster). */
+  def clusterBalanced(df: DataFrame, idCol: String, clusterCol: String,
+      quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(hash48(col(idCol).cast("string")), col(idCol))
+    df.withColumn("pick_rank", row_number().over(w))
+      .where(col("pick_rank") <= quota)
+  }
 }

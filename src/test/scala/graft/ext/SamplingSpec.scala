@@ -278,4 +278,17 @@ class SamplingSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Sampling.budgetCappedSelection(df, Seq("g"), col("id"), col("t"), col("s"), 0L)
   }
+
+  test("clusterBalanced: quota respected per cluster, sample monotone in quota") {
+    val df = (1L to 40L).map(i => (i, i % 3)).toDF("id", "c")
+    val q4 = Sampling.clusterBalanced(df, "id", "c", quota = 4).collect()
+    q4.groupBy(_.getLong(1)).values.foreach(_.length should be <= 4)
+    q4.map(_.getInt(2)).max should be <= 4
+    // monotone: the quota-4 picks are exactly the pick_rank <= 4 prefix of quota-8
+    val q8 = Sampling.clusterBalanced(df, "id", "c", quota = 8).collect()
+      .filter(_.getInt(2) <= 4).map(r => (r.getLong(0), r.getLong(1))).toSet
+    q4.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe q8
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.clusterBalanced(df, "id", "c", quota = 0)
+  }
 }
