@@ -1699,6 +1699,62 @@ private[graft] object AnnCatalog {
       SELECT d.i AS dim, vl[d.i] AS v
       FROM pw CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
       WHERE step = 6
-      ORDER BY dim"""))
+      ORDER BY dim""")),
+
+    // Matryoshka-truncation recall audit: exact top-3 on 8/16/32-dim
+    // PREFIXES of the embeddings vs exact top-3 on the full 64 dims — the
+    // measurement that decides how far MRL-style dimension truncation can
+    // cut storage and LUT cost before recall pays (the q164 audit
+    // discipline applied to the dimension axis instead of the index).
+    // Everything is an exact broadcast-query scan; recall is a bounded
+    // per-(dims, query) join count.
+    ("q263_matryoshka_recall", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(qs, emb, "vec_id", "vec_id", "embedding", 3)
+        .select(col("q_id").as("bq"), col("n_id").as("bn"))
+      def truncated(d: Int) = {
+        val t = emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+        Similarity.bruteForceTopK(t.where(col("vec_id") < 10), t,
+            "vec_id", "vec_id", "embedding", 3)
+          .select(lit(d).as("dims"), col("q_id").as("mq"), col("n_id").as("mn"))
+      }
+      val meth = truncated(8).unionByName(truncated(16)).unionByName(truncated(32))
+      val mm = meth.select(col("dims").as("dms")).distinct()
+      bf.crossJoin(mm)
+        .join(meth,
+          col("dms") === col("dims") && col("bq") === col("mq") &&
+            col("bn") === col("mn"),
+          "left")
+        .groupBy(col("dms"), col("bq"))
+        .agg(count(col("mn")).as("n_hit"))
+        .select(col("dms").as("dims"), col("bq").as("q_id"), col("n_hit"),
+          lit(3).as("k"),
+          (col("n_hit").cast("double") / lit(3)).as("recall"))
+        .orderBy(col("dims"), col("q_id"))
+    }, Some {
+      def topCte(d: Int) = s"""
+      m$d AS (
+        SELECT $d AS dims, q_id, n_id FROM (
+          SELECT q.q_id, c.n_id, row_number() OVER (PARTITION BY q.q_id ORDER BY
+            list_sum(list_transform(range(1, $d + 1), i -> qv[i] * nv[i])) /
+              (sqrt(list_sum(list_transform(range(1, $d + 1), i -> qv[i] * qv[i]))) *
+               sqrt(list_sum(list_transform(range(1, $d + 1), i -> nv[i] * nv[i])))) DESC,
+            c.n_id) AS rn
+          FROM q CROSS JOIN c WHERE c.n_id <> q.q_id) WHERE rn <= 3)"""
+      s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+      ${Seq(64, 8, 16, 32).map(topCte).mkString(",")},
+      mm AS (
+        SELECT * FROM m8 UNION ALL SELECT * FROM m16 UNION ALL SELECT * FROM m32),
+      rec AS (
+        SELECT d.dims, b.q_id, count(m.n_id) AS n_hit
+        FROM m64 b CROSS JOIN (SELECT DISTINCT dims FROM mm) d
+        LEFT JOIN mm m ON m.dims = d.dims AND m.q_id = b.q_id AND m.n_id = b.n_id
+        GROUP BY 1, 2)
+      SELECT dims, q_id, n_hit, 3 AS k, n_hit::DOUBLE / 3 AS recall
+      FROM rec ORDER BY dims, q_id"""
+    })
   )
 }
