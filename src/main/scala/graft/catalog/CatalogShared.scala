@@ -357,6 +357,78 @@ private[graft] object CatalogShared {
 
   /** (name, spark impl, duckdb oracle SQL — None ⇒ rows-only check). */
 
+  /** Per-JVM memo of the WordPiece piece sets per sfDir — the [[bpeModel8]]
+    * discipline applied to the second tokenizer family: q264's streaming
+    * serve consumes the sets as a SHIPPED MODEL (so the bench times the
+    * serve, not a re-derivation per pass); q261, the derivation gate,
+    * stays live and its oracle replays the derivation from scratch. */
+  private val wpModelMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Set[String], Set[String])]()
+  def wpModel(s: SparkSession, dir: String): (Set[String], Set[String]) =
+    wpModelMemo.computeIfAbsent(dir, _ => {
+      val v = ext.Wordpiece.vocab(T(s, dir, "documents"), "text", 4, 50)
+        .select(col("side"), col("piece")).collect()
+      (v.collect { case r if r.getString(0) == "init" => r.getString(1) }.toSet,
+        v.collect { case r if r.getString(0) == "cont" => r.getString(1) }.toSet)
+    })
+
+  /** WordPiece derivation + greedy-apply replay CTEs, shared VERBATIM by
+    * q261 (word-dict segmentation) and q264 (streaming rowwise serve):
+    * the occurrence-weighted piece vocabulary (top-50 per side + all
+    * singles, maxLen 4) and the longest-match recursion carrying the
+    * piece list per word. Callers must open with WITH RECURSIVE; exposes
+    * `w` (word, cnt) and `fin` (word, pieces — bare, '##' applied by the
+    * caller's projection). */
+  val wordpieceOracleCtes: String = """
+      w AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+          FROM documents WHERE text IS NOT NULL) GROUP BY word),
+      ini AS (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
+          SELECT substr(word, 1, CAST(l.i AS INT)) AS piece, cnt
+          FROM w CROSS JOIN LATERAL (
+            SELECT unnest(range(1, least(4, length(word)) + 1)) AS i) l)
+        GROUP BY piece),
+      con AS (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
+          SELECT substr(word, CAST(p.i AS INT), CAST(l.i AS INT)) AS piece, cnt
+          FROM w
+          CROSS JOIN LATERAL (
+            SELECT unnest(range(2, length(word) + 1)) AS i) p
+          CROSS JOIN LATERAL (
+            SELECT unnest(range(1, least(4, length(word) - p.i + 1) + 1)) AS i) l)
+        GROUP BY piece),
+      initv AS (
+        SELECT piece FROM (
+          SELECT piece, row_number() OVER (ORDER BY c DESC, piece) AS rn
+          FROM ini WHERE length(piece) >= 2) WHERE rn <= 50
+        UNION
+        SELECT piece FROM ini WHERE length(piece) = 1),
+      contv AS (
+        SELECT piece FROM (
+          SELECT piece, row_number() OVER (ORDER BY c DESC, piece) AS rn
+          FROM con WHERE length(piece) >= 2) WHERE rn <= 50
+        UNION
+        SELECT piece FROM con WHERE length(piece) = 1),
+      lens AS (SELECT unnest(range(1, 5)) AS ll),
+      tok(word, pos, pieces) AS (
+        SELECT word, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]) FROM w
+        UNION ALL
+        SELECT word, pos + bl, list_append(pieces, bp) FROM (
+          SELECT t.word, t.pos, t.pieces, l.ll AS bl,
+            substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT)) AS bp,
+            row_number() OVER (PARTITION BY t.word ORDER BY l.ll DESC) AS rn
+          FROM tok t CROSS JOIN lens l
+          WHERE t.pos <= length(t.word)
+            AND l.ll <= length(t.word) - t.pos + 1
+            AND ((t.pos = 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
+                    IN (SELECT piece FROM initv))
+              OR (t.pos > 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
+                    IN (SELECT piece FROM contv))))
+        WHERE rn = 1),
+      fin AS (SELECT word, pieces FROM tok WHERE pos = length(word) + 1)"""
+
   /** FFD bin-packing replay CTEs (q253/q254): whitespace-token doc lengths
     * (q243's length source), the exact (length desc, id asc) rank, groups
     * of `groupDocs` consecutive ranks, and a recursive CTE that advances

@@ -1105,60 +1105,59 @@ private[graft] object TokenizerCatalog {
       ext.Wordpiece.tokenTable(T(s, dir, "documents"), "text",
           maxLen = 4, topK = 50)
         .orderBy(col("word"), col("piece_idx"))
-    }, Some("""
-      WITH RECURSIVE
-      w AS (
-        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
-          FROM documents WHERE text IS NOT NULL) GROUP BY word),
-      ini AS (
-        SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
-          SELECT substr(word, 1, CAST(l.i AS INT)) AS piece, cnt
-          FROM w CROSS JOIN LATERAL (
-            SELECT unnest(range(1, least(4, length(word)) + 1)) AS i) l)
-        GROUP BY piece),
-      con AS (
-        SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
-          SELECT substr(word, CAST(p.i AS INT), CAST(l.i AS INT)) AS piece, cnt
-          FROM w
-          CROSS JOIN LATERAL (
-            SELECT unnest(range(2, length(word) + 1)) AS i) p
-          CROSS JOIN LATERAL (
-            SELECT unnest(range(1, least(4, length(word) - p.i + 1) + 1)) AS i) l)
-        GROUP BY piece),
-      initv AS (
-        SELECT piece FROM (
-          SELECT piece, row_number() OVER (ORDER BY c DESC, piece) AS rn
-          FROM ini WHERE length(piece) >= 2) WHERE rn <= 50
-        UNION
-        SELECT piece FROM ini WHERE length(piece) = 1),
-      contv AS (
-        SELECT piece FROM (
-          SELECT piece, row_number() OVER (ORDER BY c DESC, piece) AS rn
-          FROM con WHERE length(piece) >= 2) WHERE rn <= 50
-        UNION
-        SELECT piece FROM con WHERE length(piece) = 1),
-      lens AS (SELECT unnest(range(1, 5)) AS ll),
-      tok(word, pos, pieces) AS (
-        SELECT word, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]) FROM w
-        UNION ALL
-        SELECT word, pos + bl, list_append(pieces, bp) FROM (
-          SELECT t.word, t.pos, t.pieces, l.ll AS bl,
-            substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT)) AS bp,
-            row_number() OVER (PARTITION BY t.word ORDER BY l.ll DESC) AS rn
-          FROM tok t CROSS JOIN lens l
-          WHERE t.pos <= length(t.word)
-            AND l.ll <= length(t.word) - t.pos + 1
-            AND ((t.pos = 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
-                    IN (SELECT piece FROM initv))
-              OR (t.pos > 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
-                    IN (SELECT piece FROM contv))))
-        WHERE rn = 1),
-      fin AS (SELECT word, pieces FROM tok WHERE pos = length(word) + 1)
+    }, Some(s"""
+      WITH RECURSIVE ${wordpieceOracleCtes}
       SELECT word, CAST(u.i - 1 AS INT) AS piece_idx,
         CASE WHEN u.i = 1 THEN pieces[u.i] ELSE '##' || pieces[u.i] END AS piece
       FROM fin CROSS JOIN LATERAL (
         SELECT unnest(range(1, len(pieces) + 1)) AS i) u
-      ORDER BY word, piece_idx"""))
+      ORDER BY word, piece_idx""")),
+
+    // The WordPiece STREAMING twin: rowwise greedy segmentation of a
+    // document stream against the SHIPPED piece sets (the per-JVM model
+    // memo — training stays live-gated in q261), replayed through REAL
+    // Structured Streaming (staged parquet → AvailableNow → memory sink).
+    // Stateless per row by construction, so the streamed answer equals
+    // the batch segmentation for ANY micro-batch split; the oracle
+    // re-derives the vocabulary and per-doc positions from scratch.
+    ("q264_stream_wordpiece", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (initSet, contSet) = wpModel(s, dir)
+      val tmp = graft.util.Staging.dir("q226_docs", dir) { p =>
+        docs.select(col("doc_id"), col("text"))
+          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
+      }
+      val qname = "graft_stream_wordpiece"
+      val (schema, rows) = {
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
+        val q = ext.Wordpiece.tokenizeRowwise(stream, "doc_id", "text",
+            initSet, contSet, maxLen = 4)
+          .writeStream.outputMode("append").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val res = s.table(qname)
+        val out = (res.schema, res.collect())
+        s.catalog.dropTempView(qname)
+        out
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy(col("doc_id"), col("pos"))
+    }, Some(s"""
+      WITH RECURSIVE ${wordpieceOracleCtes},
+      wd AS (
+        SELECT doc_id, u.i AS widx, ws[u.i] AS word FROM (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL)
+        CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u),
+      outp AS (
+        SELECT wd.doc_id, wd.widx, u.i AS pidx,
+          CASE WHEN u.i = 1 THEN pieces[u.i] ELSE '##' || pieces[u.i] END AS piece
+        FROM wd JOIN fin USING (word)
+        CROSS JOIN LATERAL (SELECT unnest(range(1, len(pieces) + 1)) AS i) u)
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY widx, pidx) - 1 AS INT) AS pos,
+        piece
+      FROM outp ORDER BY doc_id, pos"""))
   )
 }

@@ -111,6 +111,53 @@ object Wordpiece {
     }(Encoders.row(schema)).toDF()
   }
 
+  /** Rowwise greedy segmentation of whole documents — the SERVING form:
+    * per row, whitespace words segment in order against the broadcast
+    * piece sets and the pieces flatten to one (id, pos, piece) row per
+    * piece with a per-document running position. STATELESS per row, so
+    * it runs unchanged on a STREAMING DataFrame (the q238/q245 rowwise
+    * discipline); the model rides a broadcast, never the plan.
+    * @return (idCol long, pos 0-based int, piece) */
+  def tokenizeRowwise(df: DataFrame, idCol: String, textCol: String,
+      initPieces: Set[String], contPieces: Set[String],
+      maxLen: Int): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    val spark = df.sparkSession
+    val initB = spark.sparkContext.broadcast(initPieces)
+    val contB = spark.sparkContext.broadcast(contPieces)
+    val schema = StructType(Seq(
+      StructField(idCol, org.apache.spark.sql.types.LongType, nullable = true),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("piece", StringType, nullable = true)))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { it =>
+        val init = initB.value; val cont = contB.value
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val words = r.getString(1).split(" ").iterator.filter(_.nonEmpty)
+          val out = Seq.newBuilder[Row]
+          var gpos = 0
+          words.foreach { word =>
+            var pos = 0; var dead = false
+            while (pos < word.length && !dead) {
+              val first = pos == 0
+              val set = if (first) init else cont
+              var l = math.min(maxLen, word.length - pos)
+              while (l >= 1 && !set.contains(word.substring(pos, pos + l))) l -= 1
+              if (l < 1) { out += Row(id, gpos, Unk); gpos += 1; dead = true }
+              else {
+                val sub = word.substring(pos, pos + l)
+                out += Row(id, gpos, if (first) sub else "##" + sub)
+                pos += l; gpos += 1
+              }
+            }
+          }
+          out.result()
+        }
+      }(Encoders.row(schema)).toDF()
+  }
+
   /** [[vocab]] + [[tokenTableWith]] end to end: derive the piece
     * vocabulary from the corpus and segment its word dictionary. The
     * piece sets are model metadata (topK + alphabet per side), collected

@@ -46,6 +46,19 @@ class WordpieceSpec extends SparkTestBase {
     out.toSeq shouldBe Seq((0, Wordpiece.Unk))
   }
 
+  test("tokenizeRowwise ≡ per-word segmentation stitched in word order") {
+    val init = Set("un", "unha", "fit", "a", "u", "h", "f")
+    val cont = Set("ppy", "fit", "p", "y", "t", "i", "n", "a", "h")
+    val rows = Wordpiece.tokenizeRowwise(docs, "doc_id", "text", init, cont, maxLen = 4)
+      .where(col("doc_id") === 1L)
+      .orderBy("pos").collect().map(r => (r.getInt(1), r.getString(2)))
+    // "unhappy unhappy unfit fit happy" — positions run across words
+    rows.map(_._2).toSeq shouldBe Seq(
+      "unha", "##ppy", "unha", "##ppy", "un", "##fit", "fit",
+      "h", "##a", "##ppy")
+    rows.map(_._1).toSeq shouldBe (0 until 10)
+  }
+
   test("vocab: singles always present, multi-char pieces capped at topK per side") {
     val v = Wordpiece.vocab(docs, "text", maxLen = 4, topK = 2).collect()
       .map(r => (r.getString(0), r.getString(1)))
