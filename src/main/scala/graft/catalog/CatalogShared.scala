@@ -379,55 +379,59 @@ private[graft] object CatalogShared {
     * piece list per word. Callers must open with WITH RECURSIVE; exposes
     * `w` (word, cnt) and `fin` (word, pieces — bare, '##' applied by the
     * caller's projection). */
-  val wordpieceOracleCtes: String = """
-      w AS (
+  def wordpieceOracleCtesTagged(topK: Int, tag: String): String = s"""
+      w$tag AS (
         SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
           SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
           FROM documents WHERE text IS NOT NULL) GROUP BY word),
-      ini AS (
+      ini$tag AS (
         SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
           SELECT substr(word, 1, CAST(l.i AS INT)) AS piece, cnt
-          FROM w CROSS JOIN LATERAL (
+          FROM w$tag CROSS JOIN LATERAL (
             SELECT unnest(range(1, least(4, length(word)) + 1)) AS i) l)
         GROUP BY piece),
-      con AS (
+      con$tag AS (
         SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
           SELECT substr(word, CAST(p.i AS INT), CAST(l.i AS INT)) AS piece, cnt
-          FROM w
+          FROM w$tag
           CROSS JOIN LATERAL (
             SELECT unnest(range(2, length(word) + 1)) AS i) p
           CROSS JOIN LATERAL (
             SELECT unnest(range(1, least(4, length(word) - p.i + 1) + 1)) AS i) l)
         GROUP BY piece),
-      initv AS (
+      initv$tag AS (
         SELECT piece FROM (
           SELECT piece, row_number() OVER (ORDER BY c DESC, piece) AS rn
-          FROM ini WHERE length(piece) >= 2) WHERE rn <= 50
+          FROM ini$tag WHERE length(piece) >= 2) WHERE rn <= $topK
         UNION
-        SELECT piece FROM ini WHERE length(piece) = 1),
-      contv AS (
+        SELECT piece FROM ini$tag WHERE length(piece) = 1),
+      contv$tag AS (
         SELECT piece FROM (
           SELECT piece, row_number() OVER (ORDER BY c DESC, piece) AS rn
-          FROM con WHERE length(piece) >= 2) WHERE rn <= 50
+          FROM con$tag WHERE length(piece) >= 2) WHERE rn <= $topK
         UNION
-        SELECT piece FROM con WHERE length(piece) = 1),
-      lens AS (SELECT unnest(range(1, 5)) AS ll),
-      tok(word, pos, pieces) AS (
-        SELECT word, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]) FROM w
+        SELECT piece FROM con$tag WHERE length(piece) = 1),
+      lens$tag AS (SELECT unnest(range(1, 5)) AS ll),
+      tok$tag(word, pos, pieces) AS (
+        SELECT word, CAST(1 AS BIGINT), CAST([] AS VARCHAR[]) FROM w$tag
         UNION ALL
         SELECT word, pos + bl, list_append(pieces, bp) FROM (
           SELECT t.word, t.pos, t.pieces, l.ll AS bl,
             substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT)) AS bp,
             row_number() OVER (PARTITION BY t.word ORDER BY l.ll DESC) AS rn
-          FROM tok t CROSS JOIN lens l
+          FROM tok$tag t CROSS JOIN lens$tag l
           WHERE t.pos <= length(t.word)
             AND l.ll <= length(t.word) - t.pos + 1
             AND ((t.pos = 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
-                    IN (SELECT piece FROM initv))
+                    IN (SELECT piece FROM initv$tag))
               OR (t.pos > 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
-                    IN (SELECT piece FROM contv))))
+                    IN (SELECT piece FROM contv$tag))))
         WHERE rn = 1),
-      fin AS (SELECT word, pieces FROM tok WHERE pos = length(word) + 1)"""
+      fin$tag AS (SELECT word, pieces FROM tok$tag WHERE pos = length(word) + 1)"""
+
+  /** The default-model instantiation (topK = 50, untagged names) shared
+    * VERBATIM by q261 and q264. */
+  val wordpieceOracleCtes: String = wordpieceOracleCtesTagged(50, "")
 
   /** FFD bin-packing replay CTEs (q253/q254): whitespace-token doc lengths
     * (q243's length source), the exact (length desc, id asc) rank, groups

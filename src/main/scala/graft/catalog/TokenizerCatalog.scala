@@ -1158,6 +1158,33 @@ private[graft] object TokenizerCatalog {
       SELECT doc_id,
         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY widx, pidx) - 1 AS INT) AS pos,
         piece
-      FROM outp ORDER BY doc_id, pos"""))
+      FROM outp ORDER BY doc_id, pos""")),
+
+    // WordPiece vocabulary-size economics: occurrence-weighted fertility
+    // (pieces per word) at topK = 10 vs 50 in one report — the q225/q244
+    // economics discipline applied to the piece-vocab axis: how much a
+    // smaller vocabulary costs in sequence length. Both arms derive live;
+    // the oracle replays both derivations as tagged recursions in one
+    // statement.
+    ("q265_wordpiece_fertility", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      ext.Wordpiece.fertility(docs, "text", maxLen = 4, topK = 10)
+        .unionByName(ext.Wordpiece.fertility(docs, "text", maxLen = 4, topK = 50))
+        .orderBy(col("top_k"))
+    }, Some(s"""
+      WITH RECURSIVE ${wordpieceOracleCtesTagged(10, "a")},
+      ${wordpieceOracleCtesTagged(50, "b")},
+      arma AS (
+        SELECT 10 AS top_k, CAST(sum(cnt) AS BIGINT) AS n_words,
+          CAST(sum(cnt * len(pieces)) AS BIGINT) AS n_pieces
+        FROM wa JOIN fina USING (word)),
+      armb AS (
+        SELECT 50 AS top_k, CAST(sum(cnt) AS BIGINT) AS n_words,
+          CAST(sum(cnt * len(pieces)) AS BIGINT) AS n_pieces
+        FROM wb JOIN finb USING (word))
+      SELECT top_k, n_words, n_pieces,
+        n_pieces::DOUBLE / n_words AS fertility
+      FROM (SELECT * FROM arma UNION ALL SELECT * FROM armb)
+      ORDER BY top_k"""))
   )
 }

@@ -33,7 +33,9 @@ object Wordpiece {
     * construction), reachable for out-of-corpus words. */
   val Unk = "[UNK]"
 
-  private def wordDict(df: DataFrame, textCol: String): DataFrame =
+  /** The distinct word dictionary (word, occurrence cnt) — the one corpus
+    * scan every stage here works from. */
+  def wordDict(df: DataFrame, textCol: String): DataFrame =
     df.where(col(textCol).isNotNull)
       .select(explode(TextAnalysis.words(col(textCol))).as("word"))
       .where(col("word") =!= "")
@@ -156,6 +158,23 @@ object Wordpiece {
           out.result()
         }
       }(Encoders.row(schema)).toDF()
+  }
+
+  /** Occurrence-weighted fertility (pieces per word) of the vocabulary
+    * derived at `topK` — the economics gauge a tokenizer choice is made
+    * on: how many pieces the average word occurrence costs as the
+    * vocabulary shrinks. One row: (top_k, n_words, n_pieces, fertility).
+    * Counts are exact BIGINTs; the one division is last. */
+  def fertility(df: DataFrame, textCol: String,
+      maxLen: Int, topK: Int): DataFrame = {
+    val dict = wordDict(df, textCol)
+    val pieces = tokenTable(df, textCol, maxLen, topK)
+      .groupBy(col("word")).agg(count(lit(1)).as("__np"))
+    dict.join(pieces, Seq("word"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("__np")).as("n_pieces"))
+      .select(lit(topK).as("top_k"), col("n_words"), col("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_words")).as("fertility"))
   }
 
   /** [[vocab]] + [[tokenTableWith]] end to end: derive the piece
