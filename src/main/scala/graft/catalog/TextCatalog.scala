@@ -1011,6 +1011,56 @@ private[graft] object TextCatalog {
         FROM counts ORDER BY cnt DESC, token LIMIT 25)
       SELECT rank, token, cnt, cum_cnt,
         CAST(cum_cnt AS DOUBLE) / total.t AS coverage
-      FROM top CROSS JOIN total ORDER BY rank"""))
+      FROM top CROSS JOIN total ORDER BY rank""")),
+
+    // BM25 ranked retrieval — the lexical scorer of a hybrid search
+    // stack next to the ANN rungs: query terms are the 4 most selective
+    // tokens appearing in ≥ 10 docs (deterministic, derived from the
+    // corpus), idf is the exact BIGINT N div df surrogate, k1/b are
+    // dyadic (1.25/0.75) so every blend is an exact IEEE double, and the
+    // per-doc term sum folds in sorted term order — the whole score
+    // replays bit for bit.
+    ("q266_bm25", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val toks = docs.where(col("text").isNotNull)
+        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("t"))
+        .where(col("t") =!= "")
+      val terms = toks.distinct()
+        .groupBy(col("t")).agg(count(lit(1)).as("adf"))
+        .where(col("adf") >= 10)
+        .orderBy(col("adf"), col("t")).limit(4)
+        .select(col("t")).collect().map(_.getString(0)).toSeq
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, topK = 10)
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t
+        FROM documents WHERE text IS NOT NULL),
+      dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+      qt AS (
+        SELECT t FROM (
+          SELECT t, count(*)::BIGINT AS adf
+          FROM (SELECT DISTINCT doc_id, t FROM toks) GROUP BY t)
+        WHERE adf >= 10 ORDER BY adf, t LIMIT 4),
+      tf AS (
+        SELECT doc_id, t, count(*)::BIGINT AS tfv FROM toks
+        WHERE t IN (SELECT t FROM qt) GROUP BY 1, 2),
+      dfq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      term_scores AS (
+        SELECT tf.doc_id, tf.t,
+          (n // df)::DOUBLE * (tfv::DOUBLE * 2.25) /
+            (tfv::DOUBLE + 1.25 * (0.25 + 0.75 *
+              (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE)))) AS s
+        FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN stats),
+      sc AS (
+        SELECT doc_id,
+          list_sum(list_transform(
+            list(struct_pack(t := t, s := s) ORDER BY t), x -> x.s)) AS score
+        FROM term_scores GROUP BY doc_id)
+      SELECT doc_id, CAST(rn AS INT) AS rank, score FROM (
+        SELECT doc_id, score,
+          row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
+      WHERE rn <= 10 ORDER BY rank"""))
   )
 }

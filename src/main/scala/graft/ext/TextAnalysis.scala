@@ -609,4 +609,56 @@ object TextAnalysis {
       .select(col("__ida").as(idCol), col("__idb").as("neighbor_id"),
         col("score"), col("rank"))
   }
+
+  /** BM25 ranked retrieval for a fixed query-term set — the lexical
+    * scoring function production search stacks run next to the vector
+    * index (and the hybrid-retrieval complement to [[Similarity]]'s ANN
+    * rungs). Engine-exactness discipline:
+    *
+    *  - idf is the EXACT BIGINT surrogate `N div df` ([[tfidfTopK]]'s
+    *    swap — monotone in the true log idf, hash-gateable; the
+    *    production move to `ln((N−df+0.5)/(df+0.5)+1)` is a one-line
+    *    swap that costs only the cross-engine bit match);
+    *  - k1 = 1.25 and b = 0.75 are DYADIC rationals, so every blend is
+    *    an exact IEEE double and the scoring expression replays bit for
+    *    bit in any engine that mirrors its shape;
+    *  - the per-document term-score sum folds in SORTED TERM ORDER
+    *    (sort_array + left fold), never a partition-order float sum.
+    *
+    * Scale shape: one corpus explode; query terms are model metadata
+    * (broadcast literal filter, no join for the corpus side); per-doc
+    * state is ≤ |terms| scores; the final top-k is a distributed
+    * TakeOrderedAndProject, with rank assigned on the k survivors only.
+    *
+    * @return (idCol, rank 1-based, score) — score desc, ties to low id */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(words(col(textCol))).as("__t"))
+      .where(col("__t") =!= "")
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tot"))
+    val tf = toks.where(col("__t").isin(terms: _*))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val scored = tf.join(broadcast(dfreq), Seq("__t"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", expr("__n div __df"))
+      .withColumn("__ts",
+        col("__idf").cast("double") * (col("__tf").cast("double") * lit(2.25)) /
+          (col("__tf").cast("double") + lit(1.25) * (lit(0.25) + lit(0.75) *
+            (col("__dl").cast("double") /
+              (col("__tot").cast("double") / col("__n").cast("double"))))))
+      .groupBy(col(idCol))
+      .agg(aggregate(sort_array(collect_list(struct(col("__t"), col("__ts")))),
+        lit(0.0), (a, x) => a + x.getField("__ts")).as("score"))
+    val top = scored.orderBy(col("score").desc, col(idCol)).limit(topK)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(idCol))))
+      .select(col(idCol), col("rank"), col("score"))
+  }
 }
