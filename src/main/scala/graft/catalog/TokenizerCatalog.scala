@@ -1185,6 +1185,86 @@ private[graft] object TokenizerCatalog {
       SELECT top_k, n_words, n_pieces,
         n_pieces::DOUBLE / n_words AS fertility
       FROM (SELECT * FROM arma UNION ALL SELECT * FROM armb)
-      ORDER BY top_k"""))
+      ORDER BY top_k""")),
+
+    // Streaming tokenizer-health monitor: the live [UNK]/fallback rate of
+    // the shipped WordPiece model over a document stream — the gauge that
+    // decides when the vocabulary needs re-derivation (the q257 drift-
+    // monitor discipline for the tokenizer). Docs are salted with an
+    // out-of-corpus suffix so the fallback path actually fires; the
+    // complete-mode aggregation keeps 4 bucket rows of state. The oracle
+    // replays the salt, the greedy loop WITH the UNK terminal (a NULL
+    // best-match in the recursion), and the weighted bucket aggregation.
+    ("q267_stream_tokenizer_oov", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (initSet, contSet) = wpModel(s, dir)
+      val tmp = graft.util.Staging.dir("q267_salted_docs", dir) { p =>
+        docs.where(col("text").isNotNull)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" q9z"),
+              (col("doc_id") % 5).cast("string")).as("text"))
+          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
+      }
+      val qname = "graft_stream_wp_oov"
+      // 4 shuffle partitions: 4 bucket rows of state need no more commits
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
+      val (schema, rows) = {
+        val stream = s2.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 2).parquet(s"$tmp/stream")
+        val q = ext.Wordpiece.tokenizeRowwise(stream, "doc_id", "text",
+            initSet, contSet, maxLen = 4)
+          .groupBy((col("doc_id") % 4).as("bucket"))
+          .agg(count(lit(1)).as("n_pieces"),
+            count(when(col("piece") === ext.Wordpiece.Unk, 1)).as("n_unk"))
+          .writeStream.outputMode("complete").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val res = s2.table(qname)
+        val out = (res.schema, res.collect())
+        s2.catalog.dropTempView(qname)
+        out
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .select(col("bucket"), col("n_pieces"), col("n_unk"),
+          (col("n_unk").cast("double") / col("n_pieces")).as("unk_rate"))
+        .orderBy(col("bucket"))
+    }, Some(s"""
+      WITH RECURSIVE ${wordpieceOracleCtes},
+      sd AS (
+        SELECT doc_id, text || ' q9z' || CAST(doc_id % 5 AS VARCHAR) AS text2
+        FROM documents WHERE text IS NOT NULL),
+      sw AS (
+        SELECT doc_id % 4 AS bucket,
+          unnest(list_filter(string_split(text2, ' '), x -> x <> '')) AS word
+        FROM sd),
+      swc AS (SELECT bucket, word, count(*)::BIGINT AS cnt FROM sw GROUP BY 1, 2),
+      swd AS (SELECT DISTINCT word FROM swc),
+      tok2(word, pos, np, nu) AS (
+        SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM swd
+        UNION ALL
+        SELECT word,
+          CASE WHEN bl IS NULL THEN CAST(length(word) + 1 AS BIGINT)
+               ELSE pos + bl END,
+          np + 1,
+          nu + CASE WHEN bl IS NULL THEN 1 ELSE 0 END
+        FROM (
+          SELECT t.word, t.pos, t.np, t.nu,
+            max(CASE WHEN
+              ((t.pos = 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
+                  IN (SELECT piece FROM initv))
+               OR (t.pos > 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
+                  IN (SELECT piece FROM contv)))
+              THEN l.ll END) AS bl
+          FROM tok2 t CROSS JOIN lens l
+          WHERE t.pos <= length(t.word) AND l.ll <= length(t.word) - t.pos + 1
+          GROUP BY t.word, t.pos, t.np, t.nu)),
+      wstat AS (SELECT word, np, nu FROM tok2 WHERE pos = length(word) + 1),
+      agg AS (
+        SELECT bucket, CAST(sum(cnt * np) AS BIGINT) AS n_pieces,
+          CAST(sum(cnt * nu) AS BIGINT) AS n_unk
+        FROM swc JOIN wstat USING (word) GROUP BY bucket)
+      SELECT bucket, n_pieces, n_unk, n_unk::DOUBLE / n_pieces AS unk_rate
+      FROM agg ORDER BY bucket"""))
   )
 }
