@@ -1103,16 +1103,33 @@ object Similarity {
       qIdCol: String, idCol: String, vecCol: String,
       k: Int, m: Int): DataFrame = {
     require(k > 0 && m >= k, s"need m >= k > 0, got k=$k m=$m")
-    val cands = bruteForceTopK(queries, corpus, qIdCol, idCol, vecCol, m)
+    mmrSelect(
+      bruteForceTopK(queries, corpus, qIdCol, idCol, vecCol, m)
+        .select(col("q_id"), col("n_id"), col("sim").as("rel")),
+      corpus, idCol, vecCol, k)
+  }
+
+  /** The MMR SELECTION stage over an externally-provided candidate set —
+    * split out of [[mmrRerank]] so ANY recall arm can feed it (an index
+    * rung, a hybrid RRF fusion, a filtered candidate list). Semantics and
+    * exactness contract are [[mmrRerank]]'s: greedy argmax of
+    * `rel/2 − maxSimToSelected/2`, first pick penalty-free, ties to the
+    * lowest id, pairwise cosines in the native expression's exact op
+    * order. `cands` must be BOUNDED per query (the m of the recall arm).
+    * @param cands (q_id, n_id, rel) — n_id resolves its vector in `corpus`
+    * @return (q_id, rank, n_id, score) — rank 1..k in selection order */
+  def mmrSelect(cands: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val vecs = corpus.select(col(idCol).cast("long").as("n_id"),
       col(vecCol).cast("array<double>").as("n_vec"))
     val grouped = cands
       .select(col("q_id").cast("long").as("q_id"), col("n_id").cast("long").as("n_id"),
-        col("sim"))
+        col("rel"))
       .join(vecs, Seq("n_id"))
       .groupBy(col("q_id"))
       .agg(sort_array(collect_list(
-        struct(col("n_id"), col("sim"), col("n_vec")))).as("cs"))
+        struct(col("n_id"), col("rel"), col("n_vec")))).as("cs"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("q_id",
         org.apache.spark.sql.types.LongType, nullable = false),

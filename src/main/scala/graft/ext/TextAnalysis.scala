@@ -661,4 +661,55 @@ object TextAnalysis {
           .orderBy(col("score").desc, col(idCol))))
       .select(col(idCol), col("rank"), col("score"))
   }
+
+  /** PER-QUERY BM25 — [[bm25TopK]]'s scoring with a (q_id, term) query
+    * table instead of one global term set: the lexical arm of hybrid
+    * retrieval, one candidate ranking per query. Same exactness
+    * discipline (BIGINT `N div df` idf, dyadic k1/b, sorted-term fold).
+    *
+    * Scale shape: `queryTerms` is model metadata (|queries|·terms rows,
+    * broadcast); document frequencies are computed ONLY for the distinct
+    * query terms (a broadcast semi-filter on the postings, never a
+    * vocabulary-wide aggregate); candidates are docs sharing ≥ 1 query
+    * term; the per-query `rank ≤ k` collapses to the keyed
+    * WindowGroupLimit pushdown.
+    *
+    * @param queryTerms (q_id, term) — SMALL (broadcast)
+    * @return (q_id, rank, n_id, score) — self-matches excluded when the
+    *         query id space is the document id space */
+  def bm25QueryTopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(words(col(textCol))).as("__t"))
+      .where(col("__t") =!= "")
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tot"))
+    val qt = queryTerms.select(col("q_id"), col("term").as("__t"))
+    val terms = qt.select(col("__t")).distinct()
+    val dfreq = toks.join(broadcast(terms), Seq("__t"))
+      .select(col(idCol), col("__t")).distinct()
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val tf = toks.join(broadcast(terms), Seq("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    val scored = tf.join(broadcast(qt), Seq("__t"))
+      .where(col(idCol) =!= col("q_id"))
+      .join(broadcast(dfreq), Seq("__t"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", expr("__n div __df"))
+      .withColumn("__ts",
+        col("__idf").cast("double") * (col("__tf").cast("double") * lit(2.25)) /
+          (col("__tf").cast("double") + lit(1.25) * (lit(0.25) + lit(0.75) *
+            (col("__dl").cast("double") /
+              (col("__tot").cast("double") / col("__n").cast("double"))))))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(aggregate(sort_array(collect_list(struct(col("__t"), col("__ts")))),
+        lit(0.0), (a, x) => a + x.getField("__ts")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol).as("n_id"), col("score"))
+  }
 }
