@@ -1166,6 +1166,146 @@ private[graft] object TextCatalog {
         CAST(rank_v AS INT) AS rank_v, CAST(rank_l AS INT) AS rank_l
       FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rn
             FROM fused)
-      WHERE rn <= 5 ORDER BY q_id, rank"""))
+      WHERE rn <= 5 ORDER BY q_id, rank""")),
+
+    // The RAG serving pipeline end to end, ONE gated plan: hybrid
+    // retrieval (q268's BM25 + vector arms, RRF-fused rel), MMR
+    // diversification over the fused candidate set (mmrSelect — the
+    // split that makes ANY recall arm feed the greedy stage), then the
+    // 192-token context-budget fill in selection order (q259's
+    // discipline). The oracle chains all three replays — fusion CTEs,
+    // the state-carrying MMR recursion, the windowed cumsum — in one
+    // statement.
+    ("q269_rag_pipeline", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val toks = docs.where(col("text").isNotNull)
+        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("t"))
+        .where(col("t") =!= "")
+      val nDocs = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dln"))
+        .agg(count(lit(1)).as("n"))
+      val alldf = toks.select(col("doc_id"), col("t")).distinct()
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val qterms = toks.where(col("doc_id") < 6)
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("qtf"))
+        .join(alldf, Seq("t")).crossJoin(broadcast(nDocs))
+        .withColumn("w", col("qtf") * expr("n div df"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("w").desc, col("t"))))
+        .where(col("rn") <= 4)
+        .select(col("doc_id").as("q_id"), col("t").as("term"))
+      val lex = TextAnalysis.bm25QueryTopK(docs, "doc_id", "text", qterms, 10)
+        .select(col("q_id"), col("n_id"), col("rank").as("rank_l"))
+      val vec = Similarity.bruteForceTopK(emb.where(col("vec_id") < 6), emb,
+          "vec_id", "vec_id", "embedding", 10)
+        .select(col("q_id"), col("n_id"), col("rank").as("rank_v"))
+      val fused = vec.join(lex, Seq("q_id", "n_id"), "full_outer")
+        .withColumn("rel",
+          coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_l")), lit(0.0)))
+        .select(col("q_id"), col("n_id"), col("rel"))
+      val sel = Similarity.mmrSelect(fused, emb, "vec_id", "embedding", 5)
+      val lens = docs.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(filter(TextAnalysis.words(col("text")), w => w =!= ""))
+            .cast("long").as("n_tokens"))
+      lens.join(broadcast(sel), col("doc_id") === col("n_id"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(
+          Window.partitionBy(col("q_id")).orderBy(col("rank"))))
+        .where(col("cum_tokens") <= 192L)
+        .select(col("q_id"), col("rank"), col("doc_id"),
+          col("n_tokens"), col("cum_tokens"), col("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }, Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t
+        FROM documents WHERE text IS NOT NULL),
+      dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+      alldf AS (
+        SELECT t, count(*)::BIGINT AS df
+        FROM (SELECT DISTINCT doc_id, t FROM toks) GROUP BY 1),
+      qterms AS (
+        SELECT q_id, t FROM (
+          SELECT q.doc_id AS q_id, q.t,
+            row_number() OVER (PARTITION BY q.doc_id
+              ORDER BY q.qtf * (n // df) DESC, q.t) AS rn
+          FROM (SELECT doc_id, t, count(*)::BIGINT AS qtf FROM toks
+                WHERE doc_id < 6 GROUP BY 1, 2) q
+          JOIN alldf USING (t) CROSS JOIN stats) WHERE rn <= 4),
+      tq AS (SELECT DISTINCT t FROM qterms),
+      tf AS (
+        SELECT doc_id, t, count(*)::BIGINT AS tfv
+        FROM toks JOIN tq USING (t) GROUP BY 1, 2),
+      lexs AS (
+        SELECT q_id, n_id,
+          list_sum(list_transform(
+            list(struct_pack(t := t, s := s) ORDER BY t), x -> x.s)) AS score
+        FROM (
+          SELECT qt.q_id, tf.doc_id AS n_id, tf.t,
+            (n // df)::DOUBLE * (tfv::DOUBLE * 2.25) /
+              (tfv::DOUBLE + 1.25 * (0.25 + 0.75 *
+                (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE)))) AS s
+          FROM tf JOIN qterms qt USING (t) JOIN alldf USING (t)
+          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+          WHERE tf.doc_id <> qt.q_id)
+        GROUP BY 1, 2),
+      lrank AS (
+        SELECT q_id, n_id, rank_l FROM (
+          SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank_l
+          FROM lexs) WHERE rank_l <= 10),
+      qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qvv FROM embeddings WHERE vec_id < 6),
+      cv AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+      vrank AS (
+        SELECT q_id, n_id, rank_v FROM (
+          SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank_v
+          FROM (
+            SELECT q_id, n_id,
+              list_sum(list_transform(range(1, least(len(qvv), len(nv)) + 1), i -> qvv[i] * nv[i])) /
+                (sqrt(list_sum(list_transform(range(1, len(qvv) + 1), i -> qvv[i] * qvv[i]))) *
+                 sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
+            FROM qv CROSS JOIN cv WHERE n_id <> q_id)) WHERE rank_v <= 10),
+      fused AS (
+        SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.n_id, l.n_id) AS n_id,
+          coalesce(CAST(1 AS DOUBLE) / (60 + v.rank_v), CAST(0 AS DOUBLE)) +
+          coalesce(CAST(1 AS DOUBLE) / (60 + l.rank_l), CAST(0 AS DOUBLE)) AS rel
+        FROM vrank v FULL OUTER JOIN lrank l
+          ON v.q_id = l.q_id AND v.n_id = l.n_id),
+      cvf AS (SELECT f.q_id, f.n_id, f.rel, c.nv FROM fused f JOIN cv c USING (n_id)),
+      p AS (
+        SELECT a.q_id, a.n_id AS ia, b.n_id AS ib,
+          list_sum(list_transform(range(1, least(len(a.nv), len(b.nv)) + 1), i -> a.nv[i] * b.nv[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(a.nv) + 1), i -> a.nv[i] * a.nv[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(b.nv) + 1), i -> b.nv[i] * b.nv[i])))) AS s
+        FROM cvf a JOIN cvf b ON a.q_id = b.q_id AND a.n_id < b.n_id),
+      sel(q_id, step, sel_ids, n_id, score) AS (
+        SELECT q_id, 1, [n_id], n_id, rel / 2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
+          FROM fused) WHERE rn = 1
+        UNION ALL
+        SELECT q_id, step, list_append(sel_ids, n_id), n_id, score FROM (
+          SELECT x.*, row_number() OVER (PARTITION BY x.q_id ORDER BY x.score DESC, x.n_id) AS rn
+          FROM (
+            SELECT s.q_id, s.step + 1 AS step, s.sel_ids, c2.n_id,
+              c2.rel / 2 - max(p.s) / 2 AS score
+            FROM sel s
+            JOIN fused c2 ON c2.q_id = s.q_id AND NOT list_contains(s.sel_ids, c2.n_id)
+            JOIN p ON p.q_id = s.q_id
+              AND ((p.ia = c2.n_id AND list_contains(s.sel_ids, p.ib))
+                OR (p.ib = c2.n_id AND list_contains(s.sel_ids, p.ia)))
+            WHERE s.step < 5
+            GROUP BY s.q_id, s.step, s.sel_ids, c2.n_id, c2.rel) x) WHERE rn = 1),
+      lens AS (
+        SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+        FROM documents WHERE text IS NOT NULL),
+      packed AS (
+        SELECT s.q_id, CAST(s.step AS INT) AS rank, l.doc_id, l.n_tokens, s.score,
+          CAST(sum(l.n_tokens) OVER (PARTITION BY s.q_id ORDER BY s.step) AS BIGINT) AS cum_tokens
+        FROM sel s JOIN lens l ON l.doc_id = s.n_id)
+      SELECT q_id, rank, doc_id, n_tokens, cum_tokens, score
+      FROM packed WHERE cum_tokens <= 192
+      ORDER BY q_id, rank"""))
   )
 }
