@@ -488,4 +488,31 @@ class PlanSpec extends SparkTestBase {
       pCounts.length should be < 10000
     }
   }
+
+  test("q262 cluster-balanced pick collapses to the keyed WindowGroupLimit pushdown") {
+    val p = plan(SparkEntry.queries("q262_cluster_balanced_sample")(spark, dir))
+    p should include("WindowGroupLimit")
+  }
+
+  test("q266 BM25 top-k is a distributed TakeOrdered, terms filtered at the scan") {
+    val p = plan(SparkEntry.queries("q266_bm25")(spark, dir))
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("q268 hybrid fusion: per-query top-k via WindowGroupLimit, metadata sides broadcast") {
+    val p = plan(SparkEntry.queries("q268_hybrid_rrf")(spark, dir))
+    p should include("WindowGroupLimit")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("wordpiece piece sets ride a broadcast, never the plan") {
+    val docs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    val big = (0 until 20000).map(i => s"piece$i").toSet
+    val p = plan(graft.ext.Wordpiece.tokenizeRowwise(
+      docs, "doc_id", "text", big, big, maxLen = 4))
+    p should include("MapPartitions")
+    withClue("plan must not grow with the piece-set size:") {
+      p.length should be < 10000
+    }
+  }
 }
