@@ -433,6 +433,76 @@ private[graft] object CatalogShared {
     * VERBATIM by q261 and q264. */
   val wordpieceOracleCtes: String = wordpieceOracleCtesTagged(50, "")
 
+  /** Hybrid RRF retrieval replay — per-query BM25 (query terms = each
+    * query doc's 4 most distinctive by exact tf·(N div df)), the exact
+    * cosine vector arm, and the 1/(60+rank) fusion — shared VERBATIM by
+    * q268 (batch) and q270 (the per-micro-batch streaming serve of the
+    * SAME query set; per-query independence makes union-over-any-split ≡
+    * one-shot). */
+  val hybridRrfOracle: String = """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t
+        FROM documents WHERE text IS NOT NULL),
+      dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+      alldf AS (
+        SELECT t, count(*)::BIGINT AS df
+        FROM (SELECT DISTINCT doc_id, t FROM toks) GROUP BY 1),
+      qterms AS (
+        SELECT q_id, t FROM (
+          SELECT q.doc_id AS q_id, q.t,
+            row_number() OVER (PARTITION BY q.doc_id
+              ORDER BY q.qtf * (n // df) DESC, q.t) AS rn
+          FROM (SELECT doc_id, t, count(*)::BIGINT AS qtf FROM toks
+                WHERE doc_id < 6 GROUP BY 1, 2) q
+          JOIN alldf USING (t) CROSS JOIN stats) WHERE rn <= 4),
+      tq AS (SELECT DISTINCT t FROM qterms),
+      tf AS (
+        SELECT doc_id, t, count(*)::BIGINT AS tfv
+        FROM toks JOIN tq USING (t) GROUP BY 1, 2),
+      lexs AS (
+        SELECT q_id, n_id,
+          list_sum(list_transform(
+            list(struct_pack(t := t, s := s) ORDER BY t), x -> x.s)) AS score
+        FROM (
+          SELECT qt.q_id, tf.doc_id AS n_id, tf.t,
+            (n // df)::DOUBLE * (tfv::DOUBLE * 2.25) /
+              (tfv::DOUBLE + 1.25 * (0.25 + 0.75 *
+                (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE)))) AS s
+          FROM tf JOIN qterms qt USING (t) JOIN alldf USING (t)
+          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+          WHERE tf.doc_id <> qt.q_id)
+        GROUP BY 1, 2),
+      lrank AS (
+        SELECT q_id, n_id, rank_l FROM (
+          SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank_l
+          FROM lexs) WHERE rank_l <= 10),
+      qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qvv FROM embeddings WHERE vec_id < 6),
+      cv AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+      vrank AS (
+        SELECT q_id, n_id, rank_v FROM (
+          SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank_v
+          FROM (
+            SELECT q_id, n_id,
+              list_sum(list_transform(range(1, least(len(qvv), len(nv)) + 1), i -> qvv[i] * nv[i])) /
+                (sqrt(list_sum(list_transform(range(1, len(qvv) + 1), i -> qvv[i] * qvv[i]))) *
+                 sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
+            FROM qv CROSS JOIN cv WHERE n_id <> q_id)) WHERE rank_v <= 10),
+      fused AS (
+        SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.n_id, l.n_id) AS n_id,
+          coalesce(CAST(1 AS DOUBLE) / (60 + v.rank_v), CAST(0 AS DOUBLE)) +
+          coalesce(CAST(1 AS DOUBLE) / (60 + l.rank_l), CAST(0 AS DOUBLE)) AS rrf,
+          v.rank_v, l.rank_l
+        FROM vrank v FULL OUTER JOIN lrank l
+          ON v.q_id = l.q_id AND v.n_id = l.n_id)
+      SELECT q_id, CAST(rn AS INT) AS rank, n_id, rrf,
+        CAST(rank_v AS INT) AS rank_v, CAST(rank_l AS INT) AS rank_l
+      FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rn
+            FROM fused)
+      WHERE rn <= 5 ORDER BY q_id, rank"""
+
   /** FFD bin-packing replay CTEs (q253/q254): whitespace-token doc lengths
     * (q243's length source), the exact (length desc, id asc) rank, groups
     * of `groupDocs` consecutive ranks, and a recursive CTE that advances

@@ -1074,99 +1074,14 @@ private[graft] object TextCatalog {
     ("q268_hybrid_rrf", (s, dir) => {
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val toks = docs.where(col("text").isNotNull)
-        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("t"))
-        .where(col("t") =!= "")
-      val nDocs = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dln"))
-        .agg(count(lit(1)).as("n"))
-      val alldf = toks.select(col("doc_id"), col("t")).distinct()
-        .groupBy(col("t")).agg(count(lit(1)).as("df"))
-      val qterms = toks.where(col("doc_id") < 6)
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("qtf"))
-        .join(alldf, Seq("t")).crossJoin(broadcast(nDocs))
-        .withColumn("w", col("qtf") * expr("n div df"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
-          .orderBy(col("w").desc, col("t"))))
-        .where(col("rn") <= 4)
-        .select(col("doc_id").as("q_id"), col("t").as("term"))
-      val lex = TextAnalysis.bm25QueryTopK(docs, "doc_id", "text", qterms, 10)
-        .select(col("q_id"), col("n_id"), col("rank").as("rank_l"))
-      val vec = Similarity.bruteForceTopK(emb.where(col("vec_id") < 6), emb,
-          "vec_id", "vec_id", "embedding", 10)
-        .select(col("q_id"), col("n_id"), col("rank").as("rank_v"))
-      vec.join(lex, Seq("q_id", "n_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("rank_l")), lit(0.0)))
-        .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
-          .orderBy(col("rrf").desc, col("n_id"))))
-        .where(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("n_id"), col("rrf"),
-          col("rank_v"), col("rank_l"))
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      TextAnalysis.hybridRrfTopK(docs, "doc_id", "text",
+          emb, "vec_id", "embedding", queries,
+          kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
-    }, Some("""
-      WITH toks AS (
-        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t
-        FROM documents WHERE text IS NOT NULL),
-      dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
-      stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
-      alldf AS (
-        SELECT t, count(*)::BIGINT AS df
-        FROM (SELECT DISTINCT doc_id, t FROM toks) GROUP BY 1),
-      qterms AS (
-        SELECT q_id, t FROM (
-          SELECT q.doc_id AS q_id, q.t,
-            row_number() OVER (PARTITION BY q.doc_id
-              ORDER BY q.qtf * (n // df) DESC, q.t) AS rn
-          FROM (SELECT doc_id, t, count(*)::BIGINT AS qtf FROM toks
-                WHERE doc_id < 6 GROUP BY 1, 2) q
-          JOIN alldf USING (t) CROSS JOIN stats) WHERE rn <= 4),
-      tq AS (SELECT DISTINCT t FROM qterms),
-      tf AS (
-        SELECT doc_id, t, count(*)::BIGINT AS tfv
-        FROM toks JOIN tq USING (t) GROUP BY 1, 2),
-      lexs AS (
-        SELECT q_id, n_id,
-          list_sum(list_transform(
-            list(struct_pack(t := t, s := s) ORDER BY t), x -> x.s)) AS score
-        FROM (
-          SELECT qt.q_id, tf.doc_id AS n_id, tf.t,
-            (n // df)::DOUBLE * (tfv::DOUBLE * 2.25) /
-              (tfv::DOUBLE + 1.25 * (0.25 + 0.75 *
-                (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE)))) AS s
-          FROM tf JOIN qterms qt USING (t) JOIN alldf USING (t)
-          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
-          WHERE tf.doc_id <> qt.q_id)
-        GROUP BY 1, 2),
-      lrank AS (
-        SELECT q_id, n_id, rank_l FROM (
-          SELECT q_id, n_id,
-            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank_l
-          FROM lexs) WHERE rank_l <= 10),
-      qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qvv FROM embeddings WHERE vec_id < 6),
-      cv AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
-      vrank AS (
-        SELECT q_id, n_id, rank_v FROM (
-          SELECT q_id, n_id,
-            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank_v
-          FROM (
-            SELECT q_id, n_id,
-              list_sum(list_transform(range(1, least(len(qvv), len(nv)) + 1), i -> qvv[i] * nv[i])) /
-                (sqrt(list_sum(list_transform(range(1, len(qvv) + 1), i -> qvv[i] * qvv[i]))) *
-                 sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
-            FROM qv CROSS JOIN cv WHERE n_id <> q_id)) WHERE rank_v <= 10),
-      fused AS (
-        SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.n_id, l.n_id) AS n_id,
-          coalesce(CAST(1 AS DOUBLE) / (60 + v.rank_v), CAST(0 AS DOUBLE)) +
-          coalesce(CAST(1 AS DOUBLE) / (60 + l.rank_l), CAST(0 AS DOUBLE)) AS rrf,
-          v.rank_v, l.rank_l
-        FROM vrank v FULL OUTER JOIN lrank l
-          ON v.q_id = l.q_id AND v.n_id = l.n_id)
-      SELECT q_id, CAST(rn AS INT) AS rank, n_id, rrf,
-        CAST(rank_v AS INT) AS rank_v, CAST(rank_l AS INT) AS rank_l
-      FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rn
-            FROM fused)
-      WHERE rn <= 5 ORDER BY q_id, rank""")),
+    }, Some(hybridRrfOracle)),
 
     // The RAG serving pipeline end to end, ONE gated plan: hybrid
     // retrieval (q268's BM25 + vector arms, RRF-fused rel), MMR
@@ -1179,31 +1094,15 @@ private[graft] object TextCatalog {
     ("q269_rag_pipeline", (s, dir) => {
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val toks = docs.where(col("text").isNotNull)
-        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("t"))
-        .where(col("t") =!= "")
-      val nDocs = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dln"))
-        .agg(count(lit(1)).as("n"))
-      val alldf = toks.select(col("doc_id"), col("t")).distinct()
-        .groupBy(col("t")).agg(count(lit(1)).as("df"))
-      val qterms = toks.where(col("doc_id") < 6)
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("qtf"))
-        .join(alldf, Seq("t")).crossJoin(broadcast(nDocs))
-        .withColumn("w", col("qtf") * expr("n div df"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
-          .orderBy(col("w").desc, col("t"))))
-        .where(col("rn") <= 4)
-        .select(col("doc_id").as("q_id"), col("t").as("term"))
-      val lex = TextAnalysis.bm25QueryTopK(docs, "doc_id", "text", qterms, 10)
-        .select(col("q_id"), col("n_id"), col("rank").as("rank_l"))
-      val vec = Similarity.bruteForceTopK(emb.where(col("vec_id") < 6), emb,
-          "vec_id", "vec_id", "embedding", 10)
-        .select(col("q_id"), col("n_id"), col("rank").as("rank_v"))
-      val fused = vec.join(lex, Seq("q_id", "n_id"), "full_outer")
-        .withColumn("rel",
-          coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("rank_l")), lit(0.0)))
-        .select(col("q_id"), col("n_id"), col("rel"))
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      // kOut = 20 ≥ the union of both 10-deep arms: the FULL fused
+      // candidate set feeds diversification, no premature rank cut
+      val fused = TextAnalysis.hybridRrfTopK(docs, "doc_id", "text",
+          emb, "vec_id", "embedding", queries,
+          kArm = 10, kOut = 20, nTerms = 4)
+        .select(col("q_id"), col("n_id"), col("rrf").as("rel"))
       val sel = Similarity.mmrSelect(fused, emb, "vec_id", "embedding", 5)
       val lens = docs.where(col("text").isNotNull)
         .select(col("doc_id"),
@@ -1306,6 +1205,41 @@ private[graft] object TextCatalog {
         FROM sel s JOIN lens l ON l.doc_id = s.n_id)
       SELECT q_id, rank, doc_id, n_tokens, cum_tokens, score
       FROM packed WHERE cum_tokens <= 192
-      ORDER BY q_id, rank"""))
+      ORDER BY q_id, rank""")),
+
+    // Streaming hybrid serve: the SAME hybridRrfTopK answers a query
+    // STREAM micro-batch by micro-batch via foreachBatch (the q252
+    // serving seam) — per-query work is independent and the corpus side
+    // is static (pinned once, re-consumed per batch), so the union of
+    // per-batch answers equals the one-shot batch serve for any split;
+    // gated on q268's oracle VERBATIM.
+    ("q270_stream_hybrid_serve", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q270_hybrid_queries", dir) { p =>
+        docs.where(col("doc_id") < 6)
+          .select(col("doc_id").as("q_id"), col("text"))
+          .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+          .repartition(3).write.mode("overwrite").parquet(s"$p/queries")
+      }
+      // static corpus sides pinned once: every micro-batch re-consumes them
+      val docsP = graft.util.Caches.pin(docs.select(col("doc_id"), col("text")))
+      val embP = graft.util.Caches.pin(emb.select(col("vec_id"), col("embedding")))
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_q270_serve").toString
+      val stream = s.readStream
+        .schema("q_id LONG, text STRING, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/queries")
+      val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            TextAnalysis.hybridRrfTopK(docsP, "doc_id", "text",
+                embP, "vec_id", "embedding", batch,
+                kArm = 10, kOut = 5, nTerms = 4)
+              .write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy(col("q_id"), col("rank"))
+    }, Some(hybridRrfOracle))
   )
 }

@@ -712,4 +712,61 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col(idCol).as("n_id"), col("score"))
   }
+
+  /** HYBRID retrieval: per-query BM25 ([[bm25QueryTopK]], query terms =
+    * each query's `nTerms` most distinctive tokens by exact
+    * `tf · (N div df)` weight) fused with the exact-cosine vector arm by
+    * Reciprocal Rank Fusion, `rrf = Σ 1/(60 + rank)` — every fused score
+    * a sum of exact IEEE divisions of integers. One function serves both
+    * the batch gate and the STREAMING serve: per-query work is fully
+    * independent and the corpus side is static, so the union of
+    * per-micro-batch answers equals the one-shot answer for ANY split of
+    * the query set. At production scale, pre-aggregate the corpus
+    * postings (token counts, document frequencies, lengths) as static
+    * tables instead of re-deriving them per batch — the function takes
+    * `docs` as given, so a persisted/pre-reduced frame drops in.
+    *
+    * @param queries (q_id, textCol, vecCol) — SMALL (both arms broadcast)
+    * @return (q_id, rank ≤ kOut, n_id, rrf, rank_v, rank_l) */
+  def hybridRrfTopK(docs: DataFrame, docIdCol: String, textCol: String,
+      emb: DataFrame, embIdCol: String, vecCol: String,
+      queries: DataFrame, kArm: Int = 10, kOut: Int = 5,
+      nTerms: Int = 4): DataFrame = {
+    require(kArm > 0 && kOut > 0 && nTerms > 0,
+      s"need positive dials, got kArm=$kArm kOut=$kOut nTerms=$nTerms")
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(docIdCol), explode(words(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+    val nDocs = toks.groupBy(col(docIdCol)).agg(count(lit(1)).as("dln"))
+      .agg(count(lit(1)).as("n"))
+    val alldf = toks.select(col(docIdCol), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val qterms = queries.where(col(textCol).isNotNull)
+      .select(col("q_id"), explode(words(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("q_id"), col("t")).agg(count(lit(1)).as("qtf"))
+      .join(alldf, Seq("t")).crossJoin(broadcast(nDocs))
+      .withColumn("w", col("qtf") * expr("n div df"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("w").desc, col("t"))))
+      .where(col("rn") <= nTerms)
+      .select(col("q_id"), col("t").as("term"))
+    val lex = bm25QueryTopK(docs, docIdCol, textCol, qterms, kArm)
+      .select(col("q_id"), col("n_id"), col("rank").as("rank_l"))
+    val vec = Similarity.bruteForceTopK(
+        queries.select(col("q_id"), col(vecCol)), emb,
+        "q_id", embIdCol, vecCol, kArm)
+      .select(col("q_id"), col("n_id"), col("rank").as("rank_v"))
+    vec.join(lex, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_l")), lit(0.0)))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf").desc, col("n_id"))))
+      .where(col("rank") <= kOut)
+      .select(col("q_id"), col("rank"), col("n_id"), col("rrf"),
+        col("rank_v"), col("rank_l"))
+  }
 }
