@@ -1755,6 +1755,92 @@ private[graft] object AnnCatalog {
         GROUP BY 1, 2)
       SELECT dims, q_id, n_hit, 3 AS k, n_hit::DOUBLE / 3 AS recall
       FROM rec ORDER BY dims, q_id"""
-    })
+    }),
+
+    // Spectral-signatures poisoning audit (Tran et al., NeurIPS'18 —
+    // public method): every vector's int8 codes project onto the exact
+    // integer dominant eigenvector (q260's power iteration), centering is
+    // the cross-multiplication n·p − Σp — no floats anywhere, so the
+    // top-20 |centered| outliers replay bit for bit. The direction is
+    // model metadata (64 longs, collected by contract); the projection
+    // folds per row inside the scan.
+    ("q272_spectral_outliers", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val codes = emb.select(col("vec_id"),
+        ext.Quantize.int8Codes(col("embedding"),
+          ext.Quantize.int8Scale(col("embedding"))).as("codes"))
+      val cov = ext.LinAlg.covarianceUpperTriangle(
+        codes.select(lit(0L).as("k"), col("codes")), "k", "codes", 64)
+      val v = ext.LinAlg.powerIterationTop(cov, 64, 6)
+        .orderBy(col("dim")).collect().map(_.getLong(1)).toSeq
+      val scored = ext.LinAlg.spectralOutlierScores(codes, "vec_id", "codes", v)
+      val top = scored.orderBy(abs(col("centered")).desc, col("vec_id")).limit(20)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(abs(col("centered")).desc, col("vec_id"))))
+        .select(col("vec_id"), col("rank"), col("p"), col("centered"))
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH RECURSIVE
+      v0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      s0 AS (
+        SELECT vec_id, vec,
+          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
+        FROM v0),
+      q0 AS (
+        SELECT vec_id, CASE WHEN scale = 0
+          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
+        FROM s0),
+      e0 AS (
+        SELECT i.i AS i, j.j AS j, codes[i.i] * codes[j.j] AS p
+        FROM q0
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+        WHERE i.i <= j.j),
+      g0 AS (
+        SELECT i, j, CAST(sum(p) AS BIGINT) AS g, count(*) AS n
+        FROM e0 GROUP BY 1, 2),
+      su0 AS (
+        SELECT d.d AS d, CAST(sum(codes[d.d]) AS BIGINT) AS s
+        FROM q0 CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
+        GROUP BY 1),
+      cn AS (
+        SELECT g0.i, g0.j, g0.n*g0.g - si.s*sj.s AS x
+        FROM g0 JOIN su0 si ON si.d = g0.i JOIN su0 sj ON sj.d = g0.j),
+      m AS (
+        SELECT i, j, x FROM cn
+        UNION ALL
+        SELECT j AS i, i AS j, x FROM cn WHERE i <> j),
+      sc AS (
+        SELECT least(100000, 4611686018427387903 // greatest(1, 64 * max(abs(x)))) AS sv
+        FROM m),
+      pw(step, vl) AS (
+        SELECT 0, list_transform(range(1, 65), i -> CAST(1 AS BIGINT))
+        UNION ALL
+        SELECT step + 1,
+          list(CASE WHEN w < 0 THEN -(abs(w) // dv) ELSE abs(w) // dv END ORDER BY i)
+        FROM (
+          SELECT step, i, w, max(abs(w)) OVER () // sv + 1 AS dv
+          FROM (
+            SELECT p.step, m.i, CAST(sum(m.x * p.vl[m.j]) AS BIGINT) AS w
+            FROM pw p CROSS JOIN m
+            WHERE p.step < 6
+            GROUP BY p.step, m.i) t
+          CROSS JOIN sc)
+        GROUP BY step),
+      dirv AS (SELECT vl FROM pw WHERE step = 6),
+      proj AS (
+        SELECT vec_id,
+          CAST(list_sum(list_transform(range(1, 65), i -> codes[i] * vl[i])) AS BIGINT) AS p
+        FROM q0 CROSS JOIN dirv),
+      st AS (SELECT count(*)::BIGINT AS n, CAST(sum(p) AS BIGINT) AS sp FROM proj),
+      cent AS (
+        SELECT vec_id, p, p * n - sp AS centered FROM proj CROSS JOIN st)
+      SELECT vec_id, CAST(rn AS INT) AS rank, p, centered FROM (
+        SELECT vec_id, p, centered,
+          row_number() OVER (ORDER BY abs(centered) DESC, vec_id) AS rn
+        FROM cent)
+      WHERE rn <= 20 ORDER BY rank"""))
   )
 }

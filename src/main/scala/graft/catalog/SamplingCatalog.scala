@@ -641,6 +641,26 @@ private[graft] object SamplingCatalog {
         FROM fin)
       SELECT vec_id, cid, CAST(pick_rank AS INT) AS pick_rank
       FROM picked WHERE pick_rank <= 8
-      ORDER BY cid, pick_rank"""))
+      ORDER BY cid, pick_rank""")),
+
+    // Per-source frequency capping — the anti-domination rule web
+    // pipelines apply before mixing (no single domain/source may exceed
+    // its cap): clusterBalanced generalizes directly, the cluster key is
+    // the source column. Deterministic (hash48, id) picks, monotone in
+    // the cap, WindowGroupLimit pushdown.
+    ("q271_source_cap", (s, dir) => {
+      Sampling.clusterBalanced(
+          T(s, dir, "documents").where(col("text").isNotNull)
+            .select(col("doc_id"), col("source")),
+          "doc_id", "source", quota = 15)
+        .orderBy(col("source"), col("pick_rank"))
+    }, Some("""
+      SELECT doc_id, source, CAST(pick_rank AS INT) AS pick_rank FROM (
+        SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT, doc_id)
+          AS pick_rank
+        FROM documents WHERE text IS NOT NULL)
+      WHERE pick_rank <= 15
+      ORDER BY source, pick_rank"""))
   )
 }

@@ -216,6 +216,36 @@ object LinAlg {
     * @param cov  ONE key's (i, j, cov_num) upper triangle, 1-based, as
     *             produced by [[covarianceUpperTriangle]]
     * @return (dim, v) — the integer-scaled dominant-eigenvector estimate */
+  /** Spectral outlier scores — the Tran-et-al-style "spectral signatures"
+    * data-poisoning audit, kept ENGINE-EXACT: every vector's int8 codes
+    * project onto an INTEGER direction `v` (typically
+    * [[powerIterationTop]]'s dominant eigenvector of the corpus
+    * covariance), p = Σ codesᵢ·vᵢ in BIGINT, and the mean-centering is
+    * the exact cross-multiplication `centered = n·p − Σp` (no division,
+    * no floats). Outliers along the top principal direction — the
+    * signature a poisoned/backdoored subpopulation leaves — are the
+    * largest |centered|.
+    *
+    * Scale shape: `v` is model metadata (dim longs, one literal); the
+    * projection folds per row inside the scan (zip_with + fold, no
+    * shuffle); one metadata-sized stats aggregate broadcasts back.
+    * Overflow: |p| ≤ dim·128·max|v| and |centered| ≤ 2n·max|p| — with
+    * [[powerIterationTop]]'s |v| ≤ 10⁵ cap this holds in BIGINT to
+    * n ≈ 10⁹ rows at dim 64.
+    * @return (idCol, p, centered) */
+  def spectralOutlierScores(df: DataFrame, idCol: String, codesCol: String,
+      v: Seq[Long]): DataFrame = {
+    require(v.nonEmpty, "spectralOutlierScores needs a non-empty direction")
+    val y = col(codesCol).cast("array<long>")
+    val proj = df.select(col(idCol),
+      aggregate(zip_with(y, typedLit(v), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("p"))
+    val st = proj.agg(count(lit(1)).as("__n"), sum(col("p")).as("__sp"))
+    proj.crossJoin(broadcast(st))
+      .select(col(idCol), col("p"),
+        (col("p") * col("__n") - col("__sp")).as("centered"))
+  }
+
   def powerIterationTop(cov: DataFrame, dim: Int, iters: Int,
       cap: Long = 100000L): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
