@@ -1435,9 +1435,8 @@ private[graft] object AnnCatalog {
       }
       val cent = s.read.parquet(s"$tmp/centroids")
       val cb = s.read.parquet(s"$tmp/codebooks")
-      val stored = graft.util.Caches.register(s.read.parquet(s"$tmp/index")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      stored.count() // pin BEFORE serving: every micro-batch re-consumes it
+      // pin BEFORE serving: every micro-batch re-consumes the index
+      val stored = graft.util.Caches.pin(s.read.parquet(s"$tmp/index"))
       val outDir = java.nio.file.Files
         .createTempDirectory("graft_q252_serve").toString
       val stream = s.readStream
@@ -1841,6 +1840,76 @@ private[graft] object AnnCatalog {
         SELECT vec_id, p, centered,
           row_number() OVER (ORDER BY abs(centered) DESC, vec_id) AS rn
         FROM cent)
-      WHERE rn <= 20 ORDER BY rank"""))
+      WHERE rn <= 20 ORDER BY rank""")),
+
+    // Streaming covariance gauge: the exact second-moment state (g, si,
+    // sj, n per dimension pair) is pure commutative BIGINT adds — the
+    // q257 first-moment discipline one moment up — so the FULL exact
+    // covariance numerator of a vector stream is maintained live as a
+    // complete-mode typed aggregation whose state is ONE dim·(dim+1)/2
+    // BIGINT triangle, never corpus-sized. This is what keeps q260's
+    // spectral direction and q272's poisoning audit refreshable from a
+    // stream instead of a batch job.
+    ("q273_stream_covariance", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q273_cov_stream", dir) { p =>
+        emb.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), col("embedding"))
+          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
+      }
+      val qname = "graft_stream_cov"
+      // 4 shuffle partitions: ONE triangle buffer of state needs no more
+      // state-store commits per micro-batch (q211 discipline)
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
+      val (schema, rows) = {
+        val stream = s2.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 2).parquet(s"$tmp/stream")
+        val codes = stream.select(lit(0L).as("k"),
+          ext.Quantize.int8Codes(col("embedding"),
+            ext.Quantize.int8Scale(col("embedding"))).as("codes"))
+        val q = ext.LinAlg.covarianceUpperTriangle(codes, "k", "codes", 64)
+          .writeStream.outputMode("complete").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val res = s2.table(qname)
+        val out = (res.schema, res.collect())
+        s2.catalog.dropTempView(qname)
+        out
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .select(col("i"), col("j"), col("g"), col("si"), col("sj"),
+          col("n"), col("cov_num"), col("cov"))
+        .orderBy(col("i"), col("j"))
+    }, Some("""
+      WITH v AS (
+        SELECT embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id % 2 = 1),
+      s0 AS (
+        SELECT vec,
+          coalesce(list_max(list_transform(vec, x -> abs(x))), 0) / 127.0 AS scale
+        FROM v),
+      q0 AS (
+        SELECT CASE WHEN scale = 0
+          THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) END AS codes
+        FROM s0),
+      e0 AS (
+        SELECT i.i AS i, j.j AS j, codes[i.i] * codes[j.j] AS p
+        FROM q0
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+        WHERE i.i <= j.j),
+      g0 AS (
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+          CAST(sum(p) AS BIGINT) AS g, count(*) AS n
+        FROM e0 GROUP BY 1, 2),
+      su0 AS (
+        SELECT CAST(d.d AS BIGINT) AS d, CAST(sum(codes[d.d]) AS BIGINT) AS s
+        FROM q0 CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
+        GROUP BY 1)
+      SELECT g0.i, g0.j, g0.g, si.s AS si, sj.s AS sj, g0.n,
+        g0.n*g0.g - si.s*sj.s AS cov_num,
+        CAST(g0.n*g0.g - si.s*sj.s AS DOUBLE)/CAST(g0.n*g0.n AS DOUBLE) AS cov
+      FROM g0 JOIN su0 si ON si.d = g0.i JOIN su0 sj ON sj.d = g0.j
+      ORDER BY g0.i, g0.j"""))
   )
 }

@@ -440,10 +440,9 @@ private[graft] object DedupCatalog {
       // near-corpus-sized (it keeps the text column), and checkpoint blocks
       // are non-replicated — an executor loss after a localCheckpoint kills
       // the job unrecoverably, while persist keeps lineage for recompute.
-      val classes = graft.util.Caches.register(docs.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      classes.count() // populate before the consumers fork
+      // eager pin: populate before the consumers fork
+      val classes = graft.util.Caches.pin(docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups")))
       val reps = classes.select(col("keep_id").as("doc_id"), col("text"))
       val pairs = Dedup.minhashCandidatePairs(reps, "doc_id", "text")
       val repCC = Dedup.connectedComponents(pairs, "id_a", "id_b", 12, starContraction = true)

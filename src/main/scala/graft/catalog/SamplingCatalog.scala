@@ -396,11 +396,9 @@ private[graft] object SamplingCatalog {
       // REDUCED frame and force it NOW so the vocabulary aggregation runs
       // once (concurrent branches of an uncached persist race and each
       // re-runs the upstream scan — the withExactDupCollapse discipline)
-      val probes = graft.util.Caches.register(
+      val probes = graft.util.Caches.pin(
         toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("token")).limit(40)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      probes.count()
+          .orderBy(col("cnt").desc, col("token")).limit(40))
       ext.Profiling.countMinLookup(cms, probes.select("token"), "token", 4, 2048)
         .join(probes, Seq("token"))
         .select(col("token"), col("cnt"), col("est"),
@@ -507,14 +505,12 @@ private[graft] object SamplingCatalog {
           r
         }
       val cms = s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-      val probes = graft.util.Caches.register(
+      // two branches of the final action consume `probes` — eager pin so
+      // the token aggregation runs once (the withExactDupCollapse
+      // discipline: concurrent branches of an uncached persist race)
+      val probes = graft.util.Caches.pin(
         toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("token")).limit(40)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // two branches of the final action consume `probes` — force the cache
-      // NOW (the withExactDupCollapse discipline: concurrent branches of an
-      // uncached persist race and each re-runs the token aggregation)
-      probes.count()
+          .orderBy(col("cnt").desc, col("token")).limit(40))
       ext.Profiling.countMinLookup(cms, probes.select("token"), "token", 4, 2048)
         .join(probes, Seq("token"))
         .select(col("token"), col("cnt"), col("est"),

@@ -1222,18 +1222,36 @@ private[graft] object TextCatalog {
           .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
           .repartition(3).write.mode("overwrite").parquet(s"$p/queries")
       }
-      // static corpus sides pinned once: every micro-batch re-consumes them
-      val docsP = graft.util.Caches.pin(docs.select(col("doc_id"), col("text")))
-      val embP = graft.util.Caches.pin(emb.select(col("vec_id"), col("embedding")))
+      // serve on an isolated 4-partition session: the per-batch plans are
+      // many small stages over pinned, batch-sized-or-postings-sized
+      // frames — 32-task stages would pay task-launch overhead, not
+      // parallelism (the q211/q267 shuffle-partition discipline)
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
+      // the corpus POSTINGS (token rows, doc lengths, stats, document
+      // frequencies) and the vector side are prepared and pinned ONCE —
+      // every micro-batch serves from the cache instead of re-reducing
+      // the corpus (the measured 3×-per-batch cost of the naive form)
+      val docs2 = graft.util.EventTime.tsToLongNanos(
+        s2.read.parquet(s"$dir/documents.parquet"))
+      val emb2 = graft.util.EventTime.tsToLongNanos(
+        s2.read.parquet(s"$dir/embeddings.parquet"))
+      val hc0 = TextAnalysis.prepareHybridCorpus(
+        docs2.select(col("doc_id"), col("text")), "doc_id", "text",
+        emb2.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+      val hc = hc0.copy(
+        emb = graft.util.Caches.pin(hc0.emb),
+        toks = graft.util.Caches.pin(hc0.toks),
+        dl = graft.util.Caches.pin(hc0.dl),
+        stats = graft.util.Caches.pin(hc0.stats),
+        alldf = graft.util.Caches.pin(hc0.alldf))
       val outDir = java.nio.file.Files
         .createTempDirectory("graft_q270_serve").toString
-      val stream = s.readStream
+      val stream = s2.readStream
         .schema("q_id LONG, text STRING, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/queries")
       val q = stream.writeStream.foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            TextAnalysis.hybridRrfTopK(docsP, "doc_id", "text",
-                embP, "vec_id", "embedding", batch,
+            TextAnalysis.hybridRrfTopKPrepared(hc, batch,
                 kArm = 10, kOut = 5, nTerms = 4)
               .write.mode("append").parquet(outDir)
         }

@@ -678,25 +678,53 @@ object TextAnalysis {
     * @return (q_id, rank, n_id, score) — self-matches excluded when the
     *         query id space is the document id space */
   def bm25QueryTopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: DataFrame, k: Int): DataFrame =
+    bm25QueryTopKPrepared(
+      prepareHybridCorpus(df, idCol, textCol, null, null, null),
+      queryTerms, k)
+
+  /** The pre-reduced corpus side of the hybrid/lexical arms — derive it
+    * ONCE (and pin it) when the same corpus answers many calls, e.g. a
+    * streaming serve where every micro-batch re-consumes it:
+    * `toks` (idCol, t), `dl` (idCol, __dl), `stats` (__n, __tot),
+    * `alldf` (t, df — docs containing t). The emb/vec fields feed the
+    * vector arm; `null` when only the lexical arm is used. */
+  final case class HybridCorpus(
+      docs: DataFrame, docIdCol: String, textCol: String,
+      emb: DataFrame, embIdCol: String, vecCol: String,
+      toks: DataFrame, dl: DataFrame, stats: DataFrame, alldf: DataFrame)
+
+  def prepareHybridCorpus(docs: DataFrame, docIdCol: String, textCol: String,
+      emb: DataFrame, embIdCol: String, vecCol: String): HybridCorpus = {
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(docIdCol), explode(words(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+    val dl = toks.groupBy(col(docIdCol)).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tot"))
+    val alldf = toks.select(col(docIdCol), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    HybridCorpus(docs, docIdCol, textCol, emb, embIdCol, vecCol,
+      toks, dl, stats, alldf)
+  }
+
+  /** [[bm25QueryTopK]] over a prepared (possibly pinned) corpus side. */
+  def bm25QueryTopKPrepared(hc: HybridCorpus,
       queryTerms: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val toks = df.where(col(textCol).isNotNull)
-      .select(col(idCol), explode(words(col(textCol))).as("__t"))
-      .where(col("__t") =!= "")
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
-    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tot"))
-    val qt = queryTerms.select(col("q_id"), col("term").as("__t"))
-    val terms = qt.select(col("__t")).distinct()
-    val dfreq = toks.join(broadcast(terms), Seq("__t"))
-      .select(col(idCol), col("__t")).distinct()
-      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-    val tf = toks.join(broadcast(terms), Seq("__t"))
-      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
-    val scored = tf.join(broadcast(qt), Seq("__t"))
+    val idCol = hc.docIdCol
+    val qt = queryTerms.select(col("q_id"), col("term").as("t"))
+    val terms = qt.select(col("t")).distinct()
+    // df values for the query terms come straight off the prepared
+    // postings (same distinct-doc counts the inline form derived)
+    val dfreq = hc.alldf.join(broadcast(terms), Seq("t"))
+      .select(col("t"), col("df").as("__df"))
+    val tf = hc.toks.join(broadcast(terms), Seq("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("__tf"))
+    val scored = tf.join(broadcast(qt), Seq("t"))
       .where(col(idCol) =!= col("q_id"))
-      .join(broadcast(dfreq), Seq("__t"))
-      .join(dl, Seq(idCol))
-      .crossJoin(broadcast(stats))
+      .join(broadcast(dfreq), Seq("t"))
+      .join(hc.dl, Seq(idCol))
+      .crossJoin(broadcast(hc.stats))
       .withColumn("__idf", expr("__n div __df"))
       .withColumn("__ts",
         col("__idf").cast("double") * (col("__tf").cast("double") * lit(2.25)) /
@@ -704,7 +732,7 @@ object TextAnalysis {
             (col("__dl").cast("double") /
               (col("__tot").cast("double") / col("__n").cast("double"))))))
       .groupBy(col("q_id"), col(idCol))
-      .agg(aggregate(sort_array(collect_list(struct(col("__t"), col("__ts")))),
+      .agg(aggregate(sort_array(collect_list(struct(col("t"), col("__ts")))),
         lit(0.0), (a, x) => a + x.getField("__ts")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("score").desc, col(idCol))
@@ -731,32 +759,35 @@ object TextAnalysis {
   def hybridRrfTopK(docs: DataFrame, docIdCol: String, textCol: String,
       emb: DataFrame, embIdCol: String, vecCol: String,
       queries: DataFrame, kArm: Int = 10, kOut: Int = 5,
-      nTerms: Int = 4): DataFrame = {
+      nTerms: Int = 4): DataFrame =
+    hybridRrfTopKPrepared(
+      prepareHybridCorpus(docs, docIdCol, textCol, emb, embIdCol, vecCol),
+      queries, kArm, kOut, nTerms)
+
+  /** [[hybridRrfTopK]] over a prepared corpus side — the SERVING form:
+    * derive (and pin) the postings once, answer every micro-batch from
+    * them instead of re-reducing the corpus per call. */
+  def hybridRrfTopKPrepared(hc: HybridCorpus, queries: DataFrame,
+      kArm: Int = 10, kOut: Int = 5, nTerms: Int = 4): DataFrame = {
     require(kArm > 0 && kOut > 0 && nTerms > 0,
       s"need positive dials, got kArm=$kArm kOut=$kOut nTerms=$nTerms")
-    val toks = docs.where(col(textCol).isNotNull)
-      .select(col(docIdCol), explode(words(col(textCol))).as("t"))
-      .where(col("t") =!= "")
-    val nDocs = toks.groupBy(col(docIdCol)).agg(count(lit(1)).as("dln"))
-      .agg(count(lit(1)).as("n"))
-    val alldf = toks.select(col(docIdCol), col("t")).distinct()
-      .groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val qterms = queries.where(col(textCol).isNotNull)
-      .select(col("q_id"), explode(words(col(textCol))).as("t"))
+    val nDocs = hc.stats.select(col("__n").as("n"))
+    val qterms = queries.where(col(hc.textCol).isNotNull)
+      .select(col("q_id"), explode(words(col(hc.textCol))).as("t"))
       .where(col("t") =!= "")
       .groupBy(col("q_id"), col("t")).agg(count(lit(1)).as("qtf"))
-      .join(alldf, Seq("t")).crossJoin(broadcast(nDocs))
+      .join(hc.alldf, Seq("t")).crossJoin(broadcast(nDocs))
       .withColumn("w", col("qtf") * expr("n div df"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
           .orderBy(col("w").desc, col("t"))))
       .where(col("rn") <= nTerms)
       .select(col("q_id"), col("t").as("term"))
-    val lex = bm25QueryTopK(docs, docIdCol, textCol, qterms, kArm)
+    val lex = bm25QueryTopKPrepared(hc, qterms, kArm)
       .select(col("q_id"), col("n_id"), col("rank").as("rank_l"))
     val vec = Similarity.bruteForceTopK(
-        queries.select(col("q_id"), col(vecCol)), emb,
-        "q_id", embIdCol, vecCol, kArm)
+        queries.select(col("q_id"), col(hc.vecCol)), hc.emb,
+        "q_id", hc.embIdCol, hc.vecCol, kArm)
       .select(col("q_id"), col("n_id"), col("rank").as("rank_v"))
     vec.join(lex, Seq("q_id", "n_id"), "full_outer")
       .withColumn("rrf",
