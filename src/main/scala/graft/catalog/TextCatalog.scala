@@ -1258,6 +1258,27 @@ private[graft] object TextCatalog {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.read.parquet(outDir).orderBy(col("q_id"), col("rank"))
+    }, Some(hybridRrfOracle)),
+
+    // Incremental postings maintenance: the hybrid serve's corpus side
+    // updated by an append-only DELTA — prepare the even-id half and the
+    // odd-id half independently, MERGE the postings (all frames additive
+    // under disjoint doc ids), and serve. Result-identical to
+    // re-preparing the full corpus: gated on q268's oracle VERBATIM, so
+    // an accumulating corpus never pays a full postings rebuild.
+    ("q274_postings_increment", (s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def half(r: Int) = TextAnalysis.prepareHybridCorpus(
+        docs.where(col("doc_id") % 2 === r), "doc_id", "text",
+        emb.where(col("vec_id") % 2 === r), "vec_id", "embedding")
+      val hc = TextAnalysis.mergeHybridCorpus(half(0), half(1))
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      TextAnalysis.hybridRrfTopKPrepared(hc, queries,
+          kArm = 10, kOut = 5, nTerms = 4)
+        .orderBy(col("q_id"), col("rank"))
     }, Some(hybridRrfOracle))
   )
 }

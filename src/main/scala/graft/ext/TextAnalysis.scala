@@ -707,6 +707,31 @@ object TextAnalysis {
       toks, dl, stats, alldf)
   }
 
+  /** Incremental postings maintenance: merge a prepared corpus side with
+    * the prepared side of a DELTA of NEW documents — the append-only
+    * update path of the hybrid serve. Every postings frame is additive
+    * when the two doc-id sets are DISJOINT (the append contract): token
+    * rows and per-doc lengths union, corpus stats add, and per-term
+    * document frequencies add because no document is counted on both
+    * sides. Serving from the merged postings is RESULT-IDENTICAL to
+    * re-preparing the full corpus (q274's gate), so an accumulating
+    * corpus never pays a full postings rebuild. */
+  def mergeHybridCorpus(a: HybridCorpus, b: HybridCorpus): HybridCorpus = {
+    require(a.docIdCol == b.docIdCol && a.textCol == b.textCol,
+      "mergeHybridCorpus: mismatched corpus schemas")
+    val stats = a.stats.unionByName(b.stats)
+      .agg(sum(col("__n")).as("__n"), sum(col("__tot")).as("__tot"))
+    val alldf = a.alldf.unionByName(b.alldf)
+      .groupBy(col("t")).agg(sum(col("df")).as("df"))
+    a.copy(
+      docs = a.docs.unionByName(b.docs),
+      emb = if (a.emb == null || b.emb == null) a.emb
+            else a.emb.unionByName(b.emb),
+      toks = a.toks.unionByName(b.toks),
+      dl = a.dl.unionByName(b.dl),
+      stats = stats, alldf = alldf)
+  }
+
   /** [[bm25QueryTopK]] over a prepared (possibly pinned) corpus side. */
   def bm25QueryTopKPrepared(hc: HybridCorpus,
       queryTerms: DataFrame, k: Int): DataFrame = {

@@ -60,6 +60,23 @@ class CacheReleaseSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy Caches.pin(ds)
   }
 
+  test("Caches.pin checkpoint mode goes RELIABLE once a checkpoint dir exists") {
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_pin_ckpt_")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.pin.mode", "checkpoint")
+    val ds = { import s2.implicits._; Seq(7, 8).toDS() }
+    val c = Caches.pin(
+      ds.map(_ * 2)(org.apache.spark.sql.Encoders.scalaInt))
+    c.collect().sorted shouldBe Array(14, 16)
+    c.queryExecution.optimizedPlan.getClass.getSimpleName shouldBe "LogicalRDD"
+    // the pinned frame landed on the (cluster-FS-shaped) checkpoint dir,
+    // not in executor-local blocks — the 100 TB durability story
+    import scala.jdk.CollectionConverters._
+    val entries = java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
+    entries.count(java.nio.file.Files.isRegularFile(_)) should be > 0
+  }
+
   test("releaseAll is idempotent and empty-safe") {
     Caches.releaseAll()
     Caches.releaseAll() shouldBe 0
