@@ -177,6 +177,19 @@ class LinAlgSpec extends SparkTestBase {
     e.getMessage should include("headroom")
   }
 
+  test("spectralOutlierScores: exact centering sums to zero, scores exact") {
+    val codes = Seq(
+      (1L, Array[Short](10, 0)), (2L, Array[Short](-10, 0)),
+      (3L, Array[Short](0, 5)), (4L, Array[Short](4, -3)))
+      .toDF("id", "codes")
+    val out = LinAlg.spectralOutlierScores(codes, "id", "codes", Seq(100L, 1L))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // p = 100*c1 + c2; Σp = 1000 - 1000 + 5 + 397 = 402; centered = 4p - 402
+    out.map(_._2).toSeq shouldBe Seq(1000L, -1000L, 5L, 397L)
+    out.map(_._3).sum shouldBe 0L // exact mean-centering: Σ(n·p − Σp) = 0
+    out.map(_._3).toSeq shouldBe Seq(4000L - 402L, -4000L - 402L, 20L - 402L, 1588L - 402L)
+  }
+
   test("MaxExactCovarianceRows is the documented worst-case bound") {
     val n = LinAlg.MaxExactCovarianceRows
     // worst case is a saturated −128 code (GramUpperTriangle admits the

@@ -387,4 +387,42 @@ class TextAnalysisSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       TextAnalysis.sparseTfIdfTopK(df, "doc_id", "text", k = 5, maxDf = 1L)
   }
+
+  test("hybrid retrieval: merged postings ≡ full preparation, split serve ≡ one-shot") {
+    val docs = Seq(
+      (0L, "spark joins fast tables"), (1L, "fast spark scans"),
+      (2L, "slow table scans join"),   (3L, "spark spark spark fast"),
+      (4L, "join the fast table"),     (5L, "scans join tables")
+    ).toDF("doc_id", "text")
+    val emb = docs.select(col("doc_id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => ((col("vec_id") * 31 + i * 7) % 13 - 6).cast("float")).as("embedding"))
+    val queries = docs.where(col("doc_id") < 2)
+      .select(col("doc_id").as("q_id"), col("text"))
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val full = TextAnalysis.prepareHybridCorpus(
+      docs, "doc_id", "text", emb, "vec_id", "embedding")
+    val oneShot = canon(TextAnalysis.hybridRrfTopKPrepared(full, queries,
+      kArm = 4, kOut = 3, nTerms = 2))
+    // merged halves serve identically (append-only postings maintenance)
+    val merged = TextAnalysis.mergeHybridCorpus(
+      TextAnalysis.prepareHybridCorpus(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding"),
+      TextAnalysis.prepareHybridCorpus(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding"))
+    canon(TextAnalysis.hybridRrfTopKPrepared(merged, queries,
+      kArm = 4, kOut = 3, nTerms = 2)) shouldBe oneShot
+    // per-query independence: serving each query alone, unioned, ≡ one-shot
+    val split = canon(
+      TextAnalysis.hybridRrfTopKPrepared(full, queries.where(col("q_id") === 0),
+          kArm = 4, kOut = 3, nTerms = 2)
+        .unionByName(TextAnalysis.hybridRrfTopKPrepared(full,
+          queries.where(col("q_id") === 1), kArm = 4, kOut = 3, nTerms = 2)))
+    split shouldBe oneShot
+  }
 }
