@@ -503,6 +503,103 @@ private[graft] object CatalogShared {
             FROM fused)
       WHERE rn <= 5 ORDER BY q_id, rank"""
 
+  /** The full RAG-pipeline replay — hybrid RRF fusion, the state-carrying
+    * MMR recursion over the fused candidates, the 192-token budget fill —
+    * shared VERBATIM by q269 (batch flagship) and q275 (the per-micro-batch
+    * streaming serve of the same pipeline; every stage is per-query
+    * independent, so union-over-any-split ≡ one-shot). */
+  val ragPipelineOracle: String = """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t
+        FROM documents WHERE text IS NOT NULL),
+      dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+      alldf AS (
+        SELECT t, count(*)::BIGINT AS df
+        FROM (SELECT DISTINCT doc_id, t FROM toks) GROUP BY 1),
+      qterms AS (
+        SELECT q_id, t FROM (
+          SELECT q.doc_id AS q_id, q.t,
+            row_number() OVER (PARTITION BY q.doc_id
+              ORDER BY q.qtf * (n // df) DESC, q.t) AS rn
+          FROM (SELECT doc_id, t, count(*)::BIGINT AS qtf FROM toks
+                WHERE doc_id < 6 GROUP BY 1, 2) q
+          JOIN alldf USING (t) CROSS JOIN stats) WHERE rn <= 4),
+      tq AS (SELECT DISTINCT t FROM qterms),
+      tf AS (
+        SELECT doc_id, t, count(*)::BIGINT AS tfv
+        FROM toks JOIN tq USING (t) GROUP BY 1, 2),
+      lexs AS (
+        SELECT q_id, n_id,
+          list_sum(list_transform(
+            list(struct_pack(t := t, s := s) ORDER BY t), x -> x.s)) AS score
+        FROM (
+          SELECT qt.q_id, tf.doc_id AS n_id, tf.t,
+            (n // df)::DOUBLE * (tfv::DOUBLE * 2.25) /
+              (tfv::DOUBLE + 1.25 * (0.25 + 0.75 *
+                (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE)))) AS s
+          FROM tf JOIN qterms qt USING (t) JOIN alldf USING (t)
+          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+          WHERE tf.doc_id <> qt.q_id)
+        GROUP BY 1, 2),
+      lrank AS (
+        SELECT q_id, n_id, rank_l FROM (
+          SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank_l
+          FROM lexs) WHERE rank_l <= 10),
+      qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qvv FROM embeddings WHERE vec_id < 6),
+      cv AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+      vrank AS (
+        SELECT q_id, n_id, rank_v FROM (
+          SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank_v
+          FROM (
+            SELECT q_id, n_id,
+              list_sum(list_transform(range(1, least(len(qvv), len(nv)) + 1), i -> qvv[i] * nv[i])) /
+                (sqrt(list_sum(list_transform(range(1, len(qvv) + 1), i -> qvv[i] * qvv[i]))) *
+                 sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
+            FROM qv CROSS JOIN cv WHERE n_id <> q_id)) WHERE rank_v <= 10),
+      fused AS (
+        SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.n_id, l.n_id) AS n_id,
+          coalesce(CAST(1 AS DOUBLE) / (60 + v.rank_v), CAST(0 AS DOUBLE)) +
+          coalesce(CAST(1 AS DOUBLE) / (60 + l.rank_l), CAST(0 AS DOUBLE)) AS rel
+        FROM vrank v FULL OUTER JOIN lrank l
+          ON v.q_id = l.q_id AND v.n_id = l.n_id),
+      cvf AS (SELECT f.q_id, f.n_id, f.rel, c.nv FROM fused f JOIN cv c USING (n_id)),
+      p AS (
+        SELECT a.q_id, a.n_id AS ia, b.n_id AS ib,
+          list_sum(list_transform(range(1, least(len(a.nv), len(b.nv)) + 1), i -> a.nv[i] * b.nv[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(a.nv) + 1), i -> a.nv[i] * a.nv[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(b.nv) + 1), i -> b.nv[i] * b.nv[i])))) AS s
+        FROM cvf a JOIN cvf b ON a.q_id = b.q_id AND a.n_id < b.n_id),
+      sel(q_id, step, sel_ids, n_id, score) AS (
+        SELECT q_id, 1, [n_id], n_id, rel / 2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
+          FROM fused) WHERE rn = 1
+        UNION ALL
+        SELECT q_id, step, list_append(sel_ids, n_id), n_id, score FROM (
+          SELECT x.*, row_number() OVER (PARTITION BY x.q_id ORDER BY x.score DESC, x.n_id) AS rn
+          FROM (
+            SELECT s.q_id, s.step + 1 AS step, s.sel_ids, c2.n_id,
+              c2.rel / 2 - max(p.s) / 2 AS score
+            FROM sel s
+            JOIN fused c2 ON c2.q_id = s.q_id AND NOT list_contains(s.sel_ids, c2.n_id)
+            JOIN p ON p.q_id = s.q_id
+              AND ((p.ia = c2.n_id AND list_contains(s.sel_ids, p.ib))
+                OR (p.ib = c2.n_id AND list_contains(s.sel_ids, p.ia)))
+            WHERE s.step < 5
+            GROUP BY s.q_id, s.step, s.sel_ids, c2.n_id, c2.rel) x) WHERE rn = 1),
+      lens AS (
+        SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+        FROM documents WHERE text IS NOT NULL),
+      packed AS (
+        SELECT s.q_id, CAST(s.step AS INT) AS rank, l.doc_id, l.n_tokens, s.score,
+          CAST(sum(l.n_tokens) OVER (PARTITION BY s.q_id ORDER BY s.step) AS BIGINT) AS cum_tokens
+        FROM sel s JOIN lens l ON l.doc_id = s.n_id)
+      SELECT q_id, rank, doc_id, n_tokens, cum_tokens, score
+      FROM packed WHERE cum_tokens <= 192
+      ORDER BY q_id, rank"""
+
   /** FFD bin-packing replay CTEs (q253/q254): whitespace-token doc lengths
     * (q243's length source), the exact (length desc, id asc) rank, groups
     * of `groupDocs` consecutive ranks, and a recursive CTE that advances

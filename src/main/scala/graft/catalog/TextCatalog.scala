@@ -1115,97 +1115,7 @@ private[graft] object TextCatalog {
         .select(col("q_id"), col("rank"), col("doc_id"),
           col("n_tokens"), col("cum_tokens"), col("score"))
         .orderBy(col("q_id"), col("rank"))
-    }, Some("""
-      WITH RECURSIVE toks AS (
-        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t
-        FROM documents WHERE text IS NOT NULL),
-      dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
-      stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
-      alldf AS (
-        SELECT t, count(*)::BIGINT AS df
-        FROM (SELECT DISTINCT doc_id, t FROM toks) GROUP BY 1),
-      qterms AS (
-        SELECT q_id, t FROM (
-          SELECT q.doc_id AS q_id, q.t,
-            row_number() OVER (PARTITION BY q.doc_id
-              ORDER BY q.qtf * (n // df) DESC, q.t) AS rn
-          FROM (SELECT doc_id, t, count(*)::BIGINT AS qtf FROM toks
-                WHERE doc_id < 6 GROUP BY 1, 2) q
-          JOIN alldf USING (t) CROSS JOIN stats) WHERE rn <= 4),
-      tq AS (SELECT DISTINCT t FROM qterms),
-      tf AS (
-        SELECT doc_id, t, count(*)::BIGINT AS tfv
-        FROM toks JOIN tq USING (t) GROUP BY 1, 2),
-      lexs AS (
-        SELECT q_id, n_id,
-          list_sum(list_transform(
-            list(struct_pack(t := t, s := s) ORDER BY t), x -> x.s)) AS score
-        FROM (
-          SELECT qt.q_id, tf.doc_id AS n_id, tf.t,
-            (n // df)::DOUBLE * (tfv::DOUBLE * 2.25) /
-              (tfv::DOUBLE + 1.25 * (0.25 + 0.75 *
-                (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE)))) AS s
-          FROM tf JOIN qterms qt USING (t) JOIN alldf USING (t)
-          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
-          WHERE tf.doc_id <> qt.q_id)
-        GROUP BY 1, 2),
-      lrank AS (
-        SELECT q_id, n_id, rank_l FROM (
-          SELECT q_id, n_id,
-            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank_l
-          FROM lexs) WHERE rank_l <= 10),
-      qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qvv FROM embeddings WHERE vec_id < 6),
-      cv AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
-      vrank AS (
-        SELECT q_id, n_id, rank_v FROM (
-          SELECT q_id, n_id,
-            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank_v
-          FROM (
-            SELECT q_id, n_id,
-              list_sum(list_transform(range(1, least(len(qvv), len(nv)) + 1), i -> qvv[i] * nv[i])) /
-                (sqrt(list_sum(list_transform(range(1, len(qvv) + 1), i -> qvv[i] * qvv[i]))) *
-                 sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
-            FROM qv CROSS JOIN cv WHERE n_id <> q_id)) WHERE rank_v <= 10),
-      fused AS (
-        SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.n_id, l.n_id) AS n_id,
-          coalesce(CAST(1 AS DOUBLE) / (60 + v.rank_v), CAST(0 AS DOUBLE)) +
-          coalesce(CAST(1 AS DOUBLE) / (60 + l.rank_l), CAST(0 AS DOUBLE)) AS rel
-        FROM vrank v FULL OUTER JOIN lrank l
-          ON v.q_id = l.q_id AND v.n_id = l.n_id),
-      cvf AS (SELECT f.q_id, f.n_id, f.rel, c.nv FROM fused f JOIN cv c USING (n_id)),
-      p AS (
-        SELECT a.q_id, a.n_id AS ia, b.n_id AS ib,
-          list_sum(list_transform(range(1, least(len(a.nv), len(b.nv)) + 1), i -> a.nv[i] * b.nv[i])) /
-            (sqrt(list_sum(list_transform(range(1, len(a.nv) + 1), i -> a.nv[i] * a.nv[i]))) *
-             sqrt(list_sum(list_transform(range(1, len(b.nv) + 1), i -> b.nv[i] * b.nv[i])))) AS s
-        FROM cvf a JOIN cvf b ON a.q_id = b.q_id AND a.n_id < b.n_id),
-      sel(q_id, step, sel_ids, n_id, score) AS (
-        SELECT q_id, 1, [n_id], n_id, rel / 2 FROM (
-          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
-          FROM fused) WHERE rn = 1
-        UNION ALL
-        SELECT q_id, step, list_append(sel_ids, n_id), n_id, score FROM (
-          SELECT x.*, row_number() OVER (PARTITION BY x.q_id ORDER BY x.score DESC, x.n_id) AS rn
-          FROM (
-            SELECT s.q_id, s.step + 1 AS step, s.sel_ids, c2.n_id,
-              c2.rel / 2 - max(p.s) / 2 AS score
-            FROM sel s
-            JOIN fused c2 ON c2.q_id = s.q_id AND NOT list_contains(s.sel_ids, c2.n_id)
-            JOIN p ON p.q_id = s.q_id
-              AND ((p.ia = c2.n_id AND list_contains(s.sel_ids, p.ib))
-                OR (p.ib = c2.n_id AND list_contains(s.sel_ids, p.ia)))
-            WHERE s.step < 5
-            GROUP BY s.q_id, s.step, s.sel_ids, c2.n_id, c2.rel) x) WHERE rn = 1),
-      lens AS (
-        SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
-        FROM documents WHERE text IS NOT NULL),
-      packed AS (
-        SELECT s.q_id, CAST(s.step AS INT) AS rank, l.doc_id, l.n_tokens, s.score,
-          CAST(sum(l.n_tokens) OVER (PARTITION BY s.q_id ORDER BY s.step) AS BIGINT) AS cum_tokens
-        FROM sel s JOIN lens l ON l.doc_id = s.n_id)
-      SELECT q_id, rank, doc_id, n_tokens, cum_tokens, score
-      FROM packed WHERE cum_tokens <= 192
-      ORDER BY q_id, rank""")),
+    }, Some(ragPipelineOracle)),
 
     // Streaming hybrid serve: the SAME hybridRrfTopK answers a query
     // STREAM micro-batch by micro-batch via foreachBatch (the q252
@@ -1279,6 +1189,65 @@ private[graft] object TextCatalog {
       TextAnalysis.hybridRrfTopKPrepared(hc, queries,
           kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
-    }, Some(hybridRrfOracle))
+    }, Some(hybridRrfOracle)),
+
+    // The WHOLE RAG pipeline as a streaming service: per micro-batch,
+    // hybrid recall on the pinned postings → MMR diversification → the
+    // 192-token budget fill (q269's three stages verbatim). Every stage
+    // is per-query independent, so the union of per-batch answers equals
+    // the one-shot flagship for any split — gated on q269's oracle
+    // VERBATIM. This closes the serving story: retrieval, tokenizer,
+    // index, drift, covariance, and now the full RAG loop all have live
+    // twins.
+    ("q275_stream_rag_serve", (s, dir) => {
+      val tmp = graft.util.Staging.dir("q270_hybrid_queries", dir) { p =>
+        val docsQ = T(s, dir, "documents")
+        val embQ = T(s, dir, "embeddings")
+        docsQ.where(col("doc_id") < 6)
+          .select(col("doc_id").as("q_id"), col("text"))
+          .join(embQ.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+          .repartition(3).write.mode("overwrite").parquet(s"$p/queries")
+      }
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
+      val docs2 = graft.util.EventTime.tsToLongNanos(
+        s2.read.parquet(s"$dir/documents.parquet"))
+      val emb2 = graft.util.EventTime.tsToLongNanos(
+        s2.read.parquet(s"$dir/embeddings.parquet"))
+      val hc0 = TextAnalysis.prepareHybridCorpus(
+        docs2.select(col("doc_id"), col("text")), "doc_id", "text",
+        emb2.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+      val hc = hc0.copy(
+        emb = graft.util.Caches.pin(hc0.emb),
+        toks = graft.util.Caches.pin(hc0.toks),
+        dl = graft.util.Caches.pin(hc0.dl),
+        stats = graft.util.Caches.pin(hc0.stats),
+        alldf = graft.util.Caches.pin(hc0.alldf))
+      val lens = graft.util.Caches.pin(docs2.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(filter(TextAnalysis.words(col("text")), w => w =!= ""))
+            .cast("long").as("n_tokens")))
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_q275_serve").toString
+      val stream = s2.readStream
+        .schema("q_id LONG, text STRING, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/queries")
+      val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val fused = TextAnalysis.hybridRrfTopKPrepared(hc, batch,
+                kArm = 10, kOut = 20, nTerms = 4)
+              .select(col("q_id"), col("n_id"), col("rrf").as("rel"))
+            val sel = Similarity.mmrSelect(fused, hc.emb, "vec_id", "embedding", 5)
+            lens.join(broadcast(sel), col("doc_id") === col("n_id"))
+              .withColumn("cum_tokens", sum(col("n_tokens")).over(
+                Window.partitionBy(col("q_id")).orderBy(col("rank"))))
+              .where(col("cum_tokens") <= 192L)
+              .select(col("q_id"), col("rank"), col("doc_id"),
+                col("n_tokens"), col("cum_tokens"), col("score"))
+              .write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy(col("q_id"), col("rank"))
+    }, Some(ragPipelineOracle))
   )
 }
