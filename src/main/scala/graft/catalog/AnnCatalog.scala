@@ -1910,6 +1910,100 @@ private[graft] object AnnCatalog {
         g0.n*g0.g - si.s*sj.s AS cov_num,
         CAST(g0.n*g0.g - si.s*sj.s AS DOUBLE)/CAST(g0.n*g0.n AS DOUBLE) AS cov
       FROM g0 JOIN su0 si ON si.d = g0.i JOIN su0 sj ON sj.d = g0.j
-      ORDER BY g0.i, g0.j"""))
+      ORDER BY g0.i, g0.j""")),
+
+
+    // STREAMING INGEST — the WRITE path of the vector store run live, the
+    // half q252 (read path) left batch-only: the raw corpus vectors arrive
+    // as a STREAM (3 files, maxFilesPerTrigger=1 → 3 REAL micro-batches);
+    // each batch encodes against the FROZEN persisted model through
+    // Similarity.ingestIndexStream — residualIndex verbatim per batch —
+    // and appends its (n_id, lcid, codes) rows to the store; serving the
+    // ACCUMULATED store then reproduces q212's from-scratch oracle
+    // VERBATIM, because an index row is a pure per-vector function of
+    // (vector, frozen model) — the split-invariance law SimilaritySpec
+    // pins. This is q188's discipline (incremental ≡ from-scratch) applied
+    // to the store's write side. VERIFICATION-HARNESS BOUNDARY (q252
+    // convention): per-batch appends land in a per-run temp parquet store,
+    // read back only for the gate's serve.
+    ("q276_stream_index_ingest", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
+        val cent = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cbRes = Similarity.pqCodebookByStride(
+          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+          "vec_id", "res", m = 4, subDim = 16, stride = 50)
+        cent.write.mode("overwrite").parquet(s"$p/centroids")
+        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
+        // the vector stream: the WHOLE corpus split across 3 files so
+        // AvailableNow + maxFilesPerTrigger=1 yields 3 micro-batches
+        emb.select(col("vec_id"), col("embedding"))
+          .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
+      }
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_q276_store").toString
+      val stream = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vectors")
+      val q = Similarity.ingestIndexStream(stream, cent, cb,
+          "vec_id", "cid", "embedding", m = 4, subDim = 16) { (idx, _) =>
+          idx.write.mode("append").parquet(storeDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
+        s.read.parquet(storeDir), cent, cb, "vec_id", "cid", "embedding",
+        k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(ivfAdcFullOracle)),
+
+
+    // The FULL live store loop — ingest → compact → serve, chaining q276's
+    // streamed write path into q256's compaction identity: each of the 3
+    // ingest micro-batches lands as its OWN snapshot (keyed by batchId —
+    // exactly how a production store accumulates increments), compaction
+    // unions the snapshots oldest-first, keeps latest-wins per id, and
+    // stride-sub-splits oversized coarse lists WITHOUT re-encoding a code;
+    // serving the compacted store must still reproduce q212's oracle
+    // VERBATIM. Nothing here is batch-twinned: the snapshots the compactor
+    // eats came from a real stream.
+    ("q277_stream_ingest_compact", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
+        val cent = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cbRes = Similarity.pqCodebookByStride(
+          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+          "vec_id", "res", m = 4, subDim = 16, stride = 50)
+        cent.write.mode("overwrite").parquet(s"$p/centroids")
+        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
+        emb.select(col("vec_id"), col("embedding"))
+          .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
+      }
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      val snapRoot = java.nio.file.Files
+        .createTempDirectory("graft_q277_snaps").toString
+      val seen = scala.collection.mutable.SortedSet[Long]()
+      val stream = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vectors")
+      val q = Similarity.ingestIndexStream(stream, cent, cb,
+          "vec_id", "cid", "embedding", m = 4, subDim = 16) { (idx, batchId) =>
+          idx.write.mode("overwrite").parquet(s"$snapRoot/snap_$batchId")
+          seen.synchronized { seen += batchId }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val snaps = seen.toSeq.map(b => s.read.parquet(s"$snapRoot/snap_$b"))
+      val compacted = Similarity.compactIndex(snaps, cap = 16L)
+      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
+        compacted.drop("sub"), cent, cb, "vec_id", "cid", "embedding",
+        k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(ivfAdcFullOracle))
   )
 }

@@ -1248,6 +1248,48 @@ private[graft] object TextCatalog {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.read.parquet(outDir).orderBy(col("q_id"), col("rank"))
-    }, Some(ragPipelineOracle))
+    }, Some(ragPipelineOracle)),
+
+    // STREAMING POSTINGS INGEST — the WRITE path of the hybrid serve run
+    // live (the lexical twin of q276's index ingest): the corpus arrives
+    // as a STREAM of (doc_id, text, vec_id, embedding) rows (3 files,
+    // maxFilesPerTrigger=1 → 3 REAL micro-batches); each batch reduces to
+    // a postings DELTA (prepareHybridCorpus verbatim, |batch|-bounded)
+    // that APPENDS to the store — token rows, doc lengths, 1-row stats,
+    // per-term dfs, vectors — and serving the ACCUMULATED store read back
+    // through readHybridCorpus (stats re-summed, dfs re-added: the
+    // mergeHybridCorpus algebra folded over the deltas) reproduces q268's
+    // one-shot oracle VERBATIM. The store never holds raw text —
+    // postings, not corpus. VERIFICATION-HARNESS BOUNDARY: per-run temp
+    // parquet store, read back only for the gate's serve.
+    ("q278_stream_postings_ingest", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
+        docs.select(col("doc_id"), col("text"))
+          .join(emb.select(col("vec_id"), col("embedding")),
+            col("doc_id") === col("vec_id"))
+          .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
+      }
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_q278_store").toString
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus")
+      val q = TextAnalysis.ingestPostingsStream(stream,
+          "doc_id", "text", "vec_id", "embedding", storeDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // checkUnique: the loud append-contract audit — cheap here, and it
+      // proves the streamed deltas really were disjoint
+      val hc = TextAnalysis.readHybridCorpus(s, storeDir,
+        "doc_id", "text", "vec_id", "embedding", checkUnique = true)
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      TextAnalysis.hybridRrfTopKPrepared(hc, queries,
+          kArm = 10, kOut = 5, nTerms = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(hybridRrfOracle))
   )
 }

@@ -258,7 +258,13 @@ object LinAlg {
       .select(col("j").as("i"), col("i").as("j"), col("x")))
       .localCheckpoint(true)
     val maxA = a.agg(coalesce(max(abs(col("x"))), lit(0L))).first().getLong(0)
-    val s = math.min(cap, (Long.MaxValue / 2) / math.max(1L, dim.toLong * maxA))
+    // Headroom division ordered so no intermediate product is formed:
+    // dim.toLong * maxA itself overflows Long once maxA > Long.MaxValue/dim
+    // (reachable — covarianceUpperTriangle admits |cov_num| near 2^63), and
+    // a wrapped-negative product would clamp s to 1 and let the matvec wrap
+    // silently instead of failing the require below.
+    val s = math.min(cap,
+      ((Long.MaxValue / 2) / dim) / math.max(1L, maxA))
     require(s >= 2,
       s"powerIterationTop: dim*max|A| = $dim*$maxA leaves no integer " +
         "headroom for an exact matvec — pre-scale the matrix upstream")

@@ -851,6 +851,42 @@ object Similarity {
           qIdCol, cidCol, vecCol, k, m, subDim, nprobe), batchId)
       }
 
+  /** STREAMING INGEST of the residual-IVFADC store — the WRITE path of the
+    * persisted artifact as a long-running service, closing the loop
+    * [[serveIndexStream]] reads from: a STREAM of raw vectors is encoded
+    * micro-batch by micro-batch against the FROZEN (centroids, codebooks)
+    * model — [[residualIndex]] verbatim per batch — and each batch's code
+    * rows append to the store. Like the serve, `foreachBatch` is the right
+    * seam and the ingest NEEDS no cross-batch state: every index row is a
+    * pure per-vector function of (vector, frozen model), so the union of
+    * per-batch encodes equals the one-shot [[residualIndex]] of the whole
+    * stream for ANY micro-batch split (law-tested in SimilaritySpec), and
+    * serving the accumulated store reproduces the from-scratch oracle
+    * VERBATIM (q276/q277 gates). Re-encodes of an id across batches are
+    * resolved by [[compactIndex]]'s latest-wins — pass each batch as its
+    * own snapshot (keyed by batchId) when ids can repeat.
+    *
+    * Scale shape per micro-batch: |batch| coarse argmins against the
+    * broadcast centroids + |batch|·m codeword argmins against the
+    * broadcast codebooks; O(|batch|) narrow (m+2 small values) rows out.
+    * The model is the per-batch constant — broadcast-sized by the PQ
+    * contract — so ingest throughput is bounded by the stream, never the
+    * corpus.
+    *
+    * Returns the un-started writer so the caller owns trigger, checkpoint
+    * and start — `sink` receives each batch's ((n_id, lcid, codes), batchId). */
+  def ingestIndexStream(
+      vectorStream: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      idCol: String, cidCol: String, vecCol: String, m: Int, subDim: Int)(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectorStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(residualIndex(batch, centroids, codebooks,
+          idCol, cidCol, vecCol, m, subDim), batchId)
+      }
+
   /** COMPACTION of accumulated [[residualIndex]] snapshots — the store
     * maintenance step between increments (q237's story proves store + one
     * increment; production accumulates k snapshots and compacts): union
@@ -1166,7 +1202,9 @@ object Similarity {
         val selected = new Array[Boolean](n)
         val picks = new Array[Int](math.min(k, n))
         val out = Array.newBuilder[org.apache.spark.sql.Row]
-        for (step <- 0 until math.min(k, n)) {
+        var step = 0
+        var exhausted = false
+        while (step < math.min(k, n) && !exhausted) {
           var bestI = -1; var bestScore = Double.NegativeInfinity
           for (c <- 0 until n if !selected(c)) {
             // penalty = TRUE max of pairwise sims to the picked set (may be
@@ -1186,8 +1224,16 @@ object Similarity {
               bestScore = score; bestI = c
             }
           }
-          selected(bestI) = true; picks(step) = bestI
-          out += org.apache.spark.sql.Row(qId, step + 1, ids(bestI), bestScore)
+          // bestI stays -1 when every remaining candidate's score is NaN
+          // (a zero-norm vector yields cosine 0/0 = NaN, which fails both
+          // comparisons above). Emit fewer than k picks instead of
+          // indexing selected(-1).
+          if (bestI < 0) exhausted = true
+          else {
+            selected(bestI) = true; picks(step) = bestI
+            out += org.apache.spark.sql.Row(qId, step + 1, ids(bestI), bestScore)
+            step += 1
+          }
         }
         out.result()
       }

@@ -716,9 +716,25 @@ object TextAnalysis {
     * sides. Serving from the merged postings is RESULT-IDENTICAL to
     * re-preparing the full corpus (q274's gate), so an accumulating
     * corpus never pays a full postings rebuild. */
-  def mergeHybridCorpus(a: HybridCorpus, b: HybridCorpus): HybridCorpus = {
+  def mergeHybridCorpus(a: HybridCorpus, b: HybridCorpus,
+      checkDisjoint: Boolean = true): HybridCorpus = {
     require(a.docIdCol == b.docIdCol && a.textCol == b.textCol,
       "mergeHybridCorpus: mismatched corpus schemas")
+    if (checkDisjoint) {
+      // The append contract: the two doc-id sets MUST be disjoint, or df
+      // and corpus stats double-count and every downstream BM25 score is
+      // silently skewed. Guard on the per-doc-length frames (doc-count
+      // sized, the cheapest id-complete side); callers that have already
+      // proven disjointness for a hot per-batch path may pass
+      // checkDisjoint = false.
+      val overlap = a.dl.select(col(a.docIdCol))
+        .join(b.dl.select(col(b.docIdCol)), Seq(a.docIdCol), "left_semi")
+        .limit(1).count()
+      require(overlap == 0L,
+        "mergeHybridCorpus: doc-id sets overlap — the append contract " +
+          "requires disjoint ids (an overlapping doc would double-count " +
+          "per-term document frequencies and corpus stats)")
+    }
     val stats = a.stats.unionByName(b.stats)
       .agg(sum(col("__n")).as("__n"), sum(col("__tot")).as("__tot"))
     val alldf = a.alldf.unionByName(b.alldf)
@@ -732,9 +748,97 @@ object TextAnalysis {
       stats = stats, alldf = alldf)
   }
 
-  /** [[bm25QueryTopK]] over a prepared (possibly pinned) corpus side. */
+  /** Persist one prepared-corpus DELTA into a postings STORE directory —
+    * the durable form of [[mergeHybridCorpus]]'s append algebra: every
+    * postings frame is additive under disjoint doc ids, so a delta lands
+    * as a plain parquet APPEND per frame (token rows, per-doc lengths, the
+    * 1-row stats, per-term document frequencies, and the vector side when
+    * present). The store never holds raw document text — postings, not
+    * corpus (the codes-not-vectors discipline's lexical twin).
+    * [[readHybridCorpus]] re-reduces only the metadata-sized frames. */
+  def writeHybridCorpusDelta(hc: HybridCorpus, path: String): Unit = {
+    hc.toks.write.mode("append").parquet(s"$path/toks")
+    hc.dl.write.mode("append").parquet(s"$path/dl")
+    hc.stats.write.mode("append").parquet(s"$path/stats")
+    hc.alldf.write.mode("append").parquet(s"$path/alldf")
+    if (hc.emb != null)
+      hc.emb.write.mode("append").parquet(s"$path/emb")
+  }
+
+  /** Load the ACCUMULATED postings store written by
+    * [[writeHybridCorpusDelta]] as a serveable [[HybridCorpus]]: token
+    * rows and per-doc lengths are unions as-written; the per-delta stats
+    * rows re-sum (one row out) and per-term document frequencies re-add —
+    * exactly folding [[mergeHybridCorpus]] over the deltas, by the same
+    * disjoint-id algebra, without ever rebuilding postings from text.
+    * `docs` is null in the result: the store holds postings, not corpus,
+    * and no serving path ([[bm25QueryTopKPrepared]] /
+    * [[hybridRrfTopKPrepared]]) consumes raw documents.
+    * @param checkUnique verify no doc id was ingested twice (one
+    *        doc-count-sized distinct) — the loud form of the append
+    *        contract; default off for hot serve startup. */
+  def readHybridCorpus(spark: org.apache.spark.sql.SparkSession, path: String,
+      docIdCol: String, textCol: String, embIdCol: String, vecCol: String,
+      checkUnique: Boolean = false): HybridCorpus = {
+    val dl = spark.read.parquet(s"$path/dl")
+    if (checkUnique) {
+      val dup = dl.groupBy(col(docIdCol)).agg(count(lit(1)).as("__c"))
+        .where(col("__c") > 1).limit(1).count()
+      require(dup == 0L,
+        s"postings store at $path holds a doc id ingested more than once — " +
+          "the append contract requires disjoint per-delta ids")
+    }
+    val emb =
+      if (embIdCol == null) null
+      else spark.read.parquet(s"$path/emb")
+    HybridCorpus(null, docIdCol, textCol, emb, embIdCol, vecCol,
+      toks = spark.read.parquet(s"$path/toks"),
+      dl = dl,
+      stats = spark.read.parquet(s"$path/stats")
+        .agg(sum(col("__n")).as("__n"), sum(col("__tot")).as("__tot")),
+      alldf = spark.read.parquet(s"$path/alldf")
+        .groupBy(col("t")).agg(sum(col("df")).as("df")))
+  }
+
+  /** STREAMING INGEST of the postings store — the WRITE path of the
+    * hybrid serve run live, mirroring [[Similarity.ingestIndexStream]]:
+    * a STREAM of (doc id, text[, vector]) rows is reduced micro-batch by
+    * micro-batch through [[prepareHybridCorpus]] — the postings derivation
+    * verbatim, |batch|-bounded — and each delta APPENDS to the store via
+    * [[writeHybridCorpusDelta]]. No cross-batch state: postings rows are
+    * per-document functions and the merge algebra is associative and
+    * commutative under disjoint ids, so serving the accumulated store
+    * reproduces the one-shot prepared corpus VERBATIM for ANY micro-batch
+    * split (q278's gate on q268's oracle). Null-id rows on either side
+    * are dropped so a staged outer-join stream cannot pollute a frame.
+    *
+    * Returns the un-started writer so the caller owns trigger, checkpoint
+    * and start. */
+  def ingestPostingsStream(docStream: DataFrame, docIdCol: String,
+      textCol: String, embIdCol: String, vecCol: String, storePath: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        writeHybridCorpusDelta(prepareHybridCorpus(
+          batch.select(col(docIdCol), col(textCol))
+            .where(col(docIdCol).isNotNull),
+          docIdCol, textCol,
+          if (embIdCol == null) null
+          else batch.select(col(embIdCol), col(vecCol))
+            .where(col(embIdCol).isNotNull),
+          embIdCol, vecCol), storePath)
+      }
+
+  /** [[bm25QueryTopK]] over a prepared (possibly pinned) corpus side.
+    * @param excludeSelf drop candidates whose doc id equals the query id —
+    *        correct ONLY when the query id space IS the document id space
+    *        (the corpus-as-queries gates). Callers with an external query
+    *        id space that numerically overlaps doc ids must pass `false`,
+    *        or a legitimate document is silently excluded. */
   def bm25QueryTopKPrepared(hc: HybridCorpus,
-      queryTerms: DataFrame, k: Int): DataFrame = {
+      queryTerms: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val idCol = hc.docIdCol
     val qt = queryTerms.select(col("q_id"), col("term").as("t"))
@@ -745,8 +849,9 @@ object TextAnalysis {
       .select(col("t"), col("df").as("__df"))
     val tf = hc.toks.join(broadcast(terms), Seq("t"))
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("__tf"))
-    val scored = tf.join(broadcast(qt), Seq("t"))
-      .where(col(idCol) =!= col("q_id"))
+    val scored0 = tf.join(broadcast(qt), Seq("t"))
+    val scored = (if (excludeSelf) scored0.where(col(idCol) =!= col("q_id"))
+                  else scored0)
       .join(broadcast(dfreq), Seq("t"))
       .join(hc.dl, Seq(idCol))
       .crossJoin(broadcast(hc.stats))
@@ -791,9 +896,21 @@ object TextAnalysis {
 
   /** [[hybridRrfTopK]] over a prepared corpus side — the SERVING form:
     * derive (and pin) the postings once, answer every micro-batch from
-    * them instead of re-reducing the corpus per call. */
+    * them instead of re-reducing the corpus per call.
+    *
+    * The VECTOR arm routes through the [[Ann]] facade: `annMethod`
+    * defaults to `exact` ([[Similarity.bruteForceTopK]] — correct until
+    * the corpus outgrows a scan), and at 100 TB the arm is an index rung —
+    * `ivf` with the (annNlist, annIters, annNprobe) dials, or
+    * `ivfpq_residual` when the vectors no longer fit anywhere. The q280
+    * gate pins the exact-equivalence law: `ivf` with annNprobe ≥ annNlist
+    * probes every list, scores the same exact cosine, and reproduces the
+    * `exact` arm verbatim (so the flagship oracle holds on an index-rung
+    * arm). */
   def hybridRrfTopKPrepared(hc: HybridCorpus, queries: DataFrame,
-      kArm: Int = 10, kOut: Int = 5, nTerms: Int = 4): DataFrame = {
+      kArm: Int = 10, kOut: Int = 5, nTerms: Int = 4,
+      annMethod: String = "exact", annNlist: Int = 8,
+      annIters: Int = 3, annNprobe: Int = 2): DataFrame = {
     require(kArm > 0 && kOut > 0 && nTerms > 0,
       s"need positive dials, got kArm=$kArm kOut=$kOut nTerms=$nTerms")
     val nDocs = hc.stats.select(col("__n").as("n"))
@@ -810,9 +927,10 @@ object TextAnalysis {
       .select(col("q_id"), col("t").as("term"))
     val lex = bm25QueryTopKPrepared(hc, qterms, kArm)
       .select(col("q_id"), col("n_id"), col("rank").as("rank_l"))
-    val vec = Similarity.bruteForceTopK(
+    val vec = Ann.topK(
         queries.select(col("q_id"), col(hc.vecCol)), hc.emb,
-        "q_id", hc.embIdCol, hc.vecCol, kArm)
+        "q_id", hc.embIdCol, hc.vecCol, kArm, method = annMethod,
+        nlist = annNlist, iters = annIters, nprobe = annNprobe)
       .select(col("q_id"), col("n_id"), col("rank").as("rank_v"))
     vec.join(lex, Seq("q_id", "n_id"), "full_outer")
       .withColumn("rrf",

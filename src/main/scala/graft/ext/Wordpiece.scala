@@ -74,14 +74,49 @@ object Wordpiece {
     pick(init, "init").unionByName(pick(cont, "cont"))
   }
 
+  /** The ONE greedy longest-match-first loop both the dictionary and
+    * rowwise forms apply — shared so the `rowwise ≡ stitched` law is
+    * structural, not tested-against. At each position the longest piece
+    * (≤ maxLen) from the side's set wins (initial pieces bare,
+    * continuation pieces matched bare and EMITTED as `##piece`). On a
+    * miss:
+    *  - `charFallback = false` (the classic dead-end): emit one [[Unk]]
+    *    piece and stop — the word's tail is lost.
+    *  - `charFallback = true` (the total serving form, mirroring
+    *    [[Bpe]]'s byte fallback): emit the single character itself
+    *    (`c` / `##c`) and continue, so concatenating the pieces with
+    *    `##` stripped ALWAYS reproduces the word — a live stream keeps
+    *    full fidelity on out-of-corpus words. */
+  private[graft] def segmentWord(word: String, init: Set[String],
+      cont: Set[String], maxLen: Int,
+      charFallback: Boolean = false): List[String] = {
+    val out = List.newBuilder[String]
+    var pos = 0; var dead = false
+    while (pos < word.length && !dead) {
+      val first = pos == 0
+      val set = if (first) init else cont
+      var l = math.min(maxLen, word.length - pos)
+      while (l >= 1 && !set.contains(word.substring(pos, pos + l))) l -= 1
+      if (l < 1 && !charFallback) { out += Unk; dead = true }
+      else {
+        val take = math.max(l, 1) // l < 1 here only under charFallback
+        val sub = word.substring(pos, pos + take)
+        out += (if (first) sub else "##" + sub)
+        pos += take
+      }
+    }
+    out.result()
+  }
+
   /** Greedy longest-match-first segmentation of every distinct corpus
     * word against piece sets (initial pieces bare, continuation pieces
     * matched bare and EMITTED as `##piece`). A word whose remainder
-    * matches nothing emits one [[Unk]] piece and stops.
+    * matches nothing emits one [[Unk]] piece and stops — unless
+    * `charFallback` (see [[segmentWord]]).
     * @return (word, piece_idx 0-based, piece) */
   def tokenTableWith(df: DataFrame, textCol: String,
       initPieces: Set[String], contPieces: Set[String],
-      maxLen: Int): DataFrame = {
+      maxLen: Int, charFallback: Boolean = false): DataFrame = {
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
     val spark = df.sparkSession
     val initB = spark.sparkContext.broadcast(initPieces)
@@ -94,21 +129,8 @@ object Wordpiece {
       val init = initB.value; val cont = contB.value
       it.flatMap { r =>
         val word = r.getString(0)
-        val out = Seq.newBuilder[Row]
-        var pos = 0; var idx = 0; var dead = false
-        while (pos < word.length && !dead) {
-          val first = pos == 0
-          val set = if (first) init else cont
-          var l = math.min(maxLen, word.length - pos)
-          while (l >= 1 && !set.contains(word.substring(pos, pos + l))) l -= 1
-          if (l < 1) { out += Row(word, idx, Unk); dead = true }
-          else {
-            val sub = word.substring(pos, pos + l)
-            out += Row(word, idx, if (first) sub else "##" + sub)
-            pos += l; idx += 1
-          }
-        }
-        out.result()
+        segmentWord(word, init, cont, maxLen, charFallback)
+          .zipWithIndex.map { case (p, i) => Row(word, i, p) }
       }
     }(Encoders.row(schema)).toDF()
   }
@@ -122,7 +144,7 @@ object Wordpiece {
     * @return (idCol long, pos 0-based int, piece) */
   def tokenizeRowwise(df: DataFrame, idCol: String, textCol: String,
       initPieces: Set[String], contPieces: Set[String],
-      maxLen: Int): DataFrame = {
+      maxLen: Int, charFallback: Boolean = false): DataFrame = {
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
     val spark = df.sparkSession
     val initB = spark.sparkContext.broadcast(initPieces)
@@ -141,18 +163,8 @@ object Wordpiece {
           val out = Seq.newBuilder[Row]
           var gpos = 0
           words.foreach { word =>
-            var pos = 0; var dead = false
-            while (pos < word.length && !dead) {
-              val first = pos == 0
-              val set = if (first) init else cont
-              var l = math.min(maxLen, word.length - pos)
-              while (l >= 1 && !set.contains(word.substring(pos, pos + l))) l -= 1
-              if (l < 1) { out += Row(id, gpos, Unk); gpos += 1; dead = true }
-              else {
-                val sub = word.substring(pos, pos + l)
-                out += Row(id, gpos, if (first) sub else "##" + sub)
-                pos += l; gpos += 1
-              }
+            segmentWord(word, init, cont, maxLen, charFallback).foreach { p =>
+              out += Row(id, gpos, p); gpos += 1
             }
           }
           out.result()

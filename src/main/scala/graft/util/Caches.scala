@@ -79,9 +79,20 @@ object Caches {
         p.count()
         p
       case "checkpoint" =>
-        if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          ds.checkpoint(eager = true)
-        else ds.localCheckpoint(eager = true)
+        if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+          // Persist before the reliable checkpoint so the checkpoint-write
+          // job reads the blocks the eager action computed instead of
+          // recomputing the whole upstream plan a second time; drop the
+          // staging blocks once the checkpoint files are the pin.
+          val staged = ds.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try register(staged.checkpoint(eager = true))
+          finally staged.unpersist(false)
+        } else
+          // Register the handle so releaseAll() frees the executor-local
+          // blocks (they back the data — releaseAll's after-materialization
+          // contract makes that safe, same as persist mode).
+          register(ds.localCheckpoint(eager = true))
       case other => throw new IllegalArgumentException(
         s"spark.graft.pin.mode must be 'persist' or 'checkpoint', got '$other'")
     }

@@ -47,14 +47,16 @@ class CacheReleaseSpec extends SparkTestBase {
     Caches.releaseAll() shouldBe 1
     // checkpoint mode (the production flag, on an ISOLATED child session so
     // no other suite sees the conf): same rows, lineage truncated to an RDD
-    // scan, nothing registered → nothing for releaseAll to leak
+    // scan, and the handle IS registered — releaseAll frees the
+    // executor-local blocks a localCheckpoint pin would otherwise
+    // accumulate for the life of a long session
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.pin.mode", "checkpoint")
     val ds = { import s2.implicits._; Seq(4, 5).toDS() }
     val c = Caches.pin(ds.map(_ + 1))
     c.collect().sorted shouldBe Array(5, 6)
     c.queryExecution.optimizedPlan.getClass.getSimpleName shouldBe "LogicalRDD"
-    Caches.releaseAll() shouldBe 0
+    Caches.releaseAll() shouldBe 1
     // unknown mode fails loudly instead of silently not pinning
     s2.conf.set("spark.graft.pin.mode", "nope")
     an[IllegalArgumentException] should be thrownBy Caches.pin(ds)

@@ -79,6 +79,20 @@ class AnnFacadeSpec extends SparkTestBase {
     out.length shouldBe 2 // only two non-self candidates exist
   }
 
+  test("mmrSelect survives an all-NaN remainder (zero-norm candidate)") {
+    // a zero embedding's cosine is 0/0 = NaN; once it is the only
+    // remaining candidate every score is NaN, no argmax wins, and the
+    // selection must stop with fewer than k picks instead of indexing -1
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 0.0f))
+    ).toDF("id", "v")
+    val cands = Seq((1L, 10L, 0.9), (1L, 11L, 0.5)).toDF("q_id", "n_id", "rel")
+    val out = Similarity.mmrSelect(cands, corpus, "id", "v", k = 2)
+      .orderBy("rank").collect()
+    out.length shouldBe 1 // the zero-norm candidate is never picked
+    out.head.getLong(2) shouldBe 10L
+  }
+
   test("unknown method fails loudly with the ladder listed") {
     val e = intercept[IllegalArgumentException] {
       Ann.topK(queries, corpus, "id", "id", "v", k = 3, method = "hnsw")

@@ -177,6 +177,19 @@ class LinAlgSpec extends SparkTestBase {
     e.getMessage should include("headroom")
   }
 
+  test("powerIterationTop headroom guard survives dim*maxA Long overflow") {
+    // maxA > Long.MaxValue/dim: the naive dim.toLong * maxA wraps negative,
+    // which would clamp s to cap and let the matvec silently wrap BIGINT.
+    // The division-ordered guard must refuse LOUDLY instead.
+    val huge = Long.MaxValue / 32
+    val cov = Seq((1L, 1L, huge), (1L, 64L, 0L), (64L, 64L, 1L))
+      .toDF("i", "j", "cov_num")
+    val e = intercept[IllegalArgumentException] {
+      LinAlg.powerIterationTop(cov, dim = 64, iters = 1)
+    }
+    e.getMessage should include("headroom")
+  }
+
   test("spectralOutlierScores: exact centering sums to zero, scores exact") {
     val codes = Seq(
       (1L, Array[Short](10, 0)), (2L, Array[Short](-10, 0)),

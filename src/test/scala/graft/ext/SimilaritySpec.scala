@@ -623,4 +623,48 @@ class SimilaritySpec extends SparkTestBase {
     got.toSet shouldBe expected
     got.size shouldBe expected.size // no duplicate answers across batches
   }
+
+  test("ingestIndexStream: accumulated store over any micro-batch split equals the one-shot index") {
+    import org.apache.spark.sql.streaming.Trigger
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, Array.tabulate(4)(j => ((i * 17 + j * 11) % 15 - 7).toFloat))).toDF("id", "v")
+    val cents = Seq(
+      (0L, Array(3.0f, 3.0f, 3.0f, 3.0f)),
+      (1L, Array(-3.0f, -3.0f, -3.0f, -3.0f))).toDF("cid", "v")
+    val cb = Similarity.pqCodebookByStride(
+      Similarity.residuals(corpus, cents, "id", "cid", "v"),
+      "id", "res", m = 2, subDim = 2, stride = 7)
+    val oneShot = Similarity.residualIndex(corpus, cents, cb,
+      "id", "cid", "v", m = 2, subDim = 2).collect().toSet
+    // the SAME vectors streamed across 3 micro-batches, encoded per batch
+    // against the frozen model — the store's write path
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_law")
+    corpus.repartition(3).write.mode("overwrite").parquet(s"$tmp/vectors")
+    val got = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = spark.readStream.schema("id LONG, v ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vectors")
+    val q = Similarity.ingestIndexStream(stream, cents, cb,
+        "id", "cid", "v", m = 2, subDim = 2) { (idx, _) =>
+        val rows = idx.collect() // verification-harness boundary
+        got.synchronized { got ++= rows }
+        nBatches.incrementAndGet()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    nBatches.get() should be >= 2 // a real split, not a 1-batch pass
+    got.toSet shouldBe oneShot
+    got.size shouldBe oneShot.size // every vector encoded exactly once
+    // and serving the streamed-in store answers like the one-shot index
+    val qs = corpus.where(col("id") <= 6)
+    val streamedIndex = spark.createDataFrame(
+      spark.sparkContext.parallelize(got.toSeq),
+      Similarity.residualIndex(corpus, cents, cb, "id", "cid", "v", 2, 2).schema)
+    Similarity.ivfPqResidualStoredTopK(qs, streamedIndex, cents, cb,
+        "id", "cid", "v", k = 3, m = 2, subDim = 2, nprobe = 2).collect().toSet shouldBe
+      Similarity.ivfPqResidualStoredTopK(qs,
+        Similarity.residualIndex(corpus, cents, cb, "id", "cid", "v", 2, 2),
+        cents, cb, "id", "cid", "v", k = 3, m = 2, subDim = 2, nprobe = 2)
+        .collect().toSet
+  }
 }

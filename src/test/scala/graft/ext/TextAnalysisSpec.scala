@@ -425,4 +425,34 @@ class TextAnalysisSpec extends SparkTestBase {
           queries.where(col("q_id") === 1), kArm = 4, kOut = 3, nTerms = 2)))
     split shouldBe oneShot
   }
+
+  test("mergeHybridCorpus: overlapping doc ids fail loudly, not silently skew idf") {
+    val a = Seq((0L, "spark joins"), (1L, "fast scans")).toDF("doc_id", "text")
+    val b = Seq((1L, "fast scans"), (2L, "slow joins")).toDF("doc_id", "text")
+    val ha = TextAnalysis.prepareHybridCorpus(a, "doc_id", "text", null, null, null)
+    val hb = TextAnalysis.prepareHybridCorpus(b, "doc_id", "text", null, null, null)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.mergeHybridCorpus(ha, hb)
+    }
+    e.getMessage should include("disjoint")
+    // the opt-out exists for callers who proved the contract upstream
+    noException should be thrownBy
+      TextAnalysis.mergeHybridCorpus(ha, hb, checkDisjoint = false)
+  }
+
+  test("bm25QueryTopKPrepared: excludeSelf=false keeps a doc whose id collides with the query id") {
+    // external query id space numerically overlapping the doc ids: doc 0
+    // is a legitimate candidate for external query 0
+    val docs = Seq((0L, "spark joins fast"), (1L, "slow scans"))
+      .toDF("doc_id", "text")
+    val hc = TextAnalysis.prepareHybridCorpus(docs, "doc_id", "text", null, null, null)
+    val qt = Seq((0L, "spark"), (0L, "joins")).toDF("q_id", "term")
+    val withSelf = TextAnalysis.bm25QueryTopKPrepared(hc, qt, k = 5,
+      excludeSelf = false).collect().map(_.getLong(2)).toSet
+    withSelf should contain(0L)
+    // the default preserves the corpus-as-queries contract
+    val without = TextAnalysis.bm25QueryTopKPrepared(hc, qt, k = 5)
+      .collect().map(_.getLong(2)).toSet
+    without should not contain 0L
+  }
 }

@@ -59,6 +59,42 @@ class WordpieceSpec extends SparkTestBase {
     rows.map(_._1).toSeq shouldBe (0 until 10)
   }
 
+  test("charFallback makes segmentation TOTAL: OOV words round-trip losslessly") {
+    // 'zzz' is uncoverable by the piece sets; the dead-end form drops its
+    // tail, the fallback form emits raw chars and concatenates back
+    val oov = Seq((1L, "zzz fit azb")).toDF("doc_id", "text")
+    val init = Set("a", "fit", "f")
+    val cont = Set("fit", "i", "t", "b")
+    val out = Wordpiece.tokenizeRowwise(oov, "doc_id", "text", init, cont,
+        maxLen = 4, charFallback = true)
+      .orderBy("pos").collect().map(_.getString(2))
+    out should not contain Wordpiece.Unk
+    // 'azb': 'a' matches init, 'z' falls back as '##z', 'b' matches cont
+    out.toSeq shouldBe Seq("z", "##z", "##z", "fit", "a", "##z", "##b")
+    // lossless: strip ## and concatenate per word ≡ the source words
+    val table = Wordpiece.tokenTableWith(oov, "text", init, cont,
+        maxLen = 4, charFallback = true)
+      .orderBy("word", "piece_idx").collect()
+    val rebuilt = table.groupBy(_.getString(0)).map { case (w, rs) =>
+      w -> rs.sortBy(_.getInt(1)).map(_.getString(2).stripPrefix("##")).mkString }
+    rebuilt.foreach { case (w, r) => r shouldBe w }
+  }
+
+  test("segmentWord is the ONE loop: rowwise ≡ stitched holds structurally for both modes") {
+    val init = Set("un", "fit", "a", "u", "h", "f")
+    val cont = Set("ppy", "fit", "p", "y", "t", "i", "n", "a", "h")
+    for (fb <- Seq(false, true)) {
+      val viaTable = Wordpiece.tokenTableWith(docs, "text", init, cont,
+          maxLen = 4, charFallback = fb)
+        .orderBy("word", "piece_idx").collect()
+        .groupBy(_.getString(0)).map { case (w, rs) =>
+          w -> rs.sortBy(_.getInt(1)).map(_.getString(2)).toList }
+      viaTable.foreach { case (w, pieces) =>
+        Wordpiece.segmentWord(w, init, cont, 4, fb) shouldBe pieces
+      }
+    }
+  }
+
   test("vocab: singles always present, multi-char pieces capped at topK per side") {
     val v = Wordpiece.vocab(docs, "text", maxLen = 4, topK = 2).collect()
       .map(r => (r.getString(0), r.getString(1)))
