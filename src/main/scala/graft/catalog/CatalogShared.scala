@@ -379,10 +379,11 @@ private[graft] object CatalogShared {
     * piece list per word. Callers must open with WITH RECURSIVE; exposes
     * `w` (word, cnt) and `fin` (word, pieces — bare, '##' applied by the
     * caller's projection). */
-  def wordpieceOracleCtesTagged(topK: Int, tag: String): String = s"""
+  def wordpieceOracleCtesTagged(topK: Int, tag: String,
+      textExpr: String = "text"): String = s"""
       w$tag AS (
         SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+          SELECT unnest(list_filter(string_split($textExpr, ' '), x -> x <> '')) AS word
           FROM documents WHERE text IS NOT NULL) GROUP BY word),
       ini$tag AS (
         SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (

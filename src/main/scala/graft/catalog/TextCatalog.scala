@@ -1290,6 +1290,44 @@ private[graft] object TextCatalog {
       TextAnalysis.hybridRrfTopKPrepared(hc, queries,
           kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
-    }, Some(hybridRrfOracle))
+    }, Some(hybridRrfOracle)),
+
+    // The RAG flagship on an INDEX-RUNG vector arm: at 100 TB the hybrid's
+    // vector arm is an index, not a corpus scan, so hybridRrfTopKPrepared
+    // now routes it through the Ann facade. This gate runs q269's full
+    // pipeline (recall → RRF fusion → MMR → 192-token budget fill) with
+    // annMethod = ivf at nprobe = nlist — the EXACT-EQUIVALENT index
+    // configuration: every coarse list is probed, the candidate set is the
+    // whole corpus, and the scores are the same native cosine with the
+    // same tie rule, so the IVF arm reproduces the exact arm VERBATIM
+    // (the q192 nprobe=all discipline, law-tested in AnnFacadeSpec) and
+    // the flagship holds on q269's oracle unchanged. Dialing nprobe back
+    // down is then a measured recall/cost trade on an already-gated path.
+    ("q280_rag_index_arm", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      val hc = TextAnalysis.prepareHybridCorpus(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+      val fused = TextAnalysis.hybridRrfTopKPrepared(hc, queries,
+          kArm = 10, kOut = 20, nTerms = 4,
+          annMethod = "ivf", annNlist = 4, annIters = 2, annNprobe = 4)
+        .select(col("q_id"), col("n_id"), col("rrf").as("rel"))
+      val sel = Similarity.mmrSelect(fused, emb, "vec_id", "embedding", 5)
+      val lens = docs.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(filter(TextAnalysis.words(col("text")), w => w =!= ""))
+            .cast("long").as("n_tokens"))
+      lens.join(broadcast(sel), col("doc_id") === col("n_id"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(
+          Window.partitionBy(col("q_id")).orderBy(col("rank"))))
+        .where(col("cum_tokens") <= 192L)
+        .select(col("q_id"), col("rank"), col("doc_id"),
+          col("n_tokens"), col("cum_tokens"), col("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(ragPipelineOracle))
   )
 }

@@ -1265,6 +1265,223 @@ private[graft] object TokenizerCatalog {
           CAST(sum(cnt * nu) AS BIGINT) AS n_unk
         FROM swc JOIN wstat USING (word) GROUP BY bucket)
       SELECT bucket, n_pieces, n_unk, n_unk::DOUBLE / n_pieces AS unk_rate
-      FROM agg ORDER BY bucket"""))
+      FROM agg ORDER BY bucket""")),
+
+    // TOKENIZER LIFECYCLE: the q267 gauge finally ACTS — the [UNK] rate of
+    // the shipped model over a salted document stream crosses the 0.5%
+    // threshold, the vocabulary is RE-DERIVED on the corpus that
+    // ACCUMULATED from the same stream (a foreachBatch append store — no
+    // side-channel to the staged batch), the model hot-swaps, and a second
+    // serving pass proves the rate dropped to zero (the re-derived
+    // vocabulary covers its own corpus totally by construction). One row:
+    // before/after exact piece and UNK counts, both rates, the trigger
+    // decision, and the recovery verdict. The oracle replays BOTH
+    // derivations — the unsalted shipped vocab and the salted re-derived
+    // vocab — plus BOTH greedy serving passes as recursions in one
+    // statement (the q265 two-tagged-recursions shape under q267's
+    // UNK-terminal loop).
+    ("q279_wordpiece_oov_retrain", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (initOld, contOld) = wpModel(s, dir)
+      val tmp = graft.util.Staging.dir("q267_salted_docs", dir) { p =>
+        docs.where(col("text").isNotNull)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" q9z"),
+              (col("doc_id") % 5).cast("string")).as("text"))
+          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
+      }
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4")
+      def oovGauge(init: Set[String], cont: Set[String],
+          qname: String): (Long, Long) = {
+        val stream = s2.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 2).parquet(s"$tmp/stream")
+        val q = ext.Wordpiece.tokenizeRowwise(stream, "doc_id", "text",
+            init, cont, maxLen = 4)
+          .agg(count(lit(1)).as("n_pieces"),
+            count(when(col("piece") === ext.Wordpiece.Unk, 1)).as("n_unk"))
+          .writeStream.outputMode("complete").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val r = s2.table(qname).collect().head
+        s2.catalog.dropTempView(qname)
+        (r.getLong(0), r.getLong(1))
+      }
+      // pass 1: live gauge with the SHIPPED model + corpus accumulation
+      // from the SAME stream (the store the re-derivation trains on)
+      val (npBefore, nuBefore) = oovGauge(initOld, contOld, "graft_wp_oov_b")
+      val accumDir = java.nio.file.Files
+        .createTempDirectory("graft_q279_corpus").toString
+      val accQ = s2.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 2).parquet(s"$tmp/stream")
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(accumDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      accQ.awaitTermination()
+      // the trigger: rate over threshold → re-derive on the ACCUMULATED
+      // corpus and hot-swap (model metadata collected by the wpModel
+      // contract: topK + alphabet per side)
+      val retrained = nuBefore.toDouble / npBefore > 0.005
+      val v = ext.Wordpiece.vocab(s2.read.parquet(accumDir), "text", 4, 50)
+        .select(col("side"), col("piece")).collect()
+      val initNew = v.collect {
+        case r if r.getString(0) == "init" => r.getString(1) }.toSet
+      val contNew = v.collect {
+        case r if r.getString(0) == "cont" => r.getString(1) }.toSet
+      // pass 2: the same stream served by the re-derived model
+      val (npAfter, nuAfter) = oovGauge(initNew, contNew, "graft_wp_oov_a")
+      s.range(1).select(
+        lit(npBefore).as("n_pieces_before"), lit(nuBefore).as("n_unk_before"),
+        (lit(nuBefore).cast("double") / lit(npBefore)).as("unk_rate_before"),
+        lit(retrained).as("retrained"),
+        lit(npAfter).as("n_pieces_after"), lit(nuAfter).as("n_unk_after"),
+        (lit(nuAfter).cast("double") / lit(npAfter)).as("unk_rate_after"),
+        ((lit(nuAfter).cast("double") / lit(npAfter)) <= lit(0.005))
+          .as("recovered"))
+    }, Some(s"""
+      WITH RECURSIVE ${wordpieceOracleCtes},
+      ${wordpieceOracleCtesTagged(50, "n",
+        "text || ' q9z' || CAST(doc_id % 5 AS VARCHAR)")},
+      tokb(word, pos, np, nu) AS (
+        SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM wn
+        UNION ALL
+        SELECT word,
+          CASE WHEN bl IS NULL THEN CAST(length(word) + 1 AS BIGINT)
+               ELSE pos + bl END,
+          np + 1,
+          nu + CASE WHEN bl IS NULL THEN 1 ELSE 0 END
+        FROM (
+          SELECT t.word, t.pos, t.np, t.nu,
+            max(CASE WHEN
+              ((t.pos = 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
+                  IN (SELECT piece FROM initv))
+               OR (t.pos > 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
+                  IN (SELECT piece FROM contv)))
+              THEN l.ll END) AS bl
+          FROM tokb t CROSS JOIN lens l
+          WHERE t.pos <= length(t.word) AND l.ll <= length(t.word) - t.pos + 1
+          GROUP BY t.word, t.pos, t.np, t.nu)),
+      toka(word, pos, np, nu) AS (
+        SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM wn
+        UNION ALL
+        SELECT word,
+          CASE WHEN bl IS NULL THEN CAST(length(word) + 1 AS BIGINT)
+               ELSE pos + bl END,
+          np + 1,
+          nu + CASE WHEN bl IS NULL THEN 1 ELSE 0 END
+        FROM (
+          SELECT t.word, t.pos, t.np, t.nu,
+            max(CASE WHEN
+              ((t.pos = 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
+                  IN (SELECT piece FROM initvn))
+               OR (t.pos > 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
+                  IN (SELECT piece FROM contvn)))
+              THEN l.ll END) AS bl
+          FROM toka t CROSS JOIN lens l
+          WHERE t.pos <= length(t.word) AND l.ll <= length(t.word) - t.pos + 1
+          GROUP BY t.word, t.pos, t.np, t.nu)),
+      wsb AS (SELECT word, np, nu FROM tokb WHERE pos = length(word) + 1),
+      wsa AS (SELECT word, np, nu FROM toka WHERE pos = length(word) + 1),
+      bef AS (
+        SELECT CAST(sum(cnt * np) AS BIGINT) AS np,
+          CAST(sum(cnt * nu) AS BIGINT) AS nu
+        FROM wn JOIN wsb USING (word)),
+      aft AS (
+        SELECT CAST(sum(cnt * np) AS BIGINT) AS np,
+          CAST(sum(cnt * nu) AS BIGINT) AS nu
+        FROM wn JOIN wsa USING (word))
+      SELECT bef.np AS n_pieces_before, bef.nu AS n_unk_before,
+        bef.nu::DOUBLE / bef.np AS unk_rate_before,
+        bef.nu::DOUBLE / bef.np > 0.005 AS retrained,
+        aft.np AS n_pieces_after, aft.nu AS n_unk_after,
+        aft.nu::DOUBLE / aft.np AS unk_rate_after,
+        aft.nu::DOUBLE / aft.np <= 0.005 AS recovered
+      FROM bef CROSS JOIN aft""")),
+
+    // WordPiece serving TOTALITY under char fallback (the BPE byte-
+    // fallback discipline, q245, for the second family): the shipped
+    // model serves a salted stream with charFallback — an unmatched
+    // position emits the raw character and the loop CONTINUES instead of
+    // dead-ending in [UNK] — so every document survives a live stream at
+    // full fidelity. The gate REASSEMBLES each document from its streamed
+    // pieces (a '##' piece glues to the current word, a bare piece opens
+    // the next) and pins it against the normalized salted source text,
+    // plus the exact per-doc piece count; the oracle replays the fallback
+    // greedy loop (NULL best-match → take one char, keep going) as a
+    // recursion.
+    ("q281_stream_wordpiece_fallback", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (initSet, contSet) = wpModel(s, dir)
+      val tmp = graft.util.Staging.dir("q267_salted_docs", dir) { p =>
+        docs.where(col("text").isNotNull)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" q9z"),
+              (col("doc_id") % 5).cast("string")).as("text"))
+          .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
+      }
+      val qname = "graft_stream_wp_fallback"
+      val (schema, rows) = {
+        val stream = s.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 2).parquet(s"$tmp/stream")
+        val q = ext.Wordpiece.tokenizeRowwise(stream, "doc_id", "text",
+            initSet, contSet, maxLen = 4, charFallback = true)
+          .writeStream.outputMode("append").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val res = s.table(qname)
+        val out = (res.schema, res.collect())
+        s.catalog.dropTempView(qname)
+        out
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pieces"),
+          sort_array(collect_list(struct(col("pos"), col("piece")))).as("ps"))
+        .select(col("doc_id"), col("n_pieces"),
+          ltrim(aggregate(col("ps"), lit(""), (acc, p) => {
+            val pc = p.getField("piece")
+            concat(acc, when(substring(pc, 1, 2) === "##",
+              substring(pc, 3, 1 << 20)).otherwise(concat(lit(" "), pc)))
+          })).as("rebuilt"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE ${wordpieceOracleCtes},
+      sd AS (
+        SELECT doc_id, text || ' q9z' || CAST(doc_id % 5 AS VARCHAR) AS text2
+        FROM documents WHERE text IS NOT NULL),
+      sw AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(text2, ' '), x -> x <> '')) AS word
+        FROM sd),
+      swd AS (SELECT DISTINCT word FROM sw),
+      tokf(word, pos, np) AS (
+        SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM swd
+        UNION ALL
+        SELECT word,
+          CASE WHEN bl IS NULL THEN pos + 1 ELSE pos + bl END,
+          np + 1
+        FROM (
+          SELECT t.word, t.pos, t.np,
+            max(CASE WHEN
+              ((t.pos = 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
+                  IN (SELECT piece FROM initv))
+               OR (t.pos > 1 AND substr(t.word, CAST(t.pos AS INT), CAST(l.ll AS INT))
+                  IN (SELECT piece FROM contv)))
+              THEN l.ll END) AS bl
+          FROM tokf t CROSS JOIN lens l
+          WHERE t.pos <= length(t.word) AND l.ll <= length(t.word) - t.pos + 1
+          GROUP BY t.word, t.pos, t.np)),
+      wsf AS (SELECT word, np FROM tokf WHERE pos = length(word) + 1),
+      agg AS (
+        SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces
+        FROM sw JOIN wsf USING (word) GROUP BY doc_id)
+      SELECT a.doc_id, a.n_pieces,
+        array_to_string(list_filter(string_split(s.text2, ' '), x -> x <> ''), ' ')
+          AS rebuilt
+      FROM agg a JOIN sd s USING (doc_id)
+      ORDER BY doc_id"""))
   )
 }

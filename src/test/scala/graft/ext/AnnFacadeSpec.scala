@@ -79,6 +79,45 @@ class AnnFacadeSpec extends SparkTestBase {
     out.length shouldBe 2 // only two non-self candidates exist
   }
 
+  test("ivf at nprobe >= nlist is EXACT: reproduces bruteForceTopK verbatim") {
+    // every list probed → the candidate set is the whole corpus and the
+    // scores are the same native cosine with the same tie rule — the
+    // exact-equivalence law the q280 index-arm flagship relies on
+    val ivf = Ann.topK(queries, corpus, "id", "id", "v", k = 5,
+        method = "ivf", nlist = 4, iters = 2, nprobe = 4)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exact = Ann.topK(queries, corpus, "id", "id", "v", k = 5,
+        method = "exact")
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    ivf shouldBe exact
+  }
+
+  test("hybridRrfTopKPrepared: the ivf arm at nprobe = nlist serves the default arm's answers") {
+    val docs = Seq(
+      (0L, "spark joins fast tables"), (1L, "fast spark scans"),
+      (2L, "slow table scans join"),   (3L, "spark spark spark fast"),
+      (4L, "join the fast table"),     (5L, "scans join tables")
+    ).toDF("doc_id", "text")
+    val emb = docs.select(col("doc_id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => ((col("vec_id") * 31 + i * 7) % 13 - 6).cast("float")).as("embedding"))
+    val qs = docs.where(col("doc_id") < 2)
+      .select(col("doc_id").as("q_id"), col("text"))
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+    val hc = TextAnalysis.prepareHybridCorpus(
+      docs, "doc_id", "text", emb, "vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    canon(TextAnalysis.hybridRrfTopKPrepared(hc, qs, kArm = 4, kOut = 3,
+      nTerms = 2, annMethod = "ivf", annNlist = 2, annIters = 2,
+      annNprobe = 2)) shouldBe
+      canon(TextAnalysis.hybridRrfTopKPrepared(hc, qs, kArm = 4, kOut = 3,
+        nTerms = 2))
+  }
+
   test("mmrSelect survives an all-NaN remainder (zero-norm candidate)") {
     // a zero embedding's cosine is 0/0 = NaN; once it is the only
     // remaining candidate every score is NaN, no argmax wins, and the
