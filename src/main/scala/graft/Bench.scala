@@ -198,8 +198,18 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    // the serving gates' per-micro-batch wall times (SLO-asserted inside
+    // the gates; numbers surfaced here so the latency story rides the
+    // same record as the throughput totals)
+    val serveJson = {
+      val rec = graft.streaming.Observability.batchDurationRecord
+      if (rec.isEmpty) ""
+      else rec.toSeq.sortBy(_._1).map { case (n, ds) =>
+        "\"" + n + "\":[" + ds.mkString(",") + "]"
+      }.mkString(""","serve_batch_ms":{""", ",", "}")
+    }
     val json =
-      s"""{"metric":"total","value":$total,"value_raw":$totalRaw,"value_best":$totalBest,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"pass_bounds":$boundsJson,"repairs":$repairsJson$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_raw":$totalRaw,"value_best":$totalBest,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"pass_bounds":$boundsJson,"repairs":$repairsJson$failedJson$serveJson,"sf":"$sfDir"}"""
     println(json)
     // provenance copy for anyone reading the repo rather than the run log
     try java.nio.file.Files.writeString(

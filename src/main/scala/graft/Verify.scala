@@ -17,7 +17,13 @@ object Verify {
         case None => SparkEntry.queries
       }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_PIN_MODE=checkpoint: run the whole sweep under the
+    // production pin mode (util/Caches.pin) — reliable checkpoints on a
+    // temp dir standing in for the cluster FS. Set at BUILDER time so it
+    // lands in the SparkContext's SparkConf, which catalog gates' isolated
+    // child sessions re-merge at creation.
+    val pinMode = sys.env.get("SPARK_GRAFT_PIN_MODE")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -25,8 +31,16 @@ object Verify {
       // events.parquet carries nanosecond timestamps — read as raw long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    val spark = pinMode.fold(builder)(m =>
+      builder.config("spark.graft.pin.mode", m)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    pinMode.foreach { m =>
+      if (m == "checkpoint" && spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          Files.createTempDirectory("graft_verify_ckpt").toString)
+      System.err.println(s"[verify] pin mode: $m (checkpoint dir: " +
+        s"${spark.sparkContext.getCheckpointDir.getOrElse("none")})")
+    }
     // schema-drift canary: one diagnostic line per run so a fixture vintage
     // change (e.g. round 6's events.ts int64-nanos → timestamp[us]) shows up
     // in the round log as a schema diff, not 30 opaque analysis errors.

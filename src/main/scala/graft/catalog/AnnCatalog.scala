@@ -1449,6 +1449,14 @@ private[graft] object AnnCatalog {
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // the reference's operating point is a 1 s trigger: every
+      // steady-state batch must beat it or the serve falls behind its
+      // own arrival rate (cold batch excluded — plan/codegen/broadcast
+      // are per-query costs). spark.graft.serve.sloMs dials the budget.
+      graft.streaming.Observability.recordBatchDurations(
+        "q252_stream_ann_serve",
+        graft.streaming.Observability.assertBatchSlo(q,
+          s.conf.get("spark.graft.serve.sloMs", "1000").toLong))
       s.read.parquet(outDir).orderBy(col("q_id"), col("rank"))
     }, Some(ivfAdcFullOracle)),
 
@@ -2004,6 +2012,47 @@ private[graft] object AnnCatalog {
         compacted.drop("sub"), cent, cb, "vec_id", "cid", "embedding",
         k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
-    }, Some(ivfAdcFullOracle))
+    }, Some(ivfAdcFullOracle)),
+
+
+    // STORE DELETION — the third store op next to increment (q237/q276)
+    // and compaction (q256/q277), the one a right-to-erasure request
+    // exercises: tombstones (vec_id % 5 == 0) are applied AT COMPACTION
+    // (one anti-join per cycle, not per query), codes untouched, the
+    // model NEVER refit — deleting vectors cannot invalidate an
+    // already-trained codebook, it only shrinks lists. Serving the
+    // compacted store must equal serving the index of the SURVIVING
+    // corpus under the same frozen model: the oracle keeps the model
+    // derivation over the full corpus and restricts only the index rows
+    // joined at scoring time (ivfAdcOracleFor). Deleted ids may still
+    // QUERY (their vectors live outside the store) — ids 0 and 5 do, and
+    // the gate pins that their former index rows never answer.
+    ("q282_index_tombstones", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
+        val cent = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cbRes = Similarity.pqCodebookByStride(
+          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+          "vec_id", "res", m = 4, subDim = 16, stride = 50)
+        cent.write.mode("overwrite").parquet(s"$p/centroids")
+        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
+        emb.select(col("vec_id"), col("embedding"))
+          .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
+      }
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      // the full-corpus index (built once via the q237/q252 artifact path)
+      val idx = Similarity.residualIndex(emb, cent, cb,
+        "vec_id", "cid", "embedding", m = 4, subDim = 16)
+      val tombstones = emb.where(col("vec_id") % 5 === 0)
+        .select(col("vec_id"))
+      val compacted = Similarity.compactIndex(Seq(idx), cap = 16L,
+        tombstones = tombstones)
+      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
+        compacted.drop("sub"), cent, cb, "vec_id", "cid", "embedding",
+        k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(ivfAdcOracleFor("a.n_id % 5 <> 0")))
   )
 }

@@ -440,10 +440,22 @@ private[graft] object CatalogShared {
     * q268 (batch) and q270 (the per-micro-batch streaming serve of the
     * SAME query set; per-query independence makes union-over-any-split ≡
     * one-shot). */
-  val hybridRrfOracle: String = """
+  val hybridRrfOracle: String = hybridRrfOracleFor("TRUE")
+
+  /** [[hybridRrfOracle]] with the CORPUS restricted to documents whose id
+    * satisfies `corpusPred` — written over the placeholder `__id__`,
+    * substituted with `doc_id` on the postings side and `vec_id` on the
+    * vector side (1:1 by fixture contract). The postings-deletion twin:
+    * the query set (doc_id < 6) and its texts are untouched, only the
+    * stored postings/vectors shrink, and every downstream df/idf/stats
+    * value re-derives from the survivors exactly as
+    * `removeFromHybridCorpus`'s subtraction algebra produces them.
+    * `TRUE` reproduces the full oracle verbatim. */
+  def hybridRrfOracleFor(corpusPred: String): String = s"""
       WITH toks AS (
         SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t
-        FROM documents WHERE text IS NOT NULL),
+        FROM documents WHERE text IS NOT NULL
+          AND (${corpusPred.replace("__id__", "doc_id")})),
       dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
       stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
       alldf AS (
@@ -480,7 +492,8 @@ private[graft] object CatalogShared {
             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank_l
           FROM lexs) WHERE rank_l <= 10),
       qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qvv FROM embeddings WHERE vec_id < 6),
-      cv AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+      cv AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings
+             WHERE (${corpusPred.replace("__id__", "vec_id")})),
       vrank AS (
         SELECT q_id, n_id, rank_v FROM (
           SELECT q_id, n_id,
@@ -647,7 +660,15 @@ private[graft] object CatalogShared {
     * q237 (persisted store + frozen-model increment) and q252 (streaming
     * serve of the persisted artifact).
     */
-  val ivfAdcFullOracle: String = """
+  val ivfAdcFullOracle: String = ivfAdcOracleFor("TRUE")
+
+  /** [[ivfAdcFullOracle]] with the SERVE side restricted to index rows
+    * satisfying `servePred` (over `a.n_id`) — the deletion twin: the
+    * model (centroids, codebooks) still derives from the FULL corpus
+    * (tombstoning vectors never refits an already-trained codebook), only
+    * the index rows joined at scoring time shrink. `TRUE` reproduces the
+    * full oracle verbatim. */
+  def ivfAdcOracleFor(servePred: String): String = s"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
       cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM v WHERE vec_id % 100 = 0),
       ldist AS (
@@ -704,7 +725,7 @@ private[graft] object CatalogShared {
         FROM lut l
         JOIN assign a ON a.lcid = l.lcid
         JOIN codes x ON x.n_id = a.n_id
-        WHERE a.n_id <> l.q_id),
+        WHERE a.n_id <> l.q_id AND ($servePred)),
       ranked AS (
         SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
         FROM scored)

@@ -912,21 +912,43 @@ object Similarity {
     * @param snapshots (n_id, lcid, codes) frames, OLDEST FIRST; ids must
     *                  be unique within one snapshot
     * @return (n_id, lcid, sub, codes) — ≤ cap rows per (lcid, sub) */
-  def compactIndex(snapshots: Seq[DataFrame], cap: Long): DataFrame = {
+  def compactIndex(snapshots: Seq[DataFrame], cap: Long,
+      tombstones: DataFrame = null): DataFrame = {
     require(snapshots.nonEmpty, "compactIndex needs at least one snapshot")
     require(cap > 0, s"cap must be positive, got $cap")
     val tagged = snapshots.zipWithIndex.map { case (df, i) =>
       df.select(col("n_id"), col("lcid"), col("codes"), lit(i).as("__snap"))
     }.reduce(_ unionByName _)
-    val latest = tagged.groupBy(col("n_id"))
+    val latest0 = tagged.groupBy(col("n_id"))
       .agg(max_by(struct(col("lcid"), col("codes")), col("__snap")).as("__b"))
       .select(col("n_id"), col("__b").getField("lcid").as("lcid"),
         col("__b").getField("codes").as("codes"))
+    // tombstones kill an id REGARDLESS of which snapshot wrote it last —
+    // deletion applied after latest-wins, before the layout re-balance
+    val latest = if (tombstones == null) latest0
+      else deleteFromIndex(latest0, tombstones)
     val w = Window.partitionBy(col("lcid")).orderBy(col("n_id"))
     latest
       .withColumn("__rn", row_number().over(w))
       .withColumn("sub", expr(s"(cast(__rn as bigint) - 1) div ${cap}L"))
       .select(col("n_id"), col("lcid"), col("sub"), col("codes"))
+  }
+
+  /** DELETION from the residual-IVFADC store — the third store op next to
+    * increment (q237/q276) and compaction (q256/q277), and the one a
+    * right-to-erasure request actually exercises: drop every index row
+    * whose id appears in `tombstones` (first column, id-typed). A plain
+    * id-keyed anti-join — codes are never touched, the model is never
+    * refit (deleting vectors cannot invalidate an already-trained
+    * codebook; it only shrinks lists), and serving the surviving rows is
+    * BY CONSTRUCTION the index of the surviving corpus under the same
+    * frozen model (q282's gate). Production applies tombstones at
+    * compaction ([[compactIndex]]'s `tombstones` arg) so the store pays
+    * one anti-join per compaction cycle, not per query. */
+  def deleteFromIndex(index: DataFrame, tombstones: DataFrame): DataFrame = {
+    val ids = tombstones.select(tombstones.columns.head)
+      .withColumnRenamed(tombstones.columns.head, "n_id")
+    index.join(ids, Seq("n_id"), "left_anti")
   }
 
   /** Coarse-assignment residuals: each vector's displacement from its

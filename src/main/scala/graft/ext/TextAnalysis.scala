@@ -748,6 +748,54 @@ object TextAnalysis {
       stats = stats, alldf = alldf)
   }
 
+  /** DELETION from the postings store — [[mergeHybridCorpus]]'s inverse,
+    * and the third store op next to increment (q274/q278): remove a set
+    * of documents (given as their own PREPARED corpus, so the exact
+    * postings they contributed subtract) without rebuilding anything.
+    * Row-level frames (token rows, lengths, vectors) drop by an id-keyed
+    * anti-join; the metadata-sized frames subtract ADDITIVELY — corpus
+    * stats as negated sums, per-term document frequencies as negated
+    * adds with non-positive terms dropped — which is exact because every
+    * deleted doc contributed exactly its own prepared counts (the same
+    * disjoint-contribution algebra the merge relies on). Serving the
+    * result is RESULT-IDENTICAL to re-preparing the surviving corpus
+    * (q283's gate). The right-to-erasure path: one anti-join + two
+    * metadata re-sums, never a postings rebuild.
+    * @param checkSubset verify the deleted ids all exist in `a` (one
+    *        deleted-doc-count-sized semi-join) — a deletion of an
+    *        unknown doc would corrupt stats silently otherwise. */
+  def removeFromHybridCorpus(a: HybridCorpus, d: HybridCorpus,
+      checkSubset: Boolean = true): HybridCorpus = {
+    require(a.docIdCol == d.docIdCol && a.textCol == d.textCol,
+      "removeFromHybridCorpus: mismatched corpus schemas")
+    if (checkSubset) {
+      val missing = d.dl.select(col(d.docIdCol))
+        .join(a.dl.select(col(a.docIdCol)), Seq(a.docIdCol), "left_anti")
+        .limit(1).count()
+      require(missing == 0L,
+        "removeFromHybridCorpus: a deleted doc id is not in the store — " +
+          "subtracting counts it never contributed would corrupt stats")
+    }
+    val delIds = d.dl.select(col(d.docIdCol))
+    val stats = a.stats.unionByName(d.stats.select(
+        (-col("__n")).as("__n"), (-col("__tot")).as("__tot")))
+      .agg(sum(col("__n")).as("__n"), sum(col("__tot")).as("__tot"))
+    val alldf = a.alldf.unionByName(d.alldf.select(
+        col("t"), (-col("df")).as("df")))
+      .groupBy(col("t")).agg(sum(col("df")).as("df"))
+      .where(col("df") > 0)
+    a.copy(
+      docs = a.docs,
+      emb = if (a.emb == null) null
+            else a.emb.join(
+              if (d.emb == null) delIds.withColumnRenamed(a.docIdCol, a.embIdCol)
+              else d.emb.select(col(a.embIdCol)),
+              Seq(a.embIdCol), "left_anti"),
+      toks = a.toks.join(delIds, Seq(a.docIdCol), "left_anti"),
+      dl = a.dl.join(delIds, Seq(a.docIdCol), "left_anti"),
+      stats = stats, alldf = alldf)
+  }
+
   /** Persist one prepared-corpus DELTA into a postings STORE directory —
     * the durable form of [[mergeHybridCorpus]]'s append algebra: every
     * postings frame is additive under disjoint doc ids, so a delta lands

@@ -55,6 +55,52 @@ object Observability {
     }
   }
 
+  /** Per-micro-batch latency SLO gate over a FINISHED streaming query:
+    * reads the batch durations the engine already recorded in the query's
+    * progress events (zero instrumentation cost — the
+    * StreamingQueryProgress is collected regardless) and REQUIRES every
+    * steady-state batch under `sloMs`. The serving SLO is the operating
+    * point a 1 s-trigger deployment runs at: a batch slower than the
+    * trigger means the serve is falling behind its own arrival rate.
+    *
+    * `skipFirst` batches are excluded as cold start (plan compilation,
+    * codegen, broadcast build — paid once per query, not per trigger);
+    * an SLO of 0 disables the assertion and just returns the durations,
+    * so callers can gate on a conf-selected budget
+    * (`spark.graft.serve.sloMs`) and report the numbers either way.
+    * @return all batch durations in ms, arrival order (incl. cold start) */
+  def assertBatchSlo(query: org.apache.spark.sql.streaming.StreamingQuery,
+      sloMs: Long, skipFirst: Int = 1): Seq[Long] = {
+    require(skipFirst >= 0, s"skipFirst must be >= 0, got $skipFirst")
+    val durs = query.recentProgress.toSeq
+      .filter(_.numInputRows > 0) // AvailableNow emits a trailing no-data commit
+      .map(_.batchDuration)
+    if (sloMs > 0) {
+      val steady = durs.drop(skipFirst)
+      val slow = steady.filter(_ >= sloMs)
+      require(slow.isEmpty,
+        s"serving SLO violated: ${slow.size}/${steady.size} steady-state " +
+          s"micro-batches >= ${sloMs} ms (durations ms: ${durs.mkString(",")})")
+    }
+    durs
+  }
+
+  /** Process-global record of the most recent per-batch durations each
+    * serving gate measured via [[assertBatchSlo]] — Bench folds it into
+    * the bench JSON (`serve_batch_ms`) so the serving-SLO numbers ride
+    * the same record the throughput totals do. Last write per name wins
+    * (the bench's final pass is the one reported). */
+  private val sloRecord =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+
+  def recordBatchDurations(name: String, durationsMs: Seq[Long]): Unit =
+    sloRecord.put(name, durationsMs)
+
+  def batchDurationRecord: Map[String, Seq[Long]] = {
+    import scala.jdk.CollectionConverters._
+    sloRecord.asScala.toMap
+  }
+
   /** Collects the `observe`d metrics rows a streaming query reports in its
     * progress events — attach with `spark.streams.addListener`. Thread-safe;
     * remember to `removeListener` when done. */

@@ -624,6 +624,38 @@ class SimilaritySpec extends SparkTestBase {
     got.size shouldBe expected.size // no duplicate answers across batches
   }
 
+  test("deleteFromIndex / compactIndex tombstones: serving survivors ≡ index built without them") {
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, Array.tabulate(4)(j => ((i * 17 + j * 11) % 15 - 7).toFloat))).toDF("id", "v")
+    val cents = Seq(
+      (0L, Array(3.0f, 3.0f, 3.0f, 3.0f)),
+      (1L, Array(-3.0f, -3.0f, -3.0f, -3.0f))).toDF("cid", "v")
+    val cb = Similarity.pqCodebookByStride(
+      Similarity.residuals(corpus, cents, "id", "cid", "v"),
+      "id", "res", m = 2, subDim = 2, stride = 7)
+    def index(c: org.apache.spark.sql.DataFrame) =
+      Similarity.residualIndex(c, cents, cb, "id", "cid", "v", m = 2, subDim = 2)
+    val full = index(corpus).localCheckpoint(true)
+    val tomb = corpus.where(col("id") % 4 === 0).select(col("id"))
+    // the law: anti-joined full index ≡ index encoded on survivors only
+    // (an index row is a pure per-vector function of the frozen model)
+    Similarity.deleteFromIndex(full, tomb).collect().toSet shouldBe
+      index(corpus.where(col("id") % 4 =!= 0)).collect().toSet
+    // tombstones at compaction: applied AFTER latest-wins, layout re-ranked
+    val compacted = Similarity.compactIndex(Seq(full), cap = 5L, tombstones = tomb)
+    compacted.select(col("n_id"), col("lcid"), col("codes")).collect().toSet shouldBe
+      index(corpus.where(col("id") % 4 =!= 0)).collect().toSet
+    // strict cap still holds on the shrunken lists
+    compacted.groupBy(col("lcid"), col("sub")).agg(count(lit(1)).as("c"))
+      .collect().foreach(_.getAs[Long]("c") should be <= 5L)
+    // and a deleted id never answers a query again
+    val qs = corpus.where(col("id") <= 6)
+    val answers = Similarity.ivfPqResidualStoredTopK(qs, compacted.drop("sub"),
+      cents, cb, "id", "cid", "v", k = 3, m = 2, subDim = 2, nprobe = 2)
+      .collect().map(_.getLong(2))
+    answers.foreach(_ % 4 should not be 0)
+  }
+
   test("ingestIndexStream: accumulated store over any micro-batch split equals the one-shot index") {
     import org.apache.spark.sql.streaming.Trigger
     val corpus = (1 to 60).map(i =>

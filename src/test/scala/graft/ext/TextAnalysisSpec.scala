@@ -440,6 +440,39 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.mergeHybridCorpus(ha, hb, checkDisjoint = false)
   }
 
+  test("removeFromHybridCorpus: remove(merge(a,b), b) serves exactly like a alone; unknown ids fail loudly") {
+    val docsA = Seq((0L, "spark joins fast tables"), (2L, "slow table scans join"),
+      (4L, "join the fast table")).toDF("doc_id", "text")
+    val docsB = Seq((1L, "fast spark scans"), (3L, "spark spark spark fast"),
+      (5L, "scans join tables")).toDF("doc_id", "text")
+    def embOf(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("doc_id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => ((col("vec_id") * 31 + i * 7) % 13 - 6).cast("float")).as("embedding"))
+    def prep(d: org.apache.spark.sql.DataFrame) = TextAnalysis.prepareHybridCorpus(
+      d, "doc_id", "text", embOf(d), "vec_id", "embedding")
+    val ha = prep(docsA); val hb = prep(docsB)
+    val removed = TextAnalysis.removeFromHybridCorpus(
+      TextAnalysis.mergeHybridCorpus(ha, hb), hb)
+    val qs = docsA.where(col("doc_id") === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+      .join(embOf(docsA).select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+    def canon(hc: TextAnalysis.HybridCorpus) =
+      TextAnalysis.hybridRrfTopKPrepared(hc, qs, kArm = 3, kOut = 2, nTerms = 2)
+        .orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    canon(removed) shouldBe canon(ha)
+    // subtraction algebra sanity: the metadata frames match a's exactly
+    removed.stats.collect().toSeq shouldBe ha.stats.collect().toSeq
+    removed.alldf.orderBy("t").collect().toSeq shouldBe
+      ha.alldf.orderBy("t").collect().toSeq
+    // deleting a doc the store never held fails loudly, not silently
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.removeFromHybridCorpus(ha, hb)
+    }
+    e.getMessage should include("not in the store")
+  }
+
   test("bm25QueryTopKPrepared: excludeSelf=false keeps a doc whose id collides with the query id") {
     // external query id space numerically overlapping the doc ids: doc 0
     // is a legitimate candidate for external query 0
