@@ -1378,5 +1378,75 @@ private[graft] object TextCatalog {
           kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
     }, Some(hybridRrfOracleFor("__id__ % 9 <> 8")))
+,
+
+    // POSTINGS-STORE COMPACTION — compactIndex's lexical twin, closing the
+    // maintenance loop the streamed writes opened: q278's store holds one
+    // parquet delta PER MICRO-BATCH (file count and the per-read stats/df
+    // re-reduction grow with trigger count), so compaction rewrites the
+    // accumulated deltas as ONE consolidated delta (same postings rows,
+    // stats to one row, dfs to one row per term; swap-on-success). Serving
+    // the compacted store must reproduce q268's oracle VERBATIM — the
+    // merge algebra says consolidation changes nothing, this gate makes
+    // the store's whole write→compact→serve cycle hold downstream of a
+    // REAL stream.
+    ("q284_postings_compaction", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
+        docs.select(col("doc_id"), col("text"))
+          .join(emb.select(col("vec_id"), col("embedding")),
+            col("doc_id") === col("vec_id"))
+          .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
+      }
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_q284_store").toString
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus")
+      val q = TextAnalysis.ingestPostingsStream(stream,
+          "doc_id", "text", "vec_id", "embedding", storeDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val compactDir = java.nio.file.Files
+        .createTempDirectory("graft_q284_compact").toString
+      TextAnalysis.compactHybridStore(s, storeDir, compactDir,
+        "doc_id", "text", "vec_id", "embedding")
+      // the consolidation really happened: one stats row on disk (q278's
+      // streamed store had one per micro-batch)
+      require(s.read.parquet(s"$compactDir/stats").count() == 1L,
+        "compacted store must hold exactly one stats row")
+      val hc = TextAnalysis.readHybridCorpus(s, compactDir,
+        "doc_id", "text", "vec_id", "embedding")
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      TextAnalysis.hybridRrfTopKPrepared(hc, queries,
+          kArm = 10, kOut = 5, nTerms = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(hybridRrfOracle)),
+
+    // DELETION FROM BARE IDS — the form an erasure request actually
+    // arrives in: no access to the deleted documents' text (q283 prepares
+    // the deleted docs from the raw corpus; here the raw corpus is GONE
+    // for them). removeDocsById derives the deleted side's postings from
+    // the STORE ITSELF — the store already holds exactly what each doc
+    // contributed — then applies the same subtraction algebra. Same
+    // surviving-corpus oracle as q283: the id-only path and the
+    // prepared-docs path are result-identical.
+    ("q285_postings_delete_by_id", (s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val full = TextAnalysis.prepareHybridCorpus(
+        docs, "doc_id", "text", emb, "vec_id", "embedding")
+      val hc = TextAnalysis.removeDocsById(full,
+        docs.where(col("doc_id") % 9 === 8).select(col("doc_id")))
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      TextAnalysis.hybridRrfTopKPrepared(hc, queries,
+          kArm = 10, kOut = 5, nTerms = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(hybridRrfOracleFor("__id__ % 9 <> 8")))
   )
 }

@@ -796,6 +796,59 @@ object TextAnalysis {
       stats = stats, alldf = alldf)
   }
 
+  /** [[removeFromHybridCorpus]] from BARE IDS — the form a deletion
+    * request actually arrives in (the caller has doc ids, not the
+    * documents' prepared counts): the deleted side's postings are derived
+    * FROM THE STORE ITSELF (the store already holds exactly what each doc
+    * contributed — its token rows and length; the 1-row stats and
+    * per-term dfs of the deleted set re-reduce from those rows), then the
+    * subtraction algebra applies unchanged. No access to the original
+    * text is ever needed — deletion works even after the raw corpus is
+    * gone, which is precisely the right-to-erasure situation.
+    * @param ids one id-typed column naming the docs to delete */
+  def removeDocsById(a: HybridCorpus, ids: DataFrame): HybridCorpus = {
+    val delIds = ids.select(ids.columns.head)
+      .withColumnRenamed(ids.columns.head, a.docIdCol)
+    val dToks = a.toks.join(delIds, Seq(a.docIdCol), "left_semi")
+    val dDl = a.dl.join(delIds, Seq(a.docIdCol), "left_semi")
+    val d = HybridCorpus(null, a.docIdCol, a.textCol,
+      emb = if (a.emb == null) null
+            else a.emb.join(delIds.withColumnRenamed(a.docIdCol, a.embIdCol),
+              Seq(a.embIdCol), "left_semi"),
+      embIdCol = a.embIdCol, vecCol = a.vecCol,
+      toks = dToks,
+      dl = dDl,
+      stats = dDl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tot")),
+      alldf = dToks.select(col(a.docIdCol), col("t")).distinct()
+        .groupBy(col("t")).agg(count(lit(1)).as("df")))
+    // subset holds by construction (the deleted side is a's own rows) —
+    // an id the store never held simply contributes nothing
+    removeFromHybridCorpus(a, d, checkSubset = false)
+  }
+
+  /** COMPACTION of the postings store — [[Similarity.compactIndex]]'s
+    * lexical twin: a store that accumulated many streamed deltas
+    * ([[ingestPostingsStream]] writes one parquet append per micro-batch,
+    * so file count and the per-read stats/df re-reduction grow with
+    * trigger count) is rewritten as ONE consolidated delta — the same
+    * postings rows, the stats re-summed to one row, the per-term dfs
+    * re-added to one row per term. Serving the compacted store is
+    * RESULT-IDENTICAL by the merge algebra (q284's gate); what compaction
+    * buys is bounded file counts and O(1) metadata frames regardless of
+    * how many micro-batches ever wrote. Writes to `outPath` (a fresh
+    * store dir) — swap-on-success is the caller's move, exactly like an
+    * index compaction cycle. */
+  def compactHybridStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, outPath: String,
+      docIdCol: String, textCol: String,
+      embIdCol: String, vecCol: String): Unit = {
+    val hc = readHybridCorpus(spark, storePath, docIdCol, textCol,
+      embIdCol, vecCol)
+    // readHybridCorpus already re-reduces stats/alldf; writing the result
+    // back as one delta IS the consolidation
+    writeHybridCorpusDelta(hc, outPath)
+  }
+
   /** Persist one prepared-corpus DELTA into a postings STORE directory —
     * the durable form of [[mergeHybridCorpus]]'s append algebra: every
     * postings frame is additive under disjoint doc ids, so a delta lands

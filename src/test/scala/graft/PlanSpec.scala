@@ -505,6 +505,39 @@ class PlanSpec extends SparkTestBase {
     p should include("BroadcastHashJoin")
   }
 
+  test("index tombstone deletion is a BROADCAST anti-join — the store side never shuffles") {
+    val index = (1 to 500).map(i => (i.toLong, i.toLong % 4,
+      Seq(i % 7, i % 5))).toDF("n_id", "lcid", "codes")
+    val tomb = Seq(3L, 9L, 27L).toDF("id")
+    val out = graft.ext.Similarity.deleteFromIndex(index, tomb)
+    out.collect() // settle AQE so the FINAL plan is asserted, not the initial
+    val p = plan(out)
+    p should include("BroadcastHashJoin")
+    p should include("LeftAnti")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("removeDocsById: every id-keyed prune broadcasts the (small) id set") {
+    val docs = (1 to 200).map(i => (i.toLong, s"tok$i word common"))
+      .toDF("doc_id", "text")
+    val emb = docs.select(col("doc_id").as("vec_id"),
+      transform(sequence(lit(1), lit(4)),
+        j => (col("vec_id") + j).cast("float")).as("embedding"))
+    val hc = graft.ext.TextAnalysis.prepareHybridCorpus(
+      docs, "doc_id", "text", emb, "vec_id", "embedding")
+    val removed = graft.ext.TextAnalysis.removeDocsById(
+      hc, Seq(5L, 6L).toDF("doc_id"))
+    // the corpus-sized frames (toks, dl, emb) prune via broadcast
+    // anti-joins against the deleted-id set — no corpus-side merge join
+    // appears (AQE settles the derived id frame to a broadcast at runtime)
+    Seq(removed.toks, removed.dl, removed.emb).foreach { f =>
+      f.collect() // settle AQE: assert the FINAL plan
+      val p = plan(f)
+      p should include("BroadcastHashJoin")
+      (p should not).include("SortMergeJoin")
+    }
+  }
+
   test("wordpiece piece sets ride a broadcast, never the plan") {
     val docs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
     val big = (0 until 20000).map(i => s"piece$i").toSet

@@ -473,6 +473,37 @@ class TextAnalysisSpec extends SparkTestBase {
     e.getMessage should include("not in the store")
   }
 
+  test("removeDocsById ≡ removeFromHybridCorpus with the prepared deleted docs") {
+    val docs = Seq((0L, "spark joins fast tables"), (1L, "fast spark scans"),
+      (2L, "slow table scans join"), (3L, "spark spark spark fast"))
+      .toDF("doc_id", "text")
+    def embOf(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("doc_id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => ((col("vec_id") * 31 + i * 7) % 13 - 6).cast("float")).as("embedding"))
+    val full = TextAnalysis.prepareHybridCorpus(
+      docs, "doc_id", "text", embOf(docs), "vec_id", "embedding")
+    val delDocs = docs.where(col("doc_id") >= 2)
+    val viaPrepared = TextAnalysis.removeFromHybridCorpus(full,
+      TextAnalysis.prepareHybridCorpus(delDocs, "doc_id", "text",
+        embOf(delDocs), "vec_id", "embedding"))
+    val viaIds = TextAnalysis.removeDocsById(full,
+      delDocs.select(col("doc_id")))
+    viaIds.stats.collect().toSeq shouldBe viaPrepared.stats.collect().toSeq
+    viaIds.alldf.orderBy("t").collect().toSeq shouldBe
+      viaPrepared.alldf.orderBy("t").collect().toSeq
+    viaIds.toks.orderBy("doc_id", "t").collect().toSeq shouldBe
+      viaPrepared.toks.orderBy("doc_id", "t").collect().toSeq
+    viaIds.dl.orderBy("doc_id").collect().toSeq shouldBe
+      viaPrepared.dl.orderBy("doc_id").collect().toSeq
+    viaIds.emb.select(col("vec_id")).collect().map(_.getLong(0)).sorted shouldBe
+      Array(0L, 1L)
+    // an id the store never held contributes nothing (no loud guard
+    // needed here — the deleted side is derived from the store's rows)
+    val noop = TextAnalysis.removeDocsById(full, Seq(99L).toDF("doc_id"))
+    noop.stats.collect().toSeq shouldBe full.stats.collect().toSeq
+  }
+
   test("bm25QueryTopKPrepared: excludeSelf=false keeps a doc whose id collides with the query id") {
     // external query id space numerically overlapping the doc ids: doc 0
     // is a legitimate candidate for external query 0
