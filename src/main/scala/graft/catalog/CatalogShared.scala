@@ -450,10 +450,14 @@ private[graft] object CatalogShared {
     * stored postings/vectors shrink, and every downstream df/idf/stats
     * value re-derives from the survivors exactly as
     * `removeFromHybridCorpus`'s subtraction algebra produces them.
-    * `TRUE` reproduces the full oracle verbatim. */
-  def hybridRrfOracleFor(corpusPred: String): String = s"""
+    * `TRUE` reproduces the full oracle verbatim.
+    * @param textExpr the corpus text expression (default the raw column) —
+    *        the UPSERT twin substitutes the updated text here (q286), so
+    *        the oracle prepares the POST-UPDATE corpus from scratch */
+  def hybridRrfOracleFor(corpusPred: String,
+      textExpr: String = "text"): String = s"""
       WITH toks AS (
-        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t
+        SELECT doc_id, unnest(list_filter(string_split($textExpr, ' '), w -> w <> '')) AS t
         FROM documents WHERE text IS NOT NULL
           AND (${corpusPred.replace("__id__", "doc_id")})),
       dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),

@@ -1287,9 +1287,14 @@ private[graft] object TextCatalog {
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
       val tmp = graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
+        // FULL OUTER: the fixture tables are NOT 1:1 at every scale
+        // (sf0.1 ships 5000 docs but 2000 embeddings) — an inner join
+        // here would silently drop text-only docs from the postings
+        // store; the ingest's per-side null-id filters make the outer
+        // stream exact
         docs.select(col("doc_id"), col("text"))
           .join(emb.select(col("vec_id"), col("embedding")),
-            col("doc_id") === col("vec_id"))
+            col("doc_id") === col("vec_id"), "full_outer")
           .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
       }
       val storeDir = java.nio.file.Files
@@ -1394,9 +1399,14 @@ private[graft] object TextCatalog {
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
       val tmp = graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
+        // FULL OUTER: the fixture tables are NOT 1:1 at every scale
+        // (sf0.1 ships 5000 docs but 2000 embeddings) — an inner join
+        // here would silently drop text-only docs from the postings
+        // store; the ingest's per-side null-id filters make the outer
+        // stream exact
         docs.select(col("doc_id"), col("text"))
           .join(emb.select(col("vec_id"), col("embedding")),
-            col("doc_id") === col("vec_id"))
+            col("doc_id") === col("vec_id"), "full_outer")
           .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
       }
       val storeDir = java.nio.file.Files
@@ -1447,6 +1457,40 @@ private[graft] object TextCatalog {
       TextAnalysis.hybridRrfTopKPrepared(hc, queries,
           kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
-    }, Some(hybridRrfOracleFor("__id__ % 9 <> 8")))
+    }, Some(hybridRrfOracleFor("__id__ % 9 <> 8"))),
+
+    // POSTINGS UPSERT — a document UPDATE as the store composition it
+    // decomposes into: delete the old version by bare id
+    // (removeDocsById — the store's own rows supply the subtraction) and
+    // merge the re-prepared new version (mergeHybridCorpus — disjoint
+    // again after the delete). Serving the upserted store must be
+    // RESULT-IDENTICAL to preparing the POST-UPDATE corpus from scratch:
+    // the oracle re-derives every df/idf/stat with the updated text
+    // substituted in (hybridRrfOracleFor's textExpr arm). Updated docs
+    // (doc_id % 9 == 8, disjoint from the query set) get ' v2 spark'
+    // appended — changing both their lengths and the shared-term dfs, so
+    // a stats/df bookkeeping error anywhere in delete+merge would shift
+    // every BM25 score and fail the hash.
+    ("q286_postings_upsert", (s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val full = TextAnalysis.prepareHybridCorpus(
+        docs, "doc_id", "text", emb, "vec_id", "embedding")
+      val updDocs = docs.where(col("doc_id") % 9 === 8)
+        .select(col("doc_id"), concat(col("text"), lit(" v2 spark")).as("text"))
+      val updDelta = TextAnalysis.prepareHybridCorpus(
+        updDocs, "doc_id", "text",
+        emb.where(col("vec_id") % 9 === 8), "vec_id", "embedding")
+      val hc = TextAnalysis.mergeHybridCorpus(
+        TextAnalysis.removeDocsById(full, updDocs.select(col("doc_id"))),
+        updDelta)
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      TextAnalysis.hybridRrfTopKPrepared(hc, queries,
+          kArm = 10, kOut = 5, nTerms = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(hybridRrfOracleFor("TRUE",
+      "CASE WHEN doc_id % 9 = 8 THEN text || ' v2 spark' ELSE text END")))
   )
 }

@@ -656,6 +656,9 @@ object TextAnalysis {
       .agg(aggregate(sort_array(collect_list(struct(col("__t"), col("__ts")))),
         lit(0.0), (a, x) => a + x.getField("__ts")).as("score"))
     val top = scored.orderBy(col("score").desc, col(idCol)).limit(topK)
+    // the unpartitioned window is intentional and BOUNDED: it ranks only
+    // the limit(topK) survivors (k rows on one partition), never the
+    // corpus — do not "fix" it into a keyed window, there is no key
     top.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col(idCol))))
