@@ -31,6 +31,14 @@ object Verify {
       // events.parquet carries nanosecond timestamps — read as raw long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // the correctness sweep runs on a deliberately SMALL session (4
+      // threads, often right after 280 other queries) where wall-clock
+      // serving budgets are meaningless — give the serving gates' SLO
+      // asserts generous headroom HERE; the 32-thread bench leaves the
+      // conf unset, so the gates' real budgets are enforced there, where
+      // the latency story is actually measured
+      .config("spark.graft.serve.sloMs",
+        sys.env.getOrElse("SPARK_GRAFT_SERVE_SLO_MS", "30000"))
     val spark = pinMode.fold(builder)(m =>
       builder.config("spark.graft.pin.mode", m)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

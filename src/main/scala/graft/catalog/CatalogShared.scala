@@ -258,7 +258,8 @@ private[graft] object CatalogShared {
     * (default 10). Emits CTEs prefixed `tag`; `subs` and `cur` are shared
     * and defined by the caller. */
   def residualServeCtes(tag: String, centSrc: String, cbPred: String,
-      stride: Int = 5, nprobe: Int = 4, k: Int = 10): String = s"""
+      stride: Int = 5, nprobe: Int = 4, k: Int = 10,
+      qPred: String = "n_id < 8"): String = s"""
       ${tag}cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM $centSrc WHERE vec_id % 100 = 0),
       ${tag}ldist AS (
         SELECT a.vec_id AS n_id, c.lcid,
@@ -293,7 +294,7 @@ private[graft] object CatalogShared {
       ${tag}probes AS (
         SELECT n_id AS q_id, lcid FROM (
           SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
-          FROM ${tag}ldist WHERE n_id < 8) WHERE rn <= $nprobe),
+          FROM ${tag}ldist WHERE $qPred) WHERE rn <= $nprobe),
       ${tag}qres AS (
         SELECT p.q_id, p.lcid,
           list_transform(range(1, least(len(q.vec), len(c.l_vec)) + 1),
@@ -453,9 +454,14 @@ private[graft] object CatalogShared {
     * `TRUE` reproduces the full oracle verbatim.
     * @param textExpr the corpus text expression (default the raw column) —
     *        the UPSERT twin substitutes the updated text here (q286), so
-    *        the oracle prepares the POST-UPDATE corpus from scratch */
+    *        the oracle prepares the POST-UPDATE corpus from scratch
+    * @param vrankCtes replacement VECTOR-ARM CTE block (must define
+    *        `vrank(q_id, n_id, rank_v)`, rank_v ≤ the arm's k) — the
+    *        two-store composition (q287) swaps the exact-cosine arm for
+    *        the residual-IVFADC chain here; null keeps the exact arm */
   def hybridRrfOracleFor(corpusPred: String,
-      textExpr: String = "text"): String = s"""
+      textExpr: String = "text",
+      vrankCtes: String = null): String = s"""
       WITH toks AS (
         SELECT doc_id, unnest(list_filter(string_split($textExpr, ' '), w -> w <> '')) AS t
         FROM documents WHERE text IS NOT NULL
@@ -495,6 +501,7 @@ private[graft] object CatalogShared {
           SELECT q_id, n_id,
             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank_l
           FROM lexs) WHERE rank_l <= 10),
+      ${if (vrankCtes != null) vrankCtes else s"""
       qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qvv FROM embeddings WHERE vec_id < 6),
       cv AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings
              WHERE (${corpusPred.replace("__id__", "vec_id")})),
@@ -507,7 +514,7 @@ private[graft] object CatalogShared {
               list_sum(list_transform(range(1, least(len(qvv), len(nv)) + 1), i -> qvv[i] * nv[i])) /
                 (sqrt(list_sum(list_transform(range(1, len(qvv) + 1), i -> qvv[i] * qvv[i]))) *
                  sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))) AS sim
-            FROM qv CROSS JOIN cv WHERE n_id <> q_id)) WHERE rank_v <= 10),
+            FROM qv CROSS JOIN cv WHERE n_id <> q_id)) WHERE rank_v <= 10)"""},
       fused AS (
         SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.n_id, l.n_id) AS n_id,
           coalesce(CAST(1 AS DOUBLE) / (60 + v.rank_v), CAST(0 AS DOUBLE)) +

@@ -1501,6 +1501,54 @@ private[graft] object TextCatalog {
           kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
     }, Some(hybridRrfOracleFor("TRUE",
-      "CASE WHEN doc_id % 9 = 8 THEN text || ' v2 spark' ELSE text END")))
+      "CASE WHEN doc_id % 9 = 8 THEN text || ' v2 spark' ELSE text END"))),
+
+    // THE TWO-STORE SERVE — the production 100 TB shape, both stores
+    // consulted per query: the lexical arm reads the POSTINGS store
+    // (BM25 over prepared token rows/dfs/stats), the vector arm reads the
+    // residual-IVFADC CODE store (per-probe LUTs + ADC, vectors never
+    // touched), and rrfFuse joins the ranks — the exact-cosine scan that
+    // q268's vector arm pays is gone entirely. The oracle swaps its
+    // exact-cosine vrank block for the FULL residual chain
+    // (residualServeCtes — assignment, residual codebook, codes,
+    // per-probe LUTs, ADC ranking), so the fusion of an EXACT lexical
+    // arm with an APPROXIMATE-BY-CONSTRUCTION index arm is still
+    // bit-exact end to end.
+    ("q287_two_store_hybrid", (s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val hc = TextAnalysis.prepareHybridCorpus(
+        docs, "doc_id", "text", emb, "vec_id", "embedding")
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      // the code store: frozen model (stride-5 residual codebook, the
+      // q249 setting) + full-corpus index — q237's persistable artifact
+      val cent = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cb = Similarity.pqCodebookByStride(
+        Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+        "vec_id", "res", m = 4, subDim = 16, stride = 5)
+      val index = Similarity.residualIndex(emb, cent, cb,
+        "vec_id", "cid", "embedding", m = 4, subDim = 16)
+      val lex = TextAnalysis.bm25QueryTopKPrepared(hc,
+          TextAnalysis.distinctiveQueryTerms(hc, queries, nTerms = 4), k = 10)
+        .select(col("q_id"), col("n_id"), col("rank").as("rank_l"))
+      val vec = Similarity.ivfPqResidualStoredTopK(
+          queries.select(col("q_id"), col("embedding")), index, cent, cb,
+          "q_id", "cid", "embedding", k = 10, m = 4, subDim = 16, nprobe = 4)
+        .select(col("q_id"), col("n_id"), col("rank").as("rank_v"))
+      TextAnalysis.rrfFuse(vec, lex, kOut = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(hybridRrfOracleFor("TRUE", "text", vrankCtes = s"""
+      cur AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      ${residualServeCtes("x", "cur", "", stride = 5, nprobe = 4, k = 10,
+        qPred = "n_id < 6")},
+      vrank AS (
+        SELECT q_id, n_id, rank_v FROM (
+          SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank_v
+          FROM xscored) WHERE rank_v <= 10)""")))
   )
 }

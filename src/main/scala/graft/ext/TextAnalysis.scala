@@ -1017,8 +1017,27 @@ object TextAnalysis {
       annIters: Int = 3, annNprobe: Int = 2): DataFrame = {
     require(kArm > 0 && kOut > 0 && nTerms > 0,
       s"need positive dials, got kArm=$kArm kOut=$kOut nTerms=$nTerms")
+    val lex = bm25QueryTopKPrepared(hc,
+        distinctiveQueryTerms(hc, queries, nTerms), kArm)
+      .select(col("q_id"), col("n_id"), col("rank").as("rank_l"))
+    val vec = Ann.topK(
+        queries.select(col("q_id"), col(hc.vecCol)), hc.emb,
+        "q_id", hc.embIdCol, hc.vecCol, kArm, method = annMethod,
+        nlist = annNlist, iters = annIters, nprobe = annNprobe)
+      .select(col("q_id"), col("n_id"), col("rank").as("rank_v"))
+    rrfFuse(vec, lex, kOut)
+  }
+
+  /** Each query's `nTerms` most distinctive tokens by exact
+    * `tf · (N div df)` weight against the prepared corpus — the query-
+    * analysis stage of the hybrid serve, split out so ANY lexical arm can
+    * consume it (ties to the lexicographically smaller term).
+    * @return (q_id, term) */
+  def distinctiveQueryTerms(hc: HybridCorpus, queries: DataFrame,
+      nTerms: Int): DataFrame = {
+    require(nTerms > 0, s"nTerms must be positive, got $nTerms")
     val nDocs = hc.stats.select(col("__n").as("n"))
-    val qterms = queries.where(col(hc.textCol).isNotNull)
+    queries.where(col(hc.textCol).isNotNull)
       .select(col("q_id"), explode(words(col(hc.textCol))).as("t"))
       .where(col("t") =!= "")
       .groupBy(col("q_id"), col("t")).agg(count(lit(1)).as("qtf"))
@@ -1029,13 +1048,17 @@ object TextAnalysis {
           .orderBy(col("w").desc, col("t"))))
       .where(col("rn") <= nTerms)
       .select(col("q_id"), col("t").as("term"))
-    val lex = bm25QueryTopKPrepared(hc, qterms, kArm)
-      .select(col("q_id"), col("n_id"), col("rank").as("rank_l"))
-    val vec = Ann.topK(
-        queries.select(col("q_id"), col(hc.vecCol)), hc.emb,
-        "q_id", hc.embIdCol, hc.vecCol, kArm, method = annMethod,
-        nlist = annNlist, iters = annIters, nprobe = annNprobe)
-      .select(col("q_id"), col("n_id"), col("rank").as("rank_v"))
+  }
+
+  /** Reciprocal Rank Fusion of two ranked arms, `rrf = Σ 1/(60 + rank)` —
+    * split out of [[hybridRrfTopKPrepared]] so ANY vector arm fuses with
+    * ANY lexical arm (q287 fuses the persisted residual-IVFADC store's
+    * ranks with the BM25 postings arm — the two-store production shape).
+    * Every fused score is a sum of exact IEEE divisions of integers.
+    * @param vec (q_id, n_id, rank_v)   @param lex (q_id, n_id, rank_l)
+    * @return (q_id, rank ≤ kOut, n_id, rrf, rank_v, rank_l) */
+  def rrfFuse(vec: DataFrame, lex: DataFrame, kOut: Int): DataFrame = {
+    require(kOut > 0, s"kOut must be positive, got $kOut")
     vec.join(lex, Seq("q_id", "n_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)) +
