@@ -2053,6 +2053,83 @@ private[graft] object AnnCatalog {
         compacted.drop("sub"), cent, cb, "vec_id", "cid", "embedding",
         k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
-    }, Some(ivfAdcOracleFor("a.n_id % 5 <> 0")))
+    }, Some(ivfAdcOracleFor("a.n_id % 5 <> 0"))),
+
+
+    // MMR DIVERSIFICATION FROM CODES ALONE — the q287 two-store
+    // discipline extended through re-ranking: recall is ADC over the code
+    // store (rel = −adist), and the pairwise diversity penalty is
+    // SYMMETRIC distance computation (Jégou's SDC) — candidate-to-
+    // candidate distance looked up sub-wise in an m·ksub² table derived
+    // once from the codebook. The whole retrieve→diversify loop touches
+    // raw vectors ONLY at query time (the query's own LUTs); candidates
+    // exist purely as codes. Both MMR terms live in squared-distance
+    // units: score = rel/2 + minDistToSelected/2, first pick
+    // penalty-free, ties to the lowest id — mmrSelect's law verbatim.
+    // The oracle chains the FULL residual serve (residualServeCtes), the
+    // SDC table, the pairwise sub-ordered folds, and the state-carrying
+    // greedy recursion (q258's shape) in one statement.
+    ("q288_sdc_mmr", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cent = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cb = Similarity.pqCodebookByStride(
+        Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+        "vec_id", "res", m = 4, subDim = 16, stride = 5)
+      val index = Similarity.residualIndex(emb, cent, cb,
+        "vec_id", "cid", "embedding", m = 4, subDim = 16)
+      val cands = Similarity.ivfPqResidualStoredTopK(
+          emb.where(col("vec_id") < 6), index, cent, cb,
+          "vec_id", "cid", "embedding", k = 10, m = 4, subDim = 16, nprobe = 4)
+        .select(col("q_id"), col("n_id"), (-col("adist")).as("rel"))
+      Similarity.mmrSelectSdc(cands,
+          index.select(col("n_id"), col("codes")), cb,
+          k = 5, m = 4, subDim = 16)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(s"""
+      WITH RECURSIVE
+      cur AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      ${residualServeCtes("x", "cur", "", stride = 5, nprobe = 4, k = 10,
+        qPred = "n_id < 6")},
+      cands AS (
+        SELECT q_id, n_id, -adist AS rel FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rn
+          FROM xscored) WHERE rn <= 10),
+      sdc AS (
+        SELECT a.sub, a.cid AS ca, b.cid AS cb,
+          list_sum(list_transform(range(1, 17), i ->
+            (a.c_vec[i] - b.c_vec[i]) * (a.c_vec[i] - b.c_vec[i]))) AS d
+        FROM xcb a JOIN xcb b ON a.sub = b.sub),
+      cc AS (SELECT cd.q_id, cd.n_id, cd.rel, x.codes
+             FROM cands cd JOIN xcodes x USING (n_id)),
+      pparts AS (
+        SELECT a.q_id, a.n_id AS ia, b.n_id AS ib, s.sub, t.d
+        FROM cc a JOIN cc b ON a.q_id = b.q_id AND a.n_id < b.n_id
+        CROSS JOIN subs s
+        JOIN sdc t ON t.sub = s.sub
+          AND t.ca = a.codes[s.sub + 1] AND t.cb = b.codes[s.sub + 1]),
+      p AS (
+        SELECT q_id, ia, ib, list_sum(list(d ORDER BY sub)) AS dist
+        FROM pparts GROUP BY 1, 2, 3),
+      sel(q_id, step, sel_ids, n_id, score) AS (
+        SELECT q_id, 1, [n_id], n_id, rel / 2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
+          FROM cands) WHERE rn = 1
+        UNION ALL
+        SELECT q_id, step, list_append(sel_ids, n_id), n_id, score FROM (
+          SELECT x.*, row_number() OVER (PARTITION BY x.q_id ORDER BY x.score DESC, x.n_id) AS rn
+          FROM (
+            SELECT s.q_id, s.step + 1 AS step, s.sel_ids, c2.n_id,
+              c2.rel / 2 + min(p.dist) / 2 AS score
+            FROM sel s
+            JOIN cands c2 ON c2.q_id = s.q_id AND NOT list_contains(s.sel_ids, c2.n_id)
+            JOIN p ON p.q_id = s.q_id
+              AND ((p.ia = c2.n_id AND list_contains(s.sel_ids, p.ib))
+                OR (p.ib = c2.n_id AND list_contains(s.sel_ids, p.ia)))
+            WHERE s.step < 5
+            GROUP BY s.q_id, s.step, s.sel_ids, c2.n_id, c2.rel) x) WHERE rn = 1)
+      SELECT q_id, CAST(step AS INT) AS rank, n_id, score FROM sel
+      ORDER BY q_id, rank"""))
   )
 }

@@ -951,6 +951,130 @@ object Similarity {
     index.join(ids, Seq("n_id"), "left_anti")
   }
 
+  /** MMR diversification from CODES ALONE — the [[mmrSelect]] semantics
+    * with every pairwise similarity computed by SYMMETRIC distance
+    * computation (Jégou et al.'s SDC): candidate-to-candidate distance is
+    * the sub-wise sum of codeword-to-codeword distances looked up in an
+    * m × ksub² table derived once from the codebook (model metadata,
+    * broadcast) — so the ENTIRE diversify stage runs against the code
+    * store, raw vectors never touched (the q287 two-store discipline
+    * extended through re-ranking; q288's gate). Relevance is the ADC
+    * score (rel = −adist) so both MMR terms live in the same
+    * squared-distance units: score = rel/2 − maxSim/2 with
+    * sim(a,b) = −sdcDist(a,b), i.e. rel/2 + minDistToSelected/2 — first
+    * pick penalty-free, ties to the lowest id, exactly [[mmrSelect]]'s
+    * selection law.
+    *
+    * Exactness: the SDC table accumulates (x−y)² strictly left-to-right
+    * within each sub (the [[l2DistSq]] op order) and pair distances sum
+    * subs ascending; the oracle replays the same folds, so the greedy
+    * recursion is bit-replayable.
+    *
+    * Scale shape: the table is m·ksub² doubles (pure model metadata); per
+    * query ONE bounded row (the recall arm's m candidates: ids, rels,
+    * codes — never vectors), the O(m²) loop inside a typed map (the
+    * [[mmrSelect]] justification verbatim).
+    *
+    * @param cands (q_id, n_id, rel) — rel typically −adist from
+    *              [[ivfPqResidualStoredTopK]]
+    * @param index (n_id, codes) — the code store rows for the candidates
+    * @return (q_id, rank, n_id, score) — rank 1..k in selection order */
+  def mmrSelectSdc(cands: DataFrame, index: DataFrame, codebooks: DataFrame,
+      k: Int, m: Int, subDim: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(m > 0 && subDim > 0, s"need positive m/subDim, got $m/$subDim")
+    val spark = cands.sparkSession
+    // the SDC table: per sub, dist(cidA, cidB) over the NORMALIZED
+    // codebook (same 0-based renumbering every encode/LUT path uses)
+    val cbRows = pqNormalizeCodebook(codebooks).collect()
+    val grouped = cbRows.groupBy(_.getAs[Int]("sub"))
+    val sdcTable: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val vecs = grouped.getOrElse(j, Array.empty[org.apache.spark.sql.Row])
+        .sortBy(_.getAs[Long]("cid"))
+        .map(_.getSeq[Double](2).toArray)
+      Array.tabulate(vecs.length, vecs.length) { (a, b) =>
+        val va = vecs(a); val vb = vecs(b)
+        val n = math.min(va.length, vb.length)
+        var d = 0.0; var i = 0
+        while (i < n) { val t = va(i) - vb(i); d += t * t; i += 1 }
+        d
+      }
+    }
+    val sdcB = spark.sparkContext.broadcast(sdcTable)
+    val grouped2 = cands
+      .select(col("q_id").cast("long").as("q_id"),
+        col("n_id").cast("long").as("n_id"), col("rel").cast("double").as("rel"))
+      .join(index.select(col("n_id").cast("long").as("n_id"),
+        col("codes").cast("array<long>").as("codes")), Seq("n_id"))
+      .groupBy(col("q_id"))
+      .agg(sort_array(collect_list(
+        struct(col("n_id"), col("rel"), col("codes")))).as("cs"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    grouped2.mapPartitions { rows =>
+      val sdc = sdcB.value
+      rows.flatMap { r =>
+        val qId = r.getLong(0)
+        val cs = r.getSeq[org.apache.spark.sql.Row](1)
+        val n = cs.size
+        val ids = cs.map(_.getLong(0)).toArray
+        val rel = cs.map(_.getDouble(1)).toArray
+        val codes = cs.map(_.getSeq[Long](2).toArray).toArray
+        // pair distance: per-sub SDC lookups summed subs-ascending (the
+        // oracle's list_sum over the sub-ordered list)
+        def dist(a: Array[Long], b: Array[Long]): Double = {
+          var s = 0.0; var j = 0
+          val mm = math.min(math.min(a.length, b.length), sdc.length)
+          while (j < mm) { s += sdc(j)(a(j).toInt)(b(j).toInt); j += 1 }
+          s
+        }
+        val pair = Array.ofDim[Double](n, n)
+        for (i <- 0 until n; j <- i + 1 until n) {
+          val d = dist(codes(i), codes(j)); pair(i)(j) = d; pair(j)(i) = d
+        }
+        val selected = new Array[Boolean](n)
+        val picks = new Array[Int](math.min(k, n))
+        val out = Array.newBuilder[org.apache.spark.sql.Row]
+        var step = 0
+        var exhausted = false
+        while (step < math.min(k, n) && !exhausted) {
+          var bestI = -1; var bestScore = Double.NegativeInfinity
+          for (c <- 0 until n if !selected(c)) {
+            val score =
+              if (step == 0) rel(c) / 2
+              else {
+                var minD = pair(c)(picks(0))
+                var t = 1
+                while (t < step) {
+                  val d = pair(c)(picks(t)); if (d < minD) minD = d; t += 1
+                }
+                rel(c) / 2 + minD / 2
+              }
+            if (score > bestScore ||
+                (score == bestScore && (bestI < 0 || ids(c) < ids(bestI)))) {
+              bestScore = score; bestI = c
+            }
+          }
+          if (bestI < 0) exhausted = true // NaN-proof, as in mmrSelect
+          else {
+            selected(bestI) = true; picks(step) = bestI
+            out += org.apache.spark.sql.Row(qId, step + 1, ids(bestI), bestScore)
+            step += 1
+          }
+        }
+        out.result()
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Coarse-assignment residuals: each vector's displacement from its
     * nearest centroid (argmin L2, ties to the lowest cid) — the frame
     * residual PQ codebooks train on and [[ivfPqResidualTopK]] encodes.

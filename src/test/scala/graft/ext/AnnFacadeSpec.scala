@@ -132,6 +132,28 @@ class AnnFacadeSpec extends SparkTestBase {
     out.head.getLong(2) shouldBe 10L
   }
 
+  test("mmrSelectSdc: code-only diversification follows the MMR law on a hand-checked fixture") {
+    // one sub, three codewords at known points: sdc dists
+    // d(0,1)=9, d(0,2)=16, d(1,2)=25
+    val cb = Seq((0, 0L, Array(0.0, 0.0)), (0, 1L, Array(3.0, 0.0)),
+      (0, 2L, Array(0.0, 4.0))).toDF("sub", "cid", "c_vec")
+    val index = Seq((10L, Seq(0L)), (11L, Seq(1L)), (12L, Seq(2L)))
+      .toDF("n_id", "codes")
+    val cands = Seq((1L, 10L, 1.0), (1L, 11L, 0.8), (1L, 12L, 0.6))
+      .toDF("q_id", "n_id", "rel")
+    val out = Similarity.mmrSelectSdc(cands, index, cb, k = 3, m = 1, subDim = 2)
+      .orderBy("rank").collect()
+    // pick1 = max rel (10); pick2: 11 scores 0.4+9/2, 12 scores 0.3+16/2 → 12;
+    // pick3: 11 at 0.4 + min(9,25)/2
+    out.map(r => (r.getInt(1), r.getLong(2))) shouldBe
+      Array((1, 10L), (2, 12L), (3, 11L))
+    out.map(_.getDouble(3)) shouldBe
+      Array(1.0 / 2, 0.6 / 2 + 16.0 / 2, 0.8 / 2 + 9.0 / 2)
+    // k beyond the pool emits the whole pool, never crashes
+    Similarity.mmrSelectSdc(cands, index, cb, k = 9, m = 1, subDim = 2)
+      .count() shouldBe 3L
+  }
+
   test("unknown method fails loudly with the ladder listed") {
     val e = intercept[IllegalArgumentException] {
       Ann.topK(queries, corpus, "id", "id", "v", k = 3, method = "hnsw")
