@@ -2130,6 +2130,99 @@ private[graft] object AnnCatalog {
             WHERE s.step < 5
             GROUP BY s.q_id, s.step, s.sel_ids, c2.n_id, c2.rel) x) WHERE rn = 1)
       SELECT q_id, CAST(step AS INT) AS rank, n_id, score FROM sel
+      ORDER BY q_id, rank""")),
+
+
+    // THE CODE-ONLY RAG FLAGSHIP — q269's three stages with the vector
+    // store as CODES end to end: ADC recall over the residual index
+    // (rel = −adist), SDC MMR diversification (q288 — pairwise penalties
+    // from the codebook table, candidates never materialize vectors),
+    // then the 192-token budget fill in selection order. The only
+    // vector arithmetic anywhere is the query's own per-probe LUTs —
+    // the serving memory story a 100 TB deployment actually runs. One
+    // oracle statement chains the residual serve, the SDC recursion,
+    // and the windowed cumsum.
+    ("q289_rag_codes_only", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val docs = T(s, dir, "documents")
+      val cent = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cb = Similarity.pqCodebookByStride(
+        Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+        "vec_id", "res", m = 4, subDim = 16, stride = 5)
+      val index = Similarity.residualIndex(emb, cent, cb,
+        "vec_id", "cid", "embedding", m = 4, subDim = 16)
+      val cands = Similarity.ivfPqResidualStoredTopK(
+          emb.where(col("vec_id") < 6), index, cent, cb,
+          "vec_id", "cid", "embedding", k = 10, m = 4, subDim = 16, nprobe = 4)
+        .select(col("q_id"), col("n_id"), (-col("adist")).as("rel"))
+      val sel = Similarity.mmrSelectSdc(cands,
+        index.select(col("n_id"), col("codes")), cb,
+        k = 5, m = 4, subDim = 16)
+      val lens = docs.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(filter(TextAnalysis.words(col("text")), w => w =!= ""))
+            .cast("long").as("n_tokens"))
+      lens.join(broadcast(sel), col("doc_id") === col("n_id"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(
+          Window.partitionBy(col("q_id")).orderBy(col("rank"))))
+        .where(col("cum_tokens") <= 192L)
+        .select(col("q_id"), col("rank"), col("doc_id"),
+          col("n_tokens"), col("cum_tokens"), col("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(s"""
+      WITH RECURSIVE
+      cur AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      ${residualServeCtes("x", "cur", "", stride = 5, nprobe = 4, k = 10,
+        qPred = "n_id < 6")},
+      cands AS (
+        SELECT q_id, n_id, -adist AS rel FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rn
+          FROM xscored) WHERE rn <= 10),
+      sdc AS (
+        SELECT a.sub, a.cid AS ca, b.cid AS cb,
+          list_sum(list_transform(range(1, 17), i ->
+            (a.c_vec[i] - b.c_vec[i]) * (a.c_vec[i] - b.c_vec[i]))) AS d
+        FROM xcb a JOIN xcb b ON a.sub = b.sub),
+      cc AS (SELECT cd.q_id, cd.n_id, cd.rel, x.codes
+             FROM cands cd JOIN xcodes x USING (n_id)),
+      pparts AS (
+        SELECT a.q_id, a.n_id AS ia, b.n_id AS ib, s.sub, t.d
+        FROM cc a JOIN cc b ON a.q_id = b.q_id AND a.n_id < b.n_id
+        CROSS JOIN subs s
+        JOIN sdc t ON t.sub = s.sub
+          AND t.ca = a.codes[s.sub + 1] AND t.cb = b.codes[s.sub + 1]),
+      p AS (
+        SELECT q_id, ia, ib, list_sum(list(d ORDER BY sub)) AS dist
+        FROM pparts GROUP BY 1, 2, 3),
+      sel(q_id, step, sel_ids, n_id, score) AS (
+        SELECT q_id, 1, [n_id], n_id, rel / 2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
+          FROM cands) WHERE rn = 1
+        UNION ALL
+        SELECT q_id, step, list_append(sel_ids, n_id), n_id, score FROM (
+          SELECT x.*, row_number() OVER (PARTITION BY x.q_id ORDER BY x.score DESC, x.n_id) AS rn
+          FROM (
+            SELECT s.q_id, s.step + 1 AS step, s.sel_ids, c2.n_id,
+              c2.rel / 2 + min(p.dist) / 2 AS score
+            FROM sel s
+            JOIN cands c2 ON c2.q_id = s.q_id AND NOT list_contains(s.sel_ids, c2.n_id)
+            JOIN p ON p.q_id = s.q_id
+              AND ((p.ia = c2.n_id AND list_contains(s.sel_ids, p.ib))
+                OR (p.ib = c2.n_id AND list_contains(s.sel_ids, p.ia)))
+            WHERE s.step < 5
+            GROUP BY s.q_id, s.step, s.sel_ids, c2.n_id, c2.rel) x) WHERE rn = 1),
+      lens AS (
+        SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens
+        FROM documents WHERE text IS NOT NULL),
+      packed AS (
+        SELECT sel.q_id, sel.step AS rank, l.doc_id, l.n_tokens,
+          CAST(sum(l.n_tokens) OVER (PARTITION BY sel.q_id ORDER BY sel.step) AS BIGINT) AS cum_tokens,
+          sel.score
+        FROM sel JOIN lens l ON l.doc_id = sel.n_id)
+      SELECT q_id, CAST(rank AS INT) AS rank, doc_id, n_tokens, cum_tokens, score
+      FROM packed WHERE cum_tokens <= 192
       ORDER BY q_id, rank"""))
   )
 }
