@@ -65,7 +65,10 @@ object Observability {
     *
     * `skipFirst` batches are excluded as cold start (plan compilation,
     * codegen, broadcast build — paid once per query, not per trigger);
-    * an SLO of 0 disables the assertion and just returns the durations,
+    * the assertion is on the MEDIAN steady-state batch — a single batch
+    * spiking under shared-VM contention is noise, but a plan regression
+    * (a lost pin, a corpus rescan) shifts every batch and so the median.
+    * An SLO of 0 disables the assertion and just returns the durations,
     * so callers can gate on a conf-selected budget
     * (`spark.graft.serve.sloMs`) and report the numbers either way.
     * @return all batch durations in ms, arrival order (incl. cold start) */
@@ -77,10 +80,13 @@ object Observability {
       .map(_.batchDuration)
     if (sloMs > 0) {
       val steady = durs.drop(skipFirst)
-      val slow = steady.filter(_ >= sloMs)
-      require(slow.isEmpty,
-        s"serving SLO violated: ${slow.size}/${steady.size} steady-state " +
-          s"micro-batches >= ${sloMs} ms (durations ms: ${durs.mkString(",")})")
+      if (steady.nonEmpty) {
+        val sorted = steady.sorted
+        val median = sorted(sorted.size / 2)
+        require(median < sloMs,
+          s"serving SLO violated: median steady-state micro-batch " +
+            s"$median ms >= $sloMs ms (durations ms: ${durs.mkString(",")})")
+      }
     }
     durs
   }
