@@ -1453,10 +1453,8 @@ private[graft] object AnnCatalog {
       // steady-state batch must beat it or the serve falls behind its
       // own arrival rate (cold batch excluded — plan/codegen/broadcast
       // are per-query costs). spark.graft.serve.sloMs dials the budget.
-      graft.streaming.Observability.recordBatchDurations(
-        "q252_stream_ann_serve",
-        graft.streaming.Observability.assertBatchSlo(q,
-          s.conf.get("spark.graft.serve.sloMs", "1000").toLong))
+      graft.streaming.Observability.gateServeSlo(
+        "q252_stream_ann_serve", q, budgetMs = 1000, s)
       s.read.parquet(outDir).orderBy(col("q_id"), col("rank"))
     }, Some(ivfAdcFullOracle)),
 

@@ -1181,10 +1181,8 @@ private[graft] object TextCatalog {
       // 1 s trigger and the assert becomes the real gate. The regression
       // value is identical either way: a plan that loses its pin or adds
       // a corpus rescan blows any budget loudly.
-      graft.streaming.Observability.recordBatchDurations(
-        "q270_stream_hybrid_serve",
-        graft.streaming.Observability.assertBatchSlo(q,
-          s2.conf.get("spark.graft.serve.sloMs", "3000").toLong))
+      graft.streaming.Observability.gateServeSlo(
+        "q270_stream_hybrid_serve", q, budgetMs = 3000, s2)
       s.read.parquet(outDir).orderBy(col("q_id"), col("rank"))
     }, Some(hybridRrfOracle)),
 
@@ -1274,10 +1272,8 @@ private[graft] object TextCatalog {
       // budget fill per batch (three chained plans — measured ~1.5 s
       // steady with AQE off, stage-launch bound; see q270's note).
       // Default budget 4 s here; production pins sloMs at its trigger.
-      graft.streaming.Observability.recordBatchDurations(
-        "q275_stream_rag_serve",
-        graft.streaming.Observability.assertBatchSlo(q,
-          s2.conf.get("spark.graft.serve.sloMs", "4000").toLong))
+      graft.streaming.Observability.gateServeSlo(
+        "q275_stream_rag_serve", q, budgetMs = 4000, s2)
       s.read.parquet(outDir).orderBy(col("q_id"), col("rank"))
     }, Some(ragPipelineOracle)),
 

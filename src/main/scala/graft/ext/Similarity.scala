@@ -975,15 +975,37 @@ object Similarity {
     * codes — never vectors), the O(m²) loop inside a typed map (the
     * [[mmrSelect]] justification verbatim).
     *
+    * Candidates are resolved to codes by an INNER join on the store: an
+    * id absent from `index` (e.g. a recall set computed BEFORE a
+    * tombstone compaction shrank the store) is silently dropped from the
+    * MMR pool, which can return fewer than `k` picks. That is the correct
+    * serving semantic — a deleted document must not be re-ranked back
+    * into results — but a SYSTEMATIC mismatch (wrong store generation
+    * wired in) would silently thin every answer, so `requireAllInStore`
+    * turns the drop into a loud error (one count of each side — the
+    * mergeHybridCorpus checkDisjoint discipline; off by default for hot
+    * serves where post-compaction misses are expected).
+    *
     * @param cands (q_id, n_id, rel) — rel typically −adist from
     *              [[ivfPqResidualStoredTopK]]
     * @param index (n_id, codes) — the code store rows for the candidates
+    * @param requireAllInStore fail loudly if any candidate id is missing
+    *                          from the code store instead of dropping it
     * @return (q_id, rank, n_id, score) — rank 1..k in selection order */
   def mmrSelectSdc(cands: DataFrame, index: DataFrame, codebooks: DataFrame,
-      k: Int, m: Int, subDim: Int): DataFrame = {
+      k: Int, m: Int, subDim: Int,
+      requireAllInStore: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(m > 0 && subDim > 0, s"need positive m/subDim, got $m/$subDim")
     val spark = cands.sparkSession
+    if (requireAllInStore) {
+      val missing = cands.select(col("n_id").cast("long").as("n_id")).distinct()
+        .join(index.select(col("n_id").cast("long").as("n_id")).distinct(),
+          Seq("n_id"), "left_anti").limit(1).count()
+      require(missing == 0L,
+        "mmrSelectSdc: a candidate id is missing from the code store — " +
+          "the recall set and the store are from different generations")
+    }
     // the SDC table: per sub, dist(cidA, cidB) over the NORMALIZED
     // codebook (same 0-based renumbering every encode/LUT path uses)
     val cbRows = pqNormalizeCodebook(codebooks).collect()

@@ -884,6 +884,23 @@ object TextAnalysis {
   def readHybridCorpus(spark: org.apache.spark.sql.SparkSession, path: String,
       docIdCol: String, textCol: String, embIdCol: String, vecCol: String,
       checkUnique: Boolean = false): HybridCorpus = {
+    // store-shape guard: emb presence is a property of the STORE (the
+    // writer only appends `emb/` when the corpus had a vector side), so a
+    // caller argument that disagrees with the directory layout is a wiring
+    // bug — fail with a store-shape message instead of an opaque
+    // path-not-found (embIdCol set, no emb/) or silently dropping the
+    // store's vectors (embIdCol null, emb/ present)
+    val embDir = new org.apache.hadoop.fs.Path(s"$path/emb")
+    val hasEmb = embDir
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(embDir)
+    if (embIdCol != null)
+      require(hasEmb, s"postings store at $path holds no vector side " +
+        "(no emb/ subdirectory) but embIdCol was given — read it " +
+        "lexical-only with embIdCol = null")
+    else
+      require(!hasEmb, s"postings store at $path holds a vector side " +
+        "(emb/ subdirectory) but embIdCol is null — the store's vectors " +
+        "would be silently dropped; pass the emb id/vector column names")
     val dl = spark.read.parquet(s"$path/dl")
     if (checkUnique) {
       val dup = dl.groupBy(col(docIdCol)).agg(count(lit(1)).as("__c"))

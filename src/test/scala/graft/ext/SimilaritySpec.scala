@@ -699,4 +699,37 @@ class SimilaritySpec extends SparkTestBase {
         cents, cb, "id", "cid", "v", k = 3, m = 2, subDim = 2, nprobe = 2)
         .collect().toSet
   }
+
+  test("mmrSelectSdc: store-miss candidates drop silently by default, loudly with requireAllInStore") {
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, Array.tabulate(4)(j => ((i * 17 + j * 11) % 15 - 7).toFloat))).toDF("id", "v")
+    val cents = Seq(
+      (0L, Array(3.0f, 3.0f, 3.0f, 3.0f)),
+      (1L, Array(-3.0f, -3.0f, -3.0f, -3.0f))).toDF("cid", "v")
+    val cb = Similarity.pqCodebookByStride(
+      Similarity.residuals(corpus, cents, "id", "cid", "v"),
+      "id", "res", m = 2, subDim = 2, stride = 7)
+    val index = Similarity.residualIndex(corpus, cents, cb,
+      "id", "cid", "v", m = 2, subDim = 2).localCheckpoint(true)
+    // a recall set computed BEFORE a tombstone compaction: ids 61/62 no
+    // longer exist in the store
+    val cands = Seq((1L, 10L, -1.0), (1L, 20L, -2.0), (1L, 61L, -0.5),
+      (1L, 62L, -0.25)).toDF("q_id", "n_id", "rel")
+    val picked = Similarity.mmrSelectSdc(cands, index, cb,
+      k = 4, m = 2, subDim = 2).collect()
+    // the pool shrank to the 2 surviving candidates — deleted docs can
+    // never be re-ranked back into an answer
+    picked.map(_.getLong(2)).toSet shouldBe Set(10L, 20L)
+    // the loud form: a store-generation mismatch must not thin answers
+    // silently
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrSelectSdc(cands, index, cb, k = 4, m = 2, subDim = 2,
+        requireAllInStore = true).collect()
+    }
+    e.getMessage should include("missing from the code store")
+    // and the loud form passes when every candidate is in the store
+    Similarity.mmrSelectSdc(cands.where(col("n_id") <= 60), index, cb,
+        k = 4, m = 2, subDim = 2, requireAllInStore = true)
+      .collect().map(_.getLong(2)).toSet shouldBe Set(10L, 20L)
+  }
 }

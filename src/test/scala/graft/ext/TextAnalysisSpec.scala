@@ -504,6 +504,39 @@ class TextAnalysisSpec extends SparkTestBase {
     noop.stats.collect().toSeq shouldBe full.stats.collect().toSeq
   }
 
+  test("readHybridCorpus: store-shape guard fails loud when embIdCol disagrees with the emb/ dir") {
+    val docs = Seq((0L, "spark joins fast"), (1L, "slow scans"))
+      .toDF("doc_id", "text")
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // lexical-only store: reading it WITH an embIdCol must be a
+    // store-shape error, not an opaque path-not-found
+    val lexDir = java.nio.file.Files.createTempDirectory("graft_store_lex").toString
+    TextAnalysis.writeHybridCorpusDelta(
+      TextAnalysis.prepareHybridCorpus(docs, "doc_id", "text", null, null, null),
+      lexDir)
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.readHybridCorpus(spark, lexDir,
+        "doc_id", "text", "vec_id", "embedding")
+    }
+    e1.getMessage should include("no vector side")
+    TextAnalysis.readHybridCorpus(spark, lexDir, "doc_id", "text", null, null)
+      .dl.count() shouldBe 2L
+    // hybrid store: reading it WITHOUT an embIdCol would silently drop
+    // the store's vectors — also a loud store-shape error
+    val hybDir = java.nio.file.Files.createTempDirectory("graft_store_hyb").toString
+    TextAnalysis.writeHybridCorpusDelta(
+      TextAnalysis.prepareHybridCorpus(docs, "doc_id", "text",
+        emb, "vec_id", "embedding"),
+      hybDir)
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.readHybridCorpus(spark, hybDir, "doc_id", "text", null, null)
+    }
+    e2.getMessage should include("silently dropped")
+    TextAnalysis.readHybridCorpus(spark, hybDir,
+      "doc_id", "text", "vec_id", "embedding").emb.count() shouldBe 2L
+  }
+
   test("bm25QueryTopKPrepared: excludeSelf=false keeps a doc whose id collides with the query id") {
     // external query id space numerically overlapping the doc ids: doc 0
     // is a legitimate candidate for external query 0

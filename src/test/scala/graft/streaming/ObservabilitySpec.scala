@@ -49,6 +49,37 @@ class ObservabilitySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("gateServeSlo: conf sloMs=0 is record-only; unset conf asserts the intrinsic budget") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = mem.toDS().toDF("v").writeStream
+      .outputMode("append").format("noop").start()
+    try {
+      mem.addData(1L, 2L, 3L); q.processAllAvailable()
+      mem.addData(4L, 5L); q.processAllAvailable()
+      mem.addData(6L); q.processAllAvailable()
+      // record-only session (Bench's timed passes): a 0 ms budget that
+      // every real batch would blow must NOT throw, and durations +
+      // intrinsic budget must land in the records for post-hoc grading
+      val s0 = spark.newSession()
+      s0.conf.set("spark.graft.serve.sloMs", "0")
+      val durs = Observability.gateServeSlo("slo_test_gate", q, budgetMs = 1, s0)
+      durs.size should be >= 2
+      Observability.batchDurationRecord("slo_test_gate") shouldBe durs
+      Observability.serveBudgetRecord("slo_test_gate") shouldBe 1L
+      // unset conf (production default): the gate self-asserts at its
+      // intrinsic budget — 1 ms must trip on any real batch
+      val e = intercept[IllegalArgumentException] {
+        Observability.gateServeSlo("slo_test_gate", q, budgetMs = 1, spark)
+      }
+      e.getMessage should include("serving SLO violated")
+      // a generous intrinsic budget passes and re-records
+      Observability.gateServeSlo("slo_test_gate", q,
+        budgetMs = 600000L, spark) shouldBe durs
+      Observability.serveBudgetRecord("slo_test_gate") shouldBe 600000L
+    } finally q.stop()
+  }
+
   test("streaming observed metrics arrive in progress events via the collector") {
     val collector = new Observability.ObservedMetricsCollector("stream_gate")
     spark.streams.addListener(collector)
