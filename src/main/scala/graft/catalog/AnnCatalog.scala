@@ -1954,14 +1954,16 @@ private[graft] object AnnCatalog {
       val stream = s.readStream
         .schema("vec_id LONG, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vectors")
+      // batch-addressed idempotent sink (delta=<batchId>/, overwrite) —
+      // the replay-safe write path; q290 exercises the actual crash+replay
       val q = Similarity.ingestIndexStream(stream, cent, cb,
-          "vec_id", "cid", "embedding", m = 4, subDim = 16) { (idx, _) =>
-          idx.write.mode("append").parquet(storeDir)
-        }
+          "vec_id", "cid", "embedding", m = 4, subDim = 16)(
+          Similarity.idempotentIndexSink(storeDir))
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
-        s.read.parquet(storeDir), cent, cb, "vec_id", "cid", "embedding",
+        Similarity.readIndexStore(s, storeDir), cent, cb,
+        "vec_id", "cid", "embedding",
         k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
     }, Some(ivfAdcFullOracle)),
@@ -2221,6 +2223,68 @@ private[graft] object AnnCatalog {
         FROM sel JOIN lens l ON l.doc_id = sel.n_id)
       SELECT q_id, CAST(rank AS INT) AS rank, doc_id, n_tokens, cum_tokens, score
       FROM packed WHERE cum_tokens <= 192
-      ORDER BY q_id, rank"""))
+      ORDER BY q_id, rank""")),
+
+
+    // KILL-AND-RESUME on the store's WRITE path — the guarantee q276's
+    // happy path doesn't prove: foreachBatch is at-least-once, so the
+    // exact production failure is a crash AFTER the store write but
+    // BEFORE the offset commit, which REPLAYS the batch on restart. The
+    // gate injects precisely that (afterBatch throws once, batch 1, with
+    // a REAL checkpoint), restarts the stream from the same checkpoint,
+    // and requires (a) the replayed store holds every id EXACTLY once —
+    // the batch-addressed delta=<id>/ overwrite eating its own previous
+    // attempt; a plain append would hold batch 1's rows twice and fail
+    // loudly here — and (b) serving it reproduces q212's from-scratch
+    // oracle VERBATIM. RecoverySpec's discipline, applied to the vector
+    // store (ADVICE r14 #2).
+    ("q290_index_ingest_replay", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
+        val cent = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cbRes = Similarity.pqCodebookByStride(
+          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+          "vec_id", "res", m = 4, subDim = 16, stride = 50)
+        cent.write.mode("overwrite").parquet(s"$p/centroids")
+        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
+        emb.select(col("vec_id"), col("embedding"))
+          .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
+      }
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_q290_store").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q290_ckpt").toString
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run() = Similarity.ingestIndexStream(
+          s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vectors"),
+          cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)(
+          Similarity.idempotentIndexSink(storeDir, afterBatch = b =>
+            if (b == 1L && !crashed.getAndSet(true))
+              throw new RuntimeException(
+                "injected crash: delta durable, offset not committed")))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try { run().awaitTermination(); sys.error("crash did not fire") }
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+      run().awaitTermination() // batch 1 REPLAYS from the checkpoint
+      require(crashed.get, "the crash injection never ran")
+      // replay-idempotence, asserted on the store itself: every vector id
+      // exactly once despite batch 1 being written twice
+      val raw = s.read.parquet(storeDir)
+      require(raw.count() == raw.select(col("n_id")).distinct().count(),
+        "replayed batch double-appended index rows — the store sink is " +
+          "not replay-idempotent")
+      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
+        Similarity.readIndexStore(s, storeDir), cent, cb,
+        "vec_id", "cid", "embedding",
+        k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(ivfAdcFullOracle))
   )
 }

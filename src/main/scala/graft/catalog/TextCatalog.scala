@@ -1545,6 +1545,58 @@ private[graft] object TextCatalog {
         SELECT q_id, n_id, rank_v FROM (
           SELECT q_id, n_id,
             row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank_v
-          FROM xscored) WHERE rank_v <= 10)""")))
+          FROM xscored) WHERE rank_v <= 10)"""))),
+
+
+    // KILL-AND-RESUME on the postings store's WRITE path — q290's lexical
+    // twin (ADVICE r14 #2): the ingest crashes AFTER batch 1's delta is
+    // durable but BEFORE its offset commits (the at-least-once window),
+    // restarts from the same REAL checkpoint, and batch 1 REPLAYS. The
+    // batch-addressed delta=<batchId>/ overwrite eats the previous
+    // attempt, so the store holds every doc exactly once — audited
+    // LOUDLY by checkUnique (a double-append would duplicate doc ids AND
+    // double-count stats/dfs, shifting every BM25 score) — and serving
+    // the replayed store reproduces q268's one-shot oracle VERBATIM.
+    ("q291_postings_ingest_replay", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
+        docs.select(col("doc_id"), col("text"))
+          .join(emb.select(col("vec_id"), col("embedding")),
+            col("doc_id") === col("vec_id"), "full_outer")
+          .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
+      }
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_q291_store").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q291_ckpt").toString
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run() = TextAnalysis.ingestPostingsStream(
+          s.readStream
+            .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus"),
+          "doc_id", "text", "vec_id", "embedding", storeDir,
+          afterBatch = b =>
+            if (b == 1L && !crashed.getAndSet(true))
+              throw new RuntimeException(
+                "injected crash: delta durable, offset not committed"))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try { run().awaitTermination(); sys.error("crash did not fire") }
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+      run().awaitTermination() // batch 1 REPLAYS from the checkpoint
+      require(crashed.get, "the crash injection never ran")
+      // checkUnique IS the replay audit: duplicated doc ids fail loudly
+      val hc = TextAnalysis.readHybridCorpus(s, storeDir,
+        "doc_id", "text", "vec_id", "embedding", checkUnique = true)
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      TextAnalysis.hybridRrfTopKPrepared(hc, queries,
+          kArm = 10, kOut = 5, nTerms = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(hybridRrfOracle))
   )
 }

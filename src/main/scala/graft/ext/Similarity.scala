@@ -887,6 +887,60 @@ object Similarity {
           idCol, cidCol, vecCol, m, subDim), batchId)
       }
 
+  /** The replay-idempotent sink for [[ingestIndexStream]]: each batch's
+    * code rows land BATCH-ADDRESSED under `delta=<batchId>/` with
+    * OVERWRITE semantics. foreachBatch is at-least-once — with a real
+    * checkpoint, a crash between the store write and the offset commit
+    * replays the batch with the SAME id and content (file sources are
+    * deterministic), so the replay overwrites its own previous (possibly
+    * partial) attempt instead of double-appending index rows that would
+    * answer queries twice. Effectively-once store content without
+    * transactions — [[graft.io.Sinks.idempotentJdbcAppend]]'s discipline
+    * in parquet form (q290's kill-and-resume gate). The `delta=` spelling
+    * makes the batch id a partition column, so snapshot order is readable
+    * straight off the store for [[compactIndex]]'s latest-wins.
+    * @param afterBatch ops hook invoked AFTER the delta is durable — the
+    *        seam a store-maintenance policy ([[maintainIndexStore]])
+    *        composes into, and where tests inject crashes */
+  def idempotentIndexSink(storeRoot: String,
+      afterBatch: Long => Unit = _ => ()): (DataFrame, Long) => Unit =
+    (idx, batchId) => {
+      idx.write.mode("overwrite").parquet(s"$storeRoot/delta=$batchId")
+      afterBatch(batchId)
+    }
+
+  /** List a batch-addressed index store's delta ids, OLDEST FIRST — one
+    * filesystem metadata listing, no data read: maintenance policies key
+    * off the store's own layout ([[maintainIndexStore]]'s threshold),
+    * never an external counter that could drift from what's durable. */
+  def indexStoreDeltas(spark: org.apache.spark.sql.SparkSession,
+      storeRoot: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(storeRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.startsWith("delta=") =>
+        n.stripPrefix("delta=").toLong }
+      .sorted
+  }
+
+  /** Load a batch-addressed index store for SERVING: union of the deltas
+    * with LATEST-WINS per vector id (a later delta may legitimately
+    * re-encode an id — the upsert path), `delta` resolved and dropped.
+    * Reading delta-by-delta through [[compactIndex]] is the compacted
+    * twin; this is the direct serve of an uncompacted store. */
+  def readIndexStore(spark: org.apache.spark.sql.SparkSession,
+      storeRoot: String): DataFrame = {
+    val raw = spark.read.parquet(storeRoot)
+    if (!raw.columns.contains("delta"))
+      raw.select(col("n_id"), col("lcid"), col("codes"))
+    else raw.groupBy(col("n_id"))
+      .agg(max_by(struct(col("lcid"), col("codes")), col("delta")).as("__b"))
+      .select(col("n_id"), col("__b").getField("lcid").as("lcid"),
+        col("__b").getField("codes").as("codes"))
+  }
+
   /** COMPACTION of accumulated [[residualIndex]] snapshots — the store
     * maintenance step between increments (q237's story proves store + one
     * increment; production accumulates k snapshots and compacts): union

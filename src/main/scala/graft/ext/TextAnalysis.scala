@@ -855,18 +855,36 @@ object TextAnalysis {
   /** Persist one prepared-corpus DELTA into a postings STORE directory —
     * the durable form of [[mergeHybridCorpus]]'s append algebra: every
     * postings frame is additive under disjoint doc ids, so a delta lands
-    * as a plain parquet APPEND per frame (token rows, per-doc lengths, the
+    * as a parquet append per frame (token rows, per-doc lengths, the
     * 1-row stats, per-term document frequencies, and the vector side when
     * present). The store never holds raw document text — postings, not
     * corpus (the codes-not-vectors discipline's lexical twin).
-    * [[readHybridCorpus]] re-reduces only the metadata-sized frames. */
-  def writeHybridCorpusDelta(hc: HybridCorpus, path: String): Unit = {
-    hc.toks.write.mode("append").parquet(s"$path/toks")
-    hc.dl.write.mode("append").parquet(s"$path/dl")
-    hc.stats.write.mode("append").parquet(s"$path/stats")
-    hc.alldf.write.mode("append").parquet(s"$path/alldf")
+    * [[readHybridCorpus]] re-reduces only the metadata-sized frames.
+    *
+    * With `batchId` set, the delta is BATCH-ADDRESSED: each frame lands
+    * under `delta=<batchId>/` with OVERWRITE semantics, which is what
+    * makes a streaming ingest replay-idempotent — foreachBatch is
+    * at-least-once, and a crash between the store append and the offset
+    * commit replays the batch with the SAME id and the same content (file
+    * sources are deterministic), so the replay overwrites its own previous
+    * (possibly partial) attempt instead of double-appending rows and
+    * double-counting stats/dfs. The `delta=` spelling makes the batch id a
+    * parquet partition column, so snapshot order is readable straight off
+    * the store (and dropped by [[readHybridCorpus]] when serving). A bare
+    * append (batchId = None) remains for one-shot batch writes where no
+    * replay exists (e.g. [[compactHybridStore]]'s consolidated output). */
+  def writeHybridCorpusDelta(hc: HybridCorpus, path: String,
+      batchId: Option[Long] = None): Unit = {
+    val (mode, sub) = batchId match {
+      case Some(b) => ("overwrite", s"/delta=$b")
+      case None    => ("append", "")
+    }
+    hc.toks.write.mode(mode).parquet(s"$path/toks$sub")
+    hc.dl.write.mode(mode).parquet(s"$path/dl$sub")
+    hc.stats.write.mode(mode).parquet(s"$path/stats$sub")
+    hc.alldf.write.mode(mode).parquet(s"$path/alldf$sub")
     if (hc.emb != null)
-      hc.emb.write.mode("append").parquet(s"$path/emb")
+      hc.emb.write.mode(mode).parquet(s"$path/emb$sub")
   }
 
   /** Load the ACCUMULATED postings store written by
@@ -901,7 +919,10 @@ object TextAnalysis {
       require(!hasEmb, s"postings store at $path holds a vector side " +
         "(emb/ subdirectory) but embIdCol is null — the store's vectors " +
         "would be silently dropped; pass the emb id/vector column names")
-    val dl = spark.read.parquet(s"$path/dl")
+    // `delta` is the batch-addressed stores' partition column (snapshot
+    // order metadata) — layout, not postings; drop is a no-op on stores
+    // written as bare appends
+    val dl = spark.read.parquet(s"$path/dl").drop("delta")
     if (checkUnique) {
       val dup = dl.groupBy(col(docIdCol)).agg(count(lit(1)).as("__c"))
         .where(col("__c") > 1).limit(1).count()
@@ -911,9 +932,9 @@ object TextAnalysis {
     }
     val emb =
       if (embIdCol == null) null
-      else spark.read.parquet(s"$path/emb")
+      else spark.read.parquet(s"$path/emb").drop("delta")
     HybridCorpus(null, docIdCol, textCol, emb, embIdCol, vecCol,
-      toks = spark.read.parquet(s"$path/toks"),
+      toks = spark.read.parquet(s"$path/toks").drop("delta"),
       dl = dl,
       stats = spark.read.parquet(s"$path/stats")
         .agg(sum(col("__n")).as("__n"), sum(col("__tot")).as("__tot")),
@@ -925,8 +946,16 @@ object TextAnalysis {
     * hybrid serve run live, mirroring [[Similarity.ingestIndexStream]]:
     * a STREAM of (doc id, text[, vector]) rows is reduced micro-batch by
     * micro-batch through [[prepareHybridCorpus]] — the postings derivation
-    * verbatim, |batch|-bounded — and each delta APPENDS to the store via
-    * [[writeHybridCorpusDelta]]. No cross-batch state: postings rows are
+    * verbatim, |batch|-bounded — and each delta lands in the store via
+    * [[writeHybridCorpusDelta]], BATCH-ADDRESSED (`delta=<batchId>/`,
+    * overwrite): foreachBatch is at-least-once, so with a real checkpoint
+    * a crash between the store write and the offset commit REPLAYS the
+    * batch — same id, same content — and the replay overwrites its own
+    * previous attempt instead of double-appending (doc ids duplicated,
+    * stats/dfs double-counted, every BM25 score shifted). Effectively-once
+    * store content without transactions — [[graft.io.Sinks
+    * .idempotentJdbcAppend]]'s discipline in parquet form (q291's
+    * kill-and-resume gate). No cross-batch state: postings rows are
     * per-document functions and the merge algebra is associative and
     * commutative under disjoint ids, so serving the accumulated store
     * reproduces the one-shot prepared corpus VERBATIM for ANY micro-batch
@@ -934,13 +963,19 @@ object TextAnalysis {
     * are dropped so a staged outer-join stream cannot pollute a frame.
     *
     * Returns the un-started writer so the caller owns trigger, checkpoint
-    * and start. */
+    * and start.
+    * @param afterBatch ops hook invoked with the batch id AFTER its delta
+    *        is durable — the seam where a store-maintenance policy
+    *        composes into the live ingest (e.g.
+    *        [[maintainHybridStore]]'s threshold-fired compaction) and
+    *        where tests inject crashes to exercise the replay path */
   def ingestPostingsStream(docStream: DataFrame, docIdCol: String,
-      textCol: String, embIdCol: String, vecCol: String, storePath: String):
+      textCol: String, embIdCol: String, vecCol: String, storePath: String,
+      afterBatch: Long => Unit = _ => ()):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          batchId: Long) =>
         writeHybridCorpusDelta(prepareHybridCorpus(
           batch.select(col(docIdCol), col(textCol))
             .where(col(docIdCol).isNotNull),
@@ -948,7 +983,8 @@ object TextAnalysis {
           if (embIdCol == null) null
           else batch.select(col(embIdCol), col(vecCol))
             .where(col(embIdCol).isNotNull),
-          embIdCol, vecCol), storePath)
+          embIdCol, vecCol), storePath, Some(batchId))
+        afterBatch(batchId)
       }
 
   /** [[bm25QueryTopK]] over a prepared (possibly pinned) corpus side.
