@@ -2285,6 +2285,127 @@ private[graft] object AnnCatalog {
         "vec_id", "cid", "embedding",
         k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
-    }, Some(ivfAdcFullOracle))
+    }, Some(ivfAdcFullOracle)),
+
+
+    // COMPACTION TRIGGER POLICY, live in the ingest loop — q277 compacts
+    // once, manually; production needs the WHEN: maintainIndexStore fires
+    // compactIndex when the store's own layout says the delta count
+    // exceeded the threshold (one FS listing — never an external counter),
+    // consolidates to ONE delta, and swaps the root — composed into the
+    // ingest's afterBatch seam so the policy runs exactly where a live
+    // deployment runs it. Two arms share the stream: the POLICY arm
+    // (threshold 1) must fire twice across 3 micro-batches and end
+    // bounded at one delta; the CONTROL arm (threshold 10) must never
+    // fire and keep all 3 deltas — and BOTH must serve identically
+    // (below-threshold maintenance is a no-op on results, firing
+    // maintenance is result-identical by q256's compaction law), gated
+    // on q212's oracle VERBATIM.
+    ("q292_index_compact_policy", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
+        val cent = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cbRes = Similarity.pqCodebookByStride(
+          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+          "vec_id", "res", m = 4, subDim = 16, stride = 50)
+        cent.write.mode("overwrite").parquet(s"$p/centroids")
+        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
+        emb.select(col("vec_id"), col("embedding"))
+          .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
+      }
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      def ingest(maxDeltas: Int): (String, Int) = {
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft_q292_store").toString
+        val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+        val q = Similarity.ingestIndexStream(
+            s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+              .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vectors"),
+            cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)(
+            Similarity.idempotentIndexSink(storeDir, afterBatch = _ =>
+              if (Similarity.maintainIndexStore(s, storeDir, maxDeltas,
+                  cap = 16L))
+                fired.incrementAndGet()))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (storeDir, fired.get)
+      }
+      val (policyDir, policyFired) = ingest(maxDeltas = 1)
+      val (controlDir, controlFired) = ingest(maxDeltas = 10)
+      require(policyFired == 2,
+        s"threshold-1 policy must fire at batches 1 and 2, fired $policyFired")
+      require(Similarity.indexStoreDeltas(s, policyDir) == Seq(2L),
+        "fired policy must leave ONE consolidated delta at the max batch id")
+      require(controlFired == 0 &&
+          Similarity.indexStoreDeltas(s, controlDir) == Seq(0L, 1L, 2L),
+        "below-threshold policy must not fire and must keep every delta")
+      def serve(d: String) = Similarity.ivfPqResidualStoredTopK(
+          emb.where(col("vec_id") < 8), Similarity.readIndexStore(s, d),
+          cent, cb, "vec_id", "cid", "embedding",
+          k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+      // the no-op law: compacted and untouched stores answer identically
+      require(serve(policyDir).collect().toSeq ==
+          serve(controlDir).collect().toSeq,
+        "compaction must not change served answers")
+      serve(policyDir)
+    }, Some(ivfAdcFullOracle)),
+
+
+    // VECTOR-STORE UPSERT — q286's vector twin, the store op the code
+    // store had machinery for (compactIndex latest-wins) but no gated
+    // proof: vectors vec_id % 9 == 8 (disjoint from the query set) are
+    // UPDATED (negated — exact in both engines since negation commutes
+    // with the float→double cast), re-encoded against the FROZEN model
+    // (an upsert never refits centroids or codebooks), written as a
+    // LATER batch-addressed delta, and compacted latest-wins. Serving
+    // the compacted store must equal the index of the POST-update corpus
+    // under the same frozen model: the oracle keeps the model derivation
+    // on the pre-update corpus and substitutes the updated vectors into
+    // every assignment/code/score (ivfAdcUpsertOracle — the q286
+    // textExpr discipline, vector form). The store read path's
+    // latest-wins (readIndexStore) is pinned against the compaction
+    // in-gate.
+    ("q294_index_upsert", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
+        val cent = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cbRes = Similarity.pqCodebookByStride(
+          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+          "vec_id", "res", m = 4, subDim = 16, stride = 50)
+        cent.write.mode("overwrite").parquet(s"$p/centroids")
+        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
+        emb.select(col("vec_id"), col("embedding"))
+          .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
+      }
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_q294_store").toString
+      // delta 0: the full pre-update corpus; delta 1: the updated
+      // vectors re-encoded under the frozen model — the upsert
+      Similarity.residualIndex(emb, cent, cb,
+          "vec_id", "cid", "embedding", m = 4, subDim = 16)
+        .write.mode("overwrite").parquet(s"$storeDir/delta=0")
+      val updated = emb.where(col("vec_id") % 9 === 8)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      Similarity.residualIndex(updated, cent, cb,
+          "vec_id", "cid", "embedding", m = 4, subDim = 16)
+        .write.mode("overwrite").parquet(s"$storeDir/delta=1")
+      // compact latest-wins; the direct store read must agree
+      require(Similarity.maintainIndexStore(s, storeDir, maxDeltas = 1,
+          cap = 16L),
+        "two deltas over threshold 1 must fire compaction")
+      val compacted = Similarity.readIndexStore(s, storeDir)
+      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
+          compacted, cent, cb, "vec_id", "cid", "embedding",
+          k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(ivfAdcUpsertOracle("vec_id % 9 = 8",
+      "list_transform(vec, x -> -x)")))
   )
 }

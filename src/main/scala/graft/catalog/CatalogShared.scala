@@ -743,6 +743,97 @@ private[graft] object CatalogShared {
       SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
       ORDER BY q_id, rank"""
 
+  /** [[ivfAdcFullOracle]]'s UPSERT twin (q294): the MODEL (centroids +
+    * residual codebooks) still derives from the PRE-update corpus `v` —
+    * updating vectors never refits an already-trained codebook — while
+    * the INDEX and serve sides re-derive over the POST-update corpus
+    * `cur`, where `updExpr` (over `vec`, guarded by `updPred` on
+    * `vec_id`) substitutes the new vectors. The q286 textExpr discipline,
+    * vector form: every assignment/code/score re-derives from the
+    * substituted corpus under the frozen model, so a latest-wins
+    * bookkeeping error anywhere in the re-encode+compaction path shifts
+    * scores and fails the hash. Queries (vec_id < 8) must be disjoint
+    * from `updPred` so both engines probe with identical query vectors. */
+  def ivfAdcUpsertOracle(updPred: String, updExpr: String): String = s"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      cur AS (SELECT vec_id,
+        CASE WHEN $updPred THEN $updExpr ELSE vec END AS vec FROM v),
+      cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM v WHERE vec_id % 100 = 0),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      mldist AS (
+        SELECT a.vec_id AS n_id, c.lcid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
+            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
+        FROM v a CROSS JOIN cent c),
+      massign AS (
+        SELECT n_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM mldist) WHERE rn = 1),
+      mresid AS (
+        SELECT a.n_id, a.lcid,
+          list_transform(range(1, least(len(x.vec), len(c.l_vec)) + 1),
+            i -> x.vec[i] - c.l_vec[i]) AS rv
+        FROM massign a JOIN v x ON x.vec_id = a.n_id JOIN cent c ON c.lcid = a.lcid),
+      cb AS (
+        SELECT sub,
+          CAST(row_number() OVER (PARTITION BY sub ORDER BY n_id) - 1 AS BIGINT) AS cid,
+          rv[sub*16 + 1 : sub*16 + 16] AS c_vec
+        FROM mresid CROSS JOIN subs WHERE n_id % 50 = 0),
+      ldist AS (
+        SELECT a.vec_id AS n_id, c.lcid,
+          list_sum(list_transform(range(1, least(len(a.vec), len(c.l_vec)) + 1), i ->
+            (a.vec[i] - c.l_vec[i]) * (a.vec[i] - c.l_vec[i]))) AS d
+        FROM cur a CROSS JOIN cent c),
+      assign AS (
+        SELECT n_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ldist) WHERE rn = 1),
+      resid AS (
+        SELECT a.n_id, a.lcid,
+          list_transform(range(1, least(len(x.vec), len(c.l_vec)) + 1),
+            i -> x.vec[i] - c.l_vec[i]) AS rv
+        FROM assign a JOIN cur x ON x.vec_id = a.n_id JOIN cent c ON c.lcid = a.lcid),
+      cd AS (
+        SELECT r.n_id, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS d2
+        FROM resid r CROSS JOIN cb b),
+      codes AS (
+        SELECT n_id, list(cid ORDER BY sub) AS codes FROM (
+          SELECT n_id, sub, cid,
+            row_number() OVER (PARTITION BY n_id, sub ORDER BY d2, cid) AS rn
+          FROM cd) WHERE rn = 1 GROUP BY n_id),
+      probes AS (
+        SELECT n_id AS q_id, lcid FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY d, lcid) AS rn
+          FROM ldist WHERE n_id < 8) WHERE rn <= 2),
+      qres AS (
+        SELECT p.q_id, p.lcid,
+          list_transform(range(1, least(len(q.vec), len(c.l_vec)) + 1),
+            i -> q.vec[i] - c.l_vec[i]) AS rv
+        FROM probes p JOIN cur q ON q.vec_id = p.q_id JOIN cent c ON c.lcid = p.lcid),
+      ld AS (
+        SELECT r.q_id, r.lcid, b.sub, b.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            (r.rv[b.sub*16 + i] - b.c_vec[i]) * (r.rv[b.sub*16 + i] - b.c_vec[i]))) AS pd
+        FROM qres r CROSS JOIN cb b),
+      lut1 AS (SELECT q_id, lcid, sub, list(pd ORDER BY cid) AS lrow
+               FROM ld GROUP BY q_id, lcid, sub),
+      lut AS (SELECT q_id, lcid, list(lrow ORDER BY sub) AS lut
+              FROM lut1 GROUP BY q_id, lcid),
+      scored AS (
+        SELECT l.q_id, a.n_id,
+          list_sum(list_transform(range(0, 4), j -> l.lut[j+1][x.codes[j+1] + 1])) AS adist
+        FROM lut l
+        JOIN assign a ON a.lcid = l.lcid
+        JOIN codes x ON x.n_id = a.n_id
+        WHERE a.n_id <> l.q_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, rank, n_id, adist FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank"""
+
 
   /** The exact per-dimension drift replay (quantized BIGINT sums over the
     * %2 base/delta snapshot split of the embeddings corpus) — shared

@@ -1597,6 +1597,197 @@ private[graft] object TextCatalog {
       TextAnalysis.hybridRrfTopKPrepared(hc, queries,
           kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
-    }, Some(hybridRrfOracle))
+    }, Some(hybridRrfOracle)),
+
+
+    // COMPACTION TRIGGER POLICY on the postings store — q292's lexical
+    // twin: maintainHybridStore fires when the store's own metadata says
+    // so (the stats frame holds one row per delta, so the threshold is a
+    // metadata-row count), consolidates to ONE delta and swaps the root,
+    // composed into the ingest's afterBatch seam. Policy arm (threshold
+    // 1) fires twice across 3 micro-batches and ends at one stats row on
+    // disk; control arm (threshold 10) never fires and keeps 3 — and
+    // both serve q268's oracle-identical answers (consolidation changes
+    // nothing; NOT consolidating changes nothing either).
+    ("q293_postings_compact_policy", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
+        docs.select(col("doc_id"), col("text"))
+          .join(emb.select(col("vec_id"), col("embedding")),
+            col("doc_id") === col("vec_id"), "full_outer")
+          .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
+      }
+      def ingest(maxDeltas: Int): (String, Int) = {
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft_q293_store").toString
+        val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+        val q = TextAnalysis.ingestPostingsStream(
+            s.readStream
+              .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
+              .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus"),
+            "doc_id", "text", "vec_id", "embedding", storeDir,
+            afterBatch = _ =>
+              if (TextAnalysis.maintainHybridStore(s, storeDir, maxDeltas,
+                  "doc_id", "text", "vec_id", "embedding"))
+                fired.incrementAndGet())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (storeDir, fired.get)
+      }
+      val (policyDir, policyFired) = ingest(maxDeltas = 1)
+      val (controlDir, controlFired) = ingest(maxDeltas = 10)
+      require(policyFired == 2,
+        s"threshold-1 policy must fire at batches 1 and 2, fired $policyFired")
+      require(s.read.parquet(s"$policyDir/stats").count() == 1L,
+        "fired policy must leave ONE consolidated stats row on disk")
+      require(controlFired == 0 &&
+          s.read.parquet(s"$controlDir/stats").count() == 3L,
+        "below-threshold policy must not fire and must keep every delta")
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      def serve(d: String) = TextAnalysis.hybridRrfTopKPrepared(
+          TextAnalysis.readHybridCorpus(s, d,
+            "doc_id", "text", "vec_id", "embedding"),
+          queries, kArm = 10, kOut = 5, nTerms = 4)
+        .orderBy(col("q_id"), col("rank"))
+      require(serve(policyDir).collect().toSeq ==
+          serve(controlDir).collect().toSeq,
+        "compaction must not change served answers")
+      serve(policyDir)
+    }, Some(hybridRrfOracle)),
+
+
+    // TOMBSTONES AT POSTINGS COMPACTION — the erasure+consolidation cycle
+    // the vector store already has (q282): deletion applied AT lexical
+    // compaction (removeDocsById folded into the consolidation rewrite),
+    // so one cycle pays both — the deleted side derives from the store's
+    // own rows and the stats/df subtraction lands in the same metadata
+    // re-reduction the rewrite was paying anyway. Serving the compacted
+    // store must equal re-preparing the SURVIVING corpus from scratch
+    // (q283/q285's oracle), and the store really consolidated (one stats
+    // row on disk).
+    ("q295_postings_tombstone_compaction", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
+        docs.select(col("doc_id"), col("text"))
+          .join(emb.select(col("vec_id"), col("embedding")),
+            col("doc_id") === col("vec_id"), "full_outer")
+          .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
+      }
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_q295_store").toString
+      val q = TextAnalysis.ingestPostingsStream(
+          s.readStream
+            .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus"),
+          "doc_id", "text", "vec_id", "embedding", storeDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val compactDir = java.nio.file.Files
+        .createTempDirectory("graft_q295_compact").toString
+      TextAnalysis.compactHybridStore(s, storeDir, compactDir,
+        "doc_id", "text", "vec_id", "embedding",
+        tombstones = docs.where(col("doc_id") % 9 === 8).select(col("doc_id")))
+      require(s.read.parquet(s"$compactDir/stats").count() == 1L,
+        "compacted store must hold exactly one stats row")
+      val hc = TextAnalysis.readHybridCorpus(s, compactDir,
+        "doc_id", "text", "vec_id", "embedding")
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      TextAnalysis.hybridRrfTopKPrepared(hc, queries,
+          kArm = 10, kOut = 5, nTerms = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(hybridRrfOracleFor("__id__ % 9 <> 8"))),
+
+
+    // TWO-STORE serve as a STREAMING service — q287 is batch; q270/q275
+    // stream but their vector arm reads raw vectors. This is the
+    // production serving loop with BOTH stores consulted per micro-batch:
+    // the lexical arm reads the pinned POSTINGS frames (BM25 over
+    // prepared token rows/dfs/stats), the vector arm reads the pinned
+    // residual-IVFADC CODE store (per-probe LUTs + ADC — candidates as
+    // codes, raw vectors touched only for the query's own residuals),
+    // rrfFuse joins the ranks per batch. Per-query independence makes
+    // union-over-any-split ≡ one-shot, so the gate holds q287's oracle
+    // VERBATIM downstream of a real query stream; per-batch latency is
+    // SLO-recorded like q270 (q268's exact-cosine corpus scan exists in
+    // NO arm of this plan).
+    ("q296_stream_two_store_serve", (s, dir) => {
+      val tmp = graft.util.Staging.dir("q270_hybrid_queries", dir) { p =>
+        val docsQ = T(s, dir, "documents")
+        val embQ = T(s, dir, "embeddings")
+        docsQ.where(col("doc_id") < 6)
+          .select(col("doc_id").as("q_id"), col("text"))
+          .join(embQ.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+          .repartition(3).write.mode("overwrite").parquet(s"$p/queries")
+      }
+      // isolated 4-partition AQE-off serve session (the q270 discipline)
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.adaptive.enabled" -> "false")
+      val docs2 = graft.util.EventTime.tsToLongNanos(
+        s2.read.parquet(s"$dir/documents.parquet"))
+      val emb2 = graft.util.EventTime.tsToLongNanos(
+        s2.read.parquet(s"$dir/embeddings.parquet"))
+      // postings store, prepared LEXICAL-ONLY (the vector arm never
+      // touches corpus vectors) and pinned once
+      val hc0 = TextAnalysis.prepareHybridCorpus(
+        docs2.select(col("doc_id"), col("text")), "doc_id", "text",
+        null, null, null)
+      val hc = hc0.copy(
+        toks = graft.util.Caches.pin(hc0.toks),
+        dl = graft.util.Caches.pin(hc0.dl),
+        stats = graft.util.Caches.pin(hc0.stats),
+        alldf = graft.util.Caches.pin(hc0.alldf))
+      // code store: frozen model (stride-5 residual codebook, q287's
+      // setting) + full-corpus index, all pinned — every micro-batch
+      // re-consumes them
+      val embC = emb2.select(col("vec_id"), col("embedding"))
+      val cent = embC.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cb = graft.util.Caches.pin(Similarity.pqCodebookByStride(
+        Similarity.residuals(embC, cent, "vec_id", "cid", "embedding"),
+        "vec_id", "res", m = 4, subDim = 16, stride = 5))
+      val index = graft.util.Caches.pin(Similarity.residualIndex(
+        embC, cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16))
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_q296_serve").toString
+      val stream = s2.readStream
+        .schema("q_id LONG, text STRING, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/queries")
+      val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val lex = TextAnalysis.bm25QueryTopKPrepared(hc,
+                TextAnalysis.distinctiveQueryTerms(hc, batch, nTerms = 4),
+                k = 10)
+              .select(col("q_id"), col("n_id"), col("rank").as("rank_l"))
+            val vec = Similarity.ivfPqResidualStoredTopK(
+                batch.select(col("q_id"), col("embedding")), index, cent, cb,
+                "q_id", "cid", "embedding",
+                k = 10, m = 4, subDim = 16, nprobe = 4)
+              .select(col("q_id"), col("n_id"), col("rank").as("rank_v"))
+            TextAnalysis.rrfFuse(vec, lex, kOut = 5)
+              .write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // both arms are pinned-store lookups — same operating point as the
+      // hybrid serve (see q270's budget note)
+      graft.streaming.Observability.gateServeSlo(
+        "q296_stream_two_store_serve", q, budgetMs = 3000, s2)
+      s.read.parquet(outDir).orderBy(col("q_id"), col("rank"))
+    }, Some(hybridRrfOracleFor("TRUE", "text", vrankCtes = s"""
+      cur AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      ${residualServeCtes("x", "cur", "", stride = 5, nprobe = 4, k = 10,
+        qPred = "n_id < 6")},
+      vrank AS (
+        SELECT q_id, n_id, rank_v FROM (
+          SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank_v
+          FROM xscored) WHERE rank_v <= 10)""")))
   )
 }

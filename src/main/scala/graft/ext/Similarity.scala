@@ -925,6 +925,53 @@ object Similarity {
       .sorted
   }
 
+  /** The compaction TRIGGER POLICY for a live batch-addressed store —
+    * what q277's one-shot compaction leaves to the operator: fire
+    * [[compactIndex]] when the store's own layout says the delta count
+    * exceeded `maxDeltas` (one filesystem listing — the threshold reads
+    * the store, never an external counter that could drift from what's
+    * durable), consolidate into ONE delta carrying the highest covered
+    * batch id, and swap the store root on success. Designed to compose
+    * into the ingest's `afterBatch` seam (micro-batches are sequential,
+    * so maintenance never races a writer). Below the threshold this is a
+    * no-op and serving is untouched — the law q292 pins alongside the
+    * fired arm.
+    *
+    * The swap is two directory renames through a sibling staging root
+    * (write-complete before any rename, so a crash before the swap
+    * leaves the original store intact); a production object-store
+    * deployment would swap a manifest pointer at the same seam. The
+    * consolidated delta keeps the uniform (n_id, lcid, codes) store
+    * schema — `sub` is the WRITER's partitioning concern (q247/q256 gate
+    * that discipline); serving joins `lcid` alone either way.
+    *
+    * @param tombstones optional id frame erased AT compaction
+    *                   ([[compactIndex]]'s arg — one anti-join per cycle)
+    * @return true iff the policy fired and the store was swapped */
+  def maintainIndexStore(spark: org.apache.spark.sql.SparkSession,
+      storeRoot: String, maxDeltas: Int, cap: Long,
+      tombstones: DataFrame = null): Boolean = {
+    require(maxDeltas >= 1, s"maxDeltas must be >= 1, got $maxDeltas")
+    val deltas = indexStoreDeltas(spark, storeRoot)
+    if (deltas.size <= maxDeltas) false
+    else {
+      val snaps = deltas.map(d => spark.read.parquet(s"$storeRoot/delta=$d"))
+      val compacted = compactIndex(snaps, cap, tombstones)
+        .select(col("n_id"), col("lcid"), col("codes"))
+      val root = new org.apache.hadoop.fs.Path(storeRoot)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new org.apache.hadoop.fs.Path(storeRoot + ".compacting")
+      val old = new org.apache.hadoop.fs.Path(storeRoot + ".old")
+      fs.delete(staging, true); fs.delete(old, true)
+      compacted.write.mode("overwrite")
+        .parquet(s"$staging/delta=${deltas.max}")
+      require(fs.rename(root, old) && fs.rename(staging, root),
+        s"store swap failed for $storeRoot")
+      fs.delete(old, true)
+      true
+    }
+  }
+
   /** Load a batch-addressed index store for SERVING: union of the deltas
     * with LATEST-WINS per vector id (a later delta may legitimately
     * re-encode an id — the upsert path), `delta` resolved and dropped.

@@ -840,16 +840,74 @@ object TextAnalysis {
     * buys is bounded file counts and O(1) metadata frames regardless of
     * how many micro-batches ever wrote. Writes to `outPath` (a fresh
     * store dir) — swap-on-success is the caller's move, exactly like an
-    * index compaction cycle. */
+    * index compaction cycle.
+    *
+    * `tombstones` (a frame of bare doc ids) are erased AT compaction —
+    * [[removeDocsById]] folded into the consolidation rewrite, so one
+    * cycle pays deletion and consolidation together (the way the vector
+    * store already works, [[Similarity.compactIndex]]'s tombstones arg):
+    * the deleted side derives from the store's own rows and the
+    * stats/df subtraction happens in the same metadata re-reduction the
+    * rewrite was paying anyway. q295 gates the combined cycle on the
+    * surviving-corpus oracle.
+    * @param batchId when set, the consolidated delta lands
+    *        batch-addressed under `delta=<batchId>/` — REQUIRED when the
+    *        store stays live for further batch-addressed ingest (a bare
+    *        append would mix flat files into a partitioned layout) */
   def compactHybridStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, outPath: String,
       docIdCol: String, textCol: String,
-      embIdCol: String, vecCol: String): Unit = {
-    val hc = readHybridCorpus(spark, storePath, docIdCol, textCol,
+      embIdCol: String, vecCol: String,
+      tombstones: DataFrame = null,
+      batchId: Option[Long] = None): Unit = {
+    val hc0 = readHybridCorpus(spark, storePath, docIdCol, textCol,
       embIdCol, vecCol)
+    val hc = if (tombstones == null) hc0 else removeDocsById(hc0, tombstones)
     // readHybridCorpus already re-reduces stats/alldf; writing the result
     // back as one delta IS the consolidation
-    writeHybridCorpusDelta(hc, outPath)
+    writeHybridCorpusDelta(hc, outPath, batchId)
+  }
+
+  /** The compaction TRIGGER POLICY for a live postings store —
+    * [[Similarity.maintainIndexStore]]'s lexical twin: fire
+    * [[compactHybridStore]] when the store's own metadata says the delta
+    * count exceeded `maxDeltas` (the stats frame holds exactly one row
+    * per delta, so the threshold is a metadata-row count — never an
+    * external counter that could drift from what's durable), consolidate
+    * into ONE delta carrying the highest covered batch id, and swap the
+    * store root on success (two renames through a sibling staging dir;
+    * write-complete before any rename, so a crash before the swap leaves
+    * the original store intact). Composes into [[ingestPostingsStream]]'s
+    * `afterBatch` seam — micro-batches are sequential, so maintenance
+    * never races a writer. Below the threshold this is a no-op and
+    * serving is untouched — the law q293 pins alongside the fired arm.
+    * @param tombstones optional bare-id frame erased at compaction
+    * @return true iff the policy fired and the store was swapped */
+  def maintainHybridStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, maxDeltas: Int,
+      docIdCol: String, textCol: String, embIdCol: String, vecCol: String,
+      tombstones: DataFrame = null): Boolean = {
+    require(maxDeltas >= 1, s"maxDeltas must be >= 1, got $maxDeltas")
+    val nDeltas = spark.read.parquet(s"$storePath/stats").count()
+    if (nDeltas <= maxDeltas) false
+    else {
+      // highest covered batch id, read off the store's partition layout
+      // (partition values are directory names — small ids infer as ints,
+      // hence the explicit cast)
+      val maxId = spark.read.parquet(s"$storePath/stats")
+        .agg(max(col("delta").cast("long"))).head().getLong(0)
+      val root = new org.apache.hadoop.fs.Path(storePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new org.apache.hadoop.fs.Path(storePath + ".compacting")
+      val old = new org.apache.hadoop.fs.Path(storePath + ".old")
+      fs.delete(staging, true); fs.delete(old, true)
+      compactHybridStore(spark, storePath, staging.toString,
+        docIdCol, textCol, embIdCol, vecCol, tombstones, Some(maxId))
+      require(fs.rename(root, old) && fs.rename(staging, root),
+        s"store swap failed for $storePath")
+      fs.delete(old, true)
+      true
+    }
   }
 
   /** Persist one prepared-corpus DELTA into a postings STORE directory —

@@ -504,6 +504,49 @@ class TextAnalysisSpec extends SparkTestBase {
     noop.stats.collect().toSeq shouldBe full.stats.collect().toSeq
   }
 
+  test("maintainHybridStore: no-op below threshold, consolidates+swaps above, tombstones erased at compaction") {
+    val docs = Seq((0L, "spark joins fast"), (1L, "slow scans spark"),
+      (2L, "fast fast joins"), (3L, "spark spark spark"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_hmaint").toString
+    def delta(r: Long) = TextAnalysis.writeHybridCorpusDelta(
+      TextAnalysis.prepareHybridCorpus(docs.where(col("doc_id") % 2 === r),
+        "doc_id", "text", null, null, null),
+      root, Some(r))
+    delta(0L); delta(1L)
+    def read() = TextAnalysis.readHybridCorpus(spark, root,
+      "doc_id", "text", null, null)
+    val expectedDf = read().alldf.orderBy("t").collect().toSeq
+    // below threshold: no-op
+    TextAnalysis.maintainHybridStore(spark, root, maxDeltas = 2,
+      "doc_id", "text", null, null) shouldBe false
+    spark.read.parquet(s"$root/stats").count() shouldBe 2L
+    // above threshold: one consolidated delta, same reduced metadata
+    TextAnalysis.maintainHybridStore(spark, root, maxDeltas = 1,
+      "doc_id", "text", null, null) shouldBe true
+    spark.read.parquet(s"$root/stats").count() shouldBe 1L
+    read().alldf.orderBy("t").collect().toSeq shouldBe expectedDf
+    // tombstones at compaction: new docs arrive as a later delta, then one
+    // cycle pays erasure (docs 1 and 3) + consolidation together — the
+    // result must equal preparing the surviving corpus from scratch
+    val more = Seq((4L, "joins beat scans"), (5L, "spark scans"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeHybridCorpusDelta(
+      TextAnalysis.prepareHybridCorpus(more, "doc_id", "text", null, null, null),
+      root, Some(2L))
+    TextAnalysis.maintainHybridStore(spark, root, maxDeltas = 1,
+      "doc_id", "text", null, null,
+      tombstones = Seq(1L, 3L).toDF("doc_id")) shouldBe true
+    val survivors = TextAnalysis.prepareHybridCorpus(
+      docs.where(col("doc_id") % 2 === 0).unionByName(more),
+      "doc_id", "text", null, null, null)
+    read().alldf.orderBy("t").collect().toSeq shouldBe
+      survivors.alldf.orderBy("t").collect().toSeq
+    read().stats.collect().toSeq shouldBe survivors.stats.collect().toSeq
+    read().dl.orderBy("doc_id").collect().toSeq shouldBe
+      survivors.dl.orderBy("doc_id").collect().toSeq
+  }
+
   test("readHybridCorpus: store-shape guard fails loud when embIdCol disagrees with the emb/ dir") {
     val docs = Seq((0L, "spark joins fast"), (1L, "slow scans"))
       .toDF("doc_id", "text")
