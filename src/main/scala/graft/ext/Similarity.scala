@@ -937,13 +937,15 @@ object Similarity {
     * no-op and serving is untouched — the law q292 pins alongside the
     * fired arm.
     *
-    * The swap is two directory renames through a sibling staging root
-    * (write-complete before any rename, so a crash before the swap
-    * leaves the original store intact); a production object-store
-    * deployment would swap a manifest pointer at the same seam. The
-    * consolidated delta keeps the uniform (n_id, lcid, codes) store
-    * schema — `sub` is the WRITER's partitioning concern (q247/q256 gate
-    * that discipline); serving joins `lcid` alone either way.
+    * The swap runs [[graft.util.StoreSwap]]'s crash-recoverable protocol
+    * (write-complete staging + marker, fixed-order renames; every cycle
+    * first repairs any interrupted predecessor), so a crash at ANY point
+    * leaves either the old store or the new one installable — never a
+    * missing or half-written root; a production object-store deployment
+    * would swap a manifest pointer at the same seam. The consolidated
+    * delta keeps the uniform (n_id, lcid, codes) store schema — `sub` is
+    * the WRITER's partitioning concern (q247/q256 gate that discipline);
+    * serving joins `lcid` alone either way.
     *
     * @param tombstones optional id frame erased AT compaction
     *                   ([[compactIndex]]'s arg — one anti-join per cycle)
@@ -952,22 +954,19 @@ object Similarity {
       storeRoot: String, maxDeltas: Int, cap: Long,
       tombstones: DataFrame = null): Boolean = {
     require(maxDeltas >= 1, s"maxDeltas must be >= 1, got $maxDeltas")
+    val fs = new org.apache.hadoop.fs.Path(storeRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.StoreSwap.recover(fs, storeRoot)
     val deltas = indexStoreDeltas(spark, storeRoot)
     if (deltas.size <= maxDeltas) false
     else {
       val snaps = deltas.map(d => spark.read.parquet(s"$storeRoot/delta=$d"))
       val compacted = compactIndex(snaps, cap, tombstones)
         .select(col("n_id"), col("lcid"), col("codes"))
-      val root = new org.apache.hadoop.fs.Path(storeRoot)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staging = new org.apache.hadoop.fs.Path(storeRoot + ".compacting")
-      val old = new org.apache.hadoop.fs.Path(storeRoot + ".old")
-      fs.delete(staging, true); fs.delete(old, true)
+      val staging = graft.util.StoreSwap.begin(fs, storeRoot)
       compacted.write.mode("overwrite")
         .parquet(s"$staging/delta=${deltas.max}")
-      require(fs.rename(root, old) && fs.rename(staging, root),
-        s"store swap failed for $storeRoot")
-      fs.delete(old, true)
+      graft.util.StoreSwap.commit(fs, storeRoot)
       true
     }
   }

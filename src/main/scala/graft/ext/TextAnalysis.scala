@@ -875,9 +875,10 @@ object TextAnalysis {
     * per delta, so the threshold is a metadata-row count — never an
     * external counter that could drift from what's durable), consolidate
     * into ONE delta carrying the highest covered batch id, and swap the
-    * store root on success (two renames through a sibling staging dir;
-    * write-complete before any rename, so a crash before the swap leaves
-    * the original store intact). Composes into [[ingestPostingsStream]]'s
+    * store root on success via [[graft.util.StoreSwap]]'s
+    * crash-recoverable protocol (write-complete staging + marker,
+    * fixed-order renames; every cycle first repairs any interrupted
+    * predecessor). Composes into [[ingestPostingsStream]]'s
     * `afterBatch` seam — micro-batches are sequential, so maintenance
     * never races a writer. Below the threshold this is a no-op and
     * serving is untouched — the law q293 pins alongside the fired arm.
@@ -888,6 +889,9 @@ object TextAnalysis {
       docIdCol: String, textCol: String, embIdCol: String, vecCol: String,
       tombstones: DataFrame = null): Boolean = {
     require(maxDeltas >= 1, s"maxDeltas must be >= 1, got $maxDeltas")
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.StoreSwap.recover(fs, storePath)
     val nDeltas = spark.read.parquet(s"$storePath/stats").count()
     if (nDeltas <= maxDeltas) false
     else {
@@ -896,16 +900,10 @@ object TextAnalysis {
       // hence the explicit cast)
       val maxId = spark.read.parquet(s"$storePath/stats")
         .agg(max(col("delta").cast("long"))).head().getLong(0)
-      val root = new org.apache.hadoop.fs.Path(storePath)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staging = new org.apache.hadoop.fs.Path(storePath + ".compacting")
-      val old = new org.apache.hadoop.fs.Path(storePath + ".old")
-      fs.delete(staging, true); fs.delete(old, true)
+      val staging = graft.util.StoreSwap.begin(fs, storePath)
       compactHybridStore(spark, storePath, staging.toString,
         docIdCol, textCol, embIdCol, vecCol, tombstones, Some(maxId))
-      require(fs.rename(root, old) && fs.rename(staging, root),
-        s"store swap failed for $storePath")
-      fs.delete(old, true)
+      graft.util.StoreSwap.commit(fs, storePath)
       true
     }
   }
