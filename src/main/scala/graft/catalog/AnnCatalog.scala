@@ -2290,17 +2290,22 @@ private[graft] object AnnCatalog {
 
     // COMPACTION TRIGGER POLICY, live in the ingest loop — q277 compacts
     // once, manually; production needs the WHEN: maintainIndexStore fires
-    // compactIndex when the store's own layout says the delta count
-    // exceeded the threshold (one FS listing — never an external counter),
-    // consolidates to ONE delta, and swaps the root — composed into the
-    // ingest's afterBatch seam so the policy runs exactly where a live
-    // deployment runs it. Two arms share the stream: the POLICY arm
-    // (threshold 1) must fire twice across 3 micro-batches and end
-    // bounded at one delta; the CONTROL arm (threshold 10) must never
-    // fire and keep all 3 deltas — and BOTH must serve identically
-    // (below-threshold maintenance is a no-op on results, firing
-    // maintenance is result-identical by q256's compaction law), gated
-    // on q212's oracle VERBATIM.
+    // compactIndex when the store's own layout says the COMMITTED delta
+    // count exceeded the threshold (one FS listing — never an external
+    // counter), consolidates to ONE delta, and swaps the root — composed
+    // into the ingest's beforeBatch seam with onlyBelow = the current
+    // batch id, the replay-safe placement: committed deltas can never be
+    // rewritten by an at-least-once replay, and the one replayable delta
+    // (the in-flight batch's) is never folded into a consolidation it
+    // would then overwrite (q297 proves the actual crash). Two arms share
+    // the stream: the POLICY arm (threshold 1) fires once in-stream
+    // (beforeBatch(2): deltas {0,1} committed) and once more at rest
+    // (stream terminated ⇒ everything committed), ending bounded at one
+    // delta; the CONTROL arm (threshold 10) must never fire and keep all
+    // 3 deltas — and BOTH must serve identically (below-threshold
+    // maintenance is a no-op on results, firing maintenance is
+    // result-identical by q256's compaction law), gated on q212's oracle
+    // VERBATIM.
     ("q292_index_compact_policy", (s, dir) => {
       val emb = T(s, dir, "embeddings")
       val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
@@ -2322,9 +2327,9 @@ private[graft] object AnnCatalog {
             s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
               .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vectors"),
             cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)(
-            Similarity.idempotentIndexSink(storeDir, afterBatch = _ =>
+            Similarity.idempotentIndexSink(storeDir, beforeBatch = b =>
               if (Similarity.maintainIndexStore(s, storeDir, maxDeltas,
-                  cap = 16L))
+                  cap = 16L, onlyBelow = Some(b)))
                 fired.incrementAndGet()))
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -2341,10 +2346,18 @@ private[graft] object AnnCatalog {
           "below-threshold policy must never fire")
       }
       val controlDir = s"$controlRoot/store"
-      require(policyFired == 2,
-        s"threshold-1 policy must fire at batches 1 and 2, fired $policyFired")
+      require(policyFired == 1,
+        s"threshold-1 policy must fire once in-stream (beforeBatch(2): " +
+          s"committed deltas {0,1}), fired $policyFired")
+      require(Similarity.indexStoreDeltas(s, policyDir) == Seq(1L, 2L),
+        "in-stream policy must leave the consolidated delta + the final batch")
+      // at rest the stream has terminated ⇒ every delta is committed; the
+      // same policy with no exclusion finishes the consolidation
+      require(Similarity.maintainIndexStore(s, policyDir, maxDeltas = 1,
+          cap = 16L),
+        "at-rest maintenance over threshold must fire")
       require(Similarity.indexStoreDeltas(s, policyDir) == Seq(2L),
-        "fired policy must leave ONE consolidated delta at the max batch id")
+        "at-rest maintenance must leave ONE consolidated delta")
       require(Similarity.indexStoreDeltas(s, controlDir) == Seq(0L, 1L, 2L),
         "below-threshold policy must keep every delta")
       def serve(d: String) = Similarity.ivfPqResidualStoredTopK(
@@ -2412,6 +2425,76 @@ private[graft] object AnnCatalog {
           k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
     }, Some(ivfAdcUpsertOracle("vec_id % 9 = 8",
-      "list_transform(vec, x -> -x)")))
+      "list_transform(vec, x -> -x)"))),
+
+
+    // CRASH × POLICY × REPLAY, composed — the failure mode that made the
+    // policy's SEAM PLACEMENT matter: with maintenance in afterBatch
+    // compacting ALL deltas, a crash after a fire but before the offset
+    // commit replays the batch, whose delta=<b> overwrite then collides
+    // with a consolidation that already folded its rows in (lost rows on
+    // the index store, double counts on the postings store). The
+    // beforeBatch + onlyBelow placement makes the composition safe by
+    // construction; this gate proves it the hard way: threshold-1 policy
+    // fires at beforeBatch(2) (consolidating committed deltas {0,1}),
+    // the crash hits AFTER delta=2 is durable but BEFORE its commit, the
+    // restart replays batch 2 — whose beforeBatch sees only committed
+    // {1} (no refire) and whose sink overwrites its own delta — and the
+    // store must hold every id exactly once and serve q212's oracle
+    // VERBATIM.
+    ("q297_index_policy_replay", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
+        val cent = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cbRes = Similarity.pqCodebookByStride(
+          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+          "vec_id", "res", m = 4, subDim = 16, stride = 50)
+        cent.write.mode("overwrite").parquet(s"$p/centroids")
+        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
+        emb.select(col("vec_id"), col("embedding"))
+          .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
+      }
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_q297_store").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q297_ckpt").toString
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run() = Similarity.ingestIndexStream(
+          s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vectors"),
+          cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)(
+          Similarity.idempotentIndexSink(storeDir,
+            beforeBatch = b =>
+              if (Similarity.maintainIndexStore(s, storeDir, maxDeltas = 1,
+                  cap = 16L, onlyBelow = Some(b)))
+                fired.incrementAndGet(),
+            afterBatch = b =>
+              if (b == 2L && !crashed.getAndSet(true))
+                throw new RuntimeException(
+                  "injected crash: delta durable, policy fired, offset not committed")))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try { run().awaitTermination(); sys.error("crash did not fire") }
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+      run().awaitTermination() // batch 2 REPLAYS over the compacted store
+      require(crashed.get && fired.get == 1,
+        s"policy must fire exactly once (got ${fired.get}) and the crash must run")
+      require(Similarity.indexStoreDeltas(s, storeDir) == Seq(1L, 2L),
+        "store must hold the consolidated delta + the replayed batch")
+      val raw = s.read.parquet(storeDir)
+      require(raw.count() == raw.select(col("n_id")).distinct().count(),
+        "replay over a compacted store lost or duplicated index rows")
+      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
+        Similarity.readIndexStore(s, storeDir), cent, cb,
+        "vec_id", "cid", "embedding",
+        k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(ivfAdcFullOracle))
   )
 }

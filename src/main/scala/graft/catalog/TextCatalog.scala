@@ -1604,11 +1604,14 @@ private[graft] object TextCatalog {
     // twin: maintainHybridStore fires when the store's own metadata says
     // so (the stats frame holds one row per delta, so the threshold is a
     // metadata-row count), consolidates to ONE delta and swaps the root,
-    // composed into the ingest's afterBatch seam. Policy arm (threshold
-    // 1) fires twice across 3 micro-batches and ends at one stats row on
-    // disk; control arm (threshold 10) never fires and keeps 3 — and
-    // both serve q268's oracle-identical answers (consolidation changes
-    // nothing; NOT consolidating changes nothing either).
+    // composed into the ingest's beforeBatch seam with onlyBelow = the
+    // current batch id — the replay-safe placement (only COMMITTED
+    // deltas are ever folded into a consolidation; q298 proves the
+    // actual crash). Policy arm (threshold 1) fires once in-stream and
+    // once at rest, ending at one stats row on disk; control arm
+    // (threshold 10) never fires and keeps 3 — and both serve q268's
+    // oracle-identical answers (consolidation changes nothing; NOT
+    // consolidating changes nothing either).
     ("q293_postings_compact_policy", (s, dir) => {
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
@@ -1625,9 +1628,10 @@ private[graft] object TextCatalog {
               .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
               .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus"),
             "doc_id", "text", "vec_id", "embedding", storeDir,
-            afterBatch = _ =>
+            beforeBatch = b =>
               if (TextAnalysis.maintainHybridStore(s, storeDir, maxDeltas,
-                  "doc_id", "text", "vec_id", "embedding"))
+                  "doc_id", "text", "vec_id", "embedding",
+                  onlyBelow = Some(b)))
                 fired.incrementAndGet())
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -1645,10 +1649,17 @@ private[graft] object TextCatalog {
           "below-threshold policy must never fire")
       }
       val controlDir = s"$controlRoot/store"
-      require(policyFired == 2,
-        s"threshold-1 policy must fire at batches 1 and 2, fired $policyFired")
+      require(policyFired == 1,
+        s"threshold-1 policy must fire once in-stream (beforeBatch(2): " +
+          s"committed deltas {0,1}), fired $policyFired")
+      require(s.read.parquet(s"$policyDir/stats").count() == 2L,
+        "in-stream policy must leave the consolidated delta + the final batch")
+      // at rest the stream has terminated ⇒ every delta is committed
+      require(TextAnalysis.maintainHybridStore(s, policyDir, maxDeltas = 1,
+          "doc_id", "text", "vec_id", "embedding"),
+        "at-rest maintenance over threshold must fire")
       require(s.read.parquet(s"$policyDir/stats").count() == 1L,
-        "fired policy must leave ONE consolidated stats row on disk")
+        "at-rest maintenance must leave ONE consolidated stats row on disk")
       require(s.read.parquet(s"$controlDir/stats").count() == 3L,
         "below-threshold policy must keep every delta")
       val queries = docs.where(col("doc_id") < 6)
@@ -1804,6 +1815,67 @@ private[graft] object TextCatalog {
         SELECT q_id, n_id, rank_v FROM (
           SELECT q_id, n_id,
             row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank_v
-          FROM xscored) WHERE rank_v <= 10)""")))
+          FROM xscored) WHERE rank_v <= 10)"""))),
+
+
+    // CRASH × POLICY × REPLAY on the postings store — q297's lexical
+    // twin, where the unsafe composition's failure is DOUBLE COUNTING: a
+    // consolidation that folded an uncommitted batch in, then a replay
+    // re-appending the same postings, shifts every df/stats value and so
+    // every BM25 score. The beforeBatch + onlyBelow placement prevents
+    // it by construction; the gate crashes after batch 2's delta is
+    // durable (policy already fired on committed {0,1}), replays batch 2
+    // over the compacted store, and requires checkUnique (the loud
+    // double-count audit) + q268's oracle VERBATIM.
+    ("q298_postings_policy_replay", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
+        docs.select(col("doc_id"), col("text"))
+          .join(emb.select(col("vec_id"), col("embedding")),
+            col("doc_id") === col("vec_id"), "full_outer")
+          .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
+      }
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_q298_store").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q298_ckpt").toString
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run() = TextAnalysis.ingestPostingsStream(
+          s.readStream
+            .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus"),
+          "doc_id", "text", "vec_id", "embedding", storeDir,
+          beforeBatch = b =>
+            if (TextAnalysis.maintainHybridStore(s, storeDir, maxDeltas = 1,
+                "doc_id", "text", "vec_id", "embedding",
+                onlyBelow = Some(b)))
+              fired.incrementAndGet(),
+          afterBatch = b =>
+            if (b == 2L && !crashed.getAndSet(true))
+              throw new RuntimeException(
+                "injected crash: delta durable, policy fired, offset not committed"))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try { run().awaitTermination(); sys.error("crash did not fire") }
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+      run().awaitTermination() // batch 2 REPLAYS over the compacted store
+      require(crashed.get && fired.get == 1,
+        s"policy must fire exactly once (got ${fired.get}) and the crash must run")
+      require(s.read.parquet(s"$storeDir/stats").count() == 2L,
+        "store must hold the consolidated delta + the replayed batch")
+      // checkUnique IS the double-count audit
+      val hc = TextAnalysis.readHybridCorpus(s, storeDir,
+        "doc_id", "text", "vec_id", "embedding", checkUnique = true)
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      TextAnalysis.hybridRrfTopKPrepared(hc, queries,
+          kArm = 10, kOut = 5, nTerms = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(hybridRrfOracle))
   )
 }

@@ -899,12 +899,26 @@ object Similarity {
     * in parquet form (q290's kill-and-resume gate). The `delta=` spelling
     * makes the batch id a partition column, so snapshot order is readable
     * straight off the store for [[compactIndex]]'s latest-wins.
-    * @param afterBatch ops hook invoked AFTER the delta is durable — the
-    *        seam a store-maintenance policy ([[maintainIndexStore]])
-    *        composes into, and where tests inject crashes */
+    * @param beforeBatch ops hook invoked BEFORE the batch's delta write —
+    *        where a store-maintenance policy ([[maintainIndexStore]] with
+    *        `onlyBelow = Some(batchId)`) composes in: at this point every
+    *        delta below the current batch id is COMMITTED (its offsets
+    *        are in the checkpoint), so compacting them can never collide
+    *        with an at-least-once replay; the current batch's own delta —
+    *        the only replayable one — does not exist yet (or is a doomed
+    *        partial from a crashed attempt, about to be overwritten by
+    *        this very batch)
+    * @param afterBatch ops hook invoked AFTER the delta is durable but
+    *        BEFORE the offset commit — metrics, and where tests inject
+    *        crashes to exercise the replay path. Running a compaction
+    *        HERE would be unsafe: the just-written delta is uncommitted,
+    *        and folding it into a consolidated delta that a replay then
+    *        overwrites loses or double-counts its rows */
   def idempotentIndexSink(storeRoot: String,
-      afterBatch: Long => Unit = _ => ()): (DataFrame, Long) => Unit =
+      afterBatch: Long => Unit = _ => (),
+      beforeBatch: Long => Unit = _ => ()): (DataFrame, Long) => Unit =
     (idx, batchId) => {
+      beforeBatch(batchId)
       idx.write.mode("overwrite").parquet(s"$storeRoot/delta=$batchId")
       afterBatch(batchId)
     }
@@ -949,15 +963,26 @@ object Similarity {
     *
     * @param tombstones optional id frame erased AT compaction
     *                   ([[compactIndex]]'s arg — one anti-join per cycle)
+    * @param onlyBelow when maintaining a store a LIVE ingest is still
+    *        writing (the `beforeBatch(b)` seam), pass `Some(b)`: only
+    *        deltas below the current batch id are compacted — they are
+    *        committed, so a replay can never rewrite one — and any delta
+    *        ≥ b (a doomed partial from a crashed attempt, about to be
+    *        overwritten by the in-flight batch) is dropped with the swap
+    *        rather than folded into a consolidated delta it would then
+    *        double-count against. At-rest maintenance passes None and
+    *        compacts everything.
     * @return true iff the policy fired and the store was swapped */
   def maintainIndexStore(spark: org.apache.spark.sql.SparkSession,
       storeRoot: String, maxDeltas: Int, cap: Long,
-      tombstones: DataFrame = null): Boolean = {
+      tombstones: DataFrame = null,
+      onlyBelow: Option[Long] = None): Boolean = {
     require(maxDeltas >= 1, s"maxDeltas must be >= 1, got $maxDeltas")
     val fs = new org.apache.hadoop.fs.Path(storeRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.util.StoreSwap.recover(fs, storeRoot)
     val deltas = indexStoreDeltas(spark, storeRoot)
+      .filter(d => onlyBelow.forall(d < _))
     if (deltas.size <= maxDeltas) false
     else {
       val snaps = deltas.map(d => spark.read.parquet(s"$storeRoot/delta=$d"))

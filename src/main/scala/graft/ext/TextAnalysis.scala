@@ -859,9 +859,10 @@ object TextAnalysis {
       docIdCol: String, textCol: String,
       embIdCol: String, vecCol: String,
       tombstones: DataFrame = null,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None,
+      deltaBelow: Option[Long] = None): Unit = {
     val hc0 = readHybridCorpus(spark, storePath, docIdCol, textCol,
-      embIdCol, vecCol)
+      embIdCol, vecCol, deltaBelow = deltaBelow)
     val hc = if (tombstones == null) hc0 else removeDocsById(hc0, tombstones)
     // readHybridCorpus already re-reduces stats/alldf; writing the result
     // back as one delta IS the consolidation
@@ -883,26 +884,42 @@ object TextAnalysis {
     * never races a writer. Below the threshold this is a no-op and
     * serving is untouched — the law q293 pins alongside the fired arm.
     * @param tombstones optional bare-id frame erased at compaction
+    * @param onlyBelow when maintaining a store a LIVE ingest is still
+    *        writing (the `beforeBatch(b)` seam), pass `Some(b)`: only
+    *        COMMITTED deltas (below the current batch id) are counted
+    *        and compacted — a replay can never rewrite one — and any
+    *        delta ≥ b (a doomed partial from a crashed attempt, about to
+    *        be overwritten by the in-flight batch) is dropped with the
+    *        swap rather than double-counted. At-rest maintenance passes
+    *        None and compacts everything.
     * @return true iff the policy fired and the store was swapped */
   def maintainHybridStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, maxDeltas: Int,
       docIdCol: String, textCol: String, embIdCol: String, vecCol: String,
-      tombstones: DataFrame = null): Boolean = {
+      tombstones: DataFrame = null,
+      onlyBelow: Option[Long] = None): Boolean = {
     require(maxDeltas >= 1, s"maxDeltas must be >= 1, got $maxDeltas")
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.util.StoreSwap.recover(fs, storePath)
-    val nDeltas = spark.read.parquet(s"$storePath/stats").count()
-    if (nDeltas <= maxDeltas) false
+    // a not-yet-written store (the first beforeBatch fires before any
+    // delta exists) trivially has nothing to compact
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/stats")))
+      return false
+    // the threshold reads the store's own metadata: one stats row per
+    // delta (partition values are directory names — small ids infer as
+    // ints, hence the explicit cast)
+    val stats0 = spark.read.parquet(s"$storePath/stats")
+    val stats = onlyBelow.fold(stats0)(b =>
+      stats0.where(col("delta").cast("long") < b))
+    if (stats.count() <= maxDeltas) false
     else {
-      // highest covered batch id, read off the store's partition layout
-      // (partition values are directory names — small ids infer as ints,
-      // hence the explicit cast)
-      val maxId = spark.read.parquet(s"$storePath/stats")
+      val maxId = stats
         .agg(max(col("delta").cast("long"))).head().getLong(0)
       val staging = graft.util.StoreSwap.begin(fs, storePath)
       compactHybridStore(spark, storePath, staging.toString,
-        docIdCol, textCol, embIdCol, vecCol, tombstones, Some(maxId))
+        docIdCol, textCol, embIdCol, vecCol, tombstones, Some(maxId),
+        deltaBelow = onlyBelow)
       graft.util.StoreSwap.commit(fs, storePath)
       true
     }
@@ -954,10 +971,17 @@ object TextAnalysis {
     * [[hybridRrfTopKPrepared]]) consumes raw documents.
     * @param checkUnique verify no doc id was ingested twice (one
     *        doc-count-sized distinct) — the loud form of the append
-    *        contract; default off for hot serve startup. */
+    *        contract; default off for hot serve startup.
+    * @param deltaBelow restrict the read to batch-addressed deltas BELOW
+    *        this id — the maintenance-cycle read of only COMMITTED
+    *        deltas while a live ingest is still writing
+    *        ([[maintainHybridStore]]'s `onlyBelow`); partition pruning
+    *        makes it a directory-level cut, no data read from excluded
+    *        deltas. None reads the whole store. */
   def readHybridCorpus(spark: org.apache.spark.sql.SparkSession, path: String,
       docIdCol: String, textCol: String, embIdCol: String, vecCol: String,
-      checkUnique: Boolean = false): HybridCorpus = {
+      checkUnique: Boolean = false,
+      deltaBelow: Option[Long] = None): HybridCorpus = {
     // store-shape guard: emb presence is a property of the STORE (the
     // writer only appends `emb/` when the corpus had a vector side), so a
     // caller argument that disagrees with the directory layout is a wiring
@@ -978,7 +1002,17 @@ object TextAnalysis {
     // `delta` is the batch-addressed stores' partition column (snapshot
     // order metadata) — layout, not postings; drop is a no-op on stores
     // written as bare appends
-    val dl = spark.read.parquet(s"$path/dl").drop("delta")
+    def frame(sub: String): DataFrame = {
+      val raw = spark.read.parquet(s"$path/$sub")
+      deltaBelow match {
+        case Some(b) =>
+          require(raw.columns.contains("delta"),
+            s"deltaBelow on a store without batch-addressed deltas: $path/$sub")
+          raw.where(col("delta").cast("long") < b).drop("delta")
+        case None => raw.drop("delta")
+      }
+    }
+    val dl = frame("dl")
     if (checkUnique) {
       val dup = dl.groupBy(col(docIdCol)).agg(count(lit(1)).as("__c"))
         .where(col("__c") > 1).limit(1).count()
@@ -986,15 +1020,13 @@ object TextAnalysis {
         s"postings store at $path holds a doc id ingested more than once — " +
           "the append contract requires disjoint per-delta ids")
     }
-    val emb =
-      if (embIdCol == null) null
-      else spark.read.parquet(s"$path/emb").drop("delta")
+    val emb = if (embIdCol == null) null else frame("emb")
     HybridCorpus(null, docIdCol, textCol, emb, embIdCol, vecCol,
-      toks = spark.read.parquet(s"$path/toks").drop("delta"),
+      toks = frame("toks"),
       dl = dl,
-      stats = spark.read.parquet(s"$path/stats")
+      stats = frame("stats")
         .agg(sum(col("__n")).as("__n"), sum(col("__tot")).as("__tot")),
-      alldf = spark.read.parquet(s"$path/alldf")
+      alldf = frame("alldf")
         .groupBy(col("t")).agg(sum(col("df")).as("df")))
   }
 
@@ -1020,18 +1052,29 @@ object TextAnalysis {
     *
     * Returns the un-started writer so the caller owns trigger, checkpoint
     * and start.
+    * @param beforeBatch ops hook invoked BEFORE the batch's delta write —
+    *        where a store-maintenance policy ([[maintainHybridStore]]
+    *        with `onlyBelow = Some(batchId)`) composes in: at this point
+    *        every delta below the current batch id is COMMITTED, so
+    *        compacting them can never collide with an at-least-once
+    *        replay; the current batch's own delta — the only replayable
+    *        one — does not exist yet (or is a doomed partial about to be
+    *        overwritten by this very batch)
     * @param afterBatch ops hook invoked with the batch id AFTER its delta
-    *        is durable — the seam where a store-maintenance policy
-    *        composes into the live ingest (e.g.
-    *        [[maintainHybridStore]]'s threshold-fired compaction) and
-    *        where tests inject crashes to exercise the replay path */
+    *        is durable but BEFORE the offset commit — metrics, and where
+    *        tests inject crashes to exercise the replay path. Running a
+    *        compaction HERE would be unsafe: the just-written delta is
+    *        uncommitted, and folding it into a consolidated delta that a
+    *        replay then overwrites double-counts its postings */
   def ingestPostingsStream(docStream: DataFrame, docIdCol: String,
       textCol: String, embIdCol: String, vecCol: String, storePath: String,
-      afterBatch: Long => Unit = _ => ()):
+      afterBatch: Long => Unit = _ => (),
+      beforeBatch: Long => Unit = _ => ()):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
+        beforeBatch(batchId)
         writeHybridCorpusDelta(prepareHybridCorpus(
           batch.select(col(docIdCol), col(textCol))
             .where(col(docIdCol).isNotNull),
