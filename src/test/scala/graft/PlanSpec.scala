@@ -548,4 +548,44 @@ class PlanSpec extends SparkTestBase {
       p.length should be < 10000
     }
   }
+
+  test("deltaBelow store reads PARTITION-PRUNE the excluded deltas (directory-level cut)") {
+    // the maintenance-cycle claim: reading only committed deltas must be a
+    // partition prune on the delta= directory layout, never a data-page
+    // read-then-filter — at 100 TB the excluded delta could be the freshly
+    // arriving increment, and scanning it to discard it doubles the cycle
+    val root = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val docs = Seq((0L, "spark joins fast"), (1L, "slow scans"),
+      (2L, "fast joins")).toDF("doc_id", "text")
+    for (b <- 0L to 2L)
+      graft.ext.TextAnalysis.writeHybridCorpusDelta(
+        graft.ext.TextAnalysis.prepareHybridCorpus(
+          docs.where(col("doc_id") === b), "doc_id", "text", null, null, null),
+        root, Some(b))
+    val hc = graft.ext.TextAnalysis.readHybridCorpus(spark, root,
+      "doc_id", "text", null, null, deltaBelow = Some(2L))
+    val scans = hc.toks.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    scans should have size 1
+    withClue("the delta<2 cut must land in PartitionFilters, " +
+        "selecting 2 of the 3 delta directories:") {
+      scans.head.selectedPartitions.partitionCount shouldBe 2
+    }
+    // and the cut is correct: only docs 0 and 1 are visible
+    hc.dl.select(col("doc_id")).collect().map(_.getLong(0)).sorted shouldBe
+      Array(0L, 1L)
+    // the index store's latest-wins read keeps `delta` as a plain column
+    // (all deltas consulted by design) — pin that it still reads the
+    // partition layout, not data pages, for the delta values
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_prune_ix").toString
+    val rows = Seq((1L, 0L, Array(1L, 2L)), (2L, 0L, Array(3L, 4L)))
+      .toDF("n_id", "lcid", "codes")
+    rows.write.parquet(s"$idxRoot/delta=0")
+    rows.withColumn("codes", array(lit(9L), lit(9L)))
+      .write.parquet(s"$idxRoot/delta=1")
+    val latest = graft.ext.Similarity.readIndexStore(spark, idxRoot)
+    latest.collect().foreach(r =>
+      r.getSeq[Long](2) shouldBe Seq(9L, 9L)) // delta 1 wins for every id
+  }
 }
