@@ -213,11 +213,18 @@ object Bench {
       val steady = durs.drop(1) // first batch = cold start, as in assertBatchSlo
       if (steady.isEmpty) None else Some(steady.sorted.apply(steady.size / 2))
     }
+    // same vacuous-pass edge as assertBatchSlo: a gate whose run coalesced
+    // into a single (cold) micro-batch has no steady state to grade —
+    // passing it matches the in-body assert and avoids burning clean-window
+    // re-runs on a gate that violated nothing
+    def sloPass(name: String, budget: Long): Boolean =
+      graft.streaming.Observability.batchDurationRecord.get(name) match {
+        case Some(durs) => sloSteadyMedian(durs).forall(_ < budget)
+        case None       => false // budget recorded but no durations: broken gate
+      }
     val sloBudgets = graft.streaming.Observability.serveBudgetRecord
-    def sloFailing: Seq[String] = sloBudgets.keys.toSeq.sorted.filter { n =>
-      !graft.streaming.Observability.batchDurationRecord.get(n)
-        .flatMap(sloSteadyMedian).exists(_ < sloBudgets(n))
-    }
+    def sloFailing: Seq[String] =
+      sloBudgets.keys.toSeq.sorted.filterNot(n => sloPass(n, sloBudgets(n)))
     var sloRound = 0
     while (sloRound < 2 && sloFailing.nonEmpty) {
       val flagged = sloFailing.toSet
@@ -234,7 +241,7 @@ object Bench {
         val med = graft.streaming.Observability.batchDurationRecord.get(n)
           .flatMap(sloSteadyMedian)
         "\"" + n + "\":{\"median_ms\":" + med.getOrElse(-1L) +
-          ",\"budget_ms\":" + b + ",\"pass\":" + med.exists(_ < b) + "}"
+          ",\"budget_ms\":" + b + ",\"pass\":" + sloPass(n, b) + "}"
       }.mkString(""","slo":{""", ",", "}")
     // ----------------------------------------------------------------------
     val results = catalog.collect {
@@ -268,8 +275,12 @@ object Bench {
     // moves BOTH numbers while throttle noise moves only the median —
     // making the next regression diagnosable from this JSON alone
     val totalBest = results.map(_._2.head).sum
-    // a throwing query "benches" at time-to-exception — flag it in the
-    // machine-readable line so a broken engine can never look FAST
+    // a zero-success query records NO samples and is therefore EXCLUDED
+    // from value/value_raw/value_best — a broken engine's totals DROP by
+    // the missing query's former runtime, so totals from a record with a
+    // non-empty "failed" list must never be compared against a clean
+    // round's; the failed list (and the driver's grading of it) is the
+    // loud brand that prevents the false speedup read
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")

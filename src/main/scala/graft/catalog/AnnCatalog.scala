@@ -1437,8 +1437,7 @@ private[graft] object AnnCatalog {
       val cb = s.read.parquet(s"$tmp/codebooks")
       // pin BEFORE serving: every micro-batch re-consumes the index
       val stored = graft.util.Caches.pin(s.read.parquet(s"$tmp/index"))
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft_q252_serve").toString
+      val outDir = scratch("q252_serve")
       val stream = s.readStream
         .schema("vec_id LONG, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/queries")
@@ -1934,23 +1933,10 @@ private[graft] object AnnCatalog {
     // read back only for the gate's serve.
     ("q276_stream_index_ingest", (s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
-        val cent = emb.where(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("cid"), col("embedding"))
-        val cbRes = Similarity.pqCodebookByStride(
-          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
-          "vec_id", "res", m = 4, subDim = 16, stride = 50)
-        cent.write.mode("overwrite").parquet(s"$p/centroids")
-        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
-        // the vector stream: the WHOLE corpus split across 3 files so
-        // AvailableNow + maxFilesPerTrigger=1 yields 3 micro-batches
-        emb.select(col("vec_id"), col("embedding"))
-          .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
-      }
+      val tmp = ivfIngestStaging(s, dir)
       val cent = s.read.parquet(s"$tmp/centroids")
       val cb = s.read.parquet(s"$tmp/codebooks")
-      val storeDir = java.nio.file.Files
-        .createTempDirectory("graft_q276_store").toString
+      val storeDir = scratch("q276_store")
       val stream = s.readStream
         .schema("vec_id LONG, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vectors")
@@ -1980,21 +1966,10 @@ private[graft] object AnnCatalog {
     // eats came from a real stream.
     ("q277_stream_ingest_compact", (s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
-        val cent = emb.where(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("cid"), col("embedding"))
-        val cbRes = Similarity.pqCodebookByStride(
-          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
-          "vec_id", "res", m = 4, subDim = 16, stride = 50)
-        cent.write.mode("overwrite").parquet(s"$p/centroids")
-        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
-        emb.select(col("vec_id"), col("embedding"))
-          .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
-      }
+      val tmp = ivfIngestStaging(s, dir)
       val cent = s.read.parquet(s"$tmp/centroids")
       val cb = s.read.parquet(s"$tmp/codebooks")
-      val snapRoot = java.nio.file.Files
-        .createTempDirectory("graft_q277_snaps").toString
+      val snapRoot = scratch("q277_snaps")
       val seen = scala.collection.mutable.SortedSet[Long]()
       val stream = s.readStream
         .schema("vec_id LONG, embedding ARRAY<FLOAT>")
@@ -2029,17 +2004,7 @@ private[graft] object AnnCatalog {
     // the gate pins that their former index rows never answer.
     ("q282_index_tombstones", (s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
-        val cent = emb.where(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("cid"), col("embedding"))
-        val cbRes = Similarity.pqCodebookByStride(
-          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
-          "vec_id", "res", m = 4, subDim = 16, stride = 50)
-        cent.write.mode("overwrite").parquet(s"$p/centroids")
-        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
-        emb.select(col("vec_id"), col("embedding"))
-          .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
-      }
+      val tmp = ivfIngestStaging(s, dir)
       val cent = s.read.parquet(s"$tmp/centroids")
       val cb = s.read.parquet(s"$tmp/codebooks")
       // the full-corpus index (built once via the q237/q252 artifact path)
@@ -2240,23 +2205,11 @@ private[graft] object AnnCatalog {
     // store (ADVICE r14 #2).
     ("q290_index_ingest_replay", (s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
-        val cent = emb.where(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("cid"), col("embedding"))
-        val cbRes = Similarity.pqCodebookByStride(
-          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
-          "vec_id", "res", m = 4, subDim = 16, stride = 50)
-        cent.write.mode("overwrite").parquet(s"$p/centroids")
-        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
-        emb.select(col("vec_id"), col("embedding"))
-          .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
-      }
+      val tmp = ivfIngestStaging(s, dir)
       val cent = s.read.parquet(s"$tmp/centroids")
       val cb = s.read.parquet(s"$tmp/codebooks")
-      val storeDir = java.nio.file.Files
-        .createTempDirectory("graft_q290_store").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_q290_ckpt").toString
+      val storeDir = scratch("q290_store")
+      val ckpt = scratch("q290_ckpt")
       val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
       def run() = Similarity.ingestIndexStream(
           s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
@@ -2268,11 +2221,7 @@ private[graft] object AnnCatalog {
                 "injected crash: delta durable, offset not committed")))
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      try { run().awaitTermination(); sys.error("crash did not fire") }
-      catch {
-        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
-      }
-      run().awaitTermination() // batch 1 REPLAYS from the checkpoint
+      runWithInjectedCrash(() => run()) // batch 1 REPLAYS from the checkpoint
       require(crashed.get, "the crash injection never ran")
       // replay-idempotence, asserted on the store itself: every vector id
       // exactly once despite batch 1 being written twice
@@ -2308,17 +2257,7 @@ private[graft] object AnnCatalog {
     // VERBATIM.
     ("q292_index_compact_policy", (s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
-        val cent = emb.where(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("cid"), col("embedding"))
-        val cbRes = Similarity.pqCodebookByStride(
-          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
-          "vec_id", "res", m = 4, subDim = 16, stride = 50)
-        cent.write.mode("overwrite").parquet(s"$p/centroids")
-        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
-        emb.select(col("vec_id"), col("embedding"))
-          .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
-      }
+      val tmp = ivfIngestStaging(s, dir)
       val cent = s.read.parquet(s"$tmp/centroids")
       val cb = s.read.parquet(s"$tmp/codebooks")
       def ingest(storeDir: String, maxDeltas: Int): Int = {
@@ -2338,8 +2277,7 @@ private[graft] object AnnCatalog {
       // the POLICY arm stays a live per-pass ingest; the CONTROL arm's
       // store is deterministic and never touched by the policy, so it
       // stages once per JVM (the q252 artifact discipline)
-      val policyDir = java.nio.file.Files
-        .createTempDirectory("graft_q292_store").toString
+      val policyDir = scratch("q292_store")
       val policyFired = ingest(policyDir, maxDeltas = 1)
       val controlRoot = graft.util.Staging.dir("q292_control_store", dir) { p =>
         require(ingest(s"$p/store", maxDeltas = 10) == 0,
@@ -2389,21 +2327,10 @@ private[graft] object AnnCatalog {
     // in-gate.
     ("q294_index_upsert", (s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
-        val cent = emb.where(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("cid"), col("embedding"))
-        val cbRes = Similarity.pqCodebookByStride(
-          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
-          "vec_id", "res", m = 4, subDim = 16, stride = 50)
-        cent.write.mode("overwrite").parquet(s"$p/centroids")
-        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
-        emb.select(col("vec_id"), col("embedding"))
-          .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
-      }
+      val tmp = ivfIngestStaging(s, dir)
       val cent = s.read.parquet(s"$tmp/centroids")
       val cb = s.read.parquet(s"$tmp/codebooks")
-      val storeDir = java.nio.file.Files
-        .createTempDirectory("graft_q294_store").toString
+      val storeDir = scratch("q294_store")
       // delta 0: the full pre-update corpus; delta 1: the updated
       // vectors re-encoded under the frozen model — the upsert
       Similarity.residualIndex(emb, cent, cb,
@@ -2444,23 +2371,11 @@ private[graft] object AnnCatalog {
     // VERBATIM.
     ("q297_index_policy_replay", (s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q276_ingest", dir) { p =>
-        val cent = emb.where(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("cid"), col("embedding"))
-        val cbRes = Similarity.pqCodebookByStride(
-          Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
-          "vec_id", "res", m = 4, subDim = 16, stride = 50)
-        cent.write.mode("overwrite").parquet(s"$p/centroids")
-        cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
-        emb.select(col("vec_id"), col("embedding"))
-          .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
-      }
+      val tmp = ivfIngestStaging(s, dir)
       val cent = s.read.parquet(s"$tmp/centroids")
       val cb = s.read.parquet(s"$tmp/codebooks")
-      val storeDir = java.nio.file.Files
-        .createTempDirectory("graft_q297_store").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_q297_ckpt").toString
+      val storeDir = scratch("q297_store")
+      val ckpt = scratch("q297_ckpt")
       val fired = new java.util.concurrent.atomic.AtomicInteger(0)
       val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
       def run() = Similarity.ingestIndexStream(
@@ -2478,11 +2393,7 @@ private[graft] object AnnCatalog {
                   "injected crash: delta durable, policy fired, offset not committed")))
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      try { run().awaitTermination(); sys.error("crash did not fire") }
-      catch {
-        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
-      }
-      run().awaitTermination() // batch 2 REPLAYS over the compacted store
+      runWithInjectedCrash(() => run()) // batch 2 REPLAYS over the compacted store
       require(crashed.get && fired.get == 1,
         s"policy must fire exactly once (got ${fired.get}) and the crash must run")
       require(Similarity.indexStoreDeltas(s, storeDir) == Seq(1L, 2L),

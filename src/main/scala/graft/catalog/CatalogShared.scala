@@ -58,6 +58,72 @@ private[graft] object CatalogShared {
     s2
   }
 
+  /** Per-run scratch dir at a FIXED path per label: deleted and recreated
+    * on every call, so repeated bench/verify passes reuse ONE disk
+    * footprint per gate instead of accumulating abandoned temp stores
+    * (the store-lifecycle gates otherwise leave a full index/postings
+    * copy + checkpoint in /tmp per pass). Single-threaded use only — the
+    * catalog runs queries sequentially. */
+  def scratch(label: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_scratch_$label")
+    graft.util.Fs.deleteRecursively(p)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  /** The residual-IVFADC ingest fixture shared by q276/q277/q282/q290/
+    * q292/q294/q297: frozen model artifacts (stride-picked centroids,
+    * stride-50 residual codebooks) + the corpus split across 3 files so
+    * AvailableNow + maxFilesPerTrigger=1 yields 3 REAL micro-batches.
+    * Staged once per JVM per sfDir; every gate MUST go through this one
+    * definition so the artifact content can never depend on catalog
+    * execution order. */
+  def ivfIngestStaging(s: SparkSession, dir: String): String =
+    graft.util.Staging.dir("q276_ingest", dir) { p =>
+      val emb = T(s, dir, "embeddings")
+      val cent = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cbRes = Similarity.pqCodebookByStride(
+        Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
+        "vec_id", "res", m = 4, subDim = 16, stride = 50)
+      cent.write.mode("overwrite").parquet(s"$p/centroids")
+      cbRes.write.mode("overwrite").parquet(s"$p/codebooks")
+      emb.select(col("vec_id"), col("embedding"))
+        .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
+    }
+
+  /** The streamed-corpus fixture shared by q278/q284/q291/q293/q295/q298:
+    * (doc, vector) rows FULL OUTER joined — the fixture tables are NOT
+    * 1:1 at every scale (sf0.1 ships 5000 docs but 2000 embeddings; an
+    * inner join would silently drop text-only docs from the postings
+    * store) — split across 3 files for 3 real micro-batches. One
+    * definition for the same execution-order reason as
+    * [[ivfIngestStaging]]. */
+  def corpusStreamStaging(s: SparkSession, dir: String): String =
+    graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      docs.select(col("doc_id"), col("text"))
+        .join(emb.select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"), "full_outer")
+        .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
+    }
+
+  /** Kill-and-resume harness for the crash-injection gates (q290/q291/
+    * q297/q298): the first run must die on the injected crash (a gate
+    * whose injection never fired is asserting nothing — fail loudly),
+    * the second run restarts from the same checkpoint so the interrupted
+    * batch REPLAYS. */
+  def runWithInjectedCrash(
+      mk: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    try { mk().awaitTermination(); sys.error("injected crash did not fire") }
+    catch {
+      case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+    }
+    mk().awaitTermination()
+  }
+
   /** Per-JVM memo of the 8-merge tokenizer MODEL per sfDir — the Staging
     * discipline applied to model artifacts: a dozen catalog queries
     * downstream of training (tokenize, ids, packing, streaming serve,

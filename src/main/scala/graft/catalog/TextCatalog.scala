@@ -1159,8 +1159,7 @@ private[graft] object TextCatalog {
         dl = graft.util.Caches.pin(hc0.dl),
         stats = graft.util.Caches.pin(hc0.stats),
         alldf = graft.util.Caches.pin(hc0.alldf))
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft_q270_serve").toString
+      val outDir = scratch("q270_serve")
       val stream = s2.readStream
         .schema("q_id LONG, text STRING, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/queries")
@@ -1247,8 +1246,7 @@ private[graft] object TextCatalog {
         .select(col("doc_id"),
           size(filter(TextAnalysis.words(col("text")), w => w =!= ""))
             .cast("long").as("n_tokens")))
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft_q275_serve").toString
+      val outDir = scratch("q275_serve")
       val stream = s2.readStream
         .schema("q_id LONG, text STRING, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/queries")
@@ -1292,19 +1290,8 @@ private[graft] object TextCatalog {
     ("q278_stream_postings_ingest", (s, dir) => {
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
-        // FULL OUTER: the fixture tables are NOT 1:1 at every scale
-        // (sf0.1 ships 5000 docs but 2000 embeddings) — an inner join
-        // here would silently drop text-only docs from the postings
-        // store; the ingest's per-side null-id filters make the outer
-        // stream exact
-        docs.select(col("doc_id"), col("text"))
-          .join(emb.select(col("vec_id"), col("embedding")),
-            col("doc_id") === col("vec_id"), "full_outer")
-          .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
-      }
-      val storeDir = java.nio.file.Files
-        .createTempDirectory("graft_q278_store").toString
+      val tmp = corpusStreamStaging(s, dir)
+      val storeDir = scratch("q278_store")
       val stream = s.readStream
         .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus")
@@ -1404,19 +1391,8 @@ private[graft] object TextCatalog {
     ("q284_postings_compaction", (s, dir) => {
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
-        // FULL OUTER: the fixture tables are NOT 1:1 at every scale
-        // (sf0.1 ships 5000 docs but 2000 embeddings) — an inner join
-        // here would silently drop text-only docs from the postings
-        // store; the ingest's per-side null-id filters make the outer
-        // stream exact
-        docs.select(col("doc_id"), col("text"))
-          .join(emb.select(col("vec_id"), col("embedding")),
-            col("doc_id") === col("vec_id"), "full_outer")
-          .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
-      }
-      val storeDir = java.nio.file.Files
-        .createTempDirectory("graft_q284_store").toString
+      val tmp = corpusStreamStaging(s, dir)
+      val storeDir = scratch("q284_store")
       val stream = s.readStream
         .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus")
@@ -1424,8 +1400,7 @@ private[graft] object TextCatalog {
           "doc_id", "text", "vec_id", "embedding", storeDir)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val compactDir = java.nio.file.Files
-        .createTempDirectory("graft_q284_compact").toString
+      val compactDir = scratch("q284_compact")
       TextAnalysis.compactHybridStore(s, storeDir, compactDir,
         "doc_id", "text", "vec_id", "embedding")
       // the consolidation really happened: one stats row on disk (q278's
@@ -1560,16 +1535,9 @@ private[graft] object TextCatalog {
     ("q291_postings_ingest_replay", (s, dir) => {
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
-        docs.select(col("doc_id"), col("text"))
-          .join(emb.select(col("vec_id"), col("embedding")),
-            col("doc_id") === col("vec_id"), "full_outer")
-          .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
-      }
-      val storeDir = java.nio.file.Files
-        .createTempDirectory("graft_q291_store").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_q291_ckpt").toString
+      val tmp = corpusStreamStaging(s, dir)
+      val storeDir = scratch("q291_store")
+      val ckpt = scratch("q291_ckpt")
       val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
       def run() = TextAnalysis.ingestPostingsStream(
           s.readStream
@@ -1582,11 +1550,7 @@ private[graft] object TextCatalog {
                 "injected crash: delta durable, offset not committed"))
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      try { run().awaitTermination(); sys.error("crash did not fire") }
-      catch {
-        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
-      }
-      run().awaitTermination() // batch 1 REPLAYS from the checkpoint
+      runWithInjectedCrash(() => run()) // batch 1 REPLAYS from the checkpoint
       require(crashed.get, "the crash injection never ran")
       // checkUnique IS the replay audit: duplicated doc ids fail loudly
       val hc = TextAnalysis.readHybridCorpus(s, storeDir,
@@ -1615,12 +1579,7 @@ private[graft] object TextCatalog {
     ("q293_postings_compact_policy", (s, dir) => {
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
-        docs.select(col("doc_id"), col("text"))
-          .join(emb.select(col("vec_id"), col("embedding")),
-            col("doc_id") === col("vec_id"), "full_outer")
-          .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
-      }
+      val tmp = corpusStreamStaging(s, dir)
       def ingest(storeDir: String, maxDeltas: Int): Int = {
         val fired = new java.util.concurrent.atomic.AtomicInteger(0)
         val q = TextAnalysis.ingestPostingsStream(
@@ -1641,8 +1600,7 @@ private[graft] object TextCatalog {
       // test); the CONTROL arm's store is deterministic and never touched
       // by the policy, so it stages once per JVM (the q252 artifact
       // discipline) — its law costs a serve per pass, not a re-ingest
-      val policyDir = java.nio.file.Files
-        .createTempDirectory("graft_q293_store").toString
+      val policyDir = scratch("q293_store")
       val policyFired = ingest(policyDir, maxDeltas = 1)
       val controlRoot = graft.util.Staging.dir("q293_control_store", dir) { p =>
         require(ingest(s"$p/store", maxDeltas = 10) == 0,
@@ -1689,14 +1647,8 @@ private[graft] object TextCatalog {
     ("q295_postings_tombstone_compaction", (s, dir) => {
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
-        docs.select(col("doc_id"), col("text"))
-          .join(emb.select(col("vec_id"), col("embedding")),
-            col("doc_id") === col("vec_id"), "full_outer")
-          .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
-      }
-      val storeDir = java.nio.file.Files
-        .createTempDirectory("graft_q295_store").toString
+      val tmp = corpusStreamStaging(s, dir)
+      val storeDir = scratch("q295_store")
       val q = TextAnalysis.ingestPostingsStream(
           s.readStream
             .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
@@ -1704,8 +1656,7 @@ private[graft] object TextCatalog {
           "doc_id", "text", "vec_id", "embedding", storeDir)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val compactDir = java.nio.file.Files
-        .createTempDirectory("graft_q295_compact").toString
+      val compactDir = scratch("q295_compact")
       TextAnalysis.compactHybridStore(s, storeDir, compactDir,
         "doc_id", "text", "vec_id", "embedding",
         tombstones = docs.where(col("doc_id") % 9 === 8).select(col("doc_id")))
@@ -1780,8 +1731,7 @@ private[graft] object TextCatalog {
       val cent = s2.read.parquet(s"$codeTmp/centroids")
       val cb = graft.util.Caches.pin(s2.read.parquet(s"$codeTmp/codebooks"))
       val index = graft.util.Caches.pin(s2.read.parquet(s"$codeTmp/index"))
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft_q296_serve").toString
+      val outDir = scratch("q296_serve")
       val stream = s2.readStream
         .schema("q_id LONG, text STRING, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/queries")
@@ -1830,16 +1780,9 @@ private[graft] object TextCatalog {
     ("q298_postings_policy_replay", (s, dir) => {
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val tmp = graft.util.Staging.dir("q278_corpus_stream", dir) { p =>
-        docs.select(col("doc_id"), col("text"))
-          .join(emb.select(col("vec_id"), col("embedding")),
-            col("doc_id") === col("vec_id"), "full_outer")
-          .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
-      }
-      val storeDir = java.nio.file.Files
-        .createTempDirectory("graft_q298_store").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_q298_ckpt").toString
+      val tmp = corpusStreamStaging(s, dir)
+      val storeDir = scratch("q298_store")
+      val ckpt = scratch("q298_ckpt")
       val fired = new java.util.concurrent.atomic.AtomicInteger(0)
       val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
       def run() = TextAnalysis.ingestPostingsStream(
@@ -1858,11 +1801,7 @@ private[graft] object TextCatalog {
                 "injected crash: delta durable, policy fired, offset not committed"))
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      try { run().awaitTermination(); sys.error("crash did not fire") }
-      catch {
-        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
-      }
-      run().awaitTermination() // batch 2 REPLAYS over the compacted store
+      runWithInjectedCrash(() => run()) // batch 2 REPLAYS over the compacted store
       require(crashed.get && fired.get == 1,
         s"policy must fire exactly once (got ${fired.get}) and the crash must run")
       require(s.read.parquet(s"$storeDir/stats").count() == 2L,

@@ -986,7 +986,16 @@ object Similarity {
     if (deltas.size <= maxDeltas) false
     else {
       val snaps = deltas.map(d => spark.read.parquet(s"$storeRoot/delta=$d"))
+      // cap's physical effect here: the consolidated write is CLUSTERED by
+      // compactIndex's (lcid, sub) cells — the shuffle keeps every ≤cap-row
+      // cell whole within one task's output, so no written row group mixes
+      // unbounded slices of a skewed coarse list (the q247/q256 layout
+      // discipline). `sub` itself is not persisted: the store schema stays
+      // the uniform (n_id, lcid, codes) that fresh ingest deltas write, and
+      // the bound re-derives at the next cycle.
       val compacted = compactIndex(snaps, cap, tombstones)
+        .repartition(col("lcid"), col("sub"))
+        .sortWithinPartitions(col("lcid"), col("sub"), col("n_id"))
         .select(col("n_id"), col("lcid"), col("codes"))
       val staging = graft.util.StoreSwap.begin(fs, storeRoot)
       compacted.write.mode("overwrite")

@@ -34,11 +34,13 @@ object StoreSwap {
   def stagingPath(root: String) = new Path(root + ".compacting")
   def oldPath(root: String) = new Path(root + ".old")
 
-  /** Begin a cycle: reclaim any previous cycle's leftovers and return the
-    * staging dir to write the consolidated store into. Call [[commit]]
-    * after the staging write completes. */
+  /** Begin a cycle: clear any stale staging dir and return it for the
+    * consolidated-store write. Call [[commit]] after the staging write
+    * completes. PRECONDITION: [[recover]] already ran this cycle (the
+    * maintenance entry points run it before they LIST the store, so a
+    * repaired root is what gets compacted — begin does not repeat the
+    * existence probes). */
   def begin(fs: FileSystem, root: String): Path = {
-    recover(fs, root)
     val staging = stagingPath(root)
     fs.delete(staging, true)
     staging
