@@ -240,8 +240,15 @@ object Bench {
       else sloBudgets.toSeq.sortBy(_._1).map { case (n, b) =>
         val med = graft.streaming.Observability.batchDurationRecord.get(n)
           .flatMap(sloSteadyMedian)
+        // a gate whose run coalesced into a single cold batch passed
+        // NOTHING — it was simply ungraded; the record says so explicitly
+        // (no_steady_state) so a reader can tell a measured pass from a
+        // vacuous one instead of inferring it from median_ms = -1
+        val vacuous = med.isEmpty &&
+          graft.streaming.Observability.batchDurationRecord.contains(n)
         "\"" + n + "\":{\"median_ms\":" + med.getOrElse(-1L) +
-          ",\"budget_ms\":" + b + ",\"pass\":" + sloPass(n, b) + "}"
+          ",\"budget_ms\":" + b + ",\"pass\":" + sloPass(n, b) +
+          (if (vacuous) ",\"no_steady_state\":true" else "") + "}"
       }.mkString(""","slo":{""", ",", "}")
     // ----------------------------------------------------------------------
     val results = catalog.collect {

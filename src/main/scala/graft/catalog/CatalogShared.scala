@@ -58,15 +58,27 @@ private[graft] object CatalogShared {
     s2
   }
 
-  /** Per-run scratch dir at a FIXED path per label: deleted and recreated
-    * on every call, so repeated bench/verify passes reuse ONE disk
-    * footprint per gate instead of accumulating abandoned temp stores
-    * (the store-lifecycle gates otherwise leave a full index/postings
-    * copy + checkpoint in /tmp per pass). Single-threaded use only — the
-    * catalog runs queries sequentially. */
+  /** Per-run scratch dir at a FIXED path per label WITHIN ONE JVM:
+    * deleted and recreated on every call, so repeated bench/verify passes
+    * reuse ONE disk footprint per gate instead of accumulating abandoned
+    * temp stores (the store-lifecycle gates otherwise leave a full
+    * index/postings copy + checkpoint in /tmp per pass). The base dir
+    * carries a per-process nonce so two concurrent graft JVMs (or two
+    * users sharing a machine) can never delete each other's live stores
+    * and checkpoints mid-gate, and a shutdown hook reclaims the whole
+    * nonce dir — one footprint per gate per process, zero residue after
+    * exit. Single-threaded use within one JVM — the catalog runs queries
+    * sequentially. */
+  private lazy val scratchBase: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_scratch_pid${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(p)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.util.Fs.deleteRecursively(p)))
+    p
+  }
   def scratch(label: String): String = {
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_scratch_$label")
+    val p = scratchBase.resolve(label)
     graft.util.Fs.deleteRecursively(p)
     java.nio.file.Files.createDirectories(p)
     p.toString

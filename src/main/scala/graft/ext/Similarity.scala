@@ -980,11 +980,13 @@ object Similarity {
     require(maxDeltas >= 1, s"maxDeltas must be >= 1, got $maxDeltas")
     val fs = new org.apache.hadoop.fs.Path(storeRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.util.StoreSwap.recover(fs, storeRoot)
-    val deltas = indexStoreDeltas(spark, storeRoot)
-      .filter(d => onlyBelow.forall(d < _))
-    if (deltas.size <= maxDeltas) false
-    else {
+    var deltas: Seq[Long] = Seq.empty
+    graft.util.StoreMaintenance.cycle(fs, storeRoot) {
+      // evaluated post-recovery, off the repaired root's own layout
+      deltas = indexStoreDeltas(spark, storeRoot)
+        .filter(d => onlyBelow.forall(d < _))
+      deltas.size > maxDeltas
+    } { staging =>
       val snaps = deltas.map(d => spark.read.parquet(s"$storeRoot/delta=$d"))
       // cap's physical effect here: the consolidated write is CLUSTERED by
       // compactIndex's (lcid, sub) cells — the shuffle keeps every ≤cap-row
@@ -993,15 +995,12 @@ object Similarity {
       // discipline). `sub` itself is not persisted: the store schema stays
       // the uniform (n_id, lcid, codes) that fresh ingest deltas write, and
       // the bound re-derives at the next cycle.
-      val compacted = compactIndex(snaps, cap, tombstones)
+      compactIndex(snaps, cap, tombstones)
         .repartition(col("lcid"), col("sub"))
         .sortWithinPartitions(col("lcid"), col("sub"), col("n_id"))
         .select(col("n_id"), col("lcid"), col("codes"))
-      val staging = graft.util.StoreSwap.begin(fs, storeRoot)
-      compacted.write.mode("overwrite")
+        .write.mode("overwrite")
         .parquet(s"$staging/delta=${deltas.max}")
-      graft.util.StoreSwap.commit(fs, storeRoot)
-      true
     }
   }
 

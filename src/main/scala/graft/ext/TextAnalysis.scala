@@ -901,27 +901,28 @@ object TextAnalysis {
     require(maxDeltas >= 1, s"maxDeltas must be >= 1, got $maxDeltas")
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.util.StoreSwap.recover(fs, storePath)
-    // a not-yet-written store (the first beforeBatch fires before any
-    // delta exists) trivially has nothing to compact
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/stats")))
-      return false
-    // the threshold reads the store's own metadata: one stats row per
-    // delta (partition values are directory names — small ids infer as
-    // ints, hence the explicit cast)
-    val stats0 = spark.read.parquet(s"$storePath/stats")
-    val stats = onlyBelow.fold(stats0)(b =>
-      stats0.where(col("delta").cast("long") < b))
-    if (stats.count() <= maxDeltas) false
-    else {
-      val maxId = stats
-        .agg(max(col("delta").cast("long"))).head().getLong(0)
-      val staging = graft.util.StoreSwap.begin(fs, storePath)
+    var maxId = Long.MinValue
+    graft.util.StoreMaintenance.cycle(fs, storePath) {
+      // a not-yet-written store (the first beforeBatch fires before any
+      // delta exists) trivially has nothing to compact
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/stats"))) false
+      else {
+        // the threshold reads the store's own metadata: one stats row per
+        // delta (partition values are directory names — small ids infer as
+        // ints, hence the explicit cast)
+        val stats0 = spark.read.parquet(s"$storePath/stats")
+        val stats = onlyBelow.fold(stats0)(b =>
+          stats0.where(col("delta").cast("long") < b))
+        if (stats.count() <= maxDeltas) false
+        else {
+          maxId = stats.agg(max(col("delta").cast("long"))).head().getLong(0)
+          true
+        }
+      }
+    } { staging =>
       compactHybridStore(spark, storePath, staging.toString,
         docIdCol, textCol, embIdCol, vecCol, tombstones, Some(maxId),
         deltaBelow = onlyBelow)
-      graft.util.StoreSwap.commit(fs, storePath)
-      true
     }
   }
 
@@ -977,11 +978,15 @@ object TextAnalysis {
     *        deltas while a live ingest is still writing
     *        ([[maintainHybridStore]]'s `onlyBelow`); partition pruning
     *        makes it a directory-level cut, no data read from excluded
-    *        deltas. None reads the whole store. */
+    *        deltas. None reads the whole store.
+    * @param allowLexicalOnly permit embIdCol = null on a store that DOES
+    *        carry a vector side — the intentional postings-only serve;
+    *        without it that shape is rejected as a likely wiring bug. */
   def readHybridCorpus(spark: org.apache.spark.sql.SparkSession, path: String,
       docIdCol: String, textCol: String, embIdCol: String, vecCol: String,
       checkUnique: Boolean = false,
-      deltaBelow: Option[Long] = None): HybridCorpus = {
+      deltaBelow: Option[Long] = None,
+      allowLexicalOnly: Boolean = false): HybridCorpus = {
     // store-shape guard: emb presence is a property of the STORE (the
     // writer only appends `emb/` when the corpus had a vector side), so a
     // caller argument that disagrees with the directory layout is a wiring
@@ -996,9 +1001,15 @@ object TextAnalysis {
         "(no emb/ subdirectory) but embIdCol was given — read it " +
         "lexical-only with embIdCol = null")
     else
-      require(!hasEmb, s"postings store at $path holds a vector side " +
+      // the INTENTIONAL lexical-only read of a hybrid store (a serve
+      // that wants postings and nothing else) stays expressible behind
+      // the explicit opt-out; the default remains loud so a wiring bug
+      // can't silently drop the store's vector side
+      require(!hasEmb || allowLexicalOnly,
+        s"postings store at $path holds a vector side " +
         "(emb/ subdirectory) but embIdCol is null — the store's vectors " +
-        "would be silently dropped; pass the emb id/vector column names")
+        "would be silently dropped; pass the emb id/vector column names, " +
+        "or set allowLexicalOnly = true for an intentional postings-only read")
     // `delta` is the batch-addressed stores' partition column (snapshot
     // order metadata) — layout, not postings; drop is a no-op on stores
     // written as bare appends

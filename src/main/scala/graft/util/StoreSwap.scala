@@ -23,9 +23,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * one whose write job died mid-flight: without it, recovery could
   * install a half-written store. [[recover]] runs at the top of every
   * maintenance cycle (single-writer: maintenance composes into the
-  * ingest's sequential afterBatch seam); a production object-store
-  * deployment would swap a manifest pointer instead and need none of
-  * this — the protocol is the portable filesystem form of that pointer.
+  * ingest's sequential afterBatch seam).
+  *
+  * CONCURRENCY CONTRACT: single writer AND no concurrent readers during
+  * the swap — between steps 2 and 3 there is no root at all, so a reader
+  * racing the swap (a serve loop running alongside maintenance) hits
+  * path-not-found. Use this protocol only where reads and maintenance
+  * are sequenced through one seam (the in-loop `beforeBatch` placement
+  * the lifecycle gates pin). When a live serve must keep answering
+  * across maintenance, use [[GenStore]] — the generation-pointer layout
+  * whose flip is one atomic marker create and whose readers always
+  * resolve a complete store; it is the manifest-pointer form this
+  * protocol's portable-filesystem design stands in for.
   */
 object StoreSwap {
 
