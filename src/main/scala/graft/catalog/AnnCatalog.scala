@@ -2406,6 +2406,406 @@ private[graft] object AnnCatalog {
         "vec_id", "cid", "embedding",
         k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
-    }, Some(ivfAdcFullOracle))
+    }, Some(ivfAdcFullOracle)),
+
+
+    // DRIFT-TRIGGERED MODEL REFRESH — the q201/q257 gauge made to ACT,
+    // the way q279's OOV gauge acts for the tokenizer family: a drifted
+    // re-observation batch streams in (dims 1-8 flipped to |x| for ids
+    // vec_id % 9 == 8 — abs commutes with the float→double cast, so both
+    // engines see bit-identical drifted vectors, and it moves those
+    // dims' means by ~0.2 where the corpus means are ~0), the upserts
+    // land in the live delta store ENCODED UNDER THE CURRENT MODEL (the
+    // q294 upsert path — ingest never refits mid-stream), and the gauge
+    // compares the batch against the PRIOR vectors of the same ids
+    // (re-observation drift: the control arm is EXACTLY zero). After the
+    // stream commits, the crossed gauge fires the refresh: refit
+    // centroids + residual codebooks on the accumulated corpus
+    // (latest-wins of base ∪ upserts, the stride-deterministic fits so
+    // the oracle can replay them), re-encode the FULL corpus, and
+    // install the result as a NEW GENERATION (index + its own model —
+    // generations are self-describing) behind GenStore's atomic pointer
+    // flip. Serving the refreshed generation must equal a FROM-SCRATCH
+    // index of the post-drift corpus under the refit model — recall on a
+    // drifting corpus is a correctness property of the serving system,
+    // and ivfAdcRefitOracle replays the entire refit chain to pin it.
+    // The CONTROL LAW rides along: an identity re-observation batch
+    // gauges exactly zero, must NOT refit, and the untouched generation
+    // must keep serving the pre-upsert answers verbatim.
+    ("q299_index_model_refresh", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = ivfIngestStaging(s, dir)
+      val cent0 = s.read.parquet(s"$tmp/centroids")
+      val cb0 = s.read.parquet(s"$tmp/codebooks")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val drifted = transform(col("embedding"),
+        (x, i) => when(i < 8, abs(x)).otherwise(x))
+      def arm(label: String, upsertVec: org.apache.spark.sql.Column):
+          (String, Boolean, Double) = {
+        val root = scratch(s"q299_${label}_gens")
+        val live = scratch(s"q299_${label}_live")
+        val upStore = scratch(s"q299_${label}_upserts")
+        // generation 0: the shipped store — full-corpus index under the
+        // staged frozen model; a generation carries its own model
+        require(graft.util.GenStore.cycle(fs, root, gen = 0) { true } { p =>
+          Similarity.residualIndex(emb, cent0, cb0,
+              "vec_id", "cid", "embedding", m = 4, subDim = 16)
+            .write.mode("overwrite").parquet(s"$p/index")
+          cent0.write.mode("overwrite").parquet(s"$p/centroids")
+          cb0.write.mode("overwrite").parquet(s"$p/codebooks")
+        }, "generation 0 must publish")
+        // the drifted re-observation batch, staged as one file so the
+        // gauge + upsert path runs through a real stream
+        val upTmp = graft.util.Staging.dir(s"q299_${label}_batch", dir) { p =>
+          emb.where(col("vec_id") % 9 === 8)
+            .select(col("vec_id"), upsertVec.as("embedding"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$p/stream")
+        }
+        val maxShiftRef = // written on the stream thread, read after await
+          new java.util.concurrent.atomic.AtomicReference[Double](0.0)
+        val q = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .parquet(s"$upTmp/stream")
+          .writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                batchId: Long) =>
+              // raw upsert vectors accumulate (batch-addressed, replay-
+              // idempotent) — the corpus-vector side a refit reads
+              batch.write.mode("overwrite").parquet(s"$upStore/delta=$batchId")
+              // the upsert path: encode under the CURRENT generation's
+              // model into the live delta store (q294's discipline)
+              val gen = graft.util.GenStore.currentPath(fs, root).get.toString
+              Similarity.idempotentIndexSink(live)(
+                Similarity.residualIndex(batch.toDF(),
+                  s.read.parquet(s"$gen/centroids"),
+                  s.read.parquet(s"$gen/codebooks"),
+                  "vec_id", "cid", "embedding", m = 4, subDim = 16), batchId)
+              // the gauge: this batch vs the PRIOR vectors of the same ids
+              val prior = emb.join(batch.select(col("vec_id").as("__u")),
+                col("vec_id") === col("__u"), "left_semi")
+              maxShiftRef.set(graft.ext.LinAlg.perDimDrift(prior,
+                  batch.toDF(), "embedding")
+                .agg(max(abs(col("shift_milli")))).head().getDouble(0))
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val maxShift = maxShiftRef.get()
+        // the TRIGGER, evaluated at rest (stream terminated ⇒ the upsert
+        // store is fully committed — the q292 at-rest rationale)
+        val refit = maxShift > 100.0
+        if (refit) {
+          // accumulated corpus, latest-wins: upserted ids take their new
+          // vectors, everything else keeps the base corpus row
+          val ups = s.read.parquet(upStore)
+            .select(col("vec_id"), col("embedding"))
+          val cur = emb.select(col("vec_id"), col("embedding"))
+            .join(ups.select(col("vec_id").as("__u")),
+              col("vec_id") === col("__u"), "left_anti")
+            .unionByName(ups)
+          // stride-deterministic refit (the staged model's own recipe,
+          // re-run on the post-drift corpus) + full re-encode → gen 1
+          val cent2 = cur.where(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("cid"), col("embedding"))
+          val cb2 = Similarity.pqCodebookByStride(
+            Similarity.residuals(cur, cent2, "vec_id", "cid", "embedding"),
+            "vec_id", "res", m = 4, subDim = 16, stride = 50)
+          require(graft.util.GenStore.cycle(fs, root, gen = 1) { true } { p =>
+            Similarity.residualIndex(cur, cent2, cb2,
+                "vec_id", "cid", "embedding", m = 4, subDim = 16)
+              .write.mode("overwrite").parquet(s"$p/index")
+            cent2.write.mode("overwrite").parquet(s"$p/centroids")
+            cb2.write.mode("overwrite").parquet(s"$p/codebooks")
+          }, "refresh generation must publish")
+        }
+        (root, refit, maxShift)
+      }
+      def serve(root: String) = {
+        val gen = graft.util.GenStore.currentPath(fs, root).get.toString
+        Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
+          Similarity.readIndexStore(s, s"$gen/index"),
+          s.read.parquet(s"$gen/centroids"), s.read.parquet(s"$gen/codebooks"),
+          "vec_id", "cid", "embedding", k = 3, m = 4, subDim = 16, nprobe = 2)
+          .orderBy(col("q_id"), col("rank"))
+      }
+      // CONTROL LAW: identity re-observations gauge exactly zero, no
+      // refit, and the generation keeps serving pre-upsert answers
+      val (ctrlRoot, ctrlFired, ctrlShift) = arm("ctrl", col("embedding"))
+      require(!ctrlFired && ctrlShift == 0.0,
+        s"identity re-observations must gauge zero drift and not refit " +
+          s"(shift $ctrlShift)")
+      require(graft.util.GenStore.current(fs, ctrlRoot) == Some(0L),
+        "control arm must stay on generation 0")
+      val preUpsert = Similarity.ivfPqResidualStoredTopK(
+        emb.where(col("vec_id") < 8),
+        Similarity.residualIndex(emb, cent0, cb0,
+          "vec_id", "cid", "embedding", m = 4, subDim = 16),
+        cent0, cb0, "vec_id", "cid", "embedding",
+        k = 3, m = 4, subDim = 16, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+      require(serve(ctrlRoot).collect().toSeq == preUpsert.collect().toSeq,
+        "an unfired refresh must leave served answers untouched")
+      // DRIFT arm: the gauge crosses, the refresh fires, generation 1 is
+      // live, and serving it reproduces the from-scratch refit oracle
+      val (root, fired, shift) = arm("drift", drifted)
+      require(fired && shift > 100.0,
+        s"drifted re-observations must cross the gauge (shift $shift)")
+      require(graft.util.GenStore.current(fs, root) == Some(1L),
+        "drift arm must be serving generation 1")
+      serve(root)
+    }, Some(ivfAdcRefitOracle("vec_id % 9 = 8",
+      "list_transform(range(1, len(vec) + 1), " +
+        "i -> CASE WHEN i <= 8 THEN abs(vec[i]) ELSE vec[i] END)"))),
+
+
+    // GENERATION-POINTER SERVE ACROSS A LIVE MAINTENANCE FLIP — the
+    // concurrent-reader story StoreSwap's in-place protocol cannot give
+    // (its steps 2-3 leave no root at all): a STREAMING serve answers
+    // query micro-batches by resolving GenStore's pointer once per batch,
+    // while maintenance publishes a new generation MID-STREAM in the same
+    // session (after batch 0, from the between-batches seam a daemon
+    // fires in). The flip is one atomic marker create, so the serve never
+    // sees a missing or half-written store: batch 0 answers from
+    // generation 0 (the 2/3-corpus index over vec_id % 3 <> 0), batch 1
+    // from generation 1 (the full-corpus consolidation). Per-batch
+    // membership and the generation each batch read are REQUIREd in-gate;
+    // the returned frame carries (q_id, gen, …) rows gated against an
+    // oracle whose serve side switches predicate exactly at the flip.
+    ("q300_gen_pointer_serve", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = ivfIngestStaging(s, dir)
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val root = scratch("q300_gens")
+      val outDir = scratch("q300_out")
+      require(graft.util.GenStore.cycle(fs, root, gen = 0) { true } { p =>
+        Similarity.residualIndex(emb.where(col("vec_id") % 3 =!= 0),
+            cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)
+          .write.mode("overwrite").parquet(s"$p/index")
+      }, "generation 0 must publish")
+      // query stream: two single-file micro-batches with id-determined
+      // membership (the oracle's switch point must be statable in SQL)
+      val qDir = orderedSliceStaging(s, dir, "q300_query_slices")(Seq(
+        emb.where(col("vec_id") < 4).select(col("vec_id"), col("embedding")),
+        emb.where(col("vec_id") >= 4 && col("vec_id") < 8)
+          .select(col("vec_id"), col("embedding"))))
+      val gensRead = // written on the stream thread, read after await
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val serveQ = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(qDir)
+        .writeStream.foreachBatch {
+          (qbatch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            // the READER protocol: resolve the pointer once per batch,
+            // serve entirely within the resolved generation
+            val gen = graft.util.GenStore.current(fs, root).get
+            gensRead.add((batchId, gen))
+            Similarity.ivfPqResidualStoredTopK(qbatch.toDF(),
+                Similarity.readIndexStore(s,
+                  s"${graft.util.GenStore.generationPath(root, gen)}/index"),
+                cent, cb, "vec_id", "cid", "embedding",
+                k = 3, m = 4, subDim = 16, nprobe = 2)
+              .withColumn("gen", lit(gen))
+              .write.mode("append").parquet(outDir)
+            // the maintenance daemon, firing between serve batches: the
+            // full-corpus consolidation goes live as generation 1 while
+            // the stream is still running — readers flip at the marker
+            if (batchId == 0L)
+              require(graft.util.GenStore.cycle(fs, root, gen = 1) { true } { p =>
+                Similarity.residualIndex(emb, cent, cb,
+                    "vec_id", "cid", "embedding", m = 4, subDim = 16)
+                  .write.mode("overwrite").parquet(s"$p/index")
+              }, "mid-stream maintenance must publish generation 1")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      serveQ.awaitTermination()
+      val reads = {
+        import scala.jdk.CollectionConverters._
+        gensRead.iterator().asScala.toSeq.sortBy(_._1)
+      }
+      require(reads == Seq((0L, 0L), (1L, 1L)),
+        s"serve must read gen 0 then gen 1 across the flip, got $reads")
+      val out = s.read.parquet(outDir)
+      // membership of each batch is id-determined by the staged slices —
+      // require it so a file-source ordering deviation fails loudly
+      require(out.where(col("gen") === 0 && col("q_id") >= 4).isEmpty &&
+          out.where(col("gen") === 1 && col("q_id") < 4).isEmpty,
+        "query slices served out of order against the staged batches")
+      out.select(col("q_id"), col("gen"), col("rank"), col("n_id"),
+          col("adist"))
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(s"""
+      SELECT q_id, gen, rank, n_id, adist FROM (
+        SELECT CAST(0 AS BIGINT) AS gen, * FROM (${ivfAdcOracleFor(
+          "a.n_id % 3 <> 0")}) WHERE q_id < 4
+        UNION ALL
+        SELECT CAST(1 AS BIGINT) AS gen, * FROM ($ivfAdcFullOracle)
+          WHERE q_id >= 4)
+      ORDER BY q_id, rank""")),
+
+
+    // INGEST + SERVE IN ONE SESSION (read-committed isolation) — q296
+    // served a store frozen before the stream started; this gate runs the
+    // LIVE ingest and the serve in the SAME session with the generation
+    // pointer as the isolation boundary: the in-loop maintenance seam
+    // (beforeBatch, onlyBelow — the q292/q297 placement) consolidates the
+    // COMMITTED deltas into a new generation and flips the pointer, and
+    // every serve reads the pointer-resolved generation only — never the
+    // live delta area, so never a half-written or replayable delta. The
+    // ingest's micro-batch membership is id-determined (staged ordered
+    // slices), so each serve's expected answer is a SQL predicate: serve
+    // s (after batch s) sees exactly the vectors of batches < s. The
+    // returned frame carries every serve's rows tagged by stage, gated
+    // against a three-arm oracle whose serve predicate grows with the
+    // committed prefix.
+    ("q301_ingest_serve_committed", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = ivfIngestStaging(s, dir)
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val vDir = orderedSliceStaging(s, dir, "q301_vector_slices")(
+        (0 until 3).map(i => emb.where(col("vec_id") % 3 === i)
+          .select(col("vec_id"), col("embedding"))))
+      val live = scratch("q301_live")
+      val root = scratch("q301_gens")
+      val outDir = scratch("q301_out")
+      def publishCommitted(onlyBelow: Option[Long]): Unit = {
+        val committed = Similarity.indexStoreDeltas(s, live)
+          .filter(d => onlyBelow.forall(d < _))
+        if (committed.nonEmpty)
+          graft.util.GenStore.cycle(fs, root, gen = committed.max) {
+            // fire iff the pointer lags the committed prefix
+            graft.util.GenStore.current(fs, root).forall(_ < committed.max)
+          } { p =>
+            Similarity.compactIndex(
+                committed.map(d => s.read.parquet(s"$live/delta=$d")),
+                cap = 16L)
+              .select(col("n_id"), col("lcid"), col("codes"))
+              .write.mode("overwrite").parquet(s"$p/index")
+          }
+      }
+      def serveCommitted(stage: Long): Unit =
+        graft.util.GenStore.currentPath(fs, root).foreach { gen =>
+          Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
+              Similarity.readIndexStore(s, s"$gen/index"),
+              cent, cb, "vec_id", "cid", "embedding",
+              k = 3, m = 4, subDim = 16, nprobe = 2)
+            .withColumn("stage", lit(stage))
+            .write.mode("append").parquet(outDir)
+        }
+      val q = Similarity.ingestIndexStream(
+          s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1).parquet(vDir),
+          cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)(
+          Similarity.idempotentIndexSink(live,
+            // committed prefix → generation, at the replay-safe seam
+            beforeBatch = b => publishCommitted(Some(b)),
+            // the serve side of the session: answers from the pointer —
+            // batch b's OWN delta is durable here but uncommitted, and
+            // the serve must not (and cannot) see it
+            afterBatch = b => serveCommitted(b + 1)))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // stream done ⇒ all deltas committed: final maintenance + serve
+      publishCommitted(None)
+      serveCommitted(4L)
+      // the id-determined membership the oracle states — loud if the
+      // file source processed the staged slices out of order
+      (0 until 3).foreach { b =>
+        val ids = s.read.parquet(s"$live/delta=$b")
+          .select(col("n_id")).collect().map(_.getLong(0)).toSet
+        require(ids.nonEmpty && ids.forall(_ % 3 == b),
+          s"delta $b must hold exactly the vec_id % 3 == $b slice")
+      }
+      require(graft.util.GenStore.current(fs, root) == Some(2L),
+        "final generation must cover every committed delta")
+      val out = s.read.parquet(outDir)
+      // serve 1 ran after batch 0 with nothing committed — no gen, no rows
+      require(out.where(col("stage") === 1).isEmpty,
+        "a serve before any commit must answer from no generation")
+      out.select(col("stage"), col("q_id"), col("rank"), col("n_id"),
+          col("adist"))
+        .orderBy(col("stage"), col("q_id"), col("rank"))
+    }, Some(s"""
+      SELECT stage, q_id, rank, n_id, adist FROM (
+        SELECT CAST(2 AS BIGINT) AS stage, * FROM (${ivfAdcOracleFor(
+          "a.n_id % 3 = 0")})
+        UNION ALL
+        SELECT CAST(3 AS BIGINT) AS stage, * FROM (${ivfAdcOracleFor(
+          "a.n_id % 3 <= 1")})
+        UNION ALL
+        SELECT CAST(4 AS BIGINT) AS stage, * FROM ($ivfAdcFullOracle))
+      ORDER BY stage, q_id, rank""")),
+
+
+    // TIME-BASED RETENTION — the time-keyed twin of q295's id tombstones:
+    // production pipelines age data OUT, not just erase ids. The
+    // maintenance policy gains a retention window keyed by the store's
+    // own ingest clock (the batch-addressed delta id): deltas below the
+    // window are EXCLUDED from the consolidation and removed with the
+    // swap, and their presence FORCES the cycle to fire even under the
+    // count threshold — retention is a correctness policy, not a layout
+    // optimization. Three id-determined batches ingest; the window keeps
+    // the last two; serving the swapped store must equal the full-model
+    // index RESTRICTED to the surviving corpus (model frozen — aging out
+    // training rows never refits an already-trained codebook, q232's
+    // tombstone discipline). The control law rides along: a window
+    // covering everything must leave answers untouched.
+    ("q302_index_retention", (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = ivfIngestStaging(s, dir)
+      val cent = s.read.parquet(s"$tmp/centroids")
+      val cb = s.read.parquet(s"$tmp/codebooks")
+      val vDir = orderedSliceStaging(s, dir, "q301_vector_slices")(
+        (0 until 3).map(i => emb.where(col("vec_id") % 3 === i)
+          .select(col("vec_id"), col("embedding"))))
+      def ingest(storeDir: String): Unit = {
+        val q = Similarity.ingestIndexStream(
+            s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+              .option("maxFilesPerTrigger", 1).parquet(vDir),
+            cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)(
+            Similarity.idempotentIndexSink(storeDir))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def serve(storeDir: String) =
+        Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
+          Similarity.readIndexStore(s, storeDir), cent, cb,
+          "vec_id", "cid", "embedding", k = 3, m = 4, subDim = 16, nprobe = 2)
+          .orderBy(col("q_id"), col("rank"))
+      val storeDir = scratch("q302_store")
+      ingest(storeDir)
+      (0 until 3).foreach { b =>
+        val ids = s.read.parquet(s"$storeDir/delta=$b")
+          .select(col("n_id")).collect().map(_.getLong(0)).toSet
+        require(ids.nonEmpty && ids.forall(_ % 3 == b),
+          s"delta $b must hold exactly the vec_id % 3 == $b slice")
+      }
+      // CONTROL LAW: a window covering every delta must not age anything
+      // out — under the count threshold the cycle stays a no-op ...
+      require(!Similarity.maintainIndexStore(s, storeDir, maxDeltas = 10,
+          cap = 16L, dropBelow = Some(0L)),
+        "an all-covering retention window must not force a cycle")
+      // ... and the aged-out arm FIRES below the count threshold: the
+      // window keeps batches {1, 2}, batch 0 leaves with the swap
+      require(Similarity.maintainIndexStore(s, storeDir, maxDeltas = 10,
+          cap = 16L, dropBelow = Some(1L)),
+        "a delta outside the retention window must force the cycle")
+      require(Similarity.indexStoreDeltas(s, storeDir) == Seq(2L),
+        "retention must leave ONE consolidated in-window delta")
+      val raw = s.read.parquet(storeDir)
+      require(raw.where(col("n_id") % 3 === 0).isEmpty,
+        "aged-out rows must leave the store with the swap")
+      // the refused edge: a window aging out EVERYTHING fails loudly
+      val err = try {
+        Similarity.maintainIndexStore(s, storeDir, maxDeltas = 1,
+          cap = 16L, dropBelow = Some(3L)); false
+      } catch { case _: IllegalArgumentException => true }
+      require(err, "a store-emptying retention window must be refused")
+      serve(storeDir)
+    }, Some(ivfAdcOracleFor("a.n_id % 3 >= 1")))
   )
 }

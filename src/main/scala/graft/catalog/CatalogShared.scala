@@ -122,6 +122,41 @@ private[graft] object CatalogShared {
         .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
     }
 
+  /** Stage `slices` as SINGLE parquet files `00.parquet, 01.parquet, …`
+    * with ascending (fixed, deterministic) modification times inside
+    * `<staging>/stream`, so a `maxFilesPerTrigger=1` file source
+    * processes slice i as micro-batch i. This is what makes a per-batch
+    * oracle STATABLE IN SQL: the gates that serve mid-ingest
+    * (q300/q301/q302) need each micro-batch's row membership to be an
+    * id predicate, not an accident of `repartition` hashing. The file
+    * source picks files oldest-first; every consuming gate additionally
+    * REQUIREs the realized per-batch membership, so an ordering
+    * deviation fails loudly instead of silently corrupting an oracle. */
+  def orderedSliceStaging(s: SparkSession, dir: String, label: String)(
+      slices: => Seq[DataFrame]): String =
+    graft.util.Staging.dir(label, dir) { p =>
+      import scala.jdk.CollectionConverters._
+      val streamDir = java.nio.file.Paths.get(p, "stream")
+      java.nio.file.Files.createDirectories(streamDir)
+      slices.zipWithIndex.foreach { case (df, i) =>
+        val tmp = java.nio.file.Paths.get(p, s"__slice$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val ls = java.nio.file.Files.list(tmp)
+          try ls.iterator().asScala.map(_.getFileName.toString)
+            .find(n => n.startsWith("part-") && n.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file in $tmp"))
+          finally ls.close()
+        }
+        val dest = streamDir.resolve(f"$i%02d.parquet")
+        java.nio.file.Files.move(tmp.resolve(part), dest)
+        // fixed epoch base: ordering is relative and must not depend on
+        // when the staging happened to run
+        dest.toFile.setLastModified(1700000000000L + i * 60000L)
+        graft.util.Fs.deleteRecursively(tmp)
+      }
+    } + "/stream"
+
   /** Kill-and-resume harness for the crash-injection gates (q290/q291/
     * q297/q298): the first run must die on the injected crash (a gate
     * whose injection never fired is asserting nothing — fail loudly),
@@ -759,6 +794,27 @@ private[graft] object CatalogShared {
     * full oracle verbatim. */
   def ivfAdcOracleFor(servePred: String): String = s"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      ${ivfAdcBody(servePred)}"""
+
+  /** [[ivfAdcFullOracle]]'s REFIT twin (q299, the model-refresh gate): the
+    * WHOLE derivation chain — stride centroids, residual codebooks,
+    * assignments, codes, probes, serve — re-derives over the POST-DRIFT
+    * corpus (`updExpr` substituted where `updPred` holds, exactly
+    * [[ivfAdcUpsertOracle]]'s substitution discipline), i.e. the
+    * from-scratch index of the refreshed model that a drift-triggered
+    * refit + full re-encode + generation swap must reproduce VERBATIM.
+    * Contrast [[ivfAdcUpsertOracle]], where the model stays frozen on the
+    * pre-update corpus: refresh is precisely the op that re-fits it. */
+  def ivfAdcRefitOracle(updPred: String, updExpr: String): String = s"""
+      WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      v AS (SELECT vec_id,
+        CASE WHEN $updPred THEN $updExpr ELSE vec END AS vec FROM v0),
+      ${ivfAdcBody("TRUE")}"""
+
+  /** The shared derivation chain over a corpus CTE named `v` — see
+    * [[ivfAdcOracleFor]] (identity corpus) and [[ivfAdcRefitOracle]]
+    * (post-drift corpus). */
+  private def ivfAdcBody(servePred: String): String = s"""
       cent AS (SELECT vec_id AS lcid, vec AS l_vec FROM v WHERE vec_id % 100 = 0),
       ldist AS (
         SELECT a.vec_id AS n_id, c.lcid,

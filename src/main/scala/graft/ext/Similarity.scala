@@ -972,20 +972,37 @@ object Similarity {
     *        rather than folded into a consolidated delta it would then
     *        double-count against. At-rest maintenance passes None and
     *        compacts everything.
+    * @param dropBelow RETENTION window: deltas whose ingest-batch id is
+    *        below this are AGED OUT — excluded from the consolidation and
+    *        removed with the swap — the time-keyed twin of id tombstones
+    *        (batch id is the store's ingest clock; a wall-clock window
+    *        maps onto it through whatever batch→time metadata the ingest
+    *        records). Aged deltas FORCE the cycle to fire even under the
+    *        count threshold: retention is a correctness policy (data that
+    *        must leave), not a layout optimization. Must leave at least
+    *        one delta in the window — a retention cut that would empty
+    *        the store is almost certainly a misconfigured window and
+    *        fails loudly.
     * @return true iff the policy fired and the store was swapped */
   def maintainIndexStore(spark: org.apache.spark.sql.SparkSession,
       storeRoot: String, maxDeltas: Int, cap: Long,
       tombstones: DataFrame = null,
-      onlyBelow: Option[Long] = None): Boolean = {
+      onlyBelow: Option[Long] = None,
+      dropBelow: Option[Long] = None): Boolean = {
     require(maxDeltas >= 1, s"maxDeltas must be >= 1, got $maxDeltas")
     val fs = new org.apache.hadoop.fs.Path(storeRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     var deltas: Seq[Long] = Seq.empty
     graft.util.StoreMaintenance.cycle(fs, storeRoot) {
       // evaluated post-recovery, off the repaired root's own layout
-      deltas = indexStoreDeltas(spark, storeRoot)
+      val all = indexStoreDeltas(spark, storeRoot)
         .filter(d => onlyBelow.forall(d < _))
-      deltas.size > maxDeltas
+      deltas = all.filter(d => dropBelow.forall(d >= _))
+      val aged = all.size - deltas.size
+      require(aged == 0 || deltas.nonEmpty,
+        s"retention window dropBelow=${dropBelow.get} would empty the " +
+          s"store at $storeRoot — refusing to age out every delta")
+      deltas.size > maxDeltas || aged > 0
     } { staging =>
       val snaps = deltas.map(d => spark.read.parquet(s"$storeRoot/delta=$d"))
       // cap's physical effect here: the consolidated write is CLUSTERED by
