@@ -18,7 +18,7 @@ object Stress {
     val copies = args.headOption.map(_.toInt).getOrElse(20)
     // optional second arg: comma-separated section names (dedup, temporal,
     // relational, graph, linalg, cumsum, percentile, ann, decontam, bigram,
-    // bpe, bperank, semdedup)
+    // bpe, bperank, semdedup, state)
     // — run only those probes
     val sections = args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
     def want(s: String): Boolean = sections.forall(_.contains(s))
@@ -561,6 +561,115 @@ object Stress {
       }
       require(exactS == bloomS,
         s"bloom decontamination diverged: exact=$exactS bloom=$bloomS")
+    }
+
+    if (want("state")) locally {
+      // STATE-STORE SCALE PROBE — the streaming core's 100 TB claim made
+      // measurable: the reference pipeline carries ~10 keys of state; the
+      // TWS/RocksDB configuration claims BOUNDED per-batch cost under an
+      // unbounded key space. Two runs with IDENTICAL probe micro-batches
+      // (100k events over the same 100k keys) against state stores
+      // holding 100k vs 1M keys: if per-batch wall time tracks |batch|
+      // and not |state|, the probe medians stay flat across the 10× state
+      // gap. Both stateful families run — the ValueState running-stats
+      // fold (statefulPlayerStatsTws) and the MapState trailing-baseline
+      // spike detector (spikeStreamTws, per-entry point lookups).
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.streaming.Trigger
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "32")
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val probeN = 100_000L
+      val probes = 4
+      // stage warm + probe files as single parquet files with ascending
+      // mtimes so maxFilesPerTrigger=1 replays them as ordered batches
+      def stageFiles(slices: Seq[DataFrame]): String = {
+        import scala.jdk.CollectionConverters._
+        val d = java.nio.file.Files.createTempDirectory("graft_state_probe")
+        val stream = d.resolve("stream")
+        java.nio.file.Files.createDirectories(stream)
+        slices.zipWithIndex.foreach { case (df, i) =>
+          val tmp = d.resolve(s"__t$i")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = {
+            val ls = java.nio.file.Files.list(tmp)
+            try ls.iterator().asScala.map(_.getFileName.toString)
+              .find(n => n.startsWith("part-") && n.endsWith(".parquet")).get
+            finally ls.close()
+          }
+          val dest = stream.resolve(f"$i%02d.parquet")
+          java.nio.file.Files.move(tmp.resolve(part), dest)
+          dest.toFile.setLastModified(1700000000000L + i * 60000L)
+        }
+        stream.toString
+      }
+      def runProbes(label: String, dir: String, schema: String)(
+          out: DataFrame => DataFrame): Seq[Long] = {
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_state_ckpt").toString
+        val q = out(s2.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(dir))
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            b.write.format("noop").mode("overwrite").save()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val durs = q.recentProgress.toSeq
+          .filter(_.numInputRows > 0).map(_.batchDuration)
+        println(s"[stress]   $label batches ms: " +
+          s"warm=${durs.head} probes=${durs.tail.mkString(",")}")
+        durs.tail // the fixed-size probe batches
+      }
+      def med(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+      // --- ValueState family: running player stats ---------------------
+      def playerEvents(n: Long, second: Long): DataFrame =
+        s2.range(n).select(
+          concat(lit("player"), col("id")).as("player"),
+          concat(lit("s"), col("id")).as("steamId"),
+          lit("kill").as("eventType"), lit(second).as("second"),
+          lit(0L).as("amount"), lit(1L).as("round"))
+      def statsRun(nKeys: Long): Seq[Long] = {
+        val dir = stageFiles(playerEvents(nKeys, 1) +:
+          (1 to probes).map(i => playerEvents(probeN, 1L + i)))
+        runProbes(s"tws stats |state|=$nKeys", dir,
+          "player STRING, steamId STRING, eventType STRING, " +
+            "second LONG, amount LONG, round LONG") { src =>
+          import s2.implicits._
+          graft.core.stats.PlayerStatsEngine
+            .statefulPlayerStatsTws(src.as[graft.core.Event]).toDF()
+        }
+      }
+      // --- MapState family: trailing-baseline spike detector ------------
+      def dayPoints(n: Long, day: Long): DataFrame =
+        s2.range(n).select(concat(lit("k"), col("id")).as("key"),
+          lit(day).as("day"), (col("id") % 97 + 1).as("cnt"))
+      def spikeRun(nKeys: Long): Seq[Long] = {
+        val dir = stageFiles(dayPoints(nKeys, 0) +:
+          (1 to probes).map(i => dayPoints(probeN, i.toLong)))
+        runProbes(s"tws spike |state|=$nKeys", dir,
+          "key STRING, day LONG, cnt LONG") { src =>
+          import s2.implicits._
+          graft.analytics.TimeSeries
+            .spikeStreamTws(src.as[graft.analytics.TimeSeries.DayPoint]).toDF()
+        }
+      }
+      val statsSmall = timed("tws stats, state 100k")(statsRun(100_000L))
+      val statsBig = timed("tws stats, state 1M")(statsRun(1_000_000L))
+      val spikeSmall = timed("tws spike, state 100k")(spikeRun(100_000L))
+      val spikeBig = timed("tws spike, state 1M")(spikeRun(1_000_000L))
+      println(s"[stress]   probe medians ms (state 100k -> 1M): " +
+        s"stats ${med(statsSmall)} -> ${med(statsBig)}, " +
+        s"spike ${med(spikeSmall)} -> ${med(spikeBig)}")
+      // the claim, with VM-noise headroom: a 10x state store must not
+      // make the SAME probe batch anywhere near 10x slower
+      require(med(statsBig) < 4 * med(statsSmall).max(1L),
+        s"stats probe cost scaled with |state|: ${med(statsSmall)} -> ${med(statsBig)} ms")
+      require(med(spikeBig) < 4 * med(spikeSmall).max(1L),
+        s"spike probe cost scaled with |state|: ${med(spikeSmall)} -> ${med(spikeBig)} ms")
     }
     spark.stop()
   }
