@@ -578,6 +578,12 @@ class TextAnalysisSpec extends SparkTestBase {
     e2.getMessage should include("silently dropped")
     TextAnalysis.readHybridCorpus(spark, hybDir,
       "doc_id", "text", "vec_id", "embedding").emb.count() shouldBe 2L
+    // the INTENTIONAL postings-only serve of a hybrid store stays
+    // expressible behind the explicit opt-out
+    val lexOnly = TextAnalysis.readHybridCorpus(spark, hybDir,
+      "doc_id", "text", null, null, allowLexicalOnly = true)
+    lexOnly.emb shouldBe null
+    lexOnly.dl.count() shouldBe 2L
   }
 
   test("bm25QueryTopKPrepared: excludeSelf=false keeps a doc whose id collides with the query id") {
