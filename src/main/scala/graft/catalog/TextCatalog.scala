@@ -1815,6 +1815,84 @@ private[graft] object TextCatalog {
       TextAnalysis.hybridRrfTopKPrepared(hc, queries,
           kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
-    }, Some(hybridRrfOracle))
+    }, Some(hybridRrfOracle)),
+
+
+    // TIME-BASED RETENTION on the POSTINGS store — q302's lexical twin,
+    // and q295's time-keyed one: the SAME documents q295 erases by id
+    // tombstones (doc %9==8) here age out as a WHOLE INGEST BATCH falling
+    // outside the retention window, and both roads must end at the same
+    // served answers — the gate reuses q295's surviving-corpus oracle
+    // VERBATIM. Three id-determined batches ingest (batch 0 = the %9==8
+    // docs, batches 1/2 split the rest by parity); maintainHybridStore's
+    // dropBelow window keeps {1, 2}: batch 0's postings, lengths, stats
+    // row and df contributions all leave in the consolidation's metadata
+    // re-reduction (a directory-level partition-pruned cut — aged deltas
+    // are never read), and the presence of an aged delta FORCES the cycle
+    // even under the count threshold. Control laws ride along: an
+    // all-covering window under the threshold never fires, and a
+    // store-emptying window is refused loudly.
+    ("q303_postings_retention", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val key = coalesce(col("doc_id"), col("vec_id"))
+      def corpus = docs.select(col("doc_id"), col("text"))
+        .join(emb.select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"), "full_outer")
+      val cDir = orderedSliceStaging(s, dir, "q303_corpus_slices")(Seq(
+        corpus.where(key % 9 === 8),
+        corpus.where(key % 9 =!= 8 && key % 2 === 0),
+        corpus.where(key % 9 =!= 8 && key % 2 === 1)))
+      val storeDir = scratch("q303_store")
+      val q = TextAnalysis.ingestPostingsStream(
+          s.readStream
+            .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1).parquet(cDir),
+          "doc_id", "text", "vec_id", "embedding", storeDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // id-determined batch membership, loud on both store sides
+      val dl = s.read.parquet(s"$storeDir/dl")
+      require(dl.where(col("delta").cast("long") === 0 &&
+          col("doc_id") % 9 =!= 8).isEmpty &&
+          !dl.where(col("delta").cast("long") === 0).isEmpty,
+        "delta 0 must hold exactly the doc_id % 9 == 8 docs")
+      require(s.read.parquet(s"$storeDir/emb")
+          .where(col("delta").cast("long") === 0 && col("vec_id") % 9 =!= 8)
+          .isEmpty,
+        "delta 0's vector side must hold exactly the vec_id % 9 == 8 rows")
+      // control law: an all-covering window under the count threshold
+      // must not force a cycle
+      require(!TextAnalysis.maintainHybridStore(s, storeDir, maxDeltas = 10,
+          "doc_id", "text", "vec_id", "embedding", dropBelow = Some(0L)),
+        "an all-covering retention window must not force a cycle")
+      // the aged-out arm fires BELOW the count threshold; the window
+      // keeps batches {1, 2} and batch 0 leaves with the swap
+      require(TextAnalysis.maintainHybridStore(s, storeDir, maxDeltas = 10,
+          "doc_id", "text", "vec_id", "embedding", dropBelow = Some(1L)),
+        "a delta outside the retention window must force the cycle")
+      val statsLeft = s.read.parquet(s"$storeDir/stats")
+      require(statsLeft.count() == 1L &&
+          statsLeft.select(col("delta").cast("long")).head().getLong(0) == 2L,
+        "retention must leave ONE consolidated in-window delta at id 2")
+      require(s.read.parquet(s"$storeDir/dl")
+          .where(col("doc_id") % 9 === 8).isEmpty,
+        "aged-out docs must leave the store with the swap")
+      // the refused edge: a window aging out EVERYTHING fails loudly
+      val err = try {
+        TextAnalysis.maintainHybridStore(s, storeDir, maxDeltas = 1,
+          "doc_id", "text", "vec_id", "embedding", dropBelow = Some(3L)); false
+      } catch { case _: IllegalArgumentException => true }
+      require(err, "a store-emptying retention window must be refused")
+      // serve the survivors — q295's serve, q295's oracle
+      val hc = TextAnalysis.readHybridCorpus(s, storeDir,
+        "doc_id", "text", "vec_id", "embedding")
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      TextAnalysis.hybridRrfTopKPrepared(hc, queries,
+          kArm = 10, kOut = 5, nTerms = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(hybridRrfOracleFor("__id__ % 9 <> 8")))
   )
 }

@@ -853,16 +853,20 @@ object TextAnalysis {
     * @param batchId when set, the consolidated delta lands
     *        batch-addressed under `delta=<batchId>/` — REQUIRED when the
     *        store stays live for further batch-addressed ingest (a bare
-    *        append would mix flat files into a partitioned layout) */
+    *        append would mix flat files into a partitioned layout)
+    * @param deltaFrom RETENTION cut: only deltas at/above this id are
+    *        folded into the consolidation ([[maintainHybridStore]]'s
+    *        `dropBelow`) — older deltas age out with the swap */
   def compactHybridStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, outPath: String,
       docIdCol: String, textCol: String,
       embIdCol: String, vecCol: String,
       tombstones: DataFrame = null,
       batchId: Option[Long] = None,
-      deltaBelow: Option[Long] = None): Unit = {
+      deltaBelow: Option[Long] = None,
+      deltaFrom: Option[Long] = None): Unit = {
     val hc0 = readHybridCorpus(spark, storePath, docIdCol, textCol,
-      embIdCol, vecCol, deltaBelow = deltaBelow)
+      embIdCol, vecCol, deltaBelow = deltaBelow, deltaFrom = deltaFrom)
     val hc = if (tombstones == null) hc0 else removeDocsById(hc0, tombstones)
     // readHybridCorpus already re-reduces stats/alldf; writing the result
     // back as one delta IS the consolidation
@@ -892,12 +896,23 @@ object TextAnalysis {
     *        be overwritten by the in-flight batch) is dropped with the
     *        swap rather than double-counted. At-rest maintenance passes
     *        None and compacts everything.
+    * @param dropBelow RETENTION window keyed by the store's ingest clock
+    *        (the batch-addressed delta id) — [[Similarity
+    *        .maintainIndexStore]]'s arm on the lexical side: deltas below
+    *        it are EXCLUDED from the consolidation (their postings,
+    *        lengths, stats rows and df contributions all age out in the
+    *        same metadata re-reduction the rewrite was paying anyway) and
+    *        removed with the swap; aged deltas FORCE the cycle even under
+    *        the count threshold — retention is a correctness policy, not
+    *        a layout optimization. A window that would empty the store is
+    *        refused loudly.
     * @return true iff the policy fired and the store was swapped */
   def maintainHybridStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, maxDeltas: Int,
       docIdCol: String, textCol: String, embIdCol: String, vecCol: String,
       tombstones: DataFrame = null,
-      onlyBelow: Option[Long] = None): Boolean = {
+      onlyBelow: Option[Long] = None,
+      dropBelow: Option[Long] = None): Boolean = {
     require(maxDeltas >= 1, s"maxDeltas must be >= 1, got $maxDeltas")
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -911,18 +926,25 @@ object TextAnalysis {
         // delta (partition values are directory names — small ids infer as
         // ints, hence the explicit cast)
         val stats0 = spark.read.parquet(s"$storePath/stats")
-        val stats = onlyBelow.fold(stats0)(b =>
+        val all = onlyBelow.fold(stats0)(b =>
           stats0.where(col("delta").cast("long") < b))
-        if (stats.count() <= maxDeltas) false
+        val kept = dropBelow.fold(all)(f =>
+          all.where(col("delta").cast("long") >= f))
+        val keptN = kept.count()
+        val aged = all.count() - keptN
+        require(aged == 0 || keptN > 0,
+          s"retention window dropBelow=${dropBelow.get} would empty the " +
+            s"store at $storePath — refusing to age out every delta")
+        if (keptN <= maxDeltas && aged == 0) false
         else {
-          maxId = stats.agg(max(col("delta").cast("long"))).head().getLong(0)
+          maxId = kept.agg(max(col("delta").cast("long"))).head().getLong(0)
           true
         }
       }
     } { staging =>
       compactHybridStore(spark, storePath, staging.toString,
         docIdCol, textCol, embIdCol, vecCol, tombstones, Some(maxId),
-        deltaBelow = onlyBelow)
+        deltaBelow = onlyBelow, deltaFrom = dropBelow)
     }
   }
 
@@ -979,6 +1001,11 @@ object TextAnalysis {
     *        ([[maintainHybridStore]]'s `onlyBelow`); partition pruning
     *        makes it a directory-level cut, no data read from excluded
     *        deltas. None reads the whole store.
+    * @param deltaFrom restrict the read to batch-addressed deltas AT OR
+    *        ABOVE this id — the RETENTION window's lower edge
+    *        ([[maintainHybridStore]]'s `dropBelow`): aged-out deltas are
+    *        a directory-level partition-pruned cut, exactly like
+    *        `deltaBelow`. None applies no lower cut.
     * @param allowLexicalOnly permit embIdCol = null on a store that DOES
     *        carry a vector side — the intentional postings-only serve;
     *        without it that shape is rejected as a likely wiring bug. */
@@ -986,6 +1013,7 @@ object TextAnalysis {
       docIdCol: String, textCol: String, embIdCol: String, vecCol: String,
       checkUnique: Boolean = false,
       deltaBelow: Option[Long] = None,
+      deltaFrom: Option[Long] = None,
       allowLexicalOnly: Boolean = false): HybridCorpus = {
     // store-shape guard: emb presence is a property of the STORE (the
     // writer only appends `emb/` when the corpus had a vector side), so a
@@ -1015,12 +1043,14 @@ object TextAnalysis {
     // written as bare appends
     def frame(sub: String): DataFrame = {
       val raw = spark.read.parquet(s"$path/$sub")
-      deltaBelow match {
-        case Some(b) =>
-          require(raw.columns.contains("delta"),
-            s"deltaBelow on a store without batch-addressed deltas: $path/$sub")
-          raw.where(col("delta").cast("long") < b).drop("delta")
-        case None => raw.drop("delta")
+      if (deltaBelow.isEmpty && deltaFrom.isEmpty) raw.drop("delta")
+      else {
+        require(raw.columns.contains("delta"),
+          s"deltaBelow/deltaFrom on a store without batch-addressed " +
+            s"deltas: $path/$sub")
+        val cut = (deltaBelow.map(col("delta").cast("long") < _) ++
+          deltaFrom.map(col("delta").cast("long") >= _)).reduce(_ && _)
+        raw.where(cut).drop("delta")
       }
     }
     val dl = frame("dl")
