@@ -547,6 +547,42 @@ class TextAnalysisSpec extends SparkTestBase {
       survivors.dl.orderBy("doc_id").collect().toSeq
   }
 
+  test("maintainHybridStore retention: dropBelow ages deltas out, forces the cycle, refuses to empty") {
+    val docs = Seq((0L, "spark joins fast"), (1L, "slow scans spark"),
+      (2L, "fast fast joins"), (3L, "spark spark spark"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_hretain").toString
+    (0L to 2L).foreach { b =>
+      TextAnalysis.writeHybridCorpusDelta(
+        TextAnalysis.prepareHybridCorpus(
+          docs.where(col("doc_id") % 3 === b), "doc_id", "text",
+          null, null, null),
+        root, Some(b))
+    }
+    def read() = TextAnalysis.readHybridCorpus(spark, root,
+      "doc_id", "text", null, null)
+    // an all-covering window under the count threshold: no cycle
+    TextAnalysis.maintainHybridStore(spark, root, maxDeltas = 5,
+      "doc_id", "text", null, null, dropBelow = Some(0L)) shouldBe false
+    // an aged delta forces the cycle below the count threshold, and the
+    // surviving store equals preparing the in-window corpus from scratch
+    TextAnalysis.maintainHybridStore(spark, root, maxDeltas = 5,
+      "doc_id", "text", null, null, dropBelow = Some(1L)) shouldBe true
+    spark.read.parquet(s"$root/stats").count() shouldBe 1L
+    val survivors = TextAnalysis.prepareHybridCorpus(
+      docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text", null, null, null)
+    read().alldf.orderBy("t").collect().toSeq shouldBe
+      survivors.alldf.orderBy("t").collect().toSeq
+    read().stats.collect().toSeq shouldBe survivors.stats.collect().toSeq
+    read().dl.orderBy("doc_id").collect().toSeq shouldBe
+      survivors.dl.orderBy("doc_id").collect().toSeq
+    // a window that would age out EVERYTHING is refused, store untouched
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.maintainHybridStore(spark, root, maxDeltas = 1,
+        "doc_id", "text", null, null, dropBelow = Some(99L))
+    read().dl.count() shouldBe 2L
+  }
+
   test("readHybridCorpus: store-shape guard fails loud when embIdCol disagrees with the emb/ dir") {
     val docs = Seq((0L, "spark joins fast"), (1L, "slow scans"))
       .toDF("doc_id", "text")
