@@ -2276,7 +2276,11 @@ private[graft] object AnnCatalog {
       }
       // the POLICY arm stays a live per-pass ingest; the CONTROL arm's
       // store is deterministic and never touched by the policy, so it
-      // stages once per JVM (the q252 artifact discipline)
+      // stages once per JVM (the q252 artifact discipline). NOTE the
+      // no-fire require below runs inside the staging closure, i.e. the
+      // control LAW is checked once per session, deliberately — the
+      // artifact is deterministic, and the serve-equality law downstream
+      // still runs every pass
       val policyDir = scratch("q292_store")
       val policyFired = ingest(policyDir, maxDeltas = 1)
       val controlRoot = graft.util.Staging.dir("q292_control_store", dir) { p =>

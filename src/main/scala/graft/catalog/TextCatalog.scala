@@ -1599,7 +1599,11 @@ private[graft] object TextCatalog {
       // the POLICY arm stays a live per-pass ingest (the thing under
       // test); the CONTROL arm's store is deterministic and never touched
       // by the policy, so it stages once per JVM (the q252 artifact
-      // discipline) — its law costs a serve per pass, not a re-ingest
+      // discipline) — its law costs a serve per pass, not a re-ingest.
+      // NOTE the no-fire require below runs inside the staging closure,
+      // i.e. the control LAW is checked once per session, deliberately —
+      // the artifact is deterministic, and the serve-equality law
+      // downstream still runs every pass
       val policyDir = scratch("q293_store")
       val policyFired = ingest(policyDir, maxDeltas = 1)
       val controlRoot = graft.util.Staging.dir("q293_control_store", dir) { p =>
@@ -1893,6 +1897,119 @@ private[graft] object TextCatalog {
       TextAnalysis.hybridRrfTopKPrepared(hc, queries,
           kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
-    }, Some(hybridRrfOracleFor("__id__ % 9 <> 8")))
+    }, Some(hybridRrfOracleFor("__id__ % 9 <> 8"))),
+
+
+    // GENERATION-POINTER SERVE ON THE POSTINGS STORE — q300/q301's
+    // lexical twin, closing the symmetry: BOTH stores now have the
+    // concurrent-reader-safe maintenance form GenStore gives (the
+    // in-place StoreSwap's steps 2-3 leave a window with no root at all;
+    // the pointer flip is ONE atomic marker create). The LIVE
+    // ingestPostingsStream and the hybrid serve share one session with
+    // the pointer as the read-committed boundary: the beforeBatch seam
+    // (onlyBelow — q293's replay-safe placement) consolidates the
+    // COMMITTED deltas into an immutable generation dir and flips the
+    // pointer MID-STREAM; every serve resolves the pointer once and reads
+    // that generation only — never the live delta area, so never a
+    // half-written or replayable delta. Query docs ride batch 0 so every
+    // served stage holds their full text (distinctiveQueryTerms weighs
+    // the query's tokens against the STORE's dfs, and the oracle derives
+    // qterms from the restricted corpus's own toks — the two only agree
+    // when the query doc is in-store); remaining ids split by % 3, so
+    // each serve's expected answer is a SQL predicate over the committed
+    // prefix. Gated against a three-arm oracle whose corpus predicate
+    // grows with the prefix.
+    ("q304_postings_gen_serve_committed", (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val key = coalesce(col("doc_id"), col("vec_id"))
+      def corpus = docs.select(col("doc_id"), col("text"))
+        .join(emb.select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"), "full_outer")
+      val cDir = orderedSliceStaging(s, dir, "q304_corpus_slices")(
+        (0 until 3).map(i => corpus.where(
+          when(key < 6, lit(0)).otherwise(key % 3) === i)))
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val live = scratch("q304_live")
+      val root = scratch("q304_gens")
+      val outDir = scratch("q304_out")
+      val queries = docs.where(col("doc_id") < 6)
+        .select(col("doc_id").as("q_id"), col("text"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      def publishCommitted(onlyBelow: Option[Long]): Unit = {
+        // the stats frame is the store's ingest clock — one delta dir per
+        // micro-batch (the q293 threshold source; the listing layout is
+        // shared with the vector store, hence the borrowed helper)
+        val committed = Similarity.indexStoreDeltas(s, s"$live/stats")
+          .filter(d => onlyBelow.forall(d < _))
+        if (committed.nonEmpty)
+          graft.util.GenStore.cycle(fs, root, gen = committed.max) {
+            // fire iff the pointer lags the committed prefix
+            graft.util.GenStore.current(fs, root).forall(_ < committed.max)
+          } { p =>
+            TextAnalysis.compactHybridStore(s, live, p.toString,
+              "doc_id", "text", "vec_id", "embedding",
+              deltaBelow = onlyBelow)
+          }
+      }
+      def serveCommitted(stage: Long): Unit =
+        graft.util.GenStore.currentPath(fs, root).foreach { gen =>
+          TextAnalysis.hybridRrfTopKPrepared(
+              TextAnalysis.readHybridCorpus(s, gen.toString,
+                "doc_id", "text", "vec_id", "embedding"),
+              queries, kArm = 10, kOut = 5, nTerms = 4)
+            .withColumn("stage", lit(stage))
+            .write.mode("append").parquet(outDir)
+        }
+      val q = TextAnalysis.ingestPostingsStream(
+          s.readStream
+            .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1).parquet(cDir),
+          "doc_id", "text", "vec_id", "embedding", live,
+          // committed prefix → generation, at the replay-safe seam;
+          // the serve side answers from the pointer — batch b's OWN
+          // delta is durable here but uncommitted, and the serve must
+          // not (and cannot) see it
+          beforeBatch = b => publishCommitted(Some(b)),
+          afterBatch = b => serveCommitted(b + 1))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // stream done ⇒ all deltas committed: final maintenance + serve
+      publishCommitted(None)
+      serveCommitted(4L)
+      // id-determined membership the oracle states, loud on both sides
+      val dl = s.read.parquet(s"$live/dl")
+      (0 until 3).foreach { b =>
+        val member =
+          if (b == 0) col("doc_id") < 6 || col("doc_id") % 3 === 0
+          else col("doc_id") >= 6 && col("doc_id") % 3 === b
+        require(dl.where(col("delta").cast("long") === b && !member).isEmpty &&
+            !dl.where(col("delta").cast("long") === b).isEmpty,
+          s"delta $b must hold exactly its id-determined doc slice")
+      }
+      require(s.read.parquet(s"$live/emb")
+          .where(col("delta").cast("long") === 0 &&
+            !(col("vec_id") < 6 || col("vec_id") % 3 === 0)).isEmpty,
+        "delta 0's vector side must hold exactly its id-determined slice")
+      require(graft.util.GenStore.current(fs, root) == Some(2L),
+        "final generation must cover every committed delta")
+      val out = s.read.parquet(outDir)
+      // serve 1 ran after batch 0 with nothing committed — no gen, no rows
+      require(out.where(col("stage") === 1).isEmpty,
+        "a serve before any commit must answer from no generation")
+      out.select(col("stage"), col("q_id"), col("rank"), col("n_id"),
+          col("rrf"), col("rank_v"), col("rank_l"))
+        .orderBy(col("stage"), col("q_id"), col("rank"))
+    }, Some(s"""
+      SELECT stage, q_id, rank, n_id, rrf, rank_v, rank_l FROM (
+        SELECT CAST(2 AS BIGINT) AS stage, * FROM (${hybridRrfOracleFor(
+          "__id__ < 6 OR __id__ % 3 = 0")})
+        UNION ALL
+        SELECT CAST(3 AS BIGINT) AS stage, * FROM (${hybridRrfOracleFor(
+          "__id__ < 6 OR __id__ % 3 <= 1")})
+        UNION ALL
+        SELECT CAST(4 AS BIGINT) AS stage, * FROM ($hybridRrfOracle))
+      ORDER BY stage, q_id, rank"""))
   )
 }
