@@ -152,7 +152,9 @@ object PlayerStatsEngine {
     * Functionally identical to the `mapGroupsWithState` form; what it adds
     * is OPERATIONAL: typed named state slots with per-slot TTL handled by
     * the state store itself (no timer bookkeeping in user code), schema'd
-    * state that supports schema evolution across restarts, and the
+    * state that supports schema evolution across restarts (proven live in
+    * `StateEvolutionSpec`: an added Option field carries counters through
+    * a checkpointed restart under the Avro state encoding), and the
     * RocksDB-backed store the API requires — the configuration a 100 TB
     * deployment runs anyway (state spills to disk instead of executor
     * heap). Initial-state warm start is `handleInitialState`, the TWS twin
