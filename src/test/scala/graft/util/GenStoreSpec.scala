@@ -132,4 +132,47 @@ class GenStoreSpec extends SparkTestBase {
     GenStore.cycle(fs, root, gen = 1) { true } { p => fill(p, "G1") } shouldBe true
     readerSees(root, 1, "G1")
   }
+
+  test("live race: a reader loop never observes a missing or inconsistent root while a writer publishes") {
+    // The wreck-matrix tests above check STATES; this checks the LIVE
+    // interleaving the layout exists for — a reader resolving the pointer
+    // at arbitrary instants while publishes flip it. Each generation dir
+    // carries its own id as content, so every read validates identity:
+    // resolve → read inside the resolved dir → the content names the
+    // resolved generation. retain=4 is the grace window covering reader
+    // latency (the documented contract: retain must outlast a reader's
+    // resolve-to-read span; 4 publishes of headroom ≫ one file read).
+    val root = freshRoot()
+    val gens = 30
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      // each reader iteration uses its OWN FileSystem-independent calls;
+      // the loop runs until the writer finishes, then once more
+      var go = true
+      while (go) {
+        go = !done.get()
+        try GenStore.current(fs, root).foreach { g =>
+          val p = GenStore.generationPath(root, g)
+          val tag = fs.listStatus(p).map(_.getPath.getName)
+            .filterNot(_.startsWith("_")).headOption.getOrElse("EMPTY")
+          if (tag != s"G$g") failures.add(s"gen $g resolved but read $tag")
+          reads.incrementAndGet()
+        } catch {
+          case e: Exception => failures.add(s"reader threw: $e")
+        }
+      }
+    })
+    reader.start()
+    (0 until gens).foreach { g =>
+      publishGen(root, g.toLong, s"G$g", retain = 4)
+    }
+    done.set(true)
+    reader.join(30000)
+    assert(!reader.isAlive, "reader thread wedged")
+    assert(failures.isEmpty, s"reader invariant violated: ${failures.peek()}")
+    assert(reads.get() > 0, "the race never exercised a read")
+    GenStore.current(fs, root) shouldBe Some((gens - 1).toLong)
+  }
 }
