@@ -122,6 +122,28 @@ private[graft] object CatalogShared {
         .repartition(3).write.mode("overwrite").parquet(s"$p/corpus")
     }
 
+  /** Per-JVM staged INGESTED postings store — q278's streamed 3-delta
+    * store as an ARTIFACT, for gates whose subject is DOWNSTREAM of
+    * ingest (compaction q284, tombstone compaction q295): re-running the
+    * live 3-micro-batch ingest per bench pass in those gates times setup,
+    * not the operator under test (the q252/q293-control artifact
+    * discipline). The live ingest path itself stays gated where it IS the
+    * subject — q278 (ingest), q291 (crash replay), q293 (policy in the
+    * loop), q298 (crash × policy), q303 (retention), q304 (gen-pointer
+    * serve). Consumers must NOT mutate the store (compaction writes to a
+    * fresh out dir). */
+  def ingestedPostingsStore(s: SparkSession, dir: String): String =
+    graft.util.Staging.dir("q284_ingested_store", dir) { p =>
+      val tmp = corpusStreamStaging(s, dir)
+      val q = TextAnalysis.ingestPostingsStream(
+          s.readStream
+            .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus"),
+          "doc_id", "text", "vec_id", "embedding", s"$p/store")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } + "/store"
+
   /** Stage `slices` as SINGLE parquet files `00.parquet, 01.parquet, …`
     * with ascending (fixed, deterministic) modification times inside
     * `<staging>/stream`, so a `maxFilesPerTrigger=1` file source

@@ -1391,15 +1391,10 @@ private[graft] object TextCatalog {
     ("q284_postings_compaction", (s, dir) => {
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val tmp = corpusStreamStaging(s, dir)
-      val storeDir = scratch("q284_store")
-      val stream = s.readStream
-        .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
-        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus")
-      val q = TextAnalysis.ingestPostingsStream(stream,
-          "doc_id", "text", "vec_id", "embedding", storeDir)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // the subject is COMPACTION; its input (the streamed 3-delta store)
+      // is a deterministic artifact staged once per JVM — the live ingest
+      // stays gated by q278/q291/q293/q298 where it is the subject
+      val storeDir = ingestedPostingsStore(s, dir)
       val compactDir = scratch("q284_compact")
       TextAnalysis.compactHybridStore(s, storeDir, compactDir,
         "doc_id", "text", "vec_id", "embedding")
@@ -1651,15 +1646,10 @@ private[graft] object TextCatalog {
     ("q295_postings_tombstone_compaction", (s, dir) => {
       val docs = T(s, dir, "documents")
       val emb = T(s, dir, "embeddings")
-      val tmp = corpusStreamStaging(s, dir)
-      val storeDir = scratch("q295_store")
-      val q = TextAnalysis.ingestPostingsStream(
-          s.readStream
-            .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
-            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus"),
-          "doc_id", "text", "vec_id", "embedding", storeDir)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // the subject is erasure AT compaction; the ingested store is the
+      // same staged artifact q284 consumes (never mutated — the cycle
+      // writes to a fresh out dir)
+      val storeDir = ingestedPostingsStore(s, dir)
       val compactDir = scratch("q295_compact")
       TextAnalysis.compactHybridStore(s, storeDir, compactDir,
         "doc_id", "text", "vec_id", "embedding",
