@@ -994,6 +994,9 @@ private[graft] object AnnCatalog {
       val qs = emb.where(col("vec_id") < 16)
       val cent = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cid"), col("embedding"))
+      // NOT pinned (measured, r16): one action — AQE stage reuse already
+      // dedupes the repeated codebook/residual subtrees at runtime; eager
+      // pins ran this audit 1.46× SLOWER (q287's finding)
       val cbRaw = Similarity.pqCodebookByStride(emb, "vec_id", "embedding",
         m = 16, subDim = 4, stride = 10)
       val residFrame = Similarity.residuals(emb, cent, "vec_id", "cid", "embedding")
@@ -2038,11 +2041,15 @@ private[graft] object AnnCatalog {
       val emb = T(s, dir, "embeddings")
       val cent = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cid"), col("embedding"))
-      val cb = Similarity.pqCodebookByStride(
+      // cb/index pinned: cb feeds the index build, the serve's LUTs AND
+      // the SDC table collect; index feeds the serve and the MMR code
+      // lookup — unpinned, each consumer re-runs the full-corpus
+      // codebook/encode lineage (guide §5)
+      val cb = graft.util.Caches.pin(Similarity.pqCodebookByStride(
         Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
-        "vec_id", "res", m = 4, subDim = 16, stride = 5)
-      val index = Similarity.residualIndex(emb, cent, cb,
-        "vec_id", "cid", "embedding", m = 4, subDim = 16)
+        "vec_id", "res", m = 4, subDim = 16, stride = 5))
+      val index = graft.util.Caches.pin(Similarity.residualIndex(emb, cent, cb,
+        "vec_id", "cid", "embedding", m = 4, subDim = 16))
       val cands = Similarity.ivfPqResidualStoredTopK(
           emb.where(col("vec_id") < 6), index, cent, cb,
           "vec_id", "cid", "embedding", k = 10, m = 4, subDim = 16, nprobe = 4)
@@ -2112,11 +2119,12 @@ private[graft] object AnnCatalog {
       val docs = T(s, dir, "documents")
       val cent = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cid"), col("embedding"))
-      val cb = Similarity.pqCodebookByStride(
+      // cb/index pinned — q288's rationale (multi-consumer model frames)
+      val cb = graft.util.Caches.pin(Similarity.pqCodebookByStride(
         Similarity.residuals(emb, cent, "vec_id", "cid", "embedding"),
-        "vec_id", "res", m = 4, subDim = 16, stride = 5)
-      val index = Similarity.residualIndex(emb, cent, cb,
-        "vec_id", "cid", "embedding", m = 4, subDim = 16)
+        "vec_id", "res", m = 4, subDim = 16, stride = 5))
+      val index = graft.util.Caches.pin(Similarity.residualIndex(emb, cent, cb,
+        "vec_id", "cid", "embedding", m = 4, subDim = 16))
       val cands = Similarity.ivfPqResidualStoredTopK(
           emb.where(col("vec_id") < 6), index, cent, cb,
           "vec_id", "cid", "embedding", k = 10, m = 4, subDim = 16, nprobe = 4)

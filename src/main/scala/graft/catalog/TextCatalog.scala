@@ -1483,6 +1483,11 @@ private[graft] object TextCatalog {
     ("q287_two_store_hybrid", (s, dir) => {
       val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
       val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // NOT pinned (measured, r16): this serve is ONE action, and AQE's
+      // runtime stage reuse already dedupes the repeated corpus/codebook
+      // subtrees — eager pins here ran 1.5× SLOWER (5-7 extra count jobs
+      // bought nothing). Pins pay only when a SECOND action (a collect)
+      // re-needs a frame — q288/q289's shape, not this one.
       val hc = TextAnalysis.prepareHybridCorpus(
         docs, "doc_id", "text", emb, "vec_id", "embedding")
       val queries = docs.where(col("doc_id") < 6)

@@ -702,12 +702,23 @@ object TextAnalysis {
     val toks = docs.where(col(textCol).isNotNull)
       .select(col(docIdCol), explode(words(col(textCol))).as("t"))
       .where(col("t") =!= "")
+    val (dl, stats, alldf) = postingsMeta(toks, docIdCol)
+    HybridCorpus(docs, docIdCol, textCol, emb, embIdCol, vecCol,
+      toks, dl, stats, alldf)
+  }
+
+  /** The metadata frames of a postings corpus, derived from its token
+    * rows — the ONE definition both [[prepareHybridCorpus]] (lazy frames
+    * over the corpus lineage) and the ingest's materialized delta write
+    * (frames over the just-written toks parquet) must share, so the two
+    * paths can never drift. */
+  private def postingsMeta(toks: DataFrame, docIdCol: String):
+      (DataFrame, DataFrame, DataFrame) = {
     val dl = toks.groupBy(col(docIdCol)).agg(count(lit(1)).as("__dl"))
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tot"))
     val alldf = toks.select(col(docIdCol), col("t")).distinct()
       .groupBy(col("t")).agg(count(lit(1)).as("df"))
-    HybridCorpus(docs, docIdCol, textCol, emb, embIdCol, vecCol,
-      toks, dl, stats, alldf)
+    (dl, stats, alldf)
   }
 
   /** Incremental postings maintenance: merge a prepared corpus side with
@@ -1116,14 +1127,38 @@ object TextAnalysis {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
         beforeBatch(batchId)
-        writeHybridCorpusDelta(prepareHybridCorpus(
-          batch.select(col(docIdCol), col(textCol))
-            .where(col(docIdCol).isNotNull),
-          docIdCol, textCol,
-          if (embIdCol == null) null
-          else batch.select(col(embIdCol), col(vecCol))
-            .where(col(embIdCol).isNotNull),
-          embIdCol, vecCol), storePath, Some(batchId))
+        // Materialize the row-level token frame ONCE, then derive the
+        // metadata frames (dl/stats/alldf) from the WRITTEN parquet rather
+        // than re-running the batch-scan → tokenize → explode lineage for
+        // every frame: the lazy writeHybridCorpusDelta(prepareHybridCorpus(
+        // batch…)) form re-scanned the micro-batch source 5× and re-ran
+        // the explode 4× per delta (guide §1.2 — don't recompute what you
+        // already have; at scale toks IS the heavy frame and tokenization
+        // the heavy work). Identical store content by construction: the
+        // metadata frames come from [[postingsMeta]] — the same definition
+        // prepareHybridCorpus uses — applied to the read-back of the toks
+        // rows this very write produced (law-pinned in TextAnalysisSpec;
+        // q278/q291/q293/q298/q303/q304 gate the store against the
+        // from-scratch oracle downstream). Replay-safety is unchanged:
+        // every frame still lands batch-addressed with overwrite
+        // semantics, and a replay overwrites toks first, so the derived
+        // frames always read their own attempt's rows.
+        val spark = batch.sparkSession
+        val sub = s"/delta=$batchId"
+        val toks = batch.select(col(docIdCol), col(textCol))
+          .where(col(docIdCol).isNotNull && col(textCol).isNotNull)
+          .select(col(docIdCol), explode(words(col(textCol))).as("t"))
+          .where(col("t") =!= "")
+        toks.write.mode("overwrite").parquet(s"$storePath/toks$sub")
+        val toksW = spark.read.parquet(s"$storePath/toks$sub")
+        val (dl, stats, alldf) = postingsMeta(toksW, docIdCol)
+        dl.write.mode("overwrite").parquet(s"$storePath/dl$sub")
+        stats.write.mode("overwrite").parquet(s"$storePath/stats$sub")
+        alldf.write.mode("overwrite").parquet(s"$storePath/alldf$sub")
+        if (embIdCol != null)
+          batch.select(col(embIdCol), col(vecCol))
+            .where(col(embIdCol).isNotNull)
+            .write.mode("overwrite").parquet(s"$storePath/emb$sub")
         afterBatch(batchId)
       }
 

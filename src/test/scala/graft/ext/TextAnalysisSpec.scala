@@ -583,6 +583,64 @@ class TextAnalysisSpec extends SparkTestBase {
     read().dl.count() shouldBe 2L
   }
 
+  test("ingestPostingsStream materialized delta write ≡ writeHybridCorpusDelta(prepareHybridCorpus) per frame") {
+    // the ingest's per-batch write derives dl/stats/alldf from the WRITTEN
+    // toks parquet (one tokenize pass per delta) — this law pins that the
+    // store content is identical to the lazy reference path, frame by frame
+    val docs = Seq((0L, "spark joins fast"), (1L, "slow scans spark"),
+      (2L, (null: String)), (3L, "spark  spark"), ((null: Any), "orphan"))
+      .map { case (i, t) => (i.asInstanceOf[java.lang.Long], t) }
+      .toDF("doc_id", "text")
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = docs.join(emb, col("doc_id") === col("vec_id"), "full_outer")
+    val src = java.nio.file.Files.createTempDirectory("graft_ingsrc").toString
+    corpus.repartition(2).write.mode("overwrite").parquet(src)
+    val ingested = java.nio.file.Files.createTempDirectory("graft_ingdst").toString
+    val q = TextAnalysis.ingestPostingsStream(
+        spark.readStream
+          .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1).parquet(src),
+        "doc_id", "text", "vec_id", "embedding", ingested)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // reference store: the lazy path, one delta per ingested delta with the
+    // same rows (re-read each written delta's doc ids to slice identically)
+    val reference = java.nio.file.Files.createTempDirectory("graft_ingref").toString
+    val deltas = new java.io.File(s"$ingested/toks").listFiles()
+      .map(_.getName).filter(_.startsWith("delta="))
+      .map(_.stripPrefix("delta=").toLong).sorted.toSeq
+    deltas.foreach { b =>
+      val docIds = spark.read.parquet(s"$ingested/dl/delta=$b")
+        .select(col("doc_id")).as[Long].collect().toSet
+      val embIds = spark.read.parquet(s"$ingested/emb/delta=$b")
+        .select(col("vec_id")).as[Long].collect().toSet
+      val slice = corpus.where(
+        coalesce(col("doc_id").isin(docIds.toSeq: _*), lit(false)) ||
+        coalesce(col("vec_id").isin(embIds.toSeq: _*), lit(false)) ||
+        (col("doc_id").isNotNull && col("text").isNull) ||
+        col("doc_id").isNull)
+      TextAnalysis.writeHybridCorpusDelta(TextAnalysis.prepareHybridCorpus(
+        slice.select(col("doc_id"), col("text")).where(col("doc_id").isNotNull),
+        "doc_id", "text",
+        slice.select(col("vec_id"), col("embedding")).where(col("vec_id").isNotNull),
+        "vec_id", "embedding"), reference, Some(b))
+    }
+    def frames(root: String) = Map(
+      "toks" -> spark.read.parquet(s"$root/toks").orderBy("delta", "doc_id", "t").collect().toSeq,
+      "dl" -> spark.read.parquet(s"$root/dl").orderBy("delta", "doc_id").collect().toSeq,
+      "alldf" -> spark.read.parquet(s"$root/alldf").orderBy("delta", "t").collect().toSeq,
+      "emb" -> spark.read.parquet(s"$root/emb").select(col("delta"), col("vec_id"))
+        .orderBy("delta", "vec_id").collect().toSeq)
+    frames(ingested) shouldBe frames(reference)
+    // stats: per-delta rows identical after the serve-side re-reduction
+    val a = TextAnalysis.readHybridCorpus(spark, ingested,
+      "doc_id", "text", "vec_id", "embedding")
+    val b = TextAnalysis.readHybridCorpus(spark, reference,
+      "doc_id", "text", "vec_id", "embedding")
+    a.stats.collect().toSeq shouldBe b.stats.collect().toSeq
+  }
+
   test("readHybridCorpus: store-shape guard fails loud when embIdCol disagrees with the emb/ dir") {
     val docs = Seq((0L, "spark joins fast"), (1L, "slow scans"))
       .toDF("doc_id", "text")
