@@ -2449,31 +2449,44 @@ private[graft] object AnnCatalog {
       val tmp = ivfIngestStaging(s, dir)
       val cent0 = s.read.parquet(s"$tmp/centroids")
       val cb0 = s.read.parquet(s"$tmp/codebooks")
+      // the generation-0 CONTENT (full-corpus index under the frozen
+      // model) is a per-JVM staged artifact: the subject here is the
+      // refresh protocol (gauge → refit → re-encode → pointer flip), not
+      // the frozen-model encode — re-encoding it three times per pass
+      // (ctrl gen 0, drift gen 0, pre-upsert serve) timed setup (r16)
+      val fullIdx = frozenFullIndexStaging(s, dir)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val drifted = transform(col("embedding"),
         (x, i) => when(i < 8, abs(x)).otherwise(x))
-      def arm(label: String, upsertVec: org.apache.spark.sql.Column):
-          (String, Boolean, Double) = {
-        val root = scratch(s"q299_${label}_gens")
-        val live = scratch(s"q299_${label}_live")
-        val upStore = scratch(s"q299_${label}_upserts")
-        // generation 0: the shipped store — full-corpus index under the
-        // staged frozen model; a generation carries its own model
-        require(graft.util.GenStore.cycle(fs, root, gen = 0) { true } { p =>
-          Similarity.residualIndex(emb, cent0, cb0,
-              "vec_id", "cid", "embedding", m = 4, subDim = 16)
-            .write.mode("overwrite").parquet(s"$p/index")
-          cent0.write.mode("overwrite").parquet(s"$p/centroids")
-          cb0.write.mode("overwrite").parquet(s"$p/codebooks")
-        }, "generation 0 must publish")
-        // the drifted re-observation batch, staged as one file so the
-        // gauge + upsert path runs through a real stream
-        val upTmp = graft.util.Staging.dir(s"q299_${label}_batch", dir) { p =>
+      // the re-observation batches, staged as one file each so the gauge
+      // + upsert path runs through a real stream (hoisted OUT of arm():
+      // Staging.dir must never nest inside another staging closure —
+      // computeIfAbsent on the shared map)
+      def stagedBatch(label: String, upsertVec: org.apache.spark.sql.Column) =
+        graft.util.Staging.dir(s"q299_${label}_batch", dir) { p =>
           emb.where(col("vec_id") % 9 === 8)
             .select(col("vec_id"), upsertVec.as("embedding"))
             .coalesce(1).write.mode("overwrite").parquet(s"$p/stream")
         }
+      val ctrlBatch = stagedBatch("ctrl", col("embedding"))
+      val driftBatch = stagedBatch("drift", drifted)
+      def arm(label: String, base: String, upTmp: String):
+          (String, Boolean, Double) = {
+        val root = s"$base/gens"
+        val live = s"$base/live"
+        val upStore = s"$base/upserts"
+        // generation 0: the shipped store — full-corpus index under the
+        // staged frozen model; a generation carries its own model. The
+        // content INSTALLS by file copy from the staged artifacts; the
+        // publish protocol (stage → rename → marker flip) runs live
+        require(graft.util.GenStore.cycle(fs, root, gen = 0) { true } { p =>
+          def cp(src: String, sub: String) = graft.util.Fs.copyRecursively(
+            java.nio.file.Paths.get(src), java.nio.file.Paths.get(s"$p/$sub"))
+          cp(fullIdx, "index")
+          cp(s"$tmp/centroids", "centroids")
+          cp(s"$tmp/codebooks", "codebooks")
+        }, "generation 0 must publish")
         val maxShiftRef = // written on the stream thread, read after await
           new java.util.concurrent.atomic.AtomicReference[Double](0.0)
         val q = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
@@ -2540,25 +2553,37 @@ private[graft] object AnnCatalog {
           .orderBy(col("q_id"), col("rank"))
       }
       // CONTROL LAW: identity re-observations gauge exactly zero, no
-      // refit, and the generation keeps serving pre-upsert answers
-      val (ctrlRoot, ctrlFired, ctrlShift) = arm("ctrl", col("embedding"))
-      require(!ctrlFired && ctrlShift == 0.0,
-        s"identity re-observations must gauge zero drift and not refit " +
-          s"(shift $ctrlShift)")
-      require(graft.util.GenStore.current(fs, ctrlRoot) == Some(0L),
-        "control arm must stay on generation 0")
+      // refit, and the generation keeps serving pre-upsert answers. The
+      // control arm's stores are deterministic (identity upserts, no
+      // refit), so the arm STAGES once per JVM — the q293-control
+      // discipline: the gauge-zero / no-refit laws run once per session
+      // inside the staging closure; the serve-equality law below still
+      // runs every pass
+      val ctrlRoot = graft.util.Staging.dir("q299_ctrl_arm", dir) { p =>
+        val (_, ctrlFired, ctrlShift) = arm("ctrl", p, ctrlBatch)
+        require(!ctrlFired && ctrlShift == 0.0,
+          s"identity re-observations must gauge zero drift and not refit " +
+            s"(shift $ctrlShift)")
+        require(graft.util.GenStore.current(fs, s"$p/gens") == Some(0L),
+          "control arm must stay on generation 0")
+      } + "/gens"
+      // the pre-upsert answers come off the SAME staged artifact the
+      // generations installed (parquet round trip of long/float columns
+      // is exact — content-identical to the inline encode it replaces)
       val preUpsert = Similarity.ivfPqResidualStoredTopK(
         emb.where(col("vec_id") < 8),
-        Similarity.residualIndex(emb, cent0, cb0,
-          "vec_id", "cid", "embedding", m = 4, subDim = 16),
+        Similarity.readIndexStore(s, fullIdx),
         cent0, cb0, "vec_id", "cid", "embedding",
         k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
       require(serve(ctrlRoot).collect().toSeq == preUpsert.collect().toSeq,
         "an unfired refresh must leave served answers untouched")
       // DRIFT arm: the gauge crosses, the refresh fires, generation 1 is
-      // live, and serving it reproduces the from-scratch refit oracle
-      val (root, fired, shift) = arm("drift", drifted)
+      // live, and serving it reproduces the from-scratch refit oracle —
+      // LIVE per pass end to end (the gauge → refit → re-encode → flip
+      // chain IS the subject)
+      val (root, fired, shift) = arm("drift", scratch("q299_drift_arm"),
+        driftBatch)
       require(fired && shift > 100.0,
         s"drifted re-observations must cross the gauge (shift $shift)")
       require(graft.util.GenStore.current(fs, root) == Some(1L),
@@ -2589,12 +2614,22 @@ private[graft] object AnnCatalog {
       val cb = s.read.parquet(s"$tmp/codebooks")
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val root = scratch("q300_gens")
-      val outDir = scratch("q300_out")
-      require(graft.util.GenStore.cycle(fs, root, gen = 0) { true } { p =>
+      // both generations' index CONTENT is a per-JVM staged artifact
+      // (deterministic function of corpus + frozen model — q299's
+      // rationale): the subject is the pointer protocol across a live
+      // flip, not the encode; generations install by file copy while the
+      // publish protocol (stage → rename → marker flip) runs live
+      val fullIdx = frozenFullIndexStaging(s, dir)
+      val part0Idx = graft.util.Staging.dir("q300_gen0_index", dir) { p =>
         Similarity.residualIndex(emb.where(col("vec_id") % 3 =!= 0),
             cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)
           .write.mode("overwrite").parquet(s"$p/index")
+      } + "/index"
+      val root = scratch("q300_gens")
+      val outDir = scratch("q300_out")
+      require(graft.util.GenStore.cycle(fs, root, gen = 0) { true } { p =>
+        graft.util.Fs.copyRecursively(java.nio.file.Paths.get(part0Idx),
+          java.nio.file.Paths.get(s"$p/index"))
       }, "generation 0 must publish")
       // query stream: two single-file micro-batches with id-determined
       // membership (the oracle's switch point must be statable in SQL)
@@ -2625,9 +2660,9 @@ private[graft] object AnnCatalog {
             // the stream is still running — readers flip at the marker
             if (batchId == 0L)
               require(graft.util.GenStore.cycle(fs, root, gen = 1) { true } { p =>
-                Similarity.residualIndex(emb, cent, cb,
-                    "vec_id", "cid", "embedding", m = 4, subDim = 16)
-                  .write.mode("overwrite").parquet(s"$p/index")
+                graft.util.Fs.copyRecursively(
+                  java.nio.file.Paths.get(fullIdx),
+                  java.nio.file.Paths.get(s"$p/index"))
               }, "mid-stream maintenance must publish generation 1")
         }
         .trigger(Trigger.AvailableNow()).start()

@@ -105,6 +105,27 @@ private[graft] object CatalogShared {
         .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
     }
 
+  /** Per-JVM staged FULL-CORPUS residual-IVFADC index under the q276
+    * frozen model (m = 4, subDim = 16) — the generation-CONTENT artifact
+    * of the generation-layout gates (q299/q300): a deterministic pure
+    * function of (corpus, frozen model), identical on every pass, so
+    * re-encoding it per arm per pass times the encode, not the
+    * pointer/refresh protocol those gates test (the q252/q293 artifact
+    * discipline). Gates install it into a generation dir by FILE COPY
+    * ([[graft.util.Fs.copyRecursively]]) — the publish protocol itself
+    * (stage → rename → marker flip) stays live per pass. */
+  def frozenFullIndexStaging(s: SparkSession, dir: String): String = {
+    // the model staging runs BEFORE the closure: Staging.dir must never
+    // nest inside another staging closure (computeIfAbsent on one map)
+    val tmp = ivfIngestStaging(s, dir)
+    graft.util.Staging.dir("q299_full_index", dir) { p =>
+      Similarity.residualIndex(T(s, dir, "embeddings"),
+          s.read.parquet(s"$tmp/centroids"), s.read.parquet(s"$tmp/codebooks"),
+          "vec_id", "cid", "embedding", m = 4, subDim = 16)
+        .write.mode("overwrite").parquet(s"$p/index")
+    } + "/index"
+  }
+
   /** The streamed-corpus fixture shared by q278/q284/q291/q293/q295/q298:
     * (doc, vector) rows FULL OUTER joined — the fixture tables are NOT
     * 1:1 at every scale (sf0.1 ships 5000 docs but 2000 embeddings; an
