@@ -2315,11 +2315,17 @@ private[graft] object AnnCatalog {
           cent, cb, "vec_id", "cid", "embedding",
           k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
-      // the no-op law: compacted and untouched stores answer identically
-      require(serve(policyDir).collect().toSeq ==
-          serve(controlDir).collect().toSeq,
+      // the no-op law: compacted and untouched stores answer identically.
+      // The law already materializes the policy store's answers — return
+      // them as a local frame instead of running the same serve a third
+      // time (result-identical; the total order is re-asserted on the
+      // local rows)
+      val served = serve(policyDir)
+      val servedRows = served.collect()
+      require(servedRows.toSeq == serve(controlDir).collect().toSeq,
         "compaction must not change served answers")
-      serve(policyDir)
+      s.createDataFrame(java.util.Arrays.asList(servedRows: _*), served.schema)
+        .orderBy(col("q_id"), col("rank"))
     }, Some(ivfAdcFullOracle)),
 
 

@@ -1632,10 +1632,15 @@ private[graft] object TextCatalog {
             "doc_id", "text", "vec_id", "embedding"),
           queries, kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
-      require(serve(policyDir).collect().toSeq ==
-          serve(controlDir).collect().toSeq,
+      // the law already materializes the policy store's answers — return
+      // them as a local frame instead of running the same serve a third
+      // time (q292's rationale; result-identical, total order re-asserted)
+      val served = serve(policyDir)
+      val servedRows = served.collect()
+      require(servedRows.toSeq == serve(controlDir).collect().toSeq,
         "compaction must not change served answers")
-      serve(policyDir)
+      s.createDataFrame(java.util.Arrays.asList(servedRows: _*), served.schema)
+        .orderBy(col("q_id"), col("rank"))
     }, Some(hybridRrfOracle)),
 
 

@@ -564,12 +564,15 @@ object TextAnalysis {
       k: Int, maxDf: Long): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(maxDf >= 2, s"maxDf must be >= 2 to allow any pair, got $maxDf")
-    // eager pin: df agg + pair join would race an uncached persist
-    val tf = graft.util.Caches.pin(df
+    // NOT pinned (measured, r16): both consumers (df agg + pair join)
+    // need tf exchanged by __t, so AQE runtime stage reuse shares ONE
+    // hashpartitioning(__t) materialization inside the single action —
+    // the eager pin only added a count job and a cache round trip
+    val tf = df
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         explode(Dedup.shingles(col(textCol), words(col(textCol)))).as("__t"))
-      .groupBy(col("__id"), col("__t")).agg(count(lit(1)).as("__tf")))
+      .groupBy(col("__id"), col("__t")).agg(count(lit(1)).as("__tf"))
     val dfr = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
       .where(col("__df").between(2L, maxDf))
     val nDocs = df.where(col(textCol).isNotNull)
@@ -598,8 +601,10 @@ object TextAnalysis {
         (col("__a.__tf") * col("__b.__tf") * col("__w") * col("__w")).as("__c"))
       .groupBy(col("__ida"), col("__idb"))
       .agg(sum(col("__c")).as("score"))
-    // eager pin: the two mirror directions would race re-scans
-    val pairs = graft.util.Caches.pin(half)
+    // NOT pinned (measured, r16): the two mirror directions consume the
+    // same hashpartitioning(__ida,__idb) aggregate — AQE stage reuse
+    // shares it inside the single action
+    val pairs = half
     val scores = pairs.union(pairs.select(
       col("__idb").as("__ida"), col("__ida").as("__idb"), col("score")))
     val w = org.apache.spark.sql.expressions.Window
