@@ -2715,18 +2715,25 @@ private[graft] object AnnCatalog {
     ("q301_ingest_serve_committed", (s, dir) => {
       val emb = T(s, dir, "embeddings")
       val tmp = ivfIngestStaging(s, dir)
-      val cent = s.read.parquet(s"$tmp/centroids")
-      val cb = s.read.parquet(s"$tmp/codebooks")
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val vDir = orderedSliceStaging(s, dir, "q301_vector_slices")(
         (0 until 3).map(i => emb.where(col("vec_id") % 3 === i)
           .select(col("vec_id"), col("embedding"))))
+      // 4-partition AQE-off gate session — the q270/q296/q304 discipline
+      // (|batch|-bounded deltas + model/store-sized compaction and serve
+      // frames); every frame below lives on the gate session
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.adaptive.enabled" -> "false")
+      val cent = s2.read.parquet(s"$tmp/centroids")
+      val cb = s2.read.parquet(s"$tmp/codebooks")
+      val emb2 = graft.util.EventTime.tsToLongNanos(
+        s2.read.parquet(s"$dir/embeddings.parquet"))
       val live = scratch("q301_live")
       val root = scratch("q301_gens")
       val outDir = scratch("q301_out")
       def publishCommitted(onlyBelow: Option[Long]): Unit = {
-        val committed = Similarity.indexStoreDeltas(s, live)
+        val committed = Similarity.indexStoreDeltas(s2, live)
           .filter(d => onlyBelow.forall(d < _))
         if (committed.nonEmpty)
           graft.util.GenStore.cycle(fs, root, gen = committed.max) {
@@ -2734,7 +2741,7 @@ private[graft] object AnnCatalog {
             graft.util.GenStore.current(fs, root).forall(_ < committed.max)
           } { p =>
             Similarity.compactIndex(
-                committed.map(d => s.read.parquet(s"$live/delta=$d")),
+                committed.map(d => s2.read.parquet(s"$live/delta=$d")),
                 cap = 16L)
               .select(col("n_id"), col("lcid"), col("codes"))
               .write.mode("overwrite").parquet(s"$p/index")
@@ -2742,15 +2749,15 @@ private[graft] object AnnCatalog {
       }
       def serveCommitted(stage: Long): Unit =
         graft.util.GenStore.currentPath(fs, root).foreach { gen =>
-          Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
-              Similarity.readIndexStore(s, s"$gen/index"),
+          Similarity.ivfPqResidualStoredTopK(emb2.where(col("vec_id") < 8),
+              Similarity.readIndexStore(s2, s"$gen/index"),
               cent, cb, "vec_id", "cid", "embedding",
               k = 3, m = 4, subDim = 16, nprobe = 2)
             .withColumn("stage", lit(stage))
             .write.mode("append").parquet(outDir)
         }
       val q = Similarity.ingestIndexStream(
-          s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          s2.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
             .option("maxFilesPerTrigger", 1).parquet(vDir),
           cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)(
           Similarity.idempotentIndexSink(live,
@@ -2810,14 +2817,19 @@ private[graft] object AnnCatalog {
     ("q302_index_retention", (s, dir) => {
       val emb = T(s, dir, "embeddings")
       val tmp = ivfIngestStaging(s, dir)
-      val cent = s.read.parquet(s"$tmp/centroids")
-      val cb = s.read.parquet(s"$tmp/codebooks")
       val vDir = orderedSliceStaging(s, dir, "q301_vector_slices")(
         (0 until 3).map(i => emb.where(col("vec_id") % 3 === i)
           .select(col("vec_id"), col("embedding"))))
+      // 4-partition AQE-off gate session — the q270/q296/q304 discipline
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.adaptive.enabled" -> "false")
+      val cent = s2.read.parquet(s"$tmp/centroids")
+      val cb = s2.read.parquet(s"$tmp/codebooks")
+      val emb2 = graft.util.EventTime.tsToLongNanos(
+        s2.read.parquet(s"$dir/embeddings.parquet"))
       def ingest(storeDir: String): Unit = {
         val q = Similarity.ingestIndexStream(
-            s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            s2.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
               .option("maxFilesPerTrigger", 1).parquet(vDir),
             cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)(
             Similarity.idempotentIndexSink(storeDir))
@@ -2825,36 +2837,36 @@ private[graft] object AnnCatalog {
         q.awaitTermination()
       }
       def serve(storeDir: String) =
-        Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
-          Similarity.readIndexStore(s, storeDir), cent, cb,
+        Similarity.ivfPqResidualStoredTopK(emb2.where(col("vec_id") < 8),
+          Similarity.readIndexStore(s2, storeDir), cent, cb,
           "vec_id", "cid", "embedding", k = 3, m = 4, subDim = 16, nprobe = 2)
           .orderBy(col("q_id"), col("rank"))
       val storeDir = scratch("q302_store")
       ingest(storeDir)
       (0 until 3).foreach { b =>
-        val ids = s.read.parquet(s"$storeDir/delta=$b")
+        val ids = s2.read.parquet(s"$storeDir/delta=$b")
           .select(col("n_id")).collect().map(_.getLong(0)).toSet
         require(ids.nonEmpty && ids.forall(_ % 3 == b),
           s"delta $b must hold exactly the vec_id % 3 == $b slice")
       }
       // CONTROL LAW: a window covering every delta must not age anything
       // out — under the count threshold the cycle stays a no-op ...
-      require(!Similarity.maintainIndexStore(s, storeDir, maxDeltas = 10,
+      require(!Similarity.maintainIndexStore(s2, storeDir, maxDeltas = 10,
           cap = 16L, dropBelow = Some(0L)),
         "an all-covering retention window must not force a cycle")
       // ... and the aged-out arm FIRES below the count threshold: the
       // window keeps batches {1, 2}, batch 0 leaves with the swap
-      require(Similarity.maintainIndexStore(s, storeDir, maxDeltas = 10,
+      require(Similarity.maintainIndexStore(s2, storeDir, maxDeltas = 10,
           cap = 16L, dropBelow = Some(1L)),
         "a delta outside the retention window must force the cycle")
-      require(Similarity.indexStoreDeltas(s, storeDir) == Seq(2L),
+      require(Similarity.indexStoreDeltas(s2, storeDir) == Seq(2L),
         "retention must leave ONE consolidated in-window delta")
-      val raw = s.read.parquet(storeDir)
+      val raw = s2.read.parquet(storeDir)
       require(raw.where(col("n_id") % 3 === 0).isEmpty,
         "aged-out rows must leave the store with the swap")
       // the refused edge: a window aging out EVERYTHING fails loudly
       val err = try {
-        Similarity.maintainIndexStore(s, storeDir, maxDeltas = 1,
+        Similarity.maintainIndexStore(s2, storeDir, maxDeltas = 1,
           cap = 16L, dropBelow = Some(3L)); false
       } catch { case _: IllegalArgumentException => true }
       require(err, "a store-emptying retention window must be refused")

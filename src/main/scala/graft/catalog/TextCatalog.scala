@@ -1847,16 +1847,20 @@ private[graft] object TextCatalog {
         corpus.where(key % 9 === 8),
         corpus.where(key % 9 =!= 8 && key % 2 === 0),
         corpus.where(key % 9 =!= 8 && key % 2 === 1)))
+      // 4-partition AQE-off gate session — the q270/q296/q304 discipline
+      // (|batch|-bounded deltas + store-sized maintenance/serve frames)
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.adaptive.enabled" -> "false")
       val storeDir = scratch("q303_store")
       val q = TextAnalysis.ingestPostingsStream(
-          s.readStream
+          s2.readStream
             .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
             .option("maxFilesPerTrigger", 1).parquet(cDir),
           "doc_id", "text", "vec_id", "embedding", storeDir)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       // id-determined batch membership, loud on both store sides
-      val dl = s.read.parquet(s"$storeDir/dl")
+      val dl = s2.read.parquet(s"$storeDir/dl")
       require(dl.where(col("delta").cast("long") === 0 &&
           col("doc_id") % 9 =!= 8).isEmpty &&
           !dl.where(col("delta").cast("long") === 0).isEmpty,
@@ -1867,15 +1871,15 @@ private[graft] object TextCatalog {
         "delta 0's vector side must hold exactly the vec_id % 9 == 8 rows")
       // control law: an all-covering window under the count threshold
       // must not force a cycle
-      require(!TextAnalysis.maintainHybridStore(s, storeDir, maxDeltas = 10,
+      require(!TextAnalysis.maintainHybridStore(s2, storeDir, maxDeltas = 10,
           "doc_id", "text", "vec_id", "embedding", dropBelow = Some(0L)),
         "an all-covering retention window must not force a cycle")
       // the aged-out arm fires BELOW the count threshold; the window
       // keeps batches {1, 2} and batch 0 leaves with the swap
-      require(TextAnalysis.maintainHybridStore(s, storeDir, maxDeltas = 10,
+      require(TextAnalysis.maintainHybridStore(s2, storeDir, maxDeltas = 10,
           "doc_id", "text", "vec_id", "embedding", dropBelow = Some(1L)),
         "a delta outside the retention window must force the cycle")
-      val statsLeft = s.read.parquet(s"$storeDir/stats")
+      val statsLeft = s2.read.parquet(s"$storeDir/stats")
       require(statsLeft.count() == 1L &&
           statsLeft.select(col("delta").cast("long")).head().getLong(0) == 2L,
         "retention must leave ONE consolidated in-window delta at id 2")
@@ -1884,16 +1888,21 @@ private[graft] object TextCatalog {
         "aged-out docs must leave the store with the swap")
       // the refused edge: a window aging out EVERYTHING fails loudly
       val err = try {
-        TextAnalysis.maintainHybridStore(s, storeDir, maxDeltas = 1,
+        TextAnalysis.maintainHybridStore(s2, storeDir, maxDeltas = 1,
           "doc_id", "text", "vec_id", "embedding", dropBelow = Some(3L)); false
       } catch { case _: IllegalArgumentException => true }
       require(err, "a store-emptying retention window must be refused")
-      // serve the survivors — q295's serve, q295's oracle
-      val hc = TextAnalysis.readHybridCorpus(s, storeDir,
+      // serve the survivors — q295's serve, q295's oracle (frames all on
+      // the gate session: one plan never mixes sessions)
+      val hc = TextAnalysis.readHybridCorpus(s2, storeDir,
         "doc_id", "text", "vec_id", "embedding")
-      val queries = docs.where(col("doc_id") < 6)
+      val docs2 = graft.util.EventTime.tsToLongNanos(
+        s2.read.parquet(s"$dir/documents.parquet"))
+      val emb2 = graft.util.EventTime.tsToLongNanos(
+        s2.read.parquet(s"$dir/embeddings.parquet"))
+      val queries = docs2.where(col("doc_id") < 6)
         .select(col("doc_id").as("q_id"), col("text"))
-        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+        .join(emb2.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
       TextAnalysis.hybridRrfTopKPrepared(hc, queries,
           kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
@@ -1931,24 +1940,36 @@ private[graft] object TextCatalog {
           when(key < 6, lit(0)).otherwise(key % 3) === i)))
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // the in-gate work is |batch|-bounded deltas, store-sized compaction
+      // frames and per-serve plans of many tiny stages — the q270/q296
+      // serve-session discipline applies to the WHOLE gate: 4 pinned
+      // shuffle partitions (32-task stages would pay launch overhead, not
+      // parallelism) and AQE off (its per-stage re-planning was measured
+      // at ~30-35% of per-batch wall on these shapes, buying nothing)
+      val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.adaptive.enabled" -> "false")
+      val docs2 = graft.util.EventTime.tsToLongNanos(
+        s2.read.parquet(s"$dir/documents.parquet"))
+      val emb2 = graft.util.EventTime.tsToLongNanos(
+        s2.read.parquet(s"$dir/embeddings.parquet"))
       val live = scratch("q304_live")
       val root = scratch("q304_gens")
       val outDir = scratch("q304_out")
-      val queries = docs.where(col("doc_id") < 6)
+      val queries = docs2.where(col("doc_id") < 6)
         .select(col("doc_id").as("q_id"), col("text"))
-        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+        .join(emb2.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
       def publishCommitted(onlyBelow: Option[Long]): Unit = {
         // the stats frame is the store's ingest clock — one delta dir per
         // micro-batch (the q293 threshold source; the listing layout is
         // shared with the vector store, hence the borrowed helper)
-        val committed = Similarity.indexStoreDeltas(s, s"$live/stats")
+        val committed = Similarity.indexStoreDeltas(s2, s"$live/stats")
           .filter(d => onlyBelow.forall(d < _))
         if (committed.nonEmpty)
           graft.util.GenStore.cycle(fs, root, gen = committed.max) {
             // fire iff the pointer lags the committed prefix
             graft.util.GenStore.current(fs, root).forall(_ < committed.max)
           } { p =>
-            TextAnalysis.compactHybridStore(s, live, p.toString,
+            TextAnalysis.compactHybridStore(s2, live, p.toString,
               "doc_id", "text", "vec_id", "embedding",
               deltaBelow = onlyBelow)
           }
@@ -1956,14 +1977,14 @@ private[graft] object TextCatalog {
       def serveCommitted(stage: Long): Unit =
         graft.util.GenStore.currentPath(fs, root).foreach { gen =>
           TextAnalysis.hybridRrfTopKPrepared(
-              TextAnalysis.readHybridCorpus(s, gen.toString,
+              TextAnalysis.readHybridCorpus(s2, gen.toString,
                 "doc_id", "text", "vec_id", "embedding"),
               queries, kArm = 10, kOut = 5, nTerms = 4)
             .withColumn("stage", lit(stage))
             .write.mode("append").parquet(outDir)
         }
       val q = TextAnalysis.ingestPostingsStream(
-          s.readStream
+          s2.readStream
             .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
             .option("maxFilesPerTrigger", 1).parquet(cDir),
           "doc_id", "text", "vec_id", "embedding", live,
