@@ -1968,13 +1968,12 @@ private[graft] object AnnCatalog {
     // VERBATIM. Nothing here is batch-twinned: the snapshots the compactor
     // eats came from a real stream.
     ("q277_stream_ingest_compact", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
       val tmp = ivfIngestStaging(s, dir)
-      val cent = s.read.parquet(s"$tmp/centroids")
-      val cb = s.read.parquet(s"$tmp/codebooks")
+      // 4-partition AQE-off gate session (q270/q296/q304's discipline)
+      val (s2, emb2, cent, cb) = ivfGateSession(s, dir)
       val snapRoot = scratch("q277_snaps")
       val seen = scala.collection.mutable.SortedSet[Long]()
-      val stream = s.readStream
+      val stream = s2.readStream
         .schema("vec_id LONG, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vectors")
       val q = Similarity.ingestIndexStream(stream, cent, cb,
@@ -1984,9 +1983,9 @@ private[graft] object AnnCatalog {
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val snaps = seen.toSeq.map(b => s.read.parquet(s"$snapRoot/snap_$b"))
+      val snaps = seen.toSeq.map(b => s2.read.parquet(s"$snapRoot/snap_$b"))
       val compacted = Similarity.compactIndex(snaps, cap = 16L)
-      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
+      Similarity.ivfPqResidualStoredTopK(emb2.where(col("vec_id") < 8),
         compacted.drop("sub"), cent, cb, "vec_id", "cid", "embedding",
         k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
@@ -2212,15 +2211,14 @@ private[graft] object AnnCatalog {
     // oracle VERBATIM. RecoverySpec's discipline, applied to the vector
     // store (ADVICE r14 #2).
     ("q290_index_ingest_replay", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
       val tmp = ivfIngestStaging(s, dir)
-      val cent = s.read.parquet(s"$tmp/centroids")
-      val cb = s.read.parquet(s"$tmp/codebooks")
+      // 4-partition AQE-off gate session (q270/q296/q304's discipline)
+      val (s2, emb2, cent, cb) = ivfGateSession(s, dir)
       val storeDir = scratch("q290_store")
       val ckpt = scratch("q290_ckpt")
       val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
       def run() = Similarity.ingestIndexStream(
-          s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          s2.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
             .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vectors"),
           cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)(
           Similarity.idempotentIndexSink(storeDir, afterBatch = b =>
@@ -2233,12 +2231,12 @@ private[graft] object AnnCatalog {
       require(crashed.get, "the crash injection never ran")
       // replay-idempotence, asserted on the store itself: every vector id
       // exactly once despite batch 1 being written twice
-      val raw = s.read.parquet(storeDir)
+      val raw = s2.read.parquet(storeDir)
       require(raw.count() == raw.select(col("n_id")).distinct().count(),
         "replayed batch double-appended index rows — the store sink is " +
           "not replay-idempotent")
-      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
-        Similarity.readIndexStore(s, storeDir), cent, cb,
+      Similarity.ivfPqResidualStoredTopK(emb2.where(col("vec_id") < 8),
+        Similarity.readIndexStore(s2, storeDir), cent, cb,
         "vec_id", "cid", "embedding",
         k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
@@ -2264,18 +2262,17 @@ private[graft] object AnnCatalog {
     // result-identical by q256's compaction law), gated on q212's oracle
     // VERBATIM.
     ("q292_index_compact_policy", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
       val tmp = ivfIngestStaging(s, dir)
-      val cent = s.read.parquet(s"$tmp/centroids")
-      val cb = s.read.parquet(s"$tmp/codebooks")
+      // 4-partition AQE-off gate session (q270/q296/q304's discipline)
+      val (s2, emb2, cent, cb) = ivfGateSession(s, dir)
       def ingest(storeDir: String, maxDeltas: Int): Int = {
         val fired = new java.util.concurrent.atomic.AtomicInteger(0)
         val q = Similarity.ingestIndexStream(
-            s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            s2.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
               .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vectors"),
             cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)(
             Similarity.idempotentIndexSink(storeDir, beforeBatch = b =>
-              if (Similarity.maintainIndexStore(s, storeDir, maxDeltas,
+              if (Similarity.maintainIndexStore(s2, storeDir, maxDeltas,
                   cap = 16L, onlyBelow = Some(b)))
                 fired.incrementAndGet()))
           .trigger(Trigger.AvailableNow()).start()
@@ -2299,19 +2296,19 @@ private[graft] object AnnCatalog {
       require(policyFired == 1,
         s"threshold-1 policy must fire once in-stream (beforeBatch(2): " +
           s"committed deltas {0,1}), fired $policyFired")
-      require(Similarity.indexStoreDeltas(s, policyDir) == Seq(1L, 2L),
+      require(Similarity.indexStoreDeltas(s2, policyDir) == Seq(1L, 2L),
         "in-stream policy must leave the consolidated delta + the final batch")
       // at rest the stream has terminated ⇒ every delta is committed; the
       // same policy with no exclusion finishes the consolidation
-      require(Similarity.maintainIndexStore(s, policyDir, maxDeltas = 1,
+      require(Similarity.maintainIndexStore(s2, policyDir, maxDeltas = 1,
           cap = 16L),
         "at-rest maintenance over threshold must fire")
-      require(Similarity.indexStoreDeltas(s, policyDir) == Seq(2L),
+      require(Similarity.indexStoreDeltas(s2, policyDir) == Seq(2L),
         "at-rest maintenance must leave ONE consolidated delta")
-      require(Similarity.indexStoreDeltas(s, controlDir) == Seq(0L, 1L, 2L),
+      require(Similarity.indexStoreDeltas(s2, controlDir) == Seq(0L, 1L, 2L),
         "below-threshold policy must keep every delta")
       def serve(d: String) = Similarity.ivfPqResidualStoredTopK(
-          emb.where(col("vec_id") < 8), Similarity.readIndexStore(s, d),
+          emb2.where(col("vec_id") < 8), Similarity.readIndexStore(s2, d),
           cent, cb, "vec_id", "cid", "embedding",
           k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))
@@ -2388,21 +2385,20 @@ private[graft] object AnnCatalog {
     // store must hold every id exactly once and serve q212's oracle
     // VERBATIM.
     ("q297_index_policy_replay", (s, dir) => {
-      val emb = T(s, dir, "embeddings")
       val tmp = ivfIngestStaging(s, dir)
-      val cent = s.read.parquet(s"$tmp/centroids")
-      val cb = s.read.parquet(s"$tmp/codebooks")
+      // 4-partition AQE-off gate session (q270/q296/q304's discipline)
+      val (s2, emb2, cent, cb) = ivfGateSession(s, dir)
       val storeDir = scratch("q297_store")
       val ckpt = scratch("q297_ckpt")
       val fired = new java.util.concurrent.atomic.AtomicInteger(0)
       val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
       def run() = Similarity.ingestIndexStream(
-          s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          s2.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
             .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vectors"),
           cent, cb, "vec_id", "cid", "embedding", m = 4, subDim = 16)(
           Similarity.idempotentIndexSink(storeDir,
             beforeBatch = b =>
-              if (Similarity.maintainIndexStore(s, storeDir, maxDeltas = 1,
+              if (Similarity.maintainIndexStore(s2, storeDir, maxDeltas = 1,
                   cap = 16L, onlyBelow = Some(b)))
                 fired.incrementAndGet(),
             afterBatch = b =>
@@ -2414,13 +2410,13 @@ private[graft] object AnnCatalog {
       runWithInjectedCrash(() => run()) // batch 2 REPLAYS over the compacted store
       require(crashed.get && fired.get == 1,
         s"policy must fire exactly once (got ${fired.get}) and the crash must run")
-      require(Similarity.indexStoreDeltas(s, storeDir) == Seq(1L, 2L),
+      require(Similarity.indexStoreDeltas(s2, storeDir) == Seq(1L, 2L),
         "store must hold the consolidated delta + the replayed batch")
-      val raw = s.read.parquet(storeDir)
+      val raw = s2.read.parquet(storeDir)
       require(raw.count() == raw.select(col("n_id")).distinct().count(),
         "replay over a compacted store lost or duplicated index rows")
-      Similarity.ivfPqResidualStoredTopK(emb.where(col("vec_id") < 8),
-        Similarity.readIndexStore(s, storeDir), cent, cb,
+      Similarity.ivfPqResidualStoredTopK(emb2.where(col("vec_id") < 8),
+        Similarity.readIndexStore(s2, storeDir), cent, cb,
         "vec_id", "cid", "embedding",
         k = 3, m = 4, subDim = 16, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))

@@ -105,6 +105,45 @@ private[graft] object CatalogShared {
         .repartition(3).write.mode("overwrite").parquet(s"$p/vectors")
     }
 
+  /** The store-lifecycle gates' serve session + their shared
+    * (q_id, text, embedding) query frame: 4 pinned shuffle partitions and
+    * AQE off — the q270/q296 serve-session discipline (in-gate frames are
+    * |batch|-bounded deltas or store-sized postings/model frames, so
+    * 32-task stages pay launch overhead, not parallelism, and AQE's
+    * per-stage re-planning was measured at ~30-35% of per-batch wall on
+    * these shapes). Every frame a gate builds must live on the returned
+    * session — one plan never mixes sessions. */
+  def hybridGateSession(s: SparkSession, dir: String):
+      (SparkSession, DataFrame) = {
+    val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
+    val docs2 = graft.util.EventTime.tsToLongNanos(
+      s2.read.parquet(s"$dir/documents.parquet"))
+    val emb2 = graft.util.EventTime.tsToLongNanos(
+      s2.read.parquet(s"$dir/embeddings.parquet"))
+    (s2, docs2.where(col("doc_id") < 6)
+      .select(col("doc_id").as("q_id"), col("text"))
+      .join(emb2.select(col("vec_id").as("q_id"), col("embedding")),
+        Seq("q_id")))
+  }
+
+  /** [[hybridGateSession]]'s vector-store twin: the 4-partition AQE-off
+    * gate session plus the frames every IVF-store gate consumes on it —
+    * the corpus embeddings and the staged frozen model (centroids,
+    * codebooks), all read on the gate session so no plan mixes
+    * sessions. */
+  def ivfGateSession(s: SparkSession, dir: String):
+      (SparkSession, DataFrame, DataFrame, DataFrame) = {
+    val tmp = ivfIngestStaging(s, dir)
+    val s2 = isolated(s, "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
+    (s2,
+      graft.util.EventTime.tsToLongNanos(
+        s2.read.parquet(s"$dir/embeddings.parquet")),
+      s2.read.parquet(s"$tmp/centroids"),
+      s2.read.parquet(s"$tmp/codebooks"))
+  }
+
   /** Per-JVM staged FULL-CORPUS residual-IVFADC index under the q276
     * frozen model (m = 4, subDim = 16) — the generation-CONTENT artifact
     * of the generation-layout gates (q299/q300): a deterministic pure

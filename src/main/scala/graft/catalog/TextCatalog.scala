@@ -1288,11 +1288,11 @@ private[graft] object TextCatalog {
     // postings, not corpus. VERIFICATION-HARNESS BOUNDARY: per-run temp
     // parquet store, read back only for the gate's serve.
     ("q278_stream_postings_ingest", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val emb = T(s, dir, "embeddings")
       val tmp = corpusStreamStaging(s, dir)
+      // 4-partition AQE-off gate session (q270/q296/q304's discipline)
+      val (s2, queries) = hybridGateSession(s, dir)
       val storeDir = scratch("q278_store")
-      val stream = s.readStream
+      val stream = s2.readStream
         .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus")
       val q = TextAnalysis.ingestPostingsStream(stream,
@@ -1301,11 +1301,8 @@ private[graft] object TextCatalog {
       q.awaitTermination()
       // checkUnique: the loud append-contract audit — cheap here, and it
       // proves the streamed deltas really were disjoint
-      val hc = TextAnalysis.readHybridCorpus(s, storeDir,
+      val hc = TextAnalysis.readHybridCorpus(s2, storeDir,
         "doc_id", "text", "vec_id", "embedding", checkUnique = true)
-      val queries = docs.where(col("doc_id") < 6)
-        .select(col("doc_id").as("q_id"), col("text"))
-        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
       TextAnalysis.hybridRrfTopKPrepared(hc, queries,
           kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
@@ -1389,24 +1386,21 @@ private[graft] object TextCatalog {
     // the store's whole write→compact→serve cycle hold downstream of a
     // REAL stream.
     ("q284_postings_compaction", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val emb = T(s, dir, "embeddings")
       // the subject is COMPACTION; its input (the streamed 3-delta store)
       // is a deterministic artifact staged once per JVM — the live ingest
       // stays gated by q278/q291/q293/q298 where it is the subject
       val storeDir = ingestedPostingsStore(s, dir)
+      // 4-partition AQE-off gate session (q270/q296/q304's discipline)
+      val (s2, queries) = hybridGateSession(s, dir)
       val compactDir = scratch("q284_compact")
-      TextAnalysis.compactHybridStore(s, storeDir, compactDir,
+      TextAnalysis.compactHybridStore(s2, storeDir, compactDir,
         "doc_id", "text", "vec_id", "embedding")
       // the consolidation really happened: one stats row on disk (q278's
       // streamed store had one per micro-batch)
-      require(s.read.parquet(s"$compactDir/stats").count() == 1L,
+      require(s2.read.parquet(s"$compactDir/stats").count() == 1L,
         "compacted store must hold exactly one stats row")
-      val hc = TextAnalysis.readHybridCorpus(s, compactDir,
+      val hc = TextAnalysis.readHybridCorpus(s2, compactDir,
         "doc_id", "text", "vec_id", "embedding")
-      val queries = docs.where(col("doc_id") < 6)
-        .select(col("doc_id").as("q_id"), col("text"))
-        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
       TextAnalysis.hybridRrfTopKPrepared(hc, queries,
           kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
@@ -1533,14 +1527,14 @@ private[graft] object TextCatalog {
     // double-count stats/dfs, shifting every BM25 score) — and serving
     // the replayed store reproduces q268's one-shot oracle VERBATIM.
     ("q291_postings_ingest_replay", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val emb = T(s, dir, "embeddings")
       val tmp = corpusStreamStaging(s, dir)
+      // 4-partition AQE-off gate session (q270/q296/q304's discipline)
+      val (s2, queries) = hybridGateSession(s, dir)
       val storeDir = scratch("q291_store")
       val ckpt = scratch("q291_ckpt")
       val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
       def run() = TextAnalysis.ingestPostingsStream(
-          s.readStream
+          s2.readStream
             .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
             .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus"),
           "doc_id", "text", "vec_id", "embedding", storeDir,
@@ -1553,11 +1547,8 @@ private[graft] object TextCatalog {
       runWithInjectedCrash(() => run()) // batch 1 REPLAYS from the checkpoint
       require(crashed.get, "the crash injection never ran")
       // checkUnique IS the replay audit: duplicated doc ids fail loudly
-      val hc = TextAnalysis.readHybridCorpus(s, storeDir,
+      val hc = TextAnalysis.readHybridCorpus(s2, storeDir,
         "doc_id", "text", "vec_id", "embedding", checkUnique = true)
-      val queries = docs.where(col("doc_id") < 6)
-        .select(col("doc_id").as("q_id"), col("text"))
-        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
       TextAnalysis.hybridRrfTopKPrepared(hc, queries,
           kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
@@ -1577,18 +1568,18 @@ private[graft] object TextCatalog {
     // oracle-identical answers (consolidation changes nothing; NOT
     // consolidating changes nothing either).
     ("q293_postings_compact_policy", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val emb = T(s, dir, "embeddings")
       val tmp = corpusStreamStaging(s, dir)
+      // 4-partition AQE-off gate session (q270/q296/q304's discipline)
+      val (s2, queries) = hybridGateSession(s, dir)
       def ingest(storeDir: String, maxDeltas: Int): Int = {
         val fired = new java.util.concurrent.atomic.AtomicInteger(0)
         val q = TextAnalysis.ingestPostingsStream(
-            s.readStream
+            s2.readStream
               .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
               .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus"),
             "doc_id", "text", "vec_id", "embedding", storeDir,
             beforeBatch = b =>
-              if (TextAnalysis.maintainHybridStore(s, storeDir, maxDeltas,
+              if (TextAnalysis.maintainHybridStore(s2, storeDir, maxDeltas,
                   "doc_id", "text", "vec_id", "embedding",
                   onlyBelow = Some(b)))
                 fired.incrementAndGet())
@@ -1614,21 +1605,18 @@ private[graft] object TextCatalog {
       require(policyFired == 1,
         s"threshold-1 policy must fire once in-stream (beforeBatch(2): " +
           s"committed deltas {0,1}), fired $policyFired")
-      require(s.read.parquet(s"$policyDir/stats").count() == 2L,
+      require(s2.read.parquet(s"$policyDir/stats").count() == 2L,
         "in-stream policy must leave the consolidated delta + the final batch")
       // at rest the stream has terminated ⇒ every delta is committed
-      require(TextAnalysis.maintainHybridStore(s, policyDir, maxDeltas = 1,
+      require(TextAnalysis.maintainHybridStore(s2, policyDir, maxDeltas = 1,
           "doc_id", "text", "vec_id", "embedding"),
         "at-rest maintenance over threshold must fire")
-      require(s.read.parquet(s"$policyDir/stats").count() == 1L,
+      require(s2.read.parquet(s"$policyDir/stats").count() == 1L,
         "at-rest maintenance must leave ONE consolidated stats row on disk")
-      require(s.read.parquet(s"$controlDir/stats").count() == 3L,
+      require(s2.read.parquet(s"$controlDir/stats").count() == 3L,
         "below-threshold policy must keep every delta")
-      val queries = docs.where(col("doc_id") < 6)
-        .select(col("doc_id").as("q_id"), col("text"))
-        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
       def serve(d: String) = TextAnalysis.hybridRrfTopKPrepared(
-          TextAnalysis.readHybridCorpus(s, d,
+          TextAnalysis.readHybridCorpus(s2, d,
             "doc_id", "text", "vec_id", "embedding"),
           queries, kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
@@ -1654,23 +1642,22 @@ private[graft] object TextCatalog {
     // (q283/q285's oracle), and the store really consolidated (one stats
     // row on disk).
     ("q295_postings_tombstone_compaction", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val emb = T(s, dir, "embeddings")
       // the subject is erasure AT compaction; the ingested store is the
       // same staged artifact q284 consumes (never mutated — the cycle
       // writes to a fresh out dir)
       val storeDir = ingestedPostingsStore(s, dir)
+      // 4-partition AQE-off gate session (q270/q296/q304's discipline)
+      val (s2, queries) = hybridGateSession(s, dir)
+      val docs2 = graft.util.EventTime.tsToLongNanos(
+        s2.read.parquet(s"$dir/documents.parquet"))
       val compactDir = scratch("q295_compact")
-      TextAnalysis.compactHybridStore(s, storeDir, compactDir,
+      TextAnalysis.compactHybridStore(s2, storeDir, compactDir,
         "doc_id", "text", "vec_id", "embedding",
-        tombstones = docs.where(col("doc_id") % 9 === 8).select(col("doc_id")))
-      require(s.read.parquet(s"$compactDir/stats").count() == 1L,
+        tombstones = docs2.where(col("doc_id") % 9 === 8).select(col("doc_id")))
+      require(s2.read.parquet(s"$compactDir/stats").count() == 1L,
         "compacted store must hold exactly one stats row")
-      val hc = TextAnalysis.readHybridCorpus(s, compactDir,
+      val hc = TextAnalysis.readHybridCorpus(s2, compactDir,
         "doc_id", "text", "vec_id", "embedding")
-      val queries = docs.where(col("doc_id") < 6)
-        .select(col("doc_id").as("q_id"), col("text"))
-        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
       TextAnalysis.hybridRrfTopKPrepared(hc, queries,
           kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
@@ -1782,20 +1769,20 @@ private[graft] object TextCatalog {
     // over the compacted store, and requires checkUnique (the loud
     // double-count audit) + q268's oracle VERBATIM.
     ("q298_postings_policy_replay", (s, dir) => {
-      val docs = T(s, dir, "documents")
-      val emb = T(s, dir, "embeddings")
       val tmp = corpusStreamStaging(s, dir)
+      // 4-partition AQE-off gate session (q270/q296/q304's discipline)
+      val (s2, queries) = hybridGateSession(s, dir)
       val storeDir = scratch("q298_store")
       val ckpt = scratch("q298_ckpt")
       val fired = new java.util.concurrent.atomic.AtomicInteger(0)
       val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
       def run() = TextAnalysis.ingestPostingsStream(
-          s.readStream
+          s2.readStream
             .schema("doc_id LONG, text STRING, vec_id LONG, embedding ARRAY<FLOAT>")
             .option("maxFilesPerTrigger", 1).parquet(s"$tmp/corpus"),
           "doc_id", "text", "vec_id", "embedding", storeDir,
           beforeBatch = b =>
-            if (TextAnalysis.maintainHybridStore(s, storeDir, maxDeltas = 1,
+            if (TextAnalysis.maintainHybridStore(s2, storeDir, maxDeltas = 1,
                 "doc_id", "text", "vec_id", "embedding",
                 onlyBelow = Some(b)))
               fired.incrementAndGet(),
@@ -1808,14 +1795,11 @@ private[graft] object TextCatalog {
       runWithInjectedCrash(() => run()) // batch 2 REPLAYS over the compacted store
       require(crashed.get && fired.get == 1,
         s"policy must fire exactly once (got ${fired.get}) and the crash must run")
-      require(s.read.parquet(s"$storeDir/stats").count() == 2L,
+      require(s2.read.parquet(s"$storeDir/stats").count() == 2L,
         "store must hold the consolidated delta + the replayed batch")
       // checkUnique IS the double-count audit
-      val hc = TextAnalysis.readHybridCorpus(s, storeDir,
+      val hc = TextAnalysis.readHybridCorpus(s2, storeDir,
         "doc_id", "text", "vec_id", "embedding", checkUnique = true)
-      val queries = docs.where(col("doc_id") < 6)
-        .select(col("doc_id").as("q_id"), col("text"))
-        .join(emb.select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
       TextAnalysis.hybridRrfTopKPrepared(hc, queries,
           kArm = 10, kOut = 5, nTerms = 4)
         .orderBy(col("q_id"), col("rank"))
