@@ -546,20 +546,20 @@ private[graft] object TokenizerCatalog {
         docs.select(col("doc_id"), col("text"))
           .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
       }
-      val qname = "graft_stream_token_ids"
-      val (schema, rows) = {
-        val stream = s.readStream
-          .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
-        val q = ext.Bpe.tokenIdsRowwise(stream, "doc_id", "text", merges, vocab)
-          .writeStream.outputMode("append").format("memory").queryName(qname)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        val res = s.table(qname)
-        val out = (res.schema, res.collect())
-        s.catalog.dropTempView(qname)
-        out
-      }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      // parquet sink instead of the memory sink (q281's rationale): the
+      // per-doc token-id arrays are the whole tokenized corpus — the
+      // memory sink hauled them to the driver only to re-serialize them
+      // into a LocalRelation
+      val outDir = scratch("q238_ids")
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
+      val q = ext.Bpe.tokenIdsRowwise(stream, "doc_id", "text", merges, vocab)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", scratch("q238_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
         .select(col("doc_id"),
           posexplode(col("token_ids")).as(Seq("pos", "token_id")))
         .orderBy(col("doc_id"), col("pos"))
@@ -743,21 +743,18 @@ private[graft] object TokenizerCatalog {
             (col("doc_id") % 7).cast("string"), lit("→")).as("text"))
           .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
       }
-      val qname = "graft_stream_byte_fallback"
-      val (schema, rows) = {
-        val stream = s.readStream
-          .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
-        val q = ext.Bpe.tokenIdsTyped(stream, "doc_id", "text", merges, vocab,
-            byteFallback = true)
-          .writeStream.outputMode("append").format("memory").queryName(qname)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        val res = s.table(qname)
-        val out = (res.schema, res.collect())
-        s.catalog.dropTempView(qname)
-        out
-      }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      // parquet sink instead of the memory sink (q281's rationale)
+      val outDir = scratch("q245_ids")
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
+      val q = ext.Bpe.tokenIdsTyped(stream, "doc_id", "text", merges, vocab,
+          byteFallback = true)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", scratch("q245_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
         .select(col("doc_id"),
           posexplode(col("token_ids")).as(Seq("pos", "token_id")))
         .orderBy(col("doc_id"), col("pos"))
@@ -1127,21 +1124,20 @@ private[graft] object TokenizerCatalog {
         docs.select(col("doc_id"), col("text"))
           .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
       }
-      val qname = "graft_stream_wordpiece"
-      val (schema, rows) = {
-        val stream = s.readStream
-          .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
-        val q = ext.Wordpiece.tokenizeRowwise(stream, "doc_id", "text",
-            initSet, contSet, maxLen = 4)
-          .writeStream.outputMode("append").format("memory").queryName(qname)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        val res = s.table(qname)
-        val out = (res.schema, res.collect())
-        s.catalog.dropTempView(qname)
-        out
-      }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      // parquet sink instead of the memory sink (q281's rationale): the
+      // tokenize emits PIECE-level rows, and the memory sink hauled them
+      // all to the driver only to re-serialize them into a LocalRelation
+      val outDir = scratch("q264_pieces")
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING").parquet(s"$tmp/stream")
+      val q = ext.Wordpiece.tokenizeRowwise(stream, "doc_id", "text",
+          initSet, contSet, maxLen = 4)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", scratch("q264_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
         .orderBy(col("doc_id"), col("pos"))
     }, Some(s"""
       WITH RECURSIVE ${wordpieceOracleCtes},
@@ -1422,21 +1418,23 @@ private[graft] object TokenizerCatalog {
               (col("doc_id") % 5).cast("string")).as("text"))
           .repartition(8).write.mode("overwrite").parquet(s"$p/stream")
       }
-      val qname = "graft_stream_wp_fallback"
-      val (schema, rows) = {
-        val stream = s.readStream.schema("doc_id LONG, text STRING")
-          .option("maxFilesPerTrigger", 2).parquet(s"$tmp/stream")
-        val q = ext.Wordpiece.tokenizeRowwise(stream, "doc_id", "text",
-            initSet, contSet, maxLen = 4, charFallback = true)
-          .writeStream.outputMode("append").format("memory").queryName(qname)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        val res = s.table(qname)
-        val out = (res.schema, res.collect())
-        s.catalog.dropTempView(qname)
-        out
-      }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      // parquet sink instead of the memory sink: the tokenize emits
+      // PIECE-level rows (hundreds of thousands at sf0.1), and the memory
+      // sink hauled them all to the driver only for createDataFrame to
+      // serialize them back into a LocalRelation — pure harness overhead;
+      // the distributed append keeps rows on the executors (identical
+      // rows, identical downstream aggregation)
+      val outDir = scratch("q281_pieces")
+      val stream = s.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 2).parquet(s"$tmp/stream")
+      val q = ext.Wordpiece.tokenizeRowwise(stream, "doc_id", "text",
+          initSet, contSet, maxLen = 4, charFallback = true)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", scratch("q281_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_pieces"),
           sort_array(collect_list(struct(col("pos"), col("piece")))).as("ps"))
